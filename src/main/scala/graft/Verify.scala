@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Reference semantics: parse failures yield null, never an error
+      // (/root/reference/iis_etl/logic.py:52-56) — that is Spark's non-ANSI
+      // behavior, so pin it against Spark 4's ANSI-on default.
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS): read as epoch-nanos longs.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

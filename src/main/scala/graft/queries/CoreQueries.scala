@@ -1,0 +1,512 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Scd2, Upsert}
+import graft.sources.Tables
+
+/** Relational parity queries — one per operator family in SURVEY §2, each with
+  * a DuckDB oracle. Numeric rule used throughout: sums over doubles are cast
+  * to DECIMAL before aggregation (exact, order-independent — Spark's shuffle
+  * order would otherwise make float sums nondeterministic) and cast back to
+  * DOUBLE at the end; single-row double arithmetic (`a*b`, `a+10`) is IEEE-
+  * exact and identical across engines, so it needs no special handling.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact order-independent sum of a double expression. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1/P4/S6 — projection + conjunctive predicates, pushed to the scan.
+    "p1_project_filter" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "FURNITURE" && col("c_acctbal") > 1000)
+        .select("c_custkey", "c_name", "c_acctbal")),
+
+    // P2 — IS NULL predicate (the reference's current-version filter shape).
+    "p2_null_filter" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(expr("nullif(o_orderstatus, 'F')").isNull)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))),
+
+    // J1 — fact⋈dim equi-join with an explicit broadcast of the small side.
+    "j1_broadcast_join_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // J2/F10 — lookup join on a normalized (lower+trim) key.
+    "j2_normalized_key_join" -> ((s, dir) => {
+      val dim = t(s, dir, "nation")
+        .select(lower(trim(col("n_name"))).as("k"), col("n_nationkey"))
+      t(s, dir, "supplier")
+        .withColumn("k", lower(trim(
+          concat(lit(" Nation_"), col("s_nationkey").cast("string")))))
+        .join(broadcast(dim), "k")
+        .select("s_suppkey", "n_nationkey")
+    }),
+
+    // J3 — left-semi join (FK-validity filter).
+    "j3_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    // J4 — left-anti join (find orphans / missing parents).
+    "j4_anti_join" -> ((s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")),
+
+    // J5 — existence check + FK null-out (auditory→department semantics).
+    "j5_fk_nullout" -> ((s, dir) => {
+      val valid = t(s, dir, "customer")
+        .filter(col("c_acctbal") >= 2000)
+        .select(col("c_custkey").as("vc"))
+      t(s, dir, "orders")
+        .join(valid, col("o_custkey") === col("vc"), "left")
+        .select(col("o_orderkey"),
+          when(col("vc").isNull, lit(null).cast(LongType))
+            .otherwise(col("o_custkey")).as("o_custkey_fixed"))
+    }),
+
+    // J6 — full-outer snapshot diff with per-key change classification.
+    "j6_snapshot_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val snap = c.filter(col("c_custkey") % 10 =!= 3)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 10)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val cur = c.select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("__cur", lit(true))
+      val inc = snap
+        .withColumnRenamed("c_acctbal", "new_acctbal")
+        .withColumn("__inc", lit(true))
+      cur.join(inc, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          when(col("__cur").isNull, lit("inserted"))
+            .when(col("__inc").isNull, lit("deleted"))
+            .when(!(col("c_acctbal") <=> col("new_acctbal")), lit("changed"))
+            .otherwise(lit("same")).as("status"))
+    }),
+
+    // U1–U6 — keyed upsert with a partial update-set: c_acctbal is updated on
+    // conflict, c_name/c_nationkey/c_mktsegment stay frozen (the reference
+    // freezes employee names after insert, logic.py:186-194).
+    "u1_upsert_partial" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val updated = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          concat(lit("X-"), col("c_name")).as("c_name"),
+          col("c_nationkey"),
+          (col("c_acctbal") * 2).as("c_acctbal"),
+          col("c_mktsegment"))
+      val fresh = c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 500000).as("c_custkey"),
+          concat(lit("NEW-"), col("c_custkey").cast("string")).as("c_name"),
+          lit(1).cast(IntegerType).as("c_nationkey"),
+          lit(5.5).as("c_acctbal"),
+          lit("AUTOMOBILE").as("c_mktsegment"))
+      Upsert(c, updated.unionByName(fresh),
+        Seq("c_custkey"), Seq("c_acctbal"))
+    }),
+
+    // U7 — insert-if-absent (ON CONFLICT DO NOTHING).
+    "u7_insert_if_absent" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val inc = c.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"),
+          lit("IGNORED").as("c_name"), // must NOT overwrite existing rows
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val fresh = c.filter(col("c_custkey") % 9 === 0)
+        .select((col("c_custkey") + 700000).as("c_custkey"),
+          lit("APPENDED").as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      Upsert.insertIfAbsent(c, inc.unionByName(fresh), Seq("c_custkey"))
+    }),
+
+    // U8 — delete-then-insert: full replace of each parent-key slice.
+    "u8_delete_insert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val slice = ev.filter(col("user_id") % 7 === 0)
+        .withColumn("event_type", lit("replaced"))
+      Upsert.deleteInsert(ev, slice, Seq("user_id"))
+    }),
+
+    // A4 — the full SCD Type 2 branch matrix over a simulated snapshot:
+    // deletes (%10=3), tracked changes (%7=0 → new version), Type 1 changes
+    // (%5=0 → in-place), brand-new keys (%13=0 → insert).
+    "scd2_apply" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val snapBase = c.filter(col("c_custkey") % 10 =!= 3)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("UPGRADED"))
+            .otherwise(col("c_name")).as("c_name"),
+          col("c_nationkey"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 10)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+      val snapNew = c.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("Customer#new"), col("c_custkey").cast("string"))
+            .as("c_name"),
+          lit(0).cast(IntegerType).as("c_nationkey"),
+          lit(0.0).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+      val dim = c
+        .withColumn("valid_from",
+          lit("2024-01-01 00:00:00").cast(TimestampType))
+        .withColumn("valid_to", lit(null).cast(TimestampType))
+      Scd2(dim, snapBase.unionByName(snapNew), "c_custkey",
+        tracked = Seq("c_name"), type1 = Seq("c_acctbal"),
+        runTs = lit("2024-06-01 00:00:00").cast(TimestampType))
+    }),
+
+    // A1 — hash aggregate headline (TPC-H Q1 shape; exact decimal sums).
+    "a1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // EP3 flagship — occupancy-index rebuild shape: pre-explode filter,
+    // double explode (weeks × rooms) with the F3 default-weeks rule, broadcast
+    // dim join, group-by grain, sorted distinct array agg.
+    "occupancy_index" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val weeksRaw = when(col("p_size") % 5 > 0,
+          sequence(lit(1L), (col("p_size") % 5).cast(LongType)))
+        .otherwise(array().cast(ArrayType(LongType)))
+      val weeks = when(size(weeksRaw) === 0,
+          array(lit(1L), lit(2L), lit(3L), lit(4L)))
+        .otherwise(weeksRaw)
+      val exploded = p.filter(col("p_retailprice") > 901)
+        .withColumn("week", explode(weeks))
+        .withColumn("room", explode(split(col("p_name"), " ")))
+      val rooms = p
+        .select(explode(split(col("p_name"), " ")).as("room"))
+        .filter(length(col("room")) > 4).distinct()
+      exploded.join(broadcast(rooms), "room")
+        .groupBy("room", "week")
+        .agg(array_sort(collect_set(col("p_brand"))).as("brands"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // F1/F2 — day-number↔name CASE mapping over epoch-nanos timestamps.
+    "f_case_map" -> ((s, dir) => {
+      val dayNames = Seq("Понедельник", "Вторник", "Среда", "Четверг",
+        "Пятница", "Суббота", "Воскресенье")
+      val day = (expr("ts div 86400000000000") % 7 + 1).cast(IntegerType)
+      val name = dayNames.zipWithIndex.foldLeft(lit(null).cast(StringType)) {
+        case (acc, (n, i)) => when(day === (i + 1), lit(n)).otherwise(acc)
+      }
+      val inverse = element_at(
+        map(dayNames.zipWithIndex.flatMap {
+          case (n, i) => Seq(lit(n), lit(i + 1))
+        }: _*), col("day_name"))
+      t(s, dir, "events")
+        .select(col("event_id"), day.as("day_num"), name.as("day_name"))
+        .withColumn("day_num_back", inverse)
+    }),
+
+    // F8–F13 — string function battery: empty-as-missing coalesce, substring
+    // truncation, normalized keys, conditional concat, array_join.
+    "f_strings" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("abbr"),
+        lower(trim(col("p_type"))).as("norm_type"),
+        when(col("p_type").isNull || length(trim(col("p_type"))) === 0,
+          lit("Без названия")).otherwise(col("p_type")).as("subject"),
+        when(!col("p_name").contains(col("p_brand")),
+            concat_ws("-", col("p_name"), col("p_brand")))
+          .otherwise(col("p_name")).as("display_name"),
+        array_join(split(col("p_name"), " "), "|").as("joined"))),
+
+    // F6/F7 — dd.MM.yyyy format/parse round-trip; malformed input → null
+    // (the reference's null-on-failure policy, logic.py:52-56).
+    "f_dates" -> ((s, dir) => {
+      val str = date_format(col("o_orderdate"), "dd.MM.yyyy")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        str.as("date_str"),
+        to_date(str, "dd.MM.yyyy").as("parsed"),
+        to_date(col("o_orderpriority"), "dd.MM.yyyy").as("bad_parse"))
+    }),
+
+    // W1 — window functions: row_number / lag / running aggregate per key.
+    "w1_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("running_n"))
+    }),
+
+    // W2 — gap-based sessionization (30-minute inactivity threshold) — the
+    // batch shape of the streaming sessionizer in graft.streaming.
+    "w2_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val gapNs = lit(30L * 60 * 1000000000L)
+      val newSess = when(lag(col("ts"), 1).over(w).isNull ||
+        (col("ts") - lag(col("ts"), 1).over(w)) > gapNs, 1).otherwise(0)
+      t(s, dir, "events")
+        .withColumn("sess", sum(newSess)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id")
+        .agg(max(col("sess")).cast(LongType).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "p1_project_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'FURNITURE' AND c_acctbal > 1000""",
+
+    "p2_null_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+         WHERE nullif(o_orderstatus, 'F') IS NULL GROUP BY 1""",
+
+    "j1_broadcast_join_agg" ->
+      """SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
+
+    "j2_normalized_key_join" ->
+      """SELECT s_suppkey, n_nationkey FROM supplier
+         JOIN (SELECT lower(trim(n_name)) AS k, n_nationkey FROM nation) d
+         ON lower(trim(' Nation_' || CAST(s_nationkey AS VARCHAR))) = d.k""",
+
+    "j3_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+
+    "j4_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+
+    "j5_fk_nullout" ->
+      """SELECT o_orderkey,
+           CASE WHEN v.vc IS NULL THEN NULL ELSE o_custkey END AS o_custkey_fixed
+         FROM orders LEFT JOIN
+           (SELECT c_custkey AS vc FROM customer WHERE c_acctbal >= 2000) v
+         ON o_custkey = v.vc""",
+
+    "j6_snapshot_diff" ->
+      """WITH snap AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS new_acctbal
+           FROM customer WHERE c_custkey % 10 <> 3)
+         SELECT COALESCE(c.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+                WHEN s.c_custkey IS NULL THEN 'deleted'
+                WHEN c.c_acctbal IS DISTINCT FROM s.new_acctbal THEN 'changed'
+                ELSE 'same' END AS status
+         FROM customer c FULL OUTER JOIN snap s ON c.c_custkey = s.c_custkey""",
+
+    "u1_upsert_partial" ->
+      """WITH inc AS (
+           SELECT c_custkey, 'X-' || c_name AS c_name, c_nationkey,
+                  c_acctbal * 2 AS c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey + 500000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+                  CAST(1 AS INT), 5.5, 'AUTOMOBILE'
+           FROM customer WHERE c_custkey % 11 = 0)
+         SELECT COALESCE(c.c_custkey, i.c_custkey) AS c_custkey,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name ELSE i.c_name END AS c_name,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_nationkey ELSE i.c_nationkey END AS c_nationkey,
+           CASE WHEN i.c_custkey IS NOT NULL THEN i.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE i.c_mktsegment END AS c_mktsegment
+         FROM customer c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey""",
+
+    "u7_insert_if_absent" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+         UNION ALL
+         SELECT c_custkey + 700000, 'APPENDED', c_nationkey, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 9 = 0""",
+
+    "u8_delete_insert" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE user_id % 7 <> 0
+         UNION ALL
+         SELECT event_id, user_id, 'replaced' AS event_type, value FROM events
+         WHERE user_id % 7 = 0""",
+
+    "scd2_apply" ->
+      """WITH snapbase AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'UPGRADED' ELSE c_name END AS c_name,
+             c_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+           FROM customer WHERE c_custkey % 10 <> 3),
+         snapnew AS (
+           SELECT c_custkey + 1000000 AS c_custkey,
+                  'Customer#new' || CAST(c_custkey AS VARCHAR) AS c_name,
+                  CAST(0 AS INT) AS c_nationkey, 0.0 AS c_acctbal,
+                  'NEW' AS c_mktsegment
+           FROM customer WHERE c_custkey % 13 = 0),
+         snap AS (SELECT * FROM snapbase UNION ALL SELECT * FROM snapnew),
+         dim AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                  CAST(NULL AS TIMESTAMP) AS valid_to
+           FROM customer),
+         j AS (
+           SELECT d.c_custkey AS dk, s.c_custkey AS sk,
+                  d.c_name AS dn, d.c_nationkey AS dnat, d.c_acctbal AS dab,
+                  d.c_mktsegment AS dseg, d.valid_from AS dvf,
+                  s.c_name AS sn, s.c_nationkey AS snat, s.c_acctbal AS sab,
+                  s.c_mktsegment AS sseg
+           FROM dim d FULL OUTER JOIN snap s ON d.c_custkey = s.c_custkey)
+         SELECT dk AS c_custkey, dn AS c_name, dnat AS c_nationkey,
+                dab AS c_acctbal, dseg AS c_mktsegment,
+                dvf AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+           FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL
+             AND NOT (dn IS DISTINCT FROM sn)
+             AND NOT (dab IS DISTINCT FROM sab)
+         UNION ALL
+         SELECT dk, dn, dnat, sab, dseg, dvf, CAST(NULL AS TIMESTAMP)
+           FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL
+             AND NOT (dn IS DISTINCT FROM sn)
+             AND (dab IS DISTINCT FROM sab)
+         UNION ALL
+         SELECT dk, dn, dnat, dab, dseg, dvf, TIMESTAMP '2024-06-01 00:00:00'
+           FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL
+             AND (dn IS DISTINCT FROM sn)
+         UNION ALL
+         SELECT dk, sn, snat, sab, sseg, TIMESTAMP '2024-06-01 00:00:00',
+                CAST(NULL AS TIMESTAMP)
+           FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL
+             AND (dn IS DISTINCT FROM sn)
+         UNION ALL
+         SELECT dk, dn, dnat, dab, dseg, dvf, TIMESTAMP '2024-06-01 00:00:00'
+           FROM j WHERE dk IS NOT NULL AND sk IS NULL
+         UNION ALL
+         SELECT sk, sn, snat, sab, sseg, TIMESTAMP '2024-06-01 00:00:00',
+                CAST(NULL AS TIMESTAMP)
+           FROM j WHERE dk IS NULL""",
+
+    "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2""",
+
+    "occupancy_index" ->
+      """WITH w AS (
+           SELECT p_partkey, p_brand, p_name,
+             CASE WHEN p_size % 5 > 0 THEN generate_series(1, p_size % 5)
+                  ELSE [1, 2, 3, 4] END AS weeks
+           FROM part WHERE p_retailprice > 901),
+         e1 AS (SELECT p_partkey, p_brand, p_name,
+                       CAST(unnest(weeks) AS BIGINT) AS week FROM w),
+         e2 AS (SELECT p_partkey, p_brand, week,
+                       unnest(string_split(p_name, ' ')) AS room FROM e1),
+         rooms AS (
+           SELECT DISTINCT room FROM
+             (SELECT unnest(string_split(p_name, ' ')) AS room FROM part)
+           WHERE length(room) > 4)
+         SELECT e2.room AS room, week,
+                list_sort(list(DISTINCT p_brand)) AS brands,
+                COUNT(*) AS n_events
+         FROM e2 JOIN rooms ON e2.room = rooms.room
+         GROUP BY 1, 2""",
+
+    "f_case_map" ->
+      """WITH d AS (
+           SELECT event_id,
+             CAST((epoch_ns(ts) // 86400000000000) % 7 + 1 AS INT) AS day_num
+           FROM events),
+         n AS (
+           SELECT event_id, day_num,
+             CASE day_num
+               WHEN 1 THEN 'Понедельник' WHEN 2 THEN 'Вторник'
+               WHEN 3 THEN 'Среда' WHEN 4 THEN 'Четверг'
+               WHEN 5 THEN 'Пятница' WHEN 6 THEN 'Суббота'
+               WHEN 7 THEN 'Воскресенье' END AS day_name
+           FROM d)
+         SELECT event_id, day_num, day_name,
+           CASE day_name
+             WHEN 'Понедельник' THEN 1 WHEN 'Вторник' THEN 2
+             WHEN 'Среда' THEN 3 WHEN 'Четверг' THEN 4
+             WHEN 'Пятница' THEN 5 WHEN 'Суббота' THEN 6
+             WHEN 'Воскресенье' THEN 7 END AS day_num_back
+         FROM n""",
+
+    "f_strings" ->
+      """SELECT p_partkey,
+           substring(p_name, 1, 5) AS abbr,
+           lower(trim(p_type)) AS norm_type,
+           CASE WHEN p_type IS NULL OR length(trim(p_type)) = 0
+                THEN 'Без названия' ELSE p_type END AS subject,
+           CASE WHEN NOT contains(p_name, p_brand)
+                THEN concat_ws('-', p_name, p_brand) ELSE p_name END AS display_name,
+           array_to_string(string_split(p_name, ' '), '|') AS joined
+         FROM part""",
+
+    "f_dates" ->
+      """SELECT o_orderkey,
+           strftime(o_orderdate, '%d.%m.%Y') AS date_str,
+           CAST(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS parsed,
+           CASE WHEN regexp_matches(o_orderpriority, '^\d{2}\.\d{2}\.\d{4}$')
+                THEN CAST(strptime(o_orderpriority, '%d.%m.%Y') AS DATE)
+                ELSE NULL END AS bad_parse
+         FROM orders""",
+
+    "w1_window" ->
+      """SELECT event_id, user_id,
+           CAST(row_number() OVER w AS INT) AS rn,
+           lag(value, 1) OVER w AS prev_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS running_n
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+
+    "w2_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id,
+             CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                    OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         s AS (
+           SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g)
+         SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions,
+                COUNT(*) AS n_events
+         FROM s GROUP BY 1""")
+}
