@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * training-data-pipeline extensions (SURVEY §7 step 8) plus the reference's
+  * full-text-search operator T1 (`/root/reference/iis_etl/logic.py:394-404`).
+  *
+  * Scale notes (100 TB):
+  *  - every per-document computation here is embarrassingly parallel and stays
+  *    inside whole-stage codegen (no UDFs);
+  *  - MinHash-LSH is the scale path for near-dup detection: candidate
+  *    generation is a self-join on (band, band_key) — a shuffle keyed on a
+  *    16-byte hash, never an all-pairs product;
+  *  - n-gram Jaccard is deliberately restricted to a partition key (`source`)
+  *    — the classic "block then compare" shape; unblocked all-pairs would be
+  *    O(n²) and is exactly what LSH exists to avoid.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** DuckDB fragment equivalent to [[TextFunctions.tokens]] — kept next to
+    * the Scala definition so the two tokenizers can't drift.
+    */
+  private val SqlToks =
+    """list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+       t -> length(t) > 0)"""
+
+  private val SqlStop =
+    Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // T1 — tsvector equivalent: sorted distinct stopword-free lexemes.
+    "t1_tokenize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), lexemes(col("text")).as("search_lexemes"))),
+
+    // T1 query side — `@@ to_tsquery('spark & join')` equivalent.
+    "t1_search" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("lex", lexemes(col("text")))
+        .filter(matchesQuery(col("lex"), "spark join"))
+        .select("doc_id")),
+
+    // Quality scoring — length/word-shape/alphabetic-ratio heuristics.
+    "tx_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_calc"),
+        tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+    }),
+
+    // Language-ID — stopword-profile argmax with deterministic tie-break.
+    "tx_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          langId(col("text")).as("lang_pred"))),
+
+    // Token counting — whitespace tokens + BPE-ish subword proxy.
+    "tx_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).cast(LongType).as("n_ws_tokens"),
+        subwordCount(col("text")).cast(LongType).as("n_subwords"))),
+
+    // Exact dedup — content-hash grouping, canonical id = min id per hash.
+    "dd_exact" -> ((s, dir) => {
+      val w = Window.partitionBy("content_hash")
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+    }),
+
+    // Fingerprint dedup — order-insensitive bag-of-words hash: catches
+    // shuffled-word duplicates exact hashing misses.
+    "dd_fingerprint" -> ((s, dir) => {
+      val w = Window.partitionBy("fp")
+      t(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+    }),
+
+    // MinHash + LSH banding — 16 hashes (md5 keyed by hash index), 4 bands
+    // of 4; near-dup candidates = distinct pairs sharing any band key.
+    "dd_minhash_lsh" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+      val minhashes = toks
+        .withColumn("i", explode(sequence(lit(0), lit(15))))
+        .select(col("doc_id"), col("i"),
+          md5(concat(col("i").cast("string"), lit(":"), col("tok"))).as("h"))
+        .groupBy("doc_id", "i")
+        .agg(min("h").as("minh"))
+      val bands = minhashes
+        .withColumn("band", expr("i div 4"))
+        .groupBy("doc_id", "band")
+        .agg(array_sort(collect_list(struct(col("i"), col("minh")))).as("arr"))
+        .select(col("doc_id"), col("band"),
+          md5(concat_ws(",", expr("transform(arr, x -> x.minh)")))
+            .as("band_key"))
+      val a = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band").as("band_b"),
+        col("band_key").as("band_key_b"), col("doc_id").as("doc_b"))
+      a.join(b, col("band") === col("band_b") &&
+          col("band_key") === col("band_key_b") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }),
+
+    // Blocked n-gram Jaccard — token-set similarity within a `source` block;
+    // intersection via shared-token join, union by inclusion–exclusion.
+    "dd_jaccard" -> ((s, dir) => {
+      val toksd = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+      val sizes = toksd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = toksd.select(col("source"), col("tok"), col("doc_id").as("doc_a"))
+      val b = toksd.select(col("source").as("source_b"),
+        col("tok").as("tok_b"), col("doc_id").as("doc_b"))
+      val inter = a.join(b,
+          col("source") === col("source_b") && col("tok") === col("tok_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    // SimHash — 16-bit signature; bit j is the sign of the frequency-weighted
+    // vote of md5-hex-char parity at position j across all tokens.
+    "dd_simhash" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      toks
+        .withColumn("j", explode(sequence(lit(0), lit(15))))
+        .select(col("doc_id"), col("j"),
+          when(expr("ascii(substring(md5(tok), j + 1, 1)) % 2") === 1, lit(1))
+            .otherwise(lit(-1)).as("contrib"))
+        .groupBy("doc_id", "j")
+        .agg(sum("contrib").as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0,
+            expr("cast(pow(2, j) as bigint)")).otherwise(lit(0L)))
+          .cast(LongType).as("simhash"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "t1_tokenize" ->
+      s"""SELECT doc_id,
+            list_sort(list_distinct(list_filter($SqlToks,
+              t -> length(t) >= 2 AND NOT list_contains($SqlStop, t))))
+              AS search_lexemes
+          FROM documents""",
+
+    "t1_search" ->
+      s"""SELECT doc_id FROM (
+            SELECT doc_id,
+              list_filter($SqlToks,
+                t -> length(t) >= 2 AND NOT list_contains($SqlStop, t)) AS lex
+            FROM documents)
+          WHERE list_contains(lex, 'spark') AND list_contains(lex, 'join')""",
+
+    "tx_quality" ->
+      s"""WITH base AS (
+            SELECT doc_id, text,
+              CAST(length(text) AS BIGINT) AS n_chars_calc,
+              CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+              CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS BIGINT) AS n_alpha
+            FROM documents)
+          SELECT doc_id, n_chars_calc, n_tokens,
+            round(
+              least(n_chars_calc / 200.0, 1.0) * 0.3 +
+              (CASE WHEN n_tokens > 0
+                     AND CAST(n_chars_calc AS DOUBLE) / n_tokens >= 3
+                     AND CAST(n_chars_calc AS DOUBLE) / n_tokens <= 10
+                    THEN 1.0 ELSE 0.5 END) * 0.3 +
+              (CASE WHEN n_chars_calc > 0
+                    THEN CAST(n_alpha AS DOUBLE) / n_chars_calc
+                    ELSE 0.0 END) * 0.4, 6) AS quality
+          FROM base""",
+
+    "tx_langid" -> {
+      val profiles = LangProfiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS INT) AS s_$lang"
+      }.mkString(",\n              ")
+      s"""WITH base AS (
+            SELECT doc_id, lang, $SqlToks AS toks FROM documents),
+          scored AS (
+            SELECT doc_id, lang,
+              $profiles
+            FROM base),
+          best AS (
+            SELECT doc_id, lang,
+              greatest(s_en, s_de, s_fr, s_es, s_ru) AS w,
+              s_en, s_de, s_fr, s_es, s_ru
+            FROM scored)
+          SELECT doc_id, lang,
+            CASE WHEN w = 0 THEN 'und'
+                 WHEN s_ru = w THEN 'ru'
+                 WHEN s_fr = w THEN 'fr'
+                 WHEN s_es = w THEN 'es'
+                 WHEN s_en = w THEN 'en'
+                 ELSE 'de' END AS lang_pred
+          FROM best"""
+    },
+
+    "tx_token_count" ->
+      s"""SELECT doc_id,
+            CAST(len($SqlToks) AS BIGINT) AS n_ws_tokens,
+            CAST(list_aggregate(list_transform($SqlToks,
+              t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
+              AS BIGINT) AS n_subwords
+          FROM documents""",
+
+    "dd_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         FROM documents""",
+
+    "dd_fingerprint" ->
+      s"""WITH fp AS (
+            SELECT doc_id,
+              md5(array_to_string(list_sort($SqlToks), ' ')) AS fp
+            FROM documents)
+          SELECT doc_id, fp,
+            MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+            doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
+          FROM fp""",
+
+    "dd_minhash_lsh" ->
+      s"""WITH toks AS (
+            SELECT DISTINCT doc_id, unnest($SqlToks) AS tok FROM documents),
+          hs AS (
+            SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS minh
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+            GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   md5(string_agg(minh, ',' ORDER BY i)) AS band_key
+            FROM hs GROUP BY 1, 2)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id""",
+
+    "dd_jaccard" ->
+      s"""WITH toksd AS (
+            SELECT DISTINCT doc_id, source, unnest($SqlToks) AS tok
+            FROM documents),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM toksd GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM toksd a JOIN toksd b
+              ON a.source = b.source AND a.tok = b.tok
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+          FROM inter
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""",
+
+    "dd_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($SqlToks) AS tok FROM documents),
+          votes AS (
+            SELECT doc_id, j,
+              CAST(SUM(CASE WHEN ascii(substring(md5(tok), j + 1, 1)) % 2 = 1
+                            THEN 1 ELSE -1 END) AS BIGINT) AS vote
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) g
+            GROUP BY 1, 2)
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY 1""")
+}
