@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor / similarity-search operators over the
+  * `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Scale design: brute-force cosine is the correctness baseline (one
+  * broadcast of the query vector, one scan — O(n·d), embarrassingly
+  * parallel); the scale paths are sign-LSH bucketing (bucket id becomes the
+  * shuffle key, pairs only form within a bucket) and IVF with a deterministic
+  * coarse quantizer (per-label representative vectors; probe the best cell,
+  * then search only that cell — at 100 TB that is partition pruning on the
+  * cell id).
+  */
+object SimQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private val Dim = 64
+
+  /** DuckDB left-fold dot product equivalent to [[VectorFunctions.dot]]. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_aggregate(list_transform(generate_series(1, $Dim),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine against one query vector (vec_id 0) — the exact
+    // baseline every ANN variant is measured against.
+    "sim_cosine_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
+    }),
+
+    // Top-k of the same — deterministic order with vec_id tie-break.
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Sign-LSH bucketing — integer-exact bucket assignment + occupancy.
+    "sim_lsh_bucket" -> ((s, dir) => {
+      val w = Window.partitionBy("bucket")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          signBucket(col("embedding")).cast(IntegerType).as("bucket"))
+        .withColumn("bucket_size", count(lit(1)).over(w))
+    }),
+
+    // IVF search, nprobe=1: coarse quantizer = per-label representative
+    // (min vec_id — deterministic, no float means); route the query to its
+    // best cell, then rank only that cell's members.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+      val w = Window.partitionBy("label").orderBy("vec_id")
+      val reps = emb.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("label").as("cell"), col("v").as("centroid"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val bestCell = reps.crossJoin(broadcast(q))
+        .select(col("cell"), cosine(col("centroid"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(1)
+        .select(col("cell"))
+      emb.join(broadcast(bestCell), col("label") === col("cell"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          cosine(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "sim_cosine_brute" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id,
+            ${sqlDot("embedding", "qv")} /
+            (sqrt(${sqlDot("embedding", "embedding")}) *
+             sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+          FROM embeddings CROSS JOIN q""",
+
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id,
+            ${sqlDot("embedding", "qv")} /
+            (sqrt(${sqlDot("embedding", "embedding")}) *
+             sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+          FROM embeddings CROSS JOIN q
+          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "sim_lsh_bucket" ->
+      """WITH b AS (
+           SELECT vec_id,
+             CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+                  (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+                  (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+                  (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+                  (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS INT)
+               AS bucket
+           FROM embeddings)
+         SELECT vec_id, bucket,
+                COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+         FROM b""",
+
+    "sim_ivf_topk" ->
+      s"""WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          reps AS (
+            SELECT label AS cell, embedding AS centroid FROM (
+              SELECT label, embedding,
+                     row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+              FROM emb) WHERE rn = 1),
+          best AS (
+            SELECT cell FROM reps CROSS JOIN q
+            ORDER BY ${sqlDot("centroid", "qv")} /
+              (sqrt(${sqlDot("centroid", "centroid")}) *
+               sqrt(${sqlDot("qv", "qv")})) DESC, cell
+            LIMIT 1)
+          SELECT vec_id, label,
+            ${sqlDot("embedding", "qv")} /
+            (sqrt(${sqlDot("embedding", "embedding")}) *
+             sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+          FROM emb JOIN best ON label = best.cell CROSS JOIN q
+          ORDER BY cos_sim DESC, vec_id LIMIT 5""")
+}
