@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container locale is POSIX/C — without this scalac decodes UTF-8
+// sources with the platform charset and Cyrillic literals become mojibake.
+scalacOptions ++= Seq("-encoding", "utf8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +27,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -1,0 +1,54 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse context: parquet table paths + the pinned run timestamp.
+  *
+  * The reference commits row-at-a-time into Postgres; our tables are immutable
+  * parquet directories rewritten atomically per run (merge-by-rewrite, SURVEY
+  * §2.4). Because a rewrite both reads and replaces the same table, writes go
+  * to a staging dir that is swapped in only after the write succeeds — the
+  * moral equivalent of the reference's transaction, and the reason a failed
+  * occupancy rebuild can no longer leave a truncated table behind
+  * (`/root/reference/iis_etl/logic.py:449,474-476`).
+  *
+  * One `runTs` is captured per run and used for every SCD2 close/open in that
+  * run (deterministic reruns; documented deviation from the reference's
+  * per-statement `now()`, SURVEY §7).
+  */
+final case class EtlContext(spark: SparkSession, warehouse: String,
+                            runTs: java.sql.Timestamp) {
+
+  val runTsCol: Column = lit(runTs)
+
+  private def path(table: String): Path = Paths.get(warehouse, table)
+
+  def exists(table: String): Boolean = Files.exists(path(table))
+
+  /** Read a table; absent table → empty DataFrame with the declared schema
+    * (DDL-bootstrap semantics: create-if-absent, reference main.py:26-29).
+    */
+  def read(table: String, schema: StructType): DataFrame =
+    if (exists(table))
+      spark.read.schema(schema).parquet(path(table).toString)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Atomic table replace: write to staging, then swap directories. */
+  def replace(table: String, df: DataFrame): Unit = {
+    val tmp = Paths.get(warehouse, s"_staging_$table")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursive(path(table))
+    Files.move(tmp, path(table))
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

@@ -68,5 +68,8 @@ object Upsert {
                    keys: Seq[String]): DataFrame =
     current
       .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      // a using-column join hoists the keys to the front; restore the
+      // table's declared column order
+      .select(current.columns.map(col): _*)
       .unionByName(incoming)
 }

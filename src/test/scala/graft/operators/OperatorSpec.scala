@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Unit matrix for the merge/SCD operators (SURVEY §5.1): partial update-sets
+  * U1–U8 including null-overwrite-on-conflict, and all four SCD2 branches
+  * plus the invariants (≤1 open row per id, non-overlapping intervals).
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("upsert: update-set overwrites (even with null), others frozen") {
+    val cur = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "score")
+    val inc = Seq((2L, "B", 99), (3L, "c", 30)).toDF("id", "name", "score")
+      .withColumn("score", when($"id" === 2, lit(null)).otherwise($"score"))
+    val out = Upsert(cur, inc, Seq("id"), Seq("score")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(out == Set(
+      (1L, "a", Some(10)),   // untouched
+      (2L, "b", None),       // name frozen; score overwritten WITH NULL
+      (3L, "c", Some(30))))  // new row takes full incoming
+  }
+
+  test("insertIfAbsent never touches existing rows") {
+    val cur = Seq((1L, "keep")).toDF("id", "v")
+    val inc = Seq((1L, "clobber"), (2L, "new")).toDF("id", "v")
+    val out = Upsert.insertIfAbsent(cur, inc, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "keep"), (2L, "new")))
+  }
+
+  test("deleteInsert replaces exactly the incoming key slices") {
+    val cur = Seq((1L, "x1"), (1L, "x2"), (2L, "y1"), (3L, "z1"))
+      .toDF("k", "v")
+    val inc = Seq((1L, "new1"), (4L, "w1")).toDF("k", "v")
+    val out = Upsert.deleteInsert(cur, inc, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "new1"), (2L, "y1"), (3L, "z1"), (4L, "w1")))
+  }
+
+  test("scd2: four-branch matrix and interval invariants") {
+    val t1 = ts("2024-01-01 00:00:00"); val t2 = ts("2024-06-01 00:00:00")
+    val dim = Seq(
+      (1L, "same", 5), (2L, "tracked-old", 5), (3L, "t1-change", 5),
+      (4L, "gone", 5)).toDF("id", "name", "cnt")
+      .withColumn("valid_from", lit(t1))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val snap = Seq(
+      (1L, "same", 5), (2L, "tracked-NEW", 5), (3L, "t1-change", 7),
+      (5L, "brand-new", 1)).toDF("id", "name", "cnt")
+    val out = Scd2(dim, snap, "id", Seq("name"), Seq("cnt"), lit(t2))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2), r.getTimestamp(3), Option(r.getTimestamp(4)))).toSet
+    assert(rows == Set(
+      (1L, "same", 5, t1, None),                 // unchanged
+      (2L, "tracked-old", 5, t1, Some(t2)),      // (b) closed
+      (2L, "tracked-NEW", 5, t2, None),          // (b) new version
+      (3L, "t1-change", 7, t1, None),            // (c) in place, vf kept
+      (4L, "gone", 5, t1, Some(t2)),             // (d) soft delete
+      (5L, "brand-new", 1, t2, None)))           // (a) insert
+    // invariants: ≤1 open row per id; closed rows end at the run ts
+    val byId = rows.groupBy(_._1)
+    assert(byId.values.forall(_.count(_._5.isEmpty) <= 1))
+  }
+
+  test("scd2: tracked change wins over simultaneous type1 change") {
+    val t1 = ts("2024-01-01 00:00:00"); val t2 = ts("2024-06-01 00:00:00")
+    val dim = Seq((1L, "old", 5)).toDF("id", "name", "cnt")
+      .withColumn("valid_from", lit(t1))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val snap = Seq((1L, "new", 9)).toDF("id", "name", "cnt")
+    val rows = Scd2(dim, snap, "id", Seq("name"), Seq("cnt"), lit(t2))
+      .collect().map(r => (r.getString(1), r.getInt(2),
+        Option(r.getTimestamp(4)))).toSet
+    // new version carries the snapshot's type1 value too
+    assert(rows == Set(("old", 5, Some(t2)), ("new", 9, None)))
+  }
+
+  test("versionedAppend closes only the arriving keys") {
+    val t1 = ts("2024-01-01 00:00:00"); val t2 = ts("2024-06-01 00:00:00")
+    val cur = Seq(("a", "g", "v1"), ("b", "g", "v1")).toDF("k", "t", "data")
+      .withColumn("valid_from", lit(t1))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val inc = Seq(("a", "g", "v2")).toDF("k", "t", "data")
+    val out = Scd2.versionedAppend(cur, inc, Seq("k", "t"), lit(t2))
+      .collect().map(r => (r.getString(0), r.getString(2),
+        Option(r.getTimestamp(4)))).toSet
+    assert(out == Set(
+      ("a", "v1", Some(t2)), ("a", "v2", None), ("b", "v1", None)))
+  }
+}
