@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns — image/audio/video as opaque `binary` + typed
+  * metadata (training-data-pipeline extension; no reference counterpart).
+  *
+  * Design for 100 TB: media bytes never leave the executors — every transform
+  * is `mapPartitions` over an iterator (constant memory per task, no
+  * `collect`), and metadata-only queries prune the binary column at the scan
+  * (columnar parquet: reading `media_meta.*` does not fetch `media_bytes`).
+  * Batch shape mirrors what a Python `mapInPandas` pipeline would see: one
+  * partition = one decode batch.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): [[DecodeStub.decode]] derives deterministic fake
+  * width/height/duration from the bytes so the plumbing — schema, batching,
+  * partitioning, null handling — is real and tested end-to-end.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),          // image | audio | video
+    StructField("media_bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source_doc", LongType),
+      StructField("mime", StringType))))))
+
+  final case class MediaRow(media_id: Long, kind: String,
+                            media_bytes: Array[Byte],
+                            source_doc: Long, mime: String)
+
+  final case class DecodedMeta(media_id: Long, kind: String, n_bytes: Int,
+                               width: Int, height: Int, duration_ms: Long,
+                               ok: Boolean)
+
+  object DecodeStub {
+    /** Deterministic stand-in for a real codec: dimensions derived from a
+      * rolling hash of the payload. Swap this body for e.g. a JNI/javacv
+      * decoder in production — the Spark plumbing around it is unchanged.
+      */
+    def decode(r: MediaRow): DecodedMeta = {
+      if (r.media_bytes == null || r.media_bytes.isEmpty)
+        return DecodedMeta(r.media_id, r.kind, 0, 0, 0, 0L, ok = false)
+      var h = 1125899906842597L
+      r.media_bytes.foreach(b => h = 31 * h + b)
+      val pos = (x: Long) => (x % 1920 + 1920) % 1920 + 1
+      DecodedMeta(r.media_id, r.kind, r.media_bytes.length,
+        pos(h).toInt, pos(h >> 16).toInt,
+        if (r.kind == "image") 0L else (h & 0xffff) + 1, ok = true)
+    }
+  }
+
+  /** Distributed decode: one iterator pass per partition, no driver hop. */
+  def decodeMeta(media: Dataset[MediaRow])
+                (implicit spark: SparkSession): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(DecodeStub.decode))
+  }
+
+  /** Synthesize a media table from the `documents` testdata (text bytes as
+    * payload) — lets the binary plumbing run against driver-provided data
+    * without shipping real media.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("kind"),
+      col("text").cast(BinaryType).as("media_bytes"),
+      struct(col("doc_id").as("source_doc"),
+        lit("application/octet-stream").as("mime")).as("meta"))
+
+  /** Metadata-only projection: binary column pruned at the parquet scan. */
+  def metaOnly(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      octet_length(col("media_bytes")).as("n_bytes"),
+      col("meta.source_doc"), col("meta.mime"))
+}

