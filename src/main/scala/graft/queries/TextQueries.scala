@@ -155,6 +155,35 @@ object TextQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // MinHash clusters — the 100 TB output contract for high-duplication
+    // corpora: pairwise candidates are O(cluster²) and explode on real data,
+    // so the scale path assigns each doc a canonical id instead (min doc_id
+    // over each of its LSH buckets — one deterministic label-propagation
+    // step). Shuffle cost is O(docs × bands), never O(pairs).
+    "dd_minhash_cluster" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+      val bands = toks
+        .withColumn("i", explode(sequence(lit(0), lit(15))))
+        .select(col("doc_id"), col("i"),
+          md5(concat(col("i").cast("string"), lit(":"), col("tok"))).as("h"))
+        .groupBy("doc_id", "i")
+        .agg(min("h").as("minh"))
+        .withColumn("band", expr("i div 4"))
+        .groupBy("doc_id", "band")
+        .agg(array_sort(collect_list(struct(col("i"), col("minh")))).as("arr"))
+        .select(col("doc_id"), col("band"),
+          md5(concat_ws(",", expr("transform(arr, x -> x.minh)")))
+            .as("band_key"))
+      val wb = Window.partitionBy("band", "band_key")
+      bands
+        .withColumn("bucket_min", min("doc_id").over(wb))
+        .groupBy("doc_id")
+        .agg(min("bucket_min").as("canonical_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+    }),
+
     // SimHash — 16-bit signature; bit j is the sign of the frequency-weighted
     // vote of md5-hex-char parity at position j across all tokens.
     "dd_simhash" -> ((s, dir) => {
@@ -292,6 +321,25 @@ object TextQueries {
           JOIN sizes na ON na.doc_id = doc_a
           JOIN sizes nb ON nb.doc_id = doc_b
           WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""",
+
+    "dd_minhash_cluster" ->
+      s"""WITH toks AS (
+            SELECT DISTINCT doc_id, unnest($SqlToks) AS tok FROM documents),
+          hs AS (
+            SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS minh
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+            GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   md5(string_agg(minh, ',' ORDER BY i)) AS band_key
+            FROM hs GROUP BY 1, 2),
+          bmin AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY band, band_key) AS bucket_min
+            FROM bands)
+          SELECT doc_id, MIN(bucket_min) AS canonical_id,
+                 doc_id <> MIN(bucket_min) AS is_dup
+          FROM bmin GROUP BY doc_id""",
 
     "dd_simhash" ->
       s"""WITH toks AS (
