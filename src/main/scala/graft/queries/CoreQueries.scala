@@ -273,6 +273,27 @@ object CoreQueries {
           .as("running_n"))
     }),
 
+    // JSON passthrough + extraction (reference keeps related_groups/
+    // related_employees as opaque JSON, logic.py:356-357; query side =
+    // get_json_object, the engine's json surface).
+    "f_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"),
+        to_json(struct(col("event_type"), col("user_id"))).as("packed"))
+        .withColumn("k_bucket",
+          when(col("k_val") < 25, "low")
+            .when(col("k_val") < 75, "mid").otherwise("high"))),
+
+    // UDAF surface — typed bounded top-k per group (Aggregator): shuffle
+    // carries O(groups x k), not O(rows).
+    "a_topk_per_user" -> ((s, dir) => {
+      val topk = udaf(graft.functions.TopK(3))
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(topk(col("value"), col("event_id")).as("top_events"))
+    }),
+
     // W2 — gap-based sessionization (30-minute inactivity threshold) — the
     // batch shape of the streaming sessionizer in graft.streaming.
     "w2_sessionize" -> ((s, dir) => {
@@ -498,6 +519,21 @@ object CoreQueries {
            count(*) OVER (PARTITION BY user_id ORDER BY event_id
                           ROWS UNBOUNDED PRECEDING) AS running_n
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+
+    "f_json_extract" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           '{"event_type":"' || event_type || '","user_id":' ||
+             CAST(user_id AS VARCHAR) || '}' AS packed,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) < 25 THEN 'low'
+                WHEN CAST(json_extract_string(props, '$.k') AS INT) < 75 THEN 'mid'
+                ELSE 'high' END AS k_bucket
+         FROM events""",
+
+    "a_topk_per_user" ->
+      """SELECT user_id,
+           (list(event_id ORDER BY value DESC, event_id))[1:3] AS top_events
+         FROM events GROUP BY 1""",
 
     "w2_sessionize" ->
       """WITH g AS (
