@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Scd2, Upsert}
+import graft.operators.{AsOfJoin, Scd2, Upsert}
 import graft.sources.Tables
 
 /** Relational parity queries — one per operator family in SURVEY §2, each with
@@ -294,6 +294,37 @@ object CoreQueries {
         .agg(topk(col("value"), col("event_id")).as("top_events"))
     }),
 
+    // As-of join — latest prior 'view' for each 'purchase' per user,
+    // via the single-shuffle union+window form (no inequality join).
+    "asof_last_view" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("ts").as("view_ts"),
+          col("value").as("view_value"))
+      AsOfJoin(purchases, views, "user_id", "ts",
+        Seq("view_ts", "view_value"))
+        // DuckDB reads TIMESTAMP(NANOS) at microsecond precision — compare
+        // timestamps at us on both sides (match semantics still use full ns)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          expr("view_ts div 1000").as("view_ts_us"),
+          col("view_value"))
+    }),
+
+    // A2 with skew protection — salted two-phase collect_set: partial sets
+    // per (key, salt), merged per key. Same result as the direct aggregate;
+    // at scale the salt bounds any single reducer's input on hot keys.
+    "a2_salted_collect" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("salt", pmod(col("p_partkey"), lit(8)))
+        .groupBy("p_brand", "salt")
+        .agg(collect_set(col("p_type")).as("partial"))
+        .groupBy("p_brand")
+        .agg(array_sort(array_distinct(flatten(collect_list(col("partial")))))
+          .as("types"))),
+
     // W2 — gap-based sessionization (30-minute inactivity threshold) — the
     // batch shape of the streaming sessionizer in graft.streaming.
     "w2_sessionize" -> ((s, dir) => {
@@ -534,6 +565,19 @@ object CoreQueries {
       """SELECT user_id,
            (list(event_id ORDER BY value DESC, event_id))[1:3] AS top_events
          FROM events GROUP BY 1""",
+
+    "asof_last_view" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                epoch_us(v.ts) AS view_ts_us, v.value AS view_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "a2_salted_collect" ->
+      """SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types
+         FROM part GROUP BY 1""",
 
     "w2_sessionize" ->
       """WITH g AS (

@@ -63,6 +63,24 @@ object SimQueries {
         .withColumn("bucket_size", count(lit(1)).over(w))
     }),
 
+    // Embedding near-dup — cosine pairs within a sign-LSH bucket: the
+    // blocked form of embedding-similarity dedup (pairs only form inside a
+    // bucket; bucket id is the shuffle key at scale).
+    "dd_embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        signBucket(col("embedding")).as("bucket"),
+        asDouble(col("embedding")).as("v"))
+      val a = emb.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("v").as("va"))
+      val b = emb.select(col("bucket").as("bucket_b"),
+        col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, col("bucket") === col("bucket_b") &&
+          col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          cosine(col("va"), col("vb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+    }),
+
     // IVF search, nprobe=1: coarse quantizer = per-label representative
     // (min vec_id — deterministic, no float means); route the query to its
     // best cell, then rank only that cell's members.
@@ -123,6 +141,27 @@ object SimQueries {
          SELECT vec_id, bucket,
                 COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
          FROM b""",
+
+    "dd_embedding_neardup" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding,
+              (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+                  (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+                  (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+                  (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+                  (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+            FROM embeddings),
+          pairs AS (
+            SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+              ${sqlDot("a.embedding", "b2.embedding")} /
+              (sqrt(${sqlDot("a.embedding", "a.embedding")}) *
+               sqrt(${sqlDot("b2.embedding", "b2.embedding")})) AS cos_sim
+            FROM b a JOIN b b2
+              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+          SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.25""",
 
     "sim_ivf_topk" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
