@@ -325,6 +325,50 @@ object CoreQueries {
         .agg(array_sort(array_distinct(flatten(collect_list(col("partial")))))
           .as("types"))),
 
+    // Range (interval) join — views within the hour before each purchase,
+    // bucketized: explode each probe row into its two candidate hour-buckets
+    // and equi-join on (user, bucket), then filter the exact window. The
+    // equi-join keeps it a hash join at scale — a raw inequality join would
+    // be a per-user cross product. Comparisons at microseconds (oracle
+    // reads nanos parquet at us precision).
+    "range_join_views_1h" -> ((s, dir) => {
+      val hUs = 3600L * 1000000L
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          expr("ts div 1000").as("vts_us"))
+        .withColumn("bucket", expr(s"vts_us div $hUs"))
+      purchases
+        .withColumn("p_bucket", explode(array(
+          expr(s"(ts_us div $hUs)"), expr(s"(ts_us div $hUs) - 1"))))
+        .join(views,
+          col("user_id") === col("v_user") &&
+            col("bucket") === col("p_bucket"), "left")
+        .groupBy("event_id", "user_id", "ts_us")
+        .agg(count(when(col("vts_us") > col("ts_us") - hUs &&
+          col("vts_us") <= col("ts_us"), lit(1))).as("n_views_1h"))
+    }),
+
+    // Rollup — hierarchical totals with grouping id (free via Catalyst;
+    // listed for engine-surface completeness).
+    "a1_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast(LongType).as("gid"))),
+
+    // Exact quantiles per group (interpolating percentile — identical
+    // linear-interpolation arithmetic in DuckDB's quantile_cont).
+    "a3_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+          .as("price_quartiles"))),
+
     // W2 — gap-based sessionization (30-minute inactivity threshold) — the
     // batch shape of the streaming sessionizer in graft.streaming.
     "w2_sessionize" -> ((s, dir) => {
@@ -578,6 +622,30 @@ object CoreQueries {
     "a2_salted_collect" ->
       """SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types
          FROM part GROUP BY 1""",
+
+    "range_join_views_1h" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, epoch_us(ts) AS vts_us
+                  FROM events WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts_us,
+                COUNT(v.vts_us) AS n_views_1h
+         FROM p LEFT JOIN v
+           ON p.user_id = v.user_id
+          AND v.vts_us > p.ts_us - 3600000000 AND v.vts_us <= p.ts_us
+         GROUP BY 1, 2, 3""",
+
+    "a1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "a3_quantiles" ->
+      """SELECT o_orderpriority,
+           quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS price_quartiles
+         FROM orders GROUP BY 1""",
 
     "w2_sessionize" ->
       """WITH g AS (

@@ -48,6 +48,53 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("incremental refresh via foreachBatch equals batch recompute") {
+    // the north-star extension (SURVEY §2.10): re-run the batch merge ops per
+    // micro-batch — here a per-event_type stats table maintained with the
+    // engine's Upsert, then compared against a one-shot batch aggregate
+    val dir = stageEvents(1)
+    val wh = Files.createTempDirectory("graft-inc").toString
+    val tablePath = s"$wh/type_stats"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").parquet(tablePath)
+
+    val src = spark.readStream.schema(StreamOps.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = src.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+        val cur = spark.read.parquet(tablePath)
+        // incremental rule: new total = old + delta per key (the additive
+        // form of the merge-by-rewrite upsert)
+        val updated = cur.withColumnRenamed("n", "old_n")
+          .join(delta.withColumnRenamed("n", "delta_n"),
+            Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("old_n"), lit(0L)) +
+              coalesce(col("delta_n"), lit(0L))).as("n"))
+        val tmp = s"$tablePath.tmp"
+        updated.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+        ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+
+    val incremental = spark.read.parquet(tablePath)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = spark.read.parquet(dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(incremental == batch)
+  }
+
   test("stateful sessionizer equals batch gap logic (sentinel-flushed)") {
     import spark.implicits._
     implicit val s = spark
