@@ -85,6 +85,28 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the views of the same
+    * user within the preceding hour. Both sides carry watermarks so the state
+    * store evicts rows once the interval can no longer match — bounded state,
+    * the property that lets this run forever at scale.
+    */
+  def viewsBeforePurchase(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = eventTime(purchases)
+      .withWatermark("event_ts", "1 hour")
+      .select(col("event_id"), col("user_id"),
+        col("event_ts").as("purchase_time"))
+    val v = eventTime(views)
+      .withWatermark("event_ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("event_ts").as("view_time"),
+        col("value").as("view_value"))
+    p.join(v, expr(
+      """user_id = v_user AND
+         view_time <= purchase_time AND
+         view_time >= purchase_time - interval 1 hour"""))
+      .select("event_id", "user_id", "purchase_time", "view_time",
+        "view_value")
+  }
+
   /** Convenience: run any of the above on a parquet directory as a stream
     * and drain it into an in-memory table (test/driver harness).
     */

@@ -48,6 +48,30 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("stream-stream interval join equals batch inequality join") {
+    val dir = stageEvents(1)
+    def src = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val q = StreamOps.viewsBeforePurchase(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "view"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj").count()
+
+    val ev = spark.read.parquet(dir)
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val bv = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val batch = bp.join(bv,
+      col("user_id") === col("vu") &&
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - lit(3600L * 1000000000L)).count()
+    assert(streamed == batch && streamed > 0)
+  }
+
   test("incremental refresh via foreachBatch equals batch recompute") {
     // the north-star extension (SURVEY §2.10): re-run the batch merge ops per
     // micro-batch — here a per-event_type stats table maintained with the
