@@ -369,6 +369,27 @@ object CoreQueries {
         .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
           .as("price_quartiles"))),
 
+    // Pivot — wide per-key counts by category (engine surface; compiled to
+    // a single aggregate with conditional counts, no extra shuffle).
+    "a5_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)),
+
+    // Set operations — INTERSECT / EXCEPT semantics (SURVEY §2.8: free from
+    // Spark; exercised for engine completeness).
+    "set_ops" -> ((s, dir) => {
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("id"))
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("id"))
+      val both = buyers.intersect(rich).withColumn("which", lit("both"))
+      val richOnly = rich.except(buyers).withColumn("which", lit("rich_only"))
+      both.unionByName(richOnly)
+    }),
+
     // W2 — gap-based sessionization (30-minute inactivity threshold) — the
     // batch shape of the streaming sessionizer in graft.streaming.
     "w2_sessionize" -> ((s, dir) => {
@@ -646,6 +667,26 @@ object CoreQueries {
       """SELECT o_orderpriority,
            quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS price_quartiles
          FROM orders GROUP BY 1""",
+
+    "a5_pivot" ->
+      """SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1""",
+
+    "set_ops" ->
+      """SELECT id, 'both' AS which FROM (
+           SELECT o_custkey AS id FROM orders
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         UNION ALL
+         SELECT id, 'rich_only' AS which FROM (
+           SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000
+           EXCEPT
+           SELECT o_custkey FROM orders)""",
 
     "w2_sessionize" ->
       """WITH g AS (

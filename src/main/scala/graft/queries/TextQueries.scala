@@ -37,6 +37,31 @@ object TextQueries {
   private val SqlStop =
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared MinHash banding: 16 keyed-md5 minhashes folded into 4 band keys.
+    *
+    * Shuffle-lean shape: ONE narrow groupBy(doc_id) computing all 16
+    * signature positions as independent `min` aggregates over the per-token
+    * hash array — one shuffle of |doc×token| rows, map-side combined —
+    * instead of exploding x16 and re-grouping twice. Signature strings are
+    * identical to the oracle's per-(doc,i) MIN(md5(i:tok)).
+    */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val sig = toks.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("tok")))).as("h0"),
+      (1 to 15).map(i =>
+        min(md5(concat(lit(s"$i:"), col("tok")))).as(s"h$i")): _*)
+    val bandCols = (0 to 3).map { b =>
+      struct(lit(b).cast("long").as("band"),
+        md5(concat_ws(",", (0 to 3).map(j => col(s"h${b * 4 + j}")): _*))
+          .as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // T1 — tsvector equivalent: sorted distinct stopword-free lexemes.
@@ -107,22 +132,7 @@ object TextQueries {
     // MinHash + LSH banding — 16 hashes (md5 keyed by hash index), 4 bands
     // of 4; near-dup candidates = distinct pairs sharing any band key.
     "dd_minhash_lsh" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("tok"))
-      val minhashes = toks
-        .withColumn("i", explode(sequence(lit(0), lit(15))))
-        .select(col("doc_id"), col("i"),
-          md5(concat(col("i").cast("string"), lit(":"), col("tok"))).as("h"))
-        .groupBy("doc_id", "i")
-        .agg(min("h").as("minh"))
-      val bands = minhashes
-        .withColumn("band", expr("i div 4"))
-        .groupBy("doc_id", "band")
-        .agg(array_sort(collect_list(struct(col("i"), col("minh")))).as("arr"))
-        .select(col("doc_id"), col("band"),
-          md5(concat_ws(",", expr("transform(arr, x -> x.minh)")))
-            .as("band_key"))
+      val bands = minhashBands(t(s, dir, "documents"))
       val a = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       val b = bands.select(col("band").as("band_b"),
         col("band_key").as("band_key_b"), col("doc_id").as("doc_b"))
@@ -161,21 +171,7 @@ object TextQueries {
     // over each of its LSH buckets — one deterministic label-propagation
     // step). Shuffle cost is O(docs × bands), never O(pairs).
     "dd_minhash_cluster" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("tok"))
-      val bands = toks
-        .withColumn("i", explode(sequence(lit(0), lit(15))))
-        .select(col("doc_id"), col("i"),
-          md5(concat(col("i").cast("string"), lit(":"), col("tok"))).as("h"))
-        .groupBy("doc_id", "i")
-        .agg(min("h").as("minh"))
-        .withColumn("band", expr("i div 4"))
-        .groupBy("doc_id", "band")
-        .agg(array_sort(collect_list(struct(col("i"), col("minh")))).as("arr"))
-        .select(col("doc_id"), col("band"),
-          md5(concat_ws(",", expr("transform(arr, x -> x.minh)")))
-            .as("band_key"))
+      val bands = minhashBands(t(s, dir, "documents"))
       val wb = Window.partitionBy("band", "band_key")
       bands
         .withColumn("bucket_min", min("doc_id").over(wb))
