@@ -390,6 +390,20 @@ object CoreQueries {
       both.unionByName(richOnly)
     }),
 
+    // SQL front-end — the same engine drives spark.sql over registered
+    // views (user-facing SQL surface; plan identical to the DataFrame form).
+    "sql_interface" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               COUNT(*) AS n
+        FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        WHERE p_size < 20
+        GROUP BY p_brand""")
+    }),
+
     // W2 — gap-based sessionization (30-minute inactivity threshold) — the
     // batch shape of the streaming sessionizer in graft.streaming.
     "w2_sessionize" -> ((s, dir) => {
@@ -687,6 +701,14 @@ object CoreQueries {
            SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000
            EXCEPT
            SELECT o_custkey FROM orders)""",
+
+    "sql_interface" ->
+      """SELECT p_brand,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           COUNT(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size < 20
+         GROUP BY p_brand""",
 
     "w2_sessionize" ->
       """WITH g AS (
