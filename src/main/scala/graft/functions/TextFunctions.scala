@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * is composed from `org.apache.spark.sql.functions._` so it stays inside
   * whole-stage codegen — no UDF in the hot path. The optional light Russian
   * suffix stemmer (not part of oracle parity, pinned by unit tests) is the only
-  * closure, and [[graft.functions.native.TokenizeStem]] provides the
-  * codegen-free Catalyst Expression variant.
+  * closure, and [[graft.catalyst.TokenizeStem]] provides the
+  * native codegen Catalyst Expression variant.
   */
 object TextFunctions {
 
@@ -133,7 +133,7 @@ object TextFunctions {
   }
 
   /** Column form over an array of tokens (UDF; promoted to a native
-    * Expression in [[graft.functions.native.TokenizeStem]]).
+    * Expression in [[graft.catalyst.TokenizeStem]]).
     */
   val ruStemArrayUdf = udf((toks: Seq[String]) =>
     if (toks == null) null else toks.map(ruStem))
