@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.VectorFunctions._
+
+/** Deterministic distributed k-means (Lloyd's iterations) over an embedding
+  * column — the trainable coarse quantizer for IVF-style ANN (replacing the
+  * label-as-cell stand-in in sim_ivf_topk).
+  *
+  * Everything is DataFrame ops: assignment is a broadcast of k centroids +
+  * an argmax over cosine similarity; the centroid update is a posexplode →
+  * groupBy(cluster, dim) mean. Scale: the only shuffle per iteration is the
+  * (k × dim)-key aggregation — the n×d assignment work is map-side.
+  *
+  * Determinism contract (so an SQL oracle can replay it): per-dimension means
+  * use fixed-point accumulation — components floor-quantized to 1/2^20 and
+  * summed as exact integers, one double division at the end. `floor` has no
+  * rounding-mode ambiguity (unlike double→DECIMAL casts, which Spark and
+  * DuckDB round differently on floats' long decimal expansions), so centroid
+  * values are bit-identical in any engine. Argmax ties break toward the
+  * LOWEST cluster id; seeds are the first k vectors by id — no RNG.
+  */
+object KMeans {
+
+  /** @return (assignments: vec_id, cluster, cos_sim; centroids: cluster, v) */
+  def fit(emb: DataFrame, k: Int, iterations: Int)
+         (implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var centroids = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cluster"),
+          cosine(col("v"), col("cv")).as("cs"))
+        // argmax with lowest-id tie-break: max of (cs, -cluster)
+        .groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cluster")).as("negc"),
+          col("v").as("v"))).as("best"))
+        .select(col("vec_id"),
+          (-col("best.negc")).cast("int").as("cluster"),
+          col("best.cs").as("cos_sim"), col("best.v").as("v"))
+
+    var assigned = assign(centroids)
+    for (_ <- 2 to iterations) {
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg((sum(floor(col("x") * 1048576).cast(LongType)).cast(DoubleType) /
+          (count(lit(1)) * 1048576L).cast(DoubleType)).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("arr"))
+        .select(col("cluster"),
+          expr("transform(arr, e -> e.m)").as("cv"))
+      assigned = assign(centroids)
+    }
+    (assigned.select("vec_id", "cluster", "cos_sim"), centroids)
+  }
+}

@@ -404,6 +404,21 @@ object CoreQueries {
         GROUP BY p_brand""")
     }),
 
+    // W3 — RANGE-frame window: per-user trailing-1h revenue (decimal-exact
+    // windowed sum over a value range frame).
+    "w3_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .withColumn("trailing_1h_value",
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType))
+        .drop("value")
+    }),
+
     // W2 — gap-based sessionization (30-minute inactivity threshold) — the
     // batch shape of the streaming sessionizer in graft.streaming.
     "w2_sessionize" -> ((s, dir) => {
@@ -709,6 +724,14 @@ object CoreQueries {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size < 20
          GROUP BY p_brand""",
+
+    "w3_range_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS trailing_1h_value
+         FROM events""",
 
     "w2_sessionize" ->
       """WITH g AS (

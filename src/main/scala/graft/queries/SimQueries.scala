@@ -81,6 +81,15 @@ object SimQueries {
         .filter(col("cos_sim") >= 0.25)
     }),
 
+    // Distributed k-means (2 Lloyd iterations, deterministic): the trained
+    // coarse quantizer for IVF — decimal-exact centroid means, lowest-id
+    // argmax tie-break, id-seeded.
+    "sim_kmeans" -> ((s, dir) => {
+      implicit val sp = s
+      graft.operators.KMeans.fit(t(s, dir, "embeddings"), k = 8,
+        iterations = 2)._1
+    }),
+
     // IVF search, nprobe=1: coarse quantizer = per-label representative
     // (min vec_id — deterministic, no float means); route the query to its
     // best cell, then rank only that cell's members.
@@ -162,6 +171,38 @@ object SimQueries {
             FROM b a JOIN b b2
               ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
           SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.25""",
+
+    "sim_kmeans" -> {
+      def cs(v: String, c: String) =
+        s"""${sqlDot(v, c)} /
+            (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+          c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+          x1 AS (SELECT v.vec_id, c.cluster,
+                   ${cs("v.embedding", "c.cv")} AS cs
+                 FROM vecs v CROSS JOIN c0 c),
+          a1 AS (SELECT vec_id, cluster FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                   FROM x1) WHERE rn = 1),
+          pts AS (SELECT a1.cluster, i.i AS pos,
+                    CAST(v.embedding[i.i] AS DOUBLE) AS x
+                  FROM a1 JOIN vecs v USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
+          m AS (SELECT cluster, pos,
+                  CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
+                    CAST(COUNT(*) * 1048576 AS DOUBLE) AS m
+                FROM pts GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+          x2 AS (SELECT v.vec_id, c.cluster,
+                   ${cs("v.embedding", "c.cv")} AS cs
+                 FROM vecs v CROSS JOIN c1 c)
+          SELECT vec_id, cluster, cs AS cos_sim FROM (
+            SELECT *, row_number() OVER
+              (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+            FROM x2) WHERE rn = 1"""
+    },
 
     "sim_ivf_topk" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
