@@ -90,6 +90,30 @@ object SimQueries {
         iterations = 2)._1
     }),
 
+    // IVF search over the TRAINED quantizer: route the query to its best
+    // k-means cell, then rank only that cell's members against the query.
+    // At 100 TB the cell id is the partition key — probing one cell reads
+    // ~1/k of the data.
+    "sim_ivf_kmeans_topk" -> ((s, dir) => {
+      implicit val sp = s
+      val emb = t(s, dir, "embeddings")
+      val (assigned, cents) = graft.operators.KMeans.fit(emb, 8, 2)
+      val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val bestCell = cents.crossJoin(broadcast(q))
+        .select(col("cluster"), cosine(col("cv"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("cluster"))
+        .limit(1).select(col("cluster").as("best_cluster"))
+      assigned.join(broadcast(bestCell),
+          col("cluster") === col("best_cluster"))
+        .join(vecs, "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cluster"),
+          cosine(col("v"), col("qv")).as("q_cos"))
+        .orderBy(col("q_cos").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // IVF search, nprobe=1: coarse quantizer = per-label representative
     // (min vec_id — deterministic, no float means); route the query to its
     // best cell, then rank only that cell's members.
@@ -202,6 +226,45 @@ object SimQueries {
             SELECT *, row_number() OVER
               (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
             FROM x2) WHERE rn = 1"""
+    },
+
+    "sim_ivf_kmeans_topk" -> {
+      def cs(v: String, c: String) =
+        s"""${sqlDot(v, c)} /
+            (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+          x1 AS (SELECT v.vec_id, c.cluster,
+                   ${cs("v.embedding", "c.cv")} AS cs
+                 FROM vecs v CROSS JOIN c0 c),
+          a1 AS (SELECT vec_id, cluster FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                   FROM x1) WHERE rn = 1),
+          pts AS (SELECT a1.cluster, i.i AS pos,
+                    CAST(v.embedding[i.i] AS DOUBLE) AS x
+                  FROM a1 JOIN vecs v USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
+          m AS (SELECT cluster, pos,
+                  CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
+                    CAST(COUNT(*) * 1048576 AS DOUBLE) AS m
+                FROM pts GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+          x2 AS (SELECT v.vec_id, c.cluster,
+                   ${cs("v.embedding", "c.cv")} AS cs
+                 FROM vecs v CROSS JOIN c1 c),
+          a2 AS (SELECT vec_id, cluster FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                   FROM x2) WHERE rn = 1),
+          best AS (SELECT cluster AS best_cluster FROM c1 CROSS JOIN q
+                   ORDER BY ${cs("c1.cv", "qv")} DESC, cluster LIMIT 1)
+          SELECT v.vec_id, a2.cluster, ${cs("v.embedding", "qv")} AS q_cos
+          FROM a2 JOIN best ON a2.cluster = best.best_cluster
+          JOIN vecs v USING (vec_id) CROSS JOIN q
+          ORDER BY q_cos DESC, v.vec_id LIMIT 5"""
     },
 
     "sim_ivf_topk" ->
