@@ -39,10 +39,18 @@ final case class EtlContext(spark: SparkSession, warehouse: String,
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Atomic table replace: write to staging, then swap directories. */
-  def replace(table: String, df: DataFrame): Unit = {
+  /** Atomic table replace: write to staging, then swap directories.
+    * `partitionCols` lays the table out hive-style (SURVEY §4: events
+    * partitioned by entity_type match every delete/filter predicate — at
+    * scale that is partition pruning plus dynamic-partition-overwrite-shaped
+    * slice replacement).
+    */
+  def replace(table: String, df: DataFrame,
+              partitionCols: Seq[String] = Nil): Unit = {
     val tmp = Paths.get(warehouse, s"_staging_$table")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     deleteRecursive(path(table))
     Files.move(tmp, path(table))
   }

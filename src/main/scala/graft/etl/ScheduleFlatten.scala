@@ -199,6 +199,7 @@ object ScheduleFlatten {
     val eventsCur = ctx.read("schedule_events", Schemas.scheduleEventsTable)
     ctx.replace("schedule_events",
       Upsert.deleteInsert(eventsCur, flatten(parsable),
-        Seq("entity_name", "entity_type")))
+        Seq("entity_name", "entity_type")),
+      partitionCols = Seq("entity_type"))
   }
 }

@@ -161,7 +161,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(auds(903) == ("404", None))        // unknown 999 → null
 
     // schedule_events (E3/E4/F1-F8): skips + defaults
-    val ev = table("schedule_events")
+    // (partitioned layout moves entity_type to the end — pin declared order)
+    val ev = table("schedule_events").select(
+      Schemas.scheduleEventsTable.fieldNames.map(
+        org.apache.spark.sql.functions.col): _*)
     val e1 = ev.filter("entity_name = '253501'").collect()
     val subjects = e1.map(_.getString(2)).toSet
     assert(subjects == Set("Матан", "Без названия", "Физика",
