@@ -186,6 +186,11 @@ object ScheduleFlatten {
     // failing the batch — the distributed analogue of the reference's
     // savepoint-rollback-and-continue.
     val parsable = raw.filter(try_parse_json(col("raw_json")).isNotNull)
+    val rejects = raw.filter(try_parse_json(col("raw_json")).isNull)
+      .select(col("entity_name"), col("entity_type"), col("raw_json"),
+        lit("unparseable json").as("reason"),
+        ctx.runTsCol.as("rejected_at"))
+    ctx.replace("schedule_rejects", rejects)
     val bronzeCur = ctx.read("schedule_json_storage",
       Schemas.scheduleJsonStorageTable)
     val bronzeInc = parsable.select(col("entity_name"), col("entity_type"),

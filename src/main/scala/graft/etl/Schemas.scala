@@ -149,6 +149,17 @@ object Schemas {
     StructField("related_employees", StringType),
     StructField("search_lexemes", ArrayType(StringType))))
 
+  /** Quarantine sink (P5): entities whose payload failed to parse this run —
+    * the queryable replacement for the reference's logged-and-skipped errors
+    * (logic.py:422-424).
+    */
+  val scheduleRejectsTable: StructType = StructType(Seq(
+    StructField("entity_name", StringType),
+    StructField("entity_type", StringType),
+    StructField("raw_json", StringType),
+    StructField("reason", StringType),
+    StructField("rejected_at", TimestampType)))
+
   val occupancyIndexTable: StructType = StructType(Seq(
     StructField("day_of_week", IntegerType),
     StructField("day_name", StringType),

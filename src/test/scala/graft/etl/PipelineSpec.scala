@@ -271,4 +271,28 @@ class PipelineSpec extends AnyFunSuite {
     val after = table("occupancy_index").collect().map(_.toString).sorted
     assert(before.sameElements(after))
   }
+
+  test("run3: corrupt payload quarantined, good entities still processed") {
+    import spark.implicits._
+    val ctx = EtlContext(spark, wh, ts("2026-03-01 00:00:00"))
+    val raw = Seq(
+      ("253502", "group",
+        """{"schedules":{"Вторник":[{"subject":"Новое","startLessonTime":
+           "10:00","endLessonTime":"11:00","auditories":["202-5"]}]},
+           "exams":[]}""".replaceAll("\n\\s*", "")),
+      ("brokenentity", "group", "NOT JSON {{{"))
+      .toDF("entity_name", "entity_type", "raw_json")
+    ScheduleFlatten.ingest(ctx, raw)
+
+    val rejects = table("schedule_rejects").collect()
+      .map(r => (r.getString(0), r.getString(3)))
+    assert(rejects.toSeq == Seq(("brokenentity", "unparseable json")))
+    // the good entity's slice was still replaced
+    val ev = table("schedule_events").filter("entity_name = '253502'")
+      .select("subject").collect().map(_.getString(0))
+    assert(ev.toSeq == Seq("Новое"))
+    // and nothing from the broken entity leaked into bronze
+    assert(table("schedule_json_storage")
+      .filter("entity_name = 'brokenentity'").count() == 0)
+  }
 }
