@@ -97,7 +97,11 @@ object SimQueries {
     "sim_ivf_kmeans_topk" -> ((s, dir) => {
       implicit val sp = s
       val emb = t(s, dir, "embeddings")
-      val (assigned, cents) = graft.operators.KMeans.fit(emb, 8, 2)
+      val (assignedRaw, centsRaw) = graft.operators.KMeans.fit(emb, 8, 2)
+      // three downstream consumers (cell routing, membership join, ranking)
+      // would each replay the training lineage — persist the tiny artifacts
+      val assigned = assignedRaw.cache()
+      val cents = centsRaw.cache()
       val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val q = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val bestCell = cents.crossJoin(broadcast(q))

@@ -165,6 +165,21 @@ object TextQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // Winnowing fingerprint (rolling-hash document fingerprinting, the
+    // MOSS scheme): hash every 8-char k-gram, take the minimum of each
+    // 4-hash window, keep the distinct minima — robust to local edits,
+    // computed entirely inside codegen'd array functions per document.
+    "dd_winnow_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        expr("""array_sort(array_distinct(transform(
+            sequence(1, greatest(
+              size(transform(sequence(1, greatest(length(text) - 7, 1)),
+                   i -> md5(substr(text, i, 8)))) - 3, 1)),
+            j -> array_min(slice(
+              transform(sequence(1, greatest(length(text) - 7, 1)),
+                i -> md5(substr(text, i, 8))), j, 4)))))""")
+          .as("fingerprints"))),
+
     // MinHash clusters — the 100 TB output contract for high-duplication
     // corpora: pairwise candidates are O(cluster²) and explode on real data,
     // so the scale path assigns each doc a canonical id instead (min doc_id
@@ -317,6 +332,18 @@ object TextQueries {
           JOIN sizes na ON na.doc_id = doc_a
           JOIN sizes nb ON nb.doc_id = doc_b
           WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""",
+
+    "dd_winnow_fingerprint" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+               i -> md5(substr(text, i, 8))) AS hs
+           FROM documents)
+         SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+             generate_series(1, greatest(len(hs) - 3, 1)),
+             j -> list_min(hs[j:j+3])))) AS fingerprints
+         FROM h""",
 
     "dd_minhash_cluster" ->
       s"""WITH toks AS (
