@@ -61,6 +61,44 @@ object Multimodal {
     media.mapPartitions(_.map(DecodeStub.decode))
   }
 
+  final case class ResizedMeta(media_id: Long, kind: String,
+                               width: Int, height: Int,
+                               target_w: Int, target_h: Int, scale: Double)
+
+  /** Resize planning: compute the aspect-preserving target box per item —
+    * the metadata half of a resize stage (pixel work lives in the stubbed
+    * codec). Same mapPartitions shape as decode.
+    */
+  def resizeMeta(media: Dataset[MediaRow], maxSide: Int)
+                (implicit spark: SparkSession): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val d = DecodeStub.decode(r)
+      val scale =
+        if (d.width.max(d.height) <= maxSide || d.width == 0) 1.0
+        else maxSide.toDouble / d.width.max(d.height)
+      ResizedMeta(r.media_id, r.kind, d.width, d.height,
+        math.max(1, math.round(d.width * scale).toInt),
+        math.max(1, math.round(d.height * scale).toInt), scale)
+    })
+  }
+
+  final case class Frame(media_id: Long, frame_idx: Int, frame_ms: Long)
+
+  /** Frame sampling: n evenly spaced frames per video — one media row
+    * explodes into n frame rows (iterator flatMap, still no driver hop).
+    */
+  def frameSample(media: Dataset[MediaRow], n: Int)
+                 (implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val d = DecodeStub.decode(r)
+      if (r.kind != "video" || !d.ok || d.duration_ms <= 0) Iterator.empty
+      else (0 until n).iterator.map(i =>
+        Frame(r.media_id, i, d.duration_ms * i / n))
+    })
+  }
+
   /** Synthesize a media table from the `documents` testdata (text bytes as
     * payload) — lets the binary plumbing run against driver-provided data
     * without shipping real media.

@@ -165,6 +165,18 @@ object TextQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // Real BPE tokenization: merges learned from the corpus (distributed
+    // vocab aggregate, driver-side learn, broadcast apply). No portable SQL
+    // oracle (iterated data-dependent rewriting) — rows-only check; behavior
+    // pinned in BpeSpec incl. round-trip and compression properties.
+    "tx_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.Bpe.learnFromCorpus(docs, "text", 30)
+      val enc = graft.functions.Bpe.encodeUdf(model)
+      docs.select(col("doc_id"), enc(col("text")).as("bpe_pieces"))
+        .withColumn("n_bpe_tokens", size(col("bpe_pieces")).cast(LongType))
+    }),
+
     // Winnowing fingerprint (rolling-hash document fingerprinting, the
     // MOSS scheme): hash every 8-char k-gram, take the minimum of each
     // 4-hash window, keep the distinct minima — robust to local edits,

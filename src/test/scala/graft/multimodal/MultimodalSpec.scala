@@ -48,6 +48,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!empty.ok && empty.n_bytes == 0)
   }
 
+  test("resize planning and frame sampling over the stubbed codec") {
+    import spark.implicits._
+    implicit val s = spark
+    val ds = media.select(col("media_id"), col("kind"), col("media_bytes"),
+        col("meta.source_doc"), col("meta.mime"))
+      .as[Multimodal.MediaRow]
+    val resized = Multimodal.resizeMeta(ds, maxSide = 256).collect()
+    assert(resized.length == 500)
+    assert(resized.forall(r =>
+      r.target_w <= 256 && r.target_h <= 256 &&
+        (r.scale == 1.0 || math.max(r.width, r.height) > 256)))
+    // when downscaled, the long side lands exactly on the target box
+    assert(resized.filter(_.scale < 1.0).forall(r =>
+      math.max(r.target_w, r.target_h) == 256))
+
+    val frames = Multimodal.frameSample(ds, n = 4).collect()
+    val videos = ds.filter(col("kind") === "video").count()
+    assert(frames.length == videos * 4)
+    assert(frames.groupBy(_.media_id).values
+      .forall(f => f.map(_.frame_idx).sorted.sameElements(0 until 4)))
+    // frames evenly spaced, strictly increasing per video
+    assert(frames.groupBy(_.media_id).values.forall { f =>
+      val ms = f.sortBy(_.frame_idx).map(_.frame_ms)
+      ms.zip(ms.tail).forall { case (a, b) => a <= b }
+    })
+  }
+
   test("metadata query prunes the binary column at the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm2").toString
     media.write.mode("overwrite").parquet(dir)
