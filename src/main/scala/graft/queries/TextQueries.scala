@@ -207,6 +207,30 @@ object TextQueries {
         .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
     }),
 
+    // Transitive duplicate clusters: 3 rounds of min-label propagation
+    // through LSH buckets — connects chains (a~b, b~c => {a,b,c}) that the
+    // single-step bucket-min assignment cannot. Each round is one
+    // join+groupBy keyed on the bucket; round count is fixed so an SQL
+    // oracle can replay it (3 rounds closes paths of length 2^3 bucket hops,
+    // enough for this corpus; at scale you iterate to a convergence check).
+    "dd_minhash_cluster_cc" -> ((s, dir) => {
+      val bands = minhashBands(t(s, dir, "documents")).cache()
+      var labels = bands.select(col("doc_id")).distinct()
+        .withColumn("lab", col("doc_id"))
+      for (_ <- 1 to 3) {
+        val bucketMin = bands
+          .join(labels, "doc_id")
+          .groupBy("band", "band_key")
+          .agg(min("lab").as("bucket_lab"))
+        labels = bands
+          .join(bucketMin, Seq("band", "band_key"))
+          .groupBy("doc_id")
+          .agg(min("bucket_lab").as("lab"))
+      }
+      labels.select(col("doc_id"), col("lab").as("cluster_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
+    }),
+
     // SimHash — 16-bit signature; bit j is the sign of the frequency-weighted
     // vote of md5-hex-char parity at position j across all tokens.
     "dd_simhash" -> ((s, dir) => {
@@ -375,6 +399,33 @@ object TextQueries {
           SELECT doc_id, MIN(bucket_min) AS canonical_id,
                  doc_id <> MIN(bucket_min) AS is_dup
           FROM bmin GROUP BY doc_id""",
+
+    "dd_minhash_cluster_cc" ->
+      s"""WITH toks AS (
+            SELECT DISTINCT doc_id, unnest($SqlToks) AS tok FROM documents),
+          hs AS (
+            SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS minh
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+            GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   md5(string_agg(minh, ',' ORDER BY i)) AS band_key
+            FROM hs GROUP BY 1, 2),
+          l0 AS (SELECT DISTINCT doc_id, doc_id AS lab FROM bands),
+          b1 AS (SELECT b.band, b.band_key, MIN(l.lab) AS bucket_lab
+                 FROM bands b JOIN l0 l USING (doc_id) GROUP BY 1, 2),
+          l1 AS (SELECT b.doc_id, MIN(m.bucket_lab) AS lab
+                 FROM bands b JOIN b1 m USING (band, band_key) GROUP BY 1),
+          b2 AS (SELECT b.band, b.band_key, MIN(l.lab) AS bucket_lab
+                 FROM bands b JOIN l1 l USING (doc_id) GROUP BY 1, 2),
+          l2 AS (SELECT b.doc_id, MIN(m.bucket_lab) AS lab
+                 FROM bands b JOIN b2 m USING (band, band_key) GROUP BY 1),
+          b3 AS (SELECT b.band, b.band_key, MIN(l.lab) AS bucket_lab
+                 FROM bands b JOIN l2 l USING (doc_id) GROUP BY 1, 2),
+          l3 AS (SELECT b.doc_id, MIN(m.bucket_lab) AS lab
+                 FROM bands b JOIN b3 m USING (band, band_key) GROUP BY 1)
+          SELECT doc_id, lab AS cluster_id, doc_id <> lab AS is_dup
+          FROM l3""",
 
     "dd_simhash" ->
       s"""WITH toks AS (
