@@ -419,6 +419,18 @@ object CoreQueries {
         .drop("value")
     }),
 
+    // W4 — native session_window operator (gap-merged event-time sessions;
+    // the built-in form of the w2 logic, usable identically in streaming).
+    "w4_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("event_ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"))),
+
     // W2 — gap-based sessionization (30-minute inactivity threshold) — the
     // batch shape of the streaming sessionizer in graft.streaming.
     "w2_sessionize" -> ((s, dir) => {
@@ -732,6 +744,22 @@ object CoreQueries {
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              AS DOUBLE) AS trailing_1h_value
          FROM events""",
+
+    "w4_session_window" ->
+      """WITH g AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         s AS (
+           SELECT user_id, ts_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+           FROM g)
+         SELECT user_id, MIN(ts_us) AS session_start_us,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sess""",
 
     "w2_sessionize" ->
       """WITH g AS (
