@@ -180,6 +180,35 @@ object CoreQueries {
         runTs = lit("2024-06-01 00:00:00").cast(TimestampType))
     }),
 
+    // Q3-shape — 3-way star join + agg + deterministic top-10: shipping
+    // priority by revenue for one segment.
+    "q3_shipping_priority" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit("2000-01-01 00:00:00").cast(TimestampType))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
+    // Q5-shape — 6-way snowflake join: revenue by nation for one region,
+    // with the local-supplier constraint (customer and supplier share the
+    // nation). Dim chain broadcasts; facts join keyed.
+    "q5_local_supplier" -> ((s, dir) =>
+      t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))),
+
     // A1 — hash aggregate headline (TPC-H Q1 shape; exact decimal sums).
     "a1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -577,6 +606,29 @@ object CoreQueries {
          SELECT sk, sn, snat, sab, sseg, TIMESTAMP '2024-06-01 00:00:00',
                 CAST(NULL AS TIMESTAMP)
            FROM j WHERE dk IS NULL""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1""",
 
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -82,6 +82,12 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.size <= 4, s"unexpected shuffle count ${shuffles.size}\n$p")
   }
 
+  test("q5: snowflake dims broadcast down the chain, no cartesian") {
+    val p = plan("q5_local_supplier")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 3, p)
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
+  }
+
   test("sim_cosine_brute: query vector broadcast, no shuffle of embeddings") {
     val p = plan("sim_cosine_brute")
     val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
