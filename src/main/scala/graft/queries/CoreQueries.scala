@@ -221,6 +221,32 @@ object CoreQueries {
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
+    // A6 — first-match scalar extraction with a pinned order (the reference
+    // takes the first positive student count in dict order, logic.py:302-316;
+    // here: each user's earliest high-value event by (ts, event_id)).
+    "a6_first_match" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .filter(col("value") > 100)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+          col("value").as("first_value"))
+    }),
+
+    // A5 — versioned append (bronze history): every arriving key closes its
+    // open version and appends a new one; untouched keys stay open.
+    "a5_versioned_append" -> ((s, dir) => {
+      val cur = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").as("payload"))
+        .withColumn("valid_from", lit("2024-01-01 00:00:00").cast(TimestampType))
+        .withColumn("valid_to", lit(null).cast(TimestampType))
+      val inc = t(s, dir, "customer").filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 1).as("payload"))
+      Scd2.versionedAppend(cur, inc, Seq("c_custkey"),
+        lit("2024-06-01 00:00:00").cast(TimestampType))
+    }),
+
     // EP3 flagship — occupancy-index rebuild shape: pre-explode filter,
     // double explode (weeks × rooms) with the F3 default-weeks rule, broadcast
     // dim join, group-by grain, sorted distinct array agg.
@@ -639,6 +665,25 @@ object CoreQueries {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY 1, 2""",
+
+    "a6_first_match" ->
+      """SELECT user_id, event_id AS first_event_id, value AS first_value
+         FROM (SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+               FROM events WHERE value > 100)
+         WHERE rn = 1""",
+
+    "a5_versioned_append" ->
+      """SELECT c_custkey, c_acctbal AS payload,
+                TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                CASE WHEN c_custkey % 4 = 0
+                     THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, c_acctbal + 1,
+                TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP)
+         FROM customer WHERE c_custkey % 4 = 0""",
 
     "occupancy_index" ->
       """WITH w AS (
