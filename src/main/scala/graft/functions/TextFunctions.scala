@@ -119,6 +119,12 @@ object TextFunctions {
     "ом", "ем", "ах", "ую", "юю", "ая", "яя", "ое", "ее", "ия",
     "ье", "ья", "ы", "и", "а", "я", "о", "е", "у", "ю", "ь")
 
+  /** Suffixes in longest-first match order — the order both the Scala stemmer
+    * and the generated DuckDB oracle lambda walk the table (equal-length ties
+    * can't disagree: same-length suffixes matching one tail are equal).
+    */
+  val RuSuffixesByLength: Seq[String] = RuSuffixes.sortBy(-_.length)
+
   /** Pure function: strip the longest matching RU suffix once, keeping a stem
     * of at least 3 characters. Light-weight stand-in for Snowball-RU
     * (`to_tsvector('russian', ...)`, `/root/reference/iis_etl/logic.py:398`);
@@ -126,7 +132,7 @@ object TextFunctions {
     */
   def ruStem(token: String): String = {
     if (token == null) return null
-    RuSuffixes.sortBy(-_.length)
+    RuSuffixesByLength
       .find(s => token.endsWith(s) && token.length - s.length >= 3)
       .map(s => token.substring(0, token.length - s.length))
       .getOrElse(token)

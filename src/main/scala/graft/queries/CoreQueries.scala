@@ -264,9 +264,13 @@ object CoreQueries {
       val rooms = p
         .select(explode(split(col("p_name"), " ")).as("room"))
         .filter(length(col("room")) > 4).distinct()
+      // Array output serialized to a canonical scalar (sorted, '|'-joined):
+      // the driver's pandas comparer can't sort array cells, so the checked
+      // projection is a string; the array agg itself still runs.
       exploded.join(broadcast(rooms), "room")
         .groupBy("room", "week")
-        .agg(array_sort(collect_set(col("p_brand"))).as("brands"),
+        .agg(array_join(array_sort(collect_set(col("p_brand"))), "|")
+            .as("brands"),
           count(lit(1)).as("n_events"))
     }),
 
@@ -346,7 +350,12 @@ object CoreQueries {
       val topk = udaf(graft.functions.TopK(3))
       t(s, dir, "events")
         .groupBy("user_id")
-        .agg(topk(col("value"), col("event_id")).as("top_events"))
+        .agg(topk(col("value"), col("event_id")).as("tk"))
+        // rank order preserved in the serialized form (no sort — the array
+        // is already deterministically ordered by (value desc, event_id)).
+        .select(col("user_id"),
+          array_join(transform(col("tk"), _.cast(StringType)), "|")
+            .as("top_events"))
     }),
 
     // As-of join — latest prior 'view' for each 'purchase' per user,
@@ -377,8 +386,9 @@ object CoreQueries {
         .groupBy("p_brand", "salt")
         .agg(collect_set(col("p_type")).as("partial"))
         .groupBy("p_brand")
-        .agg(array_sort(array_distinct(flatten(collect_list(col("partial")))))
-          .as("types"))),
+        .agg(array_join(
+          array_sort(array_distinct(flatten(collect_list(col("partial"))))),
+          "|").as("types"))),
 
     // Range (interval) join — views within the hour before each purchase,
     // bucketized: explode each probe row into its two candidate hour-buckets
@@ -417,12 +427,15 @@ object CoreQueries {
           grouping_id().cast(LongType).as("gid"))),
 
     // Exact quantiles per group (interpolating percentile — identical
-    // linear-interpolation arithmetic in DuckDB's quantile_cont).
+    // linear-interpolation arithmetic in DuckDB's quantile_cont). Quartiles
+    // as three scalar columns: the driver's comparer needs scalar cells.
     "a3_quantiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
-          .as("price_quartiles"))),
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("q25"),
+          expr("percentile(o_totalprice, 0.5)").as("q50"),
+          expr("percentile(o_totalprice, 0.75)").as("q75"))),
 
     // Pivot — wide per-key counts by category (engine surface; compiled to
     // a single aggregate with conditional counts, no extra shuffle).
@@ -700,7 +713,7 @@ object CoreQueries {
              (SELECT unnest(string_split(p_name, ' ')) AS room FROM part)
            WHERE length(room) > 4)
          SELECT e2.room AS room, week,
-                list_sort(list(DISTINCT p_brand)) AS brands,
+                array_to_string(list_sort(list(DISTINCT p_brand)), '|') AS brands,
                 COUNT(*) AS n_events
          FROM e2 JOIN rooms ON e2.room = rooms.room
          GROUP BY 1, 2""",
@@ -766,7 +779,9 @@ object CoreQueries {
 
     "a_topk_per_user" ->
       """SELECT user_id,
-           (list(event_id ORDER BY value DESC, event_id))[1:3] AS top_events
+           array_to_string(list_transform(
+             (list(event_id ORDER BY value DESC, event_id))[1:3],
+             e -> CAST(e AS VARCHAR)), '|') AS top_events
          FROM events GROUP BY 1""",
 
     "asof_last_view" ->
@@ -779,7 +794,8 @@ object CoreQueries {
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
 
     "a2_salted_collect" ->
-      """SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types
+      """SELECT p_brand,
+           array_to_string(list_sort(list(DISTINCT p_type)), '|') AS types
          FROM part GROUP BY 1""",
 
     "range_join_views_1h" ->
@@ -803,7 +819,9 @@ object CoreQueries {
 
     "a3_quantiles" ->
       """SELECT o_orderpriority,
-           quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS price_quartiles
+           quantile_cont(o_totalprice, 0.25) AS q25,
+           quantile_cont(o_totalprice, 0.5) AS q50,
+           quantile_cont(o_totalprice, 0.75) AS q75
          FROM orders GROUP BY 1""",
 
     "a5_pivot" ->

@@ -37,6 +37,25 @@ object TextQueries {
   private val SqlStop =
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** RU suffix table as a DuckDB list literal, longest-first — generated from
+    * the same [[TextFunctions.RuSuffixes]] the native expression uses, so the
+    * engine and oracle stemmers cannot drift. Equal-length ties are
+    * irrelevant: two same-length suffixes matching one token's tail are the
+    * same string.
+    */
+  private val SqlRuSuffixes = RuSuffixesByLength
+    .map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** DuckDB lambda: longest matching suffix stripped once, stem >= 3 chars —
+    * mirror of [[TextFunctions.ruStem]]. Maps each candidate suffix to the
+    * stripped form (or NULL), takes the first non-null in longest-first order.
+    */
+  private def sqlRuStem(tok: String): String =
+    s"""coalesce(list_filter(list_transform($SqlRuSuffixes,
+        s -> CASE WHEN ends_with($tok, s) AND length($tok) - length(s) >= 3
+                  THEN substr($tok, 1, length($tok) - length(s)) END),
+        x -> x IS NOT NULL)[1], $tok)"""
+
   /** Shared MinHash banding: 16 keyed-md5 minhashes folded into 4 band keys.
     *
     * Shuffle-lean shape: ONE narrow groupBy(doc_id) computing all 16
@@ -65,9 +84,12 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // T1 — tsvector equivalent: sorted distinct stopword-free lexemes.
+    // Serialized '|'-joined (sorted, so canonical): the driver's pandas
+    // comparer can't hash array cells; the lexeme computation is unchanged.
     "t1_tokenize" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), lexemes(col("text")).as("search_lexemes"))),
+        .select(col("doc_id"),
+          array_join(lexemes(col("text")), "|").as("search_lexemes"))),
 
     // T1 query side — `@@ to_tsquery('spark & join')` equivalent.
     "t1_search" -> ((s, dir) =>
@@ -99,14 +121,15 @@ object TextQueries {
         tokenCount(col("text")).cast(LongType).as("n_ws_tokens"),
         subwordCount(col("text")).cast(LongType).as("n_subwords"))),
 
-    // T1 with RU stemming via the native Catalyst expression (no portable
-    // SQL oracle for the stemmer — rows-only check; behavior pinned in
-    // TokenizeStemSpec against the composed pipeline).
+    // T1 with RU stemming via the native Catalyst expression. Hash-checked:
+    // the light RU suffix-strip table is encoded as a DuckDB lambda in the
+    // oracle (longest-match-first over the same suffix list), so the native
+    // TokenizeStem expression is verified end-to-end, not rows-only.
     "t1_tokenize_stem" -> ((s, dir) => {
       graft.catalyst.TokenizeStem.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          graft.catalyst.TokenizeStem.tokenizeRu(col("text"))
+          array_join(graft.catalyst.TokenizeStem.tokenizeRu(col("text")), "|")
             .as("stemmed_lexemes"))
     }),
 
@@ -173,8 +196,11 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val model = graft.functions.Bpe.learnFromCorpus(docs, "text", 30)
       val enc = graft.functions.Bpe.encodeUdf(model)
-      docs.select(col("doc_id"), enc(col("text")).as("bpe_pieces"))
-        .withColumn("n_bpe_tokens", size(col("bpe_pieces")).cast(LongType))
+      docs.select(col("doc_id"), enc(col("text")).as("pieces"))
+        .select(col("doc_id"),
+          // piece order is significant — joined as-is, not sorted
+          array_join(col("pieces"), "|").as("bpe_pieces"),
+          size(col("pieces")).cast(LongType).as("n_bpe_tokens"))
     }),
 
     // Winnowing fingerprint (rolling-hash document fingerprinting, the
@@ -183,13 +209,13 @@ object TextQueries {
     // computed entirely inside codegen'd array functions per document.
     "dd_winnow_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        expr("""array_sort(array_distinct(transform(
+        expr("""array_join(array_sort(array_distinct(transform(
             sequence(1, greatest(
               size(transform(sequence(1, greatest(length(text) - 7, 1)),
                    i -> md5(substr(text, i, 8)))) - 3, 1)),
             j -> array_min(slice(
               transform(sequence(1, greatest(length(text) - 7, 1)),
-                i -> md5(substr(text, i, 8))), j, 4)))))""")
+                i -> md5(substr(text, i, 8))), j, 4))))), '|')""")
           .as("fingerprints"))),
 
     // MinHash clusters — the 100 TB output contract for high-duplication
@@ -253,9 +279,19 @@ object TextQueries {
 
     "t1_tokenize" ->
       s"""SELECT doc_id,
-            list_sort(list_distinct(list_filter($SqlToks,
-              t -> length(t) >= 2 AND NOT list_contains($SqlStop, t))))
+            array_to_string(
+              list_sort(list_distinct(list_filter($SqlToks,
+                t -> length(t) >= 2 AND NOT list_contains($SqlStop, t)))), '|')
               AS search_lexemes
+          FROM documents""",
+
+    "t1_tokenize_stem" ->
+      s"""SELECT doc_id,
+            array_to_string(
+              list_sort(list_distinct(list_transform(
+                list_filter($SqlToks,
+                  t -> length(t) >= 2 AND NOT list_contains($SqlStop, t)),
+                t -> ${sqlRuStem("t")}))), '|') AS stemmed_lexemes
           FROM documents""",
 
     "t1_search" ->
@@ -376,9 +412,9 @@ object TextQueries {
                i -> md5(substr(text, i, 8))) AS hs
            FROM documents)
          SELECT doc_id,
-           list_sort(list_distinct(list_transform(
+           array_to_string(list_sort(list_distinct(list_transform(
              generate_series(1, greatest(len(hs) - 3, 1)),
-             j -> list_min(hs[j:j+3])))) AS fingerprints
+             j -> list_min(hs[j:j+3])))), '|') AS fingerprints
          FROM h""",
 
     "dd_minhash_cluster" ->
