@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, MultimodalQueries, SimQueries, TextQueries}
+import graft.queries.{CoreQueries, EtlQueries, MultimodalQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ TextQueries.queries ++ SimQueries.queries ++ MultimodalQueries.queries
+    CoreQueries.queries ++ TextQueries.queries ++ SimQueries.queries ++
+      MultimodalQueries.queries ++ EtlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ TextQueries.oracle ++ SimQueries.oracle ++ MultimodalQueries.oracle
+    CoreQueries.oracle ++ TextQueries.oracle ++ SimQueries.oracle ++
+      MultimodalQueries.oracle ++ EtlQueries.oracle
 }

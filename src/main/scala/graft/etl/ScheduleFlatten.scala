@@ -103,9 +103,14 @@ object ScheduleFlatten {
     val l = col("lesson")
     val subjectDefault = if (isExam) "Экзамен" else "Без названия"
     val weeksRaw = try_variant_get(l, "$.weekNumber", "array<int>")
-    val weeks = when(weeksRaw.isNull || size(weeksRaw) === 0 ||
-        weeksRaw === array(lit(0)),
-      array(lit(1), lit(2), lit(3), lit(4))).otherwise(weeksRaw) // F3
+    // F3 default applies to lessons only; exams carry no week list — the
+    // reference emits week_numbers=[] unconditionally for exams
+    // (/root/reference/iis_etl/logic.py:376-381).
+    val weeks =
+      if (isExam) array().cast(ArrayType(IntegerType))
+      else when(weeksRaw.isNull || size(weeksRaw) === 0 ||
+          weeksRaw === array(lit(0)),
+        array(lit(1), lit(2), lit(3), lit(4))).otherwise(weeksRaw)
     val subject = DimSync.coalesceFalsy(vgs(l, "subject"),
       lit(subjectDefault))                                        // F8
     rows.select(

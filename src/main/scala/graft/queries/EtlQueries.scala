@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.ScheduleFlatten
+import graft.operators.Upsert
+import graft.sources.Tables
+
+/** Driver-visible oracle queries for the ETL-only operators that round 1
+  * covered only by golden tests: U2–U4/U6 insert-only-column upserts, A7
+  * count write-back, and the E3/E4 schedule flatten with the F4 heterogeneous
+  * element rule (`/root/reference/iis_etl/logic.py:23-50,90-121,256-267,
+  * 317-385`).
+  *
+  * The flatten queries synthesize deterministic schedule JSON from `customer`
+  * columns and run the REAL `ScheduleFlatten.flatten` machinery over it
+  * (parse_json → Variant map/array explodes → per-field try_variant_get);
+  * the DuckDB oracle computes the expected output directly from the source
+  * columns — independent arithmetic, so the whole JSON path is hash-checked,
+  * not round-tripped.
+  */
+object EtlQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def istr(c: Column): Column = c.cast(StringType)
+
+  /** Serialize an array column for the driver's scalar-only comparer. */
+  private def joined(c: Column): Column =
+    array_join(transform(c, _.cast(StringType)), "|")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // U2–U4/U6 — upsert where the on-conflict update-set excludes an
+    // insert-only column: c_mktsegment is written at insert but frozen on
+    // conflict (the reference's education_form / url_id / building_number
+    // semantics, logic.py:90-95,115-121,256-267).
+    "u3_insert_only_column" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val upd = c.filter(k % 3 === 0).select(k,
+        concat(lit("U3-"), col("c_name")).as("c_name"),
+        (col("c_nationkey") + 1).cast(IntegerType).as("c_nationkey"),
+        (col("c_acctbal") + 100).as("c_acctbal"),
+        lit("CHANGED").as("c_mktsegment")) // must NOT overwrite on conflict
+      val fresh = c.filter(k % 13 === 0).select(
+        (k + 600000).as("c_custkey"),
+        concat(lit("F-"), istr(k)).as("c_name"),
+        lit(2).cast(IntegerType).as("c_nationkey"),
+        lit(1.5).as("c_acctbal"),
+        lit("FRESH").as("c_mktsegment"))
+      Upsert(c, upd.unionByName(fresh), Seq("c_custkey"),
+        Seq("c_name", "c_nationkey", "c_acctbal"))
+    }),
+
+    // A7 — first-match scalar write-back (logic.py:302-322): each key's first
+    // positive detail value is written into the OPEN dim rows (Type 1 update);
+    // rows with no match or not open keep their current value. The per-key
+    // scalar set is tiny → broadcast, exactly the backPropagateCounts shape.
+    "a7_count_writeback" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val firstCnt = t(s, dir, "events")
+        .filter(col("value") > 100)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("k"), col("value").as("cnt"))
+      val open = col("c_custkey") % 10 =!= 3 // stand-in for valid_to IS NULL
+      t(s, dir, "customer")
+        .join(broadcast(firstCnt), col("c_custkey") === col("k"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          when(col("cnt").isNotNull && open, col("cnt"))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+    }),
+
+    // E3 + F1/F3/F4/F7/F8 — lessons flatten: day-name map explode, unknown
+    // day dropped, falsy subject → default, missing subjectFullName → subject,
+    // malformed time → row dropped, [0]/[] weeks → default, heterogeneous
+    // auditories (dict name / empty name → id / dict id / bare string / int),
+    // JSON passthrough, search-lexeme vector.
+    "e3_lessons_flatten" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val dayName = when(k % 4 === 0, lit("Понедельник"))
+        .when(k % 4 === 1, lit("Вторник"))
+        .when(k % 4 === 2, lit("Среда"))
+        .otherwise(lit("НеДень")) // F1: unknown day → rows dropped
+      val subjField = when(k % 5 === 0, lit("\"subject\":\"\",")) // F8 falsy
+        .otherwise(concat(lit("\"subject\":\""), col("c_mktsegment"),
+          lit("\",")))
+      val sfnField = when(k % 7 === 0, lit("")) // F8: absent → subject
+        .otherwise(concat(lit("\"subjectFullName\":\"FULL "),
+          col("c_mktsegment"), lit("\",")))
+      val startT = when(k % 11 === 0, lit("bad")) // F7: lesson dropped
+        .otherwise(format_string("%d:%02d", (k % 10) + 8, k % 60))
+      val endT = format_string("%d:%02d", (k % 10) + 9, k % 60)
+      val weeks = when(k % 6 === 0, lit("[0]")) // F3 → default
+        .when(k % 6 === 1, lit("[]")) // F3 → default
+        .otherwise(format_string("[1,%d]", k % 3 + 1))
+      val ns = when(k % 2 === 0, lit("")) // F8: absent → 0
+        .otherwise(lit("\"numSubgroup\":1,"))
+      val aud1 = when(k % 8 === 0, lit("{\"name\":\"\",\"id\":77}")) // F4: →id
+        .otherwise(format_string("{\"name\":\"R-%d\"}", k % 20))
+      val auds = concat(lit("["), aud1,
+        format_string(",{\"id\":%d},\"S-%d\",%d]", k % 30, k % 10, k % 7))
+      val sgs = format_string(
+        "[{\"name\":\"G-%d\",\"numberOfStudents\":%d}]", k % 5, k % 40)
+      val lesson = concat(lit("{"), subjField, sfnField,
+        lit("\"startLessonTime\":\""), startT,
+        lit("\",\"endLessonTime\":\""), endT,
+        lit("\",\"weekNumber\":"), weeks, lit(","), ns,
+        lit("\"auditories\":"), auds,
+        lit(",\"studentGroups\":"), sgs, lit("}"))
+      val raw = c.select(
+        concat(lit("C-"), istr(k)).as("entity_name"),
+        lit("group").as("entity_type"),
+        concat(lit("{\"schedules\":{\""), dayName, lit("\":["), lesson,
+          lit("]}}")).as("raw_json"))
+      ScheduleFlatten.flatten(raw).select(
+        col("entity_name"), col("day_of_week"), col("subject"),
+        col("subject_full"), col("start_sec"), col("end_sec"),
+        joined(col("week_numbers")).as("week_numbers"), col("num_subgroup"),
+        array_join(col("auditories"), "|").as("auditories"),
+        col("related_groups"),
+        array_join(col("search_lexemes"), "|").as("search_lexemes"))
+    }),
+
+    // E4 + F6/F7 — exams flatten: flat list, exact dd.MM.yyyy date (bad date
+    // → row dropped), bad time → 00:00 (not dropped), subject default
+    // "Экзамен", week_numbers always empty (ref logic.py:376-381).
+    "e4_exams_flatten" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val dateStr = when(k % 9 === 0, lit("99.99.2024")) // F6: dropped
+        .otherwise(format_string("%02d.%02d.2024", k % 28 + 1, k % 12 + 1))
+      val startT = when(k % 5 === 0, lit("xx")) // F7 exam policy → 00:00
+        .otherwise(format_string("%d:%02d", k % 8 + 9, k % 60))
+      val endT = when(k % 5 === 0, lit("xx"))
+        .otherwise(format_string("%d:%02d", k % 8 + 10, k % 60))
+      val subjField = when(k % 3 === 0, lit("")) // F8: absent → "Экзамен"
+        .otherwise(concat(lit("\"subject\":\""), col("c_mktsegment"),
+          lit("\",")))
+      val auds = format_string("[\"E-%d\",{\"name\":\"Hall %d\"}]",
+        k % 6, k % 4)
+      val exam = concat(lit("{"), subjField,
+        lit("\"dateLesson\":\""), dateStr,
+        lit("\",\"startLessonTime\":\""), startT,
+        lit("\",\"endLessonTime\":\""), endT,
+        lit("\",\"auditories\":"), auds, lit("}"))
+      val raw = c.select(
+        concat(lit("C-"), istr(k)).as("entity_name"),
+        lit("group").as("entity_type"),
+        concat(lit("{\"exams\":["), exam, lit("]}")).as("raw_json"))
+      ScheduleFlatten.flatten(raw).select(
+        col("entity_name"), col("day_of_week"), col("subject"),
+        col("subject_full"), col("exact_date"), col("start_sec"),
+        col("end_sec"),
+        joined(col("week_numbers")).as("week_numbers"), col("num_subgroup"),
+        array_join(col("auditories"), "|").as("auditories"),
+        array_join(col("search_lexemes"), "|").as("search_lexemes"))
+    }))
+
+  // E3 search vector input: subject ∥ subject_full ∥ entity_name ∥ rooms.
+  private def lexOf(parts: String) = TextQueries.sqlLexemesOf(parts)
+
+  val oracle: Map[String, String] = Map(
+
+    "u3_insert_only_column" ->
+      """WITH inc AS (
+           SELECT c_custkey, 'U3-' || c_name AS c_name,
+                  CAST(c_nationkey + 1 AS INT) AS c_nationkey,
+                  c_acctbal + 100 AS c_acctbal, 'CHANGED' AS c_mktsegment
+           FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey + 600000, 'F-' || CAST(c_custkey AS VARCHAR),
+                  CAST(2 AS INT), 1.5, 'FRESH'
+           FROM customer WHERE c_custkey % 13 = 0)
+         SELECT COALESCE(c.c_custkey, i.c_custkey) AS c_custkey,
+           CASE WHEN i.c_custkey IS NOT NULL THEN i.c_name ELSE c.c_name END AS c_name,
+           CASE WHEN i.c_custkey IS NOT NULL THEN i.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+           CASE WHEN i.c_custkey IS NOT NULL THEN i.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE i.c_mktsegment END AS c_mktsegment
+         FROM customer c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey""",
+
+    "a7_count_writeback" ->
+      """WITH f AS (
+           SELECT user_id, value AS cnt FROM (
+             SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+             FROM events WHERE value > 100)
+           WHERE rn = 1)
+         SELECT c_custkey, c_name,
+           CASE WHEN f.cnt IS NOT NULL AND c_custkey % 10 <> 3
+                THEN f.cnt ELSE c_acctbal END AS c_acctbal
+         FROM customer LEFT JOIN f ON c_custkey = f.user_id""",
+
+    "e3_lessons_flatten" -> {
+      val searchSrc = "subject || ' ' || subject_full || ' ' || entity_name" +
+        " || ' ' || replace(auditories, '|', ' ')"
+      s"""WITH base AS (
+            SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+            WHERE c_custkey % 4 < 3 AND c_custkey % 11 <> 0),
+          f AS (
+            SELECT 'C-' || CAST(k AS VARCHAR) AS entity_name,
+              CAST(k % 4 + 1 AS INT) AS day_of_week,
+              CASE WHEN k % 5 = 0 THEN 'Без названия' ELSE seg END AS subject,
+              CASE WHEN k % 7 = 0
+                   THEN CASE WHEN k % 5 = 0 THEN 'Без названия' ELSE seg END
+                   ELSE 'FULL ' || seg END AS subject_full,
+              CAST((k % 10 + 8) * 3600 + (k % 60) * 60 AS INT) AS start_sec,
+              CAST((k % 10 + 9) * 3600 + (k % 60) * 60 AS INT) AS end_sec,
+              CASE WHEN k % 6 IN (0, 1) THEN '1|2|3|4'
+                   ELSE '1|' || CAST(k % 3 + 1 AS VARCHAR) END AS week_numbers,
+              CAST(CASE WHEN k % 2 = 0 THEN 0 ELSE 1 END AS INT) AS num_subgroup,
+              (CASE WHEN k % 8 = 0 THEN '77'
+                    ELSE 'R-' || CAST(k % 20 AS VARCHAR) END)
+                || '|' || CAST(k % 30 AS VARCHAR)
+                || '|S-' || CAST(k % 10 AS VARCHAR)
+                || '|' || CAST(k % 7 AS VARCHAR) AS auditories,
+              '[{"name":"G-' || CAST(k % 5 AS VARCHAR)
+                || '","numberOfStudents":' || CAST(k % 40 AS VARCHAR)
+                || '}]' AS related_groups
+            FROM base)
+          SELECT entity_name, day_of_week, subject, subject_full, start_sec,
+                 end_sec, week_numbers, num_subgroup, auditories,
+                 related_groups,
+                 ${lexOf(searchSrc)} AS search_lexemes
+          FROM f"""
+    },
+
+    "e4_exams_flatten" -> {
+      val searchSrc = "subject || ' ' || subject_full || ' ' || entity_name" +
+        " || ' ' || replace(auditories, '|', ' ')"
+      s"""WITH f AS (
+            SELECT 'C-' || CAST(c_custkey AS VARCHAR) AS entity_name,
+              CAST(NULL AS INT) AS day_of_week,
+              CASE WHEN c_custkey % 3 = 0 THEN 'Экзамен'
+                   ELSE c_mktsegment END AS subject,
+              CASE WHEN c_custkey % 3 = 0 THEN 'Экзамен'
+                   ELSE c_mktsegment END AS subject_full,
+              make_date(2024, CAST(c_custkey % 12 + 1 AS INT),
+                        CAST(c_custkey % 28 + 1 AS INT)) AS exact_date,
+              CAST(CASE WHEN c_custkey % 5 = 0 THEN 0
+                   ELSE (c_custkey % 8 + 9) * 3600 + (c_custkey % 60) * 60
+                   END AS INT) AS start_sec,
+              CAST(CASE WHEN c_custkey % 5 = 0 THEN 0
+                   ELSE (c_custkey % 8 + 10) * 3600 + (c_custkey % 60) * 60
+                   END AS INT) AS end_sec,
+              '' AS week_numbers,
+              CAST(0 AS INT) AS num_subgroup,
+              'E-' || CAST(c_custkey % 6 AS VARCHAR)
+                || '|Hall ' || CAST(c_custkey % 4 AS VARCHAR) AS auditories
+            FROM customer WHERE c_custkey % 9 <> 0)
+          SELECT entity_name, day_of_week, subject, subject_full, exact_date,
+                 start_sec, end_sec, week_numbers, num_subgroup, auditories,
+                 ${lexOf(searchSrc)} AS search_lexemes
+          FROM f"""
+    })
+}

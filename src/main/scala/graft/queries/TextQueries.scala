@@ -27,15 +27,25 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** DuckDB fragment equivalent to [[TextFunctions.tokens]] — kept next to
-    * the Scala definition so the two tokenizers can't drift.
+  /** DuckDB fragment equivalent to [[TextFunctions.tokens]] over an arbitrary
+    * SQL expression — kept next to the Scala definition so the two tokenizers
+    * can't drift. Shared with the ETL-shaped queries (search-vector oracle).
     */
-  private val SqlToks =
-    """list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}]+'),
+  private[queries] def sqlToksOf(e: String): String =
+    s"""list_filter(string_split_regex(lower($e), '[^\\p{L}\\p{Nd}]+'),
        t -> length(t) > 0)"""
 
-  private val SqlStop =
+  private val SqlToks = sqlToksOf("text")
+
+  private[queries] val SqlStop =
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB fragment equivalent to [[TextFunctions.lexemes]] over an
+    * arbitrary SQL expression, serialized '|'-joined.
+    */
+  private[queries] def sqlLexemesOf(e: String): String =
+    s"""array_to_string(list_sort(list_distinct(list_filter(${sqlToksOf(e)},
+        t -> length(t) >= 2 AND NOT list_contains($SqlStop, t)))), '|')"""
 
   /** RU suffix table as a DuckDB list literal, longest-first — generated from
     * the same [[TextFunctions.RuSuffixes]] the native expression uses, so the
