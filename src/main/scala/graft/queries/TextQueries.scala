@@ -91,6 +91,27 @@ object TextQueries {
         col("bk.band_key").as("band_key"))
   }
 
+  /** Exact Jaccard for an explicit candidate-pair set: per-doc sorted token
+    * arrays are joined to the pairs (two hash joins keyed on doc id) and the
+    * intersection is computed per pair inside codegen. Cost is O(|pairs|) —
+    * the point of candidate pre-filtering — instead of O(shared tokens).
+    */
+  private def exactJaccardOnPairs(toksd: DataFrame,
+                                  pairs: DataFrame): DataFrame = {
+    val arrs = toksd.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tok"))).as("toks"),
+        count(lit(1)).as("n"))
+    pairs
+      .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("c", size(array_intersect(col("ta"), col("tb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // T1 — tsvector equivalent: sorted distinct stopword-free lexemes.
@@ -177,6 +198,20 @@ object TextQueries {
 
     // Blocked n-gram Jaccard — token-set similarity within a `source` block;
     // intersection via shared-token join, union by inclusion–exclusion.
+    //
+    // Measured alternatives at sf0.1 (97%-near-dup corpus, ~314k output
+    // pairs), both REJECTED:
+    //  - AllPairs/PPJoin-style prefix filtering (rarest-first token order,
+    //    candidate join on the first floor(n/2)+1 tokens, exact verify):
+    //    8.2s vs 4.4s. Pruning buys nothing when candidates ≈ true pairs —
+    //    on a dup-heavy corpus nearly every within-block pair qualifies, so
+    //    the df ranking + per-pair verify is pure overhead.
+    //  - array_intersect on pre-grouped token arrays per pair: 4× slower
+    //    (per-call hash allocation dominates).
+    // The direct join materializes the intersection mass once (11.2M rows at
+    // sf0.1) with no per-pair setup — where output pairs are a large
+    // fraction of candidates this is the optimum; where they are NOT
+    // (realistic low-dup corpora at 100 TB), use dd_jaccard_lsh below.
     "dd_jaccard" -> ((s, dir) => {
       val toksd = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -196,6 +231,32 @@ object TextQueries {
           (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
             .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
+    }),
+
+    // LSH-gated exact Jaccard — the 100 TB scale path for dd_jaccard's
+    // semantics: MinHash-LSH proposes candidates (probabilistic recall — the
+    // documented trade; at sf0.01 it recovers 3162 of dd_jaccard's 4439
+    // pairs), exact verification scores only those pairs. The `source` block
+    // key is part of the BAND-join key, so cross-block pairs are never
+    // materialized, and verify cost is O(|candidates|), not O(shared
+    // tokens). Own oracle replays the banding.
+    "dd_jaccard_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val src = d.select(col("doc_id"), col("source"))
+      val bands = minhashBands(d).join(src, "doc_id")
+      val a = bands.select(col("band"), col("band_key"), col("source"),
+        col("doc_id").as("doc_a"))
+      val b = bands.select(col("band").as("band_b"),
+        col("band_key").as("band_key_b"), col("source").as("source_b"),
+        col("doc_id").as("doc_b"))
+      val cand = a.join(b, col("band") === col("band_b") &&
+          col("band_key") === col("band_key_b") &&
+          col("source") === col("source_b") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val toksd = d.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      exactJaccardOnPairs(toksd, cand).filter(col("jaccard") >= 0.5)
     }),
 
     // Real BPE tokenization: merges learned from the corpus (distributed
@@ -407,6 +468,41 @@ object TextQueries {
             FROM toksd a JOIN toksd b
               ON a.source = b.source AND a.tok = b.tok
              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+          FROM inter
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""",
+
+    "dd_jaccard_lsh" ->
+      s"""WITH toks AS (
+            SELECT DISTINCT doc_id, unnest($SqlToks) AS tok FROM documents),
+          hs AS (
+            SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS minh
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+            GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   md5(string_agg(minh, ',' ORDER BY i)) AS band_key
+            FROM hs GROUP BY 1, 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          candsrc AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN documents da ON da.doc_id = doc_a
+            JOIN documents db ON db.doc_id = doc_b
+            WHERE da.source = db.source),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+          inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+            FROM candsrc c
+            JOIN toks a ON a.doc_id = c.doc_a
+            JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
             GROUP BY 1, 2)
           SELECT doc_a, doc_b,
                  CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
