@@ -328,6 +328,18 @@ object TextQueries {
         .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
     }),
 
+    // Convergent transitive clusters — the production form of the above:
+    // min-label propagation iterated to a FIXED POINT (per-round
+    // localCheckpoint, early-stop probe), so chains of any length merge
+    // fully regardless of graph diameter. Oracle = true connected
+    // components of the doc–bucket graph via a recursive CTE.
+    "dd_minhash_cluster_conv" -> ((s, dir) => {
+      val bands = minhashBands(t(s, dir, "documents"))
+      graft.operators.LabelPropagation
+        .connectedComponents(bands, "doc_id", Seq("band", "band_key"))
+        .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
+    }),
+
     // SimHash — 16-bit signature; bit j is the sign of the frequency-weighted
     // vote of md5-hex-char parity at position j across all tokens.
     "dd_simhash" -> ((s, dir) => {
@@ -568,6 +580,30 @@ object TextQueries {
                  FROM bands b JOIN b3 m USING (band, band_key) GROUP BY 1)
           SELECT doc_id, lab AS cluster_id, doc_id <> lab AS is_dup
           FROM l3""",
+
+    "dd_minhash_cluster_conv" ->
+      s"""WITH RECURSIVE toks AS (
+            SELECT DISTINCT doc_id, unnest($SqlToks) AS tok FROM documents),
+          hs AS (
+            SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS minh
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+            GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   md5(string_agg(minh, ',' ORDER BY i)) AS band_key
+            FROM hs GROUP BY 1, 2),
+          nbr AS (
+            SELECT DISTINCT e1.doc_id AS a, e2.doc_id AS b
+            FROM bands e1 JOIN bands e2
+              ON e1.band = e2.band AND e1.band_key = e2.band_key),
+          reach(doc_id, lab) AS (
+            SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM bands)
+            UNION
+            SELECT n.a, r.lab FROM reach r JOIN nbr n ON n.b = r.doc_id
+            WHERE r.lab < n.a)
+          SELECT doc_id, MIN(lab) AS cluster_id,
+                 doc_id <> MIN(lab) AS is_dup
+          FROM reach GROUP BY 1""",
 
     "dd_simhash" ->
       s"""WITH toks AS (
