@@ -87,13 +87,24 @@ object Bpe {
     Model(merges.result())
   }
 
-  /** Distributed word-frequency aggregation → driver-side learn. */
-  def learnFromCorpus(docs: DataFrame, textCol: String,
-                      numMerges: Int): Model = {
+  /** Distributed word-frequency aggregation → driver-side learn.
+    *
+    * The collect is bounded: only the `maxVocab` most frequent words reach
+    * the driver (deterministic tie-break on the word), so a pathological
+    * vocabulary — 100 TB of unique-ish tokens, URLs, hex blobs — cannot OOM
+    * the driver. Truncation is also statistically sound: BPE merge ranks are
+    * driven by high-frequency words; the dropped tail contributes (at most)
+    * counts below the cut to pair counts. With the default cap the corpus
+    * vocabularies here fit entirely, so results are unchanged.
+    */
+  def learnFromCorpus(docs: DataFrame, textCol: String, numMerges: Int,
+                      maxVocab: Int = 1 << 16): Model = {
     val counts = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .collect()                     // vocabulary only, not the corpus
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)               // bounded TakeOrdered, not a full sort
+      .collect()                     // vocabulary only, never the corpus
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     learn(counts, numMerges)
   }

@@ -137,10 +137,4 @@ object TextFunctions {
       .map(s => token.substring(0, token.length - s.length))
       .getOrElse(token)
   }
-
-  /** Column form over an array of tokens (UDF; promoted to a native
-    * Expression in [[graft.catalyst.TokenizeStem]]).
-    */
-  val ruStemArrayUdf = udf((toks: Seq[String]) =>
-    if (toks == null) null else toks.map(ruStem))
 }

@@ -14,6 +14,10 @@ class TokenizeStemSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Comparison scaffolding only — main paths use the native expression. */
+  private val ruStemArrayUdf = udf((toks: Seq[String]) =>
+    if (toks == null) null else toks.map(TextFunctions.ruStem))
+
   test("matches composed lexemes+stem pipeline on real documents") {
     TokenizeStem.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -21,7 +25,7 @@ class TokenizeStemSpec extends AnyFunSuite {
     val native = docs
       .select($"doc_id", TokenizeStem.tokenizeRu($"text").as("lex"))
     val composed = docs.select($"doc_id",
-      array_sort(array_distinct(TextFunctions.ruStemArrayUdf(
+      array_sort(array_distinct(ruStemArrayUdf(
         TextFunctions.lexemes($"text")))).as("lex"))
     val diff = native.as("n").join(composed.as("c"), "doc_id")
       .filter($"n.lex" =!= $"c.lex")

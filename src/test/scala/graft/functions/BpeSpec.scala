@@ -31,6 +31,22 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b && a.mkString == "sparkles")
   }
 
+  test("vocab cap bounds the driver collect on an oversized vocabulary") {
+    // 500 distinct words but a cap of 50: only the 50 most frequent words
+    // (count desc, word asc) reach the driver. The dominant repeated word
+    // still drives the first merges.
+    val docs = (1 to 500).map(i => s"zz${"q" * (i % 7)}$i aaa aaa aaa")
+      .toDF("text")
+    val capped = Bpe.learnFromCorpus(docs, "text", numMerges = 2,
+      maxVocab = 50)
+    assert(capped.merges.nonEmpty)
+    assert(capped.merges.head == ("a", "a")) // from the 1500 'aaa's
+    // deterministic under the cap: same inputs → same merges
+    val again = Bpe.learnFromCorpus(docs, "text", numMerges = 2,
+      maxVocab = 50)
+    assert(capped.merges == again.merges)
+  }
+
   test("distributed learn + broadcast apply over documents") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
