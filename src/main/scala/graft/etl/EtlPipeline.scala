@@ -37,27 +37,27 @@ object EtlPipeline {
     Occupancy.rebuild(ctx)
   }
 
-  /** Read inputs from a directory of API-shaped JSON files (FIXTURES.md §A):
-    * `faculties.json`, `departments.json`, `specialities.json`,
-    * `student-groups.json`, `auditories.json` — arrays of objects;
-    * `employees.json` — array parsed via VariantType (heterogeneous
-    * academicDepartment); `schedules.json` — array of
-    * {entityName, entityType, data}; `current-week.json` — scalar.
+  /** Run against any [[ApiSource]] (S1–S3 boundary): payloads are API-shaped
+    * JSON (FIXTURES.md §A) — `/faculties`, `/departments`, `/specialities`,
+    * `/student-groups`, `/auditories` — arrays of objects; `/employees/all`
+    * — array parsed via VariantType (heterogeneous academicDepartment);
+    * `/schedule` — array of {entityName, entityType, data};
+    * `/schedule/current-week` — scalar.
     */
-  def runFromDir(spark: SparkSession, inputDir: String,
-                 warehouse: String, runTs: java.sql.Timestamp): EtlContext = {
+  def runFromSource(spark: SparkSession, source: ApiSource,
+                    warehouse: String,
+                    runTs: java.sql.Timestamp): EtlContext = {
     val ctx = EtlContext(spark, warehouse, runTs)
-    def p(f: String) = s"$inputDir/$f"
-    def existing(f: String): Option[String] =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p(f))))
-        Some(p(f)) else None
-    def readArr(f: String, schema: org.apache.spark.sql.types.StructType) =
-      existing(f).map(path =>
-        spark.read.schema(schema).option("multiLine", "true").json(path))
-    def wholeVariant(f: String): Option[DataFrame] =
-      existing(f).map { path =>
-        spark.read.option("wholetext", "true").text(path)
-          // malformed file → zero rows (quarantine), mirroring the
+    import spark.implicits._
+    def readArr(endpoint: String,
+                schema: org.apache.spark.sql.types.StructType) =
+      source.fetch(endpoint).map(payload =>
+        spark.read.schema(schema).option("multiLine", "true")
+          .json(Seq(payload).toDS()))
+    def wholeVariant(endpoint: String): Option[DataFrame] =
+      source.fetch(endpoint).map { payload =>
+        Seq(payload).toDF("value")
+          // malformed payload → zero rows (quarantine), mirroring the
           // reference's skip-entity-and-continue (logic.py:422-424)
           .select(try_parse_json(col("value")).as("doc"))
           .filter(col("doc").isNotNull)
@@ -65,24 +65,27 @@ object EtlPipeline {
             "array<variant>")).as("v"))
       }
 
-    val schedules = wholeVariant("schedules.json").map(df =>
+    val schedules = wholeVariant("/schedule").map(df =>
       df.select(
         try_variant_get(col("v"), "$.entityName", "string").as("entity_name"),
         try_variant_get(col("v"), "$.entityType", "string").as("entity_type"),
         to_json(try_variant_get(col("v"), "$.data", "variant")).as("raw_json")))
-    val week = existing("current-week.json").map { path =>
-      scala.io.Source.fromFile(path, "UTF-8").mkString.trim
-    }
+    val week = source.fetch("/schedule/current-week").map(_.trim)
 
     run(ctx, Inputs(
       currentWeek = week,
-      faculties = readArr("faculties.json", Schemas.faculty),
-      departments = readArr("departments.json", Schemas.department),
-      specialities = readArr("specialities.json", Schemas.speciality),
-      studentGroups = readArr("student-groups.json", Schemas.studentGroup),
-      employees = wholeVariant("employees.json"),
-      auditories = readArr("auditories.json", Schemas.auditory),
+      faculties = readArr("/faculties", Schemas.faculty),
+      departments = readArr("/departments", Schemas.department),
+      specialities = readArr("/specialities", Schemas.speciality),
+      studentGroups = readArr("/student-groups", Schemas.studentGroup),
+      employees = wholeVariant("/employees/all"),
+      auditories = readArr("/auditories", Schemas.auditory),
       schedules = schedules))
     ctx
   }
+
+  /** Convenience: run against pre-staged JSON files in a directory. */
+  def runFromDir(spark: SparkSession, inputDir: String,
+                 warehouse: String, runTs: java.sql.Timestamp): EtlContext =
+    runFromSource(spark, StagedDirSource(inputDir), warehouse, runTs)
 }

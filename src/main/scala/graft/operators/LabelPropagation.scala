@@ -34,6 +34,10 @@ object LabelPropagation {
   def connectedComponents(edges: DataFrame, idCol: String,
                           bucketCols: Seq[String],
                           maxRounds: Int = 50): DataFrame = {
+    // Cached: every round re-reads the edge set. NOT unpersisted on exit —
+    // Spark's CacheManager dedups cache entries by logical plan, so evicting
+    // here would also evict a caller-shared cache of the same plan; the
+    // caller owns the lifecycle.
     val e = edges.select((idCol +: bucketCols).map(col): _*).cache()
     var labels = e.select(col(idCol)).distinct()
       .withColumn("lab", col(idCol)).localCheckpoint()
@@ -53,7 +57,6 @@ object LabelPropagation {
       labels = next
       round += 1
     }
-    e.unpersist()
     labels.select(col(idCol), col("lab").as("cluster_id"))
   }
 }

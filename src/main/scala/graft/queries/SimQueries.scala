@@ -141,6 +141,32 @@ object SimQueries {
           cosine(col("v"), col("qv")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
+    }),
+
+    // IVF search, nprobe=2 — the recall/cost knob: probing the 2 best cells
+    // scans 2/k of the data instead of 1/k and recovers neighbors that
+    // straddle a cell boundary (the classic IVF recall failure). Identical
+    // plan shape; only the broadcast cell list grows.
+    "sim_ivf_topk_nprobe2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+      val w = Window.partitionBy("label").orderBy("vec_id")
+      val reps = emb.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("label").as("cell"), col("v").as("centroid"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val bestCells = reps.crossJoin(broadcast(q))
+        .select(col("cell"), cosine(col("centroid"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("cell"))
+        .limit(2)
+        .select(col("cell"))
+      emb.join(broadcast(bestCells), col("label") === col("cell"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          cosine(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -285,6 +311,27 @@ object SimQueries {
               (sqrt(${sqlDot("centroid", "centroid")}) *
                sqrt(${sqlDot("qv", "qv")})) DESC, cell
             LIMIT 1)
+          SELECT vec_id, label,
+            ${sqlDot("embedding", "qv")} /
+            (sqrt(${sqlDot("embedding", "embedding")}) *
+             sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+          FROM emb JOIN best ON label = best.cell CROSS JOIN q
+          ORDER BY cos_sim DESC, vec_id LIMIT 5""",
+
+    "sim_ivf_topk_nprobe2" ->
+      s"""WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          reps AS (
+            SELECT label AS cell, embedding AS centroid FROM (
+              SELECT label, embedding,
+                     row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+              FROM emb) WHERE rn = 1),
+          best AS (
+            SELECT cell FROM reps CROSS JOIN q
+            ORDER BY ${sqlDot("centroid", "qv")} /
+              (sqrt(${sqlDot("centroid", "centroid")}) *
+               sqrt(${sqlDot("qv", "qv")})) DESC, cell
+            LIMIT 2)
           SELECT vec_id, label,
             ${sqlDot("embedding", "qv")} /
             (sqrt(${sqlDot("embedding", "embedding")}) *

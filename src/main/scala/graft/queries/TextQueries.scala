@@ -86,9 +86,13 @@ object TextQueries {
         md5(concat_ws(",", (0 to 3).map(j => col(s"h${b * 4 + j}")): _*))
           .as("band_key"))
     }
+    // Cached at definition: five dedup queries consume this one intermediate
+    // (CacheManager dedups by plan, so they all hit a single materialization
+    // — the banding is ~4 rows/doc, tiny next to its md5×16 compute cost).
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
+      .cache()
   }
 
   /** Exact Jaccard for an explicit candidate-pair set: per-doc sorted token
@@ -311,7 +315,7 @@ object TextQueries {
     // oracle can replay it (3 rounds closes paths of length 2^3 bucket hops,
     // enough for this corpus; at scale you iterate to a convergence check).
     "dd_minhash_cluster_cc" -> ((s, dir) => {
-      val bands = minhashBands(t(s, dir, "documents")).cache()
+      val bands = minhashBands(t(s, dir, "documents"))
       var labels = bands.select(col("doc_id")).distinct()
         .withColumn("lab", col("doc_id"))
       for (_ <- 1 to 3) {
