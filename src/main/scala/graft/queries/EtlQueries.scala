@@ -76,6 +76,33 @@ object EtlQueries {
             .otherwise(col("c_acctbal")).as("c_acctbal"))
     }),
 
+    // P3 — skip rows whose extracted key is NULL (the reference skips
+    // employees without url_id, logic.py:171-176): IS NOT NULL on a
+    // nullable JSON extraction, then the usual projection.
+    "p3_not_null_skip" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k_val",
+          get_json_object(col("props"), "$.k").cast(IntegerType))
+        .filter(col("k_val").isNotNull && col("k_val") >= 75)
+        .select("event_id", "user_id", "k_val")),
+
+    // P5 + F14 — dirty-row quarantine with a pinned run timestamp: rows
+    // whose payload fails to parse are kept, flagged with a reason, and
+    // stamped with the run's single timestamp (logic.py:422-424; F14: one
+    // timestamp per run, not per row). Corruption is synthesized
+    // deterministically so the oracle can compute expected status directly.
+    "p5_quarantine" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("payload",
+          when(col("event_id") % 7 === 0, concat(lit("x"), col("props")))
+            .otherwise(col("props")))
+      val parsed = get_json_object(col("payload"), "$.k").cast(IntegerType)
+      ev.select(col("event_id"), parsed.as("k_val"),
+        when(parsed.isNull, lit("unparseable json"))
+          .otherwise(lit("ok")).as("status"),
+        lit("2024-06-01 00:00:00").cast(TimestampType).as("loaded_at"))
+    }),
+
     // E3 + F1/F3/F4/F7/F8 — lessons flatten: day-name map explode, unknown
     // day dropped, falsy subject → default, missing subjectFullName → subject,
     // malformed time → row dropped, [0]/[] weeks → default, heterogeneous
@@ -184,6 +211,23 @@ object EtlQueries {
            CASE WHEN i.c_custkey IS NOT NULL THEN i.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
            CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE i.c_mktsegment END AS c_mktsegment
          FROM customer c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey""",
+
+    "p3_not_null_skip" ->
+      """SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+           AND CAST(json_extract_string(props, '$.k') AS INT) >= 75""",
+
+    "p5_quarantine" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE CAST(json_extract_string(props, '$.k') AS INT)
+           END AS k_val,
+           CASE WHEN event_id % 7 = 0 THEN 'unparseable json'
+                ELSE 'ok' END AS status,
+           TIMESTAMP '2024-06-01 00:00:00' AS loaded_at
+         FROM events""",
 
     "a7_count_writeback" ->
       """WITH f AS (

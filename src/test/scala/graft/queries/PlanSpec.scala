@@ -88,6 +88,23 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
   }
 
+  test("a7: per-key scalar broadcast; top-1 pre-filtered before the shuffle") {
+    val p = plan("a7_count_writeback")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty, p)
+    // WindowGroupLimit(Partial) = each map task keeps only its per-key top-1
+    // before the exchange — the shuffle carries O(keys), not O(rows)
+    assert(p.toString.contains("WindowGroupLimit"), p.toString)
+    assert(!p.toString.contains("SortMergeJoin"), p)
+  }
+
+  test("e3 flatten: pure per-row pipeline, no shuffle at all") {
+    val p = plan("e3_lessons_flatten")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // parse_json → explodes → variant extraction is embarrassingly parallel;
+    // any exchange here would be a scale bug
+    assert(shuffles.isEmpty, p.toString)
+  }
+
   test("sim_cosine_brute: query vector broadcast, no shuffle of embeddings") {
     val p = plan("sim_cosine_brute")
     val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
