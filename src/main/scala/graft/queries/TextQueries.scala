@@ -74,6 +74,8 @@ object TextQueries {
     * instead of exploding x16 and re-grouping twice. Signature strings are
     * identical to the oracle's per-(doc,i) MIN(md5(i:tok)).
     */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = minhashBands(docs)
+
   private def minhashBands(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
@@ -114,6 +116,25 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
           .as("jaccard"))
+  }
+
+  /** Body of `dd_jaccard_lsh` (also driven by the scale probe). */
+  private[graft] def jaccardLshOf(d: DataFrame): DataFrame = {
+    val src = d.select(col("doc_id"), col("source"))
+    val bands = minhashBands(d).join(src, "doc_id")
+    val a = bands.select(col("band"), col("band_key"), col("source"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"),
+      col("band_key").as("band_key_b"), col("source").as("source_b"),
+      col("doc_id").as("doc_b"))
+    val cand = a.join(b, col("band") === col("band_b") &&
+        col("band_key") === col("band_key_b") &&
+        col("source") === col("source_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val toksd = d.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    exactJaccardOnPairs(toksd, cand).filter(col("jaccard") >= 0.5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -244,24 +265,8 @@ object TextQueries {
     // key is part of the BAND-join key, so cross-block pairs are never
     // materialized, and verify cost is O(|candidates|), not O(shared
     // tokens). Own oracle replays the banding.
-    "dd_jaccard_lsh" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val src = d.select(col("doc_id"), col("source"))
-      val bands = minhashBands(d).join(src, "doc_id")
-      val a = bands.select(col("band"), col("band_key"), col("source"),
-        col("doc_id").as("doc_a"))
-      val b = bands.select(col("band").as("band_b"),
-        col("band_key").as("band_key_b"), col("source").as("source_b"),
-        col("doc_id").as("doc_b"))
-      val cand = a.join(b, col("band") === col("band_b") &&
-          col("band_key") === col("band_key_b") &&
-          col("source") === col("source_b") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val toksd = d.select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("tok"))
-      exactJaccardOnPairs(toksd, cand).filter(col("jaccard") >= 0.5)
-    }),
+    "dd_jaccard_lsh" -> ((s, dir) =>
+      jaccardLshOf(t(s, dir, "documents"))),
 
     // Real BPE tokenization: merges learned from the corpus (distributed
     // vocab aggregate, driver-side learn, broadcast apply). No portable SQL
