@@ -285,18 +285,19 @@ object TextQueries {
 
     // Winnowing fingerprint (rolling-hash document fingerprinting, the
     // MOSS scheme): hash every 8-char k-gram, take the minimum of each
-    // 4-hash window, keep the distinct minima — robust to local edits,
-    // computed entirely inside codegen'd array functions per document.
-    "dd_winnow_fingerprint" -> ((s, dir) =>
+    // 4-hash window, keep the sorted distinct minima — robust to local
+    // edits. Native Catalyst expression: the composed higher-order-function
+    // form re-evaluates the k-gram hash array inside the per-window lambda
+    // (Catalyst cannot hoist subexpressions out of a LambdaFunction), i.e.
+    // O(len·w) md5 calls per doc; the expression hashes each k-gram once.
+    // Same oracle as the composed form; equivalence pinned in
+    // WinnowFingerprintSpec.
+    "dd_winnow_fingerprint" -> ((s, dir) => {
+      graft.catalyst.WinnowFingerprint.register(s)
       t(s, dir, "documents").select(col("doc_id"),
-        expr("""array_join(array_sort(array_distinct(transform(
-            sequence(1, greatest(
-              size(transform(sequence(1, greatest(length(text) - 7, 1)),
-                   i -> md5(substr(text, i, 8)))) - 3, 1)),
-            j -> array_min(slice(
-              transform(sequence(1, greatest(length(text) - 7, 1)),
-                i -> md5(substr(text, i, 8))), j, 4))))), '|')""")
-          .as("fingerprints"))),
+        graft.catalyst.WinnowFingerprint.winnow(col("text"))
+          .as("fingerprints"))
+    }),
 
     // MinHash clusters — the 100 TB output contract for high-duplication
     // corpora: pairwise candidates are O(cluster²) and explode on real data,
