@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -68,21 +68,34 @@ object TextQueries {
 
   /** Shared MinHash banding: 16 keyed-md5 minhashes folded into 4 band keys.
     *
-    * Shuffle-lean shape: ONE narrow groupBy(doc_id) computing all 16
-    * signature positions as independent `min` aggregates over the per-token
-    * hash array — one shuffle of |doc×token| rows, map-side combined —
-    * instead of exploding x16 and re-grouping twice. Signature strings are
-    * identical to the oracle's per-(doc,i) MIN(md5(i:tok)).
+    * ZERO-SHUFFLE shape: each signature position is `array_min(transform(
+    * tokens, md5(i:tok)))` — pure per-row codegen — instead of exploding
+    * tokens and re-grouping (which shuffles |doc×token| rows). Stateless
+    * per-row banding is also what makes the SAME computation legal in a
+    * streaming pipeline before a stateful operator (no aggregation). Empty
+    * docs are excluded, matching the explode form (they produce no token
+    * rows there). Signature strings are identical to the oracle's
+    * per-(doc,i) MIN(md5(i:tok)).
     */
   private[graft] def bandsOf(docs: DataFrame): DataFrame = minhashBands(docs)
 
+  private[graft] def minhashSignature(text: Column): Seq[Column] = {
+    val toks = array_distinct(tokens(text))
+    (0 to 15).map(i =>
+      array_min(transform(toks, t => md5(concat(lit(s"$i:"), t))))
+        .as(s"h$i"))
+  }
+
   private def minhashBands(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(tokens(col("text")))).as("tok"))
-    val sig = toks.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("tok")))).as("h0"),
-      (1 to 15).map(i =>
-        min(md5(concat(lit(s"$i:"), col("tok")))).as(s"h$i")): _*)
+    // Spread the per-row signature compute (and everything downstream that
+    // streams from this cache) across the cluster: the raw corpus scan may
+    // be a single input split, and a cached single-partition intermediate
+    // serializes both the md5 work and the band self-join expansion that
+    // broadcasts against it. One shuffle of the raw docs is trivial next to
+    // the 16 md5/token it unlocks parallelism for.
+    val sig = docs.repartition(col("doc_id"))
+      .filter(size(array_distinct(tokens(col("text")))) > 0)
+      .select(col("doc_id") +: minhashSignature(col("text")): _*)
     val bandCols = (0 to 3).map { b =>
       struct(lit(b).cast("long").as("band"),
         md5(concat_ws(",", (0 to 3).map(j => col(s"h${b * 4 + j}")): _*))
