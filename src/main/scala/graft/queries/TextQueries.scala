@@ -86,14 +86,11 @@ object TextQueries {
         .as(s"h$i"))
   }
 
-  private def minhashBands(docs: DataFrame): DataFrame = {
-    // Spread the per-row signature compute (and everything downstream that
-    // streams from this cache) across the cluster: the raw corpus scan may
-    // be a single input split, and a cached single-partition intermediate
-    // serializes both the md5 work and the band self-join expansion that
-    // broadcasts against it. One shuffle of the raw docs is trivial next to
-    // the 16 md5/token it unlocks parallelism for.
-    val sig = docs.repartition(col("doc_id"))
+  /** Uncached stateless banding — also legal on a STREAMING DataFrame (no
+    * aggregation before a stateful operator; see `StreamOps.lshOwnership`).
+    */
+  private[graft] def statelessBands(docs: DataFrame): DataFrame = {
+    val sig = docs
       .filter(size(array_distinct(tokens(col("text")))) > 0)
       .select(col("doc_id") +: minhashSignature(col("text")): _*)
     val bandCols = (0 to 3).map { b =>
@@ -101,14 +98,19 @@ object TextQueries {
         md5(concat_ws(",", (0 to 3).map(j => col(s"h${b * 4 + j}")): _*))
           .as("band_key"))
     }
-    // Cached at definition: five dedup queries consume this one intermediate
-    // (CacheManager dedups by plan, so they all hit a single materialization
-    // — the banding is ~4 rows/doc, tiny next to its md5×16 compute cost).
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-      .cache()
   }
+
+  private def minhashBands(docs: DataFrame): DataFrame =
+    // Repartition first: the raw corpus scan may be a single input split,
+    // and a cached single-partition intermediate serializes both the md5
+    // work and the band self-join expansion that broadcasts against it
+    // (measured: 8s single-task vs 1.5s parallel). Cached at definition:
+    // five dedup queries consume this one intermediate (CacheManager dedups
+    // by plan, so they all hit a single materialization).
+    statelessBands(docs.repartition(col("doc_id"))).cache()
 
   /** Exact Jaccard for an explicit candidate-pair set: per-doc sorted token
     * arrays are joined to the pairs (two hash joins keyed on doc id) and the

@@ -85,6 +85,47 @@ object StreamOps {
       }
   }
 
+  final case class BandRow(doc_id: Long, band: Long, band_key: String)
+  final case class BucketOwner(doc_id: Long, band: Long, band_key: String,
+                               owner: Long, is_dup: Boolean)
+
+  /** Stateless MinHash banding for a document stream (doc_id, text): pure
+    * per-row codegen — the property that makes LSH near-dup detection legal
+    * BEFORE a stateful operator (an aggregation-based signature would be
+    * disallowed / require its own state).
+    */
+  def streamingBands(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.statelessBands(docs)
+
+  /** Streaming near-dup detection: the first document to claim an LSH
+    * bucket owns it (state = owner doc_id per bucket, forever); every later
+    * document sharing the bucket is flagged against that owner. Within one
+    * trigger the smallest doc_id claims, so a single-batch replay equals
+    * the batch `dd_minhash_cluster` bucket-min assignment; across triggers
+    * the semantics are arrival-order — exactly what an incremental ingest
+    * pipeline wants (new near-dups of already-ingested docs are flagged,
+    * ingested docs never retroactively become dups).
+    *
+    * Scale: state is one long per distinct bucket key — O(corpus bands),
+    * the same asymptotics as the batch cluster assignment's shuffle key
+    * space; keys are hash-partitioned across executors by groupByKey.
+    */
+  def lshOwnership(ds: Dataset[BandRow])
+                  (implicit spark: SparkSession): Dataset[BucketOwner] = {
+    import spark.implicits._
+    ds.groupByKey(r => (r.band, r.band_key))
+      .flatMapGroupsWithState[Long, BucketOwner](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[BandRow],
+         state: GroupState[Long]) =>
+          val batch = rows.toArray.sortBy(_.doc_id)
+          val owner = state.getOption.getOrElse(batch.head.doc_id)
+          if (state.getOption.isEmpty) state.update(owner)
+          batch.iterator.map(r =>
+            BucketOwner(r.doc_id, key._1, key._2, owner, r.doc_id != owner))
+      }
+  }
+
   /** Stream-stream interval join: purchases matched to the views of the same
     * user within the preceding hour. Both sides carry watermarks so the state
     * store evicts rows once the interval can no longer match — bounded state,

@@ -162,4 +162,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedCounts.count() == batchCounts.count())
     assert(diff.isEmpty)
   }
+
+  test("streaming LSH near-dup: single batch equals batch bucket-min") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    val input = MemoryStream[StreamOps.BandRow]
+    val q = StreamOps.lshOwnership(input.toDS()).writeStream
+      .outputMode(OutputMode.Append).format("memory")
+      .queryName("lsh_own").start()
+    val bandRows = StreamOps.streamingBands(docs)
+      .as[StreamOps.BandRow].collect().toSeq
+    input.addData(bandRows)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch twin: owner of each bucket = min doc_id in the bucket
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key")
+    val expected = graft.queries.TextQueries.bandsOf(docs)
+      .withColumn("owner", min("doc_id").over(w))
+    val got = spark.table("lsh_own")
+    assert(got.count() == expected.count())
+    val diff = got.as("g")
+      .join(expected.as("e"), Seq("doc_id", "band", "band_key"))
+      .filter(col("g.owner") =!= col("e.owner"))
+    assert(diff.isEmpty)
+    // per-doc dup verdict: dup iff any bucket is owned by another doc —
+    // equals the batch dd_minhash_cluster is_dup flag
+    val streamDup = got.groupBy("doc_id")
+      .agg(max(col("is_dup")).as("is_dup"))
+    val batchDup = expected.groupBy("doc_id")
+      .agg((min(col("owner")) =!= first(col("doc_id"))).as("is_dup"))
+    val dupDiff = streamDup.as("sd").join(batchDup.as("bd"), "doc_id")
+      .filter(col("sd.is_dup") =!= col("bd.is_dup"))
+    assert(dupDiff.isEmpty)
+  }
+
+  test("streaming LSH near-dup: later arrivals flagged against first owner") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.BandRow]
+    val q = StreamOps.lshOwnership(input.toDS()).writeStream
+      .outputMode(OutputMode.Append).format("memory")
+      .queryName("lsh_own2").start()
+    // trigger 1: doc 10 claims bucket X; trigger 2: doc 3 (smaller id!)
+    // arrives in X and a fresh bucket Y
+    input.addData(StreamOps.BandRow(10L, 0L, "X"))
+    q.processAllAvailable()
+    input.addData(StreamOps.BandRow(3L, 0L, "X"),
+      StreamOps.BandRow(3L, 1L, "Y"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lsh_own2")
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    // arrival order wins: doc 10 stays owner of X, doc 3 is the dup there
+    assert(rows == Set(
+      (10L, "X", 10L, false),
+      (3L, "X", 10L, true),
+      (3L, "Y", 3L, false)))
+  }
 }
