@@ -22,38 +22,50 @@ import org.apache.spark.sql.types.StructType
   * per-statement `now()`, SURVEY §7).
   */
 final case class EtlContext(spark: SparkSession, warehouse: String,
-                            runTs: java.sql.Timestamp) {
+                            runTs: java.sql.Timestamp,
+                            txLog: Boolean = false) {
 
   val runTsCol: Column = lit(runTs)
 
   private def path(table: String): Path = Paths.get(warehouse, table)
 
-  def exists(table: String): Boolean = Files.exists(path(table))
+  private def tx(table: String): graft.sources.TxLogTable =
+    graft.sources.TxLogTable(spark, path(table).toString)
+
+  def exists(table: String): Boolean =
+    if (txLog) tx(table).latestVersion.isDefined
+    else Files.exists(path(table))
 
   /** Read a table; absent table → empty DataFrame with the declared schema
     * (DDL-bootstrap semantics: create-if-absent, reference main.py:26-29).
     */
   def read(table: String, schema: StructType): DataFrame =
-    if (exists(table))
+    if (txLog) tx(table).snapshot(schema)
+    else if (exists(table))
       spark.read.schema(schema).parquet(path(table).toString)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Atomic table replace: write to staging, then swap directories.
-    * `partitionCols` lays the table out hive-style (SURVEY §4: events
-    * partitioned by entity_type match every delete/filter predicate — at
-    * scale that is partition pruning plus dynamic-partition-overwrite-shaped
-    * slice replacement).
+  /** Atomic table replace. Default backend: write to staging, then swap
+    * directories — `partitionCols` lays the table out hive-style (SURVEY
+    * §4: events partitioned by entity_type match every delete/filter
+    * predicate — at scale that is partition pruning plus dynamic-partition-
+    * overwrite-shaped slice replacement). With `txLog = true` the replace
+    * is a transaction-log overwrite commit instead — safe on stores whose
+    * directory rename is not atomic; manifest file listing stands in for
+    * hive partition layout there (TxLogTable scaladoc).
     */
   def replace(table: String, df: DataFrame,
-              partitionCols: Seq[String] = Nil): Unit = {
-    val tmp = Paths.get(warehouse, s"_staging_$table")
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
-    deleteRecursive(path(table))
-    Files.move(tmp, path(table))
-  }
+              partitionCols: Seq[String] = Nil): Unit =
+    if (txLog) { tx(table).commit(df, overwrite = true); () }
+    else {
+      val tmp = Paths.get(warehouse, s"_staging_$table")
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+      deleteRecursive(path(table))
+      Files.move(tmp, path(table))
+    }
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))

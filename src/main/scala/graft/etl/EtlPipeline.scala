@@ -45,9 +45,9 @@ object EtlPipeline {
     * `/schedule/current-week` — scalar.
     */
   def runFromSource(spark: SparkSession, source: ApiSource,
-                    warehouse: String,
-                    runTs: java.sql.Timestamp): EtlContext = {
-    val ctx = EtlContext(spark, warehouse, runTs)
+                    warehouse: String, runTs: java.sql.Timestamp,
+                    txLog: Boolean = false): EtlContext = {
+    val ctx = EtlContext(spark, warehouse, runTs, txLog)
     import spark.implicits._
     def readArr(endpoint: String,
                 schema: org.apache.spark.sql.types.StructType) =
@@ -86,6 +86,7 @@ object EtlPipeline {
 
   /** Convenience: run against pre-staged JSON files in a directory. */
   def runFromDir(spark: SparkSession, inputDir: String,
-                 warehouse: String, runTs: java.sql.Timestamp): EtlContext =
-    runFromSource(spark, StagedDirSource(inputDir), warehouse, runTs)
+                 warehouse: String, runTs: java.sql.Timestamp,
+                 txLog: Boolean = false): EtlContext =
+    runFromSource(spark, StagedDirSource(inputDir), warehouse, runTs, txLog)
 }
