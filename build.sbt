@@ -13,7 +13,7 @@ Test / fork := true
 run / fork := true
 // The container locale is POSIX/C — without this scalac decodes UTF-8
 // sources with the platform charset and Cyrillic literals become mojibake.
-scalacOptions ++= Seq("-encoding", "utf8")
+scalacOptions ++= Seq("-deprecation", "-encoding", "utf8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,7 +40,7 @@ object Occupancy {
       .agg(array_sort(collect_set(col("entity_name"))).as("groups"),
         count(lit(1)).as("n_events"))
       .withColumn("day_name", ScheduleFlatten.dayNameCase(col("day_of_week")))
-      .select(Schemas.occupancyIndexTable.fieldNames.map(col): _*)
+      .select(Schemas.occupancyIndexTable.fieldNames.toIndexedSeq.map(col): _*)
 
     ctx.replace("occupancy_index", occupancy)
   }

@@ -95,7 +95,7 @@ object ScheduleFlatten {
         coalesce(col("subject_full"), lit("")),
         col("entity_name"),
         array_join(col("auditories"), " "))))
-      .select(Schemas.scheduleEventsTable.fieldNames.map(col): _*)
+      .select(Schemas.scheduleEventsTable.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** Shared lesson/exam field extraction (F3–F8, logic.py:336-385). */

@@ -70,6 +70,6 @@ object Upsert {
       .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
       // a using-column join hoists the keys to the front; restore the
       // table's declared column order
-      .select(current.columns.map(col): _*)
+      .select(current.columns.toIndexedSeq.map(col): _*)
       .unionByName(incoming)
 }
