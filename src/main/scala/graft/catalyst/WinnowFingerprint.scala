@@ -57,9 +57,17 @@ object WinnowFingerprintUtil {
   private val W = 4 // winnow window in hashes
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  // One digest per thread, reused across the O(len) k-grams of every doc —
+  // getInstance per k-gram costs a provider lookup + allocation that
+  // partially offsets the hash-once win this expression exists for.
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(UTF_8))
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(UTF_8))
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {

@@ -52,12 +52,16 @@ final case class EtlContext(spark: SparkSession, warehouse: String,
     * predicate — at scale that is partition pruning plus dynamic-partition-
     * overwrite-shaped slice replacement). With `txLog = true` the replace
     * is a transaction-log overwrite commit instead — safe on stores whose
-    * directory rename is not atomic; manifest file listing stands in for
-    * hive partition layout there (TxLogTable scaladoc).
+    * directory rename is not atomic; `partitionCols` is threaded into the
+    * commit, so the batch keeps its hive layout and snapshot reads recover
+    * the partition columns via basePath (TxLogTable scaladoc).
     */
   def replace(table: String, df: DataFrame,
               partitionCols: Seq[String] = Nil): Unit =
-    if (txLog) { tx(table).commit(df, overwrite = true); () }
+    if (txLog) {
+      tx(table).commit(df, overwrite = true, partitionCols = partitionCols)
+      ()
+    }
     else {
       val tmp = Paths.get(warehouse, s"_staging_$table")
       val w = df.write.mode("overwrite")

@@ -34,6 +34,25 @@ object LabelPropagation {
   def connectedComponents(edges: DataFrame, idCol: String,
                           bucketCols: Seq[String],
                           maxRounds: Int = 50): DataFrame = {
+    val (labels, converged, rounds) =
+      connectedComponentsWithStatus(edges, idCol, bucketCols, maxRounds)
+    if (!converged)
+      // Truncated output silently UNDER-MERGES clusters (the failure mode
+      // the fixed 3-round variant documents) — callers who can tolerate it
+      // should use connectedComponentsWithStatus and decide themselves.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"label propagation hit maxRounds=$maxRounds without converging " +
+          s"($rounds rounds run); labels may under-merge components")
+    labels
+  }
+
+  /** As [[connectedComponents]], but also reports whether the propagation
+    * reached its fixed point and how many rounds ran.
+    */
+  def connectedComponentsWithStatus(edges: DataFrame, idCol: String,
+                                    bucketCols: Seq[String],
+                                    maxRounds: Int = 50)
+      : (DataFrame, Boolean, Int) = {
     // Cached: every round re-reads the edge set. NOT unpersisted on exit —
     // Spark's CacheManager dedups cache entries by logical plan, so evicting
     // here would also evict a caller-shared cache of the same plan; the
@@ -57,6 +76,6 @@ object LabelPropagation {
       labels = next
       round += 1
     }
-    labels.select(col(idCol), col("lab").as("cluster_id"))
+    (labels.select(col(idCol), col("lab").as("cluster_id")), converged, round)
   }
 }

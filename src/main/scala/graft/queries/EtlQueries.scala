@@ -222,9 +222,12 @@ object EtlQueries {
     "p5_quarantine" ->
       """SELECT event_id,
            CASE WHEN event_id % 7 = 0 THEN NULL
-                ELSE CAST(json_extract_string(props, '$.k') AS INT)
+                ELSE TRY_CAST(json_extract_string(props, '$.k') AS INT)
            END AS k_val,
-           CASE WHEN event_id % 7 = 0 THEN 'unparseable json'
+           CASE WHEN event_id % 7 = 0
+                  OR TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                     IS NULL
+                THEN 'unparseable json'
                 ELSE 'ok' END AS status,
            TIMESTAMP '2024-06-01 00:00:00' AS loaded_at
          FROM events""",

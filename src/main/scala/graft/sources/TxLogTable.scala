@@ -41,11 +41,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   /** Committed versions, ascending; empty for a nonexistent table. */
   def versions: Seq[Int] =
     if (!Files.isDirectory(logDir)) Nil
-    else Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .toSeq.sorted
+    else scala.util.Using.resource(Files.list(logDir)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .toSeq.sorted
+    }
 
   def latestVersion: Option[Int] = versions.lastOption
 
@@ -63,7 +65,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else
+      // basePath makes Spark parse hive `k=v` segments between dataDir and
+      // each listed leaf file, restoring partition columns committed with
+      // `partitionCols`; batch-<uuid> segments are not k=v and are ignored.
+      spark.read.option("basePath", dataDir.toString)
+        .schema(schema).parquet(files: _*)
   }
 
   /** Commit `df` as the next version. `overwrite = false` appends: the new
@@ -71,17 +78,28 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * the committed version number.
     */
   def commit(df: DataFrame, overwrite: Boolean,
-             maxAttempts: Int = 10): Int = {
+             maxAttempts: Int = 10,
+             partitionCols: Seq[String] = Nil): Int = {
     Files.createDirectories(dataDir)
     Files.createDirectories(logDir)
     // stage immutable data files under a unique batch dir — invisible until
-    // a manifest references them
+    // a manifest references them. `partitionCols` lays the batch out
+    // hive-style under the batch dir (`batch-x/k=v/part-*.parquet`); the
+    // manifest records the partition-qualified relative paths, and
+    // `snapshot` pins `basePath` so readers recover the partition columns —
+    // partition pruning on the txLog backend matches the dirswap backend.
     val batch = "batch-" + java.util.UUID.randomUUID().toString
-    df.write.mode("overwrite").parquet(dataDir.resolve(batch).toString)
-    val staged = Files.walk(dataDir.resolve(batch)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(p => dataDir.relativize(p).toString)
-      .toSeq.sorted
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir.resolve(batch).toString)
+    val staged = scala.util.Using.resource(
+        Files.walk(dataDir.resolve(batch))) { s =>
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          Files.isRegularFile(p))
+        .map(p => dataDir.relativize(p).toString)
+        .toSeq.sorted
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
