@@ -32,17 +32,26 @@ object KMeans {
     var centroids = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
 
-    def assign(cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cluster"),
-          cosine(col("v"), col("cv")).as("cs"))
-        // argmax with lowest-id tie-break: max of (cs, -cluster)
-        .groupBy("vec_id")
-        .agg(max(struct(col("cs"), (-col("cluster")).as("negc"),
-          col("v").as("v"))).as("best"))
+    // Assignment is fully map-side: the k centroids collapse into ONE
+    // broadcast row holding an array of (cluster, cv) structs, and the
+    // argmax is array_max over per-row (cs, -cluster) structs — struct
+    // ordering compares cs first, then -cluster, i.e. lowest-id tie-break.
+    // The previous crossJoin + groupBy(vec_id) form shuffled n×k rows and
+    // carried the 64-dim vector through the aggregation buffer; this one
+    // shuffles NOTHING for assignment — at 100 TB the only per-iteration
+    // shuffle left is the (k × dim)-key centroid update.
+    def assign(cents: DataFrame): DataFrame = {
+      val centsRow = cents
+        .agg(collect_list(struct(col("cluster"), col("cv"))).as("cents"))
+      vecs.crossJoin(broadcast(centsRow))
+        .select(col("vec_id"), col("v"),
+          array_max(transform(col("cents"), c =>
+            struct(cosine(col("v"), c.getField("cv")).as("cs"),
+              (-c.getField("cluster")).as("negc")))).as("best"))
         .select(col("vec_id"),
           (-col("best.negc")).cast("int").as("cluster"),
-          col("best.cs").as("cos_sim"), col("best.v").as("v"))
+          col("best.cs").as("cos_sim"), col("v"))
+    }
 
     var assigned = assign(centroids)
     for (_ <- 2 to iterations) {
