@@ -49,6 +49,29 @@ object ScheduleFlatten {
   private def vgs(c: Column, field: String): Column =
     try_variant_get(c, s"$$.$field", "string")
 
+  /** F5 (reference logic.py:36-50): safe name extraction from a
+    * heterogeneous list. Dict items yield `strip(lastName + ' ' +
+    * firstName)` (`fio = true`) or `.name`, and are DROPPED when falsy;
+    * bare strings pass through unconditionally; every other type is
+    * dropped — note ints survive the auditory extractor (logic.py:23-34)
+    * but not this one. Type discrimination uses `schema_of_variant`, the
+    * Variant equivalent of Python's isinstance checks — a numeric STRING
+    * must still count as a string, so casting probes would misclassify.
+    */
+  def extractNamesSafe(items: Column, fio: Boolean = true): Column =
+    filter(
+      transform(items, i => {
+        val sch = schema_of_variant(i)
+        val dictVal =
+          if (fio) trim(concat_ws(" ",
+            coalesce(try_variant_get(i, "$.lastName", "string"), lit("")),
+            coalesce(try_variant_get(i, "$.firstName", "string"), lit(""))))
+          else try_variant_get(i, "$.name", "string")
+        when(sch.startsWith("OBJECT"), when(length(dictVal) > 0, dictVal))
+          .when(sch === "STRING", try_variant_get(i, "$", "string"))
+      }),
+      x => x.isNotNull)
+
   /** Flatten one corpus of raw schedule docs into `schedule_events` rows.
     *
     * @param raw columns: entity_name, entity_type, raw_json

@@ -103,6 +103,30 @@ object EtlQueries {
         lit("2024-06-01 00:00:00").cast(TimestampType).as("loaded_at"))
     }),
 
+    // F5 — safe employee-name extraction (logic.py:36-50,341): synthesized
+    // employee lists mix every branch — fio dict (lastName+firstName), a
+    // lastName-only dict (strip removes the dangling space), a bare string
+    // (kept), a bare int (dropped — unlike the auditory extractor), and a
+    // falsy dict (dropped). The REAL Variant machinery runs
+    // (parse_json → schema_of_variant typeof → per-field try_variant_get);
+    // the oracle computes the expected strings directly from the columns.
+    "f5_employee_names" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val emp1 = format_string(
+        "{\"lastName\":\"L%d\",\"firstName\":\"F%d\"}", k, k % 100)
+      val emp2 = when(k % 4 === 0,
+          format_string("{\"lastName\":\"Solo%d\"}", k))
+        .when(k % 4 === 1, format_string("\"Str%d\"", k))
+        .when(k % 4 === 2, lit("42"))
+        .otherwise(lit("{\"lastName\":\"\",\"firstName\":\"\"}"))
+      val arr = concat(lit("["), emp1, lit(","), emp2, lit("]"))
+      c.select(k.as("c_custkey"),
+        array_join(ScheduleFlatten.extractNamesSafe(
+          try_variant_get(parse_json(arr), "$", "array<variant>")), "|")
+          .as("employee_names"))
+    }),
+
     // E3 + F1/F3/F4/F7/F8 — lessons flatten: day-name map explode, unknown
     // day dropped, falsy subject → default, missing subjectFullName → subject,
     // malformed time → row dropped, [0]/[] weeks → default, heterogeneous
@@ -231,6 +255,17 @@ object EtlQueries {
                 ELSE 'ok' END AS status,
            TIMESTAMP '2024-06-01 00:00:00' AS loaded_at
          FROM events""",
+
+    "f5_employee_names" ->
+      """SELECT c_custkey,
+           'L' || CAST(c_custkey AS VARCHAR)
+             || ' F' || CAST(c_custkey % 100 AS VARCHAR)
+             || CASE WHEN c_custkey % 4 = 0
+                       THEN '|Solo' || CAST(c_custkey AS VARCHAR)
+                     WHEN c_custkey % 4 = 1
+                       THEN '|Str' || CAST(c_custkey AS VARCHAR)
+                     ELSE '' END AS employee_names
+         FROM customer""",
 
     "a7_count_writeback" ->
       """WITH f AS (
