@@ -284,12 +284,14 @@ object TextQueries {
       jaccardLshOf(t(s, dir, "documents"))),
 
     // Real BPE tokenization: merges learned from the corpus (distributed
-    // vocab aggregate, driver-side learn, broadcast apply). No portable SQL
-    // oracle (iterated data-dependent rewriting) — rows-only check; behavior
-    // pinned in BpeSpec incl. round-trip and compression properties.
+    // vocab aggregate, driver-side learn, broadcast apply). Hash-checked:
+    // the oracle unrolls all learn rounds into generated SQL (see
+    // bpeOracleSql) — the per-document encode needs no replay because
+    // greedy lowest-rank application to an in-vocab word equals that
+    // word's end-of-learning piece list.
     "tx_bpe_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = graft.functions.Bpe.learnFromCorpus(docs, "text", 30)
+      val model = graft.functions.Bpe.learnFromCorpus(docs, "text", BpeMerges)
       val enc = graft.functions.Bpe.encodeUdf(model)
       docs.select(col("doc_id"), enc(col("text")).as("pieces"))
         .select(col("doc_id"),
@@ -383,7 +385,79 @@ object TextQueries {
           .cast(LongType).as("simhash"))
     }))
 
+  private val BpeMerges = 30
+
+  /** One BPE learn round as three CTEs: weighted pair counts over the
+    * current vocabulary's piece lists, argmax by (count DESC, pair), and
+    * the left-to-right non-overlapping rewrite. The rewrite keeps every
+    * other position of each maximal run of consecutive match positions
+    * (runs only arise when a = b), which is exactly the greedy scan in
+    * `Bpe.learn`. MATERIALIZED is load-bearing: each round references the
+    * previous vocab twice, so inlined CTEs would expand 2^rounds subtrees.
+    */
+  private def bpeRoundCtes(i: Int): String =
+    s"""
+  pc$i AS MATERIALIZED (
+    SELECT pr[1] AS a, pr[2] AS b, SUM(c) AS cnt
+    FROM (SELECT c, unnest(list_transform(generate_series(1, len(p)-1),
+                     j -> [p[j], p[j+1]])) AS pr FROM v${i - 1})
+    GROUP BY 1, 2),
+  bs$i AS (SELECT a, b FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+  v$i AS MATERIALIZED (
+    SELECT w, c,
+      list_filter(
+        list_transform(p, (x,i) ->
+          CASE WHEN list_contains(kept, i) THEN x || p[i+1]
+               WHEN list_contains(kept, i-1) THEN NULL
+               ELSE x END),
+        x -> x IS NOT NULL) AS p
+    FROM (
+      SELECT w, c, p,
+        list_filter(m, (x,i) ->
+          (i - list_position(list_transform(m, (y,k) -> y - k), x - i)) % 2
+            = 0) AS kept
+      FROM (
+        SELECT w, c, p,
+          list_filter(generate_series(1, len(p)-1),
+            j -> p[j] = bs.a AND p[j+1] = bs.b) AS m
+        FROM v${i - 1}, bs$i AS bs)))"""
+
+  /** `tx_bpe_tokens` oracle: the `BpeMerges` learn rounds unrolled into
+    * generated SQL, the same trick the connected-components oracle uses for
+    * its LP rounds. No per-document encode loop is replayed: greedy
+    * lowest-rank merge application (`Bpe.Model.encodeWord`) to a word that
+    * is IN the vocabulary yields exactly that word's end-of-learning piece
+    * list — a merge creating token t always precedes any merge consuming t,
+    * so applying a merge never enables a lower-ranked one, making greedy
+    * and in-rank-order application coincide. The vocabulary here is the
+    * corpus vocabulary itself (cap mirrored from `Bpe.learnFromCorpus`),
+    * so every document token joins to its final pieces.
+    */
+  private def bpeOracleSql: String =
+    s"""WITH v0 AS MATERIALIZED (
+    SELECT w, c, list_transform(generate_series(1, length(w)),
+                                j -> w[j]) AS p
+    FROM (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest($SqlToks) AS w FROM documents)
+      GROUP BY w ORDER BY c DESC, w LIMIT 65536)),${
+      (1 to BpeMerges).map(bpeRoundCtes).mkString(",")},
+  dt AS (
+    SELECT doc_id, unnest(toks) AS w,
+           unnest(generate_series(1, len(toks))) AS ord
+    FROM (SELECT doc_id, $SqlToks AS toks FROM documents)),
+  enc AS (
+    SELECT dt.doc_id,
+           flatten(list(v.p ORDER BY dt.ord)) AS pieces
+    FROM dt JOIN v$BpeMerges v USING (w) GROUP BY dt.doc_id)
+  SELECT d.doc_id,
+         coalesce(array_to_string(e.pieces, '|'), '') AS bpe_pieces,
+         CAST(coalesce(len(e.pieces), 0) AS BIGINT) AS n_bpe_tokens
+  FROM documents d LEFT JOIN enc e USING (doc_id)"""
+
   val oracle: Map[String, String] = Map(
+
+    "tx_bpe_tokens" -> bpeOracleSql,
 
     "t1_tokenize" ->
       s"""SELECT doc_id,
