@@ -51,9 +51,21 @@ final case class TxLogTable(spark: SparkSession, root: String) {
 
   def latestVersion: Option[Int] = versions.lastOption
 
-  private def readManifest(v: Int): Seq[String] =
+  // Manifest format: lines starting with '#' are metadata (currently only
+  // `#partitionCols=a,b`), the rest are data-file paths relative to data/.
+  private def manifestLines(v: Int): Seq[String] =
     new String(Files.readAllBytes(manifestPath(v)), UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
+
+  private def readManifest(v: Int): Seq[String] =
+    manifestLines(v).filterNot(_.startsWith("#"))
+
+  /** The partition layout committed at `v` (empty = unpartitioned). */
+  def partitionColsOf(v: Int): Seq[String] =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#partitionCols=") =>
+        l.stripPrefix("#partitionCols=").split(",").toSeq.filter(_.nonEmpty) }
+      .getOrElse(Nil)
 
   /** Snapshot read of `version` (default: latest). Absent table or empty
     * manifest → empty DataFrame with the given schema (DDL bootstrap, S5).
@@ -66,9 +78,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      // basePath makes Spark parse hive `k=v` segments between dataDir and
+      // basePath makes Spark parse the hive `k=v` dirs between data/ and
       // each listed leaf file, restoring partition columns committed with
-      // `partitionCols`; batch-<uuid> segments are not k=v and are ignored.
+      // `partitionCols` (files sit directly in partition dirs — see commit).
       spark.read.option("basePath", dataDir.toString)
         .schema(schema).parquet(files: _*)
   }
@@ -76,40 +88,69 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   /** Commit `df` as the next version. `overwrite = false` appends: the new
     * manifest carries the previous version's files plus the delta. Returns
     * the committed version number.
+    *
+    * Partitioning is a TABLE property, as in hive-layout tables: an append
+    * must use the current version's `partitionCols` (mixed layouts under
+    * one `basePath` are unreadable — Spark's partition discovery rejects
+    * conflicting directory structures); an overwrite may change them.
     */
   def commit(df: DataFrame, overwrite: Boolean,
              maxAttempts: Int = 10,
              partitionCols: Seq[String] = Nil): Int = {
     Files.createDirectories(dataDir)
     Files.createDirectories(logDir)
-    // stage immutable data files under a unique batch dir — invisible until
-    // a manifest references them. `partitionCols` lays the batch out
-    // hive-style under the batch dir (`batch-x/k=v/part-*.parquet`); the
-    // manifest records the partition-qualified relative paths, and
-    // `snapshot` pins `basePath` so readers recover the partition columns —
-    // partition pruning on the txLog backend matches the dirswap backend.
+    // Stage to a scratch dir, then move each data file to its FINAL
+    // partition-dir location under data/ with a batch-unique name —
+    // invisible until a manifest references it. This is the Delta/Iceberg
+    // physical layout: `data/k=v/batch-x-part-*.parquet`, so every file of
+    // a version shares ONE partition root (`basePath` = data/) and Spark's
+    // partition discovery recovers the columns in a single scan. Keeping
+    // hive segments under per-batch subtrees instead is unreadable —
+    // discovery rejects k=v segments at differing roots as conflicting
+    // directory structures. A crash mid-move leaves only unreferenced
+    // files; the table is untouched.
     val batch = "batch-" + java.util.UUID.randomUUID().toString
+    val scratch = dataDir.resolve(batch + ".staging")
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dataDir.resolve(batch).toString)
-    val staged = scala.util.Using.resource(
-        Files.walk(dataDir.resolve(batch))) { s =>
+      .parquet(scratch.toString)
+    val stagedFiles = scala.util.Using.resource(Files.walk(scratch)) { s =>
       s.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") &&
           Files.isRegularFile(p))
-        .map(p => dataDir.relativize(p).toString)
-        .toSeq.sorted
+        .toSeq.sortBy(_.toString)
+    }
+    val staged = stagedFiles.map { p =>
+      val rel = scratch.relativize(p) // k=v/.../part-N.parquet or part-N.parquet
+      val dest =
+        if (rel.getParent == null) Paths.get(s"$batch-${rel.getFileName}")
+        else rel.getParent.resolve(s"$batch-${rel.getFileName}")
+      Files.createDirectories(dataDir.resolve(dest).getParent)
+      Files.move(p, dataDir.resolve(dest))
+      dest.toString
+    }
+    // scratch now holds only empty dirs and _SUCCESS markers
+    scala.util.Using.resource(Files.walk(scratch)) { s =>
+      s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
+      if (!overwrite) base.foreach { b =>
+        val cur = partitionColsOf(b)
+        require(cur == partitionCols,
+          s"append layout ${partitionCols.mkString(",")} does not match " +
+            s"table layout ${cur.mkString(",")} at $root v$b; " +
+            "overwrite to repartition the table")
+      }
       val carried =
         if (overwrite) Nil else base.map(readManifest).getOrElse(Nil)
       val next = base.getOrElse(-1) + 1
       try {
         // the atomic publish: create-if-absent of the version manifest
         Files.write(manifestPath(next),
-          (carried ++ staged).mkString("\n").getBytes(UTF_8),
+          (s"#partitionCols=${partitionCols.mkString(",")}" +:
+            (carried ++ staged)).mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {

@@ -58,6 +58,68 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(rows(t) == Set((1L, "a")))
   }
 
+  test("two writers racing many appends: distinct versions, no lost rows") {
+    val t = fresh()
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // each writer appends 8 single-row commits; every CREATE_NEW loss
+      // must re-resolve latest and carry the winner's files forward
+      def writer(tag: String) = Future {
+        (0 until 8).map(i =>
+          t.commit(Seq((i.toLong, s"$tag$i")).toDF("id", "v"),
+            overwrite = false))
+      }
+      val vs = Await.result(
+        Future.sequence(Seq(writer("a"), writer("b"))), 120.seconds).flatten
+      assert(vs.toSet.size == 16, "every commit got a distinct version")
+      assert(t.versions == (0 until 16), "versions are dense")
+      val expect = (0 until 8).flatMap(i =>
+        Seq((i.toLong, s"a$i"), (i.toLong, s"b$i"))).toSet
+      assert(rows(t) == expect, "no committed row was lost in a race")
+    } finally pool.shutdown()
+  }
+
+  test("partitioned commit keeps hive layout; snapshot recovers the column") {
+    val t = fresh()
+    val schemaP = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("k", StringType)))
+    t.commit(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "k"),
+      overwrite = true, partitionCols = Seq("k"))
+    // hive k=v segments exist under the batch dir
+    val leaves = scala.util.Using.resource(
+        Files.walk(Paths.get(t.root, "data"))) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.toString).toSeq
+    }
+    assert(leaves.exists(_.contains("k=x")) && leaves.exists(_.contains("k=y")))
+    // partition column recovered on read, in the caller's schema order
+    val snap = t.snapshot(schemaP)
+    assert(snap.columns.toSeq == Seq("id", "v", "k"))
+    assert(snap.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "a", "x"), (2L, "b", "y")))
+    // a partition predicate prunes to the matching slice
+    assert(snap.filter($"k" === "x").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+    // appends must keep the table's layout (mixed layouts under one
+    // basePath are unreadable); a matching append lands a new slice
+    assertThrows[IllegalArgumentException] {
+      t.commit(Seq((3L, "c", "z")).toDF("id", "v", "k"), overwrite = false)
+    }
+    t.commit(Seq((3L, "c", "z")).toDF("id", "v", "k"), overwrite = false,
+      partitionCols = Seq("k"))
+    assert(t.snapshot(schemaP).count() == 3)
+    assert(t.partitionColsOf(t.latestVersion.get) == Seq("k"))
+    // an overwrite may change the layout back to unpartitioned
+    t.commit(Seq((4L, "d", "w")).toDF("id", "v", "k"), overwrite = true)
+    assert(t.snapshot(schemaP).collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("losing the version race retries onto the next version") {
     val t = fresh()
     t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
