@@ -27,9 +27,11 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
-    for (k <- Seq(1, 10)) {
+    val what = if (args.isEmpty) Set("dedup", "txlog", "stream")
+               else args.toSet
+
+    if (what("dedup")) for (k <- Seq(1, 10)) {
       val docs = rep(k).cache(); docs.count()
-      val dir = s"memory-$k" // unused by the query bodies below
       // conv clusters over k× corpus
       time(s"cluster_conv x$k") {
         val bands = graft.queries.TextQueries.bandsOf(docs)
@@ -42,6 +44,53 @@ object ScaleProbe {
       }
       docs.unpersist(true)
       spark.sharedState.cacheManager.clearCache()
+    }
+
+    // tx-log backend: k partitioned appends, then snapshot + time travel.
+    // Commit cost must stay ~flat per commit (one delta write + one
+    // manifest rewrite); snapshot cost is one scan over the listed files.
+    if (what("txlog")) for (k <- Seq(10, 100)) {
+      val root = java.nio.file.Files.createTempDirectory("txprobe")
+        .resolve("t").toString
+      val t = graft.sources.TxLogTable(spark, root)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v STRING, part STRING")
+      time(s"txlog commits x$k") {
+        (0 until k).map { i =>
+          t.commit(spark.range(i * 10L, i * 10L + 10)
+              .selectExpr("id", "cast(id as string) as v",
+                s"'p${i % 4}' as part"),
+            overwrite = false, partitionCols = Seq("part"))
+        }.last.toLong
+      }
+      time(s"txlog snapshot x$k") { t.snapshot(schema).count() }
+      time(s"txlog timetravel x$k") { t.snapshot(schema, Some(k / 2)).count() }
+    }
+
+    // streaming LSH bucket-ownership over a k× corpus, fed as a file
+    // stream in multiple microbatches; state is one long per bucket.
+    if (what("stream")) for (k <- Seq(1, 10)) {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val bandsDir = java.nio.file.Files.createTempDirectory("bandsprobe")
+        .toString
+      graft.queries.TextQueries
+        .statelessBands(rep(k).repartition(col("doc_id")))
+        .write.mode("overwrite").parquet(bandsDir)
+      time(s"stream lsh_ownership x$k") {
+        val src = spark.readStream
+          .schema("doc_id BIGINT, band BIGINT, band_key STRING")
+          .option("maxFilesPerTrigger", "8")
+          .parquet(bandsDir)
+        val q = graft.streaming.StreamOps
+          .lshOwnership(src.as[graft.streaming.StreamOps.BandRow])
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("memory").queryName(s"probe_own_$k")
+          .start()
+        q.processAllAvailable(); q.stop()
+        spark.table(s"probe_own_$k").count()
+      }
     }
     spark.stop()
   }
