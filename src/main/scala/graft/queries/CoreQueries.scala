@@ -274,6 +274,41 @@ object CoreQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // The SQL front-end over the EP3 flagship shape: the SAME double
+    // lateral explode + broadcast dim join + grouped distinct-set agg as
+    // occupancy_index, expressed end-to-end in spark.sql over registered
+    // views — the engine-user surface for the hardest operator shape, not
+    // just the simple-join sql_interface. Catalyst compiles it to the same
+    // plan family (LATERAL VIEW explode = generate, AQE broadcasts the
+    // small distinct-rooms side).
+    "sql_occupancy" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("v_part")
+      s.sql("""
+        WITH p AS (
+          SELECT p_name, p_brand, p_retailprice,
+            CASE WHEN p_size % 5 > 0
+                 THEN sequence(CAST(1 AS BIGINT), CAST(p_size % 5 AS BIGINT))
+                 ELSE array(CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                            CAST(3 AS BIGINT), CAST(4 AS BIGINT))
+            END AS weeks
+          FROM v_part),
+        rooms AS (
+          SELECT DISTINCT room
+          FROM v_part LATERAL VIEW explode(split(p_name, ' ')) AS room
+          WHERE length(room) > 4),
+        e AS (
+          SELECT p_brand, week, room
+          FROM p
+          LATERAL VIEW explode(weeks) AS week
+          LATERAL VIEW explode(split(p_name, ' ')) AS room
+          WHERE p_retailprice > 901)
+        SELECT e.room, e.week,
+               array_join(array_sort(collect_set(p_brand)), '|') AS brands,
+               COUNT(*) AS n_events
+        FROM e JOIN rooms ON e.room = rooms.room
+        GROUP BY e.room, e.week""")
+    }),
+
     // F1/F2 — day-number↔name CASE mapping over epoch-nanos timestamps.
     "f_case_map" -> ((s, dir) => {
       val dayNames = Seq("Понедельник", "Вторник", "Среда", "Четверг",
@@ -699,6 +734,28 @@ object CoreQueries {
          FROM customer WHERE c_custkey % 4 = 0""",
 
     "occupancy_index" ->
+      """WITH w AS (
+           SELECT p_partkey, p_brand, p_name,
+             CASE WHEN p_size % 5 > 0 THEN generate_series(1, p_size % 5)
+                  ELSE [1, 2, 3, 4] END AS weeks
+           FROM part WHERE p_retailprice > 901),
+         e1 AS (SELECT p_partkey, p_brand, p_name,
+                       CAST(unnest(weeks) AS BIGINT) AS week FROM w),
+         e2 AS (SELECT p_partkey, p_brand, week,
+                       unnest(string_split(p_name, ' ')) AS room FROM e1),
+         rooms AS (
+           SELECT DISTINCT room FROM
+             (SELECT unnest(string_split(p_name, ' ')) AS room FROM part)
+           WHERE length(room) > 4)
+         SELECT e2.room AS room, week,
+                array_to_string(list_sort(list(DISTINCT p_brand)), '|') AS brands,
+                COUNT(*) AS n_events
+         FROM e2 JOIN rooms ON e2.room = rooms.room
+         GROUP BY 1, 2""",
+
+    // Same expected result as occupancy_index: the SQL front-end must agree
+    // with the DataFrame form AND the independent oracle.
+    "sql_occupancy" ->
       """WITH w AS (
            SELECT p_partkey, p_brand, p_name,
              CASE WHEN p_size % 5 > 0 THEN generate_series(1, p_size % 5)
