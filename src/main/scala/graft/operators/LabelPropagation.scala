@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Min-label propagation to a FIXED POINT over a bipartite node–bucket graph
@@ -9,13 +10,25 @@ import org.apache.spark.sql.functions._
   * replay it; an unconverged propagation silently under-merges clusters, so
   * the production path must iterate until labels stop changing).
   *
-  * Each round is two shuffles keyed on bucket / node: bucket-min of its
-  * members' labels, then node-min over its buckets. Labels decrease
-  * monotonically toward each component's minimum node id, so rounds needed =
-  * the bucket-graph diameter. Per-round `localCheckpoint` truncates the
-  * lineage (an iterative plan would otherwise grow unboundedly and
-  * re-execute prior rounds), and the convergence probe is a cheap
-  * existence check, not a full count.
+  * Each round is join → window-min over the bucket → groupBy-min over the
+  * node: the window gives every edge row its bucket's minimum label in ONE
+  * bucket-keyed shuffle, where the equivalent groupBy form would need a
+  * second full join of the edges against the bucket minima (two edge-sized
+  * shuffles and four stages per round instead of two and three). The node
+  * join itself is exchange-free: cached edges and checkpointed labels are
+  * both hash-partitioned on the node id (groupBy output partitioning
+  * survives `localCheckpoint`). Labels decrease monotonically toward each
+  * component's minimum node id, so rounds needed = the bucket-graph
+  * diameter. Per-round `localCheckpoint` truncates the lineage (an
+  * iterative plan would otherwise grow unboundedly and re-execute prior
+  * rounds), and the convergence probe is a filter over the checkpointed
+  * round output — the previous label rides through the aggregation (all of
+  * a node's edge rows carry the same one), so no probe join is needed.
+  *
+  * Skew note: the window buffers each bucket's rows; a pathological bucket
+  * (one giant duplicate cluster) spills via UnsafeExternalSorter rather
+  * than failing. If a corpus is dominated by such buckets, the two-phase
+  * agg+join form with its map-side partial min is the fallback shape.
   *
   * 100 TB: identical shape to the large-graph connected-components algorithms
   * used for web-scale dedup — state is O(nodes), each round O(edges) shuffle,
@@ -63,17 +76,16 @@ object LabelPropagation {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val bucketMin = e.join(labels, idCol)
-        .groupBy(bucketCols.map(col): _*)
-        .agg(min("lab").as("bucket_lab"))
-      val next = e.join(bucketMin, bucketCols)
+      val next = e.join(labels, idCol)
+        .withColumn("bucket_lab",
+          min("lab").over(Window.partitionBy(bucketCols.map(col): _*)))
         .groupBy(col(idCol))
-        .agg(min("bucket_lab").as("lab")).localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("lab", "prev"), idCol)
-        .filter(col("lab") =!= col("prev"))
-        .isEmpty
-      labels = next
+        // min("lab") = the node's previous label (identical on all its edge
+        // rows), carried through so convergence is a filter, not a join
+        .agg(min("bucket_lab").as("lab"), min("lab").as("prev"))
+        .localCheckpoint()
+      converged = next.filter(col("lab") =!= col("prev")).isEmpty
+      labels = next.select(col(idCol), col("lab"))
       round += 1
     }
     (labels.select(col(idCol), col("lab").as("cluster_id")), converged, round)

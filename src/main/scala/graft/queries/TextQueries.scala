@@ -359,21 +359,21 @@ object TextQueries {
 
     // Transitive duplicate clusters: 3 rounds of min-label propagation
     // through LSH buckets — connects chains (a~b, b~c => {a,b,c}) that the
-    // single-step bucket-min assignment cannot. Each round is one
-    // join+groupBy keyed on the bucket; round count is fixed so an SQL
-    // oracle can replay it (3 rounds closes paths of length 2^3 bucket hops,
-    // enough for this corpus; at scale you iterate to a convergence check).
+    // single-step bucket-min assignment cannot. Each round is join →
+    // bucket-keyed window-min → node groupBy (one edge-sized shuffle, vs
+    // two for the agg+join form — see LabelPropagation's scaladoc); round
+    // count is fixed so an SQL oracle can replay it (3 rounds closes paths
+    // of length 2^3 bucket hops, enough for this corpus; at scale you
+    // iterate to a convergence check — dd_minhash_cluster_conv).
     "dd_minhash_cluster_cc" -> ((s, dir) => {
       val bands = minhashBands(t(s, dir, "documents"))
+      val wb = Window.partitionBy("band", "band_key")
       var labels = bands.select(col("doc_id")).distinct()
         .withColumn("lab", col("doc_id"))
       for (_ <- 1 to 3) {
-        val bucketMin = bands
-          .join(labels, "doc_id")
-          .groupBy("band", "band_key")
-          .agg(min("lab").as("bucket_lab"))
         labels = bands
-          .join(bucketMin, Seq("band", "band_key"))
+          .join(labels, "doc_id")
+          .withColumn("bucket_lab", min("lab").over(wb))
           .groupBy("doc_id")
           .agg(min("bucket_lab").as("lab"))
       }
