@@ -125,12 +125,18 @@ object TextQueries {
     * arrays are joined to the pairs (two hash joins keyed on doc id) and the
     * intersection is computed per pair inside codegen. Cost is O(|pairs|) —
     * the point of candidate pre-filtering — instead of O(shared tokens).
+    *
+    * The arrays are built per-row (`sort_array(array_distinct(tokens))`, pure
+    * codegen, zero shuffle) — the earlier explode+groupBy form shuffled
+    * |doc×token| rows just to reassemble what each row already had. Empty
+    * docs keep an empty array here where the grouped form dropped them; no
+    * output difference because banding excludes them from every pair.
     */
-  private def exactJaccardOnPairs(toksd: DataFrame,
+  private def exactJaccardOnPairs(docs: DataFrame,
                                   pairs: DataFrame): DataFrame = {
-    val arrs = toksd.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tok"))).as("toks"),
-        count(lit(1)).as("n"))
+    val arrs = docs.select(col("doc_id"),
+        sort_array(array_distinct(tokens(col("text")))).as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
     pairs
       .join(arrs.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
         col("n").as("na")), "doc_a")
@@ -160,9 +166,7 @@ object TextQueries {
         col("source") === col("source_b") &&
         col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val toksd = d.select(col("doc_id"),
-      explode(array_distinct(tokens(col("text")))).as("tok"))
-    exactJaccardOnPairs(toksd, cand).filter(col("jaccard") >= 0.5)
+    exactJaccardOnPairs(d, cand).filter(col("jaccard") >= 0.5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

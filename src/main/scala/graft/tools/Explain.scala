@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: prints `.explain("formatted")` for the named SparkEntry
+  * queries (all of them if none named) — the dev loop for checking pushdown,
+  * broadcast choice, and exchange count before/after a rewrite.
+  *
+  * Usage: runMain graft.tools.Explain [sfDir] [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+        println(s"\n========== $name ==========")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable =>
+          println(s"[explain] $name failed: ${e.getMessage}")
+        }
+      }
+    spark.stop()
+  }
+}
