@@ -40,15 +40,24 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // First-job JVM warm-up (whole-stage-codegen compiler init, scheduler,
+    // JIT) — a trivial job absorbs it so warmup_sec measures the shared
+    // artifacts' own build cost, not Spark session initialization.
+    spark.range(1000).selectExpr("md5(cast(id as string)) m")
+      .agg("m" -> "max").collect()
     // shared-artifact warm-up, charged separately (see scaladoc)
     val w0 = System.nanoTime()
     try {
       graft.queries.TextQueries
         .bandsOf(graft.sources.Tables(spark, sfDir, "documents")).count()
+      val w1 = System.nanoTime()
+      System.err.println(f"[bench] warmup banding ${(w1 - w0) / 1e9}%.2f s")
       implicit val sp: SparkSession = spark
       val (a, c) = graft.operators.KMeans
         .fit(graft.sources.Tables(spark, sfDir, "embeddings"), 8, 2)
       a.cache().count(); c.cache().count()
+      System.err.println(
+        f"[bench] warmup kmeans ${(System.nanoTime() - w1) / 1e9}%.2f s")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
