@@ -105,6 +105,34 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, p.toString)
   }
 
+  test("cc: one edge shuffle per propagation round, labels broadcast") {
+    val p = plan("dd_minhash_cluster_cc")
+    // window-min round shape: each of the 3 rounds = BroadcastHashJoin
+    // (labels are O(nodes)) + Window over the bucket key — never a
+    // sort-merge self-join of the edges against aggregated bucket minima
+    assert(!p.toString.contains("SortMergeJoin"), p)
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 3, p)
+    val windows = "\\bWindow\\b".r.findAllIn(p.toString).size
+    assert(windows >= 3, s"expected a window-min per round\n$p")
+    // per round: one bucket-keyed exchange + one node-keyed agg exchange;
+    // +1 for the initial label distinct (banding's exchange hides in the
+    // shared InMemoryRelation)
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 7, s"unexpected shuffle count ${shuffles.size}\n$p")
+  }
+
+  test("jaccard_lsh: pair verification never shuffles the candidate stream") {
+    val p = plan("dd_jaccard_lsh")
+    // the per-doc token arrays are a narrow per-row projection of the
+    // corpus, broadcast onto the pair stream — candidates flow from the
+    // distinct straight through two broadcast hash joins
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 2, p)
+    // exchanges: the band-keyed candidate self-join pair + the pair
+    // distinct; the old explode+groupBy array rebuild added two more
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 3, s"unexpected shuffle count ${shuffles.size}\n$p")
+  }
+
   test("sim_cosine_brute: query vector broadcast, no shuffle of embeddings") {
     val p = plan("sim_cosine_brute")
     val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
