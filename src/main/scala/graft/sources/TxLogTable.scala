@@ -6,6 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Minimal transaction-log table format — the commit protocol behind the
@@ -83,6 +84,89 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       // `partitionCols` (files sit directly in partition dirs — see commit).
       spark.read.option("basePath", dataDir.toString)
         .schema(schema).parquet(files: _*)
+  }
+
+  /** Rows ADDED in versions `(fromV, toV]`, each tagged with the
+    * `_commit_version` that introduced them — the change feed consumers use
+    * to process a table incrementally instead of re-scanning the snapshot
+    * (at 100 TB the difference between reading the day's delta and the
+    * whole table). Append-only semantics: data files are immutable and a
+    * version's delta is exactly the manifest's new file set, so the feed
+    * costs one manifest diff per version and reads only delta files. An
+    * overwrite commit contributes its full new file set (a re-materialized
+    * table IS all-new rows); rows it dropped are not represented — document
+    * consumers should treat overwrite boundaries as a reset, as append-only
+    * CDC contracts do.
+    */
+  def changesBetween(schema: StructType, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"changesBetween($fromV, $toV)")
+    val present = versions.toSet
+    val deltas = (fromV + 1 to toV).filter(present).flatMap { v =>
+      val prev = if (present(v - 1)) readManifest(v - 1).toSet
+                 else Set.empty[String]
+      val added = readManifest(v).filterNot(prev)
+        .map(rel => dataDir.resolve(rel).toString)
+      if (added.isEmpty) None
+      else Some(
+        spark.read.option("basePath", dataDir.toString)
+          .schema(schema).parquet(added: _*)
+          .withColumn("_commit_version", lit(v.toLong)))
+    }
+    deltas.reduceOption(_.unionByName(_)).getOrElse {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      empty.withColumn("_commit_version", lit(0L)).limit(0)
+    }
+  }
+
+  /** Data files referenced by `version` (default latest) — the small-file
+    * metric `compact` exists to control. */
+  def fileCount(version: Option[Int] = None): Int =
+    version.orElse(latestVersion).map(readManifest(_).size).getOrElse(0)
+
+  /** Rewrite the current snapshot into `numFiles` files per partition value
+    * (one overwrite commit, table layout preserved) — the answer to the
+    * small-file problem O(delta) appends accumulate: a year of hourly
+    * commits leaves ~10k tiny files whose per-file open/footer cost comes
+    * to dominate scans. Readers are never blocked: data files are
+    * immutable, the swap is the usual atomic manifest publish, and prior
+    * versions (and the change feed before the compaction point) stay
+    * readable until `vacuum`.
+    */
+  def compact(schema: StructType, numFiles: Int = 1): Int = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"compact of empty table: $root"))
+    val cols = partitionColsOf(v)
+    val snap = snapshot(schema)
+    val packed =
+      if (cols.isEmpty) snap.repartition(numFiles)
+      else snap.repartition(numFiles, cols.map(col): _*)
+    commit(packed, overwrite = true, partitionCols = cols)
+  }
+
+  /** Garbage-collect history: keep the newest `keep` versions, delete older
+    * manifests and every data file no surviving manifest references.
+    * Returns (manifests deleted, data files deleted). Like any tx-log GC
+    * this is an administrative operation — run it when no writer is racing
+    * a commit against the versions being dropped, and no reader holds a
+    * snapshot older than `keep`.
+    */
+  def vacuum(keep: Int = 1): (Int, Int) = {
+    require(keep >= 1, "vacuum must keep at least the latest version")
+    val vs = versions
+    val drop = vs.dropRight(keep)
+    val referenced = vs.takeRight(keep).flatMap(readManifest).toSet
+    drop.foreach(v => Files.delete(manifestPath(v)))
+    val dead = scala.util.Using.resource(Files.walk(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          Files.isRegularFile(p))
+        .map(p => dataDir.relativize(p).toString)
+        .filterNot(referenced)
+        .toSeq
+    }
+    dead.foreach(f => Files.delete(dataDir.resolve(f)))
+    (drop.size, dead.size)
   }
 
   /** Commit `df` as the next version. `overwrite = false` appends: the new

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface — the north-star incremental-refresh
@@ -146,6 +146,54 @@ object StreamOps {
          view_time >= purchase_time - interval 1 hour"""))
       .select("event_id", "user_id", "purchase_time", "view_time",
         "view_value")
+  }
+
+  /** Streaming keyed merge into a transaction-log table: each microbatch is
+    * applied with delete-then-insert semantics (U8 — every current row whose
+    * key appears in the batch is replaced wholesale) and published as ONE
+    * tx-log version via the atomic manifest commit, so readers always see a
+    * batch boundary, never a half-applied batch — the standard production
+    * shape for maintaining a continuously-updated dimension from a stream
+    * (Structured Streaming's own sinks are append/complete only; keyed
+    * merge needs foreachBatch + a table format, which is exactly what
+    * Delta's streaming MERGE does).
+    *
+    * Restart safety: foreachBatch can replay the last batch after a crash;
+    * the merge is idempotent per batch (same keys → same resulting rows),
+    * so a replay costs one redundant version, not duplicated data. Scale:
+    * per trigger this is one key-shuffled anti-join of snapshot × delta
+    * (AQE broadcasts small deltas) and an O(delta+table) rewrite — at
+    * 100 TB, partition the table on the merge key's prefix so the rewrite
+    * touches only affected partitions.
+    *
+    * @return the running query; stop it (or `processAllAvailable`) from the
+    *         caller.
+    */
+  def upsertIntoTxLog(updates: DataFrame, table: graft.sources.TxLogTable,
+                      keys: Seq[String],
+                      checkpointDir: String): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(updates.schema
+      .filterNot(f => f.name.startsWith("_")))
+    updates.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a key can repeat within one batch; resolve to the greatest row
+        // (struct ordering over the non-key columns) — content-determined,
+        // unlike dropDuplicates' partition-order-dependent "first"
+        val others = batch.columns.filterNot(keys.contains).toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(struct(others.map(col): _*).desc)
+        val resolved = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val current = table.snapshot(schema)
+        val merged = graft.operators.Upsert
+          .deleteInsert(current, resolved, keys)
+        table.commit(merged, overwrite = true)
+        ()
+      }
+      .start()
   }
 
   /** Convenience: run any of the above on a parquet directory as a stream

@@ -120,6 +120,69 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(t.snapshot(schemaP).collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("change feed: per-version deltas, overwrite contributes its new set") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)       // v0
+    t.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)      // v1
+    t.commit(Seq((3L, "c")).toDF("id", "v"), overwrite = false)      // v2
+    def feed(from: Int, to: Int): Set[(Long, String, Long)] =
+      t.changesBetween(schema, from, to).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // (from, to] window; appends contribute exactly their delta files
+    assert(feed(-1, 0) == Set((1L, "a", 0L)))
+    assert(feed(0, 2) == Set((2L, "b", 1L), (3L, "c", 2L)))
+    assert(feed(1, 1) == Set.empty)
+    // an overwrite's delta is its whole new file set (a reset boundary)
+    t.commit(Seq((9L, "z")).toDF("id", "v"), overwrite = true)       // v3
+    assert(feed(2, 3) == Set((9L, "z", 3L)))
+    // empty window → empty frame, schema + _commit_version preserved
+    val empty = t.changesBetween(schema, 3, 3)
+    assert(empty.isEmpty &&
+      empty.columns.toSeq == Seq("id", "v", "_commit_version"))
+  }
+
+  test("compact packs files; snapshot, layout and history survive; vacuum GCs") {
+    val t = fresh()
+    (0 until 6).foreach(i =>
+      t.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"),
+        overwrite = i == 0))
+    val before = t.fileCount()
+    assert(before >= 6, s"expected one file per append, got $before")
+    val expect = (0 until 6).map(i => (i.toLong, s"r$i")).toSet
+    val vCompact = t.compact(schema, numFiles = 1)
+    assert(t.fileCount() == 1 && rows(t) == expect)
+    // pre-compaction versions still time-travelable
+    assert(rows(t, Some(vCompact - 1)) == expect)
+    assert(t.fileCount(Some(vCompact - 1)) == before)
+    // one more append on top of the compacted base
+    t.commit(Seq((6L, "r6")).toDF("id", "v"), overwrite = false)
+    assert(rows(t) == expect + ((6L, "r6")) && t.fileCount() == 2)
+    // vacuum: only the latest survives; its files intact, the rest gone
+    val (manifests, files) = t.vacuum(keep = 1)
+    assert(manifests == vCompact + 1 && files >= 6)
+    assert(t.versions == Seq(vCompact + 1))
+    assert(rows(t) == expect + ((6L, "r6")))
+  }
+
+  test("compact preserves a partitioned table's hive layout") {
+    val t = fresh()
+    val schemaP = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("k", StringType)))
+    (0 until 4).foreach(i =>
+      t.commit(Seq((i.toLong, s"r$i", if (i % 2 == 0) "x" else "y"))
+        .toDF("id", "v", "k"),
+        overwrite = i == 0, partitionCols = Seq("k")))
+    val v = t.compact(schemaP, numFiles = 1)
+    assert(t.partitionColsOf(v) == Seq("k"))
+    // one file per partition value after packing
+    assert(t.fileCount() == 2)
+    val snap = t.snapshot(schemaP)
+    assert(snap.filter($"k" === "x").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 2L))
+    assert(snap.count() == 4)
+  }
+
   test("losing the version race retries onto the next version") {
     val t = fresh()
     t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)

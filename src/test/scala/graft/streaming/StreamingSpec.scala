@@ -202,6 +202,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupDiff.isEmpty)
   }
 
+  test("streaming keyed merge into tx-log: one version per batch, U8 result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val t = graft.sources.TxLogTable(spark,
+      Files.createTempDirectory("txsink").resolve("t").toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val ckpt = Files.createTempDirectory("txsink-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.upsertIntoTxLog(
+      input.toDF().toDF("id", "v"), t, Seq("id"), ckpt)
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    // batch 2 updates key 2, inserts key 3 twice — the greater row wins
+    // deterministically, independent of arrival partition order
+    input.addData((2L, "b2"), (3L, "c0"), (3L, "c9"))
+    q.processAllAvailable()
+    q.stop()
+    def rows(v: Option[Int]) = t.snapshot(schema, v).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(None) == Set((1L, "a"), (2L, "b2"), (3L, "c9")))
+    // each microbatch published exactly one version; the first batch's
+    // state is still time-travelable
+    assert(t.versions == Seq(0, 1))
+    assert(rows(Some(0)) == Set((1L, "a"), (2L, "b")))
+  }
+
   test("streaming LSH near-dup: later arrivals flagged against first owner") {
     import spark.implicits._
     implicit val s = spark
