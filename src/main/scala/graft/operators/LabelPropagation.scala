@@ -61,11 +61,23 @@ object LabelPropagation {
 
   /** As [[connectedComponents]], but also reports whether the propagation
     * reached its fixed point and how many rounds ran.
+    *
+    * `checkpointEvery` batches rounds between materializations: the
+    * intermediate rounds stay lazy, so one job executes the whole block —
+    * half the jobs, checkpoint writes and convergence probes at the default
+    * of 2. Correctness is cadence-independent because one unchanged round
+    * proves the fixed point (labels are monotone), and the probe always
+    * compares the block's LAST round against its input — the only cost of
+    * a larger block is up to `checkpointEvery - 1` redundant (idempotent)
+    * rounds after convergence, against which each block's plan is
+    * `checkpointEvery` windows deep.
     */
   def connectedComponentsWithStatus(edges: DataFrame, idCol: String,
                                     bucketCols: Seq[String],
-                                    maxRounds: Int = 50)
+                                    maxRounds: Int = 50,
+                                    checkpointEvery: Int = 2)
       : (DataFrame, Boolean, Int) = {
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     // Cached: every round re-reads the edge set. NOT unpersisted on exit —
     // Spark's CacheManager dedups cache entries by logical plan, so evicting
     // here would also evict a caller-shared cache of the same plan; the
@@ -76,17 +88,23 @@ object LabelPropagation {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = e.join(labels, idCol)
-        .withColumn("bucket_lab",
-          min("lab").over(Window.partitionBy(bucketCols.map(col): _*)))
-        .groupBy(col(idCol))
-        // min("lab") = the node's previous label (identical on all its edge
-        // rows), carried through so convergence is a filter, not a join
-        .agg(min("bucket_lab").as("lab"), min("lab").as("prev"))
-        .localCheckpoint()
-      converged = next.filter(col("lab") =!= col("prev")).isEmpty
-      labels = next.select(col(idCol), col("lab"))
-      round += 1
+      val steps = math.min(checkpointEvery, maxRounds - round)
+      var cur = labels
+      for (_ <- 1 to steps) {
+        cur = e.join(cur, idCol)
+          .withColumn("bucket_lab",
+            min("lab").over(Window.partitionBy(bucketCols.map(col): _*)))
+          .groupBy(col(idCol))
+          // min("lab") = the node's label entering this round (identical on
+          // all its edge rows), carried so convergence is a filter, not a
+          // join; only the block's last `prev` survives to the probe
+          .agg(min("bucket_lab").as("lab"), min("lab").as("prev"))
+          .select(col(idCol), col("lab"), col("prev"))
+      }
+      val ck = cur.localCheckpoint()
+      converged = ck.filter(col("lab") =!= col("prev")).isEmpty
+      labels = ck.select(col(idCol), col("lab"))
+      round += steps
     }
     (labels.select(col(idCol), col("lab").as("cluster_id")), converged, round)
   }
