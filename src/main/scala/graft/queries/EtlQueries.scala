@@ -35,6 +35,26 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Incremental aggregate maintenance (operators.IncrementalAgg — the
+    // consumption pattern for TxLogTable.changesBetween): the events table
+    // arrives as three deltas (event_id mod 3) folded one at a time into a
+    // maintained per-user aggregate; the oracle is the plain one-shot
+    // groupBy, so the fold ⊕ recompute equivalence is hash-checked. Sums
+    // accumulate in DECIMAL so the three-chunk fold is bit-equal to the
+    // single pass (the doubles-shuffle-order rule, see CoreQueries.dsum).
+    "inc_agg_refresh" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      val aggOf = (d: DataFrame) => d.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      val folded = (0L until 3L).foldLeft(aggOf(ev).limit(0))((acc, i) =>
+        graft.operators.IncrementalAgg.applyDelta(
+          acc, ev.filter(col("event_id") % 3 === i),
+          Seq("user_id"), Seq("n", "total"), aggOf))
+      folded.select(col("user_id"), col("n"),
+        col("total").cast(DoubleType).as("total"))
+    }),
+
     // U2–U4/U6 — upsert where the on-conflict update-set excludes an
     // insert-only column: c_mktsegment is written at insert but frozen on
     // conflict (the reference's education_form / url_id / building_number
@@ -218,6 +238,11 @@ object EtlQueries {
   private def lexOf(parts: String) = TextQueries.sqlLexemesOf(parts)
 
   val oracle: Map[String, String] = Map(
+
+    "inc_agg_refresh" ->
+      """SELECT user_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM events GROUP BY user_id""",
 
     "u3_insert_only_column" ->
       """WITH inc AS (

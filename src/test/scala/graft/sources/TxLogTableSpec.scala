@@ -183,6 +183,59 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(snap.count() == 4)
   }
 
+  test("incremental aggregate maintained from the change feed = recompute") {
+    import org.apache.spark.sql.functions._
+    val src = fresh()
+    val aggSchema = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType),
+      StructField("total", LongType)))
+    val result = fresh()
+    var processed = -1
+    def refresh(): Unit = {
+      val to = src.latestVersion.get
+      val delta = src.changesBetween(schema, processed, to)
+      val next = graft.operators.IncrementalAgg.applyDelta(
+        result.snapshot(aggSchema), delta, Seq("id"), Seq("n", "total"),
+        d => d.groupBy("id").agg(count(lit(1)).as("n"),
+          sum(length($"v")).cast("long").as("total")))
+      result.commit(next, overwrite = true)
+      processed = to
+    }
+    // three append batches, refresh after each; keys repeat across batches
+    src.commit(Seq((1L, "aa"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    refresh()
+    src.commit(Seq((1L, "ccc"), (3L, "d")).toDF("id", "v"), overwrite = false)
+    refresh()
+    src.commit(Seq((3L, "ee"), (3L, "f")).toDF("id", "v"), overwrite = false)
+    refresh()
+    val got = result.snapshot(aggSchema).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full recompute over the source snapshot
+    val expect = src.snapshot(schema).groupBy("id")
+      .agg(count(lit(1)).as("n"), sum(length($"v")).cast("long").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got == Set((1L, 2L, 5L), (2L, 1L, 1L), (3L, 3L, 4L)))
+    // each refresh read only its delta and republished the small result —
+    // the source was never rescanned (3 refreshes = 3 result versions)
+    assert(result.versions == Seq(0, 1, 2))
+  }
+
+  test("additive schema evolution: old files read nulls for new columns") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    val wide = StructType(schema.fields :+ StructField("extra", LongType))
+    // widened read over the old file: new column is null
+    val v0 = t.snapshot(wide).collect()
+    assert(v0.map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a")))
+    assert(v0.forall(_.isNullAt(2)))
+    // append carries the new column; the mixed snapshot fills nulls
+    t.commit(Seq((2L, "b", 7L)).toDF("id", "v", "extra"), overwrite = false)
+    val rows2 = t.snapshot(wide).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows2 == Set((1L, -1L), (2L, 7L)))
+  }
+
   test("losing the version race retries onto the next version") {
     val t = fresh()
     t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
