@@ -28,6 +28,7 @@ object KMeans {
   /** @return (assignments: vec_id, cluster, cos_sim; centroids: cluster, v) */
   def fit(emb: DataFrame, k: Int, iterations: Int)
          (implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    graft.catalyst.CosineSim.register(spark)
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     var centroids = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))

@@ -21,8 +21,12 @@ import graft.sources.Tables
   */
 object SimQueries {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    // every query here reads through t, so the native cosine is always
+    // registered before analysis resolves call_function("cosine_sim", ...)
+    graft.catalyst.CosineSim.register(s)
     Tables(s, dir, n)
+  }
 
   private val Dim = 64
 
