@@ -55,7 +55,10 @@ object Bench {
       implicit val sp: SparkSession = spark
       val (a, c) = graft.operators.KMeans
         .fit(graft.sources.Tables(spark, sfDir, "embeddings"), 8, 2)
-      a.cache().count(); c.cache().count()
+      // centroids FIRST: their plan is a subtree of the assignment's, so
+      // the cached centroid chain is reused when materializing `a` —
+      // the reverse order executes that chain twice
+      c.cache().count(); a.cache().count()
       System.err.println(
         f"[bench] warmup kmeans ${(System.nanoTime() - w1) / 1e9}%.2f s")
     } catch { case e: Throwable =>
