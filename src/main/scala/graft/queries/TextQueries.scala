@@ -94,6 +94,18 @@ object TextQueries {
     * probability 1-(1-s^rowsPer)^nBands, so 8×2 banding catches far more
     * mid-similarity pairs than 4×4 (at s=0.5: 92% vs 23%) at the cost of
     * coarser bands proposing more false candidates to verify.
+    *
+    * Measured-and-REJECTED (round 3): a native one-pass `minhash_sig`
+    * Catalyst expression fusing the 16 interpreted `array_min(transform)`
+    * trees (single tokenization, 16 running minima). Value-identical and
+    * structurally cleaner, but BandAB showed no win (0.81–0.88 s vs
+    * 0.75–1.10 s warm at sf0.1) — the 16 md5 digests per distinct token
+    * dwarf HOF dispatch and re-tokenization at any document length, so the
+    * fusion saves nothing. Contrast `catalyst.CosineSim`, adopted on the
+    * same day's measurements: there the per-element work is a bare FP
+    * multiply-add, interpretation overhead WAS the bottleneck, and the
+    * native loop halved its query. Promotion to a native expression pays
+    * iff per-element work is cheap relative to lambda dispatch.
     */
   private[graft] def statelessBands(docs: DataFrame, nBands: Int = 4,
                                     rowsPer: Int = 4): DataFrame = {
