@@ -31,6 +31,7 @@ object IncrementalAgg {
   def applyDelta(current: DataFrame, delta: DataFrame, keys: Seq[String],
                  sumCols: Seq[String],
                  deltaAgg: DataFrame => DataFrame): DataFrame = {
+    require(sumCols.nonEmpty, "applyDelta needs at least one measure column")
     val d = deltaAgg(delta).select((keys ++ sumCols).map(col): _*)
     current.select((keys ++ sumCols).map(col): _*)
       .unionByName(d)

@@ -153,6 +153,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def vacuum(keep: Int = 1): (Int, Int) = {
     require(keep >= 1, "vacuum must keep at least the latest version")
+    if (!Files.isDirectory(dataDir)) return (0, 0) // never-written table
     val vs = versions
     val drop = vs.dropRight(keep)
     val referenced = vs.takeRight(keep).flatMap(readManifest).toSet
