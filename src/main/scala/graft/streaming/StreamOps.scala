@@ -190,7 +190,11 @@ object StreamOps {
         val current = table.snapshot(schema)
         val merged = graft.operators.Upsert
           .deleteInsert(current, resolved, keys)
-        table.commit(merged, overwrite = true)
+        // preserve the table's partition layout across merge rewrites —
+        // an overwrite with Nil would silently flatten a partitioned table
+        val layout = table.latestVersion
+          .map(table.partitionColsOf).getOrElse(Nil)
+        table.commit(merged, overwrite = true, partitionCols = layout)
         ()
       }
       .start()

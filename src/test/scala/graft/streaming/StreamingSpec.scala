@@ -230,6 +230,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(Some(0)) == Set((1L, "a"), (2L, "b")))
   }
 
+  test("streaming merge preserves a partitioned table's layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val t = graft.sources.TxLogTable(spark,
+      Files.createTempDirectory("txsinkp").resolve("t").toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("k", StringType)))
+    t.commit(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "k"),
+      overwrite = true, partitionCols = Seq("k"))
+    val ckpt = Files.createTempDirectory("txsinkp-ckpt").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.upsertIntoTxLog(
+      input.toDF().toDF("id", "v", "k"), t, Seq("id"), ckpt)
+    input.addData((2L, "b2", "y"), (3L, "c", "x"))
+    q.processAllAvailable()
+    q.stop()
+    assert(t.partitionColsOf(t.latestVersion.get) == Seq("k"))
+    val snap = t.snapshot(schema)
+    assert(snap.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(snap.filter($"k" === "x").count() == 2)
+  }
+
   test("streaming LSH near-dup: later arrivals flagged against first owner") {
     import spark.implicits._
     implicit val s = spark
