@@ -71,8 +71,36 @@ final case class EtlContext(spark: SparkSession, warehouse: String,
       Files.move(tmp, path(table))
     }
 
+  /** Table maintenance (tx-log backend only) — the operational surface of
+    * the underlying [[graft.sources.TxLogTable]]: incremental change feed,
+    * small-file compaction, history GC, and the version cursor feeds are
+    * driven from.
+    */
+  def latestVersion(table: String): Option[Int] = {
+    require(txLog, s"latestVersion($table) requires the txLog backend")
+    tx(table).latestVersion
+  }
+
+  def changesBetween(table: String, schema: StructType,
+                     fromV: Int, toV: Int): DataFrame = {
+    require(txLog, s"changesBetween($table) requires the txLog backend")
+    tx(table).changesBetween(schema, fromV, toV)
+  }
+
+  def compact(table: String, schema: StructType, numFiles: Int = 1): Int = {
+    require(txLog, s"compact($table) requires the txLog backend")
+    tx(table).compact(schema, numFiles)
+  }
+
+  def vacuum(table: String, keep: Int = 1): (Int, Int) = {
+    require(txLog, s"vacuum($table) requires the txLog backend")
+    tx(table).vacuum(keep)
+  }
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(p)) { s =>
+        s.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+      }
 }
