@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Model-based property test for the transaction-log table: a random
+  * interleaving of append / overwrite / compact / vacuum must agree with a
+  * trivial in-memory model at every step — current snapshot (multiset),
+  * surviving version ids, and time travel to every surviving version.
+  * The hand-written TxLogTableSpec covers each operation's contract; this
+  * covers their COMPOSITIONS (compact-then-append, vacuum-after-compact,
+  * overwrite-after-vacuum, ...) far beyond the enumerated matrix.
+  */
+class TxLogPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private sealed trait Op
+  private case class Append(rows: List[(Long, String)]) extends Op
+  private case class Overwrite(rows: List[(Long, String)]) extends Op
+  private case object Compact extends Op
+  private case class Vacuum(keep: Int) extends Op
+
+  private val rowsGen: Gen[List[(Long, String)]] =
+    Gen.resize(3, Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 5L)
+      s <- Gen.oneOf("a", "b", "c")
+    } yield (id, s)))
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    4 -> rowsGen.map(Append),
+    2 -> rowsGen.map(Overwrite),
+    1 -> Gen.const(Compact),
+    1 -> Gen.choose(1, 3).map(Vacuum))
+
+  // first op must create the table
+  private val programGen: Gen[List[Op]] = for {
+    head <- rowsGen.map(Overwrite)
+    tail <- Gen.resize(9, Gen.listOf(opGen))
+  } yield head :: tail
+
+  private def forAllSeeded[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default.withSize(9), Seed(1000L + i)))
+    }
+
+  private def snapRows(t: TxLogTable, v: Option[Int]): List[(Long, String)] =
+    t.snapshot(schema, v).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList.sorted
+
+  test("random op interleavings agree with the in-memory model") {
+    forAllSeeded(programGen, n = 6) { program =>
+      val t = TxLogTable(spark,
+        Files.createTempDirectory("txprop").resolve("t").toString)
+      // model: per committed version, the visible multiset of rows
+      var history = Map.empty[Int, List[(Long, String)]]
+      var live = List.empty[Int] // surviving (non-vacuumed) versions, asc
+      program.foreach { op =>
+        op match {
+          case Append(rows) =>
+            val base = live.lastOption.map(history).getOrElse(Nil)
+            val v = t.commit(rows.toDF("id", "v"), overwrite = false)
+            history += v -> (base ++ rows); live :+= v
+          case Overwrite(rows) =>
+            val v = t.commit(rows.toDF("id", "v"), overwrite = true)
+            history += v -> rows; live :+= v
+          case Compact =>
+            val v = t.compact(schema, numFiles = 1)
+            history += v -> live.lastOption.map(history).getOrElse(Nil)
+            live :+= v
+            assert(t.fileCount() == 1, s"compact left ${t.fileCount()} files")
+          case Vacuum(keep) =>
+            t.vacuum(keep)
+            live = live.takeRight(keep)
+        }
+        assert(t.versions == live, s"after $op")
+        // snapshot + time travel to every surviving version match the model
+        live.foreach { v =>
+          assert(snapRows(t, Some(v)) == history(v).sorted,
+            s"version $v after $op")
+        }
+      }
+    }
+  }
+}
