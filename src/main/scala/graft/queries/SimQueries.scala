@@ -58,6 +58,29 @@ object SimQueries {
         .limit(10)
     }),
 
+    // Batch ANN — top-k neighbors for EACH of several query vectors at
+    // once, the realistic serving shape (a query batch, not one probe).
+    // Scale: q queries broadcast as one small build side, n×q cosines
+    // computed map-side, and the per-query top-k goes through
+    // WindowGroupLimit — each task keeps only its local top-5 per query
+    // BEFORE the exchange, so the shuffle carries O(q·k·tasks) rows, never
+    // n×q (the a7 PlanSpec gate proves the same mechanism).
+    "sim_topk_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val qs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id")) // a vector is not its own hit
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("v"), col("qv")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .drop("rn")
+    }),
+
     // Sign-LSH bucketing — integer-exact bucket assignment + occupancy.
     "sim_lsh_bucket" -> ((s, dir) => {
       val w = Window.partitionBy("bucket")
@@ -191,6 +214,23 @@ object SimQueries {
              sqrt(${sqlDot("qv", "qv")})) AS cos_sim
           FROM embeddings CROSS JOIN q
           ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "sim_topk_batch" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 4),
+          scored AS (
+            SELECT q_id, vec_id,
+              ${sqlDot("embedding", "qv")} /
+              (sqrt(${sqlDot("embedding", "embedding")}) *
+               sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+            FROM embeddings CROSS JOIN q
+            WHERE vec_id <> q_id),
+          ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+              row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM scored)
+          SELECT q_id, vec_id, cos_sim FROM ranked WHERE rn <= 5""",
 
     "sim_lsh_bucket" ->
       """WITH b AS (

@@ -133,6 +133,16 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.size <= 3, s"unexpected shuffle count ${shuffles.size}\n$p")
   }
 
+  test("sim_topk_batch: queries broadcast; per-query top-k limited map-side") {
+    val p = plan("sim_topk_batch")
+    assert(p.toString.contains("WindowGroupLimit"), p.toString)
+    assert(!p.toString.contains("SortMergeJoin"), p)
+    // the scan side never shuffles before the rank limit: the only
+    // exchange carries each task's surviving top-5-per-query rows
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"unexpected shuffle count ${shuffles.size}\n$p")
+  }
+
   test("sim_cosine_brute: query vector broadcast, no shuffle of embeddings") {
     val p = plan("sim_cosine_brute")
     val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
