@@ -98,5 +98,22 @@ class TxLogPipelineSpec extends AnyFunSuite {
     // and the current version reflects run 2 (Вторник replaced Понедельник)
     val cur = rowsTx("schedule_events", Schemas.scheduleEventsTable)
     assert(cur != run1Events && cur.exists(_.contains("Физика")))
+
+    // context-level maintenance surface: the change feed sees run 2's
+    // overwrite as a reset boundary carrying the new state; compact packs
+    // the table without changing it; vacuum leaves only the latest version
+    val ctx = EtlContext(spark, whTx, ts("2026-02-01 00:00:00"), txLog = true)
+    val latest = ctx.latestVersion("schedule_events").get
+    val feed = ctx.changesBetween("schedule_events",
+      Schemas.scheduleEventsTable, latest - 1, latest)
+    assert(feed.columns.contains("_commit_version"))
+    assert(norm(feed, Schemas.scheduleEventsTable) == cur)
+    ctx.compact("schedule_events", Schemas.scheduleEventsTable)
+    assert(rowsTx("schedule_events", Schemas.scheduleEventsTable) == cur)
+    val (droppedManifests, droppedFiles) = ctx.vacuum("schedule_events")
+    assert(droppedManifests >= 2 && droppedFiles > 0)
+    assert(ctx.latestVersion("schedule_events").toSeq ==
+      TxLogTable(spark, s"$whTx/schedule_events").versions)
+    assert(rowsTx("schedule_events", Schemas.scheduleEventsTable) == cur)
   }
 }
