@@ -215,6 +215,25 @@ object TextQueries {
           langId(col("text")).as("lang_pred"))),
 
     // Token counting — whitespace tokens + BPE-ish subword proxy.
+    // Deterministic train/val/test split — the reproducibility staple of a
+    // training-data pipeline: the split is a pure function of a stable key
+    // (hash of doc_id + salt, NEVER Math.random), so any engine reproduces
+    // the same assignment, late-arriving docs don't reshuffle earlier ones,
+    // and the fractions hold per `source` stratum by hash uniformity.
+    // Scale: per-row codegen, zero shuffle, split is a partition-pruning
+    // column when written out.
+    "tx_split" -> ((s, dir) => {
+      val bucket = (conv(substring(md5(
+        concat(lit("split:"), col("doc_id").cast(StringType))), 1, 6),
+        16, 10).cast(LongType) % 100).as("bucket")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), bucket)
+        .select(col("doc_id"), col("source"),
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+    }),
+
     "tx_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -609,6 +628,17 @@ object TextQueries {
                  ELSE 'de' END AS lang_pred
           FROM best"""
     },
+
+    "tx_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 CAST('0x' || substring(
+                   md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                   AS BIGINT) % 100 AS b
+               FROM documents)""",
 
     "tx_token_count" ->
       s"""SELECT doc_id,
