@@ -58,6 +58,24 @@ object SimQueries {
         .limit(10)
     }),
 
+    // The ANN top-k through the SQL front-end: the registered native
+    // cosine_sim drives a plain spark.sql query over a temp view — the
+    // engine-user surface (registry + SQL) reaches the custom expressions,
+    // not just the Column API. Same plan, same oracle shape as
+    // sim_cosine_topk.
+    "sql_ann" -> ((s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("v_embeddings")
+      s.sql("""
+        WITH e AS (SELECT vec_id,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM v_embeddings),
+             q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT e.vec_id, cosine_sim(e.v, q.qv) AS cos_sim
+        FROM e CROSS JOIN q
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10""")
+    }),
+
     // Batch ANN — top-k neighbors for EACH of several query vectors at
     // once, the realistic serving shape (a query batch, not one probe).
     // Scale: q queries broadcast as one small build side, n×q cosines
@@ -207,6 +225,15 @@ object SimQueries {
           FROM embeddings CROSS JOIN q""",
 
     "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id,
+            ${sqlDot("embedding", "qv")} /
+            (sqrt(${sqlDot("embedding", "embedding")}) *
+             sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+          FROM embeddings CROSS JOIN q
+          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "sql_ann" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
           SELECT vec_id,
             ${sqlDot("embedding", "qv")} /
