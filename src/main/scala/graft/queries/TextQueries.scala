@@ -146,6 +146,11 @@ object TextQueries {
     */
   private def exactJaccardOnPairs(docs: DataFrame,
                                   pairs: DataFrame): DataFrame = {
+    // per-pair intersection via the native two-pointer merge count — the
+    // arrays are sorted+distinct by construction, and array_intersect's
+    // per-call hash set was the dominant verify cost (see the expression's
+    // scaladoc and the A/B in its commit)
+    graft.catalyst.SortedIntersectCount.register(docs.sparkSession)
     val arrs = docs.select(col("doc_id"),
         sort_array(array_distinct(tokens(col("text")))).as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
@@ -154,7 +159,8 @@ object TextQueries {
         col("n").as("na")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
         col("n").as("nb")), "doc_b")
-      .withColumn("c", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("c", graft.catalyst.SortedIntersectCount
+        .sortedIntersectCount(col("ta"), col("tb")))
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
           .as("jaccard"))
@@ -288,7 +294,7 @@ object TextQueries {
     // intersection via shared-token join, union by inclusion–exclusion.
     //
     // Measured alternatives at sf0.1 (97%-near-dup corpus, ~314k output
-    // pairs), both REJECTED:
+    // pairs), all REJECTED:
     //  - AllPairs/PPJoin-style prefix filtering (rarest-first token order,
     //    candidate join on the first floor(n/2)+1 tokens, exact verify):
     //    8.2s vs 4.4s. Pruning buys nothing when candidates ≈ true pairs —
@@ -296,6 +302,13 @@ object TextQueries {
     //    the df ranking + per-pair verify is pure overhead.
     //  - array_intersect on pre-grouped token arrays per pair: 4× slower
     //    (per-call hash allocation dominates).
+    //  - round 3 revisit of that rejection after `sorted_intersect_count`
+    //    removed the per-pair allocation (it DID halve dd_jaccard_lsh's
+    //    verify): still no win here — 4.25 s vs 4.09 s. The all-pairs form
+    //    verifies 4× more candidates than the LSH gate, and assembling two
+    //    ~50-element string arrays per joined row costs what the hash set
+    //    used to; worse, its broadcast of whole blocks cannot scale. The
+    //    token join stays.
     // The direct join materializes the intersection mass once (11.2M rows at
     // sf0.1) with no per-pair setup — where output pairs are a large
     // fraction of candidates this is the optimum; where they are NOT
