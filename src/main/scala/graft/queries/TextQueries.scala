@@ -405,6 +405,33 @@ object TextQueries {
         .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
     }),
 
+    // Survivor selection — the second half of dedup a training pipeline
+    // actually needs: within each near-dup cluster keep the HIGHEST-QUALITY
+    // copy, not the arbitrary lowest id (near-dups differ — a truncated or
+    // mangled variant can carry the lower doc_id). Composition of the
+    // cluster assignment and the quality scorer; deterministic because the
+    // rounded quality is engine-reproducible (tx_quality's oracle) and ties
+    // break on doc_id. Scale: same shuffles as dd_minhash_cluster plus one
+    // cluster-keyed window.
+    "dd_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bands = minhashBands(docs)
+      val wb = Window.partitionBy("band", "band_key")
+      val clusters = bands
+        .withColumn("bucket_min", min("doc_id").over(wb))
+        .groupBy("doc_id")
+        .agg(min("bucket_min").as("cluster_id"))
+      val scored = docs.select(col("doc_id"),
+        qualityScore(col("text")).as("quality"))
+      val wc = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      clusters.join(scored, "doc_id")
+        .withColumn("keep_id", first("doc_id").over(wc))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          col("keep_id"), (col("doc_id") =!= col("keep_id")).as("is_pruned"))
+    }),
+
     // Transitive duplicate clusters: 3 rounds of min-label propagation
     // through LSH buckets — connects chains (a~b, b~c => {a,b,c}) that the
     // single-step bucket-min assignment cannot. Each round is join →
@@ -745,6 +772,48 @@ object TextQueries {
           SELECT doc_id, MIN(bucket_min) AS canonical_id,
                  doc_id <> MIN(bucket_min) AS is_dup
           FROM bmin GROUP BY doc_id""",
+
+    "dd_keep_best" ->
+      s"""WITH toks AS (
+            SELECT DISTINCT doc_id, unnest($SqlToks) AS tok FROM documents),
+          hs AS (
+            SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS minh
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+            GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   md5(string_agg(minh, ',' ORDER BY i)) AS band_key
+            FROM hs GROUP BY 1, 2),
+          bmin AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY band, band_key) AS bucket_min
+            FROM bands),
+          clusters AS (
+            SELECT doc_id, MIN(bucket_min) AS cluster_id
+            FROM bmin GROUP BY doc_id),
+          q AS (
+            SELECT doc_id,
+              round(
+                least(CAST(length(text) AS BIGINT) / 200.0, 1.0) * 0.3 +
+                (CASE WHEN len($SqlToks) > 0
+                       AND CAST(length(text) AS DOUBLE) / len($SqlToks) >= 3
+                       AND CAST(length(text) AS DOUBLE) / len($SqlToks) <= 10
+                      THEN 1.0 ELSE 0.5 END) * 0.3 +
+                (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+                             AS DOUBLE) / length(text)
+                      ELSE 0.0 END) * 0.4, 6) AS quality
+            FROM documents)
+          SELECT c.doc_id, c.cluster_id, q.quality,
+            FIRST_VALUE(c.doc_id) OVER (PARTITION BY cluster_id
+              ORDER BY quality DESC, c.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS keep_id,
+            c.doc_id <> FIRST_VALUE(c.doc_id) OVER (PARTITION BY cluster_id
+              ORDER BY quality DESC, c.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS is_pruned
+          FROM clusters c JOIN q ON c.doc_id = q.doc_id""",
 
     "dd_minhash_cluster_cc" ->
       s"""WITH toks AS (
