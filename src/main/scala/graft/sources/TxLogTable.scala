@@ -81,9 +81,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     else
       // basePath makes Spark parse the hive `k=v` dirs between data/ and
       // each listed leaf file, restoring partition columns committed with
-      // `partitionCols` (files sit directly in partition dirs — see commit).
+      // `partitionCols` (files sit directly in partition dirs — see
+      // commit). Discovery appends partition columns after the data
+      // columns; the select makes the CALLER's declared order
+      // authoritative wherever the partition column sits in it.
       spark.read.option("basePath", dataDir.toString)
         .schema(schema).parquet(files: _*)
+        .select(schema.fieldNames.map(col): _*)
   }
 
   /** Rows ADDED in versions `(fromV, toV]`, each tagged with the
@@ -179,21 +183,19 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * one `basePath` are unreadable — Spark's partition discovery rejects
     * conflicting directory structures); an overwrite may change them.
     */
-  def commit(df: DataFrame, overwrite: Boolean,
-             maxAttempts: Int = 10,
-             partitionCols: Seq[String] = Nil): Int = {
+  // Stage to a scratch dir, then move each data file to its FINAL
+  // partition-dir location under data/ with a batch-unique name —
+  // invisible until a manifest references it. This is the Delta/Iceberg
+  // physical layout: `data/k=v/batch-x-part-*.parquet`, so every file of
+  // a version shares ONE partition root (`basePath` = data/) and Spark's
+  // partition discovery recovers the columns in a single scan. Keeping
+  // hive segments under per-batch subtrees instead is unreadable —
+  // discovery rejects k=v segments at differing roots as conflicting
+  // directory structures. A crash mid-move leaves only unreferenced
+  // files; the table is untouched.
+  private def stage(df: DataFrame, partitionCols: Seq[String]): Seq[String] = {
     Files.createDirectories(dataDir)
     Files.createDirectories(logDir)
-    // Stage to a scratch dir, then move each data file to its FINAL
-    // partition-dir location under data/ with a batch-unique name —
-    // invisible until a manifest references it. This is the Delta/Iceberg
-    // physical layout: `data/k=v/batch-x-part-*.parquet`, so every file of
-    // a version shares ONE partition root (`basePath` = data/) and Spark's
-    // partition discovery recovers the columns in a single scan. Keeping
-    // hive segments under per-batch subtrees instead is unreadable —
-    // discovery rejects k=v segments at differing roots as conflicting
-    // directory structures. A crash mid-move leaves only unreferenced
-    // files; the table is untouched.
     val batch = "batch-" + java.util.UUID.randomUUID().toString
     val scratch = dataDir.resolve(batch + ".staging")
     val w = df.write.mode("overwrite")
@@ -218,6 +220,61 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     scala.util.Using.resource(Files.walk(scratch)) { s =>
       s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+    staged
+  }
+
+  /** Dynamic-partition-overwrite commit: replace exactly the partitions
+    * `df` writes into, carry every other partition's files untouched —
+    * Spark's `partitionOverwriteMode=dynamic` semantics expressed as a
+    * manifest diff. At 100 TB this is the difference between a keyed merge
+    * rewriting the whole table (`commit(overwrite = true)`) and rewriting
+    * only the hour's / tenant's partitions: O(affected partitions) write
+    * amplification, with the untouched bulk of the table never read,
+    * never rewritten, and still snapshot-isolated behind the same atomic
+    * manifest publish.
+    */
+  def commitDynamic(df: DataFrame, partitionCols: Seq[String],
+                    maxAttempts: Int = 10): Int = {
+    require(partitionCols.nonEmpty,
+      "commitDynamic needs partition columns; use commit() otherwise")
+    val staged = stage(df, partitionCols)
+    // the replaced partitions are exactly the hive dirs this batch wrote
+    val replacedDirs = staged.map { f =>
+      val p = Paths.get(f)
+      // drop the batch-unique file name, keep `k=v[/k2=v2...]/`
+      p.getParent.toString + "/"
+    }.distinct
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      base.foreach { b =>
+        val cur = partitionColsOf(b)
+        require(cur == partitionCols,
+          s"dynamic overwrite layout ${partitionCols.mkString(",")} does " +
+            s"not match table layout ${cur.mkString(",")} at $root v$b")
+      }
+      val carried = base.map(readManifest).getOrElse(Nil)
+        .filterNot(f => replacedDirs.exists(f.startsWith))
+      val next = base.getOrElse(-1) + 1
+      try {
+        Files.write(manifestPath(next),
+          (s"#partitionCols=${partitionCols.mkString(",")}" +:
+            (carried ++ staged)).mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race — re-resolve latest and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"commitDynamic lost the version race $maxAttempts times: $root")
+  }
+
+  def commit(df: DataFrame, overwrite: Boolean,
+             maxAttempts: Int = 10,
+             partitionCols: Seq[String] = Nil): Int = {
+    val staged = stage(df, partitionCols)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion

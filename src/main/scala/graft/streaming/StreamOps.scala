@@ -162,9 +162,14 @@ object StreamOps {
     * the merge is idempotent per batch (same keys → same resulting rows),
     * so a replay costs one redundant version, not duplicated data. Scale:
     * per trigger this is one key-shuffled anti-join of snapshot × delta
-    * (AQE broadcasts small deltas) and an O(delta+table) rewrite — at
-    * 100 TB, partition the table on the merge key's prefix so the rewrite
-    * touches only affected partitions.
+    * (AQE broadcasts small deltas). When the table's partition columns are
+    * a SUBSET of the merge keys, each key pins its partition, so the merge
+    * reads and rewrites ONLY the partitions present in the batch
+    * (`TxLogTable.commitDynamic` — partition pruning on the read side,
+    * dynamic partition overwrite on the write side; the untouched bulk of
+    * the table is carried by manifest reference). Otherwise a key's row
+    * could move between partitions and the merge falls back to the full
+    * O(delta+table) rewrite.
     *
     * @return the running query; stop it (or `processAllAvailable`) from the
     *         caller.
@@ -187,14 +192,24 @@ object StreamOps {
           .orderBy(struct(others.map(col): _*).desc)
         val resolved = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val current = table.snapshot(schema)
-        val merged = graft.operators.Upsert
-          .deleteInsert(current, resolved, keys)
         // preserve the table's partition layout across merge rewrites —
         // an overwrite with Nil would silently flatten a partitioned table
         val layout = table.latestVersion
           .map(table.partitionColsOf).getOrElse(Nil)
-        table.commit(merged, overwrite = true, partitionCols = layout)
+        if (layout.nonEmpty && layout.forall(keys.contains)) {
+          // partition-aligned keys: merge touches only the batch's
+          // partitions (pruned read + dynamic-partition-overwrite commit)
+          val parts = resolved.select(layout.map(col): _*).distinct()
+          val currentAffected = table.snapshot(schema)
+            .join(broadcast(parts), layout, "left_semi")
+          val merged = graft.operators.Upsert
+            .deleteInsert(currentAffected, resolved, keys)
+          table.commitDynamic(merged, layout)
+        } else {
+          val merged = graft.operators.Upsert
+            .deleteInsert(table.snapshot(schema), resolved, keys)
+          table.commit(merged, overwrite = true, partitionCols = layout)
+        }
         ()
       }
       .start()

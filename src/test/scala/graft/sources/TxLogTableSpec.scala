@@ -183,6 +183,40 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(snap.count() == 4)
   }
 
+  test("commitDynamic replaces only the written partitions, carries the rest") {
+    val t = fresh()
+    val schemaP = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("k", StringType)))
+    t.commit(Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "y"))
+      .toDF("id", "v", "k"), overwrite = true, partitionCols = Seq("k"))
+    def filesUnder(part: String): Set[String] =
+      scala.util.Using.resource(
+          Files.walk(Paths.get(t.root, "data", part))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(_.getFileName.toString).toSet
+      }
+    val yBefore = filesUnder("k=y")
+    // dynamic overwrite touching only k=x
+    val v = t.commitDynamic(
+      Seq((1L, "A2", "x"), (9L, "z", "x")).toDF("id", "v", "k"), Seq("k"))
+    // k=y files untouched on disk AND carried by the new manifest
+    assert(filesUnder("k=y") == yBefore)
+    val snap = t.snapshot(schemaP).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(snap == Set((1L, "A2", "x"), (9L, "z", "x"),
+      (2L, "b", "y"), (3L, "c", "y")))
+    // k=x rows fully replaced (old (1,a,x) gone), layout recorded, time
+    // travel to the pre-merge version intact
+    assert(t.partitionColsOf(v) == Seq("k"))
+    assert(t.snapshot(schemaP, Some(v - 1)).count() == 3)
+    // layout mismatch is rejected
+    assertThrows[IllegalArgumentException] {
+      t.commitDynamic(Seq((1L, "q", "x")).toDF("id", "v", "k"), Seq("v"))
+    }
+  }
+
   test("incremental aggregate maintained from the change feed = recompute") {
     import org.apache.spark.sql.functions._
     val src = fresh()

@@ -255,6 +255,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap.filter($"k" === "x").count() == 2)
   }
 
+  test("partition-aligned streaming merge rewrites only touched partitions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types._
+    val t = graft.sources.TxLogTable(spark,
+      Files.createTempDirectory("txsinkd").resolve("t").toString)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("id", LongType),
+      StructField("v", StringType)))
+    t.commit(Seq(("x", 1L, "a"), ("y", 2L, "b")).toDF("k", "id", "v"),
+      overwrite = true, partitionCols = Seq("k"))
+    def filesUnder(part: String): Set[String] =
+      scala.util.Using.resource(
+          Files.walk(Paths.get(t.root, "data", part))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(_.getFileName.toString).toSet
+      }
+    val yBefore = filesUnder("k=y")
+    val ckpt = Files.createTempDirectory("txsinkd-ckpt").toString
+    val input = MemoryStream[(String, Long, String)]
+    // keys ⊇ partition cols → the sink takes the pruned-merge path
+    val q = StreamOps.upsertIntoTxLog(
+      input.toDF().toDF("k", "id", "v"), t, Seq("k", "id"), ckpt)
+    input.addData(("x", 1L, "a2"), ("x", 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    // k=y partition: not in the batch, its files must be untouched
+    assert(filesUnder("k=y") == yBefore)
+    val snap = t.snapshot(schema).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(snap == Set(("x", 1L, "a2"), ("x", 3L, "c"), ("y", 2L, "b")))
+    assert(t.partitionColsOf(t.latestVersion.get) == Seq("k"))
+  }
+
   test("streaming LSH near-dup: later arrivals flagged against first owner") {
     import spark.implicits._
     implicit val s = spark
