@@ -57,6 +57,82 @@ class TxLogPropertySpec extends AnyFunSuite {
     t.snapshot(schema, v).collect()
       .map(r => (r.getLong(0), r.getString(1))).toList.sorted
 
+  test("partitioned interleavings: dynamic overwrite vs per-partition model") {
+    val schemaP = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("k", StringType)))
+    val parts = Vector("x", "y", "z")
+    val rowsGenP: Gen[List[(Long, String, String)]] =
+      Gen.resize(4, Gen.nonEmptyListOf(for {
+        id <- Gen.choose(1L, 5L)
+        s <- Gen.oneOf("a", "b")
+        k <- Gen.oneOf(parts)
+      } yield (id, s, k)))
+    sealed trait POp
+    case class Dyn(rows: List[(Long, String, String)]) extends POp
+    case class Full(rows: List[(Long, String, String)]) extends POp
+    case class PAppend(rows: List[(Long, String, String)]) extends POp
+    case object PCompact extends POp
+    val pOpGen: Gen[POp] = Gen.frequency(
+      4 -> rowsGenP.map(Dyn), 1 -> rowsGenP.map(Full),
+      2 -> rowsGenP.map(PAppend), 1 -> Gen.const(PCompact))
+    val programGenP: Gen[List[POp]] = for {
+      head <- rowsGenP.map(Full)
+      tail <- Gen.resize(8, Gen.listOf(pOpGen))
+    } yield head :: tail
+
+    def filesUnder(t: TxLogTable, part: String): Set[String] = {
+      val dir = java.nio.file.Paths.get(t.root, "data", s"k=$part")
+      if (!Files.isDirectory(dir)) Set.empty
+      else scala.util.Using.resource(Files.walk(dir)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(_.getFileName.toString).toSet
+      }
+    }
+
+    forAllSeeded(programGenP, n = 5) { program =>
+      val t = TxLogTable(spark,
+        Files.createTempDirectory("txpropP").resolve("t").toString)
+      var model = Map.empty[String, List[(Long, String)]] // partition → rows
+      program.foreach { op =>
+        op match {
+          case Full(rows) =>
+            t.commit(rows.toDF("id", "v", "k"), overwrite = true,
+              partitionCols = Seq("k"))
+            model = rows.groupBy(_._3)
+              .view.mapValues(_.map(r => (r._1, r._2))).toMap
+          case PAppend(rows) =>
+            t.commit(rows.toDF("id", "v", "k"), overwrite = false,
+              partitionCols = Seq("k"))
+            rows.groupBy(_._3).foreach { case (k, rs) =>
+              model += k -> (model.getOrElse(k, Nil) ++ rs.map(r => (r._1, r._2)))
+            }
+          case Dyn(rows) =>
+            val touched = rows.map(_._3).toSet
+            val before = (parts.toSet -- touched)
+              .map(p => p -> filesUnder(t, p)).toMap
+            t.commitDynamic(rows.toDF("id", "v", "k"), Seq("k"))
+            // untouched partitions' files are bit-identical on disk
+            before.foreach { case (p, fs) =>
+              assert(filesUnder(t, p) == fs, s"partition $p rewritten by $op")
+            }
+            touched.foreach { k =>
+              model += k -> rows.filter(_._3 == k).map(r => (r._1, r._2))
+            }
+          case PCompact =>
+            t.compact(schemaP, numFiles = 1)
+        }
+        val got = t.snapshot(schemaP).collect()
+          .map(r => (r.getString(2), (r.getLong(0), r.getString(1))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toList.sorted).toMap
+        val want = model.filter(_._2.nonEmpty)
+          .view.mapValues(_.sorted).toMap
+        assert(got == want, s"after $op")
+      }
+    }
+  }
+
   test("random op interleavings agree with the in-memory model") {
     forAllSeeded(programGen, n = 6) { program =>
       val t = TxLogTable(spark,
