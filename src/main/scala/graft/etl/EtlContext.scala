@@ -92,9 +92,12 @@ final case class EtlContext(spark: SparkSession, warehouse: String,
     tx(table).compact(schema, numFiles)
   }
 
-  def vacuum(table: String, keep: Int = 1): (Int, Int) = {
+  def vacuum(table: String, keep: Int = 1,
+             minAgeMillis: Long =
+               graft.sources.TxLogTable.DefaultVacuumMinAgeMillis)
+      : (Int, Int) = {
     require(txLog, s"vacuum($table) requires the txLog backend")
-    tx(table).vacuum(keep)
+    tx(table).vacuum(keep, minAgeMillis)
   }
 
   private def deleteRecursive(p: Path): Unit =

@@ -32,6 +32,39 @@ import org.apache.spark.sql.types.StructType
   * primitive maps to HDFS create-no-overwrite / object-store
   * put-if-absent.
   */
+object TxLogTable {
+  /** Default unreferenced-file age below which `vacuum` refuses to delete —
+    * covers the window between a racing writer's `stage()` file moves and
+    * its manifest publish.
+    */
+  val DefaultVacuumMinAgeMillis: Long = 15L * 60 * 1000
+
+  /** One manifest data line: a file path relative to data/, plus optional
+    * per-column min/max statistics harvested from the parquet footer at
+    * commit time (integral columns only). Wire format:
+    * `rel/path.parquet<TAB>col=min:max;col2=min:max` — readers that only
+    * need the path take the text before the tab, so stats-free and
+    * stats-bearing lines coexist in one manifest.
+    */
+  final case class FileEntry(rel: String, stats: Map[String, (Long, Long)]) {
+    def encoded: String =
+      if (stats.isEmpty) rel
+      else rel + "\t" + stats.toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
+  }
+
+  def decodeEntry(line: String): FileEntry = line.split('\t') match {
+    case Array(rel) => FileEntry(rel, Map.empty)
+    case Array(rel, enc) =>
+      FileEntry(rel, enc.split(';').iterator.map { kv =>
+        val Array(c, range) = kv.split('=')
+        val Array(mn, mx) = range.split(':')
+        c -> (mn.toLong, mx.toLong)
+      }.toMap)
+    case other => FileEntry(other.head, Map.empty)
+  }
+}
+
 final case class TxLogTable(spark: SparkSession, root: String) {
 
   private val logDir: Path = Paths.get(root, "_log")
@@ -58,8 +91,17 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     new String(Files.readAllBytes(manifestPath(v)), UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
 
-  private def readManifest(v: Int): Seq[String] =
+  // raw data lines (path + optional stats) — what carried-file commits copy
+  private def dataLines(v: Int): Seq[String] =
     manifestLines(v).filterNot(_.startsWith("#"))
+
+  /** Decoded file entries of `version` (default latest): path + stats. */
+  def entries(version: Option[Int] = None): Seq[TxLogTable.FileEntry] =
+    version.orElse(latestVersion).map(dataLines).getOrElse(Nil)
+      .map(TxLogTable.decodeEntry)
+
+  private def readManifest(v: Int): Seq[String] =
+    dataLines(v).map(_.takeWhile(_ != '\t'))
 
   /** The partition layout committed at `v` (empty = unpartitioned). */
   def partitionColsOf(v: Int): Seq[String] =
@@ -90,6 +132,43 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         .select(schema.fieldNames.map(col): _*)
   }
 
+  /** Data files of `version` that MAY contain rows with
+    * `lo <= column <= hi`, by manifest-stats interval overlap. A file
+    * without stats for `column` is always a candidate (correctness over
+    * pruning). This is the data-skipping primitive: the decision uses only
+    * the manifest — no file is opened, no footer read, no scan planned for
+    * a file whose [min,max] excludes the predicate.
+    */
+  def candidateFiles(column: String, lo: Long, hi: Long,
+                     version: Option[Int] = None): Seq[String] =
+    entries(version).collect {
+      case e if e.stats.get(column).forall { case (mn, mx) =>
+        mx >= lo && mn <= hi } => e.rel
+    }
+
+  /** Range scan with manifest-level file skipping: semantically identical
+    * to `snapshot(schema).filter(lo <= column <= hi)`, but files whose
+    * committed min/max exclude the range are never read — at 100 TB, a
+    * time-range query over an hourly-appended table touches the hours'
+    * files, not the table (the same job parquet row-group pruning does a
+    * level lower; manifest skipping avoids even opening the footers).
+    */
+  def snapshotRange(schema: StructType, column: String, lo: Long, hi: Long,
+                    version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion)
+    val files = candidateFiles(column, lo, hi, v)
+      .map(rel => dataDir.resolve(rel).toString)
+    val all =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.option("basePath", dataDir.toString)
+          .schema(schema).parquet(files: _*)
+          .select(schema.fieldNames.map(col): _*)
+    all.filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Rows ADDED in versions `(fromV, toV]`, each tagged with the
     * `_commit_version` that introduced them — the change feed consumers use
     * to process a table incrementally instead of re-scanning the snapshot
@@ -106,6 +185,18 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     require(fromV <= toV, s"changesBetween($fromV, $toV)")
     val present = versions.toSet
     val deltas = (fromV + 1 to toV).filter(present).flatMap { v =>
+      // A missing predecessor manifest means the cursor predates the vacuum
+      // horizon: v's manifest can no longer be diffed, so its carried files
+      // would be misreported as "added in v" and the consumer would
+      // re-receive rows under a wrong _commit_version. Fail loudly — the
+      // consumer must reset from a snapshot, exactly the contract vacuumed
+      // change feeds have in the public Delta CDF design. (v == 0 has no
+      // predecessor by construction: the empty prev set is genuine.)
+      if (v > 0 && !present(v - 1))
+        throw new IllegalStateException(
+          s"changesBetween($fromV, $toV): version ${v - 1} was vacuumed; " +
+            s"the change feed before v${versions.headOption.getOrElse(v)} " +
+            s"is gone — reset from snapshot($v) and resume from there")
       val prev = if (present(v - 1)) readManifest(v - 1).toSet
                  else Set.empty[String]
       val added = readManifest(v).filterNot(prev)
@@ -150,24 +241,39 @@ final case class TxLogTable(spark: SparkSession, root: String) {
 
   /** Garbage-collect history: keep the newest `keep` versions, delete older
     * manifests and every data file no surviving manifest references.
-    * Returns (manifests deleted, data files deleted). Like any tx-log GC
-    * this is an administrative operation — run it when no writer is racing
-    * a commit against the versions being dropped, and no reader holds a
-    * snapshot older than `keep`.
+    * Returns (manifests deleted, data files deleted).
+    *
+    * Two guards protect concurrent writers (the standard Delta-style vacuum
+    * protections, since `stage()` publishes data files BEFORE the manifest
+    * that references them):
+    *  - files under `*.staging` scratch directories are never touched — a
+    *    writer is mid-`stage()` there;
+    *  - only unreferenced files older than `minAgeMillis` are deleted
+    *    (default 15 min) — a just-staged file whose manifest publish is in
+    *    flight looks unreferenced for a moment, and deleting it would let
+    *    the racing commit publish a manifest pointing at nothing. Pass 0
+    *    only when provably no writer is active (tests, offline maintenance).
     */
-  def vacuum(keep: Int = 1): (Int, Int) = {
+  def vacuum(keep: Int = 1,
+             minAgeMillis: Long = TxLogTable.DefaultVacuumMinAgeMillis)
+      : (Int, Int) = {
     require(keep >= 1, "vacuum must keep at least the latest version")
     if (!Files.isDirectory(dataDir)) return (0, 0) // never-written table
     val vs = versions
     val drop = vs.dropRight(keep)
     val referenced = vs.takeRight(keep).flatMap(readManifest).toSet
     drop.foreach(v => Files.delete(manifestPath(v)))
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val dead = scala.util.Using.resource(Files.walk(dataDir)) { s =>
       s.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") &&
           Files.isRegularFile(p))
-        .map(p => dataDir.relativize(p).toString)
-        .filterNot(referenced)
+        .map(p => (dataDir.relativize(p).toString, p))
+        .filterNot { case (rel, _) =>
+          referenced(rel) || rel.contains(".staging") }
+        .filter { case (_, p) =>
+          Files.getLastModifiedTime(p).toMillis <= cutoff }
+        .map(_._1)
         .toSeq
     }
     dead.foreach(f => Files.delete(dataDir.resolve(f)))
@@ -223,6 +329,54 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     staged
   }
 
+  /** Per-column min/max of one staged file, harvested from the parquet
+    * FOOTER — a metadata read, no data scan (Delta gathers the same stats
+    * in-task at write; footer harvest keeps this writer-agnostic). Integral
+    * columns only (ids, epoch-nanos timestamps — the dominant skipping
+    * keys); a column with no usable stats is simply absent, which readers
+    * treat as "cannot prune".
+    */
+  private def footerStats(rel: String): Map[String, (Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sessionState.newHadoopConf()
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dataDir.resolve(rel).toString), conf)
+    scala.util.Using.resource(ParquetFileReader.open(in)) { r =>
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val tpe = c.getPrimitiveType.getPrimitiveTypeName
+          val st = c.getStatistics
+          if ((tpe == INT64 || tpe == INT32) && st != null &&
+              !st.isEmpty && st.hasNonNullValue) {
+            val (mn, mx) = tpe match {
+              case INT64 =>
+                (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                 st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              case _ =>
+                (st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
+                 st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
+            }
+            val name = c.getPath.toDotString
+            val next = acc.get(name) match {
+              case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+              case None => (mn, mx)
+            }
+            acc(name) = next
+          }
+        }
+      }
+      acc.toMap
+    }
+  }
+
+  private def stageWithStats(df: DataFrame,
+                             partitionCols: Seq[String]): Seq[String] =
+    stage(df, partitionCols).map(rel =>
+      TxLogTable.FileEntry(rel, footerStats(rel)).encoded)
+
   /** Dynamic-partition-overwrite commit: replace exactly the partitions
     * `df` writes into, carry every other partition's files untouched —
     * Spark's `partitionOverwriteMode=dynamic` semantics expressed as a
@@ -237,10 +391,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                     maxAttempts: Int = 10): Int = {
     require(partitionCols.nonEmpty,
       "commitDynamic needs partition columns; use commit() otherwise")
-    val staged = stage(df, partitionCols)
+    val staged = stageWithStats(df, partitionCols)
     // the replaced partitions are exactly the hive dirs this batch wrote
     val replacedDirs = staged.map { f =>
-      val p = Paths.get(f)
+      val p = Paths.get(f.takeWhile(_ != '\t'))
       // drop the batch-unique file name, keep `k=v[/k2=v2...]/`
       p.getParent.toString + "/"
     }.distinct
@@ -253,7 +407,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           s"dynamic overwrite layout ${partitionCols.mkString(",")} does " +
             s"not match table layout ${cur.mkString(",")} at $root v$b")
       }
-      val carried = base.map(readManifest).getOrElse(Nil)
+      // carry RAW lines so untouched files keep their stats
+      val carried = base.map(dataLines).getOrElse(Nil)
         .filterNot(f => replacedDirs.exists(f.startsWith))
       val next = base.getOrElse(-1) + 1
       try {
@@ -274,7 +429,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   def commit(df: DataFrame, overwrite: Boolean,
              maxAttempts: Int = 10,
              partitionCols: Seq[String] = Nil): Int = {
-    val staged = stage(df, partitionCols)
+    val staged = stageWithStats(df, partitionCols)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -286,7 +441,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             "overwrite to repartition the table")
       }
       val carried =
-        if (overwrite) Nil else base.map(readManifest).getOrElse(Nil)
+        if (overwrite) Nil else base.map(dataLines).getOrElse(Nil)
       val next = base.getOrElse(-1) + 1
       try {
         // the atomic publish: create-if-absent of the version manifest

@@ -182,7 +182,13 @@ object StreamOps {
     updates.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        // metadata columns ('_'-prefixed, e.g. _commit_version when the
+        // stream is a change feed) are dropped from BOTH merge sides: the
+        // table schema filter above removes them from the snapshot, and
+        // this select removes them from the batch — otherwise the
+        // delete-insert unionByName would see asymmetric schemas and fail
+        val batch = rawBatch.select(schema.fieldNames.map(col).toSeq: _*)
         // a key can repeat within one batch; resolve to the greatest row
         // (struct ordering over the non-key columns) — content-determined,
         // unlike dropDuplicates' partition-order-dependent "first"
@@ -198,10 +204,18 @@ object StreamOps {
           .map(table.partitionColsOf).getOrElse(Nil)
         if (layout.nonEmpty && layout.forall(keys.contains)) {
           // partition-aligned keys: merge touches only the batch's
-          // partitions (pruned read + dynamic-partition-overwrite commit)
+          // partitions (pruned read + dynamic-partition-overwrite commit).
+          // NULL-SAFE join: a null partition value is a real partition
+          // (__HIVE_DEFAULT_PARTITION__) that commitDynamic will replace
+          // wholesale, so its current rows MUST enter the merge — plain
+          // `=` would drop them (null != null) and the rewrite would
+          // silently delete every null-partition row absent from the batch
           val parts = resolved.select(layout.map(col): _*).distinct()
+            .toDF(layout.map("__part_" + _): _*)
+          val partCond = layout
+            .map(c => col(c) <=> col("__part_" + c)).reduce(_ && _)
           val currentAffected = table.snapshot(schema)
-            .join(broadcast(parts), layout, "left_semi")
+            .join(broadcast(parts), partCond, "left_semi")
           val merged = graft.operators.Upsert
             .deleteInsert(currentAffected, resolved, keys)
           table.commitDynamic(merged, layout)

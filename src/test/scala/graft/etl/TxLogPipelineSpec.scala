@@ -110,7 +110,8 @@ class TxLogPipelineSpec extends AnyFunSuite {
     assert(norm(feed, Schemas.scheduleEventsTable) == cur)
     ctx.compact("schedule_events", Schemas.scheduleEventsTable)
     assert(rowsTx("schedule_events", Schemas.scheduleEventsTable) == cur)
-    val (droppedManifests, droppedFiles) = ctx.vacuum("schedule_events")
+    val (droppedManifests, droppedFiles) =
+      ctx.vacuum("schedule_events", minAgeMillis = 0L)
     assert(droppedManifests >= 2 && droppedFiles > 0)
     assert(ctx.latestVersion("schedule_events").toSeq ==
       TxLogTable(spark, s"$whTx/schedule_events").versions)

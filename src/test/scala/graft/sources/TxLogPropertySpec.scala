@@ -155,7 +155,7 @@ class TxLogPropertySpec extends AnyFunSuite {
             live :+= v
             assert(t.fileCount() == 1, s"compact left ${t.fileCount()} files")
           case Vacuum(keep) =>
-            t.vacuum(keep)
+            t.vacuum(keep, minAgeMillis = 0L)
             live = live.takeRight(keep)
         }
         assert(t.versions == live, s"after $op")

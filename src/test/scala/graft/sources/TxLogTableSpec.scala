@@ -158,10 +158,83 @@ class TxLogTableSpec extends AnyFunSuite {
     t.commit(Seq((6L, "r6")).toDF("id", "v"), overwrite = false)
     assert(rows(t) == expect + ((6L, "r6")) && t.fileCount() == 2)
     // vacuum: only the latest survives; its files intact, the rest gone
-    val (manifests, files) = t.vacuum(keep = 1)
+    val (manifests, files) = t.vacuum(keep = 1, minAgeMillis = 0L)
     assert(manifests == vCompact + 1 && files >= 6)
     assert(t.versions == Seq(vCompact + 1))
     assert(rows(t) == expect + ((6L, "r6")))
+  }
+
+  test("manifest column stats skip files outside a range predicate") {
+    val t = fresh()
+    // three appends with disjoint id ranges → three files, each with its
+    // own footer-harvested [min,max] recorded in the manifest
+    Seq(0L until 10L, 10L until 20L, 20L until 30L).zipWithIndex
+      .foreach { case (r, i) =>
+        t.commit(r.map(x => (x, s"r$x")).toDF("id", "v").coalesce(1),
+          overwrite = i == 0)
+      }
+    assert(t.fileCount() == 3)
+    val es = t.entries()
+    assert(es.forall(_.stats.contains("id")))
+    // range [12, 18] lives entirely in the second file
+    assert(t.candidateFiles("id", 12L, 18L).size == 1)
+    // a column with no stats cannot prune — all files are candidates
+    assert(t.candidateFiles("nope", 0L, 0L).size == 3)
+    // skipping never changes results
+    val got = t.snapshotRange(schema, "id", 12L, 18L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (12L to 18L).map(x => (x, s"r$x")).toSet)
+    assert(t.snapshotRange(schema, "id", 100L, 200L).isEmpty)
+    // carried lines keep their stats across later appends
+    t.commit(Seq((30L, "r30")).toDF("id", "v").coalesce(1),
+      overwrite = false)
+    assert(t.candidateFiles("id", 12L, 18L).size == 1)
+    assert(t.entries().forall(_.stats.contains("id")))
+  }
+
+  test("change feed refuses a window crossing the vacuum horizon") {
+    val t = fresh()
+    (0 until 4).foreach(i =>
+      t.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), overwrite = i == 0))
+    t.vacuum(keep = 2, minAgeMillis = 0L) // v2, v3 survive
+    assert(t.versions == Seq(2, 3))
+    // v2's predecessor manifest is gone: its carried files can't be diffed,
+    // so any window that would attribute them must fail loudly instead of
+    // re-feeding old rows under _commit_version = 2
+    val ex = intercept[IllegalStateException] {
+      t.changesBetween(schema, 0, 3).collect()
+    }
+    assert(ex.getMessage.contains("vacuumed"))
+    // a window entirely inside surviving, diffable history still works
+    val ok = t.changesBetween(schema, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ok == Set((3L, "r3", 3L)))
+  }
+
+  test("vacuum spares staging scratch and young unreferenced files") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    t.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = true)
+    // a racing writer mid-stage: scratch dir + a just-published (moved but
+    // not yet manifest-referenced) data file — both look "unreferenced"
+    val staging = Paths.get(t.root, "data", "batch-racer.staging")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val justPublished = Paths.get(t.root, "data", "batch-racer-part-0.parquet")
+    Files.write(justPublished, Array[Byte](4, 5, 6))
+    // default age guard: young unreferenced files survive (v0's data file
+    // is also young here, so only the manifest count moves)
+    val (m1, f1) = t.vacuum(keep = 1)
+    assert(m1 == 1 && f1 == 0)
+    assert(Files.exists(staging.resolve("part-0.parquet")))
+    assert(Files.exists(justPublished))
+    // age 0 (offline maintenance): unreferenced data is deleted — but the
+    // staging scratch of an active writer is still off-limits
+    val (_, f2) = t.vacuum(keep = 1, minAgeMillis = 0L)
+    assert(f2 >= 2) // v0's file + the just-published orphan
+    assert(!Files.exists(justPublished))
+    assert(Files.exists(staging.resolve("part-0.parquet")))
+    assert(rows(t) == Set((2L, "b")))
   }
 
   test("compact preserves a partitioned table's hive layout") {

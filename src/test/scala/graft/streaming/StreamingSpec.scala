@@ -291,6 +291,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.partitionColsOf(t.latestVersion.get) == Seq("k"))
   }
 
+  test("partition-aligned merge keeps null-partition rows not in the batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val t = graft.sources.TxLogTable(spark,
+      Files.createTempDirectory("txsinkn").resolve("t").toString)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("id", LongType),
+      StructField("v", StringType)))
+    // a null partition value is a real partition (__HIVE_DEFAULT_PARTITION__)
+    t.commit(Seq(("x", 1L, "a"), (null, 2L, "b")).toDF("k", "id", "v"),
+      overwrite = true, partitionCols = Seq("k"))
+    val ckpt = Files.createTempDirectory("txsinkn-ckpt").toString
+    val input = MemoryStream[(Option[String], Long, String)]
+    val q = StreamOps.upsertIntoTxLog(
+      input.toDF().toDF("k", "id", "v"), t, Seq("k", "id"), ckpt)
+    // the batch writes INTO the null partition; commitDynamic rewrites it
+    // wholesale, so row (null, 2, "b") must ride through the merge — a
+    // non-null-safe semi-join would silently delete it
+    input.addData((None, 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val snap = t.snapshot(schema).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getString(2))).toSet
+    assert(snap == Set(
+      (Some("x"), 1L, "a"), (None, 2L, "b"), (None, 3L, "c")))
+  }
+
+  test("streaming merge drops metadata columns from a change-feed input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val t = graft.sources.TxLogTable(spark,
+      Files.createTempDirectory("txsinkm").resolve("t").toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    val ckpt = Files.createTempDirectory("txsinkm-ckpt").toString
+    // a stream fed from changesBetween carries _commit_version; the sink
+    // must merge on the data columns only and not propagate the metadata
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.upsertIntoTxLog(
+      input.toDF().toDF("id", "v", "_commit_version"), t, Seq("id"), ckpt)
+    input.addData((1L, "a2", 7L), (2L, "b", 7L))
+    q.processAllAvailable()
+    q.stop()
+    val snap = t.snapshot(schema)
+    assert(snap.columns.toSeq == Seq("id", "v"))
+    assert(snap.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a2"), (2L, "b")))
+  }
+
   test("streaming LSH near-dup: later arrivals flagged against first owner") {
     import spark.implicits._
     implicit val s = spark
