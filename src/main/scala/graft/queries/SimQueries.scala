@@ -35,7 +35,106 @@ object SimQueries {
     s"""list_aggregate(list_transform(generate_series(1, $Dim),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"""
 
+  // --- Product quantization (PQ) ---
+  // m=4 subspaces × 16 dims, 16 codes per subspace: each 64-float vector
+  // compresses to 4 small codes (64× smaller), and search runs against the
+  // codes via an asymmetric-distance (ADC) lookup table built once per
+  // query — the memory-bound regime of billion-vector ANN, where the
+  // uncompressed vectors no longer fit the cluster. Codebook = subvectors
+  // of vec_id 0..15 (deterministic sampled codebook, the PQ baseline; the
+  // trained path would run operators.KMeans per subspace).
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqCodes = 16
+
+  /** One row per (vector, subspace): `s` ∈ [0, PqM), `sv` = the 16-dim
+    * slice. Pure per-row codegen — no shuffle.
+    */
+  private def pqSubVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until PqM).map(si =>
+        struct(lit(si).as("s"),
+          slice(col("v"), si * PqSubDim + 1, PqSubDim).as("sv"))): _*))
+      .as("sub"))
+      .select(col("vec_id"), col("sub.s").as("s"), col("sub.sv").as("sv"))
+
+  /** Ordered-fold squared L2 — element order fixed so the DuckDB oracle's
+    * list fold reproduces the double sum bit-exactly.
+    */
+  private def l2sq(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Codes per (vec_id, s): nearest codebook entry by squared L2, ties to
+    * the lowest code. The 64-row codebook is broadcast; the only shuffle is
+    * the per-(vec,s) argmin window — at scale this becomes a map-side
+    * TakeOrdered because (vec_id, s) is unique per input row after the
+    * join, so rows never cross partitions for correctness, and the encode
+    * is effectively embarrassingly parallel.
+    */
+  private def pqEncode(emb: DataFrame): DataFrame = {
+    val sv = pqSubVectors(emb)
+    val cb = pqSubVectors(
+        emb.filter(col("vec_id") < PqCodes))
+      .select(col("vec_id").cast(IntegerType).as("code"),
+        col("s").as("cs"), col("sv").as("cv"))
+    val w = Window.partitionBy("vec_id", "s")
+      .orderBy(col("dist"), col("code"))
+    sv.join(broadcast(cb), col("s") === col("cs"))
+      .select(col("vec_id"), col("s"), col("code"),
+        l2sq(col("sv"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PQ compression: every vector reduced to its 4 subspace codes.
+    "pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      pqEncode(emb).groupBy("vec_id").agg(
+        max(when(col("s") === 0, col("code"))).as("c0"),
+        max(when(col("s") === 1, col("code"))).as("c1"),
+        max(when(col("s") === 2, col("code"))).as("c2"),
+        max(when(col("s") === 3, col("code"))).as("c3"))
+    }),
+
+    // PQ search (ADC): distances to the query are a 4-way lookup-table sum
+    // over the codes — the scan never touches the original vectors. The
+    // four per-subspace tables are 16 rows each, joined broadcast; the
+    // addition order is fixed (d0+d1+d2+d3) so the oracle reproduces the
+    // double sum exactly.
+    "pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val codes = pqEncode(emb).groupBy("vec_id").agg(
+        max(when(col("s") === 0, col("code"))).as("c0"),
+        max(when(col("s") === 1, col("code"))).as("c1"),
+        max(when(col("s") === 2, col("code"))).as("c2"),
+        max(when(col("s") === 3, col("code"))).as("c3"))
+      val cb = pqSubVectors(
+          emb.filter(col("vec_id") < PqCodes))
+        .select(col("vec_id").cast(IntegerType).as("code"),
+          col("s").as("cs"), col("sv").as("cv"))
+      val q = pqSubVectors(emb.filter(col("vec_id") === 0))
+        .select(col("s").as("qs"), col("sv").as("qv"))
+      val dt = cb.join(broadcast(q), col("cs") === col("qs"))
+        .select(col("cs").as("s"), col("code"),
+          l2sq(col("cv"), col("qv")).as("qd"))
+      val dts = (0 until PqM).map(si => dt.filter(col("s") === si)
+        .select(col("code").as(s"code$si"), col("qd").as(s"d$si")))
+      codes
+        .join(broadcast(dts(0)), col("c0") === col("code0"))
+        .join(broadcast(dts(1)), col("c1") === col("code1"))
+        .join(broadcast(dts(2)), col("c2") === col("code2"))
+        .join(broadcast(dts(3)), col("c3") === col("code3"))
+        .select(col("vec_id"),
+          (col("d0") + col("d1") + col("d2") + col("d3")).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    }),
 
     // Brute-force cosine against one query vector (vec_id 0) — the exact
     // baseline every ANN variant is measured against.
@@ -214,7 +313,62 @@ object SimQueries {
         .limit(5)
     }))
 
+  /** DuckDB squared-L2 over subspace `si`'s 16-dim slice — same element
+    * order and double arithmetic as [[l2sq]] over [[pqSubVectors]] slices.
+    */
+  private def sqlSubL2(a: String, b: String, si: Int): String = {
+    val off = si * PqSubDim
+    s"""list_aggregate(list_transform(generate_series(1, $PqSubDim),
+        i -> (CAST($a[$off + i] AS DOUBLE) - CAST($b[$off + i] AS DOUBLE)) *
+             (CAST($a[$off + i] AS DOUBLE) - CAST($b[$off + i] AS DOUBLE))),
+        'sum')"""
+  }
+
+  /** Shared oracle CTE chain: per-(vec, subspace) nearest code. */
+  private val SqlPqCodes = {
+    val perSub = (0 until PqM).map(si =>
+      s"""SELECT e.vec_id, $si AS s, cb.code,
+            ${sqlSubL2("e.embedding", "cb.cv", si)} AS dist
+          FROM e CROSS JOIN cb""").mkString("\n          UNION ALL\n")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+        cb AS (SELECT CAST(vec_id AS INT) AS code, embedding AS cv
+               FROM embeddings WHERE vec_id < $PqCodes),
+        d AS ($perSub),
+        r AS (SELECT vec_id, s, code, row_number() OVER
+                (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+              FROM d),
+        codes AS (
+          SELECT vec_id,
+            CAST(MAX(CASE WHEN s = 0 THEN code END) AS INT) AS c0,
+            CAST(MAX(CASE WHEN s = 1 THEN code END) AS INT) AS c1,
+            CAST(MAX(CASE WHEN s = 2 THEN code END) AS INT) AS c2,
+            CAST(MAX(CASE WHEN s = 3 THEN code END) AS INT) AS c3
+          FROM r WHERE rn = 1 GROUP BY vec_id)"""
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "pq_codes" ->
+      s"""WITH $SqlPqCodes
+          SELECT vec_id, c0, c1, c2, c3 FROM codes""",
+
+    "pq_adc_topk" -> {
+      val dtSub = (0 until PqM).map(si =>
+        s"""SELECT $si AS s, cb.code,
+              ${sqlSubL2("cb.cv", "q.qv", si)} AS qd
+            FROM cb CROSS JOIN q""").mkString("\n          UNION ALL\n")
+      s"""WITH $SqlPqCodes,
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          dt AS ($dtSub)
+          SELECT c.vec_id,
+            (d0.qd + d1.qd + d2.qd + d3.qd) AS adc_dist
+          FROM codes c
+          JOIN (SELECT code, qd FROM dt WHERE s = 0) d0 ON c.c0 = d0.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 1) d1 ON c.c1 = d1.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 2) d2 ON c.c2 = d2.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 3) d3 ON c.c3 = d3.code
+          ORDER BY adc_dist, c.vec_id LIMIT 10"""
+    },
 
     "sim_cosine_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

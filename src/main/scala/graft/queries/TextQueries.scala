@@ -246,6 +246,38 @@ object TextQueries {
         tokenCount(col("text")).cast(LongType).as("n_ws_tokens"),
         subwordCount(col("text")).cast(LongType).as("n_subwords"))),
 
+    // Repetition metrics (the Gopher-style quality signals): type-token
+    // ratio plus the most-frequent-bigram share — the degenerate-repetition
+    // detector filter pipelines run before training. Scale: TTR is per-row
+    // codegen; the bigram mode shuffles on (doc_id, bigram) with map-side
+    // partial counts, then one doc-keyed agg — bounded by the corpus token
+    // count, the same asymptotics as tokenize itself.
+    "tx_repetition" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        .withColumn("ttr", when(col("n_tokens") > 0,
+            size(array_distinct(col("toks"))).cast(DoubleType) /
+              col("n_tokens"))
+          .otherwise(lit(0.0)))
+      // adjacent-pair list; sequence() descends when size < 2, so guard
+      val bigrams = base.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+            expr("""transform(sequence(1, size(toks) - 1),
+                    i -> concat_ws(' ', element_at(toks, i),
+                                   element_at(toks, i + 1)))"""))
+          .otherwise(array(lit(null).cast(StringType)))).as("bg"))
+        .filter(col("bg").isNotNull)
+      val perDoc = bigrams.groupBy("doc_id", "bg")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").as("top"), sum("c").as("tot"))
+      base.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("ttr"),
+          coalesce(col("top").cast(DoubleType) / col("tot"), lit(0.0))
+            .as("top_bigram_frac"))
+    }),
+
     // T1 with RU stemming via the native Catalyst expression. Hash-checked:
     // the light RU suffix-strip table is encoded as a DuckDB lambda in the
     // oracle (longest-match-first over the same suffix list), so the native
@@ -687,6 +719,23 @@ object TextQueries {
               t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
               AS BIGINT) AS n_subwords
           FROM documents""",
+
+    "tx_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                 FROM tk),
+          bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+          agg AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot
+                  FROM bgc GROUP BY 1)
+          SELECT t.doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END AS ttr,
+            COALESCE(CAST(top AS DOUBLE) / tot, 0.0) AS top_bigram_frac
+          FROM tk t LEFT JOIN agg USING (doc_id)""",
 
     "dd_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
