@@ -35,6 +35,62 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Manifest-stats data skipping (TxLogTable.snapshotRange): events land
+    // as three ts-banded commits, so each data file's manifest line carries
+    // a disjoint [min,max] for ts; the mid-band range scan then reads ONLY
+    // the files whose stats overlap the predicate — the require() proves
+    // files were actually skipped, the oracle proves skipping lost no rows.
+    // At 100 TB this is the time-range-over-hourly-appends pattern: the
+    // query cost is the band's files, not the table scan.
+    "skip_range_scan" -> ((s, dir) => {
+      // microseconds, not nanos: DuckDB truncates TIMESTAMP(NANOS) to µs on
+      // read, so the oracle can only see epoch_us — `ts div 1000` (floor;
+      // ts is positive) makes both sides band on identical integers
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      val mm = ev.agg(min("ts_us"), max("ts_us")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val b1 = mn + (mx - mn) / 3
+      val b2 = mn + 2L * ((mx - mn) / 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skip")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      // parallel writes: every file in a band inherits the band's ts range,
+      // so pruning selects the mid band's files whatever their count
+      tbl.commit(ev.filter(col("ts_us") < b1), overwrite = true)
+      tbl.commit(ev.filter(col("ts_us") >= b1 && col("ts_us") < b2),
+        overwrite = false)
+      tbl.commit(ev.filter(col("ts_us") >= b2), overwrite = false)
+      val pruned = tbl.candidateFiles("ts_us", b1, b2 - 1).size
+      require(pruned < tbl.fileCount(),
+        s"range scan skipped nothing: $pruned of ${tbl.fileCount()} files")
+      tbl.snapshotRange(ev.schema, "ts_us", b1, b2 - 1)
+    }),
+
+    // Z-order clustering (TxLogTable.compactZOrder + operators.ZOrder):
+    // events rewritten along the (user_id, ts) Morton curve, then range-
+    // scanned on user_id — the SECOND clustering dimension, which a plain
+    // time-sorted layout could never prune. The require() proves files
+    // were skipped via manifest stats; the oracle proves the rewrite +
+    // pruned scan lost no rows.
+    "zorder_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+      val mm = ev.agg(min("user_id"), max("user_id")).head
+      val (umn, umx) = (mm.getLong(0), mm.getLong(1))
+      val lo = umn + (umx - umn) / 4
+      val hi = umn + (umx - umn) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev, overwrite = true)
+      tbl.compactZOrder(ev.schema, "user_id", "ts_us", numFiles = 16)
+      val pruned = tbl.candidateFiles("user_id", lo, hi).size
+      require(pruned < tbl.fileCount(),
+        s"z-order scan skipped nothing: $pruned of ${tbl.fileCount()} files")
+      tbl.snapshotRange(ev.schema, "user_id", lo, hi)
+    }),
+
     // Incremental aggregate maintenance (operators.IncrementalAgg — the
     // consumption pattern for TxLogTable.changesBetween): the events table
     // arrives as three deltas (event_id mod 3) folded one at a time into a
@@ -238,6 +294,28 @@ object EtlQueries {
   private def lexOf(parts: String) = TextQueries.sqlLexemesOf(parts)
 
   val oracle: Map[String, String] = Map(
+
+    // `(mx - mn)` is positive, so DuckDB's floor-division `//` equals the
+    // Scala Long truncating division used to place the commit boundaries.
+    "skip_range_scan" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+                    FROM events),
+          mm AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e),
+          b AS (SELECT mn + (mx - mn) // 3 AS b1,
+                       mn + 2 * ((mx - mn) // 3) AS b2 FROM mm)
+         SELECT event_id, ts_us, event_type, value
+         FROM e, b
+         WHERE ts_us >= b1 AND ts_us <= b2 - 1""",
+
+    "zorder_scan" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                    FROM events),
+          mm AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM e),
+          b AS (SELECT mn + (mx - mn) // 4 AS lo,
+                       mn + (mx - mn) // 2 AS hi FROM mm)
+         SELECT event_id, user_id, ts_us, value
+         FROM e, b
+         WHERE user_id >= lo AND user_id <= hi""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,

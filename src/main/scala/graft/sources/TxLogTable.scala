@@ -239,6 +239,37 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     commit(packed, overwrite = true, partitionCols = cols)
   }
 
+  /** Rewrite the current snapshot clustered on the z-order (Morton) curve
+    * of two integral columns, `numFiles` files per partition value — the
+    * `OPTIMIZE ZORDER BY` maintenance op: after it, every file covers a
+    * small rectangle of the (colA, colB) space, so the manifest min/max
+    * stats prune range scans on EITHER column (`candidateFiles` /
+    * `snapshotRange`), where a plain sort would serve only its leading
+    * column. Same atomic overwrite-commit publish as `compact`.
+    */
+  def compactZOrder(schema: StructType, colA: String, colB: String,
+                    numFiles: Int = 8): Int = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"compactZOrder of empty table: $root"))
+    val cols = partitionColsOf(v)
+    val snap = snapshot(schema)
+    val mm = snap.agg(
+      org.apache.spark.sql.functions.min(col(colA).cast("long")),
+      org.apache.spark.sql.functions.max(col(colA).cast("long")),
+      org.apache.spark.sql.functions.min(col(colB).cast("long")),
+      org.apache.spark.sql.functions.max(col(colB).cast("long"))).head
+    if (mm.isNullAt(0) || mm.isNullAt(2)) // empty table: plain compact
+      return compact(schema, numFiles)
+    val z = graft.operators.ZOrder.zValue(
+      col(colA), mm.getLong(0), mm.getLong(1),
+      col(colB), mm.getLong(2), mm.getLong(3))
+    val packed = snap.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commit(packed, overwrite = true, partitionCols = cols)
+  }
+
   /** Garbage-collect history: keep the newest `keep` versions, delete older
     * manifests and every data file no surviving manifest references.
     * Returns (manifests deleted, data files deleted).

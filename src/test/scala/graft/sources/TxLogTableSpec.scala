@@ -192,6 +192,29 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(t.entries().forall(_.stats.contains("id")))
   }
 
+  test("z-order rewrite enables stats pruning on both clustered columns") {
+    val t = fresh()
+    val schema2 = StructType(Seq(
+      StructField("u", LongType), StructField("ts", LongType),
+      StructField("v", StringType)))
+    // a 100×100 (u, ts) grid committed hash-partitioned: every file spans
+    // both full ranges, so stats prune nothing
+    val rows = (0L until 10000L).map(i => (i % 100, i / 100, s"r$i"))
+    t.commit(rows.toDF("u", "ts", "v").repartition(8), overwrite = true)
+    assert(t.candidateFiles("u", 10L, 19L).size == t.fileCount())
+    // after the z-order rewrite each file covers a small (u, ts) rectangle:
+    // range scans prune on EITHER column, not just a sort's leading one
+    t.compactZOrder(schema2, "u", "ts", numFiles = 16)
+    assert(t.fileCount() == 16)
+    assert(t.candidateFiles("u", 10L, 19L).size < 16)
+    assert(t.candidateFiles("ts", 10L, 19L).size < 16)
+    // clustering is layout-only: the data is unchanged
+    val got = t.snapshotRange(schema2, "u", 10L, 19L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got ==
+      rows.filter(r => r._1 >= 10 && r._1 <= 19).map(r => (r._1, r._2)).toSet)
+  }
+
   test("change feed refuses a window crossing the vacuum horizon") {
     val t = fresh()
     (0 until 4).foreach(i =>
