@@ -22,9 +22,10 @@ import graft.sources.Tables
 object SimQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = {
-    // every query here reads through t, so the native cosine is always
-    // registered before analysis resolves call_function("cosine_sim", ...)
+    // every query here reads through t, so the native expressions are
+    // registered before analysis resolves their call_function references
     graft.catalyst.CosineSim.register(s)
+    graft.catalyst.L2Sq.register(s)
     Tables(s, dir, n)
   }
 
@@ -57,13 +58,14 @@ object SimQueries {
       .as("sub"))
       .select(col("vec_id"), col("sub.s").as("s"), col("sub.sv").as("sv"))
 
-  /** Ordered-fold squared L2 — element order fixed so the DuckDB oracle's
-    * list fold reproduces the double sum bit-exactly.
+  /** Squared L2 via the native fused-loop expression (catalyst.L2Sq): the
+    * fold order matches `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)),
+    * 0.0, _+_)` bit-exactly (L2SqSpec pins it), so the DuckDB oracle's
+    * ordered list fold reproduces the double sum.
     */
   private def l2sq(a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.catalyst.L2Sq.l2sq(a, b)
 
   /** Codes per (vec_id, s): nearest codebook entry by squared L2, ties to
     * the lowest code. The 64-row codebook is broadcast; the only shuffle is
@@ -88,17 +90,49 @@ object SimQueries {
       .select(col("vec_id"), col("s"), col("code"))
   }
 
+  /** Codes pivoted wide: (vec_id, c0..c3) — one row per vector. */
+  private def pqCodesPivot(emb: DataFrame): DataFrame =
+    pqEncode(emb).groupBy("vec_id").agg(
+      max(when(col("s") === 0, col("code"))).as("c0"),
+      max(when(col("s") === 1, col("code"))).as("c1"),
+      max(when(col("s") === 2, col("code"))).as("c2"),
+      max(when(col("s") === 3, col("code"))).as("c3"))
+
+  /** Per-subspace ADC lookup tables for query vector 0: for each subspace
+    * si a 16-row (code_si, d_si) frame — tiny, always broadcast.
+    */
+  private def pqDistTables(emb: DataFrame): Seq[DataFrame] = {
+    val cb = pqSubVectors(emb.filter(col("vec_id") < PqCodes))
+      .select(col("vec_id").cast(IntegerType).as("code"),
+        col("s").as("cs"), col("sv").as("cv"))
+    val q = pqSubVectors(emb.filter(col("vec_id") === 0))
+      .select(col("s").as("qs"), col("sv").as("qv"))
+    val dt = cb.join(broadcast(q), col("cs") === col("qs"))
+      .select(col("cs").as("s"), col("code"),
+        l2sq(col("cv"), col("qv")).as("qd"))
+    (0 until PqM).map(si => dt.filter(col("s") === si)
+      .select(col("code").as(s"code$si"), col("qd").as(s"d$si")))
+  }
+
+  /** ADC distance join: codes (c0..c3) × the four broadcast tables, summed
+    * in fixed order so the oracle reproduces the double sum exactly.
+    */
+  private def pqAdcJoin(codes: DataFrame, dts: Seq[DataFrame]): DataFrame =
+    codes
+      .join(broadcast(dts(0)), col("c0") === col("code0"))
+      .join(broadcast(dts(1)), col("c1") === col("code1"))
+      .join(broadcast(dts(2)), col("c2") === col("code2"))
+      .join(broadcast(dts(3)), col("c3") === col("code3"))
+      .withColumn("adc_dist",
+        col("d0") + col("d1") + col("d2") + col("d3"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PQ compression: every vector reduced to its 4 subspace codes.
     "pq_codes" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      pqEncode(emb).groupBy("vec_id").agg(
-        max(when(col("s") === 0, col("code"))).as("c0"),
-        max(when(col("s") === 1, col("code"))).as("c1"),
-        max(when(col("s") === 2, col("code"))).as("c2"),
-        max(when(col("s") === 3, col("code"))).as("c3"))
+      pqCodesPivot(emb)
     }),
 
     // PQ search (ADC): distances to the query are a 4-way lookup-table sum
@@ -109,31 +143,40 @@ object SimQueries {
     "pq_adc_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val codes = pqEncode(emb).groupBy("vec_id").agg(
-        max(when(col("s") === 0, col("code"))).as("c0"),
-        max(when(col("s") === 1, col("code"))).as("c1"),
-        max(when(col("s") === 2, col("code"))).as("c2"),
-        max(when(col("s") === 3, col("code"))).as("c3"))
-      val cb = pqSubVectors(
-          emb.filter(col("vec_id") < PqCodes))
-        .select(col("vec_id").cast(IntegerType).as("code"),
-          col("s").as("cs"), col("sv").as("cv"))
-      val q = pqSubVectors(emb.filter(col("vec_id") === 0))
-        .select(col("s").as("qs"), col("sv").as("qv"))
-      val dt = cb.join(broadcast(q), col("cs") === col("qs"))
-        .select(col("cs").as("s"), col("code"),
-          l2sq(col("cv"), col("qv")).as("qd"))
-      val dts = (0 until PqM).map(si => dt.filter(col("s") === si)
-        .select(col("code").as(s"code$si"), col("qd").as(s"d$si")))
-      codes
-        .join(broadcast(dts(0)), col("c0") === col("code0"))
-        .join(broadcast(dts(1)), col("c1") === col("code1"))
-        .join(broadcast(dts(2)), col("c2") === col("code2"))
-        .join(broadcast(dts(3)), col("c3") === col("code3"))
-        .select(col("vec_id"),
-          (col("d0") + col("d1") + col("d2") + col("d3")).as("adc_dist"))
+      pqAdcJoin(pqCodesPivot(emb), pqDistTables(emb))
+        .select(col("vec_id"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(10)
+    }),
+
+    // IVF + PQ — the production billion-vector shape: the trained coarse
+    // quantizer routes the query to one cell (scan 1/k of the corpus), and
+    // within the cell ranking runs on 4-byte PQ codes via the ADC tables —
+    // neither the routing nor the ranking ever touches a full vector at
+    // scan time. At 100 TB: cell id partitions the codes table, the ADC
+    // tables broadcast, and the scan reads ~corpus/k × 4 bytes per row.
+    "ivfpq_topk" -> ((s, dir) => {
+      implicit val sp = s
+      val embRaw = t(s, dir, "embeddings")
+      val (assignedRaw, centsRaw) = graft.operators.KMeans.fit(embRaw, 8, 2)
+      val assigned = assignedRaw.cache()
+      val cents = centsRaw.cache()
+      val emb = embRaw.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val bestCell = cents.crossJoin(broadcast(q))
+        .select(col("cluster"), cosine(col("cv"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("cluster"))
+        .limit(1).select(col("cluster").as("best_cluster"))
+      pqAdcJoin(
+        assigned.join(broadcast(bestCell),
+            col("cluster") === col("best_cluster"))
+          .select(col("vec_id"), col("cluster"))
+          .join(pqCodesPivot(emb), "vec_id"),
+        pqDistTables(emb))
+        .select(col("vec_id"), col("cluster"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(5)
     }),
 
     // Brute-force cosine against one query vector (vec_id 0) — the exact
@@ -368,6 +411,56 @@ object SimQueries {
           JOIN (SELECT code, qd FROM dt WHERE s = 2) d2 ON c.c2 = d2.code
           JOIN (SELECT code, qd FROM dt WHERE s = 3) d3 ON c.c3 = d3.code
           ORDER BY adc_dist, c.vec_id LIMIT 10"""
+    },
+
+    "ivfpq_topk" -> {
+      def cs(v: String, c: String) =
+        s"""${sqlDot(v, c)} /
+            (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
+      val dtSub = (0 until PqM).map(si =>
+        s"""SELECT $si AS s, cb.code,
+              ${sqlSubL2("cb.cv", "q.qv", si)} AS qd
+            FROM cb CROSS JOIN q""").mkString("\n          UNION ALL\n")
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          k0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+          x1 AS (SELECT v.vec_id, c.cluster,
+                   ${cs("v.embedding", "c.cv")} AS cs
+                 FROM vecs v CROSS JOIN k0 c),
+          a1 AS (SELECT vec_id, cluster FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                   FROM x1) WHERE rn = 1),
+          pts AS (SELECT a1.cluster, i.i AS pos,
+                    CAST(v.embedding[i.i] AS DOUBLE) AS x
+                  FROM a1 JOIN vecs v USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
+          m AS (SELECT cluster, pos,
+                  CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
+                    CAST(COUNT(*) * 1048576 AS DOUBLE) AS m
+                FROM pts GROUP BY 1, 2),
+          k1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+          x2 AS (SELECT v.vec_id, c.cluster,
+                   ${cs("v.embedding", "c.cv")} AS cs
+                 FROM vecs v CROSS JOIN k1 c),
+          a2 AS (SELECT vec_id, cluster FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                   FROM x2) WHERE rn = 1),
+          best AS (SELECT cluster AS best_cluster FROM k1 CROSS JOIN q
+                   ORDER BY ${cs("k1.cv", "qv")} DESC, cluster LIMIT 1),
+          $SqlPqCodes,
+          dt AS ($dtSub)
+          SELECT a2.vec_id, a2.cluster,
+            (d0.qd + d1.qd + d2.qd + d3.qd) AS adc_dist
+          FROM a2 JOIN best ON a2.cluster = best.best_cluster
+          JOIN codes c ON c.vec_id = a2.vec_id
+          JOIN (SELECT code, qd FROM dt WHERE s = 0) d0 ON c.c0 = d0.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 1) d1 ON c.c1 = d1.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 2) d2 ON c.c2 = d2.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 3) d3 ON c.c3 = d3.code
+          ORDER BY adc_dist, a2.vec_id LIMIT 5"""
     },
 
     "sim_cosine_brute" ->
