@@ -278,6 +278,47 @@ object TextQueries {
             .as("top_bigram_frac"))
     }),
 
+    // Stratified deterministic sampling — downweighting over-represented
+    // sources is the other reproducibility staple next to tx_split: the
+    // keep decision is a pure function of (salted doc_id hash, per-stratum
+    // rate), so any engine reproduces the sample, late arrivals don't
+    // perturb earlier decisions, and rates hold per stratum by hash
+    // uniformity. Per-row codegen, zero shuffle.
+    "tx_sample_stratified" -> ((s, dir) => {
+      val bucket = (conv(substring(md5(
+        concat(lit("sample:"), col("doc_id").cast(StringType))), 1, 6),
+        16, 10).cast(LongType) % 100).as("bucket")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), bucket)
+        .withColumn("rate",
+          when(length(col("source")) === 4, 20L).otherwise(80L))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("source"), col("rate"))
+    }),
+
+    // The preprocessing pipeline composed end-to-end in ONE declarative
+    // plan — exact-dedup survivors → quality gate → deterministic split —
+    // the "a user runs their whole corpus prep as one query" surface.
+    // Catalyst fuses the three stages: one hash-keyed window for dedup,
+    // then per-row codegen for quality + split; nothing materializes
+    // between stages.
+    "tx_pipeline_e2e" -> ((s, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      val bucket = (conv(substring(md5(
+        concat(lit("split:"), col("doc_id").cast(StringType))), 1, 6),
+        16, 10).cast(LongType) % 100)
+      t(s, dir, "documents")
+        .withColumn("canonical", col("doc_id") === min("doc_id").over(w))
+        .filter(col("canonical"))
+        .withColumn("quality", qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .withColumn("split",
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("quality"), col("split"))
+    }),
+
     // T1 with RU stemming via the native Catalyst expression. Hash-checked:
     // the light RU suffix-strip table is encoded as a DuckDB lambda in the
     // oracle (longest-match-first over the same suffix list), so the native
@@ -719,6 +760,52 @@ object TextQueries {
               t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
               AS BIGINT) AS n_subwords
           FROM documents""",
+
+    "tx_sample_stratified" ->
+      """SELECT doc_id, source, rate FROM (
+           SELECT doc_id, source,
+             CAST('0x' || substring(
+               md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 6)
+               AS BIGINT) % 100 AS b,
+             CASE WHEN length(source) = 4 THEN CAST(20 AS BIGINT)
+                  ELSE CAST(80 AS BIGINT) END AS rate
+           FROM documents)
+         WHERE b < rate""",
+
+    "tx_pipeline_e2e" ->
+      s"""WITH canon AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+              FROM documents) WHERE keep),
+          base AS (
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+              CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+                AS BIGINT) AS n_alpha
+            FROM canon),
+          scored AS (
+            SELECT doc_id,
+              round(
+                least(n_chars / 200.0, 1.0) * 0.3 +
+                (CASE WHEN n_tokens > 0
+                       AND CAST(n_chars AS DOUBLE) / n_tokens >= 3
+                       AND CAST(n_chars AS DOUBLE) / n_tokens <= 10
+                      THEN 1.0 ELSE 0.5 END) * 0.3 +
+                (CASE WHEN n_chars > 0
+                      THEN CAST(n_alpha AS DOUBLE) / n_chars
+                      ELSE 0.0 END) * 0.4, 6) AS quality
+            FROM base)
+          SELECT doc_id, quality,
+            CASE WHEN b < 80 THEN 'train'
+                 WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, quality,
+                  CAST('0x' || substring(
+                    md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS b
+                FROM scored WHERE quality >= 0.5)""",
 
     "tx_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $SqlToks AS toks FROM documents),
