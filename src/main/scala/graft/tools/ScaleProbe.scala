@@ -27,7 +27,7 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
-    val what = if (args.isEmpty) Set("dedup", "txlog", "stream")
+    val what = if (args.isEmpty) Set("dedup", "txlog", "stream", "skip")
                else args.toSet
 
     if (what("dedup")) for (k <- Seq(1, 10)) {
@@ -65,6 +65,43 @@ object ScaleProbe {
       }
       time(s"txlog snapshot x$k") { t.snapshot(schema).count() }
       time(s"txlog timetravel x$k") { t.snapshot(schema, Some(k / 2)).count() }
+    }
+
+    // data skipping: k× the events table appended as k ts-banded commits,
+    // then a one-band range scan via manifest stats vs the full-snapshot
+    // filter. The pruned scan must stay ~flat as k grows (it reads one
+    // band's files regardless of table size) while the full scan grows
+    // linearly — the property that makes time-range queries affordable on
+    // an hourly-appended 100 TB table.
+    if (what("skip")) for (k <- Seq(10, 100)) {
+      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .selectExpr("event_id", "ts div 1000 as ts_us", "value")
+      val mm = ev.agg(min("ts_us"), max("ts_us")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = mx - mn + 1
+      val t = graft.sources.TxLogTable(spark,
+        java.nio.file.Files.createTempDirectory("skipprobe")
+          .resolve("t").toString)
+      // k disjoint ts bands: band i shifted by i spans → k× rows, k bands
+      time(s"skip build x$k") {
+        (0 until k).map { i =>
+          t.commit(ev.select(
+              (col("event_id") + lit(i * 10000000L)).as("event_id"),
+              (col("ts_us") + lit(i * span)).as("ts_us"), col("value")),
+            overwrite = false)
+        }.last.toLong
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts_us BIGINT, value DOUBLE")
+      val (lo, hi) = (mn + (k / 2) * span, mn + (k / 2) * span + span - 1)
+      time(s"skip pruned-scan x$k (${t.candidateFiles("ts_us", lo, hi).size}"
+          + s"/${t.fileCount()} files)") {
+        t.snapshotRange(schema, "ts_us", lo, hi).count()
+      }
+      time(s"skip full-filter x$k") {
+        t.snapshot(schema)
+          .filter(col("ts_us") >= lo && col("ts_us") <= hi).count()
+      }
     }
 
     // streaming LSH bucket-ownership over a k× corpus, fed as a file

@@ -73,6 +73,24 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_ship"), s)
   }
 
+  test("pq: ADC ranking is all-broadcast, top-k map-side limited") {
+    val p = plan("pq_adc_topk")
+    // codebook, query tables and the four ADC lookups are all broadcast —
+    // the scan side never enters a sort-merge join, and the final top-k is
+    // TakeOrdered (each task keeps k rows; the driver merges task heads)
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 5, p)
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
+  }
+
+  test("ivfpq: no cartesian, top-k map-side limited") {
+    val p = plan("ivfpq_topk")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+  }
+
   test("scd2: one shuffle pair for the full-outer diff, no cartesian") {
     val p = plan("scd2_apply")
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
