@@ -260,6 +260,45 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(rows(t) == Set((2L, "b")))
   }
 
+  test("incremental view maintenance: change feed folds into the one-shot agg") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // source table: 4 append commits of keyed measures
+    val src = fresh()
+    val batches = Seq(
+      Seq((1L, "a", 10L), (2L, "b", 5L)),
+      Seq((3L, "a", 7L)),
+      Seq((4L, "b", 1L), (5L, "c", 2L)),
+      Seq((6L, "a", 4L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      src.commit(b.toDF("id", "k", "m"), overwrite = i == 0)
+    }
+    val schema3 = StructType(Seq(
+      StructField("id", LongType), StructField("k", StringType),
+      StructField("m", LongType)))
+    // maintained aggregate: fold each version's delta via the change feed —
+    // the real CDC loop (cursor → changesBetween → applyDelta), never
+    // re-reading earlier versions
+    val deltaAgg = (d: org.apache.spark.sql.DataFrame) => d.groupBy("k")
+      .agg(sum("m").as("total"), count(lit(1)).as("n"))
+    var view = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType),
+        StructField("total", LongType), StructField("n", LongType))))
+    (0 to 3).foreach { v =>
+      val delta = src.changesBetween(schema3, v - 1, v)
+        .drop("_commit_version")
+      view = graft.operators.IncrementalAgg.applyDelta(
+        view, delta, Seq("k"), Seq("total", "n"), deltaAgg)
+    }
+    val got = view.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // ⊕-fold over the feed ≡ one-shot aggregate over the snapshot
+    val expect = src.snapshot(schema3).groupBy("k")
+      .agg(sum("m").as("total"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("compact preserves a partitioned table's hive layout") {
     val t = fresh()
     val schemaP = StructType(Seq(
