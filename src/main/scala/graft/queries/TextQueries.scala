@@ -319,6 +319,36 @@ object TextQueries {
         .select(col("doc_id"), col("quality"), col("split"))
     }),
 
+    // The realistic (CCNet/Gopher-shaped) prep pipeline: near-dup clusters
+    // via MinHash-LSH bucket-min, highest-quality survivor per cluster,
+    // then the deterministic split — same shuffles as dd_keep_best plus
+    // per-row codegen for the split; the whole corpus prep is one plan.
+    "tx_pipeline_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bands = minhashBands(docs)
+      val wb = Window.partitionBy("band", "band_key")
+      val clusters = bands
+        .withColumn("bucket_min", min("doc_id").over(wb))
+        .groupBy("doc_id").agg(min("bucket_min").as("cluster_id"))
+      val scored = docs.select(col("doc_id"),
+        qualityScore(col("text")).as("quality"))
+      val wc = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val bucket = (conv(substring(md5(
+        concat(lit("split:"), col("doc_id").cast(StringType))), 1, 6),
+        16, 10).cast(LongType) % 100)
+      clusters.join(scored, "doc_id")
+        .withColumn("keep_id", first("doc_id").over(wc))
+        .filter(col("doc_id") === col("keep_id"))
+        .withColumn("split",
+          when(bucket < 80, lit("train"))
+            .when(bucket < 90, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          col("split"))
+    }),
+
     // T1 with RU stemming via the native Catalyst expression. Hash-checked:
     // the light RU suffix-strip table is encoded as a DuckDB lambda in the
     // oracle (longest-match-first over the same suffix list), so the native
@@ -950,6 +980,54 @@ object TextQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               AS is_pruned
           FROM clusters c JOIN q ON c.doc_id = q.doc_id""",
+
+    "tx_pipeline_neardup" ->
+      s"""WITH toks AS (
+            SELECT DISTINCT doc_id, unnest($SqlToks) AS tok FROM documents),
+          hs AS (
+            SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS minh
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+            GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   md5(string_agg(minh, ',' ORDER BY i)) AS band_key
+            FROM hs GROUP BY 1, 2),
+          bmin AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY band, band_key) AS bucket_min
+            FROM bands),
+          clusters AS (
+            SELECT doc_id, MIN(bucket_min) AS cluster_id
+            FROM bmin GROUP BY doc_id),
+          q AS (
+            SELECT doc_id,
+              round(
+                least(CAST(length(text) AS BIGINT) / 200.0, 1.0) * 0.3 +
+                (CASE WHEN len($SqlToks) > 0
+                       AND CAST(length(text) AS DOUBLE) / len($SqlToks) >= 3
+                       AND CAST(length(text) AS DOUBLE) / len($SqlToks) <= 10
+                      THEN 1.0 ELSE 0.5 END) * 0.3 +
+                (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+                             AS DOUBLE) / length(text)
+                      ELSE 0.0 END) * 0.4, 6) AS quality
+            FROM documents),
+          kept AS (
+            SELECT c.doc_id, c.cluster_id, q.quality,
+              FIRST_VALUE(c.doc_id) OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC, c.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS keep_id
+            FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+          SELECT doc_id, cluster_id, quality,
+            CASE WHEN b < 80 THEN 'train'
+                 WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, cluster_id, quality,
+                  CAST('0x' || substring(
+                    md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS b
+                FROM kept WHERE doc_id = keep_id)""",
 
     "dd_minhash_cluster_cc" ->
       s"""WITH toks AS (
