@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.catalyst.{CosineSim, L2Sq, SortedIntersectCount, TokenizeStem, WinnowFingerprint}
+
+/** Session-extension entry point — the deployment path for the engine's
+  * native expressions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * installs every graft function into the session's catalog at build time,
+  * so pure-SQL users (thrift server, notebooks, `spark.sql` pipelines)
+  * reach them without any Scala import or per-session `register` call —
+  * the same mechanism Delta/Iceberg use to add their SQL surface. The
+  * per-object `register` helpers remain for ad-hoc sessions; this class is
+  * the injected, cluster-wide form of the same builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String,
+                 builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.catalyst", name, usage),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two ARRAY<DOUBLE> vectors",
+      exprs => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction(fn("l2_sq",
+      "l2_sq(a, b) - squared L2 distance of two ARRAY<DOUBLE> vectors",
+      exprs => L2Sq(exprs.head, exprs(1))))
+    ext.injectFunction(fn("tokenize_ru",
+      "tokenize_ru(text) - T1 lexemes with light RU suffix stemming",
+      exprs => TokenizeStem(exprs.head)))
+    ext.injectFunction(fn("winnow_fingerprint",
+      "winnow_fingerprint(text) - winnowing document fingerprints",
+      exprs => WinnowFingerprint(exprs.head)))
+    ext.injectFunction(fn("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - intersection size of two sorted-" +
+        "distinct STRING arrays",
+      exprs => SortedIntersectCount(exprs.head, exprs(1))))
+  }
+}
