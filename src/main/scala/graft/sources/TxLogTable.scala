@@ -135,16 +135,28 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   /** Data files of `version` that MAY contain rows with
     * `lo <= column <= hi`, by manifest-stats interval overlap. A file
     * without stats for `column` is always a candidate (correctness over
-    * pruning). This is the data-skipping primitive: the decision uses only
-    * the manifest — no file is opened, no footer read, no scan planned for
-    * a file whose [min,max] excludes the predicate.
+    * pruning). For PARTITION columns — which never appear in data-file
+    * footers — the value is read from the file's hive path segment
+    * (`column=v/`), so partition-keyed range scans prune from the manifest
+    * too, without even listing the other partitions' files. This is the
+    * data-skipping primitive: the decision uses only the manifest — no
+    * file is opened, no footer read, no scan planned for a file whose
+    * [min,max] excludes the predicate.
     */
   def candidateFiles(column: String, lo: Long, hi: Long,
-                     version: Option[Int] = None): Seq[String] =
+                     version: Option[Int] = None): Seq[String] = {
+    def partValue(rel: String): Option[Long] =
+      rel.split('/').iterator
+        .collectFirst { case seg if seg.startsWith(s"$column=") =>
+          seg.stripPrefix(s"$column=") }
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
     entries(version).collect {
-      case e if e.stats.get(column).forall { case (mn, mx) =>
-        mx >= lo && mn <= hi } => e.rel
+      case e if e.stats.get(column)
+          .map { case (mn, mx) => mx >= lo && mn <= hi }
+          .orElse(partValue(e.rel).map(v => v >= lo && v <= hi))
+          .getOrElse(true) => e.rel
     }
+  }
 
   /** Range scan with manifest-level file skipping: semantically identical
     * to `snapshot(schema).filter(lo <= column <= hi)`, but files whose

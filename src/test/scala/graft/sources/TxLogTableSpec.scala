@@ -215,6 +215,22 @@ class TxLogTableSpec extends AnyFunSuite {
       rows.filter(r => r._1 >= 10 && r._1 <= 19).map(r => (r._1, r._2)).toSet)
   }
 
+  test("partition-column range scans prune from hive path segments") {
+    val t = fresh()
+    val schemaP = StructType(Seq(
+      StructField("k", LongType), StructField("id", LongType),
+      StructField("v", StringType)))
+    // partition columns never reach data-file footers — pruning must come
+    // from the k=v path segment recorded in the manifest
+    t.commit(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "id", "v"), overwrite = true, partitionCols = Seq("k"))
+    assert(t.fileCount() == 3)
+    assert(t.candidateFiles("k", 2L, 3L).size == 2)
+    val got = t.snapshotRange(schemaP, "k", 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 20L), (3L, 30L)))
+  }
+
   test("change feed refuses a window crossing the vacuum horizon") {
     val t = fresh()
     (0 until 4).foreach(i =>
