@@ -158,6 +158,34 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** COUNT(*) of `version` answered from manifest metadata alone — no
+    * scan, no file opened (each line's exact `_rows` footer count summed).
+    * None when any file predates stats recording: the caller must fall
+    * back to a scan, never trust a partial sum. Data files are immutable
+    * and this format has no deletion vectors, so the metadata count is
+    * exact — the optimization every table format's `SELECT COUNT(*)` rides.
+    */
+  def metaRowCount(version: Option[Int] = None): Option[Long] = {
+    val es = entries(version)
+    val counts = es.flatMap(_.stats.get("_rows").map(_._1))
+    if (counts.size == es.size) Some(counts.sum) else None
+  }
+
+  /** MIN/MAX of an integral column from manifest stats alone (exact:
+    * footer stats are true per-file extrema; nulls are excluded exactly as
+    * SQL MIN/MAX excludes them). None when any file lacks stats for the
+    * column — an all-null or pre-stats file means the manifest cannot
+    * bound the answer.
+    */
+  def metaMinMax(column: String,
+                 version: Option[Int] = None): Option[(Long, Long)] = {
+    val es = entries(version)
+    val st = es.flatMap(_.stats.get(column))
+    if (es.nonEmpty && st.size == es.size)
+      Some((st.map(_._1).min, st.map(_._2).max))
+    else None
+  }
+
   /** Range scan with manifest-level file skipping: semantically identical
     * to `snapshot(schema).filter(lo <= column <= hi)`, but files whose
     * committed min/max exclude the range are never read — at 100 TB, a
@@ -388,6 +416,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       new org.apache.hadoop.fs.Path(dataDir.resolve(rel).toString), conf)
     scala.util.Using.resource(ParquetFileReader.open(in)) { r =>
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      // exact file row count (sum of row-group counts) under the reserved
+      // pseudo-column `_rows` — lets COUNT(*) come straight off the
+      // manifest (metaRowCount), no scan
+      val nRows = r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      acc("_rows") = (nRows, nRows)
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val tpe = c.getPrimitiveType.getPrimitiveTypeName

@@ -190,6 +190,14 @@ class TxLogTableSpec extends AnyFunSuite {
       overwrite = false)
     assert(t.candidateFiles("id", 12L, 18L).size == 1)
     assert(t.entries().forall(_.stats.contains("id")))
+    // metadata-only aggregates: COUNT(*) and MIN/MAX straight off the
+    // manifest, exact, no file opened
+    assert(t.metaRowCount().contains(31L))
+    assert(t.metaMinMax("id").contains((0L, 30L)))
+    assert(t.metaMinMax("nope").isEmpty)
+    // earlier versions answer from their own manifests (time travel)
+    assert(t.metaRowCount(Some(0)).contains(10L))
+    assert(t.metaMinMax("id", Some(1)).contains((0L, 19L)))
   }
 
   test("z-order rewrite enables stats pruning on both clustered columns") {
