@@ -74,13 +74,16 @@ object Bench {
       if (p > 1) System.gc()
       SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
     }
+    // 3-decimal seconds: millisecond resolution is all the comparison
+    // needs, and the shorter JSON line survives tail-window capture intact
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = SparkEntry.queries.keys.map(k =>
-      k -> passes.map(_(k)).min).toMap
+      k -> r3(passes.map(_(k)).min)).toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":${r3(warmupSec)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
