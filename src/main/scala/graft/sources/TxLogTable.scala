@@ -85,11 +85,40 @@ final case class TxLogTable(spark: SparkSession, root: String) {
 
   def latestVersion: Option[Int] = versions.lastOption
 
-  // Manifest format: lines starting with '#' are metadata (currently only
-  // `#partitionCols=a,b`), the rest are data-file paths relative to data/.
+  // Manifest format: lines starting with '#' are metadata
+  // (`#partitionCols=a,b`, `#commitMillis=...`, `#op=...` — unknown keys
+  // are ignored by readers, so the format is forward-extensible), the rest
+  // are data-file paths relative to data/, each optionally stats-tagged.
   private def manifestLines(v: Int): Seq[String] =
     new String(Files.readAllBytes(manifestPath(v)), UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
+
+  private def metaOf(v: Int, key: String): Option[String] =
+    manifestLines(v).collectFirst {
+      case l if l.startsWith(s"#$key=") => l.stripPrefix(s"#$key=") }
+
+  /** One `history()` row: what produced a version, when, and its size. */
+  final case class VersionInfo(version: Int, commitMillis: Option[Long],
+                               op: Option[String], numFiles: Int)
+
+  /** Commit history, oldest first — the DESCRIBE HISTORY surface: which
+    * operation produced each surviving version and when. Reads only
+    * manifests (driver-side, O(versions)).
+    */
+  def history(): Seq[VersionInfo] =
+    versions.map(v => VersionInfo(v,
+      metaOf(v, "commitMillis").flatMap(s =>
+        scala.util.Try(s.toLong).toOption),
+      metaOf(v, "op"), readManifest(v).size))
+
+  /** Latest version committed at or before `tsMillis` — timestamp-based
+    * time travel (`snapshot(schema, versionAsOf(ts))`). None when the
+    * table is empty, nothing was committed yet at `tsMillis`, or history
+    * before the first timestamped commit was vacuumed.
+    */
+  def versionAsOf(tsMillis: Long): Option[Int] =
+    history().filter(_.commitMillis.exists(_ <= tsMillis))
+      .lastOption.map(_.version)
 
   // raw data lines (path + optional stats) — what carried-file commits copy
   private def dataLines(v: Int): Seq[String] =
@@ -276,7 +305,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val packed =
       if (cols.isEmpty) snap.repartition(numFiles)
       else snap.repartition(numFiles, cols.map(col): _*)
-    commit(packed, overwrite = true, partitionCols = cols)
+    commit(packed, overwrite = true, partitionCols = cols, op = "compact")
   }
 
   /** Rewrite the current snapshot clustered on the z-order (Morton) curve
@@ -307,7 +336,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    commit(packed, overwrite = true, partitionCols = cols)
+    commit(packed, overwrite = true, partitionCols = cols, op = "zorder")
   }
 
   /** Garbage-collect history: keep the newest `keep` versions, delete older
@@ -489,8 +518,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (s"#partitionCols=${partitionCols.mkString(",")}" +:
-            (carried ++ staged)).mkString("\n").getBytes(UTF_8),
+          (metaLines(partitionCols, "dynamic-overwrite") ++
+            carried ++ staged).mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {
@@ -502,9 +531,17 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       s"commitDynamic lost the version race $maxAttempts times: $root")
   }
 
+  private def metaLines(partitionCols: Seq[String], op: String): Seq[String] =
+    Seq(s"#partitionCols=${partitionCols.mkString(",")}",
+      s"#commitMillis=${System.currentTimeMillis()}",
+      s"#op=$op")
+
   def commit(df: DataFrame, overwrite: Boolean,
              maxAttempts: Int = 10,
-             partitionCols: Seq[String] = Nil): Int = {
+             partitionCols: Seq[String] = Nil,
+             op: String = null): Int = {
+    val opName =
+      Option(op).getOrElse(if (overwrite) "overwrite" else "append")
     val staged = stageWithStats(df, partitionCols)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -522,8 +559,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         // the atomic publish: create-if-absent of the version manifest
         Files.write(manifestPath(next),
-          (s"#partitionCols=${partitionCols.mkString(",")}" +:
-            (carried ++ staged)).mkString("\n").getBytes(UTF_8),
+          (metaLines(partitionCols, opName) ++
+            carried ++ staged).mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {

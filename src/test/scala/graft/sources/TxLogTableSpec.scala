@@ -239,6 +239,43 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(got == Set((2L, 20L), (3L, 30L)))
   }
 
+  test("history records op + commit time; timestamp time travel resolves") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    t.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)
+    t.compact(schema)
+    val h = t.history()
+    assert(h.map(_.version) == Seq(0, 1, 2))
+    assert(h.map(_.op) ==
+      Seq(Some("overwrite"), Some("append"), Some("compact")))
+    assert(h.forall(_.commitMillis.nonEmpty) && h.last.numFiles == 1)
+    // commit times ascend (each commit takes a Spark write, >> 1 ms)
+    assert(h.map(_.commitMillis.get) == h.map(_.commitMillis.get).sorted)
+    // timestamp-based travel: AS OF each version's own commit instant
+    assert(t.versionAsOf(h.head.commitMillis.get).contains(0))
+    assert(t.versionAsOf(Long.MaxValue).contains(2))
+    assert(t.versionAsOf(0L).isEmpty)
+    assert(rows(t, t.versionAsOf(h.head.commitMillis.get)) ==
+      Set((1L, "a")))
+  }
+
+  test("schema evolution: old files read null for later-added columns") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    // widen on append: new files carry `extra`, old files simply lack the
+    // parquet column and the reader fills null — add-column needs no
+    // rewrite of existing data
+    t.commit(Seq((2L, "b", 7L)).toDF("id", "v", "extra"),
+      overwrite = false)
+    val wide = StructType(schema.fields :+ StructField("extra", LongType))
+    val got = t.snapshot(wide).collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", Some(7L))))
+    // narrow reads keep working — column pruning over the wider files
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+  }
+
   test("change feed refuses a window crossing the vacuum horizon") {
     val t = fresh()
     (0 until 4).foreach(i =>
