@@ -22,10 +22,12 @@ import graft.catalyst.{CosineSim, L2Sq, SortedIntersectCount, TokenizeStem, Winn
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // ExpressionInfo's 3-arg constructor is (className, db, NAME) — the
+  // usage text needs the 5-arg (className, db, name, usage, arguments)
   private def fn(name: String, usage: String,
                  builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo("graft.catalyst", name, usage),
+      new ExpressionInfo("graft.catalyst", null, name, usage, ""),
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
