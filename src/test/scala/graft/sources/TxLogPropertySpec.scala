@@ -28,6 +28,7 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case class Append(rows: List[(Long, String)]) extends Op
   private case class Overwrite(rows: List[(Long, String)]) extends Op
   private case object Compact extends Op
+  private case object ZOrder extends Op
   private case class Vacuum(keep: Int) extends Op
 
   private val rowsGen: Gen[List[(Long, String)]] =
@@ -40,6 +41,7 @@ class TxLogPropertySpec extends AnyFunSuite {
     4 -> rowsGen.map(Append),
     2 -> rowsGen.map(Overwrite),
     1 -> Gen.const(Compact),
+    1 -> Gen.const(ZOrder),
     1 -> Gen.choose(1, 3).map(Vacuum))
 
   // first op must create the table
@@ -154,6 +156,11 @@ class TxLogPropertySpec extends AnyFunSuite {
             history += v -> live.lastOption.map(history).getOrElse(Nil)
             live :+= v
             assert(t.fileCount() == 1, s"compact left ${t.fileCount()} files")
+          case ZOrder =>
+            // layout-only rewrite: rows unchanged, new version appended
+            val v = t.compactZOrder(schema, "id", "id", numFiles = 2)
+            history += v -> live.lastOption.map(history).getOrElse(Nil)
+            live :+= v
           case Vacuum(keep) =>
             t.vacuum(keep, minAgeMillis = 0L)
             live = live.takeRight(keep)
