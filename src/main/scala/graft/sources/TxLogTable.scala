@@ -238,6 +238,35 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     all.filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Snapshot scan with automatic manifest skipping for an ARBITRARY
+    * predicate: conservative per-column bounds are extracted from the
+    * expression tree ([[PredicateRanges]]) and files whose stats (or hive
+    * partition value) fall outside every implied range are never read;
+    * the full predicate is then applied to the surviving rows, so results
+    * are always identical to `snapshot(schema).filter(pred)` — the
+    * predicate shapes the extractor doesn't understand just don't prune.
+    */
+  def snapshotWhere(schema: StructType, pred: org.apache.spark.sql.Column,
+                    version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graft.PredicateRanges
+    val v = version.orElse(latestVersion)
+    val ranges = PredicateRanges.extract(pred)
+    val files = ranges.foldLeft(v.map(readManifest).getOrElse(Nil)) {
+      case (remaining, (column, b)) =>
+        val keep = candidateFiles(column, b.lo, b.hi, v).toSet
+        remaining.filter(keep)
+    }.map(rel => dataDir.resolve(rel).toString)
+    val all =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.option("basePath", dataDir.toString)
+          .schema(schema).parquet(files: _*)
+          .select(schema.fieldNames.map(col): _*)
+    all.filter(pred)
+  }
+
   /** Rows ADDED in versions `(fromV, toV]`, each tagged with the
     * `_commit_version` that introduced them — the change feed consumers use
     * to process a table incrementally instead of re-scanning the snapshot
@@ -326,7 +355,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       org.apache.spark.sql.functions.min(col(colA).cast("long")),
       org.apache.spark.sql.functions.max(col(colA).cast("long")),
       org.apache.spark.sql.functions.min(col(colB).cast("long")),
-      org.apache.spark.sql.functions.max(col(colB).cast("long"))).head
+      org.apache.spark.sql.functions.max(col(colB).cast("long"))).head()
     if (mm.isNullAt(0) || mm.isNullAt(2)) // empty table: plain compact
       return compact(schema, numFiles)
     val z = graft.operators.ZOrder.zValue(

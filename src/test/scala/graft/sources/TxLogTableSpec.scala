@@ -223,6 +223,30 @@ class TxLogTableSpec extends AnyFunSuite {
       rows.filter(r => r._1 >= 10 && r._1 <= 19).map(r => (r._1, r._2)).toSet)
   }
 
+  test("snapshotWhere prunes from arbitrary conjunctive predicates") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = fresh()
+    Seq(0L until 10L, 10L until 20L, 20L until 30L).zipWithIndex
+      .foreach { case (r, i) =>
+        t.commit(r.map(x => (x, s"r$x")).toDF("id", "v").coalesce(1),
+          overwrite = i == 0)
+      }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    // both orientations in one conjunction → mid-band file only
+    assert(ids(t.snapshotWhere(schema, col("id") >= 12 && lit(18L) >= col("id")))
+      == (12L to 18L).toSet)
+    // a column without stats in the mix: its conjunct filters rows, the
+    // stats column still prunes files
+    assert(ids(t.snapshotWhere(schema, col("id") > 7 && col("v") === "r8"))
+      == Set(8L))
+    // OR prunes nothing but stays correct
+    assert(ids(t.snapshotWhere(schema,
+      (col("id") === 5) || (col("id") === 25))) == Set(5L, 25L))
+    // contradictory range → empty, without reading anything
+    assert(t.snapshotWhere(schema, col("id") > 9 && col("id") < 3).isEmpty)
+  }
+
   test("partition-column range scans prune from hive path segments") {
     val t = fresh()
     val schemaP = StructType(Seq(
