@@ -88,7 +88,10 @@ object EtlQueries {
       val pruned = tbl.candidateFiles("user_id", lo, hi).size
       require(pruned < tbl.fileCount(),
         s"z-order scan skipped nothing: $pruned of ${tbl.fileCount()} files")
-      tbl.snapshotRange(ev.schema, "user_id", lo, hi)
+      // the AUTOMATIC skipping path: bounds extracted from the predicate
+      // tree (PredicateRanges), not passed explicitly
+      tbl.snapshotWhere(ev.schema,
+        col("user_id") >= lo && col("user_id") <= hi)
     }),
 
     // Incremental aggregate maintenance (operators.IncrementalAgg — the
