@@ -100,6 +100,17 @@ final case class EtlContext(spark: SparkSession, warehouse: String,
     tx(table).vacuum(keep, minAgeMillis)
   }
 
+  def history(table: String): Seq[graft.sources.TxLogTable.VersionInfo] = {
+    require(txLog, s"history($table) requires the txLog backend")
+    tx(table).history()
+  }
+
+  def compactZOrder(table: String, schema: StructType,
+                    colA: String, colB: String, numFiles: Int = 8): Int = {
+    require(txLog, s"compactZOrder($table) requires the txLog backend")
+    tx(table).compactZOrder(schema, colA, colB, numFiles)
+  }
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))
       scala.util.Using.resource(Files.walk(p)) { s =>

@@ -53,6 +53,10 @@ object TxLogTable {
         .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
   }
 
+  /** One `history()` row: what produced a version, when, and its size. */
+  final case class VersionInfo(version: Int, commitMillis: Option[Long],
+                               op: Option[String], numFiles: Int)
+
   def decodeEntry(line: String): FileEntry = line.split('\t') match {
     case Array(rel) => FileEntry(rel, Map.empty)
     case Array(rel, enc) =>
@@ -97,16 +101,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     manifestLines(v).collectFirst {
       case l if l.startsWith(s"#$key=") => l.stripPrefix(s"#$key=") }
 
-  /** One `history()` row: what produced a version, when, and its size. */
-  final case class VersionInfo(version: Int, commitMillis: Option[Long],
-                               op: Option[String], numFiles: Int)
-
   /** Commit history, oldest first — the DESCRIBE HISTORY surface: which
     * operation produced each surviving version and when. Reads only
     * manifests (driver-side, O(versions)).
     */
-  def history(): Seq[VersionInfo] =
-    versions.map(v => VersionInfo(v,
+  def history(): Seq[TxLogTable.VersionInfo] =
+    versions.map(v => TxLogTable.VersionInfo(v,
       metaOf(v, "commitMillis").flatMap(s =>
         scala.util.Try(s.toLong).toOption),
       metaOf(v, "op"), readManifest(v).size))

@@ -110,6 +110,10 @@ class TxLogPipelineSpec extends AnyFunSuite {
     assert(norm(feed, Schemas.scheduleEventsTable) == cur)
     ctx.compact("schedule_events", Schemas.scheduleEventsTable)
     assert(rowsTx("schedule_events", Schemas.scheduleEventsTable) == cur)
+    // DESCRIBE HISTORY through the context: ops + instants per version
+    val hist = ctx.history("schedule_events")
+    assert(hist.nonEmpty && hist.last.op.contains("compact"))
+    assert(hist.forall(_.commitMillis.nonEmpty))
     val (droppedManifests, droppedFiles) =
       ctx.vacuum("schedule_events", minAgeMillis = 0L)
     assert(droppedManifests >= 2 && droppedFiles > 0)
