@@ -23,17 +23,25 @@ object ZOrder {
   val Bits = 16
 
   /** Scale an integral column to the [0, 2^Bits) grid over [mn, mx].
-    * Double-based scaling: `(v - mn) * 65535` overflows Long once the
-    * column spans more than ~2^47 (epoch-nanos spans do); the double
-    * rounding is deterministic and grid-cell precision is all a
+    * The subtraction runs in DOUBLE from the start: `c - mn` in Long
+    * overflows once the span exceeds the Long range (mn strongly negative,
+    * values strongly positive), yielding negative cells the upper clamp
+    * never catches. Both ends are clamped anyway — out-of-range values
+    * (possible only through caller error, since mn/mx come from the same
+    * snapshot) degrade to edge cells instead of corrupting the curve. The
+    * double rounding is deterministic and grid-cell precision is all a
     * clustering key needs.
     */
   def gridCell(c: Column, mn: Long, mx: Long): Column =
     if (mx <= mn) lit(0L)
     else least(
       lit(((1L << Bits) - 1).toDouble),
-      (c - lit(mn)).cast("double") / lit((mx - mn).toDouble) *
-        lit(((1L << Bits) - 1).toDouble)).cast("long")
+      greatest(lit(0.0),
+        (c.cast("double") - lit(mn.toDouble)) / lit(spanOf(mn, mx)) *
+          lit(((1L << Bits) - 1).toDouble))).cast("long")
+
+  // (mx - mn) in DOUBLE without the Long-subtraction overflow
+  private def spanOf(mn: Long, mx: Long): Double = mx.toDouble - mn.toDouble
 
   /** Interleave the low [[Bits]] bits of `a` and `b`: bit i of `a` goes to
     * position 2i, bit i of `b` to 2i+1 — the Morton code. Unrolled to a

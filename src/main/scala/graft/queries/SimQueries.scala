@@ -68,11 +68,15 @@ object SimQueries {
     graft.catalyst.L2Sq.l2sq(a, b)
 
   /** Codes per (vec_id, s): nearest codebook entry by squared L2, ties to
-    * the lowest code. The 64-row codebook is broadcast; the only shuffle is
-    * the per-(vec,s) argmin window — at scale this becomes a map-side
-    * TakeOrdered because (vec_id, s) is unique per input row after the
-    * join, so rows never cross partitions for correctness, and the encode
-    * is effectively embarrassingly parallel.
+    * the lowest code. The 64-row codebook is broadcast; the argmin is a
+    * `min(struct(dist, code))` hash aggregate, whose PARTIAL phase collapses
+    * each group's 16 candidate rows map-side — the shuffle carries one row
+    * per (vec_id, s), not 16 (a window rank here would exchange all n×4×16
+    * candidates just to discard 15/16 of them). Struct ordering is
+    * lexicographic, so the (dist, code) pair reproduces the
+    * order-by-dist-then-code tie-break exactly. This is the whole-corpus
+    * pass of the PQ pipeline — at 100 TB the 16× shuffle cut is the
+    * difference between encoding being scan-bound and exchange-bound.
     */
   private def pqEncode(emb: DataFrame): DataFrame = {
     val sv = pqSubVectors(emb)
@@ -80,14 +84,12 @@ object SimQueries {
         emb.filter(col("vec_id") < PqCodes))
       .select(col("vec_id").cast(IntegerType).as("code"),
         col("s").as("cs"), col("sv").as("cv"))
-    val w = Window.partitionBy("vec_id", "s")
-      .orderBy(col("dist"), col("code"))
     sv.join(broadcast(cb), col("s") === col("cs"))
       .select(col("vec_id"), col("s"), col("code"),
         l2sq(col("sv"), col("cv")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("code"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"))
   }
 
   /** Codes pivoted wide: (vec_id, c0..c3) — one row per vector. */
@@ -159,6 +161,9 @@ object SimQueries {
       implicit val sp = s
       val embRaw = t(s, dir, "embeddings")
       val (assignedRaw, centsRaw) = graft.operators.KMeans.fit(embRaw, 8, 2)
+      // session-scoped caches: CacheManager dedups by plan, so repeated
+      // invocations (and the bench warmup) share ONE entry per artifact —
+      // nothing accumulates; `spark.catalog.clearCache()` releases them
       val assigned = assignedRaw.cache()
       val cents = centsRaw.cache()
       val emb = embRaw.select(col("vec_id"),
@@ -286,7 +291,9 @@ object SimQueries {
       val emb = t(s, dir, "embeddings")
       val (assignedRaw, centsRaw) = graft.operators.KMeans.fit(emb, 8, 2)
       // three downstream consumers (cell routing, membership join, ranking)
-      // would each replay the training lineage — persist the tiny artifacts
+      // would each replay the training lineage — persist the tiny artifacts.
+      // Session-scoped: CacheManager dedups by plan (one entry per artifact
+      // across invocations + the bench warmup); clearCache() releases them.
       val assigned = assignedRaw.cache()
       val cents = centsRaw.cache()
       val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -39,6 +39,24 @@ object TxLogTable {
     */
   val DefaultVacuumMinAgeMillis: Long = 15L * 60 * 1000
 
+  /** Reserved stats key carrying the file's exact row count. Contains `:`,
+    * a wire-format delimiter, so it can NEVER collide with a real column:
+    * any column whose parquet dot-string contains a delimiter is dropped
+    * from stats at harvest time ([[statsSafe]]) — a real column named
+    * `:rows` simply never gets a stats entry.
+    */
+  val RowsKey = ":rows"
+
+  /** A column name is stats-safe iff it contains no wire-format delimiter
+    * (`=` `;` `:` tab newline — the separators of
+    * `rel<TAB>col=min:max;...`). Unsafe names would encode to an
+    * unparseable line; dropping their stats only costs pruning (readers
+    * treat a missing entry as "cannot prune"), never correctness.
+    */
+  def statsSafe(name: String): Boolean =
+    !name.exists(c => c == '=' || c == ';' || c == ':' ||
+      c == '\t' || c == '\n')
+
   /** One manifest data line: a file path relative to data/, plus optional
     * per-column min/max statistics harvested from the parquet footer at
     * commit time (integral columns only). Wire format:
@@ -57,13 +75,25 @@ object TxLogTable {
   final case class VersionInfo(version: Int, commitMillis: Option[Long],
                                op: Option[String], numFiles: Int)
 
+  // Tolerant stats parse: a malformed `col=min:max` token yields no entry
+  // instead of a MatchError — a reader must never fail the whole table over
+  // one unparseable stats token (missing stats merely mean "cannot prune").
   def decodeEntry(line: String): FileEntry = line.split('\t') match {
     case Array(rel) => FileEntry(rel, Map.empty)
     case Array(rel, enc) =>
-      FileEntry(rel, enc.split(';').iterator.map { kv =>
-        val Array(c, range) = kv.split('=')
-        val Array(mn, mx) = range.split(':')
-        c -> (mn.toLong, mx.toLong)
+      FileEntry(rel, enc.split(';').iterator.flatMap { kv =>
+        kv.split('=') match {
+          case Array(c, range) =>
+            // RowsKey itself contains ':' — split from the RIGHT so the
+            // reserved key round-trips; a plain column range has exactly
+            // one ':' and splits identically either way
+            val cut = range.lastIndexOf(':')
+            if (cut <= 0 || cut == range.length - 1) None
+            else scala.util.Try(
+              c -> (range.substring(0, cut).toLong,
+                range.substring(cut + 1).toLong)).toOption
+          case _ => None
+        }
       }.toMap)
     case other => FileEntry(other.head, Map.empty)
   }
@@ -97,19 +127,22 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     new String(Files.readAllBytes(manifestPath(v)), UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
 
-  private def metaOf(v: Int, key: String): Option[String] =
-    manifestLines(v).collectFirst {
-      case l if l.startsWith(s"#$key=") => l.stripPrefix(s"#$key=") }
-
   /** Commit history, oldest first — the DESCRIBE HISTORY surface: which
-    * operation produced each surviving version and when. Reads only
-    * manifests (driver-side, O(versions)).
+    * operation produced each surviving version and when. Reads each
+    * manifest exactly ONCE (driver-side, O(versions) file reads — meta
+    * keys and the data-line count come from the same read; per-key metaOf
+    * calls would re-read every manifest per field, painful on
+    * object-store-like backends where each read is a round trip).
     */
   def history(): Seq[TxLogTable.VersionInfo] =
-    versions.map(v => TxLogTable.VersionInfo(v,
-      metaOf(v, "commitMillis").flatMap(s =>
-        scala.util.Try(s.toLong).toOption),
-      metaOf(v, "op"), readManifest(v).size))
+    versions.map { v =>
+      val lines = manifestLines(v)
+      def meta(key: String): Option[String] = lines.collectFirst {
+        case l if l.startsWith(s"#$key=") => l.stripPrefix(s"#$key=") }
+      TxLogTable.VersionInfo(v,
+        meta("commitMillis").flatMap(s => scala.util.Try(s.toLong).toOption),
+        meta("op"), lines.count(!_.startsWith("#")))
+    }
 
   /** Latest version committed at or before `tsMillis` — timestamp-based
     * time travel (`snapshot(schema, versionAsOf(ts))`). None when the
@@ -188,7 +221,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   }
 
   /** COUNT(*) of `version` answered from manifest metadata alone — no
-    * scan, no file opened (each line's exact `_rows` footer count summed).
+    * scan, no file opened (each line's exact RowsKey footer count summed).
     * None when any file predates stats recording: the caller must fall
     * back to a scan, never trust a partial sum. Data files are immutable
     * and this format has no deletion vectors, so the metadata count is
@@ -196,7 +229,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def metaRowCount(version: Option[Int] = None): Option[Long] = {
     val es = entries(version)
-    val counts = es.flatMap(_.stats.get("_rows").map(_._1))
+    val counts = es.flatMap(_.stats.get(TxLogTable.RowsKey).map(_._1))
     if (counts.size == es.size) Some(counts.sum) else None
   }
 
@@ -475,10 +508,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     scala.util.Using.resource(ParquetFileReader.open(in)) { r =>
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
       // exact file row count (sum of row-group counts) under the reserved
-      // pseudo-column `_rows` — lets COUNT(*) come straight off the
-      // manifest (metaRowCount), no scan
+      // RowsKey — lets COUNT(*) come straight off the manifest
+      // (metaRowCount), no scan. The key contains a wire delimiter, so the
+      // statsSafe drop below guarantees no real column can ever write over
+      // it (a user column literally named `_rows` used to corrupt both the
+      // metadata count and its own pruning bounds).
       val nRows = r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      acc("_rows") = (nRows, nRows)
+      acc(TxLogTable.RowsKey) = (nRows, nRows)
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val tpe = c.getPrimitiveType.getPrimitiveTypeName
@@ -494,11 +530,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                  st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
             }
             val name = c.getPath.toDotString
-            val next = acc.get(name) match {
-              case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
-              case None => (mn, mx)
+            if (TxLogTable.statsSafe(name)) {
+              val next = acc.get(name) match {
+                case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+                case None => (mn, mx)
+              }
+              acc(name) = next
             }
-            acc(name) = next
           }
         }
       }

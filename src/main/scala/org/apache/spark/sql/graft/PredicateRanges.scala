@@ -28,10 +28,19 @@ object PredicateRanges {
   final case class Bound(lo: Long, hi: Long) {
     def intersect(o: Bound): Bound =
       Bound(math.max(lo, o.lo), math.min(hi, o.hi))
+    // sound for OR: a row satisfying either branch lies in the hull of the
+    // two ranges (wider than the true disjoint union — never narrower)
+    def union(o: Bound): Bound =
+      Bound(math.min(lo, o.lo), math.max(hi, o.hi))
   }
 
-  /** Bounds implied by `pred` per referenced column. Only AND-trees of
-    * binary comparisons against integral literals contribute.
+  /** Bounds implied by `pred` per referenced column. AND-trees of binary
+    * comparisons against integral literals intersect; OR-trees contribute
+    * the UNION of both branches' bounds (and only for columns bounded in
+    * BOTH branches — a column unconstrained on either side of an OR is
+    * unconstrained, full stop); `isin` contributes min..max of its literal
+    * list. `between` needs no case: the Column DSL desugars it to
+    * `>= AND <=` before it reaches the node tree.
     */
   def extract(pred: Column): Map[String, Bound] = walk(pred.node)
 
@@ -91,7 +100,25 @@ object PredicateRanges {
           v => Bound(v, Long.MaxValue))
       case ("=" | "==", Seq(a, b)) =>
         cmp(a, b)(v => Bound(v, v))(v => Bound(v, v))
-      case _ => Map.empty // or / not / in / udf: no pruning, still correct
+      case ("or", Seq(l, r)) =>
+        // per-column bound union, kept ONLY where both branches bound the
+        // column: `a < 5 OR a > 90` prunes the middle files' complement
+        // soundly via the hull; `a < 5 OR b > 3` bounds neither (a row may
+        // satisfy the other branch with any value of a)
+        val x = walk(l); val y = walk(r)
+        (x.keySet & y.keySet).iterator
+          .map(k => k -> x(k).union(y(k))).toMap
+      case ("in", col +: rest) if rest.nonEmpty =>
+        // k IN (v1..vn) → min..max of the literal list; any non-integral
+        // element voids the bound (it could match anything after coercion)
+        val vs = rest.map(litLong)
+        colName(col) match {
+          case Some(n) if vs.forall(_.isDefined) =>
+            val longs = vs.flatten
+            Map(n -> Bound(longs.min, longs.max))
+          case _ => Map.empty
+        }
+      case _ => Map.empty // not / udf / non-literal cmp: no pruning, still correct
     }
     case _ => Map.empty
   }

@@ -85,6 +85,18 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
   }
 
+  test("pq encode: argmin is a partial aggregate, never a window rank") {
+    val p = plan("pq_codes")
+    val s = p.toString
+    // the per-(vec,s) nearest-code argmin must collapse map-side: a Window
+    // rank here would shuffle all n×4×16 candidate rows — the 16× exchange
+    // the min(struct(dist,code)) agg exists to avoid
+    assert(!s.contains("Window"), s)
+    // partial + final HashAggregate pair = map-side combine before shuffle
+    assert(s.split("HashAggregate").length >= 3, s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("ivfpq: no cartesian, top-k map-side limited") {
     val p = plan("ivfpq_topk")
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)

@@ -36,11 +36,40 @@ class PredicateRangesSpec extends AnyFunSuite {
   test("unsupported shapes contribute nothing — never a wrong bound") {
     assert(b(col("x") === "s").isEmpty) // non-integral literal
     assert(b(col("x") > lit(1.5)).isEmpty) // double literal: no rounding
-    assert(b((col("x") > 5) || (col("x") < 2)).isEmpty) // OR
     assert(b(not(col("x") > 5)).isEmpty) // NOT
     assert(b(col("x") > col("y")).isEmpty) // col-vs-col
     // AND keeps the understood side, drops the rest
     assert(b(col("x") > 5 && (col("y") === "s")) ==
       Map("x" -> Bound(6, Max)))
+  }
+
+  test("OR unions per-column bounds, only where both branches bound") {
+    // disjoint ranges → the hull (wider than the union, never narrower)
+    assert(b((col("x") >= 2 && col("x") <= 4) ||
+             (col("x") >= 90 && col("x") <= 95)) ==
+      Map("x" -> Bound(2, 95)))
+    assert(b(col("x") === 3 || col("x") === 7) == Map("x" -> Bound(3, 7)))
+    // a column bounded on only ONE branch is unconstrained: a row may
+    // satisfy the other branch with any value of it
+    assert(b(col("x") > 5 || col("y") < 2).isEmpty)
+    // y bounded only on the left branch → dropped; x hulls to the full range
+    assert(b((col("x") > 5 && col("y") < 9) || (col("x") < 2)) ==
+      Map("x" -> Bound(Min, Max)))
+    // complementary halves degrade to the trivial full range — sound
+    assert(b((col("x") > 5) || (col("x") < 2)) ==
+      Map("x" -> Bound(Min, Max)))
+    // AND of an OR with an outer range intersects back down
+    assert(b((col("x") === 3 || col("x") === 7) && col("x") <= 5) ==
+      Map("x" -> Bound(3, 5)))
+  }
+
+  test("IN bounds min..max of the literal list; BETWEEN desugars to AND") {
+    assert(b(col("x").isin(7, 3, 11)) == Map("x" -> Bound(3, 11)))
+    assert(b(col("x").isin(5L)) == Map("x" -> Bound(5, 5)))
+    assert(b(col("x").isin(3, "s")).isEmpty) // mixed literals: no bound
+    assert(b(col("x").isin()).isEmpty)
+    assert(b(col("x").between(4, 9)) == Map("x" -> Bound(4, 9)))
+    assert(b(col("x").isin(2, 8) && col("y") >= 1) ==
+      Map("x" -> Bound(2, 8), "y" -> Bound(1, Max)))
   }
 }
