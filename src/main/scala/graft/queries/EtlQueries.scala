@@ -94,6 +94,79 @@ object EtlQueries {
         col("user_id") >= lo && col("user_id") <= hi)
     }),
 
+    // File-targeted copy-on-write MERGE (TxLogTable.merge): customer lands
+    // key-clustered (repartitionByRange on c_custkey → 8 files with
+    // disjoint key bands), then (1) a keyed UPDATE batch confined to a
+    // narrow band rewrites only the band's files — the first require
+    // proves most files were carried by reference — and (2) an INSERT-only
+    // batch of fresh keys beyond the table max rewrites ZERO files (its
+    // key hull is disjoint from every file's range — the merge degenerates
+    // to a pure append). The oracle recomputes the end state relationally,
+    // so both merges' delete-insert semantics are hash-checked. At 100 TB
+    // this is the reference's signature keyed upsert at O(affected files)
+    // instead of O(table) when keys don't align with partitions.
+    "merge_cow" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val mm = c.agg(min("c_custkey"), max("c_custkey")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val lo = mn + (mx - mn) / 3
+      val hi = lo + (mx - mn) / 10
+      val tmp = java.nio.file.Files.createTempDirectory("graft-merge")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("customer").toString)
+      tbl.commit(c.repartitionByRange(8, col("c_custkey")),
+        overwrite = true)
+      val upd = c.filter(col("c_custkey") >= lo && col("c_custkey") <= hi)
+        .select(col("c_custkey"),
+          concat(lit("M-"), col("c_name")).as("c_name"),
+          col("c_nationkey"),
+          (col("c_acctbal") + 1000).as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"))
+      val st1 = tbl.merge(c.schema, upd, Seq("c_custkey"))
+      require(st1.carried > 0 && st1.rewritten < st1.carried,
+        s"keyed update rewrote ${st1.rewritten} of " +
+          s"${st1.rewritten + st1.carried} files — no file targeting")
+      val ins = c.filter(col("c_custkey") % 11 === 0).select(
+        (col("c_custkey") + 600000).as("c_custkey"),
+        concat(lit("N-"), istr(col("c_custkey"))).as("c_name"),
+        lit(7).cast(IntegerType).as("c_nationkey"),
+        lit(0.5).as("c_acctbal"),
+        lit("FRESH").as("c_mktsegment"))
+      val st2 = tbl.merge(c.schema, ins, Seq("c_custkey"))
+      require(st2.rewritten == 0,
+        s"insert-only merge rewrote ${st2.rewritten} files")
+      tbl.snapshot(c.schema)
+    }),
+
+    // Manifest skipping from IN-list and disjunctive predicates
+    // (PredicateRanges OR/IN extension): events land as three event_id
+    // bands; the probe predicate is `id IN (...) OR  a range` — both
+    // shapes the round-4 extractor couldn't bound. The require proves the
+    // manifest pruned files on the extracted hull; the oracle proves
+    // pruning lost no rows.
+    "skip_in_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val mm = ev.agg(min("event_id"), max("event_id")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val b1 = mn + (mx - mn) / 3
+      val b2 = mn + 2L * ((mx - mn) / 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skip-in")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") < b1), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") >= b1 && col("event_id") < b2),
+        overwrite = false)
+      tbl.commit(ev.filter(col("event_id") >= b2), overwrite = false)
+      // hull of IN ∪ OR-range = [b1+1, b1+40] — inside the mid band
+      val pruned = tbl.candidateFiles("event_id", b1 + 1, b1 + 40).size
+      require(pruned < tbl.fileCount(),
+        s"IN scan skipped nothing: $pruned of ${tbl.fileCount()} files")
+      tbl.snapshotWhere(ev.schema,
+        col("event_id").isin(b1 + 1, b1 + 5, b1 + 9) ||
+          (col("event_id") >= b1 + 20 && col("event_id") <= b1 + 40))
+    }),
+
     // Incremental aggregate maintenance (operators.IncrementalAgg — the
     // consumption pattern for TxLogTable.changesBetween): the events table
     // arrives as three deltas (event_id mod 3) folded one at a time into a
@@ -319,6 +392,34 @@ object EtlQueries {
          SELECT event_id, user_id, ts_us, value
          FROM e, b
          WHERE user_id >= lo AND user_id <= hi""",
+
+    "merge_cow" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                              c_mktsegment FROM customer),
+          mm AS (SELECT min(c_custkey) AS mn, max(c_custkey) AS mx FROM base),
+          b AS (SELECT mn + (mx - mn) // 3 AS lo,
+                       mn + (mx - mn) // 3 + (mx - mn) // 10 AS hi FROM mm)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM base, b WHERE c_custkey < lo OR c_custkey > hi
+         UNION ALL
+         SELECT c_custkey, 'M-' || c_name AS c_name, c_nationkey,
+                c_acctbal + 1000 AS c_acctbal, 'MERGED' AS c_mktsegment
+         FROM base, b WHERE c_custkey >= lo AND c_custkey <= hi
+         UNION ALL
+         SELECT c_custkey + 600000 AS c_custkey,
+                'N-' || CAST(c_custkey AS VARCHAR) AS c_name,
+                CAST(7 AS INT) AS c_nationkey, 0.5 AS c_acctbal,
+                'FRESH' AS c_mktsegment
+         FROM base WHERE c_custkey % 11 = 0""",
+
+    "skip_in_scan" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value FROM events),
+          mm AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM e),
+          b AS (SELECT mn + (mx - mn) // 3 AS b1 FROM mm)
+         SELECT event_id, user_id, event_type, value
+         FROM e, b
+         WHERE event_id IN (b1 + 1, b1 + 5, b1 + 9)
+            OR (event_id >= b1 + 20 AND event_id <= b1 + 40)""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,

@@ -75,6 +75,12 @@ object TxLogTable {
   final case class VersionInfo(version: Int, commitMillis: Option[Long],
                                op: Option[String], numFiles: Int)
 
+  /** What a copy-on-write [[TxLogTable.merge]] did: the committed version,
+    * how many files were rewritten (their key stats overlapped the batch's
+    * key range) and how many were carried untouched by manifest reference.
+    */
+  final case class MergeStats(version: Int, rewritten: Int, carried: Int)
+
   // Tolerant stats parse: a malformed `col=min:max` token yields no entry
   // instead of a MatchError — a reader must never fail the whole table over
   // one unparseable stats token (missing stats merely mean "cannot prune").
@@ -172,14 +178,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.stripPrefix("#partitionCols=").split(",").toSeq.filter(_.nonEmpty) }
       .getOrElse(Nil)
 
-  /** Snapshot read of `version` (default: latest). Absent table or empty
-    * manifest → empty DataFrame with the given schema (DDL bootstrap, S5).
+  /** Scan of an explicit relative-path file list under data/, empty-with-
+    * schema when the list is empty — the shared read path of snapshot /
+    * snapshotRange / snapshotWhere / merge.
     */
-  def snapshot(schema: StructType, version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(latestVersion)
-    val files = v.map(readManifest).getOrElse(Nil)
-      .map(rel => dataDir.resolve(rel).toString)
-    if (files.isEmpty)
+  private def readRels(schema: StructType, rels: Seq[String]): DataFrame =
+    if (rels.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
@@ -190,9 +194,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       // columns; the select makes the CALLER's declared order
       // authoritative wherever the partition column sits in it.
       spark.read.option("basePath", dataDir.toString)
-        .schema(schema).parquet(files: _*)
-        .select(schema.fieldNames.map(col): _*)
-  }
+        .schema(schema)
+        .parquet(rels.map(rel => dataDir.resolve(rel).toString): _*)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+
+  /** Snapshot read of `version` (default: latest). Absent table or empty
+    * manifest → empty DataFrame with the given schema (DDL bootstrap, S5).
+    */
+  def snapshot(schema: StructType, version: Option[Int] = None): DataFrame =
+    readRels(schema,
+      version.orElse(latestVersion).map(readManifest).getOrElse(Nil))
 
   /** Data files of `version` that MAY contain rows with
     * `lo <= column <= hi`, by manifest-stats interval overlap. A file
@@ -206,18 +217,25 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * [min,max] excludes the predicate.
     */
   def candidateFiles(column: String, lo: Long, hi: Long,
-                     version: Option[Int] = None): Seq[String] = {
-    def partValue(rel: String): Option[Long] =
-      rel.split('/').iterator
+                     version: Option[Int] = None): Seq[String] =
+    entries(version).collect {
+      case e if mayOverlap(e, column, lo, hi) => e.rel
+    }
+
+  // May file `e` contain a row with `lo <= column <= hi`? Footer stats
+  // first, the hive path segment for partition columns, and "yes" when
+  // neither bounds the column (correctness over pruning).
+  private def mayOverlap(e: TxLogTable.FileEntry, column: String,
+                         lo: Long, hi: Long): Boolean = {
+    def partValue: Option[Long] =
+      e.rel.split('/').iterator
         .collectFirst { case seg if seg.startsWith(s"$column=") =>
           seg.stripPrefix(s"$column=") }
         .flatMap(v => scala.util.Try(v.toLong).toOption)
-    entries(version).collect {
-      case e if e.stats.get(column)
-          .map { case (mn, mx) => mx >= lo && mn <= hi }
-          .orElse(partValue(e.rel).map(v => v >= lo && v <= hi))
-          .getOrElse(true) => e.rel
-    }
+    e.stats.get(column)
+      .map { case (mn, mx) => mx >= lo && mn <= hi }
+      .orElse(partValue.map(v => v >= lo && v <= hi))
+      .getOrElse(true)
   }
 
   /** COUNT(*) of `version` answered from manifest metadata alone — no
@@ -258,17 +276,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   def snapshotRange(schema: StructType, column: String, lo: Long, hi: Long,
                     version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion)
-    val files = candidateFiles(column, lo, hi, v)
-      .map(rel => dataDir.resolve(rel).toString)
-    val all =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.option("basePath", dataDir.toString)
-          .schema(schema).parquet(files: _*)
-          .select(schema.fieldNames.map(col): _*)
-    all.filter(col(column) >= lo && col(column) <= hi)
+    readRels(schema, candidateFiles(column, lo, hi, v))
+      .filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Snapshot scan with automatic manifest skipping for an ARBITRARY
@@ -284,20 +293,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     import org.apache.spark.sql.graft.PredicateRanges
     val v = version.orElse(latestVersion)
     val ranges = PredicateRanges.extract(pred)
-    val files = ranges.foldLeft(v.map(readManifest).getOrElse(Nil)) {
-      case (remaining, (column, b)) =>
-        val keep = candidateFiles(column, b.lo, b.hi, v).toSet
-        remaining.filter(keep)
-    }.map(rel => dataDir.resolve(rel).toString)
-    val all =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.option("basePath", dataDir.toString)
-          .schema(schema).parquet(files: _*)
-          .select(schema.fieldNames.map(col): _*)
-    all.filter(pred)
+    val files = entries(v).collect {
+      case e if ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) }
+        => e.rel
+    }
+    readRels(schema, files).filter(pred)
   }
 
   /** Rows ADDED in versions `(fromV, toV]`, each tagged with the
@@ -331,12 +331,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val prev = if (present(v - 1)) readManifest(v - 1).toSet
                  else Set.empty[String]
       val added = readManifest(v).filterNot(prev)
-        .map(rel => dataDir.resolve(rel).toString)
       if (added.isEmpty) None
-      else Some(
-        spark.read.option("basePath", dataDir.toString)
-          .schema(schema).parquet(added: _*)
-          .withColumn("_commit_version", lit(v.toLong)))
+      else Some(readRels(schema, added)
+        .withColumn("_commit_version", lit(v.toLong)))
     }
     deltas.reduceOption(_.unionByName(_)).getOrElse {
       val empty = spark.createDataFrame(
@@ -596,6 +593,91 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"commitDynamic lost the version race $maxAttempts times: $root")
+  }
+
+  /** Keyed copy-on-write MERGE (delete-then-insert upsert): every current
+    * row whose key tuple appears in `incoming` is replaced, every incoming
+    * row inserted — `Upsert.deleteInsert` semantics, but FILE-TARGETED.
+    * The manifest key-range stats identify the files that may contain the
+    * batch's keys (interval overlap per integral key column, hive
+    * partition value for partition keys); only those files are read and
+    * rewritten, everything else is carried by manifest reference. At
+    * 100 TB this is the difference between a keyed upsert costing
+    * O(affected files) and O(table) when the merge keys don't align with
+    * the partition layout — with a key-clustered layout (`compact` after
+    * range write, or `compactZOrder`) a narrow batch touches a handful of
+    * files; an insert-only batch of fresh keys beyond the table's max
+    * rewrites ZERO files and degenerates to a pure append.
+    *
+    * Pruning uses the HULL [min,max] of the batch's keys per integral key
+    * column (one small aggregate over the delta) — sound because a file
+    * whose range is disjoint from the hull on ANY key column cannot hold
+    * any batch key tuple. Non-integral keys (no footer stats) contribute
+    * no pruning; with none, every file is affected and the merge degrades
+    * to the full rewrite it replaces. NULL batch keys only insert (SQL
+    * equality never matches them), so their absence from min/max cannot
+    * unprune a deletion target.
+    *
+    * Concurrency: same optimistic manifest race as `commit`, but a lost
+    * race RE-PLANS from the new latest version (the carried set may have
+    * changed) — stale staged files are left unreferenced for `vacuum`.
+    */
+  def merge(schema: StructType, incoming: DataFrame, keys: Seq[String],
+            maxAttempts: Int = 10): TxLogTable.MergeStats = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralKeys = keys.filter(k =>
+      schema.find(_.name == k).map(_.dataType).exists {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    // one tiny driver-side agg over the delta: the batch key hull
+    val bounds: Map[String, (Long, Long)] =
+      if (integralKeys.isEmpty) Map.empty
+      else {
+        val aggs = integralKeys.flatMap(k => Seq(
+          org.apache.spark.sql.functions.min(col(k)).cast("long"),
+          org.apache.spark.sql.functions.max(col(k)).cast("long")))
+        val row = incoming.agg(aggs.head, aggs.tail: _*).head()
+        integralKeys.zipWithIndex.collect {
+          case (k, i) if !row.isNullAt(2 * i) =>
+            k -> (row.getLong(2 * i), row.getLong(2 * i + 1))
+        }.toMap
+      }
+    // an integral key column whose batch values are ALL null (bounds empty
+    // despite integral keys) can never equality-match an existing row: the
+    // batch is pure insert, zero files need rewriting. No integral key at
+    // all → no pruning handle → every file is affected (the full rewrite
+    // this method otherwise replaces).
+    val pureInsert = integralKeys.nonEmpty && bounds.isEmpty
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
+        .partition { line =>
+          val e = TxLogTable.decodeEntry(line)
+          !pureInsert && (bounds.isEmpty || bounds.forall {
+            case (c, (lo, hi)) => mayOverlap(e, c, lo, hi) })
+        }
+      val merged = graft.operators.Upsert.deleteInsert(
+        readRels(schema, affected.map(_.takeWhile(_ != '\t'))),
+        incoming, keys)
+      val staged = stageWithStats(merged, layout)
+      val next = base.getOrElse(-1) + 1
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(layout, "merge") ++
+            carriedLines ++ staged).mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-plan against the new latest
+      }
+    }
+    throw new IllegalStateException(
+      s"merge lost the version race $maxAttempts times: $root")
   }
 
   private def metaLines(partitionCols: Seq[String], op: String): Seq[String] =

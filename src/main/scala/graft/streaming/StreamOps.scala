@@ -168,8 +168,10 @@ object StreamOps {
     * (`TxLogTable.commitDynamic` — partition pruning on the read side,
     * dynamic partition overwrite on the write side; the untouched bulk of
     * the table is carried by manifest reference). Otherwise a key's row
-    * could move between partitions and the merge falls back to the full
-    * O(delta+table) rewrite.
+    * could move between partitions and the batch goes through the
+    * file-targeted copy-on-write `TxLogTable.merge`: manifest key-range
+    * stats bound the rewrite to the files that may hold the batch's keys —
+    * O(affected files), not O(table).
     *
     * @return the running query; stop it (or `processAllAvailable`) from the
     *         caller.
@@ -220,9 +222,11 @@ object StreamOps {
             .deleteInsert(currentAffected, resolved, keys)
           table.commitDynamic(merged, layout)
         } else {
-          val merged = graft.operators.Upsert
-            .deleteInsert(table.snapshot(schema), resolved, keys)
-          table.commit(merged, overwrite = true, partitionCols = layout)
+          // keys don't pin partitions: file-targeted copy-on-write merge —
+          // manifest key-range stats bound the read+rewrite to the files
+          // that may hold the batch's keys, instead of the full O(table)
+          // snapshot rewrite this branch used to cost
+          table.merge(schema, resolved, keys)
         }
         ()
       }

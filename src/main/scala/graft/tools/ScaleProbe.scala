@@ -27,7 +27,7 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
-    val what = if (args.isEmpty) Set("dedup", "txlog", "stream", "skip")
+    val what = if (args.isEmpty) Set("dedup", "txlog", "stream", "skip", "merge")
                else args.toSet
 
     if (what("dedup")) for (k <- Seq(1, 10)) {
@@ -101,6 +101,40 @@ object ScaleProbe {
       time(s"skip full-filter x$k") {
         t.snapshot(schema)
           .filter(col("ts_us") >= lo && col("ts_us") <= hi).count()
+      }
+    }
+
+    // copy-on-write merge: a key-clustered table of k×N rows, then a keyed
+    // update touching ONE key band. Rewritten-file count and merge time
+    // must stay ~flat as the table grows k× — the manifest key-range stats
+    // bound the rewrite to the band's files, while the old full-rewrite
+    // fallback would grow linearly (measured side by side below).
+    if (what("merge")) for (k <- Seq(10, 100)) {
+      val n = 100000L
+      val t = graft.sources.TxLogTable(spark,
+        java.nio.file.Files.createTempDirectory("mergeprobe")
+          .resolve("t").toString)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v STRING")
+      // k disjoint key bands of n rows each (k appends, band-clustered)
+      (0 until k).foreach { i =>
+        t.commit(spark.range(i * n, (i + 1) * n)
+            .selectExpr("id", "cast(id as string) as v"),
+          overwrite = false)
+      }
+      val batch = spark.range(3 * n + 100, 3 * n + 1100)
+        .selectExpr("id", "concat('upd', id) as v")
+      var st: graft.sources.TxLogTable.MergeStats = null
+      time(s"merge cow x$k") {
+        st = t.merge(schema, batch, Seq("id"))
+        st.version.toLong
+      }
+      println(s"[probe] merge cow x$k rewrote ${st.rewritten} of " +
+        s"${st.rewritten + st.carried} files")
+      time(s"merge full-rewrite x$k") {
+        val merged = graft.operators.Upsert.deleteInsert(
+          t.snapshot(schema), batch, Seq("id"))
+        t.commit(merged, overwrite = true).toLong
       }
     }
 

@@ -27,6 +27,7 @@ class TxLogPropertySpec extends AnyFunSuite {
   private sealed trait Op
   private case class Append(rows: List[(Long, String)]) extends Op
   private case class Overwrite(rows: List[(Long, String)]) extends Op
+  private case class Merge(rows: List[(Long, String)]) extends Op
   private case object Compact extends Op
   private case object ZOrder extends Op
   private case class Vacuum(keep: Int) extends Op
@@ -40,6 +41,7 @@ class TxLogPropertySpec extends AnyFunSuite {
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> rowsGen.map(Append),
     2 -> rowsGen.map(Overwrite),
+    3 -> rowsGen.map(Merge),
     1 -> Gen.const(Compact),
     1 -> Gen.const(ZOrder),
     1 -> Gen.choose(1, 3).map(Vacuum))
@@ -151,6 +153,17 @@ class TxLogPropertySpec extends AnyFunSuite {
           case Overwrite(rows) =>
             val v = t.commit(rows.toDF("id", "v"), overwrite = true)
             history += v -> rows; live :+= v
+          case Merge(rows) =>
+            // delete-insert by key: current rows with a batch id replaced,
+            // every batch row (including in-batch id duplicates) inserted
+            val base = live.lastOption.map(history).getOrElse(Nil)
+            val before = t.fileCount()
+            val st = t.merge(schema, rows.toDF("id", "v"), Seq("id"))
+            assert(st.rewritten + st.carried == before,
+              s"merge file accounting: $st vs $before files")
+            val ids = rows.map(_._1).toSet
+            history += st.version -> (base.filterNot(r => ids(r._1)) ++ rows)
+            live :+= st.version
           case Compact =>
             val v = t.compact(schema, numFiles = 1)
             history += v -> live.lastOption.map(history).getOrElse(Nil)

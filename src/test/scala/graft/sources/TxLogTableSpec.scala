@@ -504,4 +504,65 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(rows(t, Some(2)) == Set((2L, "b")))
     assert(rows(t, Some(0)) == Set((1L, "a")))
   }
+
+  test("merge rewrites only key-overlapping files; fresh keys append") {
+    val t = fresh()
+    val base = (1L to 100L).map(i => (i, s"v$i"))
+    // key-clustered layout: 4 files with disjoint id bands
+    t.commit(base.toDF("id", "v")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      overwrite = true)
+    val files0 = t.fileCount()
+    assert(files0 == 4)
+    // keyed UPDATE confined to one band — only its file(s) rewritten
+    val st1 = t.merge(schema,
+      Seq((10L, "X10"), (12L, "X12")).toDF("id", "v"), Seq("id"))
+    assert(st1.rewritten + st1.carried == files0)
+    assert(st1.rewritten < files0 && st1.carried > 0,
+      s"no file targeting: $st1")
+    assert(rows(t) == (base.toMap + (10L -> "X10") + (12L -> "X12")).toSet)
+    // INSERT-only batch of fresh keys beyond max: zero files rewritten
+    val st2 = t.merge(schema,
+      Seq((200L, "n200"), (201L, "n201")).toDF("id", "v"), Seq("id"))
+    assert(st2.rewritten == 0, s"insert-only merge rewrote files: $st2")
+    assert(rows(t).size == 102 && rows(t)((200L, "n200")))
+    // NULL-keyed incoming rows are pure inserts — never match a current row
+    val st3 = t.merge(schema,
+      Seq((Option.empty[Long], "null-row")).toDF("id", "v"), Seq("id"))
+    assert(st3.rewritten == 0, s"all-null-key merge rewrote files: $st3")
+    assert(t.snapshot(schema).count() == 103)
+    // history records the op
+    assert(t.history().map(_.op.get) ==
+      Seq("overwrite", "merge", "merge", "merge"))
+  }
+
+  test("merge preserves a partitioned table's hive layout") {
+    val schemaP = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("k", StringType)))
+    val t = fresh()
+    t.commit(Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "y"))
+      .toDF("id", "v", "k"), overwrite = true, partitionCols = Seq("k"))
+    // merge key (id) does NOT align with the partition column (k): the row
+    // for id=2 moves partition y→x, which only a key-targeted merge (not
+    // dynamic partition overwrite) can express
+    val st = t.merge(schemaP,
+      Seq((2L, "B!", "x"), (4L, "d", "z")).toDF("id", "v", "k"), Seq("id"))
+    assert(t.partitionColsOf(st.version) == Seq("k"))
+    val got = t.snapshot(schemaP).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a", "x"), (2L, "B!", "x"), (3L, "c", "y"),
+      (4L, "d", "z")))
+  }
+
+  test("merge with a non-integral key degrades to full rewrite, correctly") {
+    val t = fresh()
+    t.commit((1L to 20L).map(i => (i, s"k$i")).toDF("id", "v")
+      .repartition(3), overwrite = true)
+    val st = t.merge(schema, Seq((99L, "k5")).toDF("id", "v"), Seq("v"))
+    // string keys have no footer stats: every file is a rewrite candidate
+    assert(st.carried == 0)
+    val got = rows(t)
+    assert(!got.exists(_._1 == 5L) && got((99L, "k5")) && got.size == 20)
+  }
 }
