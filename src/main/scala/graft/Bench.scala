@@ -79,11 +79,23 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = SparkEntry.queries.keys.map(k =>
       k -> r3(passes.map(_(k)).min)).toMap
+    // Per-query noise floor: max/min ratio across the three passes. A
+    // cross-round mover whose own spread straddles the swing is noise; a
+    // stable-spread mover is a real regression — the classifier the round-4
+    // a6_first_match 2.6× mystery lacked.
+    def r2(v: Double): Double = math.rint(v * 100) / 100
+    val spread = SparkEntry.queries.keys.map { k =>
+      val vs = passes.map(_(k))
+      k -> r2(vs.max / math.max(vs.min, 1e-3))
+    }.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sp = spread.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":${r3(warmupSec)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val spreadMax = if (spread.nonEmpty) spread.values.max else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":${r3(warmupSec)},"spread_max":$spreadMax,"queries":$qs,"pass_spread":$sp,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.catalyst.{CosineSim, L2Sq, SortedIntersectCount, TokenizeStem, WinnowFingerprint}
+import graft.catalyst.{CosineSim, ImageDims, L2Sq, SortedIntersectCount, TokenizeStem, WinnowFingerprint}
 
 /** Session-extension entry point — the deployment path for the engine's
   * native expressions:
@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "sorted_intersect_count(a, b) - intersection size of two sorted-" +
         "distinct STRING arrays",
       exprs => SortedIntersectCount(exprs.head, exprs(1))))
+    ext.injectFunction(fn("image_dims",
+      "image_dims(bytes) - struct(format, width, height) parsed from " +
+        "PNG/JPEG/GIF headers, NULL if not an image",
+      exprs => ImageDims(exprs.head)))
   }
 }

@@ -38,13 +38,21 @@ object Multimodal {
                                ok: Boolean)
 
   object DecodeStub {
-    /** Deterministic stand-in for a real codec: dimensions derived from a
-      * rolling hash of the payload. Swap this body for e.g. a JNI/javacv
-      * decoder in production — the Spark plumbing around it is unchanged.
+    /** Header-pass decode: image dimensions come from a REAL container
+      * parse (PNG/JPEG/GIF wire formats, [[graft.catalyst.ImageDimsUtil]])
+      * when the payload is one; only the non-image fallback (audio/video
+      * duration, unknown formats) stays a deterministic hash-derived
+      * stand-in — those containers need codec libraries this environment
+      * doesn't ship. Swap the fallback for e.g. a JNI/javacv decoder in
+      * production — the Spark plumbing around it is unchanged.
       */
     def decode(r: MediaRow): DecodedMeta = {
       if (r.media_bytes == null || r.media_bytes.isEmpty)
         return DecodedMeta(r.media_id, r.kind, 0, 0, 0, 0L, ok = false)
+      val parsed = graft.catalyst.ImageDimsUtil.parse(r.media_bytes)
+      if (parsed != null)
+        return DecodedMeta(r.media_id, r.kind, r.media_bytes.length,
+          parsed.getInt(1), parsed.getInt(2), 0L, ok = true)
       var h = 1125899906842597L
       r.media_bytes.foreach(b => h = 31 * h + b)
       val pos = (x: Long) => (x % 1920 + 1920) % 1920 + 1

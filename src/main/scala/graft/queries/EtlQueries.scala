@@ -187,6 +187,36 @@ object EtlQueries {
         col("total").cast(DoubleType).as("total"))
     }),
 
+    // Incremental VIEW maintenance through the REAL change feed
+    // (TxLogTable.changesBetween + IncrementalAgg): where inc_agg_refresh
+    // folds in-memory filtered deltas, this query commits events as three
+    // tx-log versions and advances a CDC cursor one version at a time —
+    // each refresh reads exactly the feed of `(cursor, v]` (one manifest
+    // diff + that version's delta files) and folds it into the maintained
+    // per-(user, event_type) view. The oracle is the one-shot groupBy over
+    // the source table, so feed-extraction + fold ≡ recompute is
+    // hash-checked end-to-end. At 100 TB this is the hourly-materialized-
+    // view pattern: refresh cost is the hour's files, never the table.
+    "ivm_refresh" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("event_id"), col("value").cast(DecimalType(18, 6)).as("v"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 3 === 0), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") % 3 === 1), overwrite = false)
+      tbl.commit(ev.filter(col("event_id") % 3 === 2), overwrite = false)
+      val aggOf = (d: DataFrame) => d.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      // the cursor loop a live consumer runs: cursor = v after each fold
+      val folded = (0 to 2).foldLeft(aggOf(ev).limit(0))((acc, v) =>
+        graft.operators.IncrementalAgg.applyDelta(
+          acc, tbl.changesBetween(ev.schema, v - 1, v)
+            .drop("_commit_version"),
+          Seq("user_id", "event_type"), Seq("n", "total"), aggOf))
+      folded.select(col("user_id"), col("event_type"), col("n"),
+        col("total").cast(DoubleType).as("total"))
+    }),
+
     // U2–U4/U6 — upsert where the on-conflict update-set excludes an
     // insert-only column: c_mktsegment is written at insert but frozen on
     // conflict (the reference's education_form / url_id / building_number
@@ -425,6 +455,11 @@ object EtlQueries {
       """SELECT user_id, count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
          FROM events GROUP BY user_id""",
+
+    "ivm_refresh" ->
+      """SELECT user_id, event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM events GROUP BY user_id, event_type""",
 
     "u3_insert_only_column" ->
       """WITH inc AS (

@@ -27,6 +27,43 @@ object MultimodalQueries {
           "cast(substring(cast(media_bytes as string), 1, 4) as binary)")))
           .as("magic"))),
 
+    // Real container-format decode (catalyst.ImageDims): each doc's id is
+    // encoded into GENUINE PNG / JPEG / GIF header bytes — big-endian IHDR,
+    // a JFIF APP0 segment the JPEG marker walk must skip before SOF0,
+    // little-endian GIF screen descriptor — and `image_dims` must recover
+    // width/height by actually parsing the wire format; the doc_id%4==3
+    // branch feeds raw text bytes, which must reject to NULL. The oracle
+    // recomputes the encoded dims arithmetically, so the whole parse is
+    // hash-checked. Runs map-side in whole-stage codegen over header bytes
+    // only — the 100 TB metadata-pass shape (payloads never move).
+    "mm_image_dims" -> ((s, dir) => {
+      graft.catalyst.ImageDims.register(s)
+      val d = t(s, dir, "documents")
+      val w = (col("doc_id") % 1920 + 1).cast("int")
+      val h = (col("doc_id") % 1080 + 1).cast("int")
+      def be(c: org.apache.spark.sql.Column, digits: Int) =
+        unhex(lpad(hex(c), digits, "0"))
+      def le2(c: org.apache.spark.sql.Column) =
+        unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+          lpad(hex(shiftright(c, 8)), 2, "0")))
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR hdr
+        be(w, 8), be(h, 8), unhex(lit("0806000000")))
+      val jpg = concat( // SOI + 16-byte JFIF APP0 + SOF0(len 17, prec 8)
+        unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+        be(h, 4), be(w, 4), unhex(lit("03011100021101031101")))
+      val gif = concat(unhex(lit("474946383961")), // GIF89a
+        le2(w), le2(h), unhex(lit("F70000")))
+      val bytes = when(col("doc_id") % 4 === 0, png)
+        .when(col("doc_id") % 4 === 1, jpg)
+        .when(col("doc_id") % 4 === 2, gif)
+        .otherwise(col("text").cast("binary"))
+      d.select(col("doc_id").as("media_id"),
+          graft.catalyst.ImageDims.imageDims(bytes).as("dims"))
+        .select(col("media_id"), col("dims.format").as("format"),
+          col("dims.width").as("width"), col("dims.height").as("height"))
+    }),
+
     // Binary-payload exact dedup: media dedup never decodes — the content
     // hash is computed over the raw bytes map-side, the only shuffle is the
     // hash-keyed window, and payloads themselves never move (at 100 TB the
@@ -50,6 +87,16 @@ object MultimodalQueries {
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            doc_id AS source_doc,
            lower(hex(encode(substring(text, 1, 4)))) AS magic
+         FROM documents""",
+
+    "mm_image_dims" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'gif' END AS format,
+           CASE WHEN doc_id % 4 < 3
+                THEN CAST(doc_id % 1920 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 4 < 3
+                THEN CAST(doc_id % 1080 + 1 AS INT) END AS height
          FROM documents""",
 
     // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — exactly the

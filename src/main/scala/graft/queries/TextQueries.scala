@@ -170,8 +170,8 @@ object TextQueries {
   private[graft] def jaccardLshOf(d: DataFrame): DataFrame =
     jaccardLshOf(d, minhashBands(d))
 
-  private[graft] def jaccardLshOf(d: DataFrame,
-                                  bandsIn: DataFrame): DataFrame = {
+  private[graft] def jaccardLshOf(d: DataFrame, bandsIn: DataFrame,
+                                  threshold: Double = 0.5): DataFrame = {
     val src = d.select(col("doc_id"), col("source"))
     val bands = bandsIn.join(src, "doc_id")
     val a = bands.select(col("band"), col("band_key"), col("source"),
@@ -184,7 +184,7 @@ object TextQueries {
         col("source") === col("source_b") &&
         col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    exactJaccardOnPairs(d, cand).filter(col("jaccard") >= 0.5)
+    exactJaccardOnPairs(d, cand).filter(col("jaccard") >= threshold)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -416,26 +416,11 @@ object TextQueries {
     // sf0.1) with no per-pair setup — where output pairs are a large
     // fraction of candidates this is the optimum; where they are NOT
     // (realistic low-dup corpora at 100 TB), use dd_jaccard_lsh below.
-    "dd_jaccard" -> ((s, dir) => {
-      val toksd = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(tokens(col("text")))).as("tok"))
-      val sizes = toksd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = toksd.select(col("source"), col("tok"), col("doc_id").as("doc_a"))
-      val b = toksd.select(col("source").as("source_b"),
-        col("tok").as("tok_b"), col("doc_id").as("doc_b"))
-      val inter = a.join(b,
-          col("source") === col("source_b") && col("tok") === col("tok_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-    }),
+    // Body lives in operators.Dedup.exactJaccardBaseline — the facade
+    // positions it as the oracle/recall-measurement twin; dedupNearExact
+    // is the named default surface.
+    "dd_jaccard" -> ((s, dir) =>
+      graft.operators.Dedup.exactJaccardBaseline(t(s, dir, "documents"))),
 
     // LSH-gated exact Jaccard — the 100 TB scale path for dd_jaccard's
     // semantics: MinHash-LSH proposes candidates (probabilistic recall — the
@@ -453,12 +438,16 @@ object TextQueries {
     // 4326 of dd_jaccard's 4439 pairs recovered (97.5%) vs 3162 (71%) for
     // the 4×4 variant. The IVF nprobe=2 trade, applied to text dedup.
     // Cached at definition (the pair self-join reads the banding twice).
-    "dd_jaccard_lsh_8x2" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      jaccardLshOf(d,
-        statelessBands(d.repartition(col("doc_id")), nBands = 8, rowsPer = 2)
-          .cache())
-    }),
+    // Delegates to the facade's default pair surface (same 8×2 pipeline).
+    "dd_jaccard_lsh_8x2" -> ((s, dir) =>
+      graft.operators.Dedup.nearDupPairs(t(s, dir, "documents"))),
+
+    // The facade's DEFAULT dedup surface end-to-end: corpus minus the
+    // higher-id member of every verified near-dup pair (greedy min-id
+    // survivor). Oracle replays banding + verify + anti-join, so the whole
+    // default path a user gets from Dedup.dedupNearExact is hash-checked.
+    "dd_dedup_near_exact" -> ((s, dir) =>
+      graft.operators.Dedup.dedupNearExact(t(s, dir, "documents"))),
 
     // Real BPE tokenization: merges learned from the corpus (distributed
     // vocab aggregate, driver-side learn, broadcast apply). Hash-checked:
@@ -907,6 +896,12 @@ object TextQueries {
     "dd_jaccard_lsh" -> jaccardLshOracle(rowsPer = 4),
 
     "dd_jaccard_lsh_8x2" -> jaccardLshOracle(rowsPer = 2),
+
+    "dd_dedup_near_exact" ->
+      s"""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+          FROM documents d
+          WHERE d.doc_id NOT IN (
+            SELECT doc_b FROM (${jaccardLshOracle(rowsPer = 2)}) p)""",
 
     "dd_winnow_fingerprint" ->
       """WITH h AS (

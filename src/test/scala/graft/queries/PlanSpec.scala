@@ -163,6 +163,19 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.size <= 3, s"unexpected shuffle count ${shuffles.size}\n$p")
   }
 
+  test("dedupNearExact: band-gated candidates, never a token self-join") {
+    val p = plan("dd_dedup_near_exact")
+    val s = p.toString
+    // the default surface's candidates come from the band-key equi-join …
+    assert(s.contains("band_key"), s)
+    // … never from the all-pairs token self-join (its tok/tok_b equi-join
+    // is the O(shared-token-pairs) scale-killer the facade demotes)
+    assert(!s.contains("tok_b"), s)
+    // losers drop via one anti-join; nothing degenerates to a cartesian
+    assert(s.contains("LeftAnti"), s)
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
+  }
+
   test("sim_topk_batch: queries broadcast; per-query top-k limited map-side") {
     val p = plan("sim_topk_batch")
     assert(p.toString.contains("WindowGroupLimit"), p.toString)

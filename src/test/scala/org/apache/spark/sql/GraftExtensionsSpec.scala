@@ -12,11 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   private val names = Seq("cosine_sim", "l2_sq", "tokenize_ru",
-    "winnow_fingerprint", "sorted_intersect_count")
+    "winnow_fingerprint", "sorted_intersect_count", "image_dims")
 
-  test("extension installs all five native functions into a registry") {
+  test("extension installs all six native functions into a registry") {
     val ext = new SparkSessionExtensions
-    new graft.GraftExtensions().apply(ext)
+    new _root_.graft.GraftExtensions().apply(ext)
     val reg = ext.registerFunctions(FunctionRegistry.builtin.clone())
     names.foreach { n =>
       assert(reg.functionExists(FunctionIdentifier(n)), n)
@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("injected builders produce the same expressions as register()") {
     val ext = new SparkSessionExtensions
-    new graft.GraftExtensions().apply(ext)
+    new _root_.graft.GraftExtensions().apply(ext)
     val reg = ext.registerFunctions(FunctionRegistry.builtin.clone())
     // resolve through the registry exactly as the analyzer would
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -34,14 +34,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val str = Literal.default(StringType)
     val strArr = Literal.default(ArrayType(StringType))
     assert(reg.lookupFunction(FunctionIdentifier("cosine_sim"),
-      Seq(arr, arr)).isInstanceOf[graft.catalyst.CosineSim])
+      Seq(arr, arr)).isInstanceOf[_root_.graft.catalyst.CosineSim])
     assert(reg.lookupFunction(FunctionIdentifier("l2_sq"),
-      Seq(arr, arr)).isInstanceOf[graft.catalyst.L2Sq])
+      Seq(arr, arr)).isInstanceOf[_root_.graft.catalyst.L2Sq])
     assert(reg.lookupFunction(FunctionIdentifier("tokenize_ru"),
-      Seq(str)).isInstanceOf[graft.catalyst.TokenizeStem])
+      Seq(str)).isInstanceOf[_root_.graft.catalyst.TokenizeStem])
     assert(reg.lookupFunction(FunctionIdentifier("winnow_fingerprint"),
-      Seq(str)).isInstanceOf[graft.catalyst.WinnowFingerprint])
+      Seq(str)).isInstanceOf[_root_.graft.catalyst.WinnowFingerprint])
     assert(reg.lookupFunction(FunctionIdentifier("sorted_intersect_count"),
-      Seq(strArr, strArr)).isInstanceOf[graft.catalyst.SortedIntersectCount])
+      Seq(strArr, strArr)).isInstanceOf[_root_.graft.catalyst.SortedIntersectCount])
+    assert(reg.lookupFunction(FunctionIdentifier("image_dims"),
+      Seq(Literal.default(org.apache.spark.sql.types.BinaryType)))
+      .isInstanceOf[_root_.graft.catalyst.ImageDims])
   }
 }
