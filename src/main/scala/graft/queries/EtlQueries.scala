@@ -138,6 +138,40 @@ object EtlQueries {
       tbl.snapshot(c.schema)
     }),
 
+    // File-targeted copy-on-write DELETE (TxLogTable.deleteWhere): customer
+    // lands key-clustered (8 files with disjoint c_custkey bands), then
+    // (1) a banded retention delete — with an extra non-range conjunct the
+    // bounds extractor cannot see (c_mktsegment <> 'BUILDING'), so the
+    // full predicate must be re-applied to surviving rows — rewrites only
+    // the band's files (first require), and (2) a delete whose key range
+    // lies beyond the table max rewrites ZERO files (metadata-only no-op
+    // commit, second require). The oracle recomputes the end state with
+    // SQL NOT(...), so DELETE-where-TRUE semantics are hash-checked. At
+    // 100 TB this is the retention/GDPR delete at O(straddling files)
+    // instead of O(table).
+    "delete_cow" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val mm = c.agg(min("c_custkey"), max("c_custkey")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val lo = mn + (mx - mn) / 3
+      val hi = lo + (mx - mn) / 10
+      val tmp = java.nio.file.Files.createTempDirectory("graft-delete")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("customer").toString)
+      tbl.commit(c.repartitionByRange(8, col("c_custkey")),
+        overwrite = true)
+      val st1 = tbl.deleteWhere(c.schema,
+        col("c_custkey") >= lo && col("c_custkey") <= hi &&
+          col("c_mktsegment") =!= "BUILDING")
+      require(st1.carried > 0 && st1.rewritten < st1.carried,
+        s"banded delete rewrote ${st1.rewritten} of " +
+          s"${st1.rewritten + st1.carried} files — no file targeting")
+      val st2 = tbl.deleteWhere(c.schema, col("c_custkey") > mx + 1000000L)
+      require(st2.rewritten == 0,
+        s"out-of-range delete rewrote ${st2.rewritten} files")
+      tbl.snapshot(c.schema)
+    }),
+
     // Manifest skipping from IN-list and disjunctive predicates
     // (PredicateRanges OR/IN extension): events land as three event_id
     // bands; the probe predicate is `id IN (...) OR  a range` — both
@@ -441,6 +475,17 @@ object EtlQueries {
                 CAST(7 AS INT) AS c_nationkey, 0.5 AS c_acctbal,
                 'FRESH' AS c_mktsegment
          FROM base WHERE c_custkey % 11 = 0""",
+
+    "delete_cow" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                              c_mktsegment FROM customer),
+          mm AS (SELECT min(c_custkey) AS mn, max(c_custkey) AS mx FROM base),
+          b AS (SELECT mn + (mx - mn) // 3 AS lo,
+                       mn + (mx - mn) // 3 + (mx - mn) // 10 AS hi FROM mm)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM base, b
+         WHERE NOT (c_custkey >= lo AND c_custkey <= hi
+                    AND c_mktsegment <> 'BUILDING')""",
 
     "skip_in_scan" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value FROM events),

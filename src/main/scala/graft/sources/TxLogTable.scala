@@ -680,6 +680,60 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       s"merge lost the version race $maxAttempts times: $root")
   }
 
+  /** File-targeted copy-on-write DELETE: rows where `pred` is TRUE are
+    * removed; rows where it is FALSE or NULL survive (SQL DELETE
+    * semantics). Like [[merge]], the rewrite is confined to the files the
+    * manifest cannot prove untouched: per-column bounds are extracted from
+    * the predicate tree ([[org.apache.spark.sql.graft.PredicateRanges]] —
+    * the same analysis behind `snapshotWhere`) and a file whose stats (or
+    * hive partition value) exclude EVERY implied range cannot hold a
+    * matching row, so its manifest line is carried by reference. The full
+    * predicate is then re-applied to the surviving files' rows, so
+    * conjuncts the extractor doesn't understand narrow the delete, never
+    * widen it. At 100 TB a retention delete (`ts < horizon`) over a
+    * time-clustered table rewrites only the horizon-straddling files —
+    * files wholly before it could even be dropped without rewrite; files
+    * wholly after are carried — instead of rewriting the table. A
+    * predicate with no extractable bound (UDF, non-literal comparison)
+    * degrades to the full rewrite it replaces, still correct.
+    *
+    * Returns [[TxLogTable.MergeStats]]: rewritten = files read+rewritten,
+    * carried = files proven untouched. Same optimistic manifest race as
+    * `merge`: a lost race re-plans against the new latest version.
+    */
+  def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column,
+                  maxAttempts: Int = 10): TxLogTable.MergeStats = {
+    import org.apache.spark.sql.graft.PredicateRanges
+    val ranges = PredicateRanges.extract(pred)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
+        .partition { line =>
+          val e = TxLogTable.decodeEntry(line)
+          ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) }
+        }
+      // NULL predicate keeps the row: DELETE only removes where TRUE
+      val kept = readRels(schema, affected.map(_.takeWhile(_ != '\t')))
+        .filter(!org.apache.spark.sql.functions.coalesce(pred, lit(false)))
+      val staged = stageWithStats(kept, layout)
+      val next = base.getOrElse(-1) + 1
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(layout, "delete") ++
+            carriedLines ++ staged).mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-plan against the new latest
+      }
+    }
+    throw new IllegalStateException(
+      s"deleteWhere lost the version race $maxAttempts times: $root")
+  }
+
   private def metaLines(partitionCols: Seq[String], op: String): Seq[String] =
     Seq(s"#partitionCols=${partitionCols.mkString(",")}",
       s"#commitMillis=${System.currentTimeMillis()}",

@@ -28,6 +28,7 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case class Append(rows: List[(Long, String)]) extends Op
   private case class Overwrite(rows: List[(Long, String)]) extends Op
   private case class Merge(rows: List[(Long, String)]) extends Op
+  private case class Delete(ids: List[Long]) extends Op
   private case object Compact extends Op
   private case object ZOrder extends Op
   private case class Vacuum(keep: Int) extends Op
@@ -42,6 +43,7 @@ class TxLogPropertySpec extends AnyFunSuite {
     4 -> rowsGen.map(Append),
     2 -> rowsGen.map(Overwrite),
     3 -> rowsGen.map(Merge),
+    2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L))).map(Delete),
     1 -> Gen.const(Compact),
     1 -> Gen.const(ZOrder),
     1 -> Gen.choose(1, 3).map(Vacuum))
@@ -163,6 +165,18 @@ class TxLogPropertySpec extends AnyFunSuite {
               s"merge file accounting: $st vs $before files")
             val ids = rows.map(_._1).toSet
             history += st.version -> (base.filterNot(r => ids(r._1)) ++ rows)
+            live :+= st.version
+          case Delete(ids) =>
+            // DELETE where id IN (...): rows with a listed id removed; the
+            // IN-list bounds let deleteWhere carry range-disjoint files
+            val base = live.lastOption.map(history).getOrElse(Nil)
+            val before = t.fileCount()
+            val st = t.deleteWhere(schema,
+              org.apache.spark.sql.functions.col("id").isin(ids: _*))
+            assert(st.rewritten + st.carried == before,
+              s"delete file accounting: $st vs $before files")
+            val dead = ids.toSet
+            history += st.version -> base.filterNot(r => dead(r._1))
             live :+= st.version
           case Compact =>
             val v = t.compact(schema, numFiles = 1)

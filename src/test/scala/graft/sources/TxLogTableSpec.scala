@@ -565,4 +565,35 @@ class TxLogTableSpec extends AnyFunSuite {
     val got = rows(t)
     assert(!got.exists(_._1 == 5L) && got((99L, "k5")) && got.size == 20)
   }
+
+  test("deleteWhere rewrites only predicate-overlapping files") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val t = fresh()
+    val base = (1L to 100L).map(i => (i, s"v$i"))
+    t.commit(base.toDF("id", "v")
+      .repartitionByRange(4, col("id")), overwrite = true)
+    // banded delete with a non-range conjunct the extractor cannot see:
+    // only the band's file(s) are rewritten, and the full predicate still
+    // narrows the delete (id=11 has odd id → survives)
+    val st1 = t.deleteWhere(schema,
+      col("id") >= 10L && col("id") <= 14L && col("id") % 2 === 0)
+    assert(st1.rewritten + st1.carried == 4)
+    assert(st1.rewritten < 4 && st1.carried > 0, s"no file targeting: $st1")
+    assert(rows(t) == base.filterNot(r =>
+      r._1 >= 10 && r._1 <= 14 && r._1 % 2 == 0).toSet)
+    // predicate range beyond the table: zero files rewritten (no-op commit)
+    val st2 = t.deleteWhere(schema, col("id") > 1000L)
+    assert(st2.rewritten == 0, s"out-of-range delete rewrote files: $st2")
+    assert(t.snapshot(schema).count() == 97)
+    // NULL predicate keeps the row: DELETE removes only where TRUE
+    val t2 = fresh()
+    t2.commit(Seq((Option(1L), "a"), (Option.empty[Long], "b"))
+      .toDF("id", "v"), overwrite = true)
+    t2.deleteWhere(schema, expr("id < 0")) // NULL for the null-id row
+    assert(t2.snapshot(schema).count() == 2)
+    t2.deleteWhere(schema, expr("id = 1"))
+    assert(t2.snapshot(schema).collect().map(_.getString(1)).toSeq == Seq("b"))
+    assert(t.history().map(_.op.get) ==
+      Seq("overwrite", "delete", "delete"))
+  }
 }
