@@ -201,6 +201,33 @@ object EtlQueries {
           (col("event_id") >= b1 + 20 && col("event_id") <= b1 + 40))
     }),
 
+    // Manifest NULL-count skipping (footer null counts + the nullness
+    // extractor): events land as two commits — one whose synthesized `v`
+    // is ALL NULL, one with no nulls. An IS NOT NULL scan prunes the
+    // all-null files, an IS NULL scan prunes the no-null files, BOTH from
+    // the manifest alone (no footer opened; `v` is a double, so there are
+    // no integral range stats to ride — this is pruning the min/max path
+    // cannot do). The requires prove files were skipped; the oracle proves
+    // skipping lost no rows. At 100 TB this is the reference's P2/P3
+    // current-version IS NULL filter shape answered without touching the
+    // closed-version bulk of the table.
+    "skip_null_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        when(col("event_id") % 3 =!= 0, col("value")).as("v"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skip-null")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 3 === 0), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") % 3 =!= 0), overwrite = false)
+      val total = tbl.fileCount()
+      val cNotNull = tbl.candidateFilesWhere(col("v").isNotNull).size
+      require(cNotNull < total,
+        s"IS NOT NULL skipped nothing: $cNotNull of $total files")
+      val cNull = tbl.candidateFilesWhere(col("v").isNull).size
+      require(cNull < total,
+        s"IS NULL skipped nothing: $cNull of $total files")
+      tbl.snapshotWhere(ev.schema, col("v").isNotNull)
+    }),
+
     // Incremental aggregate maintenance (operators.IncrementalAgg — the
     // consumption pattern for TxLogTable.changesBetween): the events table
     // arrives as three deltas (event_id mod 3) folded one at a time into a
@@ -495,6 +522,10 @@ object EtlQueries {
          FROM e, b
          WHERE event_id IN (b1 + 1, b1 + 5, b1 + 9)
             OR (event_id >= b1 + 20 AND event_id <= b1 + 40)""",
+
+    "skip_null_scan" ->
+      """SELECT event_id, user_id, value AS v
+         FROM events WHERE event_id % 3 <> 0""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,

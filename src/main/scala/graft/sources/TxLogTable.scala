@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.PredicateRanges
 import org.apache.spark.sql.types.StructType
 
 /** Minimal transaction-log table format — the commit protocol behind the
@@ -46,6 +47,19 @@ object TxLogTable {
     * `:rows` simply never gets a stats entry.
     */
   val RowsKey = ":rows"
+
+  /** Reserved stats-key prefix carrying a column's exact NULL count
+    * (`:nulls:<col>=n:n`). Like [[RowsKey]], the leading `:` is a wire
+    * delimiter, so the composite key can never collide with a real
+    * column's range entry; the `<col>` part must itself be stats-safe or
+    * the entry is not written. Null counts are harvested for EVERY
+    * stats-safe column (strings and binaries too — null counting needs no
+    * ordering), so IS NULL / IS NOT NULL predicates prune files of any
+    * type, not just the integral range-stats columns.
+    */
+  val NullsKeyPrefix = ":nulls:"
+
+  def nullsKey(column: String): String = NullsKeyPrefix + column
 
   /** A column name is stats-safe iff it contains no wire-format delimiter
     * (`=` `;` `:` tab newline — the separators of
@@ -222,6 +236,51 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       case e if mayOverlap(e, column, lo, hi) => e.rel
     }
 
+  // May file `e` contain a row where `column IS NULL`? Only a recorded
+  // zero null count proves it cannot.
+  private def mayHaveNull(e: TxLogTable.FileEntry, column: String): Boolean =
+    e.stats.get(TxLogTable.nullsKey(column)).forall(_._1 > 0)
+
+  // May file `e` contain a row where `column IS NOT NULL`? Only
+  // nulls == rows (both recorded) proves the file is all-null for it.
+  private def mayHaveNonNull(e: TxLogTable.FileEntry,
+                             column: String): Boolean = {
+    val nulls = e.stats.get(TxLogTable.nullsKey(column)).map(_._1)
+    val rows = e.stats.get(TxLogTable.RowsKey).map(_._1)
+    (nulls, rows) match {
+      case (Some(n), Some(r)) => n < r
+      case _ => true
+    }
+  }
+
+  // May file `e` contain a row matching a predicate summarized as range
+  // bounds + nullness constraints? The single pruning decision behind
+  // snapshotWhere / deleteWhere / candidateFilesWhere.
+  private def mayMatchPred(e: TxLogTable.FileEntry,
+                           ranges: Map[String, PredicateRanges.Bound],
+                           nn: PredicateRanges.Nullness): Boolean =
+    ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) } &&
+      nn.mustBeNull.forall(mayHaveNull(e, _)) &&
+      nn.mustBeNonNull.forall(mayHaveNonNull(e, _))
+
+  /** Files of `version` that MAY contain a row matching `pred` — the
+    * manifest-level pruning decision behind [[snapshotWhere]] /
+    * [[deleteWhere]], exposed so callers can count skipped files: range
+    * bounds ([[org.apache.spark.sql.graft.PredicateRanges.extract]])
+    * against the min/max stats and hive partition values, plus nullness
+    * constraints (`extractNullness`) against the footer null counts — an
+    * all-null file cannot match `c IS NOT NULL` or `c > 5`; a no-null
+    * file cannot match `c IS NULL`.
+    */
+  def candidateFilesWhere(pred: org.apache.spark.sql.Column,
+                          version: Option[Int] = None): Seq[String] = {
+    val ranges = PredicateRanges.extract(pred)
+    val nn = PredicateRanges.extractNullness(pred)
+    entries(version).collect {
+      case e if mayMatchPred(e, ranges, nn) => e.rel
+    }
+  }
+
   // May file `e` contain a row with `lo <= column <= hi`? Footer stats
   // first, the hive path segment for partition columns, and "yes" when
   // neither bounds the column (correctness over pruning).
@@ -290,14 +349,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def snapshotWhere(schema: StructType, pred: org.apache.spark.sql.Column,
                     version: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.graft.PredicateRanges
     val v = version.orElse(latestVersion)
-    val ranges = PredicateRanges.extract(pred)
-    val files = entries(v).collect {
-      case e if ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) }
-        => e.rel
-    }
-    readRels(schema, files).filter(pred)
+    readRels(schema, candidateFilesWhere(pred, v)).filter(pred)
   }
 
   /** Rows ADDED in versions `(fromV, toV]`, each tagged with the
@@ -512,6 +565,27 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       // metadata count and its own pruning bounds).
       val nRows = r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       acc(TxLogTable.RowsKey) = (nRows, nRows)
+      // exact per-column NULL counts (every stats-safe column, any type) —
+      // summed across row groups; a single group without the stat voids
+      // the column's entry (a partial sum would under-count and could
+      // wrongly prune an IS NULL scan)
+      val nullAcc = scala.collection.mutable.Map.empty[String, Long]
+      val nullBad = scala.collection.mutable.Set.empty[String]
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (TxLogTable.statsSafe(name)) {
+            if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+              nullAcc(name) = nullAcc.getOrElse(name, 0L) + st.getNumNulls
+            else nullBad += name
+          }
+        }
+      }
+      (nullAcc.keySet -- nullBad).foreach { name =>
+        val n = nullAcc(name)
+        acc(TxLogTable.nullsKey(name)) = (n, n)
+      }
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val tpe = c.getPrimitiveType.getPrimitiveTypeName
@@ -703,17 +777,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column,
                   maxAttempts: Int = 10): TxLogTable.MergeStats = {
-    import org.apache.spark.sql.graft.PredicateRanges
     val ranges = PredicateRanges.extract(pred)
+    val nn = PredicateRanges.extractNullness(pred)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
-        .partition { line =>
-          val e = TxLogTable.decodeEntry(line)
-          ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) }
-        }
+        .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
+          ranges, nn))
       // NULL predicate keeps the row: DELETE only removes where TRUE
       val kept = readRels(schema, affected.map(_.takeWhile(_ != '\t')))
         .filter(!org.apache.spark.sql.functions.coalesce(pred, lit(false)))

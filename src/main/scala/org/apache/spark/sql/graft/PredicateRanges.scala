@@ -34,6 +34,69 @@ object PredicateRanges {
       Bound(math.min(lo, o.lo), math.max(hi, o.hi))
   }
 
+  /** Nullness constraints implied by `pred`: columns every matching row
+    * must have NULL, and columns it must have NON-NULL. Complements the
+    * range bounds — a file whose footer null count says "no nulls" cannot
+    * match `c IS NULL`, and an all-null file cannot match `c IS NOT NULL`
+    * or any null-rejecting comparison on c.
+    */
+  final case class Nullness(mustBeNull: Set[String],
+                            mustBeNonNull: Set[String])
+
+  /** Extract [[Nullness]] from `pred`, by the same soundness rule as
+    * [[extract]]: a constraint is recorded only when EVERY row satisfying
+    * the predicate provably has it. AND unions both sides' constraints; OR
+    * keeps only constraints common to both branches; `isnull`/`isnotnull`
+    * constrain their direct column argument; null-rejecting comparisons
+    * (`= != < <= > >=`, `in`) mark their direct column arguments
+    * non-null (SQL comparison against NULL is never TRUE). `<=>`
+    * (null-safe equality) is deliberately NOT null-rejecting, and a column
+    * under any function (`coalesce(c, 0) > 5`) contributes nothing — only
+    * bare attribute arguments count.
+    */
+  def extractNullness(pred: Column): Nullness =
+    walkNull(pred.node, neg = false)
+
+  private val NullRejecting = Set(">", ">=", "<", "<=", "=", "==", "!=")
+
+  // `neg` tracks NOT polarity (De Morgan: ¬(a∧b) swaps the AND/OR
+  // combination rules, ¬(c IS NULL) ⇒ c IS NOT NULL). Comparisons imply
+  // non-null REGARDLESS of polarity: `NOT (x = 3)` is TRUE only when
+  // `x = 3` is FALSE — NOT(NULL) is NULL, not TRUE — so x is non-null
+  // either way (this is why `=!=`, which desugars to NOT(=), prunes).
+  // The Column DSL emits camelCase names (`isNull`) where the SQL
+  // registry uses lowercase (`isnull`) — normalize so both prune.
+  private def walkNull(n: ColumnNode, neg: Boolean): Nullness = n match {
+    case f: NodeFn => (f.functionName.toLowerCase(java.util.Locale.ROOT),
+        f.arguments) match {
+      case ("not" | "!", Seq(c)) => walkNull(c, !neg)
+      case ("and", Seq(l, r)) =>
+        val a = walkNull(l, neg); val b = walkNull(r, neg)
+        if (!neg) Nullness(a.mustBeNull ++ b.mustBeNull,
+          a.mustBeNonNull ++ b.mustBeNonNull)
+        else Nullness(a.mustBeNull & b.mustBeNull, // ¬(a∧b) = ¬a ∨ ¬b
+          a.mustBeNonNull & b.mustBeNonNull)
+      case ("or", Seq(l, r)) =>
+        val a = walkNull(l, neg); val b = walkNull(r, neg)
+        if (!neg) Nullness(a.mustBeNull & b.mustBeNull,
+          a.mustBeNonNull & b.mustBeNonNull)
+        else Nullness(a.mustBeNull ++ b.mustBeNull, // ¬(a∨b) = ¬a ∧ ¬b
+          a.mustBeNonNull ++ b.mustBeNonNull)
+      case ("isnull", Seq(c)) =>
+        if (!neg) Nullness(colName(c).toSet, Set.empty)
+        else Nullness(Set.empty, colName(c).toSet)
+      case ("isnotnull", Seq(c)) =>
+        if (!neg) Nullness(Set.empty, colName(c).toSet)
+        else Nullness(colName(c).toSet, Set.empty)
+      case (op, args) if NullRejecting(op) =>
+        Nullness(Set.empty, args.flatMap(colName).toSet)
+      case ("in", c +: rest) if rest.nonEmpty =>
+        Nullness(Set.empty, colName(c).toSet)
+      case _ => Nullness(Set.empty, Set.empty)
+    }
+    case _ => Nullness(Set.empty, Set.empty)
+  }
+
   /** Bounds implied by `pred` per referenced column. AND-trees of binary
     * comparisons against integral literals intersect; OR-trees contribute
     * the UNION of both branches' bounds (and only for columns bounded in

@@ -72,4 +72,44 @@ class PredicateRangesSpec extends AnyFunSuite {
     assert(b(col("x").isin(2, 8) && col("y") >= 1) ==
       Map("x" -> Bound(2, 8), "y" -> Bound(1, Max)))
   }
+
+  private def nn(c: Column) = PredicateRanges.extractNullness(c)
+  private def N(mustNull: Set[String], mustNonNull: Set[String]) =
+    PredicateRanges.Nullness(mustNull, mustNonNull)
+  private val none = Set.empty[String]
+
+  test("nullness: isNull/isNotNull and null-rejecting comparisons") {
+    assert(nn(col("x").isNull) == N(Set("x"), none))
+    assert(nn(col("x").isNotNull) == N(none, Set("x")))
+    // comparisons reject NULL on BOTH direct column arguments
+    assert(nn(col("x") > 5) == N(none, Set("x")))
+    assert(nn(col("x") === col("y")) == N(none, Set("x", "y")))
+    assert(nn(col("x").isin(1, 2)) == N(none, Set("x")))
+    assert(nn(col("x") =!= 3) == N(none, Set("x")))
+    // null-SAFE equality is not null-rejecting
+    assert(nn(col("x") <=> lit(3)) == N(none, none))
+    // a column under a function contributes nothing: coalesce may map
+    // NULL to a matching value
+    import org.apache.spark.sql.functions.coalesce
+    assert(nn(coalesce(col("x"), lit(0)) > 5) == N(none, none))
+    // NOT flips the nullness claim (¬(x IS NULL) ⇒ x IS NOT NULL), and
+    // NOT over a comparison still rejects NULL (NOT(NULL) is NULL)
+    assert(nn(not(col("x").isNull)) == N(none, Set("x")))
+    assert(nn(not(col("x").isNotNull)) == N(Set("x"), none))
+    assert(nn(not(col("x") > 5)) == N(none, Set("x")))
+    // De Morgan: ¬(x IS NULL ∨ y IS NULL) = ¬(x IS NULL) ∧ ¬(y IS NULL)
+    assert(nn(not(col("x").isNull || col("y").isNull)) ==
+      N(none, Set("x", "y")))
+  }
+
+  test("nullness: AND unions, OR intersects") {
+    assert(nn(col("x").isNull && col("y") > 3) ==
+      N(Set("x"), Set("y")))
+    assert(nn(col("x").isNull || col("x").isNull) == N(Set("x"), none))
+    // constraint on one OR branch only → dropped
+    assert(nn(col("x").isNull || col("y") > 3) == N(none, none))
+    assert(nn((col("x") > 1 && col("y").isNotNull) ||
+              (col("x") < 0 && col("y").isNotNull)) ==
+      N(none, Set("x", "y")))
+  }
 }

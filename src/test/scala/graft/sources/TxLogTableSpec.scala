@@ -566,6 +566,32 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 5L) && got((99L, "k5")) && got.size == 20)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL scans and deletes") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    // one all-null file, one no-null file (coalesce(1) pins one file per
+    // commit so the prune counts are deterministic)
+    t.commit(Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("id", "v").coalesce(1), overwrite = true)
+    t.commit(Seq((Option(1L), "a"), (Option(2L), "b"))
+      .toDF("id", "v").coalesce(1), overwrite = false)
+    assert(t.fileCount() == 2)
+    // IS NOT NULL skips the all-null file; IS NULL skips the no-null file
+    assert(t.candidateFilesWhere(col("id").isNotNull).size == 1)
+    assert(t.candidateFilesWhere(col("id").isNull).size == 1)
+    assert(t.snapshotWhere(schema, col("id").isNotNull).count() == 2)
+    assert(t.snapshotWhere(schema, col("id").isNull).count() == 2)
+    // a comparison is null-rejecting: the all-null file is skipped even
+    // though it has NO min/max stats to range-prune on
+    assert(t.candidateFilesWhere(col("id") > 0L).size == 1)
+    // string columns prune too (no range stats, but null counts exist)
+    assert(t.candidateFilesWhere(col("v").isNull).isEmpty)
+    // deleteWhere carries the no-null file under an IS NULL delete
+    val st = t.deleteWhere(schema, col("id").isNull)
+    assert(st.rewritten == 1 && st.carried == 1, s"$st")
+    assert(t.snapshot(schema).count() == 2)
+  }
+
   test("deleteWhere rewrites only predicate-overlapping files") {
     import org.apache.spark.sql.functions.{col, expr}
     val t = fresh()
