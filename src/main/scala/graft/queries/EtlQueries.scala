@@ -201,6 +201,35 @@ object EtlQueries {
           (col("event_id") >= b1 + 20 && col("event_id") <= b1 + 40))
     }),
 
+    // Per-file BLOOM-FILTER skipping (TxLogTable bloomCols + the
+    // PredicateRanges point extractor): documents land SCATTERED — files
+    // hash-bucketed by doc_id % 8, so every file spans ~the whole id range
+    // and min/max stats prune NOTHING (the first require proves it). A
+    // point lookup / IN-list probe then skips via each file's bloom bits
+    // instead (second require). At 100 TB this is the id-lookup-on-an-
+    // unclustered-table shape — the case range stats fundamentally cannot
+    // serve — answered from the manifest without opening a single footer.
+    // The oracle proves bloom pruning lost no rows.
+    "skip_bloom_scan" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      val mn = d.agg(min("doc_id")).head.getLong(0)
+      val probes = Seq(mn + 7, mn + 123, mn + 311)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skip-bloom")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("documents").toString)
+      tbl.commit(d.repartition(8, pmod(col("doc_id"), lit(8))),
+        overwrite = true, bloomCols = Seq("doc_id"))
+      val total = tbl.fileCount()
+      val rangeCand = tbl.candidateFiles("doc_id", probes.head, probes.head)
+      require(rangeCand.size == total,
+        s"scatter failed: ranges pruned ${total - rangeCand.size} files")
+      val bloomCand = tbl.candidateFilesWhere(
+        col("doc_id").isin(probes: _*)).size
+      require(bloomCand < total,
+        s"bloom skipped nothing: $bloomCand of $total files")
+      tbl.snapshotWhere(d.schema, col("doc_id").isin(probes: _*))
+    }),
+
     // Manifest NULL-count skipping (footer null counts + the nullness
     // extractor): events land as two commits — one whose synthesized `v`
     // is ALL NULL, one with no nulls. An IS NOT NULL scan prunes the
@@ -522,6 +551,13 @@ object EtlQueries {
          FROM e, b
          WHERE event_id IN (b1 + 1, b1 + 5, b1 + 9)
             OR (event_id >= b1 + 20 AND event_id <= b1 + 40)""",
+
+    "skip_bloom_scan" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+          mm AS (SELECT min(doc_id) AS mn FROM d)
+         SELECT doc_id, lang, source, n_chars
+         FROM d, mm
+         WHERE doc_id IN (mn + 7, mn + 123, mn + 311)""",
 
     "skip_null_scan" ->
       """SELECT event_id, user_id, value AS v

@@ -71,18 +71,110 @@ object TxLogTable {
     !name.exists(c => c == '=' || c == ';' || c == ':' ||
       c == '\t' || c == '\n')
 
+  /** Per-file Bloom filter over one column's values — the point-lookup
+    * complement to min/max range stats: a key-scattered layout (every file
+    * spans the full key range) defeats range pruning entirely, but a bloom
+    * probe still skips every file whose bit pattern excludes the key. This
+    * is Delta's bloom-filter index / Iceberg's bloom write property,
+    * re-derived for the manifest: the filter rides the manifest line, so
+    * the skip decision needs no file open at all.
+    *
+    * Hashing is canonical-string MD5 so the Spark-side harvest
+    * (`md5(cast(c as string))`, codegen'd) and the driver-side probe
+    * (`MessageDigest`) agree bit-for-bit: h1 = first 15 hex digits, h2 =
+    * hex digits 17-31 (60-bit each — no sign issues), probe positions
+    * `(h1 + i*h2) mod m` for i in 1..k. False positives only cost pruning;
+    * a false NEGATIVE is impossible for values the harvest saw, which is
+    * the soundness contract (`typ` guards the cross-type coercion holes —
+    * see [[org.apache.spark.sql.graft.PredicateRanges.Point]]).
+    *
+    * @param typ 'i' = integral column (probe values normalized to decimal
+    *            canonical form), 's' = string column (probed verbatim)
+    */
+  final case class Bloom(m: Int, k: Int, typ: Char, bits: Array[Long]) {
+    def mightContain(canonical: String): Boolean = {
+      val (h1, h2) = Bloom.hashes(canonical)
+      (1 to k).forall { i =>
+        val pos = java.lang.Math.floorMod(h1 + i.toLong * h2, m.toLong).toInt
+        (bits(pos >> 6) & (1L << (pos & 63))) != 0L
+      }
+    }
+  }
+
+  object Bloom {
+    /** 8192 bits / 6 hashes ≈ 1% FPP at ~850 distinct values per file,
+      * ~1.4 KB base64 per column per manifest line. A 1% false-positive
+      * rate costs reading 1% more files than optimal — never correctness.
+      */
+    val DefaultM = 8192
+    val DefaultK = 6
+
+    /** The shared hash: lowercase-hex MD5 of the UTF-8 canonical string,
+      * split into two independent 60-bit lanes (Kirsch-Mitzenmacher double
+      * hashing). Must match the Spark-side
+      * `conv(substring(md5(cast(c as string)), …), 16, 10)` exactly.
+      */
+    def hashes(canonical: String): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(canonical.getBytes(UTF_8))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+        java.lang.Long.parseLong(hex.substring(16, 31), 16))
+    }
+
+    def fromPositions(m: Int, k: Int, typ: Char,
+                      positions: Iterable[Int]): Bloom = {
+      val bits = new Array[Long](m / 64)
+      positions.foreach(p => bits(p >> 6) |= (1L << (p & 63)))
+      Bloom(m, k, typ, bits)
+    }
+
+    /** Wire form `m:k:t:<base64 bits>` — `:` separators are wire-safe
+      * (column names containing one never get entries, [[statsSafe]]) and
+      * base64's alphabet contains none of `; = tab`, except the `=` pad,
+      * which is safe because the enclosing `col=…` split is on the FIRST
+      * `=` only.
+      */
+    def encode(b: Bloom): String = {
+      val bb = java.nio.ByteBuffer.allocate(b.bits.length * 8)
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.bits.foreach(bb.putLong)
+      s"${b.m}:${b.k}:${b.typ}:" +
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+
+    def decode(s: String): Option[Bloom] = scala.util.Try {
+      val Array(m, k, t, b64) = s.split(':')
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val bits = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < bits.length) { bits(i) = bb.getLong(); i += 1 }
+      Bloom(m.toInt, k.toInt, t.head, bits)
+    }.toOption
+  }
+
   /** One manifest data line: a file path relative to data/, plus optional
     * per-column min/max statistics harvested from the parquet footer at
-    * commit time (integral columns only). Wire format:
-    * `rel/path.parquet<TAB>col=min:max;col2=min:max` — readers that only
-    * need the path take the text before the tab, so stats-free and
-    * stats-bearing lines coexist in one manifest.
+    * commit time (integral columns only), plus optional per-column Bloom
+    * filters. Wire format:
+    * `rel/path.parquet<TAB>col=min:max;…<TAB>col=m:k:t:b64;…` — readers
+    * that only need the path take the text before the first tab, so
+    * stats-free, stats-bearing and bloom-bearing lines coexist in one
+    * manifest (the stats field may be empty when only blooms exist).
     */
-  final case class FileEntry(rel: String, stats: Map[String, (Long, Long)]) {
-    def encoded: String =
-      if (stats.isEmpty) rel
-      else rel + "\t" + stats.toSeq.sortBy(_._1)
+  final case class FileEntry(rel: String, stats: Map[String, (Long, Long)],
+                             blooms: Map[String, Bloom] = Map.empty) {
+    def encoded: String = {
+      val statsEnc = stats.toSeq.sortBy(_._1)
         .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
+      val bloomEnc = blooms.toSeq.sortBy(_._1)
+        .map { case (c, b) => s"$c=${Bloom.encode(b)}" }.mkString(";")
+      if (blooms.nonEmpty) s"$rel\t$statsEnc\t$bloomEnc"
+      else if (stats.nonEmpty) s"$rel\t$statsEnc"
+      else rel
+    }
   }
 
   /** One `history()` row: what produced a version, when, and its size. */
@@ -98,10 +190,9 @@ object TxLogTable {
   // Tolerant stats parse: a malformed `col=min:max` token yields no entry
   // instead of a MatchError — a reader must never fail the whole table over
   // one unparseable stats token (missing stats merely mean "cannot prune").
-  def decodeEntry(line: String): FileEntry = line.split('\t') match {
-    case Array(rel) => FileEntry(rel, Map.empty)
-    case Array(rel, enc) =>
-      FileEntry(rel, enc.split(';').iterator.flatMap { kv =>
+  def decodeEntry(line: String): FileEntry = {
+    def parseStats(enc: String): Map[String, (Long, Long)] =
+      enc.split(';').iterator.flatMap { kv =>
         kv.split('=') match {
           case Array(c, range) =>
             // RowsKey itself contains ':' — split from the RIGHT so the
@@ -114,8 +205,23 @@ object TxLogTable {
                 range.substring(cut + 1).toLong)).toOption
           case _ => None
         }
-      }.toMap)
-    case other => FileEntry(other.head, Map.empty)
+      }.toMap
+    // bloom kv splits on the FIRST '=' only: base64 padding may end the
+    // value with '=', and column names can never contain one (statsSafe)
+    def parseBlooms(enc: String): Map[String, Bloom] =
+      enc.split(';').iterator.flatMap { kv =>
+        val cut = kv.indexOf('=')
+        if (cut <= 0) None
+        else Bloom.decode(kv.substring(cut + 1))
+          .map(b => kv.substring(0, cut) -> b)
+      }.toMap
+    line.split('\t') match {
+      case Array(rel) => FileEntry(rel, Map.empty)
+      case Array(rel, enc) => FileEntry(rel, parseStats(enc))
+      case Array(rel, enc, blooms) =>
+        FileEntry(rel, parseStats(enc), parseBlooms(blooms))
+      case other => FileEntry(other.head, Map.empty)
+    }
   }
 }
 
@@ -192,6 +298,21 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.stripPrefix("#partitionCols=").split(",").toSeq.filter(_.nonEmpty) }
       .getOrElse(Nil)
 
+  /** The bloom-indexed columns recorded at `v` — a TABLE property like the
+    * partition layout: set once at a commit, inherited by every subsequent
+    * append / merge / delete / compaction so rewritten files keep their
+    * filters without each caller re-declaring them.
+    */
+  def bloomColsOf(v: Int): Seq[String] =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#bloomCols=") =>
+        l.stripPrefix("#bloomCols=").split(",").toSeq.filter(_.nonEmpty) }
+      .getOrElse(Nil)
+
+  // the table's current bloom columns (empty for a fresh/never-bloom table)
+  private def inheritedBloomCols: Seq[String] =
+    latestVersion.map(bloomColsOf).getOrElse(Nil)
+
   /** Scan of an explicit relative-path file list under data/, empty-with-
     * schema when the list is empty — the shared read path of snapshot /
     * snapshotRange / snapshotWhere / merge.
@@ -253,15 +374,45 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
   }
 
+  // May file `e` contain a row whose `column` equals one of `pts`, judged
+  // by the file's Bloom filter? No bloom for the column → "yes" (cannot
+  // prune). Each point is normalized to the bloom's recorded column type
+  // before probing — a point that does not normalize (string literal that
+  // is not an exact Long against an integral column, integral literal
+  // against a string column) voids the whole set, because SQL coercion
+  // could make it match rows the canonical probe would miss. An EMPTY
+  // point set (e.g. `c = 3 AND c = 4`) proves no row can match: prune.
+  private def mayMatchBloom(e: TxLogTable.FileEntry, column: String,
+                            pts: Set[PredicateRanges.Point]): Boolean =
+    e.blooms.get(column) match {
+      case None => true
+      case Some(b) =>
+        val canons = pts.map { p =>
+          b.typ match {
+            case 'i' =>
+              if (!p.isString) Some(p.canon)
+              else scala.util.Try(p.canon.trim.toLong.toString).toOption
+            case 's' => if (p.isString) Some(p.canon) else None
+            case _ => None // unknown future type tag: never prune on it
+          }
+        }
+        if (canons.contains(None)) true
+        else canons.flatten.exists(b.mightContain)
+    }
+
   // May file `e` contain a row matching a predicate summarized as range
-  // bounds + nullness constraints? The single pruning decision behind
-  // snapshotWhere / deleteWhere / candidateFilesWhere.
+  // bounds + nullness constraints + equality point sets? The single
+  // pruning decision behind snapshotWhere / deleteWhere /
+  // candidateFilesWhere.
   private def mayMatchPred(e: TxLogTable.FileEntry,
                            ranges: Map[String, PredicateRanges.Bound],
-                           nn: PredicateRanges.Nullness): Boolean =
+                           nn: PredicateRanges.Nullness,
+                           points: Map[String, Set[PredicateRanges.Point]] =
+                             Map.empty): Boolean =
     ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) } &&
       nn.mustBeNull.forall(mayHaveNull(e, _)) &&
-      nn.mustBeNonNull.forall(mayHaveNonNull(e, _))
+      nn.mustBeNonNull.forall(mayHaveNonNull(e, _)) &&
+      points.forall { case (c, pts) => mayMatchBloom(e, c, pts) }
 
   /** Files of `version` that MAY contain a row matching `pred` — the
     * manifest-level pruning decision behind [[snapshotWhere]] /
@@ -276,8 +427,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                           version: Option[Int] = None): Seq[String] = {
     val ranges = PredicateRanges.extract(pred)
     val nn = PredicateRanges.extractNullness(pred)
+    val points = PredicateRanges.extractPoints(pred)
     entries(version).collect {
-      case e if mayMatchPred(e, ranges, nn) => e.rel
+      case e if mayMatchPred(e, ranges, nn, points) => e.rel
     }
   }
 
@@ -615,10 +767,71 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
   }
 
-  private def stageWithStats(df: DataFrame,
-                             partitionCols: Seq[String]): Seq[String] =
-    stage(df, partitionCols).map(rel =>
-      TxLogTable.FileEntry(rel, footerStats(rel)).encoded)
+  /** Per-file Bloom filters for `cols` over the just-staged `rels`,
+    * computed in ONE distributed pass over the staged data (the only
+    * extra cost of enabling bloom columns — Delta's bloom index pays the
+    * same write-side pass). Bit positions are computed executor-side with
+    * codegen'd built-ins (`md5`/`conv`/`pmod` — no UDF) and reduced to at
+    * most m distinct positions per (file, column) by `array_distinct`
+    * inside the aggregate, so the driver collects O(files × cols × m)
+    * bounded data, never row-scale. Only string and integral columns get
+    * filters (the type tag guards probe-side coercion soundness);
+    * partition columns are absent from the data files and are already
+    * exactly prunable from their hive path segment.
+    */
+  private def bloomStats(rels: Seq[String], cols: Seq[String])
+      : Map[String, Map[String, TxLogTable.Bloom]] = {
+    import org.apache.spark.sql.functions.{array_distinct, collect_list,
+      conv, flatten, input_file_name, lit, md5, pmod, sequence, substring,
+      transform, when}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, StringType}
+    val safe = cols.filter(TxLogTable.statsSafe)
+    if (safe.isEmpty || rels.isEmpty) return Map.empty
+    val paths = rels.map(r => dataDir.resolve(r).toString)
+    val df = spark.read.parquet(paths: _*)
+    val typed: Seq[(String, Char)] = safe.flatMap(c =>
+      df.schema.find(_.name == c).map(_.dataType).collect {
+        case StringType => c -> 's'
+        case LongType | IntegerType | ShortType | ByteType => c -> 'i'
+      })
+    if (typed.isEmpty) return Map.empty
+    val m = TxLogTable.Bloom.DefaultM
+    val k = TxLogTable.Bloom.DefaultK
+    def positions(c: String) = {
+      val hex = md5(col(c).cast("string"))
+      val h1 = conv(substring(hex, 1, 15), 16, 10).cast("long")
+      val h2 = conv(substring(hex, 17, 15), 16, 10).cast("long")
+      // 60-bit lanes: h1 + k*h2 stays well under Long.MaxValue
+      when(col(c).isNotNull,
+        transform(sequence(lit(1), lit(k)),
+          i => pmod(h1 + i.cast("long") * h2, lit(m.toLong))))
+    }
+    val aggs = typed.map { case (c, _) =>
+      array_distinct(flatten(collect_list(positions(c)))).as(c) }
+    val rows = df.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val relOf: Map[String, String] = paths.zip(rels).map { case (p, r) =>
+      Paths.get(p).toUri.getPath -> r }.toMap
+    rows.flatMap { row =>
+      val path = scala.util.Try(
+        new java.net.URI(row.getString(0)).getPath).getOrElse(row.getString(0))
+      relOf.get(path).map { rel =>
+        rel -> typed.zipWithIndex.map { case ((c, t), i) =>
+          c -> TxLogTable.Bloom.fromPositions(m, k, t,
+            row.getSeq[Long](i + 1).map(_.toInt))
+        }.toMap
+      }
+    }.toMap
+  }
+
+  private def stageWithStats(df: DataFrame, partitionCols: Seq[String],
+                             bloomCols: Seq[String] = Nil): Seq[String] = {
+    val rels = stage(df, partitionCols)
+    val blooms = bloomStats(rels, bloomCols)
+    rels.map(rel => TxLogTable.FileEntry(rel, footerStats(rel),
+      blooms.getOrElse(rel, Map.empty)).encoded)
+  }
 
   /** Dynamic-partition-overwrite commit: replace exactly the partitions
     * `df` writes into, carry every other partition's files untouched —
@@ -634,7 +847,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                     maxAttempts: Int = 10): Int = {
     require(partitionCols.nonEmpty,
       "commitDynamic needs partition columns; use commit() otherwise")
-    val staged = stageWithStats(df, partitionCols)
+    val effBloom = inheritedBloomCols
+    val staged = stageWithStats(df, partitionCols, effBloom)
     // the replaced partitions are exactly the hive dirs this batch wrote
     val replacedDirs = staged.map { f =>
       val p = Paths.get(f.takeWhile(_ != '\t'))
@@ -656,7 +870,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(partitionCols, "dynamic-overwrite") ++
+          (metaLines(partitionCols, "dynamic-overwrite", effBloom) ++
             carried ++ staged).mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next
@@ -737,11 +951,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val merged = graft.operators.Upsert.deleteInsert(
         readRels(schema, affected.map(_.takeWhile(_ != '\t'))),
         incoming, keys)
-      val staged = stageWithStats(merged, layout)
+      val effBloom = base.map(bloomColsOf).getOrElse(Nil)
+      val staged = stageWithStats(merged, layout, effBloom)
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "merge") ++
+          (metaLines(layout, "merge", effBloom) ++
             carriedLines ++ staged).mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
@@ -779,21 +994,23 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                   maxAttempts: Int = 10): TxLogTable.MergeStats = {
     val ranges = PredicateRanges.extract(pred)
     val nn = PredicateRanges.extractNullness(pred)
+    val points = PredicateRanges.extractPoints(pred)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
         .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
-          ranges, nn))
+          ranges, nn, points))
       // NULL predicate keeps the row: DELETE only removes where TRUE
       val kept = readRels(schema, affected.map(_.takeWhile(_ != '\t')))
         .filter(!org.apache.spark.sql.functions.coalesce(pred, lit(false)))
-      val staged = stageWithStats(kept, layout)
+      val effBloom = base.map(bloomColsOf).getOrElse(Nil)
+      val staged = stageWithStats(kept, layout, effBloom)
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "delete") ++
+          (metaLines(layout, "delete", effBloom) ++
             carriedLines ++ staged).mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
@@ -806,18 +1023,28 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       s"deleteWhere lost the version race $maxAttempts times: $root")
   }
 
-  private def metaLines(partitionCols: Seq[String], op: String): Seq[String] =
+  private def metaLines(partitionCols: Seq[String], op: String,
+                        bloomCols: Seq[String] = Nil): Seq[String] =
     Seq(s"#partitionCols=${partitionCols.mkString(",")}",
       s"#commitMillis=${System.currentTimeMillis()}",
-      s"#op=$op")
+      s"#op=$op") ++
+      (if (bloomCols.isEmpty) Nil
+       else Seq(s"#bloomCols=${bloomCols.mkString(",")}"))
 
+  /** `bloomCols` non-empty enables per-file Bloom filters on those columns
+    * for this commit's files AND records them as a table property every
+    * later write inherits; empty inherits the table's current setting.
+    */
   def commit(df: DataFrame, overwrite: Boolean,
              maxAttempts: Int = 10,
              partitionCols: Seq[String] = Nil,
-             op: String = null): Int = {
+             op: String = null,
+             bloomCols: Seq[String] = Nil): Int = {
     val opName =
       Option(op).getOrElse(if (overwrite) "overwrite" else "append")
-    val staged = stageWithStats(df, partitionCols)
+    val effBloom =
+      if (bloomCols.nonEmpty) bloomCols else inheritedBloomCols
+    val staged = stageWithStats(df, partitionCols, effBloom)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -834,7 +1061,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         // the atomic publish: create-if-absent of the version manifest
         Files.write(manifestPath(next),
-          (metaLines(partitionCols, opName) ++
+          (metaLines(partitionCols, opName, effBloom) ++
             carried ++ staged).mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next

@@ -97,6 +97,75 @@ object PredicateRanges {
     case _ => Nullness(Set.empty, Set.empty)
   }
 
+  /** One equality-point literal: its canonical string rendering plus
+    * whether it was a STRING literal — the probe side of the manifest
+    * Bloom filters. The kind matters for soundness under SQL type
+    * coercion: `stringCol = 5` matches rows like `"05"` (both sides are
+    * coerced numeric), so an integral point may NOT be probed verbatim
+    * against a string column's bloom, and a string point may only probe an
+    * integral column's bloom after exact Long normalization ("05" → "5").
+    * The consumer ([[graft.sources.TxLogTable]]) applies those rules
+    * against the bloom's recorded column type; anything that doesn't
+    * normalize voids the whole point set (no pruning, still correct).
+    */
+  final case class Point(isString: Boolean, canon: String)
+
+  /** Exact point sets implied by `pred`: column → the set of literal
+    * values at least one of which EVERY matching row must equal. Same
+    * soundness rule as [[extract]] — `=` and all-literal `IN` contribute,
+    * AND intersects per-column sets (an empty intersection proves no row
+    * can match: prune everything), OR unions and keeps only columns
+    * constrained in BOTH branches, anything else contributes nothing.
+    */
+  def extractPoints(pred: Column): Map[String, Set[Point]] =
+    walkPoints(pred.node)
+
+  private def litCanon(n: ColumnNode): Option[Point] = n match {
+    case l: NodeLit => l.value match {
+      case v: Int => Some(Point(isString = false, v.toString))
+      case v: Long => Some(Point(isString = false, v.toString))
+      case v: Short => Some(Point(isString = false, v.toString))
+      case v: Byte => Some(Point(isString = false, v.toString))
+      case v: String => Some(Point(isString = true, v))
+      case _ => None // doubles/decimals/etc: rendering-ambiguous, no point
+    }
+    case _ => None
+  }
+
+  private def walkPoints(n: ColumnNode): Map[String, Set[Point]] = n match {
+    case f: NodeFn => (f.functionName.toLowerCase(java.util.Locale.ROOT),
+        f.arguments) match {
+      case ("and", Seq(l, r)) =>
+        val a = walkPoints(l); val b = walkPoints(r)
+        (a.keySet ++ b.keySet).iterator.map { k =>
+          k -> ((a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) => x & y // may be empty: prune ALL files
+            case (Some(x), None) => x
+            case (None, Some(y)) => y
+            case _ => Set.empty[Point]
+          })
+        }.toMap
+      case ("or", Seq(l, r)) =>
+        val a = walkPoints(l); val b = walkPoints(r)
+        (a.keySet & b.keySet).iterator
+          .map(k => k -> (a(k) ++ b(k))).toMap
+      case ("=" | "==", Seq(a, b)) =>
+        (for (nm <- colName(a); v <- litCanon(b)) yield Map(nm -> Set(v)))
+          .orElse(
+            for (nm <- colName(b); v <- litCanon(a)) yield Map(nm -> Set(v)))
+          .getOrElse(Map.empty)
+      case ("in", c +: rest) if rest.nonEmpty =>
+        val vs = rest.map(litCanon)
+        colName(c) match {
+          case Some(nm) if vs.forall(_.isDefined) =>
+            Map(nm -> vs.flatten.toSet)
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+    case _ => Map.empty
+  }
+
   /** Bounds implied by `pred` per referenced column. AND-trees of binary
     * comparisons against integral literals intersect; OR-trees contribute
     * the UNION of both branches' bounds (and only for columns bounded in
