@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distinct-count sketches for corpus-scale profiling — approximate
+  * COUNT(DISTINCT) over 100 TB without the exact count's full shuffle of
+  * every distinct value. Two classic shapes:
+  *
+  *  - HyperLogLog registers ([[hllRegisters]]): each value hashes to one
+  *    of 256 buckets whose register keeps the max leading-zero rank seen —
+  *    the whole table reduces map-side to ≤256 rows (a partial-aggregable
+  *    groupBy, the cheapest possible shuffle), mergeable across
+  *    partitions/days by plain max. Estimate ±~6.5% (1.04/√256).
+  *  - KMV / bottom-k minima ([[kmvMinima]]): the k smallest value hashes;
+  *    a TakeOrdered over distinct hashes (no wide shuffle), mergeable by
+  *    re-sorting the union. Estimate (k-1)/max-fraction, ±~12% at k=64.
+  *
+  * DETERMINISM over the built-in `approx_count_distinct`: these sketches
+  * are exact functions of the value set (canonical-string MD5, integer
+  * rank math via `bin()` string length — no FP anywhere in the sketch
+  * itself), so the register/minima tables hash-match a SQL oracle
+  * bit-for-bit on any engine with md5 — the property the driver's DuckDB
+  * gate checks. Spark's HLL++ sketch is also deterministic but its
+  * xxhash64-based register layout is not reproducible in other engines.
+  * The float estimate is derived DRIVER-SIDE from the bounded sketch
+  * (256 rows / k rows), off the hash-checked path.
+  */
+object Sketches {
+
+  /** 2^8 buckets: the standard error is 1.04/sqrt(256) ≈ 6.5%. */
+  val HllBuckets = 256
+
+  /** Per-bucket HLL registers of `c` over `df`: bucket = first hex byte of
+    * md5(cast(c as string)), rank = leading zeros + 1 of the next 60 hash
+    * bits (exact integer math: 61 - bitlength via `bin()`; an all-zero
+    * lane caps at 61). Only non-empty buckets appear; readers treat a
+    * missing bucket as rank 0. NULL values contribute nothing (md5(NULL)
+    * is NULL, the groupBy drops the null bucket before it forms).
+    */
+  def hllRegisters(df: DataFrame, c: Column): DataFrame = {
+    val h = md5(c.cast("string"))
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast(LongType).as("bucket")
+    val v = conv(substring(h, 3, 15), 16, 10).cast(LongType)
+    val rank = when(h.isNull, lit(null).cast(LongType))
+      .when(v === 0, lit(61L))
+      .otherwise(lit(61L) - length(bin(v)).cast(LongType))
+    df.select(bucket, rank.as("rank"))
+      .where(col("rank").isNotNull)
+      .groupBy("bucket").agg(max("rank").as("r"))
+  }
+
+  /** The HLL estimate from a [[hllRegisters]] table — driver-side over the
+    * ≤256-row sketch (a bounded artifact, like a codebook), with the
+    * standard small-range linear-counting correction.
+    */
+  def hllEstimate(registers: DataFrame): Double = {
+    val regs = registers.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = HllBuckets
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val sum = (0 until m)
+      .map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+    val raw = alpha * m * m / sum
+    val zeros = (0 until m).count(b => !regs.contains(b.toLong))
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  /** The k smallest distinct md5 hashes of `c` — a KMV (k-minimum-values)
+    * distinct sketch. Plan shape: distinct on the hash (partial-aggable),
+    * then a global TakeOrdered of k rows — no full sort, no wide result.
+    */
+  def kmvMinima(df: DataFrame, c: Column, k: Int = 64): DataFrame =
+    df.select(md5(c.cast("string")).as("h"))
+      .where(col("h").isNotNull)
+      .distinct()
+      .orderBy(col("h")).limit(k)
+
+  /** KMV estimate: with fewer than k distinct values the sketch IS the
+    * exact count; otherwise (k-1) / (fraction of hash space below the
+    * k-th minimum), read from the first 60 bits of the largest kept hash.
+    */
+  def kmvEstimate(minima: DataFrame, k: Int = 64): Double = {
+    val hs = minima.collect().map(_.getString(0)).sorted
+    if (hs.length < k) hs.length.toDouble
+    else {
+      val top = java.lang.Long.parseLong(hs.last.substring(0, 15), 16)
+      (k - 1).toDouble * math.pow(2.0, 60) / top.toDouble
+    }
+  }
+}

@@ -472,6 +472,27 @@ object CoreQueries {
           expr("percentile(o_totalprice, 0.5)").as("q50"),
           expr("percentile(o_totalprice, 0.75)").as("q75"))),
 
+    // HyperLogLog distinct sketch (functions.Sketches.hllRegisters): the
+    // whole table reduces MAP-SIDE to ≤256 (bucket, max-rank) register
+    // rows — approximate COUNT(DISTINCT) whose shuffle is 256 groups
+    // regardless of table size, mergeable across days/partitions by plain
+    // max. Register math is exact integers (md5 + bitlength via bin()), so
+    // the sketch itself hash-matches the DuckDB oracle bit-for-bit; the
+    // float estimate is derived driver-side from this bounded artifact
+    // (Sketches.hllEstimate, accuracy spec-tested in SketchesSpec).
+    "sk_hll_registers" -> ((s, dir) =>
+      graft.functions.Sketches.hllRegisters(
+        t(s, dir, "events"), col("user_id"))),
+
+    // KMV (bottom-k minimum values) distinct sketch: the k=64 smallest
+    // distinct value hashes — a partial-aggable distinct then a global
+    // TakeOrdered of 64 rows, no full sort, no wide result. The
+    // complementary sketch family to HLL (exact below k, mergeable by
+    // union+re-sort above it).
+    "sk_kmv_minima" -> ((s, dir) =>
+      graft.functions.Sketches.kmvMinima(
+        t(s, dir, "events"), col("user_id"), 64)),
+
     // Pivot — wide per-key counts by category (engine surface; compiled to
     // a single aggregate with conditional counts, no extra shuffle).
     "a5_pivot" -> ((s, dir) =>
@@ -880,6 +901,22 @@ object CoreQueries {
            quantile_cont(o_totalprice, 0.5) AS q50,
            quantile_cont(o_totalprice, 0.75) AS q75
          FROM orders GROUP BY 1""",
+
+    "sk_hll_registers" ->
+      """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+                    WHERE user_id IS NOT NULL),
+          b AS (SELECT CAST('0x' || substring(h, 1, 2) AS BIGINT) AS bucket,
+                       CAST('0x' || substring(h, 3, 15) AS BIGINT) AS v
+                FROM h)
+         SELECT bucket,
+           MAX(CASE WHEN v = 0 THEN CAST(61 AS BIGINT)
+                    ELSE 61 - length(bin(v)) END) AS r
+         FROM b GROUP BY bucket""",
+
+    "sk_kmv_minima" ->
+      """SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+         FROM events WHERE user_id IS NOT NULL
+         ORDER BY h LIMIT 64""",
 
     "a5_pivot" ->
       """SELECT user_id,

@@ -296,6 +296,40 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("rate"))
     }),
 
+    // Benchmark DECONTAMINATION — the n-gram-overlap filter every serious
+    // pretraining pipeline runs before training (drop any train doc
+    // sharing a word n-gram with the eval/benchmark set, the GPT-3 /
+    // PaLM-style 13-gram rule scaled to this corpus's short texts as
+    // 3-grams). The benchmark set here is the deterministic doc_id % 97
+    // slice standing in for a held-out eval suite. Scale shape: the
+    // benchmark's distinct grams are SMALL by construction (eval suites
+    // are thousands of docs, not billions) → broadcast hash semi-join
+    // against the exploded train grams, so the only wide shuffle is the
+    // distinct on contaminated doc ids — O(contaminated), not O(grams).
+    // Near-dups of benchmark docs planted by the synthetic corpus's dup
+    // structure are exactly what the overlap catches.
+    "tx_decontaminate" -> ((s, dir) => {
+      val n = 3
+      val docs = t(s, dir, "documents")
+      def gramsOf(text: Column): Column = {
+        val toks = tokens(text)
+        when(size(toks) >= n,
+          array_distinct(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<string>"))
+      }
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val benchGrams = bench
+        .select(explode(gramsOf(col("text"))).as("gram")).distinct()
+      val contaminated = train
+        .select(col("doc_id"), explode(gramsOf(col("text"))).as("gram"))
+        .join(broadcast(benchGrams), "gram")
+        .select("doc_id").distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // The preprocessing pipeline composed end-to-end in ONE declarative
     // plan — exact-dedup survivors → quality gate → deterministic split —
     // the "a user runs their whole corpus prep as one query" surface.
@@ -790,6 +824,25 @@ object TextQueries {
                   ELSE CAST(80 AS BIGINT) END AS rate
            FROM documents)
          WHERE b < rate""",
+
+    "tx_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, lang, source, n_chars,
+                 $SqlToks AS toks FROM documents),
+          grams AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS gs
+               FROM tk WHERE len(toks) >= 3),
+          bgram AS (SELECT DISTINCT unnest(gs) AS gram FROM grams
+                    WHERE doc_id % 97 = 0),
+          bad AS (SELECT DISTINCT tg.doc_id
+                  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams
+                        WHERE doc_id % 97 <> 0) tg
+                  JOIN bgram USING (gram))
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id % 97 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM bad)""",
 
     "tx_pipeline_e2e" ->
       s"""WITH canon AS (

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Distinct-count sketches: estimate accuracy on known cardinalities,
+  * merge laws (the property that makes them 100 TB-usable: shard sketches
+  * combine into the corpus sketch without re-reading data), and exactness
+  * of KMV below k.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("HLL estimate lands within the sketch's error band") {
+    // 256 buckets → standard error ~6.5%; allow 3σ ≈ 20%
+    for (n <- Seq(500, 5000, 50000)) {
+      val df = spark.range(n).select(col("id"))
+      val est = Sketches.hllEstimate(Sketches.hllRegisters(df, col("id")))
+      assert(math.abs(est - n) / n < 0.20, s"n=$n est=$est")
+    }
+  }
+
+  test("HLL registers merge by per-bucket max (shard ≡ corpus)") {
+    val whole = spark.range(20000).select(col("id"))
+    val a = Sketches.hllRegisters(
+      whole.filter(col("id") % 2 === 0), col("id"))
+    val b = Sketches.hllRegisters(
+      whole.filter(col("id") % 2 === 1), col("id"))
+    val merged = a.unionByName(b).groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.max("r").as("r"))
+    val direct = Sketches.hllRegisters(whole, col("id"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("KMV is exact below k and within band above it") {
+    val small = spark.range(40).select(col("id"))
+    assert(Sketches.kmvEstimate(Sketches.kmvMinima(small, col("id"))) == 40.0)
+    val big = spark.range(5000).select(col("id"))
+    val est = Sketches.kmvEstimate(Sketches.kmvMinima(big, col("id")))
+    // k=64 → standard error ~1/sqrt(62) ≈ 12.7%; allow 3σ
+    assert(math.abs(est - 5000) / 5000 < 0.40, s"est=$est")
+  }
+
+  test("KMV minima merge by union + re-take (shard ≡ corpus)") {
+    val whole = spark.range(3000).select(col("id"))
+    val a = Sketches.kmvMinima(whole.filter(col("id") < 1500), col("id"))
+    val b = Sketches.kmvMinima(whole.filter(col("id") >= 1500), col("id"))
+    val merged = a.unionByName(b).distinct().orderBy(col("h")).limit(64)
+      .collect().map(_.getString(0)).toSeq
+    val direct = Sketches.kmvMinima(whole, col("id"))
+      .collect().map(_.getString(0)).toSeq
+    assert(merged == direct)
+  }
+
+  test("nulls contribute nothing to either sketch") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(2L), None).toDF("id")
+    val regs = Sketches.hllRegisters(df, col("id")).collect()
+    assert(regs.length == 2) // two distinct values, two buckets (or fewer)
+    val kmv = Sketches.kmvMinima(df, col("id")).collect()
+    assert(kmv.length == 2)
+  }
+}
