@@ -53,6 +53,22 @@ object Multimodal {
       if (parsed != null)
         return DecodedMeta(r.media_id, r.kind, r.media_bytes.length,
           parsed.getInt(1), parsed.getInt(2), 0L, ok = true)
+      // Parsed stand-in video container: ASCII `VID:<duration_ms>;` header
+      // before the payload — a real header walk (magic, field, terminator)
+      // in miniature, and the field is oracle-computable, so frame
+      // sampling is hash-checked end-to-end (`mm_frame_sample`) where a
+      // codec-library duration could only be rows-only checked.
+      val b = r.media_bytes
+      if (b.length > 4 && b(0) == 'V' && b(1) == 'I' && b(2) == 'D' &&
+          b(3) == ':') {
+        var i = 4; var d = 0L; var any = false
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          d = d * 10 + (b(i) - '0'); i += 1; any = true
+        }
+        if (any && i < b.length && b(i) == ';')
+          return DecodedMeta(r.media_id, r.kind, b.length, 0, 0, d,
+            ok = true)
+      }
       var h = 1125899906842597L
       r.media_bytes.foreach(b => h = 31 * h + b)
       val pos = (x: Long) => (x % 1920 + 1920) % 1920 + 1

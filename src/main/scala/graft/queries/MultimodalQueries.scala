@@ -64,6 +64,28 @@ object MultimodalQueries {
           col("dims.width").as("width"), col("dims.height").as("height"))
     }),
 
+    // Video frame sampling through the REAL mapPartitions explode path
+    // (Multimodal.frameSample): each synthesized video carries a parsed
+    // `VID:<duration_ms>;` container header (duration derived from
+    // n_chars, so the oracle recomputes it arithmetically) and explodes
+    // into 4 evenly spaced frame rows. The 100 TB shape: header-only
+    // decode per row, iterator flatMap — payload bytes never leave the
+    // executor, output is O(videos × n frames).
+    "mm_frame_sample" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      import s.implicits._
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        lit("video").as("kind"),
+        concat(lit("VID:"),
+          ((col("n_chars") * 7) % 5000 + 1).cast("string"),
+          lit(";"), col("text")).cast("binary").as("media_bytes"),
+        col("doc_id").as("source_doc"),
+        lit("video/x-fake").as("mime")).as[Multimodal.MediaRow]
+      Multimodal.frameSample(media, 4).toDF()
+        .select(col("media_id"), col("frame_idx"), col("frame_ms"))
+    }),
+
     // Binary-payload exact dedup: media dedup never decodes — the content
     // hash is computed over the raw bytes map-side, the only shuffle is the
     // hash-keyed window, and payloads themselves never move (at 100 TB the
@@ -98,6 +120,12 @@ object MultimodalQueries {
            CASE WHEN doc_id % 4 < 3
                 THEN CAST(doc_id % 1080 + 1 AS INT) END AS height
          FROM documents""",
+
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+           ((n_chars * 7) % 5000 + 1) * i // 4 AS frame_ms
+         FROM documents,
+           (SELECT unnest(generate_series(0, 3)) AS i) g""",
 
     // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — exactly the
     // payload bytes (media_bytes = encode(text)) Spark's binary md5 sees.

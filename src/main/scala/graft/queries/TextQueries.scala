@@ -330,6 +330,49 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // Unigram language-model scoring — the perplexity-style quality filter
+    // (CCNet/Gopher shape: score each doc by its mean token log-prob under
+    // a corpus LM; degenerate/rare-token docs score low and get dropped).
+    // Two-pass plan: (1) corpus unigram counts — a partial-aggable
+    // groupBy over exploded tokens; (2) tokens re-join their counts and
+    // fold per-doc. The count join is a wide shuffle O(corpus tokens) —
+    // inherent to LM scoring (at web scale the vocab is too big to
+    // broadcast; the 1-row total IS broadcast). Per-token log-probs are
+    // rounded to 6dp and summed in DECIMAL, so the fold is shuffle-order
+    // independent and the oracle hash-matches (the dsum rule).
+    "tx_unigram_lm" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val counts = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = tok.agg(count(lit(1)).as("tot"))
+      tok.join(counts, "tok").crossJoin(broadcast(total))
+        .withColumn("lp",
+          round(log2(col("c").cast(DoubleType) / col("tot")), 6)
+            .cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lp")).cast(DoubleType).as("sum_lp"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("sum_lp") / col("n_tokens")).as("avg_logprob"))
+    }),
+
+    // PII redaction — the scrub pass pipelines run before training data
+    // leaves quarantine: emails and phone-shaped numbers replaced with
+    // typed placeholders, with per-doc match counts for audit. Pure
+    // per-row codegen'd regexes (no UDF, no shuffle at all); patterns kept
+    // to the RE2-compatible subset so the oracle runs them verbatim.
+    "tx_pii_scrub" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{4}"
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(phone)).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("scrubbed"))
+    }),
+
     // The preprocessing pipeline composed end-to-end in ONE declarative
     // plan — exact-dedup survivors → quality gate → deterministic split —
     // the "a user runs their whole corpus prep as one query" surface.
@@ -824,6 +867,33 @@ object TextQueries {
                   ELSE CAST(80 AS BIGINT) END AS rate
            FROM documents)
          WHERE b < rate""",
+
+    "tx_unigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS tok FROM documents),
+          c AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+          tt AS (SELECT COUNT(*) AS tot FROM tok),
+          lp AS (SELECT doc_id,
+                   CAST(round(log2(CAST(c AS DOUBLE) / tot), 6)
+                     AS DECIMAL(18,6)) AS lp
+                 FROM tok JOIN c USING (tok) CROSS JOIN tt)
+          SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+          FROM lp GROUP BY doc_id""",
+
+    "tx_pii_scrub" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{4}'))
+             AS INT) AS n_phones,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{4}',
+             '<PHONE>', 'g') AS scrubbed
+         FROM documents""",
 
     "tx_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, lang, source, n_chars,
