@@ -230,6 +230,33 @@ object EtlQueries {
       tbl.snapshotWhere(d.schema, col("doc_id").isin(probes: _*))
     }),
 
+    // Merge-on-read equality DELETE (TxLogTable.deleteByKeysMor): the
+    // delete batch commits as a TOMBSTONE key file — zero data files
+    // rewritten (first require) — and readers apply it as one broadcast
+    // anti-join, sequence-aware: keys re-inserted AFTER the delete
+    // survive (the second half of the oracle's union). At 100 TB this is
+    // the write-cheap half of the delete tradeoff (COW delete_cow is the
+    // read-cheap half); compaction materializes tombstones away.
+    "delete_mor" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mor")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("customer").toString)
+      tbl.commit(c.repartition(4, pmod(col("c_custkey"), lit(4))),
+        overwrite = true)
+      val before = tbl.fileCount()
+      tbl.deleteByKeysMor(
+        c.filter(col("c_custkey") % 7 === 0).select("c_custkey"))
+      require(tbl.fileCount() == before,
+        "MOR delete must rewrite zero data files")
+      val reinserted = c.filter(col("c_custkey") % 14 === 0).select(
+        col("c_custkey"),
+        concat(lit("R-"), col("c_name")).as("c_name"),
+        (col("c_acctbal") + 1).as("c_acctbal"))
+      tbl.commit(reinserted, overwrite = false)
+      tbl.snapshot(reinserted.schema)
+    }),
+
     // Manifest NULL-count skipping (footer null counts + the nullness
     // extractor): events land as two commits — one whose synthesized `v`
     // is ALL NULL, one with no nulls. An IS NOT NULL scan prunes the
@@ -558,6 +585,14 @@ object EtlQueries {
          SELECT doc_id, lang, source, n_chars
          FROM d, mm
          WHERE doc_id IN (mn + 7, mn + 123, mn + 311)""",
+
+    "delete_mor" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+         SELECT c_custkey, c_name, c_acctbal FROM c WHERE c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey, 'R-' || c_name AS c_name,
+                c_acctbal + 1 AS c_acctbal
+         FROM c WHERE c_custkey % 14 = 0""",
 
     "skip_null_scan" ->
       """SELECT event_id, user_id, value AS v

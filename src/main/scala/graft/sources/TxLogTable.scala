@@ -61,6 +61,15 @@ object TxLogTable {
 
   def nullsKey(column: String): String = NullsKeyPrefix + column
 
+  /** Reserved stats key carrying the version that ADDED the file
+    * (`:v=n:n`) — the sequence number merge-on-read tombstones are ordered
+    * against: a tombstone deletes only from files added at or before its
+    * own version, so re-inserting a deleted key later behaves like SQL
+    * (the new row survives). Files from manifests written before this key
+    * existed read as version 0 — oldest, every tombstone applies.
+    */
+  val AddedVKey = ":v"
+
   /** A column name is stats-safe iff it contains no wire-format delimiter
     * (`=` `;` `:` tab newline — the separators of
     * `rel<TAB>col=min:max;...`). Unsafe names would encode to an
@@ -313,6 +322,78 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def inheritedBloomCols: Seq[String] =
     latestVersion.map(bloomColsOf).getOrElse(Nil)
 
+  /** The merge-on-read delete key columns recorded at `v` — fixed at the
+    * first [[deleteByKeysMor]] and immutable after (Iceberg's
+    * equality-delete field-ids restriction, for the same reason: every
+    * reader must know ONE key shape to anti-join on).
+    */
+  def morKeysOf(v: Int): Seq[String] =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#morKeys=") =>
+        l.stripPrefix("#morKeys=").split(",").toSeq.filter(_.nonEmpty) }
+      .getOrElse(Nil)
+
+  /** Equality-delete tombstones visible at `v`: (tombstone parquet rel
+    * under data/, version it was committed at). Tomb lines are `#`-meta
+    * (`#tomb=<rel>;v=<n>`) so pre-MOR readers of the data-line section
+    * never mistake one for a data file.
+    */
+  def tombstonesOf(v: Int): Seq[(String, Int)] =
+    manifestLines(v).collect {
+      case l if l.startsWith("#tomb=") =>
+        l.stripPrefix("#tomb=").split(";v=") match {
+          case Array(rel, tv) => scala.util.Try((rel, tv.toInt)).toOption
+          case _ => None
+        }
+    }.flatten
+
+  private def tombLines(v: Int): Seq[String] =
+    manifestLines(v).filter(_.startsWith("#tomb="))
+
+  // version that added file `e` (0 = predates :v tagging, oldest)
+  private def addedVOf(e: TxLogTable.FileEntry): Int =
+    e.stats.get(TxLogTable.AddedVKey).map(_._1.toInt).getOrElse(0)
+
+  // stamp the committing version into each staged line's stats (inside the
+  // retry loop: `next` changes when the manifest race is lost)
+  private def tagVersion(staged: Seq[String], v: Int): Seq[String] =
+    staged.map { l =>
+      val e = TxLogTable.decodeEntry(l)
+      e.copy(stats = e.stats +
+        (TxLogTable.AddedVKey -> (v.toLong, v.toLong))).encoded
+    }
+
+  /** Read `es`'s files with merge-on-read tombstones applied: one
+    * left-anti join against the (small, broadcast) union of tombstone key
+    * sets, sequence-aware — a tombstone only masks rows from files added
+    * at or before its version, so keys re-inserted after a delete survive.
+    * With no tombstones this is exactly [[readRels]] (zero overhead on
+    * the common path).
+    */
+  private def readMaskedEntries(schema: StructType,
+                                es: Seq[TxLogTable.FileEntry],
+                                version: Option[Int]): DataFrame = {
+    val v = version.orElse(latestVersion)
+    val tombs = v.map(tombstonesOf).getOrElse(Nil)
+    val keys = v.map(morKeysOf).getOrElse(Nil)
+    if (tombs.isEmpty || keys.isEmpty) readRels(schema, es.map(_.rel))
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      val tombUnion = tombs.map { case (rel, tv) =>
+        spark.read.parquet(dataDir.resolve(rel).toString)
+          .withColumn("_tomb_v", lit(tv))
+      }.reduce(_.unionByName(_))
+      val data = es.groupBy(addedVOf).toSeq.map { case (av, group) =>
+        readRels(schema, group.map(_.rel))
+          .withColumn("_added_v", lit(av))
+      }.reduceOption(_.unionByName(_))
+        .getOrElse(readRels(schema, Nil).withColumn("_added_v", lit(0)))
+      val cond = keys.map(k => data(k) === tombUnion(k)).reduce(_ && _) &&
+        tombUnion("_tomb_v") >= data("_added_v")
+      data.join(broadcast(tombUnion), cond, "left_anti").drop("_added_v")
+    }
+  }
+
   /** Scan of an explicit relative-path file list under data/, empty-with-
     * schema when the list is empty — the shared read path of snapshot /
     * snapshotRange / snapshotWhere / merge.
@@ -335,10 +416,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
 
   /** Snapshot read of `version` (default: latest). Absent table or empty
     * manifest → empty DataFrame with the given schema (DDL bootstrap, S5).
+    * Merge-on-read tombstones, if any, are applied ([[deleteByKeysMor]]).
     */
   def snapshot(schema: StructType, version: Option[Int] = None): DataFrame =
-    readRels(schema,
-      version.orElse(latestVersion).map(readManifest).getOrElse(Nil))
+    readMaskedEntries(schema, entries(version), version)
 
   /** Data files of `version` that MAY contain rows with
     * `lo <= column <= hi`, by manifest-stats interval overlap. A file
@@ -457,6 +538,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * exact — the optimization every table format's `SELECT COUNT(*)` rides.
     */
   def metaRowCount(version: Option[Int] = None): Option[Long] = {
+    // MOR tombstones hide rows the per-file counts still include: the
+    // manifest cannot answer exactly — fall back to a (masked) scan
+    if (version.orElse(latestVersion).exists(tombstonesOf(_).nonEmpty))
+      return None
     val es = entries(version)
     val counts = es.flatMap(_.stats.get(TxLogTable.RowsKey).map(_._1))
     if (counts.size == es.size) Some(counts.sum) else None
@@ -470,6 +555,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def metaMinMax(column: String,
                  version: Option[Int] = None): Option[(Long, Long)] = {
+    // a tombstoned row could be the extremum: manifest cannot answer
+    if (version.orElse(latestVersion).exists(tombstonesOf(_).nonEmpty))
+      return None
     val es = entries(version)
     val st = es.flatMap(_.stats.get(column))
     if (es.nonEmpty && st.size == es.size)
@@ -486,8 +574,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def snapshotRange(schema: StructType, column: String, lo: Long, hi: Long,
                     version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(latestVersion)
-    readRels(schema, candidateFiles(column, lo, hi, v))
+    val es = entries(version).filter(mayOverlap(_, column, lo, hi))
+    readMaskedEntries(schema, es, version)
       .filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -501,8 +589,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def snapshotWhere(schema: StructType, pred: org.apache.spark.sql.Column,
                     version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(latestVersion)
-    readRels(schema, candidateFilesWhere(pred, v)).filter(pred)
+    val ranges = PredicateRanges.extract(pred)
+    val nn = PredicateRanges.extractNullness(pred)
+    val points = PredicateRanges.extractPoints(pred)
+    val es = entries(version).filter(mayMatchPred(_, ranges, nn, points))
+    readMaskedEntries(schema, es, version).filter(pred)
   }
 
   /** Rows ADDED in versions `(fromV, toV]`, each tagged with the
@@ -625,7 +716,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     if (!Files.isDirectory(dataDir)) return (0, 0) // never-written table
     val vs = versions
     val drop = vs.dropRight(keep)
-    val referenced = vs.takeRight(keep).flatMap(readManifest).toSet
+    // tombstone parquet files are referenced too — vacuuming one would
+    // silently resurrect its deleted keys
+    val referenced = (vs.takeRight(keep).flatMap(readManifest) ++
+      vs.takeRight(keep).flatMap(tombstonesOf).map(_._1)).toSet
     drop.foreach(v => Files.delete(manifestPath(v)))
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val dead = scala.util.Using.resource(Files.walk(dataDir)) { s =>
@@ -871,7 +965,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         Files.write(manifestPath(next),
           (metaLines(partitionCols, "dynamic-overwrite", effBloom) ++
-            carried ++ staged).mkString("\n").getBytes(UTF_8),
+            morLines(base) ++ carried ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {
@@ -948,16 +1043,20 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           !pureInsert && (bounds.isEmpty || bounds.forall {
             case (c, (lo, hi)) => mayOverlap(e, c, lo, hi) })
         }
+      // rewrite reads through the tombstone mask so a MOR-deleted row is
+      // never resurrected by a later merge's rewrite
       val merged = graft.operators.Upsert.deleteInsert(
-        readRels(schema, affected.map(_.takeWhile(_ != '\t'))),
+        readMaskedEntries(schema, affected.map(TxLogTable.decodeEntry),
+          base),
         incoming, keys)
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
       val staged = stageWithStats(merged, layout, effBloom)
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "merge", effBloom) ++
-            carriedLines ++ staged).mkString("\n").getBytes(UTF_8),
+          (metaLines(layout, "merge", effBloom) ++ morLines(base) ++
+            carriedLines ++ tagVersion(staged, next)).mkString("\n")
+            .getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
       } catch {
@@ -1002,16 +1101,19 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
         .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
           ranges, nn, points))
-      // NULL predicate keeps the row: DELETE only removes where TRUE
-      val kept = readRels(schema, affected.map(_.takeWhile(_ != '\t')))
+      // NULL predicate keeps the row: DELETE only removes where TRUE.
+      // Reads through the tombstone mask (no resurrection on rewrite).
+      val kept = readMaskedEntries(schema,
+          affected.map(TxLogTable.decodeEntry), base)
         .filter(!org.apache.spark.sql.functions.coalesce(pred, lit(false)))
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
       val staged = stageWithStats(kept, layout, effBloom)
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "delete", effBloom) ++
-            carriedLines ++ staged).mkString("\n").getBytes(UTF_8),
+          (metaLines(layout, "delete", effBloom) ++ morLines(base) ++
+            carriedLines ++ tagVersion(staged, next)).mkString("\n")
+            .getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
       } catch {
@@ -1022,6 +1124,64 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     throw new IllegalStateException(
       s"deleteWhere lost the version race $maxAttempts times: $root")
   }
+
+  /** Merge-on-read equality DELETE (Iceberg v2 equality-delete /
+    * Hudi-MOR shape): instead of rewriting the files that hold the keys
+    * ([[merge]]/[[deleteWhere]]'s copy-on-write), the batch of deleted key
+    * tuples is written as a TOMBSTONE parquet and recorded in the
+    * manifest — an O(delta) commit regardless of how many data files the
+    * keys touch. Readers apply tombstones as one broadcast left-anti join
+    * ([[readMaskedEntries]]), sequence-aware: a tombstone only masks rows
+    * from files added at or before its version, so re-inserting a deleted
+    * key later behaves like SQL (the new row survives). The read-side
+    * cost is the MOR tradeoff; [[compact]] (or any overwrite) materializes
+    * the deletes and clears the tombstones. Write amplification: COW
+    * delete = O(affected files) rewrite now, free reads; MOR delete =
+    * O(batch) now, an anti-join per read until compaction — at 100 TB the
+    * right choice per table is load-shaped, so the format offers both.
+    *
+    * `deleteKeys`' columns ARE the key set; it is fixed at the first MOR
+    * delete (like Iceberg's equality-field ids) and must match thereafter.
+    * NULL key tuples never match any row (SQL equality), matching COW.
+    */
+  def deleteByKeysMor(deleteKeys: DataFrame,
+                      maxAttempts: Int = 10): Int = {
+    val keys = deleteKeys.columns.toSeq
+    require(keys.nonEmpty, "deleteByKeysMor needs at least one key column")
+    val staged = stage(deleteKeys, Nil)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val existing = base.map(morKeysOf).getOrElse(Nil)
+      require(existing.isEmpty || existing == keys,
+        s"MOR delete keys $keys do not match the table's $existing")
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val next = base.getOrElse(-1) + 1
+      val lines =
+        metaLines(layout, "delete-mor", base.map(bloomColsOf).getOrElse(Nil)) ++
+          Seq(s"#morKeys=${keys.mkString(",")}") ++
+          base.map(tombLines).getOrElse(Nil) ++
+          staged.map(rel => s"#tomb=$rel;v=$next") ++
+          base.map(dataLines).getOrElse(Nil)
+      try {
+        Files.write(manifestPath(next),
+          lines.mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-check keys and tombs, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"deleteByKeysMor lost the version race $maxAttempts times: $root")
+  }
+
+  // tombstone + MOR-key lines carried by every non-overwrite commit (an
+  // overwrite resets the file set, so deletes-by-key die with it)
+  private def morLines(base: Option[Int]): Seq[String] =
+    base.map(b => manifestLines(b).filter(l =>
+      l.startsWith("#tomb=") || l.startsWith("#morKeys="))).getOrElse(Nil)
 
   private def metaLines(partitionCols: Seq[String], op: String,
                         bloomCols: Seq[String] = Nil): Seq[String] =
@@ -1057,12 +1217,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       }
       val carried =
         if (overwrite) Nil else base.map(dataLines).getOrElse(Nil)
+      val props = if (overwrite) Nil else morLines(base)
       val next = base.getOrElse(-1) + 1
       try {
         // the atomic publish: create-if-absent of the version manifest
         Files.write(manifestPath(next),
-          (metaLines(partitionCols, opName, effBloom) ++
-            carried ++ staged).mkString("\n").getBytes(UTF_8),
+          (metaLines(partitionCols, opName, effBloom) ++ props ++
+            carried ++ tagVersion(staged, next)).mkString("\n")
+            .getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {

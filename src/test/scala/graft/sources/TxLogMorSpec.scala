@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Merge-on-read equality deletes: O(delta) commit (zero data files
+  * rewritten), sequence-aware masking (re-inserted keys survive),
+  * metadata-aggregate guards, no resurrection through COW rewrites,
+  * tombstone lifetime (carried by appends, cleared by compaction,
+  * protected from vacuum), and key-set immutability.
+  */
+class TxLogMorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def fresh(): TxLogTable =
+    TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txmor").resolve("t").toString)
+
+  private def rows(t: TxLogTable): Set[(Long, String)] =
+    t.snapshot(schema).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("MOR delete hides keys without rewriting any data file") {
+    val t = fresh()
+    t.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      overwrite = true)
+    val files = t.fileCount()
+    val v = t.deleteByKeysMor(Seq(2L, 4L).toDF("id"))
+    assert(v == 1 && t.fileCount() == files) // zero rewrite
+    assert(rows(t).map(_._1) == (1L to 10L).toSet -- Set(2L, 4L))
+    // time travel: the pre-delete version still shows everything
+    assert(t.snapshot(schema, Some(0)).count() == 10)
+    // metadata aggregates refuse to answer over hidden rows
+    assert(t.metaRowCount().isEmpty && t.metaMinMax("id").isEmpty)
+  }
+
+  test("re-inserted key survives a prior MOR delete (sequence-aware)") {
+    val t = fresh()
+    t.commit((1L to 5L).map(i => (i, "old")).toDF("id", "v"),
+      overwrite = true)
+    t.deleteByKeysMor(Seq(3L).toDF("id"))
+    t.commit(Seq((3L, "new")).toDF("id", "v"), overwrite = false)
+    assert(rows(t) == Set((1L, "old"), (2L, "old"), (4L, "old"),
+      (5L, "old"), (3L, "new")))
+    // range/pred scans go through the same mask
+    assert(t.snapshotRange(schema, "id", 3L, 3L).collect()
+      .map(_.getString(1)).toSeq == Seq("new"))
+    assert(t.snapshotWhere(schema, col("id") === 3L).collect()
+      .map(_.getString(1)).toSeq == Seq("new"))
+  }
+
+  test("COW merge rewrite does not resurrect MOR-deleted rows") {
+    val t = fresh()
+    t.commit((1L to 8L).map(i => (i, "old")).toDF("id", "v"),
+      overwrite = true)
+    t.deleteByKeysMor(Seq(5L).toDF("id"))
+    // merge on a DIFFERENT key rewrites the file(s) holding id=5 too
+    t.merge(schema, Seq((6L, "merged")).toDF("id", "v"), Seq("id"))
+    assert(!rows(t).exists(_._1 == 5L), "deleted row resurrected by merge")
+    assert(rows(t).contains((6L, "merged")))
+  }
+
+  test("compaction materializes deletes and clears tombstones") {
+    val t = fresh()
+    t.commit((1L to 6L).map(i => (i, "x")).toDF("id", "v"), overwrite = true)
+    t.deleteByKeysMor(Seq(1L, 6L).toDF("id"))
+    assert(t.tombstonesOf(t.latestVersion.get).nonEmpty)
+    t.compact(schema, numFiles = 1)
+    assert(t.tombstonesOf(t.latestVersion.get).isEmpty)
+    assert(rows(t).map(_._1) == Set(2L, 3L, 4L, 5L))
+    // manifest aggregates answer again once tombstones are gone
+    assert(t.metaRowCount().contains(4L))
+  }
+
+  test("vacuum never deletes a live tombstone file") {
+    val t = fresh()
+    t.commit((1L to 4L).map(i => (i, "x")).toDF("id", "v"), overwrite = true)
+    t.deleteByKeysMor(Seq(2L).toDF("id"))
+    t.commit(Seq((9L, "y")).toDF("id", "v"), overwrite = false)
+    t.vacuum(keep = 1, minAgeMillis = 0)
+    assert(rows(t).map(_._1) == Set(1L, 3L, 4L, 9L))
+  }
+
+  test("MOR key set is fixed at first delete") {
+    val t = fresh()
+    t.commit(Seq((1L, "x")).toDF("id", "v"), overwrite = true)
+    t.deleteByKeysMor(Seq(1L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      t.deleteByKeysMor(Seq("x").toDF("v"))
+    }
+  }
+}
