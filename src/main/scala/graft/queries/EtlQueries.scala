@@ -284,6 +284,34 @@ object EtlQueries {
       tbl.snapshotWhere(ev.schema, col("v").isNotNull)
     }),
 
+    // CSV source/sink round-trip: write the table as headered CSV, read it
+    // back with an explicit schema (never inference at scale — one schema,
+    // no sampling pass), hash-check against the parquet original. Proves
+    // the text-format ingest path end-to-end: quoting, header skip, typed
+    // parse. At 100 TB: CSV splits line-parallel like parquet row groups;
+    // the schema pin avoids the double read inference costs.
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
+        .resolve("nation").toString
+      n.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(n.schema).csv(tmp)
+    }),
+
+    // JSON-lines source/sink round-trip (the interchange format ETL APIs
+    // and event streams actually ship): schema-pinned read back, including
+    // a double column — Spark writes shortest-round-trip doubles, so the
+    // value survives bit-exactly and the oracle hash-check proves it.
+    "src_jsonl_roundtrip" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+        .resolve("customer").toString
+      c.write.mode("overwrite").json(tmp)
+      s.read.schema(c.schema).json(tmp)
+    }),
+
     // Incremental aggregate maintenance (operators.IncrementalAgg — the
     // consumption pattern for TxLogTable.changesBetween): the events table
     // arrives as three deltas (event_id mod 3) folded one at a time into a
@@ -597,6 +625,12 @@ object EtlQueries {
     "skip_null_scan" ->
       """SELECT event_id, user_id, value AS v
          FROM events WHERE event_id % 3 <> 0""",
+
+    "src_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+
+    "src_jsonl_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,
