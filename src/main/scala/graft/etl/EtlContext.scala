@@ -111,6 +111,27 @@ final case class EtlContext(spark: SparkSession, warehouse: String,
     tx(table).compactZOrder(schema, colA, colB, numFiles)
   }
 
+  /** Keyed copy-on-write MERGE (file-targeted upsert) on a tx-log table. */
+  def merge(table: String, schema: StructType, incoming: DataFrame,
+            keys: Seq[String]): graft.sources.TxLogTable.MergeStats = {
+    require(txLog, s"merge($table) requires the txLog backend")
+    tx(table).merge(schema, incoming, keys)
+  }
+
+  /** Copy-on-write DELETE WHERE (file-targeted) on a tx-log table. */
+  def deleteWhere(table: String, schema: StructType,
+                  pred: org.apache.spark.sql.Column)
+      : graft.sources.TxLogTable.MergeStats = {
+    require(txLog, s"deleteWhere($table) requires the txLog backend")
+    tx(table).deleteWhere(schema, pred)
+  }
+
+  /** Merge-on-read equality DELETE (tombstones) on a tx-log table. */
+  def deleteByKeysMor(table: String, deleteKeys: DataFrame): Int = {
+    require(txLog, s"deleteByKeysMor($table) requires the txLog backend")
+    tx(table).deleteByKeysMor(deleteKeys)
+  }
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))
       scala.util.Using.resource(Files.walk(p)) { s =>

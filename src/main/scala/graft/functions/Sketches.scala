@@ -90,4 +90,48 @@ object Sketches {
       (k - 1).toDouble * math.pow(2.0, 60) / top.toDouble
     }
   }
+
+  /** Power-of-2 histogram of a non-negative numeric column: bucket = bit
+    * length of floor(value) (bucket b covers [2^(b-1), 2^b); floor(value)
+    * = 0 lands in bucket 1 with it). The quantile-sketch counterpart of
+    * [[hllRegisters]]: the table reduces map-side to ~64 count rows,
+    * mergeable by ADDING counts — unlike rank-based sketches (t-digest,
+    * Greenwald-Khanna) whose state depends on arrival order, this is an
+    * exact integer function of the multiset, so it hash-matches a SQL
+    * oracle. The price is resolution: quantile estimates are right to
+    * within one power of 2 — the scale-profiling tradeoff (skew detection,
+    * partition sizing, retention planning), not a percentile service.
+    * Integer bit-length via `bin()` string length avoids FP log2 at
+    * power-of-2 boundaries; floor() first because Spark truncates and
+    * DuckDB rounds on double→bigint casts.
+    */
+  def histPow2(df: DataFrame, c: Column): DataFrame =
+    df.select(length(bin(floor(c).cast(LongType))).cast(LongType)
+        .as("bucket"))
+      .where(c.isNotNull && c >= 0)
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimate from a [[histPow2]] sketch (driver-side over the
+    * bounded histogram): walks the cumulative counts to the q-th row and
+    * returns the geometric midpoint of its bucket's [2^(b-1), 2^b) range —
+    * within 2x of the true quantile by construction.
+    */
+  def histQuantile(hist: DataFrame, q: Double): Double = {
+    require(q >= 0 && q <= 1, s"quantile $q")
+    val rows = hist.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = rows.map(_._2).sum
+    if (total == 0) return Double.NaN
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    for ((b, n) <- rows) {
+      cum += n
+      if (cum >= target) {
+        val lo = if (b <= 1) 0.0 else math.pow(2.0, (b - 1).toDouble)
+        val hi = math.pow(2.0, b.toDouble)
+        return (lo + hi) / 2
+      }
+    }
+    math.pow(2.0, rows.last._1.toDouble)
+  }
 }

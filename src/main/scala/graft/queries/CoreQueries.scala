@@ -493,6 +493,26 @@ object CoreQueries {
       graft.functions.Sketches.kmvMinima(
         t(s, dir, "events"), col("user_id"), 64)),
 
+    // Power-of-2 histogram sketch (functions.Sketches.histPow2): the
+    // quantile-family sketch completing the trio (distinct = HLL/KMV,
+    // membership = manifest blooms, quantiles = this). ~64 count rows via
+    // map-side reduction, mergeable by adding counts, exact integer math
+    // (bit length, no FP log2) so it hash-matches the oracle; quantile
+    // estimates derived driver-side (Sketches.histQuantile, within 2x by
+    // construction — the scale-profiling tradeoff, spec-tested).
+    "sk_hist_counts" -> ((s, dir) =>
+      graft.functions.Sketches.histPow2(
+        t(s, dir, "orders"), col("o_totalprice"))),
+
+    // W5 — NTILE decile assignment per group (the remaining classic
+    // ranking window; deterministic via the orderkey tie-break).
+    "w5_ntile" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        ntile(10).over(Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey")))
+          .as("decile"))),
+
     // Pivot — wide per-key counts by category (engine surface; compiled to
     // a single aggregate with conditional counts, no extra shuffle).
     "a5_pivot" -> ((s, dir) =>
@@ -917,6 +937,19 @@ object CoreQueries {
       """SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
          FROM events WHERE user_id IS NOT NULL
          ORDER BY h LIMIT 64""",
+
+    "sk_hist_counts" ->
+      """SELECT length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS bucket,
+           COUNT(*) AS cnt
+         FROM orders
+         WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+         GROUP BY 1""",
+
+    "w5_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           NTILE(10) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS decile
+         FROM orders""",
 
     "a5_pivot" ->
       """SELECT user_id,

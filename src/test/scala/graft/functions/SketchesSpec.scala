@@ -54,6 +54,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("pow2 histogram quantiles land within their 2x band") {
+    import spark.implicits._
+    val vals = (1 to 10000).map(i => i.toDouble)
+    val df = vals.toDF("v")
+    val hist = Sketches.histPow2(df, col("v"))
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val exact = vals((q * vals.size).toInt - 1)
+      val est = Sketches.histQuantile(hist, q)
+      assert(est >= exact / 2 && est <= exact * 2, s"q=$q est=$est vs $exact")
+    }
+  }
+
+  test("pow2 histograms merge by adding counts (shard ≡ corpus)") {
+    import spark.implicits._
+    val whole = (1 to 5000).map(_.toDouble).toDF("v")
+    val a = Sketches.histPow2(whole.filter(col("v") <= 2500), col("v"))
+    val b = Sketches.histPow2(whole.filter(col("v") > 2500), col("v"))
+    val merged = a.unionByName(b).groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val direct = Sketches.histPow2(whole, col("v"))
+    assert(merged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged).isEmpty)
+  }
+
   test("nulls contribute nothing to either sketch") {
     import spark.implicits._
     val df = Seq(Some(1L), None, Some(2L), None).toDF("id")
