@@ -53,6 +53,33 @@ object Multimodal {
       if (parsed != null)
         return DecodedMeta(r.media_id, r.kind, r.media_bytes.length,
           parsed.getInt(1), parsed.getInt(2), 0L, ok = true)
+      // REAL RIFF/WAVE header walk: verify the RIFF..WAVE magic, then
+      // scan chunks for `fmt ` (byte rate, payload offset 8) and `data`
+      // (payload size); duration = dataSize * 1000 / byteRate. Header
+      // metadata only — no sample decode, which is exactly the metadata
+      // pass a 100 TB audio pipeline runs before any codec work.
+      locally {
+        val b = r.media_bytes
+        if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+            b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+            b(11) == 'E') {
+          def le32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+          var off = 12; var byteRate = 0L; var dataSize = -1L
+          while (off + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
+            val id = new String(b, off, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val sz = le32(off + 4)
+            if (id == "fmt " && off + 24 <= b.length) byteRate = le32(off + 16)
+            else if (id == "data") dataSize = sz
+            // chunks are word-aligned: odd payloads carry a pad byte
+            off += 8 + sz.toInt + (sz.toInt & 1)
+          }
+          if (byteRate > 0 && dataSize >= 0)
+            return DecodedMeta(r.media_id, r.kind, b.length, 0, 0,
+              dataSize * 1000 / byteRate, ok = true)
+        }
+      }
       // Parsed stand-in video container: ASCII `VID:<duration_ms>;` header
       // before the payload — a real header walk (magic, field, terminator)
       // in miniature, and the field is oracle-computable, so frame

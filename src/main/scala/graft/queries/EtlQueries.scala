@@ -284,6 +284,30 @@ object EtlQueries {
       tbl.snapshotWhere(ev.schema, col("v").isNotNull)
     }),
 
+    // Incremental small-file compaction (TxLogTable.compactSmall): one
+    // consolidated file plus five tiny appends — the hourly-append shape —
+    // then OPTIMIZE packs ONLY the tiny files (requires prove the big file
+    // was carried by reference and the file count dropped). At 100 TB this
+    // is the difference between compaction costing O(new small files)
+    // per run and compact()'s O(table) full rewrite.
+    "compact_small" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csm")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 7 =!= 0).repartition(1),
+        overwrite = true)
+      (0L to 4L).foreach(i => tbl.commit(
+        ev.filter(col("event_id") % 7 === 0 && col("event_id") % 5 === i)
+          .repartition(1), overwrite = false))
+      val thresh = tbl.fileSizes().map(_._2).max // strictly-smaller rule
+      val st = tbl.compactSmall(ev.schema, minBytes = thresh)
+      require(st.carried >= 1 && st.rewritten >= 2,
+        s"compactSmall degenerate: $st")
+      require(tbl.fileCount() < 6, "no packing happened")
+      tbl.snapshot(ev.schema)
+    }),
+
     // CSV source/sink round-trip: write the table as headered CSV, read it
     // back with an explicit schema (never inference at scale — one schema,
     // no sampling pass), hash-check against the parquet original. Proves
@@ -625,6 +649,9 @@ object EtlQueries {
     "skip_null_scan" ->
       """SELECT event_id, user_id, value AS v
          FROM events WHERE event_id % 3 <> 0""",
+
+    "compact_small" ->
+      """SELECT event_id, user_id, event_type, value FROM events""",
 
     "src_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",

@@ -64,6 +64,44 @@ object MultimodalQueries {
           col("dims.width").as("width"), col("dims.height").as("height"))
     }),
 
+    // Real RIFF/WAVE header decode: each doc's fields are encoded into a
+    // GENUINE 44-byte WAV header (little-endian chunk sizes, fmt byte
+    // rate, data size) and DecodeStub must recover the duration by
+    // actually walking the chunks. The oracle recomputes duration
+    // arithmetically from the same fields, so the byte-level parse is
+    // hash-checked. Header-only metadata pass over mapPartitions — the
+    // audio twin of mm_image_dims.
+    "mm_wav_meta" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      import s.implicits._
+      def le2(c: org.apache.spark.sql.Column) =
+        unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+          lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0")))
+      def le4(c: org.apache.spark.sql.Column) =
+        unhex(concat(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+          lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"),
+          lpad(hex(shiftright(c, 16).bitwiseAND(lit(255))), 2, "0"),
+          lpad(hex(shiftright(c, 24).bitwiseAND(lit(255))), 2, "0")))
+      val d = t(s, dir, "documents")
+      val channels = (col("doc_id") % 2 + 1).cast("int")
+      val rate = (lit(8000) + (col("doc_id") % 5) * 4000).cast("int")
+      val byteRate = (rate * channels * 2).cast("int")
+      val dataSize = ((col("n_chars") * 13) % 100000 + 1000).cast("int")
+      val wav = concat(
+        lit("RIFF").cast("binary"), le4(dataSize + 36),
+        lit("WAVEfmt ").cast("binary"), le4(lit(16)),
+        le2(lit(1)), le2(channels), le4(rate), le4(byteRate),
+        le2(channels * 2), le2(lit(16)),
+        lit("data").cast("binary"), le4(dataSize))
+      val media = d.select(col("doc_id").as("media_id"),
+        lit("audio").as("kind"), wav.as("media_bytes"),
+        col("doc_id").as("source_doc"), lit("audio/wav").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeMeta(media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("duration_ms"),
+          col("ok"))
+    }),
+
     // Video frame sampling through the REAL mapPartitions explode path
     // (Multimodal.frameSample): each synthesized video carries a parsed
     // `VID:<duration_ms>;` container header (duration derived from
@@ -119,6 +157,15 @@ object MultimodalQueries {
                 THEN CAST(doc_id % 1920 + 1 AS INT) END AS width,
            CASE WHEN doc_id % 4 < 3
                 THEN CAST(doc_id % 1080 + 1 AS INT) END AS height
+         FROM documents""",
+
+    "mm_wav_meta" ->
+      """SELECT doc_id AS media_id,
+           CAST(44 AS INT) AS n_bytes,
+           ((n_chars * 13) % 100000 + 1000) * 1000
+             // ((8000 + (doc_id % 5) * 4000) * (doc_id % 2 + 1) * 2)
+             AS duration_ms,
+           TRUE AS ok
          FROM documents""",
 
     "mm_frame_sample" ->

@@ -663,6 +663,70 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     commit(packed, overwrite = true, partitionCols = cols, op = "compact")
   }
 
+  /** Data-file sizes of `version` (bytes, from the filesystem listing —
+    * the LIST that object stores return sizes with anyway). The input to
+    * [[compactSmall]]'s rewrite decision.
+    */
+  def fileSizes(version: Option[Int] = None): Seq[(String, Long)] =
+    entries(version).map(e =>
+      e.rel -> scala.util.Try(Files.size(dataDir.resolve(e.rel)))
+        .getOrElse(0L))
+
+  /** INCREMENTAL small-file compaction: rewrite only the files smaller
+    * than `minBytes`, packed toward `targetBytes` outputs; every
+    * already-large file is carried by manifest reference. This is what
+    * OPTIMIZE means at 100 TB — [[compact]]'s full rewrite is O(table)
+    * every time, while the steady-state cost here is O(new small files):
+    * a year of hourly appends compacts hour-by-hour without ever
+    * rewriting the consolidated bulk. Reads through the MOR tombstone
+    * mask, so compacting also materializes deletes for the rewritten
+    * files (tombstones stay for the carried ones). Same optimistic
+    * manifest race as [[merge]].
+    *
+    * Returns [[TxLogTable.MergeStats]]: rewritten = small files packed,
+    * carried = large files untouched.
+    */
+  def compactSmall(schema: StructType, minBytes: Long,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   maxAttempts: Int = 10): TxLogTable.MergeStats = {
+    require(minBytes > 0 && targetBytes > 0, "compactSmall thresholds")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val sizes = base.map(b => fileSizes(Some(b)).toMap)
+        .getOrElse(Map.empty)
+      val (small, large) = base.map(dataLines).getOrElse(Nil)
+        .partition { line =>
+          sizes.getOrElse(line.takeWhile(_ != '\t'), 0L) < minBytes }
+      if (small.size <= 1) // nothing to pack (or a single straggler)
+        return TxLogTable.MergeStats(base.getOrElse(-1), 0, large.size)
+      val smallBytes = small.map(l =>
+        sizes.getOrElse(l.takeWhile(_ != '\t'), 0L)).sum
+      val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
+        .toInt
+      val packed = readMaskedEntries(schema,
+        small.map(TxLogTable.decodeEntry), base)
+        .repartition(nOut)
+      val effBloom = base.map(bloomColsOf).getOrElse(Nil)
+      val staged = stageWithStats(packed, layout, effBloom)
+      val next = base.getOrElse(-1) + 1
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(layout, "compact-small", effBloom) ++ morLines(base) ++
+            large ++ tagVersion(staged, next)).mkString("\n")
+            .getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, small.size, large.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-list sizes and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"compactSmall lost the version race $maxAttempts times: $root")
+  }
+
   /** Rewrite the current snapshot clustered on the z-order (Morton) curve
     * of two integral columns, `numFiles` files per partition value — the
     * `OPTIMIZE ZORDER BY` maintenance op: after it, every file covers a
