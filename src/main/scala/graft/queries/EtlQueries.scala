@@ -386,6 +386,40 @@ object EtlQueries {
         col("total").cast(DoubleType).as("total"))
     }),
 
+    // Incremental view maintenance over a feed WITH DELETES
+    // (TxLogTable.changesWithDeletes + the counting-IVM pattern): four
+    // versions — two insert batches, a MOR key delete, then a late batch
+    // that re-inserts rows for deleted keys (which must survive, the
+    // sequence-aware contract). The maintained per-user view folds each
+    // version's feed: inserts via IncrementalAgg, deletes by dropping the
+    // key's groups. The oracle recomputes the final state from scratch,
+    // so feed-with-deletes extraction + fold ≡ recompute is hash-checked.
+    "ivm_refresh_mor" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm-mor")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 3 === 0), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") % 3 === 1), overwrite = false)
+      tbl.deleteByKeysMor(
+        ev.filter(col("user_id") % 10 === 3).select("user_id").distinct())
+      tbl.commit(ev.filter(col("event_id") % 3 === 2), overwrite = false)
+      val aggOf = (d: DataFrame) => d.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      val folded = (0 to 3).foldLeft(aggOf(ev).limit(0)) { (acc, v) =>
+        val feed = tbl.changesWithDeletes(ev.schema, v - 1, v)
+        val ins = feed.filter(col("_change_type") === "insert")
+          .drop("_commit_version", "_change_type")
+        val delKeys = feed.filter(col("_change_type") === "delete")
+          .select("user_id").distinct()
+        graft.operators.IncrementalAgg.applyDelta(
+          acc.join(delKeys, Seq("user_id"), "left_anti"), ins,
+          Seq("user_id"), Seq("n", "total"), aggOf)
+      }
+      folded.select(col("user_id"), col("n"),
+        col("total").cast(DoubleType).as("total"))
+    }),
+
     // U2–U4/U6 — upsert where the on-conflict update-set excludes an
     // insert-only column: c_mktsegment is written at insert but frozen on
     // conflict (the reference's education_form / url_id / building_number
@@ -668,6 +702,17 @@ object EtlQueries {
       """SELECT user_id, event_type, count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
          FROM events GROUP BY user_id, event_type""",
+
+    "ivm_refresh_mor" ->
+      """WITH live AS (
+           SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v
+           FROM events
+           WHERE event_id % 3 IN (0, 1) AND user_id % 10 <> 3
+           UNION ALL
+           SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v
+           FROM events WHERE event_id % 3 = 2)
+         SELECT user_id, count(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
+         FROM live GROUP BY user_id""",
 
     "u3_insert_only_column" ->
       """WITH inc AS (

@@ -643,6 +643,32 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   def fileCount(version: Option[Int] = None): Int =
     version.orElse(latestVersion).map(readManifest(_).size).getOrElse(0)
 
+  /** Full CDC feed over `(fromV, toV]`: [[changesBetween]]'s added rows
+    * tagged `_change_type = 'insert'`, plus one `'delete'` row per key
+    * tuple of every MOR tombstone committed in the range — key columns
+    * populated from the tombstone, all other schema columns NULL (the
+    * tombstone IS keys-only; consumers maintaining keyed state drop the
+    * key's rows, the counting-IVM pattern `ivm_refresh_mor` exercises).
+    * COW rewrites still surface as inserts only, as documented on
+    * [[changesBetween]].
+    */
+  def changesWithDeletes(schema: StructType, fromV: Int,
+                         toV: Int): DataFrame = {
+    val adds = changesBetween(schema, fromV, toV)
+      .withColumn("_change_type", lit("insert"))
+    val newTombs = tombstonesOf(toV)
+      .filter { case (_, v) => v > fromV && v <= toV }
+    newTombs.map { case (rel, v) =>
+      val keyDf = spark.read.parquet(dataDir.resolve(rel).toString)
+      val cols = schema.fieldNames.toIndexedSeq.map(n =>
+        if (keyDf.columns.contains(n)) col(n)
+        else lit(null).cast(schema(n).dataType).as(n))
+      keyDf.select(cols: _*)
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_change_type", lit("delete"))
+    }.foldLeft(adds)(_.unionByName(_))
+  }
+
   /** Rewrite the current snapshot into `numFiles` files per partition value
     * (one overwrite commit, table layout preserved) — the answer to the
     * small-file problem O(delta) appends accumulate: a year of hourly
