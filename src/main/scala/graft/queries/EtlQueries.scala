@@ -284,6 +284,34 @@ object EtlQueries {
       tbl.snapshotWhere(ev.schema, col("v").isNotNull)
     }),
 
+    // CHECK constraint enforcement (TxLogTable.addCheck — Delta's table
+    // constraint semantics): a registered SQL predicate gates every
+    // ingest; a violating batch is rejected ATOMICALLY (the require
+    // proves no version was published) and the data that finally lands is
+    // exactly the valid rows — the oracle is the identity over them. At
+    // 100 TB constraint checks ride the same pass as the write's shuffle
+    // read; the alternative (discovering bad rows in downstream jobs days
+    // later) costs a table repair.
+    "check_constraint" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-chk")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("customer").toString)
+      tbl.commit(c.filter(col("c_custkey") % 2 === 0), overwrite = true)
+      tbl.addCheck(c.schema, "bal_range", "c_acctbal > -1001")
+      val vBefore = tbl.latestVersion.get
+      val threw =
+        try {
+          tbl.commit(c.filter(col("c_custkey") % 2 =!= 0)
+            .withColumn("c_acctbal", lit(-999999.0)), overwrite = false)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(threw && tbl.latestVersion.get == vBefore,
+        "violating commit must reject atomically")
+      tbl.commit(c.filter(col("c_custkey") % 2 =!= 0), overwrite = false)
+      tbl.snapshot(c.schema)
+    }),
+
     // Incremental small-file compaction (TxLogTable.compactSmall): one
     // consolidated file plus five tiny appends — the hourly-append shape —
     // then OPTIMIZE packs ONLY the tiny files (requires prove the big file
@@ -683,6 +711,9 @@ object EtlQueries {
     "skip_null_scan" ->
       """SELECT event_id, user_id, value AS v
          FROM events WHERE event_id % 3 <> 0""",
+
+    "check_constraint" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer""",
 
     "compact_small" ->
       """SELECT event_id, user_id, event_type, value FROM events""",

@@ -740,8 +740,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         Files.write(manifestPath(next),
           (metaLines(layout, "compact-small", effBloom) ++ morLines(base) ++
-            large ++ tagVersion(staged, next)).mkString("\n")
-            .getBytes(UTF_8),
+            checkLines(base) ++ large ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, small.size, large.size)
       } catch {
@@ -1032,6 +1032,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     require(partitionCols.nonEmpty,
       "commitDynamic needs partition columns; use commit() otherwise")
     val effBloom = inheritedBloomCols
+    validateChecks(df, latestVersion)
     val staged = stageWithStats(df, partitionCols, effBloom)
     // the replaced partitions are exactly the hive dirs this batch wrote
     val replacedDirs = staged.map { f =>
@@ -1055,7 +1056,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         Files.write(manifestPath(next),
           (metaLines(partitionCols, "dynamic-overwrite", effBloom) ++
-            morLines(base) ++ carried ++ tagVersion(staged, next))
+            morLines(base) ++ checkLines(base) ++ carried ++
+            tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next
@@ -1098,6 +1100,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   def merge(schema: StructType, incoming: DataFrame, keys: Seq[String],
             maxAttempts: Int = 10): TxLogTable.MergeStats = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    // only the NEW rows need validation — carried rows passed at ingest
+    validateChecks(incoming, latestVersion)
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integralKeys = keys.filter(k =>
       schema.find(_.name == k).map(_.dataType).exists {
@@ -1145,8 +1149,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         Files.write(manifestPath(next),
           (metaLines(layout, "merge", effBloom) ++ morLines(base) ++
-            carriedLines ++ tagVersion(staged, next)).mkString("\n")
-            .getBytes(UTF_8),
+            checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
       } catch {
@@ -1202,8 +1206,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         Files.write(manifestPath(next),
           (metaLines(layout, "delete", effBloom) ++ morLines(base) ++
-            carriedLines ++ tagVersion(staged, next)).mkString("\n")
-            .getBytes(UTF_8),
+            checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
       } catch {
@@ -1252,6 +1256,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           Seq(s"#morKeys=${keys.mkString(",")}") ++
           base.map(tombLines).getOrElse(Nil) ++
           staged.map(rel => s"#tomb=$rel;v=$next") ++
+          checkLines(base) ++
           base.map(dataLines).getOrElse(Nil)
       try {
         Files.write(manifestPath(next),
@@ -1272,6 +1277,81 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def morLines(base: Option[Int]): Seq[String] =
     base.map(b => manifestLines(b).filter(l =>
       l.startsWith("#tomb=") || l.startsWith("#morKeys="))).getOrElse(Nil)
+
+  /** CHECK constraints recorded at `v`: name → SQL boolean expression
+    * every ingested row must satisfy (TRUE or NULL passes, SQL-standard).
+    * A table property like the partition layout — constraints survive
+    * overwrites; only dropping the table drops them.
+    */
+  def checksOf(v: Int): Map[String, String] =
+    manifestLines(v).collect {
+      case l if l.startsWith("#check:") =>
+        val body = l.stripPrefix("#check:")
+        val cut = body.indexOf('=')
+        if (cut > 0) Some(body.substring(0, cut) -> body.substring(cut + 1))
+        else None
+    }.flatten.toMap
+
+  private def checkLines(base: Option[Int]): Seq[String] =
+    base.map(b => manifestLines(b).filter(_.startsWith("#check:")))
+      .getOrElse(Nil)
+
+  /** Register a CHECK constraint as a metadata-only commit (no data file
+    * touched). Future ingests ([[commit]], [[commitDynamic]], [[merge]]'s
+    * incoming rows) validate against it BEFORE publishing and throw with
+    * the violation count on failure — Delta's CHECK constraint semantics.
+    * The expression must hold for the CURRENT snapshot too: enforcement
+    * that starts with a violating table would lie to readers.
+    */
+  def addCheck(schema: StructType, name: String, expr: String,
+               maxAttempts: Int = 10): Int = {
+    require(name.nonEmpty && !name.exists(c => c == '=' || c == '\n') &&
+      !expr.contains('\n'), s"check name/expr not wire-safe: $name")
+    val bad = snapshot(schema)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(expr), lit(true))).count()
+    require(bad == 0,
+      s"cannot add check '$name': $bad existing rows violate ($expr)")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val next = base.getOrElse(-1) + 1
+      val lines =
+        metaLines(layout, "add-check",
+          base.map(bloomColsOf).getOrElse(Nil)) ++
+          morLines(base) ++ checkLines(base) ++
+          Seq(s"#check:$name=$expr") ++
+          base.map(dataLines).getOrElse(Nil)
+      try {
+        Files.write(manifestPath(next),
+          lines.mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"addCheck lost the version race $maxAttempts times: $root")
+  }
+
+  // ONE validation job for all constraints: a row fails a check only when
+  // the expression is literally FALSE (NULL passes, SQL-standard).
+  // Maintenance rewrites (compact/zorder) skip re-validation — their rows
+  // all passed at ingest.
+  private def validateChecks(df: DataFrame, base: Option[Int]): Unit = {
+    val checks = base.map(checksOf).getOrElse(Map.empty)
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, count_if, expr}
+    val aggs = checks.toSeq.map { case (n, e) =>
+      count_if(!coalesce(expr(e), lit(true))).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    checks.toSeq.zipWithIndex.foreach { case ((n, e), i) =>
+      require(row.getLong(i) == 0L,
+        s"check '$n' violated by ${row.getLong(i)} rows: $e")
+    }
+  }
 
   private def metaLines(partitionCols: Seq[String], op: String,
                         bloomCols: Seq[String] = Nil): Seq[String] =
@@ -1294,6 +1374,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       Option(op).getOrElse(if (overwrite) "overwrite" else "append")
     val effBloom =
       if (bloomCols.nonEmpty) bloomCols else inheritedBloomCols
+    // maintenance rewrites re-stage rows that already passed at ingest
+    if (!Set("compact", "zorder", "compact-small")(opName))
+      validateChecks(df, latestVersion)
     val staged = stageWithStats(df, partitionCols, effBloom)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1307,7 +1390,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       }
       val carried =
         if (overwrite) Nil else base.map(dataLines).getOrElse(Nil)
-      val props = if (overwrite) Nil else morLines(base)
+      // tombstones die with an overwrite; CHECK constraints survive it
+      val props = (if (overwrite) Nil else morLines(base)) ++
+        checkLines(base)
       val next = base.getOrElse(-1) + 1
       try {
         // the atomic publish: create-if-absent of the version manifest
