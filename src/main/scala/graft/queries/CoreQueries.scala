@@ -461,6 +461,36 @@ object CoreQueries {
           count(lit(1)).as("n"),
           grouping_id().cast(LongType).as("gid"))),
 
+    // TPC-H Q6 — the forecasting-revenue-change scalar: a pure
+    // filter-and-sum whose entire predicate set reaches the parquet scan
+    // (PushedFilters on date, discount and quantity) and whose aggregate
+    // is one map-side partial to a single row — the minimal-shuffle shape.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1994-01-01 00:00:00").cast(TimestampType)
+            && col("l_shipdate") < lit("1995-01-01 00:00:00")
+              .cast(TimestampType)
+            && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+            && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 6)
+          .as("revenue"))),
+
+    // Time travel as a first-class query: three committed versions, the
+    // MIDDLE one read back while later versions exist — the
+    // reproducibility contract (yesterday's training run reads
+    // yesterday's corpus) hash-checked, not just spec-asserted.
+    "time_travel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tt")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 3 === 0), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") % 3 === 1), overwrite = false)
+      tbl.commit(ev.filter(col("event_id") % 3 === 2), overwrite = false)
+      tbl.snapshot(ev.schema, version = Some(1))
+    }),
+
     // Exact quantiles per group (interpolating percentile — identical
     // linear-interpolation arithmetic in DuckDB's quantile_cont). Quartiles
     // as three scalar columns: the driver's comparer needs scalar cells.
@@ -937,6 +967,19 @@ object CoreQueries {
       """SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
          FROM events WHERE user_id IS NOT NULL
          ORDER BY h LIMIT 64""",
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+
+    "time_travel" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_id % 3 IN (0, 1)""",
 
     "sk_hist_counts" ->
       """SELECT length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS bucket,
