@@ -731,9 +731,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         sizes.getOrElse(l.takeWhile(_ != '\t'), 0L)).sum
       val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
         .toInt
-      val packed = readMaskedEntries(schema,
+      // partitioned layout: cluster by the partition values so each hive
+      // partition's small rows land in ONE task → one packed file per
+      // value, instead of round-robin scattering every value across all
+      // nOut tasks (which would multiply files, the opposite of OPTIMIZE)
+      val smallRows = readMaskedEntries(schema,
         small.map(TxLogTable.decodeEntry), base)
-        .repartition(nOut)
+      val packed =
+        if (layout.isEmpty) smallRows.repartition(nOut)
+        else smallRows.repartition(nOut, layout.map(col): _*)
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
       val staged = stageWithStats(packed, layout, effBloom)
       val next = base.getOrElse(-1) + 1

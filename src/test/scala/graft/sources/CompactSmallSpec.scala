@@ -40,6 +40,22 @@ class CompactSmallSpec extends AnyFunSuite {
     assert(st2.rewritten == 0)
   }
 
+  test("partitioned layout: packing clusters by partition value") {
+    val t = fresh()
+    val df = (1L to 200L).map(i => (i, s"p${i % 2}")).toDF("id", "v")
+    t.commit(df.repartition(1), overwrite = true, partitionCols = Seq("v"))
+    (0 until 3).foreach(i => t.commit(
+      Seq((1000L + i, "p0")).toDF("id", "v"), overwrite = false,
+      partitionCols = Seq("v")))
+    val before = t.fileCount()
+    val thresh = t.fileSizes().map(_._2).max
+    val st = t.compactSmall(schema, minBytes = thresh)
+    assert(st.rewritten >= 3 && t.fileCount() < before)
+    assert(t.snapshot(schema).count() == 203)
+    // layout preserved: every file still lives under a v= hive dir
+    assert(t.entries().forall(_.rel.contains("v=")))
+  }
+
   test("reads through the MOR mask: rewritten files materialize deletes") {
     val t = fresh()
     t.commit((1L to 100L).map(i => (i, "x")).toDF("id", "v")
