@@ -194,4 +194,40 @@ class PlanSpec extends AnyFunSuite {
       shuffles.forall(_.child.toString.contains("vec_id#")), p.toString)
     assert(!p.toString.contains("SortMergeJoin"), p)
   }
+
+  test("q6: every predicate pushed to the scan; single partial-agg scalar") {
+    val s = planString("q6_forecast_revenue")
+    // plan toString truncates long filter lists — match the stable prefix
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_shipda"), s)
+    // the scan reads only the 4 needed columns of 16
+    assert(s.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      s)
+    // filter-and-sum to one row: exactly one exchange (partial → final)
+    val shuffles = collectAll(plan("q6_forecast_revenue")) {
+      case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s)
+  }
+
+  test("hll sketch: map-side partial agg; the exchange carries buckets") {
+    val p = plan("sk_hll_registers")
+    val s = p.toString
+    // partial + final pair around one exchange — the whole table reduces
+    // to <=256 rows before the only shuffle
+    assert(s.split("HashAggregate").length >= 3, s)
+    assert(collectAll(p) { case e: ShuffleExchangeExec => e }.size == 1, s)
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
+  }
+
+  test("decontaminate: both joins broadcast, never a gram self-join") {
+    val p = plan("tx_decontaminate")
+    val s = p.toString
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s) // bench grams inner + contaminated anti
+    assert(bhj.exists(_.joinType.toString.contains("LeftAnti")), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
+  }
 }
