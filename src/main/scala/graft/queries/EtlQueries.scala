@@ -284,6 +284,44 @@ object EtlQueries {
       tbl.snapshotWhere(ev.schema, col("v").isNotNull)
     }),
 
+    // Schema evolution (add-column) on the tx-log format: v0 commits two
+    // columns, v1 appends files carrying a third; a snapshot read with
+    // the WIDER schema serves old files with NULL for the missing column
+    // — parquet schema-on-read, no rewrite of history (at 100 TB an
+    // add-column that rewrote the table would be a non-starter). The
+    // oracle recomputes the unioned shape with explicit NULLs.
+    "schema_evolution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evo")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id")), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+        overwrite = false)
+      val wide = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      tbl.snapshot(wide)
+    }),
+
+    // Metadata-only COUNT(*) (TxLogTable.metaRowCount): the count comes
+    // off the manifest's per-file footer row counts — no file opened, no
+    // scan planned (the require proves the manifest answered). The oracle
+    // recomputes the count by scanning; equality proves the metadata path
+    // is exact. The optimization every lakehouse SELECT COUNT(*) rides.
+    "meta_count_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cnt")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 3 === 0), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") % 3 =!= 0), overwrite = false)
+      val n = tbl.metaRowCount()
+      require(n.isDefined, "manifest must answer COUNT(*) without a scan")
+      import s.implicits._
+      Seq(n.get).toDF("n_rows")
+    }),
+
     // CHECK constraint enforcement (TxLogTable.addCheck — Delta's table
     // constraint semantics): a registered SQL predicate gates every
     // ingest; a violating batch is rejected ATOMICALLY (the require
@@ -711,6 +749,16 @@ object EtlQueries {
     "skip_null_scan" ->
       """SELECT event_id, user_id, value AS v
          FROM events WHERE event_id % 3 <> 0""",
+
+    "schema_evolution" ->
+      """SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS event_type
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT event_id, user_id, event_type
+         FROM events WHERE event_id % 2 <> 0""",
+
+    "meta_count_scan" ->
+      """SELECT count(*) AS n_rows FROM events""",
 
     "check_constraint" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer""",
