@@ -284,6 +284,65 @@ object EtlQueries {
       tbl.snapshotWhere(ev.schema, col("v").isNotNull)
     }),
 
+    // Vacuum under readers (TxLogTable.vacuum): three versions, garbage-
+    // collect history down to the latest (age guard disabled — no
+    // concurrent writer in-query), then read. The requires prove old
+    // manifests AND their unreferenced data files are actually gone; the
+    // oracle proves the surviving snapshot is intact. At 100 TB vacuum is
+    // what keeps time travel from meaning infinite storage.
+    "vacuum_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vac")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 3 === 0), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") % 3 === 1), overwrite = false)
+      // overwrite orphans v0/v1's files: vacuum may then delete them
+      tbl.commit(ev.filter(col("event_id") % 3 =!= 2), overwrite = true)
+      val (manifests, files) = tbl.vacuum(keep = 1, minAgeMillis = 0)
+      require(manifests == 2 && files > 0,
+        s"vacuum removed nothing: $manifests manifests, $files files")
+      require(tbl.versions == Seq(2), s"history not pruned: ${tbl.versions}")
+      tbl.snapshot(ev.schema)
+    }),
+
+    // One-pass table profiling — the ANALYZE TABLE shape: row count,
+    // per-column null counts, key extrema and a decimal-exact measure sum
+    // in a single aggregate (one scan, map-side partials, 1-row result).
+    // The profiling pass every ingest pipeline runs before publishing.
+    "analyze_profile" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_rows"),
+        count_if(col("user_id").isNull).as("null_user_id"),
+        count_if(col("value").isNull).as("null_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))),
+
+    // Hive partition-value pruning from the manifest path segments (the
+    // mayOverlap partValue route): events committed day-partitioned via
+    // dynamic overwrite; a day-range snapshotWhere prunes every other
+    // day's files from the manifest ALONE — no footer stats needed, the
+    // partition dir name is the statistic. The require proves files were
+    // skipped; the oracle proves pruning lost no rows.
+    "skip_partition_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("(ts div 1000) div 86400000000").as("p_day"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commitDynamic(ev, Seq("p_day"))
+      val days = ev.agg(min("p_day"), max("p_day")).head
+      val (lo, hi) = (days.getLong(0), days.getLong(1))
+      require(hi > lo, "need multiple days to prune")
+      val cand = tbl.candidateFilesWhere(col("p_day") === lo).size
+      require(cand < tbl.fileCount(),
+        s"partition pruning skipped nothing: $cand of ${tbl.fileCount()}")
+      tbl.snapshotWhere(ev.schema, col("p_day") === lo)
+    }),
+
     // Schema evolution (add-column) on the tx-log format: v0 commits two
     // columns, v1 appends files carrying a third; a snapshot read with
     // the WIDER schema serves old files with NULL for the missing column
@@ -749,6 +808,27 @@ object EtlQueries {
     "skip_null_scan" ->
       """SELECT event_id, user_id, value AS v
          FROM events WHERE event_id % 3 <> 0""",
+
+    "vacuum_scan" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_id % 3 <> 2""",
+
+    "analyze_profile" ->
+      """SELECT count(*) AS n_rows,
+           count(*) FILTER (user_id IS NULL) AS null_user_id,
+           count(*) FILTER (value IS NULL) AS null_value,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           count(DISTINCT event_type) AS n_event_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events""",
+
+    "skip_partition_scan" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+             epoch_us(ts) // 86400000000 AS p_day FROM events),
+          mm AS (SELECT min(p_day) AS lo FROM e)
+         SELECT event_id, user_id, value, p_day
+         FROM e, mm WHERE p_day = lo""",
 
     "schema_evolution" ->
       """SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS event_type
