@@ -448,6 +448,20 @@ object EtlQueries {
       s.read.option("header", "true").schema(n.schema).csv(tmp)
     }),
 
+    // ORC source/sink round-trip: the other columnar interchange format
+    // (Spark bundles the ORC datasource). Schema-pinned read back,
+    // hash-checked against the parquet original — proves the format path,
+    // predicate/pruning behavior rides the same datasource V2 machinery.
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val sp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
+        .resolve("supplier").toString
+      sp.write.mode("overwrite").orc(tmp)
+      s.read.schema(sp.schema).orc(tmp)
+    }),
+
     // JSON-lines source/sink round-trip (the interchange format ETL APIs
     // and event streams actually ship): schema-pinned read back, including
     // a double column — Spark writes shortest-round-trip doubles, so the
@@ -851,6 +865,9 @@ object EtlQueries {
 
     "src_jsonl_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer""",
+
+    "src_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,

@@ -124,6 +124,26 @@ object TextQueries {
         col("bk.band_key").as("band_key"))
   }
 
+  /** Distinct word 3-grams of `text` — via two zip_with string concats
+    * over shifted views, NOT `transform(sequence, i -> concat_ws(slice(
+    * toks, i+1, 3)))`: the slice form allocates a fresh 3-element array
+    * per gram and measured 6x slower at sf0.1 (5.85 s vs 0.98 s explode,
+    * tools/DecontAB). zip_with's trailing partial grams (null-padded) are
+    * cut by the outer slice to exactly the size-2 full grams. Shared by
+    * decontamination and the boilerplate detector.
+    */
+  private[queries] def wordGrams(text: Column): Column = {
+    val n = 3
+    val toks = tokens(text)
+    val b = slice(toks, lit(2), greatest(lit(0), size(toks) - 1))
+    val c = slice(toks, lit(3), greatest(lit(0), size(toks) - 2))
+    val g = zip_with(zip_with(toks, b, (x, y) => concat(x, lit(" "), y)),
+      c, (xy, z) => concat(xy, lit(" "), z))
+    when(size(toks) >= n,
+      array_distinct(slice(g, lit(1), size(toks) - lit(n) + 1)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   private def minhashBands(docs: DataFrame): DataFrame =
     // Repartition first: the raw corpus scan may be a single input split,
     // and a cached single-partition intermediate serializes both the md5
@@ -311,23 +331,7 @@ object TextQueries {
     "tx_decontaminate" -> ((s, dir) => {
       val n = 3
       val docs = t(s, dir, "documents")
-      // grams via two zip_with string concats over shifted views — NOT
-      // `transform(sequence, i -> concat_ws(slice(toks, i+1, 3)))`: the
-      // slice form allocates a fresh 3-element array per gram and measured
-      // 6x slower at sf0.1 (5.85 s vs 0.98 s explode, tools/DecontAB);
-      // zip_with's trailing partial grams (null-padded) are cut by the
-      // outer slice to exactly the size-2 full grams
-      def gramsOf(text: Column): Column = {
-        val toks = tokens(text)
-        val b = slice(toks, lit(2), greatest(lit(0), size(toks) - 1))
-        val c = slice(toks, lit(3), greatest(lit(0), size(toks) - 2))
-        val g = zip_with(zip_with(toks, b,
-          (x, y) => concat(x, lit(" "), y)),
-          c, (xy, z) => concat(xy, lit(" "), z))
-        when(size(toks) >= n,
-          array_distinct(slice(g, lit(1), size(toks) - lit(n) + 1)))
-          .otherwise(array().cast("array<string>"))
-      }
+      def gramsOf(text: Column): Column = wordGrams(text)
       val bench = docs.filter(col("doc_id") % 97 === 0)
       val train = docs.filter(col("doc_id") % 97 =!= 0)
       val benchGrams = bench
@@ -381,6 +385,29 @@ object TextQueries {
         regexp_replace(
           regexp_replace(col("text"), email, "<EMAIL>"),
           phone, "<PHONE>").as("scrubbed"))
+    }),
+
+    // Boilerplate detection (the RefinedWeb/CCNet repeated-n-gram signal):
+    // per doc, the fraction of its distinct 3-grams that occur in >= 5
+    // docs corpus-wide — high fractions mark template/boilerplate text a
+    // quality gate drops. Same gram machinery as decontamination; the
+    // frequent-gram set is bounded by how much boilerplate exists, so it
+    // broadcasts (AQE falls back to a shuffle join if a corpus proves
+    // otherwise); per-doc aggregation is one count pair, no FP until the
+    // final division.
+    "tx_boilerplate_frac" -> ((s, dir) => {
+      val docGrams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(wordGrams(col("text"))).as("gram"))
+      val freq = docGrams.groupBy("gram")
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 5)
+        .select(col("gram"), lit(1).as("is_freq"))
+      docGrams.join(broadcast(freq), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("is_freq")).as("n_frequent"))
+        .select(col("doc_id"), col("n_grams"), col("n_frequent"),
+          (col("n_frequent").cast(DoubleType) / col("n_grams"))
+            .as("boiler_frac"))
     }),
 
     // The preprocessing pipeline composed end-to-end in ONE declarative
@@ -923,6 +950,23 @@ object TextQueries {
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id % 97 <> 0
             AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+    "tx_boilerplate_frac" ->
+      s"""WITH tk AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS gram
+                FROM tk WHERE len(toks) >= 3),
+          f AS (SELECT gram FROM
+                  (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+                WHERE df >= 5)
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+            COUNT(f.gram) AS n_frequent,
+            CAST(COUNT(f.gram) AS DOUBLE) / COUNT(*) AS boiler_frac
+          FROM g LEFT JOIN f ON g.gram = f.gram
+          GROUP BY g.doc_id""",
 
     "tx_pipeline_e2e" ->
       s"""WITH canon AS (
