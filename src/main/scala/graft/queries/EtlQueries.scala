@@ -448,6 +448,25 @@ object EtlQueries {
       s.read.option("header", "true").schema(n.schema).csv(tmp)
     }),
 
+    // The format("txlog") connector surface (sources.TxLogSource): the
+    // tx-log table read through the STANDARD DataFrame reader, filters
+    // flowing through Catalyst's pushdown into manifest pruning (ranges,
+    // nulls, partition values, blooms) before the parquet scan — the
+    // "usable without importing this library" contract, exercised with a
+    // mixed predicate and hash-checked against the source table.
+    "src_txlog_format" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rel")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("customer").toString)
+      tbl.commit(c.repartition(4, pmod(col("c_custkey"), lit(4))),
+        overwrite = true, bloomCols = Seq("c_custkey"))
+      s.read.format("txlog").load(tbl.root)
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_acctbal") > 1000)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
     // ORC source/sink round-trip: the other columnar interchange format
     // (Spark bundles the ORC datasource). Schema-pinned read back,
     // hash-checked against the parquet original — proves the format path,
@@ -868,6 +887,10 @@ object EtlQueries {
 
     "src_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier""",
+
+    "src_txlog_format" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("txlog").load(root)` — the standard connector
+  * surface over [[TxLogTable]], so the format is usable from SQL and the
+  * DataFrame reader without importing this library's API. Registered via
+  * META-INF/services ([[TxLogSource]]).
+  *
+  * Filter pushdown is wired into MANIFEST pruning: the `PrunedFilteredScan`
+  * filters Catalyst pushes down are translated back into a predicate
+  * `Column` and routed through `snapshotWhere`, so min/max range stats,
+  * null counts, partition path values AND per-file Bloom filters all skip
+  * files before any scan is planned — then the surviving files go through
+  * the ordinary vectorized parquet read, which re-pushes the same filters
+  * to row groups. Every filter is also reported back as unhandled, so
+  * Spark re-applies it on the surviving rows — pruning can only skip,
+  * never change results.
+  *
+  * Options: `version` (time travel), `schema` optional via reader.schema
+  * (otherwise inferred from the current snapshot's files — one footer
+  * read).
+  */
+final case class TxLogRelation(sqlContext: SQLContext, root: String,
+                               version: Option[Int],
+                               userSchema: Option[StructType])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+  private def table: TxLogTable = TxLogTable(spark, root)
+
+  override val schema: StructType = userSchema.getOrElse {
+    val rels = table.entries(version).map(_.rel)
+    require(rels.nonEmpty,
+      s"txlog table at $root is empty or absent: pass an explicit schema")
+    spark.read
+      .option("basePath", java.nio.file.Paths.get(root, "data").toString)
+      .parquet(rels.map(r =>
+        java.nio.file.Paths.get(root, "data", r).toString): _*).schema
+  }
+
+  // conservative Filter → Column translation: anything not understood
+  // yields None and simply doesn't participate in manifest pruning (Spark
+  // still applies it post-scan — we report all filters unhandled)
+  private def toPredicate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      (toPredicate(l), toPredicate(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // one conjunct still prunes soundly
+      }
+    case _ => None // Or/Not/StringStartsWith/...: no pruning, still correct
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters // we only SKIP files; Spark re-applies everything row-level
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(toPredicate).reduceOption(_ && _)
+    val snap: DataFrame = pred match {
+      case Some(p) => table.snapshotWhere(schema, p, version)
+      case None => table.snapshot(schema, version)
+    }
+    val projected =
+      if (requiredColumns.isEmpty) snap.select(lit(1).as("__one"))
+      else snap.select(requiredColumns.toIndexedSeq.map(col): _*)
+    projected.rdd
+  }
+}
+
+/** The `format("txlog")` registration (DataSourceRegister short name). */
+final class TxLogSource extends RelationProvider
+    with SchemaRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "txlog"
+
+  private def versionOf(parameters: Map[String, String]): Option[Int] =
+    parameters.get("version").map(_.toInt)
+
+  override def createRelation(ctx: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    TxLogRelation(ctx,
+      parameters.getOrElse("path",
+        throw new IllegalArgumentException("txlog: path required")),
+      versionOf(parameters), None)
+
+  override def createRelation(ctx: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    TxLogRelation(ctx,
+      parameters.getOrElse("path",
+        throw new IllegalArgumentException("txlog: path required")),
+      versionOf(parameters), Some(schema))
+}
