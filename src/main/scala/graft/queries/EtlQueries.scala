@@ -448,6 +448,32 @@ object EtlQueries {
       s.read.option("header", "true").schema(n.schema).csv(tmp)
     }),
 
+    // The readStream.format("txlog") change-feed SOURCE run as a REAL
+    // Structured Streaming query inside this oracle query: three
+    // committed versions drain through micro-batches (offsets = version
+    // numbers, each batch reads exactly that version's delta files) into
+    // a memory sink, and the drained rows hash-match a plain scan of the
+    // source — the driver-checked proof that the streaming source is
+    // exactly-once over the feed, not just spec-asserted.
+    "stream_txlog_feed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 3 === 0), overwrite = true)
+      tbl.commit(ev.filter(col("event_id") % 3 === 1), overwrite = false)
+      tbl.commit(ev.filter(col("event_id") % 3 === 2), overwrite = false)
+      val mem = "txlog_feed_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("txlog").schema(ev.schema).load(tbl.root)
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation",
+          tmp.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(mem)
+    }),
+
     // The format("txlog") connector surface (sources.TxLogSource): the
     // tx-log table read through the STANDARD DataFrame reader, filters
     // flowing through Catalyst's pushdown into manifest pruning (ranges,
@@ -891,6 +917,9 @@ object EtlQueries {
     "src_txlog_format" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""",
+
+    "stream_txlog_feed" ->
+      """SELECT event_id, user_id, value FROM events""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,

@@ -80,14 +80,39 @@ final case class TxLogRelation(sqlContext: SQLContext, root: String,
   }
 }
 
-/** The `format("txlog")` registration (DataSourceRegister short name). */
+/** The `format("txlog")` registration (DataSourceRegister short name):
+  * batch reads ([[TxLogRelation]]) and the streaming change-feed source
+  * ([[TxLogStreamSource]]) behind one format name.
+  */
 final class TxLogSource extends RelationProvider
-    with SchemaRelationProvider with DataSourceRegister {
+    with SchemaRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "txlog"
 
   private def versionOf(parameters: Map[String, String]): Option[Int] =
     parameters.get("version").map(_.toInt)
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog: path required"))
+
+  // streaming schema must be stable across restarts: explicit schema, or
+  // inference against the CURRENT snapshot at stream start
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), schema.getOrElse(
+      TxLogRelation(ctx, pathOf(parameters), None, None).schema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new TxLogStreamSource(ctx, pathOf(parameters),
+      sourceSchema(ctx, schema, providerName, parameters)._2)
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation =
