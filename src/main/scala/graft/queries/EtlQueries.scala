@@ -474,6 +474,28 @@ object EtlQueries {
       s.table(mem)
     }),
 
+    // Source AND sink through one REAL streaming query: tx-log table →
+    // readStream.format("txlog") → writeStream.format("txlog") → a second
+    // tx-log table, drained to completion and the DESTINATION snapshot
+    // hash-checked. Each micro-batch lands as one atomic manifest commit
+    // fenced by its batch id (replayed epochs skip) — the table-to-table
+    // streaming ETL shape with exactly-once on both ends.
+    "stream_txlog_pipe" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pipe")
+      val src = graft.sources.TxLogTable(s, tmp.resolve("src").toString)
+      src.commit(ev.filter(col("event_id") % 2 === 0), overwrite = true)
+      src.commit(ev.filter(col("event_id") % 2 =!= 0), overwrite = false)
+      val dstRoot = tmp.resolve("dst").toString
+      val q = s.readStream.format("txlog").schema(ev.schema).load(src.root)
+        .writeStream.format("txlog").option("path", dstRoot)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.TxLogTable(s, dstRoot).snapshot(ev.schema)
+    }),
+
     // The format("txlog") connector surface (sources.TxLogSource): the
     // tx-log table read through the STANDARD DataFrame reader, filters
     // flowing through Catalyst's pushdown into manifest pruning (ranges,
@@ -920,6 +942,9 @@ object EtlQueries {
 
     "stream_txlog_feed" ->
       """SELECT event_id, user_id, value FROM events""",
+
+    "stream_txlog_pipe" ->
+      """SELECT event_id, user_id, event_type FROM events""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,

@@ -86,7 +86,8 @@ final case class TxLogRelation(sqlContext: SQLContext, root: String,
   */
 final class TxLogSource extends RelationProvider
     with SchemaRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "txlog"
 
@@ -113,6 +114,17 @@ final class TxLogSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source =
     new TxLogStreamSource(ctx, pathOf(parameters),
       sourceSchema(ctx, schema, providerName, parameters)._2)
+
+  override def createSink(ctx: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"txlog sink supports Append output mode, got $outputMode " +
+        "(route aggregations through foreachBatch + merge)")
+    new TxLogStreamSink(ctx, pathOf(parameters), partitionColumns)
+  }
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation =

@@ -15,4 +15,13 @@ object StreamingShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(
         df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** The inverse, for V1 `Sink.addBatch`: the handed micro-batch carries a
+    * streaming-flagged plan that batch writers refuse (`.rdd` throws); re-
+    * wrapping its InternalRow RDD un-flags it without moving any data.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        df.queryExecution.toRdd, df.schema, isStreaming = false)
 }

@@ -43,6 +43,48 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("writeStream.format(txlog) sink: end-to-end table-to-table pipe") {
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txsink-src")
+        .resolve("t").toString)
+    val dstRoot = java.nio.file.Files.createTempDirectory("txsink-dst")
+      .resolve("t").toString
+    src.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    val q = spark.readStream.format("txlog").schema(schema).load(src.root)
+      .writeStream.format("txlog")
+      .option("path", dstRoot)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txsink-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val dst = TxLogTable(spark, dstRoot)
+      assert(dst.snapshot(schema).count() == 2)
+      src.commit(Seq((3L, "c")).toDF("id", "v"), overwrite = false)
+      q.processAllAvailable()
+      assert(dst.snapshot(schema).collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L))
+      // the destination is a REAL tx-log table: history carries the
+      // fencing op tags, one commit per micro-batch
+      assert(dst.history().forall(_.op.exists(_.startsWith("stream-append:"))))
+    } finally q.stop()
+  }
+
+  test("sink fences a replayed batch id (exactly-once on recovery)") {
+    val ctx = spark.sqlContext
+    val dstRoot = java.nio.file.Files.createTempDirectory("txsink-fence")
+      .resolve("t").toString
+    val sink = new TxLogStreamSink(ctx, dstRoot, Nil)
+    val batch = Seq((1L, "a")).toDF("id", "v")
+    sink.addBatch(7L, batch)
+    sink.addBatch(7L, batch) // replayed epoch after simulated crash
+    val dst = TxLogTable(spark, dstRoot)
+    assert(dst.snapshot(schema).count() == 1)
+    assert(dst.versions.size == 1)
+    sink.addBatch(8L, Seq((2L, "b")).toDF("id", "v"))
+    assert(dst.snapshot(schema).count() == 2)
+  }
+
   test("inferred schema matches the batch connector's") {
     val t = TxLogTable(spark,
       java.nio.file.Files.createTempDirectory("txstream2")
