@@ -515,6 +515,22 @@ object EtlQueries {
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     }),
 
+    // The connector's WRITE side: df.write.format("txlog") with SaveMode
+    // mapped onto the commit protocol (overwrite/append/error/ignore),
+    // then read back through the same format — the full round trip a user
+    // makes without ever importing this library's classes.
+    "src_txlog_write" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val root = java.nio.file.Files.createTempDirectory("graft-wrt")
+        .resolve("nation").toString
+      n.filter(col("n_nationkey") % 2 === 0).write.format("txlog")
+        .mode("overwrite").save(root)
+      n.filter(col("n_nationkey") % 2 =!= 0).write.format("txlog")
+        .mode("append").save(root)
+      s.read.format("txlog").load(root)
+    }),
+
     // ORC source/sink round-trip: the other columnar interchange format
     // (Spark bundles the ORC datasource). Schema-pinned read back,
     // hash-checked against the parquet original — proves the format path,
@@ -935,6 +951,9 @@ object EtlQueries {
 
     "src_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier""",
+
+    "src_txlog_write" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 
     "src_txlog_format" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -337,6 +337,29 @@ object SimQueries {
         .limit(5)
     }),
 
+    // Two-stage retrieve-then-rerank — the production ANN serving shape:
+    // stage 1 ranks the WHOLE corpus on 4-byte PQ codes via the broadcast
+    // ADC tables (never touching a full vector) and keeps 32 candidates;
+    // stage 2 joins only those 32 back to their full vectors for an exact
+    // cosine re-rank. At 100 TB the exact math runs on 32 rows instead of
+    // the corpus — recall comes from the candidate depth (32 ≫ k=5), the
+    // final ordering from true distances. Both stages deterministic
+    // (vec_id tie-breaks), so the composed pipeline hash-matches.
+    "sim_rerank_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val cands = pqAdcJoin(pqCodesPivot(emb), pqDistTables(emb))
+        .select(col("vec_id"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(32)
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.join(broadcast(cands.select("vec_id")), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // IVF search, nprobe=2 — the recall/cost knob: probing the 2 best cells
     // scans 2/k of the data instead of 1/k and recovers neighbors that
     // straddle a cell boundary (the classic IVF recall failure). Identical
@@ -468,6 +491,29 @@ object SimQueries {
           JOIN (SELECT code, qd FROM dt WHERE s = 2) d2 ON c.c2 = d2.code
           JOIN (SELECT code, qd FROM dt WHERE s = 3) d3 ON c.c3 = d3.code
           ORDER BY adc_dist, a2.vec_id LIMIT 5"""
+    },
+
+    "sim_rerank_topk" -> {
+      val dtSub = (0 until PqM).map(si =>
+        s"""SELECT $si AS s, cb.code,
+              ${sqlSubL2("cb.cv", "q.qv", si)} AS qd
+            FROM cb CROSS JOIN q""").mkString("\n          UNION ALL\n")
+      s"""WITH $SqlPqCodes,
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          dt AS ($dtSub),
+          cand AS (
+            SELECT c.vec_id FROM codes c
+            JOIN (SELECT code, qd FROM dt WHERE s = 0) d0 ON c.c0 = d0.code
+            JOIN (SELECT code, qd FROM dt WHERE s = 1) d1 ON c.c1 = d1.code
+            JOIN (SELECT code, qd FROM dt WHERE s = 2) d2 ON c.c2 = d2.code
+            JOIN (SELECT code, qd FROM dt WHERE s = 3) d3 ON c.c3 = d3.code
+            ORDER BY (d0.qd + d1.qd + d2.qd + d3.qd), c.vec_id LIMIT 32)
+          SELECT e.vec_id,
+            ${sqlDot("e.embedding", "qv")} /
+            (sqrt(${sqlDot("e.embedding", "e.embedding")}) *
+             sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+          FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+          ORDER BY cos_sim DESC, e.vec_id LIMIT 5"""
     },
 
     "sim_cosine_brute" ->

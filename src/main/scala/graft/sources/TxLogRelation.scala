@@ -86,6 +86,7 @@ final case class TxLogRelation(sqlContext: SQLContext, root: String,
   */
 final class TxLogSource extends RelationProvider
     with SchemaRelationProvider with DataSourceRegister
+    with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider {
 
@@ -97,6 +98,37 @@ final class TxLogSource extends RelationProvider
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("txlog: path required"))
+
+  /** `df.write.format("txlog").mode(...).save(path)` — the batch write
+    * side of the connector. SaveMode maps onto the commit protocol:
+    * Overwrite → overwrite commit, Append → append commit,
+    * ErrorIfExists/Ignore → the standard existence checks. Partitioning
+    * via `option("partitionBy", "a,b")` (the V1 writer does not forward
+    * `partitionBy()` to relation providers).
+    */
+  override def createRelation(ctx: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.Dataset[
+                                org.apache.spark.sql.Row]): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val root = pathOf(parameters)
+    val table = TxLogTable(ctx.sparkSession, root)
+    val exists = table.latestVersion.isDefined
+    val parts = parameters.get("partitionBy")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"txlog table exists: $root")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite =>
+        table.commit(data.toDF(), overwrite = true, partitionCols = parts)
+      case _ => // Append, or first write in any mode
+        table.commit(data.toDF(), overwrite = false, partitionCols = parts)
+    }
+    TxLogRelation(ctx, root, None, Some(data.schema))
+  }
 
   // streaming schema must be stable across restarts: explicit schema, or
   // inference against the CURRENT snapshot at stream start

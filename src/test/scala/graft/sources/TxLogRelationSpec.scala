@@ -64,6 +64,31 @@ class TxLogRelationSpec extends AnyFunSuite {
       (1L to 10L).toSet -- Set(3L, 4L))
   }
 
+  test("df.write.format(txlog) maps SaveMode onto the commit protocol") {
+    import org.apache.spark.sql.SaveMode
+    val root = java.nio.file.Files.createTempDirectory("txwrite")
+      .resolve("t").toString
+    Seq((1L, "a")).toDF("id", "v").write.format("txlog")
+      .mode(SaveMode.ErrorIfExists).save(root)
+    Seq((2L, "b")).toDF("id", "v").write.format("txlog")
+      .mode(SaveMode.Append).save(root)
+    assert(spark.read.format("txlog").load(root).count() == 2)
+    intercept[IllegalStateException] {
+      Seq((3L, "c")).toDF("id", "v").write.format("txlog")
+        .mode(SaveMode.ErrorIfExists).save(root)
+    }
+    Seq((3L, "c")).toDF("id", "v").write.format("txlog")
+      .mode(SaveMode.Ignore).save(root) // no-op on existing table
+    assert(spark.read.format("txlog").load(root).count() == 2)
+    Seq((9L, "z")).toDF("id", "v").write.format("txlog")
+      .mode(SaveMode.Overwrite).save(root)
+    assert(spark.read.format("txlog").load(root)
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // the destination is a full tx-log table: history + time travel work
+    val t = TxLogTable(spark, root)
+    assert(t.versions.size == 3 && t.snapshot(schema, Some(1)).count() == 2)
+  }
+
   test("explicit schema read of an empty table; inference refuses") {
     val t = fresh()
     intercept[IllegalArgumentException] {
