@@ -27,8 +27,36 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
-    val what = if (args.isEmpty) Set("dedup", "txlog", "stream", "skip", "merge")
+    val what = if (args.isEmpty)
+                 Set("dedup", "txlog", "stream", "skip", "merge", "bloom")
                else args.toSet
+
+    // Bloom skipping under growth: k scattered appends (append i holds
+    // ids ≡ i mod k, so every file spans ~the whole id range and min/max
+    // stats prune NOTHING); a point lookup's candidate set must stay ~1
+    // file (+ ~1% FPP of k) as the table grows 10x — the evidence that
+    // unclustered id lookups stay O(1 files) at any table size.
+    if (what("bloom")) for (k <- Seq(10, 100)) {
+      val t = graft.sources.TxLogTable(spark,
+        java.nio.file.Files.createTempDirectory("bloomprobe")
+          .resolve("t").toString)
+      time(s"bloom build x$k") {
+        (0 until k).foreach { i =>
+          t.commit(spark.range(10000)
+            .select((col("id") * k + i).as("id")),
+            overwrite = false, bloomCols = Seq("id"))
+        }
+        k.toLong
+      }
+      val probe = 7777L * k + 3 // lives in append 3 only
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+      val rangeCand = t.candidateFiles("id", probe, probe).size
+      val bloomCand = t.candidateFilesWhere(col("id") === probe).size
+      time(s"bloom point-lookup x$k (range $rangeCand/${t.fileCount()}, " +
+          s"bloom $bloomCand/${t.fileCount()} files)") {
+        t.snapshotWhere(schema, col("id") === probe).count()
+      }
+    }
 
     if (what("dedup")) for (k <- Seq(1, 10)) {
       val docs = rep(k).cache(); docs.count()

@@ -221,6 +221,16 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
   }
 
+  test("rerank: candidate set broadcast into stage 2, no sort-merge join") {
+    val p = plan("sim_rerank_topk")
+    val s = p.toString
+    // stage 1 ADC tables and the 32-candidate set all broadcast; the
+    // full-vector side never shuffles for the re-rank join
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.size >= 5, s)
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
+  }
+
   test("decontaminate: both joins broadcast, never a gram self-join") {
     val p = plan("tx_decontaminate")
     val s = p.toString
