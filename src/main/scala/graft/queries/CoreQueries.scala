@@ -461,6 +461,34 @@ object CoreQueries {
           count(lit(1)).as("n"),
           grouping_id().cast(LongType).as("gid"))),
 
+    // Explicit GROUPING SETS (beyond rollup's prefix lattice): two
+    // independent single-column groupings plus the grand total in ONE
+    // aggregate pass — Spark expands the sets with a single Expand node,
+    // one scan, one shuffle. Driven through the SQL surface (the
+    // DataFrame API only exposes rollup/cube).
+    "a8_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders_gs")
+      s.sql("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(GROUPING_ID() AS BIGINT) AS gid
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+    }),
+
+    // W6 — percent_rank + cume_dist: the distribution-ranking windows
+    // (deterministic: ties share ranks by definition, output keyed by
+    // orderkey).
+    "w6_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+
     // TPC-H Q6 — the forecasting-revenue-change scalar: a pure
     // filter-and-sum whose entire predicate set reaches the parquet scan
     // (PushedFilters on date, discount and quantity) and whose aggregate
@@ -967,6 +995,22 @@ object CoreQueries {
       """SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
          FROM events WHERE user_id IS NOT NULL
          ORDER BY h LIMIT 64""",
+
+    "a8_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+             AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+
+    "w6_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""",
 
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
