@@ -18,12 +18,27 @@ final class TxLogStreamSink(ctx: SQLContext, root: String,
 
   private def table: TxLogTable = TxLogTable(ctx.sparkSession, root)
 
+  /** How far back the replay fence looks. A replayed epoch re-runs
+    * immediately after recovery, so only commits landed between the
+    * original epoch's publish and the restart — other writers' commits in
+    * a crash window — can sit between the tag and the head. Bounding the
+    * scan keeps `addBatch` O(window) instead of O(all versions) on a
+    * long-running stream (thousands of micro-batch commits would
+    * otherwise make every fence check re-read the whole manifest log).
+    */
+  private val FenceWindow = 100
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val t = table
     val opTag = s"stream-append:$batchId"
-    // fence replayed epochs by the op tag in commit history (valid while
-    // vacuum retention exceeds the recovery window, as for the source)
-    if (t.history().exists(_.op.contains(opTag))) return
+    // fence replayed epochs by the op tag in recent commit history (valid
+    // while vacuum retention exceeds the recovery window, as for the
+    // source, and while fewer than FenceWindow foreign commits land
+    // inside a single crash-recovery window): one manifest read per
+    // recent version, never the whole log
+    if (t.versions.takeRight(FenceWindow)
+        .exists(v => t.opOf(v).contains(opTag)))
+      return
     // Sink.addBatch hands a streaming-flagged micro-batch that a batch
     // writer refuses — re-wrap its InternalRow RDD (rows stay
     // executor-side; the standard V1 sink pattern).

@@ -279,6 +279,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         meta("op"), lines.count(!_.startsWith("#")))
     }
 
+  /** The op recorded at `v` — one manifest read, for callers (like the
+    * streaming sink's replay fence) that must not pay [[history]]'s
+    * O(all versions) for a single version's metadata.
+    */
+  def opOf(v: Int): Option[String] =
+    manifestLines(v).collectFirst {
+      case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
+
   /** Latest version committed at or before `tsMillis` — timestamp-based
     * time travel (`snapshot(schema, versionAsOf(ts))`). None when the
     * table is empty, nothing was committed yet at `tsMillis`, or history
