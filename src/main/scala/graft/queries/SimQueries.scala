@@ -36,6 +36,11 @@ object SimQueries {
     s"""list_aggregate(list_transform(generate_series(1, $Dim),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"""
 
+  // same ordered fold over only the first `d` dims (truncated search)
+  private def sqlDotN(a: String, b: String, d: Int): String =
+    s"""list_aggregate(list_transform(generate_series(1, $d),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"""
+
   // --- Product quantization (PQ) ---
   // m=4 subspaces × 16 dims, 16 codes per subspace: each 64-float vector
   // compresses to 4 small codes (64× smaller), and search runs against the
@@ -360,6 +365,31 @@ object SimQueries {
         .limit(5)
     }),
 
+    // Truncated-dimension two-stage search (the matryoshka-embedding
+    // serving pattern): stage 1 scores the corpus on the FIRST 16 of 64
+    // dims — 4x less arithmetic and, with a dimension-sliced column
+    // layout, 4x less I/O — keeping 32 candidates; stage 2 re-ranks only
+    // those on full vectors. Same two-stage economics as sim_rerank_topk
+    // with truncation instead of quantization as the cheap stage; both
+    // stages deterministic (vec_id tie-breaks).
+    "sim_mrl_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0)
+      val qt = q.select(slice(col("v"), 1, 16).as("qtv"))
+      val cands = emb
+        .select(col("vec_id"), slice(col("v"), 1, 16).as("tv"))
+        .crossJoin(broadcast(qt))
+        .select(col("vec_id"), cosine(col("tv"), col("qtv")).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id"))
+        .limit(32).select("vec_id")
+      emb.join(broadcast(cands), "vec_id")
+        .crossJoin(broadcast(q.select(col("v").as("qv"))))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // IVF search, nprobe=2 — the recall/cost knob: probing the 2 best cells
     // scans 2/k of the data instead of 1/k and recovers neighbors that
     // straddle a cell boundary (the classic IVF recall failure). Identical
@@ -515,6 +545,23 @@ object SimQueries {
           FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
           ORDER BY cos_sim DESC, e.vec_id LIMIT 5"""
     },
+
+    "sim_mrl_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cand AS (
+            SELECT vec_id FROM (
+              SELECT e.vec_id,
+                ${sqlDotN("e.embedding", "qv", 16)} /
+                (sqrt(${sqlDotN("e.embedding", "e.embedding", 16)}) *
+                 sqrt(${sqlDotN("qv", "qv", 16)})) AS cs
+              FROM embeddings e CROSS JOIN q)
+            ORDER BY cs DESC, vec_id LIMIT 32)
+          SELECT e.vec_id,
+            ${sqlDot("e.embedding", "qv")} /
+            (sqrt(${sqlDot("e.embedding", "e.embedding")}) *
+             sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+          FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+          ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
 
     "sim_cosine_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
