@@ -95,7 +95,13 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val spreadMax = if (spread.nonEmpty) spread.values.max else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":${r3(warmupSec)},"spread_max":$spreadMax,"queries":$qs,"pass_spread":$sp,"errors":$errs,"sf":"$sfDir"}""")
+    // Two lines, spread FIRST: the driver's tail-capture window keeps the
+    // END of the output, and the r5 artifact proved one combined line can
+    // exceed it (per-query seconds were cut off; only the trailing
+    // pass_spread map survived). The headline line — the one the driver
+    // parses — stays last and roughly half as long, so it survives intact.
+    println(s"""{"metric":"spread","spread_max":$spreadMax,"pass_spread":$sp}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":${r3(warmupSec)},"spread_max":$spreadMax,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

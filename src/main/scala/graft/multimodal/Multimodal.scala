@@ -72,30 +72,27 @@ object Multimodal {
             val sz = le32(off + 4)
             if (id == "fmt " && off + 24 <= b.length) byteRate = le32(off + 16)
             else if (id == "data") dataSize = sz
-            // chunks are word-aligned: odd payloads carry a pad byte
-            off += 8 + sz.toInt + (sz.toInt & 1)
+            // chunks are word-aligned: odd payloads carry a pad byte.
+            // Advance in Long arithmetic — sz is an untrusted u32, and a
+            // corrupt/hostile size truncated through toInt could move the
+            // cursor backwards into an infinite loop. Any chunk that walks
+            // past the buffer ends the scan.
+            val next = off.toLong + 8L + sz + (sz & 1L)
+            off = if (next <= off || next > b.length) b.length else next.toInt
           }
           if (byteRate > 0 && dataSize >= 0)
             return DecodedMeta(r.media_id, r.kind, b.length, 0, 0,
               dataSize * 1000 / byteRate, ok = true)
         }
       }
-      // Parsed stand-in video container: ASCII `VID:<duration_ms>;` header
-      // before the payload — a real header walk (magic, field, terminator)
-      // in miniature, and the field is oracle-computable, so frame
-      // sampling is hash-checked end-to-end (`mm_frame_sample`) where a
-      // codec-library duration could only be rows-only checked.
-      val b = r.media_bytes
-      if (b.length > 4 && b(0) == 'V' && b(1) == 'I' && b(2) == 'D' &&
-          b(3) == ':') {
-        var i = 4; var d = 0L; var any = false
-        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-          d = d * 10 + (b(i) - '0'); i += 1; any = true
-        }
-        if (any && i < b.length && b(i) == ';')
-          return DecodedMeta(r.media_id, r.kind, b.length, 0, 0, d,
-            ok = true)
-      }
+      // REAL ISO-BMFF (MP4) header walk (graft.catalyst.Mp4MetaUtil):
+      // ftyp → top-level box list → moov → mvhd timescale + duration —
+      // the video twin of the WAV branch above. Header metadata only; no
+      // frame is decoded, exactly the 100 TB metadata pass.
+      val mp4 = graft.catalyst.Mp4MetaUtil.parse(r.media_bytes)
+      if (mp4 != null)
+        return DecodedMeta(r.media_id, r.kind, r.media_bytes.length, 0, 0,
+          mp4.getLong(2), ok = true)
       var h = 1125899906842597L
       r.media_bytes.foreach(b => h = 31 * h + b)
       val pos = (x: Long) => (x % 1920 + 1920) % 1920 + 1

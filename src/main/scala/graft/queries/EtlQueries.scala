@@ -138,6 +138,49 @@ object EtlQueries {
       tbl.snapshot(c.schema)
     }),
 
+    // STRING-keyed copy-on-write MERGE (round-6 headline): the reference's
+    // own employee upsert key is a string (models.py:37 url_id, upserted at
+    // logic.py:186-194), and a string key has no footer min/max hull — so
+    // file targeting must come from the per-file manifest Bloom filters.
+    // supplier lands clustered by s_suppkey (s_name correlates 1:1) with
+    // blooms on s_name; the merge keys are ONLY ["s_name"], so the integral
+    // hull contributes nothing and every pruned file below is pruned by a
+    // bloom probe of the batch's collected key set. (1) a keyed UPDATE
+    // batch from a narrow band rewrites only the band's files; (2) an
+    // INSERT-only batch of fresh names rewrites ZERO files — at the table's
+    // per-file cardinality (≤ ~1.2k names at sf0.1) the 8192-bit blooms'
+    // false-positive mass is ≪ 1 across every probe, so both requires are
+    // deterministic in practice. The oracle recomputes the end state
+    // relationally, hash-checking the delete-insert semantics.
+    "merge_cow_str" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+      val mm = sup.agg(min("s_suppkey"), max("s_suppkey")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val lo = mn + (mx - mn) / 3
+      val hi = lo + (mx - mn) / 10
+      val tmp = java.nio.file.Files.createTempDirectory("graft-merge-str")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("supplier").toString)
+      tbl.commit(sup.repartitionByRange(8, col("s_suppkey")),
+        overwrite = true, bloomCols = Seq("s_name"))
+      val upd = sup.filter(col("s_suppkey") >= lo && col("s_suppkey") <= hi)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          (col("s_acctbal") + 500).as("s_acctbal"))
+      val st1 = tbl.merge(sup.schema, upd, Seq("s_name"))
+      require(st1.carried > 0 && st1.rewritten < st1.carried,
+        s"string-keyed update rewrote ${st1.rewritten} of " +
+          s"${st1.rewritten + st1.carried} files — no bloom targeting")
+      val ins = sup.filter(col("s_suppkey") % 9 === 0).select(
+        (col("s_suppkey") + 90000).as("s_suppkey"),
+        concat(lit("FreshSupplier#"), istr(col("s_suppkey"))).as("s_name"),
+        lit(3).cast(IntegerType).as("s_nationkey"),
+        lit(1.25).as("s_acctbal"))
+      val st2 = tbl.merge(sup.schema, ins, Seq("s_name"))
+      require(st2.rewritten == 0,
+        s"insert-only string merge rewrote ${st2.rewritten} files")
+      tbl.snapshot(sup.schema)
+    }),
+
     // File-targeted copy-on-write DELETE (TxLogTable.deleteWhere): customer
     // lands key-clustered (8 files with disjoint c_custkey bands), then
     // (1) a banded retention delete — with an extra non-range conjunct the
@@ -866,6 +909,24 @@ object EtlQueries {
                 CAST(7 AS INT) AS c_nationkey, 0.5 AS c_acctbal,
                 'FRESH' AS c_mktsegment
          FROM base WHERE c_custkey % 11 = 0""",
+
+    "merge_cow_str" ->
+      """WITH base AS (SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+                       FROM supplier),
+          mm AS (SELECT min(s_suppkey) AS mn, max(s_suppkey) AS mx FROM base),
+          b AS (SELECT mn + (mx - mn) // 3 AS lo,
+                       mn + (mx - mn) // 3 + (mx - mn) // 10 AS hi FROM mm)
+         SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM base, b WHERE s_suppkey < lo OR s_suppkey > hi
+         UNION ALL
+         SELECT s_suppkey, s_name, s_nationkey,
+                s_acctbal + 500 AS s_acctbal
+         FROM base, b WHERE s_suppkey >= lo AND s_suppkey <= hi
+         UNION ALL
+         SELECT s_suppkey + 90000 AS s_suppkey,
+                'FreshSupplier#' || CAST(s_suppkey AS VARCHAR) AS s_name,
+                CAST(3 AS INT) AS s_nationkey, 1.25 AS s_acctbal
+         FROM base WHERE s_suppkey % 9 = 0""",
 
     "delete_cow" ->
       """WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,

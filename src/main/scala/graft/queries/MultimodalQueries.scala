@@ -17,6 +17,36 @@ object MultimodalQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  private def be4(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), 8, "0"))
+
+  /** Genuine minimal MP4: ftyp(isom) + free (the walk must skip it) +
+    * moov[mvhd v0] with big-endian timescale/duration and the full 80
+    * trailing bytes (rate/volume/reserved/matrix/pre_defined/next_track)
+    * a spec-sized version-0 mvhd carries.
+    */
+  private def mp4Header(ts: org.apache.spark.sql.Column,
+                        dur: org.apache.spark.sql.Column) = concat(
+    unhex(lit("000000146674797069736F6D000002006D703431")), // ftyp isom
+    unhex(lit("00000010667265650000000000000000")),         // free box
+    unhex(lit("000000746D6F6F76")),                         // moov (116)
+    unhex(lit("0000006C6D766864")),                         // mvhd (108)
+    unhex(lit("000000000000000000000000")), // v0+flags, creation, modif.
+    be4(ts), be4(dur),
+    unhex(lit("0" * 160)))                  // 80 spec-mandated tail bytes
+
+  /** Same movie, version-1 mvhd: u64 creation/modification/duration. */
+  private def mp4HeaderV1(ts: org.apache.spark.sql.Column,
+                          dur: org.apache.spark.sql.Column) = concat(
+    unhex(lit("000000146674797069736F6D000002006D703431")),
+    unhex(lit("000000806D6F6F76")),                         // moov (128)
+    unhex(lit("000000786D766864")),                         // mvhd (120)
+    unhex(lit("01000000")),                                 // version 1
+    unhex(lit("0" * 32)),                  // creation + modification (u64)
+    be4(ts),
+    unhex(lit("00000000")), be4(dur),                       // duration u64
+    unhex(lit("0" * 160)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> ((s, dir) =>
       Multimodal.fromDocuments(t(s, dir, "documents")).select(
@@ -103,25 +133,51 @@ object MultimodalQueries {
     }),
 
     // Video frame sampling through the REAL mapPartitions explode path
-    // (Multimodal.frameSample): each synthesized video carries a parsed
-    // `VID:<duration_ms>;` container header (duration derived from
-    // n_chars, so the oracle recomputes it arithmetically) and explodes
-    // into 4 evenly spaced frame rows. The 100 TB shape: header-only
-    // decode per row, iterator flatMap — payload bytes never leave the
-    // executor, output is O(videos × n frames).
+    // (Multimodal.frameSample): each synthesized video is a GENUINE
+    // ISO-BMFF (MP4) header — ftyp box, a free box the walk must skip,
+    // moov→mvhd with big-endian timescale and duration — and the decode
+    // recovers duration_ms by actually walking the box structure
+    // (graft.catalyst.Mp4MetaUtil), then explodes into 4 evenly spaced
+    // frame rows. Timescale and duration derive from doc fields, so the
+    // oracle recomputes duration_ms arithmetically and the byte-level
+    // parse is hash-checked. The 100 TB shape: header-only decode per
+    // row, iterator flatMap — payload bytes never leave the executor,
+    // output is O(videos × n frames).
     "mm_frame_sample" -> ((s, dir) => {
       implicit val ss: SparkSession = s
       import s.implicits._
+      val ts = (lit(600) + (col("doc_id") % 4) * 200).cast("int")
+      val dur = ((col("n_chars") * 11) % 90000 + 600).cast("int")
       val media = t(s, dir, "documents").select(
         col("doc_id").as("media_id"),
         lit("video").as("kind"),
-        concat(lit("VID:"),
-          ((col("n_chars") * 7) % 5000 + 1).cast("string"),
-          lit(";"), col("text")).cast("binary").as("media_bytes"),
+        mp4Header(ts, dur).as("media_bytes"),
         col("doc_id").as("source_doc"),
-        lit("video/x-fake").as("mime")).as[Multimodal.MediaRow]
+        lit("video/mp4").as("mime")).as[Multimodal.MediaRow]
       Multimodal.frameSample(media, 4).toDF()
         .select(col("media_id"), col("frame_idx"), col("frame_ms"))
+    }),
+
+    // Real MP4 container parse as a Catalyst expression (video_meta):
+    // doc_id%3==0 rows carry a version-0 mvhd, %3==1 a version-1 mvhd
+    // (u64 creation/modification/duration — both wire layouts must parse),
+    // %3==2 raw text bytes, which must reject to NULL. Brand, timescale
+    // and duration_ms are all recomputed arithmetically by the oracle, so
+    // the whole box walk is hash-checked — the video completion of
+    // mm_image_dims / mm_wav_meta. Runs map-side in whole-stage codegen.
+    "mm_video_meta" -> ((s, dir) => {
+      graft.catalyst.Mp4Meta.register(s)
+      val d = t(s, dir, "documents")
+      val ts = (lit(600) + (col("doc_id") % 4) * 200).cast("int")
+      val dur = ((col("n_chars") * 11) % 90000 + 600).cast("int")
+      val bytes = when(col("doc_id") % 3 === 0, mp4Header(ts, dur))
+        .when(col("doc_id") % 3 === 1, mp4HeaderV1(ts, dur))
+        .otherwise(col("text").cast("binary"))
+      d.select(col("doc_id").as("media_id"),
+          graft.catalyst.Mp4Meta.videoMeta(bytes).as("m"))
+        .select(col("media_id"), col("m.brand").as("brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration_ms").as("duration_ms"))
     }),
 
     // Binary-payload exact dedup: media dedup never decodes — the content
@@ -168,11 +224,25 @@ object MultimodalQueries {
            TRUE AS ok
          FROM documents""",
 
+    // duration_ms = mvhd duration units * 1000 // timescale, then the
+    // i-th of 4 evenly spaced frames — integer division at BOTH steps,
+    // exactly as the box walk + frameSample compute it
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
-           ((n_chars * 7) % 5000 + 1) * i // 4 AS frame_ms
+           (((n_chars * 11) % 90000 + 600) * 1000
+              // (600 + (doc_id % 4) * 200)) * i // 4 AS frame_ms
          FROM documents,
            (SELECT unnest(generate_series(0, 3)) AS i) g""",
+
+    "mm_video_meta" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 < 2 THEN 'isom' END AS brand,
+           CASE WHEN doc_id % 3 < 2
+                THEN 600 + (doc_id % 4) * 200 END AS timescale,
+           CASE WHEN doc_id % 3 < 2
+                THEN ((n_chars * 11) % 90000 + 600) * 1000
+                       // (600 + (doc_id % 4) * 200) END AS duration_ms
+         FROM documents""",
 
     // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — exactly the
     // payload bytes (media_bytes = encode(text)) Spark's binary md5 sees.

@@ -155,7 +155,8 @@ final class TxLogSource extends RelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"txlog sink supports Append output mode, got $outputMode " +
         "(route aggregations through foreachBatch + merge)")
-    new TxLogStreamSink(ctx, pathOf(parameters), partitionColumns)
+    new TxLogStreamSink(ctx, pathOf(parameters), partitionColumns,
+      parameters.get("fenceId"))
   }
 
   override def createRelation(ctx: SQLContext,

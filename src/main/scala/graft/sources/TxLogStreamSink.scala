@@ -14,9 +14,28 @@ import org.apache.spark.sql.execution.streaming.Sink
   * `foreachBatch` + `TxLogTable.merge` (see `StreamOps.upsertIntoTxLog`).
   */
 final class TxLogStreamSink(ctx: SQLContext, root: String,
-                            partitionCols: Seq[String]) extends Sink {
+                            partitionCols: Seq[String],
+                            fenceId: Option[String] = None) extends Sink {
 
   private def table: TxLogTable = TxLogTable(ctx.sparkSession, root)
+
+  /** Per-query identity for the replay fence. Fencing on batchId alone is
+    * unsound twice over: two different streaming queries appending to the
+    * same table collide on batch ids (query B's batch 7 looks like a
+    * replay of query A's batch 7), and restarting a query from a FRESH
+    * checkpoint resets batchId to 0 — either way a legitimate new batch
+    * would be silently dropped as a "replay". So the tag carries
+    * (queryId, batchId) like Delta's txn-app-id fencing: explicit
+    * `option("fenceId", ...)` wins (lets a user keep one identity across
+    * checkpoint resets when they KNOW the data lineage is the same),
+    * otherwise the runId-stable streaming queryId Spark publishes as a
+    * local property on the stream execution thread.
+    */
+  private def queryIdentity: String =
+    fenceId.orElse(Option(ctx.sparkSession.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime
+        .StreamExecution.QUERY_ID_KEY)))
+      .getOrElse("no-query-id")
 
   /** How far back the replay fence looks. A replayed epoch re-runs
     * immediately after recovery, so only commits landed between the
@@ -30,7 +49,7 @@ final class TxLogStreamSink(ctx: SQLContext, root: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val t = table
-    val opTag = s"stream-append:$batchId"
+    val opTag = s"stream-append:$queryIdentity:$batchId"
     // fence replayed epochs by the op tag in recent commit history (valid
     // while vacuum retention exceeds the recovery window, as for the
     // source, and while fewer than FenceWindow foreign commits land

@@ -40,6 +40,34 @@ object TxLogTable {
     */
   val DefaultVacuumMinAgeMillis: Long = 15L * 60 * 1000
 
+  /** Largest per-column distinct-key set `merge` will collect to Bloom-probe
+    * files for a STRING merge key. 10k strings is a few hundred KB of driver
+    * memory; a larger batch falls back to "every file may be affected"
+    * (conservative — the full rewrite such a wide merge needs anyway).
+    */
+  val MaxMergeProbeKeys: Int = 10000
+
+  /** Undo Spark's hive-path escaping (`%XX` uppercase-hex of specials) so a
+    * partition path segment compares against the raw column value. A `%`
+    * not followed by two hex digits is kept literally.
+    */
+  def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Reserved stats key carrying the file's exact row count. Contains `:`,
     * a wire-format delimiter, so it can NEVER collide with a real column:
     * any column whose parquet dot-string contains a delimiter is dropped
@@ -538,6 +566,29 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       .getOrElse(true)
   }
 
+  // May file `e` contain a row whose STRING `column` equals one of `vals`?
+  // The hive path segment is exact for partition key columns (batch values
+  // are non-null, and a null-partition file can never equality-match, so
+  // treating the default-partition sentinel as a literal value is sound in
+  // both directions); otherwise the file's manifest Bloom is probed with
+  // each value — the same canonical rendering the write side hashed, since
+  // bloom type 's' means the column IS a string. No bloom and no partition
+  // segment → "yes" (cannot prune).
+  private def mayContainKey(e: TxLogTable.FileEntry, column: String,
+                            vals: Set[String]): Boolean = {
+    val partValue: Option[String] =
+      e.rel.split('/').iterator
+        .collectFirst { case seg if seg.startsWith(s"$column=") =>
+          TxLogTable.unescapePath(seg.stripPrefix(s"$column=")) }
+    partValue match {
+      case Some(v) => vals.contains(v)
+      case None => e.blooms.get(column) match {
+        case Some(b) if b.typ == 's' => vals.exists(b.mightContain)
+        case _ => true
+      }
+    }
+  }
+
   /** COUNT(*) of `version` answered from manifest metadata alone — no
     * scan, no file opened (each line's exact RowsKey footer count summed).
     * None when any file predates stats recording: the caller must fall
@@ -969,19 +1020,24 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * computed in ONE distributed pass over the staged data (the only
     * extra cost of enabling bloom columns — Delta's bloom index pays the
     * same write-side pass). Bit positions are computed executor-side with
-    * codegen'd built-ins (`md5`/`conv`/`pmod` — no UDF) and reduced to at
-    * most m distinct positions per (file, column) by `array_distinct`
-    * inside the aggregate, so the driver collects O(files × cols × m)
-    * bounded data, never row-scale. Only string and integral columns get
-    * filters (the type tag guards probe-side coercion soundness);
-    * partition columns are absent from the data files and are already
-    * exactly prunable from their hive path segment.
+    * codegen'd built-ins (`md5`/`conv`/`pmod` — no UDF), exploded to
+    * (file, column, position) rows, and aggregated with `collect_set`, so
+    * the aggregation state is a distinct-position set bounded by m per
+    * (file, column) group — never O(rows × k) — and partial aggregation
+    * dedups map-side before the shuffle. The driver then collects
+    * O(files × cols × m) bounded data, never row-scale. Only string and
+    * integral columns get filters (the type tag guards probe-side
+    * coercion soundness); partition columns are absent from the data
+    * files and are already exactly prunable from their hive path segment.
+    * A (file, column) pair with no non-null values yields no group and so
+    * no bloom — sound (absent bloom never prunes), and the all-null case
+    * is already pruned exactly by the footer null-count stats.
     */
   private def bloomStats(rels: Seq[String], cols: Seq[String])
       : Map[String, Map[String, TxLogTable.Bloom]] = {
-    import org.apache.spark.sql.functions.{array_distinct, collect_list,
-      conv, flatten, input_file_name, lit, md5, pmod, sequence, substring,
-      transform, when}
+    import org.apache.spark.sql.functions.{array, collect_set, conv,
+      explode, input_file_name, lit, md5, pmod, sequence, struct,
+      substring, transform, when}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
       ShortType, StringType}
     val safe = cols.filter(TxLogTable.statsSafe)
@@ -1005,22 +1061,29 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         transform(sequence(lit(1), lit(k)),
           i => pmod(h1 + i.cast("long") * h2, lit(m.toLong))))
     }
-    val aggs = typed.map { case (c, _) =>
-      array_distinct(flatten(collect_list(positions(c)))).as(c) }
-    val rows = df.groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
+    val pairs = df.select(input_file_name().as("_file"),
+        explode(array(typed.map { case (c, _) =>
+          struct(lit(c).as("c"), positions(c).as("ps")) }: _*)).as("_cp"))
+      .select(col("_file"), col("_cp.c").as("_c"),
+        explode(col("_cp.ps")).as("_pos"))
+    val rows = pairs.groupBy(col("_file"), col("_c"))
+      .agg(collect_set(col("_pos")).as("_ps")).collect()
     val relOf: Map[String, String] = paths.zip(rels).map { case (p, r) =>
       Paths.get(p).toUri.getPath -> r }.toMap
-    rows.flatMap { row =>
+    val typOf: Map[String, Char] = typed.toMap
+    val out = scala.collection.mutable.Map
+      .empty[String, Map[String, TxLogTable.Bloom]]
+    rows.foreach { row =>
       val path = scala.util.Try(
         new java.net.URI(row.getString(0)).getPath).getOrElse(row.getString(0))
-      relOf.get(path).map { rel =>
-        rel -> typed.zipWithIndex.map { case ((c, t), i) =>
-          c -> TxLogTable.Bloom.fromPositions(m, k, t,
-            row.getSeq[Long](i + 1).map(_.toInt))
-        }.toMap
+      relOf.get(path).foreach { rel =>
+        val c = row.getString(1)
+        val bloom = TxLogTable.Bloom.fromPositions(m, k, typOf(c),
+          row.getSeq[Long](2).map(_.toInt))
+        out(rel) = out.getOrElse(rel, Map.empty) + (c -> bloom)
       }
-    }.toMap
+    }
+    out.toMap
   }
 
   private def stageWithStats(df: DataFrame, partitionCols: Seq[String],
@@ -1101,11 +1164,19 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * Pruning uses the HULL [min,max] of the batch's keys per integral key
     * column (one small aggregate over the delta) — sound because a file
     * whose range is disjoint from the hull on ANY key column cannot hold
-    * any batch key tuple. Non-integral keys (no footer stats) contribute
-    * no pruning; with none, every file is affected and the merge degrades
-    * to the full rewrite it replaces. NULL batch keys only insert (SQL
-    * equality never matches them), so their absence from min/max cannot
-    * unprune a deletion target.
+    * any batch key tuple. STRING key columns prune through the per-file
+    * manifest Bloom filters: the batch's distinct values (collected under
+    * [[TxLogTable.MaxMergeProbeKeys]] — a wider batch contributes no
+    * pruning, conservatively) are probed against each carried file's
+    * bloom, and a file none of whose blooms might contain any batch value
+    * cannot hold a matching row — the reference's own employee upsert is
+    * keyed on a string (`url_id`), so without this the most common merge
+    * shape would silently rewrite the whole table. Key columns that are
+    * neither integral nor bloom-covered strings contribute no pruning;
+    * with no pruning handle at all, every file is affected and the merge
+    * degrades to the full rewrite it replaces. NULL batch keys only
+    * insert (SQL equality never matches them), so their absence from the
+    * hull / probe set cannot unprune a deletion target.
     *
     * Concurrency: same optimistic manifest race as `commit`, but a lost
     * race RE-PLANS from the new latest version (the carried set may have
@@ -1135,12 +1206,27 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             k -> (row.getLong(2 * i), row.getLong(2 * i + 1))
         }.toMap
       }
-    // an integral key column whose batch values are ALL null (bounds empty
-    // despite integral keys) can never equality-match an existing row: the
-    // batch is pure insert, zero files need rewriting. No integral key at
-    // all → no pruning handle → every file is affected (the full rewrite
-    // this method otherwise replaces).
-    val pureInsert = integralKeys.nonEmpty && bounds.isEmpty
+    // STRING merge keys prune via the manifest Blooms: collect the batch's
+    // distinct values per string key (one small distinct per column, capped
+    // at MaxMergeProbeKeys + 1 rows of driver data). None = over the cap —
+    // that column contributes no pruning, conservatively.
+    val stringKeys = keys.filter(k =>
+      schema.find(_.name == k).exists(_.dataType ==
+        org.apache.spark.sql.types.StringType))
+    val stringProbes: Map[String, Option[Set[String]]] = stringKeys.map { k =>
+      val vals = incoming.select(col(k)).where(col(k).isNotNull)
+        .distinct().limit(TxLogTable.MaxMergeProbeKeys + 1)
+        .collect().map(_.getString(0))
+      k -> (if (vals.length > TxLogTable.MaxMergeProbeKeys) None
+            else Some(vals.toSet))
+    }.toMap
+    // a key column whose batch values are ALL null (empty hull / empty
+    // probe set despite the batch) can never equality-match an existing
+    // row: the batch is pure insert, zero files need rewriting. No prunable
+    // key at all → no pruning handle → every file is affected (the full
+    // rewrite this method otherwise replaces).
+    val pureInsert = (integralKeys.nonEmpty && bounds.isEmpty) ||
+      stringProbes.values.exists(_.exists(_.isEmpty))
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -1148,8 +1234,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
         .partition { line =>
           val e = TxLogTable.decodeEntry(line)
-          !pureInsert && (bounds.isEmpty || bounds.forall {
-            case (c, (lo, hi)) => mayOverlap(e, c, lo, hi) })
+          // a file is affected only when EVERY prunable key column says it
+          // may hold a batch value — a disjoint hull or an all-negative
+          // bloom probe on ANY key column clears the whole key tuple
+          !pureInsert &&
+            bounds.forall { case (c, (lo, hi)) => mayOverlap(e, c, lo, hi) } &&
+            stringProbes.forall { case (c, probe) =>
+              probe.forall(vals => mayContainKey(e, c, vals)) }
         }
       // rewrite reads through the tombstone mask so a MOR-deleted row is
       // never resurrected by a later merge's rewrite

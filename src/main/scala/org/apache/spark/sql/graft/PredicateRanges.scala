@@ -132,6 +132,26 @@ object PredicateRanges {
     case _ => None
   }
 
+  /** Coercion-canonical identity of a point: two literals that could
+    * describe the SAME row under SQL type coercion must map to the same
+    * key, or AND-intersection would wrongly conclude "no row can match".
+    * An integral literal and any string literal parsing to the same
+    * numeric value are coercion-equal: `c = 3 AND c = '3'` is satisfied
+    * by the row c = 3 when c is integral (the string side coerces), and
+    * by the row c = "3" when c is a string column (the integral side
+    * compares through a double cast) — likewise `'03'`/`'3.0'`/`' 3'`,
+    * which Spark's cast all take to 3. Scala `BigDecimal` equality is
+    * value-based (BigDecimal("3") == BigDecimal("3.0") == BigDecimal("03")),
+    * exactly the equivalence needed. A string that parses as NO number is
+    * exact: it casts to NULL against a numeric column (a comparison that
+    * is never TRUE) and string-vs-string equality is uncoerced — so
+    * distinct keys really cannot co-describe a row of any type the bloom
+    * probe handles (filters exist only for string and integral columns).
+    */
+  private def pointKey(p: Point): Either[String, BigDecimal] =
+    if (!p.isString) Right(BigDecimal(p.canon))
+    else scala.util.Try(BigDecimal(p.canon.trim)).toOption.toRight(p.canon)
+
   private def walkPoints(n: ColumnNode): Map[String, Set[Point]] = n match {
     case f: NodeFn => (f.functionName.toLowerCase(java.util.Locale.ROOT),
         f.arguments) match {
@@ -139,7 +159,14 @@ object PredicateRanges {
         val a = walkPoints(l); val b = walkPoints(r)
         (a.keySet ++ b.keySet).iterator.map { k =>
           k -> ((a.get(k), b.get(k)) match {
-            case (Some(x), Some(y)) => x & y // may be empty: prune ALL files
+            case (Some(x), Some(y)) =>
+              // intersect by coercion-canonical key, NOT structural
+              // equality — `c = 3 AND c = '3'` keeps the point, while
+              // `c = 3 AND c = 4` goes empty (prune ALL files). Both
+              // sides' renderings of a surviving key are kept, so the
+              // probe-time type normalization sees the richest form.
+              val shared = x.map(pointKey) & y.map(pointKey)
+              (x ++ y).filter(p => shared(pointKey(p)))
             case (Some(x), None) => x
             case (None, Some(y)) => y
             case _ => Set.empty[Point]

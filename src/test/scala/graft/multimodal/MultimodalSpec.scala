@@ -75,6 +75,36 @@ class MultimodalSpec extends AnyFunSuite {
     })
   }
 
+  test("mp4 box walk: v0/v1 layouts parse, corrupt sizes terminate") {
+    def be4(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      be4(payload.length + 8L) ++ tag.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be4(0x200) ++ "mp41".getBytes("US-ASCII"))
+    def mvhdV0(ts: Int, dur: Int) = box("mvhd",
+      new Array[Byte](12) ++ be4(ts) ++ be4(dur) ++ new Array[Byte](80))
+    def mvhdV1(ts: Int, dur: Long) = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++ be4(ts) ++
+        be4(dur >> 32) ++ be4(dur & 0xffffffffL) ++ new Array[Byte](80))
+    val v0 = ftyp ++ box("free", new Array[Byte](8)) ++
+      box("moov", mvhdV0(600, 3000))
+    val r0 = graft.catalyst.Mp4MetaUtil.parse(v0)
+    assert(r0 != null && r0.getString(0) == "isom" &&
+      r0.getLong(1) == 600 && r0.getLong(2) == 5000)
+    val v1 = ftyp ++ box("moov", mvhdV1(1000, 4500L))
+    val r1 = graft.catalyst.Mp4MetaUtil.parse(v1)
+    assert(r1 != null && r1.getLong(1) == 1000 && r1.getLong(2) == 4500)
+    // not an MP4 / truncated / corrupt → NULL, never a hang or throw
+    assert(graft.catalyst.Mp4MetaUtil.parse("plain text".getBytes) == null)
+    assert(graft.catalyst.Mp4MetaUtil.parse(v0.take(30)) == null)
+    val corruptSize = v0.clone()
+    corruptSize(ftyp.length) = 0xff.toByte // free box size → huge u32
+    assert(graft.catalyst.Mp4MetaUtil.parse(corruptSize) == null)
+    val zeroLoop = ftyp ++ be4(7L) ++ "free".getBytes("US-ASCII") // size<hdr
+    assert(graft.catalyst.Mp4MetaUtil.parse(zeroLoop) == null)
+  }
+
   test("metadata query prunes the binary column at the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mm2").toString
     media.write.mode("overwrite").parquet(dir)

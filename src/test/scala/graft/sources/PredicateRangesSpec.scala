@@ -112,4 +112,42 @@ class PredicateRangesSpec extends AnyFunSuite {
               (col("x") < 0 && col("y").isNotNull)) ==
       N(none, Set("x", "y")))
   }
+
+  private def pts(c: Column) = PredicateRanges.extractPoints(c)
+  import PredicateRanges.Point
+
+  test("points: equality and IN contribute, AND intersects, OR unions") {
+    assert(pts(col("x") === 3) == Map("x" -> Set(Point(false, "3"))))
+    assert(pts(lit("a") === col("x")) == Map("x" -> Set(Point(true, "a"))))
+    assert(pts(col("x").isin(1, 2)) ==
+      Map("x" -> Set(Point(false, "1"), Point(false, "2"))))
+    // genuinely contradictory equalities → empty set (prune everything)
+    assert(pts(col("x") === 3 && col("x") === 4) ==
+      Map("x" -> Set.empty[Point]))
+    assert(pts(col("x") === "a" && col("x") === "b") ==
+      Map("x" -> Set.empty[Point]))
+    assert(pts(col("x") === 3 || col("x") === 4) ==
+      Map("x" -> Set(Point(false, "3"), Point(false, "4"))))
+    // OR keeps only columns constrained on BOTH branches
+    assert(pts(col("x") === 3 || col("y") === 4).isEmpty)
+  }
+
+  test("points: AND intersects by coercion value, not structural equality") {
+    // `c = 3 AND c = '3'` is satisfiable (rows with c = 3 match both under
+    // Spark's string/numeric coercion) — a structural Point intersection
+    // would be empty and unsoundly prune every bloom-bearing file
+    assert(pts(col("x") === 3 && col("x") === "3") ==
+      Map("x" -> Set(Point(false, "3"), Point(true, "3"))))
+    // non-canonical numeric renderings coerce to the same value
+    assert(pts(col("x") === 3 && col("x") === "03")("x").nonEmpty)
+    assert(pts(col("x") === 3 && col("x") === "3.0")("x").nonEmpty)
+    assert(pts(col("x") === "3" && col("x") === "3.0")("x").nonEmpty)
+    assert(pts(col("x") === 3 && col("x") === " 3")("x").nonEmpty)
+    // distinct values stay empty — including across kinds: a non-numeric
+    // string casts to NULL against a numeric column (never TRUE) and
+    // string-vs-string equality is uncoerced
+    assert(pts(col("x") === 3 && col("x") === "4")("x").isEmpty)
+    assert(pts(col("x") === 3 && col("x") === "abc")("x").isEmpty)
+    assert(pts(col("x") === "3.5" && col("x") === 3)("x").isEmpty)
+  }
 }

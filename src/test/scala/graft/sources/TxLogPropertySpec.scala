@@ -28,6 +28,7 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case class Append(rows: List[(Long, String)]) extends Op
   private case class Overwrite(rows: List[(Long, String)]) extends Op
   private case class Merge(rows: List[(Long, String)]) extends Op
+  private case class MergeStr(rows: List[(Long, String)]) extends Op
   private case class Delete(ids: List[Long]) extends Op
   private case object Compact extends Op
   private case object ZOrder extends Op
@@ -43,6 +44,7 @@ class TxLogPropertySpec extends AnyFunSuite {
     4 -> rowsGen.map(Append),
     2 -> rowsGen.map(Overwrite),
     3 -> rowsGen.map(Merge),
+    2 -> rowsGen.map(MergeStr),
     2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L))).map(Delete),
     1 -> Gen.const(Compact),
     1 -> Gen.const(ZOrder),
@@ -153,7 +155,12 @@ class TxLogPropertySpec extends AnyFunSuite {
             val v = t.commit(rows.toDF("id", "v"), overwrite = false)
             history += v -> (base ++ rows); live :+= v
           case Overwrite(rows) =>
-            val v = t.commit(rows.toDF("id", "v"), overwrite = true)
+            // blooms on the string column from the first commit: every
+            // later op (string-keyed merge included) inherits and
+            // maintains them, so the composition coverage includes the
+            // bloom-pruned merge path
+            val v = t.commit(rows.toDF("id", "v"), overwrite = true,
+              bloomCols = Seq("v"))
             history += v -> rows; live :+= v
           case Merge(rows) =>
             // delete-insert by key: current rows with a batch id replaced,
@@ -165,6 +172,18 @@ class TxLogPropertySpec extends AnyFunSuite {
               s"merge file accounting: $st vs $before files")
             val ids = rows.map(_._1).toSet
             history += st.version -> (base.filterNot(r => ids(r._1)) ++ rows)
+            live :+= st.version
+          case MergeStr(rows) =>
+            // delete-insert keyed on the STRING column: pruning (when the
+            // table carries blooms) must never change results — the model
+            // is the same key-replacement semantics as the integral merge
+            val base = live.lastOption.map(history).getOrElse(Nil)
+            val before = t.fileCount()
+            val st = t.merge(schema, rows.toDF("id", "v"), Seq("v"))
+            assert(st.rewritten + st.carried == before,
+              s"string merge file accounting: $st vs $before files")
+            val vs = rows.map(_._2).toSet
+            history += st.version -> (base.filterNot(r => vs(r._2)) ++ rows)
             live :+= st.version
           case Delete(ids) =>
             // DELETE where id IN (...): rows with a listed id removed; the
