@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.catalyst.{CosineSim, ImageDims, L2Sq, SortedIntersectCount, TokenizeStem, WinnowFingerprint}
+import graft.catalyst.{CosineSim, ImageDims, L2Sq, Mp4Meta, SortedIntersectCount, TokenizeStem, WinnowFingerprint}
 
 /** Session-extension entry point — the deployment path for the engine's
   * native expressions:
@@ -51,5 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "image_dims(bytes) - struct(format, width, height) parsed from " +
         "PNG/JPEG/GIF headers, NULL if not an image",
       exprs => ImageDims(exprs.head)))
+    ext.injectFunction(fn("video_meta",
+      "video_meta(bytes) - struct(brand, timescale, duration_ms) parsed " +
+        "from an MP4 (ISO BMFF) header, NULL if not an MP4",
+      exprs => Mp4Meta(exprs.head)))
+    // txlog catalog tables read through the native parquet plan —
+    // vectorized scan, whole-stage codegen, manifest pruning — instead of
+    // the V1Scan row-conversion fallback
+    ext.injectResolutionRule(graft.sources.v2.TxLogReadRule.apply)
   }
 }

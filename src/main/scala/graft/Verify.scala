@@ -13,6 +13,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the deployment config: native SQL functions + the txlog catalog
+      // read rule (codegen path for catalog tables)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Reference semantics: parse failures yield null, never an error

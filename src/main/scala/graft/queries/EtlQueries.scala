@@ -33,6 +33,23 @@ object EtlQueries {
   private def joined(c: Column): Column =
     array_join(transform(c, _.cast(StringType)), "|")
 
+  /** Register the `graftcat` txlog catalog once per session and return its
+    * warehouse path. Catalog instances are cached by name at first use, so
+    * the warehouse conf is only set when absent — every query (and every
+    * bench re-run) then agrees on the one directory the cached instance
+    * captured, and `DROP TABLE IF EXISTS` keeps re-runs idempotent.
+    */
+  private def ensureCatalog(s: SparkSession): String = {
+    val key = "spark.sql.catalog.graftcat.warehouse"
+    if (s.conf.getOption(key).isEmpty) {
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.sources.v2.TxLogCatalog")
+      s.conf.set(key,
+        java.nio.file.Files.createTempDirectory("graftcat-wh").toString)
+    }
+    s.conf.get(key)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Manifest-stats data skipping (TxLogTable.snapshotRange): events land
@@ -405,6 +422,67 @@ object EtlQueries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType)))
       tbl.snapshot(wide)
+    }),
+
+    // SQL DDL surface (DSv2 TxLogCatalog): CREATE TABLE ... USING txlog,
+    // INSERT INTO ×2, SELECT with a WHERE — all pure SQL, no library API.
+    // The in-query require proves the read went through the native parquet
+    // plan (extension read rule): whole-stage-codegen FileScan, no V1
+    // InternalRow→Row conversion node — the round-5 connector tax the DSv2
+    // path exists to remove. The oracle recomputes the same select
+    // relationally, hash-checking the whole create→insert→read cycle.
+    "sql_ddl_catalog" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "nation").createOrReplaceTempView("nation_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.nation_tx")
+      s.sql("CREATE TABLE graftcat.db.nation_tx " +
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) USING txlog")
+      s.sql("INSERT INTO graftcat.db.nation_tx " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_src " +
+        "WHERE n_nationkey % 2 = 0")
+      s.sql("INSERT INTO graftcat.db.nation_tx " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_src " +
+        "WHERE n_nationkey % 2 = 1")
+      val out = s.sql("SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM graftcat.db.nation_tx WHERE n_nationkey >= 5")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("FileScan parquet"),
+        s"catalog read must hit the native parquet scan:\n$plan")
+      require(!plan.contains("ExistingRDD") && !plan.contains("RDDScan"),
+        s"V1 row-conversion scan leaked into the catalog read:\n$plan")
+      out
+    }),
+
+    // RENAME via column mapping (TxLogTable.renameColumn through ALTER
+    // TABLE SQL): batch 1 lands under the old name, the rename commits
+    // pure METADATA (the require proves zero files were added or
+    // rewritten), batch 2 lands under the new name — and one SELECT serves
+    // both generations, re-labeling the old files' physical column through
+    // the manifest's logical→physical map. At 100 TB this is the second
+    // schema change every real table hits, and the difference between a
+    // manifest write and rewriting the table. Oracle recomputes the union
+    // relationally under the new name.
+    "schema_evolution_rename" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("customer_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_ren")
+      s.sql("CREATE TABLE graftcat.db.cust_ren " +
+        "(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.cust_ren " +
+        "SELECT c_custkey, c_name, c_acctbal FROM customer_src " +
+        "WHERE c_custkey % 2 = 0")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/cust_ren")
+      val before = tbl.fileCount()
+      s.sql("ALTER TABLE graftcat.db.cust_ren RENAME COLUMN c_name TO cust_name")
+      require(tbl.fileCount() == before,
+        "rename must be a metadata-only commit (no files added/rewritten)")
+      require(tbl.history().last.op.contains("rename-column"),
+        "rename commit missing from history")
+      s.sql("INSERT INTO graftcat.db.cust_ren " +
+        "SELECT c_custkey, c_name AS cust_name, c_acctbal FROM customer_src " +
+        "WHERE c_custkey % 2 = 1")
+      s.sql("SELECT c_custkey, cust_name, c_acctbal " +
+        "FROM graftcat.db.cust_ren")
     }),
 
     // Metadata-only COUNT(*) (TxLogTable.metaRowCount): the count comes
@@ -909,6 +987,13 @@ object EtlQueries {
                 CAST(7 AS INT) AS c_nationkey, 0.5 AS c_acctbal,
                 'FRESH' AS c_mktsegment
          FROM base WHERE c_custkey % 11 = 0""",
+
+    "sql_ddl_catalog" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         WHERE n_nationkey >= 5""",
+
+    "schema_evolution_rename" ->
+      """SELECT c_custkey, c_name AS cust_name, c_acctbal FROM customer""",
 
     "merge_cow_str" ->
       """WITH base AS (SELECT s_suppkey, s_name, s_nationkey, s_acctbal

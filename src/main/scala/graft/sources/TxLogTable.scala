@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.PredicateRanges
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal transaction-log table format — the commit protocol behind the
   * public Delta/Iceberg designs, re-derived for this engine's sink layer
@@ -358,6 +358,187 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def inheritedBloomCols: Seq[String] =
     latestVersion.map(bloomColsOf).getOrElse(Nil)
 
+  /** The LOGICAL table schema recorded at `v` (`#schema=` meta line, JSON).
+    * Present on catalog-created tables ([[create]]) and carried by every
+    * commit; absent on tables that only ever saw raw `commit` calls, whose
+    * schema is inferred from data files as before.
+    */
+  def schemaOf(v: Int): Option[StructType] =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#schema=") =>
+        DataType.fromJson(l.stripPrefix("#schema=")).asInstanceOf[StructType] }
+
+  /** Current logical schema, when recorded. */
+  def tableSchema: Option[StructType] = latestVersion.flatMap(schemaOf)
+
+  /** Logical→physical column-name map at `v` (`#colmap=` meta line).
+    * Physical names are what sits in the parquet files, the footer stats,
+    * the blooms and the hive paths; logical names are what every API-level
+    * schema, predicate and incoming DataFrame uses. A column appears here
+    * only after a [[renameColumn]]; unmapped columns are identity. This is
+    * the column-mapping design Delta/Iceberg use so RENAME is a pure
+    * metadata commit: no data file is ever rewritten, pre-rename files
+    * keep their physical column and the map re-labels it at read time.
+    */
+  def colMapOf(v: Int): Map[String, String] =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#colmap=") =>
+        l.stripPrefix("#colmap=").split(",").iterator
+          .filter(_.nonEmpty).flatMap { kv =>
+            kv.split(">") match {
+              case Array(lg, ph) => Some(lg -> ph)
+              case _ => None
+            }
+          }.toMap }
+      .getOrElse(Map.empty)
+
+  private def inheritedColMap: Map[String, String] =
+    latestVersion.map(colMapOf).getOrElse(Map.empty)
+
+  // logical column name → physical (identity when unmapped)
+  private def physOf(map: Map[String, String], c: String): String =
+    map.getOrElse(c, c)
+
+  // translate a logical-keyed pruning summary to physical keys: manifest
+  // stats, blooms and hive path segments are all recorded physical
+  private def physKeyed[T](map: Map[String, String],
+                           m: Map[String, T]): Map[String, T] =
+    if (map.isEmpty) m else m.map { case (c, v) => physOf(map, c) -> v }
+
+  private def physNullness(map: Map[String, String],
+                           nn: PredicateRanges.Nullness)
+      : PredicateRanges.Nullness =
+    if (map.isEmpty) nn
+    else PredicateRanges.Nullness(nn.mustBeNull.map(physOf(map, _)),
+      nn.mustBeNonNull.map(physOf(map, _)))
+
+  // rename an incoming LOGICAL DataFrame's columns to their physical names
+  // before staging, so data files always carry physical columns
+  private def toPhysical(df: DataFrame): DataFrame = {
+    val map = inheritedColMap
+    if (map.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      col(c).as(physOf(map, c))): _*)
+  }
+
+  // schema/colmap meta lines carried verbatim by every commit (the same
+  // carrying contract as morLines/checkLines — these are TABLE properties,
+  // not per-version facts)
+  private def tableMetaLines(base: Option[Int]): Seq[String] =
+    base.map(manifestLines(_).filter(l =>
+      l.startsWith("#schema=") || l.startsWith("#colmap="))).getOrElse(Nil)
+
+  /** Create an EMPTY table with a declared logical schema — the DDL
+    * surface (`CREATE TABLE ... USING txlog` lands here via the catalog).
+    * Version 0 is a pure-metadata manifest: schema JSON, partition layout,
+    * optional bloom columns, zero data files. Fails if the table exists.
+    */
+  def create(schema: StructType, partitionCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Int = {
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    Files.createDirectories(logDir)
+    Files.createDirectories(dataDir)
+    Files.write(manifestPath(0),
+      (metaLines(partitionCols, "create", bloomCols) ++
+        Seq(s"#schema=${schema.json}")).mkString("\n").getBytes(UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    0
+  }
+
+  /** RENAME COLUMN as a pure metadata commit (column mapping): the logical
+    * schema gets the new name, the colmap routes it to the unchanged
+    * physical column, and NO data file is touched — pre-rename files keep
+    * serving rows under the new name through the map. Requires a recorded
+    * schema (catalog-created tables). Partition columns are refused (their
+    * physical name is baked into every hive path); tables with live MOR
+    * tombstones are refused (tombstone files carry physical key columns —
+    * compact first, which materializes and clears them).
+    */
+  def renameColumn(oldName: String, newName: String,
+                   maxAttempts: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      require(base.isDefined, s"renameColumn on nonexistent table $root")
+      val b = base.get
+      val schema = schemaOf(b).getOrElse(throw new IllegalStateException(
+        s"renameColumn needs a recorded #schema (catalog-created table)"))
+      require(schema.fieldNames.contains(oldName),
+        s"no such column: $oldName")
+      require(!schema.fieldNames.contains(newName),
+        s"column already exists: $newName")
+      require(!partitionColsOf(b).contains(oldName),
+        s"cannot rename partition column $oldName (physical hive paths)")
+      require(tombstonesOf(b).isEmpty,
+        "cannot rename with live MOR tombstones: compact first")
+      val map = colMapOf(b)
+      val phys = physOf(map, oldName)
+      val newMap = map - oldName + (newName -> phys)
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      // bloom columns are recorded by PHYSICAL name already (they are
+      // harvested from staged files), so the line is untouched
+      val next = b + 1
+      val lines = metaLines(partitionColsOf(b), "rename-column",
+        bloomColsOf(b)) ++
+        Seq(s"#schema=${newSchema.json}",
+          s"#colmap=${newMap.toSeq.sorted.map { case (l, p) => s"$l>$p" }
+            .mkString(",")}") ++
+        morLines(base) ++ checkLines(base) ++ dataLines(b)
+      try {
+        Files.write(manifestPath(next),
+          lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"renameColumn lost the version race $maxAttempts times: $root")
+  }
+
+  /** DROP COLUMN as a pure metadata commit: the column leaves the logical
+    * schema and the map; old files keep the physical bytes (projected away
+    * at read — parquet reads only requested columns), new writes simply
+    * don't carry it. Same restrictions as [[renameColumn]].
+    */
+  def dropColumn(name: String, maxAttempts: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      require(base.isDefined, s"dropColumn on nonexistent table $root")
+      val b = base.get
+      val schema = schemaOf(b).getOrElse(throw new IllegalStateException(
+        s"dropColumn needs a recorded #schema (catalog-created table)"))
+      require(schema.fieldNames.contains(name), s"no such column: $name")
+      require(!partitionColsOf(b).contains(name),
+        s"cannot drop partition column $name")
+      require(tombstonesOf(b).isEmpty,
+        "cannot drop with live MOR tombstones: compact first")
+      require(schema.fields.length > 1, "cannot drop the last column")
+      val newMap = colMapOf(b) - name
+      val newSchema = StructType(schema.fields.filterNot(_.name == name))
+      val next = b + 1
+      val lines = metaLines(partitionColsOf(b), "drop-column",
+        bloomColsOf(b)) ++
+        Seq(s"#schema=${newSchema.json}") ++
+        (if (newMap.isEmpty) Nil
+         else Seq(s"#colmap=${newMap.toSeq.sorted
+           .map { case (l, p) => s"$l>$p" }.mkString(",")}")) ++
+        morLines(base) ++ checkLines(base) ++ dataLines(b)
+      try {
+        Files.write(manifestPath(next),
+          lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"dropColumn lost the version race $maxAttempts times: $root")
+  }
+
   /** The merge-on-read delete key columns recorded at `v` — fixed at the
     * first [[deleteByKeysMor]] and immutable after (Iceberg's
     * equality-delete field-ids restriction, for the same reason: every
@@ -434,7 +615,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * schema when the list is empty — the shared read path of snapshot /
     * snapshotRange / snapshotWhere / merge.
     */
-  private def readRels(schema: StructType, rels: Seq[String]): DataFrame =
+  private def readRels(schema: StructType, rels: Seq[String]): DataFrame = {
+    // Column mapping: the caller's schema is LOGICAL; data files carry
+    // PHYSICAL columns. Unmapped names are identity, so pre-rename logical
+    // schemas (time travel to old versions) pass through unchanged, and a
+    // renamed column is read from its unchanged physical bytes and
+    // re-labeled — no file rewrite ever.
+    val map = inheritedColMap
+    val phys = StructType(schema.fields.map(f =>
+      f.copy(name = physOf(map, f.name))))
     if (rels.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -446,9 +635,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       // columns; the select makes the CALLER's declared order
       // authoritative wherever the partition column sits in it.
       spark.read.option("basePath", dataDir.toString)
-        .schema(schema)
+        .schema(phys)
         .parquet(rels.map(rel => dataDir.resolve(rel).toString): _*)
-        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        .select(schema.fields.toIndexedSeq.map(f =>
+          col(physOf(map, f.name)).as(f.name)): _*)
+  }
 
   /** Snapshot read of `version` (default: latest). Absent table or empty
     * manifest → empty DataFrame with the given schema (DDL bootstrap, S5).
@@ -469,10 +660,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * [min,max] excludes the predicate.
     */
   def candidateFiles(column: String, lo: Long, hi: Long,
-                     version: Option[Int] = None): Seq[String] =
+                     version: Option[Int] = None): Seq[String] = {
+    val c = physOf(inheritedColMap, column)
     entries(version).collect {
-      case e if mayOverlap(e, column, lo, hi) => e.rel
+      case e if mayOverlap(e, c, lo, hi) => e.rel
     }
+  }
 
   // May file `e` contain a row where `column IS NULL`? Only a recorded
   // zero null count proves it cannot.
@@ -542,9 +735,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def candidateFilesWhere(pred: org.apache.spark.sql.Column,
                           version: Option[Int] = None): Seq[String] = {
-    val ranges = PredicateRanges.extract(pred)
-    val nn = PredicateRanges.extractNullness(pred)
-    val points = PredicateRanges.extractPoints(pred)
+    val map = inheritedColMap
+    val ranges = physKeyed(map, PredicateRanges.extract(pred))
+    val nn = physNullness(map, PredicateRanges.extractNullness(pred))
+    val points = physKeyed(map, PredicateRanges.extractPoints(pred))
     entries(version).collect {
       case e if mayMatchPred(e, ranges, nn, points) => e.rel
     }
@@ -618,7 +812,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     if (version.orElse(latestVersion).exists(tombstonesOf(_).nonEmpty))
       return None
     val es = entries(version)
-    val st = es.flatMap(_.stats.get(column))
+    val st = es.flatMap(_.stats.get(physOf(inheritedColMap, column)))
     if (es.nonEmpty && st.size == es.size)
       Some((st.map(_._1).min, st.map(_._2).max))
     else None
@@ -633,7 +827,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def snapshotRange(schema: StructType, column: String, lo: Long, hi: Long,
                     version: Option[Int] = None): DataFrame = {
-    val es = entries(version).filter(mayOverlap(_, column, lo, hi))
+    val c = physOf(inheritedColMap, column)
+    val es = entries(version).filter(mayOverlap(_, c, lo, hi))
     readMaskedEntries(schema, es, version)
       .filter(col(column) >= lo && col(column) <= hi)
   }
@@ -648,9 +843,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def snapshotWhere(schema: StructType, pred: org.apache.spark.sql.Column,
                     version: Option[Int] = None): DataFrame = {
-    val ranges = PredicateRanges.extract(pred)
-    val nn = PredicateRanges.extractNullness(pred)
-    val points = PredicateRanges.extractPoints(pred)
+    val map = inheritedColMap
+    val ranges = physKeyed(map, PredicateRanges.extract(pred))
+    val nn = physNullness(map, PredicateRanges.extractNullness(pred))
+    val points = physKeyed(map, PredicateRanges.extractPoints(pred))
     val es = entries(version).filter(mayMatchPred(_, ranges, nn, points))
     readMaskedEntries(schema, es, version).filter(pred)
   }
@@ -804,7 +1000,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "compact-small", effBloom) ++ morLines(base) ++
+          (metaLines(layout, "compact-small", effBloom) ++
+            tableMetaLines(base) ++ morLines(base) ++
             checkLines(base) ++ large ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -917,7 +1114,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     Files.createDirectories(logDir)
     val batch = "batch-" + java.util.UUID.randomUUID().toString
     val scratch = dataDir.resolve(batch + ".staging")
-    val w = df.write.mode("overwrite")
+    // data files always carry PHYSICAL column names (column mapping):
+    // renamed logical columns are translated here once, so every commit
+    // path — append, merge rewrite, compaction — stays physically uniform
+    // with pre-rename files. Partition columns are never mapped
+    // (renameColumn refuses them), so the layout needs no translation.
+    val w = toPhysical(df).write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(scratch.toString)
     val stagedFiles = scala.util.Using.resource(Files.walk(scratch)) { s =>
@@ -1133,6 +1335,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         Files.write(manifestPath(next),
           (metaLines(partitionCols, "dynamic-overwrite", effBloom) ++
+            tableMetaLines(base) ++
             morLines(base) ++ checkLines(base) ++ carried ++
             tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
@@ -1231,16 +1434,19 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     while (attempt < maxAttempts) {
       val base = latestVersion
       val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val cmap = base.map(colMapOf).getOrElse(Map.empty)
       val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
         .partition { line =>
           val e = TxLogTable.decodeEntry(line)
           // a file is affected only when EVERY prunable key column says it
           // may hold a batch value — a disjoint hull or an all-negative
           // bloom probe on ANY key column clears the whole key tuple
+          // (keys are logical; stats/blooms are probed by physical name)
           !pureInsert &&
-            bounds.forall { case (c, (lo, hi)) => mayOverlap(e, c, lo, hi) } &&
+            bounds.forall { case (c, (lo, hi)) =>
+              mayOverlap(e, physOf(cmap, c), lo, hi) } &&
             stringProbes.forall { case (c, probe) =>
-              probe.forall(vals => mayContainKey(e, c, vals)) }
+              probe.forall(vals => mayContainKey(e, physOf(cmap, c), vals)) }
         }
       // rewrite reads through the tombstone mask so a MOR-deleted row is
       // never resurrected by a later merge's rewrite
@@ -1253,7 +1459,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "merge", effBloom) ++ morLines(base) ++
+          (metaLines(layout, "merge", effBloom) ++ tableMetaLines(base) ++
+            morLines(base) ++
             checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -1290,9 +1497,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column,
                   maxAttempts: Int = 10): TxLogTable.MergeStats = {
-    val ranges = PredicateRanges.extract(pred)
-    val nn = PredicateRanges.extractNullness(pred)
-    val points = PredicateRanges.extractPoints(pred)
+    val cmap = inheritedColMap
+    val ranges = physKeyed(cmap, PredicateRanges.extract(pred))
+    val nn = physNullness(cmap, PredicateRanges.extractNullness(pred))
+    val points = physKeyed(cmap, PredicateRanges.extractPoints(pred))
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -1310,7 +1518,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "delete", effBloom) ++ morLines(base) ++
+          (metaLines(layout, "delete", effBloom) ++ tableMetaLines(base) ++
+            morLines(base) ++
             checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -1347,6 +1556,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                       maxAttempts: Int = 10): Int = {
     val keys = deleteKeys.columns.toSeq
     require(keys.nonEmpty, "deleteByKeysMor needs at least one key column")
+    // the tombstone anti-join matches data columns against tombstone-file
+    // columns by ONE name — a mapped (renamed) key would make the logical
+    // data frame and the physical tombstone disagree
+    keys.foreach(k => require(!inheritedColMap.contains(k),
+      s"MOR delete key $k is a renamed column: compact before MOR deletes"))
     val staged = stage(deleteKeys, Nil)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1358,6 +1572,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       val lines =
         metaLines(layout, "delete-mor", base.map(bloomColsOf).getOrElse(Nil)) ++
+          tableMetaLines(base) ++
           Seq(s"#morKeys=${keys.mkString(",")}") ++
           base.map(tombLines).getOrElse(Nil) ++
           staged.map(rel => s"#tomb=$rel;v=$next") ++
@@ -1423,7 +1638,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val next = base.getOrElse(-1) + 1
       val lines =
-        metaLines(layout, "add-check",
+        tableMetaLines(base) ++
+          metaLines(layout, "add-check",
           base.map(bloomColsOf).getOrElse(Nil)) ++
           morLines(base) ++ checkLines(base) ++
           Seq(s"#check:$name=$expr") ++
@@ -1477,8 +1693,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
              bloomCols: Seq[String] = Nil): Int = {
     val opName =
       Option(op).getOrElse(if (overwrite) "overwrite" else "append")
+    // bloom columns are a physical-name table property (filters are
+    // harvested from staged files): translate caller-supplied logical names
     val effBloom =
-      if (bloomCols.nonEmpty) bloomCols else inheritedBloomCols
+      (if (bloomCols.nonEmpty) bloomCols else inheritedBloomCols)
+        .map(physOf(inheritedColMap, _))
     // maintenance rewrites re-stage rows that already passed at ingest
     if (!Set("compact", "zorder", "compact-small")(opName))
       validateChecks(df, latestVersion)
@@ -1502,7 +1721,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         // the atomic publish: create-if-absent of the version manifest
         Files.write(manifestPath(next),
-          (metaLines(partitionCols, opName, effBloom) ++ props ++
+          (metaLines(partitionCols, opName, effBloom) ++
+            tableMetaLines(base) ++ props ++
             carried ++ tagVersion(staged, next)).mkString("\n")
             .getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)

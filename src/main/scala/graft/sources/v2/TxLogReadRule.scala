@@ -1,0 +1,110 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Analyzer rule (installed by `graft.GraftExtensions`) that replaces a
+  * txlog DataSourceV2 relation with the table's native parquet logical
+  * plan — the same replace-at-resolution trick Delta uses so catalog
+  * tables read through the ordinary FileSourceScan: vectorized parquet,
+  * whole-stage codegen, parquet filter pushdown, and NO InternalRow→Row
+  * conversion (what the V1Scan fallback pays).
+  *
+  * A Filter directly above the relation is additionally translated (as far
+  * as its shape allows — conservative, same contract as the V1 connector's
+  * pushdown) into a predicate `Column` for `snapshotWhere`, so MANIFEST
+  * pruning (range stats, null counts, partition paths, Blooms) happens for
+  * SQL reads too. The original Filter stays on top — untranslated
+  * conjuncts narrow nothing at the manifest but still filter rows, so
+  * results never change.
+  *
+  * Top-down transform: the Filter case must see the relation BENEATH it
+  * before the bare-relation case rewrites it.
+  */
+case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case f @ Filter(cond, rel: DataSourceV2Relation)
+          if rel.table.isInstanceOf[TxLogV2Table] && f.resolved =>
+        val tbl = rel.table.asInstanceOf[TxLogV2Table]
+        Filter(cond, aligned(tbl.snapshotDF(toPredicate(cond)), rel.output))
+      case rel: DataSourceV2Relation
+          if rel.table.isInstanceOf[TxLogV2Table] =>
+        val tbl = rel.table.asInstanceOf[TxLogV2Table]
+        aligned(tbl.snapshotDF(None), rel.output)
+    }
+
+  // Re-key the replacement plan's output to the V2 relation's attribute
+  // ids, so references in parent operators stay valid.
+  private def aligned(df: org.apache.spark.sql.DataFrame,
+                      output: Seq[AttributeReference]): LogicalPlan = {
+    val inner = df.queryExecution.analyzed
+    val byName = inner.output.map(a => a.name -> a).toMap
+    Project(output.map { o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId) }, inner)
+  }
+
+  // Conservative catalyst→Column translation for manifest pruning: only
+  // shapes PredicateRanges understands; anything else contributes nothing
+  // (the Filter on top re-applies the full predicate regardless).
+  private def litVal(l: Literal): Option[Column] = l.value match {
+    case v: Int => Some(lit(v))
+    case v: Long => Some(lit(v))
+    case v: Short => Some(lit(v))
+    case v: Byte => Some(lit(v))
+    case s: UTF8String => Some(lit(s.toString))
+    case _ => None
+  }
+
+  private def toPredicate(e: Expression): Option[Column] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      litVal(l).map(col(a.name) === _)
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      litVal(l).map(col(a.name) === _)
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      litVal(l).map(col(a.name) > _)
+    case GreaterThan(l: Literal, a: AttributeReference) =>
+      litVal(l).map(col(a.name) < _)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      litVal(l).map(col(a.name) >= _)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+      litVal(l).map(col(a.name) <= _)
+    case LessThan(a: AttributeReference, l: Literal) =>
+      litVal(l).map(col(a.name) < _)
+    case LessThan(l: Literal, a: AttributeReference) =>
+      litVal(l).map(col(a.name) > _)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      litVal(l).map(col(a.name) <= _)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+      litVal(l).map(col(a.name) >= _)
+    case In(a: AttributeReference, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      val raw: Seq[Option[Any]] = vs.map {
+        case Literal(v: Int, _) => Some(v)
+        case Literal(v: Long, _) => Some(v)
+        case Literal(v: Short, _) => Some(v)
+        case Literal(v: Byte, _) => Some(v)
+        case Literal(s: UTF8String, _) => Some(s.toString)
+        case _ => None
+      }
+      if (raw.forall(_.isDefined)) Some(col(a.name).isin(raw.flatten: _*))
+      else None
+    case IsNull(a: AttributeReference) => Some(col(a.name).isNull)
+    case IsNotNull(a: AttributeReference) => Some(col(a.name).isNotNull)
+    case Not(IsNull(a: AttributeReference)) => Some(col(a.name).isNotNull)
+    case And(l, r) =>
+      (toPredicate(l), toPredicate(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // one conjunct still prunes soundly
+      }
+    case Or(l, r) =>
+      for (a <- toPredicate(l); b <- toPredicate(r)) yield a || b
+    case _ => None
+  }
+}

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SQL DDL surface of the tx-log format: CREATE / INSERT / SELECT / ALTER
+  * through the DSv2 catalog, with the extension read rule replacing the V2
+  * relation by the native parquet plan (codegen, no V1 row conversion),
+  * and RENAME/DROP COLUMN as pure-metadata column-mapping commits.
+  */
+class TxLogCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.txcat", "graft.sources.v2.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.txcat.warehouse",
+      Files.createTempDirectory("txcat-wh").toString)
+    s
+  }
+
+  private def warehouse: String =
+    spark.conf.get("spark.sql.catalog.txcat.warehouse")
+
+  test("create / insert / select round-trip in pure SQL") {
+    spark.sql(
+      "CREATE TABLE txcat.ns.kv (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.kv VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO txcat.ns.kv VALUES (3, 'c')")
+    val got = spark.sql("SELECT id, v FROM txcat.ns.kv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // INSERT OVERWRITE maps to an overwrite commit
+    spark.sql("INSERT OVERWRITE txcat.ns.kv VALUES (9, 'z')")
+    assert(spark.sql("SELECT * FROM txcat.ns.kv").count() == 1)
+    assert(spark.sql("SHOW TABLES IN txcat.ns").collect()
+      .map(_.getString(1)).contains("kv"))
+  }
+
+  test("reads go through the native parquet plan, not a V1 RDD scan") {
+    spark.sql(
+      "CREATE TABLE txcat.ns.plan_t (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.plan_t VALUES (1, 'a'), (2, 'b')")
+    val df = spark.sql("SELECT id FROM txcat.ns.plan_t WHERE id > 1")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("FileScan parquet"),
+      s"expected a native parquet scan:\n$physical")
+    assert(!physical.contains("ExistingRDD") && !physical.contains("RDDScan"),
+      s"V1 row-conversion scan leaked into the plan:\n$physical")
+    // filter made it into the parquet scan's pushed filters too
+    assert(physical.contains("PushedFilters: [") &&
+      physical.contains("GreaterThan(id,1)"), physical)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("filter above the relation prunes at the manifest") {
+    spark.sql(
+      "CREATE TABLE txcat.ns.banded (id BIGINT, v STRING) USING txlog")
+    // three commits → three files with disjoint id ranges
+    spark.sql("INSERT INTO txcat.ns.banded VALUES (1, 'a'), (2, 'a')")
+    spark.sql("INSERT INTO txcat.ns.banded VALUES (10, 'b'), (11, 'b')")
+    spark.sql("INSERT INTO txcat.ns.banded VALUES (20, 'c'), (21, 'c')")
+    val t = TxLogTable(spark, s"$warehouse/ns/banded")
+    val total = t.fileCount() // a VALUES insert may split into >1 file
+    assert(total >= 3)
+    // the rule routes WHERE through snapshotWhere: files outside [10,11]
+    // never reach the scan
+    val df = spark.sql(
+      "SELECT id, v FROM txcat.ns.banded WHERE id >= 10 AND id <= 11")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    val cand = t.candidateFilesWhere(col("id") >= 10 && col("id") <= 11).size
+    assert(cand >= 1 && cand < total,
+      s"manifest pruned nothing: $cand of $total files")
+  }
+
+  test("rename column is a metadata-only commit; old files keep serving") {
+    spark.sql(
+      "CREATE TABLE txcat.ns.ren (id BIGINT, val STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.ren VALUES (1, 'pre')")
+    val t = TxLogTable(spark, s"$warehouse/ns/ren")
+    val filesBefore = t.fileCount()
+    val dataBefore = Files.walk(java.nio.file.Paths.get(
+      s"$warehouse/ns/ren/data")).iterator()
+    spark.sql("ALTER TABLE txcat.ns.ren RENAME COLUMN val TO label")
+    assert(t.fileCount() == filesBefore, "rename rewrote data files")
+    assert(t.history().last.op.contains("rename-column"))
+    // post-rename write carries the new logical name, physically the old
+    spark.sql("INSERT INTO txcat.ns.ren VALUES (2, 'post')")
+    val got = spark.sql("SELECT id, label FROM txcat.ns.ren ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "pre"), (2L, "post")))
+    // old name is gone from the logical schema
+    val err = intercept[Exception] {
+      spark.sql("SELECT val FROM txcat.ns.ren").collect()
+    }
+    // physical uniformity: every data file carries the ORIGINAL column
+    import scala.jdk.CollectionConverters._
+    val parquets = scala.util.Using.resource(Files.walk(
+        java.nio.file.Paths.get(s"$warehouse/ns/ren/data"))) { s =>
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList }
+    parquets.foreach { p =>
+      val cols = spark.read.parquet(p.toString).columns.toSet
+      assert(cols == Set("id", "val"), s"$p carries $cols")
+    }
+  }
+
+  test("drop column is metadata-only; merge and predicates use the map") {
+    spark.sql("CREATE TABLE txcat.ns.dropt " +
+      "(id BIGINT, keep STRING, gone STRING) USING txlog")
+    spark.sql(
+      "INSERT INTO txcat.ns.dropt VALUES (1, 'k1', 'g1'), (2, 'k2', 'g2')")
+    spark.sql("ALTER TABLE txcat.ns.dropt DROP COLUMN gone")
+    val got = spark.sql("SELECT * FROM txcat.ns.dropt ORDER BY id")
+    assert(got.columns.toSeq == Seq("id", "keep"))
+    assert(got.collect().map(_.getString(1)).toSeq == Seq("k1", "k2"))
+    // predicate on a RENAMED column routes through the map for pruning
+    spark.sql("ALTER TABLE txcat.ns.dropt RENAME COLUMN keep TO kept")
+    val t = TxLogTable(spark, s"$warehouse/ns/dropt")
+    val rows = t.snapshotWhere(
+      spark.sql("SELECT * FROM txcat.ns.dropt").schema,
+      col("kept") === "k2").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("k2"))
+    // merge keyed on the renamed column still matches physical rows
+    val batch = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(2L, "K2")),
+      got.schema.copy(fields = Array(got.schema("id"),
+        got.schema("keep").copy(name = "kept"))))
+    val st = t.merge(batch.schema, batch, Seq("id"))
+    val after = spark.sql("SELECT id, kept FROM txcat.ns.dropt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((1L, "k1"), (2L, "K2")))
+  }
+}
