@@ -59,4 +59,17 @@ object ZOrder {
   def zValue(a: Column, aMin: Long, aMax: Long,
              b: Column, bMin: Long, bMax: Long): Column =
     interleave(gridCell(a, aMin, aMax), gridCell(b, bMin, bMax))
+
+  /** Order-preserving 7-byte-prefix encoding of a string column into a
+    * non-negative Long — the Column twin of
+    * `graft.sources.TxLogTable.strEncFloor` (first 7 UTF-8 bytes,
+    * big-endian, zero-padded): `hex` of the truncated binary, right-padded
+    * to 14 hex digits, parsed base-16. Pure codegen'd built-ins, so a
+    * string dimension rides the same Morton curve as an integral one and
+    * the resulting files' `:spre:` stats prune string ranges
+    * ([[graft.sources.TxLogTable.snapshotWhere]]).
+    */
+  def strEnc(c: Column): Column =
+    conv(rpad(substring(hex(c.cast("binary")), 1, 14), 14, "0"), 16, 10)
+      .cast("long")
 }

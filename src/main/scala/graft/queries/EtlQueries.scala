@@ -424,6 +424,29 @@ object EtlQueries {
       tbl.snapshot(wide)
     }),
 
+    // STRING range skipping (round-6 #8): documents land clustered by
+    // `source` (repartitionByRange on the string column → files covering
+    // disjoint name ranges), and each file's manifest line carries the
+    // parquet footer's min/max BYTES embedded order-preservingly into the
+    // (Long, Long) stats slot (:spre: key, 7-byte-prefix floor/ceil).
+    // A string RANGE predicate — the one string shape the equality-only
+    // Blooms cannot skip — then prunes files straight off the manifest:
+    // the require proves files were skipped, the oracle proves skipping
+    // lost no rows. At 100 TB this is retention/tenant scans on
+    // string-keyed layouts (url prefixes, tenant codes) at O(band files).
+    "skip_string_range" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-skip-str")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("docs").toString)
+      tbl.commit(d.repartitionByRange(6, col("source")), overwrite = true)
+      val pred = col("source") >= "src3" && col("source") <= "src5"
+      val pruned = tbl.candidateFilesWhere(pred).size
+      require(pruned < tbl.fileCount(),
+        s"string range skipped nothing: $pruned of ${tbl.fileCount()} files")
+      tbl.snapshotWhere(d.schema, pred)
+    }),
+
     // SQL DDL surface (DSv2 TxLogCatalog): CREATE TABLE ... USING txlog,
     // INSERT INTO ×2, SELECT with a WHERE — all pure SQL, no library API.
     // The in-query require proves the read went through the native parquet
@@ -987,6 +1010,10 @@ object EtlQueries {
                 CAST(7 AS INT) AS c_nationkey, 0.5 AS c_acctbal,
                 'FRESH' AS c_mktsegment
          FROM base WHERE c_custkey % 11 = 0""",
+
+    "skip_string_range" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE source >= 'src3' AND source <= 'src5'""",
 
     "sql_ddl_catalog" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

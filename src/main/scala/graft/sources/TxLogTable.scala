@@ -98,6 +98,50 @@ object TxLogTable {
     */
   val AddedVKey = ":v"
 
+  /** Reserved stats-key prefix for STRING/BINARY range stats
+    * (`:spre:<col>=floorEnc:ceilEnc`): the column's parquet footer
+    * min/max bytes, embedded into the existing (Long, Long) stats slot by
+    * an order-preserving 7-byte-prefix encoding ([[strEncFloor]] /
+    * [[strEncCeil]]). Lets `snapshotWhere` prune string RANGE predicates
+    * (`url >= 'h' AND url < 'i'`) from the manifest — the one string
+    * shape the per-file Blooms (equality-only) cannot skip.
+    */
+  val StrKeyPrefix = ":spre:"
+
+  def strKey(column: String): String = StrKeyPrefix + column
+
+  /** Order-preserving 7-byte-prefix embedding of a byte string into a
+    * non-negative Long: the first 7 bytes big-endian, right-padded with
+    * zero bytes. UTF-8 byte order equals code-point order, so for string
+    * columns the embedding is monotone in the column's sort order:
+    * a <= b  ⇒  strEncFloor(a) <= strEncFloor(b). The FLOOR form is a
+    * lower bound for any string with that prefix; [[strEncCeil]] is the
+    * matching upper bound (floor + 1 when truncation dropped bytes).
+    * 7 bytes = 56 bits keeps every value strictly positive in a signed
+    * Long, so the existing (Long, Long) stats wire format carries it.
+    */
+  def strEncFloor(bytes: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  def strEncCeil(bytes: Array[Byte]): Long = {
+    val f = strEncFloor(bytes)
+    if (bytes.length <= 7) f
+    else f + 1 // truncated: every continuation sorts below prefix+1
+  }
+
+  def strEncFloor(s: String): Long =
+    strEncFloor(s.getBytes(UTF_8))
+
+  def strEncCeil(s: String): Long =
+    strEncCeil(s.getBytes(UTF_8))
+
   /** A column name is stats-safe iff it contains no wire-format delimiter
     * (`=` `;` `:` tab newline — the separators of
     * `rel<TAB>col=min:max;...`). Unsafe names would encode to an
@@ -710,19 +754,37 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         else canons.flatten.exists(b.mightContain)
     }
 
+  // May file `e` contain a row whose STRING `column` lies in the
+  // inclusive [lo, hi] bound, judged by the :spre:-keyed footer stats
+  // through the order-preserving prefix embedding? The embedding is
+  // monotone, so enc_floor(lo) > ceil-encoded max proves every value is
+  // below lo, and enc_ceil(hi) < floor-encoded min proves every value is
+  // above hi — either way the file cannot match. No stats → cannot prune.
+  private def mayOverlapStr(e: TxLogTable.FileEntry, column: String,
+                            b: PredicateRanges.StrBound): Boolean =
+    e.stats.get(TxLogTable.strKey(column)) match {
+      case None => true
+      case Some((encMin, encMax)) =>
+        b.lo.forall(lo => encMax >= TxLogTable.strEncFloor(lo)) &&
+          b.hi.forall(hi => encMin <= TxLogTable.strEncCeil(hi))
+    }
+
   // May file `e` contain a row matching a predicate summarized as range
-  // bounds + nullness constraints + equality point sets? The single
-  // pruning decision behind snapshotWhere / deleteWhere /
-  // candidateFilesWhere.
+  // bounds + nullness constraints + equality point sets + string range
+  // bounds? The single pruning decision behind snapshotWhere /
+  // deleteWhere / candidateFilesWhere.
   private def mayMatchPred(e: TxLogTable.FileEntry,
                            ranges: Map[String, PredicateRanges.Bound],
                            nn: PredicateRanges.Nullness,
                            points: Map[String, Set[PredicateRanges.Point]] =
+                             Map.empty,
+                           strRanges: Map[String, PredicateRanges.StrBound] =
                              Map.empty): Boolean =
     ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) } &&
       nn.mustBeNull.forall(mayHaveNull(e, _)) &&
       nn.mustBeNonNull.forall(mayHaveNonNull(e, _)) &&
-      points.forall { case (c, pts) => mayMatchBloom(e, c, pts) }
+      points.forall { case (c, pts) => mayMatchBloom(e, c, pts) } &&
+      strRanges.forall { case (c, b) => mayOverlapStr(e, c, b) }
 
   /** Files of `version` that MAY contain a row matching `pred` — the
     * manifest-level pruning decision behind [[snapshotWhere]] /
@@ -739,8 +801,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val ranges = physKeyed(map, PredicateRanges.extract(pred))
     val nn = physNullness(map, PredicateRanges.extractNullness(pred))
     val points = physKeyed(map, PredicateRanges.extractPoints(pred))
+    val strs = physKeyed(map, PredicateRanges.extractStr(pred))
     entries(version).collect {
-      case e if mayMatchPred(e, ranges, nn, points) => e.rel
+      case e if mayMatchPred(e, ranges, nn, points, strs) => e.rel
     }
   }
 
@@ -847,7 +910,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val ranges = physKeyed(map, PredicateRanges.extract(pred))
     val nn = physNullness(map, PredicateRanges.extractNullness(pred))
     val points = physKeyed(map, PredicateRanges.extractPoints(pred))
-    val es = entries(version).filter(mayMatchPred(_, ranges, nn, points))
+    val strs = physKeyed(map, PredicateRanges.extractStr(pred))
+    val es = entries(version)
+      .filter(mayMatchPred(_, ranges, nn, points, strs))
     readMaskedEntries(schema, es, version).filter(pred)
   }
 
@@ -1029,16 +1094,26 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"compactZOrder of empty table: $root"))
     val cols = partitionColsOf(v)
     val snap = snapshot(schema)
+    // a STRING dimension rides the curve through the order-preserving
+    // prefix encoding (ZOrder.strEnc — the Column twin of the :spre: stats
+    // embedding); integral dimensions grid on the raw value as before
+    def gridInput(c: String): org.apache.spark.sql.Column =
+      schema.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.StringType) =>
+          graft.operators.ZOrder.strEnc(col(c))
+        case _ => col(c).cast("long")
+      }
+    val (ea, eb) = (gridInput(colA), gridInput(colB))
     val mm = snap.agg(
-      org.apache.spark.sql.functions.min(col(colA).cast("long")),
-      org.apache.spark.sql.functions.max(col(colA).cast("long")),
-      org.apache.spark.sql.functions.min(col(colB).cast("long")),
-      org.apache.spark.sql.functions.max(col(colB).cast("long"))).head()
+      org.apache.spark.sql.functions.min(ea),
+      org.apache.spark.sql.functions.max(ea),
+      org.apache.spark.sql.functions.min(eb),
+      org.apache.spark.sql.functions.max(eb)).head()
     if (mm.isNullAt(0) || mm.isNullAt(2)) // empty table: plain compact
       return compact(schema, numFiles)
     val z = graft.operators.ZOrder.zValue(
-      col(colA), mm.getLong(0), mm.getLong(1),
-      col(colB), mm.getLong(2), mm.getLong(3))
+      ea, mm.getLong(0), mm.getLong(1),
+      eb, mm.getLong(2), mm.getLong(3))
     val packed = snap.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -1210,6 +1285,31 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                 case None => (mn, mx)
               }
               acc(name) = next
+            }
+          }
+          // STRING/BINARY ranges under the reserved :spre: key — the
+          // footer's min/max BYTES, embedded order-preservingly into the
+          // (Long, Long) slot as (floor(min), ceil(max)). The footer
+          // contract guarantees min <= values <= max in unsigned byte
+          // order even when the writer truncated the stats, and the
+          // floor/ceil embedding only ever WIDENS, so pruning on these
+          // bounds is sound.
+          if (tpe == BINARY && st != null && !st.isEmpty &&
+              st.hasNonNullValue) {
+            val name = c.getPath.toDotString
+            if (TxLogTable.statsSafe(name)) {
+              val mnB = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              val mxB = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              val (mn, mx) =
+                (TxLogTable.strEncFloor(mnB), TxLogTable.strEncCeil(mxB))
+              val key = TxLogTable.strKey(name)
+              val next = acc.get(key) match {
+                case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+                case None => (mn, mx)
+              }
+              acc(key) = next
             }
           }
         }
@@ -1501,13 +1601,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val ranges = physKeyed(cmap, PredicateRanges.extract(pred))
     val nn = physNullness(cmap, PredicateRanges.extractNullness(pred))
     val points = physKeyed(cmap, PredicateRanges.extractPoints(pred))
+    val strs = physKeyed(cmap, PredicateRanges.extractStr(pred))
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
         .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
-          ranges, nn, points))
+          ranges, nn, points, strs))
       // NULL predicate keeps the row: DELETE only removes where TRUE.
       // Reads through the tombstone mask (no resurrection on rewrite).
       val kept = readMaskedEntries(schema,

@@ -193,6 +193,81 @@ object PredicateRanges {
     case _ => Map.empty
   }
 
+  /** Inclusive STRING bounds implied by `pred` per column — the range
+    * complement to [[Point]]s (which only serve equality/bloom probes).
+    * Strict comparisons are WIDENED to inclusive (sound: wider, never
+    * narrower); either side may be absent (unbounded). Consumed against
+    * the `:spre:`-keyed manifest stats via the order-preserving prefix
+    * embedding in `graft.sources.TxLogTable`.
+    */
+  final case class StrBound(lo: Option[String], hi: Option[String]) {
+    def intersect(o: StrBound): StrBound = StrBound(
+      (lo ++ o.lo).reduceOption((a, b) => if (a >= b) a else b),
+      (hi ++ o.hi).reduceOption((a, b) => if (a <= b) a else b))
+    // OR hull: a side stays bounded only when BOTH branches bound it
+    def union(o: StrBound): StrBound = StrBound(
+      for (a <- lo; b <- o.lo) yield if (a <= b) a else b,
+      for (a <- hi; b <- o.hi) yield if (a >= b) a else b)
+  }
+
+  def extractStr(pred: Column): Map[String, StrBound] = walkStr(pred.node)
+
+  private def litStr(n: ColumnNode): Option[String] = n match {
+    case l: NodeLit => l.value match {
+      case s: String => Some(s)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def cmpStr(a: ColumnNode, b: ColumnNode)
+                    (fwd: String => StrBound)(rev: String => StrBound)
+      : Map[String, StrBound] = {
+    val f = for (n <- colName(a); v <- litStr(b)) yield Map(n -> fwd(v))
+    val r = for (n <- colName(b); v <- litStr(a)) yield Map(n -> rev(v))
+    f.orElse(r).getOrElse(Map.empty)
+  }
+
+  private def walkStr(n: ColumnNode): Map[String, StrBound] = n match {
+    case f: NodeFn => (f.functionName, f.arguments) match {
+      case ("and", Seq(l, r)) =>
+        val a = walkStr(l); val b = walkStr(r)
+        (a.keySet ++ b.keySet).iterator.map { k =>
+          k -> ((a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) => x.intersect(y)
+            case (Some(x), None) => x
+            case (None, Some(y)) => y
+            case _ => StrBound(None, None)
+          })
+        }.toMap
+      case ("or", Seq(l, r)) =>
+        val x = walkStr(l); val y = walkStr(r)
+        (x.keySet & y.keySet).iterator
+          .map(k => k -> x(k).union(y(k))).toMap
+      // strict bounds widen to inclusive — the prefix embedding cannot
+      // represent "just above v" exactly, and wider is always sound
+      case (">" | ">=", Seq(a, b)) =>
+        cmpStr(a, b)(v => StrBound(Some(v), None))(
+          v => StrBound(None, Some(v)))
+      case ("<" | "<=", Seq(a, b)) =>
+        cmpStr(a, b)(v => StrBound(None, Some(v)))(
+          v => StrBound(Some(v), None))
+      case ("=" | "==", Seq(a, b)) =>
+        cmpStr(a, b)(v => StrBound(Some(v), Some(v)))(
+          v => StrBound(Some(v), Some(v)))
+      case ("in", c +: rest) if rest.nonEmpty =>
+        val vs = rest.map(litStr)
+        colName(c) match {
+          case Some(nm) if vs.forall(_.isDefined) =>
+            val ss = vs.flatten
+            Map(nm -> StrBound(Some(ss.min), Some(ss.max)))
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+    case _ => Map.empty
+  }
+
   /** Bounds implied by `pred` per referenced column. AND-trees of binary
     * comparisons against integral literals intersect; OR-trees contribute
     * the UNION of both branches' bounds (and only for columns bounded in

@@ -150,4 +150,29 @@ class PredicateRangesSpec extends AnyFunSuite {
     assert(pts(col("x") === 3 && col("x") === "abc")("x").isEmpty)
     assert(pts(col("x") === "3.5" && col("x") === 3)("x").isEmpty)
   }
+
+  private def sb(c: Column) = PredicateRanges.extractStr(c)
+  import PredicateRanges.StrBound
+
+  test("string bounds: comparisons, AND intersect, OR hull, IN") {
+    assert(sb(col("s") >= "b") == Map("s" -> StrBound(Some("b"), None)))
+    assert(sb(col("s") > "b") == Map("s" -> StrBound(Some("b"), None)))
+    assert(sb(lit("b") > col("s")) == Map("s" -> StrBound(None, Some("b"))))
+    assert(sb(col("s") <= "m") == Map("s" -> StrBound(None, Some("m"))))
+    assert(sb(col("s") === "k") == Map("s" -> StrBound(Some("k"), Some("k"))))
+    assert(sb(col("s") >= "b" && col("s") < "m") ==
+      Map("s" -> StrBound(Some("b"), Some("m"))))
+    // AND across columns keeps both; integral comparisons contribute nothing
+    assert(sb(col("s") >= "b" && col("x") > 5) ==
+      Map("s" -> StrBound(Some("b"), None)))
+    // OR hulls, and only columns bounded on BOTH branches
+    assert(sb((col("s") >= "b" && col("s") <= "c") ||
+              (col("s") >= "x" && col("s") <= "y")) ==
+      Map("s" -> StrBound(Some("b"), Some("y"))))
+    assert(sb(col("s") >= "b" || col("t") >= "x").isEmpty)
+    assert(sb(col("s").isin("m", "b", "x")) ==
+      Map("s" -> StrBound(Some("b"), Some("x"))))
+    // mixed-type IN voids the bound
+    assert(sb(col("s").isin("b", 3)).isEmpty)
+  }
 }
