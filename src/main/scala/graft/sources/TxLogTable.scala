@@ -387,6 +387,20 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.stripPrefix("#partitionCols=").split(",").toSeq.filter(_.nonEmpty) }
       .getOrElse(Nil)
 
+  /** Bloom size in BITS recorded at `v` (`#bloomBits=`, default
+    * [[TxLogTable.Bloom.DefaultM]]). A table property like the bloom
+    * columns: the 8192-bit default saturates near ~850 distinct values
+    * per file (kn/m ≥ 2 pushes the false-positive rate past 50%, at which
+    * point a multi-key merge probe clears nothing), so tables whose files
+    * carry thousands of keys size up — 10 bits/value holds ~1% FPP, and a
+    * power-of-two m keeps the position math a mask.
+    */
+  def bloomBitsOf(v: Int): Int =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#bloomBits=") =>
+        l.stripPrefix("#bloomBits=").toInt }
+      .getOrElse(TxLogTable.Bloom.DefaultM)
+
   /** The bloom-indexed columns recorded at `v` — a TABLE property like the
     * partition layout: set once at a commit, inherited by every subsequent
     * append / merge / delete / compaction so rewritten files keep their
@@ -401,6 +415,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   // the table's current bloom columns (empty for a fresh/never-bloom table)
   private def inheritedBloomCols: Seq[String] =
     latestVersion.map(bloomColsOf).getOrElse(Nil)
+
+  private def inheritedBloomBits(base: Option[Int]): Int =
+    base.map(bloomBitsOf).getOrElse(TxLogTable.Bloom.DefaultM)
 
   /** The LOGICAL table schema recorded at `v` (`#schema=` meta line, JSON).
     * Present on catalog-created tables ([[create]]) and carried by every
@@ -465,12 +482,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       col(c).as(physOf(map, c))): _*)
   }
 
-  // schema/colmap meta lines carried verbatim by every commit (the same
-  // carrying contract as morLines/checkLines — these are TABLE properties,
-  // not per-version facts)
+  // schema/colmap/bloom-size meta lines carried verbatim by every commit
+  // (the same carrying contract as morLines/checkLines — these are TABLE
+  // properties, not per-version facts)
   private def tableMetaLines(base: Option[Int]): Seq[String] =
     base.map(manifestLines(_).filter(l =>
-      l.startsWith("#schema=") || l.startsWith("#colmap="))).getOrElse(Nil)
+      l.startsWith("#schema=") || l.startsWith("#colmap=") ||
+        l.startsWith("#bloomBits="))).getOrElse(Nil)
 
   /** Create an EMPTY table with a declared logical schema — the DDL
     * surface (`CREATE TABLE ... USING txlog` lands here via the catalog).
@@ -1061,7 +1079,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         if (layout.isEmpty) smallRows.repartition(nOut)
         else smallRows.repartition(nOut, layout.map(col): _*)
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
-      val staged = stageWithStats(packed, layout, effBloom)
+      val staged = stageWithStats(packed, layout, effBloom,
+        inheritedBloomBits(base))
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
@@ -1335,7 +1354,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * no bloom — sound (absent bloom never prunes), and the all-null case
     * is already pruned exactly by the footer null-count stats.
     */
-  private def bloomStats(rels: Seq[String], cols: Seq[String])
+  private def bloomStats(rels: Seq[String], cols: Seq[String],
+                         bloomBits: Int)
       : Map[String, Map[String, TxLogTable.Bloom]] = {
     import org.apache.spark.sql.functions.{array, collect_set, conv,
       explode, input_file_name, lit, md5, pmod, sequence, struct,
@@ -1352,7 +1372,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         case LongType | IntegerType | ShortType | ByteType => c -> 'i'
       })
     if (typed.isEmpty) return Map.empty
-    val m = TxLogTable.Bloom.DefaultM
+    val m = bloomBits
     val k = TxLogTable.Bloom.DefaultK
     def positions(c: String) = {
       val hex = md5(col(c).cast("string"))
@@ -1389,9 +1409,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   }
 
   private def stageWithStats(df: DataFrame, partitionCols: Seq[String],
-                             bloomCols: Seq[String] = Nil): Seq[String] = {
+                             bloomCols: Seq[String] = Nil,
+                             bloomBits: Int = TxLogTable.Bloom.DefaultM)
+      : Seq[String] = {
     val rels = stage(df, partitionCols)
-    val blooms = bloomStats(rels, bloomCols)
+    val blooms = bloomStats(rels, bloomCols, bloomBits)
     rels.map(rel => TxLogTable.FileEntry(rel, footerStats(rel),
       blooms.getOrElse(rel, Map.empty)).encoded)
   }
@@ -1412,7 +1434,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       "commitDynamic needs partition columns; use commit() otherwise")
     val effBloom = inheritedBloomCols
     validateChecks(df, latestVersion)
-    val staged = stageWithStats(df, partitionCols, effBloom)
+    val staged = stageWithStats(df, partitionCols, effBloom,
+      inheritedBloomBits(latestVersion))
     // the replaced partitions are exactly the hive dirs this batch wrote
     val replacedDirs = staged.map { f =>
       val p = Paths.get(f.takeWhile(_ != '\t'))
@@ -1467,19 +1490,20 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * Pruning uses the HULL [min,max] of the batch's keys per integral key
     * column (one small aggregate over the delta) — sound because a file
     * whose range is disjoint from the hull on ANY key column cannot hold
-    * any batch key tuple. STRING key columns prune through the per-file
-    * manifest Bloom filters: the batch's distinct values (collected under
-    * [[TxLogTable.MaxMergeProbeKeys]] — a wider batch contributes no
-    * pruning, conservatively) are probed against each carried file's
-    * bloom, and a file none of whose blooms might contain any batch value
-    * cannot hold a matching row — the reference's own employee upsert is
-    * keyed on a string (`url_id`), so without this the most common merge
-    * shape would silently rewrite the whole table. Key columns that are
-    * neither integral nor bloom-covered strings contribute no pruning;
-    * with no pruning handle at all, every file is affected and the merge
-    * degrades to the full rewrite it replaces. NULL batch keys only
-    * insert (SQL equality never matches them), so their absence from the
-    * hull / probe set cannot unprune a deletion target.
+    * any batch key tuple. STRING key columns prune through BOTH string
+    * handles: the batch hull against the `:spre:` footer range stats
+    * (exact on key-clustered layouts — the true analog of the integral
+    * hull, immune to bloom saturation), AND the per-file Bloom filters
+    * probed with the batch's distinct values (collected under
+    * [[TxLogTable.MaxMergeProbeKeys]]; over the cap the blooms contribute
+    * nothing while the hull — one tiny agg — still prunes). The
+    * reference's own employee upsert is keyed on a string (`url_id`), so
+    * without these the most common merge shape would silently rewrite the
+    * whole table. Key columns with no pruning handle contribute nothing;
+    * with none at all, every file is affected and the merge degrades to
+    * the full rewrite it replaces. NULL batch keys only insert (SQL
+    * equality never matches them), so their absence from the hull / probe
+    * set cannot unprune a deletion target.
     *
     * Concurrency: same optimistic manifest race as `commit`, but a lost
     * race RE-PLANS from the new latest version (the carried set may have
@@ -1523,6 +1547,25 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       k -> (if (vals.length > TxLogTable.MaxMergeProbeKeys) None
             else Some(vals.toSet))
     }.toMap
+    // the string-key HULL for :spre range pruning: from the collected
+    // probe set when bounded, else one min/max agg (a hull exists for any
+    // batch size — the bloom probe set does not)
+    val stringHulls: Map[String, PredicateRanges.StrBound] =
+      stringKeys.flatMap { k =>
+        stringProbes(k) match {
+          case Some(vals) if vals.nonEmpty =>
+            Some(k -> PredicateRanges.StrBound(Some(vals.min),
+              Some(vals.max)))
+          case Some(_) => None // all-null batch keys: pureInsert below
+          case None =>
+            val r = incoming.agg(
+              org.apache.spark.sql.functions.min(col(k)),
+              org.apache.spark.sql.functions.max(col(k))).head()
+            if (r.isNullAt(0)) None
+            else Some(k -> PredicateRanges.StrBound(
+              Some(r.getString(0)), Some(r.getString(1))))
+        }
+      }.toMap
     // a key column whose batch values are ALL null (empty hull / empty
     // probe set despite the batch) can never equality-match an existing
     // row: the batch is pure insert, zero files need rewriting. No prunable
@@ -1545,6 +1588,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           !pureInsert &&
             bounds.forall { case (c, (lo, hi)) =>
               mayOverlap(e, physOf(cmap, c), lo, hi) } &&
+            stringHulls.forall { case (c, b) =>
+              mayOverlapStr(e, physOf(cmap, c), b) } &&
             stringProbes.forall { case (c, probe) =>
               probe.forall(vals => mayContainKey(e, physOf(cmap, c), vals)) }
         }
@@ -1555,7 +1600,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           base),
         incoming, keys)
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
-      val staged = stageWithStats(merged, layout, effBloom)
+      val staged = stageWithStats(merged, layout, effBloom,
+        inheritedBloomBits(base))
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
@@ -1615,7 +1661,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           affected.map(TxLogTable.decodeEntry), base)
         .filter(!org.apache.spark.sql.functions.coalesce(pred, lit(false)))
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
-      val staged = stageWithStats(kept, layout, effBloom)
+      val staged = stageWithStats(kept, layout, effBloom,
+        inheritedBloomBits(base))
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
@@ -1786,12 +1833,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   /** `bloomCols` non-empty enables per-file Bloom filters on those columns
     * for this commit's files AND records them as a table property every
     * later write inherits; empty inherits the table's current setting.
+    * `bloomBits` > 0 sizes the filters (power of two, 2^13..2^20 bits) and
+    * is likewise recorded and inherited — size for ~10 bits per distinct
+    * value per file (the 8192-bit default saturates near ~850 values).
     */
   def commit(df: DataFrame, overwrite: Boolean,
              maxAttempts: Int = 10,
              partitionCols: Seq[String] = Nil,
              op: String = null,
-             bloomCols: Seq[String] = Nil): Int = {
+             bloomCols: Seq[String] = Nil,
+             bloomBits: Int = 0): Int = {
     val opName =
       Option(op).getOrElse(if (overwrite) "overwrite" else "append")
     // bloom columns are a physical-name table property (filters are
@@ -1799,10 +1850,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val effBloom =
       (if (bloomCols.nonEmpty) bloomCols else inheritedBloomCols)
         .map(physOf(inheritedColMap, _))
+    if (bloomBits > 0)
+      require(Integer.bitCount(bloomBits) == 1 &&
+        bloomBits >= TxLogTable.Bloom.DefaultM && bloomBits <= (1 << 20),
+        s"bloomBits must be a power of two in [8192, 1048576]: $bloomBits")
+    val effBits =
+      if (bloomBits > 0) bloomBits else inheritedBloomBits(latestVersion)
     // maintenance rewrites re-stage rows that already passed at ingest
     if (!Set("compact", "zorder", "compact-small")(opName))
       validateChecks(df, latestVersion)
-    val staged = stageWithStats(df, partitionCols, effBloom)
+    val staged = stageWithStats(df, partitionCols, effBloom, effBits)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -1820,10 +1877,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         checkLines(base)
       val next = base.getOrElse(-1) + 1
       try {
-        // the atomic publish: create-if-absent of the version manifest
+        // the atomic publish: create-if-absent of the version manifest.
+        // An explicit bloomBits replaces the carried table property; the
+        // carried line serves inheritance otherwise.
         Files.write(manifestPath(next),
           (metaLines(partitionCols, opName, effBloom) ++
-            tableMetaLines(base) ++ props ++
+            (if (bloomBits > 0) Seq(s"#bloomBits=$bloomBits") else Nil) ++
+            tableMetaLines(base).filterNot(l =>
+              bloomBits > 0 && l.startsWith("#bloomBits=")) ++ props ++
             carried ++ tagVersion(staged, next)).mkString("\n")
             .getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)

@@ -28,8 +28,80 @@ object ScaleProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
     val what = if (args.isEmpty)
-                 Set("dedup", "txlog", "stream", "skip", "merge", "bloom")
+                 Set("dedup", "txlog", "stream", "skip", "merge", "bloom",
+                   "harvest", "mergestr")
                else args.toSet
+
+    // Bloom HARVEST memory under per-file growth: one file of N rows with
+    // bloom columns enabled. The round-5 harvest buffered O(rows × k)
+    // positions in a single aggregation buffer before dedup (an executor
+    // OOM hazard on exactly the large files blooms exist for); the
+    // explode + collect_set form keeps per-group state bounded by m, so
+    // cost must scale ~linearly with rows (scan-bound) — never
+    // superlinearly, never OOM.
+    if (what("harvest")) for (n <- Seq(1000000L, 10000000L)) {
+      val t = graft.sources.TxLogTable(spark,
+        java.nio.file.Files.createTempDirectory("harvestprobe")
+          .resolve("t").toString)
+      time(s"bloom harvest 1 file × ${n / 1000000}M rows") {
+        t.commit(spark.range(n).select(col("id")).coalesce(1),
+          overwrite = true, bloomCols = Seq("id"))
+        n
+      }
+    }
+
+    // STRING-keyed merge under growth, both pruning handles:
+    //  (a) key-CLUSTERED appends — the batch hull against the :spre range
+    //      stats confines the rewrite to the band's files (the handle
+    //      bloom saturation cannot break);
+    //  (b) key-SCATTERED appends (every file spans the whole key range, so
+    //      the hull prunes nothing) with blooms sized ~40 bits/value —
+    //      only the probe-set bloom pass clears files there.
+    // Rewritten-file counts must stay ~flat as the table grows 10×; a
+    // string merge without these handles rewrites ALL files at any size.
+    if (what("mergestr")) for (k <- Seq(10, 100)) {
+      val n = 100000L
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "s STRING, v STRING")
+      def key(e: String) = s"concat('k', lpad(cast(($e) as string), 10, '0'))"
+      // (a) clustered bands: append i holds ids [i·n, (i+1)·n)
+      val tc = graft.sources.TxLogTable(spark,
+        java.nio.file.Files.createTempDirectory("mergestrprobe")
+          .resolve("t").toString)
+      (0 until k).foreach { i =>
+        tc.commit(spark.range(i * n, (i + 1) * n)
+            .selectExpr(s"${key("id")} as s", "cast(id as string) as v"),
+          overwrite = false)
+      }
+      val batchC = spark.range(3 * n + 100, 3 * n + 1100)
+        .selectExpr(s"${key("id")} as s", "concat('upd', id) as v")
+      var st: graft.sources.TxLogTable.MergeStats = null
+      time(s"merge cow STRING clustered x$k") {
+        st = tc.merge(schema, batchC, Seq("s")); st.version.toLong
+      }
+      println(s"[probe] string clustered x$k rewrote ${st.rewritten} of " +
+        s"${st.rewritten + st.carried} files (hull pruning)")
+      // (b) scattered: append i holds ids ≡ i (mod k) — every file spans
+      // the full range; blooms at 2^17 bits carry ~40 bits/value at
+      // n/file ≈ 3k, low enough FPP for a 1000-key probe set
+      val ts = graft.sources.TxLogTable(spark,
+        java.nio.file.Files.createTempDirectory("mergestrprobe2")
+          .resolve("t").toString)
+      (0 until k).foreach { i =>
+        ts.commit(spark.range(10000)
+            .selectExpr(s"${key(s"id * $k + $i")} as s",
+              "cast(id as string) as v"),
+          overwrite = false, bloomCols = Seq("s"), bloomBits = 1 << 17)
+      }
+      val batchS = spark.range(100, 1100)
+        .selectExpr(s"${key(s"id * $k + 3")} as s",
+          "concat('upd', id) as v")
+      time(s"merge cow STRING scattered x$k") {
+        st = ts.merge(schema, batchS, Seq("s")); st.version.toLong
+      }
+      println(s"[probe] string scattered x$k rewrote ${st.rewritten} of " +
+        s"${st.rewritten + st.carried} files (bloom pruning)")
+    }
 
     // Bloom skipping under growth: k scattered appends (append i holds
     // ids ≡ i mod k, so every file spans ~the whole id range and min/max
