@@ -85,6 +85,25 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     assert(dst.snapshot(schema).count() == 2)
   }
 
+  test("fence is per-query: two writers' equal batch ids don't collide") {
+    val ctx = spark.sqlContext
+    val dstRoot = java.nio.file.Files.createTempDirectory("txsink-fence2")
+      .resolve("t").toString
+    // two streaming queries appending to ONE table, both at batch 0 —
+    // fencing on batchId alone would silently drop the second query's
+    // batch as a "replay"; the (queryId, batchId) fence must not
+    val a = new TxLogStreamSink(ctx, dstRoot, Nil, Some("query-a"))
+    val b = new TxLogStreamSink(ctx, dstRoot, Nil, Some("query-b"))
+    a.addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+    b.addBatch(0L, Seq((2L, "b")).toDF("id", "v"))
+    val dst = TxLogTable(spark, dstRoot)
+    assert(dst.snapshot(schema).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    // while each query's own replay is still fenced
+    a.addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+    assert(dst.snapshot(schema).count() == 2)
+  }
+
   test("inferred schema matches the batch connector's") {
     val t = TxLogTable(spark,
       java.nio.file.Files.createTempDirectory("txstream2")
