@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.PredicateRanges
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal transaction-log table format — the commit protocol behind the
   * public Delta/Iceberg designs, re-derived for this engine's sink layer
@@ -547,6 +547,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Seq(s"#schema=${newSchema.json}",
           s"#colmap=${newMap.toSeq.sorted.map { case (l, p) => s"$l>$p" }
             .mkString(",")}") ++
+        manifestLines(b).filter(_.startsWith("#bloomBits=")) ++
         morLines(base) ++ checkLines(base) ++ dataLines(b)
       try {
         Files.write(manifestPath(next),
@@ -558,6 +559,55 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"renameColumn lost the version race $maxAttempts times: $root")
+  }
+
+  /** ADD COLUMN as a pure metadata commit: the logical schema gains a
+    * NULLABLE column; files written before it simply lack the physical
+    * column and the parquet reader fills NULL (the standard add-column
+    * evolution contract), files written after carry it. The physical name
+    * must not collide with any live physical column — including one freed
+    * by a rename (its bytes still sit in old files): such a name is
+    * refused rather than silently re-bound to stale data.
+    */
+  def addColumn(name: String, dataType: DataType,
+                maxAttempts: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      require(base.isDefined, s"addColumn on nonexistent table $root")
+      val b = base.get
+      val schema = schemaOf(b).getOrElse(throw new IllegalStateException(
+        s"addColumn needs a recorded #schema (catalog-created table)"))
+      require(!schema.fieldNames.contains(name),
+        s"column already exists: $name")
+      val map = colMapOf(b)
+      val livePhysical =
+        schema.fieldNames.map(c => map.getOrElse(c, c)).toSet
+      require(!livePhysical.contains(name) && !map.valuesIterator
+          .contains(name),
+        s"physical name $name is taken (possibly by a renamed column's " +
+          "old files): pick another name")
+      val newSchema = StructType(schema.fields :+
+        StructField(name, dataType, nullable = true))
+      val next = b + 1
+      val lines = metaLines(partitionColsOf(b), "add-column",
+        bloomColsOf(b)) ++
+        Seq(s"#schema=${newSchema.json}") ++
+        (if (map.isEmpty) Nil
+         else Seq(s"#colmap=${map.toSeq.sorted
+           .map { case (l, p) => s"$l>$p" }.mkString(",")}")) ++
+        manifestLines(b).filter(_.startsWith("#bloomBits=")) ++
+        morLines(base) ++ checkLines(base) ++ dataLines(b)
+      try {
+        Files.write(manifestPath(next),
+          lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"addColumn lost the version race $maxAttempts times: $root")
   }
 
   /** DROP COLUMN as a pure metadata commit: the column leaves the logical
@@ -588,6 +638,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         (if (newMap.isEmpty) Nil
          else Seq(s"#colmap=${newMap.toSeq.sorted
            .map { case (l, p) => s"$l>$p" }.mkString(",")}")) ++
+        manifestLines(b).filter(_.startsWith("#bloomBits=")) ++
         morLines(base) ++ checkLines(base) ++ dataLines(b)
       try {
         Files.write(manifestPath(next),

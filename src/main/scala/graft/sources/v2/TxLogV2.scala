@@ -114,6 +114,12 @@ class TxLogCatalog extends TableCatalog {
         require(dc.fieldNames.length == 1,
           "txlog: nested column drop unsupported")
         t.dropColumn(dc.fieldNames.head)
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1,
+          "txlog: nested column add unsupported")
+        require(ac.isNullable,
+          "txlog: added columns must be nullable (old files fill NULL)")
+        t.addColumn(ac.fieldNames.head, ac.dataType)
       case other =>
         throw new UnsupportedOperationException(
           s"txlog: unsupported table change $other")

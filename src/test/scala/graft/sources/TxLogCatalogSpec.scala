@@ -106,6 +106,29 @@ class TxLogCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("add column is metadata-only; old files read NULL, new files carry it") {
+    spark.sql(
+      "CREATE TABLE txcat.ns.addt (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.addt VALUES (1, 'a')")
+    val t = TxLogTable(spark, s"$warehouse/ns/addt")
+    val before = t.fileCount()
+    spark.sql("ALTER TABLE txcat.ns.addt ADD COLUMN score DOUBLE")
+    assert(t.fileCount() == before, "add-column rewrote data files")
+    spark.sql("INSERT INTO txcat.ns.addt VALUES (2, 'b', 0.5)")
+    val got = spark.sql(
+      "SELECT id, v, score FROM txcat.ns.addt ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.isNullAt(2))).toSeq ==
+      Seq((1L, true), (2L, false)))
+    assert(got(1).getDouble(2) == 0.5)
+    // a freed physical name cannot be re-bound to stale bytes: rename v
+    // away, then adding a new 'v' must refuse (old files still carry v)
+    spark.sql("ALTER TABLE txcat.ns.addt RENAME COLUMN v TO w")
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE txcat.ns.addt ADD COLUMN v STRING")
+    }
+    assert(err.getMessage.contains("physical name"), err.getMessage)
+  }
+
   test("drop column is metadata-only; merge and predicates use the map") {
     spark.sql("CREATE TABLE txcat.ns.dropt " +
       "(id BIGINT, keep STRING, gone STRING) USING txlog")
