@@ -37,6 +37,13 @@ object AnnIndex {
     StructField("cv", ArrayType(DoubleType))))
   val assignmentsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType), StructField("cluster", IntegerType)))
+  val codesSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("c0", IntegerType), StructField("c1", IntegerType),
+    StructField("c2", IntegerType), StructField("c3", IntegerType)))
+  val codebookSchema: StructType = StructType(Seq(
+    StructField("code", IntegerType), StructField("s", IntegerType),
+    StructField("cv", ArrayType(DoubleType))))
 
   /** Train and persist an IVF index over the corpus's CURRENT version.
     * One k-means fit (the only time the corpus is scanned for training),
@@ -57,6 +64,18 @@ object AnnIndex {
       overwrite = true, op = op)
     TxLogTable(spark, s"$indexRoot/assignments").commit(
       assigned.select(col("vec_id"), col("cluster").cast(IntegerType)),
+      overwrite = true, op = op)
+    // PQ artifacts: the 4-subspace codes (64× compressed corpus — what a
+    // billion-vector deployment actually scans) and the codebook the ADC
+    // tables are built from at query time
+    val embD = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    TxLogTable(spark, s"$indexRoot/codes").commit(
+      graft.queries.SimQueries.pqCodesPivot(embD), overwrite = true, op = op)
+    TxLogTable(spark, s"$indexRoot/codebook").commit(
+      graft.queries.SimQueries.pqSubVectors(
+          embD.filter(col("vec_id") < graft.queries.SimQueries.PqCodes))
+        .select(col("vec_id").cast(IntegerType).as("code"), col("s"),
+          col("sv").as("cv")),
       overwrite = true, op = op)
     TxLogTable(spark, s"$indexRoot/meta").commit(
       Seq("corpus_root" -> corpusRoot,
@@ -80,9 +99,11 @@ object AnnIndex {
     * the corpus at scale (cluster id is the partition key of the
     * assignments join).
     */
-  def searchIvf(spark: SparkSession, indexRoot: String, queryVecId: Long,
-                topK: Int, requireFresh: Boolean = false): DataFrame = {
-    graft.catalyst.CosineSim.register(spark)
+  // shared load + staleness gate: (pinned corpus as (vec_id, v), corpus
+  // version) — every search path starts here
+  private def loadPinnedCorpus(spark: SparkSession, indexRoot: String,
+                               requireFresh: Boolean)
+      : (DataFrame, Int) = {
     val meta = loadMeta(spark, indexRoot)
     val pinned = meta("corpus_version").toInt
     val corpus = TxLogTable(spark, meta("corpus_root"))
@@ -96,8 +117,14 @@ object AnnIndex {
         "rebuild the index")
     val schema = DataType.fromJson(meta("corpus_schema"))
       .asInstanceOf[StructType]
-    val emb = corpus.snapshot(schema, Some(pinned))
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    (corpus.snapshot(schema, Some(pinned))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), pinned)
+  }
+
+  def searchIvf(spark: SparkSession, indexRoot: String, queryVecId: Long,
+                topK: Int, requireFresh: Boolean = false): DataFrame = {
+    graft.catalyst.CosineSim.register(spark)
+    val (emb, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val cents = TxLogTable(spark, s"$indexRoot/centroids")
       .snapshot(centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
@@ -115,6 +142,55 @@ object AnnIndex {
       .select(col("vec_id"), col("cluster"),
         cosine(col("v"), col("qv")).as("q_cos"))
       .orderBy(col("q_cos").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** IVF+PQ search through the persisted index — the billion-vector
+    * serving shape with NOTHING trained at query time: the coarse
+    * quantizer routes via persisted centroids, ranking runs on the
+    * persisted 4-byte codes through ADC lookup tables built from the
+    * persisted codebook and the query vector (16 rows per subspace,
+    * broadcast). The corpus's full vectors are touched only to fetch the
+    * query vector itself.
+    */
+  def searchIvfPq(spark: SparkSession, indexRoot: String, queryVecId: Long,
+                  topK: Int, requireFresh: Boolean = false): DataFrame = {
+    graft.catalyst.CosineSim.register(spark)
+    graft.catalyst.L2Sq.register(spark)
+    val (emb, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
+    val cents = TxLogTable(spark, s"$indexRoot/centroids")
+      .snapshot(centroidsSchema)
+    val assigned = TxLogTable(spark, s"$indexRoot/assignments")
+      .snapshot(assignmentsSchema)
+    val codes = TxLogTable(spark, s"$indexRoot/codes")
+      .snapshot(codesSchema)
+    val codebook = TxLogTable(spark, s"$indexRoot/codebook")
+      .snapshot(codebookSchema)
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"))
+    val bestCell = cents.crossJoin(broadcast(q))
+      .select(col("cluster"), cosine(col("cv"), col("qv")).as("cs"))
+      .orderBy(col("cs").desc, col("cluster"))
+      .limit(1).select(col("cluster").as("best_cluster"))
+    // ADC tables from the persisted codebook × the query's subvectors —
+    // same fold and join order as the in-query trainer, so results are
+    // bit-identical to ivfpq_topk over the pinned corpus
+    val qSub = graft.queries.SimQueries.pqSubVectors(
+        emb.filter(col("vec_id") === queryVecId))
+      .select(col("s").as("qs"), col("sv").as("qv"))
+    val dt = codebook.join(broadcast(qSub), col("s") === col("qs"))
+      .select(col("s"), col("code"),
+        graft.catalyst.L2Sq.l2sq(col("cv"), col("qv")).as("qd"))
+    val dts = (0 until graft.queries.SimQueries.PqM).map(si =>
+      dt.filter(col("s") === si)
+        .select(col("code").as(s"code$si"), col("qd").as(s"d$si")))
+    graft.queries.SimQueries.pqAdcJoin(
+        assigned.join(broadcast(bestCell),
+            col("cluster") === col("best_cluster"))
+          .join(codes, "vec_id"),
+        dts)
+      .select(col("vec_id"), col("cluster"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
   }
 }

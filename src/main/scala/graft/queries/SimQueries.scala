@@ -49,14 +49,14 @@ object SimQueries {
   // uncompressed vectors no longer fit the cluster. Codebook = subvectors
   // of vec_id 0..15 (deterministic sampled codebook, the PQ baseline; the
   // trained path would run operators.KMeans per subspace).
-  private val PqM = 4
+  private[graft] val PqM = 4
   private val PqSubDim = 16
-  private val PqCodes = 16
+  private[graft] val PqCodes = 16
 
   /** One row per (vector, subspace): `s` ∈ [0, PqM), `sv` = the 16-dim
     * slice. Pure per-row codegen — no shuffle.
     */
-  private def pqSubVectors(emb: DataFrame): DataFrame =
+  private[graft] def pqSubVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), explode(array((0 until PqM).map(si =>
         struct(lit(si).as("s"),
           slice(col("v"), si * PqSubDim + 1, PqSubDim).as("sv"))): _*))
@@ -98,7 +98,7 @@ object SimQueries {
   }
 
   /** Codes pivoted wide: (vec_id, c0..c3) — one row per vector. */
-  private def pqCodesPivot(emb: DataFrame): DataFrame =
+  private[graft] def pqCodesPivot(emb: DataFrame): DataFrame =
     pqEncode(emb).groupBy("vec_id").agg(
       max(when(col("s") === 0, col("code"))).as("c0"),
       max(when(col("s") === 1, col("code"))).as("c1"),
@@ -124,7 +124,7 @@ object SimQueries {
   /** ADC distance join: codes (c0..c3) × the four broadcast tables, summed
     * in fixed order so the oracle reproduces the double sum exactly.
     */
-  private def pqAdcJoin(codes: DataFrame, dts: Seq[DataFrame]): DataFrame =
+  private[graft] def pqAdcJoin(codes: DataFrame, dts: Seq[DataFrame]): DataFrame =
     codes
       .join(broadcast(dts(0)), col("c0") === col("code0"))
       .join(broadcast(dts(1)), col("c1") === col("code1"))
@@ -227,6 +227,42 @@ object SimQueries {
       require(pinnedSearch.collect().toSeq == fresh.toSeq,
         "pinned-snapshot search changed after a corpus append — the index " +
           s"is not actually pinned to v$pinned")
+      pinnedSearch
+    }),
+
+    // Persisted IVF+PQ (the full billion-vector serving path, nothing
+    // trained at query time): ONE build persists centroids, assignments,
+    // the 64×-compressed 4-byte codes AND the codebook; the search loads
+    // all four, routes via centroids, ranks on codes through ADC tables
+    // built from the persisted codebook — full vectors are touched only
+    // to fetch the query. Same staleness/pinning contract as
+    // sim_ivf_persisted; oracle = the ivfpq_topk recomputation.
+    "sim_ivfpq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annpq")
+      val corpusRoot = tmp.resolve("corpus").toString
+      val indexRoot = tmp.resolve("index").toString
+      val corpus = graft.sources.TxLogTable(s, corpusRoot)
+      corpus.commit(emb, overwrite = true)
+      graft.operators.AnnIndex.build(
+        s, corpusRoot, indexRoot, emb.schema, k = 8, iterations = 2)
+      val fresh = graft.operators.AnnIndex.searchIvfPq(
+        s, indexRoot, queryVecId = 0L, topK = 5, requireFresh = true)
+        .collect()
+      corpus.commit(emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        overwrite = false)
+      val threw =
+        try {
+          graft.operators.AnnIndex.searchIvfPq(s, indexRoot, 0L, 5,
+            requireFresh = true).collect(); false
+        } catch { case _: IllegalArgumentException => true }
+      require(threw, "stale index must refuse a requireFresh search")
+      val pinnedSearch = graft.operators.AnnIndex.searchIvfPq(
+        s, indexRoot, 0L, 5, requireFresh = false)
+      require(pinnedSearch.collect().toSeq == fresh.toSeq,
+        "pinned-snapshot IVF+PQ search changed after a corpus append")
       pinnedSearch
     }),
 
@@ -534,31 +570,11 @@ object SimQueries {
           ORDER BY q_cos DESC, v.vec_id LIMIT 5"""
   }
 
-  val oracle: Map[String, String] = Map(
+  /** Trained-IVF + PQ/ADC recomputation — shared by the in-query
+    * trainer (ivfpq_topk) and the persisted index (sim_ivfpq_persisted).
+    */
+  private lazy val ivfPqOracle: String = {
 
-    "pq_codes" ->
-      s"""WITH $SqlPqCodes
-          SELECT vec_id, c0, c1, c2, c3 FROM codes""",
-
-    "pq_adc_topk" -> {
-      val dtSub = (0 until PqM).map(si =>
-        s"""SELECT $si AS s, cb.code,
-              ${sqlSubL2("cb.cv", "q.qv", si)} AS qd
-            FROM cb CROSS JOIN q""").mkString("\n          UNION ALL\n")
-      s"""WITH $SqlPqCodes,
-          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-          dt AS ($dtSub)
-          SELECT c.vec_id,
-            (d0.qd + d1.qd + d2.qd + d3.qd) AS adc_dist
-          FROM codes c
-          JOIN (SELECT code, qd FROM dt WHERE s = 0) d0 ON c.c0 = d0.code
-          JOIN (SELECT code, qd FROM dt WHERE s = 1) d1 ON c.c1 = d1.code
-          JOIN (SELECT code, qd FROM dt WHERE s = 2) d2 ON c.c2 = d2.code
-          JOIN (SELECT code, qd FROM dt WHERE s = 3) d3 ON c.c3 = d3.code
-          ORDER BY adc_dist, c.vec_id LIMIT 10"""
-    },
-
-    "ivfpq_topk" -> {
       def cs(v: String, c: String) =
         s"""${sqlDot(v, c)} /
             (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
@@ -606,7 +622,37 @@ object SimQueries {
           JOIN (SELECT code, qd FROM dt WHERE s = 2) d2 ON c.c2 = d2.code
           JOIN (SELECT code, qd FROM dt WHERE s = 3) d3 ON c.c3 = d3.code
           ORDER BY adc_dist, a2.vec_id LIMIT 5"""
+  }
+
+  val oracle: Map[String, String] = Map(
+
+    "pq_codes" ->
+      s"""WITH $SqlPqCodes
+          SELECT vec_id, c0, c1, c2, c3 FROM codes""",
+
+    "pq_adc_topk" -> {
+      val dtSub = (0 until PqM).map(si =>
+        s"""SELECT $si AS s, cb.code,
+              ${sqlSubL2("cb.cv", "q.qv", si)} AS qd
+            FROM cb CROSS JOIN q""").mkString("\n          UNION ALL\n")
+      s"""WITH $SqlPqCodes,
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          dt AS ($dtSub)
+          SELECT c.vec_id,
+            (d0.qd + d1.qd + d2.qd + d3.qd) AS adc_dist
+          FROM codes c
+          JOIN (SELECT code, qd FROM dt WHERE s = 0) d0 ON c.c0 = d0.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 1) d1 ON c.c1 = d1.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 2) d2 ON c.c2 = d2.code
+          JOIN (SELECT code, qd FROM dt WHERE s = 3) d3 ON c.c3 = d3.code
+          ORDER BY adc_dist, c.vec_id LIMIT 10"""
     },
+
+    "ivfpq_topk" -> ivfPqOracle,
+
+    // identical recomputation: the persisted codes/codebook/centroids
+    // serve the same pinned corpus the in-query trainer sees
+    "sim_ivfpq_persisted" -> ivfPqOracle,
 
     "sim_rerank_topk" -> {
       val dtSub = (0 until PqM).map(si =>
