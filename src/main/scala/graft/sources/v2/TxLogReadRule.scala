@@ -33,21 +33,27 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case f @ Filter(cond, rel: DataSourceV2Relation)
           if rel.table.isInstanceOf[TxLogV2Table] && f.resolved =>
         val tbl = rel.table.asInstanceOf[TxLogV2Table]
-        Filter(cond, aligned(tbl.snapshotDF(toPredicate(cond)), rel.output))
+        aligned(tbl.snapshotDF(toPredicate(cond)), rel.output)
+          .map(Filter(cond, _)).getOrElse(f)
       case rel: DataSourceV2Relation
           if rel.table.isInstanceOf[TxLogV2Table] =>
         val tbl = rel.table.asInstanceOf[TxLogV2Table]
-        aligned(tbl.snapshotDF(None), rel.output)
+        aligned(tbl.snapshotDF(None), rel.output).getOrElse(rel)
     }
 
   // Re-key the replacement plan's output to the V2 relation's attribute
-  // ids, so references in parent operators stay valid.
+  // ids, so references in parent operators stay valid. None when the
+  // spliced plan cannot cover the relation's columns (schema drift
+  // between table load and rule run) — the caller keeps the V2 relation,
+  // which still reads correctly through the V1Scan fallback.
   private def aligned(df: org.apache.spark.sql.DataFrame,
-                      output: Seq[AttributeReference]): LogicalPlan = {
+                      output: Seq[AttributeReference])
+      : Option[LogicalPlan] = {
     val inner = df.queryExecution.analyzed
     val byName = inner.output.map(a => a.name -> a).toMap
-    Project(output.map { o =>
-      Alias(byName(o.name), o.name)(exprId = o.exprId) }, inner)
+    if (!output.forall(o => byName.contains(o.name))) None
+    else Some(Project(output.map { o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId) }, inner))
   }
 
   // Conservative catalyst→Column translation for manifest pruning: only
