@@ -84,6 +84,34 @@ class TxLogCatalog extends TableCatalog {
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
   }
 
+  /** `SELECT ... FROM t VERSION AS OF <n>` — SQL time travel straight to a
+    * manifest version (the format's native coordinate).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog versions are integers, got '$version'"))
+    val t = TxLogTable(spark, pathOf(ident).toString)
+    require(t.versions.contains(v),
+      s"version $v of ${ident.toString} does not exist (or was vacuumed); " +
+        s"surviving versions: ${t.versions.mkString(",")}")
+    TxLogV2Table(spark, pathOf(ident).toString, ident.toString, Some(v))
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF <ts>` — Spark hands micros since
+    * epoch; resolve to the latest version committed at or before it.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = TxLogTable(spark, pathOf(ident).toString)
+    val v = t.versionAsOf(timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of ${ident.toString} existed at " +
+          s"epoch-micros $timestampMicros"))
+    TxLogV2Table(spark, pathOf(ident).toString, ident.toString, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -152,7 +180,8 @@ class TxLogCatalog extends TableCatalog {
   * no-extensions fallback.
   */
 final case class TxLogV2Table(spark: SparkSession, root: String,
-                              ident: String) extends Table
+                              ident: String,
+                              asOfVersion: Option[Int] = None) extends Table
     with SupportsRead with SupportsWrite {
 
   def table: TxLogTable = TxLogTable(spark, root)
@@ -160,23 +189,27 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
   override def name(): String = ident
 
   override lazy val schema: StructType =
-    table.tableSchema.getOrElse(
-      TxLogRelation(spark.sqlContext, root, None, None).schema)
+    asOfVersion.flatMap(table.schemaOf)
+      .orElse(table.tableSchema)
+      .getOrElse(
+        TxLogRelation(spark.sqlContext, root, asOfVersion, None).schema)
 
   override def partitioning(): Array[Transform] =
-    table.latestVersion.map(table.partitionColsOf).getOrElse(Nil)
+    asOfVersion.orElse(table.latestVersion).map(table.partitionColsOf)
+      .getOrElse(Nil)
       .map(Expressions.identity).toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** The table's current snapshot as a DataFrame — what [[TxLogReadRule]]
-    * splices into the logical plan (native parquet scan, logical columns).
+  /** The (possibly time-traveled) snapshot as a DataFrame — what
+    * [[TxLogReadRule]] splices into the logical plan (native parquet
+    * scan, logical columns).
     */
   def snapshotDF(pred: Option[Column]): DataFrame = pred match {
-    case Some(p) => table.snapshotWhere(schema, p)
-    case None => table.snapshot(schema)
+    case Some(p) => table.snapshotWhere(schema, p, asOfVersion)
+    case None => table.snapshot(schema, asOfVersion)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -212,7 +245,7 @@ final class TxLogScanBuilder(tbl: TxLogV2Table) extends ScanBuilder
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         ctx: SQLContext): T = {
-      val rel = TxLogRelation(ctx, tbl.root, None, Some(tbl.schema))
+      val rel = TxLogRelation(ctx, tbl.root, tbl.asOfVersion, Some(tbl.schema))
       val req = required
       val fs = filters
       new BaseRelation with TableScan {

@@ -75,6 +75,27 @@ class TxLogCatalogSpec extends AnyFunSuite {
       s"manifest pruned nothing: $cand of $total files")
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    spark.sql(
+      "CREATE TABLE txcat.ns.tt (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.tt VALUES (1, 'a')") // v1
+    spark.sql("INSERT INTO txcat.ns.tt VALUES (2, 'b')") // v2
+    spark.sql("INSERT OVERWRITE txcat.ns.tt VALUES (9, 'z')") // v3
+    assert(spark.sql("SELECT * FROM txcat.ns.tt").count() == 1)
+    assert(spark.sql("SELECT * FROM txcat.ns.tt VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT * FROM txcat.ns.tt VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a timestamp far in the future resolves to the latest version
+    assert(spark.sql(
+      "SELECT * FROM txcat.ns.tt TIMESTAMP AS OF '2099-01-01'")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM txcat.ns.tt VERSION AS OF 77").collect()
+    }
+    assert(err.getMessage.contains("77"), err.getMessage)
+  }
+
   test("rename column is a metadata-only commit; old files keep serving") {
     spark.sql(
       "CREATE TABLE txcat.ns.ren (id BIGINT, val STRING) USING txlog")
