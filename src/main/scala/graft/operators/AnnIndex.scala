@@ -46,11 +46,14 @@ object AnnIndex {
     StructField("cv", ArrayType(DoubleType))))
 
   /** Train and persist an IVF index over the corpus's CURRENT version.
-    * One k-means fit (the only time the corpus is scanned for training),
-    * three overwrite commits. Returns the pinned corpus version.
+    * One k-means fit (the only time the corpus is scanned for training);
+    * `pq = false` skips the PQ artifacts for a centroids-only index
+    * (searchIvfPq then has nothing to load and must not be used).
+    * Returns the pinned corpus version.
     */
   def build(spark: SparkSession, corpusRoot: String, indexRoot: String,
-            corpusSchema: StructType, k: Int, iterations: Int): Int = {
+            corpusSchema: StructType, k: Int, iterations: Int,
+            pq: Boolean = true): Int = {
     implicit val sp: SparkSession = spark
     import spark.implicits._
     val corpus = TxLogTable(spark, corpusRoot)
@@ -68,15 +71,19 @@ object AnnIndex {
     // PQ artifacts: the 4-subspace codes (64× compressed corpus — what a
     // billion-vector deployment actually scans) and the codebook the ADC
     // tables are built from at query time
-    val embD = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    TxLogTable(spark, s"$indexRoot/codes").commit(
-      graft.queries.SimQueries.pqCodesPivot(embD), overwrite = true, op = op)
-    TxLogTable(spark, s"$indexRoot/codebook").commit(
-      graft.queries.SimQueries.pqSubVectors(
-          embD.filter(col("vec_id") < graft.queries.SimQueries.PqCodes))
-        .select(col("vec_id").cast(IntegerType).as("code"), col("s"),
-          col("sv").as("cv")),
-      overwrite = true, op = op)
+    if (pq) {
+      val embD = emb.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"))
+      TxLogTable(spark, s"$indexRoot/codes").commit(
+        graft.queries.SimQueries.pqCodesPivot(embD), overwrite = true,
+        op = op)
+      TxLogTable(spark, s"$indexRoot/codebook").commit(
+        graft.queries.SimQueries.pqSubVectors(
+            embD.filter(col("vec_id") < graft.queries.SimQueries.PqCodes))
+          .select(col("vec_id").cast(IntegerType).as("code"), col("s"),
+            col("sv").as("cv")),
+        overwrite = true, op = op)
+    }
     TxLogTable(spark, s"$indexRoot/meta").commit(
       Seq("corpus_root" -> corpusRoot,
         "corpus_version" -> v.toString,

@@ -476,6 +476,28 @@ object EtlQueries {
       out
     }),
 
+    // SQL time travel (DSv2 loadTable(ident, version) behind VERSION AS
+    // OF): three commits land through pure SQL, the query reads the
+    // middle version — the append-only prefix — while the current
+    // snapshot holds only the overwrite's row (both asserted in-query).
+    // The oracle recomputes the v2 prefix relationally.
+    "sql_time_travel" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "region").createOrReplaceTempView("region_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.region_tt")
+      s.sql("CREATE TABLE graftcat.db.region_tt " +
+        "(r_regionkey INT, r_name STRING) USING txlog")
+      s.sql("INSERT INTO graftcat.db.region_tt " +
+        "SELECT r_regionkey, r_name FROM region_src WHERE r_regionkey < 2")
+      s.sql("INSERT INTO graftcat.db.region_tt " +
+        "SELECT r_regionkey, r_name FROM region_src WHERE r_regionkey >= 2")
+      s.sql("INSERT OVERWRITE graftcat.db.region_tt VALUES (99, 'GONE')")
+      require(s.sql("SELECT * FROM graftcat.db.region_tt").count() == 1,
+        "current snapshot must be the overwrite")
+      s.sql("SELECT r_regionkey, r_name " +
+        "FROM graftcat.db.region_tt VERSION AS OF 2")
+    }),
+
     // RENAME via column mapping (TxLogTable.renameColumn through ALTER
     // TABLE SQL): batch 1 lands under the old name, the rename commits
     // pure METADATA (the require proves zero files were added or
@@ -1018,6 +1040,9 @@ object EtlQueries {
     "sql_ddl_catalog" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          WHERE n_nationkey >= 5""",
+
+    "sql_time_travel" ->
+      """SELECT r_regionkey, r_name FROM region""",
 
     "schema_evolution_rename" ->
       """SELECT c_custkey, c_name AS cust_name, c_acctbal FROM customer""",

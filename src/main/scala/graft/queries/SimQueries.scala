@@ -208,7 +208,8 @@ object SimQueries {
       val corpus = graft.sources.TxLogTable(s, corpusRoot)
       corpus.commit(emb, overwrite = true)
       val pinned = graft.operators.AnnIndex.build(
-        s, corpusRoot, indexRoot, emb.schema, k = 8, iterations = 2)
+        s, corpusRoot, indexRoot, emb.schema, k = 8, iterations = 2,
+        pq = false) // centroids-only index: the PQ twin builds its own
       val fresh = graft.operators.AnnIndex.searchIvf(
         s, indexRoot, queryVecId = 0L, topK = 5, requireFresh = true)
         .collect()
