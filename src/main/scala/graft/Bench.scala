@@ -96,12 +96,26 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val spreadMax = if (spread.nonEmpty) spread.values.max else 0.0
+    // Queries whose wall time is dominated by an IN-QUERY harness — table
+    // builds, stream drains, index training, maintenance commits — rather
+    // than the measured operator. Correct and self-proving, but their
+    // seconds measure construction cost: keep them out of cross-round
+    // operator-performance comparisons (round-5 verdict, "wrong" #5).
+    val harnessHeavy = Seq("vacuum_scan", "check_constraint",
+      "stream_txlog_feed", "stream_txlog_pipe", "ivm_refresh",
+      "ivm_refresh_mor", "inc_agg_refresh", "sim_ivf_persisted",
+      "sim_ivfpq_persisted", "merge_cow", "merge_cow_str", "delete_cow",
+      "delete_mor", "compact_small", "time_travel", "sql_ddl_catalog",
+      "sql_time_travel", "schema_evolution_rename", "schema_evolution",
+      "src_txlog_write", "cdc_feed", "a5_versioned_append")
+      .filter(results.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Two lines, spread FIRST: the driver's tail-capture window keeps the
     // END of the output, and the r5 artifact proved one combined line can
     // exceed it (per-query seconds were cut off; only the trailing
     // pass_spread map survived). The headline line — the one the driver
     // parses — stays last and roughly half as long, so it survives intact.
-    println(s"""{"metric":"spread","spread_max":$spreadMax,"pass_spread":$sp}""")
+    println(s"""{"metric":"spread","spread_max":$spreadMax,"harness_heavy":$harnessHeavy,"pass_spread":$sp}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":${r3(warmupSec)},"spread_max":$spreadMax,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
