@@ -95,7 +95,10 @@ object Mp4MetaUtil {
       size = (hi - off).toLong
     }
     val end = off.toLong + size
-    if (size < hdr || end > hi) return null
+    // `end < off + hdr` also catches a hostile largesize near
+    // Long.MaxValue overflowing `end` negative — without it both bounds
+    // checks pass and the walk would read out of bounds or cycle
+    if (size < hdr || end > hi || end < off + hdr) return null
     (off + hdr, end.toInt)
   }
 

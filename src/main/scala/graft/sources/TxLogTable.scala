@@ -456,6 +456,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def inheritedColMap: Map[String, String] =
     latestVersion.map(colMapOf).getOrElse(Map.empty)
 
+  // the colmap matching the LOGICAL schema of `version` — every
+  // version-pinned read path must translate through the map of the
+  // version whose schema the caller passes, or a time-traveled read after
+  // later renames resolves to a physical column no old file carries
+  // (silent all-NULL results)
+  private def colMapAt(version: Option[Int]): Map[String, String] =
+    version.orElse(latestVersion).map(colMapOf).getOrElse(Map.empty)
+
   // logical column name → physical (identity when unmapped)
   private def physOf(map: Map[String, String], c: String): String =
     map.getOrElse(c, c)
@@ -488,7 +496,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def tableMetaLines(base: Option[Int]): Seq[String] =
     base.map(manifestLines(_).filter(l =>
       l.startsWith("#schema=") || l.startsWith("#colmap=") ||
-        l.startsWith("#bloomBits="))).getOrElse(Nil)
+        l.startsWith("#bloomBits=") ||
+        l.startsWith("#droppedPhys="))).getOrElse(Nil)
 
   /** Create an EMPTY table with a declared logical schema — the DDL
     * surface (`CREATE TABLE ... USING txlog` lands here via the catalog).
@@ -508,6 +517,60 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     0
   }
 
+  /** Physical column names retired by DROP COLUMN (`#droppedPhys=`,
+    * carried forever): their bytes still sit in old data files, so
+    * [[addColumn]] must never re-bind one — a reader would resurrect the
+    * dropped data instead of filling NULL.
+    */
+  def droppedPhysOf(v: Int): Set[String] =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#droppedPhys=") =>
+        l.stripPrefix("#droppedPhys=").split(",").toSet.filter(_.nonEmpty) }
+      .getOrElse(Set.empty)
+
+  // One optimistic metadata-only commit: resolve the base version, let the
+  // caller validate and assemble the FULL manifest line list, publish with
+  // create-if-absent, re-plan on a lost race — the shared skeleton of the
+  // schema-evolution commits (a review found three hand-rolled copies of
+  // this loop drifting apart).
+  private def metadataCommit(what: String, maxAttempts: Int)
+                            (build: Int => Seq[String]): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      require(base.isDefined, s"$what on nonexistent table $root")
+      val b = base.get
+      val lines = build(b)
+      try {
+        Files.write(manifestPath(b + 1),
+          lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+        return b + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"$what lost the version race $maxAttempts times: $root")
+  }
+
+  private def recordedSchema(b: Int, what: String): StructType =
+    schemaOf(b).getOrElse(throw new IllegalStateException(
+      s"$what needs a recorded #schema (catalog-created table)"))
+
+  private def colmapLine(map: Map[String, String]): Seq[String] =
+    if (map.isEmpty) Nil
+    else Seq(s"#colmap=${map.toSeq.sorted
+      .map { case (l, p) => s"$l>$p" }.mkString(",")}")
+
+  private def droppedLine(dropped: Set[String]): Seq[String] =
+    if (dropped.isEmpty) Nil
+    else Seq(s"#droppedPhys=${dropped.toSeq.sorted.mkString(",")}")
+
+  // table properties every schema-evolution commit carries unchanged
+  private def carriedProps(b: Int): Seq[String] =
+    manifestLines(b).filter(_.startsWith("#bloomBits=")) ++
+      morLines(Some(b)) ++ checkLines(Some(b))
+
   /** RENAME COLUMN as a pure metadata commit (column mapping): the logical
     * schema gets the new name, the colmap routes it to the unchanged
     * physical column, and NO data file is touched — pre-rename files keep
@@ -518,14 +581,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * compact first, which materializes and clears them).
     */
   def renameColumn(oldName: String, newName: String,
-                   maxAttempts: Int = 10): Int = {
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = latestVersion
-      require(base.isDefined, s"renameColumn on nonexistent table $root")
-      val b = base.get
-      val schema = schemaOf(b).getOrElse(throw new IllegalStateException(
-        s"renameColumn needs a recorded #schema (catalog-created table)"))
+                   maxAttempts: Int = 10): Int =
+    metadataCommit("renameColumn", maxAttempts) { b =>
+      val schema = recordedSchema(b, "renameColumn")
       require(schema.fieldNames.contains(oldName),
         s"no such column: $oldName")
       require(!schema.fieldNames.contains(newName),
@@ -535,122 +593,69 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       require(tombstonesOf(b).isEmpty,
         "cannot rename with live MOR tombstones: compact first")
       val map = colMapOf(b)
-      val phys = physOf(map, oldName)
-      val newMap = map - oldName + (newName -> phys)
+      val newMap = map - oldName + (newName -> physOf(map, oldName))
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
       // bloom columns are recorded by PHYSICAL name already (they are
       // harvested from staged files), so the line is untouched
-      val next = b + 1
-      val lines = metaLines(partitionColsOf(b), "rename-column",
-        bloomColsOf(b)) ++
-        Seq(s"#schema=${newSchema.json}",
-          s"#colmap=${newMap.toSeq.sorted.map { case (l, p) => s"$l>$p" }
-            .mkString(",")}") ++
-        manifestLines(b).filter(_.startsWith("#bloomBits=")) ++
-        morLines(base) ++ checkLines(base) ++ dataLines(b)
-      try {
-        Files.write(manifestPath(next),
-          lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
-        return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
-      }
+      metaLines(partitionColsOf(b), "rename-column", bloomColsOf(b)) ++
+        Seq(s"#schema=${newSchema.json}") ++ colmapLine(newMap) ++
+        droppedLine(droppedPhysOf(b)) ++ carriedProps(b) ++ dataLines(b)
     }
-    throw new IllegalStateException(
-      s"renameColumn lost the version race $maxAttempts times: $root")
-  }
 
   /** ADD COLUMN as a pure metadata commit: the logical schema gains a
     * NULLABLE column; files written before it simply lack the physical
     * column and the parquet reader fills NULL (the standard add-column
     * evolution contract), files written after carry it. The physical name
-    * must not collide with any live physical column — including one freed
-    * by a rename (its bytes still sit in old files): such a name is
-    * refused rather than silently re-bound to stale data.
+    * must not collide with any physical column whose bytes may still sit
+    * in old files — one freed by a RENAME (still in the map's values) or
+    * by a DROP (the `#droppedPhys=` ledger): re-binding either would
+    * resurrect stale data instead of reading NULL.
     */
   def addColumn(name: String, dataType: DataType,
-                maxAttempts: Int = 10): Int = {
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = latestVersion
-      require(base.isDefined, s"addColumn on nonexistent table $root")
-      val b = base.get
-      val schema = schemaOf(b).getOrElse(throw new IllegalStateException(
-        s"addColumn needs a recorded #schema (catalog-created table)"))
+                maxAttempts: Int = 10): Int =
+    metadataCommit("addColumn", maxAttempts) { b =>
+      val schema = recordedSchema(b, "addColumn")
       require(!schema.fieldNames.contains(name),
         s"column already exists: $name")
       val map = colMapOf(b)
       val livePhysical =
         schema.fieldNames.map(c => map.getOrElse(c, c)).toSet
-      require(!livePhysical.contains(name) && !map.valuesIterator
-          .contains(name),
-        s"physical name $name is taken (possibly by a renamed column's " +
-          "old files): pick another name")
+      require(!livePhysical.contains(name) &&
+        !map.valuesIterator.contains(name) &&
+        !droppedPhysOf(b).contains(name),
+        s"physical name $name is taken (possibly by a renamed or dropped " +
+          "column's old files): pick another name")
       val newSchema = StructType(schema.fields :+
         StructField(name, dataType, nullable = true))
-      val next = b + 1
-      val lines = metaLines(partitionColsOf(b), "add-column",
-        bloomColsOf(b)) ++
-        Seq(s"#schema=${newSchema.json}") ++
-        (if (map.isEmpty) Nil
-         else Seq(s"#colmap=${map.toSeq.sorted
-           .map { case (l, p) => s"$l>$p" }.mkString(",")}")) ++
-        manifestLines(b).filter(_.startsWith("#bloomBits=")) ++
-        morLines(base) ++ checkLines(base) ++ dataLines(b)
-      try {
-        Files.write(manifestPath(next),
-          lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
-        return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
-      }
+      metaLines(partitionColsOf(b), "add-column", bloomColsOf(b)) ++
+        Seq(s"#schema=${newSchema.json}") ++ colmapLine(map) ++
+        droppedLine(droppedPhysOf(b)) ++ carriedProps(b) ++ dataLines(b)
     }
-    throw new IllegalStateException(
-      s"addColumn lost the version race $maxAttempts times: $root")
-  }
 
   /** DROP COLUMN as a pure metadata commit: the column leaves the logical
     * schema and the map; old files keep the physical bytes (projected away
     * at read — parquet reads only requested columns), new writes simply
-    * don't carry it. Same restrictions as [[renameColumn]].
+    * don't carry it. The freed PHYSICAL name is recorded in the
+    * `#droppedPhys=` ledger so [[addColumn]] can never re-bind it. Same
+    * restrictions as [[renameColumn]].
     */
-  def dropColumn(name: String, maxAttempts: Int = 10): Int = {
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = latestVersion
-      require(base.isDefined, s"dropColumn on nonexistent table $root")
-      val b = base.get
-      val schema = schemaOf(b).getOrElse(throw new IllegalStateException(
-        s"dropColumn needs a recorded #schema (catalog-created table)"))
+  def dropColumn(name: String, maxAttempts: Int = 10): Int =
+    metadataCommit("dropColumn", maxAttempts) { b =>
+      val schema = recordedSchema(b, "dropColumn")
       require(schema.fieldNames.contains(name), s"no such column: $name")
       require(!partitionColsOf(b).contains(name),
         s"cannot drop partition column $name")
       require(tombstonesOf(b).isEmpty,
         "cannot drop with live MOR tombstones: compact first")
       require(schema.fields.length > 1, "cannot drop the last column")
-      val newMap = colMapOf(b) - name
+      val map = colMapOf(b)
       val newSchema = StructType(schema.fields.filterNot(_.name == name))
-      val next = b + 1
-      val lines = metaLines(partitionColsOf(b), "drop-column",
-        bloomColsOf(b)) ++
-        Seq(s"#schema=${newSchema.json}") ++
-        (if (newMap.isEmpty) Nil
-         else Seq(s"#colmap=${newMap.toSeq.sorted
-           .map { case (l, p) => s"$l>$p" }.mkString(",")}")) ++
-        manifestLines(b).filter(_.startsWith("#bloomBits=")) ++
-        morLines(base) ++ checkLines(base) ++ dataLines(b)
-      try {
-        Files.write(manifestPath(next),
-          lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
-        return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
-      }
+      metaLines(partitionColsOf(b), "drop-column", bloomColsOf(b)) ++
+        Seq(s"#schema=${newSchema.json}") ++ colmapLine(map - name) ++
+        droppedLine(droppedPhysOf(b) + physOf(map, name)) ++
+        carriedProps(b) ++ dataLines(b)
     }
-    throw new IllegalStateException(
-      s"dropColumn lost the version race $maxAttempts times: $root")
-  }
 
   /** The merge-on-read delete key columns recorded at `v` — fixed at the
     * first [[deleteByKeysMor]] and immutable after (Iceberg's
@@ -704,9 +709,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                                 es: Seq[TxLogTable.FileEntry],
                                 version: Option[Int]): DataFrame = {
     val v = version.orElse(latestVersion)
+    val cmap = colMapAt(version)
     val tombs = v.map(tombstonesOf).getOrElse(Nil)
     val keys = v.map(morKeysOf).getOrElse(Nil)
-    if (tombs.isEmpty || keys.isEmpty) readRels(schema, es.map(_.rel))
+    if (tombs.isEmpty || keys.isEmpty)
+      readRels(schema, es.map(_.rel), cmap)
     else {
       import org.apache.spark.sql.functions.broadcast
       val tombUnion = tombs.map { case (rel, tv) =>
@@ -714,10 +721,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           .withColumn("_tomb_v", lit(tv))
       }.reduce(_.unionByName(_))
       val data = es.groupBy(addedVOf).toSeq.map { case (av, group) =>
-        readRels(schema, group.map(_.rel))
+        readRels(schema, group.map(_.rel), cmap)
           .withColumn("_added_v", lit(av))
       }.reduceOption(_.unionByName(_))
-        .getOrElse(readRels(schema, Nil).withColumn("_added_v", lit(0)))
+        .getOrElse(readRels(schema, Nil, cmap)
+          .withColumn("_added_v", lit(0)))
       val cond = keys.map(k => data(k) === tombUnion(k)).reduce(_ && _) &&
         tombUnion("_tomb_v") >= data("_added_v")
       data.join(broadcast(tombUnion), cond, "left_anti").drop("_added_v")
@@ -728,13 +736,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * schema when the list is empty — the shared read path of snapshot /
     * snapshotRange / snapshotWhere / merge.
     */
-  private def readRels(schema: StructType, rels: Seq[String]): DataFrame = {
-    // Column mapping: the caller's schema is LOGICAL; data files carry
-    // PHYSICAL columns. Unmapped names are identity, so pre-rename logical
-    // schemas (time travel to old versions) pass through unchanged, and a
-    // renamed column is read from its unchanged physical bytes and
-    // re-labeled — no file rewrite ever.
-    val map = inheritedColMap
+  private def readRels(schema: StructType, rels: Seq[String],
+                       map: Map[String, String]): DataFrame = {
+    // Column mapping: the caller's schema is LOGICAL (of the version being
+    // read — `map` is that version's colmap); data files carry PHYSICAL
+    // columns. Unmapped names are identity, a renamed column is read from
+    // its unchanged physical bytes and re-labeled — no file rewrite ever.
     val phys = StructType(schema.fields.map(f =>
       f.copy(name = physOf(map, f.name))))
     if (rels.isEmpty)
@@ -774,7 +781,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def candidateFiles(column: String, lo: Long, hi: Long,
                      version: Option[Int] = None): Seq[String] = {
-    val c = physOf(inheritedColMap, column)
+    val c = physOf(colMapAt(version), column)
     entries(version).collect {
       case e if mayOverlap(e, c, lo, hi) => e.rel
     }
@@ -866,7 +873,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def candidateFilesWhere(pred: org.apache.spark.sql.Column,
                           version: Option[Int] = None): Seq[String] = {
-    val map = inheritedColMap
+    val map = colMapAt(version)
     val ranges = physKeyed(map, PredicateRanges.extract(pred))
     val nn = physNullness(map, PredicateRanges.extractNullness(pred))
     val points = physKeyed(map, PredicateRanges.extractPoints(pred))
@@ -944,7 +951,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     if (version.orElse(latestVersion).exists(tombstonesOf(_).nonEmpty))
       return None
     val es = entries(version)
-    val st = es.flatMap(_.stats.get(physOf(inheritedColMap, column)))
+    val st = es.flatMap(_.stats.get(physOf(colMapAt(version), column)))
     if (es.nonEmpty && st.size == es.size)
       Some((st.map(_._1).min, st.map(_._2).max))
     else None
@@ -959,7 +966,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def snapshotRange(schema: StructType, column: String, lo: Long, hi: Long,
                     version: Option[Int] = None): DataFrame = {
-    val c = physOf(inheritedColMap, column)
+    val c = physOf(colMapAt(version), column)
     val es = entries(version).filter(mayOverlap(_, c, lo, hi))
     readMaskedEntries(schema, es, version)
       .filter(col(column) >= lo && col(column) <= hi)
@@ -975,7 +982,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def snapshotWhere(schema: StructType, pred: org.apache.spark.sql.Column,
                     version: Option[Int] = None): DataFrame = {
-    val map = inheritedColMap
+    val map = colMapAt(version)
     val ranges = physKeyed(map, PredicateRanges.extract(pred))
     val nn = physNullness(map, PredicateRanges.extractNullness(pred))
     val points = physKeyed(map, PredicateRanges.extractPoints(pred))
@@ -1017,7 +1024,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                  else Set.empty[String]
       val added = readManifest(v).filterNot(prev)
       if (added.isEmpty) None
-      else Some(readRels(schema, added)
+      // CDC contract: `schema` is the CURRENT logical schema, so the
+      // latest colmap translates it (physical names never change, so it
+      // covers every version's files)
+      else Some(readRels(schema, added, inheritedColMap)
         .withColumn("_commit_version", lit(v.toLong)))
     }
     deltas.reduceOption(_.unionByName(_)).getOrElse {
@@ -1605,8 +1615,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       stringKeys.flatMap { k =>
         stringProbes(k) match {
           case Some(vals) if vals.nonEmpty =>
-            Some(k -> PredicateRanges.StrBound(Some(vals.min),
-              Some(vals.max)))
+            // UTF-8 byte order, NOT Java's UTF-16 order — the hull must
+            // use the same collation as the :spre: stats it probes, or a
+            // supplementary-plane key can fall outside its own hull
+            Some(k -> PredicateRanges.StrBound(
+              Some(vals.min(PredicateRanges.Utf8Ordering)),
+              Some(vals.max(PredicateRanges.Utf8Ordering))))
           case Some(_) => None // all-null batch keys: pureInsert below
           case None =>
             val r = incoming.agg(
@@ -1897,10 +1911,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val opName =
       Option(op).getOrElse(if (overwrite) "overwrite" else "append")
     // bloom columns are a physical-name table property (filters are
-    // harvested from staged files): translate caller-supplied logical names
+    // harvested from staged files): translate CALLER-supplied logical
+    // names only — the inherited list is already physical, and pushing it
+    // through the map again would mis-route blooms when a rename later
+    // reuses a freed logical name
     val effBloom =
-      (if (bloomCols.nonEmpty) bloomCols else inheritedBloomCols)
-        .map(physOf(inheritedColMap, _))
+      if (bloomCols.nonEmpty) bloomCols.map(physOf(inheritedColMap, _))
+      else inheritedBloomCols
     if (bloomBits > 0)
       require(Integer.bitCount(bloomBits) == 1 &&
         bloomBits >= TxLogTable.Bloom.DefaultM && bloomBits <= (1 << 20),

@@ -200,14 +200,37 @@ object PredicateRanges {
     * the `:spre:`-keyed manifest stats via the order-preserving prefix
     * embedding in `graft.sources.TxLogTable`.
     */
+  /** UTF-8 byte order (= code-point order) — the collation of the footer
+    * stats, the prefix embedding, and Spark's UTF8String comparisons.
+    * Java's natural String order is UTF-16 code-UNIT order, which
+    * disagrees for supplementary-plane characters (a surrogate pair
+    * 0xD800.. sorts below U+E000 in UTF-16 but above it in UTF-8): every
+    * min/max that feeds a pruning bound must use THIS ordering or a
+    * hull can exclude keys it must cover.
+    */
+  val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var r = 0
+      while (i < n && r == 0) {
+        r = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r else x.length - y.length
+    }
+  }
+
   final case class StrBound(lo: Option[String], hi: Option[String]) {
     def intersect(o: StrBound): StrBound = StrBound(
-      (lo ++ o.lo).reduceOption((a, b) => if (a >= b) a else b),
-      (hi ++ o.hi).reduceOption((a, b) => if (a <= b) a else b))
+      (lo ++ o.lo).reduceOption(Utf8Ordering.max(_, _)),
+      (hi ++ o.hi).reduceOption(Utf8Ordering.min(_, _)))
     // OR hull: a side stays bounded only when BOTH branches bound it
     def union(o: StrBound): StrBound = StrBound(
-      for (a <- lo; b <- o.lo) yield if (a <= b) a else b,
-      for (a <- hi; b <- o.hi) yield if (a >= b) a else b)
+      for (a <- lo; b <- o.lo) yield Utf8Ordering.min(a, b),
+      for (a <- hi; b <- o.hi) yield Utf8Ordering.max(a, b))
   }
 
   def extractStr(pred: Column): Map[String, StrBound] = walkStr(pred.node)
@@ -260,7 +283,8 @@ object PredicateRanges {
         colName(c) match {
           case Some(nm) if vs.forall(_.isDefined) =>
             val ss = vs.flatten
-            Map(nm -> StrBound(Some(ss.min), Some(ss.max)))
+            Map(nm -> StrBound(Some(ss.min(Utf8Ordering)),
+              Some(ss.max(Utf8Ordering))))
           case _ => Map.empty
         }
       case _ => Map.empty

@@ -103,6 +103,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.catalyst.Mp4MetaUtil.parse(corruptSize) == null)
     val zeroLoop = ftyp ++ be4(7L) ++ "free".getBytes("US-ASCII") // size<hdr
     assert(graft.catalyst.Mp4MetaUtil.parse(zeroLoop) == null)
+    // hostile 64-bit largesize near Long.MaxValue: `off + size` would
+    // overflow negative and slip past both bounds checks — must reject,
+    // not crash or loop
+    val huge = ftyp ++ be4(1L) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](0x7f.toByte, -1, -1, -1, -1, -1, -1, -16) ++
+      new Array[Byte](16)
+    assert(graft.catalyst.Mp4MetaUtil.parse(huge) == null)
   }
 
   test("metadata query prunes the binary column at the parquet scan") {

