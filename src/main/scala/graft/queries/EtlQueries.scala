@@ -424,6 +424,45 @@ object EtlQueries {
       tbl.snapshot(wide)
     }),
 
+    // Predicate-scoped atomic overwrite (TxLogTable.replaceWhere — the
+    // partition/backfill idiom): customer lands key-clustered, then ONE
+    // commit replaces the mid band with a recomputed slice — no
+    // delete+append window, file-targeted like deleteWhere (first require
+    // proves carry-by-reference), and run a SECOND time with the same
+    // slice to prove idempotence (row count unchanged). A batch violating
+    // the predicate is refused (third require). The oracle recomputes
+    // non-band ∪ recomputed-band relationally.
+    "replace_where" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      val mm = c.agg(min("c_custkey"), max("c_custkey")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val lo = mn + (mx - mn) / 3
+      val hi = lo + (mx - mn) / 10
+      val tmp = java.nio.file.Files.createTempDirectory("graft-replace")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("customer").toString)
+      tbl.commit(c.repartitionByRange(8, col("c_custkey")),
+        overwrite = true)
+      val pred = col("c_custkey") >= lo && col("c_custkey") <= hi
+      val slice = c.filter(pred).select(col("c_custkey"),
+        concat(lit("R-"), col("c_name")).as("c_name"),
+        (col("c_acctbal") * 2).as("c_acctbal"))
+      val st1 = tbl.replaceWhere(c.schema, pred, slice)
+      require(st1.carried > 0 && st1.rewritten < st1.carried,
+        s"replaceWhere rewrote ${st1.rewritten} of " +
+          s"${st1.rewritten + st1.carried} files — no file targeting")
+      val n1 = tbl.snapshot(c.schema).count()
+      tbl.replaceWhere(c.schema, pred, slice) // idempotent rerun
+      require(tbl.snapshot(c.schema).count() == n1,
+        "replaceWhere rerun changed the row count — not idempotent")
+      val threw =
+        try { tbl.replaceWhere(c.schema, pred,
+          c.filter(col("c_custkey") < lo).limit(5)); false }
+        catch { case _: IllegalArgumentException => true }
+      require(threw, "batch outside the predicate must be refused")
+      tbl.snapshot(c.schema)
+    }),
+
     // STRING range skipping (round-6 #8): documents land clustered by
     // `source` (repartitionByRange on the string column → files covering
     // disjoint name ranges), and each file's manifest line carries the
@@ -1032,6 +1071,18 @@ object EtlQueries {
                 CAST(7 AS INT) AS c_nationkey, 0.5 AS c_acctbal,
                 'FRESH' AS c_mktsegment
          FROM base WHERE c_custkey % 11 = 0""",
+
+    "replace_where" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+          mm AS (SELECT min(c_custkey) AS mn, max(c_custkey) AS mx FROM base),
+          b AS (SELECT mn + (mx - mn) // 3 AS lo,
+                       mn + (mx - mn) // 3 + (mx - mn) // 10 AS hi FROM mm)
+         SELECT c_custkey, c_name, c_acctbal
+         FROM base, b WHERE c_custkey < lo OR c_custkey > hi
+         UNION ALL
+         SELECT c_custkey, 'R-' || c_name AS c_name,
+                c_acctbal * 2 AS c_acctbal
+         FROM base, b WHERE c_custkey >= lo AND c_custkey <= hi""",
 
     "skip_string_range" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -1746,6 +1746,66 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       s"deleteWhere lost the version race $maxAttempts times: $root")
   }
 
+  /** Predicate-scoped atomic overwrite — the `replaceWhere` idiom: ONE
+    * version in which rows matching `pred` are replaced by `data` and
+    * everything else is untouched. The idempotent partition/backfill
+    * pattern (`replaceWhere("day = '2026-08-12'", recomputedDay)`): rerun
+    * it and the slice is simply replaced again — no delete+append window
+    * in which readers see neither. File targeting is [[deleteWhere]]'s:
+    * only files that may hold a matching row are rewritten (kept
+    * non-matching rows re-staged with the new data), the rest are carried
+    * by manifest reference. `data` must itself satisfy `pred` (the Delta
+    * contract) — otherwise a rerun would not be idempotent — enforced
+    * with one aggregate over the batch.
+    */
+  def replaceWhere(schema: StructType, pred: org.apache.spark.sql.Column,
+                   data: DataFrame,
+                   maxAttempts: Int = 10): TxLogTable.MergeStats = {
+    import org.apache.spark.sql.functions.coalesce
+    val outside = data.filter(!coalesce(pred, lit(false))).count()
+    require(outside == 0,
+      s"replaceWhere: $outside incoming rows do not satisfy the predicate " +
+        "— the replacement would not be idempotent")
+    validateChecks(data, latestVersion)
+    val cmap = inheritedColMap
+    val ranges = physKeyed(cmap, PredicateRanges.extract(pred))
+    val nn = physNullness(cmap, PredicateRanges.extractNullness(pred))
+    val points = physKeyed(cmap, PredicateRanges.extractPoints(pred))
+    val strs = physKeyed(cmap, PredicateRanges.extractStr(pred))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
+        .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
+          ranges, nn, points, strs))
+      // survivors of the affected files (NULL pred keeps the row, like
+      // DELETE) plus the replacement batch, staged as one new file set
+      val kept = readMaskedEntries(schema,
+          affected.map(TxLogTable.decodeEntry), base)
+        .filter(!coalesce(pred, lit(false)))
+      val effBloom = base.map(bloomColsOf).getOrElse(Nil)
+      val staged = stageWithStats(kept.unionByName(data.select(
+          schema.fieldNames.toIndexedSeq.map(col): _*)),
+        layout, effBloom, inheritedBloomBits(base))
+      val next = base.getOrElse(-1) + 1
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(layout, "replace-where", effBloom) ++
+            tableMetaLines(base) ++ morLines(base) ++
+            checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-plan against the new latest
+      }
+    }
+    throw new IllegalStateException(
+      s"replaceWhere lost the version race $maxAttempts times: $root")
+  }
+
   /** Merge-on-read equality DELETE (Iceberg v2 equality-delete /
     * Hudi-MOR shape): instead of rewriting the files that hold the keys
     * ([[merge]]/[[deleteWhere]]'s copy-on-write), the batch of deleted key

@@ -29,6 +29,7 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case class Overwrite(rows: List[(Long, String)]) extends Op
   private case class Merge(rows: List[(Long, String)]) extends Op
   private case class MergeStr(rows: List[(Long, String)]) extends Op
+  private case class Replace(rows: List[(Long, String)]) extends Op
   private case class Delete(ids: List[Long]) extends Op
   private case object Compact extends Op
   private case object ZOrder extends Op
@@ -45,6 +46,7 @@ class TxLogPropertySpec extends AnyFunSuite {
     2 -> rowsGen.map(Overwrite),
     3 -> rowsGen.map(Merge),
     2 -> rowsGen.map(MergeStr),
+    2 -> rowsGen.map(Replace),
     2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L))).map(Delete),
     1 -> Gen.const(Compact),
     1 -> Gen.const(ZOrder),
@@ -184,6 +186,20 @@ class TxLogPropertySpec extends AnyFunSuite {
               s"string merge file accounting: $st vs $before files")
             val vs = rows.map(_._2).toSet
             history += st.version -> (base.filterNot(r => vs(r._2)) ++ rows)
+            live :+= st.version
+          case Replace(rows) =>
+            // predicate-scoped atomic overwrite over the rows' id hull:
+            // everything in [lo, hi] is replaced by the batch, one version
+            val base = live.lastOption.map(history).getOrElse(Nil)
+            val (lo, hi) = (rows.map(_._1).min, rows.map(_._1).max)
+            val before = t.fileCount()
+            val st = t.replaceWhere(schema,
+              org.apache.spark.sql.functions.col("id").between(lo, hi),
+              rows.toDF("id", "v"))
+            assert(st.rewritten + st.carried == before,
+              s"replaceWhere file accounting: $st vs $before files")
+            history += st.version ->
+              (base.filterNot(r => r._1 >= lo && r._1 <= hi) ++ rows)
             live :+= st.version
           case Delete(ids) =>
             // DELETE where id IN (...): rows with a listed id removed; the
