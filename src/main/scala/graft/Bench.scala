@@ -104,7 +104,8 @@ object Bench {
     val harnessHeavy = Seq("vacuum_scan", "check_constraint",
       "stream_txlog_feed", "stream_txlog_pipe", "ivm_refresh",
       "ivm_refresh_mor", "inc_agg_refresh", "sim_ivf_persisted",
-      "sim_ivfpq_persisted", "merge_cow", "merge_cow_str", "delete_cow",
+      "sim_ivfpq_persisted", "merge_cow", "merge_cow_str", "replace_where",
+      "delete_cow",
       "delete_mor", "compact_small", "time_travel", "sql_ddl_catalog",
       "sql_time_travel", "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")

@@ -75,6 +75,15 @@ class TxLogCatalogSpec extends AnyFunSuite {
       s"manifest pruned nothing: $cand of $total files")
   }
 
+  test("CREATE TABLE AS SELECT lands schema and rows in one statement") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.ctas")
+    spark.sql("CREATE TABLE txcat.ns.ctas USING txlog AS " +
+      "SELECT id, concat('v', id) AS v FROM range(5)")
+    val got = spark.sql("SELECT id, v FROM txcat.ns.ctas ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (0L until 5L).map(i => (i, s"v$i")))
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
     spark.sql(
       "CREATE TABLE txcat.ns.tt (id BIGINT, v STRING) USING txlog")
