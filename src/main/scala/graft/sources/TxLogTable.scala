@@ -1707,7 +1707,19 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * `merge`: a lost race re-plans against the new latest version.
     */
   def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column,
-                  maxAttempts: Int = 10): TxLogTable.MergeStats = {
+                  maxAttempts: Int = 10): TxLogTable.MergeStats =
+    cowRewrite(schema, pred, extra = None, opName = "delete", maxAttempts)
+
+  // The shared predicate-scoped copy-on-write rewrite behind deleteWhere
+  // (extra = None) and replaceWhere (extra = the replacement batch):
+  // manifest pruning bounds the rewrite, survivors of the affected files
+  // (NULL pred keeps the row, SQL DELETE semantics) are re-staged —
+  // unioned with the batch when present — and everything else is carried
+  // by reference, under the usual optimistic re-planning race.
+  private def cowRewrite(schema: StructType,
+                         pred: org.apache.spark.sql.Column,
+                         extra: Option[DataFrame], opName: String,
+                         maxAttempts: Int): TxLogTable.MergeStats = {
     val cmap = inheritedColMap
     val ranges = physKeyed(cmap, PredicateRanges.extract(pred))
     val nn = physNullness(cmap, PredicateRanges.extractNullness(pred))
@@ -1720,18 +1732,19 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
         .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
           ranges, nn, points, strs))
-      // NULL predicate keeps the row: DELETE only removes where TRUE.
       // Reads through the tombstone mask (no resurrection on rewrite).
       val kept = readMaskedEntries(schema,
           affected.map(TxLogTable.decodeEntry), base)
         .filter(!org.apache.spark.sql.functions.coalesce(pred, lit(false)))
+      val out = extra.fold(kept)(d => kept.unionByName(
+        d.select(schema.fieldNames.toIndexedSeq.map(col): _*)))
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
-      val staged = stageWithStats(kept, layout, effBloom,
+      val staged = stageWithStats(out, layout, effBloom,
         inheritedBloomBits(base))
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "delete", effBloom) ++ tableMetaLines(base) ++
+          (metaLines(layout, opName, effBloom) ++ tableMetaLines(base) ++
             morLines(base) ++
             checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
@@ -1743,7 +1756,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       }
     }
     throw new IllegalStateException(
-      s"deleteWhere lost the version race $maxAttempts times: $root")
+      s"$opName lost the version race $maxAttempts times: $root")
   }
 
   /** Predicate-scoped atomic overwrite — the `replaceWhere` idiom: ONE
@@ -1761,49 +1774,25 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   def replaceWhere(schema: StructType, pred: org.apache.spark.sql.Column,
                    data: DataFrame,
                    maxAttempts: Int = 10): TxLogTable.MergeStats = {
-    import org.apache.spark.sql.functions.coalesce
-    val outside = data.filter(!coalesce(pred, lit(false))).count()
-    require(outside == 0,
-      s"replaceWhere: $outside incoming rows do not satisfy the predicate " +
-        "— the replacement would not be idempotent")
-    validateChecks(data, latestVersion)
-    val cmap = inheritedColMap
-    val ranges = physKeyed(cmap, PredicateRanges.extract(pred))
-    val nn = physNullness(cmap, PredicateRanges.extractNullness(pred))
-    val points = physKeyed(cmap, PredicateRanges.extractPoints(pred))
-    val strs = physKeyed(cmap, PredicateRanges.extractStr(pred))
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      val base = latestVersion
-      val layout = base.map(partitionColsOf).getOrElse(Nil)
-      val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
-        .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
-          ranges, nn, points, strs))
-      // survivors of the affected files (NULL pred keeps the row, like
-      // DELETE) plus the replacement batch, staged as one new file set
-      val kept = readMaskedEntries(schema,
-          affected.map(TxLogTable.decodeEntry), base)
-        .filter(!coalesce(pred, lit(false)))
-      val effBloom = base.map(bloomColsOf).getOrElse(Nil)
-      val staged = stageWithStats(kept.unionByName(data.select(
-          schema.fieldNames.toIndexedSeq.map(col): _*)),
-        layout, effBloom, inheritedBloomBits(base))
-      val next = base.getOrElse(-1) + 1
-      try {
-        Files.write(manifestPath(next),
-          (metaLines(layout, "replace-where", effBloom) ++
-            tableMetaLines(base) ++ morLines(base) ++
-            checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
-          StandardOpenOption.CREATE_NEW)
-        return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempt += 1 // lost the race: re-plan against the new latest
-      }
+    // ONE validation aggregate over the batch: the predicate contract
+    // (every incoming row satisfies pred — otherwise a rerun would not be
+    // idempotent) and any CHECK constraints, in the same job, so an
+    // expensive batch lineage is computed once for validation
+    import org.apache.spark.sql.functions.{coalesce, count_if, expr}
+    val checks = latestVersion.map(checksOf).getOrElse(Map.empty)
+    val aggs = count_if(!coalesce(pred, lit(false))).as("__outside") +:
+      checks.toSeq.map { case (n, e) =>
+        count_if(!coalesce(expr(e), lit(true))).as(n) }
+    val row = data.agg(aggs.head, aggs.tail: _*).head()
+    require(row.getLong(0) == 0L,
+      s"replaceWhere: ${row.getLong(0)} incoming rows do not satisfy the " +
+        "predicate — the replacement would not be idempotent")
+    checks.toSeq.zipWithIndex.foreach { case ((n, e), i) =>
+      require(row.getLong(i + 1) == 0L,
+        s"check '$n' violated by ${row.getLong(i + 1)} rows: $e")
     }
-    throw new IllegalStateException(
-      s"replaceWhere lost the version race $maxAttempts times: $root")
+    cowRewrite(schema, pred, extra = Some(data), opName = "replace-where",
+      maxAttempts)
   }
 
   /** Merge-on-read equality DELETE (Iceberg v2 equality-delete /

@@ -183,7 +183,9 @@ class PredicateRangesSpec extends AnyFunSuite {
     // plane key falls outside its own bound
     val supp = new String(Character.toChars(0x10000))
     val bmp = "x"
-    assert(supp > "z" === false || true) // (Java order varies; not relied on)
+    // Java/UTF-16 order disagrees: the pair's high surrogate 0xD800
+    // compares below 0xE000, while the UTF-8 bytes compare above
+    assert(bmp > supp)
     assert(PredicateRanges.Utf8Ordering.compare(bmp, supp) < 0)
     assert(sb(col("s").isin(supp, bmp)) ==
       Map("s" -> StrBound(Some(bmp), Some(supp))))
