@@ -266,6 +266,49 @@ object TextQueries {
         tokenCount(col("text")).cast(LongType).as("n_ws_tokens"),
         subwordCount(col("text")).cast(LongType).as("n_subwords"))),
 
+    // Context-window chunking — the training-example cutter: each doc's
+    // token stream becomes fixed 32-token windows at stride 24 (8-token
+    // overlap so no span is ever split across example boundaries without
+    // a copy). Pure per-row explode (map-side, no shuffle): at 100 TB
+    // chunking is scan-bound and embarrassingly parallel, the output is
+    // O(tokens / stride) rows. The oracle recomputes every window with
+    // list_slice over the same whitespace split, so boundaries, overlap
+    // and the short-tail window are all hash-checked.
+    "tx_chunk_windows" -> ((s, dir) => {
+      val W = 32; val S = 24
+      val d = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      d.select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / S).cast("int")),
+            i => array_join(slice(col("toks"), i * S + 1, lit(W)), " "))))
+        .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+          col("col").as("chunk_text"),
+          size(split(col("col"), " ")).cast(LongType).as("n_chunk_tokens"))
+    }),
+
+    // Sequence packing (the GPT-style data-prep step): docs are greedily
+    // packed in doc_id order into ~512-token bins, WITHIN 8 deterministic
+    // shards — the scale shape: a global pack order would be one
+    // single-partition window (anti-scale); sharding by doc_id % 8 keeps
+    // every window partition-parallel while packs stay deterministic and
+    // reproducible. pack_seq = running token total before the doc,
+    // integer-divided by the budget: a doc lands in the pack its prefix
+    // sum reaches, the streaming-packer approximation of bin packing.
+    "tx_pack_sequences" -> ((s, dir) => {
+      val B = 512
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .withColumn("pack_seq",
+          (coalesce(sum("n_tokens").over(w), lit(0L)) / B).cast(LongType))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("pack_seq"))
+    }),
+
     // Repetition metrics (the Gopher-style quality signals): type-token
     // ratio plus the most-frequent-bigram share — the degenerate-repetition
     // detector filter pipelines run before training. Scale: TTR is per-row
@@ -893,6 +936,29 @@ object TextQueries {
               t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INT))), 'sum')
               AS BIGINT) AS n_subwords
           FROM documents""",
+
+    "tx_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+          s AS (SELECT doc_id, toks,
+                  unnest(generate_series(0, (len(toks) - 1) // 24)) AS i
+                FROM d)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, i*24 + 1, i*24 + 32)) AS BIGINT)
+             AS n_chunk_tokens
+         FROM s""",
+
+    "tx_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len($SqlToks) AS BIGINT) AS n_tokens FROM documents)
+          SELECT doc_id, shard, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512 AS BIGINT) AS pack_seq
+          FROM d""",
 
     "tx_sample_stratified" ->
       """SELECT doc_id, source, rate FROM (
