@@ -515,6 +515,29 @@ object EtlQueries {
       out
     }),
 
+    // DELETE FROM in pure SQL (DSv2 SupportsDelete → TxLogTable's
+    // file-targeted COW delete): the statement is accepted only when
+    // every pushed filter translates EXACTLY (partial translation would
+    // delete the wrong rows — the inverse of scan pruning's contract),
+    // then manifest pruning bounds the rewrite as for the API path. The
+    // oracle recomputes the survivors with SQL NOT(...); the in-query
+    // require proves the commit went through the delete op.
+    "sql_delete_from" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.orders_del")
+      s.sql("CREATE TABLE graftcat.db.orders_del USING txlog AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        "FROM orders_src")
+      s.sql("DELETE FROM graftcat.db.orders_del " +
+        "WHERE o_totalprice > 150000 AND o_orderstatus = 'F'")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/orders_del")
+      require(tbl.history().last.op.contains("delete"),
+        "DELETE FROM must commit through the delete op")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        "FROM graftcat.db.orders_del")
+    }),
+
     // SQL time travel (DSv2 loadTable(ident, version) behind VERSION AS
     // OF): three commits land through pure SQL, the query reads the
     // middle version — the append-only prefix — while the current
@@ -1094,6 +1117,11 @@ object EtlQueries {
 
     "sql_time_travel" ->
       """SELECT r_regionkey, r_name FROM region""",
+
+    "sql_delete_from" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+         FROM orders
+         WHERE NOT (o_totalprice > 150000 AND o_orderstatus = 'F')""",
 
     "schema_evolution_rename" ->
       """SELECT c_custkey, c_name AS cust_name, c_acctbal FROM customer""",

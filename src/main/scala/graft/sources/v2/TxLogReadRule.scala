@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, LogicalPlan, MergeIntoTable, Project, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{col, lit}
@@ -28,7 +28,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // Row-level DML keeps its target as a V2 relation: DeleteFromTable's
+    // target IS a child of the command node (unlike the write commands,
+    // whose `table` field sits outside `children`), and the V2 strategy
+    // must see the relation to route SupportsDelete — splicing the scan
+    // plan under it would fail planning.
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    case m: MergeIntoTable => m
+    case _ => rewrite(plan)
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       case f @ Filter(cond, rel: DataSourceV2Relation)
           if rel.table.isInstanceOf[TxLogV2Table] && f.resolved =>

@@ -182,7 +182,29 @@ class TxLogCatalog extends TableCatalog {
 final case class TxLogV2Table(spark: SparkSession, root: String,
                               ident: String,
                               asOfVersion: Option[Int] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** `DELETE FROM t WHERE ...` — routed to the file-targeted COW delete.
+    * The SQL contract requires EXACT deletion of the matching rows, so
+    * the statement is accepted only when every pushed filter translates
+    * completely ([[exactPredicate]] — unlike scan pruning, which may
+    * translate conservatively because Spark re-filters rows, here the
+    * translation IS the executed predicate). `TxLogTable.deleteWhere`
+    * then re-applies the full predicate to the files it rewrites, and
+    * manifest pruning bounds the rewrite exactly as for the API path.
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => TxLogV2Table.exactPredicate(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred = filters.toSeq.flatMap(TxLogV2Table.exactPredicate)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    table.deleteWhere(schema, pred)
+  }
 
   def table: TxLogTable = TxLogTable(spark, root)
 
@@ -217,6 +239,39 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TxLogWriteBuilder(this)
+}
+
+object TxLogV2Table {
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.sources._
+
+  /** EXACT source-Filter → Column translation for DELETE FROM: every
+    * shape must translate or the statement is refused — a partial
+    * translation here would delete the wrong rows (contrast with scan
+    * pruning, where partial is sound because rows are re-filtered).
+    */
+  private[v2] def exactPredicate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for (a <- exactPredicate(l); b <- exactPredicate(r)) yield a && b
+    case Or(l, r) =>
+      for (a <- exactPredicate(l); b <- exactPredicate(r)) yield a || b
+    case Not(c) => exactPredicate(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** Fallback scan (sessions without the extension rule): pushes projection

@@ -75,6 +75,25 @@ class TxLogCatalogSpec extends AnyFunSuite {
       s"manifest pruned nothing: $cand of $total files")
   }
 
+  test("DELETE FROM routes to the file-targeted COW delete") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.del")
+    spark.sql("CREATE TABLE txcat.ns.del USING txlog AS " +
+      "SELECT id, concat('v', id) AS v FROM range(100)")
+    spark.sql("DELETE FROM txcat.ns.del WHERE id >= 90")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.del").head.getLong(0)
+      == 90)
+    // NULL-safe semantics: a predicate that is NULL for a row keeps it
+    spark.sql("DELETE FROM txcat.ns.del WHERE v = 'v5'")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.del").head.getLong(0)
+      == 89)
+    val t = TxLogTable(spark, s"$warehouse/ns/del")
+    assert(t.history().last.op.contains("delete"))
+    // unconditioned DELETE truncates through the same path
+    spark.sql("DELETE FROM txcat.ns.del")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.del").count() >= 0 &&
+      spark.sql("SELECT * FROM txcat.ns.del").count() == 0)
+  }
+
   test("CREATE TABLE AS SELECT lands schema and rows in one statement") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.ctas")
     spark.sql("CREATE TABLE txcat.ns.ctas USING txlog AS " +
