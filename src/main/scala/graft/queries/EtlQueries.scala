@@ -538,6 +538,37 @@ object EtlQueries {
         "FROM graftcat.db.orders_del")
     }),
 
+    // MERGE INTO in pure SQL (DSv2 SupportsRowLevelOperations, group-based
+    // rewrite): the operation scan prunes candidate files from the
+    // MANIFEST only — the pushed ON-condition never reaches the parquet
+    // reader, because a group scan must return every row of each
+    // surviving file — and the write publishes staged groups + carried
+    // files as ONE atomic version. The in-query require proves the commit
+    // went through the row-level op. Oracle recomputes the post-merge
+    // state relationally.
+    "sql_merge_into" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("customer_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_merge")
+      s.sql("CREATE TABLE graftcat.db.cust_merge USING txlog AS " +
+        "SELECT c_custkey, c_name, c_acctbal FROM customer_src")
+      s.sql("""
+        MERGE INTO graftcat.db.cust_merge t
+        USING (SELECT c_custkey, concat('M-', c_name) AS c_name,
+                      c_acctbal + 1000 AS c_acctbal
+               FROM customer_src WHERE c_custkey % 10 = 0) s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET t.c_name = s.c_name,
+                                     t.c_acctbal = s.c_acctbal
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+                              VALUES (s.c_custkey, s.c_name, s.c_acctbal)""")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/cust_merge")
+      require(tbl.history().last.op.contains("row-level-merge"),
+        "MERGE INTO must commit through the row-level op")
+      s.sql("SELECT c_custkey, c_name, c_acctbal " +
+        "FROM graftcat.db.cust_merge")
+    }),
+
     // SQL time travel (DSv2 loadTable(ident, version) behind VERSION AS
     // OF): three commits land through pure SQL, the query reads the
     // middle version — the append-only prefix — while the current
@@ -1122,6 +1153,14 @@ object EtlQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
          FROM orders
          WHERE NOT (o_totalprice > 150000 AND o_orderstatus = 'F')""",
+
+    "sql_merge_into" ->
+      """SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN 'M-' || c_name
+                ELSE c_name END AS c_name,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+                ELSE c_acctbal END AS c_acctbal
+         FROM customer""",
 
     "schema_evolution_rename" ->
       """SELECT c_custkey, c_name AS cust_name, c_acctbal FROM customer""",

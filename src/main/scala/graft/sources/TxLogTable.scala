@@ -1277,6 +1277,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val w = toPhysical(df).write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(scratch.toString)
+    moveStaged(scratch, batch)
+  }
+
+  // move every parquet under `scratch` into data/ under the batch-unique
+  // prefix (hive subdirs preserved), clean up the scratch remains, and
+  // return the rel paths — the publish half of staging, shared with
+  // commitStagedDir
+  private def moveStaged(scratch: Path, batch: String): Seq[String] = {
     val stagedFiles = scala.util.Using.resource(Files.walk(scratch)) { s =>
       s.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") &&
@@ -1297,6 +1305,67 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
     staged
+  }
+
+  /** Publish a directory of parquet files an EXTERNAL writer produced —
+    * the SQL row-level DML path hands Spark's own file-writer output here
+    * — as one atomic OVERWRITE commit: files move under data/, footer
+    * stats and blooms are harvested exactly as for any commit, CHECK
+    * constraints are re-validated (one scan, only when constraints
+    * exist), and the manifest publish is the usual optimistic race.
+    * Unpartitioned tables only: an external writer produces a flat
+    * layout, and mixing flat files into a hive-partitioned table would
+    * make partition-column discovery ambiguous.
+    */
+  def commitStagedDir(scratch: Path, op: String,
+                      maxAttempts: Int = 10): Int =
+    commitStagedReplace(scratch, replaced = None, op, maxAttempts)
+
+  /** Like [[commitStagedDir]], but REPLACES only the named data files:
+    * the staged files plus every current file NOT in `replaced` form the
+    * new version — the group-replacement commit the SQL row-level DML
+    * path needs (the scan reads a pruned file subset, the new content of
+    * exactly those groups arrives here, everything else is carried by
+    * manifest reference). `replaced = None` replaces the whole table
+    * (overwrite).
+    */
+  def commitStagedReplace(scratch: Path, replaced: Option[Set[String]],
+                          op: String, maxAttempts: Int = 10): Int = {
+    require(latestVersion.map(partitionColsOf).getOrElse(Nil).isEmpty,
+      s"commitStagedReplace on a partitioned table: use the API write paths")
+    Files.createDirectories(dataDir)
+    Files.createDirectories(logDir)
+    val batch = "batch-" + java.util.UUID.randomUUID().toString
+    val rels = moveStaged(scratch, batch)
+    if (latestVersion.exists(v => checksOf(v).nonEmpty) && rels.nonEmpty)
+      validateChecks(spark.read.parquet(
+        rels.map(r => dataDir.resolve(r).toString): _*), latestVersion)
+    val effBloom = inheritedBloomCols
+    val blooms = bloomStats(rels, effBloom, inheritedBloomBits(latestVersion))
+    val staged = rels.map(rel => TxLogTable.FileEntry(rel, footerStats(rel),
+      blooms.getOrElse(rel, Map.empty)).encoded)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val carried = replaced match {
+        case None => Nil
+        case Some(reps) => base.map(dataLines).getOrElse(Nil)
+          .filterNot(line => reps(line.takeWhile(_ != '\t')))
+      }
+      val next = base.getOrElse(-1) + 1
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(Nil, op, effBloom) ++ tableMetaLines(base) ++
+            checkLines(base) ++ carried ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"commitStagedReplace lost the version race $maxAttempts times: $root")
   }
 
   /** Per-column min/max of one staged file, harvested from the parquet

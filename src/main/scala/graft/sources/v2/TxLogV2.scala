@@ -183,7 +183,8 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
                               ident: String,
                               asOfVersion: Option[Int] = None) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   /** `DELETE FROM t WHERE ...` — routed to the file-targeted COW delete.
     * The SQL contract requires EXACT deletion of the matching rows, so
@@ -205,6 +206,166 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     table.deleteWhere(schema, pred)
   }
+
+  /** `UPDATE` / `MERGE INTO` (and DELETE with an untranslatable
+    * predicate) via the GROUP-BASED row-level rewrite: Spark reads the
+    * table through the operation's scan, computes the complete post-
+    * operation content of the groups it read, and hands it to the write
+    * side — with no runtime group filtering reported, the read groups are
+    * the whole snapshot, so the write is one atomic OVERWRITE commit of
+    * the new table state. Semantically exact for every command; write
+    * amplification is O(table) — the documented COW worst case. The
+    * file-targeted paths ([[graft.sources.TxLogTable.merge]],
+    * `deleteWhere`, `replaceWhere`) remain the scale surface for keyed
+    * workloads; SQL DELETE with translatable predicates also keeps its
+    * targeted route through [[canDeleteWhere]] above, which Spark
+    * consults FIRST.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command
+          : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command
+
+      // the data files the operation scan chose to read — exactly the
+      // GROUPS the write must replace (None until the scan is built)
+      @volatile private var readRels: Option[Set[String]] = None
+      private[v2] def replacedRels: Option[Set[String]] = readRels
+
+      // The rewrite plans this scan as a genuine BatchScan (the V1Scan
+      // special case does not apply to operation scans), so delegate to
+      // Spark's own ParquetScan — vectorized and columnar — over the FILE
+      // SUBSET the manifest says may hold matching rows. The pushed
+      // condition is consumed ONLY for manifest file pruning and is
+      // reported fully handled, never forwarded to the parquet reader: a
+      // group scan must return EVERY row of each surviving file (carried
+      // rows ride the rewrite untouched), so row-group-level filtering
+      // would silently drop them. Raw parquet cannot apply MOR tombstone
+      // masks or column-mapping relabels, so both are refused (compact /
+      // avoid renames before SQL row-level DML; the API paths handle
+      // every state).
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : ScanBuilder = {
+        val t = TxLogV2Table.this.table
+        t.latestVersion.foreach { v =>
+          require(t.tombstonesOf(v).isEmpty,
+            "SQL row-level DML with live MOR tombstones: compact first")
+          require(t.colMapOf(v).isEmpty,
+            "SQL row-level DML on a column-mapped (renamed) table is " +
+              "unsupported: use the TxLogTable API")
+          require(t.partitionColsOf(v).isEmpty,
+            "SQL row-level DML on a hive-partitioned table is " +
+              "unsupported: use the TxLogTable API (merge/deleteWhere)")
+        }
+        new ScanBuilder with SupportsPushDownFilters {
+          private var pushed: Array[Filter] = Array.empty
+          override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+            pushed = fs
+            Array.empty // fully handled: groups are pruned, rows are not
+          }
+          override def pushedFilters(): Array[Filter] = pushed
+          override def build(): Scan = {
+            val pred = pushed.toSeq
+              .flatMap(f => graft.sources.v2.TxLogV2Table.loosePredicate(f))
+              .reduceOption(_ && _)
+            val rels = pred match {
+              case Some(p) => t.candidateFilesWhere(p).toSet
+              case None => t.entries(None).map(_.rel).toSet
+            }
+            readRels = Some(rels)
+            val dataDir = java.nio.file.Paths.get(root, "data").toString
+            val paths = rels.toSeq.sorted.map(r =>
+              new org.apache.hadoop.fs.Path(s"$dataDir/$r"))
+            val index = new org.apache.spark.sql.execution.datasources
+              .InMemoryFileIndex(spark, paths, Map("basePath" -> dataDir),
+                Some(schema))
+            org.apache.spark.sql.execution.datasources.v2.parquet
+              .ParquetScanBuilder(spark, index, schema, schema,
+                CaseInsensitiveStringMap.empty()).build()
+          }
+        }
+      }
+      // The write side must also be a genuine BatchWrite: delegate the
+      // file writing to Spark's own parquet v2 writer aimed at a txlog
+      // staging directory, then publish the staged files in
+      // BatchWrite.commit as ONE atomic group-replacement version —
+      // staged files plus every unread file carried by reference — with
+      // stats and blooms harvested as for any commit.
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write =
+            new org.apache.spark.sql.connector.write.Write {
+              private val scratch = java.nio.file.Paths.get(root, "data",
+                "rowlevel-" + java.util.UUID.randomUUID() + ".staging")
+              private val delegate =
+                org.apache.spark.sql.execution.datasources.v2.parquet
+                  .ParquetWrite(Seq(scratch.toString), "parquet",
+                    (_: org.apache.spark.sql.types.DataType) => true, winfo)
+              override def toBatch
+                  : org.apache.spark.sql.connector.write.BatchWrite =
+                new org.apache.spark.sql.connector.write.BatchWrite {
+                  private val inner = delegate.toBatch
+                  // Spark's group-based rewrite prepends a
+                  // `__row_operation` marker to every row and, when the
+                  // operation declares no metadata columns, hands the
+                  // UNPROJECTED row to the writer (the projecting task
+                  // only engages with a metadata projection) — so the
+                  // factory wraps each writer with the data projection
+                  // the marker layout implies. Rows already matching the
+                  // write schema pass through untouched.
+                  override def createBatchWriterFactory(
+                      pinfo: org.apache.spark.sql.connector.write
+                        .PhysicalWriteInfo) = {
+                    val f = inner.createBatchWriterFactory(pinfo)
+                    val n = winfo.schema().length
+                    val writeSchema = winfo.schema()
+                    new org.apache.spark.sql.connector.write.DataWriterFactory {
+                      override def createWriter(partitionId: Int,
+                          taskId: Long) = {
+                        val w = f.createWriter(partitionId, taskId)
+                        new org.apache.spark.sql.connector.write.DataWriter[
+                            org.apache.spark.sql.catalyst.InternalRow] {
+                          private val proj =
+                            org.apache.spark.sql.catalyst.ProjectingInternalRow(
+                              writeSchema, (1 to n).toIndexedSeq)
+                          override def write(
+                              r: org.apache.spark.sql.catalyst.InternalRow)
+                              : Unit =
+                            if (r.numFields == n) w.write(r)
+                            else { proj.project(r); w.write(proj) }
+                          override def commit() = w.commit()
+                          override def abort() = w.abort()
+                          override def close() = w.close()
+                        }
+                      }
+                    }
+                  }
+                  override def commit(
+                      messages: Array[org.apache.spark.sql.connector.write
+                        .WriterCommitMessage]): Unit = {
+                    inner.commit(messages)
+                    // replace exactly the groups the scan read; files the
+                    // manifest pruning skipped are carried by reference —
+                    // file-targeted SQL UPDATE/MERGE, like the API paths
+                    TxLogV2Table.this.table.commitStagedReplace(scratch,
+                      replacedRels,
+                      op = "row-level-" + info.command.toString
+                        .toLowerCase(java.util.Locale.ROOT))
+                  }
+                  override def abort(
+                      messages: Array[org.apache.spark.sql.connector.write
+                        .WriterCommitMessage]): Unit = {
+                    inner.abort(messages)
+                    // staged files are unreferenced; vacuum collects them
+                  }
+                  override def useCommitCoordinator: Boolean =
+                    inner.useCommitCoordinator
+                }
+            }
+        }
+    }
 
   def table: TxLogTable = TxLogTable(spark, root)
 
@@ -244,6 +405,19 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
 object TxLogV2Table {
   import org.apache.spark.sql.functions.lit
   import org.apache.spark.sql.sources._
+
+  /** CONSERVATIVE Filter → Column translation for GROUP pruning: a
+    * partially translated conjunction prunes fewer files, never wrong
+    * rows (the full condition logic lives inside the rewritten query).
+    */
+  private[v2] def loosePredicate(f: Filter): Option[Column] = f match {
+    case And(l, r) =>
+      (loosePredicate(l), loosePredicate(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // one conjunct still prunes soundly
+      }
+    case other => exactPredicate(other)
+  }
 
   /** EXACT source-Filter → Column translation for DELETE FROM: every
     * shape must translate or the statement is refused — a partial

@@ -94,6 +94,77 @@ class TxLogCatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM txcat.ns.del").count() == 0)
   }
 
+  test("UPDATE and MERGE INTO run through the row-level rewrite") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rl")
+    spark.sql("CREATE TABLE txcat.ns.rl USING txlog AS " +
+      "SELECT id, concat('v', id) AS v FROM range(10)")
+    spark.sql("UPDATE txcat.ns.rl SET v = 'upd' WHERE id >= 8")
+    val afterUpdate = spark.sql(
+      "SELECT id, v FROM txcat.ns.rl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterUpdate == (0L to 7L).map(i => (i, s"v$i")) ++
+      Seq((8L, "upd"), (9L, "upd")))
+    val t = TxLogTable(spark, s"$warehouse/ns/rl")
+    assert(t.history().last.op.contains("row-level-update"))
+    // MERGE INTO: update matches, insert the rest
+    spark.sql("""
+      MERGE INTO txcat.ns.rl t
+      USING (SELECT id, concat('m', id) AS v
+             FROM range(8, 12)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val afterMerge = spark.sql(
+      "SELECT id, v FROM txcat.ns.rl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterMerge == (0L to 7L).map(i => (i, s"v$i")) ++
+      (8L to 11L).map(i => (i, s"m$i")), s"got $afterMerge")
+    assert(t.history().last.op.contains("row-level-merge"))
+    // MERGE with a DELETE action: deleted rows must not survive the
+    // group rewrite (they simply never reach the writer)
+    spark.sql("""
+      MERGE INTO txcat.ns.rl t
+      USING (SELECT id FROM range(0, 4)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.rl").head.getLong(0)
+      == 8, "MERGE DELETE rows survived")
+    // DELETE with an untranslatable predicate falls back to the rewrite:
+    // of the remaining v4..v7, m8..m11, removes the length-2 values,
+    // keeps m10, m11
+    spark.sql("DELETE FROM txcat.ns.rl WHERE length(v) = 2")
+    assert(spark.sql("SELECT v FROM txcat.ns.rl ORDER BY v").collect()
+      .map(_.getString(0)).toSeq == Seq("m10", "m11"))
+  }
+
+  test("SQL UPDATE replaces only the groups the scan read") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rlband")
+    spark.sql(
+      "CREATE TABLE txcat.ns.rlband (id BIGINT, v STRING) USING txlog")
+    // three band-disjoint commits → three file groups with id ranges
+    spark.sql("INSERT INTO txcat.ns.rlband " +
+      "SELECT id, concat('a', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO txcat.ns.rlband " +
+      "SELECT id, concat('b', id) FROM range(100, 200)")
+    spark.sql("INSERT INTO txcat.ns.rlband " +
+      "SELECT id, concat('c', id) FROM range(200, 300)")
+    val t = TxLogTable(spark, s"$warehouse/ns/rlband")
+    val before = t.entries(None).map(_.rel).toSet
+    spark.sql("UPDATE txcat.ns.rlband SET v = 'hit' WHERE id = 250")
+    val after = t.entries(None).map(_.rel).toSet
+    val carried = before & after
+    assert(carried.nonEmpty,
+      s"UPDATE carried no files: rewrote all ${before.size}")
+    assert(spark.sql(
+      "SELECT v FROM txcat.ns.rlband WHERE id = 250").head.getString(0)
+      == "hit")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.rlband").head
+      .getLong(0) == 300)
+    assert(spark.sql(
+      "SELECT count(*) FROM txcat.ns.rlband WHERE v = 'hit'").head
+      .getLong(0) == 1)
+  }
+
   test("CREATE TABLE AS SELECT lands schema and rows in one statement") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.ctas")
     spark.sql("CREATE TABLE txcat.ns.ctas USING txlog AS " +
