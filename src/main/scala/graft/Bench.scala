@@ -107,7 +107,8 @@ object Bench {
       "sim_ivfpq_persisted", "merge_cow", "merge_cow_str", "replace_where",
       "delete_cow",
       "delete_mor", "compact_small", "time_travel", "sql_ddl_catalog",
-      "sql_time_travel", "schema_evolution_rename", "schema_evolution",
+      "sql_time_travel", "sql_delete_from", "sql_merge_into",
+      "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
