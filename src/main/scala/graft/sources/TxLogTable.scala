@@ -1347,10 +1347,24 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
+      val current = base.map(dataLines).getOrElse(Nil)
       val carried = replaced match {
         case None => Nil
-        case Some(reps) => base.map(dataLines).getOrElse(Nil)
-          .filterNot(line => reps(line.takeWhile(_ != '\t')))
+        case Some(reps) =>
+          // write-write conflict detection: the staged content was
+          // computed FROM the replaced files — if a concurrent commit
+          // rewrote or removed any of them since the scan, publishing
+          // would silently drop that writer's change. Fail loudly (the
+          // serializable-conflict contract every optimistic table format
+          // has); the caller reruns the statement against the new state.
+          val currentRels = current.map(_.takeWhile(_ != '\t')).toSet
+          val gone = reps -- currentRels
+          if (gone.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"commitStagedReplace: ${gone.size} of the files this " +
+                s"operation read were rewritten by a concurrent commit " +
+                s"(e.g. ${gone.head}) — rerun the statement")
+          current.filterNot(line => reps(line.takeWhile(_ != '\t')))
       }
       val next = base.getOrElse(-1) + 1
       try {

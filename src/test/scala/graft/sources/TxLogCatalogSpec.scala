@@ -137,6 +137,29 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("m10", "m11"))
   }
 
+  test("group replace detects a conflicting concurrent rewrite") {
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("txconf")
+      .resolve("t").toString
+    val t = TxLogTable(spark, root)
+    import spark.implicits._
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    val replaced = t.entries(None).map(_.rel).toSet
+    // a concurrent writer rewrites the same file before our publish
+    t.commit(Seq((1L, "other")).toDF("id", "v"), overwrite = true)
+    val scratch = java.nio.file.Files.createTempDirectory("txconf-s")
+    Seq((1L, "mine")).toDF("id", "v").coalesce(1).write
+      .mode("overwrite").parquet(scratch.toString)
+    val err = intercept[java.util.ConcurrentModificationException] {
+      t.commitStagedReplace(scratch, Some(replaced), "row-level-update")
+    }
+    assert(err.getMessage.contains("concurrent"), err.getMessage)
+    // the other writer's state survived untouched
+    assert(t.snapshot(org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING")).collect().map(_.getString(1)).toSeq ==
+      Seq("other"))
+  }
+
   test("SQL UPDATE replaces only the groups the scan read") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.rlband")
     spark.sql(
