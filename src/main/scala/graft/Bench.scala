@@ -107,18 +107,20 @@ object Bench {
       "sim_ivfpq_persisted", "merge_cow", "merge_cow_str", "replace_where",
       "delete_cow",
       "delete_mor", "compact_small", "time_travel", "sql_ddl_catalog",
-      "sql_time_travel", "sql_delete_from", "sql_merge_into",
+      "sql_time_travel", "sql_delete_from", "sql_merge_into", "sql_update",
       "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Two lines, spread FIRST: the driver's tail-capture window keeps the
-    // END of the output, and the r5 artifact proved one combined line can
-    // exceed it (per-query seconds were cut off; only the trailing
-    // pass_spread map survived). The headline line — the one the driver
-    // parses — stays last and roughly half as long, so it survives intact.
+    // Three lines, shortest LAST: the driver's tail-capture window keeps
+    // the END of the output, and with 138 queries the full per-query line
+    // exceeds it — its head (metric/value) is what gets cut (r5 and r6
+    // artifacts both had parsed:null). So the detail lines go first and a
+    // short headline line — total + count only, well under any tail
+    // window — is printed last so it always survives intact and parses.
     println(s"""{"metric":"spread","spread_max":$spreadMax,"harness_heavy":$harnessHeavy,"pass_spread":$sp}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":${r3(warmupSec)},"spread_max":$spreadMax,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","queries":$qs,"warmup_sec":${r3(warmupSec)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"spread_max":$spreadMax,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -569,6 +569,31 @@ object EtlQueries {
         "FROM graftcat.db.cust_merge")
     }),
 
+    // UPDATE in pure SQL (the same DSv2 group-based row-level rewrite as
+    // MERGE INTO; Spark compiles UPDATE to a replace-groups plan). The
+    // WHERE reaches the operation scan as a pushed filter and is consumed
+    // for MANIFEST file pruning only — surviving files are rewritten in
+    // full with the SET applied, untouched files are carried by
+    // reference. The in-query require proves the commit went through the
+    // row-level UPDATE op. Oracle recomputes the post-update state with a
+    // CASE over the same predicate.
+    "sql_update" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "part").createOrReplaceTempView("part_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.part_upd")
+      s.sql("CREATE TABLE graftcat.db.part_upd USING txlog AS " +
+        "SELECT p_partkey, p_name, p_size, p_retailprice FROM part_src")
+      s.sql("UPDATE graftcat.db.part_upd " +
+        "SET p_name = concat('U-', p_name), " +
+        "    p_retailprice = p_retailprice + 100 " +
+        "WHERE p_size >= 30")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/part_upd")
+      require(tbl.history().last.op.contains("row-level-update"),
+        "UPDATE must commit through the row-level op")
+      s.sql("SELECT p_partkey, p_name, p_size, p_retailprice " +
+        "FROM graftcat.db.part_upd")
+    }),
+
     // SQL time travel (DSv2 loadTable(ident, version) behind VERSION AS
     // OF): three commits land through pure SQL, the query reads the
     // middle version — the append-only prefix — while the current
@@ -1161,6 +1186,15 @@ object EtlQueries {
            CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
                 ELSE c_acctbal END AS c_acctbal
          FROM customer""",
+
+    "sql_update" ->
+      """SELECT p_partkey,
+           CASE WHEN p_size >= 30 THEN 'U-' || p_name ELSE p_name END
+             AS p_name,
+           p_size,
+           CASE WHEN p_size >= 30 THEN p_retailprice + 100
+                ELSE p_retailprice END AS p_retailprice
+         FROM part""",
 
     "schema_evolution_rename" ->
       """SELECT c_custkey, c_name AS cust_name, c_acctbal FROM customer""",

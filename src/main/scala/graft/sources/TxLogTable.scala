@@ -152,6 +152,17 @@ object TxLogTable {
     !name.exists(c => c == '=' || c == ';' || c == ':' ||
       c == '\t' || c == '\n')
 
+  /** A column name entering the MANIFEST METADATA (rename / add) must
+    * additionally avoid the `#colmap=` wire delimiters (`>` `,`): the
+    * map parser splits on them, so such a name would silently drop its
+    * own mapping and resolve to a nonexistent physical column — all-NULL
+    * reads from pre-rename files, not a parse error. Unlike stats (where
+    * an unsafe name only costs pruning), here the name is load-bearing,
+    * so it is rejected at commit time.
+    */
+  def wireSafeName(name: String): Boolean =
+    statsSafe(name) && !name.exists(c => c == '>' || c == ',')
+
   /** Per-file Bloom filter over one column's values — the point-lookup
     * complement to min/max range stats: a key-scattered layout (every file
     * spans the full key range) defeats range pruning entirely, but a bloom
@@ -588,6 +599,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         s"no such column: $oldName")
       require(!schema.fieldNames.contains(newName),
         s"column already exists: $newName")
+      require(TxLogTable.wireSafeName(newName),
+        s"column name '$newName' contains a manifest wire delimiter " +
+          "(> , = ; : tab newline) — pick another name")
       require(!partitionColsOf(b).contains(oldName),
         s"cannot rename partition column $oldName (physical hive paths)")
       require(tombstonesOf(b).isEmpty,
@@ -618,6 +632,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val schema = recordedSchema(b, "addColumn")
       require(!schema.fieldNames.contains(name),
         s"column already exists: $name")
+      require(TxLogTable.wireSafeName(name),
+        s"column name '$name' contains a manifest wire delimiter " +
+          "(> , = ; : tab newline) — pick another name")
       val map = colMapOf(b)
       val livePhysical =
         schema.fieldNames.map(c => map.getOrElse(c, c)).toSet
@@ -1330,7 +1347,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * (overwrite).
     */
   def commitStagedReplace(scratch: Path, replaced: Option[Set[String]],
-                          op: String, maxAttempts: Int = 10): Int = {
+                          op: String, maxAttempts: Int = 10,
+                          scanBase: Option[Int] = None,
+                          scanPred: Option[org.apache.spark.sql.Column] =
+                            None): Int = {
     require(latestVersion.map(partitionColsOf).getOrElse(Nil).isEmpty,
       s"commitStagedReplace on a partitioned table: use the API write paths")
     Files.createDirectories(dataDir)
@@ -1364,6 +1384,29 @@ final case class TxLogTable(spark: SparkSession, root: String) {
               s"commitStagedReplace: ${gone.size} of the files this " +
                 s"operation read were rewritten by a concurrent commit " +
                 s"(e.g. ${gone.head}) — rerun the statement")
+          // The other half of the serializable contract: files ADDED
+          // since the operation's scan (a concurrent append/insert) are
+          // carried forward — their rows survive — but the rewrite never
+          // CONSIDERED them, so any added file that may hold rows
+          // matching the operation's condition makes the publish write
+          // skew, not a serial history. Manifest stats decide "may
+          // match": a partially-translated (or absent) condition only
+          // widens the hazard set — aborts more, never misses a conflict.
+          for (bv <- scanBase if base.exists(_ != bv)) {
+            val baseRels = dataLines(bv).map(_.takeWhile(_ != '\t')).toSet
+            val added = currentRels -- baseRels -- reps
+            val hazardous = scanPred match {
+              case Some(p) if added.nonEmpty =>
+                candidateFilesWhere(p, base).toSet.intersect(added)
+              case _ => added
+            }
+            if (hazardous.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"commitStagedReplace: ${hazardous.size} file(s) added by " +
+                  s"a concurrent commit since version $bv may match this " +
+                  s"operation's condition (e.g. ${hazardous.head}) — " +
+                  s"rerun the statement")
+          }
           current.filterNot(line => reps(line.takeWhile(_ != '\t')))
       }
       val next = base.getOrElse(-1) + 1

@@ -71,6 +71,11 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   // Conservative catalyst→Column translation for manifest pruning: only
   // shapes PredicateRanges understands; anything else contributes nothing
   // (the Filter on top re-applies the full predicate regardless).
+  // quote: a legal column name containing a dot must not parse as
+  // struct access when the pruning predicate is re-built as a Column
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def litVal(l: Literal): Option[Column] = l.value match {
     case v: Int => Some(lit(v))
     case v: Long => Some(lit(v))
@@ -82,25 +87,25 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def toPredicate(e: Expression): Option[Column] = e match {
     case EqualTo(a: AttributeReference, l: Literal) =>
-      litVal(l).map(col(a.name) === _)
+      litVal(l).map(qcol(a.name) === _)
     case EqualTo(l: Literal, a: AttributeReference) =>
-      litVal(l).map(col(a.name) === _)
+      litVal(l).map(qcol(a.name) === _)
     case GreaterThan(a: AttributeReference, l: Literal) =>
-      litVal(l).map(col(a.name) > _)
+      litVal(l).map(qcol(a.name) > _)
     case GreaterThan(l: Literal, a: AttributeReference) =>
-      litVal(l).map(col(a.name) < _)
+      litVal(l).map(qcol(a.name) < _)
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-      litVal(l).map(col(a.name) >= _)
+      litVal(l).map(qcol(a.name) >= _)
     case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-      litVal(l).map(col(a.name) <= _)
+      litVal(l).map(qcol(a.name) <= _)
     case LessThan(a: AttributeReference, l: Literal) =>
-      litVal(l).map(col(a.name) < _)
+      litVal(l).map(qcol(a.name) < _)
     case LessThan(l: Literal, a: AttributeReference) =>
-      litVal(l).map(col(a.name) > _)
+      litVal(l).map(qcol(a.name) > _)
     case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-      litVal(l).map(col(a.name) <= _)
+      litVal(l).map(qcol(a.name) <= _)
     case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-      litVal(l).map(col(a.name) >= _)
+      litVal(l).map(qcol(a.name) >= _)
     case In(a: AttributeReference, vs)
         if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       val raw: Seq[Option[Any]] = vs.map {
@@ -111,11 +116,11 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Literal(s: UTF8String, _) => Some(s.toString)
         case _ => None
       }
-      if (raw.forall(_.isDefined)) Some(col(a.name).isin(raw.flatten: _*))
+      if (raw.forall(_.isDefined)) Some(qcol(a.name).isin(raw.flatten: _*))
       else None
-    case IsNull(a: AttributeReference) => Some(col(a.name).isNull)
-    case IsNotNull(a: AttributeReference) => Some(col(a.name).isNotNull)
-    case Not(IsNull(a: AttributeReference)) => Some(col(a.name).isNotNull)
+    case IsNull(a: AttributeReference) => Some(qcol(a.name).isNull)
+    case IsNotNull(a: AttributeReference) => Some(qcol(a.name).isNotNull)
+    case Not(IsNull(a: AttributeReference)) => Some(qcol(a.name).isNotNull)
     case And(l, r) =>
       (toPredicate(l), toPredicate(r)) match {
         case (Some(a), Some(b)) => Some(a && b)

@@ -230,8 +230,13 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
         info.command
 
       // the data files the operation scan chose to read — exactly the
-      // GROUPS the write must replace (None until the scan is built)
+      // GROUPS the write must replace (None until the scan is built) —
+      // plus the snapshot version and pruning condition the scan saw, so
+      // the publish can detect concurrent ADDS that the rewrite never
+      // considered (write-skew guard in commitStagedReplace)
       @volatile private var readRels: Option[Set[String]] = None
+      @volatile private var scanBaseV: Option[Int] = None
+      @volatile private var scanPredC: Option[Column] = None
       private[v2] def replacedRels: Option[Set[String]] = readRels
 
       // The rewrite plans this scan as a genuine BatchScan (the V1Scan
@@ -275,6 +280,8 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
               case None => t.entries(None).map(_.rel).toSet
             }
             readRels = Some(rels)
+            scanBaseV = t.latestVersion
+            scanPredC = pred
             val dataDir = java.nio.file.Paths.get(root, "data").toString
             val paths = rels.toSeq.sorted.map(r =>
               new org.apache.hadoop.fs.Path(s"$dataDir/$r"))
@@ -334,7 +341,15 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
                               r: org.apache.spark.sql.catalyst.InternalRow)
                               : Unit =
                             if (r.numFields == n) w.write(r)
-                            else { proj.project(r); w.write(proj) }
+                            else {
+                              // the only layout the projection is sound
+                              // for is [marker, data...]; anything else
+                              // would silently shift column values
+                              require(r.numFields == n + 1,
+                                s"row-level write expected $n data fields" +
+                                  s" (+1 marker), got ${r.numFields}")
+                              proj.project(r); w.write(proj)
+                            }
                           override def commit() = w.commit()
                           override def abort() = w.abort()
                           override def close() = w.close()
@@ -352,7 +367,8 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
                     TxLogV2Table.this.table.commitStagedReplace(scratch,
                       replacedRels,
                       op = "row-level-" + info.command.toString
-                        .toLowerCase(java.util.Locale.ROOT))
+                        .toLowerCase(java.util.Locale.ROOT),
+                      scanBase = scanBaseV, scanPred = scanPredC)
                   }
                   override def abort(
                       messages: Array[org.apache.spark.sql.connector.write
@@ -410,6 +426,12 @@ object TxLogV2Table {
     * partially translated conjunction prunes fewer files, never wrong
     * rows (the full condition logic lives inside the rewritten query).
     */
+  // A legal column name containing a dot would parse as struct access
+  // through col(name); quote it so the translated predicate resolves the
+  // literal column (backticks doubled per the quoting grammar).
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private[v2] def loosePredicate(f: Filter): Option[Column] = f match {
     case And(l, r) =>
       (loosePredicate(l), loosePredicate(r)) match {
@@ -425,18 +447,18 @@ object TxLogV2Table {
     * pruning, where partial is sound because rows are re-filtered).
     */
   private[v2] def exactPredicate(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
+    case EqualTo(a, v) => Some(qcol(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(qcol(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(qcol(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(qcol(a) >= lit(v))
+    case LessThan(a, v) => Some(qcol(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(qcol(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(qcol(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(qcol(a).isNull)
+    case IsNotNull(a) => Some(qcol(a).isNotNull)
+    case StringStartsWith(a, v) => Some(qcol(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(qcol(a).endsWith(v))
+    case StringContains(a, v) => Some(qcol(a).contains(v))
     case And(l, r) =>
       for (a <- exactPredicate(l); b <- exactPredicate(r)) yield a && b
     case Or(l, r) =>
