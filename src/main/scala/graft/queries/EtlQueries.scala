@@ -569,6 +569,48 @@ object EtlQueries {
         "FROM graftcat.db.cust_merge")
     }),
 
+    // MERGE INTO on a HIVE-PARTITIONED, COLUMN-MAPPED table — the default
+    // 100 TB layout plus the most common schema evolution, in one
+    // statement. The operation scan reconstructs partition columns from
+    // the hive paths (basePath discovery over the manifest-pruned file
+    // subset) and re-labels the renamed column's physical bytes to its
+    // logical name; the write re-stages the replaced subset through the
+    // partition-aware commit. The requires prove: the commit went through
+    // the row-level op, the hive layout survived, and files of partitions
+    // the ON condition excludes were carried by reference (manifest
+    // pruning on the partition key bounded the rewrite). Oracle
+    // recomputes the post-merge state relationally.
+    "sql_merge_partitioned" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.supp_part")
+      s.sql("CREATE TABLE graftcat.db.supp_part USING txlog " +
+        "PARTITIONED BY (s_nationkey) AS " +
+        "SELECT s_suppkey, s_name, s_acctbal, s_nationkey " +
+        "FROM supplier_src")
+      s.sql("ALTER TABLE graftcat.db.supp_part " +
+        "RENAME COLUMN s_acctbal TO bal")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/supp_part")
+      val untouched = tbl.entries(None).map(_.rel)
+        .filterNot(_.contains("s_nationkey=3")).toSet
+      s.sql("""
+        MERGE INTO graftcat.db.supp_part t
+        USING (SELECT s_suppkey, concat('M-', s_name) AS s_name,
+                      s_acctbal + 500 AS bal
+               FROM supplier_src WHERE s_nationkey = 3) src
+        ON t.s_suppkey = src.s_suppkey AND t.s_nationkey = 3
+        WHEN MATCHED THEN UPDATE SET t.s_name = src.s_name,
+                                     t.bal = src.bal""")
+      require(tbl.history().last.op.contains("row-level-merge"),
+        "MERGE INTO must commit through the row-level op")
+      require(tbl.entries(None).forall(_.rel.contains("s_nationkey=")),
+        "hive layout lost by the row-level rewrite")
+      require(untouched.subsetOf(tbl.entries(None).map(_.rel).toSet),
+        "merge rewrote partitions the ON condition excludes")
+      s.sql("SELECT s_suppkey, s_name, s_nationkey, bal " +
+        "FROM graftcat.db.supp_part")
+    }),
+
     // UPDATE in pure SQL (the same DSv2 group-based row-level rewrite as
     // MERGE INTO; Spark compiles UPDATE to a replace-groups plan). The
     // WHERE reaches the operation scan as a pushed filter and is consumed
@@ -1186,6 +1228,15 @@ object EtlQueries {
            CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
                 ELSE c_acctbal END AS c_acctbal
          FROM customer""",
+
+    "sql_merge_partitioned" ->
+      """SELECT s_suppkey,
+           CASE WHEN s_nationkey = 3 THEN 'M-' || s_name
+                ELSE s_name END AS s_name,
+           s_nationkey,
+           CASE WHEN s_nationkey = 3 THEN s_acctbal + 500
+                ELSE s_acctbal END AS bal
+         FROM supplier""",
 
     "sql_update" ->
       """SELECT p_partkey,

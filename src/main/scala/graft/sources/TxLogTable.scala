@@ -1352,18 +1352,65 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                           scanPred: Option[org.apache.spark.sql.Column] =
                             None): Int = {
     require(latestVersion.map(partitionColsOf).getOrElse(Nil).isEmpty,
-      s"commitStagedReplace on a partitioned table: use the API write paths")
+      s"commitStagedReplace on a partitioned table: " +
+        "use commitReplacingDf (partition-aware re-stage)")
     Files.createDirectories(dataDir)
     Files.createDirectories(logDir)
     val batch = "batch-" + java.util.UUID.randomUUID().toString
     val rels = moveStaged(scratch, batch)
-    if (latestVersion.exists(v => checksOf(v).nonEmpty) && rels.nonEmpty)
-      validateChecks(spark.read.parquet(
-        rels.map(r => dataDir.resolve(r).toString): _*), latestVersion)
+    if (latestVersion.exists(v => checksOf(v).nonEmpty) && rels.nonEmpty) {
+      // staged files carry PHYSICAL column names; CHECK expressions are
+      // written against the logical schema — relabel before validating
+      val raw = spark.read.parquet(
+        rels.map(r => dataDir.resolve(r).toString): _*)
+      val map = inheritedColMap
+      val logical =
+        if (map.isEmpty) raw
+        else raw.select(raw.columns.toIndexedSeq.map { c =>
+          val lg = map.collectFirst { case (l, p) if p == c => l }
+          col(c).as(lg.getOrElse(c))
+        }: _*)
+      validateChecks(logical, latestVersion)
+    }
     val effBloom = inheritedBloomCols
     val blooms = bloomStats(rels, effBloom, inheritedBloomBits(latestVersion))
     val staged = rels.map(rel => TxLogTable.FileEntry(rel, footerStats(rel),
       blooms.getOrElse(rel, Map.empty)).encoded)
+    publishReplace(staged, replaced, op, maxAttempts, scanBase, scanPred,
+      partitionCols = Nil, caller = "commitStagedReplace")
+  }
+
+  /** Group-replacement commit from a DATAFRAME: stages `df` through the
+    * normal partition-aware, column-mapping-aware staging path (hive
+    * layout, physical column names), then publishes staged + (current −
+    * `replaced`) as one atomic version — the partitioned twin of
+    * [[commitStagedReplace]] for SQL row-level DML. Costs one extra pass
+    * over the REPLACED subset vs the move-only path (the external
+    * writer's flat output is re-staged into the hive layout); the
+    * untouched bulk of the table is carried by reference, never read.
+    */
+  def commitReplacingDf(df: DataFrame, replaced: Option[Set[String]],
+                        op: String, maxAttempts: Int = 10,
+                        scanBase: Option[Int] = None,
+                        scanPred: Option[org.apache.spark.sql.Column] =
+                          None): Int = {
+    val partCols = latestVersion.map(partitionColsOf).getOrElse(Nil)
+    validateChecks(df, latestVersion)
+    val staged = stageWithStats(df, partCols, inheritedBloomCols,
+      inheritedBloomBits(latestVersion))
+    publishReplace(staged, replaced, op, maxAttempts, scanBase, scanPred,
+      partCols, caller = "commitReplacingDf")
+  }
+
+  // the shared publish half of the group-replacement commits: optimistic
+  // manifest race with write-write + write-skew conflict detection
+  private def publishReplace(staged: Seq[String],
+                             replaced: Option[Set[String]], op: String,
+                             maxAttempts: Int, scanBase: Option[Int],
+                             scanPred: Option[org.apache.spark.sql.Column],
+                             partitionCols: Seq[String],
+                             caller: String): Int = {
+    val effBloom = inheritedBloomCols
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -1381,7 +1428,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           val gone = reps -- currentRels
           if (gone.nonEmpty)
             throw new java.util.ConcurrentModificationException(
-              s"commitStagedReplace: ${gone.size} of the files this " +
+              s"$caller: ${gone.size} of the files this " +
                 s"operation read were rewritten by a concurrent commit " +
                 s"(e.g. ${gone.head}) — rerun the statement")
           // The other half of the serializable contract: files ADDED
@@ -1402,7 +1449,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             }
             if (hazardous.nonEmpty)
               throw new java.util.ConcurrentModificationException(
-                s"commitStagedReplace: ${hazardous.size} file(s) added by " +
+                s"$caller: ${hazardous.size} file(s) added by " +
                   s"a concurrent commit since version $bv may match this " +
                   s"operation's condition (e.g. ${hazardous.head}) — " +
                   s"rerun the statement")
@@ -1412,7 +1459,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(Nil, op, effBloom) ++ tableMetaLines(base) ++
+          (metaLines(partitionCols, op, effBloom) ++ tableMetaLines(base) ++
             checkLines(base) ++ carried ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -1422,7 +1469,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       }
     }
     throw new IllegalStateException(
-      s"commitStagedReplace lost the version race $maxAttempts times: $root")
+      s"$caller lost the version race $maxAttempts times: $root")
   }
 
   /** Per-column min/max of one staged file, harvested from the parquet

@@ -247,22 +247,29 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       // reported fully handled, never forwarded to the parquet reader: a
       // group scan must return EVERY row of each surviving file (carried
       // rows ride the rewrite untouched), so row-group-level filtering
-      // would silently drop them. Raw parquet cannot apply MOR tombstone
-      // masks or column-mapping relabels, so both are refused (compact /
-      // avoid renames before SQL row-level DML; the API paths handle
-      // every state).
+      // would silently drop them.
+      //
+      // HIVE-PARTITIONED tables: the file index gets basePath, so the
+      // `k=v` segments between data/ and each pruned leaf are parsed back
+      // into partition columns (typed by the declared schema) — the same
+      // reconstruction readRels does for API reads.
+      //
+      // COLUMN-MAPPED tables: files carry PHYSICAL column names, so the
+      // parquet scan is built against the physical schema and then
+      // wrapped in a Scan that re-labels readSchema() to LOGICAL names:
+      // Spark matches the scan relation's attributes to the table's BY
+      // NAME, while the rows themselves are consumed POSITIONALLY — a
+      // rename changes neither position nor type, so re-naming the
+      // schema is the entire translation.
+      //
+      // Raw parquet cannot apply MOR tombstone masks, so that one state
+      // is still refused (compact first; the API paths handle it).
       override def newScanBuilder(options: CaseInsensitiveStringMap)
           : ScanBuilder = {
         val t = TxLogV2Table.this.table
         t.latestVersion.foreach { v =>
           require(t.tombstonesOf(v).isEmpty,
             "SQL row-level DML with live MOR tombstones: compact first")
-          require(t.colMapOf(v).isEmpty,
-            "SQL row-level DML on a column-mapped (renamed) table is " +
-              "unsupported: use the TxLogTable API")
-          require(t.partitionColsOf(v).isEmpty,
-            "SQL row-level DML on a hive-partitioned table is " +
-              "unsupported: use the TxLogTable API (merge/deleteWhere)")
         }
         new ScanBuilder with SupportsPushDownFilters {
           private var pushed: Array[Filter] = Array.empty
@@ -282,15 +289,33 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
             readRels = Some(rels)
             scanBaseV = t.latestVersion
             scanPredC = pred
+            val cmap = t.latestVersion.map(t.colMapOf).getOrElse(Map.empty)
+            val physFull = StructType(schema.fields.map(f =>
+              f.copy(name = cmap.getOrElse(f.name, f.name))))
             val dataDir = java.nio.file.Paths.get(root, "data").toString
             val paths = rels.toSeq.sorted.map(r =>
               new org.apache.hadoop.fs.Path(s"$dataDir/$r"))
             val index = new org.apache.spark.sql.execution.datasources
               .InMemoryFileIndex(spark, paths, Map("basePath" -> dataDir),
-                Some(schema))
-            org.apache.spark.sql.execution.datasources.v2.parquet
-              .ParquetScanBuilder(spark, index, schema, schema,
+                Some(physFull))
+            val inner = org.apache.spark.sql.execution.datasources.v2.parquet
+              .ParquetScanBuilder(spark, index, physFull, physFull,
                 CaseInsensitiveStringMap.empty()).build()
+            if (cmap.isEmpty) inner
+            else new Scan {
+              private val logicalOf = cmap.map(_.swap)
+              override def readSchema(): StructType = StructType(
+                inner.readSchema().fields.map(f =>
+                  f.copy(name = logicalOf.getOrElse(f.name, f.name))))
+              override def toBatch = inner.toBatch
+              override def description(): String = inner.description()
+              override def columnarSupportMode() =
+                inner.columnarSupportMode()
+              override def supportedCustomMetrics() =
+                inner.supportedCustomMetrics()
+              override def reportDriverMetrics() =
+                inner.reportDriverMetrics()
+            }
           }
         }
       }
@@ -306,10 +331,31 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
             new org.apache.spark.sql.connector.write.Write {
               private val scratch = java.nio.file.Paths.get(root, "data",
                 "rowlevel-" + java.util.UUID.randomUUID() + ".staging")
+              // Data files always carry PHYSICAL column names (the
+              // table-wide column-mapping contract): the delegate writer
+              // takes its parquet schema from LogicalWriteInfo, and rows
+              // are positional, so presenting the physically-renamed
+              // schema is the entire logical→physical translation.
+              private val physInfo: LogicalWriteInfo = {
+                val cmap = TxLogV2Table.this.table.latestVersion
+                  .map(TxLogV2Table.this.table.colMapOf)
+                  .getOrElse(Map.empty)
+                if (cmap.isEmpty) winfo
+                else new LogicalWriteInfo {
+                  override def options() = winfo.options()
+                  override def queryId() = winfo.queryId()
+                  override def schema() = StructType(
+                    winfo.schema().fields.map(f =>
+                      f.copy(name = cmap.getOrElse(f.name, f.name))))
+                  override def rowIdSchema() = winfo.rowIdSchema()
+                  override def metadataSchema() = winfo.metadataSchema()
+                }
+              }
               private val delegate =
                 org.apache.spark.sql.execution.datasources.v2.parquet
                   .ParquetWrite(Seq(scratch.toString), "parquet",
-                    (_: org.apache.spark.sql.types.DataType) => true, winfo)
+                    (_: org.apache.spark.sql.types.DataType) => true,
+                    physInfo)
               override def toBatch
                   : org.apache.spark.sql.connector.write.BatchWrite =
                 new org.apache.spark.sql.connector.write.BatchWrite {
@@ -326,8 +372,8 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
                       pinfo: org.apache.spark.sql.connector.write
                         .PhysicalWriteInfo) = {
                     val f = inner.createBatchWriterFactory(pinfo)
-                    val n = winfo.schema().length
-                    val writeSchema = winfo.schema()
+                    val n = physInfo.schema().length
+                    val writeSchema = physInfo.schema()
                     new org.apache.spark.sql.connector.write.DataWriterFactory {
                       override def createWriter(partitionId: Int,
                           taskId: Long) = {
@@ -364,11 +410,46 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
                     // replace exactly the groups the scan read; files the
                     // manifest pruning skipped are carried by reference —
                     // file-targeted SQL UPDATE/MERGE, like the API paths
-                    TxLogV2Table.this.table.commitStagedReplace(scratch,
-                      replacedRels,
-                      op = "row-level-" + info.command.toString
-                        .toLowerCase(java.util.Locale.ROOT),
-                      scanBase = scanBaseV, scanPred = scanPredC)
+                    val t = TxLogV2Table.this.table
+                    val opName = "row-level-" + info.command.toString
+                      .toLowerCase(java.util.Locale.ROOT)
+                    val partCols = t.latestVersion.map(t.partitionColsOf)
+                      .getOrElse(Nil)
+                    if (partCols.isEmpty)
+                      t.commitStagedReplace(scratch, replacedRels,
+                        op = opName,
+                        scanBase = scanBaseV, scanPred = scanPredC)
+                    else {
+                      // HIVE-PARTITIONED table: the delegate staged FLAT
+                      // files (partition values still inline as data
+                      // columns, physical names). Read them back, relabel
+                      // to logical, and re-stage through the partition-
+                      // aware commit — one extra pass over the REPLACED
+                      // subset only; the untouched bulk is carried by
+                      // manifest reference, never read.
+                      val physSchema = physInfo.schema()
+                      val logicalNames = winfo.schema().fieldNames
+                      val raw = spark.read.schema(physSchema)
+                        .parquet(scratch.toString)
+                      val logical = raw.select(
+                        physSchema.fieldNames.toIndexedSeq.zip(logicalNames)
+                          .map { case (p, l) =>
+                            org.apache.spark.sql.functions
+                              .col("`" + p.replace("`", "``") + "`").as(l)
+                          }: _*)
+                      try {
+                        t.commitReplacingDf(logical, replacedRels,
+                          op = opName,
+                          scanBase = scanBaseV, scanPred = scanPredC)
+                      } finally {
+                        scala.util.Using.resource(
+                          java.nio.file.Files.walk(scratch)) { s =>
+                          s.sorted(java.util.Comparator.reverseOrder())
+                            .iterator().asScala
+                            .foreach(java.nio.file.Files.deleteIfExists(_))
+                        }
+                      }
+                    }
                   }
                   override def abort(
                       messages: Array[org.apache.spark.sql.connector.write

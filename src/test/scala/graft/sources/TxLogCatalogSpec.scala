@@ -339,4 +339,98 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(after == Seq((1L, "k1"), (2L, "K2")))
   }
+
+  test("SQL UPDATE / MERGE INTO work on a hive-partitioned table and " +
+    "replace only the touched partitions' files") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rlp")
+    spark.sql("CREATE TABLE txcat.ns.rlp (id BIGINT, p INT, v STRING) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.rlp SELECT id, CAST(id % 3 AS INT), " +
+      "concat('v', id) FROM range(12)")
+    val t = TxLogTable(spark, s"$warehouse/ns/rlp")
+    val untouched = t.entries(None).map(_.rel)
+      .filterNot(_.contains("p=1")).toSet
+    spark.sql("UPDATE txcat.ns.rlp SET v = 'upd' WHERE p = 1")
+    assert(t.history().last.op.contains("row-level-update"))
+    // layout survives: every live file still sits under a hive dir
+    assert(t.entries(None).forall(_.rel.contains("p=")),
+      t.entries(None).map(_.rel).mkString(","))
+    // partition pruning bounded the rewrite: p=0 / p=2 files carried
+    // by reference, byte-identical rel paths
+    assert(untouched.subsetOf(t.entries(None).map(_.rel).toSet),
+      "untouched partitions' files were rewritten")
+    val got = spark.sql("SELECT id, p, v FROM txcat.ns.rlp ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == (0L until 12L).map(i =>
+      (i, (i % 3).toInt, if (i % 3 == 1) "upd" else s"v$i")), s"got $got")
+    // MERGE INTO on the same partitioned table: matched rows update,
+    // unmatched insert into their partitions
+    spark.sql("""
+      MERGE INTO txcat.ns.rlp t
+      USING (SELECT id, CAST(id % 3 AS INT) AS p, concat('m', id) AS v
+             FROM range(10, 14)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, p, v) VALUES (s.id, s.p, s.v)""")
+    assert(t.history().last.op.contains("row-level-merge"))
+    assert(t.entries(None).forall(_.rel.contains("p=")))
+    val merged = spark.sql("SELECT id, v FROM txcat.ns.rlp ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged == (0L until 10L).map(i =>
+      (i, if (i % 3 == 1) "upd" else s"v$i")) ++
+      (10L until 14L).map(i => (i, s"m$i")), s"got $merged")
+    // partition-pruned reads still work after the row-level commits
+    // (p=2 holds ids 2,5,8,11 — the MERGE inserted 12→p=0, 13→p=1)
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.rlp WHERE p = 2")
+      .head.getLong(0) == 4)
+  }
+
+  test("SQL UPDATE / MERGE INTO work on a column-mapped (renamed) table") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rlr")
+    spark.sql("CREATE TABLE txcat.ns.rlr (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.rlr SELECT id, concat('v', id) " +
+      "FROM range(6)")
+    spark.sql("ALTER TABLE txcat.ns.rlr RENAME COLUMN v TO val")
+    // the operation scan must read the pre-rename files' PHYSICAL column
+    // and surface it under the logical name — an unmapped read would see
+    // NULL here and write 'null!' rows
+    spark.sql(
+      "UPDATE txcat.ns.rlr SET val = concat(val, '!') WHERE id >= 3")
+    val t = TxLogTable(spark, s"$warehouse/ns/rlr")
+    assert(t.history().last.op.contains("row-level-update"))
+    val got = spark.sql("SELECT id, val FROM txcat.ns.rlr ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (0L to 2L).map(i => (i, s"v$i")) ++
+      (3L to 5L).map(i => (i, s"v$i!")), s"got $got")
+    // the rewritten files must carry the PHYSICAL column name: a merge
+    // that reads them again through the map proves physical uniformity
+    spark.sql("""
+      MERGE INTO txcat.ns.rlr t
+      USING (SELECT id, concat('m', id) AS val FROM range(4, 8)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.val = s.val
+      WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)""")
+    assert(t.history().last.op.contains("row-level-merge"))
+    val merged = spark.sql("SELECT id, val FROM txcat.ns.rlr ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged == Seq((0L, "v0"), (1L, "v1"), (2L, "v2"), (3L, "v3!"))
+      ++ (4L to 7L).map(i => (i, s"m$i")), s"got $merged")
+  }
+
+  test("SQL row-level DML works on a partitioned AND renamed table") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rlpr")
+    spark.sql("CREATE TABLE txcat.ns.rlpr (id BIGINT, p INT, v STRING) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.rlpr SELECT id, CAST(id % 2 AS INT), " +
+      "concat('v', id) FROM range(8)")
+    spark.sql("ALTER TABLE txcat.ns.rlpr RENAME COLUMN v TO w")
+    spark.sql("UPDATE txcat.ns.rlpr SET w = upper(w) WHERE p = 0")
+    val t = TxLogTable(spark, s"$warehouse/ns/rlpr")
+    assert(t.history().last.op.contains("row-level-update"))
+    assert(t.entries(None).forall(_.rel.contains("p=")))
+    val got = spark.sql("SELECT id, w FROM txcat.ns.rlpr ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == (0L until 8L).map(i =>
+      (i, if (i % 2 == 0) s"V$i" else s"v$i")), s"got $got")
+  }
 }
