@@ -51,7 +51,36 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if rel.table.isInstanceOf[TxLogV2Table] =>
         val tbl = rel.table.asInstanceOf[TxLogV2Table]
         aligned(tbl.snapshotDF(None), rel.output).getOrElse(rel)
+      // The V1 `format("txlog")` surface — the discovery path a casual
+      // user finds first — gets the same splice: the PrunedFilteredScan
+      // fallback pays an InternalRow→Row conversion at the scan top
+      // (`TxLogRelation.buildScan`'s `.rdd`), so replace it with the
+      // native parquet plan whenever the extension is installed. Filter
+      // translation and manifest pruning are identical to the V2 case.
+      case f @ Filter(cond,
+          lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
+          if lr.relation.isInstanceOf[graft.sources.TxLogRelation] &&
+            !lr.isStreaming && f.resolved =>
+        val rel = lr.relation.asInstanceOf[graft.sources.TxLogRelation]
+        aligned(v1SnapshotDF(rel, toPredicate(cond)), lr.output)
+          .map(Filter(cond, _)).getOrElse(f)
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[graft.sources.TxLogRelation] &&
+            !lr.isStreaming =>
+        val rel = lr.relation.asInstanceOf[graft.sources.TxLogRelation]
+        aligned(v1SnapshotDF(rel, None), lr.output).getOrElse(lr)
     }
+
+  // the V1 relation's snapshot as a native-parquet DataFrame (manifest
+  // pruning included), mirroring TxLogV2Table.snapshotDF
+  private def v1SnapshotDF(rel: graft.sources.TxLogRelation,
+                           pred: Option[Column]) = {
+    val t = graft.sources.TxLogTable(spark, rel.root)
+    pred match {
+      case Some(p) => t.snapshotWhere(rel.schema, p, rel.version)
+      case None => t.snapshot(rel.schema, rel.version)
+    }
+  }
 
   // Re-key the replacement plan's output to the V2 relation's attribute
   // ids, so references in parent operators stay valid. None when the

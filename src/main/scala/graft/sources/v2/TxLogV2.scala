@@ -479,9 +479,22 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       .getOrElse(Nil)
       .map(Expressions.identity).toArray
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  /** Spark refuses a table that declares V1_BATCH_WRITE and hands back a
+    * non-V1 Write (and vice versa), so the capability must agree with
+    * what [[TxLogWriteBuilder.build]] will choose: native DSv2 batch
+    * write for unpartitioned tables, the V1 `partitionBy` staging pass
+    * for hive-partitioned ones.
+    */
+  override def capabilities(): util.Set[TableCapability] = {
+    val partitioned = asOfVersion.orElse(table.latestVersion)
+      .exists(v => table.partitionColsOf(v).nonEmpty)
+    if (partitioned)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  }
 
   /** The (possibly time-traveled) snapshot as a DataFrame — what
     * [[TxLogReadRule]] splices into the logical plan (native parquet
@@ -496,7 +509,7 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       : ScanBuilder = new TxLogScanBuilder(this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new TxLogWriteBuilder(this)
+    new TxLogWriteBuilder(this, info)
 }
 
 object TxLogV2Table {
@@ -595,14 +608,33 @@ final class TxLogScanBuilder(tbl: TxLogV2Table) extends ScanBuilder
   * reuses the V1 DataFrame path ([[V1Write]]) — writes stage through
   * `df.write.parquet` either way, so there is no codegen tax to avoid.
   */
-final class TxLogWriteBuilder(tbl: TxLogV2Table) extends WriteBuilder
-    with SupportsTruncate {
+final class TxLogWriteBuilder(tbl: TxLogV2Table, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new V1Write {
+  /** UNPARTITIONED tables write NATIVELY: Spark's own vectorized parquet
+    * v2 writer stages `InternalRow`s straight to a txlog staging dir —
+    * no InternalRow→Row conversion anywhere on the write side — and the
+    * staged files publish through the usual commit (stats + bloom
+    * harvest, CHECK re-validation, optimistic manifest race). Append is
+    * the degenerate group-replacement: replace nothing, carry everything.
+    *
+    * HIVE-PARTITIONED tables keep the V1 `InsertableRelation` route: its
+    * single `partitionBy` staging pass writes the hive layout directly,
+    * which beats a native flat write followed by a partition-aware
+    * re-stage (two passes over the batch) — the row conversion is the
+    * cheaper tax there until the writer routes partitions itself.
+    */
+  override def build(): Write = {
+    val layout = tbl.table.latestVersion
+      .map(tbl.table.partitionColsOf).getOrElse(Nil)
+    if (layout.nonEmpty) v1Write else nativeWrite
+  }
+
+  private def v1Write: Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: DataFrame, ovr: Boolean) => {
         val t = tbl.table
@@ -610,6 +642,53 @@ final class TxLogWriteBuilder(tbl: TxLogV2Table) extends WriteBuilder
           t.latestVersion.map(t.partitionColsOf).getOrElse(Nil)
         t.commit(data, overwrite = overwrite || ovr,
           partitionCols = layout)
+      }
+  }
+
+  private def nativeWrite: Write = new Write {
+    private val scratch = java.nio.file.Paths.get(tbl.root, "data",
+      "insert-" + java.util.UUID.randomUUID() + ".staging")
+    // data files carry PHYSICAL column names; rows are positional, so
+    // re-naming the writer's schema is the whole translation (same
+    // contract as the row-level write path)
+    private val physInfo: LogicalWriteInfo = {
+      val cmap = tbl.table.latestVersion
+        .map(tbl.table.colMapOf).getOrElse(Map.empty)
+      if (cmap.isEmpty) info
+      else new LogicalWriteInfo {
+        override def options() = info.options()
+        override def queryId() = info.queryId()
+        override def schema() = StructType(info.schema().fields.map(f =>
+          f.copy(name = cmap.getOrElse(f.name, f.name))))
+        override def rowIdSchema() = info.rowIdSchema()
+        override def metadataSchema() = info.metadataSchema()
+      }
+    }
+    private val delegate =
+      org.apache.spark.sql.execution.datasources.v2.parquet
+        .ParquetWrite(Seq(scratch.toString), "parquet",
+          (_: org.apache.spark.sql.types.DataType) => true, physInfo)
+
+    override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+      new org.apache.spark.sql.connector.write.BatchWrite {
+        private val inner = delegate.toBatch
+        override def createBatchWriterFactory(
+            pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo) =
+          inner.createBatchWriterFactory(pinfo)
+        override def commit(
+            messages: Array[org.apache.spark.sql.connector.write
+              .WriterCommitMessage]): Unit = {
+          inner.commit(messages)
+          tbl.table.commitStagedReplace(scratch,
+            replaced = if (overwrite) None else Some(Set.empty),
+            op = if (overwrite) "overwrite" else "append")
+        }
+        override def abort(
+            messages: Array[org.apache.spark.sql.connector.write
+              .WriterCommitMessage]): Unit =
+          inner.abort(messages) // staged files unreferenced; vacuum collects
+        override def useCommitCoordinator: Boolean =
+          inner.useCommitCoordinator
       }
   }
 }

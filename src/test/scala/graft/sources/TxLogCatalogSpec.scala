@@ -340,6 +340,33 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(after == Seq((1L, "k1"), (2L, "K2")))
   }
 
+  test("INSERT INTO an unpartitioned table is a native DSv2 batch write") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.natw")
+    spark.sql("CREATE TABLE txcat.ns.natw (id BIGINT, v STRING) USING txlog")
+    val df = spark.sql(
+      "INSERT INTO txcat.ns.natw SELECT id, concat('x', id) FROM range(5)")
+    val cmd = df.queryExecution.commandExecuted.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CommandResult =>
+        c.commandPhysicalPlan.toString
+    }.getOrElse(sys.error("no CommandResult for the INSERT"))
+    assert(cmd.contains("AppendData"), s"expected AppendData exec:\n$cmd")
+    assert(!cmd.contains("AppendDataExecV1"),
+      s"INSERT fell back to the V1 write path:\n$cmd")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.natw").head.getLong(0)
+      == 5)
+    // INSERT OVERWRITE rides the same native write with truncate
+    val ow = spark.sql("INSERT OVERWRITE txcat.ns.natw VALUES (9, 'z')")
+    val owCmd = ow.queryExecution.commandExecuted.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CommandResult =>
+        c.commandPhysicalPlan.toString
+    }.getOrElse("")
+    assert(!owCmd.contains("V1"), s"overwrite fell back to V1:\n$owCmd")
+    assert(spark.sql("SELECT v FROM txcat.ns.natw").head.getString(0) == "z")
+    val t = TxLogTable(spark, s"$warehouse/ns/natw")
+    assert(t.history().flatMap(_.op).takeRight(2) ==
+      Seq("append", "overwrite"))
+  }
+
   test("SQL UPDATE / MERGE INTO work on a hive-partitioned table and " +
     "replace only the touched partitions' files") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.rlp")

@@ -34,6 +34,30 @@ class TxLogRelationSpec extends AnyFunSuite {
     assert(v0.count() == 5)
   }
 
+  test("format(txlog) reads splice to the native parquet plan " +
+    "(no V1 row-conversion scan) with the extension installed") {
+    val t = fresh()
+    t.commit((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"),
+      overwrite = true)
+    val df = spark.read.format("txlog").load(t.root).filter(col("id") > 15)
+      .select(col("id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"),
+      s"expected the native parquet scan:\n$plan")
+    assert(!plan.contains("ExistingRDD") && !plan.contains("RDDScan"),
+      s"V1 row-conversion scan survived the splice:\n$plan")
+    // parquet row-group pushdown rides the spliced plan too
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(id,15)"), plan)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (16L to 20L).toSeq)
+    // the version option still time-travels through the splice
+    t.commit(Seq((99L, "late")).toDF("id", "v"), overwrite = false)
+    val v0 = spark.read.format("txlog").option("version", 0).load(t.root)
+    assert(v0.count() == 20)
+    assert(!v0.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
   test("filters prune via the manifest and still return exact rows") {
     val t = fresh()
     // scattered layout + bloom: the pushdown path has something to skip
