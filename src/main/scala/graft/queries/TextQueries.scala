@@ -289,20 +289,32 @@ object TextQueries {
     }),
 
     // Sequence packing (the GPT-style data-prep step): docs are greedily
-    // packed in doc_id order into ~512-token bins, WITHIN 8 deterministic
+    // packed in doc_id order into ~512-token bins, WITHIN deterministic
     // shards — the scale shape: a global pack order would be one
-    // single-partition window (anti-scale); sharding by doc_id % 8 keeps
+    // single-partition window (anti-scale); sharding by doc_id keeps
     // every window partition-parallel while packs stay deterministic and
-    // reproducible. pack_seq = running token total before the doc,
-    // integer-divided by the budget: a doc lands in the pack its prefix
-    // sum reaches, the streaming-packer approximation of bin packing.
+    // reproducible. The shard COUNT is derived from the corpus:
+    // ⌈total_tokens / tokens_per_shard⌉, so a 10× corpus gets 10× the
+    // windows at a constant per-shard sort size (a fixed count would cap
+    // parallelism — one shard of a 100 TB corpus is a 12.5 TB sort). The
+    // one-row total-tokens agg is a map-side-partial reduce, and the
+    // oracle recomputes the SAME formula relationally, so determinism
+    // holds at every SF without pinning. pack_seq = running token total
+    // before the doc, integer-divided by the budget: a doc lands in the
+    // pack its prefix sum reaches, the streaming-packer approximation of
+    // bin packing.
     "tx_pack_sequences" -> ((s, dir) => {
-      val B = 512
+      val B = 512          // tokens per pack
+      val T = 65536L       // target tokens per shard — the parallelism knob
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      val total = base.agg(sum("n_tokens")).head.getLong(0)
+      val shards = math.max(1L, (total + T - 1) / T)
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents")
-        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-          tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      base
+        .withColumn("shard", col("doc_id") % shards)
         .withColumn("pack_seq",
           (coalesce(sum("n_tokens").over(w), lit(0L)) / B).cast(LongType))
         .select(col("doc_id"), col("shard"), col("n_tokens"),
@@ -951,8 +963,12 @@ object TextQueries {
          FROM s""",
 
     "tx_pack_sequences" ->
-      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
-             CAST(len($SqlToks) AS BIGINT) AS n_tokens FROM documents)
+      s"""WITH d0 AS (SELECT doc_id,
+             CAST(len($SqlToks) AS BIGINT) AS n_tokens FROM documents),
+          k AS (SELECT GREATEST(1, CAST(CEIL(SUM(n_tokens) / 65536.0)
+                  AS BIGINT)) AS shards FROM d0),
+          d AS (SELECT doc_id, doc_id % (SELECT shards FROM k) AS shard,
+                  n_tokens FROM d0)
           SELECT doc_id, shard, n_tokens,
             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
                   ORDER BY doc_id

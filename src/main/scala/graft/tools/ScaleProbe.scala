@@ -238,6 +238,30 @@ object ScaleProbe {
       }
     }
 
+    // SEQUENCE PACKING under growth: shard count = ⌈tokens / T⌉, so a 10×
+    // corpus gets ~10× shards at a constant per-shard window size — wall
+    // time must scale ~linearly (scan-bound), never superlinearly (which
+    // is what a FIXED shard count degrades to once shards outgrow a
+    // partition: one giant sort per shard).
+    if (what("pack")) for (k <- Seq(1, 10)) {
+      val T = 65536L
+      val base10 = rep(k).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      time(s"pack sequences x$k") {
+        val total = base10.agg(sum("n_tokens")).head.getLong(0)
+        val shards = math.max(1L, (total + T - 1) / T)
+        println(s"[probe]   shards=$shards (total=$total tokens)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, -1)
+        base10.withColumn("shard", col("doc_id") % shards)
+          .withColumn("pack_seq",
+            (coalesce(sum("n_tokens").over(w), lit(0L)) / 512)
+              .cast("long"))
+          .agg(max("pack_seq")).head.getLong(0)
+      }
+    }
+
     // streaming LSH bucket-ownership over a k× corpus, fed as a file
     // stream in multiple microbatches; state is one long per bucket.
     if (what("stream")) for (k <- Seq(1, 10)) {
