@@ -186,11 +186,19 @@ object TxLogTable {
   final case class Bloom(m: Int, k: Int, typ: Char, bits: Array[Long]) {
     def mightContain(canonical: String): Boolean = {
       val (h1, h2) = Bloom.hashes(canonical)
+      mightContainHashed(h1, h2)
+    }
+
+    /** Probe with a PRE-COMPUTED hash pair — lets a caller testing one
+      * value against many blooms pay the MD5 once, not per file (the
+      * distributed over-cap merge probe tests every batch key against
+      * every candidate file's bloom).
+      */
+    def mightContainHashed(h1: Long, h2: Long): Boolean =
       (1 to k).forall { i =>
         val pos = java.lang.Math.floorMod(h1 + i.toLong * h2, m.toLong).toInt
         (bits(pos >> 6) & (1L << (pos & 63))) != 0L
       }
-    }
   }
 
   object Bloom {
@@ -936,6 +944,103 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         case Some(b) if b.typ == 's' => vals.exists(b.mightContain)
         case _ => true
       }
+    }
+  }
+
+  /** Distributed any-match probe for OVER-CAP string merge batches: the
+    * batch's distinct key values are hashed on the EXECUTORS and tested
+    * against the broadcast per-file pruning handles (hive partition
+    * segment, else manifest Bloom) — the same pruning decision as the
+    * collected probe set, with NO driver-side key materialization at any
+    * batch size. Each value pays its MD5 once; per file it is k bit
+    * tests, and a partition stops probing once every handle matched.
+    * Returns the rels that MAY contain at least one batch value; files
+    * without any handle are returned unconditionally (cannot prune).
+    */
+  private def bloomMatchedFiles(incoming: DataFrame, column: String,
+                                physCol: String,
+                                es: Seq[TxLogTable.FileEntry])
+      : Set[String] = {
+    val handles: Array[(String, Either[String, TxLogTable.Bloom])] =
+      es.flatMap { e =>
+        val part = e.rel.split('/').iterator.collectFirst {
+          case seg if seg.startsWith(s"$physCol=") =>
+            TxLogTable.unescapePath(seg.stripPrefix(s"$physCol="))
+        }
+        part match {
+          case Some(v) => Some(e.rel -> Left(v))
+          case None => e.blooms.get(physCol) match {
+            case Some(b) if b.typ == 's' => Some(e.rel -> Right(b))
+            case _ => None
+          }
+        }
+      }.toArray
+    val noHandle = es.map(_.rel).toSet -- handles.map(_._1)
+    if (handles.isEmpty) return noHandle
+    val bc = spark.sparkContext.broadcast(handles)
+    val words = (handles.length + 63) >> 6
+    val matched = incoming.select(col(column).cast("string"))
+      .where(col(column).isNotNull).distinct()
+      .rdd.mapPartitions { it =>
+        val hs = bc.value
+        // bit positions depend only on (m, k): compute them once per
+        // value per distinct geometry, not once per bloom — the hot loop
+        // is then k array-indexed bit tests per (value, file)
+        val geoms: Array[(Int, Int)] = hs.collect {
+          case (_, Right(b)) => (b.m, b.k) }.distinct
+        val geomIdx: Map[(Int, Int), Int] = geoms.zipWithIndex.toMap
+        val posBuf = Array.ofDim[Int](geoms.length,
+          if (geoms.isEmpty) 0 else geoms.map(_._2).max)
+        val bits = new Array[Long](words)
+        var nMatched = 0
+        while (it.hasNext && nMatched < hs.length) {
+          val v = it.next().getString(0)
+          var h1 = 0L; var h2 = 0L; var hashed = false
+          val posReady = new Array[Boolean](geoms.length)
+          var i = 0
+          while (i < hs.length) {
+            if ((bits(i >> 6) & (1L << (i & 63))) == 0L) {
+              val hit = hs(i)._2 match {
+                case Left(pv) => pv == v
+                case Right(b) =>
+                  if (!hashed) {
+                    val h = TxLogTable.Bloom.hashes(v)
+                    h1 = h._1; h2 = h._2; hashed = true
+                  }
+                  val g = geomIdx((b.m, b.k))
+                  if (!posReady(g)) {
+                    var j = 1
+                    while (j <= b.k) {
+                      posBuf(g)(j - 1) = java.lang.Math
+                        .floorMod(h1 + j.toLong * h2, b.m.toLong).toInt
+                      j += 1
+                    }
+                    posReady(g) = true
+                  }
+                  val ps = posBuf(g)
+                  var j = 0
+                  var ok = true
+                  while (ok && j < b.k) {
+                    val p = ps(j)
+                    ok = (b.bits(p >> 6) & (1L << (p & 63))) != 0L
+                    j += 1
+                  }
+                  ok
+              }
+              if (hit) { bits(i >> 6) |= (1L << (i & 63)); nMatched += 1 }
+            }
+            i += 1
+          }
+        }
+        Iterator.single(bits)
+      }.fold(new Array[Long](words)) { (a, b) =>
+        var i = 0
+        while (i < words) { a(i) |= b(i); i += 1 }
+        a
+      }
+    noHandle ++ handles.iterator.zipWithIndex.collect {
+      case ((rel, _), i)
+          if (matched(i >> 6) & (1L << (i & 63))) != 0L => rel
     }
   }
 
@@ -1729,8 +1834,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * (exact on key-clustered layouts — the true analog of the integral
     * hull, immune to bloom saturation), AND the per-file Bloom filters
     * probed with the batch's distinct values (collected under
-    * [[TxLogTable.MaxMergeProbeKeys]]; over the cap the blooms contribute
-    * nothing while the hull — one tiny agg — still prunes). The
+    * [[TxLogTable.MaxMergeProbeKeys]]; OVER the cap the probe runs
+    * DISTRIBUTED instead — [[bloomMatchedFiles]] hashes the batch keys on
+    * the executors against the broadcast file blooms, so scattered-key
+    * batches of any size keep the bloom handle; the hull — one tiny agg —
+    * prunes regardless). The
     * reference's own employee upsert is keyed on a string (`url_id`), so
     * without these the most common merge shape would silently rewrite the
     * whole table. Key columns with no pruning handle contribute nothing;
@@ -1811,12 +1919,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // rewrite this method otherwise replaces).
     val pureInsert = (integralKeys.nonEmpty && bounds.isEmpty) ||
       stringProbes.values.exists(_.exists(_.isEmpty))
+    // over-cap string keys (no collected probe set): pruned DISTRIBUTED —
+    // the batch's values probe the candidate files' blooms on executors
+    val overCapKeys = stringKeys.filter(k => stringProbes(k).isEmpty)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val cmap = base.map(colMapOf).getOrElse(Map.empty)
-      val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
+      val (hullAffected, hullCarried) = base.map(dataLines).getOrElse(Nil)
         .partition { line =>
           val e = TxLogTable.decodeEntry(line)
           // a file is affected only when EVERY prunable key column says it
@@ -1831,6 +1942,23 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             stringProbes.forall { case (c, probe) =>
               probe.forall(vals => mayContainKey(e, physOf(cmap, c), vals)) }
         }
+      // An over-cap batch used to fall back to hull-only pruning — a
+      // scattered 10⁵-key batch (hull ≈ whole domain) silently rewrote
+      // the table. The distributed probe keeps the bloom handle at ANY
+      // batch size: one pass over the batch per over-cap key column,
+      // files cleared on every column move to the carried set.
+      val affected =
+        if (overCapKeys.isEmpty || pureInsert || hullAffected.isEmpty)
+          hullAffected
+        else overCapKeys.foldLeft(hullAffected) { (rem, k) =>
+          val keep = bloomMatchedFiles(incoming, k, physOf(cmap, k),
+            rem.map(TxLogTable.decodeEntry))
+          rem.filter(line => keep(line.takeWhile(_ != '\t')))
+        }
+      val carriedLines = {
+        val kept = affected.toSet
+        hullCarried ++ hullAffected.filterNot(kept)
+      }
       // rewrite reads through the tombstone mask so a MOR-deleted row is
       // never resurrected by a later merge's rewrite
       val merged = graft.operators.Upsert.deleteInsert(

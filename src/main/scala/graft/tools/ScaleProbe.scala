@@ -101,6 +101,22 @@ object ScaleProbe {
       }
       println(s"[probe] string scattered x$k rewrote ${st.rewritten} of " +
         s"${st.rewritten + st.carried} files (bloom pruning)")
+      // (c) OVER-CAP scattered batch: 10⁵ distinct keys — far beyond
+      // MaxMergeProbeKeys (10⁴), so no driver-side probe set exists and
+      // the hull spans the whole domain. The distributed bloom probe is
+      // the only live handle: the rewrite must still touch only the
+      // files that genuinely hold batch keys (every 8th append below),
+      // never degrade to a full rewrite.
+      val batchOver = (0 until 8).map(j =>
+        spark.range(12500).selectExpr(
+          s"${key(s"id * $k + ${j % math.min(k, 8)}")} as s",
+          "concat('upd', id) as v")).reduce(_.unionByName(_))
+      time(s"merge cow STRING over-cap 100k keys x$k") {
+        st = ts.merge(schema, batchOver, Seq("s")); st.version.toLong
+      }
+      println(s"[probe] string over-cap x$k rewrote ${st.rewritten} of " +
+        s"${st.rewritten + st.carried} files (distributed bloom probe; " +
+        s"batch hits ${math.min(k, 8)} of $k appends)")
     }
 
     // Bloom skipping under growth: k scattered appends (append i holds
