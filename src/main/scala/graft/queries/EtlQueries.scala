@@ -579,6 +579,45 @@ object EtlQueries {
         "FROM graftcat.db.cust_merge")
     }),
 
+    // SQL maintenance lifecycle (Spark 4 stored procedures): many small
+    // INSERTs fragment the table, `CALL graftcat.system.compact` rewrites
+    // the snapshot into one file per partition, `system.history` exposes
+    // the version log, `system.vacuum` collects the unreferenced
+    // pre-compaction files — all pure SQL, no library API. The requires
+    // prove the file count shrank to 1, the compact op is in history, and
+    // vacuum deleted the dead files; the returned SELECT hash-checks that
+    // maintenance never changed a row. At 100 TB this lifecycle is what
+    // keeps a hot table's file count (and thus planning time) bounded.
+    "sql_maintenance" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "region").createOrReplaceTempView("region_maint_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.region_mnt")
+      s.sql("CREATE TABLE graftcat.db.region_mnt " +
+        "(r_regionkey INT, r_name STRING) USING txlog")
+      (0 until 5).foreach(i => s.sql(
+        "INSERT INTO graftcat.db.region_mnt " +
+          s"SELECT r_regionkey, r_name FROM region_maint_src " +
+          s"WHERE r_regionkey % 5 = $i"))
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/region_mnt")
+      val before = tbl.fileCount()
+      require(before >= 5, s"expected a fragmented table, got $before files")
+      val res = s.sql("CALL graftcat.system.compact('db.region_mnt')")
+        .collect()
+      require(res.length == 1 && res(0).getInt(2) == 1,
+        s"compact must report 1 file after: ${res.mkString(",")}")
+      require(tbl.fileCount() == 1,
+        s"compact left ${tbl.fileCount()} files")
+      val hist = s.sql("CALL graftcat.system.history('db.region_mnt')")
+        .collect()
+      require(hist.last.getString(2) == "compact",
+        s"history must record the compact op: ${hist.last}")
+      val vac = s.sql("CALL graftcat.system.vacuum('db.region_mnt', 1, 0)")
+        .collect()
+      require(vac(0).getInt(1) >= 5,
+        s"vacuum must collect the pre-compaction files: ${vac(0)}")
+      s.sql("SELECT r_regionkey, r_name FROM graftcat.db.region_mnt")
+    }),
+
     // MERGE INTO on a HIVE-PARTITIONED, COLUMN-MAPPED table — the default
     // 100 TB layout plus the most common schema evolution, in one
     // statement. The operation scan reconstructs partition columns from
@@ -1247,6 +1286,9 @@ object EtlQueries {
            CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
                 ELSE c_acctbal END AS c_acctbal
          FROM customer""",
+
+    "sql_maintenance" ->
+      """SELECT r_regionkey, r_name FROM region""",
 
     "sql_merge_partitioned" ->
       """SELECT s_suppkey,

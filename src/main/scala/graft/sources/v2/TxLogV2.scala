@@ -43,7 +43,7 @@ import graft.sources.{TxLogRelation, TxLogTable}
   * vectorized scan + whole-stage codegen + manifest pruning, no
   * InternalRow→Row conversion (the round-5 connector tax, gone).
   */
-class TxLogCatalog extends TableCatalog {
+class TxLogCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -171,6 +171,128 @@ class TxLogCatalog extends TableCatalog {
       throw new TableAlreadyExistsException(to.toString)
     Files.createDirectories(pathOf(to).getParent)
     Files.move(pathOf(old), pathOf(to))
+  }
+
+  // ---- SQL maintenance surface: CALL <cat>.system.{compact,vacuum,
+  // history}('ns.table') — the lifecycle every table needs at scale,
+  // reachable without the library API (Spark 4 stored procedures).
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def tableByName(qualified: String): TxLogTable = {
+    val parts = qualified.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'ns.table', got '$qualified'")
+    val ident = Identifier.of(parts.init, parts.last)
+    require(tableExists(ident), s"no such txlog table: $qualified")
+    TxLogTable(spark, pathOf(ident).toString)
+  }
+
+  // one-row result delivered through a LocalScan (driver-side rows are
+  // exactly what a maintenance summary is)
+  private def resultScan(schema: StructType,
+                         rs: Seq[InternalRow]): java.util.Iterator[
+      org.apache.spark.sql.connector.read.Scan] =
+    java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = rs.toArray
+      }).iterator()
+
+  private abstract class MaintenanceProc(procName: String,
+                                         params: Seq[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+  }
+
+  private def inParam(n: String, dt: org.apache.spark.sql.types.DataType,
+                      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(n, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("compact", "vacuum", "history")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.toString}")
+    import org.apache.spark.sql.types._
+    ident.name match {
+      case "compact" =>
+        // CALL c.system.compact('ns.t' [, files]): rewrite the current
+        // snapshot into `files` files per partition (1 = full compaction;
+        // MOR tombstones fold in, the usual prerequisite for row-level
+        // DML on a MOR table)
+        new MaintenanceProc("compact", Seq(
+          inParam("table", StringType),
+          inParam("files", IntegerType, Some("1")))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val files = if (input.isNullAt(1)) 1 else input.getInt(1)
+            val before = t.fileCount()
+            val schema = t.tableSchema.getOrElse(
+              TxLogV2Table(spark, t.root, input.getString(0)).schema)
+            val v = t.compact(schema, files)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("files_before", IntegerType),
+              StructField("files_after", IntegerType))),
+              Seq(InternalRow(v, before, t.fileCount())))
+          }
+        }
+      case "vacuum" =>
+        // CALL c.system.vacuum('ns.t' [, keep [, min_age_ms]]): drop all
+        // but the last `keep` manifests and delete unreferenced data
+        // files older than min_age_ms (the age guard protects in-flight
+        // writers, exactly like the API default)
+        new MaintenanceProc("vacuum", Seq(
+          inParam("table", StringType),
+          inParam("keep", IntegerType, Some("1")),
+          inParam("min_age_ms", LongType,
+            Some(TxLogTable.DefaultVacuumMinAgeMillis.toString)))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val keep = if (input.isNullAt(1)) 1 else input.getInt(1)
+            val age = if (input.isNullAt(2))
+              TxLogTable.DefaultVacuumMinAgeMillis else input.getLong(2)
+            val (manifests, files) = t.vacuum(keep, age)
+            resultScan(StructType(Seq(
+              StructField("manifests_deleted", IntegerType),
+              StructField("files_deleted", IntegerType))),
+              Seq(InternalRow(manifests, files)))
+          }
+        }
+      case "history" =>
+        // CALL c.system.history('ns.t'): one row per surviving version
+        new MaintenanceProc("history", Seq(
+          inParam("table", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("commit_millis", LongType),
+              StructField("op", StringType),
+              StructField("n_files", IntegerType))),
+              t.history().map(h => InternalRow(h.version,
+                h.commitMillis.map(Long.box).orNull,
+                h.op.map(UTF8String.fromString).orNull, h.numFiles)))
+          }
+        }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unknown txlog procedure: system.$other " +
+            "(available: compact, vacuum, history)")
+    }
   }
 }
 

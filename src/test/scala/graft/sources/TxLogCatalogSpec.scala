@@ -444,6 +444,44 @@ class TxLogCatalogSpec extends AnyFunSuite {
       ++ (4L to 7L).map(i => (i, s"m$i")), s"got $merged")
   }
 
+  test("CALL system.compact / vacuum / history drive the maintenance " +
+    "lifecycle in pure SQL") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.mnt")
+    spark.sql("CREATE TABLE txcat.ns.mnt (id BIGINT, v STRING) USING txlog")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO txcat.ns.mnt VALUES ($i, 'v$i')"))
+    val t = TxLogTable(spark, s"$warehouse/ns/mnt")
+    val before = t.fileCount()
+    assert(before >= 4)
+    val c = spark.sql("CALL txcat.system.compact('ns.mnt')").collect()
+    assert(c.length == 1 && c(0).getInt(1) == before && c(0).getInt(2) == 1,
+      c.mkString(","))
+    assert(t.fileCount() == 1)
+    assert(t.history().last.op.contains("compact"))
+    // data survived byte-identically
+    assert(spark.sql("SELECT id, v FROM txcat.ns.mnt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (0 until 4).map(i => (i.toLong, s"v$i")))
+    // history: one row per surviving version, ops recorded
+    val h = spark.sql("CALL txcat.system.history('ns.mnt')").collect()
+    assert(h.length == t.versions.size)
+    assert(h.map(_.getString(2)).takeRight(1).head == "compact")
+    // vacuum with min_age_ms=0 collects the pre-compaction files
+    val v = spark.sql(
+      "CALL txcat.system.vacuum('ns.mnt', 1, 0)").collect()
+    assert(v.length == 1 && v(0).getInt(0) >= 4 && v(0).getInt(1) >= 4,
+      v.mkString(","))
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.mnt").head.getLong(0)
+      == 4)
+    // named-argument form works too
+    spark.sql("INSERT INTO txcat.ns.mnt VALUES (9, 'z')")
+    val c2 = spark.sql(
+      "CALL txcat.system.compact(`table` => 'ns.mnt', files => 2)")
+      .collect()
+    assert(c2.length == 1, c2.mkString(","))
+    assert(t.fileCount() <= 2)
+  }
+
   test("SQL row-level DML works on a partitioned AND renamed table") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.rlpr")
     spark.sql("CREATE TABLE txcat.ns.rlpr (id BIGINT, p INT, v STRING) " +
