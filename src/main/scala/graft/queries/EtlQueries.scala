@@ -660,6 +660,37 @@ object EtlQueries {
         "FROM graftcat.db.supp_part")
     }),
 
+    // Static partition overwrite in pure SQL: `INSERT OVERWRITE ...
+    // PARTITION (key = v)` routes through SupportsOverwrite →
+    // TxLogTable.replaceWhere — ONE atomic version replacing exactly the
+    // named partition's rows (the idempotent backfill idiom). The
+    // requires prove the commit is a replace-where op and that the other
+    // partitions' files were carried by manifest reference, untouched.
+    // Oracle recomputes the post-overwrite state relationally.
+    "sql_overwrite_partition" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "nation").createOrReplaceTempView("nation_sow_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.nation_sow")
+      s.sql("CREATE TABLE graftcat.db.nation_sow " +
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) USING txlog " +
+        "PARTITIONED BY (n_regionkey)")
+      s.sql("INSERT INTO graftcat.db.nation_sow " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_sow_src")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/nation_sow")
+      val untouched = tbl.entries(None).map(_.rel)
+        .filterNot(_.contains("n_regionkey=2")).toSet
+      s.sql("INSERT OVERWRITE graftcat.db.nation_sow " +
+        "PARTITION (n_regionkey = 2) " +
+        "SELECT n_nationkey, concat('R2-', n_name) FROM nation_sow_src " +
+        "WHERE n_regionkey = 2")
+      require(tbl.history().last.op.contains("replace-where"),
+        "static partition overwrite must commit through replace-where")
+      require(untouched.subsetOf(tbl.entries(None).map(_.rel).toSet),
+        "overwrite rewrote partitions outside the PARTITION spec")
+      s.sql("SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM graftcat.db.nation_sow")
+    }),
+
     // UPDATE in pure SQL (the same DSv2 group-based row-level rewrite as
     // MERGE INTO; Spark compiles UPDATE to a replace-groups plan). The
     // WHERE reaches the operation scan as a pushed filter and is consumed
@@ -1298,6 +1329,13 @@ object EtlQueries {
            CASE WHEN s_nationkey = 3 THEN s_acctbal + 500
                 ELSE s_acctbal END AS bal
          FROM supplier""",
+
+    "sql_overwrite_partition" ->
+      """SELECT n_nationkey,
+           CASE WHEN n_regionkey = 2 THEN 'R2-' || n_name
+                ELSE n_name END AS n_name,
+           n_regionkey
+         FROM nation""",
 
     "sql_update" ->
       """SELECT p_partkey,

@@ -612,10 +612,12 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       .exists(v => table.partitionColsOf(v).nonEmpty)
     if (partitioned)
       util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
     else
       util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
   }
 
   /** The (possibly time-traveled) snapshot as a DataFrame — what
@@ -731,11 +733,36 @@ final class TxLogScanBuilder(tbl: TxLogV2Table) extends ScanBuilder
   * `df.write.parquet` either way, so there is no codegen tax to avoid.
   */
 final class TxLogWriteBuilder(tbl: TxLogV2Table, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwrite = false
+  // predicate-scoped overwrite (`INSERT OVERWRITE t PARTITION (p=3)`,
+  // `df.writeTo(t).overwrite(cond)`): routed to [[TxLogTable.replaceWhere]]
+  private var replacePred: Option[Column] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** Static partition overwrite / overwrite-by-condition. Every filter
+    * must translate EXACTLY — a partially-translated condition would
+    * replace the wrong rows (same contract as SQL DELETE) — and
+    * `replaceWhere` additionally validates that every incoming row
+    * satisfies the condition, so a bad static INSERT OVERWRITE fails
+    * loudly instead of leaking rows into foreign partitions.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    import org.apache.spark.sql.sources.AlwaysTrue
+    if (filters.isEmpty || filters.forall(_ == AlwaysTrue())) {
+      overwrite = true
+    } else {
+      val preds = filters.toSeq.map(f =>
+        TxLogV2Table.exactPredicate(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"txlog: cannot overwrite by filter $f (untranslatable)")))
+      replacePred = Some(preds.reduce(_ && _))
+    }
+    this
+  }
 
   /** UNPARTITIONED tables write NATIVELY: Spark's own vectorized parquet
     * v2 writer stages `InternalRow`s straight to a txlog staging dir —
@@ -762,8 +789,11 @@ final class TxLogWriteBuilder(tbl: TxLogV2Table, info: LogicalWriteInfo)
         val t = tbl.table
         val layout =
           t.latestVersion.map(t.partitionColsOf).getOrElse(Nil)
-        t.commit(data, overwrite = overwrite || ovr,
-          partitionCols = layout)
+        replacePred match {
+          case Some(pred) => t.replaceWhere(tbl.schema, pred, data)
+          case None => t.commit(data, overwrite = overwrite || ovr,
+            partitionCols = layout)
+        }
       }
   }
 
@@ -801,9 +831,35 @@ final class TxLogWriteBuilder(tbl: TxLogV2Table, info: LogicalWriteInfo)
             messages: Array[org.apache.spark.sql.connector.write
               .WriterCommitMessage]): Unit = {
           inner.commit(messages)
-          tbl.table.commitStagedReplace(scratch,
-            replaced = if (overwrite) None else Some(Set.empty),
-            op = if (overwrite) "overwrite" else "append")
+          replacePred match {
+            case Some(pred) =>
+              // predicate-scoped overwrite: re-read the staged batch
+              // (batch-sized, not table-sized) and route through
+              // replaceWhere's validated predicate-scoped commit
+              val spark = SparkSession.active
+              val cmap = tbl.table.latestVersion
+                .map(tbl.table.colMapOf).getOrElse(Map.empty)
+              val raw = spark.read.schema(physInfo.schema())
+                .parquet(scratch.toString)
+              val logicalNames = info.schema().fieldNames
+              val logical = raw.select(
+                physInfo.schema().fieldNames.toIndexedSeq.zip(logicalNames)
+                  .map { case (p, l) =>
+                    org.apache.spark.sql.functions
+                      .col("`" + p.replace("`", "``") + "`").as(l)
+                  }: _*)
+              try tbl.table.replaceWhere(tbl.schema, pred, logical)
+              finally scala.util.Using.resource(
+                java.nio.file.Files.walk(scratch)) { s =>
+                s.sorted(java.util.Comparator.reverseOrder())
+                  .iterator().asScala
+                  .foreach(java.nio.file.Files.deleteIfExists(_))
+              }
+            case None =>
+              tbl.table.commitStagedReplace(scratch,
+                replaced = if (overwrite) None else Some(Set.empty),
+                op = if (overwrite) "overwrite" else "append")
+          }
         }
         override def abort(
             messages: Array[org.apache.spark.sql.connector.write

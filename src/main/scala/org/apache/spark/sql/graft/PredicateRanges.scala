@@ -176,7 +176,7 @@ object PredicateRanges {
         val a = walkPoints(l); val b = walkPoints(r)
         (a.keySet & b.keySet).iterator
           .map(k => k -> (a(k) ++ b(k))).toMap
-      case ("=" | "==", Seq(a, b)) =>
+      case ("=" | "==" | "<=>", Seq(a, b)) =>
         (for (nm <- colName(a); v <- litCanon(b)) yield Map(nm -> Set(v)))
           .orElse(
             for (nm <- colName(b); v <- litCanon(a)) yield Map(nm -> Set(v)))
@@ -275,7 +275,7 @@ object PredicateRanges {
       case ("<" | "<=", Seq(a, b)) =>
         cmpStr(a, b)(v => StrBound(None, Some(v)))(
           v => StrBound(Some(v), None))
-      case ("=" | "==", Seq(a, b)) =>
+      case ("=" | "==" | "<=>", Seq(a, b)) =>
         cmpStr(a, b)(v => StrBound(Some(v), Some(v)))(
           v => StrBound(Some(v), Some(v)))
       case ("in", c +: rest) if rest.nonEmpty =>
@@ -356,7 +356,10 @@ object PredicateRanges {
       case ("<=", Seq(a, b)) =>
         cmp(a, b)(v => Bound(Long.MinValue, v))(
           v => Bound(v, Long.MaxValue))
-      case ("=" | "==", Seq(a, b)) =>
+      // `<=>` is sound here because litLong only matches NON-NULL
+      // literals, where null-safe equality coincides with `=` (Spark's
+      // static partition overwrite pushes partition specs as `<=>`)
+      case ("=" | "==" | "<=>", Seq(a, b)) =>
         cmp(a, b)(v => Bound(v, v))(v => Bound(v, v))
       case ("or", Seq(l, r)) =>
         // per-column bound union, kept ONLY where both branches bound the
