@@ -563,21 +563,17 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
                         t.commitReplacingDf(logical, replacedRels,
                           op = opName,
                           scanBase = scanBaseV, scanPred = scanPredC)
-                      } finally {
-                        scala.util.Using.resource(
-                          java.nio.file.Files.walk(scratch)) { s =>
-                          s.sorted(java.util.Comparator.reverseOrder())
-                            .iterator().asScala
-                            .foreach(java.nio.file.Files.deleteIfExists(_))
-                        }
-                      }
+                      } finally TxLogV2Table.dropDir(scratch)
                     }
                   }
                   override def abort(
                       messages: Array[org.apache.spark.sql.connector.write
                         .WriterCommitMessage]): Unit = {
                     inner.abort(messages)
-                    // staged files are unreferenced; vacuum collects them
+                    // delete the scratch dir outright: vacuum deliberately
+                    // PROTECTS .staging paths (in-flight writers), so an
+                    // aborted write must clean up after itself or leak
+                    TxLogV2Table.dropDir(scratch)
                   }
                   override def useCommitCoordinator: Boolean =
                     inner.useCommitCoordinator
@@ -639,6 +635,16 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
 object TxLogV2Table {
   import org.apache.spark.sql.functions.lit
   import org.apache.spark.sql.sources._
+
+  // best-effort recursive delete of a staging scratch dir (abort/cleanup)
+  private[v2] def dropDir(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.isDirectory(dir))
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(p =>
+            scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      }
 
   /** CONSERVATIVE Filter → Column translation for GROUP pruning: a
     * partially translated conjunction prunes fewer files, never wrong
@@ -849,12 +855,7 @@ final class TxLogWriteBuilder(tbl: TxLogV2Table, info: LogicalWriteInfo)
                       .col("`" + p.replace("`", "``") + "`").as(l)
                   }: _*)
               try tbl.table.replaceWhere(tbl.schema, pred, logical)
-              finally scala.util.Using.resource(
-                java.nio.file.Files.walk(scratch)) { s =>
-                s.sorted(java.util.Comparator.reverseOrder())
-                  .iterator().asScala
-                  .foreach(java.nio.file.Files.deleteIfExists(_))
-              }
+              finally TxLogV2Table.dropDir(scratch)
             case None =>
               tbl.table.commitStagedReplace(scratch,
                 replaced = if (overwrite) None else Some(Set.empty),
@@ -863,8 +864,12 @@ final class TxLogWriteBuilder(tbl: TxLogV2Table, info: LogicalWriteInfo)
         }
         override def abort(
             messages: Array[org.apache.spark.sql.connector.write
-              .WriterCommitMessage]): Unit =
-          inner.abort(messages) // staged files unreferenced; vacuum collects
+              .WriterCommitMessage]): Unit = {
+          inner.abort(messages)
+          // vacuum deliberately protects .staging paths, so an aborted
+          // write must delete its own scratch dir or leak it
+          TxLogV2Table.dropDir(scratch)
+        }
         override def useCommitCoordinator: Boolean =
           inner.useCommitCoordinator
       }
