@@ -691,6 +691,85 @@ object EtlQueries {
         "FROM graftcat.db.nation_sow")
     }),
 
+    // Metadata-only aggregates in PURE SQL: the injected read rule
+    // collapses an ungrouped, unfiltered COUNT(*)/MIN/MAX over a txlog
+    // catalog table into a LocalRelation computed from the manifest's
+    // exact per-file footer stats — the executed plan has NO scan node at
+    // all (required in-query). At 100 TB this is the difference between a
+    // dashboard's `SELECT count(*)` being free and it being a full-table
+    // scan. Exactness guards: live MOR tombstones or any file without
+    // stats disable the rewrite (metaRowCount/metaMinMax return None) —
+    // the second require proves a filtered count still scans. Oracle
+    // recomputes all three aggregates relationally.
+    "sql_meta_count" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "orders").createOrReplaceTempView("ord_meta_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ord_meta")
+      s.sql("CREATE TABLE graftcat.db.ord_meta USING txlog AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ord_meta_src")
+      val out = s.sql("SELECT count(*) AS n_rows, " +
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+        "FROM graftcat.db.ord_meta")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan"),
+        s"metadata aggregate must collapse to a local relation:\n$plan")
+      require(!plan.contains("FileScan") && !plan.contains("BatchScan") &&
+        !plan.contains("RDDScan"),
+        s"metadata aggregate must not open a single file:\n$plan")
+      // a FILTERED count cannot be answered from the manifest: same
+      // statement + WHERE must keep the real scan (soundness guard)
+      val filtered = s.sql("SELECT count(*) AS n FROM graftcat.db.ord_meta " +
+        "WHERE o_custkey > 0").queryExecution.executedPlan.toString
+      require(!filtered.contains("LocalTableScan"),
+        s"filtered count must NOT ride the metadata shortcut:\n$filtered")
+      out
+    }),
+
+    // STORAGE-PARTITIONED JOIN (SPARK-37377): both sides are txlog tables
+    // hive-partitioned on the join key, the scans report
+    // KeyGroupedPartitioning with per-partition-value keyed splits, and
+    // Spark plans the sort-merge join WITH ZERO SHUFFLE EXCHANGES — at
+    // 100 TB neither fact table ever moves; the join (and the final
+    // aggregation, whose clustering the key-grouped partitioning already
+    // satisfies) runs entirely partition-local. The requires pin exactly
+    // that: a SortMergeJoin over two TxLogSpjScans and not one Exchange
+    // node in the whole executed plan. Oracle recomputes the join+agg
+    // relationally.
+    "sql_spj_join" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_spj_src")
+      t(s, dir, "supplier").createOrReplaceTempView("supp_spj_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_spj")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.supp_spj")
+      s.sql("CREATE TABLE graftcat.db.cust_spj USING txlog " +
+        "PARTITIONED BY (c_nationkey) AS " +
+        "SELECT c_custkey, c_acctbal, c_nationkey FROM cust_spj_src")
+      s.sql("CREATE TABLE graftcat.db.supp_spj USING txlog " +
+        "PARTITIONED BY (s_nationkey) AS " +
+        "SELECT s_suppkey, s_acctbal, s_nationkey FROM supp_spj_src")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true") // the Spark 4 default, pinned for the proof
+      try {
+        val out = s.sql("""
+          SELECT /*+ MERGE(c) */ c.c_nationkey AS nationkey,
+                 count(*) AS pairs,
+                 CAST(SUM(CAST(c.c_acctbal + s.s_acctbal AS DECIMAL(18,2)))
+                   AS DOUBLE) AS bal_sum
+          FROM graftcat.db.cust_spj c
+          JOIN graftcat.db.supp_spj s ON c.c_nationkey = s.s_nationkey
+          GROUP BY c.c_nationkey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"expected a sort-merge join:\n$plan")
+        require(plan.contains("TxLogSpjScan"),
+          s"expected the key-grouped txlog scans:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"storage-partitioned join must plan zero shuffles:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
     // UPDATE in pure SQL (the same DSv2 group-based row-level rewrite as
     // MERGE INTO; Spark compiles UPDATE to a replace-groups plan). The
     // WHERE reaches the operation scan as a pushed filter and is consumed
@@ -1336,6 +1415,17 @@ object EtlQueries {
                 ELSE n_name END AS n_name,
            n_regionkey
          FROM nation""",
+
+    "sql_meta_count" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key FROM orders""",
+
+    "sql_spj_join" ->
+      """SELECT c.c_nationkey AS nationkey, count(*) AS pairs,
+           CAST(SUM(CAST(c.c_acctbal + s.s_acctbal AS DECIMAL(18,2)))
+             AS DOUBLE) AS bal_sum
+         FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+         GROUP BY c.c_nationkey""",
 
     "sql_update" ->
       """SELECT p_partkey,

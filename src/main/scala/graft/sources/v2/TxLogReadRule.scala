@@ -1,8 +1,11 @@
 package graft.sources.v2
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, LogicalPlan, MergeIntoTable, Project, UpdateTable}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, DeleteFromTable, Filter, LocalRelation, LogicalPlan, MergeIntoTable, Project, UpdateTable}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{col, lit}
@@ -40,15 +43,50 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => rewrite(plan)
   }
 
-  private def rewrite(plan: LogicalPlan): LogicalPlan =
+  private def rewrite(plan: LogicalPlan): LogicalPlan = {
+    // Relations sitting under a NOT-YET-RESOLVED ungrouped Aggregate are
+    // left un-spliced this pass: `count(*)` star-expands only after its
+    // child relation resolves (one analyzer pass later for VERSION AS OF
+    // relations), and splicing now would destroy the metadata-collapse
+    // opportunity before the Aggregate case above ever saw it. Once the
+    // Aggregate resolves, either the collapse fires (top-down: the
+    // Aggregate is visited first) or the relation is no longer deferred
+    // and splices in the same pass — nothing is deferred forever.
+    val deferred: Set[LogicalPlan] = plan.collect {
+      case agg @ Aggregate(g, _, child, _) if g.isEmpty && !agg.resolved =>
+        relUnder(child)
+    }.flatten.toSet
     plan.resolveOperatorsDown {
+      // Metadata-only aggregates: an ungrouped, unfiltered COUNT(*) /
+      // MIN / MAX over a txlog relation is answered from the MANIFEST
+      // (exact per-file footer row counts / column extrema) — the whole
+      // query collapses to a LocalRelation, no file opened. Sound only
+      // when the manifest can answer EXACTLY: no live MOR tombstones, a
+      // stats entry on every file (metaRowCount/metaMinMax return None
+      // otherwise and the plan is left for the ordinary scan). The
+      // top-down traversal visits this Aggregate BEFORE the relation
+      // cases below can splice its child away.
+      case agg @ Aggregate(groups, aggExprs, child, _)
+          if groups.isEmpty && agg.resolved && aggExprs.nonEmpty =>
+        (for {
+          tbl <- txLogUnder(child)
+          values <- metaValues(tbl, aggExprs)
+        } yield LocalRelation(aggExprs.map(_.toAttribute),
+          Seq(InternalRow.fromSeq(values)), isStreaming = false))
+          .getOrElse(agg)
+      // spjEligible relations are left alone: their DSv2 scan reports
+      // KeyGroupedPartitioning (storage-partitioned joins — zero-shuffle
+      // co-partitioned joins), which the spliced native plan cannot.
       case f @ Filter(cond, rel: DataSourceV2Relation)
-          if rel.table.isInstanceOf[TxLogV2Table] && f.resolved =>
+          if rel.table.isInstanceOf[TxLogV2Table] && f.resolved &&
+            !rel.table.asInstanceOf[TxLogV2Table].spjEligible =>
         val tbl = rel.table.asInstanceOf[TxLogV2Table]
         aligned(tbl.snapshotDF(toPredicate(cond)), rel.output)
           .map(Filter(cond, _)).getOrElse(f)
       case rel: DataSourceV2Relation
-          if rel.table.isInstanceOf[TxLogV2Table] =>
+          if rel.table.isInstanceOf[TxLogV2Table] &&
+            !rel.table.asInstanceOf[TxLogV2Table].spjEligible &&
+            !deferred.contains(rel) =>
         val tbl = rel.table.asInstanceOf[TxLogV2Table]
         aligned(tbl.snapshotDF(None), rel.output).getOrElse(rel)
       // The V1 `format("txlog")` surface — the discovery path a casual
@@ -66,10 +104,79 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(Filter(cond, _)).getOrElse(f)
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
           if lr.relation.isInstanceOf[graft.sources.TxLogRelation] &&
-            !lr.isStreaming =>
+            !lr.isStreaming && !deferred.contains(lr) =>
         val rel = lr.relation.asInstanceOf[graft.sources.TxLogRelation]
         aligned(v1SnapshotDF(rel, None), lr.output).getOrElse(lr)
     }
+  }
+
+  // The txlog RELATION NODE beneath alias wrappers (for the defer set) —
+  // the structural twin of [[txLogUnder]] before types resolve.
+  private def relUnder(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(_, child) => relUnder(child)
+    case rel: DataSourceV2Relation
+        if rel.table.isInstanceOf[TxLogV2Table] => Some(rel)
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if lr.relation.isInstanceOf[graft.sources.TxLogRelation] =>
+      Some(lr)
+    case _ => None
+  }
+
+  // The txlog table (with its pinned version) beneath alias wrappers —
+  // None as soon as ANY other operator intervenes (a Filter/Project
+  // would change the aggregate's input, so the manifest cannot answer).
+  private def txLogUnder(p: LogicalPlan)
+      : Option[(graft.sources.TxLogTable, Option[Int])] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(_, child) => txLogUnder(child)
+    case rel: DataSourceV2Relation
+        if rel.table.isInstanceOf[TxLogV2Table] =>
+      val t = rel.table.asInstanceOf[TxLogV2Table]
+      Some((t.table, t.asOfVersion))
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if lr.relation.isInstanceOf[graft.sources.TxLogRelation] &&
+          !lr.isStreaming =>
+      val r = lr.relation.asInstanceOf[graft.sources.TxLogRelation]
+      Some((graft.sources.TxLogTable(spark, r.root), r.version))
+    case _ => None
+  }
+
+  // One manifest-derived value per aggregate expression, or None when any
+  // expression is outside the exactly-answerable set {COUNT(*)/COUNT(lit),
+  // MIN(intCol), MAX(intCol)} or the manifest lacks the stats.
+  private def metaValues(tbl: (graft.sources.TxLogTable, Option[Int]),
+                         aggExprs: Seq[NamedExpression])
+      : Option[Seq[Any]] = {
+    val (t, version) = tbl
+    lazy val rowCount = t.metaRowCount(version)
+    def minMax(a: AttributeReference): Option[(Long, Long)] =
+      a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          t.metaMinMax(a.name, version)
+        case _ => None
+      }
+    def narrowed(v: Long, dt: org.apache.spark.sql.types.DataType): Any =
+      dt match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType => v.toInt
+        case _ => v
+      }
+    val vals = aggExprs.map {
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
+        rowCount
+      case Alias(AggregateExpression(
+          Min(a: AttributeReference), _, false, None, _), _) =>
+        minMax(a).map(mm => narrowed(mm._1, a.dataType))
+      case Alias(AggregateExpression(
+          Max(a: AttributeReference), _, false, None, _), _) =>
+        minMax(a).map(mm => narrowed(mm._2, a.dataType))
+      case _ => None
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+  }
 
   // the V1 relation's snapshot as a native-parquet DataFrame (manifest
   // pruning included), mirroring TxLogV2Table.snapshotDF

@@ -616,6 +616,25 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
         TableCapability.OVERWRITE_BY_FILTER)
   }
 
+  /** Storage-partitioned-join eligibility: hive-partitioned, no live MOR
+    * tombstones (raw parquet cannot apply the mask), no column mapping
+    * (the SPJ scan reads physical = logical), and the SPJ conf ON. Under
+    * exactly this condition [[TxLogReadRule]] leaves the relation alone
+    * and [[TxLogScanBuilder.build]] returns a [[TxLogSpjScan]] that
+    * reports [[org.apache.spark.sql.connector.read.partitioning
+    * .KeyGroupedPartitioning]] — a join of two tables partitioned on the
+    * same key then plans with zero shuffle exchanges. In every other
+    * state the splice to the native parquet plan wins (it handles masks
+    * and relabels, but cannot report partitioning).
+    */
+  private[v2] def spjEligible: Boolean =
+    spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) && {
+      val v = asOfVersion.orElse(table.latestVersion)
+      v.exists(ver => table.partitionColsOf(ver).nonEmpty &&
+        table.tombstonesOf(ver).isEmpty && table.colMapOf(ver).isEmpty)
+    }
+
   /** The (possibly time-traveled) snapshot as a DataFrame — what
     * [[TxLogReadRule]] splices into the logical plan (native parquet
     * scan, logical columns).
@@ -715,7 +734,16 @@ final class TxLogScanBuilder(tbl: TxLogV2Table) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = filters
 
-  override def build(): Scan = new V1Scan {
+  /** SPJ-eligible reads get the key-grouped parquet batch scan (the
+    * read-rule splice is skipped under the same condition); everything
+    * else keeps the V1 fallback, which the splice replaces anyway.
+    */
+  override def build(): Scan =
+    if (tbl.spjEligible)
+      new TxLogSpjScan(tbl.spark, tbl, required, filters)
+    else v1Fallback
+
+  private def v1Fallback: Scan = new V1Scan {
     override def readSchema(): StructType = required
 
     override def toV1TableScan[T <: BaseRelation with TableScan](

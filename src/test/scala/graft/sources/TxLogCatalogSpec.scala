@@ -543,4 +543,130 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(got == (0L until 8L).map(i =>
       (i, if (i % 2 == 0) s"V$i" else s"v$i")), s"got $got")
   }
+
+  // `spark.sql.sources.v2.bucketing.enabled` defaults to TRUE in Spark 4,
+  // so SPJ eligibility is the out-of-the-box state for partitioned
+  // catalog tables; the helper pins a value for the explicit on/off cases.
+  private def withBucketing[A](on: Boolean)(body: => A): A = {
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, on.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("storage-partitioned join runs with zero shuffle exchanges") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.spj_a")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.spj_b")
+    spark.sql("CREATE TABLE txcat.ns.spj_a (id BIGINT, p INT, v STRING) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("CREATE TABLE txcat.ns.spj_b (id BIGINT, p INT, w STRING) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.spj_a SELECT id, CAST(id % 4 AS INT), " +
+      "concat('a', id) FROM range(40)")
+    spark.sql("INSERT INTO txcat.ns.spj_b SELECT id, CAST(id % 4 AS INT), " +
+      "concat('b', id) FROM range(40)")
+    withBucketing(on = true) {
+      // join keys == partition keys (the default co-partition contract:
+      // spark.sql.requireAllClusterKeysForCoPartition)
+      val df = spark.sql("""
+        SELECT /*+ MERGE(a) */ a.p AS p, count(*) AS pairs
+        FROM txcat.ns.spj_a a JOIN txcat.ns.spj_b b ON a.p = b.p
+        GROUP BY a.p""")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle either side:\n$plan")
+      assert(plan.contains("TxLogSpjScan"), s"expected the SPJ scan:\n$plan")
+      val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+      assert(got.toSeq == (0 until 4).map(p => (p, 100L)), got.mkString(","))
+    }
+  }
+
+  test("SPJ scan keeps snapshot semantics; conf off restores the splice") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.spj_c")
+    spark.sql("CREATE TABLE txcat.ns.spj_c (id BIGINT, p INT, v STRING) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.spj_c SELECT id, CAST(id % 3 AS INT), " +
+      "concat('v', id) FROM range(30)")
+    withBucketing(on = true) {
+      // partition filter prunes at the manifest: only p=1 files survive
+      val df = spark.sql(
+        "SELECT id, v FROM txcat.ns.spj_c WHERE p = 1 AND id < 10")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TxLogSpjScan"), plan)
+      assert(plan.contains("groups=1"),
+        s"manifest pruning must drop the other partitions:\n$plan")
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 7L))
+      // unpartitioned sibling is untouched by the conf: still spliced
+      spark.sql("DROP TABLE IF EXISTS txcat.ns.spj_flat")
+      spark.sql(
+        "CREATE TABLE txcat.ns.spj_flat (id BIGINT) USING txlog")
+      spark.sql("INSERT INTO txcat.ns.spj_flat VALUES (1), (2)")
+      val flatPlan = spark.sql("SELECT id FROM txcat.ns.spj_flat")
+        .queryExecution.executedPlan.toString
+      assert(flatPlan.contains("FileScan parquet") &&
+        !flatPlan.contains("TxLogSpjScan"), flatPlan)
+    }
+    // with the conf explicitly off the partitioned read goes back to the
+    // native-parquet splice
+    withBucketing(on = false) {
+      val off = spark.sql("SELECT id FROM txcat.ns.spj_c WHERE p = 1")
+        .queryExecution.executedPlan.toString
+      assert(off.contains("FileScan parquet") &&
+        !off.contains("TxLogSpjScan"), off)
+    }
+  }
+
+  test("COUNT(*)/MIN/MAX collapse to the manifest; guards keep exactness") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.meta_t")
+    spark.sql("CREATE TABLE txcat.ns.meta_t (id BIGINT, v STRING) " +
+      "USING txlog")
+    spark.sql("INSERT INTO txcat.ns.meta_t " +
+      "SELECT id, concat('v', id) FROM range(10)")
+    spark.sql("INSERT INTO txcat.ns.meta_t " +
+      "SELECT id, concat('v', id) FROM range(10, 25)")
+    val df = spark.sql("SELECT count(*) AS n, min(id) AS lo, " +
+      "max(id) AS hi FROM txcat.ns.meta_t")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("FileScan") && !plan.contains("BatchScan"), plan)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .head == ((25L, 0L, 24L)))
+    // version pinning: time travel counts the pinned snapshot
+    val v1 = spark.sql("SELECT count(*) AS n FROM txcat.ns.meta_t " +
+      "VERSION AS OF 1") // v0 = the empty CREATE commit, v1 = first INSERT
+    assert(v1.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(v1.head.getLong(0) == 10L)
+    // a filter disables the shortcut (manifest cannot answer)
+    assert(!spark.sql(
+      "SELECT count(*) AS n FROM txcat.ns.meta_t WHERE id > 3")
+      .queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // live MOR tombstones hide rows: the rewrite must refuse and the
+    // scan (which applies the mask) must deliver the true count
+    val t = TxLogTable(spark, s"$warehouse/ns/meta_t")
+    import spark.implicits._
+    t.deleteByKeysMor(Seq(3L, 4L).toDF("id"))
+    val masked = spark.sql("SELECT count(*) AS n FROM txcat.ns.meta_t")
+    assert(!masked.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(masked.head.getLong(0) == 23L)
+    // after compaction folds the tombstones the manifest is exact again
+    // and the SQL count collapses once more, at the surviving row count
+    val v1fmt = spark.read.format("txlog").load(s"$warehouse/ns/meta_t")
+    t.compact(v1fmt.schema, 1)
+    val post = spark.sql("SELECT count(*) AS n FROM txcat.ns.meta_t")
+    assert(post.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      post.queryExecution.executedPlan.toString)
+    assert(post.head.getLong(0) == 23L)
+    // The DataFrame-API form over format("txlog") CANNOT collapse by
+    // construction: load() analyzes (and splices) the bare relation
+    // before any aggregate exists above it. Correctness only here; the
+    // programmatic metadata path is TxLogTable.metaRowCount.
+    val fmtStar = spark.read.format("txlog").load(s"$warehouse/ns/meta_t")
+      .selectExpr("count(*) AS n")
+    assert(fmtStar.head.getLong(0) == 23L)
+  }
 }
