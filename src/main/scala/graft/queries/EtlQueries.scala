@@ -795,6 +795,37 @@ object EtlQueries {
         "FROM graftcat.db.part_upd")
     }),
 
+    // UPDATE under LIVE MOR tombstones — previously the one refused
+    // row-level-DML table state ("compact first"). A MOR delete leaves
+    // keys-only equality tombstones in the manifest (no file rewritten,
+    // asserted in-query); the UPDATE's operation scan applies the
+    // sequence-aware mask (MorMaskedScan) so only surviving rows update
+    // or ride the rewrite, and the commit carries the tombstone lines so
+    // files the rewrite never touched stay masked (asserted in-query).
+    // The oracle replays delete + update relationally.
+    "sql_update_mor" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_mor_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_mor")
+      s.sql("CREATE TABLE graftcat.db.cust_mor USING txlog AS " +
+        "SELECT c_custkey, c_acctbal, c_mktsegment FROM cust_mor_src")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/cust_mor")
+      val files = tbl.fileCount()
+      tbl.deleteByKeysMor(
+        t(s, dir, "customer").select("c_custkey")
+          .where("c_custkey % 7 = 0"))
+      require(tbl.fileCount() == files,
+        "MOR delete must be metadata-only (no file rewritten)")
+      s.sql("UPDATE graftcat.db.cust_mor " +
+        "SET c_mktsegment = 'NEG' WHERE c_acctbal < 0")
+      require(tbl.history().last.op.contains("row-level-update"),
+        "UPDATE must commit through the row-level op")
+      require(tbl.latestVersion.exists(v => tbl.tombstonesOf(v).nonEmpty),
+        "tombstones must survive the group-replacement commit")
+      s.sql("SELECT c_custkey, c_acctbal, c_mktsegment " +
+        "FROM graftcat.db.cust_mor")
+    }),
+
     // SQL time travel (DSv2 loadTable(ident, version) behind VERSION AS
     // OF): three commits land through pure SQL, the query reads the
     // middle version — the append-only prefix — while the current
@@ -1435,6 +1466,12 @@ object EtlQueries {
            CASE WHEN p_size >= 30 THEN p_retailprice + 100
                 ELSE p_retailprice END AS p_retailprice
          FROM part""",
+
+    "sql_update_mor" ->
+      """SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'NEG' ELSE c_mktsegment END
+             AS c_mktsegment
+         FROM customer WHERE c_custkey % 7 <> 0""",
 
     "schema_evolution_rename" ->
       """SELECT c_custkey, c_name AS cust_name, c_acctbal FROM customer""",

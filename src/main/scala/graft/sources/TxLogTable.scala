@@ -710,6 +710,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def tombLines(v: Int): Seq[String] =
     manifestLines(v).filter(_.startsWith("#tomb="))
 
+  /** rel → version that added the file, for the snapshot at `version`
+    * (0 = the file predates `:v` tagging — oldest, every tombstone
+    * applies). These are the sequence numbers the MOR mask orders
+    * tombstones against; external readers that apply the mask themselves
+    * (the SQL row-level operation scan) need them per file.
+    */
+  def addedVersions(version: Option[Int] = None): Map[String, Int] =
+    entries(version).map(e => e.rel -> addedVOf(e)).toMap
+
   // version that added file `e` (0 = predates :v tagging, oldest)
   private def addedVOf(e: TxLogTable.FileEntry): Int =
     e.stats.get(TxLogTable.AddedVKey).map(_._1.toInt).getOrElse(0)
@@ -1562,10 +1571,17 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           current.filterNot(line => reps(line.takeWhile(_ != '\t')))
       }
       val next = base.getOrElse(-1) + 1
+      // MOR tombstones survive a GROUP replacement (unreplaced files stay
+      // masked; replaced files were rewritten post-mask at `next`, which
+      // every tombstone's sequence number predates, so the new files are
+      // never re-masked) — but die with a whole-table overwrite
+      // (replaced = None resets the file set, like every other commit
+      // path's overwrite contract).
+      val mor = if (replaced.isDefined) morLines(base) else Nil
       try {
         Files.write(manifestPath(next),
           (metaLines(partitionCols, op, effBloom) ++ tableMetaLines(base) ++
-            checkLines(base) ++ carried ++ tagVersion(staged, next))
+            mor ++ checkLines(base) ++ carried ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
         return next

@@ -384,15 +384,13 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       // rename changes neither position nor type, so re-naming the
       // schema is the entire translation.
       //
-      // Raw parquet cannot apply MOR tombstone masks, so that one state
-      // is still refused (compact first; the API paths handle it).
+      // LIVE MOR TOMBSTONES: raw parquet cannot apply the mask, so the
+      // scan is wrapped in [[MorMaskedScan]] — the sequence-aware
+      // tombstone filter — and returns only surviving rows; the commit
+      // carries the tombstone lines so unreplaced files stay masked.
       override def newScanBuilder(options: CaseInsensitiveStringMap)
           : ScanBuilder = {
         val t = TxLogV2Table.this.table
-        t.latestVersion.foreach { v =>
-          require(t.tombstonesOf(v).isEmpty,
-            "SQL row-level DML with live MOR tombstones: compact first")
-        }
         new ScanBuilder with SupportsPushDownFilters {
           private var pushed: Array[Filter] = Array.empty
           override def pushFilters(fs: Array[Filter]): Array[Filter] = {
@@ -423,20 +421,59 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
             val inner = org.apache.spark.sql.execution.datasources.v2.parquet
               .ParquetScanBuilder(spark, index, physFull, physFull,
                 CaseInsensitiveStringMap.empty()).build()
-            if (cmap.isEmpty) inner
+            // Live MOR tombstones: wrap with the sequence-aware mask so
+            // only surviving rows ride the rewrite. Key columns are never
+            // renamed while tombstones are live (deleteByKeysMor refuses
+            // mapped keys), so physical = logical for exactly the columns
+            // the mask reads — colmap on OTHER columns composes fine.
+            val tombs = t.latestVersion.map(t.tombstonesOf).getOrElse(Nil)
+            val morKeys = t.latestVersion.map(t.morKeysOf).getOrElse(Nil)
+            val masked: Scan =
+              if (tombs.isEmpty || morKeys.isEmpty) inner
+              else {
+                val rs = inner.readSchema()
+                val keyOrds = morKeys.map(rs.fieldIndex).toArray
+                val keyTypes = keyOrds.map(rs(_).dataType)
+                // Array[Byte] has identity equality — a binary key would
+                // make the map lookup silently miss, masking nothing
+                require(!keyTypes.exists(
+                  _ == org.apache.spark.sql.types.BinaryType),
+                  "SQL row-level DML with binary MOR keys: compact first")
+                val convs = keyTypes.map(org.apache.spark.sql.catalyst
+                  .CatalystTypeConverters.createToCatalystConverter)
+                // driver-side key map — same order of memory as the
+                // broadcast anti-join the API read path already uses
+                val pairs = tombs.flatMap { case (rel, tv) =>
+                  spark.read.parquet(s"$dataDir/$rel")
+                    .select(morKeys.map(k => org.apache.spark.sql.functions
+                      .col("`" + k.replace("`", "``") + "`")): _*)
+                    .collect().iterator.map { r =>
+                      (Seq.tabulate[Any](morKeys.length)(i =>
+                        convs(i)(r.get(i))), tv)
+                    }.filterNot(_._1.contains(null)).toSeq
+                }
+                require(pairs.size <= TxLogV2Table.MaxMorMaskKeys,
+                  s"SQL row-level DML with ${pairs.size} live MOR " +
+                    s"tombstone keys (cap ${TxLogV2Table.MaxMorMaskKeys})" +
+                    ": compact first")
+                new MorMaskedScan(spark, inner, index, dataDir,
+                  t.addedVersions(None), keyOrds, keyTypes,
+                  pairs.groupMapReduce(_._1)(_._2)(math.max))
+              }
+            if (cmap.isEmpty) masked
             else new Scan {
               private val logicalOf = cmap.map(_.swap)
               override def readSchema(): StructType = StructType(
-                inner.readSchema().fields.map(f =>
+                masked.readSchema().fields.map(f =>
                   f.copy(name = logicalOf.getOrElse(f.name, f.name))))
-              override def toBatch = inner.toBatch
-              override def description(): String = inner.description()
+              override def toBatch = masked.toBatch
+              override def description(): String = masked.description()
               override def columnarSupportMode() =
-                inner.columnarSupportMode()
+                masked.columnarSupportMode()
               override def supportedCustomMetrics() =
-                inner.supportedCustomMetrics()
+                masked.supportedCustomMetrics()
               override def reportDriverMetrics() =
-                inner.reportDriverMetrics()
+                masked.reportDriverMetrics()
             }
           }
         }
@@ -654,6 +691,13 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
 object TxLogV2Table {
   import org.apache.spark.sql.functions.lit
   import org.apache.spark.sql.sources._
+
+  /** Cap on live MOR tombstone keys the row-level-DML mask collects to
+    * the driver (≈ tens of MB at the cap — the broadcast anti-join of
+    * the API read path holds the same set). Beyond it the statement asks
+    * for a compaction, which folds the tombstones away entirely.
+    */
+  val MaxMorMaskKeys: Int = 4 << 20
 
   // best-effort recursive delete of a staging scratch dir (abort/cleanup)
   private[v2] def dropDir(dir: java.nio.file.Path): Unit =

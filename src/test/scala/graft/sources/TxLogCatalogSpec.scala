@@ -669,4 +669,59 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .selectExpr("count(*) AS n")
     assert(fmtStar.head.getLong(0) == 23L)
   }
+
+  test("SQL row-level DML works under live MOR tombstones") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.mor_dml")
+    spark.sql("CREATE TABLE txcat.ns.mor_dml (id BIGINT, v STRING) " +
+      "USING txlog")
+    spark.sql("INSERT INTO txcat.ns.mor_dml " +
+      "SELECT id, concat('v', id) FROM range(10)")
+    val t = TxLogTable(spark, s"$warehouse/ns/mor_dml")
+    t.deleteByKeysMor(Seq(2L, 5L).toDF("id"))
+    // INSERT after the MOR delete must CARRY the tombstones (a dropped
+    // tombstone line would resurrect ids 2 and 5) and, sequence-aware,
+    // the re-inserted id 5 must be visible — its file postdates the tomb
+    spark.sql("INSERT INTO txcat.ns.mor_dml VALUES (5, 'reborn')")
+    val pre = spark.sql("SELECT id, v FROM txcat.ns.mor_dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pre.size == 9 && !pre.contains(2L) && pre(5L) == "reborn", pre)
+    // UPDATE with live tombstones: only SURVIVING rows update or ride
+    // the rewrite — the masked id 2 must not resurrect
+    spark.sql(
+      "UPDATE txcat.ns.mor_dml SET v = concat('U', v) WHERE id >= 4")
+    val got = spark.sql("SELECT id, v FROM txcat.ns.mor_dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 9 && !got.contains(2L), got)
+    assert(got(5L) == "Ureborn" && got(4L) == "Uv4" && got(3L) == "v3", got)
+    // MERGE semantics under the mask: the tombstoned key is ABSENT, so
+    // it must take the NOT MATCHED branch and insert fresh
+    spark.sql("""
+      MERGE INTO txcat.ns.mor_dml t
+      USING (SELECT CAST(2 AS BIGINT) AS id, 'back' AS v) s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val merged = spark.sql("SELECT id, v FROM txcat.ns.mor_dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(merged.size == 10 && merged(2L) == "back", merged)
+  }
+
+  test("partitioned table: MOR tombstones mask through SQL UPDATE") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.mor_part")
+    spark.sql("CREATE TABLE txcat.ns.mor_part (id BIGINT, p INT, " +
+      "v STRING) USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.mor_part SELECT id, " +
+      "CAST(id % 2 AS INT), concat('v', id) FROM range(8)")
+    val t = TxLogTable(spark, s"$warehouse/ns/mor_part")
+    t.deleteByKeysMor(Seq(1L, 6L).toDF("id"))
+    // partition-pruned UPDATE: only p=0 files rewrite; the p=1 files are
+    // carried by reference and their tombstone (id 1) must keep masking
+    spark.sql("UPDATE txcat.ns.mor_part SET v = 'X' WHERE p = 0")
+    val got = spark.sql("SELECT id, v FROM txcat.ns.mor_part").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 6 && !got.contains(1L) && !got.contains(6L), got)
+    assert(Seq(0L, 2L, 4L).forall(got(_) == "X") &&
+      Seq(3L, 5L, 7L).forall(k => got(k) == s"v$k"), got)
+  }
 }
