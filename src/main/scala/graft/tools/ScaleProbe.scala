@@ -17,6 +17,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -31,6 +32,56 @@ object ScaleProbe {
                  Set("dedup", "txlog", "stream", "skip", "merge", "bloom",
                    "harvest", "mergestr")
                else args.toSet
+
+    // SQL row-level DML under LIVE MOR tombstones, under table growth:
+    // k key-banded appends, a MOR delete leaving tombstones live, then a
+    // SQL UPDATE touching ONE band. Two flat-ness properties at stake:
+    //  - the operation scan stays manifest-PRUNED (rewritten files ≈ one
+    //    band regardless of k — the mask must not defeat pruning), and
+    //  - the masked scan's cost is bounded by the rows it actually reads
+    //    (tombstone map is a driver-built hash probe per row), so UPDATE
+    //    wall time stays ~flat as the table grows 10×.
+    // Correctness is asserted in-probe: deleted keys never resurrect,
+    // and the rewritten band carries the update.
+    // the catalog instance is cached per name — configure ONCE, table per k
+    if (what("mor")) {
+      val wh = java.nio.file.Files.createTempDirectory("morprobe").toString
+      spark.conf.set("spark.sql.catalog.morcat",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.morcat.warehouse", wh)
+      for (k <- Seq(10, 100)) {
+      val n = 100000L
+      spark.sql(s"CREATE TABLE morcat.db.t$k (id BIGINT, v STRING) " +
+        "USING txlog")
+      val t = graft.sources.TxLogTable(spark, s"$wh/db/t$k")
+      (0 until k).foreach { i =>
+        t.commit(spark.range(i * n, (i + 1) * n)
+            .selectExpr("id", "cast(id as string) as v"),
+          overwrite = false)
+      }
+      // MOR-delete 1k keys scattered over band 3, tombstones stay live
+      t.deleteByKeysMor(
+        spark.range(3 * n, 3 * n + 10000, 10).selectExpr("id"))
+      val before = t.addedVersions(None)
+      time(s"mor sql-update x$k") {
+        spark.sql(s"UPDATE morcat.db.t$k SET v = concat('U', v) " +
+          s"WHERE id >= ${3 * n + 5000} AND id < ${3 * n + 6000}")
+        1L
+      }
+      val after = t.addedVersions(None)
+      val rewrote = after.count { case (rel, v) =>
+        !before.contains(rel) && v > before.values.max }
+      println(s"[probe] mor x$k rewrote $rewrote of ${after.size} files " +
+        s"(pruned + masked; tombstones live)")
+      val got = spark.sql(s"SELECT count(*) FROM morcat.db.t$k " +
+        s"WHERE id >= ${3 * n} AND id < ${3 * n} + 10000").head.getLong(0)
+      require(got == 9000L, s"mask broken: expected 9000 survivors, got $got")
+      val upd = spark.sql(s"SELECT count(*) FROM morcat.db.t$k " +
+        "WHERE v LIKE 'U%'").head.getLong(0)
+      require(upd == 900L, s"update lost rows under mask: $upd of 900")
+      spark.sql(s"DROP TABLE morcat.db.t$k")
+      }
+    }
 
     // Bloom HARVEST memory under per-file growth: one file of N rows with
     // bloom columns enabled. The round-5 harvest buffered O(rows × k)
