@@ -990,6 +990,43 @@ object EtlQueries {
       s.table(mem)
     }),
 
+    // Streaming EXACT DEDUP across micro-batches: the even half of the
+    // events table arrives in batch 1, then the FULL table in batch 2 —
+    // an at-least-once upstream re-delivering everything it already
+    // sent. dropDuplicates over the state store emits each event exactly
+    // once (re-deliveries hit existing state keys and vanish; new rows
+    // pass), and the event-time watermark is in the dedup key set so
+    // state for keys older than the horizon is EVICTED — the bounded-
+    // state form (an unwatermarked dedup's state grows with the corpus;
+    // the horizon is tuned to the upstream's real lateness, here wider
+    // than the synthetic ts span so nothing is late-dropped).
+    "stream_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdd")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 2 === 0), overwrite = true)
+      val mem = "stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("txlog").schema(ev.schema).load(tbl.root)
+        .withColumn("ets",
+          timestamp_micros((col("ts") / 1000000L).cast("long") * 1000L))
+        .withWatermark("ets", "3650 days")
+        .dropDuplicates("event_id", "ets")
+        // micro-truncated event time in the output (DuckDB timestamps
+        // are micro-precision; the raw nanos stay in the dedup key)
+        .selectExpr("event_id", "user_id", "value", "ts div 1000 as ts_us")
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()        // batch 1: evens only
+        tbl.commit(ev, overwrite = false) // batch 2: full table re-delivery
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(mem)
+    }),
+
     // Source AND sink through one REAL streaming query: tx-log table →
     // readStream.format("txlog") → writeStream.format("txlog") → a second
     // tx-log table, drained to completion and the DESTINATION snapshot
@@ -1591,6 +1628,10 @@ object EtlQueries {
 
     "stream_txlog_pipe" ->
       """SELECT event_id, user_id, event_type FROM events""",
+
+    "stream_dedup" ->
+      """SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+         FROM events""",
 
     "inc_agg_refresh" ->
       """SELECT user_id, count(*) AS n,

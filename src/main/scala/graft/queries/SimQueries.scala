@@ -36,6 +36,47 @@ object SimQueries {
     s"""list_aggregate(list_transform(generate_series(1, $Dim),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"""
 
+  /** Semantic-dedup cosine threshold: a vector is a duplicate iff a
+    * lower-id vector of its k-means cluster sits at or above it.
+    */
+  private[graft] val SemDedupTau = 0.3
+
+  /** DuckDB replay of [[graft.operators.KMeans.fit]] (k=8, 2 Lloyd
+    * iterations) — shared by the `sim_kmeans` and `dd_semantic` oracles.
+    * Ends with CTE `a2(vec_id, cluster, cs)`: the final assignment.
+    */
+  private lazy val kmeansAssignCte: String = {
+    def cs(v: String, c: String) =
+      s"""${sqlDot(v, c)} /
+          (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
+    s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv
+               FROM embeddings WHERE vec_id < 8),
+        x1 AS (SELECT v.vec_id, c.cluster,
+                 ${cs("v.embedding", "c.cv")} AS cs
+               FROM vecs v CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cluster FROM (
+                 SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                 FROM x1) WHERE rn = 1),
+        pts AS (SELECT a1.cluster, i.i AS pos,
+                  CAST(v.embedding[i.i] AS DOUBLE) AS x
+                FROM a1 JOIN vecs v USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
+        m AS (SELECT cluster, pos,
+                CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
+                  CAST(COUNT(*) * 1048576 AS DOUBLE) AS m
+              FROM pts GROUP BY 1, 2),
+        c1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+        x2 AS (SELECT v.vec_id, c.cluster,
+                 ${cs("v.embedding", "c.cv")} AS cs
+               FROM vecs v CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cluster, cs FROM (
+                 SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                 FROM x2) WHERE rn = 1)"""
+  }
+
   // same ordered fold over only the first `d` dims (truncated search)
   private def sqlDotN(a: String, b: String, d: Int): String =
     s"""list_aggregate(list_transform(generate_series(1, $d),
@@ -363,6 +404,31 @@ object SimQueries {
       implicit val sp = s
       graft.operators.KMeans.fit(t(s, dir, "embeddings"), k = 8,
         iterations = 2)._1
+    }),
+
+    // Semantic dedup (SemDeDup-style): the TRAINED k-means clusters are
+    // the blocking key — pairs only form within a cluster, so cluster id
+    // is the shuffle key and per-cluster work is bounded by the cell
+    // size (at 100 TB, k grows with the corpus to keep cells ~constant,
+    // exactly as the IVF quantizer scales). A vector is a semantic
+    // duplicate iff some LOWER-id vector of its cluster sits at
+    // cosine ≥ τ — the deterministic keep-first rule; kept = no such
+    // neighbor. One equi-join on cluster + one aggregation, no all-pairs.
+    "dd_semantic" -> ((s, dir) => {
+      implicit val sp = s
+      val emb = t(s, dir, "embeddings")
+      val assigned = graft.operators.KMeans.fit(emb, k = 8,
+        iterations = 2)._1
+      val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val av = assigned.join(vecs, "vec_id")
+        .select(col("vec_id"), col("cluster"), col("v"))
+      val a = av.select(col("cluster").as("cl_a"),
+        col("vec_id").as("vec_a"), col("v").as("va"))
+      av.join(a, col("cluster") === col("cl_a") &&
+          col("vec_a") < col("vec_id") &&
+          cosine(col("va"), col("v")) >= lit(SemDedupTau), "left")
+        .groupBy("vec_id", "cluster")
+        .agg((count(col("vec_a")) === 0).as("kept"))
     }),
 
     // IVF search over the TRAINED quantizer: route the query to its best
@@ -776,37 +842,22 @@ object SimQueries {
               ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
           SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.25""",
 
-    "sim_kmeans" -> {
-      def cs(v: String, c: String) =
-        s"""${sqlDot(v, c)} /
-            (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
-      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
-          c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv
-                 FROM embeddings WHERE vec_id < 8),
-          x1 AS (SELECT v.vec_id, c.cluster,
-                   ${cs("v.embedding", "c.cv")} AS cs
-                 FROM vecs v CROSS JOIN c0 c),
-          a1 AS (SELECT vec_id, cluster FROM (
-                   SELECT *, row_number() OVER
-                     (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
-                   FROM x1) WHERE rn = 1),
-          pts AS (SELECT a1.cluster, i.i AS pos,
-                    CAST(v.embedding[i.i] AS DOUBLE) AS x
-                  FROM a1 JOIN vecs v USING (vec_id)
-                  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
-          m AS (SELECT cluster, pos,
-                  CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
-                    CAST(COUNT(*) * 1048576 AS DOUBLE) AS m
-                FROM pts GROUP BY 1, 2),
-          c1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
-          x2 AS (SELECT v.vec_id, c.cluster,
-                   ${cs("v.embedding", "c.cv")} AS cs
-                 FROM vecs v CROSS JOIN c1 c)
-          SELECT vec_id, cluster, cs AS cos_sim FROM (
-            SELECT *, row_number() OVER
-              (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
-            FROM x2) WHERE rn = 1"""
-    },
+    "sim_kmeans" ->
+      s"""$kmeansAssignCte
+          SELECT vec_id, cluster, cs AS cos_sim FROM a2""",
+
+    "dd_semantic" ->
+      s"""$kmeansAssignCte,
+          av AS (SELECT a2.vec_id, a2.cluster, v.embedding
+                 FROM a2 JOIN vecs v USING (vec_id))
+          SELECT b.vec_id, b.cluster, count(a.vec_id) = 0 AS kept
+          FROM av b LEFT JOIN av a
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            AND ${sqlDot("a.embedding", "b.embedding")} /
+                (sqrt(${sqlDot("a.embedding", "a.embedding")}) *
+                 sqrt(${sqlDot("b.embedding", "b.embedding")}))
+              >= $SemDedupTau
+          GROUP BY b.vec_id, b.cluster""",
 
     "sim_ivf_kmeans_topk" -> ivfTrainedOracle,
 

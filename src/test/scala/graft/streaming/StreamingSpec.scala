@@ -368,4 +368,34 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "X", 10L, true),
       (3L, "Y", 3L, false)))
   }
+
+  test("watermarked dedup state persists ACROSS micro-batches") {
+    // batch 1 delivers the even events; batch 2 re-delivers EVERYTHING
+    // (at-least-once upstream). The sink must hold exactly the evens
+    // after batch 1 and exactly one copy of each event after batch 2 —
+    // re-deliveries die against state built in a PREVIOUS batch, not
+    // merely within-batch distinct.
+    val dir = Files.createTempDirectory("graft-xbatch").toString
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val tbl = graft.sources.TxLogTable(spark, s"$dir/t")
+    tbl.commit(ev.filter(col("event_id") % 2 === 0), overwrite = true)
+    val q = spark.readStream.format("txlog").schema(ev.schema).load(tbl.root)
+      .withColumn("ets",
+        timestamp_micros((col("ts") / 1000000L).cast("long") * 1000L))
+      .withWatermark("ets", "3650 days")
+      .dropDuplicates("event_id", "ets")
+      .writeStream.format("memory").queryName("xbatch_dedup")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val evens = ev.filter(col("event_id") % 2 === 0).count()
+      assert(spark.table("xbatch_dedup").count() == evens)
+      tbl.commit(ev, overwrite = false)
+      q.processAllAvailable()
+      assert(spark.table("xbatch_dedup").count() == ev.count())
+      assert(spark.table("xbatch_dedup").groupBy("event_id").count()
+        .filter(col("count") > 1).isEmpty)
+    } finally q.stop()
+  }
 }
