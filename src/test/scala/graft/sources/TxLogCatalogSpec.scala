@@ -160,6 +160,60 @@ class TxLogCatalogSpec extends AnyFunSuite {
       Seq("other"))
   }
 
+  test("write-skew guard: concurrently ADDED matching rows abort publish") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("txskew")
+      .resolve("t").toString
+    val t = TxLogTable(spark, root)
+    t.commit((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      overwrite = true)
+    val base = t.latestVersion.get
+    val replaced = t.entries(None).map(_.rel).toSet
+    // the "operation" scanned WHERE id < 2000 at `base`; before it
+    // publishes, a concurrent INSERT adds rows INSIDE that range —
+    // carrying them forward unexamined would be write skew, so the
+    // publish must abort even though no replaced file was touched
+    t.commit(Seq((500L, "added")).toDF("id", "v"), overwrite = false)
+    val scratch = java.nio.file.Files.createTempDirectory("txskew-s")
+    (0L until 100L).map(i => (i, "upd")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val err = intercept[java.util.ConcurrentModificationException] {
+      t.commitStagedReplace(scratch, Some(replaced), "row-level-update",
+        scanBase = Some(base), scanPred = Some(col("id") < 2000))
+    }
+    assert(err.getMessage.contains("added by"), err.getMessage)
+    // the concurrent writer's row survived; nothing was replaced
+    assert(t.snapshot(org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING")).where("v = 'added'").count() == 1)
+  }
+
+  test("write-skew guard: stats-disjoint concurrent append publishes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("txskew2")
+      .resolve("t").toString
+    val t = TxLogTable(spark, root)
+    t.commit((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      overwrite = true)
+    val base = t.latestVersion.get
+    val replaced = t.entries(None).map(_.rel).toSet
+    // the concurrent append's manifest stats (id ≥ 5000) cannot overlap
+    // the operation's condition (id < 2000): a serial history exists, so
+    // the publish proceeds and BOTH writers' effects survive
+    t.commit(Seq((5000L, "later")).toDF("id", "v"), overwrite = false)
+    val scratch = java.nio.file.Files.createTempDirectory("txskew2-s")
+    (0L until 100L).map(i => (i, "upd")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    t.commitStagedReplace(scratch, Some(replaced), "row-level-update",
+      scanBase = Some(base), scanPred = Some(col("id") < 2000))
+    val out = t.snapshot(org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING"))
+    assert(out.where("v = 'upd'").count() == 100)
+    assert(out.where("v = 'later'").count() == 1)
+    assert(out.count() == 101)
+  }
+
   test("SQL UPDATE replaces only the groups the scan read") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.rlband")
     spark.sql(
