@@ -22,7 +22,8 @@ object Verify {
       // (/root/reference/iis_etl/logic.py:52-56) — that is Spark's non-ANSI
       // behavior, so pin it against Spark 4's ANSI-on default.
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS): read as epoch-nanos longs.
+      // NANOS-era events.parquet reads as epoch-nanos longs; timestamp[us]
+      // regenerations are normalized to the same type in Tables.apply.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

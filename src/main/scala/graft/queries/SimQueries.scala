@@ -409,26 +409,15 @@ object SimQueries {
     // Semantic dedup (SemDeDup-style): the TRAINED k-means clusters are
     // the blocking key — pairs only form within a cluster, so cluster id
     // is the shuffle key and per-cluster work is bounded by the cell
-    // size (at 100 TB, k grows with the corpus to keep cells ~constant,
-    // exactly as the IVF quantizer scales). A vector is a semantic
-    // duplicate iff some LOWER-id vector of its cluster sits at
-    // cosine ≥ τ — the deterministic keep-first rule; kept = no such
-    // neighbor. One equi-join on cluster + one aggregation, no all-pairs.
+    // size. k is PINNED at 8 here so the DuckDB oracle can replay the
+    // whole Lloyd fit deterministically; the scale surface is
+    // [[graft.operators.SemDedup.apply]], which derives
+    // k = ⌈rows/targetCell⌉ so cells stay ~constant as the corpus grows
+    // (ScaleProbe `semdedup` pins the flat per-cluster cost).
     "dd_semantic" -> ((s, dir) => {
       implicit val sp = s
-      val emb = t(s, dir, "embeddings")
-      val assigned = graft.operators.KMeans.fit(emb, k = 8,
-        iterations = 2)._1
-      val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val av = assigned.join(vecs, "vec_id")
-        .select(col("vec_id"), col("cluster"), col("v"))
-      val a = av.select(col("cluster").as("cl_a"),
-        col("vec_id").as("vec_a"), col("v").as("va"))
-      av.join(a, col("cluster") === col("cl_a") &&
-          col("vec_a") < col("vec_id") &&
-          cosine(col("va"), col("v")) >= lit(SemDedupTau), "left")
-        .groupBy("vec_id", "cluster")
-        .agg((count(col("vec_a")) === 0).as("kept"))
+      graft.operators.SemDedup.withK(
+        t(s, dir, "embeddings"), k = 8, tau = SemDedupTau)
     }),
 
     // IVF search over the TRAINED quantizer: route the query to its best

@@ -306,9 +306,17 @@ object TextQueries {
     "tx_pack_sequences" -> ((s, dir) => {
       val B = 512          // tokens per pack
       val T = 65536L       // target tokens per shard — the parallelism knob
+      // Materialize the per-doc token counts ONCE (eager localCheckpoint —
+      // the LabelPropagation pattern): both the one-row total agg below and
+      // the windowed pack assignment read the checkpointed blocks, so the
+      // expensive tokenize pass runs a single time. The checkpointed frame
+      // is (doc_id, n_tokens) — ~16 B/doc, thousands of times smaller than
+      // the corpus it summarizes, so the executor-storage cost is noise
+      // even at 100 TB.
       val base = t(s, dir, "documents")
         .select(col("doc_id"),
           tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .localCheckpoint()
       val total = base.agg(sum("n_tokens")).head.getLong(0)
       val shards = math.max(1L, (total + T - 1) / T)
       val w = Window.partitionBy("shard").orderBy("doc_id")

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Parquet table source for the engine's tables.
   *
@@ -21,11 +23,38 @@ object Tables {
     * `ReadSchema` in `.explain("formatted")`).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver-generated `events` table stores TIMESTAMP(NANOS) which Spark
-    // 4.x refuses by default ([PARQUET_TYPE_ILLEGAL]); the public escape hatch
-    // reads it as epoch-nanos LongType — integer-exact, deterministic, and
-    // cheap to derive calendar fields from (DuckDB side: `epoch_ns(ts)`).
+    // Driver testdata has shipped `events.ts` in two physical forms across
+    // regenerations: parquet TIMESTAMP(NANOS) (Spark 4 refuses by default —
+    // the public nanosAsLong escape hatch reads it as epoch-nanos LongType)
+    // and plain timestamp[us] (arrow ≥16 writes, resolving as TIMESTAMP_NTZ).
+    // The engine's contract is ONE logical type regardless of the writer:
+    // epoch-nanos LongType — integer-exact, deterministic, and cheap to
+    // derive calendar fields from (DuckDB oracle side: `epoch_ns(ts)` is
+    // type-polymorphic over TIMESTAMP, so the SQL twins need no change).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") epochNanos(df, "ts") else df
   }
+
+  /** Normalize one column to epoch-nanos LongType at the source boundary.
+    *
+    * NANOS-era files already arrive as LongType (via nanosAsLong) — identity.
+    * timestamp[us] files arrive as TIMESTAMP_NTZ (or TIMESTAMP): take
+    * `unix_micros * 1000`. The NTZ→LTZ cast reads wall-clock as UTC because
+    * every engine entry point pins `spark.sql.session.timeZone=UTC`, which is
+    * exactly DuckDB's `epoch_ns` interpretation of a naive TIMESTAMP — the
+    * two sides stay integer-identical. Only `events.ts` is normalized:
+    * `o_orderdate`/`l_shipdate` are consumed AS timestamps by their queries
+    * (calendar semantics), while `ts` is consumed as an integer timeline
+    * (div/mod bucket arithmetic, as-of ordering, skipping-stats bands) —
+    * the reference parses times defensively at the boundary too
+    * (/root/reference/iis_etl/logic.py:23-56).
+    */
+  def epochNanos(df: DataFrame, name: String): DataFrame =
+    df.schema.fields.find(_.name == name).map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn(name,
+          unix_micros(col(name).cast(TimestampType)) * 1000L)
+      case _ => df // LongType already (NANOS-era read), or column absent
+    }
 }

@@ -441,21 +441,40 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
                   "SQL row-level DML with binary MOR keys: compact first")
                 val convs = keyTypes.map(org.apache.spark.sql.catalyst
                   .CatalystTypeConverters.createToCatalystConverter)
-                // driver-side key map — same order of memory as the
-                // broadcast anti-join the API read path already uses
+                val keyCols = morKeys.map(k => org.apache.spark.sql
+                  .functions.col("`" + k.replace("`", "``") + "`"))
+                // Enforce the cap BEFORE any driver-side materialization:
+                // tombstone keys are counted executor-side (a cheap keys-
+                // only scan of each tombstone file, stopping at the first
+                // file that pushes the running total over the cap), so a
+                // table with 100M live tombstone keys gets the friendly
+                // "compact first" refusal with a bounded driver footprint
+                // instead of OOMing while building the map it would then
+                // refuse to use.
+                val morCap = TxLogV2Table.maxMorMaskKeys(spark)
+                var counted = 0L
+                val capIt = tombs.iterator
+                while (capIt.hasNext &&
+                    counted <= morCap) {
+                  val (rel, _) = capIt.next()
+                  counted += spark.read.parquet(s"$dataDir/$rel")
+                    .select(keyCols: _*).na.drop("any", morKeys).count()
+                }
+                require(counted <= morCap,
+                  s"SQL row-level DML with >=$counted live MOR " +
+                    s"tombstone keys (cap $morCap)" +
+                    ": compact first")
+                // driver-side key map — now provably under the cap, same
+                // order of memory as the broadcast anti-join the API read
+                // path already uses
                 val pairs = tombs.flatMap { case (rel, tv) =>
                   spark.read.parquet(s"$dataDir/$rel")
-                    .select(morKeys.map(k => org.apache.spark.sql.functions
-                      .col("`" + k.replace("`", "``") + "`")): _*)
+                    .select(keyCols: _*)
                     .collect().iterator.map { r =>
                       (Seq.tabulate[Any](morKeys.length)(i =>
                         convs(i)(r.get(i))), tv)
                     }.filterNot(_._1.contains(null)).toSeq
                 }
-                require(pairs.size <= TxLogV2Table.MaxMorMaskKeys,
-                  s"SQL row-level DML with ${pairs.size} live MOR " +
-                    s"tombstone keys (cap ${TxLogV2Table.MaxMorMaskKeys})" +
-                    ": compact first")
                 new MorMaskedScan(spark, inner, index, dataDir,
                   t.addedVersions(None), keyOrds, keyTypes,
                   pairs.groupMapReduce(_._1)(_._2)(math.max))
@@ -695,9 +714,17 @@ object TxLogV2Table {
   /** Cap on live MOR tombstone keys the row-level-DML mask collects to
     * the driver (≈ tens of MB at the cap — the broadcast anti-join of
     * the API read path holds the same set). Beyond it the statement asks
-    * for a compaction, which folds the tombstones away entirely.
+    * for a compaction, which folds the tombstones away entirely. The
+    * cap is enforced by an executor-side count BEFORE any driver
+    * materialization, so the refusal itself never risks the OOM it
+    * guards against. Conf-overridable for ops tuning (and so the spec
+    * can exercise the refusal without 4M real keys).
     */
   val MaxMorMaskKeys: Int = 4 << 20
+
+  def maxMorMaskKeys(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.sql.maxMorMaskKeys")
+      .map(_.toInt).getOrElse(MaxMorMaskKeys)
 
   // best-effort recursive delete of a staging scratch dir (abort/cleanup)
   private[v2] def dropDir(dir: java.nio.file.Path): Unit =

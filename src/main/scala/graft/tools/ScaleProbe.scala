@@ -30,7 +30,7 @@ object ScaleProbe {
     }
     val what = if (args.isEmpty)
                  Set("dedup", "txlog", "stream", "skip", "merge", "bloom",
-                   "harvest", "mergestr")
+                   "harvest", "mergestr", "semdedup")
                else args.toSet
 
     // SQL row-level DML under LIVE MOR tombstones, under table growth:
@@ -241,7 +241,7 @@ object ScaleProbe {
     // linearly — the property that makes time-range queries affordable on
     // an hourly-appended 100 TB table.
     if (what("skip")) for (k <- Seq(10, 100)) {
-      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val ev = graft.sources.Tables(spark, "/root/testdata/sf0.1", "events")
         .selectExpr("event_id", "ts div 1000 as ts_us", "value")
       val mm = ev.agg(min("ts_us"), max("ts_us")).head
       val (mn, mx) = (mm.getLong(0), mm.getLong(1))
@@ -327,6 +327,42 @@ object ScaleProbe {
               .cast("long"))
           .agg(max("pack_seq")).head.getLong(0)
       }
+    }
+
+    // Semantic dedup under corpus growth: k derives from the corpus
+    // (k = ⌈rows/targetCell⌉, SemDedup.apply) so the per-cluster O(cell²)
+    // pair work stays FLAT as the corpus grows 10× — with a pinned k the
+    // cells (and the quadratic candidate-pair term) would grow 10×. The
+    // probe reports derived k, avg/max cell size, and total candidate
+    // pairs per cluster; the flatness invariant is avg cell ≤ 2× target
+    // at every corpus size.
+    if (what("semdedup")) for (k <- Seq(1, 10)) {
+      implicit val sp: SparkSession = spark
+      val embBase =
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val emb = (0 until k).map(i => embBase
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_.unionByName(_))
+      val rows = emb.count()
+      val targetCell = 250L
+      val kk = graft.operators.SemDedup.kFor(rows, targetCell)
+      var dd: DataFrame = null
+      time(s"semdedup x$k (rows=$rows, k=$kk)") {
+        dd = graft.operators.SemDedup(emb, tau = 0.3,
+          targetCell = targetCell, rows = Some(rows))
+          .localCheckpoint()
+        dd.count()
+      }
+      val cells = dd.groupBy("cluster").count()
+      val st = cells.agg(avg("count"), max("count"),
+        sum(col("count") * (col("count") - 1) / 2)).head
+      val (avgCell, maxCell, pairs) =
+        (st.getDouble(0), st.getLong(1), st.getDouble(2))
+      println(f"[probe] semdedup x$k: avg cell $avgCell%.1f, " +
+        f"max cell $maxCell, candidate pairs $pairs%.0f " +
+        f"(${pairs / rows}%.1f per row)")
+      require(avgCell <= 2.0 * targetCell,
+        s"semdedup cells grew with the corpus: avg $avgCell at x$k")
     }
 
     // streaming LSH bucket-ownership over a k× corpus, fed as a file

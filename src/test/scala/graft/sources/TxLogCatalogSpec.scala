@@ -778,4 +778,35 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(Seq(0L, 2L, 4L).forall(got(_) == "X") &&
       Seq(3L, 5L, 7L).forall(k => got(k) == s"v$k"), got)
   }
+
+  test("over-cap MOR tombstones: DML refuses BEFORE driver materialization") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.mor_cap")
+    spark.sql("CREATE TABLE txcat.ns.mor_cap (id BIGINT, v STRING) " +
+      "USING txlog")
+    spark.sql("INSERT INTO txcat.ns.mor_cap " +
+      "SELECT id, concat('v', id) FROM range(10)")
+    val t = TxLogTable(spark, s"$warehouse/ns/mor_cap")
+    t.deleteByKeysMor(Seq(2L, 5L, 7L).toDF("id"))
+    // Cap below the live tombstone-key count: the statement must refuse
+    // with the compaction hint. The cap check is an executor-side count
+    // that runs before any collect(), so the refusal itself holds no key
+    // map on the driver — the property this spec pins is the ERROR PATH
+    // (a 100M-key table must die with this message, not an OOM).
+    spark.conf.set("spark.graft.sql.maxMorMaskKeys", "2")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("UPDATE txcat.ns.mor_cap SET v = 'X' WHERE id >= 0")
+      }
+      def msgs(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("compact first")),
+        e.toString)
+    } finally spark.conf.unset("spark.graft.sql.maxMorMaskKeys")
+    // under the default cap the same statement succeeds and masks
+    spark.sql("UPDATE txcat.ns.mor_cap SET v = 'X' WHERE id >= 0")
+    val got = spark.sql("SELECT id, v FROM txcat.ns.mor_cap").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 7 && !got.contains(2L) && got(0L) == "X", got)
+  }
 }

@@ -20,7 +20,10 @@ class StreamingSpec extends AnyFunSuite {
 
   private def stageEvents(copies: Int): String = {
     val dir = Files.createTempDirectory("graft-stream").toString
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // Tables normalizes ts to epoch-nanos LongType whatever the driver's
+    // parquet writer emitted (TIMESTAMP(NANOS) or timestamp[us]) — the
+    // staged copies carry the engine's contract type.
+    val ev = graft.sources.Tables(spark, sfDir, "events")
     (1 to copies).foreach(_ =>
       ev.write.mode("append").parquet(dir))
     dir
@@ -125,7 +128,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val gapNs = 30L * 60 * 1000000000L
 
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.Tables(spark, sfDir, "events")
       .select(col("user_id"), col("ts")).as[StreamOps.SessionEvent]
     // far-future sentinel per user flushes every real session out of state
     val maxTs = ev.agg(max("ts")).head().getLong(0)
@@ -149,7 +152,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch twin: gap-flag + running sum, ordered by ts
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts")
-    val batchCounts = spark.read.parquet(s"$sfDir/events.parquet")
+    val batchCounts = graft.sources.Tables(spark, sfDir, "events")
       .withColumn("flag",
         when(lag(col("ts"), 1).over(w).isNull ||
           col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0))
@@ -376,7 +379,7 @@ class StreamingSpec extends AnyFunSuite {
     // re-deliveries die against state built in a PREVIOUS batch, not
     // merely within-batch distinct.
     val dir = Files.createTempDirectory("graft-xbatch").toString
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.Tables(spark, sfDir, "events")
     val tbl = graft.sources.TxLogTable(spark, s"$dir/t")
     tbl.commit(ev.filter(col("event_id") % 2 === 0), overwrite = true)
     val q = spark.readStream.format("txlog").schema(ev.schema).load(tbl.root)
