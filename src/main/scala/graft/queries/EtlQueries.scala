@@ -725,6 +725,48 @@ object EtlQueries {
       out
     }),
 
+    // Metadata-only COUNT(*) UNDER A PARTITION FILTER: a partition value
+    // is constant per file, so `COUNT(*) WHERE p = x` is still answered
+    // exactly from the manifest (partition path segment + per-file footer
+    // row counts) and collapses to a LocalRelation with NO scan — the
+    // dashboard query at 100 TB ("how many rows landed today?") on a
+    // day-partitioned table. The collapse demands COMPLETE predicate
+    // translation (equality/IN on partition columns under AND): the
+    // third require proves a filter touching a NON-partition column
+    // keeps the real scan (partial translation would be unsound for
+    // counting). Oracle recomputes both counts relationally.
+    "sql_meta_count_filtered" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_metaf_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_metaf")
+      s.sql("CREATE TABLE graftcat.db.cust_metaf (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE, c_nationkey INT) USING txlog " +
+        "PARTITIONED BY (c_nationkey)")
+      s.sql("INSERT INTO graftcat.db.cust_metaf " +
+        "SELECT c_custkey, c_acctbal, c_nationkey FROM cust_metaf_src")
+      val eq = s.sql("SELECT count(*) AS n_eq FROM graftcat.db.cust_metaf " +
+        "WHERE c_nationkey = 3")
+      val in = s.sql("SELECT count(*) AS n_in FROM graftcat.db.cust_metaf " +
+        "WHERE c_nationkey IN (1, 2) AND c_nationkey IN (2, 7)")
+      for (q <- Seq(eq, in)) {
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan"),
+          s"partition-filtered count must collapse to the manifest:\n$plan")
+        require(!plan.contains("FileScan") && !plan.contains("BatchScan") &&
+          !plan.contains("RDDScan"),
+          s"partition-filtered count must not open a file:\n$plan")
+      }
+      // soundness guard: a non-partition-column conjunct disables the
+      // collapse — counting (unlike pruning) cannot drop a conjunct
+      val mixed = s.sql("SELECT count(*) AS n FROM graftcat.db.cust_metaf " +
+        "WHERE c_nationkey = 3 AND c_custkey > 0")
+        .queryExecution.executedPlan.toString
+      require(!mixed.contains("LocalTableScan"),
+        s"non-partition conjunct must NOT ride the metadata shortcut:\n" +
+          mixed)
+      eq.crossJoin(in)
+    }),
+
     // STORAGE-PARTITIONED JOIN (SPARK-37377): both sides are txlog tables
     // hive-partitioned on the join key, the scans report
     // KeyGroupedPartitioning with per-partition-value keyed splits, and
@@ -1487,6 +1529,13 @@ object EtlQueries {
     "sql_meta_count" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
            max(o_orderkey) AS max_key FROM orders""",
+
+    "sql_meta_count_filtered" ->
+      """SELECT (SELECT count(*) FROM customer WHERE c_nationkey = 3)
+           AS n_eq,
+           (SELECT count(*) FROM customer
+            WHERE c_nationkey IN (1, 2) AND c_nationkey IN (2, 7))
+           AS n_in""",
 
     "sql_spj_join" ->
       """SELECT c.c_nationkey AS nationkey, count(*) AS pairs,

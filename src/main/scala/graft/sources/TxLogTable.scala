@@ -1070,6 +1070,46 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     if (counts.size == es.size) Some(counts.sum) else None
   }
 
+  /** COUNT(*) under a PARTITION-ONLY predicate, answered from manifest
+    * metadata alone — the dashboard query at 100 TB (`COUNT(*) WHERE
+    * p_day = x` on an hourly-partitioned table). `preds` maps partition
+    * columns to their allowed values in hive-segment string rendering;
+    * a file qualifies iff EVERY predicate column's path segment value is
+    * in its allowed set. Exact because a partition value is constant per
+    * file: each file fully satisfies or fully fails the predicate — no
+    * partial file ever exists (the same argument that makes partition
+    * pruning exact, applied to counting). The null-partition sentinel
+    * compares as a literal: an equality with a real value never matches
+    * it, exactly as SQL `p = x` is never true for null p. None (caller
+    * falls back to a scan) when tombstones are live, any predicate
+    * column is not a partition column, or any file lacks the segment or
+    * its footer row count.
+    */
+  def metaRowCountWhere(preds: Map[String, Set[String]],
+                        version: Option[Int] = None): Option[Long] = {
+    val v = version.orElse(latestVersion).getOrElse(return None)
+    if (tombstonesOf(v).nonEmpty) return None
+    val parts = partitionColsOf(v).toSet
+    if (preds.isEmpty || !preds.keySet.subsetOf(parts)) return None
+    val es = entries(Some(v))
+    var total = 0L
+    for (e <- es) {
+      val segs: Map[String, String] = e.rel.split('/').iterator.collect {
+        case seg if seg.contains('=') =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) ->
+            TxLogTable.unescapePath(seg.substring(i + 1))
+      }.toMap
+      if (!preds.keySet.subsetOf(segs.keySet)) return None
+      if (preds.forall { case (c, vals) => vals.contains(segs(c)) })
+        e.stats.get(TxLogTable.RowsKey).map(_._1) match {
+          case Some(n) => total += n
+          case None => return None
+        }
+    }
+    Some(total)
+  }
+
   /** MIN/MAX of an integral column from manifest stats alone (exact:
     * footer stats are true per-file extrema; nulls are excluded exactly as
     * SQL MIN/MAX excludes them). None when any file lacks stats for the

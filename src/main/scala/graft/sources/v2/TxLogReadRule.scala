@@ -68,18 +68,36 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // cases below can splice its child away.
       case agg @ Aggregate(groups, aggExprs, child, _)
           if groups.isEmpty && agg.resolved && aggExprs.nonEmpty =>
-        (for {
+        val direct = for {
           tbl <- txLogUnder(child)
           values <- metaValues(tbl, aggExprs)
-        } yield LocalRelation(aggExprs.map(_.toAttribute),
-          Seq(InternalRow.fromSeq(values)), isStreaming = false))
+        } yield values
+        // Filtered COUNT(*) over PARTITION columns only: a partition
+        // value is constant per file, so each file fully satisfies or
+        // fully fails the predicate and the manifest still answers
+        // exactly (partition segment + per-file footer row counts) —
+        // the dashboard query at 100 TB. The predicate must translate
+        // COMPLETELY (equality/IN on partition columns under AND):
+        // partial translation is fine for pruning but unsound for
+        // counting, so any untranslated conjunct declines the collapse
+        // and the ordinary spliced scan answers instead.
+        val filtered = direct.orElse(for {
+          (cond, fchild) <- filterUnder(child)
+          tbl <- txLogUnder(fchild)
+          preds <- partitionPoints(cond)
+          values <- metaCountOnly(tbl, aggExprs, preds)
+        } yield values)
+        filtered.map(values =>
+          LocalRelation(aggExprs.map(_.toAttribute),
+            Seq(InternalRow.fromSeq(values)), isStreaming = false))
           .getOrElse(agg)
       // spjEligible relations are left alone: their DSv2 scan reports
       // KeyGroupedPartitioning (storage-partitioned joins — zero-shuffle
       // co-partitioned joins), which the spliced native plan cannot.
       case f @ Filter(cond, rel: DataSourceV2Relation)
           if rel.table.isInstanceOf[TxLogV2Table] && f.resolved &&
-            !rel.table.asInstanceOf[TxLogV2Table].spjEligible =>
+            !rel.table.asInstanceOf[TxLogV2Table].spjEligible &&
+            !deferred.contains(rel) =>
         val tbl = rel.table.asInstanceOf[TxLogV2Table]
         aligned(tbl.snapshotDF(toPredicate(cond)), rel.output)
           .map(Filter(cond, _)).getOrElse(f)
@@ -98,7 +116,7 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case f @ Filter(cond,
           lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
           if lr.relation.isInstanceOf[graft.sources.TxLogRelation] &&
-            !lr.isStreaming && f.resolved =>
+            !lr.isStreaming && f.resolved && !deferred.contains(lr) =>
         val rel = lr.relation.asInstanceOf[graft.sources.TxLogRelation]
         aligned(v1SnapshotDF(rel, toPredicate(cond)), lr.output)
           .map(Filter(cond, _)).getOrElse(f)
@@ -110,11 +128,82 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  // The Filter beneath alias wrappers under an ungrouped Aggregate (the
+  // filtered-COUNT metadata collapse looks through `FROM t WHERE ...`).
+  private def filterUnder(p: LogicalPlan)
+      : Option[(Expression, LogicalPlan)] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(_, child) => filterUnder(child)
+    case Filter(cond, child) => Some((cond, child))
+    case _ => None
+  }
+
+  // COMPLETE translation of a predicate into per-partition-column allowed
+  // value sets (hive-segment string rendering): equality / IN on an
+  // attribute under AND — the shapes a partition value decides exactly.
+  // None on ANY untranslated node: unlike pruning, counting cannot
+  // tolerate a leftover conjunct. Conflicting equalities intersect to the
+  // empty set, which correctly counts zero files.
+  private def partitionPoints(e: Expression)
+      : Option[Map[String, Set[String]]] = {
+    def render(l: Literal): Option[String] = l.value match {
+      case v: Int => Some(v.toString)
+      case v: Long => Some(v.toString)
+      case v: Short => Some(v.toString)
+      case v: Byte => Some(v.toString)
+      case s: UTF8String => Some(s.toString)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        render(l).map(v => Map(a.name -> Set(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        render(l).map(v => Map(a.name -> Set(v)))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
+        if (rendered.forall(_.isDefined))
+          Some(Map(a.name -> rendered.flatten.toSet))
+        else None
+      case And(l, r) =>
+        for (a <- partitionPoints(l); b <- partitionPoints(r)) yield
+          (a.keySet ++ b.keySet).iterator.map { k =>
+            k -> ((a.get(k), b.get(k)) match {
+              case (Some(x), Some(y)) => x intersect y
+              case (x, y) => x.orElse(y).get
+            })
+          }.toMap
+      case _ => None
+    }
+  }
+
+  // COUNT(*)-shaped aggregate list answered via metaRowCountWhere; the
+  // filtered collapse supports ONLY counts (a filtered MIN/MAX would need
+  // per-file extrema over the selected subset — left to the scan).
+  private def metaCountOnly(tbl: (graft.sources.TxLogTable, Option[Int]),
+                            aggExprs: Seq[NamedExpression],
+                            preds: Map[String, Set[String]])
+      : Option[Seq[Any]] = {
+    val (t, version) = tbl
+    lazy val rowCount = t.metaRowCountWhere(preds, version)
+    val vals = aggExprs.map {
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
+        rowCount
+      case _ => None
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+  }
+
   // The txlog RELATION NODE beneath alias wrappers (for the defer set) —
-  // the structural twin of [[txLogUnder]] before types resolve.
+  // the structural twin of [[txLogUnder]] before types resolve. Descends
+  // one Filter too: a relation under `WHERE <partition cols>` beneath a
+  // not-yet-resolved COUNT(*) must also stay un-spliced until the
+  // Aggregate case has had its chance at the filtered metadata collapse.
   private def relUnder(p: LogicalPlan): Option[LogicalPlan] = p match {
     case org.apache.spark.sql.catalyst.plans.logical
         .SubqueryAlias(_, child) => relUnder(child)
+    case Filter(_, child) => relUnder(child)
     case rel: DataSourceV2Relation
         if rel.table.isInstanceOf[TxLogV2Table] => Some(rel)
     case lr: org.apache.spark.sql.execution.datasources.LogicalRelation

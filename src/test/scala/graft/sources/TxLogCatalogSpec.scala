@@ -809,4 +809,44 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got.size == 7 && !got.contains(2L) && got(0L) == "X", got)
   }
+
+  test("partition-filtered COUNT collapses; tombstones/mixed filters scan") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.metaf")
+    spark.sql("CREATE TABLE txcat.ns.metaf (id BIGINT, p INT) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.metaf " +
+      "SELECT id, CAST(id % 3 AS INT) FROM range(30)")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM txcat.ns.metaf WHERE p = 1")
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q.head.getLong(0) == 10L)
+    // IN-list + intersecting equalities
+    val qin = spark.sql("SELECT count(*) AS n FROM txcat.ns.metaf " +
+      "WHERE p IN (0, 2) AND p IN (2, 1)")
+    assert(qin.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(qin.head.getLong(0) == 10L)
+    // contradiction: empty value set counts zero, still from the manifest
+    val q0 = spark.sql("SELECT count(*) AS n FROM txcat.ns.metaf " +
+      "WHERE p = 1 AND p = 2")
+    assert(q0.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(q0.head.getLong(0) == 0L)
+    // a non-partition conjunct cannot be dropped: the real scan answers
+    val mixed = spark.sql("SELECT count(*) AS n FROM txcat.ns.metaf " +
+      "WHERE p = 1 AND id > 0")
+    assert(!mixed.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(mixed.head.getLong(0) == 10L)
+    // live MOR tombstones hide rows the footer counts still include:
+    // the filtered collapse must refuse and the masked scan must answer
+    val t = TxLogTable(spark, s"$warehouse/ns/metaf")
+    t.deleteByKeysMor(Seq(1L, 4L).toDF("id"))
+    val masked = spark.sql(
+      "SELECT count(*) AS n FROM txcat.ns.metaf WHERE p = 1")
+    assert(!masked.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(masked.head.getLong(0) == 8L)
+  }
 }
