@@ -306,17 +306,17 @@ object TextQueries {
     "tx_pack_sequences" -> ((s, dir) => {
       val B = 512          // tokens per pack
       val T = 65536L       // target tokens per shard — the parallelism knob
-      // Materialize the per-doc token counts ONCE (eager localCheckpoint —
-      // the LabelPropagation pattern): both the one-row total agg below and
-      // the windowed pack assignment read the checkpointed blocks, so the
-      // expensive tokenize pass runs a single time. The checkpointed frame
-      // is (doc_id, n_tokens) — ~16 B/doc, thousands of times smaller than
-      // the corpus it summarizes, so the executor-storage cost is noise
-      // even at 100 TB.
+      // Materialize the per-doc token counts ONCE: the one-row total agg
+      // below and the windowed pack assignment both read the cached
+      // blocks, so the expensive tokenize pass runs a single time (the
+      // CacheManager dedups by plan — the same session-scoped pattern as
+      // the k-means artifacts). The cached frame is (doc_id, n_tokens) —
+      // ~16 B/doc, thousands of times smaller than the corpus it
+      // summarizes, so the executor-storage cost is noise even at 100 TB.
       val base = t(s, dir, "documents")
         .select(col("doc_id"),
           tokenCount(col("text")).cast(LongType).as("n_tokens"))
-        .localCheckpoint()
+        .cache()
       val total = base.agg(sum("n_tokens")).head.getLong(0)
       val shards = math.max(1L, (total + T - 1) / T)
       val w = Window.partitionBy("shard").orderBy("doc_id")
