@@ -730,11 +730,13 @@ object EtlQueries {
     // exactly from the manifest (partition path segment + per-file footer
     // row counts) and collapses to a LocalRelation with NO scan — the
     // dashboard query at 100 TB ("how many rows landed today?") on a
-    // day-partitioned table. The collapse demands COMPLETE predicate
-    // translation (equality/IN on partition columns under AND): the
-    // third require proves a filter touching a NON-partition column
-    // keeps the real scan (partial translation would be unsound for
-    // counting). Oracle recomputes both counts relationally.
+    // day-partitioned table. MIN/MAX over the same filtered subset
+    // collapse too (footer extrema of the qualifying files). The
+    // collapse demands COMPLETE predicate translation (equality/IN on
+    // partition columns under AND): the last require proves a filter
+    // touching a NON-partition column keeps the real scan (partial
+    // translation would be unsound for counting). Oracle recomputes
+    // every aggregate relationally.
     "sql_meta_count_filtered" -> ((s, dir) => {
       ensureCatalog(s)
       t(s, dir, "customer").createOrReplaceTempView("cust_metaf_src")
@@ -744,7 +746,8 @@ object EtlQueries {
         "PARTITIONED BY (c_nationkey)")
       s.sql("INSERT INTO graftcat.db.cust_metaf " +
         "SELECT c_custkey, c_acctbal, c_nationkey FROM cust_metaf_src")
-      val eq = s.sql("SELECT count(*) AS n_eq FROM graftcat.db.cust_metaf " +
+      val eq = s.sql("SELECT count(*) AS n_eq, min(c_custkey) AS mn_eq, " +
+        "max(c_custkey) AS mx_eq FROM graftcat.db.cust_metaf " +
         "WHERE c_nationkey = 3")
       val in = s.sql("SELECT count(*) AS n_in FROM graftcat.db.cust_metaf " +
         "WHERE c_nationkey IN (1, 2) AND c_nationkey IN (2, 7)")
@@ -1533,6 +1536,10 @@ object EtlQueries {
     "sql_meta_count_filtered" ->
       """SELECT (SELECT count(*) FROM customer WHERE c_nationkey = 3)
            AS n_eq,
+           (SELECT min(c_custkey) FROM customer WHERE c_nationkey = 3)
+           AS mn_eq,
+           (SELECT max(c_custkey) FROM customer WHERE c_nationkey = 3)
+           AS mx_eq,
            (SELECT count(*) FROM customer
             WHERE c_nationkey IN (1, 2) AND c_nationkey IN (2, 7))
            AS n_in""",

@@ -1086,13 +1086,64 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * its footer row count.
     */
   def metaRowCountWhere(preds: Map[String, Set[String]],
-                        version: Option[Int] = None): Option[Long] = {
+                        version: Option[Int] = None): Option[Long] =
+    entriesWhere(preds, version).flatMap { es =>
+      val counts = es.flatMap(_.stats.get(TxLogTable.RowsKey).map(_._1))
+      if (counts.size == es.size) Some(counts.sum) else None
+    }
+
+  /** MIN/MAX of an integral column over the partition-filtered file
+    * subset — [[metaMinMax]] with [[entriesWhere]]'s selection, same
+    * exactness argument on both axes (footer stats are true per-file
+    * extrema; the partition value decides each file wholly). For the
+    * PARTITION columns themselves — absent from footers — the hive path
+    * segment IS the per-file extremum (every row of the file holds that
+    * value). Returns Some(None) for an empty qualifying subset (SQL
+    * MIN/MAX over zero rows is NULL — still manifest-answerable), None
+    * when the manifest cannot answer (tombstones, missing stats,
+    * unparseable segment).
+    */
+  def metaMinMaxWhere(column: String, preds: Map[String, Set[String]],
+                      version: Option[Int] = None)
+      : Option[Option[(Long, Long)]] = {
+    val v = version.orElse(latestVersion).getOrElse(return None)
+    entriesWhere(preds, Some(v)).flatMap { es =>
+      if (es.isEmpty) Some(None)
+      else {
+        val c = physOf(colMapAt(Some(v)), column)
+        val isPart = partitionColsOf(v).contains(c)
+        val st = es.flatMap { e =>
+          if (isPart)
+            e.rel.split('/').iterator
+              .collectFirst { case seg if seg.startsWith(s"$c=") =>
+                seg.stripPrefix(s"$c=") }
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+              .map(x => (x, x))
+          else e.stats.get(c)
+        }
+        if (st.size == es.size)
+          Some(Some((st.map(_._1).min, st.map(_._2).max)))
+        else None
+      }
+    }
+  }
+
+  /** Data-file entries whose hive partition path segments satisfy
+    * `preds` (column → allowed string-rendered values) EXACTLY — the
+    * selection both filtered metadata aggregates share. None when the
+    * manifest cannot decide: live tombstones (per-file counts/extrema
+    * include masked rows), a predicate column that is not a partition
+    * column, or a file without the segment.
+    */
+  def entriesWhere(preds: Map[String, Set[String]],
+                   version: Option[Int] = None)
+      : Option[Seq[TxLogTable.FileEntry]] = {
     val v = version.orElse(latestVersion).getOrElse(return None)
     if (tombstonesOf(v).nonEmpty) return None
     val parts = partitionColsOf(v).toSet
     if (preds.isEmpty || !preds.keySet.subsetOf(parts)) return None
     val es = entries(Some(v))
-    var total = 0L
+    val selected = Seq.newBuilder[TxLogTable.FileEntry]
     for (e <- es) {
       val segs: Map[String, String] = e.rel.split('/').iterator.collect {
         case seg if seg.contains('=') =>
@@ -1102,12 +1153,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       }.toMap
       if (!preds.keySet.subsetOf(segs.keySet)) return None
       if (preds.forall { case (c, vals) => vals.contains(segs(c)) })
-        e.stats.get(TxLogTable.RowsKey).map(_._1) match {
-          case Some(n) => total += n
-          case None => return None
-        }
+        selected += e
     }
-    Some(total)
+    Some(selected.result())
   }
 
   /** MIN/MAX of an integral column from manifest stats alone (exact:

@@ -177,19 +177,45 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  // COUNT(*)-shaped aggregate list answered via metaRowCountWhere; the
-  // filtered collapse supports ONLY counts (a filtered MIN/MAX would need
-  // per-file extrema over the selected subset — left to the scan).
+  // Aggregates answered from the partition-filtered file subset:
+  // COUNT(*) via metaRowCountWhere, MIN/MAX of integral columns via
+  // metaMinMaxWhere (footer extrema of qualifying files; the partition
+  // column itself reads from the path segment). An empty qualifying
+  // subset yields COUNT 0 and MIN/MAX NULL — SQL's zero-row aggregate
+  // semantics, still manifest-answered.
   private def metaCountOnly(tbl: (graft.sources.TxLogTable, Option[Int]),
                             aggExprs: Seq[NamedExpression],
                             preds: Map[String, Set[String]])
       : Option[Seq[Any]] = {
     val (t, version) = tbl
     lazy val rowCount = t.metaRowCountWhere(preds, version)
+    def narrowed(v: Long, dt: org.apache.spark.sql.types.DataType): Any =
+      dt match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType => v.toInt
+        case _ => v
+      }
+    def extremum(a: AttributeReference, lo: Boolean): Option[Any] =
+      a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          t.metaMinMaxWhere(a.name, preds, version).map {
+            case Some((mn, mx)) =>
+              narrowed(if (lo) mn else mx, a.dataType)
+            case None => null // empty subset: SQL MIN/MAX of zero rows
+          }
+        case _ => None
+      }
     val vals = aggExprs.map {
       case Alias(AggregateExpression(
           Count(Seq(Literal(v, _))), _, false, None, _), _) if v != null =>
         rowCount
+      case Alias(AggregateExpression(
+          Min(a: AttributeReference), _, false, None, _), _) =>
+        extremum(a, lo = true)
+      case Alias(AggregateExpression(
+          Max(a: AttributeReference), _, false, None, _), _) =>
+        extremum(a, lo = false)
       case _ => None
     }
     if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None

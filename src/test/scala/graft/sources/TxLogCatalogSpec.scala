@@ -849,4 +849,38 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .contains("LocalTableScan"))
     assert(masked.head.getLong(0) == 8L)
   }
+
+  test("partition-filtered MIN/MAX collapse from footer stats and segments") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.metamm")
+    spark.sql("CREATE TABLE txcat.ns.metamm (id BIGINT, p INT) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.metamm " +
+      "SELECT id, CAST(id % 3 AS INT) FROM range(30)")
+    // data-column extrema: footer stats of the qualifying files only
+    val mm = spark.sql("SELECT min(id) AS mn, max(id) AS mx " +
+      "FROM txcat.ns.metamm WHERE p = 1")
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(mm.head match { case r => (r.getLong(0), r.getLong(1)) == (1L, 28L) })
+    // partition-column extrema: the hive path segment IS the per-file value
+    val pm = spark.sql("SELECT min(p) AS mn, max(p) AS mx " +
+      "FROM txcat.ns.metamm WHERE p IN (1, 2)")
+    assert(pm.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(pm.head match { case r => (r.getInt(0), r.getInt(1)) == (1, 2) })
+    // empty qualifying subset: COUNT 0, MIN/MAX NULL — zero-row semantics
+    val empty = spark.sql("SELECT count(*) AS n, min(id) AS mn " +
+      "FROM txcat.ns.metamm WHERE p = 7")
+    assert(empty.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    val er = empty.head
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+    // mixed count+min+max under one filter, all from the manifest
+    val all = spark.sql("SELECT count(*) AS n, min(id) AS mn, " +
+      "max(id) AS mx FROM txcat.ns.metamm WHERE p = 2")
+    assert(all.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    val ar = all.head
+    assert((ar.getLong(0), ar.getLong(1), ar.getLong(2)) == (10L, 2L, 29L))
+  }
 }
