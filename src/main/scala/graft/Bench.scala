@@ -110,7 +110,7 @@ object Bench {
       "sql_time_travel", "sql_delete_from", "sql_merge_into", "sql_update",
       "sql_merge_partitioned", "sql_maintenance", "sql_overwrite_partition",
       "sql_spj_join", "sql_meta_count", "sql_meta_count_filtered",
-      "sql_update_mor", "stream_dedup",
+      "sql_partitions", "sql_update_mor", "stream_dedup",
       "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)

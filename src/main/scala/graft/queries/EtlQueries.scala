@@ -618,6 +618,34 @@ object EtlQueries {
       s.sql("SELECT r_regionkey, r_name FROM graftcat.db.region_mnt")
     }),
 
+    // CALL system.partitions: per-partition file/row counts from the
+    // MANIFEST alone — SHOW PARTITIONS with sizes, no file opened, free
+    // at any table size (the 100 TB table-health dashboard). Row counts
+    // are exact footer sums; the require proves the result arrives as a
+    // LocalTableScan (driver-computed rows, no scan node). The oracle
+    // recomputes the per-partition counts relationally; n_files is
+    // layout-dependent (shuffle width) so only the deterministic columns
+    // leave the query.
+    "sql_partitions" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "nation").createOrReplaceTempView("nation_parts_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.nation_parts")
+      s.sql("CREATE TABLE graftcat.db.nation_parts (n_nationkey INT, " +
+        "n_name STRING, n_regionkey INT) USING txlog " +
+        "PARTITIONED BY (n_regionkey)")
+      s.sql("INSERT INTO graftcat.db.nation_parts " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_parts_src")
+      val out = s.sql(
+        "CALL graftcat.system.partitions('db.nation_parts')")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") &&
+        !plan.contains("FileScan") && !plan.contains("BatchScan"),
+        s"partitions() must answer from the manifest:\n$plan")
+      require(out.collect().forall(r => r.getInt(1) >= 1 && !r.isNullAt(2)),
+        "every partition must report files and an exact row count")
+      out.select(col("partition").as("part"), col("n_rows"))
+    }),
+
     // MERGE INTO on a HIVE-PARTITIONED, COLUMN-MAPPED table — the default
     // 100 TB layout plus the most common schema evolution, in one
     // statement. The operation scan reconstructs partition columns from
@@ -1512,6 +1540,11 @@ object EtlQueries {
 
     "sql_maintenance" ->
       """SELECT r_regionkey, r_name FROM region""",
+
+    "sql_partitions" ->
+      """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS part,
+           count(*) AS n_rows
+         FROM nation GROUP BY n_regionkey""",
 
     "sql_merge_partitioned" ->
       """SELECT s_suppkey,

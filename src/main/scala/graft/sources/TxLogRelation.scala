@@ -145,7 +145,14 @@ final class TxLogSource extends RelationProvider
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new TxLogStreamSource(ctx, pathOf(parameters),
-      sourceSchema(ctx, schema, providerName, parameters)._2)
+      sourceSchema(ctx, schema, providerName, parameters)._2,
+      // option keys arrive with caller-chosen casing
+      parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") =>
+          val m = v.toInt
+          require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+          m
+      })
 
   override def createSink(ctx: SQLContext,
                           parameters: Map[String, String],

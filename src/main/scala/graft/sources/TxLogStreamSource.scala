@@ -22,16 +22,41 @@ import org.apache.spark.sql.types.StructType
   * The batch delta is re-flagged `isStreaming` via the classic session's
   * `internalCreateDataFrame` — the V1 `Source` contract (the rows are the
   * already-planned delta; only the flag changes).
+  *
+  * `option("maxVersionsPerTrigger", n)` bounds CATCH-UP batches: a stream
+  * resumed against a table that committed 10,000 versions while it was
+  * down drains them n versions at a time instead of planning one
+  * mega-batch over the whole backlog (the `maxFilesPerTrigger` discipline
+  * — at 100 TB an unbounded recovery batch is a driver-planning and
+  * shuffle-spill hazard). Steady state is unaffected: once caught up,
+  * each trigger still reads exactly the newly committed versions.
   */
 final class TxLogStreamSource(ctx: SQLContext, root: String,
-                              override val schema: StructType)
+                              override val schema: StructType,
+                              maxVersionsPerTrigger: Option[Int] = None)
     extends Source {
 
   private def spark = ctx.sparkSession
   private def table: TxLogTable = TxLogTable(spark, root)
 
+  // Highest version already OFFERED to the engine (advanced in getOffset,
+  // re-synced from the checkpoint via getBatch on recovery). The cap is
+  // offered-relative: micro-batch execution commits each offered range
+  // before asking for the next offset, so offered == committed between
+  // triggers.
+  @volatile private var offeredV: Int = -1
+
   override def getOffset: Option[StreamOffset] =
-    table.latestVersion.map(v => LongOffset(v.toLong))
+    table.latestVersion.map { v =>
+      val end = maxVersionsPerTrigger match {
+        case Some(m) if offeredV >= 0 => math.min(v, offeredV + m)
+        // first trigger of a fresh stream: the initial snapshot is ONE
+        // consistent batch (capping it would expose a torn first read)
+        case _ => v
+      }
+      offeredV = math.max(offeredV, end)
+      LongOffset(end.toLong)
+    }
 
   private def versionOf(o: StreamOffset): Int = o match {
     case LongOffset(v) => v.toInt
@@ -42,7 +67,12 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
   override def getBatch(start: Option[StreamOffset],
                         end: StreamOffset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(-1)
-    val delta = table.changesBetween(schema, fromV, versionOf(end))
+    val endV = versionOf(end)
+    // recovery re-sync: a restarted query replays its checkpointed range
+    // first; subsequent getOffset caps must extend from THAT committed
+    // end, not from -1
+    offeredV = math.max(offeredV, endV)
+    val delta = table.changesBetween(schema, fromV, endV)
       .drop("_commit_version")
     org.apache.spark.sql.graft.StreamingShim.asStreaming(spark, delta)
   }

@@ -219,7 +219,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "vacuum", "history")
+      Array("compact", "vacuum", "history", "partitions")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -288,10 +288,45 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
                 h.op.map(UTF8String.fromString).orNull, h.numFiles)))
           }
         }
+      case "partitions" =>
+        // CALL c.system.partitions('ns.t'): one row per partition value
+        // with file/row counts from the MANIFEST alone — no file opened;
+        // SHOW PARTITIONS with sizes, free at any table size. Row counts
+        // are exact per-file footer sums; they are NULL (unknown) when a
+        // file predates stats or live MOR tombstones hide rows — the
+        // same exactness contract as the metadata aggregates. A
+        // non-partitioned table reports one row with an empty partition.
+        new MaintenanceProc("partitions", Seq(
+          inParam("table", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val v = t.latestVersion
+            val parts = v.map(t.partitionColsOf).getOrElse(Nil)
+            val tombs = v.exists(t.tombstonesOf(_).nonEmpty)
+            val groups = t.entries(None).groupBy { e =>
+              parts.flatMap { c =>
+                e.rel.split('/').iterator.collectFirst {
+                  case seg if seg.startsWith(s"$c=") => seg
+                }
+              }.mkString("/")
+            }
+            resultScan(StructType(Seq(
+              StructField("partition", StringType),
+              StructField("n_files", IntegerType),
+              StructField("n_rows", LongType))),
+              groups.toSeq.sortBy(_._1).map { case (p, es) =>
+                val rows = es.flatMap(
+                  _.stats.get(TxLogTable.RowsKey).map(_._1))
+                InternalRow(UTF8String.fromString(p), es.size,
+                  if (!tombs && rows.size == es.size) Long.box(rows.sum)
+                  else null)
+              })
+          }
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"unknown txlog procedure: system.$other " +
-            "(available: compact, vacuum, history)")
+            "(available: compact, vacuum, history, partitions)")
     }
   }
 }

@@ -113,4 +113,41 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     val batch = spark.read.format("txlog").load(t.root)
     assert(stream.schema == batch.schema && stream.isStreaming)
   }
+
+  test("maxVersionsPerTrigger paces catch-up without losing rows") {
+    val base = java.nio.file.Files.createTempDirectory("txstream-cap")
+    val t = TxLogTable(spark, base.resolve("t").toString)
+    t.commit(Seq((0L, "s")).toDF("id", "v"), overwrite = true)
+    val dst = base.resolve("dst").toString
+    val ckpt = base.resolve("ckpt").toString
+    // memory sink cannot recover a checkpoint; the txlog sink can — the
+    // restart IS the scenario under test
+    def run() = spark.readStream.format("txlog").schema(schema)
+      .option("maxVersionsPerTrigger", "2")
+      .load(t.root)
+      .writeStream.format("txlog").option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // phase 1: drain the initial snapshot (one consistent batch), stop
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(TxLogTable(spark, dst).snapshot(schema).count() == 1)
+    // phase 2: 6 versions commit while NO consumer runs — the backlog a
+    // resumed stream faces. The restarted query must drain it in
+    // ceil(6/2) = 3 capped micro-batches, not one mega-batch (and the
+    // recovery re-sync must seed the cap from the CHECKPOINTED offset,
+    // not from zero).
+    (1 to 6).foreach(i =>
+      t.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"), overwrite = false))
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(TxLogTable(spark, dst).snapshot(schema).collect()
+        .map(_.getLong(0)).toSet == (0L to 6L).toSet)
+      val caught = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(caught.length == 3 && caught.forall(_.numInputRows <= 2),
+        q2.recentProgress.map(pr => s"batch ${pr.batchId}: " +
+          s"${pr.numInputRows} rows").mkString("; "))
+    } finally q2.stop()
+  }
 }
