@@ -30,7 +30,7 @@ object ScaleProbe {
     }
     val what = if (args.isEmpty)
                  Set("dedup", "txlog", "stream", "skip", "merge", "bloom",
-                   "harvest", "mergestr", "semdedup")
+                   "harvest", "mergestr", "semdedup", "metacount")
                else args.toSet
 
     // SQL row-level DML under LIVE MOR tombstones, under table growth:
@@ -326,6 +326,46 @@ object ScaleProbe {
             (coalesce(sum("n_tokens").over(w), lit(0L)) / 512)
               .cast("long"))
           .agg(max("pack_seq")).head.getLong(0)
+      }
+    }
+
+    // Filtered metadata COUNT under table growth: `COUNT(*) WHERE p = x`
+    // on a partitioned catalog table is answered from the manifest
+    // (LocalTableScan — no file opened), so its wall time must stay
+    // ~FLAT as the table grows 10×, while the same count with a
+    // non-partition conjunct (which must scan) grows with the data. The
+    // answers are cross-checked against each other for exactness.
+    if (what("metacount")) {
+      val wh = java.nio.file.Files.createTempDirectory("metaprobe").toString
+      spark.conf.set("spark.sql.catalog.metacat",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.metacat.warehouse", wh)
+      for (k <- Seq(10, 100)) {
+        val n = 100000L
+        spark.sql(s"CREATE TABLE metacat.db.t$k (id BIGINT, p INT) " +
+          "USING txlog PARTITIONED BY (p)")
+        val t = graft.sources.TxLogTable(spark, s"$wh/db/t$k")
+        (0 until k).foreach(i =>
+          t.commit(spark.range(i * n, (i + 1) * n)
+              .selectExpr("id", s"CAST(id % 16 AS INT) AS p"),
+            overwrite = false, partitionCols = Seq("p")))
+        var meta = 0L
+        time(s"metacount collapse x$k") {
+          val q = spark.sql(
+            s"SELECT count(*) AS c FROM metacat.db.t$k WHERE p = 3")
+          require(q.queryExecution.executedPlan.toString
+            .contains("LocalTableScan"), "collapse must fire")
+          meta = q.head.getLong(0)
+          meta
+        }
+        time(s"metacount scan x$k") {
+          val full = spark.sql(s"SELECT count(*) AS c FROM metacat.db.t$k " +
+            "WHERE p = 3 AND id >= 0").head.getLong(0)
+          require(full == meta,
+            s"manifest count $meta != scanned count $full")
+          full
+        }
+        spark.sql(s"DROP TABLE metacat.db.t$k")
       }
     }
 
