@@ -1142,6 +1142,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     if (tombstonesOf(v).nonEmpty) return None
     val parts = partitionColsOf(v).toSet
     if (preds.isEmpty || !preds.keySet.subsetOf(parts)) return None
+    // The hive null-partition sentinel: a file carrying it holds rows
+    // whose partition value is NULL, which no SQL equality ever matches —
+    // such files are correctly excluded by the value-set test below. But
+    // a predicate LITERAL equal to the sentinel string is ambiguous in
+    // the hive layout (a genuine string value spelled like the sentinel
+    // lands in the same directory), so the manifest declines and the
+    // scan answers.
+    if (preds.valuesIterator.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+      return None
     val es = entries(Some(v))
     val selected = Seq.newBuilder[TxLogTable.FileEntry]
     for (e <- es) {

@@ -883,4 +883,25 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val ar = all.head
     assert((ar.getLong(0), ar.getLong(1), ar.getLong(2)) == (10L, 2L, 29L))
   }
+
+  test("null partitions never ride the filtered metadata collapse") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.metanull")
+    spark.sql("CREATE TABLE txcat.ns.metanull (id BIGINT, p INT) " +
+      "USING txlog PARTITIONED BY (p)")
+    // ids 0..9 in p=1, ids 10..14 in the NULL partition
+    spark.sql("INSERT INTO txcat.ns.metanull " +
+      "SELECT id, CASE WHEN id < 10 THEN 1 ELSE NULL END FROM range(15)")
+    // equality never matches NULL rows: collapse fires and counts 10
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM txcat.ns.metanull WHERE p = 1")
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q.head.getLong(0) == 10L)
+    // a literal spelled like the hive null sentinel is ambiguous in the
+    // path layout: the manifest declines, the scan answers (0 matches —
+    // p is an INT column, the string cannot equal it; the point is the
+    // collapse must NOT count the null partition's 5 rows)
+    val amb = spark.sql("SELECT count(*) AS n FROM txcat.ns.metanull " +
+      "WHERE CAST(p AS STRING) = '__HIVE_DEFAULT_PARTITION__'")
+    assert(amb.head.getLong(0) == 0L)
+  }
 }
