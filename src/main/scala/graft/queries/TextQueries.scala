@@ -224,6 +224,47 @@ object TextQueries {
         .filter(matchesQuery(col("lex"), "spark join"))
         .select("doc_id")),
 
+    // T1 extension — BM25-ranked retrieval (Robertson/Lucene idf): the
+    // scoring layer boolean tsvector search lacks, and what a
+    // decontamination/retrieval pipeline actually ranks with. Scale
+    // shape: postings are filtered to the QUERY terms BEFORE any
+    // shuffle, so the per-doc side is O(matching postings), not
+    // O(corpus tokens); the df table (|query terms| rows) and the one
+    // (n_docs, avgdl) stats row are broadcast. Determinism: per-term
+    // scores are rounded to 6dp and summed in DECIMAL (the dsum rule) —
+    // the fold is shuffle-order independent and the rounding absorbs
+    // the cross-engine ln() ULP, so the oracle hash-matches. The
+    // doc-length pass is corpus-wide but partial-aggable (one count per
+    // doc) — the same two-pass cost class as tx_unigram_lm.
+    "t1_bm25" -> ((s, dir) => {
+      val qTerms = Seq("hash", "join", "filter")
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dlen.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val posts = tok.filter(col("tok").isin(qTerms: _*))
+      val df = posts.groupBy("tok")
+        .agg(countDistinct("doc_id").as("df"))
+      val tf = posts.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      tf.join(broadcast(df), "tok")
+        .join(dlen, "doc_id")
+        .crossJoin(broadcast(stats))
+        // k1 = 1.2, b = 0.75: k1+1 = 2.2, 1-b = 0.25 — literals spelled
+        // identically in the SQL twin so the double trees are bit-equal
+        .withColumn("ts", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+          .cast(DecimalType(18, 6)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("sc"))
+        .select(col("doc_id"), col("n_terms"),
+          col("sc").cast(DoubleType).as("bm25"))
+    }),
+
     // Quality scoring — length/word-shape/alphabetic-ratio heuristics.
     "tx_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -892,6 +933,31 @@ object TextQueries {
                 t -> length(t) >= 2 AND NOT list_contains($SqlStop, t)) AS lex
             FROM documents)
           WHERE list_contains(lex, 'spark') AND list_contains(lex, 'join')""",
+
+    "t1_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS tok
+                       FROM documents),
+          dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                    FROM dlen),
+          posts AS (SELECT doc_id, tok FROM tok
+                    WHERE tok IN ('hash', 'join', 'filter')),
+          df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+                 FROM posts GROUP BY tok),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+                 FROM posts GROUP BY doc_id, tok),
+          ts AS (SELECT tf.doc_id,
+                   CAST(round(
+                     ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                     6) AS DECIMAL(18,6)) AS ts
+                 FROM tf JOIN df USING (tok) JOIN dlen USING (doc_id)
+                 CROSS JOIN stats)
+          SELECT doc_id, COUNT(*) AS n_terms,
+            CAST(SUM(ts) AS DOUBLE) AS bm25
+          FROM ts GROUP BY doc_id""",
 
     "tx_quality" ->
       s"""WITH base AS (
