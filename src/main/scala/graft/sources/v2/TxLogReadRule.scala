@@ -106,7 +106,8 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
             !rel.table.asInstanceOf[TxLogV2Table].spjEligible &&
             !deferred.contains(rel) =>
         val tbl = rel.table.asInstanceOf[TxLogV2Table]
-        aligned(tbl.snapshotDF(None), rel.output).getOrElse(rel)
+        aligned(tbl.snapshotDF(None), rel.output)
+          .map(markSpliced(_, tbl.table, tbl.asOfVersion)).getOrElse(rel)
       // The V1 `format("txlog")` surface — the discovery path a casual
       // user finds first — gets the same splice: the PrunedFilteredScan
       // fallback pays an InternalRow→Row conversion at the scan top
@@ -124,9 +125,50 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if lr.relation.isInstanceOf[graft.sources.TxLogRelation] &&
             !lr.isStreaming && !deferred.contains(lr) =>
         val rel = lr.relation.asInstanceOf[graft.sources.TxLogRelation]
-        aligned(v1SnapshotDF(rel, None), lr.output).getOrElse(lr)
+        aligned(v1SnapshotDF(rel, None), lr.output)
+          .map(markSpliced(_,
+            graft.sources.TxLogTable(spark, rel.root), rel.version))
+          .getOrElse(lr)
     }
   }
+
+  // A spliced plan loses its relation node, so metadata collapses above
+  // it (an aggregate over a USING-txlog VIEW, whose body splices during
+  // the view's own nested analysis before any outer Aggregate is
+  // visible) would go blind. The splice therefore TAGS its output with a
+  // marker SubqueryAlias encoding the table root and the manifest
+  // version the spliced file list was built from — the collapse answers
+  // AT THAT VERSION, so a commit landing after the splice can never make
+  // the manifest answer diverge from what the spliced scan would read.
+  // SubqueryAlias is execution-transparent and preserves output exprIds.
+  private def markSpliced(plan: LogicalPlan, t: graft.sources.TxLogTable,
+                          version: Option[Int]): LogicalPlan =
+    org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+      "__txlog@" + version.orElse(t.latestVersion).getOrElse(-1) +
+        "@" + t.root, plan)
+
+  private def fromMarker(name: String)
+      : Option[(graft.sources.TxLogTable, Option[Int])] =
+    if (!name.startsWith("__txlog@")) None
+    else {
+      val rest = name.stripPrefix("__txlog@")
+      val at = rest.indexOf('@')
+      scala.util.Try(rest.substring(0, at).toInt).toOption.map { v =>
+        (graft.sources.TxLogTable(spark, rest.substring(at + 1)),
+          if (v < 0) None else Some(v))
+      }
+    }
+
+  // See through an identity Project (plain attributes or name-preserving
+  // aliases — what View resolution inserts to re-key exprIds). A RENAMING
+  // view must NOT see through: the metadata lookups are name-based and a
+  // renamed column would bind the wrong stats.
+  private def identityChild(pr: Project): Option[LogicalPlan] =
+    if (pr.projectList.forall {
+      case _: AttributeReference => true
+      case Alias(ar: AttributeReference, name) => ar.name == name
+      case _ => false
+    }) Some(pr.child) else None
 
   // The Filter beneath alias wrappers under an ungrouped Aggregate (the
   // filtered-COUNT metadata collapse looks through `FROM t WHERE ...`).
@@ -134,6 +176,10 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[(Expression, LogicalPlan)] = p match {
     case org.apache.spark.sql.catalyst.plans.logical
         .SubqueryAlias(_, child) => filterUnder(child)
+    case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+      filterUnder(v.child)
+    case pr: Project if identityChild(pr).isDefined =>
+      filterUnder(identityChild(pr).get)
     case Filter(cond, child) => Some((cond, child))
     case _ => None
   }
@@ -229,6 +275,8 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def relUnder(p: LogicalPlan): Option[LogicalPlan] = p match {
     case org.apache.spark.sql.catalyst.plans.logical
         .SubqueryAlias(_, child) => relUnder(child)
+    case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+      relUnder(v.child)
     case Filter(_, child) => relUnder(child)
     case rel: DataSourceV2Relation
         if rel.table.isInstanceOf[TxLogV2Table] => Some(rel)
@@ -244,7 +292,14 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def txLogUnder(p: LogicalPlan)
       : Option[(graft.sources.TxLogTable, Option[Int])] = p match {
     case org.apache.spark.sql.catalyst.plans.logical
-        .SubqueryAlias(_, child) => txLogUnder(child)
+        .SubqueryAlias(id, child) =>
+      fromMarker(id.name).orElse(txLogUnder(child))
+    // SQL temp/persistent views (`CREATE VIEW ... USING txlog`) wrap the
+    // relation in a View node — same see-through as an alias
+    case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+      txLogUnder(v.child)
+    case pr: Project if identityChild(pr).isDefined =>
+      txLogUnder(identityChild(pr).get)
     case rel: DataSourceV2Relation
         if rel.table.isInstanceOf[TxLogV2Table] =>
       val t = rel.table.asInstanceOf[TxLogV2Table]

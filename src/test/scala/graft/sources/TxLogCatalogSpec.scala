@@ -904,4 +904,30 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "WHERE CAST(p AS STRING) = '__HIVE_DEFAULT_PARTITION__'")
     assert(amb.head.getLong(0) == 0L)
   }
+
+  test("filtered collapse fires through the V1 format(txlog) SQL view too") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("v1metaf")
+      .resolve("t").toString
+    val t = TxLogTable(spark, root)
+    t.commit(Seq((1L, 0), (2L, 0), (3L, 1)).toDF("id", "p"),
+      overwrite = true, partitionCols = Seq("p"))
+    t.commit(Seq((4L, 1), (5L, 1)).toDF("id", "p"),
+      overwrite = false, partitionCols = Seq("p"))
+    // the USING-txlog view resolves its relation per query, so the
+    // Aggregate case sees the un-spliced LogicalRelation (a DataFrame
+    // temp view would store an already-spliced plan — the documented
+    // structural limit of the DataFrame-API form)
+    spark.sql("DROP VIEW IF EXISTS v1_metaf")
+    spark.sql("CREATE TEMPORARY VIEW v1_metaf " +
+      s"USING txlog OPTIONS (path '$root')")
+    val q = spark.sql(
+      "SELECT count(*) AS n, max(id) AS mx FROM v1_metaf WHERE p = 1")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "ANALYZED:\n" + q.queryExecution.analyzed.treeString +
+        "\nEXEC:\n" + q.queryExecution.executedPlan.toString)
+    val r = q.head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 5L, r)
+  }
 }
