@@ -930,4 +930,26 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val r = q.head
     assert(r.getLong(0) == 3L && r.getLong(1) == 5L, r)
   }
+
+  test("filtered collapse respects VERSION AS OF") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.metatt")
+    spark.sql("CREATE TABLE txcat.ns.metatt (id BIGINT, p INT) " +
+      "USING txlog PARTITIONED BY (p)")
+    // CREATE TABLE itself commits v0 (schema-only, empty)
+    spark.sql("INSERT INTO txcat.ns.metatt " +
+      "SELECT id, CAST(id % 2 AS INT) FROM range(10)")   // v1: 5 in p=1
+    spark.sql("INSERT INTO txcat.ns.metatt " +
+      "SELECT id + 100, 1 FROM range(20)")               // v2: +20 in p=1
+    val cur = spark.sql(
+      "SELECT count(*) AS n FROM txcat.ns.metatt WHERE p = 1")
+    assert(cur.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(cur.head.getLong(0) == 25L)
+    val asOf = spark.sql("SELECT count(*) AS n FROM txcat.ns.metatt " +
+      "VERSION AS OF 1 WHERE p = 1")
+    assert(asOf.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      asOf.queryExecution.executedPlan.toString)
+    assert(asOf.head.getLong(0) == 5L, asOf.head.toString)
+  }
 }
