@@ -95,4 +95,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set(
       ("a", "v1", Some(t2)), ("a", "v2", None), ("b", "v1", None)))
   }
+
+  test("SemDedup.apply derives k from the corpus and equals pinned-k core") {
+    implicit val sp = spark
+    // 12 vectors in 3 well-separated directions -> near-dups inside each
+    val vecs = (0 until 12).map { i =>
+      val base = Array.fill(4)(0.0f)
+      base(i % 3) = 1.0f
+      base((i % 3 + 1) % 4) = 0.01f * (i / 3)   // tiny per-copy jitter
+      (i.toLong, base.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    assert(SemDedup.kFor(12L, 4L) == 3 && SemDedup.kFor(1L, 4L) == 1 &&
+      SemDedup.kFor(13L, 4L) == 4)
+    val derived = SemDedup(emb, tau = 0.9, targetCell = 4L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val pinned = SemDedup.withK(emb, k = SemDedup.kFor(12L, 4L), tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(derived == pinned)
+    // keep-first: every cluster keeps at least its lowest id; dups die
+    assert(derived.count(_._2) < 12 && derived(0L))
+  }
 }
