@@ -1388,6 +1388,72 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       s"compactSmall lost the version race $maxAttempts times: $root")
   }
 
+  /** PARTITION-SCOPED compaction: rewrite only the files whose hive
+    * partition path segments satisfy `preds` (column → allowed values,
+    * the same exact per-file decision the filtered metadata aggregates
+    * use), packed to `numFiles` per partition value; every other file is
+    * carried by manifest reference. This is what OPTIMIZE means on a
+    * date-partitioned 100 TB table: yesterday's hot partition compacts
+    * without reading — or rewriting — the consolidated bulk, so the
+    * steady-state maintenance cost is O(new partition), not O(table).
+    * Reads through the MOR mask like [[compactSmall]]: deletes
+    * materialize for the rewritten partition, tombstone lines are
+    * carried for the untouched rest (sequence-aware readers never
+    * re-apply them to the new files). Same optimistic manifest race.
+    */
+  def compactWhere(schema: StructType, preds: Map[String, Set[String]],
+                   numFiles: Int = 1, maxAttempts: Int = 10)
+      : TxLogTable.MergeStats = {
+    require(preds.nonEmpty && preds.valuesIterator.forall(_.nonEmpty),
+      "compactWhere needs at least one partition constraint")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      require(preds.keySet.subsetOf(layout.toSet),
+        s"compactWhere constraints must be partition columns of $layout, " +
+          s"got ${preds.keySet}")
+      val (hit, kept) = base.map(dataLines).getOrElse(Nil).partition {
+        line =>
+          val rel = line.takeWhile(_ != '\t')
+          val segs: Map[String, String] =
+            rel.split('/').iterator.collect {
+              case seg if seg.contains('=') =>
+                val i = seg.indexOf('=')
+                seg.substring(0, i) ->
+                  TxLogTable.unescapePath(seg.substring(i + 1))
+            }.toMap
+          preds.forall { case (c, vals) =>
+            segs.get(c).exists(vals.contains) }
+      }
+      if (hit.size <= numFiles) // already at (or under) the target
+        return TxLogTable.MergeStats(base.getOrElse(-1), 0, kept.size)
+      val rows = readMaskedEntries(schema,
+        hit.map(TxLogTable.decodeEntry), base)
+      val packed =
+        if (layout.isEmpty) rows.repartition(numFiles)
+        else rows.repartition(numFiles, layout.map(col): _*)
+      val effBloom = base.map(bloomColsOf).getOrElse(Nil)
+      val staged = stageWithStats(packed, layout, effBloom,
+        inheritedBloomBits(base))
+      val next = base.getOrElse(-1) + 1
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(layout, "compact-where", effBloom) ++
+            tableMetaLines(base) ++ morLines(base) ++
+            checkLines(base) ++ kept ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, hit.size, kept.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-list and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"compactWhere lost the version race $maxAttempts times: $root")
+  }
+
   /** Rewrite the current snapshot clustered on the z-order (Morton) curve
     * of two integral columns, `numFiles` files per partition value — the
     * `OPTIMIZE ZORDER BY` maintenance op: after it, every file covers a

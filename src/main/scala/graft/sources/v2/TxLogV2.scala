@@ -229,20 +229,37 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
     import org.apache.spark.sql.types._
     ident.name match {
       case "compact" =>
-        // CALL c.system.compact('ns.t' [, files]): rewrite the current
-        // snapshot into `files` files per partition (1 = full compaction;
-        // MOR tombstones fold in, the usual prerequisite for row-level
-        // DML on a MOR table)
+        // CALL c.system.compact('ns.t' [, files [, partition]]): rewrite
+        // the current snapshot into `files` files per partition (1 = full
+        // compaction; MOR tombstones fold in, the usual prerequisite for
+        // row-level DML on a MOR table). With the optional `partition`
+        // spec ('col=value', comma-separated for multiple columns) only
+        // THAT partition's files rewrite and the rest carry by manifest
+        // reference — OPTIMIZE for the hot partition of a 100 TB table,
+        // O(partition) instead of O(table).
         new MaintenanceProc("compact", Seq(
           inParam("table", StringType),
-          inParam("files", IntegerType, Some("1")))) {
+          inParam("files", IntegerType, Some("1")),
+          inParam("partition", StringType, Some("NULL")))) {
           override def call(input: InternalRow) = {
             val t = tableByName(input.getString(0))
             val files = if (input.isNullAt(1)) 1 else input.getInt(1)
             val before = t.fileCount()
             val schema = t.tableSchema.getOrElse(
               TxLogV2Table(spark, t.root, input.getString(0)).schema)
-            val v = t.compact(schema, files)
+            val v =
+              if (input.isNullAt(2)) t.compact(schema, files)
+              else {
+                val preds = input.getString(2).split(',').iterator
+                  .map(_.trim).filter(_.nonEmpty).map { kv =>
+                    val i = kv.indexOf('=')
+                    require(i > 0, s"partition spec entry '$kv' is not " +
+                      "col=value")
+                    kv.substring(0, i).trim ->
+                      Set(kv.substring(i + 1).trim)
+                  }.toMap
+                t.compactWhere(schema, preds, files).version
+              }
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("files_before", IntegerType),

@@ -952,4 +952,43 @@ class TxLogCatalogSpec extends AnyFunSuite {
       asOf.queryExecution.executedPlan.toString)
     assert(asOf.head.getLong(0) == 5L, asOf.head.toString)
   }
+
+  test("CALL compact with a partition spec rewrites ONLY that partition") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.pcomp")
+    spark.sql("CREATE TABLE txcat.ns.pcomp (id BIGINT, p INT) " +
+      "USING txlog PARTITIONED BY (p)")
+    // 4 fragmented commits: each writes files into BOTH partitions
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO txcat.ns.pcomp SELECT id + ${i * 10}, " +
+        "CAST(id % 2 AS INT) FROM range(10)"))
+    val t = TxLogTable(spark, s"$warehouse/ns/pcomp")
+    // a live MOR tombstone: the rewrite must materialize it for p=1
+    // rows and carry it for the untouched p=0 files
+    t.deleteByKeysMor(Seq(1L, 2L).toDF("id"))   // 1 -> p=1, 2 -> p=0
+    val before = t.entries(None).map(_.rel)
+    val p0Before = before.filter(_.contains("p=0")).toSet
+    val res = spark.sql(
+      "CALL txcat.system.compact('ns.pcomp', 1, 'p=1')").collect()(0)
+    val after = t.entries(None).map(_.rel)
+    // p=0 files carried verbatim; p=1 collapsed to one file
+    assert(after.filter(_.contains("p=0")).toSet == p0Before)
+    assert(after.count(_.contains("p=1")) == 1,
+      after.filter(_.contains("p=1")).mkString(","))
+    assert(res.getInt(2) < res.getInt(1), res.toString)
+    // row-level truth preserved: both tombstoned ids stay gone (the
+    // rewritten partition materialized its delete; the carried one
+    // still masks through the live tombstone)
+    val got = spark.sql("SELECT id FROM txcat.ns.pcomp").collect()
+      .map(_.getLong(0)).toSet
+    assert(!got.contains(1L) && !got.contains(2L) && got.size == 38, got.size)
+    // a non-partition column in the spec refuses
+    val e = intercept[Exception] {
+      spark.sql("CALL txcat.system.compact('ns.pcomp', 1, 'id=5')")
+        .collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(e).exists(_.contains("partition columns")), e.toString)
+  }
 }
