@@ -240,15 +240,25 @@ object TextQueries {
       val qTerms = Seq("hash", "join", "filter")
       val d = t(s, dir, "documents")
       val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      // ONE tokenize pass and ONE doc-keyed shuffle: the per-doc length
+      // and the per-query-term tfs come out of the same aggregation
+      // (conditional counts — the term list is a fixed query-time
+      // constant), and the tiny (doc_id, dl, tf…) frame is cached for
+      // its three consumers (stats, tf, df) instead of re-tokenizing
+      // the corpus per branch.
+      val perDoc = tok.groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        qTerms.map(qt =>
+          count(when(col("tok") === qt, lit(1))).as("tf_" + qt)): _*)
+        .cache()
+      val stats = perDoc.agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
-      val posts = tok.filter(col("tok").isin(qTerms: _*))
-      val df = posts.groupBy("tok")
-        .agg(countDistinct("doc_id").as("df"))
-      val tf = posts.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val tf = perDoc.select(col("doc_id"), col("dl"),
+        explode(map(qTerms.flatMap(qt =>
+          Seq(lit(qt), col("tf_" + qt))): _*)).as(Seq("tok", "tf")))
+        .filter(col("tf") > 0)
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "tok")
-        .join(dlen, "doc_id")
         .crossJoin(broadcast(stats))
         // k1 = 1.2, b = 0.75: k1+1 = 2.2, 1-b = 0.25 — literals spelled
         // identically in the SQL twin so the double trees are bit-equal

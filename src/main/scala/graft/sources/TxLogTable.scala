@@ -40,6 +40,19 @@ object TxLogTable {
     */
   val DefaultVacuumMinAgeMillis: Long = 15L * 60 * 1000
 
+  /** Hive partition path segments of a data-file rel path, unescaped:
+    * `p=3/q=x%2Fy/batch-....parquet` → Map(p -> "3", q -> "x/y"). The ONE
+    * segment-to-map parse every partition-exact decision shares (filtered
+    * metadata aggregates, partition-scoped compaction, the partitions
+    * procedure) — escaping or sentinel fixes land here once.
+    */
+  def partitionSegmentsOf(rel: String): Map[String, String] =
+    rel.split('/').iterator.collect {
+      case seg if seg.contains('=') =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) -> unescapePath(seg.substring(i + 1))
+    }.toMap
+
   /** Largest per-column distinct-key set `merge` will collect to Bloom-probe
     * files for a STRING merge key. 10k strings is a few hundred KB of driver
     * memory; a larger batch falls back to "every file may be affected"
@@ -1114,9 +1127,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         val isPart = partitionColsOf(v).contains(c)
         val st = es.flatMap { e =>
           if (isPart)
-            e.rel.split('/').iterator
-              .collectFirst { case seg if seg.startsWith(s"$c=") =>
-                seg.stripPrefix(s"$c=") }
+            TxLogTable.partitionSegmentsOf(e.rel).get(c)
               .flatMap(s => scala.util.Try(s.toLong).toOption)
               .map(x => (x, x))
           else e.stats.get(c)
@@ -1154,12 +1165,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val es = entries(Some(v))
     val selected = Seq.newBuilder[TxLogTable.FileEntry]
     for (e <- es) {
-      val segs: Map[String, String] = e.rel.split('/').iterator.collect {
-        case seg if seg.contains('=') =>
-          val i = seg.indexOf('=')
-          seg.substring(0, i) ->
-            TxLogTable.unescapePath(seg.substring(i + 1))
-      }.toMap
+      val segs = TxLogTable.partitionSegmentsOf(e.rel)
       if (!preds.keySet.subsetOf(segs.keySet)) return None
       if (preds.forall { case (c, vals) => vals.contains(segs(c)) })
         selected += e
@@ -1415,19 +1421,23 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           s"got ${preds.keySet}")
       val (hit, kept) = base.map(dataLines).getOrElse(Nil).partition {
         line =>
-          val rel = line.takeWhile(_ != '\t')
-          val segs: Map[String, String] =
-            rel.split('/').iterator.collect {
-              case seg if seg.contains('=') =>
-                val i = seg.indexOf('=')
-                seg.substring(0, i) ->
-                  TxLogTable.unescapePath(seg.substring(i + 1))
-            }.toMap
+          val segs = TxLogTable.partitionSegmentsOf(
+            line.takeWhile(_ != '\t'))
           preds.forall { case (c, vals) =>
             segs.get(c).exists(vals.contains) }
       }
-      if (hit.size <= numFiles) // already at (or under) the target
-        return TxLogTable.MergeStats(base.getOrElse(-1), 0, kept.size)
+      // convergence: `numFiles` is PER PARTITION VALUE — a multi-value
+      // predicate is already compacted when every selected value sits at
+      // (or under) the target, and the scheduled-maintenance rerun must
+      // then be a no-op, not an endless full re-rewrite of the selection
+      val perValue = hit.groupBy { line =>
+        val segs = TxLogTable.partitionSegmentsOf(
+          line.takeWhile(_ != '\t'))
+        layout.map(segs.getOrElse(_, ""))
+      }
+      if (perValue.valuesIterator.forall(_.size <= numFiles))
+        return TxLogTable.MergeStats(base.getOrElse(-1), 0,
+          kept.size + hit.size)
       val rows = readMaskedEntries(schema,
         hit.map(TxLogTable.decodeEntry), base)
       val packed =

@@ -106,8 +106,13 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
             !rel.table.asInstanceOf[TxLogV2Table].spjEligible &&
             !deferred.contains(rel) =>
         val tbl = rel.table.asInstanceOf[TxLogV2Table]
-        aligned(tbl.snapshotDF(None), rel.output)
-          .map(markSpliced(_, tbl.table, tbl.asOfVersion)).getOrElse(rel)
+        // resolve the version ONCE and pin both the spliced file list and
+        // the marker to it — two separate latestVersion reads could
+        // straddle a concurrent commit and tag the plan with a version
+        // newer than the files it scans
+        val pin = tbl.asOfVersion.orElse(tbl.table.latestVersion)
+        aligned(tbl.table.snapshot(tbl.schema, pin), rel.output)
+          .map(markSpliced(_, tbl.table.root, pin)).getOrElse(rel)
       // The V1 `format("txlog")` surface — the discovery path a casual
       // user finds first — gets the same splice: the PrunedFilteredScan
       // fallback pays an InternalRow→Row conversion at the scan top
@@ -125,10 +130,10 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if lr.relation.isInstanceOf[graft.sources.TxLogRelation] &&
             !lr.isStreaming && !deferred.contains(lr) =>
         val rel = lr.relation.asInstanceOf[graft.sources.TxLogRelation]
-        aligned(v1SnapshotDF(rel, None), lr.output)
-          .map(markSpliced(_,
-            graft.sources.TxLogTable(spark, rel.root), rel.version))
-          .getOrElse(lr)
+        val t = graft.sources.TxLogTable(spark, rel.root)
+        val pin = rel.version.orElse(t.latestVersion)
+        aligned(t.snapshot(rel.schema, pin), lr.output)
+          .map(markSpliced(_, rel.root, pin)).getOrElse(lr)
     }
   }
 
@@ -141,11 +146,10 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   // AT THAT VERSION, so a commit landing after the splice can never make
   // the manifest answer diverge from what the spliced scan would read.
   // SubqueryAlias is execution-transparent and preserves output exprIds.
-  private def markSpliced(plan: LogicalPlan, t: graft.sources.TxLogTable,
+  private def markSpliced(plan: LogicalPlan, root: String,
                           version: Option[Int]): LogicalPlan =
     org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
-      "__txlog@" + version.orElse(t.latestVersion).getOrElse(-1) +
-        "@" + t.root, plan)
+      "__txlog@" + version.getOrElse(-1) + "@" + root, plan)
 
   private def fromMarker(name: String)
       : Option[(graft.sources.TxLogTable, Option[Int])] =
@@ -192,12 +196,17 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   // empty set, which correctly counts zero files.
   private def partitionPoints(e: Expression)
       : Option[Map[String, Set[String]]] = {
-    def render(l: Literal): Option[String] = l.value match {
-      case v: Int => Some(v.toString)
-      case v: Long => Some(v.toString)
-      case v: Short => Some(v.toString)
-      case v: Byte => Some(v.toString)
-      case s: UTF8String => Some(s.toString)
+    // Render by DATA TYPE, not by the runtime class of the value: a
+    // DateType literal carries an epoch-day Int and a TimestampType an
+    // epoch-micros Long — rendering those digits would never equal the
+    // calendar-formatted hive segment, and the collapse would answer a
+    // confident 0 instead of declining. Only integral and string
+    // literals render the same way the partition writer spelled them.
+    def render(l: Literal): Option[String] = (l.dataType, l.value) match {
+      case (ByteType | ShortType | IntegerType | LongType, v)
+          if v != null => Some(v.toString)
+      case (org.apache.spark.sql.types.StringType, s: UTF8String) =>
+        Some(s.toString)
       case _ => None
     }
     e match {

@@ -321,11 +321,9 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
             val parts = v.map(t.partitionColsOf).getOrElse(Nil)
             val tombs = v.exists(t.tombstonesOf(_).nonEmpty)
             val groups = t.entries(None).groupBy { e =>
-              parts.flatMap { c =>
-                e.rel.split('/').iterator.collectFirst {
-                  case seg if seg.startsWith(s"$c=") => seg
-                }
-              }.mkString("/")
+              val segs = TxLogTable.partitionSegmentsOf(e.rel)
+              parts.flatMap(c => segs.get(c).map(v => s"$c=$v"))
+                .mkString("/")
             }
             resultScan(StructType(Seq(
               StructField("partition", StringType),
@@ -495,38 +493,38 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
                   .CatalystTypeConverters.createToCatalystConverter)
                 val keyCols = morKeys.map(k => org.apache.spark.sql
                   .functions.col("`" + k.replace("`", "``") + "`"))
-                // Enforce the cap BEFORE any driver-side materialization:
-                // tombstone keys are counted executor-side (a cheap keys-
-                // only scan of each tombstone file, stopping at the first
-                // file that pushes the running total over the cap), so a
-                // table with 100M live tombstone keys gets the friendly
-                // "compact first" refusal with a bounded driver footprint
-                // instead of OOMing while building the map it would then
-                // refuse to use.
+                // Bound the driver BEFORE materializing, in ONE pass:
+                // each tombstone file's keys are collected through
+                // limit(remaining + 1), so at most cap+1 keys ever reach
+                // the driver IN TOTAL (the limit stops the scan early on
+                // the file that crosses), every file is read exactly
+                // once, and a table with 100M live tombstone keys gets
+                // the friendly "compact first" refusal instead of the
+                // OOM the cap exists to prevent.
                 val morCap = TxLogV2Table.maxMorMaskKeys(spark)
-                var counted = 0L
-                val capIt = tombs.iterator
-                while (capIt.hasNext &&
-                    counted <= morCap) {
-                  val (rel, _) = capIt.next()
-                  counted += spark.read.parquet(s"$dataDir/$rel")
-                    .select(keyCols: _*).na.drop("any", morKeys).count()
+                var remaining = morCap
+                var overCap = false
+                val pairsB = Seq.newBuilder[(Seq[Any], Int)]
+                val tombIt = tombs.iterator
+                while (tombIt.hasNext && !overCap) {
+                  val (rel, tv) = tombIt.next()
+                  val rows = spark.read.parquet(s"$dataDir/$rel")
+                    .select(keyCols: _*).na.drop("any", morKeys)
+                    .limit(remaining + 1).collect()
+                  if (rows.length > remaining) overCap = true
+                  else {
+                    remaining -= rows.length
+                    rows.foreach(r => pairsB +=
+                      ((Seq.tabulate[Any](morKeys.length)(i =>
+                        convs(i)(r.get(i))), tv)))
+                  }
                 }
-                require(counted <= morCap,
-                  s"SQL row-level DML with >=$counted live MOR " +
-                    s"tombstone keys (cap $morCap)" +
-                    ": compact first")
-                // driver-side key map — now provably under the cap, same
-                // order of memory as the broadcast anti-join the API read
-                // path already uses
-                val pairs = tombs.flatMap { case (rel, tv) =>
-                  spark.read.parquet(s"$dataDir/$rel")
-                    .select(keyCols: _*)
-                    .collect().iterator.map { r =>
-                      (Seq.tabulate[Any](morKeys.length)(i =>
-                        convs(i)(r.get(i))), tv)
-                    }.filterNot(_._1.contains(null)).toSeq
-                }
+                require(!overCap,
+                  s"SQL row-level DML with more than $morCap live MOR " +
+                    s"tombstone keys (cap $morCap): compact first")
+                // the key map — provably under the cap, same order of
+                // memory as the broadcast anti-join the API read path uses
+                val pairs = pairsB.result()
                 new MorMaskedScan(spark, inner, index, dataDir,
                   t.addedVersions(None), keyOrds, keyTypes,
                   pairs.groupMapReduce(_._1)(_._2)(math.max))
