@@ -991,4 +991,27 @@ class TxLogCatalogSpec extends AnyFunSuite {
       Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
     assert(msgs(e).exists(_.contains("partition columns")), e.toString)
   }
+
+  test("date-partitioned filtered COUNT declines the collapse, stays right") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.metadate")
+    spark.sql("CREATE TABLE txcat.ns.metadate (id BIGINT, day DATE) " +
+      "USING txlog PARTITIONED BY (day)")
+    spark.sql("INSERT INTO txcat.ns.metadate SELECT id, " +
+      "CASE WHEN id < 6 THEN DATE '2026-08-13' ELSE DATE '2026-08-14' END " +
+      "FROM range(10)")
+    // a DateType literal's catalyst value is an epoch-day Int whose
+    // digits never equal the calendar-formatted hive segment: the
+    // collapse must DECLINE (render is type-checked) and the real scan
+    // must answer — a collapse here once returned a confident 0
+    val q = spark.sql("SELECT count(*) AS n FROM txcat.ns.metadate " +
+      "WHERE day = DATE '2026-08-13'")
+    assert(!q.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.head.getLong(0) == 6L)
+    // the string-typed comparison declines the same way (Cast shape)
+    val qs = spark.sql("SELECT count(*) AS n FROM txcat.ns.metadate " +
+      "WHERE day = '2026-08-14'")
+    assert(qs.head.getLong(0) == 4L)
+  }
 }
