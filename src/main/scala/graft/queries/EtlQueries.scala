@@ -618,6 +618,87 @@ object EtlQueries {
       s.sql("SELECT r_regionkey, r_name FROM graftcat.db.region_mnt")
     }),
 
+    // CALL system.restore: roll a table back to an earlier version as a
+    // NEW commit — Delta's RESTORE semantics, O(manifest). The bad-write
+    // undo button: at 100 TB the alternative to this one manifest write
+    // is re-ingesting the damaged slice. The requires prove the restore
+    // commits through op=restore, touches NO data file (the restored
+    // file set is exactly the target version's, by reference), preserves
+    // the bad-write history (time travel still sees it), and is
+    // bit-equal to `VERSION AS OF` the target. Oracle replays the
+    // pre-damage state relationally.
+    "sql_restore" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "part").createOrReplaceTempView("part_rst_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.part_rst")
+      s.sql("CREATE TABLE graftcat.db.part_rst USING txlog AS " +
+        "SELECT p_partkey, p_name, p_retailprice FROM part_rst_src")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/part_rst")
+      val good = tbl.latestVersion.get
+      val goodRels = tbl.entries(Some(good)).map(_.rel).toSet
+      // two bad commits: a fat-fingered UPDATE and a destructive DELETE
+      s.sql("UPDATE graftcat.db.part_rst SET p_retailprice = 0 " +
+        "WHERE p_partkey % 2 = 0")
+      s.sql("DELETE FROM graftcat.db.part_rst WHERE p_partkey % 3 = 0")
+      val damaged = tbl.latestVersion.get
+      val res = s.sql(
+        s"CALL graftcat.system.restore('db.part_rst', $good)").collect()
+      require(res.length == 1 && res(0).getInt(1) == good,
+        s"restore must echo the target version: ${res.mkString(",")}")
+      require(tbl.history().last.op.contains("restore"),
+        "restore must commit as op=restore")
+      require(tbl.entries(None).map(_.rel).toSet == goodRels,
+        "restore must republish the target's file set BY REFERENCE " +
+          "(no data file written)")
+      require(tbl.latestVersion.get == damaged + 1,
+        "restore must preserve history (a new version, not a truncation)")
+      val now = s.sql("SELECT * FROM graftcat.db.part_rst")
+      val asOf = s.sql(
+        s"SELECT * FROM graftcat.db.part_rst VERSION AS OF $good")
+      require(now.exceptAll(asOf).isEmpty && asOf.exceptAll(now).isEmpty,
+        "restored state must be bit-equal to VERSION AS OF the target")
+      s.sql("SELECT p_partkey, p_name, p_retailprice " +
+        "FROM graftcat.db.part_rst")
+    }),
+
+    // CALL system.clone: zero-copy clone of a partitioned table — the
+    // source's manifest republished as the clone's v0, every data file
+    // HARD-LINKED (same inode, proven by Files.isSameFile below), not
+    // one byte copied. The dev/test-against-prod idiom: at 100 TB a CTAS
+    // copy is hours and doubles storage; this is O(files) metadata ops.
+    // The requires prove the link identity, the layout survival, and
+    // the independence contract: a destructive DELETE on the SOURCE
+    // after the clone leaves the clone's rows intact. Oracle replays
+    // the clone (= the source's pre-delete state) relationally.
+    "sql_clone" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_cl_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_cl")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_cl2")
+      s.sql("CREATE TABLE graftcat.db.cust_cl USING txlog " +
+        "PARTITIONED BY (c_nationkey) AS " +
+        "SELECT c_custkey, c_acctbal, c_nationkey FROM cust_cl_src")
+      val src = graft.sources.TxLogTable(s, s"$wh/db/cust_cl")
+      val srcRels = src.entries(None).map(_.rel).toSet
+      val preCount = s.table("graftcat.db.cust_cl").count()
+      s.sql("CALL graftcat.system.clone('db.cust_cl', 'db.cust_cl2')")
+      val dst = graft.sources.TxLogTable(s, s"$wh/db/cust_cl2")
+      require(dst.entries(None).map(_.rel).toSet == srcRels,
+        "clone must reference the source's exact file set")
+      require(srcRels.forall { rel =>
+        java.nio.file.Files.isSameFile(
+          java.nio.file.Paths.get(s"$wh/db/cust_cl/data/$rel"),
+          java.nio.file.Paths.get(s"$wh/db/cust_cl2/data/$rel")) },
+        "clone files must be hard links (same inode), not copies")
+      // independence: a destructive delete on the SOURCE cannot leak
+      // into the clone (immutable files; each side vacuums its own names)
+      s.sql("DELETE FROM graftcat.db.cust_cl WHERE c_custkey % 3 = 0")
+      require(s.table("graftcat.db.cust_cl2").count() == preCount,
+        "source DELETE leaked into the clone")
+      s.sql("SELECT c_custkey, c_acctbal, c_nationkey " +
+        "FROM graftcat.db.cust_cl2")
+    }),
+
     // CALL system.partitions: per-partition file/row counts from the
     // MANIFEST alone — SHOW PARTITIONS with sizes, no file opened, free
     // at any table size (the 100 TB table-health dashboard). Row counts
@@ -1540,6 +1621,12 @@ object EtlQueries {
 
     "sql_maintenance" ->
       """SELECT r_regionkey, r_name FROM region""",
+
+    "sql_restore" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part""",
+
+    "sql_clone" ->
+      """SELECT c_custkey, c_acctbal, c_nationkey FROM customer""",
 
     "sql_partitions" ->
       """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS part,

@@ -1549,6 +1549,71 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     (drop.size, dead.size)
   }
 
+  /** RESTORE TABLE to the state at `toVersion`, published as a NEW version
+    * (Delta's `RESTORE TABLE ... TO VERSION AS OF` semantics): the target
+    * manifest's FULL content — data lines, partition layout, schema/colmap,
+    * tombstones, checks, bloom settings — is republished under the next
+    * version number with a fresh timestamp and `op=restore`. O(manifest):
+    * no data file is read, written, or moved; history after the target is
+    * preserved (a restore can itself be restored away). The bad-write
+    * undo button a production table needs — at 100 TB the alternative is
+    * re-ingesting the partition, here it is one manifest write.
+    *
+    * Safe against vacuum by construction: `toVersion`'s manifest must
+    * still exist (else the require fires — history was vacuumed past it),
+    * and vacuum never deletes data files referenced by a SURVIVING
+    * manifest, so every republished line points at a live file.
+    */
+  def restore(toVersion: Int, maxAttempts: Int = 10): Int =
+    metadataCommit("restore", maxAttempts) { _ =>
+      require(versions.contains(toVersion),
+        s"no version $toVersion to restore (vacuumed or never existed); " +
+          s"surviving: ${versions.mkString(",")}")
+      metaLines(partitionColsOf(toVersion), "restore") ++
+        manifestLines(toVersion).filterNot(l =>
+          l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
+            l.startsWith("#partitionCols="))
+    }
+
+  /** Zero-copy clone of the CURRENT snapshot into a fresh table at
+    * `destRoot` (`CREATE TABLE ... CLONE` semantics): the source's latest
+    * manifest is republished as the clone's version 0 and every referenced
+    * file — data files and MOR tombstone parquets — is HARD-LINKED into
+    * the clone's `data/` under its original relative path, so hive
+    * partition segments keep parsing and not one data byte is copied.
+    * The two tables are fully independent afterwards: the format's files
+    * are immutable, and either side's vacuum merely unlinks its own name
+    * (the shared inode survives until both drop it). On an object store
+    * the same contract would be served by absolute-path manifest
+    * references plus reference-counted vacuum — the wire format's
+    * unknown-meta-keys tolerance leaves room for that without a version
+    * bump; on a filesystem, hard links give the exact semantics with
+    * zero format change. O(files) metadata ops, O(0) bytes.
+    */
+  def cloneTo(destRoot: String): Int = {
+    val b = latestVersion.getOrElse(throw new IllegalStateException(
+      s"clone of nonexistent table $root"))
+    val dest = Paths.get(destRoot)
+    require(!Files.isDirectory(dest.resolve("_log")),
+      s"clone destination already exists: $destRoot")
+    val destData = dest.resolve("data")
+    Files.createDirectories(dest.resolve("_log"))
+    Files.createDirectories(destData)
+    val rels = entries(Some(b)).map(_.rel) ++ tombstonesOf(b).map(_._1)
+    rels.foreach { rel =>
+      val dst = destData.resolve(rel)
+      Option(dst.getParent).foreach(Files.createDirectories(_))
+      Files.createLink(dst, dataDir.resolve(rel))
+    }
+    val lines = metaLines(partitionColsOf(b), "clone") ++
+      manifestLines(b).filterNot(l =>
+        l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
+          l.startsWith("#partitionCols="))
+    Files.write(dest.resolve("_log").resolve(f"v${0}%08d.manifest"),
+      lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+    0
+  }
+
   /** Commit `df` as the next version. `overwrite = false` appends: the new
     * manifest carries the previous version's files plus the delta. Returns
     * the committed version number.

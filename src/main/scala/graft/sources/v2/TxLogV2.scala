@@ -219,8 +219,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "vacuum", "history", "partitions")
-        .map(Identifier.of(Array("system"), _))
+      Array("compact", "vacuum", "history", "partitions", "restore",
+        "clone").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -338,10 +338,54 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
               })
           }
         }
+      case "restore" =>
+        // CALL c.system.restore('ns.t', version): roll the table back to
+        // `version` as a NEW commit — O(manifest), no data file touched,
+        // history preserved. The bad-write undo button.
+        new MaintenanceProc("restore", Seq(
+          inParam("table", StringType),
+          inParam("version", IntegerType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "restore needs a target version")
+            val v = t.restore(input.getInt(1))
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("restored_version", IntegerType),
+              StructField("n_files", IntegerType))),
+              Seq(InternalRow(v, input.getInt(1), t.fileCount())))
+          }
+        }
+      case "clone" =>
+        // CALL c.system.clone('ns.src', 'ns.dst'): zero-copy clone of the
+        // source's current snapshot as a fresh catalog table — manifest
+        // republished as the clone's v0, data files hard-linked (no byte
+        // copied). The dev/test-against-prod-data idiom: at 100 TB a
+        // CTAS copy is hours and doubles storage; this is O(files)
+        // metadata ops.
+        new MaintenanceProc("clone", Seq(
+          inParam("source", StringType),
+          inParam("dest", StringType))) {
+          override def call(input: InternalRow) = {
+            val src = tableByName(input.getString(0))
+            val parts = input.getString(1).split('.')
+            require(parts.length >= 2 && parts.forall(_.nonEmpty),
+              s"clone dest must be 'ns.table', got '${input.getString(1)}'")
+            val dident = Identifier.of(parts.init, parts.last)
+            require(!tableExists(dident),
+              s"clone destination already exists: ${input.getString(1)}")
+            src.cloneTo(pathOf(dident).toString)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("n_files", IntegerType))),
+              Seq(InternalRow(0, src.fileCount())))
+          }
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"unknown txlog procedure: system.$other " +
-            "(available: compact, vacuum, history, partitions)")
+            "(available: compact, vacuum, history, partitions, restore, " +
+            "clone)")
     }
   }
 }

@@ -1014,4 +1014,66 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "WHERE day = '2026-08-14'")
     assert(qs.head.getLong(0) == 4L)
   }
+
+  test("restore rolls back data AND schema; vacuumed targets refuse") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rst")
+    spark.sql("CREATE TABLE txcat.ns.rst (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.rst VALUES (1, 'a'), (2, 'b')")
+    val t = TxLogTable(spark, s"$warehouse/ns/rst")
+    val good = t.latestVersion.get
+    // damage: a schema evolution AND a bad delete after the good version
+    spark.sql("ALTER TABLE txcat.ns.rst RENAME COLUMN v TO w")
+    spark.sql("DELETE FROM txcat.ns.rst WHERE id = 1")
+    assert(spark.table("txcat.ns.rst").columns.toSeq == Seq("id", "w"))
+    spark.sql(s"CALL txcat.system.restore('ns.rst', $good)")
+    // Delta's RESTORE contract: metadata (the pre-rename schema) comes
+    // back with the data — the colmap and schema lines are the target's
+    assert(spark.table("txcat.ns.rst").columns.toSeq == Seq("id", "v"))
+    assert(spark.sql("SELECT id, v FROM txcat.ns.rst ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // the damage stays visible to time travel (history, not truncation)
+    assert(spark.sql(
+      s"SELECT * FROM txcat.ns.rst VERSION AS OF ${good + 2}").count() == 1)
+    // a vacuumed target refuses with the surviving-versions message
+    t.vacuum(keep = 1, minAgeMillis = 0)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL txcat.system.restore('ns.rst', $good)").collect() }
+    assert(e.getMessage.contains("vacuumed or never existed"))
+  }
+
+  test("clone is zero-copy, independent, and refuses an existing dest") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.cl_src")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.cl_dst")
+    spark.sql("CREATE TABLE txcat.ns.cl_src (id BIGINT, p INT) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.cl_src " +
+      "SELECT id, CAST(id % 3 AS INT) FROM range(30)")
+    spark.sql("CALL txcat.system.clone('ns.cl_src', 'ns.cl_dst')")
+    // catalog sees the clone immediately; layout and rows are the source's
+    assert(spark.sql("SHOW TABLES IN txcat.ns").collect()
+      .map(_.getString(1)).contains("cl_dst"))
+    assert(spark.table("txcat.ns.cl_dst").count() == 30)
+    val src = TxLogTable(spark, s"$warehouse/ns/cl_src")
+    val dst = TxLogTable(spark, s"$warehouse/ns/cl_dst")
+    assert(dst.entries(None).map(_.rel).toSet ==
+      src.entries(None).map(_.rel).toSet)
+    assert(src.entries(None).forall { e =>
+      Files.isSameFile(
+        java.nio.file.Paths.get(s"$warehouse/ns/cl_src/data/${e.rel}"),
+        java.nio.file.Paths.get(s"$warehouse/ns/cl_dst/data/${e.rel}")) })
+    // independence both ways: source delete + clone append don't leak
+    spark.sql("DELETE FROM txcat.ns.cl_src WHERE id % 2 = 0")
+    spark.sql("INSERT INTO txcat.ns.cl_dst VALUES (100, 0)")
+    assert(spark.table("txcat.ns.cl_dst").count() == 31)
+    assert(spark.table("txcat.ns.cl_src").count() == 15)
+    // source vacuum after its delete unlinks ITS rewritten names only —
+    // the clone still reads every original row through its own links
+    src.vacuum(keep = 1, minAgeMillis = 0)
+    assert(spark.table("txcat.ns.cl_dst").count() == 31)
+    val e = intercept[Exception] {
+      spark.sql("CALL txcat.system.clone('ns.cl_src', 'ns.cl_dst')")
+        .collect() }
+    assert(e.getMessage.contains("already exists"))
+  }
 }
