@@ -220,7 +220,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
-        "clone").map(Identifier.of(Array("system"), _))
+        "clone", "zorder").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -381,11 +381,36 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
               Seq(InternalRow(0, src.fileCount())))
           }
         }
+      case "zorder" =>
+        // CALL c.system.zorder('ns.t', 'colA', 'colB' [, files]):
+        // OPTIMIZE ZORDER BY — rewrite the snapshot clustered on the
+        // Morton curve of two columns so manifest min/max stats prune
+        // range scans on EITHER dimension (a plain sort serves only its
+        // leading column). The multi-dimensional skipping layout for the
+        // 100 TB point-lookup table.
+        new MaintenanceProc("zorder", Seq(
+          inParam("table", StringType),
+          inParam("col_a", StringType),
+          inParam("col_b", StringType),
+          inParam("files", IntegerType, Some("8")))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val schema = t.tableSchema.getOrElse(
+              TxLogV2Table(spark, t.root, input.getString(0)).schema)
+            val files = if (input.isNullAt(3)) 8 else input.getInt(3)
+            val v = t.compactZOrder(schema, input.getString(1),
+              input.getString(2), files)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("files_after", IntegerType))),
+              Seq(InternalRow(v, t.fileCount())))
+          }
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"unknown txlog procedure: system.$other " +
             "(available: compact, vacuum, history, partitions, restore, " +
-            "clone)")
+            "clone, zorder)")
     }
   }
 }

@@ -1015,6 +1015,22 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(qs.head.getLong(0) == 4L)
   }
 
+  test("CALL zorder clusters so BOTH dimensions prune via manifest stats") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.zo")
+    spark.sql("CREATE TABLE txcat.ns.zo (a BIGINT, b BIGINT) USING txlog")
+    // a is sequential, b is a decorrelated permutation: after appends in
+    // a-order, b-range pruning finds every file a candidate
+    spark.sql("INSERT INTO txcat.ns.zo " +
+      "SELECT id, (id * 2654435761) % 4096 FROM range(4096)")
+    val t = TxLogTable(spark, s"$warehouse/ns/zo")
+    spark.sql("CALL txcat.system.zorder('ns.zo', 'a', 'b', 8)")
+    assert(t.history().last.op.contains("zorder"))
+    assert(spark.table("txcat.ns.zo").count() == 4096)
+    // after z-ordering, a narrow range on EITHER column prunes most files
+    assert(t.candidateFiles("a", 0L, 63L).size < t.fileCount())
+    assert(t.candidateFiles("b", 0L, 63L).size < t.fileCount())
+  }
+
   test("restore rolls back data AND schema; vacuumed targets refuse") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.rst")
     spark.sql("CREATE TABLE txcat.ns.rst (id BIGINT, v STRING) USING txlog")
