@@ -420,6 +420,67 @@ object SimQueries {
         t(s, dir, "embeddings"), k = 8, tau = SemDedupTau)
     }),
 
+    // Hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of a lexical
+    // BM25 leg over `documents` and a cosine vector leg over `embeddings`
+    // (doc_id ≡ vec_id): the standard two-tower retrieval front-end of a
+    // decontamination / RAG pipeline, where neither signal alone suffices.
+    // Scale shape: each leg reduces to its own top-N FIRST (BM25 touches
+    // only matching postings; the vector leg is the ANN path — brute here,
+    // IVF-routable at size), so the fusion joins two N-row frames, never
+    // the corpora: at 100 TB the fuse cost is O(N), constant. Ranks are
+    // total-ordered (score desc, id asc) so fusion is deterministic;
+    // symmetric rank pairs tie in rrf and break by doc_id on both engines.
+    "retr_hybrid_rrf" -> ((s, dir) => {
+      val qTerms = Seq("hash", "join", "filter")
+      val d = t(s, dir, "documents")
+      val tok = d.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      // one tokenize pass, one doc-keyed shuffle (the t1_bm25 discipline)
+      val perDoc = tok.groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        qTerms.map(qt =>
+          count(when(col("tok") === qt, lit(1))).as("tf_" + qt)): _*)
+        .cache()
+      val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val tf = perDoc.select(col("doc_id"), col("dl"),
+        explode(map(qTerms.flatMap(qt =>
+          Seq(lit(qt), col("tf_" + qt))): _*)).as(Seq("tok", "tf")))
+        .filter(col("tf") > 0)
+      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val bm = tf.join(broadcast(dfr), "tok").crossJoin(broadcast(stats))
+        .withColumn("ts", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+          .cast(DecimalType(18, 6)))
+        .groupBy("doc_id").agg(sum(col("ts")).as("sc"))
+      val lex = bm.orderBy(col("sc").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("sc").desc, col("doc_id"))).cast(LongType))
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vec = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(50)
+        .withColumn("vec_rank", row_number().over(
+          Window.orderBy(col("cs").desc, col("vec_id"))).cast(LongType))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60L) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60L) + col("vec_rank")), lit(0.0)), 6)
+          .cast(DecimalType(18, 6)))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          col("rrf").cast(DoubleType).as("rrf"))
+    }),
+
     // IVF search over the TRAINED quantizer: route the query to its best
     // k-means cell, then rank only that cell's members against the query.
     // At 100 TB the cell id is the partition key — probing one cell reads
@@ -847,6 +908,55 @@ object SimQueries {
                  sqrt(${sqlDot("b.embedding", "b.embedding")}))
               >= $SemDedupTau
           GROUP BY b.vec_id, b.cluster""",
+
+    "retr_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id,
+                unnest(${TextQueries.sqlToksOf("text")}) AS tok
+              FROM documents),
+          dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                    FROM dlen),
+          posts AS (SELECT doc_id, tok FROM tok
+                    WHERE tok IN ('hash', 'join', 'filter')),
+          dfr AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+                  FROM posts GROUP BY tok),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+                 FROM posts GROUP BY doc_id, tok),
+          ts AS (SELECT tf.doc_id,
+                   CAST(round(
+                     ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                     6) AS DECIMAL(18,6)) AS ts
+                 FROM tf JOIN dfr USING (tok) JOIN dlen USING (doc_id)
+                 CROSS JOIN stats),
+          bm AS (SELECT doc_id, SUM(ts) AS sc FROM ts GROUP BY doc_id),
+          lex AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY sc DESC, doc_id)
+                      AS lex_rank
+                  FROM bm ORDER BY sc DESC, doc_id LIMIT 50),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cosall AS (SELECT vec_id,
+                       ${sqlDot("embedding", "qv")} /
+                       (sqrt(${sqlDot("embedding", "embedding")}) *
+                        sqrt(${sqlDot("qv", "qv")})) AS cs
+                     FROM embeddings CROSS JOIN q),
+          vec AS (SELECT vec_id AS doc_id,
+                    row_number() OVER (ORDER BY cs DESC, vec_id)
+                      AS vec_rank
+                  FROM cosall ORDER BY cs DESC, vec_id LIMIT 50)
+          SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+            lex_rank, vec_rank,
+            CAST(CAST(round(
+              COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0) +
+              COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0), 6)
+              AS DECIMAL(18,6)) AS DOUBLE) AS rrf
+          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+          ORDER BY round(
+              COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0) +
+              COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0), 6)
+            DESC, COALESCE(lex.doc_id, vec.doc_id) LIMIT 20""",
 
     "sim_ivf_kmeans_topk" -> ivfTrainedOracle,
 
