@@ -430,6 +430,37 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("rate"))
     }),
 
+    // Domain MIXTURE sampling with DERIVED rates — the data-curation step
+    // that turns "train on half the corpus, weighted equally per domain"
+    // into per-document keep/drop decisions: per-domain token counts give
+    // each domain's acceptance rate (budget/actual, capped at 1), and a
+    // deterministic md5 bucket applies it — no RNG, re-runs and engines
+    // agree row-for-row. Scale shape: ONE aggregation produces a
+    // #domains-row rate table (broadcast back), then a map-side filter —
+    // the corpus is scanned once and never shuffled. Rates live as ppm
+    // BIGINTs (floor of an IEEE double both engines compute identically)
+    // so the keep decision is an integer compare, immune to float drift.
+    "tx_domain_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast(LongType).as("n_tok"))
+      val per = d.groupBy("source").agg(sum("n_tok").as("src_tok"))
+      val tot = per.agg(sum("src_tok").as("tot"),
+        count(lit(1)).as("nd"))
+      // uniform target: half the corpus tokens, split evenly over domains
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", least(lit(1000000L),
+          floor(lit(500000.0) * col("tot") /
+            (col("nd") * col("src_tok"))).cast(LongType)))
+        .select(col("source"), col("rate_ppm"))
+      val bucket = (conv(substring(md5(
+        concat(lit("mix:"), col("doc_id").cast(StringType))), 1, 6),
+        16, 10).cast(LongType) % 1000000L).as("bucket")
+      d.select(col("doc_id"), col("source"), bucket)
+        .join(broadcast(rates), "source")
+        .filter(col("bucket") < col("rate_ppm"))
+        .select(col("doc_id"), col("source"), col("rate_ppm"))
+    }),
+
     // Benchmark DECONTAMINATION — the n-gram-overlap filter every serious
     // pretraining pipeline runs before training (drop any train doc
     // sharing a word n-gram with the eval/benchmark set, the GPT-3 /
@@ -1059,6 +1090,24 @@ object TextQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 // 512 AS BIGINT) AS pack_seq
           FROM d""",
+
+    "tx_domain_mix" ->
+      s"""WITH dtok AS (SELECT doc_id, source,
+                CAST(len($SqlToks) AS BIGINT) AS n_tok
+              FROM documents),
+          per AS (SELECT source, SUM(n_tok) AS src_tok
+                  FROM dtok GROUP BY source),
+          tot AS (SELECT SUM(src_tok) AS tot, COUNT(*) AS nd FROM per),
+          rates AS (SELECT source,
+                      least(CAST(1000000 AS BIGINT),
+                        CAST(floor(CAST(500000.0 AS DOUBLE) * tot /
+                          (nd * src_tok)) AS BIGINT)) AS rate_ppm
+                    FROM per CROSS JOIN tot)
+          SELECT doc_id, dtok.source, rate_ppm
+          FROM dtok JOIN rates ON dtok.source = rates.source
+          WHERE CAST('0x' || substring(
+              md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6)
+              AS BIGINT) % 1000000 < rate_ppm""",
 
     "tx_sample_stratified" ->
       """SELECT doc_id, source, rate FROM (
