@@ -23,8 +23,20 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    rename is not atomic (object stores);
   *  - a writer crash after staging data but before publishing the manifest
   *    leaves only unreferenced files — the table is untouched;
-  *  - appends are O(delta): new files are added to the manifest, nothing is
-  *    rewritten;
+  *  - appends are O(delta) in DATA: new files land, nothing is rewritten.
+  *    The manifest WRITE is O(table file count) — each version is a
+  *    complete self-contained file list (which is what makes restore,
+  *    clone, and every snapshot read a single manifest fetch). Quantified
+  *    at the design target: 100 TB at the 1 GB compaction target is
+  *    ~100k files × ~120 B/line ≈ 12 MB per commit — one object-store
+  *    PUT, paid per COMMIT (not per row, not per reader). If a
+  *    deployment's file count outgrows that (small-file ingest without
+  *    compaction discipline), the format's unknown-meta-key tolerance
+  *    leaves an evolution path: an `#include=<manifest>` splice line
+  *    (Delta's checkpoint-plus-delta shape) old readers would have to
+  *    reject loudly via a `#minReader=` version gate — not taken here
+  *    because self-contained manifests keep every recovery path
+  *    (restore/clone/time travel) one fetch;
   *  - old versions stay readable (time travel) until vacuumed.
   *
   * Concurrency is optimistic: the manifest is claimed with an atomic
