@@ -141,6 +141,25 @@ class TxLogTableSpec extends AnyFunSuite {
       empty.columns.toSeq == Seq("id", "v", "_commit_version"))
   }
 
+  test("change feed across a restore: restored files re-emit as adds") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)       // v0
+    t.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)      // v1
+    val good = t.latestVersion.get
+    t.commit(Seq((9L, "z")).toDF("id", "v"), overwrite = true)       // v2 bad
+    val rv = t.restore(good)                                         // v3
+    // the restore's manifest diff vs the bad version = exactly the files
+    // the bad write dropped: consumers re-receive the restored rows under
+    // the restore version (a rewrite boundary, like overwrite — the
+    // documented reset contract), never silently miss them
+    val feed = t.changesBetween(schema, rv - 1, rv).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((1L, "a", rv.toLong), (2L, "b", rv.toLong)))
+    // a no-op restore (target == current file set) emits nothing
+    val rv2 = t.restore(rv)
+    assert(t.changesBetween(schema, rv2 - 1, rv2).isEmpty)
+  }
+
   test("compact packs files; snapshot, layout and history survive; vacuum GCs") {
     val t = fresh()
     (0 until 6).foreach(i =>
