@@ -924,6 +924,58 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // Bucketed storage-partitioned join — the HIGH-CARDINALITY twin of
+    // sql_spj_join: `PARTITIONED BY (bucket(8, key))` lays both tables
+    // out as hidden `_bkt=<pmod(xxhash64(key), 8)>` hive dirs, the scans
+    // report KeyGroupedPartitioning over the bucket(8, key) transform
+    // (resolved through the catalog's V2 bucket function), and the join
+    // ON the raw key plans with ZERO shuffle exchanges — identity SPJ
+    // can only do this for keys with few values (one dir per value);
+    // bucketing is how the same zero-shuffle join scales to the join
+    // keys a 100 TB fact table actually has. The requires prove the
+    // layout, the key-grouped scans, and the empty-Exchange plan; the
+    // oracle replays the join + aggregation relationally (the bucket id
+    // never surfaces — it's derivable but invisible).
+    "sql_bucket_join" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_bkt_src")
+      t(s, dir, "orders").createOrReplaceTempView("ord_bkt_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_bkt")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ord_bkt")
+      s.sql("CREATE TABLE graftcat.db.cust_bkt (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE) USING txlog PARTITIONED BY (bucket(8, c_custkey))")
+      s.sql("CREATE TABLE graftcat.db.ord_bkt (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, o_custkey))")
+      s.sql("INSERT INTO graftcat.db.cust_bkt " +
+        "SELECT c_custkey, c_acctbal FROM cust_bkt_src")
+      s.sql("INSERT INTO graftcat.db.ord_bkt " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ord_bkt_src")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/ord_bkt")
+      require(tbl.entries(None).nonEmpty &&
+        tbl.entries(None).forall(_.rel.startsWith("_bkt=")),
+        "bucketed layout must land under hidden _bkt dirs")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true")
+      try {
+        val out = s.sql("""
+          SELECT /*+ MERGE(c) */ c.c_custkey AS custkey,
+                 count(*) AS n_ord,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS spend
+          FROM graftcat.db.cust_bkt c
+          JOIN graftcat.db.ord_bkt o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("TxLogSpjScan"),
+          s"expected the key-grouped bucketed scans:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"bucketed SPJ must plan zero shuffles:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
     // UPDATE in pure SQL (the same DSv2 group-based row-level rewrite as
     // MERGE INTO; Spark compiles UPDATE to a replace-groups plan). The
     // WHERE reaches the operation scan as a pushed filter and is consumed
@@ -1670,6 +1722,13 @@ object EtlQueries {
              AS DOUBLE) AS bal_sum
          FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
          GROUP BY c.c_nationkey""",
+
+    "sql_bucket_join" ->
+      """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS spend
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey""",
 
     "sql_update" ->
       """SELECT p_partkey,

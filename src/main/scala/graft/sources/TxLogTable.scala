@@ -101,6 +101,13 @@ object TxLogTable {
     */
   val RowsKey = ":rows"
 
+  /** Reserved hive-segment name of a bucketed table's hidden derived
+    * partition column (`_bkt=<id>` dirs) — see [[TxLogTable.bucketSpecOf]].
+    * Never part of the logical schema; every read's schema projection
+    * drops it.
+    */
+  val BucketCol = "_bkt"
+
   /** Reserved stats-key prefix carrying a column's exact NULL count
     * (`:nulls:<col>=n:n`). Like [[RowsKey]], the leading `:` is a wire
     * delimiter, so the composite key can never collide with a real
@@ -541,7 +548,46 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     base.map(manifestLines(_).filter(l =>
       l.startsWith("#schema=") || l.startsWith("#colmap=") ||
         l.startsWith("#bloomBits=") ||
+        l.startsWith("#bucketSpec=") ||
         l.startsWith("#droppedPhys="))).getOrElse(Nil)
+
+  /** Hash-bucket layout recorded at `v` (`#bucketSpec=<keyCol>:<n>`): the
+    * table is hive-partitioned on the HIDDEN derived column
+    * [[TxLogTable.BucketCol]] `= pmod(xxhash64(key), n)` — Iceberg's
+    * bucket transform re-derived on the hive layout this format already
+    * has. The key column stays a plain data column; the bucket id is
+    * derived at EVERY staging write ([[stage]]), never stored in file
+    * bytes, and dropped by every read's schema projection. What it buys
+    * at 100 TB: a scan can report
+    * `KeyGroupedPartitioning(bucket(n, key))`, so an equi-join of two
+    * tables bucketed the same way on a HIGH-CARDINALITY key plans with
+    * zero shuffle exchanges (identity partitioning can only do this for
+    * low-cardinality keys — one hive dir per value).
+    */
+  def bucketSpecOf(v: Int): Option[(String, Int)] =
+    manifestLines(v).collectFirst {
+      case l if l.startsWith("#bucketSpec=") =>
+        val body = l.stripPrefix("#bucketSpec=")
+        val cut = body.lastIndexOf(':')
+        (body.substring(0, cut), body.substring(cut + 1).toInt)
+    }
+
+  // derive the hidden bucket column when this table is bucketed and the
+  // staged frame doesn't already carry it — the ONE chokepoint every
+  // write path (append, merge rewrite, delete rewrite, replaceWhere,
+  // compaction) funnels through keeps the layout automatic
+  private def withBucketCol(df: DataFrame,
+                            partitionCols: Seq[String]): DataFrame =
+    if (!partitionCols.contains(TxLogTable.BucketCol) ||
+        df.columns.contains(TxLogTable.BucketCol)) df
+    else latestVersion.flatMap(bucketSpecOf) match {
+      case Some((k, n)) =>
+        df.withColumn(TxLogTable.BucketCol,
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(col(k)),
+            lit(n)).cast(org.apache.spark.sql.types.IntegerType))
+      case None => df
+    }
 
   /** Create an EMPTY table with a declared logical schema — the DDL
     * surface (`CREATE TABLE ... USING txlog` lands here via the catalog).
@@ -549,14 +595,26 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * optional bloom columns, zero data files. Fails if the table exists.
     */
   def create(schema: StructType, partitionCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Int = {
-    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+             bloomCols: Seq[String] = Nil,
+             bucketSpec: Option[(String, Int)] = None): Int = {
+    partitionCols.filterNot(_ == TxLogTable.BucketCol)
+      .foreach(c => require(schema.fieldNames.contains(c),
+        s"partition column $c not in schema"))
+    bucketSpec.foreach { case (k, n) =>
+      require(schema.fieldNames.contains(k), s"bucket key $k not in schema")
+      require(!schema.fieldNames.contains(TxLogTable.BucketCol),
+        s"column name ${TxLogTable.BucketCol} is reserved for bucketing")
+      require(n > 0 && n <= (1 << 20), s"bucket count out of range: $n")
+      require(partitionCols == Seq(TxLogTable.BucketCol),
+        "a bucketed table is partitioned on exactly the hidden bucket col")
+    }
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
     Files.write(manifestPath(0),
       (metaLines(partitionCols, "create", bloomCols) ++
-        Seq(s"#schema=${schema.json}")).mkString("\n").getBytes(UTF_8),
+        Seq(s"#schema=${schema.json}") ++
+        bucketSpec.toSeq.map { case (k, n) => s"#bucketSpec=$k:$n" })
+        .mkString("\n").getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW)
     0
   }
@@ -637,6 +695,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           "(> , = ; : tab newline) — pick another name")
       require(!partitionColsOf(b).contains(oldName),
         s"cannot rename partition column $oldName (physical hive paths)")
+      require(!bucketSpecOf(b).exists(_._1 == oldName),
+        s"cannot rename bucket key $oldName (the bucket spec and every " +
+          "file's hive bucket id derive from it)")
       require(tombstonesOf(b).isEmpty,
         "cannot rename with live MOR tombstones: compact first")
       val map = colMapOf(b)
@@ -696,6 +757,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       require(schema.fieldNames.contains(name), s"no such column: $name")
       require(!partitionColsOf(b).contains(name),
         s"cannot drop partition column $name")
+      require(!bucketSpecOf(b).exists(_._1 == name),
+        s"cannot drop bucket key $name")
       require(tombstonesOf(b).isEmpty,
         "cannot drop with live MOR tombstones: compact first")
       require(schema.fields.length > 1, "cannot drop the last column")
@@ -1327,7 +1390,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"compact of empty table: $root"))
     val cols = partitionColsOf(v)
-    val snap = snapshot(schema)
+    // a bucketed table's hidden partition col is not in `schema`:
+    // re-derive it before clustering so the rewrite packs per bucket
+    val snap = withBucketCol(snapshot(schema), cols)
     val packed =
       if (cols.isEmpty) snap.repartition(numFiles)
       else snap.repartition(numFiles, cols.map(col): _*)
@@ -1380,8 +1445,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       // partition's small rows land in ONE task → one packed file per
       // value, instead of round-robin scattering every value across all
       // nOut tasks (which would multiply files, the opposite of OPTIMIZE)
-      val smallRows = readMaskedEntries(schema,
-        small.map(TxLogTable.decodeEntry), base)
+      val smallRows = withBucketCol(readMaskedEntries(schema,
+        small.map(TxLogTable.decodeEntry), base), layout)
       val packed =
         if (layout.isEmpty) smallRows.repartition(nOut)
         else smallRows.repartition(nOut, layout.map(col): _*)
@@ -1450,8 +1515,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       if (perValue.valuesIterator.forall(_.size <= numFiles))
         return TxLogTable.MergeStats(base.getOrElse(-1), 0,
           kept.size + hit.size)
-      val rows = readMaskedEntries(schema,
-        hit.map(TxLogTable.decodeEntry), base)
+      val rows = withBucketCol(readMaskedEntries(schema,
+        hit.map(TxLogTable.decodeEntry), base), layout)
       val packed =
         if (layout.isEmpty) rows.repartition(numFiles)
         else rows.repartition(numFiles, layout.map(col): _*)
@@ -1655,7 +1720,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // path — append, merge rewrite, compaction — stays physically uniform
     // with pre-rename files. Partition columns are never mapped
     // (renameColumn refuses them), so the layout needs no translation.
-    val w = toPhysical(df).write.mode("overwrite")
+    // Bucketed layouts derive their hidden bucket id here, same reason.
+    val w = toPhysical(withBucketCol(df, partitionCols))
+      .write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(scratch.toString)
     moveStaged(scratch, batch)

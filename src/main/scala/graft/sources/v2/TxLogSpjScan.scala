@@ -85,11 +85,23 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
 
   override def toBatch: Batch = this
 
+  /** Identity layout → identity transforms over the partition columns;
+    * bucketed layout → ONE `bucket(n, key)` transform (the hidden `_bkt`
+    * dir values ARE the bucket ids). Spark resolves the bucket transform
+    * through the catalog's [[TxLogBucketFunction]], so two bucketed
+    * txlog scans key-group compatibly and the join plans shuffle-free.
+    */
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      index.partitionSchema.fields.map(f =>
-        Expressions.identity(f.name)
-          : org.apache.spark.sql.connector.expressions.Expression),
+      tbl.bucketSpec match {
+        case Some((k, n)) =>
+          Array(Expressions.bucket(n, k)
+            : org.apache.spark.sql.connector.expressions.Expression)
+        case None =>
+          index.partitionSchema.fields.map(f =>
+            Expressions.identity(f.name)
+              : org.apache.spark.sql.connector.expressions.Expression)
+      },
       dirs.size)
 
   override def planInputPartitions(): Array[InputPartition] = {

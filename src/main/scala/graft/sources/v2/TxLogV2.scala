@@ -43,7 +43,31 @@ import graft.sources.{TxLogRelation, TxLogTable}
   * vectorized scan + whole-stage codegen + manifest pruning, no
   * InternalRow→Row conversion (the round-5 connector tax, gone).
   */
-class TxLogCatalog extends TableCatalog with ProcedureCatalog {
+class TxLogCatalog extends TableCatalog with ProcedureCatalog
+    with FunctionCatalog {
+
+  /** The catalog's one V2 function: `bucket` — what Spark's
+    * storage-partitioned-join planner resolves a reported
+    * `bucket(n, key)` transform against (V2ExpressionUtils loads
+    * `bucket` from the table's FunctionCatalog and binds it). Both join
+    * sides resolve THIS function, so their `canonicalName`s match and
+    * the key-grouped partitions are compatible; with the V2 bucketed
+    * shuffle conf on, Spark can also evaluate it to shuffle a
+    * NON-bucketed side into alignment (produceResult below is exactly
+    * the write path's hash).
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (!(ident.namespace.isEmpty && ident.name == "bucket"))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    TxLogBucketFunction
+  }
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -117,15 +141,34 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident.toString)
-    val partCols = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"txlog supports identity partitioning only, got $t")
-      t.references.head.fieldNames.mkString(".")
+    // `PARTITIONED BY (bucket(n, key))` — hash-bucket layout on a hidden
+    // derived hive column; see TxLogTable.bucketSpecOf for the contract
+    val (partCols, bucketSpec) = partitions.toSeq match {
+      case Seq(bt) if bt.name == "bucket" =>
+        import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+        val n = bt.arguments.collectFirst {
+          case l: VLit[_] if l.dataType ==
+              org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs an integer bucket count: $bt"))
+        val refs = bt.arguments.toSeq.collect { case r: NamedReference => r }
+        require(refs.length == 1,
+          s"txlog bucket transform takes exactly one column, got $bt")
+        (Seq(TxLogTable.BucketCol),
+          Some((refs.head.fieldNames.mkString("."), n)))
+      case ts =>
+        (ts.map { t =>
+          require(t.name == "identity" && t.references.length == 1,
+            "txlog supports identity or single-bucket partitioning, " +
+              s"got $t")
+          t.references.head.fieldNames.mkString(".")
+        }, None)
     }
     val bloomCols = Option(properties.get("bloomCols")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     TxLogTable(spark, pathOf(ident).toString)
-      .create(schema, partCols, bloomCols)
+      .create(schema, partCols, bloomCols, bucketSpec)
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
   }
 
@@ -411,6 +454,62 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
           s"unknown txlog procedure: system.$other " +
             "(available: compact, vacuum, history, partitions, restore, " +
             "clone, zorder)")
+    }
+  }
+}
+
+/** The catalog's V2 `bucket` function — the contract behind bucketed
+  * storage-partitioned joins. Spark resolves a scan-reported
+  * `bucket(n, key)` transform by loading THIS function from the table's
+  * catalog and binding it against `(numBuckets INT, key)`; two sides whose
+  * bound functions share a `canonicalName` (and bucket count) are
+  * key-grouped-compatible, and with the V2 bucketed-shuffle conf Spark
+  * evaluates [[bind]]'s `produceResult` to align a non-bucketed side.
+  * `produceResult` is bit-identical to the write path's derivation
+  * (`pmod(xxhash64(key), n)`, seed 42 — the builtin's seed), so planner
+  * grouping and physical layout can never disagree.
+  */
+object TxLogBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+
+  override def description(): String =
+    "bucket(numBuckets, col): txlog bucket id = pmod(xxhash64(col), n)"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType,
+      s"bucket expects (numBuckets INT, key), got ${inputType.catalogString}")
+    val keyType = inputType.fields(1).dataType
+    keyType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+           DateType | TimestampType | TimestampNTZType => ()
+      case other => throw new UnsupportedOperationException(
+        s"txlog bucket key type unsupported: ${other.catalogString}")
+    }
+    new org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String =
+        s"graft.txlog.bucket(${keyType.catalogString})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        // null key: the builtin xxhash64 leaves the seed untouched for a
+        // null child, so the write path lands nulls in pmod(42, n) — match
+        val h =
+          if (input.isNullAt(1)) 42L
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(input.get(1, keyType), keyType, 42L)
+        (((h % n) + n) % n).toInt
+      }
     }
   }
 }
@@ -767,10 +866,18 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       .getOrElse(
         TxLogRelation(spark.sqlContext, root, asOfVersion, None).schema)
 
+  // bucket spec of the version being read (None = not bucketed)
+  private[v2] def bucketSpec: Option[(String, Int)] =
+    asOfVersion.orElse(table.latestVersion).flatMap(table.bucketSpecOf)
+
   override def partitioning(): Array[Transform] =
-    asOfVersion.orElse(table.latestVersion).map(table.partitionColsOf)
-      .getOrElse(Nil)
-      .map(Expressions.identity).toArray
+    bucketSpec match {
+      case Some((k, n)) => Array(Expressions.bucket(n, k))
+      case None =>
+        asOfVersion.orElse(table.latestVersion).map(table.partitionColsOf)
+          .getOrElse(Nil)
+          .map(Expressions.identity).toArray
+    }
 
   /** Spark refuses a table that declares V1_BATCH_WRITE and hands back a
     * non-V1 Write (and vice versa), so the capability must agree with

@@ -1031,6 +1031,52 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(t.candidateFiles("b", 0L, 63L).size < t.fileCount())
   }
 
+  test("bucketed tables: hidden layout, round-trip, zero-shuffle join") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_a")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_b")
+    spark.sql("CREATE TABLE txcat.ns.bk_a (k BIGINT, va STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE txcat.ns.bk_b (k BIGINT, vb STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO txcat.ns.bk_a " +
+      "SELECT id, concat('a', id) FROM range(100)")
+    spark.sql("INSERT INTO txcat.ns.bk_b " +
+      "SELECT id, concat('b', id) FROM range(0, 100, 2)")
+    // physical layout: every file sits under a _bkt=<id> hive dir; the
+    // hidden column never surfaces in the logical schema or the rows
+    val ta = TxLogTable(spark, s"$warehouse/ns/bk_a")
+    assert(ta.entries(None).nonEmpty &&
+      ta.entries(None).forall(_.rel.startsWith("_bkt=")))
+    assert(spark.table("txcat.ns.bk_a").columns.toSeq == Seq("k", "va"))
+    assert(spark.table("txcat.ns.bk_a").count() == 100)
+    val prevConf = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j = spark.sql("""
+        SELECT /*+ MERGE(a) */ a.k, a.va, b.vb
+        FROM txcat.ns.bk_a a JOIN txcat.ns.bk_b b ON a.k = b.k""")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("TxLogSpjScan"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must plan zero shuffles:\n$plan")
+      assert(j.count() == 50)
+      // correctness: identical to the plain (shuffled) join row set
+      val expect = (0L until 100L by 2).map(i => (i, s"a$i", s"b$i")).toSet
+      assert(j.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet == expect)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prevConf)
+    // maintenance keeps the layout: compact packs per bucket
+    spark.sql("CALL txcat.system.compact('ns.bk_a')")
+    assert(ta.fileCount() == 4 &&
+      ta.entries(None).forall(_.rel.startsWith("_bkt=")))
+    assert(spark.table("txcat.ns.bk_a").count() == 100)
+    // the bucket key is load-bearing: rename/drop refuse
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE txcat.ns.bk_a RENAME COLUMN k TO kk") }
+    assert(e.getMessage.contains("bucket key"))
+  }
+
   test("restore rolls back data AND schema; vacuumed targets refuse") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.rst")
     spark.sql("CREATE TABLE txcat.ns.rst (id BIGINT, v STRING) USING txlog")
