@@ -636,9 +636,16 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
             val index = new org.apache.spark.sql.execution.datasources
               .InMemoryFileIndex(spark, paths, Map("basePath" -> dataDir),
                 Some(physFull))
-            val inner = org.apache.spark.sql.execution.datasources.v2.parquet
-              .ParquetScanBuilder(spark, index, physFull, physFull,
-                CaseInsensitiveStringMap.empty()).build()
+            // prune to EXACTLY the declared columns: identity layouts keep
+            // their partition columns (they're in the schema); a bucketed
+            // layout's hidden _bkt dir column is discovered by the index
+            // but must NOT surface — the relation has no such attribute
+            // (the staging write re-derives it)
+            val innerBuilder = org.apache.spark.sql.execution.datasources
+              .v2.parquet.ParquetScanBuilder(spark, index, physFull,
+                physFull, CaseInsensitiveStringMap.empty())
+            innerBuilder.pruneColumns(physFull)
+            val inner = innerBuilder.build()
             // Live MOR tombstones: wrap with the sequence-aware mask so
             // only surviving rows ride the rewrite. Key columns are never
             // renamed while tombstones are live (deleteByKeysMor refuses
