@@ -430,6 +430,39 @@ object ScaleProbe {
         spark.table(s"probe_own_$k").count()
       }
     }
+    // Bucketed SPJ vs shuffled join under table growth: same two tables,
+    // same join, conf on vs off. The SPJ plan's advantage should GROW
+    // with the data (the shuffle it avoids is O(rows)); the probe prints
+    // both walls and asserts the SPJ plan really had zero exchanges.
+    if (what("bucketjoin")) {
+      val wh = java.nio.file.Files.createTempDirectory("bkprobe").toString
+      spark.conf.set("spark.sql.catalog.bkcat",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.bkcat.warehouse", wh)
+      for (k <- Seq(1, 10)) {
+        val n = 1000000L * k
+        spark.sql(s"CREATE TABLE bkcat.db.fact$k (k BIGINT, v DOUBLE) " +
+          "USING txlog PARTITIONED BY (bucket(32, k))")
+        spark.sql(s"CREATE TABLE bkcat.db.dim$k (k BIGINT, w DOUBLE) " +
+          "USING txlog PARTITIONED BY (bucket(32, k))")
+        spark.sql(s"INSERT INTO bkcat.db.fact$k " +
+          s"SELECT id % ${n / 4}, CAST(id AS DOUBLE) FROM range($n)")
+        spark.sql(s"INSERT INTO bkcat.db.dim$k " +
+          s"SELECT id, CAST(id AS DOUBLE) FROM range(${n / 4})")
+        val q = s"""SELECT /*+ MERGE(f) */ f.k, f.v, d.w
+          FROM bkcat.db.fact$k f JOIN bkcat.db.dim$k d ON f.k = d.k"""
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = spark.sql(q).queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange") && plan.contains("TxLogSpjScan"),
+          s"bucketed probe join must be shuffle-free:\n$plan")
+        time(s"bucketjoin spj x$k") { spark.sql(q).count() }
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        time(s"bucketjoin shuffled x$k") { spark.sql(q).count() }
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      }
+    }
+
     // Recovery ops are O(manifest), not O(data): restore and clone on a
     // table holding 10× the files (and 10× the rows) should cost ~the
     // file-count-proportional metadata work only — wall time grows with
