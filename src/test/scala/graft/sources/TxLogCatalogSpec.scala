@@ -1075,6 +1075,15 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE txcat.ns.bk_a RENAME COLUMN k TO kk") }
     assert(e.getMessage.contains("bucket key"))
+    // CTAS lands the same hidden layout
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_ctas")
+    spark.sql("CREATE TABLE txcat.ns.bk_ctas USING txlog " +
+      "PARTITIONED BY (bucket(4, k)) AS " +
+      "SELECT id AS k, concat('c', id) AS v FROM range(50)")
+    val tc = TxLogTable(spark, s"$warehouse/ns/bk_ctas")
+    assert(tc.entries(None).nonEmpty &&
+      tc.entries(None).forall(_.rel.startsWith("_bkt=")))
+    assert(spark.table("txcat.ns.bk_ctas").count() == 50)
   }
 
   test("bucketed tables: row-level DML keeps the hidden layout") {
