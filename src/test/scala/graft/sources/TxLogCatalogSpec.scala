@@ -1075,6 +1075,19 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE txcat.ns.bk_a RENAME COLUMN k TO kk") }
     assert(e.getMessage.contains("bucket key"))
+    // an aggregation keyed on the bucket key equally skips its shuffle:
+    // KeyGroupedPartitioning(bucket(4, k)) satisfies the clustered
+    // distribution on k — the daily per-key rollup at 100 TB is
+    // exchange-free too, not just the join
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = spark.sql(
+        "SELECT k, count(*) AS n FROM txcat.ns.bk_a GROUP BY k")
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        agg.queryExecution.executedPlan.toString)
+      assert(agg.collect().length == 100)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prevConf)
     // CTAS lands the same hidden layout
     spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_ctas")
     spark.sql("CREATE TABLE txcat.ns.bk_ctas USING txlog " +
