@@ -209,6 +209,41 @@ object CoreQueries {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .as("revenue"))),
 
+    // Q4-shape — correlated EXISTS as a LEFT SEMI join with a MIXED
+    // predicate (equi on the key + an inequality on dates): the planner
+    // keeps the equi conjunct as the hash-join key and evaluates the
+    // range conjunct as a join residual, so the semi join stays a hash
+    // join (one shuffle each side), never a broadcast-nested-loop — the
+    // shape that matters when both sides are fact-sized.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(TimestampType)
+          && col("o_orderdate") < lit("1997-01-01 00:00:00")
+            .cast(TimestampType))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q10-shape — returned-items revenue: who returned the most value?
+    // Fact-fact equi join keyed on the order, flag filter pushed to the
+    // lineitem scan, customer dim broadcast onto the aggregated result.
+    "q10_returned_items" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          6).as("revenue"))
+      rev.join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // A1 — hash aggregate headline (TPC-H Q1 shape; exact decimal sums).
     "a1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -802,6 +837,27 @@ object CoreQueries {
          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
          WHERE r_name = 'ASIA'
          GROUP BY 1""",
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY 1""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, revenue FROM (
+           SELECT o_custkey,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+           GROUP BY 1) rev
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
