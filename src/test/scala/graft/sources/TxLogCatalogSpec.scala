@@ -1130,6 +1130,29 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("bucketed: null keys land in the seed bucket and never join") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_null")
+    spark.sql("CREATE TABLE txcat.ns.bk_null (k BIGINT, v STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO txcat.ns.bk_null VALUES " +
+      "(1, 'a'), (NULL, 'n1'), (NULL, 'n2')")
+    val t = TxLogTable(spark, s"$warehouse/ns/bk_null")
+    // xxhash64(null) leaves the seed: nulls land in _bkt=pmod(42, 4)=2 —
+    // a DATA bucket, never a hive null sentinel (the id is derived, not
+    // the key), so partition discovery stays uniform
+    assert(t.entries(None).forall(_.rel.startsWith("_bkt=")))
+    assert(spark.table("txcat.ns.bk_null").count() == 3)
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j = spark.sql("""SELECT /*+ MERGE(a) */ a.v
+        FROM txcat.ns.bk_null a JOIN txcat.ns.bk_null b ON a.k = b.k""")
+      assert(j.collect().map(_.getString(0)).toSeq == Seq("a"),
+        "null keys must not equi-join")
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("bucketed join aligns a non-bucketed side via the V2 function") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_one")
     spark.sql("CREATE TABLE txcat.ns.bk_one (k BIGINT, v STRING) " +
