@@ -47,13 +47,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
                          required: StructType, filters: Array[Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private val version = tbl.asOfVersion
 
   // manifest pruning: partial translation is sound (files only; rows
   // re-filtered by the residual Filter Spark keeps above the scan)
-  private val rels: Seq[String] = {
+  private val baseRels: Seq[String] = {
     val pred = filters.toSeq.flatMap(TxLogV2Table.loosePredicate)
       .reduceOption(_ && _)
     pred match {
@@ -62,14 +63,67 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     }
   }
 
+  // ---- runtime (dynamic-partition-pruning) filters -------------------
+  // Spark's DPP hands the join side's partition-key values here at
+  // EXECUTION time (SupportsRuntimeV2Filtering): a star-schema join on
+  // the partition key then reads only the matching hive dirs of the
+  // 100 TB fact — the V2 twin of FileSourceScanExec's dynamic pruning.
+  // Conservative by construction: only IN/= predicates over identity
+  // partition columns with integral/string literals translate (the
+  // type-checked-rendering rule — a DATE literal's epoch-day digits
+  // never equal the calendar segment, so it must NOT translate); any
+  // untranslated predicate prunes nothing and the row-level filter
+  // above the scan keeps correctness. Bucketed layouts report no filter
+  // attributes (the hidden _bkt column is not a query attribute).
+  @volatile private var runtimePruned
+      : Option[Map[String, Set[String]]] = None
+
+  private def partCols: Seq[String] =
+    version.orElse(tbl.table.latestVersion)
+      .map(tbl.table.partitionColsOf).getOrElse(Nil)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (tbl.bucketSpec.isDefined) Array.empty
+    else partCols.map(Expressions.column).toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val translated = predicates.toSeq.flatMap(TxLogSpjScan.segmentValues)
+    if (translated.nonEmpty) {
+      val m = translated.groupMapReduce(_._1)(_._2)(_ intersect _)
+      runtimePruned = Some(m)
+      TxLogSpjScan.lastRuntimePrune.set(
+        (baseRels.size, prunedRels.size))
+    }
+  }
+
+  // runtime-pruned file set: a file survives when every constrained
+  // partition column's segment value is in the allowed set (files
+  // missing the segment survive — sound, never wrong rows)
+  private def prunedRels: Seq[String] = runtimePruned match {
+    case None => baseRels
+    case Some(m) => baseRels.filter { r =>
+      val segs = graft.sources.TxLogTable.partitionSegmentsOf(r)
+      m.forall { case (c, vs) => segs.get(c).forall(vs.contains) }
+    }
+  }
+
   private val dataDir = java.nio.file.Paths.get(tbl.root, "data").toString
 
   // basePath discovery re-types the `k=v` hive segments of the pruned
   // leaves against the declared schema — one partition directory per
   // distinct partition value among the surviving files
-  private lazy val index = new InMemoryFileIndex(spark,
-    rels.sorted.map(r => new org.apache.hadoop.fs.Path(s"$dataDir/$r")),
-    Map("basePath" -> dataDir), Some(tbl.schema))
+  private def mkIndex(rs: Seq[String]): InMemoryFileIndex =
+    new InMemoryFileIndex(spark,
+      rs.sorted.map(r => new org.apache.hadoop.fs.Path(s"$dataDir/$r")),
+      Map("basePath" -> dataDir), Some(tbl.schema))
+
+  // plan-time index over the manifest-pruned set: readSchema and the
+  // reported partition count come from here (runtime filters arrive
+  // later, at execution, and only ever shrink the file set)
+  private lazy val index = mkIndex(baseRels)
 
   private lazy val inner = {
     val b = ParquetScanBuilder(spark, index, tbl.schema, tbl.schema,
@@ -105,8 +159,13 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       dirs.size)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val maxSplit = FilePartition.maxSplitBytes(spark, dirs)
-    dirs.iterator.flatMap { d =>
+    // runtime filters (if any arrived) shrink the file set between the
+    // plan-time report and execution — re-list over the survivors
+    val execDirs =
+      if (runtimePruned.isEmpty) dirs
+      else mkIndex(prunedRels).listFiles(Nil, Nil)
+    val maxSplit = FilePartition.maxSplitBytes(spark, execDirs)
+    execDirs.iterator.flatMap { d =>
       val splits = d.files.flatMap(f => PartitionedFileUtil.splitFiles(
         f, f.getPath, isSplitable = true, maxSplit, d.values))
       FilePartition.getFilePartitions(spark, splits, maxSplit)
@@ -119,7 +178,65 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
 
   override def description(): String =
     s"TxLogSpjScan ${tbl.ident} [${index.partitionSchema.fieldNames
-      .mkString(", ")}] files=${rels.size} groups=${dirs.size}"
+      .mkString(", ")}] files=${baseRels.size} groups=${dirs.size}"
+}
+
+object TxLogSpjScan {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.types._
+
+  /** (files before, files after) of the most recent runtime prune —
+    * ops/test introspection only (the prune itself is per-scan state).
+    */
+  val lastRuntimePrune = new java.util.concurrent.atomic
+    .AtomicReference[(Int, Int)]((0, 0))
+
+  // hive-segment rendering of a DPP literal, BY TYPE: integral and
+  // string literals render to exactly the digits/text the write path put
+  // in the dir name; anything else (dates carry epoch-day ints, floats
+  // format) does NOT translate — no pruning beats wrong pruning
+  private def render(l: VLiteral[_]): Option[String] = l.dataType match {
+    case IntegerType | LongType | ShortType | ByteType | StringType =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  /** `col IN (v...)` / `col = v` over one column → (col, segment values).
+    * Anything else → None (sound: untranslated predicates prune nothing;
+    * Spark re-filters rows above the scan anyway).
+    */
+  private[v2] def segmentValues(p: Predicate)
+      : Option[(String, Set[String])] = {
+    def colName(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    p.name match {
+      case "IN" if p.children.nonEmpty =>
+        for {
+          c <- colName(p.children.head)
+          vals <- {
+            val rendered = p.children.tail.toSeq.map {
+              case l: VLiteral[_] => render(l)
+              case _ => None
+            }
+            if (rendered.forall(_.isDefined))
+              Some(rendered.flatten.toSet)
+            else None // one untranslatable value poisons the whole IN
+          }
+        } yield (c, vals)
+      case "=" => p.children.toSeq match {
+        case Seq(a, l: VLiteral[_]) =>
+          for (c <- colName(a); v <- render(l)) yield (c, Set(v))
+        case Seq(l: VLiteral[_], a) =>
+          for (c <- colName(a); v <- render(l)) yield (c, Set(v))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }
 
 /** A parquet task bundle plus the partition key it belongs to — what

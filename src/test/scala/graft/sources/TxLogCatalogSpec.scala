@@ -1130,6 +1130,40 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("runtime DPP: a star join reads only the dim-selected partitions") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dppf")
+    spark.sql("CREATE TABLE txcat.ns.dppf (id BIGINT, p INT) " +
+      "USING txlog PARTITIONED BY (p)")
+    spark.sql("INSERT INTO txcat.ns.dppf " +
+      "SELECT id, CAST(id % 20 AS INT) FROM range(20000)")
+    import spark.implicits._
+    // the dim must be FILE-backed: an in-memory local relation constant-
+    // folds its filter away and DPP sees no selective predicate to reuse
+    val dimPath = java.nio.file.Files.createTempDirectory("dppdim").toString
+    Seq((3, "x"), (7, "x"), (11, "y")).toDF("p", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    graft.sources.v2.TxLogSpjScan.lastRuntimePrune.set((0, 0))
+    val q = spark.sql("""SELECT f.id, d.name FROM txcat.ns.dppf f
+      JOIN dpp_dim d ON f.p = d.p WHERE d.name = 'x'""")
+    assert(q.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.count() == 2000)
+    // the scan really skipped files: only p=3 and p=7 dirs were read
+    val (before, after) =
+      graft.sources.v2.TxLogSpjScan.lastRuntimePrune.get()
+    assert(before > after && after > 0,
+      s"runtime prune must shrink the file set: $before -> $after")
+    // soundness twin: a filter Spark can't hand over (no dim rows) still
+    // answers right — untranslated/empty prunes never lose rows
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.dppf").head.getLong(0)
+      == 20000L)
+  }
+
   test("bucketed: null keys land in the seed bucket and never join") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_null")
     spark.sql("CREATE TABLE txcat.ns.bk_null (k BIGINT, v STRING) " +
