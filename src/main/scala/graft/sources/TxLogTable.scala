@@ -1000,10 +1000,66 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val nn = physNullness(map, PredicateRanges.extractNullness(pred))
     val points = physKeyed(map, PredicateRanges.extractPoints(pred))
     val strs = physKeyed(map, PredicateRanges.extractStr(pred))
+    val buckets = allowedBuckets(points, version)
     entries(version).collect {
-      case e if mayMatchPred(e, ranges, nn, points, strs) => e.rel
+      case e if bucketMayMatch(e, buckets) &&
+        mayMatchPred(e, ranges, nn, points, strs) => e.rel
     }
   }
+
+  /** Bucket pruning for POINT lookups on a bucketed table: min/max stats
+    * on a hash-scattered key prune nothing (every file spans the whole
+    * key domain), but an equality/IN constraint maps each value to its
+    * ONE `_bkt` dir — `WHERE k = v` on a 100 TB bucketed table reads
+    * 1/n of the files from the manifest alone. The hash here must be
+    * bit-identical to the write path's `xxhash64(col(k))`, which hashes
+    * BY THE COLUMN'S TYPE (hashInt vs hashLong differ!), so each point
+    * is interpreted against the RECORDED key type and anything
+    * type-ambiguous (coerced literals, unsupported types) disables the
+    * prune entirely — no pruning beats wrong pruning. None = table not
+    * bucketed or points unusable (prune nothing).
+    */
+  private def allowedBuckets(
+      points: Map[String, Set[PredicateRanges.Point]],
+      version: Option[Int]): Option[Set[String]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val v = version.orElse(latestVersion)
+    for {
+      (k, n) <- v.flatMap(bucketSpecOf)
+      pts <- points.get(k) // bucket key is never colmapped (rename refuses)
+      keyType <- v.flatMap(schemaOf).flatMap(
+        _.fields.find(_.name == k)).map(_.dataType)
+      hashes <- {
+        val hs = pts.toSeq.map { p =>
+          keyType match {
+            case LongType if !p.isString =>
+              scala.util.Try(p.canon.toLong).toOption
+                .map(x => XxHash64Function.hash(x, LongType, 42L))
+            case IntegerType if !p.isString =>
+              scala.util.Try(p.canon.toInt).toOption
+                .map(x => XxHash64Function.hash(x, IntegerType, 42L))
+            case StringType if p.isString =>
+              Some(XxHash64Function.hash(
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(p.canon), StringType, 42L))
+            case _ => None
+          }
+        }
+        if (hs.exists(_.isEmpty)) None
+        else Some(hs.flatten.map(h => (((h % n) + n) % n).toString).toSet)
+      }
+    } yield hashes
+  }
+
+  // a file survives bucket pruning when unconstrained, or its _bkt
+  // segment is one of the allowed ids (no segment → survive: sound)
+  private def bucketMayMatch(e: TxLogTable.FileEntry,
+                             buckets: Option[Set[String]]): Boolean =
+    buckets.forall { ids =>
+      TxLogTable.partitionSegmentsOf(e.rel)
+        .get(TxLogTable.BucketCol).forall(ids.contains)
+    }
 
   // May file `e` contain a row with `lo <= column <= hi`? Footer stats
   // first, the hive path segment for partition columns, and "yes" when

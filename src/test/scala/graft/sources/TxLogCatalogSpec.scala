@@ -1164,6 +1164,50 @@ class TxLogCatalogSpec extends AnyFunSuite {
       == 20000L)
   }
 
+  test("bucketed point lookup prunes to the key's one bucket dir") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_pt")
+    spark.sql("CREATE TABLE txcat.ns.bk_pt (k BIGINT, s STRING, v STRING) " +
+      "USING txlog PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO txcat.ns.bk_pt " +
+      "SELECT id, concat('s', id), concat('v', id) FROM range(800)")
+    val t = TxLogTable(spark, s"$warehouse/ns/bk_pt")
+    val all = t.entries(None).map(_.rel)
+    import org.apache.spark.sql.functions.col
+    // k = 17 hashes to ONE bucket: only that _bkt dir's files survive
+    val hit = t.candidateFilesWhere(col("k") === 17L)
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"point lookup must bucket-prune: ${hit.size} of ${all.size}")
+    val dirs = hit.map(_.takeWhile(_ != '/')).toSet
+    assert(dirs.size == 1, s"one bucket dir expected, got $dirs")
+    // IN over two keys reaches at most two dirs
+    val in2 = t.candidateFilesWhere(col("k").isin(17L, 399L))
+      .map(_.takeWhile(_ != '/')).toSet
+    assert(in2.size <= 2 && in2.nonEmpty)
+    // the pruned read still answers exactly (DML point-delete path too)
+    spark.sql("DELETE FROM txcat.ns.bk_pt WHERE k = 17")
+    assert(spark.table("txcat.ns.bk_pt").count() == 799)
+    assert(spark.sql(
+      "SELECT count(*) FROM txcat.ns.bk_pt WHERE k = 17")
+      .head().getLong(0) == 0L)
+    // a NON-key predicate and a range predicate prune nothing (sound):
+    // hash scatter makes min/max useless, and the prune must not fire
+    assert(t.candidateFilesWhere(col("k") > 100L).size ==
+      t.entries(None).size)
+    // a string-typed bucket key prunes through the same hash
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_pts")
+    spark.sql("CREATE TABLE txcat.ns.bk_pts (s STRING, v BIGINT) " +
+      "USING txlog PARTITIONED BY (bucket(8, s))")
+    spark.sql("INSERT INTO txcat.ns.bk_pts " +
+      "SELECT concat('key', id), id FROM range(800)")
+    val ts = TxLogTable(spark, s"$warehouse/ns/bk_pts")
+    val shit = ts.candidateFilesWhere(col("s") === "key17")
+      .map(_.takeWhile(_ != '/')).toSet
+    assert(shit.size == 1, s"string key must bucket-prune: $shit")
+    assert(spark.sql(
+      "SELECT v FROM txcat.ns.bk_pts WHERE s = 'key17'")
+      .head().getLong(0) == 17L)
+  }
+
   test("bucketed: null keys land in the seed bucket and never join") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_null")
     spark.sql("CREATE TABLE txcat.ns.bk_null (k BIGINT, v STRING) " +
