@@ -111,7 +111,7 @@ object Bench {
       "sql_merge_partitioned", "sql_maintenance", "sql_overwrite_partition",
       "sql_spj_join", "sql_meta_count", "sql_meta_count_filtered",
       "sql_partitions", "sql_update_mor", "stream_dedup",
-      "sql_restore", "sql_clone", "sql_bucket_join",
+      "sql_restore", "sql_clone", "sql_bucket_join", "sql_dpp_join",
       "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)

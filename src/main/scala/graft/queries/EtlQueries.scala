@@ -924,6 +924,53 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // Runtime dynamic partition pruning through the V2 scan: the classic
+    // star-schema shape — fact partitioned on the join key, dim filtered
+    // at runtime — must read ONLY the dim-selected partitions. The scan
+    // implements SupportsRuntimeV2Filtering; the requires prove the DPP
+    // subquery is in the executed plan AND that the scan's file set
+    // actually shrank at runtime (the introspection hook records
+    // before/after). At 100 TB this is "read 3 days, not 3 years". The
+    // dim side reads the driver's parquet (file-backed — an in-memory
+    // dim constant-folds its filter away and DPP declines, correctly).
+    "sql_dpp_join" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_dpp_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_dpp")
+      s.sql("CREATE TABLE graftcat.db.cust_dpp (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE, c_nationkey INT) USING txlog " +
+        "PARTITIONED BY (c_nationkey)")
+      s.sql("INSERT INTO graftcat.db.cust_dpp " +
+        "SELECT c_custkey, c_acctbal, c_nationkey FROM cust_dpp_src")
+      s.read.parquet(s"$dir/nation.parquet")
+        .createOrReplaceTempView("nation_dpp")
+      val key =
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "false")
+      graft.sources.v2.TxLogSpjScan.lastRuntimePrune.set((0, 0))
+      try {
+        val out = s.sql("""
+          SELECT c.c_nationkey AS nationkey, count(*) AS n_cust,
+                 CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                   AS DOUBLE) AS bal
+          FROM graftcat.db.cust_dpp c
+          JOIN nation_dpp n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = 2
+          GROUP BY c.c_nationkey""")
+        require(out.queryExecution.executedPlan.toString
+          .toLowerCase.contains("dynamicpruning"),
+          "DPP subquery missing from the executed plan")
+        val rows = out.collect()
+        val (before, after) =
+          graft.sources.v2.TxLogSpjScan.lastRuntimePrune.get()
+        require(before > after && after > 0,
+          s"runtime prune must shrink the fact scan: $before -> $after")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+          out.schema)
+      } finally s.conf.set(key, prev)
+    }),
+
     // Bucketed storage-partitioned join — the HIGH-CARDINALITY twin of
     // sql_spj_join: `PARTITIONED BY (bucket(8, key))` lays both tables
     // out as hidden `_bkt=<pmod(xxhash64(key), 8)>` hive dirs, the scans
@@ -1721,6 +1768,13 @@ object EtlQueries {
            CAST(SUM(CAST(c.c_acctbal + s.s_acctbal AS DECIMAL(18,2)))
              AS DOUBLE) AS bal_sum
          FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+         GROUP BY c.c_nationkey""",
+
+    "sql_dpp_join" ->
+      """SELECT c.c_nationkey AS nationkey, count(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_regionkey = 2
          GROUP BY c.c_nationkey""",
 
     "sql_bucket_join" ->
