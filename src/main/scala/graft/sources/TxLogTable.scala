@@ -605,8 +605,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       require(!schema.fieldNames.contains(TxLogTable.BucketCol),
         s"column name ${TxLogTable.BucketCol} is reserved for bucketing")
       require(n > 0 && n <= (1 << 20), s"bucket count out of range: $n")
-      require(partitionCols == Seq(TxLogTable.BucketCol),
-        "a bucketed table is partitioned on exactly the hidden bucket col")
+      require(partitionCols.lastOption.contains(TxLogTable.BucketCol) &&
+        partitionCols.count(_ == TxLogTable.BucketCol) == 1,
+        "a bucketed table's hidden bucket col is its INNERMOST " +
+          s"partition level, got $partitionCols")
+      require(!partitionCols.contains(k),
+        s"bucket key $k cannot also be an identity partition column")
     }
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)

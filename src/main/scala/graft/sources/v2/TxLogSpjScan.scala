@@ -84,8 +84,10 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (tbl.bucketSpec.isDefined) Array.empty
-    else partCols.map(Expressions.column).toArray
+    // identity levels accept runtime filters; the hidden bucket level is
+    // not a query attribute (its prune is the hash path, not DPP)
+    partCols.filterNot(_ == graft.sources.TxLogTable.BucketCol)
+      .map(Expressions.column).toArray
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -147,14 +149,14 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     */
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      tbl.bucketSpec match {
-        case Some((k, n)) =>
-          Array(Expressions.bucket(n, k)
-            : org.apache.spark.sql.connector.expressions.Expression)
-        case None =>
-          index.partitionSchema.fields.map(f =>
-            Expressions.identity(f.name)
-              : org.apache.spark.sql.connector.expressions.Expression)
+      index.partitionSchema.fields.map { f =>
+        if (f.name == graft.sources.TxLogTable.BucketCol &&
+            tbl.bucketSpec.isDefined) {
+          val (k, n) = tbl.bucketSpec.get
+          Expressions.bucket(n, k)
+            : org.apache.spark.sql.connector.expressions.Expression
+        } else Expressions.identity(f.name)
+          : org.apache.spark.sql.connector.expressions.Expression
       },
       dirs.size)
 

@@ -141,30 +141,35 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident.toString)
-    // `PARTITIONED BY (bucket(n, key))` — hash-bucket layout on a hidden
-    // derived hive column; see TxLogTable.bucketSpecOf for the contract
-    val (partCols, bucketSpec) = partitions.toSeq match {
-      case Seq(bt) if bt.name == "bucket" =>
-        import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
-        val n = bt.arguments.collectFirst {
-          case l: VLit[_] if l.dataType ==
-              org.apache.spark.sql.types.IntegerType =>
-            l.value.asInstanceOf[Int]
-        }.getOrElse(throw new IllegalArgumentException(
-          s"bucket transform needs an integer bucket count: $bt"))
-        val refs = bt.arguments.toSeq.collect { case r: NamedReference => r }
-        require(refs.length == 1,
-          s"txlog bucket transform takes exactly one column, got $bt")
-        (Seq(TxLogTable.BucketCol),
-          Some((refs.head.fieldNames.mkString("."), n)))
-      case ts =>
-        (ts.map { t =>
-          require(t.name == "identity" && t.references.length == 1,
-            "txlog supports identity or single-bucket partitioning, " +
-              s"got $t")
-          t.references.head.fieldNames.mkString(".")
-        }, None)
+    // `PARTITIONED BY ([idCols...,] bucket(n, key))` — identity hive
+    // columns plus at most ONE hash-bucket transform on a hidden derived
+    // column (the date+bucket fact layout); see TxLogTable.bucketSpecOf
+    val (bucketTs, idTs) = partitions.toSeq.partition(_.name == "bucket")
+    require(bucketTs.length <= 1,
+      s"txlog supports at most one bucket transform, got $bucketTs")
+    val idCols = idTs.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"txlog supports identity or bucket partitioning, got $t")
+      t.references.head.fieldNames.mkString(".")
     }
+    val bucketSpec = bucketTs.headOption.map { bt =>
+      import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+      val n = bt.arguments.collectFirst {
+        case l: VLit[_] if l.dataType ==
+            org.apache.spark.sql.types.IntegerType =>
+          l.value.asInstanceOf[Int]
+      }.getOrElse(throw new IllegalArgumentException(
+        s"bucket transform needs an integer bucket count: $bt"))
+      val refs = bt.arguments.toSeq.collect { case r: NamedReference => r }
+      require(refs.length == 1,
+        s"txlog bucket transform takes exactly one column, got $bt")
+      (refs.head.fieldNames.mkString("."), n)
+    }
+    // the hidden bucket dir nests INNERMOST (`p=../_bkt=..`): identity
+    // prunes (static and DPP) cut whole date dirs first, the bucket id
+    // refines within
+    val partCols =
+      if (bucketSpec.isDefined) idCols :+ TxLogTable.BucketCol else idCols
     val bloomCols = Option(properties.get("bloomCols")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     TxLogTable(spark, pathOf(ident).toString)
@@ -877,14 +882,17 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
   private[v2] def bucketSpec: Option[(String, Int)] =
     asOfVersion.orElse(table.latestVersion).flatMap(table.bucketSpecOf)
 
-  override def partitioning(): Array[Transform] =
-    bucketSpec match {
-      case Some((k, n)) => Array(Expressions.bucket(n, k))
-      case None =>
-        asOfVersion.orElse(table.latestVersion).map(table.partitionColsOf)
-          .getOrElse(Nil)
-          .map(Expressions.identity).toArray
-    }
+  override def partitioning(): Array[Transform] = {
+    val cols = asOfVersion.orElse(table.latestVersion)
+      .map(table.partitionColsOf).getOrElse(Nil)
+    cols.map {
+      case graft.sources.TxLogTable.BucketCol
+          if bucketSpec.isDefined =>
+        val (k, n) = bucketSpec.get
+        Expressions.bucket(n, k): Transform
+      case c => Expressions.identity(c): Transform
+    }.toArray
+  }
 
   /** Spark refuses a table that declares V1_BATCH_WRITE and hands back a
     * non-V1 Write (and vice versa), so the capability must agree with

@@ -1208,6 +1208,49 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 17L)
   }
 
+  test("mixed layout: identity levels over an innermost bucket level") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.mx_a")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.mx_b")
+    for (t <- Seq("mx_a", "mx_b")) {
+      spark.sql(s"CREATE TABLE txcat.ns.$t (day INT, k BIGINT, v STRING) " +
+        "USING txlog PARTITIONED BY (day, bucket(4, k))")
+      spark.sql(s"INSERT INTO txcat.ns.$t " +
+        "SELECT CAST(id % 3 AS INT), id, concat('v', id) FROM range(120)")
+    }
+    val ta = TxLogTable(spark, s"$warehouse/ns/mx_a")
+    // hive nesting: day=<d>/_bkt=<b>/file
+    assert(ta.entries(None).nonEmpty && ta.entries(None).forall { e =>
+      val segs = e.rel.split('/')
+      segs(0).startsWith("day=") && segs(1).startsWith("_bkt=") })
+    // static identity prune + bucket point prune COMPOSE: day=1 AND k=7
+    // reaches exactly one (day, bucket) leaf dir
+    import org.apache.spark.sql.functions.col
+    val hit = ta.candidateFilesWhere(col("day") === 1 && col("k") === 7L)
+      .map(r => r.split('/').take(2).mkString("/")).toSet
+    assert(hit.size <= 1, s"one leaf dir expected, got $hit")
+    assert(spark.sql(
+      "SELECT v FROM txcat.ns.mx_a WHERE day = 1 AND k = 7")
+      .head().getString(0) == "v7")
+    // same-layout SPJ join on BOTH levels plans zero shuffles
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j = spark.sql("""SELECT /*+ MERGE(a) */ a.k
+        FROM txcat.ns.mx_a a JOIN txcat.ns.mx_b b
+        ON a.day = b.day AND a.k = b.k""")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        j.queryExecution.executedPlan.toString)
+      assert(j.count() == 120)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+    // DML keeps both levels
+    spark.sql("DELETE FROM txcat.ns.mx_a WHERE k % 10 = 0")
+    assert(spark.table("txcat.ns.mx_a").count() == 108)
+    assert(ta.entries(None).forall { e =>
+      val segs = e.rel.split('/')
+      segs(0).startsWith("day=") && segs(1).startsWith("_bkt=") })
+  }
+
   test("bucketed: null keys land in the seed bucket and never join") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_null")
     spark.sql("CREATE TABLE txcat.ns.bk_null (k BIGINT, v STRING) " +
