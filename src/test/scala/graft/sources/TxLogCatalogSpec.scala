@@ -1249,6 +1249,20 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(ta.entries(None).forall { e =>
       val segs = e.rel.split('/')
       segs(0).startsWith("day=") && segs(1).startsWith("_bkt=") })
+    // the backfill idiom: static partition overwrite of ONE day carries
+    // every other day's files (all their buckets) by reference
+    val untouched = ta.entries(None).map(_.rel)
+      .filterNot(_.startsWith("day=1/")).toSet
+    spark.sql("INSERT OVERWRITE txcat.ns.mx_b PARTITION (day = 1) " +
+      "SELECT k, concat('B', v) FROM txcat.ns.mx_a WHERE day = 1")
+    val tb = TxLogTable(spark, s"$warehouse/ns/mx_b")
+    assert(tb.history().last.op.contains("replace-where"))
+    spark.sql("INSERT OVERWRITE txcat.ns.mx_a PARTITION (day = 1) " +
+      "SELECT k, concat('A', v) FROM txcat.ns.mx_a WHERE day = 1")
+    assert(untouched.subsetOf(ta.entries(None).map(_.rel).toSet),
+      "overwrite of day=1 must carry the other days' bucket files")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.mx_a " +
+      "WHERE day = 1 AND v LIKE 'A%'").head().getLong(0) == 36L)
   }
 
   test("bucketed: null keys land in the seed bucket and never join") {
