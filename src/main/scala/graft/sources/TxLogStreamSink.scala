@@ -63,7 +63,15 @@ final class TxLogStreamSink(ctx: SQLContext, root: String,
     // executor-side; the standard V1 sink pattern).
     val batchDf = org.apache.spark.sql.graft.StreamingShim
       .asBatch(ctx.sparkSession, data)
-    t.commit(batchDf, overwrite = false, partitionCols = partitionCols,
+    // layout: explicit partitionBy wins; otherwise INHERIT the target
+    // table's current layout — appends must match it anyway (the commit
+    // require), and a bucketed table's hidden `_bkt` level is not a
+    // column the user could name in partitionBy at all (the staging
+    // chokepoint derives it)
+    val layout =
+      if (partitionCols.nonEmpty) partitionCols
+      else table.latestVersion.map(table.partitionColsOf).getOrElse(Nil)
+    t.commit(batchDf, overwrite = false, partitionCols = layout,
       op = opTag)
   }
 }

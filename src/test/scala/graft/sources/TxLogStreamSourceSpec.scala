@@ -70,6 +70,34 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink inherits a bucketed target's layout (no partitionBy needed)") {
+    val dstRoot = java.nio.file.Files.createTempDirectory("txsink-bkt")
+      .resolve("t").toString
+    val dst = TxLogTable(spark, dstRoot)
+    dst.create(schema, partitionCols = Seq(TxLogTable.BucketCol),
+      bucketSpec = Some(("id", 4)))
+    val srcDir = java.nio.file.Files.createTempDirectory("txsink-bksrc")
+      .toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.format("txlog")
+      .option("path", dstRoot)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txsink-bkck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the micro-batch landed under the table's hidden bucket layout —
+      // the sink inherited partitionCols from the target, the staging
+      // chokepoint derived the ids
+      assert(dst.entries(None).nonEmpty &&
+        dst.entries(None).forall(_.rel.startsWith("_bkt=")))
+      assert(dst.snapshot(schema).collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sink fences a replayed batch id (exactly-once on recovery)") {
     val ctx = spark.sqlContext
     val dstRoot = java.nio.file.Files.createTempDirectory("txsink-fence")
