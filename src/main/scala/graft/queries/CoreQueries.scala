@@ -565,6 +565,25 @@ object CoreQueries {
           expr("percentile(o_totalprice, 0.5)").as("q50"),
           expr("percentile(o_totalprice, 0.75)").as("q75"))),
 
+    // Deterministic SAMPLED quantile sketch — the fourth sketch family
+    // (distinct = HLL/KMV, membership = blooms, counts = histPow2,
+    // order statistics = this): a hash-keyed 5% row sample (md5 bucket
+    // on the row key — no RNG, engines and reruns agree row-for-row)
+    // feeds an exact percentile. Mergeable by construction: the sample
+    // of a union IS the union of the samples (the keep decision is
+    // per-row), so per-partition sketches combine by concatenation —
+    // at 100 TB the rate would derive from target_sample/corpus like
+    // tx_domain_mix's budget, and only the sample ever shuffles.
+    "sk_quantile_sample" -> ((s, dir) => {
+      val keep = conv(substring(md5(concat(lit("qs:"),
+        col("o_orderkey").cast(StringType))), 1, 6), 16, 10)
+        .cast(LongType) % 100 < 5
+      t(s, dir, "orders").filter(keep)
+        .agg(count(lit(1)).as("n_sample"),
+          expr("percentile(o_totalprice, 0.5)").as("q50_est"),
+          expr("percentile(o_totalprice, 0.9)").as("q90_est"))
+    }),
+
     // HyperLogLog distinct sketch (functions.Sketches.hllRegisters): the
     // whole table reduces MAP-SIDE to ≤256 (bucket, max-rank) register
     // rows — approximate COUNT(DISTINCT) whose shuffle is 256 groups
@@ -1035,6 +1054,16 @@ object CoreQueries {
            quantile_cont(o_totalprice, 0.5) AS q50,
            quantile_cont(o_totalprice, 0.75) AS q75
          FROM orders GROUP BY 1""",
+
+    "sk_quantile_sample" ->
+      """WITH s AS (SELECT o_totalprice FROM orders
+           WHERE CAST('0x' || substring(
+               md5('qs:' || CAST(o_orderkey AS VARCHAR)), 1, 6)
+             AS BIGINT) % 100 < 5)
+         SELECT COUNT(*) AS n_sample,
+           quantile_cont(o_totalprice, 0.5) AS q50_est,
+           quantile_cont(o_totalprice, 0.9) AS q90_est
+         FROM s""",
 
     "sk_hll_registers" ->
       """WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events

@@ -78,6 +78,30 @@ class SketchesSpec extends AnyFunSuite {
       direct.exceptAll(merged).isEmpty)
   }
 
+  test("hash-sampled quantiles land near exact; samples merge by union") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(20000).select(col("id"),
+      (col("id") % 1000).cast("double").as("v"))
+    def keep(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("qs:"), c.cast("string"))), 1, 6),
+        16, 10).cast("long") % 100 < 5
+    val sample = df.filter(keep(col("id")))
+    val est = sample.agg(
+      expr("percentile(v, 0.5)")).head().getDouble(0)
+    val exact = df.agg(expr("percentile(v, 0.5)")).head().getDouble(0)
+    // v is uniform on [0, 1000): a 5% deterministic sample's median
+    // should land well within 10% of the true median
+    assert(math.abs(est - exact) <= 100.0, s"est $est vs exact $exact")
+    // merge law: the sample of a union IS the union of the samples —
+    // the per-row hash decision doesn't depend on which shard saw the row
+    val (a, b) = (df.filter(col("id") < 10000), df.filter(col("id") >= 10000))
+    val merged = a.filter(keep(col("id")))
+      .unionByName(b.filter(keep(col("id"))))
+    assert(merged.count() == sample.count())
+    assert(merged.agg(expr("percentile(v, 0.5)")).head().getDouble(0) == est)
+  }
+
   test("nulls contribute nothing to either sketch") {
     import spark.implicits._
     val df = Seq(Some(1L), None, Some(2L), None).toDF("id")
