@@ -67,6 +67,58 @@ class TxLogPropertySpec extends AnyFunSuite {
     t.snapshot(schema, v).collect()
       .map(r => (r.getLong(0), r.getString(1))).toList.sorted
 
+  test("bucketed interleavings: hidden layout survives every op sequence") {
+    // the bucket-layout invariant under random compositions of append /
+    // overwrite / keyed merge / delete / compact / vacuum: every data
+    // file stays under a _bkt dir (the staging chokepoint derives the id
+    // on EVERY path) and the visible rows always match the in-memory
+    // model — layout maintenance can never cost correctness
+    val bucketOpGen: Gen[Op] = Gen.frequency(
+      4 -> rowsGen.map(Append),
+      2 -> rowsGen.map(Overwrite),
+      3 -> rowsGen.map(Merge),
+      2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L)))
+        .map(Delete),
+      1 -> Gen.const(Compact),
+      1 -> Gen.choose(1, 3).map(Vacuum))
+    val programGenB: Gen[List[Op]] = Gen.resize(8, Gen.listOf(bucketOpGen))
+    val layout = Seq(TxLogTable.BucketCol)
+    forAllSeeded(programGenB, n = 4) { program =>
+      val t = TxLogTable(spark,
+        Files.createTempDirectory("txpropb").resolve("t").toString)
+      t.create(schema, partitionCols = layout,
+        bucketSpec = Some(("id", 4)))
+      var model = List.empty[(Long, String)]
+      program.foreach { op =>
+        op match {
+          case Append(rows) =>
+            t.commit(rows.toDF("id", "v"), overwrite = false,
+              partitionCols = layout)
+            model = model ++ rows
+          case Overwrite(rows) =>
+            t.commit(rows.toDF("id", "v"), overwrite = true,
+              partitionCols = layout)
+            model = rows
+          case Merge(rows) =>
+            t.merge(schema, rows.toDF("id", "v"), Seq("id"))
+            val ids = rows.map(_._1).toSet
+            model = model.filterNot(r => ids(r._1)) ++ rows
+          case Delete(ids) =>
+            t.deleteWhere(schema,
+              org.apache.spark.sql.functions.col("id").isin(ids: _*))
+            model = model.filterNot(r => ids.contains(r._1))
+          case Compact => t.compact(schema, 2)
+          case Vacuum(keep) => t.vacuum(keep, minAgeMillis = 0)
+          case _ => ()
+        }
+        assert(t.entries(None).forall(_.rel.startsWith("_bkt=")),
+          s"bucket layout lost after $op: ${t.entries(None).map(_.rel)}")
+        assert(snapRows(t, None) == model.sorted,
+          s"model divergence after $op")
+      }
+    }
+  }
+
   test("partitioned interleavings: dynamic overwrite vs per-partition model") {
     val schemaP = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType),
