@@ -463,6 +463,51 @@ object ScaleProbe {
       }
     }
 
+    // Runtime DPP under growth: star join where the dim filter selects
+    // 2 of 20 partitions. With DPP the fact scan reads ~10% of files at
+    // EXECUTION; disabled, it scans everything. The gap should widen
+    // with the fact (the avoided work is O(table)); the probe also
+    // requires the prune really fired via the introspection hook.
+    if (what("dpp")) {
+      val wh = java.nio.file.Files.createTempDirectory("dppprobe").toString
+      spark.conf.set("spark.sql.catalog.dppcat2",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.dppcat2.warehouse", wh)
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
+      val dimDir = java.nio.file.Files.createTempDirectory("dppdim")
+        .toString
+      spark.range(20).selectExpr("cast(id as int) p",
+        "case when id in (3, 7) then 'hot' else 'cold' end name")
+        .write.mode("overwrite").parquet(dimDir)
+      spark.read.parquet(dimDir).createOrReplaceTempView("dpp_probe_dim")
+      for (k <- Seq(1, 10)) {
+        val n = 1000000L * k
+        spark.sql(s"CREATE TABLE dppcat2.db.fact$k " +
+          "(id BIGINT, pay STRING, p INT) USING txlog PARTITIONED BY (p)")
+        spark.sql(s"INSERT INTO dppcat2.db.fact$k SELECT id, " +
+          s"repeat(cast(id as string), 8), cast(id % 20 as int) " +
+          s"FROM range($n)")
+        // aggregate over the WIDE column: column pruning would otherwise
+        // reduce the scan to the dictionary-coded key and hide the prune
+        val q = s"""SELECT sum(length(f.pay)) FROM dppcat2.db.fact$k f
+          JOIN dpp_probe_dim d ON f.p = d.p WHERE d.name = 'hot'"""
+        graft.sources.v2.TxLogSpjScan.lastRuntimePrune.set((0, 0))
+        time(s"dpp on x$k") { spark.sql(q).head.getLong(0) }
+        val (before, after) =
+          graft.sources.v2.TxLogSpjScan.lastRuntimePrune.get()
+        require(before > after && after > 0,
+          s"dpp probe expected a runtime prune, got $before -> $after")
+        println(s"[probe] dpp x$k pruned $before -> $after files")
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        time(s"dpp off x$k") { spark.sql(q).head.getLong(0) }
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      }
+    }
+
     // Recovery ops are O(manifest), not O(data): restore and clone on a
     // table holding 10× the files (and 10× the rows) should cost ~the
     // file-count-proportional metadata work only — wall time grows with
