@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // vectorized scan, whole-stage codegen, manifest pruning — instead of
     // the V1Scan row-conversion fallback
     ext.injectResolutionRule(graft.sources.v2.TxLogReadRule.apply)
+    // range predicates on the derived epoch-nanos column regain parquet
+    // row-group pruning on the casual read path (redundant pushable
+    // bounds on the raw timestamp attribute; pre-CBO = runs once)
+    ext.injectPreCBORule(graft.catalyst.EpochNanosPushdown.apply)
   }
 }

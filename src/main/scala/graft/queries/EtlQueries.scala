@@ -39,7 +39,7 @@ object EtlQueries {
     * bench re-run) then agrees on the one directory the cached instance
     * captured, and `DROP TABLE IF EXISTS` keeps re-runs idempotent.
     */
-  private def ensureCatalog(s: SparkSession): String = {
+  private[queries] def ensureCatalog(s: SparkSession): String = {
     val key = "spark.sql.catalog.graftcat.warehouse"
     if (s.conf.getOption(key).isEmpty) {
       s.conf.set("spark.sql.catalog.graftcat",
@@ -1023,6 +1023,124 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // BUCKET-SPEC EVOLUTION (CALL system.rebucket) — the 100×-scale-up
+    // answer for the zero-shuffle join: a bucket count pinned at CREATE
+    // means per-bucket bytes grow with the corpus, and key-grouped plans
+    // are exactly what AQE skew-splitting cannot touch. Here both sides
+    // start at bucket(2, key) (a deliberately-too-small count), join
+    // zero-Exchange, then CALL rebucket to 8 — a full rewrite deriving
+    // the hidden ids under the new count plus an atomic manifest spec
+    // bump. The requires prove the spec bumped, the layout physically
+    // spread beyond the old 2 dirs, the post-rebucket join STILL plans
+    // zero Exchanges, and a post-bump append derives ids under the new
+    // spec. The oracle replays the (unchanged) join relationally — the
+    // layout evolved, the rows didn't, which is the whole contract.
+    "sql_rebucket" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_rbk_src")
+      t(s, dir, "orders").createOrReplaceTempView("ord_rbk_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_rbk")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ord_rbk")
+      s.sql("CREATE TABLE graftcat.db.cust_rbk (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE) USING txlog PARTITIONED BY (bucket(2, c_custkey))")
+      s.sql("CREATE TABLE graftcat.db.ord_rbk (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(2, o_custkey))")
+      s.sql("INSERT INTO graftcat.db.cust_rbk " +
+        "SELECT c_custkey, c_acctbal FROM cust_rbk_src")
+      s.sql("INSERT INTO graftcat.db.ord_rbk " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ord_rbk_src")
+      val tc = graft.sources.TxLogTable(s, s"$wh/db/cust_rbk")
+      val to = graft.sources.TxLogTable(s, s"$wh/db/ord_rbk")
+      def dirsOf(tbl: graft.sources.TxLogTable): Set[String] =
+        tbl.entries(None).map(_.rel.takeWhile(_ != '/')).toSet
+      require(dirsOf(tc).subsetOf(Set("_bkt=0", "_bkt=1")),
+        s"pre-evolution layout must sit in 2 buckets: ${dirsOf(tc)}")
+      val r = s.sql("CALL graftcat.system.rebucket('db.cust_rbk', 8)")
+        .collect().head
+      require(r.getInt(1) == 2 && r.getInt(2) == 8,
+        s"rebucket must report 2 -> 8, got $r")
+      s.sql("CALL graftcat.system.rebucket('db.ord_rbk', 8)")
+      require(tc.latestVersion.map(tc.bucketSpecsOf)
+        .contains(Seq(("c_custkey", 8))), "manifest spec must bump to 8")
+      require(dirsOf(tc).size > 2 && dirsOf(to).size > 2,
+        s"rewrite must spread past the old 2 dirs: ${dirsOf(tc)}")
+      // a post-evolution append derives ids under the NEW spec
+      s.sql("INSERT INTO graftcat.db.ord_rbk VALUES (900001, 1, 0.0)")
+      s.sql("DELETE FROM graftcat.db.ord_rbk WHERE o_orderkey = 900001")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true")
+      try {
+        val out = s.sql("""
+          SELECT /*+ MERGE(c) */ c.c_custkey AS custkey,
+                 count(*) AS n_ord,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS spend
+          FROM graftcat.db.cust_rbk c
+          JOIN graftcat.db.ord_rbk o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("TxLogSpjScan"),
+          s"expected the key-grouped bucketed scans:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"post-rebucket SPJ must still plan zero shuffles:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
+    // COMPOSITE-KEY co-location via a bucket GRID: a multi-tenant fact's
+    // join key is a tuple — one tuple-hash transform is what Spark's SPJ
+    // planner cannot key-group (single-argument transforms only), so the
+    // engine refuses it at CREATE and lays the table out as a grid of
+    // single-key levels instead (`bucket(8, l_orderkey),
+    // bucket(4, l_linenumber)` → `_bkt=i/_bkt1=j` dirs). Both scans
+    // report one bucket transform PER level, the join covers both keys,
+    // and the plan carries zero Exchanges — the zero-shuffle join at any
+    // composite-key cardinality. Oracle replays the 1:1 tuple join
+    // relationally.
+    "sql_bucket_grid" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("li_grid_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.li_grid_a")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.li_grid_b")
+      s.sql("CREATE TABLE graftcat.db.li_grid_a (l_orderkey BIGINT, " +
+        "l_linenumber INT, l_quantity DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, l_orderkey), bucket(4, l_linenumber))")
+      s.sql("CREATE TABLE graftcat.db.li_grid_b (l_orderkey BIGINT, " +
+        "l_linenumber INT, l_extendedprice DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, l_orderkey), bucket(4, l_linenumber))")
+      s.sql("INSERT INTO graftcat.db.li_grid_a SELECT l_orderkey, " +
+        "CAST(l_linenumber AS INT), l_quantity FROM li_grid_src")
+      s.sql("INSERT INTO graftcat.db.li_grid_b SELECT l_orderkey, " +
+        "CAST(l_linenumber AS INT), l_extendedprice FROM li_grid_src")
+      val ta = graft.sources.TxLogTable(s, s"$wh/db/li_grid_a")
+      require(ta.entries(None).nonEmpty && ta.entries(None).forall(e =>
+        e.rel.startsWith("_bkt=") && e.rel.contains("/_bkt1=")),
+        "grid layout must nest _bkt/_bkt1 dirs")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true")
+      try {
+        val out = s.sql("""
+          SELECT /*+ MERGE(a) */ a.l_orderkey AS okey,
+                 a.l_linenumber AS line,
+                 CAST(SUM(CAST(a.l_quantity * b.l_extendedprice
+                   AS DECIMAL(28,4))) AS DOUBLE) AS qp
+          FROM graftcat.db.li_grid_a a
+          JOIN graftcat.db.li_grid_b b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_linenumber = b.l_linenumber
+          GROUP BY a.l_orderkey, a.l_linenumber""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("TxLogSpjScan"),
+          s"expected the key-grouped grid scans:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"grid-bucketed tuple join must plan zero shuffles:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
     // UPDATE in pure SQL (the same DSv2 group-based row-level rewrite as
     // MERGE INTO; Spark compiles UPDATE to a replace-groups plan). The
     // WHERE reaches the operation scan as a pushed filter and is consumed
@@ -1783,6 +1901,22 @@ object EtlQueries {
              AS spend
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY c.c_custkey""",
+
+    "sql_rebucket" ->
+      """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS spend
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey""",
+
+    "sql_bucket_grid" ->
+      """SELECT a.l_orderkey AS okey, a.l_linenumber AS line,
+           CAST(SUM(CAST(a.l_quantity * b.l_extendedprice
+             AS DECIMAL(28,4))) AS DOUBLE) AS qp
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_linenumber = b.l_linenumber
+         GROUP BY a.l_orderkey, a.l_linenumber""",
 
     "sql_update" ->
       """SELECT p_partkey,

@@ -420,6 +420,27 @@ object SimQueries {
         t(s, dir, "embeddings"), k = 8, tau = SemDedupTau)
     }),
 
+    // The SQL surface of the same operator: `CALL system.semdedup` reads
+    // a txlog catalog table, runs the identical cluster-blocked dedup
+    // (k pinned here so the DuckDB Lloyd replay stays deterministic —
+    // k = 0 is the derive-from-corpus scale path), and materializes the
+    // verdicts as a fresh catalog table the SQL-first user queries
+    // directly. Same oracle as `dd_semantic`: the procedure path must be
+    // hash-identical to the library path it wraps.
+    "sql_semdedup" -> ((s, dir) => {
+      EtlQueries.ensureCatalog(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_sd_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.emb_sd")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.emb_sd_out")
+      s.sql("CREATE TABLE graftcat.db.emb_sd USING txlog AS " +
+        "SELECT vec_id, embedding FROM emb_sd_src")
+      val r = s.sql("CALL graftcat.system.semdedup(" +
+        s"'db.emb_sd', 'db.emb_sd_out', $SemDedupTau, 8)").collect().head
+      require(r.getInt(0) == 1 && r.getLong(1) > 0,
+        s"semdedup must land one data commit in the dest: $r")
+      s.sql("SELECT vec_id, cluster, kept FROM graftcat.db.emb_sd_out")
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion (RRF, k=60) of a lexical
     // BM25 leg over `documents` and a cosine vector leg over `embeddings`
     // (doc_id ≡ vec_id): the standard two-tower retrieval front-end of a
@@ -897,6 +918,20 @@ object SimQueries {
           SELECT vec_id, cluster, cs AS cos_sim FROM a2""",
 
     "dd_semantic" ->
+      s"""$kmeansAssignCte,
+          av AS (SELECT a2.vec_id, a2.cluster, v.embedding
+                 FROM a2 JOIN vecs v USING (vec_id))
+          SELECT b.vec_id, b.cluster, count(a.vec_id) = 0 AS kept
+          FROM av b LEFT JOIN av a
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            AND ${sqlDot("a.embedding", "b.embedding")} /
+                (sqrt(${sqlDot("a.embedding", "a.embedding")}) *
+                 sqrt(${sqlDot("b.embedding", "b.embedding")}))
+              >= $SemDedupTau
+          GROUP BY b.vec_id, b.cluster""",
+
+    // the procedure path must replay to the same verdicts
+    "sql_semdedup" ->
       s"""$kmeansAssignCte,
           av AS (SELECT a2.vec_id, a2.cluster, v.embedding
                  FROM a2 JOIN vecs v USING (vec_id))

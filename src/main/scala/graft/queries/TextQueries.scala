@@ -708,6 +708,26 @@ object TextQueries {
     "dd_dedup_near_exact" -> ((s, dir) =>
       graft.operators.Dedup.dedupNearExact(t(s, dir, "documents"))),
 
+    // The SQL surface of the same operator: `CALL system.dedup_near`
+    // reads a txlog catalog table, runs the identical LSH-gated dedup,
+    // and materializes the surviving corpus as a fresh catalog table —
+    // curation without leaving SQL. Same oracle as `dd_dedup_near_exact`:
+    // the procedure path must be hash-identical to the library path.
+    "sql_dedup_near" -> ((s, dir) => {
+      EtlQueries.ensureCatalog(s)
+      t(s, dir, "documents").createOrReplaceTempView("docs_dn_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.docs_dn")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.docs_dn_out")
+      s.sql("CREATE TABLE graftcat.db.docs_dn USING txlog AS " +
+        "SELECT * FROM docs_dn_src")
+      val r = s.sql("CALL graftcat.system.dedup_near(" +
+        "'db.docs_dn', 'db.docs_dn_out', 0.5)").collect().head
+      require(r.getInt(0) == 1 && r.getLong(1) > 0,
+        s"dedup_near must land one data commit in the dest: $r")
+      s.sql("SELECT doc_id, text, lang, source, n_chars " +
+        "FROM graftcat.db.docs_dn_out")
+    }),
+
     // Real BPE tokenization: merges learned from the corpus (distributed
     // vocab aggregate, driver-side learn, broadcast apply). Hash-checked:
     // the oracle unrolls all learn rounds into generated SQL (see
@@ -1290,6 +1310,13 @@ object TextQueries {
     "dd_jaccard_lsh_8x2" -> jaccardLshOracle(rowsPer = 2),
 
     "dd_dedup_near_exact" ->
+      s"""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+          FROM documents d
+          WHERE d.doc_id NOT IN (
+            SELECT doc_b FROM (${jaccardLshOracle(rowsPer = 2)}) p)""",
+
+    // the procedure path must replay to the same surviving corpus
+    "sql_dedup_near" ->
       s"""SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
           FROM documents d
           WHERE d.doc_id NOT IN (

@@ -22,16 +22,27 @@ object Tables {
     * the scan still reads only what it needs (verified via `PushedFilters` /
     * `ReadSchema` in `.explain("formatted")`).
     */
+  /** SESSION CONTRACT (set at construction, not here): every engine
+    * entry point (Verify, Bench, TestSpark, the tools mains) builds its
+    * session with `spark.sql.legacy.parquet.nanosAsLong=true`. Driver
+    * testdata has shipped `events.ts` in two physical forms across
+    * regenerations: parquet TIMESTAMP(NANOS) (Spark 4 refuses by
+    * default — the public nanosAsLong escape hatch reads it as
+    * epoch-nanos LongType) and plain timestamp[us] (arrow ≥16 writes,
+    * resolving as TIMESTAMP_NTZ). The engine's contract is ONE logical
+    * type regardless of the writer: epoch-nanos LongType —
+    * integer-exact, deterministic, and cheap to derive calendar fields
+    * from (DuckDB oracle side: `epoch_ns(ts)` is type-polymorphic over
+    * TIMESTAMP, so the SQL twins need no change). A reader must NOT
+    * mutate session config (a hidden side effect under concurrent
+    * readers), so a missing conf fails fast with the fix instead.
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Driver testdata has shipped `events.ts` in two physical forms across
-    // regenerations: parquet TIMESTAMP(NANOS) (Spark 4 refuses by default —
-    // the public nanosAsLong escape hatch reads it as epoch-nanos LongType)
-    // and plain timestamp[us] (arrow ≥16 writes, resolving as TIMESTAMP_NTZ).
-    // The engine's contract is ONE logical type regardless of the writer:
-    // epoch-nanos LongType — integer-exact, deterministic, and cheap to
-    // derive calendar fields from (DuckDB oracle side: `epoch_ns(ts)` is
-    // type-polymorphic over TIMESTAMP, so the SQL twins need no change).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "build the session with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(engine-wide contract: TIMESTAMP(NANOS) parquet reads as " +
+        "epoch-nanos LongType; see Tables.apply scaladoc)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") epochNanos(df, "ts") else df
   }

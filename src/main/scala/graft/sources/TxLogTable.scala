@@ -101,12 +101,38 @@ object TxLogTable {
     */
   val RowsKey = ":rows"
 
-  /** Reserved hive-segment name of a bucketed table's hidden derived
-    * partition column (`_bkt=<id>` dirs) — see [[TxLogTable.bucketSpecOf]].
-    * Never part of the logical schema; every read's schema projection
-    * drops it.
+  /** Reserved hive-segment name of a bucketed table's first hidden
+    * derived partition column (`_bkt=<id>` dirs) — see
+    * [[TxLogTable.bucketSpecsOf]]. Never part of the logical schema;
+    * every read's schema projection drops it.
     */
   val BucketCol = "_bkt"
+
+  /** Hidden hive-dir column name of bucket level `i`: `_bkt`, `_bkt1`,
+    * `_bkt2`, ... — one level per entry of the table's bucket spec, in
+    * spec order, always the INNERMOST partition levels.
+    */
+  def bucketColAt(i: Int): String =
+    if (i == 0) BucketCol else s"$BucketCol$i"
+
+  /** Is `name` one of the reserved hidden bucket-level columns? */
+  def isBucketCol(name: String): Boolean =
+    name == BucketCol ||
+      (name.startsWith(BucketCol) &&
+        name.drop(BucketCol.length).forall(_.isDigit))
+
+  /** The ONE definition of a bucket id: `pmod(xxhash64(key), n)`. Every
+    * staging write, every rebucket rewrite, the V2 bucket function and
+    * the manifest point-prune all derive from this expression (or its
+    * bit-identical interpreted twin) — the layout and the planner can
+    * never disagree.
+    */
+  def bucketIdCol(key: String, n: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col(key)),
+      org.apache.spark.sql.functions.lit(n))
+      .cast(org.apache.spark.sql.types.IntegerType)
 
   /** Reserved stats-key prefix carrying a column's exact NULL count
     * (`:nulls:<col>=n:n`). Like [[RowsKey]], the leading `:` is a wire
@@ -551,43 +577,52 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.startsWith("#bucketSpec=") ||
         l.startsWith("#droppedPhys="))).getOrElse(Nil)
 
-  /** Hash-bucket layout recorded at `v` (`#bucketSpec=<keyCol>:<n>`): the
-    * table is hive-partitioned on the HIDDEN derived column
-    * [[TxLogTable.BucketCol]] `= pmod(xxhash64(key), n)` — Iceberg's
-    * bucket transform re-derived on the hive layout this format already
-    * has. The key column stays a plain data column; the bucket id is
-    * derived at EVERY staging write ([[stage]]), never stored in file
-    * bytes, and dropped by every read's schema projection. What it buys
-    * at 100 TB: a scan can report
-    * `KeyGroupedPartitioning(bucket(n, key))`, so an equi-join of two
-    * tables bucketed the same way on a HIGH-CARDINALITY key plans with
-    * zero shuffle exchanges (identity partitioning can only do this for
-    * low-cardinality keys — one hive dir per value).
+  /** Hash-bucket layout recorded at `v` — ONE `#bucketSpec=<key>:<n>`
+    * line per bucket LEVEL, in order: the table is hive-partitioned on
+    * the HIDDEN derived columns [[TxLogTable.bucketColAt]]
+    * `= pmod(xxhash64(key_i), n_i)` — Iceberg's bucket transform
+    * re-derived on the hive layout this format already has. The key
+    * columns stay plain data columns; the bucket ids are derived at
+    * EVERY staging write ([[stage]]), never stored in file bytes, and
+    * dropped by every read's schema projection. What it buys at 100 TB:
+    * a scan can report `KeyGroupedPartitioning(bucket(n_1, k_1), ...)`,
+    * so an equi-join of two tables bucketed the same way on
+    * HIGH-CARDINALITY keys plans with zero shuffle exchanges (identity
+    * partitioning can only do this for low-cardinality keys — one hive
+    * dir per value).
+    *
+    * COMPOSITE join keys use a GRID of single-key levels
+    * (`bucket(4, tenant_id), bucket(4, entity_id)` → `_bkt=i/_bkt1=j`
+    * dirs), NOT one tuple-hash transform — deliberately: Spark's SPJ
+    * planner only accepts single-argument transforms in a key-grouped
+    * partitioning (`KeyGroupedPartitioning.supportsExpressions` requires
+    * `transform.children.size == 1`; a multi-arg bucket degrades the
+    * scan to UnknownPartitioning and every join shuffles), while a grid
+    * of single-key transforms key-groups natively. The grid also prunes
+    * better: a predicate on HALF the composite key still prunes its own
+    * dir level, where a tuple hash needs the whole tuple.
     */
-  def bucketSpecOf(v: Int): Option[(String, Int)] =
-    manifestLines(v).collectFirst {
+  def bucketSpecsOf(v: Int): Seq[(String, Int)] =
+    manifestLines(v).collect {
       case l if l.startsWith("#bucketSpec=") =>
         val body = l.stripPrefix("#bucketSpec=")
         val cut = body.lastIndexOf(':')
         (body.substring(0, cut), body.substring(cut + 1).toInt)
     }
 
-  // derive the hidden bucket column when this table is bucketed and the
-  // staged frame doesn't already carry it — the ONE chokepoint every
+  // derive the hidden bucket columns when this table is bucketed and the
+  // staged frame doesn't already carry them — the ONE chokepoint every
   // write path (append, merge rewrite, delete rewrite, replaceWhere,
   // compaction) funnels through keeps the layout automatic
   private def withBucketCol(df: DataFrame,
-                            partitionCols: Seq[String]): DataFrame =
-    if (!partitionCols.contains(TxLogTable.BucketCol) ||
-        df.columns.contains(TxLogTable.BucketCol)) df
-    else latestVersion.flatMap(bucketSpecOf) match {
-      case Some((k, n)) =>
-        df.withColumn(TxLogTable.BucketCol,
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(col(k)),
-            lit(n)).cast(org.apache.spark.sql.types.IntegerType))
-      case None => df
+                            partitionCols: Seq[String]): DataFrame = {
+    val specs = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
+    specs.zipWithIndex.foldLeft(df) { case (acc, ((key, n), i)) =>
+      val bc = TxLogTable.bucketColAt(i)
+      if (!partitionCols.contains(bc) || acc.columns.contains(bc)) acc
+      else acc.withColumn(bc, TxLogTable.bucketIdCol(key, n))
     }
+  }
 
   /** Create an EMPTY table with a declared logical schema — the DDL
     * surface (`CREATE TABLE ... USING txlog` lands here via the catalog).
@@ -596,28 +631,41 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def create(schema: StructType, partitionCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
-             bucketSpec: Option[(String, Int)] = None): Int = {
-    partitionCols.filterNot(_ == TxLogTable.BucketCol)
+             bucketSpecs: Seq[(String, Int)] = Nil): Int = {
+    partitionCols.filterNot(TxLogTable.isBucketCol)
       .foreach(c => require(schema.fieldNames.contains(c),
         s"partition column $c not in schema"))
-    bucketSpec.foreach { case (k, n) =>
-      require(schema.fieldNames.contains(k), s"bucket key $k not in schema")
-      require(!schema.fieldNames.contains(TxLogTable.BucketCol),
-        s"column name ${TxLogTable.BucketCol} is reserved for bucketing")
-      require(n > 0 && n <= (1 << 20), s"bucket count out of range: $n")
-      require(partitionCols.lastOption.contains(TxLogTable.BucketCol) &&
-        partitionCols.count(_ == TxLogTable.BucketCol) == 1,
-        "a bucketed table's hidden bucket col is its INNERMOST " +
-          s"partition level, got $partitionCols")
-      require(!partitionCols.contains(k),
-        s"bucket key $k cannot also be an identity partition column")
+    if (bucketSpecs.nonEmpty) {
+      val keys = bucketSpecs.map(_._1)
+      require(keys.distinct == keys,
+        s"bucket keys must be distinct: $keys")
+      bucketSpecs.foreach { case (k, n) =>
+        require(schema.fieldNames.contains(k),
+          s"bucket key $k not in schema")
+        require(TxLogTable.wireSafeName(k),
+          s"bucket key '$k' contains a manifest wire delimiter")
+        require(!partitionCols.contains(k),
+          s"bucket key $k cannot also be an identity partition column")
+        require(n > 0 && n <= (1 << 20), s"bucket count out of range: $n")
+      }
+      schema.fieldNames.filter(TxLogTable.isBucketCol).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column name $c is reserved for bucketing"))
+      // the hidden bucket dirs nest INNERMOST, in spec order: identity
+      // prunes (static and DPP) cut whole outer dirs first, the bucket
+      // ids refine within
+      val expect = bucketSpecs.indices.map(TxLogTable.bucketColAt)
+      require(partitionCols.takeRight(expect.length) == expect &&
+        partitionCols.count(TxLogTable.isBucketCol) == expect.length,
+        "a bucketed table's hidden bucket cols are its INNERMOST " +
+          s"partition levels in spec order ($expect), got $partitionCols")
     }
     Files.createDirectories(logDir)
     Files.createDirectories(dataDir)
     Files.write(manifestPath(0),
       (metaLines(partitionCols, "create", bloomCols) ++
         Seq(s"#schema=${schema.json}") ++
-        bucketSpec.toSeq.map { case (k, n) => s"#bucketSpec=$k:$n" })
+        bucketSpecs.map { case (k, n) => s"#bucketSpec=$k:$n" })
         .mkString("\n").getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW)
     0
@@ -699,7 +747,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           "(> , = ; : tab newline) — pick another name")
       require(!partitionColsOf(b).contains(oldName),
         s"cannot rename partition column $oldName (physical hive paths)")
-      require(!bucketSpecOf(b).exists(_._1 == oldName),
+      require(!bucketSpecsOf(b).exists(_._1 == oldName),
         s"cannot rename bucket key $oldName (the bucket spec and every " +
           "file's hive bucket id derive from it)")
       require(tombstonesOf(b).isEmpty,
@@ -761,7 +809,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       require(schema.fieldNames.contains(name), s"no such column: $name")
       require(!partitionColsOf(b).contains(name),
         s"cannot drop partition column $name")
-      require(!bucketSpecOf(b).exists(_._1 == name),
+      require(!bucketSpecsOf(b).exists(_._1 == name),
         s"cannot drop bucket key $name")
       require(tombstonesOf(b).isEmpty,
         "cannot drop with live MOR tombstones: compact first")
@@ -1025,44 +1073,46 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   private def allowedBuckets(
       points: Map[String, Set[PredicateRanges.Point]],
-      version: Option[Int]): Option[Set[String]] = {
+      version: Option[Int]): Map[String, Set[String]] = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     val v = version.orElse(latestVersion)
-    for {
-      (k, n) <- v.flatMap(bucketSpecOf)
-      pts <- points.get(k) // bucket key is never colmapped (rename refuses)
-      keyType <- v.flatMap(schemaOf).flatMap(
-        _.fields.find(_.name == k)).map(_.dataType)
-      hashes <- {
-        val hs = pts.toSeq.map { p =>
-          keyType match {
-            case LongType if !p.isString =>
-              scala.util.Try(p.canon.toLong).toOption
-                .map(x => XxHash64Function.hash(x, LongType, 42L))
-            case IntegerType if !p.isString =>
-              scala.util.Try(p.canon.toInt).toOption
-                .map(x => XxHash64Function.hash(x, IntegerType, 42L))
-            case StringType if p.isString =>
-              Some(XxHash64Function.hash(
-                org.apache.spark.unsafe.types.UTF8String
-                  .fromString(p.canon), StringType, 42L))
-            case _ => None
-          }
-        }
-        if (hs.exists(_.isEmpty)) None
-        else Some(hs.flatten.map(h => (((h % n) + n) % n).toString).toSet)
-      }
-    } yield hashes
+    // one point value interpreted against the RECORDED key type — None
+    // when the interpretation is ambiguous (disable this level's prune)
+    def hash1(p: PredicateRanges.Point,
+              keyType: DataType): Option[Long] = keyType match {
+      case LongType if !p.isString =>
+        scala.util.Try(p.canon.toLong).toOption
+          .map(x => XxHash64Function.hash(x, LongType, 42L))
+      case IntegerType if !p.isString =>
+        scala.util.Try(p.canon.toInt).toOption
+          .map(x => XxHash64Function.hash(x, IntegerType, 42L))
+      case StringType if p.isString =>
+        Some(XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(p.canon), StringType, 42L))
+      case _ => None
+    }
+    // each bucket LEVEL prunes independently: a grid-bucketed table's
+    // predicate on half the composite key still cuts its own dir level
+    (for {
+      ((k, n), i) <- v.map(bucketSpecsOf).getOrElse(Nil).zipWithIndex
+      pts <- points.get(k).toSeq // keys never colmapped (rename refuses)
+      kt <- v.flatMap(schemaOf)
+        .flatMap(_.fields.find(_.name == k)).map(_.dataType).toSeq
+      hs = pts.toSeq.map(hash1(_, kt))
+      if hs.forall(_.isDefined) // one ambiguous value disables the level
+    } yield TxLogTable.bucketColAt(i) ->
+        hs.flatten.map(h => (((h % n) + n) % n).toString).toSet).toMap
   }
 
-  // a file survives bucket pruning when unconstrained, or its _bkt
-  // segment is one of the allowed ids (no segment → survive: sound)
+  // a file survives bucket pruning when its every CONSTRAINED level's
+  // _bkt* segment is among that level's allowed ids (no segment →
+  // survive: sound)
   private def bucketMayMatch(e: TxLogTable.FileEntry,
-                             buckets: Option[Set[String]]): Boolean =
-    buckets.forall { ids =>
-      TxLogTable.partitionSegmentsOf(e.rel)
-        .get(TxLogTable.BucketCol).forall(ids.contains)
+                             buckets: Map[String, Set[String]]): Boolean =
+    buckets.forall { case (bc, ids) =>
+      TxLogTable.partitionSegmentsOf(e.rel).get(bc).forall(ids.contains)
     }
 
   // May file `e` contain a row with `lo <= column <= hi`? Footer stats
@@ -1711,6 +1761,95 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
             l.startsWith("#partitionCols="))
     }
+
+  /** BUCKET-SPEC EVOLUTION: rewrite the current snapshot with the bucket
+    * count changed to `newN` (`CALL system.rebucket` lands here) — the
+    * answer to the one way a pinned bucket count fails at 100×: a table
+    * bucketed `bucket(8, key)` at 1 TB has 12.5 TB per bucket at 100 TB,
+    * and KeyGroupedPartitioning is exactly the plan shape AQE's skew
+    * splitting cannot touch, so each co-partition of the zero-shuffle
+    * join becomes a monster task. Doubling (or any re-pick of) `n`
+    * restores per-bucket bytes; this is Iceberg's partition-spec
+    * evolution, except the format keeps ONE spec per version — a full
+    * rewrite, not a dual-spec read path, because a mixed-spec manifest
+    * would make every bucket prune and every SPJ report version-dependent
+    * (and the rewrite is a one-time O(table) cost the operator schedules,
+    * against a permanent read-path tax).
+    *
+    * Mechanics: the masked snapshot re-derives [[TxLogTable.BucketCol]]
+    * under `newN` via [[TxLogTable.bucketIdCol]] (bit-identical to every
+    * staging write), identity partition levels are preserved, MOR
+    * tombstones fold into the rewrite (like any full compaction), and the
+    * manifest publishes with the `#bucketSpec=` line bumped — atomically,
+    * under the usual optimistic create-if-absent race, so a concurrent
+    * DML either lands before (its files are re-read on retry) or after
+    * (it re-derives bucket ids under the NEW spec via `withBucketCol`).
+    * Readers never see a mixed layout: old files stay referenced only by
+    * old manifests.
+    *
+    * `files` bounds the rewrite's output tasks per partition value
+    * (default: one file per bucket via a `repartition` on the layout
+    * columns).
+    */
+  def rebucket(schema: StructType, newN: Int, key: Option[String] = None,
+               files: Int = 0, maxAttempts: Int = 10): Int = {
+    require(newN > 0 && newN <= (1 << 20),
+      s"bucket count out of range: $newN")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      require(base.isDefined, s"rebucket of nonexistent table $root")
+      val b = base.get
+      val specs = bucketSpecsOf(b)
+      if (specs.isEmpty) throw new IllegalArgumentException(
+        s"rebucket of a non-bucketed table: $root (create with a " +
+          "bucket transform first)")
+      // which level evolves: the only one, or the named key of a grid
+      val targetKey = key.getOrElse {
+        require(specs.length == 1,
+          s"grid-bucketed table has ${specs.length} bucket levels " +
+            s"(${specs.map(_._1).mkString(", ")}): name the key to evolve")
+        specs.head._1
+      }
+      val idx = specs.indexWhere(_._1 == targetKey)
+      require(idx >= 0, s"no bucket level on key '$targetKey' " +
+        s"(levels: ${specs.map(_._1).mkString(", ")})")
+      val newSpecs = specs.updated(idx, (targetKey, newN))
+      val layout = partitionColsOf(b)
+      // masked snapshot (tombstones materialize), EVERY level's id
+      // re-derived explicitly under the new spec — withBucketCol then
+      // sees the columns present and leaves them alone, so the old spec
+      // never touches these rows
+      val re = newSpecs.zipWithIndex.foldLeft(snapshot(schema, Some(b))) {
+        case (acc, ((k, n), i)) => acc.withColumn(
+          TxLogTable.bucketColAt(i), TxLogTable.bucketIdCol(k, n))
+      }
+      val nOut = if (files > 0) files
+        else math.max(newSpecs.map(_._2).product, 1)
+      val packed = re.repartition(nOut, layout.map(col): _*)
+      val effBloom = bloomColsOf(b)
+      val staged = stageWithStats(packed, layout, effBloom,
+        inheritedBloomBits(base))
+      val next = b + 1
+      // tombstones folded by the masked rewrite → morLines dropped; the
+      // bucketSpec lines are REPLACED as a block (order preserved)
+      val lines = metaLines(layout, "rebucket", effBloom) ++
+        tableMetaLines(base).filterNot(_.startsWith("#bucketSpec=")) ++
+        newSpecs.map { case (k, n) => s"#bucketSpec=$k:$n" } ++
+        checkLines(base) ++ tagVersion(staged, next)
+      try {
+        Files.write(manifestPath(next),
+          lines.mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-read the new snapshot, restage
+      }
+    }
+    throw new IllegalStateException(
+      s"rebucket lost the version race $maxAttempts times: $root")
+  }
 
   /** Zero-copy clone of the CURRENT snapshot into a fresh table at
     * `destRoot` (`CREATE TABLE ... CLONE` semantics): the source's latest

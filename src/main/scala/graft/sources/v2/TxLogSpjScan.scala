@@ -84,9 +84,9 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // identity levels accept runtime filters; the hidden bucket level is
-    // not a query attribute (its prune is the hash path, not DPP)
-    partCols.filterNot(_ == graft.sources.TxLogTable.BucketCol)
+    // identity levels accept runtime filters; the hidden bucket levels
+    // are not query attributes (their prune is the hash path, not DPP)
+    partCols.filterNot(graft.sources.TxLogTable.isBucketCol)
       .map(Expressions.column).toArray
 
   override def filter(predicates: Array[
@@ -142,21 +142,24 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
   override def toBatch: Batch = this
 
   /** Identity layout → identity transforms over the partition columns;
-    * bucketed layout → ONE `bucket(n, key)` transform (the hidden `_bkt`
-    * dir values ARE the bucket ids). Spark resolves the bucket transform
-    * through the catalog's [[TxLogBucketFunction]], so two bucketed
-    * txlog scans key-group compatibly and the join plans shuffle-free.
+    * bucketed layout → one single-key `bucket(n, key)` transform PER
+    * LEVEL (the hidden `_bkt*` dir values ARE the bucket ids — a grid
+    * layout reports one transform per grid dimension, which is the form
+    * Spark's SPJ planner accepts: `KeyGroupedPartitioning
+    * .supportsExpressions` requires single-argument transforms). Spark
+    * resolves each through the catalog's [[TxLogBucketFunction]], so two
+    * txlog scans bucketed the same way key-group compatibly and the join
+    * plans shuffle-free.
     */
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       index.partitionSchema.fields.map { f =>
-        if (f.name == graft.sources.TxLogTable.BucketCol &&
-            tbl.bucketSpec.isDefined) {
-          val (k, n) = tbl.bucketSpec.get
-          Expressions.bucket(n, k)
+        tbl.bucketSpecs.get(f.name) match {
+          case Some((k, n)) => Expressions.bucket(n, k)
             : org.apache.spark.sql.connector.expressions.Expression
-        } else Expressions.identity(f.name)
-          : org.apache.spark.sql.connector.expressions.Expression
+          case None => Expressions.identity(f.name)
+            : org.apache.spark.sql.connector.expressions.Expression
+        }
       },
       dirs.size)
 

@@ -141,18 +141,18 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident.toString)
-    // `PARTITIONED BY ([idCols...,] bucket(n, key))` — identity hive
-    // columns plus at most ONE hash-bucket transform on a hidden derived
-    // column (the date+bucket fact layout); see TxLogTable.bucketSpecOf
+    // `PARTITIONED BY ([idCols...,] bucket(n1, k1) [, bucket(n2, k2)...])`
+    // — identity hive columns plus hash-bucket transforms on hidden
+    // derived columns, ONE KEY COLUMN EACH (the date+bucket fact layout,
+    // or a bucket GRID for a composite join key); see
+    // TxLogTable.bucketSpecsOf
     val (bucketTs, idTs) = partitions.toSeq.partition(_.name == "bucket")
-    require(bucketTs.length <= 1,
-      s"txlog supports at most one bucket transform, got $bucketTs")
     val idCols = idTs.map { t =>
       require(t.name == "identity" && t.references.length == 1,
         s"txlog supports identity or bucket partitioning, got $t")
       t.references.head.fieldNames.mkString(".")
     }
-    val bucketSpec = bucketTs.headOption.map { bt =>
+    val bucketSpecs = bucketTs.map { bt =>
       import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
       val n = bt.arguments.collectFirst {
         case l: VLit[_] if l.dataType ==
@@ -161,19 +161,29 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       }.getOrElse(throw new IllegalArgumentException(
         s"bucket transform needs an integer bucket count: $bt"))
       val refs = bt.arguments.toSeq.collect { case r: NamedReference => r }
+      // a multi-column tuple-hash transform is refused LOUDLY, with the
+      // working alternative: Spark's SPJ planner only key-groups
+      // single-argument transforms (KeyGroupedPartitioning
+      // .supportsExpressions requires transform.children.size == 1 —
+      // sql/catalyst partitioning.scala), so bucket(n, k1, k2) would
+      // accept the write but silently shuffle every join. The bucket
+      // GRID gives composite keys the zero-shuffle join Spark can
+      // actually plan.
       require(refs.length == 1,
-        s"txlog bucket transform takes exactly one column, got $bt")
+        s"txlog bucket transform takes exactly ONE key column, got $bt " +
+          "— for a composite key use a bucket grid: " +
+          "PARTITIONED BY (bucket(n1, k1), bucket(n2, k2))")
       (refs.head.fieldNames.mkString("."), n)
     }
-    // the hidden bucket dir nests INNERMOST (`p=../_bkt=..`): identity
-    // prunes (static and DPP) cut whole date dirs first, the bucket id
-    // refines within
-    val partCols =
-      if (bucketSpec.isDefined) idCols :+ TxLogTable.BucketCol else idCols
+    // the hidden bucket dirs nest INNERMOST (`p=../_bkt=../_bkt1=..`):
+    // identity prunes (static and DPP) cut whole date dirs first, the
+    // bucket ids refine within
+    val partCols = idCols ++
+      bucketSpecs.indices.map(TxLogTable.bucketColAt)
     val bloomCols = Option(properties.get("bloomCols")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     TxLogTable(spark, pathOf(ident).toString)
-      .create(schema, partCols, bloomCols, bucketSpec)
+      .create(schema, partCols, bloomCols, bucketSpecs)
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
   }
 
@@ -268,7 +278,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
-        "clone", "zorder").map(Identifier.of(Array("system"), _))
+        "clone", "zorder", "rebucket", "semdedup",
+        "dedup_near").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -454,12 +465,132 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               Seq(InternalRow(v, t.fileCount())))
           }
         }
+      case "rebucket" =>
+        // CALL c.system.rebucket('ns.t', new_buckets [, files]):
+        // bucket-spec evolution — full rewrite re-deriving the hidden
+        // bucket ids under the new count plus an atomic manifest spec
+        // bump. THE maintenance lever when a bucketed table outgrows its
+        // CREATE-time count: per-bucket bytes scale with the corpus, and
+        // KeyGroupedPartitioning is the one plan AQE skew-splitting
+        // cannot touch, so the operator re-picks n (typically 2×) and
+        // every subsequent SPJ is balanced again. O(table) once, by
+        // choice — see TxLogTable.rebucket for why not a dual-spec read.
+        new MaintenanceProc("rebucket", Seq(
+          inParam("table", StringType),
+          inParam("buckets", IntegerType),
+          inParam("key", StringType, Some("NULL")),
+          inParam("files", IntegerType, Some("0")))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "rebucket needs a bucket count")
+            val newN = input.getInt(1)
+            val key = if (input.isNullAt(2)) None
+              else Some(input.getString(2))
+            val files = if (input.isNullAt(3)) 0 else input.getInt(3)
+            val specs = t.latestVersion.map(t.bucketSpecsOf)
+              .getOrElse(Nil)
+            val before = key.flatMap(k =>
+                specs.find(_._1 == k)).orElse(specs.headOption)
+              .map(_._2).getOrElse(0)
+            val schema = t.tableSchema.getOrElse(
+              TxLogV2Table(spark, t.root, input.getString(0)).schema)
+            val v = t.rebucket(schema, newN, key, files)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("buckets_before", IntegerType),
+              StructField("buckets_after", IntegerType),
+              StructField("n_files", IntegerType))),
+              Seq(InternalRow(v, before, newN, t.fileCount())))
+          }
+        }
+      case "semdedup" =>
+        // CALL c.system.semdedup('ns.src', 'ns.dst', tau [, k]): the SQL
+        // surface of graft.operators.SemDedup — cluster-blocked semantic
+        // dedup over the source's (vec_id, embedding) columns, verdicts
+        // (vec_id, cluster, kept) materialized as a fresh txlog table.
+        // k = 0 (default) derives k from the corpus (the scale path);
+        // an explicit k pins it (deterministic replay). The SQL-first
+        // user of the 100 TB catalog never has to leave SQL to curate.
+        new MaintenanceProc("semdedup", Seq(
+          inParam("source", StringType),
+          inParam("dest", StringType),
+          inParam("tau", DoubleType),
+          inParam("k", IntegerType, Some("0")))) {
+          override def call(input: InternalRow) = {
+            implicit val s: SparkSession = spark
+            val src = tableByName(input.getString(0))
+            require(!input.isNullAt(2), "semdedup needs tau")
+            val tau = input.getDouble(2)
+            val k = if (input.isNullAt(3)) 0 else input.getInt(3)
+            val schema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(0)).schema)
+            require(Seq("vec_id", "embedding").forall(
+              schema.fieldNames.contains),
+              "semdedup source needs (vec_id, embedding) columns")
+            val emb = src.snapshot(schema)
+            val verdicts =
+              if (k > 0) graft.operators.SemDedup.withK(emb, k, tau)
+              else graft.operators.SemDedup(emb, tau)
+            val outV = writeResultTable(input.getString(1), verdicts)
+            resultScan(StructType(Seq(
+              StructField("dest_version", IntegerType),
+              StructField("n_vectors", LongType))),
+              Seq(InternalRow(outV, tableByName(input.getString(1))
+                .entries(None).flatMap(_.stats.get(TxLogTable.RowsKey))
+                .map(_._1).sum)))
+          }
+        }
+      case "dedup_near" =>
+        // CALL c.system.dedup_near('ns.src', 'ns.dst' [, threshold]):
+        // the SQL surface of graft.operators.Dedup.dedupNearExact —
+        // MinHash-LSH-gated near-dup removal over the source's
+        // (doc_id, source, text) columns, surviving corpus materialized
+        // as a fresh txlog table. Same scale shape as the operator:
+        // banding + candidate verify + one anti-join, never all-pairs.
+        new MaintenanceProc("dedup_near", Seq(
+          inParam("source", StringType),
+          inParam("dest", StringType),
+          inParam("threshold", DoubleType, Some("0.5")))) {
+          override def call(input: InternalRow) = {
+            val src = tableByName(input.getString(0))
+            val thr = if (input.isNullAt(2)) 0.5 else input.getDouble(2)
+            val schema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(0)).schema)
+            require(Seq("doc_id", "source", "text").forall(
+              schema.fieldNames.contains),
+              "dedup_near source needs (doc_id, source, text) columns")
+            val docs = src.snapshot(schema)
+            val kept = graft.operators.Dedup.dedupNearExact(docs, thr)
+            val outV = writeResultTable(input.getString(1), kept)
+            resultScan(StructType(Seq(
+              StructField("dest_version", IntegerType),
+              StructField("n_kept", LongType))),
+              Seq(InternalRow(outV, tableByName(input.getString(1))
+                .entries(None).flatMap(_.stats.get(TxLogTable.RowsKey))
+                .map(_._1).sum)))
+          }
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"unknown txlog procedure: system.$other " +
             "(available: compact, vacuum, history, partitions, restore, " +
-            "clone, zorder)")
+            "clone, zorder, rebucket, semdedup, dedup_near)")
     }
+  }
+
+  // materialize a procedure's result frame as a fresh catalog table:
+  // declared-schema create + one append commit (the dest must not exist —
+  // curation outputs are new artifacts, not in-place mutations)
+  private def writeResultTable(dest: String,
+                               df: org.apache.spark.sql.DataFrame): Int = {
+    val parts = dest.split('.')
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"destination must be 'ns.table', got '$dest'")
+    val dident = Identifier.of(parts.init, parts.last)
+    require(!tableExists(dident), s"destination already exists: $dest")
+    val t = TxLogTable(spark, pathOf(dident).toString)
+    t.create(df.schema)
+    t.commit(df, overwrite = false)
   }
 }
 
@@ -481,15 +612,17 @@ object TxLogBucketFunction
   override def name(): String = "bucket"
 
   override def description(): String =
-    "bucket(numBuckets, col): txlog bucket id = pmod(xxhash64(col), n)"
+    "bucket(numBuckets, cols...): txlog bucket id = " +
+      "pmod(xxhash64(cols...), n)"
 
   override def bind(inputType: StructType)
       : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
-    require(inputType.fields.length == 2 &&
+    require(inputType.fields.length >= 2 &&
       inputType.fields(0).dataType == IntegerType,
-      s"bucket expects (numBuckets INT, key), got ${inputType.catalogString}")
-    val keyType = inputType.fields(1).dataType
-    keyType match {
+      s"bucket expects (numBuckets INT, keys...), got " +
+        inputType.catalogString)
+    val keyTypes = inputType.fields.drop(1).map(_.dataType).toIndexedSeq
+    keyTypes.foreach {
       case LongType | IntegerType | ShortType | ByteType | StringType |
            DateType | TimestampType | TimestampNTZType => ()
       case other => throw new UnsupportedOperationException(
@@ -498,21 +631,27 @@ object TxLogBucketFunction
     new org.apache.spark.sql.connector.catalog.functions
         .ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] =
-        Array(IntegerType, keyType)
+        (IntegerType +: keyTypes).toArray
       override def resultType(): DataType = IntegerType
       override def name(): String = "bucket"
       override def canonicalName(): String =
-        s"graft.txlog.bucket(${keyType.catalogString})"
+        s"graft.txlog.bucket(${keyTypes.map(_.catalogString)
+          .mkString(",")})"
       override def isResultNullable: Boolean = false
       override def produceResult(
           input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
         val n = input.getInt(0)
-        // null key: the builtin xxhash64 leaves the seed untouched for a
-        // null child, so the write path lands nulls in pmod(42, n) — match
-        val h =
-          if (input.isNullAt(1)) 42L
-          else org.apache.spark.sql.catalyst.expressions.XxHash64Function
-            .hash(input.get(1, keyType), keyType, 42L)
+        // seed-chained over the key tuple, exactly the builtin xxhash64's
+        // multi-child evaluation; a null key leaves the seed untouched
+        // (so the write path lands nulls where the planner expects them)
+        var h = 42L
+        var i = 0
+        while (i < keyTypes.length) {
+          if (!input.isNullAt(i + 1))
+            h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+              .hash(input.get(i + 1, keyTypes(i)), keyTypes(i), h)
+          i += 1
+        }
         (((h % n) + n) % n).toInt
       }
     }
@@ -878,19 +1017,23 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       .getOrElse(
         TxLogRelation(spark.sqlContext, root, asOfVersion, None).schema)
 
-  // bucket spec of the version being read (None = not bucketed)
-  private[v2] def bucketSpec: Option[(String, Int)] =
-    asOfVersion.orElse(table.latestVersion).flatMap(table.bucketSpecOf)
+  // bucket levels of the version being read (empty = not bucketed),
+  // keyed by their hidden partition column name
+  private[v2] def bucketSpecs: Map[String, (String, Int)] =
+    asOfVersion.orElse(table.latestVersion)
+      .map(table.bucketSpecsOf).getOrElse(Nil).zipWithIndex
+      .map { case (kn, i) =>
+        graft.sources.TxLogTable.bucketColAt(i) -> kn }.toMap
 
   override def partitioning(): Array[Transform] = {
     val cols = asOfVersion.orElse(table.latestVersion)
       .map(table.partitionColsOf).getOrElse(Nil)
-    cols.map {
-      case graft.sources.TxLogTable.BucketCol
-          if bucketSpec.isDefined =>
-        val (k, n) = bucketSpec.get
-        Expressions.bucket(n, k): Transform
-      case c => Expressions.identity(c): Transform
+    val specs = bucketSpecs
+    cols.map { c =>
+      specs.get(c) match {
+        case Some((k, n)) => Expressions.bucket(n, k): Transform
+        case None => Expressions.identity(c): Transform
+      }
     }.toArray
   }
 

@@ -539,6 +539,113 @@ object ScaleProbe {
       println(s"[probe] recovery x$k: ${t.fileCount()} files restored; " +
         s"clone linked $cloneBytes files, zero bytes copied")
     }
+    // BUCKET-SPEC EVOLUTION under growth: the scale hole rebucket exists
+    // to close is per-bucket BYTES — a table bucketed bucket(8, k) at X
+    // rows has 10× the per-bucket bytes at 10X rows, and the key-grouped
+    // join plan AQE cannot skew-split then runs monster co-partitions.
+    // The probe appends 10×, measures max-per-bucket bytes before and
+    // after `rebucket(80)`, and requires the rewrite restores ~the
+    // original per-bucket size (±2×: hash variance) while the join
+    // stays zero-Exchange at the new count.
+    if (what("rebucket")) {
+      val wh = java.nio.file.Files.createTempDirectory("rbkprobe").toString
+      spark.conf.set("spark.sql.catalog.rbkcat",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.rbkcat.warehouse", wh)
+      spark.sql("CREATE TABLE rbkcat.db.fact (k BIGINT, v STRING) " +
+        "USING txlog PARTITIONED BY (bucket(8, k))")
+      spark.sql("CREATE TABLE rbkcat.db.dim (k BIGINT, w DOUBLE) " +
+        "USING txlog PARTITIONED BY (bucket(8, k))")
+      val t = graft.sources.TxLogTable(spark, s"$wh/db/fact")
+      def maxBucketBytes: Long =
+        t.fileSizes(None).groupBy(_._1.takeWhile(_ != '/'))
+          .values.map(_.map(_._2).sum).max
+      val n = 1000000L
+      spark.sql("INSERT INTO rbkcat.db.fact SELECT id, " +
+        s"repeat(cast(id as string), 4) FROM range($n)")
+      spark.sql("INSERT INTO rbkcat.db.dim SELECT id, " +
+        s"CAST(id AS DOUBLE) FROM range($n)")
+      val perBucket1 = maxBucketBytes
+      spark.sql("INSERT INTO rbkcat.db.fact SELECT id, " +
+        s"repeat(cast(id as string), 4) FROM range($n, ${10 * n})")
+      val perBucket10 = maxBucketBytes
+      time("rebucket 8 -> 80 at 10x") {
+        spark.sql("CALL rbkcat.system.rebucket('db.fact', 80)").count() }
+      val perBucketAfter = maxBucketBytes
+      println(s"[probe] rebucket max-bucket-bytes: $perBucket1 @1x -> " +
+        s"$perBucket10 @10x -> $perBucketAfter after rebucket(80)")
+      require(perBucketAfter < perBucket10 / 4 &&
+        perBucketAfter < perBucket1 * 2,
+        s"rebucket must restore per-bucket bytes: $perBucketAfter vs " +
+          s"$perBucket1 @1x / $perBucket10 @10x")
+      // dim evolves too; the join replans zero-Exchange at the new count
+      spark.sql("CALL rbkcat.system.rebucket('db.dim', 80)").count()
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = """SELECT /*+ MERGE(f) */ f.k, f.v, d.w
+        FROM rbkcat.db.fact f JOIN rbkcat.db.dim d ON f.k = d.k"""
+      val plan = spark.sql(q).queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange") && plan.contains("TxLogSpjScan"),
+        s"post-rebucket join must stay shuffle-free:\n$plan")
+      time("rebucket spj join at 80") { spark.sql(q).count() }
+    }
+
+    // SKEW in key-grouped joins: KeyGroupedPartitioning is exactly the
+    // plan shape AQE's skew-join splitting does not touch (OptimizeSkewedJoin
+    // rewrites ShuffleQueryStage reads — an SPJ has none), so a hot key
+    // concentrates a co-partition on one task. Three measured handles:
+    //  (a) the bucketed SPJ as-is (zero Exchange, hot bucket = one task);
+    //  (b) partially-clustered distribution ON — Spark keeps the larger
+    //      side's per-split input partitions UNGROUPED and replicates the
+    //      smaller side's matching partitions, so the hot bucket fans out
+    //      across tasks while the plan stays Exchange-free;
+    //  (c) the shuffled join with AQE skew handling (bucketing off) —
+    //      the baseline that pays two full shuffles for its balance.
+    // The probe prints all three; (b) must plan zero Exchanges and beat
+    // (a) on a hot-key corpus — that conf is the documented mitigation.
+    if (what("spjskew")) {
+      val wh = java.nio.file.Files.createTempDirectory("skewprobe").toString
+      spark.conf.set("spark.sql.catalog.skewcat",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.skewcat.warehouse", wh)
+      spark.sql("CREATE TABLE skewcat.db.fact (k BIGINT, v STRING) " +
+        "USING txlog PARTITIONED BY (bucket(8, k))")
+      spark.sql("CREATE TABLE skewcat.db.dim (k BIGINT, w DOUBLE) " +
+        "USING txlog PARTITIONED BY (bucket(8, k))")
+      val n = 2000000L
+      // uniform base + a 100×-hot key 7: one bucket carries ~half the rows
+      spark.sql("INSERT INTO skewcat.db.fact " +
+        s"SELECT id % 100000, repeat(cast(id as string), 4) " +
+        s"FROM range($n)")
+      spark.sql("INSERT INTO skewcat.db.fact " +
+        s"SELECT 7, repeat(cast(id as string), 4) FROM range($n)")
+      spark.sql("INSERT INTO skewcat.db.dim " +
+        "SELECT id, CAST(id AS DOUBLE) FROM range(100000)")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = """SELECT /*+ MERGE(f) */ sum(length(f.v) * d.w)
+        FROM skewcat.db.fact f JOIN skewcat.db.dim d ON f.k = d.k"""
+      val pc =
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution" +
+          ".enabled"
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(pc, "false")
+      val planA = spark.sql(q).queryExecution.executedPlan.toString
+      require(!planA.contains("Exchange") && planA.contains("TxLogSpjScan"),
+        s"skew probe (a) must be the zero-shuffle SPJ:\n$planA")
+      time("spjskew grouped (hot bucket = 1 task)") {
+        spark.sql(q).head.getDouble(0).toLong }
+      spark.conf.set(pc, "true")
+      val planB = spark.sql(q).queryExecution.executedPlan.toString
+      require(!planB.contains("Exchange") && planB.contains("TxLogSpjScan"),
+        s"skew probe (b) must stay Exchange-free:\n$planB")
+      time("spjskew partially-clustered (hot bucket fans out)") {
+        spark.sql(q).head.getDouble(0).toLong }
+      spark.conf.set(pc, "false")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      time("spjskew shuffled + AQE skew join") {
+        spark.sql(q).head.getDouble(0).toLong }
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    }
     spark.stop()
   }
 }

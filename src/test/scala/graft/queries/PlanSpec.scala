@@ -240,4 +240,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"), s)
     assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty, p)
   }
+
+  test("derived epoch-nanos range predicate reaches the parquet scan " +
+      "as a pushed timestamp bound (casual read path)") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.sources.Tables(spark, dir, "events")
+    // pick a mid-range bound so the pruning is non-trivial
+    val mid = ev.agg(org.apache.spark.sql.functions.expr(
+      "CAST(avg(ts) AS BIGINT)")).head.getLong(0)
+    val q = ev.filter(col("ts") >= mid).select("event_id", "ts")
+    val s = q.queryExecution.executedPlan.toString
+    // EpochNanosPushdown adds `ts >= timestamp(floorDiv(X,1000))` beside
+    // the exact derived-column predicate, so PushedFilters is non-empty
+    // again on the us-era file — parquet row-group stats prune
+    assert(s.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts range bound must reach the scan:\n$s")
+    // exactness: the redundant bound loses no rows vs the raw filter
+    val expect = ev.collect().map(_.getAs[Long]("ts")).count(_ >= mid)
+    assert(q.count() == expect)
+    // upper bounds and equality push too
+    val s2 = ev.filter(col("ts") < mid).queryExecution.executedPlan.toString
+    assert(s2.contains("LessThanOrEqual(ts,"), s2)
+  }
 }

@@ -1379,4 +1379,212 @@ class TxLogCatalogSpec extends AnyFunSuite {
         .collect() }
     assert(e.getMessage.contains("already exists"))
   }
+
+  test("composite keys via a bucket GRID: layered layout, zero-shuffle " +
+      "join on the tuple, per-level point prune") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.bk2_a")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.bk2_b")
+    spark.sql("CREATE TABLE txcat.ns.bk2_a (t BIGINT, e BIGINT, " +
+      "va STRING) USING txlog " +
+      "PARTITIONED BY (bucket(4, t), bucket(4, e))")
+    spark.sql("CREATE TABLE txcat.ns.bk2_b (t BIGINT, e BIGINT, " +
+      "vb STRING) USING txlog " +
+      "PARTITIONED BY (bucket(4, t), bucket(4, e))")
+    spark.sql("INSERT INTO txcat.ns.bk2_a SELECT id % 7, id, " +
+      "concat('a', id) FROM range(200)")
+    spark.sql("INSERT INTO txcat.ns.bk2_b SELECT id % 7, id, " +
+      "concat('b', id) FROM range(0, 200, 2)")
+    val ta = TxLogTable(spark, s"$warehouse/ns/bk2_a")
+    assert(ta.entries(None).nonEmpty &&
+      ta.entries(None).forall(e => e.rel.startsWith("_bkt=") &&
+        e.rel.contains("/_bkt1=")),
+      s"grid layout expected: ${ta.entries(None).map(_.rel).take(3)}")
+    assert(ta.latestVersion.map(ta.bucketSpecsOf)
+      .contains(Seq(("t", 4), ("e", 4))))
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // join on BOTH key columns: zero shuffle exchanges
+      val j = spark.sql("""SELECT /*+ MERGE(a) */ a.t, a.e, a.va, b.vb
+        FROM txcat.ns.bk2_a a
+        JOIN txcat.ns.bk2_b b ON a.t = b.t AND a.e = b.e""")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("TxLogSpjScan"), plan)
+      assert(!plan.contains("Exchange"),
+        s"grid-bucketed join must plan zero shuffles:\n$plan")
+      assert(j.count() == 100)
+      val expect = (0L until 200L by 2)
+        .map(i => (i % 7, i, s"a$i", s"b$i")).toSet
+      assert(j.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet == expect)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+    // point prune: each level prunes independently — the full tuple
+    // reaches ONE grid cell, half the tuple still cuts its own level
+    val all = ta.entries(None).size
+    val hit = ta.candidateFilesWhere(col("t") === 3L && col("e") === 10L)
+    assert(hit.nonEmpty && hit.map(r => (r.split('/')(0), r.split('/')(1)))
+      .toSet.size == 1,
+      s"tuple point lookup must prune to one grid cell: $hit")
+    val half = ta.candidateFilesWhere(col("e") === 10L)
+    assert(half.size < all && half.nonEmpty &&
+      half.map(_.split('/')(1)).toSet.size == 1,
+      s"half the tuple still prunes its own level: ${half.size} of $all")
+    // both key columns are load-bearing: rename/drop refuse on either
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE txcat.ns.bk2_a RENAME COLUMN e TO e2") }
+    assert(e1.getMessage.contains("bucket key"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE txcat.ns.bk2_a DROP COLUMN t") }
+    assert(e2.getMessage.contains("bucket key"))
+    // the tuple-hash form is refused loudly with the grid alternative
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE txcat.ns.bk2_bad (t BIGINT, e BIGINT) " +
+        "USING txlog PARTITIONED BY (bucket(4, t, e))") }
+    assert(e3.getMessage.contains("bucket grid"), e3.getMessage)
+  }
+
+  test("CALL rebucket: spec evolution rewrites the layout, joins stay " +
+      "zero-shuffle at the new count") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rb_a")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rb_b")
+    spark.sql("CREATE TABLE txcat.ns.rb_a (k BIGINT, va STRING) " +
+      "USING txlog PARTITIONED BY (bucket(2, k))")
+    spark.sql("CREATE TABLE txcat.ns.rb_b (k BIGINT, vb STRING) " +
+      "USING txlog PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO txcat.ns.rb_a " +
+      "SELECT id, concat('a', id) FROM range(300)")
+    spark.sql("INSERT INTO txcat.ns.rb_b " +
+      "SELECT id, concat('b', id) FROM range(0, 300, 3)")
+    val ta = TxLogTable(spark, s"$warehouse/ns/rb_a")
+    val tb = TxLogTable(spark, s"$warehouse/ns/rb_b")
+    def bucketDirs(t: TxLogTable): Set[String] =
+      t.entries(None).map(_.rel.takeWhile(_ != '/')).toSet
+    assert(bucketDirs(ta).subsetOf(Set("_bkt=0", "_bkt=1")))
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def joined = spark.sql("""SELECT /*+ MERGE(a) */ a.k, a.va, b.vb
+      FROM txcat.ns.rb_a a JOIN txcat.ns.rb_b b ON a.k = b.k""")
+    try {
+      val before = joined
+      assert(!before.queryExecution.executedPlan.toString
+        .contains("Exchange"))
+      val rowsBefore = before.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // evolve BOTH sides 2 → 8 (per-bucket bytes ÷4)
+      val r = spark.sql("CALL txcat.system.rebucket('ns.rb_a', 8)")
+        .collect().head
+      assert(r.getInt(1) == 2 && r.getInt(2) == 8)
+      spark.sql("CALL txcat.system.rebucket('ns.rb_b', 8)")
+      assert(ta.latestVersion.map(ta.bucketSpecsOf)
+        .contains(Seq(("k", 8))))
+      assert(bucketDirs(ta).size > 2 &&
+        bucketDirs(ta).forall(_.startsWith("_bkt=")))
+      assert(bucketDirs(tb).size > 2)
+      // the join still plans zero exchanges, result identical
+      val after = joined
+      assert(!after.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        after.queryExecution.executedPlan.toString)
+      assert(after.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet == rowsBefore)
+      // appends after the bump derive ids under the NEW spec
+      spark.sql("INSERT INTO txcat.ns.rb_a VALUES (1000, 'a1000')")
+      assert(spark.sql(
+        "SELECT count(*) FROM txcat.ns.rb_a WHERE k = 1000")
+        .head.getLong(0) == 1L)
+      // point prune works at the new count
+      val hit = ta.candidateFilesWhere(col("k") === 1000L)
+      assert(hit.map(_.takeWhile(_ != '/')).toSet.size == 1)
+      // time travel: the old version still reads with its own layout
+      val hist = ta.versions
+      assert(spark.sql(s"SELECT count(*) FROM txcat.ns.rb_a " +
+        s"VERSION AS OF ${hist.takeRight(3).head}").head.getLong(0) == 300L)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+    // a non-bucketed table refuses
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rb_plain")
+    spark.sql("CREATE TABLE txcat.ns.rb_plain (k BIGINT) USING txlog")
+    val e = intercept[Exception] {
+      spark.sql("CALL txcat.system.rebucket('ns.rb_plain', 8)").collect() }
+    assert(e.getMessage.contains("non-bucketed"))
+  }
+
+  test("CALL rebucket folds MOR tombstones and evolves one grid level " +
+      "by key") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rb_c")
+    spark.sql("CREATE TABLE txcat.ns.rb_c (t BIGINT, e BIGINT, " +
+      "v STRING) USING txlog PARTITIONED BY (bucket(2, t), bucket(2, e))")
+    spark.sql("INSERT INTO txcat.ns.rb_c SELECT id % 5, id, " +
+      "concat('v', id) FROM range(100)")
+    val t = TxLogTable(spark, s"$warehouse/ns/rb_c")
+    // a MOR delete leaves keys-only tombstones (no file rewritten)
+    t.deleteByKeysMor(spark.range(0, 10).selectExpr("id AS e"))
+    assert(t.latestVersion.exists(v => t.tombstonesOf(v).nonEmpty))
+    // a grid table must name the level to evolve
+    val eAmb = intercept[Exception] {
+      spark.sql("CALL txcat.system.rebucket('ns.rb_c', 4)").collect() }
+    assert(eAmb.getMessage.contains("name the key"))
+    spark.sql("CALL txcat.system.rebucket('ns.rb_c', 4, 'e')")
+    // tombstones folded into the rewrite; ONLY e's level bumped
+    assert(t.latestVersion.exists(v => t.tombstonesOf(v).isEmpty))
+    assert(t.latestVersion.map(t.bucketSpecsOf)
+      .contains(Seq(("t", 2), ("e", 4))))
+    assert(spark.table("txcat.ns.rb_c").count() == 90)
+    assert(t.entries(None).forall(e => e.rel.startsWith("_bkt=") &&
+      e.rel.contains("/_bkt1=")))
+  }
+
+  test("CALL semdedup / dedup_near: the SQL surface of the curation " +
+      "operators matches the library path") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // semdedup over a small embedding table
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.sd_src")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.sd_out")
+    val emb = spark.range(60).selectExpr("id AS vec_id",
+      "array(CAST(id % 4 AS DOUBLE), CAST((id + 1) % 3 AS DOUBLE), " +
+        "CAST(id % 2 AS DOUBLE)) AS embedding")
+    emb.createOrReplaceTempView("sd_src_v")
+    spark.sql("CREATE TABLE txcat.ns.sd_src USING txlog AS " +
+      "SELECT * FROM sd_src_v")
+    spark.sql(
+      "CALL txcat.system.semdedup('ns.sd_src', 'ns.sd_out', 0.99, 4)")
+    val viaSql = spark.sql(
+      "SELECT vec_id, cluster, kept FROM txcat.ns.sd_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .toSet
+    val viaLib = graft.operators.SemDedup.withK(
+        spark.table("txcat.ns.sd_src"), k = 4, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .toSet
+    assert(viaSql == viaLib && viaSql.size == 60)
+    assert(viaSql.exists(!_._3), "contrived dups must mark kept=false")
+    // dedup_near over a small documents table
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dn_src")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dn_out")
+    val docs = spark.range(40).selectExpr("id AS doc_id",
+      "'web' AS source",
+      "CASE WHEN id % 2 = 0 THEN 'alpha beta gamma delta epsilon zeta' " +
+        "ELSE concat('unique text number ', id, ' with words ', id * 7) " +
+        "END AS text")
+    docs.createOrReplaceTempView("dn_src_v")
+    spark.sql("CREATE TABLE txcat.ns.dn_src USING txlog AS " +
+      "SELECT * FROM dn_src_v")
+    spark.sql(
+      "CALL txcat.system.dedup_near('ns.dn_src', 'ns.dn_out', 0.5)")
+    val keptSql = spark.sql("SELECT doc_id FROM txcat.ns.dn_out")
+      .collect().map(_.getLong(0)).toSet
+    val keptLib = graft.operators.Dedup.dedupNearExact(
+        spark.table("txcat.ns.dn_src"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptSql == keptLib)
+    assert(keptSql.contains(0L) && !keptSql.contains(2L),
+      s"duplicate evens collapse to doc 0: $keptSql")
+    // an existing destination refuses (curation outputs are new artifacts)
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL txcat.system.dedup_near('ns.dn_src', 'ns.dn_out', 0.5)")
+        .collect() }
+    assert(e.getMessage.contains("already exists"))
+  }
 }

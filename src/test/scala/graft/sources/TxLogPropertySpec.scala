@@ -87,7 +87,7 @@ class TxLogPropertySpec extends AnyFunSuite {
       val t = TxLogTable(spark,
         Files.createTempDirectory("txpropb").resolve("t").toString)
       t.create(schema, partitionCols = layout,
-        bucketSpec = Some(("id", 4)))
+        bucketSpecs = Seq(("id", 4)))
       var model = List.empty[(Long, String)]
       program.foreach { op =>
         op match {

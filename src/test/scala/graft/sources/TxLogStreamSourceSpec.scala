@@ -75,7 +75,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
       .resolve("t").toString
     val dst = TxLogTable(spark, dstRoot)
     dst.create(schema, partitionCols = Seq(TxLogTable.BucketCol),
-      bucketSpec = Some(("id", 4)))
+      bucketSpecs = Seq(("id", 4)))
     val srcDir = java.nio.file.Files.createTempDirectory("txsink-bksrc")
       .toString
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
