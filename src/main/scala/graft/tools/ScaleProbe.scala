@@ -627,17 +627,23 @@ object ScaleProbe {
       val pc =
         "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution" +
           ".enabled"
+      // the scalar SUM needs its one Exchange SinglePartition gather; the
+      // JOIN itself must stay shuffle-free (exactly that one Exchange)
+      def joinShuffleFree(plan: String): Boolean =
+        plan.split("Exchange").length - 1 == 1 &&
+          plan.contains("Exchange SinglePartition") &&
+          plan.contains("TxLogSpjScan")
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set(pc, "false")
       val planA = spark.sql(q).queryExecution.executedPlan.toString
-      require(!planA.contains("Exchange") && planA.contains("TxLogSpjScan"),
+      require(joinShuffleFree(planA),
         s"skew probe (a) must be the zero-shuffle SPJ:\n$planA")
       time("spjskew grouped (hot bucket = 1 task)") {
         spark.sql(q).head.getDouble(0).toLong }
       spark.conf.set(pc, "true")
       val planB = spark.sql(q).queryExecution.executedPlan.toString
-      require(!planB.contains("Exchange") && planB.contains("TxLogSpjScan"),
-        s"skew probe (b) must stay Exchange-free:\n$planB")
+      require(joinShuffleFree(planB),
+        s"skew probe (b) must keep the join Exchange-free:\n$planB")
       time("spjskew partially-clustered (hot bucket fans out)") {
         spark.sql(q).head.getDouble(0).toLong }
       spark.conf.set(pc, "false")
