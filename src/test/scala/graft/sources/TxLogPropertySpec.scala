@@ -34,6 +34,7 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case object Compact extends Op
   private case object ZOrder extends Op
   private case class Vacuum(keep: Int) extends Op
+  private case class Rebucket(n: Int) extends Op
 
   private val rowsGen: Gen[List[(Long, String)]] =
     Gen.resize(3, Gen.nonEmptyListOf(for {
@@ -69,10 +70,11 @@ class TxLogPropertySpec extends AnyFunSuite {
 
   test("bucketed interleavings: hidden layout survives every op sequence") {
     // the bucket-layout invariant under random compositions of append /
-    // overwrite / keyed merge / delete / compact / vacuum: every data
-    // file stays under a _bkt dir (the staging chokepoint derives the id
-    // on EVERY path) and the visible rows always match the in-memory
-    // model — layout maintenance can never cost correctness
+    // overwrite / keyed merge / delete / compact / vacuum / REBUCKET:
+    // every data file stays under a _bkt dir (the staging chokepoint
+    // derives the id on EVERY path, under whatever spec is current) and
+    // the visible rows always match the in-memory model — layout
+    // maintenance and spec evolution can never cost correctness
     val bucketOpGen: Gen[Op] = Gen.frequency(
       4 -> rowsGen.map(Append),
       2 -> rowsGen.map(Overwrite),
@@ -80,6 +82,7 @@ class TxLogPropertySpec extends AnyFunSuite {
       2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L)))
         .map(Delete),
       1 -> Gen.const(Compact),
+      1 -> Gen.oneOf(2, 3, 8).map(Rebucket),
       1 -> Gen.choose(1, 3).map(Vacuum))
     val programGenB: Gen[List[Op]] = Gen.resize(8, Gen.listOf(bucketOpGen))
     val layout = Seq(TxLogTable.BucketCol)
@@ -108,11 +111,20 @@ class TxLogPropertySpec extends AnyFunSuite {
               org.apache.spark.sql.functions.col("id").isin(ids: _*))
             model = model.filterNot(r => ids.contains(r._1))
           case Compact => t.compact(schema, 2)
+          case Rebucket(n) => t.rebucket(schema, n)
           case Vacuum(keep) => t.vacuum(keep, minAgeMillis = 0)
           case _ => ()
         }
         assert(t.entries(None).forall(_.rel.startsWith("_bkt=")),
           s"bucket layout lost after $op: ${t.entries(None).map(_.rel)}")
+        // every file's _bkt segment stays within the CURRENT spec's range
+        // (rebucket swaps the spec atomically with the rewritten layout)
+        val curN = t.latestVersion.map(t.bucketSpecsOf)
+          .getOrElse(Nil).head._2
+        assert(t.entries(None).forall { e =>
+          e.rel.stripPrefix("_bkt=").takeWhile(_ != '/').toInt < curN },
+          s"bucket id out of range after $op (n=$curN): " +
+            t.entries(None).map(_.rel))
         assert(snapRows(t, None) == model.sorted,
           s"model divergence after $op")
       }
