@@ -454,31 +454,12 @@ object SimQueries {
     "retr_hybrid_rrf" -> ((s, dir) => {
       val qTerms = Seq("hash", "join", "filter")
       val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("text")))
-          .as("tok"))
-      // one tokenize pass, one doc-keyed shuffle (the t1_bm25 discipline)
-      val perDoc = tok.groupBy("doc_id").agg(
-        count(lit(1)).as("dl"),
-        qTerms.map(qt =>
-          count(when(col("tok") === qt, lit(1))).as("tf_" + qt)): _*)
-        .cache()
-      val stats = perDoc.agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
-      val tf = perDoc.select(col("doc_id"), col("dl"),
-        explode(map(qTerms.flatMap(qt =>
-          Seq(lit(qt), col("tf_" + qt))): _*)).as(Seq("tok", "tf")))
-        .filter(col("tf") > 0)
-      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val bm = tf.join(broadcast(dfr), "tok").crossJoin(broadcast(stats))
-        .withColumn("ts", round(
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
-          .cast(DecimalType(18, 6)))
-        .groupBy("doc_id").agg(sum(col("ts")).as("sc"))
+      // the lexical leg IS the named scorer (one tokenize pass, one
+      // doc-keyed shuffle, broadcast df/stats — see bm25Scores scaladoc);
+      // 6dp-rounded scores order identically as DOUBLE, so ranks match
+      // the oracle's DECIMAL ordering
+      val bm = TextQueries.bm25Scores(d, qTerms)
+        .select(col("doc_id"), col("bm25").as("sc"))
       val lex = bm.orderBy(col("sc").desc, col("doc_id")).limit(50)
         .withColumn("lex_rank", row_number().over(
           Window.orderBy(col("sc").desc, col("doc_id"))).cast(LongType))

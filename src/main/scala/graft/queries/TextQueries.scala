@@ -207,6 +207,60 @@ object TextQueries {
     exactJaccardOnPairs(d, cand).filter(col("jaccard") >= threshold)
   }
 
+  /** BM25-ranked retrieval (Robertson/Lucene idf, k1 = 1.2, b = 0.75) —
+    * the scoring layer boolean tsvector search lacks, and what a
+    * decontamination/retrieval pipeline actually ranks with. THE named
+    * scorer: the `t1_bm25` oracle query, the RRF hybrid leg, and the
+    * `CALL system.bm25` procedure all call this one body, so the SQL
+    * surface can never drift from the library path.
+    *
+    * Scale shape: postings are filtered to the QUERY terms BEFORE any
+    * shuffle, so the per-doc side is O(matching postings), not
+    * O(corpus tokens); the df table (|query terms| rows) and the one
+    * (n_docs, avgdl) stats row are broadcast. ONE tokenize pass and ONE
+    * doc-keyed shuffle: the per-doc length and the per-query-term tfs
+    * come out of the same aggregation (conditional counts — the term
+    * list is a fixed query-time constant), and the tiny (doc_id, dl,
+    * tf…) frame is cached for its three consumers (stats, tf, df)
+    * instead of re-tokenizing the corpus per branch. Determinism:
+    * per-term scores are rounded to 6dp and summed in DECIMAL (the dsum
+    * rule) — the fold is shuffle-order independent and the rounding
+    * absorbs the cross-engine ln() ULP, so the oracle hash-matches.
+    * Returns (doc_id, n_terms, bm25) for docs matching ≥1 term.
+    */
+  def bm25Scores(d: DataFrame, qTerms: Seq[String]): DataFrame = {
+    require(qTerms.nonEmpty && qTerms.distinct == qTerms,
+      s"bm25 needs distinct nonempty query terms: $qTerms")
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val perDoc = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      qTerms.map(qt =>
+        count(when(col("tok") === qt, lit(1))).as("tf_" + qt)): _*)
+      .cache()
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+      explode(map(qTerms.flatMap(qt =>
+        Seq(lit(qt), col("tf_" + qt))): _*)).as(Seq("tok", "tf")))
+      .filter(col("tf") > 0)
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      // k1 = 1.2, b = 0.75: k1+1 = 2.2, 1-b = 0.25 — literals spelled
+      // identically in the SQL twin so the double trees are bit-equal
+      .withColumn("ts", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+        .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("sc"))
+      .select(col("doc_id"), col("n_terms"),
+        col("sc").cast(DoubleType).as("bm25"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // T1 — tsvector equivalent: sorted distinct stopword-free lexemes.
@@ -236,43 +290,22 @@ object TextQueries {
     // the cross-engine ln() ULP, so the oracle hash-matches. The
     // doc-length pass is corpus-wide but partial-aggable (one count per
     // doc) — the same two-pass cost class as tx_unigram_lm.
-    "t1_bm25" -> ((s, dir) => {
-      val qTerms = Seq("hash", "join", "filter")
-      val d = t(s, dir, "documents")
-      val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      // ONE tokenize pass and ONE doc-keyed shuffle: the per-doc length
-      // and the per-query-term tfs come out of the same aggregation
-      // (conditional counts — the term list is a fixed query-time
-      // constant), and the tiny (doc_id, dl, tf…) frame is cached for
-      // its three consumers (stats, tf, df) instead of re-tokenizing
-      // the corpus per branch.
-      val perDoc = tok.groupBy("doc_id").agg(
-        count(lit(1)).as("dl"),
-        qTerms.map(qt =>
-          count(when(col("tok") === qt, lit(1))).as("tf_" + qt)): _*)
-        .cache()
-      val stats = perDoc.agg(count(lit(1)).as("n_docs"),
-        (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
-      val tf = perDoc.select(col("doc_id"), col("dl"),
-        explode(map(qTerms.flatMap(qt =>
-          Seq(lit(qt), col("tf_" + qt))): _*)).as(Seq("tok", "tf")))
-        .filter(col("tf") > 0)
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "tok")
-        .crossJoin(broadcast(stats))
-        // k1 = 1.2, b = 0.75: k1+1 = 2.2, 1-b = 0.25 — literals spelled
-        // identically in the SQL twin so the double trees are bit-equal
-        .withColumn("ts", round(
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
-          .cast(DecimalType(18, 6)))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("sc"))
-        .select(col("doc_id"), col("n_terms"),
-          col("sc").cast(DoubleType).as("bm25"))
+    "t1_bm25" -> ((s, dir) =>
+      bm25Scores(t(s, dir, "documents"), Seq("hash", "join", "filter"))),
+
+    // The SQL surface of the same scorer: `CALL system.bm25` over a txlog
+    // documents table returns the top-k (deterministic total order:
+    // score desc, doc_id asc — ties at the k boundary break identically
+    // on both engines). Same oracle CTE as t1_bm25 with the order+limit
+    // applied: the procedure path must rank exactly like the library.
+    "sql_bm25" -> ((s, dir) => {
+      EtlQueries.ensureCatalog(s)
+      t(s, dir, "documents").createOrReplaceTempView("docs_bm_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.docs_bm")
+      s.sql("CREATE TABLE graftcat.db.docs_bm USING txlog AS " +
+        "SELECT doc_id, text FROM docs_bm_src")
+      s.sql(
+        "CALL graftcat.system.bm25('db.docs_bm', 'hash join filter', 50)")
     }),
 
     // Quality scoring — length/word-shape/alphabetic-ratio heuristics.
@@ -1019,6 +1052,32 @@ object TextQueries {
           SELECT doc_id, COUNT(*) AS n_terms,
             CAST(SUM(ts) AS DOUBLE) AS bm25
           FROM ts GROUP BY doc_id""",
+
+    "sql_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS tok
+                       FROM documents),
+          dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                    FROM dlen),
+          posts AS (SELECT doc_id, tok FROM tok
+                    WHERE tok IN ('hash', 'join', 'filter')),
+          df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+                 FROM posts GROUP BY tok),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+                 FROM posts GROUP BY doc_id, tok),
+          ts AS (SELECT tf.doc_id,
+                   CAST(round(
+                     ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                     6) AS DECIMAL(18,6)) AS ts
+                 FROM tf JOIN df USING (tok) JOIN dlen USING (doc_id)
+                 CROSS JOIN stats)
+          SELECT doc_id, COUNT(*) AS n_terms,
+            CAST(SUM(ts) AS DOUBLE) AS bm25
+          FROM ts GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 50""",
 
     "tx_quality" ->
       s"""WITH base AS (

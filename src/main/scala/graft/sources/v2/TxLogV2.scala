@@ -278,8 +278,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
-        "clone", "zorder", "rebucket", "semdedup",
-        "dedup_near").map(Identifier.of(Array("system"), _))
+        "clone", "zorder", "rebucket", "semdedup", "dedup_near",
+        "bm25").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -570,11 +570,50 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 .map(_._1).sum)))
           }
         }
+      case "bm25" =>
+        // CALL c.system.bm25('ns.docs', 'space-separated terms' [, k]):
+        // BM25-ranked top-k retrieval over a documents table — the SQL
+        // surface of TextQueries.bm25Scores (same body: query-term-
+        // filtered postings, broadcast df/stats, DECIMAL-deterministic
+        // scores). Returns (doc_id, n_terms, bm25) ordered by score
+        // desc, doc_id asc. k is a bounded result-set size (top-k is
+        // driver-small by definition), capped so the LocalScan result
+        // can never balloon.
+        new MaintenanceProc("bm25", Seq(
+          inParam("table", StringType),
+          inParam("query", StringType),
+          inParam("k", IntegerType, Some("10")))) {
+          override def call(input: InternalRow) = {
+            val src = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "bm25 needs a query string")
+            val terms = input.getString(1).split("\\s+").toSeq
+              .filter(_.nonEmpty).distinct
+            val k = if (input.isNullAt(2)) 10 else input.getInt(2)
+            require(k > 0 && k <= 10000,
+              s"bm25 k must be in [1, 10000], got $k")
+            val schema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(0)).schema)
+            require(Seq("doc_id", "text").forall(
+              schema.fieldNames.contains),
+              "bm25 source needs (doc_id, text) columns")
+            import org.apache.spark.sql.functions.col
+            val top = graft.queries.TextQueries
+              .bm25Scores(src.snapshot(schema), terms)
+              .orderBy(col("bm25").desc, col("doc_id"))
+              .limit(k).collect()
+            resultScan(StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("n_terms", LongType),
+              StructField("bm25", DoubleType))),
+              top.toSeq.map(r => InternalRow(
+                r.getLong(0), r.getLong(1), r.getDouble(2))))
+          }
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"unknown txlog procedure: system.$other " +
             "(available: compact, vacuum, history, partitions, restore, " +
-            "clone, zorder, rebucket, semdedup, dedup_near)")
+            "clone, zorder, rebucket, semdedup, dedup_near, bm25)")
     }
   }
 
