@@ -112,6 +112,8 @@ object Bench {
       "sql_spj_join", "sql_meta_count", "sql_meta_count_filtered",
       "sql_partitions", "sql_update_mor", "stream_dedup",
       "sql_restore", "sql_clone", "sql_bucket_join", "sql_dpp_join",
+      "sql_rebucket", "sql_bucket_grid", "sql_semdedup", "sql_dedup_near",
+      "sql_bm25",
       "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)
