@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
                          required: StructType, filters: Array[Filter])
     extends Scan with Batch with SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private val version = tbl.asOfVersion
 
@@ -176,6 +177,36 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       FilePartition.getFilePartitions(spark, splits, maxSplit)
         .map(fp => TxLogKeyedPartition(fp, d.values))
     }.toArray
+  }
+
+  /** Manifest-derived statistics for the (pruned) file set: exact bytes
+    * from the filesystem listing and exact rows from the `:rows` footer
+    * counts (eligibility already excludes live MOR tombstones, so the
+    * per-file counts ARE the visible rows; a file predating row stats
+    * leaves numRows unknown rather than wrong). What it buys the
+    * planner: join-strategy sizing over a V2 scan (broadcast vs SMJ),
+    * and — directly relevant to the skew story — partially-clustered
+    * distribution picks which side to replicate "based on table
+    * statistics": with both sides reporting real bytes it replicates
+    * the small side, never the 100 TB fact.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val sizes = tbl.table.fileSizes(version).toMap
+    val bytes = baseRels.iterator.map(sizes.getOrElse(_, 0L)).sum
+    val live = baseRels.toSet
+    val entryRows = tbl.table.entries(version)
+      .filter(e => live(e.rel))
+      .map(_.stats.get(graft.sources.TxLogTable.RowsKey).map(_._1))
+    val rows: java.util.OptionalLong =
+      if (entryRows.nonEmpty && entryRows.forall(_.isDefined))
+        java.util.OptionalLong.of(entryRows.flatten.sum)
+      else java.util.OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -279,7 +279,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
-        "bm25").map(Identifier.of(Array("system"), _))
+        "bm25", "optimize").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -570,6 +570,37 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 .map(_._1).sum)))
           }
         }
+      case "optimize" =>
+        // CALL c.system.optimize('ns.t' [, min_bytes [, target_bytes]]):
+        // INCREMENTAL small-file compaction — only files under min_bytes
+        // rewrite (packed toward target_bytes outputs), everything
+        // already large is carried by manifest reference. This is what
+        // OPTIMIZE means at 100 TB: steady-state cost O(new small
+        // files), never O(table) — `compact` (the full rewrite) stays
+        // for layout resets. Reads through the MOR mask, so optimizing
+        // also materializes deletes for the rewritten files.
+        new MaintenanceProc("optimize", Seq(
+          inParam("table", StringType),
+          inParam("min_bytes", LongType, Some((16L * 1024 * 1024).toString)),
+          inParam("target_bytes", LongType,
+            Some((128L * 1024 * 1024).toString)))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val minB = if (input.isNullAt(1)) 16L * 1024 * 1024
+              else input.getLong(1)
+            val tgtB = if (input.isNullAt(2)) 128L * 1024 * 1024
+              else input.getLong(2)
+            val schema = t.tableSchema.getOrElse(
+              TxLogV2Table(spark, t.root, input.getString(0)).schema)
+            val stats = t.compactSmall(schema, minB, tgtB)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("rewritten", IntegerType),
+              StructField("carried", IntegerType))),
+              Seq(InternalRow(stats.version, stats.rewritten,
+                stats.carried)))
+          }
+        }
       case "bm25" =>
         // CALL c.system.bm25('ns.docs', 'space-separated terms' [, k]):
         // BM25-ranked top-k retrieval over a documents table — the SQL
@@ -613,7 +644,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         throw new UnsupportedOperationException(
           s"unknown txlog procedure: system.$other " +
             "(available: compact, vacuum, history, partitions, restore, " +
-            "clone, zorder, rebucket, semdedup, dedup_near, bm25)")
+            "clone, zorder, rebucket, semdedup, dedup_near, bm25, " +
+            "optimize)")
     }
   }
 

@@ -1380,6 +1380,65 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("CALL optimize: incremental small-file compaction carries the " +
+      "consolidated bulk") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.opt")
+    spark.sql("CREATE TABLE txcat.ns.opt (id BIGINT, v STRING) " +
+      "USING txlog")
+    val t = TxLogTable(spark, s"$warehouse/ns/opt")
+    // one consolidated file, then a burst of tiny appends
+    t.commit(spark.range(0, 50000).selectExpr("id",
+      "repeat(cast(id as string), 8) as v").coalesce(1), overwrite = true)
+    (0 until 6).foreach(i => t.commit(
+      spark.range(50000 + i * 10, 50000 + (i + 1) * 10)
+        .selectExpr("id", "cast(id as string) as v").coalesce(1),
+      overwrite = false))
+    val before = t.fileCount()
+    // threshold = the consolidated file's own size: everything strictly
+    // smaller (the 6 tiny appends) rewrites, the bulk is carried
+    val bigBytes = t.fileSizes(None).map(_._2).max
+    val r = spark.sql(
+      s"CALL txcat.system.optimize('ns.opt', $bigBytes)").collect().head
+    // the 6 tiny files packed into one; the big file carried untouched
+    assert(r.getInt(1) == 6 && r.getInt(2) == 1,
+      s"expected 6 rewritten / 1 carried, got $r")
+    assert(t.fileCount() < before)
+    assert(spark.table("txcat.ns.opt").count() == 50060)
+    // idempotent steady state: nothing small left → no-op result
+    val r2 = spark.sql(
+      "CALL txcat.system.optimize('ns.opt', 1024)").collect().head
+    assert(r2.getInt(1) == 0)
+  }
+
+  test("SPJ scan reports manifest statistics (bytes + exact rows)") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.st_a")
+    spark.sql("CREATE TABLE txcat.ns.st_a (k BIGINT, v STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO txcat.ns.st_a " +
+      "SELECT id, concat('v', id) FROM range(1000)")
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      import graft.sources.v2.{TxLogSpjScan, TxLogV2Table}
+      val tbl = TxLogV2Table(spark, s"$warehouse/ns/st_a", "ns.st_a")
+      val scan = new TxLogSpjScan(spark, tbl, tbl.schema,
+        Array.empty[org.apache.spark.sql.sources.Filter])
+      val st = scan.estimateStatistics()
+      val t = TxLogTable(spark, s"$warehouse/ns/st_a")
+      val wantBytes = t.fileSizes(None).map(_._2).sum
+      assert(st.sizeInBytes.getAsLong == wantBytes && wantBytes > 0)
+      assert(st.numRows.getAsLong == 1000L,
+        s"manifest row stats must be exact: ${st.numRows}")
+      // a pruned scan reports the pruned subset's stats, not the table's
+      import org.apache.spark.sql.sources.EqualTo
+      val pruned = new TxLogSpjScan(spark, tbl, tbl.schema,
+        Array(EqualTo("k", 17L)))
+      assert(pruned.estimateStatistics().sizeInBytes.getAsLong < wantBytes,
+        "bucket point prune must shrink reported stats")
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("composite keys via a bucket GRID: layered layout, zero-shuffle " +
       "join on the tuple, per-level point prune") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.bk2_a")
