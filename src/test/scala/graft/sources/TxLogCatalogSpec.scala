@@ -1503,6 +1503,47 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("bucket grid"), e3.getMessage)
   }
 
+  test("mixed identity + grid layout: day dirs over two bucket levels, " +
+      "all three prunes compose") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.mixg")
+    spark.sql("CREATE TABLE txcat.ns.mixg (d INT, t BIGINT, e BIGINT, " +
+      "v STRING) USING txlog " +
+      "PARTITIONED BY (d, bucket(2, t), bucket(2, e))")
+    spark.sql("INSERT INTO txcat.ns.mixg SELECT CAST(id % 5 AS INT), " +
+      "id % 13, id, concat('v', id) FROM range(400)")
+    val t = TxLogTable(spark, s"$warehouse/ns/mixg")
+    // layout: d=../_bkt=../_bkt1=.. nested in that order
+    assert(t.entries(None).nonEmpty && t.entries(None).forall(e =>
+      e.rel.matches("d=\\d+/_bkt=\\d+/_bkt1=\\d+/.*")),
+      t.entries(None).map(_.rel).take(3).toString)
+    val all = t.entries(None).size
+    // identity + both bucket levels constrain → one leaf dir set
+    // id = 33 → d = 3, t = 7, e = 33 (a row that exists)
+    val hit = t.candidateFilesWhere(
+      col("d") === 3 && col("t") === 7L && col("e") === 33L)
+    assert(hit.nonEmpty && hit.size < all &&
+      hit.map(_.split('/').init.mkString("/")).toSet.size == 1, hit)
+    // partial constraints prune their own levels only
+    assert(t.candidateFilesWhere(col("e") === 33L).size < all)
+    // SHOW PARTITIONS (the procedure) enumerates the full nesting with
+    // exact rows
+    val parts = spark.sql("CALL txcat.system.partitions('ns.mixg')")
+      .collect()
+    assert(parts.forall(_.getString(0)
+      .matches("d=\\d+/_bkt=\\d+/_bkt1=\\d+")))
+    assert(parts.map(_.getLong(2)).sum == 400L)
+    // rebucket of one grid level under the identity layout: spec bumps,
+    // identity dirs survive, rows intact
+    spark.sql("CALL txcat.system.rebucket('ns.mixg', 4, 'e')")
+    assert(t.latestVersion.map(t.bucketSpecsOf)
+      .contains(Seq(("t", 2), ("e", 4))))
+    assert(t.entries(None).forall(e =>
+      e.rel.matches("d=\\d+/_bkt=\\d+/_bkt1=\\d+/.*")))
+    assert(spark.table("txcat.ns.mixg").count() == 400)
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.mixg WHERE d = 2")
+      .head().getLong(0) == 80L)
+  }
+
   test("CALL rebucket: spec evolution rewrites the layout, joins stay " +
       "zero-shuffle at the new count") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.rb_a")
