@@ -1824,8 +1824,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         case (acc, ((k, n), i)) => acc.withColumn(
           TxLogTable.bucketColAt(i), TxLogTable.bucketIdCol(k, n))
       }
+      // default output tasks = total bucket-cell count, capped: a grid of
+      // two max-count levels multiplies past Int range, and a rewrite
+      // never needs more tasks than the cluster has anyway
       val nOut = if (files > 0) files
-        else math.max(newSpecs.map(_._2).product, 1)
+        else math.max(1L, math.min(1024L,
+          newSpecs.map(_._2.toLong).product)).toInt
       val packed = re.repartition(nOut, layout.map(col): _*)
       val effBloom = bloomColsOf(b)
       val staged = stageWithStats(packed, layout, effBloom,

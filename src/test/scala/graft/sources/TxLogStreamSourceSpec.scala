@@ -98,6 +98,42 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sink inherits a GRID-bucketed target's layout too") {
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val dstRoot = java.nio.file.Files.createTempDirectory("txsink-grid")
+      .resolve("t").toString
+    val dst = TxLogTable(spark, dstRoot)
+    dst.create(schema2,
+      partitionCols = Seq(TxLogTable.bucketColAt(0),
+        TxLogTable.bucketColAt(1)),
+      bucketSpecs = Seq(("id", 2), ("g", 2)))
+    val srcDir = java.nio.file.Files.createTempDirectory("txsink-gsrc")
+      .toString
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "g", "v").write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(schema2).parquet(srcDir)
+      .writeStream.format("txlog")
+      .option("path", dstRoot)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txsink-gck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(dst.entries(None).nonEmpty &&
+        dst.entries(None).forall(e => e.rel.startsWith("_bkt=") &&
+          e.rel.contains("/_bkt1=")),
+        dst.entries(None).map(_.rel).toString)
+      assert(dst.snapshot(schema2).collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sink fences a replayed batch id (exactly-once on recovery)") {
     val ctx = spark.sqlContext
     val dstRoot = java.nio.file.Files.createTempDirectory("txsink-fence")
