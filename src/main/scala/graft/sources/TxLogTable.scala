@@ -682,6 +682,28 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.stripPrefix("#droppedPhys=").split(",").toSet.filter(_.nonEmpty) }
       .getOrElse(Set.empty)
 
+  // Serializable-conflict guard for the stage-then-race write paths
+  // (commit / group-replace / dynamic-overwrite stage ONCE before their
+  // publish loop): staged files' hidden bucket ids were derived under
+  // the spec current at staging, so a CONCURRENT REBUCKET landing before
+  // our publish would let the retry publish a silently corrupt layout —
+  // files whose `_bkt` segment lies about their content under the new
+  // hash, which turns the bucket point-prune into wrong answers. Refuse
+  // loudly instead (the same contract as the write-write detection in
+  // publishReplace); the caller reruns against the new spec. Paths that
+  // stage INSIDE their loop (merge, compactions, rebucket itself)
+  // re-derive per attempt and need no guard.
+  private[sources] def requireSpecUnchanged(
+      stagedSpec: Seq[(String, Int)], base: Option[Int],
+      what: String): Unit = {
+    val now = base.map(bucketSpecsOf).getOrElse(Nil)
+    if (now != stagedSpec)
+      throw new java.util.ConcurrentModificationException(
+        s"$what: a concurrent rebucket changed the bucket layout " +
+          s"($stagedSpec -> $now) after this write staged its files — " +
+          "rerun the statement")
+  }
+
   // One optimistic metadata-only commit: resolve the base version, let the
   // caller validate and assemble the FULL manifest line list, publish with
   // create-if-absent, re-plan on a lost race — the shared skeleton of the
@@ -2030,10 +2052,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                           None): Int = {
     val partCols = latestVersion.map(partitionColsOf).getOrElse(Nil)
     validateChecks(df, latestVersion)
+    val stagedSpec = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
     val staged = stageWithStats(df, partCols, inheritedBloomCols,
       inheritedBloomBits(latestVersion))
     publishReplace(staged, replaced, op, maxAttempts, scanBase, scanPred,
-      partCols, caller = "commitReplacingDf")
+      partCols, caller = "commitReplacingDf", stagedSpec = stagedSpec)
   }
 
   // the shared publish half of the group-replacement commits: optimistic
@@ -2043,11 +2066,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                              maxAttempts: Int, scanBase: Option[Int],
                              scanPred: Option[org.apache.spark.sql.Column],
                              partitionCols: Seq[String],
-                             caller: String): Int = {
+                             caller: String,
+                             stagedSpec: Seq[(String, Int)] = Nil): Int = {
     val effBloom = inheritedBloomCols
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
+      requireSpecUnchanged(stagedSpec, base, caller)
       val current = base.map(dataLines).getOrElse(Nil)
       val carried = replaced match {
         case None => Nil
@@ -2309,6 +2334,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       "commitDynamic needs partition columns; use commit() otherwise")
     val effBloom = inheritedBloomCols
     validateChecks(df, latestVersion)
+    val stagedSpec = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
     val staged = stageWithStats(df, partitionCols, effBloom,
       inheritedBloomBits(latestVersion))
     // the replaced partitions are exactly the hive dirs this batch wrote
@@ -2320,6 +2346,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
+      requireSpecUnchanged(stagedSpec, base, "commitDynamic")
       base.foreach { b =>
         val cur = partitionColsOf(b)
         require(cur == partitionCols,
@@ -2813,10 +2840,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // maintenance rewrites re-stage rows that already passed at ingest
     if (!Set("compact", "zorder", "compact-small")(opName))
       validateChecks(df, latestVersion)
+    val stagedSpec = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
     val staged = stageWithStats(df, partitionCols, effBloom, effBits)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
+      requireSpecUnchanged(stagedSpec, base, "commit")
       if (!overwrite) base.foreach { b =>
         val cur = partitionColsOf(b)
         require(cur == partitionCols,

@@ -131,6 +131,35 @@ class TxLogPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stage-then-publish races refuse a concurrent rebucket loudly") {
+    // the stage-before-loop write paths (commit / group replace /
+    // dynamic overwrite) derive hidden bucket ids at STAGING; if a
+    // rebucket lands before their publish, retrying would publish files
+    // whose _bkt segments lie under the new hash — the guard turns that
+    // silent corruption into a serializable-conflict rerun
+    val t = TxLogTable(spark,
+      Files.createTempDirectory("txspec-guard").resolve("t").toString)
+    t.create(schema, partitionCols = Seq(TxLogTable.BucketCol),
+      bucketSpecs = Seq(("id", 4)))
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      overwrite = false, partitionCols = Seq(TxLogTable.BucketCol))
+    val specAtStage = t.latestVersion.map(t.bucketSpecsOf).get
+    // unchanged spec: guard passes
+    t.requireSpecUnchanged(specAtStage, t.latestVersion, "test")
+    // spec evolved between staging and publish: guard refuses
+    t.rebucket(schema, 8)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.requireSpecUnchanged(specAtStage, t.latestVersion, "test")
+    }
+    assert(e.getMessage.contains("concurrent rebucket"))
+    // normal writes against the NEW spec proceed fine
+    t.commit(Seq((3L, "c")).toDF("id", "v"),
+      overwrite = false, partitionCols = Seq(TxLogTable.BucketCol))
+    assert(snapRows(t, None) == List((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.entries(None).forall { e =>
+      e.rel.stripPrefix("_bkt=").takeWhile(_ != '/').toInt < 8 })
+  }
+
   test("partitioned interleavings: dynamic overwrite vs per-partition model") {
     val schemaP = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType),
