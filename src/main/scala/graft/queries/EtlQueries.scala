@@ -1023,6 +1023,62 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // SORTED BUCKET LAYOUT — the join plan money shot: both sides
+    // declare TBLPROPERTIES('sortCols'='key') (within-file ordering
+    // enforced at the staging chokepoint) and compact to one file per
+    // bucket, so the scans report a V2 output ordering alongside their
+    // KeyGroupedPartitioning and the merge join plans with ZERO Sort
+    // nodes AND zero Exchanges — at 100 TB the join neither moves nor
+    // sorts either fact table; the layout paid the sort once at write
+    // time. The requires pin exactly that plan; the ordering report is
+    // conservatively gated (multi-file buckets report nothing — a
+    // concatenation of sorted files is not sorted), so compaction is
+    // what arms it. Oracle replays the join relationally.
+    "sql_sorted_join" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_srt_src")
+      t(s, dir, "orders").createOrReplaceTempView("ord_srt_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_srt")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ord_srt")
+      s.sql("CREATE TABLE graftcat.db.cust_srt (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, c_custkey)) " +
+        "TBLPROPERTIES ('sortCols'='c_custkey')")
+      s.sql("CREATE TABLE graftcat.db.ord_srt (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, o_custkey)) " +
+        "TBLPROPERTIES ('sortCols'='o_custkey')")
+      s.sql("INSERT INTO graftcat.db.cust_srt " +
+        "SELECT c_custkey, c_acctbal FROM cust_srt_src")
+      s.sql("INSERT INTO graftcat.db.ord_srt " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ord_srt_src")
+      s.sql("CALL graftcat.system.compact('db.cust_srt')")
+      s.sql("CALL graftcat.system.compact('db.ord_srt')")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true")
+      try {
+        val out = s.sql("""
+          SELECT /*+ MERGE(c) */ c.c_custkey AS custkey,
+                 count(*) AS n_ord,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS spend
+          FROM graftcat.db.cust_srt c
+          JOIN graftcat.db.ord_srt o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+          plan.contains("TxLogSpjScan"),
+          s"expected a merge join over the key-grouped scans:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"sorted bucketed SPJ must plan zero shuffles:\n$plan")
+        require(!plan.contains("Sort "),
+          s"sorted compacted buckets must merge-join with ZERO Sort " +
+            s"nodes:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
     // BUCKET-SPEC EVOLUTION (CALL system.rebucket) — the 100×-scale-up
     // answer for the zero-shuffle join: a bucket count pinned at CREATE
     // means per-bucket bytes grow with the corpus, and key-grouped plans
@@ -1903,6 +1959,13 @@ object EtlQueries {
          GROUP BY c.c_custkey""",
 
     "sql_rebucket" ->
+      """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS spend
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey""",
+
+    "sql_sorted_join" ->
       """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS spend

@@ -493,6 +493,25 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def inheritedBloomCols: Seq[String] =
     latestVersion.map(bloomColsOf).getOrElse(Nil)
 
+  /** The declared within-file sort order recorded at `v` (`#sortCols=`,
+    * a TABLE property fixed at CREATE, carried by every commit — see
+    * [[create]]'s validation for why it is immutable and
+    * partitioned-only). The GUARANTEE behind it is enforced at the one
+    * staging chokepoint ([[stage]] sorts every task's rows by
+    * partitionCols ++ sortCols before the write), so EVERY data file of
+    * a sorted table is internally ordered by these columns ascending,
+    * nulls first — which is what lets the SPJ scan report a V2 output
+    * ordering and the sort-merge join drop its per-side Sort nodes
+    * entirely. At 100 TB that is the difference between sorting both
+    * fact tables on every join and sorting neither, ever: the layout
+    * paid the sort once, at write time.
+    */
+  def sortColsOf(v: Int): Seq[String] =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#sortCols=") =>
+        l.stripPrefix("#sortCols=").split(",").toSeq.filter(_.nonEmpty) }
+      .getOrElse(Nil)
+
   private def inheritedBloomBits(base: Option[Int]): Int =
     base.map(bloomBitsOf).getOrElse(TxLogTable.Bloom.DefaultM)
 
@@ -575,6 +594,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       l.startsWith("#schema=") || l.startsWith("#colmap=") ||
         l.startsWith("#bloomBits=") ||
         l.startsWith("#bucketSpec=") ||
+        l.startsWith("#sortCols=") ||
         l.startsWith("#droppedPhys="))).getOrElse(Nil)
 
   /** Hash-bucket layout recorded at `v` — ONE `#bucketSpec=<key>:<n>`
@@ -631,7 +651,25 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def create(schema: StructType, partitionCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
-             bucketSpecs: Seq[(String, Int)] = Nil): Int = {
+             bucketSpecs: Seq[(String, Int)] = Nil,
+             sortCols: Seq[String] = Nil): Int = {
+    if (sortCols.nonEmpty) {
+      require(sortCols.distinct == sortCols,
+        s"sort columns must be distinct: $sortCols")
+      sortCols.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"sort column $c not in schema")
+        require(TxLogTable.wireSafeName(c),
+          s"sort column '$c' contains a manifest wire delimiter")
+      }
+      // partitioned-only: a hive layout forces every write through the
+      // staging chokepoint that ENFORCES the sort; an unpartitioned
+      // table's native DSv2 batch write bypasses it, and a declared-but-
+      // unenforced ordering would make a merge join silently WRONG
+      require(partitionCols.nonEmpty,
+        "sortCols need a partitioned layout (the staging write path is " +
+          "what enforces the sort); partition or bucket the table")
+    }
     partitionCols.filterNot(TxLogTable.isBucketCol)
       .foreach(c => require(schema.fieldNames.contains(c),
         s"partition column $c not in schema"))
@@ -665,7 +703,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     Files.write(manifestPath(0),
       (metaLines(partitionCols, "create", bloomCols) ++
         Seq(s"#schema=${schema.json}") ++
-        bucketSpecs.map { case (k, n) => s"#bucketSpec=$k:$n" })
+        bucketSpecs.map { case (k, n) => s"#bucketSpec=$k:$n" } ++
+        (if (sortCols.nonEmpty)
+           Seq(s"#sortCols=${sortCols.mkString(",")}") else Nil))
         .mkString("\n").getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW)
     0
@@ -744,7 +784,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
 
   // table properties every schema-evolution commit carries unchanged
   private def carriedProps(b: Int): Seq[String] =
-    manifestLines(b).filter(_.startsWith("#bloomBits=")) ++
+    manifestLines(b).filter(l =>
+      l.startsWith("#bloomBits=") || l.startsWith("#bucketSpec=") ||
+        l.startsWith("#sortCols=")) ++
       morLines(Some(b)) ++ checkLines(Some(b))
 
   /** RENAME COLUMN as a pure metadata commit (column mapping): the logical
@@ -772,6 +814,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       require(!bucketSpecsOf(b).exists(_._1 == oldName),
         s"cannot rename bucket key $oldName (the bucket spec and every " +
           "file's hive bucket id derive from it)")
+      require(!sortColsOf(b).contains(oldName),
+        s"cannot rename sort column $oldName (every file's physical " +
+          "row order derives from it)")
       require(tombstonesOf(b).isEmpty,
         "cannot rename with live MOR tombstones: compact first")
       val map = colMapOf(b)
@@ -833,6 +878,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         s"cannot drop partition column $name")
       require(!bucketSpecsOf(b).exists(_._1 == name),
         s"cannot drop bucket key $name")
+      require(!sortColsOf(b).contains(name),
+        s"cannot drop sort column $name")
       require(tombstonesOf(b).isEmpty,
         "cannot drop with live MOR tombstones: compact first")
       require(schema.fields.length > 1, "cannot drop the last column")
@@ -1685,6 +1732,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                     numFiles: Int = 8): Int = {
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"compactZOrder of empty table: $root"))
+    require(sortColsOf(v).isEmpty,
+      "zorder and sortCols are competing physical layouts: the staging " +
+        "sort would re-order the Morton clustering right back — drop " +
+        "one of the two")
     val cols = partitionColsOf(v)
     val snap = snapshot(schema)
     // a STRING dimension rides the curve through the order-preserving
@@ -1946,7 +1997,20 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // with pre-rename files. Partition columns are never mapped
     // (renameColumn refuses them), so the layout needs no translation.
     // Bucketed layouts derive their hidden bucket id here, same reason.
-    val w = toPhysical(withBucketCol(df, partitionCols))
+    // SORTED tables enforce their declared ordering here too: each
+    // task's rows sort by partitionCols ++ sortCols (ascending, nulls
+    // first — Spark's default, the order the SPJ scan reports), so the
+    // FileFormatWriter's own partition sort is satisfied by the child
+    // ordering and every written file is internally ordered by sortCols
+    // within its partition value. Sort cols are never colmapped
+    // (renameColumn refuses them), so sorting pre-translation is sound.
+    val bucketed = withBucketCol(df, partitionCols)
+    val sortCols = latestVersion.map(sortColsOf).getOrElse(Nil)
+    val ordered =
+      if (sortCols.isEmpty) bucketed
+      else bucketed.sortWithinPartitions(
+        (partitionCols ++ sortCols).map(col): _*)
+    val w = toPhysical(ordered)
       .write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(scratch.toString)

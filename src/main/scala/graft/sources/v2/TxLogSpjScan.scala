@@ -49,7 +49,8 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
                          required: StructType, filters: Array[Filter])
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private val version = tbl.asOfVersion
 
@@ -163,6 +164,42 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
         }
       },
       dirs.size)
+
+  /** Declared within-file sort order as a V2 output ordering — reported
+    * ONLY when it is TRUE of every task this scan will produce:
+    *  - the table declares `#sortCols=` (enforced at the staging
+    *    chokepoint: every file is internally ordered ascending-nulls-
+    *    first by these columns within its partition value; CREATE
+    *    refuses the spec on layouts whose writes could bypass the
+    *    chokepoint), AND
+    *  - every partition dir holds exactly ONE file small enough not to
+    *    split — the post-compaction steady state. Ordering is a
+    *    per-task contract, and Spark's key-grouped planning REGROUPS
+    *    same-key input partitions into one task: a concatenation of two
+    *    sorted files is not sorted, so a multi-file (or split) bucket
+    *    must report no ordering. No false ordering beats a dropped
+    *    Sort — a wrong one makes the merge join silently wrong.
+    *
+    * What it buys when it fires: EnsureRequirements sees the required
+    * merge-join ordering already satisfied and the SMJ over two sorted
+    * bucketed tables plans with ZERO Sort nodes AND zero Exchanges — at
+    * 100 TB the join sorts neither side, ever; the layout paid the sort
+    * once at write time, and `CALL system.compact`/`optimize` restore
+    * the one-file-per-bucket state that keeps it firing.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val cols = tbl.sortCols
+    if (cols.isEmpty) return Array.empty
+    val maxSplit = FilePartition.maxSplitBytes(spark, dirs)
+    val oneWholeFilePerTask = dirs.nonEmpty && dirs.forall(d =>
+      d.files.length == 1 && d.files.head.getLen <= maxSplit)
+    if (!oneWholeFilePerTask) return Array.empty
+    cols.map(c =>
+      Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+        : org.apache.spark.sql.connector.expressions.SortOrder).toArray
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // runtime filters (if any arrived) shrink the file set between the

@@ -182,8 +182,13 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       bucketSpecs.indices.map(TxLogTable.bucketColAt)
     val bloomCols = Option(properties.get("bloomCols")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    // TBLPROPERTIES('sortCols'='k1,k2'): declared within-file sort order,
+    // enforced at the staging chokepoint — what lets the SPJ scan report
+    // a V2 output ordering and merge joins skip their Sorts
+    val sortCols = Option(properties.get("sortCols")).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     TxLogTable(spark, pathOf(ident).toString)
-      .create(schema, partCols, bloomCols, bucketSpecs)
+      .create(schema, partCols, bloomCols, bucketSpecs, sortCols)
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
   }
 
@@ -1087,6 +1092,11 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       .orElse(table.tableSchema)
       .getOrElse(
         TxLogRelation(spark.sqlContext, root, asOfVersion, None).schema)
+
+  // declared within-file sort order of the version being read
+  private[v2] def sortCols: Seq[String] =
+    asOfVersion.orElse(table.latestVersion)
+      .map(table.sortColsOf).getOrElse(Nil)
 
   // bucket levels of the version being read (empty = not bucketed),
   // keyed by their hidden partition column name

@@ -1439,6 +1439,98 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("metadata commits carry the bucket spec and sort order") {
+    // regression: rename/add/drop column are metadata-only commits that
+    // rebuild the manifest from a carried-property list — the bucket
+    // spec (and sort order) must ride along, or an ALTER of an UNRELATED
+    // column silently un-buckets the table (next append writes outside
+    // the _bkt layout and partition discovery conflicts)
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.carry")
+    spark.sql("CREATE TABLE txcat.ns.carry (k BIGINT, v STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('sortCols'='k')")
+    spark.sql("INSERT INTO txcat.ns.carry " +
+      "SELECT id, concat('v', id) FROM range(50)")
+    val t = TxLogTable(spark, s"$warehouse/ns/carry")
+    spark.sql("ALTER TABLE txcat.ns.carry RENAME COLUMN v TO w")
+    spark.sql("ALTER TABLE txcat.ns.carry ADD COLUMN x BIGINT")
+    spark.sql("ALTER TABLE txcat.ns.carry DROP COLUMN x")
+    assert(t.latestVersion.map(t.bucketSpecsOf)
+      .contains(Seq(("k", 4))), "bucket spec lost by a metadata commit")
+    assert(t.latestVersion.map(t.sortColsOf).contains(Seq("k")),
+      "sort order lost by a metadata commit")
+    // the layout stays writable and consistent after the ALTERs
+    spark.sql("INSERT INTO txcat.ns.carry VALUES (100, 'w100')")
+    assert(t.entries(None).forall(_.rel.startsWith("_bkt=")))
+    assert(spark.table("txcat.ns.carry").count() == 51)
+  }
+
+  test("sorted bucket layout: post-compaction merge join plans ZERO " +
+      "Sorts and zero Exchanges; multi-file buckets refuse the ordering") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_a")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_b")
+    spark.sql("CREATE TABLE txcat.ns.srt_a (k BIGINT, va STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('sortCols'='k')")
+    spark.sql("CREATE TABLE txcat.ns.srt_b (k BIGINT, vb STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('sortCols'='k')")
+    // two appends each → multiple sorted files per bucket
+    spark.sql("INSERT INTO txcat.ns.srt_a " +
+      "SELECT id, concat('a', id) FROM range(300)")
+    spark.sql("INSERT INTO txcat.ns.srt_a " +
+      "SELECT id, concat('a', id) FROM range(300, 600)")
+    spark.sql("INSERT INTO txcat.ns.srt_b " +
+      "SELECT id, concat('b', id) FROM range(0, 600, 2)")
+    spark.sql("INSERT INTO txcat.ns.srt_b " +
+      "SELECT id, concat('b', id) FROM range(1, 600, 2)")
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def joined = spark.sql("""SELECT /*+ MERGE(a) */ a.k, a.va, b.vb
+      FROM txcat.ns.srt_a a JOIN txcat.ns.srt_b b ON a.k = b.k""")
+    try {
+      // multi-file buckets: a concatenation of sorted files is NOT
+      // sorted, so the scan must NOT report ordering — the join keeps
+      // its Sorts (and correctness), zero Exchanges as ever
+      val pre = joined.queryExecution.executedPlan.toString
+      assert(!pre.contains("Exchange") && pre.contains("Sort "), pre)
+      assert(joined.count() == 600)
+      // one sorted file per bucket → ordering reported → Sort-free SMJ
+      spark.sql("CALL txcat.system.compact('ns.srt_a')")
+      spark.sql("CALL txcat.system.compact('ns.srt_b')")
+      val post = joined.queryExecution.executedPlan.toString
+      assert(post.contains("TxLogSpjScan") && !post.contains("Exchange"),
+        post)
+      assert(!post.contains("Sort "),
+        s"sorted compacted buckets must merge-join WITHOUT Sorts:\n$post")
+      assert(joined.count() == 600)
+      val expect = (0L until 600L).map(i => (i, s"a$i", s"b$i")).toSet
+      assert(joined.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet == expect)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+    // physical files really are sorted: read one file raw, check order
+    val ta = TxLogTable(spark, s"$warehouse/ns/srt_a")
+    val oneFile = ta.entries(None).head.rel
+    val ks = spark.read.parquet(s"$warehouse/ns/srt_a/data/$oneFile")
+      .select("k").collect().map(_.getLong(0))
+    assert(ks.sameElements(ks.sorted), "file must be internally sorted")
+    // sort columns are load-bearing: rename/drop refuse; zorder refuses
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE txcat.ns.srt_a RENAME COLUMN k TO kk") }
+    assert(e1.getMessage.contains("bucket key") ||
+      e1.getMessage.contains("sort column"))
+    val e2 = intercept[Exception] {
+      spark.sql("CALL txcat.system.zorder('ns.srt_a', 'k', 'va')")
+        .collect() }
+    assert(e2.getMessage.contains("competing physical layouts"))
+    // unpartitioned sorted tables refuse at CREATE (no chokepoint)
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE txcat.ns.srt_bad (k BIGINT) USING txlog " +
+        "TBLPROPERTIES ('sortCols'='k')") }
+    assert(e3.getMessage.contains("partitioned layout"))
+  }
+
   test("composite keys via a bucket GRID: layered layout, zero-shuffle " +
       "join on the tuple, per-level point prune") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.bk2_a")
