@@ -191,10 +191,10 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val cols = tbl.sortCols
     if (cols.isEmpty) return Array.empty
-    val maxSplit = FilePartition.maxSplitBytes(spark, dirs)
-    val oneWholeFilePerTask = dirs.nonEmpty && dirs.forall(d =>
-      d.files.length == 1 && d.files.head.getLen <= maxSplit)
-    if (!oneWholeFilePerTask) return Array.empty
+    // sorted scans never byte-split ([[planInputPartitions]]), so
+    // "one file per dir" is exactly "one whole sorted file per task"
+    val oneFilePerDir = dirs.nonEmpty && dirs.forall(_.files.length == 1)
+    if (!oneFilePerDir) return Array.empty
     cols.map(c =>
       Expressions.sort(Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
@@ -208,9 +208,16 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       if (runtimePruned.isEmpty) dirs
       else mkIndex(prunedRels).listFiles(Nil, Nil)
     val maxSplit = FilePartition.maxSplitBytes(spark, execDirs)
+    // SORTED tables never split a file: the reported ordering is a
+    // per-task contract and a grouped pair of byte-range splits has no
+    // order guarantee. Costless for the joins this layout exists for —
+    // Spark's key-grouped planning fuses same-key splits back into ONE
+    // task anyway, so per-bucket parallelism comes from the bucket
+    // count, not from splitting.
+    val splittable = tbl.sortCols.isEmpty
     execDirs.iterator.flatMap { d =>
       val splits = d.files.flatMap(f => PartitionedFileUtil.splitFiles(
-        f, f.getPath, isSplitable = true, maxSplit, d.values))
+        f, f.getPath, isSplitable = splittable, maxSplit, d.values))
       FilePartition.getFilePartitions(spark, splits, maxSplit)
         .map(fp => TxLogKeyedPartition(fp, d.values))
     }.toArray

@@ -567,6 +567,14 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             val docs = src.snapshot(schema)
             val kept = graft.operators.Dedup.dedupNearExact(docs, thr)
             val outV = writeResultTable(input.getString(1), kept)
+            // cache hygiene: the banding nearDupPairs caches for its
+            // two in-query consumers is one-shot here — release it by
+            // plan match so a long-lived session doesn't accumulate a
+            // corpus-sized cache entry per procedure call
+            graft.queries.TextQueries.statelessBands(
+              docs.repartition(
+                org.apache.spark.sql.functions.col("doc_id")), 8, 2)
+              .unpersist()
             resultScan(StructType(Seq(
               StructField("dest_version", IntegerType),
               StructField("n_kept", LongType))),

@@ -590,6 +590,52 @@ object ScaleProbe {
       time("rebucket spj join at 80") { spark.sql(q).count() }
     }
 
+    // SORTED bucket layout under growth: after compaction the SPJ scan
+    // reports its declared ordering and the merge join drops BOTH Sort
+    // nodes (in-probe require). The avoided work is an O(n log n)
+    // per-partition sort of each side on every join — measured against
+    // the unsorted twin at 1M and 10M rows; the at-scale claim is the
+    // plan shape (a 100 TB side never sorts), local wall quantifies the
+    // local share.
+    if (what("sortedjoin")) {
+      val wh = java.nio.file.Files.createTempDirectory("sortprobe")
+        .toString
+      spark.conf.set("spark.sql.catalog.srtcat",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.srtcat.warehouse", wh)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (k <- Seq(1, 10)) {
+        val n = 1000000L * k
+        for ((suffix, props) <- Seq(
+          ("s", " TBLPROPERTIES ('sortCols'='k')"), ("u", ""))) {
+          spark.sql(s"CREATE TABLE srtcat.db.a$suffix$k (k BIGINT, " +
+            "v STRING) USING txlog PARTITIONED BY (bucket(16, k))" + props)
+          spark.sql(s"CREATE TABLE srtcat.db.b$suffix$k (k BIGINT, " +
+            "w STRING) USING txlog PARTITIONED BY (bucket(16, k))" + props)
+          spark.sql(s"INSERT INTO srtcat.db.a$suffix$k SELECT id, " +
+            s"cast(id as string) FROM range($n)")
+          spark.sql(s"INSERT INTO srtcat.db.b$suffix$k SELECT id, " +
+            s"cast(id as string) FROM range(0, $n, 2)")
+          spark.sql(s"CALL srtcat.system.compact('db.a$suffix$k', 1)")
+          spark.sql(s"CALL srtcat.system.compact('db.b$suffix$k', 1)")
+        }
+        val qs = s"""SELECT /*+ MERGE(a) */ a.k, a.v, b.w
+          FROM srtcat.db.as$k a JOIN srtcat.db.bs$k b ON a.k = b.k"""
+        val qu = s"""SELECT /*+ MERGE(a) */ a.k, a.v, b.w
+          FROM srtcat.db.au$k a JOIN srtcat.db.bu$k b ON a.k = b.k"""
+        val ps = spark.sql(qs).queryExecution.executedPlan.toString
+        require(!ps.contains("Exchange") && !ps.contains("Sort ") &&
+          ps.contains("SortMergeJoin"),
+          s"sorted probe join must be Sort- and Exchange-free:\n$ps")
+        val pu = spark.sql(qu).queryExecution.executedPlan.toString
+        require(!pu.contains("Exchange") && pu.contains("Sort "),
+          s"unsorted twin must keep its Sorts:\n$pu")
+        time(s"sortedjoin sorted x$k") { spark.sql(qs).count() }
+        time(s"sortedjoin unsorted x$k") { spark.sql(qu).count() }
+      }
+    }
+
     // SKEW in key-grouped joins: KeyGroupedPartitioning is exactly the
     // plan shape AQE's skew-join splitting does not touch (OptimizeSkewedJoin
     // rewrites ShuffleQueryStage reads — an SPJ has none), so a hot key
