@@ -30,12 +30,23 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
                    nBands: Int = 8, rowsPer: Int = 2): DataFrame =
-    TextQueries.jaccardLshOf(docs,
-      // the candidate self-join reads the banding twice; session-scoped
-      // cache (CacheManager dedups by plan; clearCache() releases)
-      TextQueries.statelessBands(docs.repartition(col("doc_id")),
-        nBands, rowsPer).cache(),
-      threshold)
+    nearDupPairsWithHandle(docs, threshold, nBands, rowsPer)._1
+
+  /** [[nearDupPairs]] plus the cached banding it registers — the handle
+    * the candidate self-join reads twice. One-shot callers (the
+    * `CALL system.dedup_near` procedure) unpersist it after
+    * materializing; query paths use the plain form (session-scoped,
+    * CacheManager dedups by plan across reruns). Ownership lives HERE,
+    * next to the `.cache()` — a caller re-deriving the plan to release
+    * it would silently stop matching the moment the banding drifts.
+    */
+  def nearDupPairsWithHandle(docs: DataFrame, threshold: Double = 0.5,
+                             nBands: Int = 8, rowsPer: Int = 2)
+      : (DataFrame, DataFrame) = {
+    val bands = TextQueries.statelessBands(
+      docs.repartition(col("doc_id")), nBands, rowsPer).cache()
+    (TextQueries.jaccardLshOf(docs, bands, threshold), bands)
+  }
 
   /** The deduplicated corpus: `docs` minus every row that is the HIGHER id
     * of some verified near-dup pair — the greedy min-id survivor rule
@@ -47,10 +58,17 @@ object Dedup {
     * Plan shape (PlanSpec-gated): band-key equi-join for candidates, one
     * anti-join to drop losers — no token self-join anywhere.
     */
-  def dedupNearExact(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val losers = nearDupPairs(docs, threshold)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(losers, Seq("doc_id"), "left_anti")
+  def dedupNearExact(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    dedupNearExactWithHandle(docs, threshold)._1
+
+  /** [[dedupNearExact]] plus the cached banding handle (see
+    * [[nearDupPairsWithHandle]]).
+    */
+  def dedupNearExactWithHandle(docs: DataFrame, threshold: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    val (pairs, bands) = nearDupPairsWithHandle(docs, threshold)
+    val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
+    (docs.join(losers, Seq("doc_id"), "left_anti"), bands)
   }
 
   /** Exact all-pairs Jaccard — the oracle/baseline twin (`dd_jaccard`

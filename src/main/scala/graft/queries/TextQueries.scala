@@ -228,7 +228,20 @@ object TextQueries {
     * absorbs the cross-engine ln() ULP, so the oracle hash-matches.
     * Returns (doc_id, n_terms, bm25) for docs matching ≥1 term.
     */
-  def bm25Scores(d: DataFrame, qTerms: Seq[String]): DataFrame = {
+  def bm25Scores(d: DataFrame, qTerms: Seq[String]): DataFrame =
+    bm25ScoresWithHandle(d, qTerms)._1
+
+  /** [[bm25Scores]] plus the cached per-doc intermediate it registers —
+    * the handle its three consumers share. One-shot callers (the
+    * `CALL system.bm25` procedure) unpersist the handle after
+    * materializing; the oracle/bench query paths keep the plain form,
+    * where the session-scoped CacheManager dedups the entry by plan
+    * across reruns. Ownership lives HERE, next to the `.cache()` call —
+    * a caller re-deriving the plan to release it would silently stop
+    * matching the moment this body drifts.
+    */
+  def bm25ScoresWithHandle(d: DataFrame,
+                           qTerms: Seq[String]): (DataFrame, DataFrame) = {
     require(qTerms.nonEmpty && qTerms.distinct == qTerms,
       s"bm25 needs distinct nonempty query terms: $qTerms")
     val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -244,7 +257,7 @@ object TextQueries {
         Seq(lit(qt), col("tf_" + qt))): _*)).as(Seq("tok", "tf")))
       .filter(col("tf") > 0)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "tok")
+    val scores = tf.join(broadcast(df), "tok")
       .crossJoin(broadcast(stats))
       // k1 = 1.2, b = 0.75: k1+1 = 2.2, 1-b = 0.25 — literals spelled
       // identically in the SQL twin so the double trees are bit-equal
@@ -259,6 +272,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_terms"), sum(col("ts")).as("sc"))
       .select(col("doc_id"), col("n_terms"),
         col("sc").cast(DoubleType).as("bm25"))
+    (scores, perDoc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2004,10 +2004,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // ordering and every written file is internally ordered by sortCols
     // within its partition value. Sort cols are never colmapped
     // (renameColumn refuses them), so sorting pre-translation is sound.
+    // The sort applies ONLY to data-file staging under the table's
+    // layout: MOR tombstone staging passes keys-only frames (and
+    // partitionCols = Nil) that need not carry the sort columns — the
+    // ordering contract is about DATA files, which tombstones are not.
     val bucketed = withBucketCol(df, partitionCols)
     val sortCols = latestVersion.map(sortColsOf).getOrElse(Nil)
     val ordered =
-      if (sortCols.isEmpty) bucketed
+      if (sortCols.isEmpty || partitionCols.isEmpty ||
+          !sortCols.forall(bucketed.columns.contains)) bucketed
       else bucketed.sortWithinPartitions(
         (partitionCols ++ sortCols).map(col): _*)
     val w = toPhysical(ordered)
@@ -2923,6 +2928,25 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val props = (if (overwrite) Nil else morLines(base)) ++
         checkLines(base)
       val next = base.getOrElse(-1) + 1
+      // A layout-CHANGING overwrite must not carry layout-bound specs
+      // into a manifest whose partitionCols no longer support them: a
+      // stale #bucketSpec on an unpartitioned table would make every
+      // later row-level DML fail the rebucket guard with a phantom
+      // conflict, and a stale #sortCols would sort (or crash) writes
+      // that no longer flow through a partitioned staging layout. Keep
+      // each spec only when the new layout still carries its derived
+      // columns in create()'s shape.
+      val expectBkt = base.map(bucketSpecsOf).getOrElse(Nil)
+        .indices.map(TxLogTable.bucketColAt)
+      val bucketsStillFit = expectBkt.nonEmpty &&
+        partitionCols.takeRight(expectBkt.length) == expectBkt &&
+        partitionCols.count(TxLogTable.isBucketCol) == expectBkt.length
+      val dropLines: String => Boolean = l =>
+        (bloomBits > 0 && l.startsWith("#bloomBits=")) ||
+          (overwrite && !bucketsStillFit &&
+            l.startsWith("#bucketSpec=")) ||
+          (overwrite && partitionCols.isEmpty &&
+            l.startsWith("#sortCols="))
       try {
         // the atomic publish: create-if-absent of the version manifest.
         // An explicit bloomBits replaces the carried table property; the
@@ -2930,8 +2954,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Files.write(manifestPath(next),
           (metaLines(partitionCols, opName, effBloom) ++
             (if (bloomBits > 0) Seq(s"#bloomBits=$bloomBits") else Nil) ++
-            tableMetaLines(base).filterNot(l =>
-              bloomBits > 0 && l.startsWith("#bloomBits=")) ++ props ++
+            tableMetaLines(base).filterNot(dropLines) ++ props ++
             carried ++ tagVersion(staged, next)).mkString("\n")
             .getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)

@@ -565,16 +565,17 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               schema.fieldNames.contains),
               "dedup_near source needs (doc_id, source, text) columns")
             val docs = src.snapshot(schema)
-            val kept = graft.operators.Dedup.dedupNearExact(docs, thr)
-            val outV = writeResultTable(input.getString(1), kept)
-            // cache hygiene: the banding nearDupPairs caches for its
-            // two in-query consumers is one-shot here — release it by
-            // plan match so a long-lived session doesn't accumulate a
-            // corpus-sized cache entry per procedure call
-            graft.queries.TextQueries.statelessBands(
-              docs.repartition(
-                org.apache.spark.sql.functions.col("doc_id")), 8, 2)
-              .unpersist()
+            // cache hygiene: the banding the operator caches for its
+            // two in-query consumers is one-shot here — the handle the
+            // operator returns is released after materializing (finally:
+            // an existing-dest refusal must not leak it either), so a
+            // long-lived session never accumulates corpus-sized cache
+            // entries across procedure calls
+            val (kept, bands) = graft.operators.Dedup
+              .dedupNearExactWithHandle(docs, thr)
+            val outV =
+              try writeResultTable(input.getString(1), kept)
+              finally bands.unpersist()
             resultScan(StructType(Seq(
               StructField("dest_version", IntegerType),
               StructField("n_kept", LongType))),
@@ -641,10 +642,16 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               schema.fieldNames.contains),
               "bm25 source needs (doc_id, text) columns")
             import org.apache.spark.sql.functions.col
-            val top = graft.queries.TextQueries
-              .bm25Scores(src.snapshot(schema), terms)
-              .orderBy(col("bm25").desc, col("doc_id"))
-              .limit(k).collect()
+            // one-shot scoring: release the per-doc cache the scorer
+            // registers once the top-k is materialized (a repeated CALL
+            // builds a fresh snapshot plan per table version — without
+            // the release each call would leave a corpus-sized entry)
+            val (scores, perDoc) = graft.queries.TextQueries
+              .bm25ScoresWithHandle(src.snapshot(schema), terms)
+            val top =
+              try scores.orderBy(col("bm25").desc, col("doc_id"))
+                .limit(k).collect()
+              finally perDoc.unpersist()
             resultScan(StructType(Seq(
               StructField("doc_id", LongType),
               StructField("n_terms", LongType),

@@ -1439,6 +1439,57 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("sorted tables: MOR tombstones stage without the sort columns; " +
+      "a layout-changing overwrite sheds the stale specs") {
+    import spark.implicits._
+    // (1) deleteByKeysMor stages a KEYS-ONLY frame — the staging sort
+    // must not demand columns a tombstone doesn't carry
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srtmor")
+    spark.sql("CREATE TABLE txcat.ns.srtmor (id BIGINT, ts BIGINT, " +
+      "v STRING) USING txlog PARTITIONED BY (bucket(4, id)) " +
+      "TBLPROPERTIES ('sortCols'='ts')")
+    spark.sql("INSERT INTO txcat.ns.srtmor SELECT id, id * 10, " +
+      "concat('v', id) FROM range(40)")
+    val t = TxLogTable(spark, s"$warehouse/ns/srtmor")
+    t.deleteByKeysMor(Seq(1L, 3L).toDF("id"))
+    assert(spark.table("txcat.ns.srtmor").count() == 38)
+    // (2) overwrite to an UNPARTITIONED layout must shed #bucketSpec and
+    // #sortCols — a stale spec would fail every later row-level DML with
+    // a phantom "concurrent rebucket" and sort writes that no longer
+    // flow through a partitioned staging layout
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srtflat")
+    spark.sql("CREATE TABLE txcat.ns.srtflat (id BIGINT, v STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, id)) " +
+      "TBLPROPERTIES ('sortCols'='id')")
+    spark.sql("INSERT INTO txcat.ns.srtflat " +
+      "SELECT id, concat('v', id) FROM range(30)")
+    val tf = TxLogTable(spark, s"$warehouse/ns/srtflat")
+    val schema = tf.tableSchema.get
+    tf.commit((0L until 30L).map(i => (i, s"w$i")).toDF("id", "v"),
+      overwrite = true) // re-layout: unpartitioned
+    assert(tf.latestVersion.map(tf.bucketSpecsOf).contains(Nil),
+      "stale bucket spec must not survive a layout-changing overwrite")
+    assert(tf.latestVersion.map(tf.sortColsOf).contains(Nil))
+    // row-level DML on the re-laid-out table: no phantom conflict
+    spark.sql("UPDATE txcat.ns.srtflat SET v = concat('U', v) " +
+      "WHERE id < 5")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.srtflat " +
+      "WHERE v LIKE 'U%'").head().getLong(0) == 5L)
+    // a same-layout overwrite KEEPS the specs
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srtkeep")
+    spark.sql("CREATE TABLE txcat.ns.srtkeep (id BIGINT, v STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, id)) " +
+      "TBLPROPERTIES ('sortCols'='id')")
+    spark.sql("INSERT INTO txcat.ns.srtkeep " +
+      "SELECT id, concat('v', id) FROM range(30)")
+    spark.sql("INSERT OVERWRITE txcat.ns.srtkeep " +
+      "SELECT id, concat('w', id) FROM range(30)")
+    val tk = TxLogTable(spark, s"$warehouse/ns/srtkeep")
+    assert(tk.latestVersion.map(tk.bucketSpecsOf)
+      .contains(Seq(("id", 4))))
+    assert(tk.latestVersion.map(tk.sortColsOf).contains(Seq("id")))
+  }
+
   test("metadata commits carry the bucket spec and sort order") {
     // regression: rename/add/drop column are metadata-only commits that
     // rebuild the manifest from a carried-property list — the bucket
