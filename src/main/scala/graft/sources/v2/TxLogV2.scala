@@ -284,7 +284,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
-        "bm25", "optimize").map(Identifier.of(Array("system"), _))
+        "bm25", "optimize", "detail").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -584,6 +584,45 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 .map(_._1).sum)))
           }
         }
+      case "detail" =>
+        // CALL c.system.detail('ns.t'): DESCRIBE DETAIL — one row of the
+        // table's physical identity straight off the manifest (no file
+        // opened, free at any size): current version, file/row/byte
+        // totals, the partition layout, bucket spec(s), sort order, and
+        // bloom columns. The first thing an operator asks of an
+        // unfamiliar 100 TB table.
+        new MaintenanceProc("detail", Seq(
+          inParam("table", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val v = t.latestVersion.get
+            val sizes = t.fileSizes(Some(v))
+            val rows = t.entries(Some(v))
+              .map(_.stats.get(TxLogTable.RowsKey).map(_._1))
+            val exactRows =
+              if (rows.nonEmpty && rows.forall(_.isDefined) &&
+                  t.tombstonesOf(v).isEmpty)
+                Long.box(rows.flatten.sum)
+              else null // unknown: pre-stats files or masked rows
+            def s(str: String) = UTF8String.fromString(str)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("n_files", IntegerType),
+              StructField("n_rows", LongType),
+              StructField("bytes", LongType),
+              StructField("partition_cols", StringType),
+              StructField("bucket_spec", StringType),
+              StructField("sort_cols", StringType),
+              StructField("bloom_cols", StringType))),
+              Seq(InternalRow(v, sizes.size, exactRows,
+                Long.box(sizes.map(_._2).sum),
+                s(t.partitionColsOf(v).mkString(",")),
+                s(t.bucketSpecsOf(v).map { case (k, n) => s"bucket($n, $k)" }
+                  .mkString(", ")),
+                s(t.sortColsOf(v).mkString(",")),
+                s(t.bloomColsOf(v).mkString(",")))))
+          }
+        }
       case "optimize" =>
         // CALL c.system.optimize('ns.t' [, min_bytes [, target_bytes]]):
         // INCREMENTAL small-file compaction — only files under min_bytes
@@ -665,7 +704,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           s"unknown txlog procedure: system.$other " +
             "(available: compact, vacuum, history, partitions, restore, " +
             "clone, zorder, rebucket, semdedup, dedup_near, bm25, " +
-            "optimize)")
+            "optimize, detail)")
     }
   }
 

@@ -1490,6 +1490,28 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(tk.latestVersion.map(tk.sortColsOf).contains(Seq("id")))
   }
 
+  test("CALL detail: one manifest-only row of the table's physical " +
+      "identity") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dtl")
+    spark.sql("CREATE TABLE txcat.ns.dtl (k BIGINT, v STRING) " +
+      "USING txlog PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('sortCols'='k', 'bloomCols'='v')")
+    spark.sql("INSERT INTO txcat.ns.dtl " +
+      "SELECT id, concat('v', id) FROM range(100)")
+    val r = spark.sql("CALL txcat.system.detail('ns.dtl')").collect().head
+    assert(r.getLong(2) == 100L, s"exact rows from the manifest: $r")
+    assert(r.getLong(3) > 0L)
+    assert(r.getString(4) == "_bkt")
+    assert(r.getString(5) == "bucket(4, k)")
+    assert(r.getString(6) == "k" && r.getString(7) == "v")
+    // masked rows → row count honestly unknown
+    val t = TxLogTable(spark, s"$warehouse/ns/dtl")
+    import spark.implicits._
+    t.deleteByKeysMor(Seq(1L).toDF("k"))
+    assert(spark.sql("CALL txcat.system.detail('ns.dtl')")
+      .collect().head.isNullAt(2))
+  }
+
   test("metadata commits carry the bucket spec and sort order") {
     // regression: rename/add/drop column are metadata-only commits that
     // rebuild the manifest from a carried-property list — the bucket
@@ -1580,6 +1602,37 @@ class TxLogCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE txcat.ns.srt_bad (k BIGINT) USING txlog " +
         "TBLPROPERTIES ('sortCols'='k')") }
     assert(e3.getMessage.contains("partitioned layout"))
+    // rebucket preserves the sort order and re-arms the ordering (its
+    // rewrite lands one file per bucket through the sorting chokepoint)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      spark.sql("CALL txcat.system.rebucket('ns.srt_a', 8)")
+      spark.sql("CALL txcat.system.rebucket('ns.srt_b', 8)")
+      assert(ta.latestVersion.map(ta.sortColsOf).contains(Seq("k")))
+      val post8 = joined.queryExecution.executedPlan.toString
+      assert(!post8.contains("Exchange") && !post8.contains("Sort "),
+        s"post-rebucket sorted join must stay Sort-free:\n$post8")
+      assert(joined.count() == 600)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+    // a MULTI-column sort order satisfies a join on its prefix
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_m")
+    spark.sql("CREATE TABLE txcat.ns.srt_m (k BIGINT, s BIGINT, " +
+      "v STRING) USING txlog PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('sortCols'='k,s')")
+    spark.sql("INSERT INTO txcat.ns.srt_m SELECT id % 50, id, " +
+      "concat('v', id) FROM range(200)")
+    spark.sql("CALL txcat.system.compact('ns.srt_m')")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j2 = spark.sql("""SELECT /*+ MERGE(a) */ a.k, a.s
+        FROM txcat.ns.srt_m a JOIN txcat.ns.srt_m b ON a.k = b.k""")
+      val p2 = j2.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange") && !p2.contains("Sort "),
+        s"[k,s]-sorted files satisfy a join on prefix k:\n$p2")
+      assert(j2.count() == 800) // 50 keys × 4 rows each → 16 pairs/key
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
   test("composite keys via a bucket GRID: layered layout, zero-shuffle " +
