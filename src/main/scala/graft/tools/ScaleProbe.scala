@@ -590,6 +590,45 @@ object ScaleProbe {
       time("rebucket spj join at 80") { spark.sql(q).count() }
     }
 
+    // GRID bucketing under growth: the composite-key layout's two
+    // independent prune levels must keep their shape as the corpus
+    // grows — a full-tuple point lookup reads ~1/(n1·n2) of the files
+    // and HALF the tuple still reads ~1/n2, at 1M and 10M rows alike
+    // (the file-set fraction is the at-scale claim; each level is a
+    // manifest-only decision).
+    if (what("grid")) {
+      val wh = java.nio.file.Files.createTempDirectory("gridprobe")
+        .toString
+      spark.conf.set("spark.sql.catalog.gridcat",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.gridcat.warehouse", wh)
+      for (k <- Seq(1, 10)) {
+        val n = 1000000L * k
+        spark.sql(s"CREATE TABLE gridcat.db.g$k (t BIGINT, e BIGINT, " +
+          "v STRING) USING txlog " +
+          "PARTITIONED BY (bucket(8, t), bucket(8, e))")
+        time(s"grid insert x$k") {
+          spark.sql(s"INSERT INTO gridcat.db.g$k SELECT id % 1000, id, " +
+            s"cast(id as string) FROM range($n)")
+          n
+        }
+        val t = graft.sources.TxLogTable(spark, s"$wh/db/g$k")
+        val all = t.entries(None).size
+        import org.apache.spark.sql.functions.col
+        val full = t.candidateFilesWhere(
+          col("t") === 7L && col("e") === 7007L).size
+        val half = t.candidateFilesWhere(col("e") === 7007L).size
+        println(s"[probe] grid x$k files=$all full-tuple=$full " +
+          s"(~1/64 = ${all / 64}) half-tuple=$half (~1/8 = ${all / 8})")
+        require(full <= math.max(1, all / 32) &&
+          half <= math.max(1, all / 4),
+          s"grid prune shape lost at x$k: $all/$full/$half")
+        // the pruned point lookup answers exactly
+        require(spark.sql(s"SELECT count(*) FROM gridcat.db.g$k " +
+          "WHERE t = 7 AND e = 7007").head.getLong(0) == 1L)
+      }
+    }
+
     // SORTED bucket layout under growth: after compaction the SPJ scan
     // reports its declared ordering and the merge join drops BOTH Sort
     // nodes (in-probe require). The avoided work is an O(n log n)
