@@ -71,10 +71,13 @@ class TxLogPropertySpec extends AnyFunSuite {
   test("bucketed interleavings: hidden layout survives every op sequence") {
     // the bucket-layout invariant under random compositions of append /
     // overwrite / keyed merge / delete / compact / vacuum / REBUCKET:
-    // every data file stays under a _bkt dir (the staging chokepoint
-    // derives the id on EVERY path, under whatever spec is current) and
-    // the visible rows always match the in-memory model — layout
-    // maintenance and spec evolution can never cost correctness
+    // every data file stays under the layout's _bkt dir(s) (the staging
+    // chokepoint derives the ids on EVERY path, under whatever spec is
+    // current) and the visible rows always match the in-memory model —
+    // layout maintenance and spec evolution can never cost correctness.
+    // Runs over BOTH layout shapes: the single bucket level and the
+    // two-level composite-key GRID (rebucket targets the grid's second
+    // level by key).
     val bucketOpGen: Gen[Op] = Gen.frequency(
       4 -> rowsGen.map(Append),
       2 -> rowsGen.map(Overwrite),
@@ -85,12 +88,17 @@ class TxLogPropertySpec extends AnyFunSuite {
       1 -> Gen.oneOf(2, 3, 8).map(Rebucket),
       1 -> Gen.choose(1, 3).map(Vacuum))
     val programGenB: Gen[List[Op]] = Gen.resize(8, Gen.listOf(bucketOpGen))
-    val layout = Seq(TxLogTable.BucketCol)
+    val layouts = Seq(
+      (Seq(("id", 4)), Seq(TxLogTable.BucketCol)),
+      (Seq(("id", 2), ("v", 2)),
+        Seq(TxLogTable.bucketColAt(0), TxLogTable.bucketColAt(1))))
+    for ((specs, layout) <- layouts)
     forAllSeeded(programGenB, n = 4) { program =>
       val t = TxLogTable(spark,
         Files.createTempDirectory("txpropb").resolve("t").toString)
-      t.create(schema, partitionCols = layout,
-        bucketSpecs = Seq(("id", 4)))
+      t.create(schema, partitionCols = layout, bucketSpecs = specs)
+      // a grid rebucket needs its target level named: evolve the LAST
+      val rbKey = if (specs.length > 1) Some(specs.last._1) else None
       var model = List.empty[(Long, String)]
       program.foreach { op =>
         op match {
@@ -111,20 +119,23 @@ class TxLogPropertySpec extends AnyFunSuite {
               org.apache.spark.sql.functions.col("id").isin(ids: _*))
             model = model.filterNot(r => ids.contains(r._1))
           case Compact => t.compact(schema, 2)
-          case Rebucket(n) => t.rebucket(schema, n)
+          case Rebucket(n) => t.rebucket(schema, n, rbKey)
           case Vacuum(keep) => t.vacuum(keep, minAgeMillis = 0)
           case _ => ()
         }
-        assert(t.entries(None).forall(_.rel.startsWith("_bkt=")),
+        // every file sits under ALL the layout's bucket levels, in order
+        val levelPat = layout.map(bc => s"$bc=\\d+").mkString("/") + "/.*"
+        assert(t.entries(None).forall(_.rel.matches(levelPat)),
           s"bucket layout lost after $op: ${t.entries(None).map(_.rel)}")
-        // every file's _bkt segment stays within the CURRENT spec's range
+        // every level's id stays within the CURRENT spec's range
         // (rebucket swaps the spec atomically with the rewritten layout)
-        val curN = t.latestVersion.map(t.bucketSpecsOf)
-          .getOrElse(Nil).head._2
+        val specsNow = t.latestVersion.map(t.bucketSpecsOf).getOrElse(Nil)
         assert(t.entries(None).forall { e =>
-          e.rel.stripPrefix("_bkt=").takeWhile(_ != '/').toInt < curN },
-          s"bucket id out of range after $op (n=$curN): " +
-            t.entries(None).map(_.rel))
+          val segs = TxLogTable.partitionSegmentsOf(e.rel)
+          specsNow.zipWithIndex.forall { case ((_, n), i) =>
+            segs(TxLogTable.bucketColAt(i)).toInt < n }
+        }, s"bucket id out of range after $op ($specsNow): " +
+          t.entries(None).map(_.rel))
         assert(snapRows(t, None) == model.sorted,
           s"model divergence after $op")
       }
