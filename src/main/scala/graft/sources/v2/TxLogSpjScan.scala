@@ -195,7 +195,15 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     // "one file per dir" is exactly "one whole sorted file per task"
     val oneFilePerDir = dirs.nonEmpty && dirs.forall(_.files.length == 1)
     if (!oneFilePerDir) return Array.empty
-    cols.map(c =>
+    // IDENTITY partition columns lead the reported order: each task
+    // holds exactly one partition tuple (one dir), so those columns are
+    // CONSTANT per task and any order over them holds trivially —
+    // prepending them lets a merge join (or window) keyed on the
+    // partition column alone consume the ordering. Hidden bucket levels
+    // are not query attributes and never appear.
+    val leading = partCols.filterNot(graft.sources.TxLogTable.isBucketCol)
+      .filterNot(cols.contains)
+    (leading ++ cols).map(c =>
       Expressions.sort(Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
         : org.apache.spark.sql.connector.expressions.SortOrder).toArray

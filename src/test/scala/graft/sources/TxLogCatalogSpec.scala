@@ -1490,6 +1490,50 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(tk.latestVersion.map(tk.sortColsOf).contains(Seq("id")))
   }
 
+  test("sortCols compose with an identity partition layout too") {
+    // the sort is a property of the staging chokepoint, not of
+    // bucketing: a date-partitioned sorted table's files are internally
+    // ordered, the SPJ scan reports the ordering once compacted, and a
+    // same-layout join skips Sorts the same way
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_id_a")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_id_b")
+    spark.sql("CREATE TABLE txcat.ns.srt_id_a (p INT, k BIGINT, " +
+      "v STRING) USING txlog PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('sortCols'='k')")
+    spark.sql("CREATE TABLE txcat.ns.srt_id_b (p INT, k BIGINT, " +
+      "w STRING) USING txlog PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('sortCols'='k')")
+    spark.sql("INSERT INTO txcat.ns.srt_id_a SELECT CAST(id % 4 AS INT), " +
+      "id, concat('a', id) FROM range(200)")
+    spark.sql("INSERT INTO txcat.ns.srt_id_b SELECT CAST(id % 4 AS INT), " +
+      "id, concat('b', id) FROM range(0, 200, 2)")
+    spark.sql("CALL txcat.system.compact('ns.srt_id_a')")
+    spark.sql("CALL txcat.system.compact('ns.srt_id_b')")
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // join ON the partition column: identity SPJ co-locates on p, and
+      // the reported ordering leads with p (constant per task — one dir
+      // per task once compacted) so the merge join needs no Sort either
+      val j = spark.sql("""SELECT /*+ MERGE(a) */ a.p, a.k, a.va
+        FROM (SELECT p, k, v AS va FROM txcat.ns.srt_id_a) a
+        JOIN txcat.ns.srt_id_b b ON a.p = b.p""")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Sort "),
+        s"partition-led ordering must satisfy the merge join:\n$plan")
+      assert(j.count() == 5000) // 2 co-located parts × 50 × 50
+      // files internally ordered by k within each p dir
+      val t = TxLogTable(spark, s"$warehouse/ns/srt_id_a")
+      val rel = t.entries(None).head.rel
+      val ks = spark.read
+        .parquet(s"$warehouse/ns/srt_id_a/data/$rel")
+        .select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted))
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("CALL detail: one manifest-only row of the table's physical " +
       "identity") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.dtl")
