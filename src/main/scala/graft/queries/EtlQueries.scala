@@ -1079,6 +1079,48 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // WINDOW over the sorted layout — the analytic twin of
+    // sql_sorted_join: a per-partition running total over a
+    // date/status-partitioned table whose files are internally ordered
+    // by the window's ORDER BY. The scan reports KeyGroupedPartitioning
+    // (satisfies the window's clustering) AND the partition-led sort
+    // order (satisfies its ordering), so the executed plan is scan →
+    // window: NO Exchange, NO Sort — at 100 TB the running total reads
+    // the layout and computes, moving and sorting nothing. Running sums
+    // fold in DECIMAL in ascending-key order on both engines, so the
+    // hash matches exactly.
+    "sql_sorted_window" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "orders").createOrReplaceTempView("ord_sw_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ord_sw")
+      s.sql("CREATE TABLE graftcat.db.ord_sw (o_orderstatus STRING, " +
+        "o_orderkey BIGINT, o_totalprice DOUBLE) USING txlog " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES ('sortCols'='o_orderkey')")
+      s.sql("INSERT INTO graftcat.db.ord_sw " +
+        "SELECT o_orderstatus, o_orderkey, o_totalprice FROM ord_sw_src")
+      s.sql("CALL graftcat.system.compact('db.ord_sw')")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true")
+      try {
+        val out = s.sql("""
+          SELECT o_orderstatus, o_orderkey,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_orderstatus ORDER BY o_orderkey)
+              AS DOUBLE) AS running
+          FROM graftcat.db.ord_sw""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("Window") &&
+          plan.contains("TxLogSpjScan"),
+          s"expected a window over the key-grouped scan:\n$plan")
+        require(!plan.contains("Exchange") && !plan.contains("Sort "),
+          s"window over the sorted layout must add no Exchange and no " +
+            s"Sort:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
     // BUCKET-SPEC EVOLUTION (CALL system.rebucket) — the 100×-scale-up
     // answer for the zero-shuffle join: a bucket count pinned at CREATE
     // means per-bucket bytes grow with the corpus, and key-grouped plans
@@ -1971,6 +2013,13 @@ object EtlQueries {
              AS spend
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY c.c_custkey""",
+
+    "sql_sorted_window" ->
+      """SELECT o_orderstatus, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey)
+             AS DOUBLE) AS running
+         FROM orders""",
 
     "sql_bucket_grid" ->
       """SELECT a.l_orderkey AS okey, a.l_linenumber AS line,

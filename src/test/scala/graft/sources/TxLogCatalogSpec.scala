@@ -1530,6 +1530,27 @@ class TxLogCatalogSpec extends AnyFunSuite {
         .parquet(s"$warehouse/ns/srt_id_a/data/$rel")
         .select("k").collect().map(_.getLong(0))
       assert(ks.sameElements(ks.sorted))
+      // a WINDOW over (PARTITION BY p ORDER BY k) consumes both the
+      // key-grouped clustering and the reported ordering: no Exchange,
+      // no Sort — the per-partition running total at 100 TB reads the
+      // layout and computes, nothing else
+      val w = spark.sql("""SELECT p, k,
+          sum(k) OVER (PARTITION BY p ORDER BY k) AS run
+        FROM txcat.ns.srt_id_a""")
+      val wp = w.queryExecution.executedPlan.toString
+      assert(wp.contains("Window"), wp)
+      assert(!wp.contains("Exchange") && !wp.contains("Sort "),
+        s"window over the sorted layout must add no Exchange/Sort:\n$wp")
+      assert(w.count() == 200)
+      // correctness: running sums match the definition
+      val got = w.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (0 until 4).flatMap { p =>
+        val ks2 = (0L until 200L).filter(_ % 4 == p).sorted
+        ks2.scanLeft(0L)(_ + _).tail.zip(ks2).map { case (run, k) =>
+          (p, k, run) }
+      }.toSet
+      assert(got == expect)
     } finally spark.conf.set(
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
