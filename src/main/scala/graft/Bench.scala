@@ -102,7 +102,8 @@ object Bench {
     // seconds measure construction cost: keep them out of cross-round
     // operator-performance comparisons (round-5 verdict, "wrong" #5).
     val harnessHeavy = Seq("vacuum_scan", "check_constraint",
-      "stream_txlog_feed", "stream_txlog_pipe", "ivm_refresh",
+      "stream_txlog_feed", "stream_txlog_pipe", "stream_maintenance_skip",
+      "ivm_refresh",
       "ivm_refresh_mor", "inc_agg_refresh", "sim_ivf_persisted",
       "sim_ivfpq_persisted", "merge_cow", "merge_cow_str", "replace_where",
       "delete_cow",

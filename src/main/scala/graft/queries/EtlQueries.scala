@@ -1459,6 +1459,41 @@ object EtlQueries {
       s.table(mem)
     }),
 
+    // Maintenance-commit skip on the change feed, driver-oracle-gated:
+    // compact AND zorder run MID-STREAM between two real appends. Both
+    // rewrite every file of the table without changing a row; a feed that
+    // diffed file sets blindly would re-deliver the whole table after
+    // each (the memory sink would hold ~3x the events and hash-fail
+    // against the oracle). The `#op=` manifest line gates the skip —
+    // at 100 TB this is the difference between `CALL system.rebucket`
+    // being routine maintenance and it being a full-table phantom
+    // re-delivery into every downstream consumer.
+    "stream_maintenance_skip" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-maint")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 2 === 0), overwrite = true)
+      val mem = "maint_skip_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("txlog").schema(ev.schema).load(tbl.root)
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()         // batch 1: the even half
+        tbl.compact(ev.schema)          // full-rewrite #1: must emit 0 rows
+        q.processAllAvailable()
+        tbl.compactZOrder(ev.schema, "event_id", // full-rewrite #2: 0 rows
+          "user_id")
+        q.processAllAvailable()
+        tbl.commit(ev.filter(col("event_id") % 2 =!= 0), // real append
+          overwrite = false)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(mem)
+    }),
+
     // Streaming EXACT DEDUP across micro-batches: the even half of the
     // events table arrives in batch 1, then the FULL table in batch 2 —
     // an at-least-once upstream re-delivering everything it already
@@ -2159,6 +2194,9 @@ object EtlQueries {
          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""",
 
     "stream_txlog_feed" ->
+      """SELECT event_id, user_id, value FROM events""",
+
+    "stream_maintenance_skip" ->
       """SELECT event_id, user_id, value FROM events""",
 
     "stream_txlog_pipe" ->

@@ -152,7 +152,11 @@ final class TxLogSource extends RelationProvider
           val m = v.toInt
           require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
           m
-      })
+      },
+      includeMaintenance = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("includeMaintenance") =>
+          v.toBoolean
+      }.getOrElse(false))
 
   override def createSink(ctx: SQLContext,
                           parameters: Map[String, String],

@@ -30,10 +30,23 @@ import org.apache.spark.sql.types.StructType
   * — at 100 TB an unbounded recovery batch is a driver-planning and
   * shuffle-spill hazard). Steady state is unaffected: once caught up,
   * each trigger still reads exactly the newly committed versions.
+  *
+  * Maintenance commits are SKIPPED by default: `compact` / `zorder` /
+  * `rebucket` / `optimize` rewrite every (or most) file of the table
+  * without changing a row, and a feed that diffed file sets blindly would
+  * replay the whole table as inserts into every consumer — at 100 TB, one
+  * `CALL system.rebucket` on a streamed table is a full-table phantom
+  * re-delivery. The `#op=` manifest line identifies them
+  * ([[TxLogTable.RewriteOps]]); versions carrying those ops emit zero
+  * rows. `option("includeMaintenance", "true")` opts back into the raw
+  * file feed for consumers that genuinely track physical files (mirrors
+  * the public Delta CDF's `dataChange = false` / `skipChangeCommits`
+  * handling).
   */
 final class TxLogStreamSource(ctx: SQLContext, root: String,
                               override val schema: StructType,
-                              maxVersionsPerTrigger: Option[Int] = None)
+                              maxVersionsPerTrigger: Option[Int] = None,
+                              includeMaintenance: Boolean = false)
     extends Source {
 
   private def spark = ctx.sparkSession
@@ -72,7 +85,9 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
     // first; subsequent getOffset caps must extend from THAT committed
     // end, not from -1
     offeredV = math.max(offeredV, endV)
-    val delta = table.changesBetween(schema, fromV, endV)
+    val delta = table
+      .changesBetween(schema, fromV, endV,
+        skipRewrites = !includeMaintenance)
       .drop("_commit_version")
     org.apache.spark.sql.graft.StreamingShim.asStreaming(spark, delta)
   }

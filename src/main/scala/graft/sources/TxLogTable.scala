@@ -52,6 +52,17 @@ object TxLogTable {
     */
   val DefaultVacuumMinAgeMillis: Long = 15L * 60 * 1000
 
+  /** `#op=` values whose commits preserve the table's logical content —
+    * pure layout maintenance (file packing / clustering / bucket
+    * evolution). The change feed can skip these wholesale: every row in
+    * their "new" files already reached consumers under an earlier
+    * version. `restore` is deliberately NOT here (it changes visible
+    * rows), nor are the metadata-only ops (rename/add/drop-column,
+    * add-check — they add no files, so the feed already emits nothing).
+    */
+  val RewriteOps: Set[String] =
+    Set("compact", "compact-small", "compact-where", "zorder", "rebucket")
+
   /** Hive partition path segments of a data-file rel path, unescaped:
     * `p=3/q=x%2Fy/batch-....parquet` → Map(p -> "3", q -> "x/y"). The ONE
     * segment-to-map parse every partition-exact decision shares (filtered
@@ -1491,10 +1502,29 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * table IS all-new rows); rows it dropped are not represented — document
     * consumers should treat overwrite boundaries as a reset, as append-only
     * CDC contracts do.
+    *
+    * `skipRewrites` excludes versions whose `#op=` is a row-PRESERVING
+    * layout rewrite ([[TxLogTable.RewriteOps]]: compact / compact-small /
+    * compact-where / zorder / rebucket): those commits change the file
+    * layout but not the logical table content, so a change-feed consumer
+    * that received the rewritten files would re-receive every row of the
+    * table as phantom inserts — at 100 TB, one `CALL system.rebucket`
+    * would replay the ENTIRE table into every downstream stream. The
+    * streaming source passes `skipRewrites = true` by default (the public
+    * Delta CDF ships the same knob: OPTIMIZE files carry
+    * `dataChange = false` and streams ignore them); batch CDC callers that
+    * genuinely want the raw file feed keep the default `false`. A skipped
+    * version still anchors the NEXT version's diff, so appends landing
+    * after a rewrite surface exactly their own files.
     */
-  def changesBetween(schema: StructType, fromV: Int, toV: Int): DataFrame = {
+  def changesBetween(schema: StructType, fromV: Int, toV: Int,
+                     skipRewrites: Boolean = false): DataFrame = {
     require(fromV <= toV, s"changesBetween($fromV, $toV)")
     val present = versions.toSet
+    // carry each version's file set into the next iteration's diff — one
+    // manifest read per version (op + file list from the same read), not
+    // two; on object-store-like backends every extra read is a round trip
+    var prevFiles: Option[Set[String]] = None
     val deltas = (fromV + 1 to toV).filter(present).flatMap { v =>
       // A missing predecessor manifest means the cursor predates the vacuum
       // horizon: v's manifest can no longer be diffed, so its carried files
@@ -1508,15 +1538,25 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           s"changesBetween($fromV, $toV): version ${v - 1} was vacuumed; " +
             s"the change feed before v${versions.headOption.getOrElse(v)} " +
             s"is gone — reset from snapshot($v) and resume from there")
-      val prev = if (present(v - 1)) readManifest(v - 1).toSet
-                 else Set.empty[String]
-      val added = readManifest(v).filterNot(prev)
-      if (added.isEmpty) None
-      // CDC contract: `schema` is the CURRENT logical schema, so the
-      // latest colmap translates it (physical names never change, so it
-      // covers every version's files)
-      else Some(readRels(schema, added, inheritedColMap)
-        .withColumn("_commit_version", lit(v.toLong)))
+      val lines = manifestLines(v)
+      val files = lines.filterNot(_.startsWith("#"))
+        .map(_.takeWhile(_ != '\t'))
+      val op = lines.collectFirst {
+        case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
+      val prev = prevFiles.getOrElse(
+        if (present(v - 1)) readManifest(v - 1).toSet
+        else Set.empty[String])
+      prevFiles = Some(files.toSet)
+      if (skipRewrites && op.exists(TxLogTable.RewriteOps)) None
+      else {
+        val added = files.filterNot(prev)
+        if (added.isEmpty) None
+        // CDC contract: `schema` is the CURRENT logical schema, so the
+        // latest colmap translates it (physical names never change, so it
+        // covers every version's files)
+        else Some(readRels(schema, added, inheritedColMap)
+          .withColumn("_commit_version", lit(v.toLong)))
+      }
     }
     deltas.reduceOption(_.unionByName(_)).getOrElse {
       val empty = spark.createDataFrame(

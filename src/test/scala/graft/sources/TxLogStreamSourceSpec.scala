@@ -168,6 +168,75 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     assert(dst.snapshot(schema).count() == 2)
   }
 
+  test("maintenance commits don't replay the table into the stream") {
+    val base = java.nio.file.Files.createTempDirectory("txstream-maint")
+    val t = TxLogTable(spark, base.resolve("t").toString)
+    val layout = Seq(TxLogTable.BucketCol)
+    t.create(schema, partitionCols = layout, bucketSpecs = Seq(("id", 4)))
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      overwrite = false, partitionCols = layout)
+    val mem = "maint_skip_feed"
+    val q = spark.readStream.format("txlog").schema(schema).load(t.root)
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(mem).count() == 2)
+      // compact rewrites every file; rebucket rewrites the whole table
+      // under a new spec — neither changes a row, so the consumer must
+      // see NOTHING (a blind file-set diff would re-deliver 2 + 2 rows)
+      t.compact(schema)
+      q.processAllAvailable()
+      assert(spark.table(mem).count() == 2,
+        "compact replayed the table into the stream")
+      t.rebucket(schema, 8)
+      q.processAllAvailable()
+      assert(spark.table(mem).count() == 2,
+        "rebucket replayed the table into the stream")
+      // a REAL append after the rewrites surfaces exactly its own rows
+      // (the skipped versions still anchor the next diff)
+      t.commit(Seq((3L, "c")).toDF("id", "v"),
+        overwrite = false, partitionCols = layout)
+      q.processAllAvailable()
+      val rows = spark.table(mem).collect()
+      assert(rows.length == 3 &&
+        rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("includeMaintenance=true opts back into the raw file feed") {
+    val base = java.nio.file.Files.createTempDirectory("txstream-maint2")
+    val t = TxLogTable(spark, base.resolve("t").toString)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    val mem = "maint_raw_feed"
+    val q = spark.readStream.format("txlog").schema(schema)
+      .option("includeMaintenance", "true").load(t.root)
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(mem).count() == 2)
+      t.compact(schema)
+      q.processAllAvailable()
+      // raw physical-file consumers see the rewrite's files re-delivered
+      assert(spark.table(mem).count() == 4)
+    } finally q.stop()
+  }
+
+  test("batch changesBetween keeps the raw feed unless asked to skip") {
+    val t = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txcdc-maint")
+        .resolve("t").toString)
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    t.compact(schema)
+    // default: the rewrite's files are the version's delta (raw contract)
+    assert(t.changesBetween(schema, 0, 1).count() == 1)
+    // skipRewrites: the logical content didn't change → zero rows
+    assert(t.changesBetween(schema, 0, 1, skipRewrites = true).count() == 0)
+  }
+
   test("inferred schema matches the batch connector's") {
     val t = TxLogTable(spark,
       java.nio.file.Files.createTempDirectory("txstream2")
