@@ -115,6 +115,7 @@ object Bench {
       "sql_restore", "sql_clone", "sql_bucket_join", "sql_dpp_join",
       "sql_rebucket", "sql_bucket_grid", "sql_semdedup", "sql_dedup_near",
       "sql_bm25", "sql_sorted_join", "sql_sorted_window",
+      "sql_sorted_multifile",
       "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)

@@ -1079,6 +1079,77 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // MULTI-FILE sorted arming — sql_sorted_join WITHOUT the compacts:
+    // each side takes TWO appends split on the sort key (the
+    // time-ordered-ingest shape), so every bucket dir holds several
+    // internally-sorted files whose key ranges are pairwise disjoint.
+    // The scan orders each dir's files by their manifest min/max range
+    // and reports the ordering over the concatenation — the merge join
+    // still plans ZERO Sort and ZERO Exchange with no maintenance ever
+    // run. At 100 TB this is what makes compaction OPTIONAL for the
+    // sorted layout rather than a prerequisite of every join: arming no
+    // longer requires rewriting each bucket into one monster unsplit
+    // file. The requires additionally pin that the buckets really are
+    // multi-file (a compact would trivialize the claim).
+    "sql_sorted_multifile" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_smf_src")
+      t(s, dir, "orders").createOrReplaceTempView("ord_smf_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_smf")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ord_smf")
+      s.sql("CREATE TABLE graftcat.db.cust_smf (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, c_custkey)) " +
+        "TBLPROPERTIES ('sortCols'='c_custkey')")
+      s.sql("CREATE TABLE graftcat.db.ord_smf (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, o_custkey)) " +
+        "TBLPROPERTIES ('sortCols'='o_custkey')")
+      val mid = t(s, dir, "customer")
+        .agg(org.apache.spark.sql.functions.max(col("c_custkey")) / 2)
+        .head.getDouble(0).toLong
+      // ORDER BY the sort key at write — the sorted-ingest recipe: the
+      // write's range shuffle hands each staging task a contiguous key
+      // slice, so each append's files are range-disjoint per bucket
+      for (pred <- Seq(s"< $mid", s">= $mid")) {
+        s.sql("INSERT INTO graftcat.db.cust_smf " +
+          s"SELECT c_custkey, c_acctbal FROM cust_smf_src " +
+          s"WHERE c_custkey $pred ORDER BY c_custkey")
+        s.sql("INSERT INTO graftcat.db.ord_smf " +
+          s"SELECT o_orderkey, o_custkey, o_totalprice FROM ord_smf_src " +
+          s"WHERE o_custkey $pred ORDER BY o_custkey")
+      }
+      // NO compact — the armed state must come from range disjointness
+      val ct = graft.sources.TxLogTable(s, s.conf.get(
+        "spark.sql.catalog.graftcat.warehouse") + "/db/cust_smf")
+      val perDir = ct.entries(None).groupBy(_.rel.split('/').head)
+      require(perDir.values.exists(_.size > 1),
+        s"buckets must be multi-file: ${perDir.view.mapValues(_.size).toMap}")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true")
+      try {
+        val out = s.sql("""
+          SELECT /*+ MERGE(c) */ c.c_custkey AS custkey,
+                 count(*) AS n_ord,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS spend
+          FROM graftcat.db.cust_smf c
+          JOIN graftcat.db.ord_smf o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+          plan.contains("TxLogSpjScan"),
+          s"expected a merge join over the key-grouped scans:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"sorted bucketed SPJ must plan zero shuffles:\n$plan")
+        require(!plan.contains("Sort "),
+          s"range-disjoint multi-file buckets must merge-join with " +
+            s"ZERO Sort nodes:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
     // WINDOW over the sorted layout — the analytic twin of
     // sql_sorted_join: a per-partition running total over a
     // date/status-partitioned table whose files are internally ordered
@@ -2043,6 +2114,13 @@ object EtlQueries {
          GROUP BY c.c_custkey""",
 
     "sql_sorted_join" ->
+      """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS spend
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey""",
+
+    "sql_sorted_multifile" ->
       """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS spend

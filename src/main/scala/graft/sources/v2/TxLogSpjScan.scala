@@ -165,6 +165,69 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       },
       dirs.size)
 
+  // ---- sorted-ordering arming over MULTI-file partition dirs ---------
+  // Per-file range of the FIRST sort column, keyed by the NORMALIZED
+  // absolute path — the same `Path(dataDir/rel)` construction mkIndex
+  // feeds the file index, so the listed statuses map back exactly
+  // (scheme qualification leaves `toUri.getPath` untouched; part-file
+  // NAMES are not unique across a batch's partition dirs, so a name key
+  // would collide). Integral sort keys use the exact footer min/max;
+  // STRING keys the order-preserving `:spre:` prefix encoding.
+  private lazy val sortKeyRangeByPath: Map[String, (Long, Long, Boolean)] =
+    tbl.sortCols.headOption.map { c =>
+      tbl.table.entries(version).flatMap { e =>
+        e.stats.get(c).map(r => (r._1, r._2, true))
+          .orElse(e.stats.get(graft.sources.TxLogTable.strKey(c))
+            .map(r => (r._1, r._2, false)))
+          .map(r => new org.apache.hadoop.fs.Path(s"$dataDir/${e.rel}")
+            .toUri.getPath -> r)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The dir's files in ascending first-sort-key range order, iff those
+    * ranges are pairwise disjoint — the condition under which
+    * concatenating the internally-sorted files IS a sorted stream.
+    * "Disjoint" is maxPrev < minNext, with ONE relaxation: a boundary
+    * TIE (maxPrev == minNext) passes when the sort spec is a SINGLE
+    * column with EXACT integral stats — a heavily duplicated key that
+    * straddles a staging range-split touches at the boundary, and ties
+    * adjacent across two files still read ascending. The tie must stay
+    * refused otherwise:
+    *  - with SECONDARY sort columns, a first-key tie straddling two
+    *    files could interleave the secondary order wrongly;
+    *  - on `:spre:` string stats, the prefix encoding is
+    *    order-preserving but not injective — encA < encB proves
+    *    a < b, while an encoding-space tie proves nothing about the
+    *    underlying strings.
+    * A file missing the stat (pre-stats era) disarms its dir. One-file
+    * dirs pass trivially (the pre-existing steady state).
+    */
+  private def rangeOrderedFiles(
+      files: Seq[org.apache.spark.sql.execution.datasources
+        .FileStatusWithMetadata])
+      : Option[Seq[org.apache.spark.sql.execution.datasources
+        .FileStatusWithMetadata]] = {
+    if (files.length <= 1) return Some(files)
+    val ranged = files.map(f =>
+      sortKeyRangeByPath.get(f.getPath.toUri.getPath).map(r => (f, r)))
+    if (ranged.exists(_.isEmpty)) return None
+    val ordered = ranged.flatten.sortBy(e => (e._2._1, e._2._2))
+    val tieOk = tbl.sortCols.length == 1
+    val disjoint = ordered.sliding(2).forall {
+      case Seq((_, (_, aMax, aExact)), (_, (bMin, _, bExact))) =>
+        aMax < bMin || (aMax == bMin && tieOk && aExact && bExact)
+      case _ => true
+    }
+    if (disjoint) Some(ordered.map(_._1)) else None
+  }
+
+  // plan-time decision, shared by outputOrdering AND planInputPartitions
+  // (the two must agree: a reported order every task then honors).
+  // Runtime pruning only removes whole dirs, so a subset stays armed.
+  private lazy val sortedArmed: Boolean =
+    tbl.sortCols.nonEmpty && dirs.nonEmpty &&
+      dirs.forall(d => rangeOrderedFiles(d.files).isDefined)
+
   /** Declared within-file sort order as a V2 output ordering — reported
     * ONLY when it is TRUE of every task this scan will produce:
     *  - the table declares `#sortCols=` (enforced at the staging
@@ -172,29 +235,29 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     *    first by these columns within its partition value; CREATE
     *    refuses the spec on layouts whose writes could bypass the
     *    chokepoint), AND
-    *  - every partition dir holds exactly ONE file small enough not to
-    *    split — the post-compaction steady state. Ordering is a
-    *    per-task contract, and Spark's key-grouped planning REGROUPS
-    *    same-key input partitions into one task: a concatenation of two
-    *    sorted files is not sorted, so a multi-file (or split) bucket
-    *    must report no ordering. No false ordering beats a dropped
-    *    Sort — a wrong one makes the merge join silently wrong.
+    *  - every partition dir's files have pairwise-disjoint first-sort-
+    *    key ranges ([[rangeOrderedFiles]]), so each dir reads as ONE
+    *    task whose files concatenate in range order — sorted without a
+    *    single post-write byte moved. One file per dir (the post-
+    *    compaction steady state) is the trivial case; range-disjoint
+    *    APPENDS (time-ordered ingest keyed on event time, a re-sharded
+    *    backfill) arm without compacting — at 100 TB, not rewriting a
+    *    bucket just to re-arm its merge join is the difference between
+    *    maintenance being optional and mandatory. Overlapping ranges
+    *    report nothing: no false ordering beats a dropped Sort — a
+    *    wrong one makes the merge join silently wrong.
     *
     * What it buys when it fires: EnsureRequirements sees the required
     * merge-join ordering already satisfied and the SMJ over two sorted
     * bucketed tables plans with ZERO Sort nodes AND zero Exchanges — at
     * 100 TB the join sorts neither side, ever; the layout paid the sort
-    * once at write time, and `CALL system.compact`/`optimize` restore
-    * the one-file-per-bucket state that keeps it firing.
+    * once at write time.
     */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val cols = tbl.sortCols
     if (cols.isEmpty) return Array.empty
-    // sorted scans never byte-split ([[planInputPartitions]]), so
-    // "one file per dir" is exactly "one whole sorted file per task"
-    val oneFilePerDir = dirs.nonEmpty && dirs.forall(_.files.length == 1)
-    if (!oneFilePerDir) return Array.empty
+    if (!sortedArmed) return Array.empty
     // IDENTITY partition columns lead the reported order: each task
     // holds exactly one partition tuple (one dir), so those columns are
     // CONSTANT per task and any order over them holds trivially —
@@ -223,11 +286,26 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     // task anyway, so per-bucket parallelism comes from the bucket
     // count, not from splitting.
     val splittable = tbl.sortCols.isEmpty
+    var nextIdx = -1
     execDirs.iterator.flatMap { d =>
-      val splits = d.files.flatMap(f => PartitionedFileUtil.splitFiles(
-        f, f.getPath, isSplitable = splittable, maxSplit, d.values))
-      FilePartition.getFilePartitions(spark, splits, maxSplit)
-        .map(fp => TxLogKeyedPartition(fp, d.values))
+      if (sortedArmed) {
+        // ordering is live: ONE task per dir, files concatenated in
+        // ascending first-sort-key range order (rangeOrderedFiles is
+        // defined for every base dir when armed, and runtime pruning
+        // only drops whole dirs) — getFilePartitions would pack by
+        // size, losing the range order the reported ordering requires
+        val ordered = rangeOrderedFiles(d.files).get
+        val pfs = ordered.flatMap(f => PartitionedFileUtil.splitFiles(
+          f, f.getPath, isSplitable = false, maxSplit, d.values))
+        nextIdx += 1
+        Seq(TxLogKeyedPartition(
+          FilePartition(nextIdx, pfs.toArray), d.values))
+      } else {
+        val splits = d.files.flatMap(f => PartitionedFileUtil.splitFiles(
+          f, f.getPath, isSplitable = splittable, maxSplit, d.values))
+        FilePartition.getFilePartitions(spark, splits, maxSplit)
+          .map(fp => TxLogKeyedPartition(fp, d.values))
+      }
     }.toArray
   }
 

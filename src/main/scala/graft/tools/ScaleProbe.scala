@@ -737,6 +737,92 @@ object ScaleProbe {
         spark.sql(q).head.getDouble(0).toLong }
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     }
+
+    // SORTED layout × skew — the conflict the two contracts create:
+    // the reported ordering is a per-task whole-files-in-range-order
+    // guarantee, so an ARMED sorted scan emits exactly ONE task per
+    // bucket dir and neither byte-splitting nor partially-clustered
+    // per-split fan-out can touch a hot bucket (there are no splits to
+    // fan). The probe makes bucket skew the REBUCKETABLE way — many
+    // moderately-hot KEYS colliding into one of 4 buckets (a single
+    // 100× key is unfixable by any layout; its ceiling is one task's
+    // throughput in every engine) — and measures the three handles:
+    //  (a) armed sorted SPJ as-is: hot bucket = one task, Sort-free;
+    //  (b) partially-clustered ON: documented NO-OP here — nothing
+    //      fans out when each dir is already one input partition;
+    //  (c) CALL system.rebucket both sides to 16: the colliding keys
+    //      re-spread, the rewrite re-arms trivially (one sorted file
+    //      per bucket), and the join is balanced again, still with
+    //      zero Sort and zero Exchange.
+    // Conclusion the probe prints: for sorted tables, REBUCKET (spec
+    // evolution) is the skew mitigation; the split-based handles are
+    // traded away by the ordering contract, by design.
+    if (what("sortedskew")) {
+      val wh = java.nio.file.Files.createTempDirectory("sskprobe").toString
+      spark.conf.set("spark.sql.catalog.sskcat",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.sskcat.warehouse", wh)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("CREATE TABLE sskcat.db.sfact (k BIGINT, v STRING) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+      spark.sql("CREATE TABLE sskcat.db.sdim (k BIGINT, w DOUBLE) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+      // 16 keys that COLLIDE into bucket 0 of 4 (exact engine hash) but
+      // spread under 16 — the multi-key hot bucket rebucket exists for
+      val hotKeys = spark.range(0, 100000).toDF("id")
+        .filter(graft.sources.TxLogTable.bucketIdCol("id", 4) === 0)
+        .limit(16).collect().map(_.getLong(0))
+      val hotArr = s"array(${hotKeys.mkString(",")})"
+      val n = 2000000L
+      // ONE insert, globally ORDER BY k — the sorted-ingest shape: the
+      // write's range shuffle hands each staging task a contiguous key
+      // slice, so every bucket dir's files are range-disjoint (boundary
+      // ties from the hot keys allowed: single exact sort col) and the
+      // ordering arms WITHOUT a compact
+      spark.sql(s"""INSERT INTO sskcat.db.sfact
+        SELECT * FROM (
+          SELECT id % 100000 AS k, repeat(cast(id as string), 4) AS v
+          FROM range($n)
+          UNION ALL
+          SELECT element_at($hotArr, cast(id % 16 + 1 AS INT)) AS k,
+                 repeat(cast(id as string), 4) AS v
+          FROM range($n))
+        ORDER BY k""")
+      spark.sql("INSERT INTO sskcat.db.sdim " +
+        "SELECT id, CAST(id AS DOUBLE) FROM range(100000)")
+      val q = """SELECT /*+ MERGE(f) */ sum(length(f.v) * d.w)
+        FROM sskcat.db.sfact f JOIN sskcat.db.sdim d ON f.k = d.k"""
+      def joinShuffleFree(plan: String): Boolean =
+        plan.split("Exchange").length - 1 == 1 &&
+          plan.contains("Exchange SinglePartition") &&
+          plan.contains("TxLogSpjScan")
+      val pc =
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution" +
+          ".enabled"
+      spark.conf.set(pc, "false")
+      val planA = spark.sql(q).queryExecution.executedPlan.toString
+      require(joinShuffleFree(planA) && !planA.contains("Sort "),
+        s"sorted skew probe (a) must be the armed zero-shuffle SPJ:\n$planA")
+      time("sortedskew armed grouped (hot bucket = 1 task)") {
+        spark.sql(q).head.getDouble(0).toLong }
+      spark.conf.set(pc, "true")
+      time("sortedskew partially-clustered (NO-OP: 1 partition/dir)") {
+        spark.sql(q).head.getDouble(0).toLong }
+      spark.conf.set(pc, "false")
+      spark.sql("CALL sskcat.system.rebucket('db.sfact', 16)")
+      spark.sql("CALL sskcat.system.rebucket('db.sdim', 16)")
+      val planC = spark.sql(q).queryExecution.executedPlan.toString
+      require(joinShuffleFree(planC) && !planC.contains("Sort "),
+        s"post-rebucket join must stay armed and shuffle-free:\n$planC")
+      time("sortedskew rebucket(16) re-spread (still Sort-free)") {
+        spark.sql(q).head.getDouble(0).toLong }
+      println("[probe] sortedskew: partially-clustered cannot fan out an " +
+        "armed sorted scan (ordering = one whole-dir task); rebucket is " +
+        "the sorted layout's skew mitigation")
+    }
     spark.stop()
   }
 }

@@ -1555,6 +1555,67 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("multi-file sorted arming: range-disjoint appends need no compact") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_mf_a")
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_mf_b")
+    for (t <- Seq("srt_mf_a", "srt_mf_b"))
+      spark.sql(s"CREATE TABLE txcat.ns.$t (k BIGINT, v BIGINT) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+    // two appends with DISJOINT k ranges — time-ordered ingest shape:
+    // each bucket dir ends with TWO files, [0,200) then [200,400)
+    for (t <- Seq("srt_mf_a", "srt_mf_b"); lo <- Seq(0, 200))
+      spark.sql(s"INSERT INTO txcat.ns.$t " +
+        s"SELECT id, id * 10 FROM range($lo, ${lo + 200})")
+    // the sorted staging path range-partitions within each bucket, so
+    // every dir holds SEVERAL files per insert — all range-disjoint
+    val ta = TxLogTable(spark, s"$warehouse/ns/srt_mf_a")
+    val perDir = ta.entries(None).groupBy(_.rel.split('/').head)
+    assert(perDir.nonEmpty && perDir.values.forall(_.size > 1),
+      s"expected multi-file bucket dirs: ${perDir.view.mapValues(_.size).toMap}")
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // NO compact: the per-file k ranges are pairwise disjoint in every
+      // dir, so the scan reports the ordering and the merge join plans
+      // zero Sort and zero Exchange over the multi-file buckets
+      val j = spark.sql("""SELECT /*+ MERGE(a) */ a.k, a.v, b.v AS w
+        FROM txcat.ns.srt_mf_a a JOIN txcat.ns.srt_mf_b b ON a.k = b.k""")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("TxLogSpjScan"),
+        plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Sort "),
+        s"disjoint multi-file buckets must arm the ordering:\n$plan")
+      assert(j.count() == 400)
+      // each task concatenates its files in range order: a window's
+      // running sum over the armed ordering is CORRECT, not just planned
+      val w = spark.sql("""SELECT k, sum(v) OVER (ORDER BY k) AS run
+        FROM txcat.ns.srt_mf_a WHERE k < 3""")
+      assert(w.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((0L, 0L), (1L, 10L), (2L, 30L)))
+
+      // negative control: OVERLAPPING appends must report nothing — the
+      // concatenation of two sorted-but-overlapping files is not sorted,
+      // and a false ordering would make the merge join silently wrong
+      spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_mf_c")
+      spark.sql("CREATE TABLE txcat.ns.srt_mf_c (k BIGINT, v BIGINT) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+      spark.sql("INSERT INTO txcat.ns.srt_mf_c " +
+        "SELECT id, id * 10 FROM range(0, 300)")
+      spark.sql("INSERT INTO txcat.ns.srt_mf_c " +
+        "SELECT id, id * 10 + 1 FROM range(200, 400)") // overlaps [200,300)
+      val jo = spark.sql("""SELECT /*+ MERGE(a) */ a.k
+        FROM txcat.ns.srt_mf_a a JOIN txcat.ns.srt_mf_c c ON a.k = c.k""")
+      val po = jo.queryExecution.executedPlan.toString
+      assert(po.contains("Sort "),
+        s"overlapping ranges must NOT arm the ordering:\n$po")
+      assert(jo.count() == 500) // 400 + the 100 duplicated overlap keys
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("CALL detail: one manifest-only row of the table's physical " +
       "identity") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.dtl")
