@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through RAW (no "[info] " logger
+// prefix): Bench prints machine-parseable JSON lines that downstream
+// tooling reads from the process tail, and the sbt log decoration is
+// what kept them unparseable.
+run / outputStrategy := Some(StdoutOutput)
 // The container locale is POSIX/C — without this scalac decodes UTF-8
 // sources with the platform charset and Cyrillic literals become mojibake.
 scalacOptions ++= Seq("-deprecation", "-encoding", "utf8")

@@ -46,6 +46,23 @@ object Bench {
     // artifacts' own build cost, not Spark session initialization.
     spark.range(1000).selectExpr("md5(cast(id as string)) m")
       .agg("m" -> "max").collect()
+    // Host-weather CALIBRATION: a fixed scan+shuffle+agg over lineitem,
+    // min-of-3, run BEFORE and AFTER the timed region. Same-HEAD driver
+    // runs have shown ±13% spread on this box, so a raw cross-round
+    // ratio cannot distinguish a real 1.3x regression from co-tenant
+    // noise; the calibration pair brackets the run and `value_cal`
+    // normalizes the headline to the pinned reference below. Per-query
+    // A/B verdicts stay with tools.IsoBench min-of-N (PLANS.md §bench).
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").sum("l_quantity").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    // reference seconds for the calibration query at sf0.1/local[32] on a
+    // calm host (measured round 11); value_cal = value * ref / measured
+    val CalibRefSec = 0.30
+    val calibPre = calibrate()
     // shared-artifact warm-up, charged separately (see scaladoc)
     val w0 = System.nanoTime()
     try {
@@ -126,9 +143,16 @@ object Bench {
     // artifacts both had parsed:null). So the detail lines go first and a
     // short headline line — total + count only, well under any tail
     // window — is printed last so it always survives intact and parses.
+    val calibPost = calibrate()
+    val calib = (calibPre + calibPost) / 2
+    // raw AND calibrated: value is wall seconds as measured; value_cal
+    // re-expresses it at the pinned reference host speed so cross-round
+    // ratios compare work, not weather
+    val totalCal =
+      if (calib > 0) r3(total * CalibRefSec / calib) else total
     println(s"""{"metric":"spread","spread_max":$spreadMax,"harness_heavy":$harnessHeavy,"pass_spread":$sp}""")
     println(s"""{"metric":"detail","queries":$qs,"warmup_sec":${r3(warmupSec)}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"spread_max":$spreadMax,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_cal":$totalCal,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"calib_ref":$CalibRefSec,"unit":"sec","n":${results.size},"spread_max":$spreadMax,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1192,6 +1192,55 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // COLUMN NDV STATISTICS → CBO JOIN PICK: the dim table maintains a
+    // KMV distinct-count sketch on its filter column (TBLPROPERTIES
+    // 'ndvCols', ~1 KB per column per MANIFEST — no file ever opened),
+    // the SPJ scan surfaces it as V2 columnStats, and under CBO the
+    // equality filter's 1/ndv selectivity shrinks the dim's estimate
+    // below the broadcast threshold: the join plans as a BROADCAST of
+    // the filtered dim instead of a sort-merge of the full one. At
+    // 100 TB that pick is the difference between shuffling the fact
+    // table and not. The require pins the flip (threshold is set
+    // BETWEEN the full and filtered estimates, so only the stats can
+    // make the difference); the oracle replays the join relationally.
+    "sql_ndv_broadcast" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_ndv_src")
+      t(s, dir, "orders").createOrReplaceTempView("ord_ndv_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_ndv")
+      s.sql("CREATE TABLE graftcat.db.cust_ndv (c_custkey BIGINT, " +
+        "c_mktsegment STRING, c_acctbal DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(4, c_custkey)) " +
+        "TBLPROPERTIES ('ndvCols'='c_mktsegment')")
+      s.sql("INSERT INTO graftcat.db.cust_ndv " +
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM cust_ndv_src")
+      val tbl = graft.sources.TxLogTable(s, s.conf.get(
+        "spark.sql.catalog.graftcat.warehouse") + "/db/cust_ndv")
+      val bytes = tbl.fileSizes(None).map(_._2).sum
+      val confs = Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> (bytes / 2).toString)
+      val prev = confs.map { case (k, _) => k -> s.conf.get(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = s.sql("""
+          SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS spend
+          FROM graftcat.db.cust_ndv c
+          JOIN ord_ndv_src o ON c.c_custkey = o.o_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+          GROUP BY c.c_custkey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          s"ndv stats must flip the filtered dim to broadcast:\n$plan")
+        require(!plan.contains("SortMergeJoin"),
+          s"the full-dim sort-merge must be gone:\n$plan")
+        out
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+
     // BUCKET-SPEC EVOLUTION (CALL system.rebucket) — the 100×-scale-up
     // answer for the zero-shuffle join: a bucket count pinned at CREATE
     // means per-bucket bytes grow with the corpus, and key-grouped plans
@@ -1306,6 +1355,63 @@ object EtlQueries {
           s"expected the key-grouped grid scans:\n$plan")
         require(!plan.contains("Exchange"),
           s"grid-bucketed tuple join must plan zero shuffles:\n$plan")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
+    // ATOMIC GRID REBUCKET: BOTH levels of a bucket grid evolve in ONE
+    // CALL — one O(table) rewrite, one version bump — where evolving
+    // them one CALL at a time would pay the full rewrite twice and
+    // expose a half-evolved spec between the two commits. The requires
+    // pin exactly that: version delta == 1 per table, both #bucketSpec
+    // lines bumped together, the tuple join zero-Exchange before AND
+    // after. Oracle replays the (layout-independent) join relationally.
+    "sql_rebucket_grid" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("li_rgrid_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.li_rgrid_a")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.li_rgrid_b")
+      for (tn <- Seq("li_rgrid_a", "li_rgrid_b"))
+        s.sql(s"CREATE TABLE graftcat.db.$tn (l_orderkey BIGINT, " +
+          "l_linenumber INT, l_quantity DOUBLE) USING txlog " +
+          "PARTITIONED BY (bucket(2, l_orderkey), bucket(2, l_linenumber))")
+      for (tn <- Seq("li_rgrid_a", "li_rgrid_b"))
+        s.sql(s"INSERT INTO graftcat.db.$tn SELECT l_orderkey, " +
+          "CAST(l_linenumber AS INT), l_quantity FROM li_rgrid_src")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true")
+      try {
+        val q = """
+          SELECT /*+ MERGE(a) */ a.l_orderkey AS okey,
+                 a.l_linenumber AS line,
+                 CAST(SUM(CAST(a.l_quantity * b.l_quantity
+                   AS DECIMAL(28,4))) AS DOUBLE) AS qq
+          FROM graftcat.db.li_rgrid_a a
+          JOIN graftcat.db.li_rgrid_b b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_linenumber = b.l_linenumber
+          GROUP BY a.l_orderkey, a.l_linenumber"""
+        val p0 = s.sql(q).queryExecution.executedPlan.toString
+        require(p0.contains("TxLogSpjScan") && !p0.contains("Exchange"),
+          s"pre-rebucket grid join must be shuffle-free:\n$p0")
+        for (tn <- Seq("li_rgrid_a", "li_rgrid_b")) {
+          val tbl = graft.sources.TxLogTable(s, s"$wh/db/$tn")
+          val v0 = tbl.latestVersion.get
+          // both levels 2->4 in ONE call
+          s.sql(s"CALL graftcat.system.rebucket('db.$tn', 4, " +
+            "'l_orderkey', 0, NULL, 4, 'l_linenumber')").count()
+          val v1 = tbl.latestVersion.get
+          require(v1 == v0 + 1,
+            s"grid rebucket must be ONE version bump: v$v0 -> v$v1")
+          require(tbl.bucketSpecsOf(v1) ==
+            Seq(("l_orderkey", 4), ("l_linenumber", 4)),
+            s"both levels must bump together: ${tbl.bucketSpecsOf(v1)}")
+        }
+        val out = s.sql(q)
+        val p1 = out.queryExecution.executedPlan.toString
+        require(p1.contains("TxLogSpjScan") && !p1.contains("Exchange"),
+          s"post-rebucket grid join must stay shuffle-free:\n$p1")
         out
       } finally s.conf.set(key, prev)
     }),
@@ -2120,6 +2226,14 @@ object EtlQueries {
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY c.c_custkey""",
 
+    "sql_ndv_broadcast" ->
+      """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS spend
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         GROUP BY c.c_custkey""",
+
     "sql_sorted_multifile" ->
       """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -2138,6 +2252,15 @@ object EtlQueries {
       """SELECT a.l_orderkey AS okey, a.l_linenumber AS line,
            CAST(SUM(CAST(a.l_quantity * b.l_extendedprice
              AS DECIMAL(28,4))) AS DOUBLE) AS qp
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_linenumber = b.l_linenumber
+         GROUP BY a.l_orderkey, a.l_linenumber""",
+
+    "sql_rebucket_grid" ->
+      """SELECT a.l_orderkey AS okey, a.l_linenumber AS line,
+           CAST(SUM(CAST(a.l_quantity * b.l_quantity
+             AS DECIMAL(28,4))) AS DOUBLE) AS qq
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey
           AND a.l_linenumber = b.l_linenumber

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.graft.PredicateRanges
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -62,6 +62,20 @@ object TxLogTable {
     */
   val RewriteOps: Set[String] =
     Set("compact", "compact-small", "compact-where", "zorder", "rebucket")
+
+  /** KMV sketch size for the `#ndv:` column distinct-count lines: 64
+    * minima ≈ ±12% standard error — planner-grade (a broadcast decision
+    * needs the order of magnitude, not the exact count) at ~1 KB per
+    * column per manifest.
+    */
+  val KmvK: Int = 64
+
+  /** Default per-file byte target for `rebucket`'s rewrite output —
+    * optimize's target_bytes default: large enough that footer/open
+    * overhead amortizes, small enough that a task (and any later
+    * re-read of one file) stays memory-bounded at scale.
+    */
+  val RebucketTargetBytes: Long = 128L * 1024 * 1024
 
   /** Hive partition path segments of a data-file rel path, unescaped:
     * `p=3/q=x%2Fy/batch-....parquet` → Map(p -> "3", q -> "x/y"). The ONE
@@ -523,6 +537,51 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.stripPrefix("#sortCols=").split(",").toSeq.filter(_.nonEmpty) }
       .getOrElse(Nil)
 
+  /** Columns with a maintained distinct-count sketch (`#ndvCols=`, a
+    * TABLE property set at CREATE like the bloom columns). For each,
+    * every append/overwrite folds the batch's k-minimum-value hashes
+    * into a `#ndv:<col>=` manifest line ([[TxLogTable.KmvK]] 15-hex-char
+    * md5 minima, ~1 KB/column — O(columns) per MANIFEST, independent of
+    * file count, which is what makes it carryable at a million files).
+    * KMV merges by union-and-keep-k-smallest, so appends cost one
+    * bounded fold; row-preserving rewrites carry the lines untouched;
+    * deletes/merges leave the estimate stale-HIGH — conservative for the
+    * planner use (a high NDV means a low estimated filter selectivity,
+    * never an underestimated broadcast). Opt-in because the batch
+    * sketch is one extra column scan of the staged files per commit.
+    */
+  def ndvColsOf(v: Int): Seq[String] =
+    manifestLines(v)
+      .collectFirst { case l if l.startsWith("#ndvCols=") =>
+        l.stripPrefix("#ndvCols=").split(",").toSeq.filter(_.nonEmpty) }
+      .getOrElse(Nil)
+
+  /** The raw KMV minima per ndv column at `v` (sorted 15-hex md5
+    * prefixes, ≤ [[TxLogTable.KmvK]] each). */
+  def ndvSketchesOf(v: Int): Map[String, Seq[String]] =
+    manifestLines(v).collect {
+      case l if l.startsWith("#ndv:") && l.contains('=') =>
+        val body = l.stripPrefix("#ndv:")
+        val cut = body.indexOf('=')
+        body.substring(0, cut) ->
+          body.substring(cut + 1).split(",").toSeq.filter(_.nonEmpty)
+    }.toMap
+
+  /** Distinct-count estimates per ndv column at `v` — the KMV estimator:
+    * fewer than k minima IS the exact count; otherwise
+    * (k-1) / (fraction of the 60-bit hash space below the k-th minimum).
+    */
+  def ndvOf(v: Int): Map[String, Long] =
+    ndvSketchesOf(v).map { case (c, hs) =>
+      c -> (if (hs.length < TxLogTable.KmvK) hs.length.toLong
+            else {
+              val top = java.lang.Long.parseLong(hs.max.substring(0, 15), 16)
+              if (top <= 0) hs.length.toLong
+              else ((TxLogTable.KmvK - 1).toDouble *
+                math.pow(2.0, 60) / top.toDouble).toLong
+            })
+    }
+
   private def inheritedBloomBits(base: Option[Int]): Int =
     base.map(bloomBitsOf).getOrElse(TxLogTable.Bloom.DefaultM)
 
@@ -606,6 +665,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.startsWith("#bloomBits=") ||
         l.startsWith("#bucketSpec=") ||
         l.startsWith("#sortCols=") ||
+        l.startsWith("#ndvCols=") || l.startsWith("#ndv:") ||
         l.startsWith("#droppedPhys="))).getOrElse(Nil)
 
   /** Hash-bucket layout recorded at `v` — ONE `#bucketSpec=<key>:<n>`
@@ -663,7 +723,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   def create(schema: StructType, partitionCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
              bucketSpecs: Seq[(String, Int)] = Nil,
-             sortCols: Seq[String] = Nil): Int = {
+             sortCols: Seq[String] = Nil,
+             ndvCols: Seq[String] = Nil): Int = {
+    ndvCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"ndv column $c not in schema")
+      require(TxLogTable.wireSafeName(c),
+        s"ndv column '$c' contains a manifest wire delimiter")
+    }
     if (sortCols.nonEmpty) {
       require(sortCols.distinct == sortCols,
         s"sort columns must be distinct: $sortCols")
@@ -716,7 +783,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Seq(s"#schema=${schema.json}") ++
         bucketSpecs.map { case (k, n) => s"#bucketSpec=$k:$n" } ++
         (if (sortCols.nonEmpty)
-           Seq(s"#sortCols=${sortCols.mkString(",")}") else Nil))
+           Seq(s"#sortCols=${sortCols.mkString(",")}") else Nil) ++
+        (if (ndvCols.nonEmpty)
+           Seq(s"#ndvCols=${ndvCols.mkString(",")}") else Nil))
         .mkString("\n").getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW)
     0
@@ -797,7 +866,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def carriedProps(b: Int): Seq[String] =
     manifestLines(b).filter(l =>
       l.startsWith("#bloomBits=") || l.startsWith("#bucketSpec=") ||
-        l.startsWith("#sortCols=")) ++
+        l.startsWith("#sortCols=") ||
+        l.startsWith("#ndvCols=") || l.startsWith("#ndv:")) ++
       morLines(Some(b)) ++ checkLines(Some(b))
 
   /** RENAME COLUMN as a pure metadata commit (column mapping): the logical
@@ -1905,9 +1975,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * columns).
     */
   def rebucket(schema: StructType, newN: Int, key: Option[String] = None,
-               files: Int = 0, maxAttempts: Int = 10): Int = {
+               files: Int = 0, maxAttempts: Int = 10,
+               targetBytes: Long = TxLogTable.RebucketTargetBytes,
+               alsoKeys: Seq[(String, Int)] = Nil): Int = {
     require(newN > 0 && newN <= (1 << 20),
       s"bucket count out of range: $newN")
+    alsoKeys.foreach { case (_, n) =>
+      require(n > 0 && n <= (1 << 20), s"bucket count out of range: $n") }
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -1917,17 +1991,25 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       if (specs.isEmpty) throw new IllegalArgumentException(
         s"rebucket of a non-bucketed table: $root (create with a " +
           "bucket transform first)")
-      // which level evolves: the only one, or the named key of a grid
+      // which level evolves: the only one, or the named key of a grid;
+      // `alsoKeys` evolves FURTHER grid levels in the SAME rewrite —
+      // a grid whose both levels outgrew their counts pays ONE O(table)
+      // pass and ONE version bump, not one per level
       val targetKey = key.getOrElse {
         require(specs.length == 1,
           s"grid-bucketed table has ${specs.length} bucket levels " +
             s"(${specs.map(_._1).mkString(", ")}): name the key to evolve")
         specs.head._1
       }
-      val idx = specs.indexWhere(_._1 == targetKey)
-      require(idx >= 0, s"no bucket level on key '$targetKey' " +
-        s"(levels: ${specs.map(_._1).mkString(", ")})")
-      val newSpecs = specs.updated(idx, (targetKey, newN))
+      val updates = (targetKey -> newN) +: alsoKeys
+      require(updates.map(_._1).distinct.length == updates.length,
+        s"duplicate keys in rebucket: ${updates.map(_._1)}")
+      updates.foreach { case (k, _) =>
+        require(specs.exists(_._1 == k), s"no bucket level on key '$k' " +
+          s"(levels: ${specs.map(_._1).mkString(", ")})") }
+      val updateMap = updates.toMap
+      val newSpecs = specs.map { case (k, n) =>
+        (k, updateMap.getOrElse(k, n)) }
       val layout = partitionColsOf(b)
       // masked snapshot (tombstones materialize), EVERY level's id
       // re-derived explicitly under the new spec — withBucketCol then
@@ -1937,13 +2019,41 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         case (acc, ((k, n), i)) => acc.withColumn(
           TxLogTable.bucketColAt(i), TxLogTable.bucketIdCol(k, n))
       }
-      // default output tasks = total bucket-cell count, capped: a grid of
-      // two max-count levels multiplies past Int range, and a rewrite
-      // never needs more tasks than the cluster has anyway
+      // Output tasks: enough that the AVERAGE task writes ~targetBytes —
+      // the old one-file-per-cell default (min(1024, cells)) emitted
+      // multi-GB unsplit files at scale, and for a SORTED table an
+      // unsplit monster file is also the end of per-bucket fan-out. A
+      // task may hold several cells (partitionBy splits its write per
+      // cell), so nOut below the cell count only reduces parallelism,
+      // never file granularity; nOut ABOVE it needs within-cell
+      // splitting, done by layout:
+      //  - sorted: range-repartition on layout ++ sortCols — within-cell
+      //    files carry DISJOINT sort-key ranges, so they stay internally
+      //    ordered (staging re-sorts each task) AND the multi-file
+      //    ordering report stays armed;
+      //  - unsorted: a deterministic hash salt over the data columns
+      //    spreads each cell across ~nOut/cells tasks.
+      val cells = math.max(1L, math.min(1L << 20,
+        newSpecs.map(_._2.toLong).product))
+      val totalBytes = fileSizes(Some(b)).map(_._2).sum
+      require(targetBytes > 0, s"rebucket targetBytes: $targetBytes")
+      val byBytes =
+        math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       val nOut = if (files > 0) files
-        else math.max(1L, math.min(1024L,
-          newSpecs.map(_._2.toLong).product)).toInt
-      val packed = re.repartition(nOut, layout.map(col): _*)
+        else math.min(1L << 18,
+          math.max(byBytes, math.min(cells, 1024L))).toInt
+      val sortSpec = sortColsOf(b)
+      val packed =
+        if (sortSpec.nonEmpty)
+          re.repartitionByRange(nOut, (layout ++ sortSpec).map(col): _*)
+        else if (nOut > cells) {
+          val dataCols = re.columns.filterNot(layout.contains)
+          re.withColumn("__rbsalt",
+              pmod(xxhash64(dataCols.map(col): _*),
+                lit(math.max(1L, nOut / cells))))
+            .repartition(nOut, (layout :+ "__rbsalt").map(col): _*)
+            .drop("__rbsalt")
+        } else re.repartition(nOut, layout.map(col): _*)
       val effBloom = bloomColsOf(b)
       val staged = stageWithStats(packed, layout, effBloom,
         inheritedBloomBits(base))
@@ -2951,6 +3061,22 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       validateChecks(df, latestVersion)
     val stagedSpec = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
     val staged = stageWithStats(df, partitionCols, effBloom, effBits)
+    // Batch KMV minima for the table's declared ndv columns — read from
+    // the STAGED files (one bounded column scan each; never re-executes
+    // the caller's plan), computed once outside the publish retry loop.
+    val ndvColsEff = latestVersion.map(ndvColsOf).getOrElse(Nil)
+    val batchKmv: Map[String, Seq[String]] =
+      if (ndvColsEff.isEmpty || staged.isEmpty) Map.empty
+      else {
+        val paths = staged.map(_.takeWhile(_ != '\t'))
+          .map(r => dataDir.resolve(r).toString)
+        val stagedDf = spark.read.parquet(paths: _*)
+        ndvColsEff.filter(stagedDf.columns.contains).map { c =>
+          c -> graft.functions.Sketches
+            .kmvMinima(stagedDf, col(c), TxLogTable.KmvK)
+            .collect().map(_.getString(0).take(15)).toSeq
+        }.toMap
+      }
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -2987,6 +3113,17 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             l.startsWith("#bucketSpec=")) ||
           (overwrite && partitionCols.isEmpty &&
             l.startsWith("#sortCols="))
+      // NDV fold: append merges the batch minima into the carried
+      // sketch (union, keep k smallest); overwrite starts fresh from
+      // the batch — the old corpus is gone
+      val ndvLines = ndvColsEff.map { c =>
+        val parent = if (overwrite) Nil
+          else base.map(ndvSketchesOf).getOrElse(Map.empty)
+            .getOrElse(c, Nil)
+        val merged = (parent ++ batchKmv.getOrElse(c, Nil))
+          .distinct.sorted.take(TxLogTable.KmvK)
+        s"#ndv:$c=${merged.mkString(",")}"
+      }
       try {
         // the atomic publish: create-if-absent of the version manifest.
         // An explicit bloomBits replaces the carried table property; the
@@ -2994,7 +3131,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Files.write(manifestPath(next),
           (metaLines(partitionCols, opName, effBloom) ++
             (if (bloomBits > 0) Seq(s"#bloomBits=$bloomBits") else Nil) ++
-            tableMetaLines(base).filterNot(dropLines) ++ props ++
+            tableMetaLines(base).filterNot(dropLines)
+              .filterNot(l => ndvLines.nonEmpty &&
+                l.startsWith("#ndv:")) ++
+            ndvLines ++ props ++
             carried ++ tagVersion(staged, next)).mkString("\n")
             .getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)

@@ -332,10 +332,47 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       if (entryRows.nonEmpty && entryRows.forall(_.isDefined))
         java.util.OptionalLong.of(entryRows.flatten.sum)
       else java.util.OptionalLong.empty()
+    // Column-level stats for CBO: distinctCount from the table's
+    // maintained `#ndv:` KMV sketch (manifest-only — no file opened),
+    // nullCount summed from the per-file `:nulls:` footer stats of the
+    // live set. What it buys: with spark.sql.cbo.enabled, an equality
+    // filter's selectivity is 1/ndv, so a filtered dim's estimated
+    // output shrinks below the broadcast threshold and the join flips
+    // from a sort-merge of the full side to a broadcast of the filtered
+    // one — the pick that matters when the unfiltered side is 100 TB.
+    val ndv = version.orElse(tbl.table.latestVersion)
+      .map(tbl.table.ndvOf).getOrElse(Map.empty)
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    ndv.foreach { case (c, est) =>
+      if (readSchema().fieldNames.contains(c)) {
+        val nulls = {
+          val key = graft.sources.TxLogTable.nullsKey(c)
+          val perFile = tbl.table.entries(version)
+            .filter(e => live(e.rel))
+            .map(_.stats.get(key).map(_._1))
+          if (perFile.nonEmpty && perFile.forall(_.isDefined))
+            java.util.OptionalLong.of(perFile.flatten.sum)
+          else java.util.OptionalLong.empty()
+        }
+        colStats.put(Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(est)
+            override def nullCount(): java.util.OptionalLong = nulls
+          })
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

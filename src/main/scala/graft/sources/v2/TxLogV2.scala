@@ -187,8 +187,13 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     // a V2 output ordering and merge joins skip their Sorts
     val sortCols = Option(properties.get("sortCols")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    // TBLPROPERTIES('ndvCols'='k1,k2'): maintain a KMV distinct-count
+    // sketch per listed column across commits — surfaced to the planner
+    // as V2 columnStats (CBO filter selectivity / broadcast sizing)
+    val ndvCols = Option(properties.get("ndvCols")).toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     TxLogTable(spark, pathOf(ident).toString)
-      .create(schema, partCols, bloomCols, bucketSpecs, sortCols)
+      .create(schema, partCols, bloomCols, bucketSpecs, sortCols, ndvCols)
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
   }
 
@@ -484,7 +489,13 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           inParam("table", StringType),
           inParam("buckets", IntegerType),
           inParam("key", StringType, Some("NULL")),
-          inParam("files", IntegerType, Some("0")))) {
+          inParam("files", IntegerType, Some("0")),
+          inParam("target_bytes", LongType, Some(
+            graft.sources.TxLogTable.RebucketTargetBytes.toString)),
+          // a second grid level evolved in the SAME rewrite — one
+          // O(table) pass, one version bump, never two
+          inParam("buckets2", IntegerType, Some("NULL")),
+          inParam("key2", StringType, Some("NULL")))) {
           override def call(input: InternalRow) = {
             val t = tableByName(input.getString(0))
             require(!input.isNullAt(1), "rebucket needs a bucket count")
@@ -492,6 +503,16 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             val key = if (input.isNullAt(2)) None
               else Some(input.getString(2))
             val files = if (input.isNullAt(3)) 0 else input.getInt(3)
+            val tgtB = if (input.isNullAt(4))
+              graft.sources.TxLogTable.RebucketTargetBytes
+              else input.getLong(4)
+            val also =
+              if (input.isNullAt(5)) Nil
+              else {
+                require(!input.isNullAt(6),
+                  "rebucket buckets2 needs key2")
+                Seq(input.getString(6) -> input.getInt(5))
+              }
             val specs = t.latestVersion.map(t.bucketSpecsOf)
               .getOrElse(Nil)
             val before = key.flatMap(k =>
@@ -499,7 +520,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               .map(_._2).getOrElse(0)
             val schema = t.tableSchema.getOrElse(
               TxLogV2Table(spark, t.root, input.getString(0)).schema)
-            val v = t.rebucket(schema, newN, key, files)
+            val v = t.rebucket(schema, newN, key, files,
+              targetBytes = tgtB, alsoKeys = also)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("buckets_before", IntegerType),
@@ -613,14 +635,17 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("partition_cols", StringType),
               StructField("bucket_spec", StringType),
               StructField("sort_cols", StringType),
-              StructField("bloom_cols", StringType))),
+              StructField("bloom_cols", StringType),
+              StructField("ndv", StringType))),
               Seq(InternalRow(v, sizes.size, exactRows,
                 Long.box(sizes.map(_._2).sum),
                 s(t.partitionColsOf(v).mkString(",")),
                 s(t.bucketSpecsOf(v).map { case (k, n) => s"bucket($n, $k)" }
                   .mkString(", ")),
                 s(t.sortColsOf(v).mkString(",")),
-                s(t.bloomColsOf(v).mkString(",")))))
+                s(t.bloomColsOf(v).mkString(",")),
+                s(t.ndvOf(v).toSeq.sortBy(_._1)
+                  .map { case (c, n) => s"$c≈$n" }.mkString(", ")))))
           }
         }
       case "optimize" =>

@@ -588,6 +588,58 @@ object ScaleProbe {
       require(!plan.contains("Exchange") && plan.contains("TxLogSpjScan"),
         s"post-rebucket join must stay shuffle-free:\n$plan")
       time("rebucket spj join at 80") { spark.sql(q).count() }
+
+      // FILE-SIZE TARGETING: rebucket back DOWN to 8 buckets with a
+      // deliberately small target — per-bucket bytes are ~10x the
+      // target, so the rewrite must SPLIT each cell (salt path for this
+      // unsorted table) instead of emitting one multi-GB unsplit file
+      // per cell, and max per-FILE bytes must land near the target.
+      val tgt = 4L * 1024 * 1024
+      time("rebucket 80 -> 8 with 4MB target") {
+        spark.sql("CALL rbkcat.system.rebucket('db.fact', 8, NULL, 0, " +
+          s"$tgt)").count() }
+      val sizes = t.fileSizes(None).map(_._2)
+      println(s"[probe] rebucket file sizes after 4MB-target: " +
+        s"n=${sizes.size} max=${sizes.max} avg=${sizes.sum / sizes.size}")
+      require(sizes.max < 3 * tgt,
+        s"rebucket must bound per-file bytes near the target: " +
+          s"max=${sizes.max} vs target=$tgt")
+
+      // SORTED table: the same target-bytes rewrite must split cells by
+      // RANGE — within-file order preserved (staging sorts) and the
+      // multi-file ordering report still ARMED (range-disjoint files),
+      // so the post-rebucket merge join keeps zero Sort nodes.
+      spark.sql("CREATE TABLE rbkcat.db.sfact (k BIGINT, v STRING) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+      spark.sql("CREATE TABLE rbkcat.db.sdim (k BIGINT, w DOUBLE) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+      spark.sql("INSERT INTO rbkcat.db.sfact SELECT id, " +
+        s"repeat(cast(id as string), 4) FROM range($n) ORDER BY id")
+      spark.sql("INSERT INTO rbkcat.db.sdim SELECT id, " +
+        s"CAST(id AS DOUBLE) FROM range($n) ORDER BY id")
+      time("sorted rebucket 4 -> 8 with 4MB target") {
+        spark.sql("CALL rbkcat.system.rebucket('db.sfact', 8, NULL, 0, " +
+          s"$tgt)").count() }
+      spark.sql("CALL rbkcat.system.rebucket('db.sdim', 8, NULL, 0, " +
+        s"$tgt)").count()
+      val st = graft.sources.TxLogTable(spark, s"$wh/db/sfact")
+      val ssz = st.fileSizes(None).map(_._2)
+      val perDir = st.entries(None).groupBy(_.rel.takeWhile(_ != '/'))
+      println(s"[probe] sorted rebucket: n=${ssz.size} files " +
+        s"max=${ssz.max} multi-file dirs=" +
+        perDir.count(_._2.size > 1) + "/" + perDir.size)
+      require(ssz.max < 3 * tgt && perDir.values.exists(_.size > 1),
+        s"sorted rebucket must range-split cells: max=${ssz.max}")
+      val qs = """SELECT /*+ MERGE(f) */ f.k, f.v, d.w
+        FROM rbkcat.db.sfact f JOIN rbkcat.db.sdim d ON f.k = d.k"""
+      val ps = spark.sql(qs).queryExecution.executedPlan.toString
+      require(!ps.contains("Exchange") && !ps.contains("Sort ") &&
+        ps.contains("SortMergeJoin"),
+        s"target-bytes sorted rebucket must stay armed:\n$ps")
+      time("sorted rebucket armed join (multi-file, 4MB files)") {
+        spark.sql(qs).count() }
     }
 
     // GRID bucketing under growth: the composite-key layout's two

@@ -262,4 +262,55 @@ class PlanSpec extends AnyFunSuite {
     val s2 = ev.filter(col("ts") < mid).queryExecution.executedPlan.toString
     assert(s2.contains("LessThanOrEqual(ts,"), s2)
   }
+
+  test("ndv column stats flip the filtered-dim join to broadcast " +
+      "under CBO") {
+    val wh = java.nio.file.Files.createTempDirectory("ndvspec").toString
+    spark.conf.set("spark.sql.catalog.ndvcat",
+      "graft.sources.v2.TxLogCatalog")
+    spark.conf.set("spark.sql.catalog.ndvcat.warehouse", wh)
+    // twin dims: identical data, one maintains an NDV sketch on `cat`
+    for ((t, props) <- Seq(
+        ("dim_ndv", " TBLPROPERTIES ('ndvCols'='cat')"), ("dim_raw", "")))
+      spark.sql(s"CREATE TABLE ndvcat.db.$t (k BIGINT, cat BIGINT, " +
+        s"pay STRING) USING txlog PARTITIONED BY (bucket(4, k))$props")
+    for (t <- Seq("dim_ndv", "dim_raw"))
+      spark.sql(s"INSERT INTO ndvcat.db.$t SELECT id, id % 1000, " +
+        "md5(cast(id as string)) FROM range(200000)")
+    val t0 = graft.sources.TxLogTable(spark, s"$wh/db/dim_ndv")
+    // the sketch landed and estimates ~1000 within KMV error (±12%)
+    val est = t0.ndvOf(t0.latestVersion.get).getOrElse("cat",
+      fail("no #ndv:cat line in the manifest"))
+    assert(est > 700 && est < 1400, s"ndv(cat) estimate off: $est")
+    val dimBytes = t0.fileSizes(None).map(_._2).sum
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // between the full dim (no broadcast) and dim/1000 (broadcast)
+      "spark.sql.autoBroadcastJoinThreshold" -> (dimBytes / 4).toString)
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def q(t: String) =
+        spark.sql(s"""SELECT f.id, d.pay FROM range(1000000) f
+          JOIN ndvcat.db.$t d ON f.id = d.k WHERE d.cat = 7""")
+      // WITH the sketch: filter selectivity 1/ndv shrinks the estimate
+      // below the threshold -> the filtered dim BROADCASTS
+      val pn = q("dim_ndv").queryExecution.executedPlan
+      assert(collectAll(pn) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"ndv stats must flip the join to broadcast:\n$pn")
+      // WITHOUT it: no distinctCount, the filter keeps the full-size
+      // estimate, the same join stays a sort-merge
+      val pr = q("dim_raw").queryExecution.executedPlan
+      assert(collectAll(pr) { case b: BroadcastHashJoinExec => b }.isEmpty &&
+        pr.toString.contains("SortMergeJoin"),
+        s"control without ndv stats must NOT broadcast:\n$pr")
+      // correctness unaffected by the pick
+      assert(q("dim_ndv").count() == q("dim_raw").count())
+      // CALL detail surfaces the estimate for the operator
+      val det = spark.sql("CALL ndvcat.system.detail('db.dim_ndv')")
+      assert(det.columns.contains("ndv") &&
+        det.head.getAs[String]("ndv").startsWith("cat≈"), det.head.toString)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -1638,6 +1638,33 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .collect().head.isNullAt(2))
   }
 
+  test("ndv sketch: folds across appends, survives compact and DDL") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.ndvt")
+    spark.sql("CREATE TABLE txcat.ns.ndvt (k BIGINT, cat BIGINT, " +
+      "v STRING) USING txlog PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('ndvCols'='cat')")
+    // two appends with disjoint cat ranges: the KMV fold must see BOTH
+    spark.sql("INSERT INTO txcat.ns.ndvt " +
+      "SELECT id, id % 40, 'x' FROM range(1000)")
+    val t = TxLogTable(spark, s"$warehouse/ns/ndvt")
+    def est: Long = t.ndvOf(t.latestVersion.get)("cat")
+    assert(est == 40L, s"under-k KMV is exact: $est") // 40 < k=64
+    spark.sql("INSERT INTO txcat.ns.ndvt " +
+      "SELECT id, 40 + id % 160, 'y' FROM range(1000)")
+    val e2 = est // 200 distinct total, over k -> estimate within ±~25%
+    assert(e2 > 140 && e2 < 280, s"merged estimate off: $e2")
+    // row-preserving maintenance carries the sketch untouched
+    spark.sql("CALL txcat.system.compact('ns.ndvt')")
+    assert(est == e2, "compact must carry the ndv lines")
+    // metadata DDL carries it too
+    spark.sql("ALTER TABLE txcat.ns.ndvt RENAME COLUMN v TO w")
+    assert(est == e2, "rename-column must carry the ndv lines")
+    // overwrite RESETS to the new corpus
+    spark.sql("INSERT OVERWRITE txcat.ns.ndvt " +
+      "SELECT id, id % 10, 'z' FROM range(100)")
+    assert(est == 10L, s"overwrite must reset the sketch: $est")
+  }
+
   test("metadata commits carry the bucket spec and sort order") {
     // regression: rename/add/drop column are metadata-only commits that
     // rebuild the manifest from a carried-property list — the bucket

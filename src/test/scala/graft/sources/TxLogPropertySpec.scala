@@ -35,6 +35,7 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case object ZOrder extends Op
   private case class Vacuum(keep: Int) extends Op
   private case class Rebucket(n: Int) extends Op
+  private case class GridRebucket(n1: Int, n2: Int) extends Op
 
   private val rowsGen: Gen[List[(Long, String)]] =
     Gen.resize(3, Gen.nonEmptyListOf(for {
@@ -86,6 +87,8 @@ class TxLogPropertySpec extends AnyFunSuite {
         .map(Delete),
       1 -> Gen.const(Compact),
       1 -> Gen.oneOf(2, 3, 8).map(Rebucket),
+      1 -> Gen.zip(Gen.oneOf(2, 3), Gen.oneOf(2, 4))
+        .map { case (a, b) => GridRebucket(a, b) },
       1 -> Gen.choose(1, 3).map(Vacuum))
     val programGenB: Gen[List[Op]] = Gen.resize(8, Gen.listOf(bucketOpGen))
     val layouts = Seq(
@@ -120,6 +123,15 @@ class TxLogPropertySpec extends AnyFunSuite {
             model = model.filterNot(r => ids.contains(r._1))
           case Compact => t.compact(schema, 2)
           case Rebucket(n) => t.rebucket(schema, n, rbKey)
+          case GridRebucket(n1, n2) =>
+            // both levels in ONE rewrite — must be exactly one version
+            val v0 = t.latestVersion.get
+            if (specs.length > 1)
+              t.rebucket(schema, n1, Some(specs.head._1),
+                alsoKeys = Seq(specs.last._1 -> n2))
+            else t.rebucket(schema, n1)
+            assert(t.latestVersion.get == v0 + 1,
+              s"grid rebucket must bump exactly one version from $v0")
           case Vacuum(keep) => t.vacuum(keep, minAgeMillis = 0)
           case _ => ()
         }
