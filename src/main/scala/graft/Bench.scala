@@ -60,8 +60,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     // reference seconds for the calibration query at sf0.1/local[32] on a
-    // calm host (measured round 11); value_cal = value * ref / measured
-    val CalibRefSec = 0.30
+    // calm host (measured round 11: min-of-3 = 0.148 s post-run on an
+    // otherwise idle box); value_cal = value * ref / measured
+    val CalibRefSec = 0.15
     val calibPre = calibrate()
     // shared-artifact warm-up, charged separately (see scaladoc)
     val w0 = System.nanoTime()
@@ -130,9 +131,10 @@ object Bench {
       "sql_spj_join", "sql_meta_count", "sql_meta_count_filtered",
       "sql_partitions", "sql_update_mor", "stream_dedup",
       "sql_restore", "sql_clone", "sql_bucket_join", "sql_dpp_join",
-      "sql_rebucket", "sql_bucket_grid", "sql_semdedup", "sql_dedup_near",
+      "sql_rebucket", "sql_bucket_grid", "sql_rebucket_grid",
+      "sql_semdedup", "sql_dedup_near",
       "sql_bm25", "sql_sorted_join", "sql_sorted_window",
-      "sql_sorted_multifile",
+      "sql_sorted_multifile", "sql_ndv_broadcast",
       "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)
