@@ -121,7 +121,7 @@ object Bench {
     // operator-performance comparisons (round-5 verdict, "wrong" #5).
     val harnessHeavy = Seq("vacuum_scan", "check_constraint",
       "stream_txlog_feed", "stream_txlog_pipe", "stream_maintenance_skip",
-      "ivm_refresh",
+      "stream_cdc_feed", "ivm_refresh",
       "ivm_refresh_mor", "inc_agg_refresh", "sim_ivf_persisted",
       "sim_ivfpq_persisted", "merge_cow", "merge_cow_str", "replace_where",
       "delete_cow",
@@ -134,7 +134,7 @@ object Bench {
       "sql_rebucket", "sql_bucket_grid", "sql_rebucket_grid",
       "sql_semdedup", "sql_dedup_near",
       "sql_bm25", "sql_sorted_join", "sql_sorted_window",
-      "sql_sorted_multifile", "sql_ndv_broadcast",
+      "sql_sorted_multifile", "sql_ndv_broadcast", "sql_analyze",
       "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)

@@ -1241,6 +1241,53 @@ object EtlQueries {
       } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
     }),
 
+    // CALL system.analyze — NDV stats WITHOUT the create-time property:
+    // the dim is created bare, ANALYZE re-sketches its snapshot in a
+    // metadata-only commit (no file touched, no change-feed impact),
+    // and the same CBO broadcast flip as sql_ndv_broadcast fires from
+    // the analyzed stats. The operator's path into stats for the
+    // 100 TB table that already exists.
+    "sql_analyze" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_anl_src")
+      t(s, dir, "orders").createOrReplaceTempView("ord_anl_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_anl")
+      s.sql("CREATE TABLE graftcat.db.cust_anl (c_custkey BIGINT, " +
+        "c_mktsegment STRING, c_acctbal DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(4, c_custkey))")
+      s.sql("INSERT INTO graftcat.db.cust_anl " +
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM cust_anl_src")
+      val tbl = graft.sources.TxLogTable(s, s.conf.get(
+        "spark.sql.catalog.graftcat.warehouse") + "/db/cust_anl")
+      val vPre = tbl.latestVersion.get
+      s.sql("CALL graftcat.system.analyze('db.cust_anl', 'c_mktsegment')")
+      require(tbl.latestVersion.contains(vPre + 1) &&
+        tbl.ndvOf(vPre + 1).get("c_mktsegment").exists(_ == 5L),
+        s"analyze must land exact segment NDV: ${tbl.ndvOf(vPre + 1)}")
+      val bytes = tbl.fileSizes(None).map(_._2).sum
+      val confs = Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> (bytes / 2).toString)
+      val prev = confs.map { case (k, _) => k -> s.conf.get(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = s.sql("""
+          SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS spend
+          FROM graftcat.db.cust_anl c
+          JOIN ord_anl_src o ON c.c_custkey = o.o_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+          GROUP BY c.c_custkey""")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin") &&
+          !plan.contains("SortMergeJoin"),
+          s"analyzed stats must flip the filtered dim to broadcast:\n$plan")
+        out
+      } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+
     // BUCKET-SPEC EVOLUTION (CALL system.rebucket) — the 100×-scale-up
     // answer for the zero-shuffle join: a bucket count pinned at CREATE
     // means per-bucket bytes grow with the corpus, and key-grouped plans
@@ -1669,6 +1716,47 @@ object EtlQueries {
         q.processAllAvailable()
       } finally q.stop()
       s.table(mem)
+    }),
+
+    // CDC STREAMING (readChangeFeed): the change feed as a stream WITH
+    // deletes — inserts tagged per commit version, MOR tombstones
+    // surfacing as keys-only 'delete' rows — drained into a memory sink
+    // and folded back into the live-row set by last-change-wins keyed
+    // state (the replica/IVM consumer shape). The oracle recomputes the
+    // final state relationally: every event except the MOR-deleted
+    // keys. At 100 TB this is deletes PUSHED to consumers instead of
+    // each consumer re-diffing snapshots.
+    "stream_cdc_feed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdf")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev.filter(col("event_id") % 2 === 0), overwrite = true)
+      val mem = "cdc_feed_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("txlog").schema(ev.schema)
+        .option("readChangeFeed", "true").load(tbl.root)
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        // MOR delete of the multiples of 10 (all even → all present)
+        tbl.deleteByKeysMor(ev.filter(col("event_id") % 10 === 0)
+          .select(col("event_id")))
+        tbl.commit(ev.filter(col("event_id") % 2 =!= 0),
+          overwrite = false)
+        q.processAllAvailable()
+      } finally q.stop()
+      // last-change-wins fold over the drained feed → the live rows
+      s.table(mem).createOrReplaceTempView(s"${mem}_v")
+      s.sql(s"""
+        SELECT event_id, user_id, value FROM (
+          SELECT *, max(CASE WHEN _change_type = 'delete'
+                        THEN _commit_version ELSE -1 END)
+                      OVER (PARTITION BY event_id) AS del_v
+          FROM ${mem}_v)
+        WHERE _change_type = 'insert' AND _commit_version > del_v""")
     }),
 
     // Streaming EXACT DEDUP across micro-batches: the even half of the
@@ -2226,6 +2314,14 @@ object EtlQueries {
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY c.c_custkey""",
 
+    "sql_analyze" ->
+      """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS spend
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         GROUP BY c.c_custkey""",
+
     "sql_ndv_broadcast" ->
       """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -2399,6 +2495,10 @@ object EtlQueries {
 
     "stream_maintenance_skip" ->
       """SELECT event_id, user_id, value FROM events""",
+
+    "stream_cdc_feed" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_id % 10 <> 0""",
 
     "stream_txlog_pipe" ->
       """SELECT event_id, user_id, event_type FROM events""",

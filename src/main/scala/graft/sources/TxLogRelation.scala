@@ -130,14 +130,31 @@ final class TxLogSource extends RelationProvider
     TxLogRelation(ctx, root, None, Some(data.schema))
   }
 
-  // streaming schema must be stable across restarts: explicit schema, or
-  // inference against the CURRENT snapshot at stream start
+  // option keys arrive with caller-chosen casing
+  private def opt(parameters: Map[String, String],
+                  key: String): Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private def changeFeedOf(parameters: Map[String, String]): Boolean =
+    opt(parameters, "readChangeFeed").exists(_.toBoolean)
+
+  // the DATA schema: explicit, or inferred against the CURRENT snapshot
+  // at stream start (stable across restarts either way)
+  private def dataSchemaOf(ctx: SQLContext, schema: Option[StructType],
+                           parameters: Map[String, String]): StructType =
+    schema.getOrElse(
+      TxLogRelation(ctx, pathOf(parameters), None, None).schema)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String])
-      : (String, StructType) =
-    (shortName(), schema.getOrElse(
-      TxLogRelation(ctx, pathOf(parameters), None, None).schema))
+      : (String, StructType) = {
+    val data = dataSchemaOf(ctx, schema, parameters)
+    (shortName(),
+      if (changeFeedOf(parameters)) TxLogStreamSource.cdcSchema(data)
+      else data)
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType],
@@ -145,18 +162,25 @@ final class TxLogSource extends RelationProvider
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new TxLogStreamSource(ctx, pathOf(parameters),
-      sourceSchema(ctx, schema, providerName, parameters)._2,
-      // option keys arrive with caller-chosen casing
-      parameters.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") =>
-          val m = v.toInt
-          require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
-          m
+      dataSchemaOf(ctx, schema, parameters),
+      opt(parameters, "maxVersionsPerTrigger").map { v =>
+        val m = v.toInt
+        require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+        m
       },
-      includeMaintenance = parameters.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("includeMaintenance") =>
-          v.toBoolean
-      }.getOrElse(false))
+      includeMaintenance =
+        opt(parameters, "includeMaintenance").exists(_.toBoolean),
+      startingVersion = opt(parameters, "startingVersion").map {
+        case s if s.equalsIgnoreCase("latest") =>
+          // pinned at STREAM CREATION: only commits after this flow
+          TxLogTable(ctx.sparkSession, pathOf(parameters))
+            .latestVersion.map(_ + 1).getOrElse(0)
+        case s =>
+          val v = s.toInt
+          require(v >= 0, s"startingVersion must be >= 0, got $v")
+          v
+      },
+      changeFeed = changeFeedOf(parameters))
 
   override def createSink(ctx: SQLContext,
                           parameters: Map[String, String],

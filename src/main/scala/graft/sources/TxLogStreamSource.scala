@@ -42,15 +42,39 @@ import org.apache.spark.sql.types.StructType
   * file feed for consumers that genuinely track physical files (mirrors
   * the public Delta CDF's `dataChange = false` / `skipChangeCommits`
   * handling).
+  *
+  * `option("startingVersion", n | "latest")` starts the feed at version
+  * n (first batch = changes of versions ≥ n) instead of replaying the
+  * whole table as an initial snapshot — the resume-from-a-known-point
+  * contract: a consumer that already holds the snapshot as of n-1 (a
+  * clone, a batch backfill) streams only the delta since. "latest"
+  * pins the table's current version AT STREAM CREATION: only commits
+  * landing after the stream starts flow. Requires version n-1's
+  * manifest to still exist (vacuum contract, as for any change-feed
+  * cursor); honored only on a FRESH stream — a checkpointed offset
+  * always wins on restart.
+  *
+  * `option("readChangeFeed", "true")` switches to the CDC schema: the
+  * data columns plus `_commit_version` and `_change_type`
+  * ('insert' | 'delete') — [[TxLogTable.changesWithDeletes]] as a
+  * stream, MOR tombstones surfacing as keys-only delete rows. The
+  * keyed-state consumer (counting IVM, replicas) gets deletes pushed
+  * instead of diffing snapshots.
   */
 final class TxLogStreamSource(ctx: SQLContext, root: String,
-                              override val schema: StructType,
+                              val dataSchema: StructType,
                               maxVersionsPerTrigger: Option[Int] = None,
-                              includeMaintenance: Boolean = false)
+                              includeMaintenance: Boolean = false,
+                              startingVersion: Option[Int] = None,
+                              changeFeed: Boolean = false)
     extends Source {
 
   private def spark = ctx.sparkSession
   private def table: TxLogTable = TxLogTable(spark, root)
+
+  override val schema: StructType =
+    if (changeFeed) TxLogStreamSource.cdcSchema(dataSchema)
+    else dataSchema
 
   // Highest version already OFFERED to the engine (advanced in getOffset,
   // re-synced from the checkpoint via getBatch on recovery). The cap is
@@ -79,18 +103,42 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
 
   override def getBatch(start: Option[StreamOffset],
                         end: StreamOffset): DataFrame = {
-    val fromV = start.map(versionOf).getOrElse(-1)
+    // a fresh stream (no checkpointed offset) starts at startingVersion
+    // when given; a restart's checkpointed offset always wins
+    val fromV = start.map(versionOf)
+      .orElse(startingVersion.map(_ - 1)).getOrElse(-1)
     val endV = versionOf(end)
     // recovery re-sync: a restarted query replays its checkpointed range
     // first; subsequent getOffset caps must extend from THAT committed
     // end, not from -1
     offeredV = math.max(offeredV, endV)
-    val delta = table
-      .changesBetween(schema, fromV, endV,
-        skipRewrites = !includeMaintenance)
-      .drop("_commit_version")
+    val skip = !includeMaintenance
+    val delta =
+      if (changeFeed)
+        table.changesWithDeletes(dataSchema, fromV, endV,
+            skipRewrites = skip)
+          // the declared CDC schema types _commit_version as LONG; the
+          // tombstone branch tags with the Int version literal
+          .withColumn("_commit_version",
+            org.apache.spark.sql.functions.col("_commit_version")
+              .cast("long"))
+          .select(schema.fieldNames.map(
+            org.apache.spark.sql.functions.col): _*)
+      else
+        table.changesBetween(dataSchema, fromV, endV, skipRewrites = skip)
+          .drop("_commit_version")
     org.apache.spark.sql.graft.StreamingShim.asStreaming(spark, delta)
   }
 
   override def stop(): Unit = ()
+}
+
+object TxLogStreamSource {
+  /** The CDC-mode schema: data columns + the two feed-metadata columns. */
+  def cdcSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
 }

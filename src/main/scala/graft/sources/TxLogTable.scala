@@ -1650,8 +1650,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * [[changesBetween]].
     */
   def changesWithDeletes(schema: StructType, fromV: Int,
-                         toV: Int): DataFrame = {
-    val adds = changesBetween(schema, fromV, toV)
+                         toV: Int,
+                         skipRewrites: Boolean = false): DataFrame = {
+    val adds = changesBetween(schema, fromV, toV, skipRewrites)
       .withColumn("_change_type", lit("insert"))
     val newTombs = tombstonesOf(toV)
       .filter { case (_, v) => v > fromV && v <= toV }
@@ -2076,6 +2077,70 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"rebucket lost the version race $maxAttempts times: $root")
+  }
+
+  /** ANALYZE: (re)compute the column NDV sketches from the CURRENT
+    * masked snapshot and publish them as a metadata-only commit — the
+    * way into stats for a table created without `ndvCols`, and the way
+    * BACK to tight estimates after deletes left the incrementally-folded
+    * sketch stale-high. One column-pruned scan of the snapshot per
+    * analyzed column, zero data files touched, no stream impact (the
+    * manifest's data lines are copied verbatim, so the change feed's
+    * file diff is empty). `cols` ADD to any existing `#ndvCols=` set;
+    * named columns get fresh sketches, previously-declared others keep
+    * their carried fold. Subsequent commits keep folding into the fresh
+    * baseline.
+    */
+  def analyze(schema: StructType, cols: Seq[String],
+              maxAttempts: Int = 10): Int = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"analyze column $c not in schema")
+      require(TxLogTable.wireSafeName(c),
+        s"analyze column '$c' contains a manifest wire delimiter")
+    }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val b = latestVersion.getOrElse(
+        throw new IllegalStateException(s"analyze of empty table: $root"))
+      // sketches are keyed by PHYSICAL name (the commit-path fold reads
+      // staged files, which carry physical columns)
+      val map = colMapOf(b)
+      val phys = cols.map(c => c -> physOf(map, c))
+      val snap = snapshot(schema, Some(b))
+      val fresh = phys.map { case (c, p) =>
+        p -> graft.functions.Sketches
+          .kmvMinima(snap, col(c), TxLogTable.KmvK)
+          .collect().map(_.getString(0).take(15)).toSeq
+      }.toMap
+      val allCols =
+        (ndvColsOf(b) ++ phys.map(_._2)).distinct
+      val freshLines = allCols.map { c =>
+        val minima = fresh.getOrElse(c,
+          ndvSketchesOf(b).getOrElse(c, Nil))
+        s"#ndv:$c=${minima.mkString(",")}"
+      }
+      val lines = metaLines(partitionColsOf(b), "analyze", bloomColsOf(b)) ++
+        manifestLines(b).filterNot(l =>
+          l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
+            l.startsWith("#partitionCols=") ||
+            l.startsWith("#bloomCols=") ||
+            l.startsWith("#ndvCols=") || l.startsWith("#ndv:")) ++
+        Seq(s"#ndvCols=${allCols.mkString(",")}") ++ freshLines
+      val next = b + 1
+      try {
+        Files.write(manifestPath(next),
+          lines.mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-sketch the new snapshot
+      }
+    }
+    throw new IllegalStateException(
+      s"analyze lost the version race $maxAttempts times: $root")
   }
 
   /** Zero-copy clone of the CURRENT snapshot into a fresh table at

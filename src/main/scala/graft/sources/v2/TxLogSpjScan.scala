@@ -342,6 +342,7 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     // one — the pick that matters when the unfiltered side is 100 TB.
     val ndv = version.orElse(tbl.table.latestVersion)
       .map(tbl.table.ndvOf).getOrElse(Map.empty)
+    val liveEntries = tbl.table.entries(version).filter(e => live(e.rel))
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
@@ -349,19 +350,46 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       if (readSchema().fieldNames.contains(c)) {
         val nulls = {
           val key = graft.sources.TxLogTable.nullsKey(c)
-          val perFile = tbl.table.entries(version)
-            .filter(e => live(e.rel))
-            .map(_.stats.get(key).map(_._1))
+          val perFile = liveEntries.map(_.stats.get(key).map(_._1))
           if (perFile.nonEmpty && perFile.forall(_.isDefined))
             java.util.OptionalLong.of(perFile.flatten.sum)
           else java.util.OptionalLong.empty()
         }
+        // value bounds from the manifest ranges — INTEGRAL columns only
+        // (the `:spre:` string stats are order-preserving ENCODINGS, not
+        // values, and date/timestamp ranges carry epoch ints the catalyst
+        // ColumnStat would mistype), boxed to the field's own type: the
+        // catalyst side stores them verbatim and FilterEstimation casts
+        // by dataType. Range selectivity is what they buy — under CBO a
+        // `col > x` filter estimates from (max - x)/(max - min) instead
+        // of defaulting.
+        import org.apache.spark.sql.types._
+        def box(v: Long, dt: DataType): Option[Object] = dt match {
+          case LongType => Some(java.lang.Long.valueOf(v))
+          case IntegerType => Some(java.lang.Integer.valueOf(v.toInt))
+          case ShortType => Some(java.lang.Short.valueOf(v.toShort))
+          case ByteType => Some(java.lang.Byte.valueOf(v.toByte))
+          case _ => None
+        }
+        val dt = readSchema().fields.find(_.name == c).get.dataType
+        val ranges = liveEntries.map(_.stats.get(c))
+        val (mn, mx) =
+          if (ranges.nonEmpty && ranges.forall(_.isDefined))
+            (box(ranges.flatten.map(_._1).min, dt),
+              box(ranges.flatten.map(_._2).max, dt))
+          else (None, None)
         colStats.put(Expressions.column(c),
           new org.apache.spark.sql.connector.read.colstats
             .ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(est)
             override def nullCount(): java.util.OptionalLong = nulls
+            override def min(): java.util.Optional[Object] =
+              mn.map(java.util.Optional.of[Object])
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              mx.map(java.util.Optional.of[Object])
+                .getOrElse(java.util.Optional.empty[Object]())
           })
       }
     }

@@ -289,7 +289,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
-        "bm25", "optimize", "detail").map(Identifier.of(Array("system"), _))
+        "bm25", "optimize", "detail", "analyze")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -644,6 +645,33 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                   .mkString(", ")),
                 s(t.sortColsOf(v).mkString(",")),
                 s(t.bloomColsOf(v).mkString(",")),
+                s(t.ndvOf(v).toSeq.sortBy(_._1)
+                  .map { case (c, n) => s"$c≈$n" }.mkString(", ")))))
+          }
+        }
+      case "analyze" =>
+        // CALL c.system.analyze('ns.t', 'col1,col2'): (re)build the
+        // column NDV sketches from the current masked snapshot — stats
+        // for tables created without 'ndvCols', and the re-tightening
+        // pass after deletes left the incremental fold stale-high. One
+        // column-pruned scan per column, metadata-only commit, no
+        // change-feed impact.
+        new MaintenanceProc("analyze", Seq(
+          inParam("table", StringType),
+          inParam("cols", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "analyze needs a column list")
+            val cols = input.getString(1).split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val schema = t.tableSchema.getOrElse(
+              TxLogV2Table(spark, t.root, input.getString(0)).schema)
+            val v = t.analyze(schema, cols)
+            def s(str: String) = UTF8String.fromString(str)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("ndv", StringType))),
+              Seq(InternalRow(v,
                 s(t.ndvOf(v).toSeq.sortBy(_._1)
                   .map { case (c, n) => s"$c≈$n" }.mkString(", ")))))
           }

@@ -311,6 +311,19 @@ class PlanSpec extends AnyFunSuite {
       val det = spark.sql("CALL ndvcat.system.detail('db.dim_ndv')")
       assert(det.columns.contains("ndv") &&
         det.head.getAs[String]("ndv").startsWith("cat≈"), det.head.toString)
+      // manifest min/max ride along as value bounds: a RANGE filter's
+      // estimate shrinks to (max - x)/(max - min) of the rows instead
+      // of the no-stats default (the full row count)
+      val rf = spark.sql(
+        "SELECT * FROM ndvcat.db.dim_ndv WHERE cat > 989")
+      val est2 = rf.queryExecution.optimizedPlan.stats.rowCount
+      assert(est2.exists(rc => rc > BigInt(0) && rc < BigInt(20000)),
+        s"range selectivity must come from min/max bounds: $est2")
+      val rfRaw = spark.sql(
+        "SELECT * FROM ndvcat.db.dim_raw WHERE cat > 989")
+      val estRaw = rfRaw.queryExecution.optimizedPlan.stats.rowCount
+      assert(estRaw.forall(_ > BigInt(150000)),
+        s"control without bounds must keep the full estimate: $estRaw")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }

@@ -1663,6 +1663,41 @@ class TxLogCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT OVERWRITE txcat.ns.ndvt " +
       "SELECT id, id % 10, 'z' FROM range(100)")
     assert(est == 10L, s"overwrite must reset the sketch: $est")
+    // the incremental fold can only grow — a delete leaves it stale-HIGH
+    // (conservative); CALL analyze re-sketches the masked snapshot and
+    // tightens it back to the truth
+    spark.sql("DELETE FROM txcat.ns.ndvt WHERE cat >= 5")
+    assert(est == 10L, s"post-delete fold stays stale-high: $est")
+    val r = spark.sql("CALL txcat.system.analyze('ns.ndvt', 'cat')")
+      .collect().head
+    assert(est == 5L, s"analyze must re-tighten to visible rows: $est")
+    assert(r.getString(1) == "cat≈5", r.toString)
+  }
+
+  test("CALL analyze bootstraps stats on a table created without " +
+      "ndvCols, as a metadata-only commit") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.anl")
+    spark.sql("CREATE TABLE txcat.ns.anl (k BIGINT, cat BIGINT) " +
+      "USING txlog PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO txcat.ns.anl " +
+      "SELECT id, id % 30 FROM range(500)")
+    val t = TxLogTable(spark, s"$warehouse/ns/anl")
+    assert(t.ndvOf(t.latestVersion.get).isEmpty)
+    val v0 = t.latestVersion.get
+    val files0 = t.entries(None).map(_.rel).toSet
+    spark.sql("CALL txcat.system.analyze('ns.anl', 'cat')")
+    val v1 = t.latestVersion.get
+    assert(v1 == v0 + 1 && t.entries(None).map(_.rel).toSet == files0,
+      "analyze must be one metadata-only version")
+    assert(t.ndvOf(v1)("cat") == 30L)
+    // no change-feed impact: the data-line diff of the analyze version
+    // is empty, so consumers receive nothing
+    assert(t.changesBetween(
+      t.tableSchema.get, v0, v1).count() == 0)
+    // and later appends FOLD into the analyzed baseline
+    spark.sql("INSERT INTO txcat.ns.anl " +
+      "SELECT id, 30 + id % 10 FROM range(100)")
+    assert(t.ndvOf(t.latestVersion.get)("cat") == 40L)
   }
 
   test("metadata commits carry the bucket spec and sort order") {

@@ -237,6 +237,75 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     assert(t.changesBetween(schema, 0, 1, skipRewrites = true).count() == 0)
   }
 
+  test("startingVersion skips the initial snapshot; 'latest' pins now") {
+    val base = java.nio.file.Files.createTempDirectory("txstream-sv")
+    val t = TxLogTable(spark, base.resolve("t").toString)
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)   // v0
+    t.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)  // v1
+    t.commit(Seq((3L, "c")).toDF("id", "v"), overwrite = false)  // v2
+    val mem = "sv_feed"
+    val q = spark.readStream.format("txlog").schema(schema)
+      .option("startingVersion", "1").load(t.root)
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", base.resolve("ck1").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // versions >= 1 only: the v0 snapshot never replays
+      assert(spark.table(mem).collect().map(_.getLong(0)).toSet ==
+        Set(2L, 3L))
+    } finally q.stop()
+    // "latest": nothing until a NEW commit lands
+    val mem2 = "sv_latest_feed"
+    val q2 = spark.readStream.format("txlog").schema(schema)
+      .option("startingVersion", "latest").load(t.root)
+      .writeStream.format("memory").queryName(mem2)
+      .option("checkpointLocation", base.resolve("ck2").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(mem2).count() == 0)
+      t.commit(Seq((4L, "d")).toDF("id", "v"), overwrite = false)
+      q2.processAllAvailable()
+      assert(spark.table(mem2).collect().map(_.getLong(0)).toSet ==
+        Set(4L))
+    } finally q2.stop()
+  }
+
+  test("readChangeFeed streams deletes as keys-only CDC rows") {
+    val base = java.nio.file.Files.createTempDirectory("txstream-cdf")
+    val t = TxLogTable(spark, base.resolve("t").toString)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    val mem = "cdf_feed"
+    val q = spark.readStream.format("txlog").schema(schema)
+      .option("readChangeFeed", "true").load(t.root)
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(mem).columns.toSeq ==
+        Seq("id", "v", "_commit_version", "_change_type"))
+      assert(spark.table(mem).collect()
+        .map(r => (r.getLong(0), r.getString(3))).toSet ==
+        Set((1L, "insert"), (2L, "insert")))
+      // a MOR delete surfaces as a keys-only 'delete' row
+      t.deleteByKeysMor(Seq(1L).toDF("id"))
+      t.commit(Seq((3L, "c")).toDF("id", "v"), overwrite = false)
+      q.processAllAvailable()
+      val rows = spark.table(mem).collect()
+        .map(r => (r.getLong(0), r.getString(3)))
+      assert(rows.count(_ == (1L, "delete")) == 1, rows.mkString(","))
+      assert(rows.toSet.contains((3L, "insert")))
+      // the keyed-state consumer's view: inserts minus deleted keys
+      val liveKeys = spark.table(mem).collect()
+        .foldLeft(Set.empty[Long]) { (acc, r) =>
+          if (r.getString(3) == "insert") acc + r.getLong(0)
+          else acc - r.getLong(0) }
+      assert(liveKeys == Set(2L, 3L))
+    } finally q.stop()
+  }
+
   test("inferred schema matches the batch connector's") {
     val t = TxLogTable(spark,
       java.nio.file.Files.createTempDirectory("txstream2")
