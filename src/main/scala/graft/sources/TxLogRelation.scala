@@ -170,15 +170,30 @@ final class TxLogSource extends RelationProvider
       },
       includeMaintenance =
         opt(parameters, "includeMaintenance").exists(_.toBoolean),
-      startingVersion = opt(parameters, "startingVersion").map {
-        case s if s.equalsIgnoreCase("latest") =>
-          // pinned at STREAM CREATION: only commits after this flow
-          TxLogTable(ctx.sparkSession, pathOf(parameters))
-            .latestVersion.map(_ + 1).getOrElse(0)
-        case s =>
-          val v = s.toInt
-          require(v >= 0, s"startingVersion must be >= 0, got $v")
-          v
+      startingVersion = {
+        val sv = opt(parameters, "startingVersion")
+        val st = opt(parameters, "startingTimestamp")
+        require(sv.isEmpty || st.isEmpty,
+          "startingVersion and startingTimestamp are mutually exclusive")
+        sv.map {
+          case s if s.equalsIgnoreCase("latest") =>
+            // pinned at STREAM CREATION: only commits after this flow
+            TxLogTable(ctx.sparkSession, pathOf(parameters))
+              .latestVersion.map(_ + 1).getOrElse(0)
+          case s =>
+            val v = s.toInt
+            require(v >= 0, s"startingVersion must be >= 0, got $v")
+            v
+        }.orElse(st.map { ts =>
+          // the timestamp twin: the first version committed AFTER ts
+          // (resolved against commit instants at stream creation; a ts
+          // before all history starts at 0, after all of it acts like
+          // "latest"). Epoch millis or a `java.sql.Timestamp` literal.
+          val t = TxLogTable(ctx.sparkSession, pathOf(parameters))
+          val millis = ts.toLongOption.getOrElse(
+            java.sql.Timestamp.valueOf(ts).getTime)
+          t.versionAsOf(millis).map(_ + 1).getOrElse(0)
+        })
       },
       changeFeed = changeFeedOf(parameters))
 

@@ -582,6 +582,55 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             })
     }
 
+  /** Batch KMV minima over STAGED encoded lines for the table's declared
+    * ndv columns — one bounded column scan of the staged files per
+    * column; empty (free) when the table declares none. The fold input
+    * is IDEMPOTENT: a rewrite path that re-sketches carried-forward rows
+    * merely re-adds the same hashes, so EVERY adding path can fold its
+    * staged files without overcounting — which is what keeps the sketch
+    * from going stale-LOW after merges/DML insert new values (the
+    * dangerous direction: an under-estimated NDV under-sizes a filtered
+    * side and broadcasts what should have shuffled).
+    */
+  private def stagedKmv(staged: Seq[String]): Map[String, Seq[String]] = {
+    val cols = latestVersion.map(ndvColsOf).getOrElse(Nil)
+    if (cols.isEmpty || staged.isEmpty) Map.empty
+    else {
+      val paths = staged.map(_.takeWhile(_ != '\t'))
+        .map(r => dataDir.resolve(r).toString)
+      val df = spark.read.parquet(paths: _*)
+      cols.filter(df.columns.contains).map { c =>
+        c -> graft.functions.Sketches
+          .kmvMinima(df, col(c), TxLogTable.KmvK)
+          .collect().map(_.getString(0).take(15)).toSeq
+      }.toMap
+    }
+  }
+
+  /** `#ndv:` manifest lines folding `batch` into base's sketches (union,
+    * keep k smallest); `reset` starts fresh — the whole-table-overwrite
+    * contract. Nil when no ndv columns are declared; when non-empty the
+    * caller must drop the carried `#ndv:` lines it replaces.
+    */
+  private def ndvFoldLines(base: Option[Int],
+                           batch: Map[String, Seq[String]],
+                           reset: Boolean): Seq[String] =
+    base.map(ndvColsOf).getOrElse(Nil).map { c =>
+      val parent = if (reset) Nil
+        else base.map(ndvSketchesOf).getOrElse(Map.empty)
+          .getOrElse(c, Nil)
+      val merged = (parent ++ batch.getOrElse(c, Nil))
+        .distinct.sorted.take(TxLogTable.KmvK)
+      s"#ndv:$c=${merged.mkString(",")}"
+    }
+
+  // tableMetaLines with the carried #ndv: lines replaced by `ndvLines`
+  // (pass-through when the fold produced nothing)
+  private def metaWithNdv(base: Option[Int],
+                          ndvLines: Seq[String]): Seq[String] =
+    tableMetaLines(base).filterNot(l =>
+      ndvLines.nonEmpty && l.startsWith("#ndv:")) ++ ndvLines
+
   private def inheritedBloomBits(base: Option[Int]): Int =
     base.map(bloomBitsOf).getOrElse(TxLogTable.Bloom.DefaultM)
 
@@ -2353,6 +2402,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                              caller: String,
                              stagedSpec: Seq[(String, Int)] = Nil): Int = {
     val effBloom = inheritedBloomCols
+    val batchKmv = stagedKmv(staged) // staged fixed across retries
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -2409,7 +2459,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val mor = if (replaced.isDefined) morLines(base) else Nil
       try {
         Files.write(manifestPath(next),
-          (metaLines(partitionCols, op, effBloom) ++ tableMetaLines(base) ++
+          (metaLines(partitionCols, op, effBloom) ++
+            // SQL DML (UPDATE SET / MERGE INTO insert) can introduce
+            // values the sketch never saw — fold the staged rows
+            // (idempotent for the rewritten ones); a whole-table
+            // replace (replaced = None) resets like any overwrite
+            metaWithNdv(base, ndvFoldLines(base, batchKmv,
+              reset = replaced.isEmpty)) ++
             mor ++ checkLines(base) ++ carried ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -2627,6 +2683,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       // drop the batch-unique file name, keep `k=v[/k2=v2...]/`
       p.getParent.toString + "/"
     }.distinct
+    val dynKmv = stagedKmv(staged) // staged fixed across retries
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -2644,7 +2701,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         Files.write(manifestPath(next),
           (metaLines(partitionCols, "dynamic-overwrite", effBloom) ++
-            tableMetaLines(base) ++
+            // replaced partitions' vanished values leave the fold
+            // stale-high (conservative); the new partitions' values
+            // must still enter or the sketch goes stale-LOW
+            metaWithNdv(base, ndvFoldLines(base, dynKmv,
+              reset = false)) ++
             morLines(base) ++ checkLines(base) ++ carried ++
             tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
@@ -2818,7 +2879,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "merge", effBloom) ++ tableMetaLines(base) ++
+          (metaLines(layout, "merge", effBloom) ++
+            // fold the staged (rewritten + new) rows' minima: a merge
+            // INSERTS new key values, and without the fold the sketch
+            // would go stale-LOW (idempotent re-add for rewritten rows)
+            metaWithNdv(base, ndvFoldLines(base, stagedKmv(staged),
+              reset = false)) ++
             morLines(base) ++
             checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
@@ -3126,22 +3192,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       validateChecks(df, latestVersion)
     val stagedSpec = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
     val staged = stageWithStats(df, partitionCols, effBloom, effBits)
-    // Batch KMV minima for the table's declared ndv columns — read from
-    // the STAGED files (one bounded column scan each; never re-executes
-    // the caller's plan), computed once outside the publish retry loop.
-    val ndvColsEff = latestVersion.map(ndvColsOf).getOrElse(Nil)
-    val batchKmv: Map[String, Seq[String]] =
-      if (ndvColsEff.isEmpty || staged.isEmpty) Map.empty
-      else {
-        val paths = staged.map(_.takeWhile(_ != '\t'))
-          .map(r => dataDir.resolve(r).toString)
-        val stagedDf = spark.read.parquet(paths: _*)
-        ndvColsEff.filter(stagedDf.columns.contains).map { c =>
-          c -> graft.functions.Sketches
-            .kmvMinima(stagedDf, col(c), TxLogTable.KmvK)
-            .collect().map(_.getString(0).take(15)).toSeq
-        }.toMap
-      }
+    // batch KMV from the STAGED files (never re-executes the caller's
+    // plan), computed once outside the publish retry loop
+    val batchKmv = stagedKmv(staged)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -3179,16 +3232,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           (overwrite && partitionCols.isEmpty &&
             l.startsWith("#sortCols="))
       // NDV fold: append merges the batch minima into the carried
-      // sketch (union, keep k smallest); overwrite starts fresh from
-      // the batch — the old corpus is gone
-      val ndvLines = ndvColsEff.map { c =>
-        val parent = if (overwrite) Nil
-          else base.map(ndvSketchesOf).getOrElse(Map.empty)
-            .getOrElse(c, Nil)
-        val merged = (parent ++ batchKmv.getOrElse(c, Nil))
-          .distinct.sorted.take(TxLogTable.KmvK)
-        s"#ndv:$c=${merged.mkString(",")}"
-      }
+      // sketch; overwrite starts fresh — the old corpus is gone
+      val ndvLines = ndvFoldLines(base, batchKmv, reset = overwrite)
       try {
         // the atomic publish: create-if-absent of the version manifest.
         // An explicit bloomBits replaces the carried table property; the
@@ -3196,10 +3241,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Files.write(manifestPath(next),
           (metaLines(partitionCols, opName, effBloom) ++
             (if (bloomBits > 0) Seq(s"#bloomBits=$bloomBits") else Nil) ++
-            tableMetaLines(base).filterNot(dropLines)
-              .filterNot(l => ndvLines.nonEmpty &&
-                l.startsWith("#ndv:")) ++
-            ndvLines ++ props ++
+            metaWithNdv(base, ndvLines).filterNot(dropLines) ++
+            props ++
             carried ++ tagVersion(staged, next)).mkString("\n")
             .getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)

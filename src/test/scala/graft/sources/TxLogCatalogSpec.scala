@@ -1674,6 +1674,37 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(r.getString(1) == "cat≈5", r.toString)
   }
 
+  test("ndv fold covers the inserting paths — merge and SQL DML never " +
+      "leave the sketch stale-LOW") {
+    // stale-LOW is the dangerous direction: an under-counted NDV
+    // under-sizes a filtered side and broadcasts what should shuffle
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.ndvm")
+    spark.sql("CREATE TABLE txcat.ns.ndvm (k BIGINT, cat BIGINT) " +
+      "USING txlog PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('ndvCols'='cat')")
+    spark.sql("INSERT INTO txcat.ns.ndvm " +
+      "SELECT id, id % 10 FROM range(100)")
+    val t = TxLogTable(spark, s"$warehouse/ns/ndvm")
+    def est: Long = t.ndvOf(t.latestVersion.get)("cat")
+    assert(est == 10L)
+    // library MERGE inserts 10 NEW cat values — the fold must see them
+    import spark.implicits._
+    t.merge(t.tableSchema.get,
+      (100L until 110L).map(i => (i, 10L + i % 10)).toDF("k", "cat"),
+      Seq("k"))
+    assert(est == 20L, s"merge-inserted values must enter the fold: $est")
+    // SQL MERGE INTO (the DSv2 group-replace path) inserts 10 more
+    spark.sql("""MERGE INTO txcat.ns.ndvm t
+      USING (SELECT id + 200 AS k, 20 + id % 10 AS cat
+             FROM range(10)) s
+      ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, cat) VALUES (s.k, s.cat)""")
+    assert(est == 30L, s"MERGE INTO-inserted values must enter: $est")
+    // SQL UPDATE rewrites values into a range the sketch never saw
+    spark.sql("UPDATE txcat.ns.ndvm SET cat = cat + 1000 WHERE k < 3")
+    assert(est >= 33L, s"UPDATE-written values must enter: $est")
+  }
+
   test("CALL analyze bootstraps stats on a table created without " +
       "ndvCols, as a metadata-only commit") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.anl")

@@ -99,7 +99,8 @@ class TxLogPropertySpec extends AnyFunSuite {
     forAllSeeded(programGenB, n = 4) { program =>
       val t = TxLogTable(spark,
         Files.createTempDirectory("txpropb").resolve("t").toString)
-      t.create(schema, partitionCols = layout, bucketSpecs = specs)
+      t.create(schema, partitionCols = layout, bucketSpecs = specs,
+        ndvCols = Seq("id"))
       // a grid rebucket needs its target level named: evolve the LAST
       val rbKey = if (specs.length > 1) Some(specs.last._1) else None
       var model = List.empty[(Long, String)]
@@ -150,6 +151,17 @@ class TxLogPropertySpec extends AnyFunSuite {
           t.entries(None).map(_.rel))
         assert(snapRows(t, None) == model.sorted,
           s"model divergence after $op")
+        // NDV sketch invariant under the whole op mix: with < k distinct
+        // values the KMV fold is EXACT on everything added since the
+        // last reset, so the estimate is never below the visible truth
+        // (stale-LOW would mis-size CBO picks) and never above the 1..6
+        // key domain (stale-HIGH is bounded by what ever existed)
+        if (t.latestVersion.exists(v => t.entries(Some(v)).nonEmpty)) {
+          val est = t.ndvOf(t.latestVersion.get).getOrElse("id", -1L)
+          val visible = model.map(_._1).distinct.size
+          assert(est >= visible && est <= 6,
+            s"ndv invariant broke after $op: est=$est visible=$visible")
+        }
       }
     }
   }

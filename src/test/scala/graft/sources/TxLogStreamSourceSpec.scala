@@ -272,6 +272,37 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("startingTimestamp resolves to the first version after it") {
+    val base = java.nio.file.Files.createTempDirectory("txstream-st")
+    val t = TxLogTable(spark, base.resolve("t").toString)
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)   // v0
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)  // v1
+    val mem = "st_feed"
+    val q = spark.readStream.format("txlog").schema(schema)
+      .option("startingTimestamp", mid.toString).load(t.root)
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // only the post-timestamp commit flows
+      assert(spark.table(mem).collect().map(_.getLong(0)).toSet ==
+        Set(2L))
+    } finally q.stop()
+    // both knobs at once is refused loudly
+    intercept[Exception] {
+      spark.readStream.format("txlog").schema(schema)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", mid.toString).load(t.root)
+        .writeStream.format("memory").queryName("st_both")
+        .option("checkpointLocation", base.resolve("ck2").toString)
+        .start().processAllAvailable()
+    }
+  }
+
   test("readChangeFeed streams deletes as keys-only CDC rows") {
     val base = java.nio.file.Files.createTempDirectory("txstream-cdf")
     val t = TxLogTable(spark, base.resolve("t").toString)
