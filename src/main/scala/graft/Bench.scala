@@ -134,7 +134,8 @@ object Bench {
       "sql_rebucket", "sql_bucket_grid", "sql_rebucket_grid",
       "sql_semdedup", "sql_dedup_near",
       "sql_bm25", "sql_sorted_join", "sql_sorted_window",
-      "sql_sorted_multifile", "sql_ndv_broadcast", "sql_analyze",
+      "sql_sorted_multifile", "sql_resort", "sql_ndv_broadcast",
+      "sql_analyze",
       "schema_evolution_rename", "schema_evolution",
       "src_txlog_write", "cdc_feed", "a5_versioned_append")
       .filter(results.contains)

@@ -1150,6 +1150,64 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // TARGETED RE-ARM (CALL system.resort): an overlapping backfill
+    // de-arms the sorted ordering — correctly, a false order would make
+    // the merge join silently wrong — and the re-arm should cost
+    // O(damaged dirs), not a full compact. resort detects overlap with
+    // the SAME rangeOrder rule the scan reports with, rewrites only the
+    // de-armed dirs (range-split toward target bytes, so they come back
+    // multi-file), and the join drops its Sorts again. The requires pin
+    // the full arc: armed -> de-armed by the backfill -> re-armed by
+    // resort with zero Sort and zero Exchange. Oracle replays the join.
+    "sql_resort" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_rs_src")
+      t(s, dir, "orders").createOrReplaceTempView("ord_rs_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_rs")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ord_rs")
+      s.sql("CREATE TABLE graftcat.db.cust_rs (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, c_custkey)) " +
+        "TBLPROPERTIES ('sortCols'='c_custkey')")
+      s.sql("CREATE TABLE graftcat.db.ord_rs (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) USING txlog " +
+        "PARTITIONED BY (bucket(8, o_custkey)) " +
+        "TBLPROPERTIES ('sortCols'='o_custkey')")
+      s.sql("INSERT INTO graftcat.db.cust_rs SELECT c_custkey, " +
+        "c_acctbal FROM cust_rs_src ORDER BY c_custkey")
+      // orders land as TWO overlapping halves (odd/even order keys both
+      // span the whole o_custkey domain) — every bucket dir de-arms
+      for (m <- Seq(0, 1))
+        s.sql("INSERT INTO graftcat.db.ord_rs SELECT o_orderkey, " +
+          s"o_custkey, o_totalprice FROM ord_rs_src " +
+          s"WHERE o_orderkey % 2 = $m ORDER BY o_custkey")
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "true")
+      try {
+        val q = """
+          SELECT /*+ MERGE(c) */ c.c_custkey AS custkey,
+                 count(*) AS n_ord,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS spend
+          FROM graftcat.db.cust_rs c
+          JOIN graftcat.db.ord_rs o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey"""
+        val p0 = s.sql(q).queryExecution.executedPlan.toString
+        require(p0.contains("Sort "),
+          s"overlapping backfill must de-arm the orders side:\n$p0")
+        val r = s.sql("CALL graftcat.system.resort('db.ord_rs')")
+          .collect().head
+        require(r.getInt(1) > 0, s"resort must rewrite damage: $r")
+        val out = s.sql(q)
+        val p1 = out.queryExecution.executedPlan.toString
+        require(p1.contains("SortMergeJoin") && !p1.contains("Sort ") &&
+          !p1.contains("Exchange"),
+          s"resort must re-arm the zero-Sort zero-Exchange join:\n$p1")
+        out
+      } finally s.conf.set(key, prev)
+    }),
+
     // WINDOW over the sorted layout — the analytic twin of
     // sql_sorted_join: a per-partition running total over a
     // date/status-partitioned table whose files are internally ordered
@@ -2331,6 +2389,13 @@ object EtlQueries {
          GROUP BY c.c_custkey""",
 
     "sql_sorted_multifile" ->
+      """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS spend
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY c.c_custkey""",
+
+    "sql_resort" ->
       """SELECT c.c_custkey AS custkey, count(*) AS n_ord,
            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS spend

@@ -61,7 +61,41 @@ object TxLogTable {
     * add-check — they add no files, so the feed already emits nothing).
     */
   val RewriteOps: Set[String] =
-    Set("compact", "compact-small", "compact-where", "zorder", "rebucket")
+    Set("compact", "compact-small", "compact-where", "zorder", "rebucket",
+      "resort")
+
+  /** Ascending first-sort-key range order of `items` iff the ranges are
+    * pairwise disjoint — THE arming rule shared by the SPJ scan's
+    * ordering report and [[TxLogTable.resort]]'s damage detection, so
+    * the two can never disagree about what is armed. Each item carries
+    * `(min, max, exact)`; a missing range disarms. Strict maxPrev <
+    * minNext, except a boundary TIE passes for a SINGLE exact integral
+    * sort column (ties adjacent across files still read ascending; with
+    * secondary sort columns a straddling tie could interleave them, and
+    * `:spre:` string encodings are order-preserving but not injective,
+    * so their ties prove nothing).
+    */
+  def rangeOrder[A](items: Seq[(A, Option[(Long, Long, Boolean)])],
+                    singleSortCol: Boolean): Option[Seq[A]] = {
+    if (items.length <= 1) return Some(items.map(_._1))
+    if (items.exists(_._2.isEmpty)) return None
+    val ordered = items.flatMap { case (a, r) => r.map(a -> _) }
+      .sortBy(e => (e._2._1, e._2._2))
+    val disjoint = ordered.sliding(2).forall {
+      case Seq((_, (_, aMax, aExact)), (_, (bMin, _, bExact))) =>
+        aMax < bMin || (aMax == bMin && singleSortCol && aExact && bExact)
+      case _ => true
+    }
+    if (disjoint) Some(ordered.map(_._1)) else None
+  }
+
+  /** A file's first-sort-key range for the arming rule: exact integral
+    * footer stats, else the `:spre:` order-preserving string encoding.
+    */
+  def sortKeyRangeOf(e: FileEntry, c: String)
+      : Option[(Long, Long, Boolean)] =
+    e.stats.get(c).map(r => (r._1, r._2, true))
+      .orElse(e.stats.get(strKey(c)).map(r => (r._1, r._2, false)))
 
   /** KMV sketch size for the `#ndv:` column distinct-count lines: 64
     * minima ≈ ±12% standard error — planner-grade (a broadcast decision
@@ -1878,6 +1912,84 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"compactWhere lost the version race $maxAttempts times: $root")
+  }
+
+  /** Re-arm a SORTED table's ordering report by rewriting ONLY the
+    * partition dirs whose file ranges overlap — O(damaged dirs), never
+    * O(table). Unordered appends, COW rewrites and wide merges can leave
+    * a dir's first-sort-key ranges overlapping; the SPJ scan then
+    * (correctly) reports no ordering and every merge join re-grows its
+    * Sort nodes. A full `compact` re-arms at O(table); at 100 TB the
+    * operator wants to pay only for the buckets that actually
+    * de-armed. Damage detection is [[TxLogTable.rangeOrder]] — the SAME
+    * rule the scan uses, so resort and the ordering report can never
+    * disagree. Rewritten dirs range-split on layout ++ sortCols toward
+    * `targetBytes` (like the sorted rebucket path), so re-armed dirs
+    * come back multi-file and splittable, not as monster files;
+    * untouched dirs are carried by manifest reference. Reads through
+    * the MOR mask (rewritten files materialize their deletes). A table
+    * whose dirs are all armed returns without committing — scheduled
+    * maintenance converges to a no-op.
+    */
+  def resort(schema: StructType,
+             targetBytes: Long = TxLogTable.RebucketTargetBytes,
+             maxAttempts: Int = 10): TxLogTable.MergeStats = {
+    require(targetBytes > 0, s"resort targetBytes: $targetBytes")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val b = base.getOrElse(throw new IllegalStateException(
+        s"resort of empty table: $root"))
+      val sorts = sortColsOf(b)
+      require(sorts.nonEmpty,
+        s"resort of an unsorted table: $root (sortCols is declared at " +
+          "CREATE; resort exists to re-arm that declared ordering)")
+      val layout = partitionColsOf(b)
+      val single = sorts.length == 1
+      val byDir = dataLines(b).groupBy(l =>
+        l.takeWhile(_ != '\t').lastIndexOf('/') match {
+          case -1 => ""
+          case i => l.substring(0, i)
+        })
+      val (armed, damaged) = byDir.partition { case (_, lines) =>
+        TxLogTable.rangeOrder(
+          lines.map { l =>
+            val e = TxLogTable.decodeEntry(l)
+            l -> TxLogTable.sortKeyRangeOf(e, sorts.head)
+          }, single).isDefined
+      }
+      if (damaged.isEmpty)
+        return TxLogTable.MergeStats(b, 0, byDir.valuesIterator.map(_.size).sum)
+      val hit = damaged.valuesIterator.flatten.toSeq
+      val kept = armed.valuesIterator.flatten.toSeq
+      val sizes = fileSizes(Some(b)).toMap
+      val hitBytes = hit.map(l =>
+        sizes.getOrElse(l.takeWhile(_ != '\t'), 0L)).sum
+      val nOut = math.min(1L << 18, math.max(damaged.size.toLong,
+        (hitBytes + targetBytes - 1) / targetBytes)).toInt
+      val rows = withBucketCol(readMaskedEntries(schema,
+        hit.map(TxLogTable.decodeEntry), base), layout)
+      val packed = rows.repartitionByRange(nOut,
+        (layout ++ sorts).map(col): _*)
+      val effBloom = base.map(bloomColsOf).getOrElse(Nil)
+      val staged = stageWithStats(packed, layout, effBloom,
+        inheritedBloomBits(base))
+      val next = b + 1
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(layout, "resort", effBloom) ++
+            tableMetaLines(base) ++ morLines(base) ++
+            checkLines(base) ++ kept ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, hit.size, kept.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-detect damage and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"resort lost the version race $maxAttempts times: $root")
   }
 
   /** Rewrite the current snapshot clustered on the z-order (Morton) curve

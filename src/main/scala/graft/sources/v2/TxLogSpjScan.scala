@@ -206,20 +206,12 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       files: Seq[org.apache.spark.sql.execution.datasources
         .FileStatusWithMetadata])
       : Option[Seq[org.apache.spark.sql.execution.datasources
-        .FileStatusWithMetadata]] = {
-    if (files.length <= 1) return Some(files)
-    val ranged = files.map(f =>
-      sortKeyRangeByPath.get(f.getPath.toUri.getPath).map(r => (f, r)))
-    if (ranged.exists(_.isEmpty)) return None
-    val ordered = ranged.flatten.sortBy(e => (e._2._1, e._2._2))
-    val tieOk = tbl.sortCols.length == 1
-    val disjoint = ordered.sliding(2).forall {
-      case Seq((_, (_, aMax, aExact)), (_, (bMin, _, bExact))) =>
-        aMax < bMin || (aMax == bMin && tieOk && aExact && bExact)
-      case _ => true
-    }
-    if (disjoint) Some(ordered.map(_._1)) else None
-  }
+        .FileStatusWithMetadata]] =
+    // the arming rule proper lives in TxLogTable.rangeOrder, SHARED with
+    // resort's damage detection so scan and maintenance never disagree
+    graft.sources.TxLogTable.rangeOrder(
+      files.map(f => f -> sortKeyRangeByPath.get(f.getPath.toUri.getPath)),
+      singleSortCol = tbl.sortCols.length == 1)
 
   // plan-time decision, shared by outputOrdering AND planInputPartitions
   // (the two must agree: a reported order every task then honors).

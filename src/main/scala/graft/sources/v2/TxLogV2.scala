@@ -289,7 +289,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
-        "bm25", "optimize", "detail", "analyze")
+        "bm25", "optimize", "detail", "analyze", "resort")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -647,6 +647,32 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 s(t.bloomColsOf(v).mkString(",")),
                 s(t.ndvOf(v).toSeq.sortBy(_._1)
                   .map { case (c, n) => s"$c≈$n" }.mkString(", ")))))
+          }
+        }
+      case "resort" =>
+        // CALL c.system.resort('ns.t' [, target_bytes]): re-arm a sorted
+        // table's ordering report by rewriting ONLY the partition dirs
+        // whose file ranges overlap — O(damaged), never O(table); armed
+        // dirs are carried by reference and a fully-armed table is a
+        // no-op. The targeted twin of `compact` for the sorted layout.
+        new MaintenanceProc("resort", Seq(
+          inParam("table", StringType),
+          inParam("target_bytes", LongType, Some(
+            graft.sources.TxLogTable.RebucketTargetBytes.toString)))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val tgtB = if (input.isNullAt(1))
+              graft.sources.TxLogTable.RebucketTargetBytes
+              else input.getLong(1)
+            val schema = t.tableSchema.getOrElse(
+              TxLogV2Table(spark, t.root, input.getString(0)).schema)
+            val stats = t.resort(schema, tgtB)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("rewritten", IntegerType),
+              StructField("carried", IntegerType))),
+              Seq(InternalRow(stats.version, stats.rewritten,
+                stats.carried)))
           }
         }
       case "analyze" =>

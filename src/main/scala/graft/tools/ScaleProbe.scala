@@ -790,6 +790,48 @@ object ScaleProbe {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     }
 
+    // NDV maintenance cost under table growth: the commit-path fold
+    // sketches only the BATCH's staged files, so appending with ndvCols
+    // declared must cost ~the same at 1x and 10x table size (the
+    // O(delta) claim); CALL analyze is the documented O(table) pass —
+    // both printed, honestly.
+    if (what("ndv")) {
+      val wh = java.nio.file.Files.createTempDirectory("ndvprobe").toString
+      spark.conf.set("spark.sql.catalog.ndvcat2",
+        "graft.sources.v2.TxLogCatalog")
+      spark.conf.set("spark.sql.catalog.ndvcat2.warehouse", wh)
+      for ((t, props) <- Seq(
+          ("tn", " TBLPROPERTIES ('ndvCols'='cat')"), ("tp", "")))
+        spark.sql(s"CREATE TABLE ndvcat2.db.$t (k BIGINT, cat BIGINT, " +
+          s"v STRING) USING txlog PARTITIONED BY (bucket(8, k))$props")
+      def grow(t: String, from: Long, to: Long): Unit =
+        spark.sql(s"INSERT INTO ndvcat2.db.$t SELECT id, id % 50000, " +
+          s"repeat(cast(id as string), 4) FROM range($from, $to)")
+      def appendSec(t: String): Double = (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        grow(t, 20000000L + i * 10000, 20000000L + (i + 1) * 10000)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      grow("tn", 0, 1000000); grow("tp", 0, 1000000)
+      val (n1, p1) = (appendSec("tn"), appendSec("tp"))
+      grow("tn", 1000000, 10000000); grow("tp", 1000000, 10000000)
+      val (n10, p10) = (appendSec("tn"), appendSec("tp"))
+      println(f"[probe] ndv 10k-append: 1x plain $p1%.2f s vs ndv $n1%.2f" +
+        f" s; 10x plain $p10%.2f s vs ndv $n10%.2f s " +
+        f"(fold overhead ${n1 - p1}%.2f -> ${n10 - p10}%.2f s)")
+      require(n10 - p10 < math.max((n1 - p1) * 4, 1.0),
+        s"ndv fold overhead must stay delta-bound: " +
+          s"${n1 - p1} @1x -> ${n10 - p10} @10x")
+      val a0 = System.nanoTime()
+      spark.sql("CALL ndvcat2.system.analyze('db.tp', 'cat')").count()
+      println(f"[probe] ndv analyze at 10x: " +
+        f"${(System.nanoTime() - a0) / 1e9}%.1f s (O(table), by design)")
+      val est = graft.sources.TxLogTable(spark, s"$wh/db/tn")
+      val e = est.ndvOf(est.latestVersion.get)("cat")
+      require(e > 25000 && e < 100000, s"ndv(cat) estimate off: $e")
+      println(s"[probe] ndv(cat) estimate $e (true 50000, KMV k=64)")
+    }
+
     // SORTED layout × skew — the conflict the two contracts create:
     // the reported ordering is a per-task whole-files-in-range-order
     // guarantee, so an ARMED sorted scan emits exactly ONE task per

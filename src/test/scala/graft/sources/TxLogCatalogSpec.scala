@@ -1616,6 +1616,69 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("CALL resort re-arms a damaged sorted table by rewriting ONLY " +
+      "the overlapping dirs") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rst")
+    spark.sql("CREATE TABLE txcat.ns.rst (k BIGINT, v BIGINT) " +
+      "USING txlog PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('sortCols'='k')")
+    // ordered ingest arms every bucket dir
+    spark.sql("INSERT INTO txcat.ns.rst " +
+      "SELECT id, id * 10 FROM range(0, 400) ORDER BY id")
+    val t = TxLogTable(spark, s"$warehouse/ns/rst")
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      def joinPlan: String = spark.sql(
+        """SELECT /*+ MERGE(a) */ a.k, a.v, b.v AS w
+           FROM txcat.ns.rst a JOIN txcat.ns.rst b ON a.k = b.k""")
+        .queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Sort ") && !joinPlan.contains("Exchange"),
+        joinPlan)
+      // an OVERLAPPING append de-arms — but only the dirs it hits:
+      // keys chosen to hash into bucket 0 ONLY (engine hash), so 3 of
+      // the 4 dirs stay armed and must survive the resort by reference
+      val bkt0 = spark.range(100, 300).toDF("id")
+        .filter(TxLogTable.bucketIdCol("id", 4) === 0)
+        .collect().map(_.getLong(0))
+      assert(bkt0.length > 1)
+      spark.sql("INSERT INTO txcat.ns.rst " +
+        s"SELECT id, id * 10 + 1 FROM range(100, 300) " +
+        s"WHERE id IN (${bkt0.mkString(",")}) ORDER BY id")
+      assert(joinPlan.contains("Sort "),
+        "overlapping append must de-arm the ordering")
+      // resort rewrites ONLY damaged dirs: armed files survive by name
+      val before = t.entries(None).map(_.rel).toSet
+      val armedBefore = before.filterNot(_.startsWith("_bkt=0/"))
+      val r = spark.sql("CALL txcat.system.resort('ns.rst')")
+        .collect().head
+      assert(r.getInt(1) > 0, s"must rewrite something: $r")
+      val after = t.entries(None).map(_.rel).toSet
+      assert(armedBefore.subsetOf(after),
+        s"armed dirs must carry by reference: missing " +
+          s"${armedBefore -- after}")
+      assert(before.filter(_.startsWith("_bkt=0/"))
+        .forall(f => !after.contains(f)),
+        "the damaged dir must be fully rewritten")
+      // re-armed: the merge join is Sort-free again, rows unchanged
+      assert(!joinPlan.contains("Sort "),
+        s"resort must re-arm the ordering:\n$joinPlan")
+      assert(spark.sql("SELECT count(*) FROM txcat.ns.rst")
+        .head.getLong(0) == 400L + bkt0.length)
+      // convergence: a second resort is a version-preserving no-op
+      val v1 = t.latestVersion.get
+      val r2 = spark.sql("CALL txcat.system.resort('ns.rst')")
+        .collect().head
+      assert(r2.getInt(0) == v1 && r2.getInt(1) == 0,
+        s"fully-armed table must be a no-op: $r2")
+      // the rewrite is row-preserving: the change feed skips it
+      assert(t.changesBetween(t.tableSchema.get, v1 - 1, v1,
+        skipRewrites = true).count() == 0,
+        "resort must be invisible to streaming consumers")
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("CALL detail: one manifest-only row of the table's physical " +
       "identity") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.dtl")
