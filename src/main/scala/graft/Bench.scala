@@ -53,16 +53,22 @@ object Bench {
     // noise; the calibration pair brackets the run and `value_cal`
     // normalizes the headline to the pinned reference below. Per-query
     // A/B verdicts stay with tools.IsoBench min-of-N (PLANS.md §bench).
-    def calibrate(): Double = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
+    def calibQuery(): Unit =
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").sum("l_quantity").collect()
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      calibQuery()
       (System.nanoTime() - t0) / 1e9
     }.min
     // reference seconds for the calibration query at sf0.1/local[32] on a
     // calm host (measured round 11: min-of-3 = 0.148 s post-run on an
     // otherwise idle box); value_cal = value * ref / measured
     val CalibRefSec = 0.15
+    // one unmeasured pass first: the cold footer/page-cache read is
+    // start-up cost, not host weather — PRE must measure the same warm
+    // state POST does or the bracket flags every run as drifting
+    calibQuery()
     val calibPre = calibrate()
     // shared-artifact warm-up, charged separately (see scaladoc)
     val w0 = System.nanoTime()
@@ -150,12 +156,19 @@ object Bench {
     val calib = (calibPre + calibPost) / 2
     // raw AND calibrated: value is wall seconds as measured; value_cal
     // re-expresses it at the pinned reference host speed so cross-round
-    // ratios compare work, not weather
+    // ratios compare work, not weather. A bracket that DISAGREES with
+    // itself (pre/post beyond 2x) means the box drifted mid-run — no
+    // single scalar rescues that measurement, so value_cal goes null
+    // and calib_stable:false flags the run instead of fabricating a
+    // correction from an average of two different machines.
+    val calibStable = calibPre > 0 && calibPost > 0 &&
+      math.max(calibPre, calibPost) <= 2 * math.min(calibPre, calibPost)
     val totalCal =
-      if (calib > 0) r3(total * CalibRefSec / calib) else total
+      if (calibStable) r3(total * CalibRefSec / calib).toString
+      else "null"
     println(s"""{"metric":"spread","spread_max":$spreadMax,"harness_heavy":$harnessHeavy,"pass_spread":$sp}""")
     println(s"""{"metric":"detail","queries":$qs,"warmup_sec":${r3(warmupSec)}}""")
-    println(s"""{"metric":"total","value":$total,"value_cal":$totalCal,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"calib_ref":$CalibRefSec,"unit":"sec","n":${results.size},"spread_max":$spreadMax,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"value_cal":$totalCal,"calib_stable":$calibStable,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"calib_ref":$CalibRefSec,"unit":"sec","n":${results.size},"spread_max":$spreadMax,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,8 +87,15 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
     table.latestVersion.map { v =>
       val end = maxVersionsPerTrigger match {
         case Some(m) if offeredV >= 0 => math.min(v, offeredV + m)
-        // first trigger of a fresh stream: the initial snapshot is ONE
-        // consistent batch (capping it would expose a torn first read)
+        // a stream STARTED at a version is incremental from its first
+        // trigger — the cap applies to its catch-up range too (a long
+        // backlog since startingVersion is exactly the hazard the cap
+        // exists for)
+        case Some(m) if startingVersion.isDefined =>
+          math.min(v, startingVersion.get - 1 + m)
+        // first trigger of a fresh full stream: the initial snapshot is
+        // ONE consistent batch (capping it would expose a torn first
+        // read)
         case _ => v
       }
       offeredV = math.max(offeredV, end)

@@ -272,6 +272,34 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("startingVersion catch-up respects maxVersionsPerTrigger") {
+    val base = java.nio.file.Files.createTempDirectory("txstream-svcap")
+    val t = TxLogTable(spark, base.resolve("t").toString)
+    (0 to 6).foreach(i =>
+      t.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        overwrite = i == 0))
+    val dst = base.resolve("dst").toString
+    // a stream starting at v1 with a 6-version backlog must drain it in
+    // capped micro-batches, not one mega-batch — the snapshot-must-be-
+    // one-batch argument doesn't apply to an explicitly incremental start
+    val q = spark.readStream.format("txlog").schema(schema)
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "2")
+      .load(t.root)
+      .writeStream.format("txlog").option("path", dst)
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(TxLogTable(spark, dst).snapshot(schema).collect()
+        .map(_.getLong(0)).toSet == (1L to 6L).toSet)
+      val caught = q.recentProgress.filter(_.numInputRows > 0)
+      assert(caught.length == 3 && caught.forall(_.numInputRows <= 2),
+        q.recentProgress.map(pr => s"batch ${pr.batchId}: " +
+          s"${pr.numInputRows} rows").mkString("; "))
+    } finally q.stop()
+  }
+
   test("startingTimestamp resolves to the first version after it") {
     val base = java.nio.file.Files.createTempDirectory("txstream-st")
     val t = TxLogTable(spark, base.resolve("t").toString)
