@@ -65,11 +65,14 @@ object Bench {
     // calm host (measured round 11: min-of-3 = 0.148 s post-run on an
     // otherwise idle box); value_cal = value * ref / measured
     val CalibRefSec = 0.15
-    // one unmeasured pass first: the cold footer/page-cache read is
-    // start-up cost, not host weather — PRE must measure the same warm
-    // state POST does or the bracket flags every run as drifting
-    calibQuery()
-    val calibPre = calibrate()
+    // unmeasured warm passes: cold footer/page-cache reads and the
+    // query's own codegen are start-up cost, not host weather. PRE is
+    // measured AFTER the shared-artifact warmup below — an idle-box
+    // probe showed min-of-3 immediately after session start still runs
+    // ~2x the end-of-run number (tiered JIT), which would flag every
+    // run as drifting; ~40 s of real warmup work first makes the two
+    // brackets measure comparable JVM states.
+    calibQuery(); calibQuery()
     // shared-artifact warm-up, charged separately (see scaladoc)
     val w0 = System.nanoTime()
     try {
@@ -90,6 +93,7 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
+    val calibPre = calibrate()
     // three passes, report the min: the first pass pays session warm-up,
     // parquet footer reads and JIT; the min reflects steady-state throughput
     // and damps co-tenant noise (±30% swings observed on this host). The GC

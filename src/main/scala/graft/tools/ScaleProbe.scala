@@ -724,6 +724,42 @@ object ScaleProbe {
           s"unsorted twin must keep its Sorts:\n$pu")
         time(s"sortedjoin sorted x$k") { spark.sql(qs).count() }
         time(s"sortedjoin unsorted x$k") { spark.sql(qu).count() }
+
+        // MULTI-FILE arming at scale: the same sorted pair built from
+        // TWO range-disjoint ORDER-BY'd appends and NEVER compacted —
+        // the ordering must arm from manifest range-disjointness alone
+        // and the Sort-free plan shape must hold at 1x and 10x alike
+        for (suffix <- Seq("m")) {
+          spark.sql(s"CREATE TABLE srtcat.db.a$suffix$k (k BIGINT, " +
+            "v STRING) USING txlog PARTITIONED BY (bucket(16, k)) " +
+            "TBLPROPERTIES ('sortCols'='k')")
+          spark.sql(s"CREATE TABLE srtcat.db.b$suffix$k (k BIGINT, " +
+            "w STRING) USING txlog PARTITIONED BY (bucket(16, k)) " +
+            "TBLPROPERTIES ('sortCols'='k')")
+          for (half <- 0 to 1) {
+            spark.sql(s"INSERT INTO srtcat.db.a$suffix$k SELECT id, " +
+              s"cast(id as string) FROM range(${half * n / 2}, " +
+              s"${(half + 1) * n / 2}) ORDER BY id")
+            spark.sql(s"INSERT INTO srtcat.db.b$suffix$k SELECT id, " +
+              s"cast(id as string) FROM range(${half * n / 2}, " +
+              s"${(half + 1) * n / 2}, 2) ORDER BY id")
+          }
+          val t = graft.sources.TxLogTable(spark, s"$wh/db/a$suffix$k")
+          val perDir = t.entries(None).groupBy(_.rel.takeWhile(_ != '/'))
+          require(perDir.values.exists(_.size > 1),
+            s"multi-file probe table must be multi-file: " +
+              perDir.view.mapValues(_.size).toMap)
+          val qm = s"""SELECT /*+ MERGE(a) */ a.k, a.v, b.w
+            FROM srtcat.db.a$suffix$k a
+            JOIN srtcat.db.b$suffix$k b ON a.k = b.k"""
+          val pm = spark.sql(qm).queryExecution.executedPlan.toString
+          require(!pm.contains("Exchange") && !pm.contains("Sort ") &&
+            pm.contains("SortMergeJoin"),
+            s"multi-file sorted join must arm without compacting at " +
+              s"x$k:\n$pm")
+          time(s"sortedjoin multifile-armed x$k (no compact)") {
+            spark.sql(qm).count() }
+        }
       }
     }
 
