@@ -195,7 +195,12 @@ final class TxLogSource extends RelationProvider
           t.versionAsOf(millis).map(_ + 1).getOrElse(0)
         })
       },
-      changeFeed = changeFeedOf(parameters))
+      changeFeed = changeFeedOf(parameters),
+      maxBytesPerTrigger = opt(parameters, "maxBytesPerTrigger").map { v =>
+        val b = v.toLong
+        require(b > 0, s"maxBytesPerTrigger must be positive, got $b")
+        b
+      })
 
   override def createSink(ctx: SQLContext,
                           parameters: Map[String, String],

@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.StructType
   * — at 100 TB an unbounded recovery batch is a driver-planning and
   * shuffle-spill hazard). Steady state is unaffected: once caught up,
   * each trigger still reads exactly the newly committed versions.
+  * `option("maxBytesPerTrigger", n)` is the BYTE-weighted twin: versions
+  * accumulate into a batch until their manifest-diff added bytes pass
+  * the cap (always at least one version, so one oversized commit never
+  * stalls the stream) — the right knob when commit sizes vary wildly
+  * and "2 versions" could mean 2 rows or 2 TB. Both caps compose
+  * (whichever bites first); neither caps a full initial snapshot (that
+  * is ONE consistent batch by contract).
   *
   * Maintenance commits are SKIPPED by default: `compact` / `zorder` /
   * `rebucket` / `optimize` rewrite every (or most) file of the table
@@ -66,7 +73,8 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
                               maxVersionsPerTrigger: Option[Int] = None,
                               includeMaintenance: Boolean = false,
                               startingVersion: Option[Int] = None,
-                              changeFeed: Boolean = false)
+                              changeFeed: Boolean = false,
+                              maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   private def spark = ctx.sparkSession
@@ -76,29 +84,48 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
     if (changeFeed) TxLogStreamSource.cdcSchema(dataSchema)
     else dataSchema
 
-  // Highest version already OFFERED to the engine (advanced in getOffset,
-  // re-synced from the checkpoint via getBatch on recovery). The cap is
-  // offered-relative: micro-batch execution commits each offered range
-  // before asking for the next offset, so offered == committed between
-  // triggers.
-  @volatile private var offeredV: Int = -1
+  // END of the last batch the engine actually PLANNED (set in getBatch;
+  // re-synced from the checkpoint on recovery). The caps are
+  // planned-relative, NOT offer-relative: the engine may poll getOffset
+  // several times between batches (availability checks), and an
+  // offer-relative cursor advances one cap window per POLL — several
+  // windows then leak into the next batch and the cap silently
+  // over-admits (caught live by the maxBytesPerTrigger spec: a
+  // 200-row batch under a 100-row cap). Keying off the getBatch-seen
+  // end makes repeated polls idempotent — the offer only advances when
+  // a batch is actually planned.
+  @volatile private var plannedV: Int = -1
 
   override def getOffset: Option[StreamOffset] =
     table.latestVersion.map { v =>
-      val end = maxVersionsPerTrigger match {
-        case Some(m) if offeredV >= 0 => math.min(v, offeredV + m)
-        // a stream STARTED at a version is incremental from its first
-        // trigger — the cap applies to its catch-up range too (a long
-        // backlog since startingVersion is exactly the hazard the cap
-        // exists for)
-        case Some(m) if startingVersion.isDefined =>
-          math.min(v, startingVersion.get - 1 + m)
+      // the version the NEXT batch extends from: the last planned end,
+      // or (fresh incremental stream) the configured start
+      val from =
+        if (plannedV >= 0) Some(plannedV)
+        else startingVersion.map(_ - 1)
+      val vCapped = (maxVersionsPerTrigger, from) match {
+        case (Some(m), Some(f)) => math.min(v, f + m)
         // first trigger of a fresh full stream: the initial snapshot is
         // ONE consistent batch (capping it would expose a torn first
         // read)
         case _ => v
       }
-      offeredV = math.max(offeredV, end)
+      // BYTE cap: walk the pending versions' manifest-diff weights and
+      // stop once the accumulated added bytes pass the cap — always at
+      // least one version, so the stream makes progress past any single
+      // oversized commit (the maxBytesPerTrigger contract)
+      val end = (maxBytesPerTrigger, from) match {
+        case (Some(cap), Some(f)) if vCapped > f =>
+          val weights = table.addedBytesBetween(f, vCapped,
+            skipRewrites = !includeMaintenance)
+          weights.foldLeft((f, 0L)) { case ((last, acc), (ver, b)) =>
+            if (last == f) (ver, b) // always ONE version: progress past
+                                    // any single oversized commit
+            else if (acc + b <= cap) (ver, acc + b)
+            else (last, acc) // cap reached — later versions wait
+          }._1
+        case _ => vCapped
+      }
       LongOffset(end.toLong)
     }
 
@@ -116,9 +143,9 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
       .orElse(startingVersion.map(_ - 1)).getOrElse(-1)
     val endV = versionOf(end)
     // recovery re-sync: a restarted query replays its checkpointed range
-    // first; subsequent getOffset caps must extend from THAT committed
+    // first; subsequent getOffset caps must extend from THAT planned
     // end, not from -1
-    offeredV = math.max(offeredV, endV)
+    plannedV = math.max(plannedV, endV)
     val skip = !includeMaintenance
     val delta =
       if (changeFeed)

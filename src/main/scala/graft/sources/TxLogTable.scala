@@ -1718,6 +1718,37 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Bytes of the files ADDED at each version in `(fromV, toV]` —
+    * the change feed's per-version weight, for byte-based trigger
+    * pacing. Manifest diffs + filesystem sizes only, no data read;
+    * versions whose op is a row-preserving rewrite report 0 when
+    * `skipRewrites` (they add no logical rows, matching what the
+    * stream will actually plan). Missing predecessors (vacuumed
+    * cursor) are the caller's problem at getBatch time — here a
+    * diffless version simply reports its full file set's bytes.
+    */
+  def addedBytesBetween(fromV: Int, toV: Int,
+                        skipRewrites: Boolean): Seq[(Int, Long)] = {
+    val present = versions.toSet
+    var prevFiles: Option[Set[String]] = None
+    (fromV + 1 to toV).filter(present).map { v =>
+      val lines = manifestLines(v)
+      val files = lines.filterNot(_.startsWith("#"))
+        .map(_.takeWhile(_ != '\t'))
+      val op = lines.collectFirst {
+        case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
+      val prev = prevFiles.getOrElse(
+        if (present(v - 1)) readManifest(v - 1).toSet
+        else Set.empty[String])
+      prevFiles = Some(files.toSet)
+      val bytes =
+        if (skipRewrites && op.exists(TxLogTable.RewriteOps)) 0L
+        else files.filterNot(prev).map(r =>
+          scala.util.Try(Files.size(dataDir.resolve(r))).getOrElse(0L)).sum
+      v -> bytes
+    }
+  }
+
   /** Data files referenced by `version` (default latest) — the small-file
     * metric `compact` exists to control. */
   def fileCount(version: Option[Int] = None): Int =

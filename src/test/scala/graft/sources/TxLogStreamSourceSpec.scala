@@ -300,6 +300,54 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger paces catch-up by manifest-diff weight") {
+    val base = java.nio.file.Files.createTempDirectory("txstream-bcap")
+    val t = TxLogTable(spark, base.resolve("t").toString)
+    // v0..v6: one seed + 6 backlog commits of ~equal byte weight
+    (0 to 6).foreach(i =>
+      t.commit((1 to 50).map(j => (i * 100L + j, s"v$i-$j"))
+        .toDF("id", "v"), overwrite = i == 0))
+    val oneVersionBytes = t.addedBytesBetween(5, 6,
+      skipRewrites = true).head._2
+    val dst = base.resolve("dst").toString
+    // cap ≈ 2.2 versions' bytes (versions differ by a few bytes, so an
+    // exact 2x would be a knife-edge): the 6-version backlog from v1
+    // must drain in 3 byte-capped batches of exactly 2 versions
+    val q = spark.readStream.format("txlog").schema(schema)
+      .option("startingVersion", "1")
+      .option("maxBytesPerTrigger", (22 * oneVersionBytes / 10).toString)
+      .load(t.root)
+      .writeStream.format("txlog").option("path", dst)
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(TxLogTable(spark, dst).snapshot(schema).count() == 300)
+      val caught = q.recentProgress.filter(_.numInputRows > 0)
+      assert(caught.length == 3 && caught.forall(_.numInputRows <= 100),
+        q.recentProgress.map(pr => s"batch ${pr.batchId}: " +
+          s"${pr.numInputRows} rows").mkString("; "))
+    } finally q.stop()
+    // progress guarantee: a cap SMALLER than any single commit still
+    // advances one version per trigger
+    val dst2 = base.resolve("dst2").toString
+    val q2 = spark.readStream.format("txlog").schema(schema)
+      .option("startingVersion", "1")
+      .option("maxBytesPerTrigger", "1")
+      .load(t.root)
+      .writeStream.format("txlog").option("path", dst2)
+      .option("checkpointLocation", base.resolve("ck2").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(TxLogTable(spark, dst2).snapshot(schema).count() == 300)
+      val caught = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(caught.length == 6 && caught.forall(_.numInputRows == 50),
+        q2.recentProgress.map(pr => s"batch ${pr.batchId}: " +
+          s"${pr.numInputRows} rows").mkString("; "))
+    } finally q2.stop()
+  }
+
   test("startingTimestamp resolves to the first version after it") {
     val base = java.nio.file.Files.createTempDirectory("txstream-st")
     val t = TxLogTable(spark, base.resolve("t").toString)
