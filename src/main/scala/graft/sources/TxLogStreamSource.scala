@@ -116,14 +116,20 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
       // oversized commit (the maxBytesPerTrigger contract)
       val end = (maxBytesPerTrigger, from) match {
         case (Some(cap), Some(f)) if vCapped > f =>
-          val weights = table.addedBytesBetween(f, vCapped,
+          // LAZY walk with early stop: the first version past the cap
+          // ends the scan, so a long backlog is never re-statted in
+          // full on every poll
+          val it = table.addedBytesIterator(f, vCapped,
             skipRewrites = !includeMaintenance)
-          weights.foldLeft((f, 0L)) { case ((last, acc), (ver, b)) =>
-            if (last == f) (ver, b) // always ONE version: progress past
-                                    // any single oversized commit
-            else if (acc + b <= cap) (ver, acc + b)
-            else (last, acc) // cap reached — later versions wait
-          }._1
+          var acc = 0L
+          var last = f
+          var open = true
+          while (open && it.hasNext) {
+            val (ver, b) = it.next()
+            if (last == f || acc + b <= cap) { acc += b; last = ver }
+            else open = false // cap reached — later versions wait
+          }
+          last // always ≥ one version: progress past an oversized commit
         case _ => vCapped
       }
       LongOffset(end.toLong)

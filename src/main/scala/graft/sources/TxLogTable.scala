@@ -1728,10 +1728,20 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * diffless version simply reports its full file set's bytes.
     */
   def addedBytesBetween(fromV: Int, toV: Int,
-                        skipRewrites: Boolean): Seq[(Int, Long)] = {
+                        skipRewrites: Boolean): Seq[(Int, Long)] =
+    addedBytesIterator(fromV, toV, skipRewrites).toSeq
+
+  /** Lazy form of [[addedBytesBetween]] — the byte-capped trigger
+    * consumes this and STOPS at the first version past its cap, so a
+    * 10k-version backlog never re-stats its whole tail on every
+    * getOffset poll (the walk is O(versions admitted + 1), not
+    * O(backlog)).
+    */
+  def addedBytesIterator(fromV: Int, toV: Int,
+                         skipRewrites: Boolean): Iterator[(Int, Long)] = {
     val present = versions.toSet
     var prevFiles: Option[Set[String]] = None
-    (fromV + 1 to toV).filter(present).map { v =>
+    (fromV + 1 to toV).iterator.filter(present).map { v =>
       val lines = manifestLines(v)
       val files = lines.filterNot(_.startsWith("#"))
         .map(_.takeWhile(_ != '\t'))
