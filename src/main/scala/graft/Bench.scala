@@ -140,7 +140,8 @@ object Bench {
       "sql_merge_partitioned", "sql_maintenance", "sql_overwrite_partition",
       "sql_spj_join", "sql_meta_count", "sql_meta_count_filtered",
       "sql_partitions", "sql_update_mor", "stream_dedup",
-      "sql_restore", "sql_clone", "sql_bucket_join", "sql_dpp_join",
+      "sql_restore", "sql_clone", "sql_changes", "sql_bucket_join",
+      "sql_dpp_join",
       "sql_rebucket", "sql_bucket_grid", "sql_rebucket_grid",
       "sql_semdedup", "sql_dedup_near",
       "sql_bm25", "sql_sorted_join", "sql_sorted_window",

@@ -1299,6 +1299,43 @@ object EtlQueries {
       } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
     }),
 
+    // CALL system.changes — the batch change feed in pure SQL: rows
+    // added per commit tagged _commit_version, MOR tombstones surfaced
+    // as keys-only delete rows, row-preserving maintenance SKIPPED
+    // (compact contributes nothing — in-query require), all
+    // materialized to a fresh catalog table the SQL-only consumer can
+    // read. The oracle reconstructs the feed relationally: the odd
+    // half inserted at v2, the multiples of 10 deleted at v1.
+    "sql_changes" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("value")).createOrReplaceTempView("ev_chg_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_chg")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_chg_out")
+      s.sql("CREATE TABLE graftcat.db.ev_chg USING txlog AS " +
+        "SELECT * FROM ev_chg_src WHERE event_id % 2 = 0")     // v0+v1
+      val tbl = graft.sources.TxLogTable(s, s.conf.get(
+        "spark.sql.catalog.graftcat.warehouse") + "/db/ev_chg")
+      tbl.deleteByKeysMor(s.sql(                               // v2
+        "SELECT event_id FROM ev_chg_src WHERE event_id % 10 = 0"))
+      s.sql("INSERT INTO graftcat.db.ev_chg " +                // v3
+        "SELECT * FROM ev_chg_src WHERE event_id % 2 = 1")
+      s.sql("CALL graftcat.system.compact('db.ev_chg')")       // v4: skip
+      val v0 = 1 // CTAS = create(v0) + data commit(v1)
+      val r = s.sql("CALL graftcat.system.changes('db.ev_chg', " +
+        s"'db.ev_chg_out', $v0, NULL, true)").collect().head
+      require(r.getInt(2) == tbl.latestVersion.get,
+        s"changes must run to latest: $r")
+      val out = s.sql("""
+        SELECT event_id, user_id, value,
+               CAST(_commit_version AS BIGINT) AS commit_v,
+               _change_type AS change_type
+        FROM graftcat.db.ev_chg_out""")
+      require(out.filter(col("commit_v") === 4).count() == 0,
+        "compact must contribute nothing to the feed")
+      out
+    }),
+
     // CALL system.analyze — NDV stats WITHOUT the create-time property:
     // the dim is created bare, ANALYZE re-sketches its snapshot in a
     // metadata-only commit (no file touched, no change-feed impact),
@@ -2371,6 +2408,15 @@ object EtlQueries {
              AS spend
          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
          GROUP BY c.c_custkey""",
+
+    "sql_changes" ->
+      """SELECT event_id, user_id, value,
+           CAST(3 AS BIGINT) AS commit_v, 'insert' AS change_type
+         FROM events WHERE event_id % 2 = 1
+         UNION ALL
+         SELECT event_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(2 AS BIGINT), 'delete'
+         FROM events WHERE event_id % 10 = 0""",
 
     "sql_analyze" ->
       """SELECT c.c_custkey AS custkey, count(*) AS n_ord,

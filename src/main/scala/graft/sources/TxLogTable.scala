@@ -1778,8 +1778,19 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                          skipRewrites: Boolean = false): DataFrame = {
     val adds = changesBetween(schema, fromV, toV, skipRewrites)
       .withColumn("_change_type", lit("insert"))
-    val newTombs = tombstonesOf(toV)
+    // tombstones are collected from EVERY manifest in the range, not
+    // just toV's: a compaction inside the range FOLDS earlier
+    // tombstones out of later manifests (their deletes materialize
+    // into rewritten files), and a feed that read only toV would
+    // silently lose those delete events — caught by the sql_changes
+    // oracle (delete at v2, compact at v4, feed over (1,4]). The
+    // tombstone's own commit version tags it; distinct-by-rel dedups
+    // the carries between its commit and its fold.
+    val present = versions.toSet
+    val newTombs = (fromV + 1 to toV).filter(present)
+      .flatMap(tombstonesOf)
       .filter { case (_, v) => v > fromV && v <= toV }
+      .distinct
     newTombs.map { case (rel, v) =>
       val keyDf = spark.read.parquet(dataDir.resolve(rel).toString)
       val cols = schema.fieldNames.toIndexedSeq.map(n =>

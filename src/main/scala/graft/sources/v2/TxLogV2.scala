@@ -289,7 +289,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
-        "bm25", "optimize", "detail", "analyze", "resort")
+        "bm25", "optimize", "detail", "analyze", "resort", "changes")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -605,6 +605,45 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               Seq(InternalRow(outV, tableByName(input.getString(1))
                 .entries(None).flatMap(_.stats.get(TxLogTable.RowsKey))
                 .map(_._1).sum)))
+          }
+        }
+      case "changes" =>
+        // CALL c.system.changes('ns.src', 'ns.dst', from_v [, to_v
+        // [, with_deletes]]): the BATCH change feed in pure SQL — rows
+        // added in (from_v, to_v] (to_v NULL = latest), tagged
+        // _commit_version, materialized as a fresh txlog table;
+        // with_deletes additionally surfaces MOR tombstones as
+        // keys-only '_change_type = delete' rows (changesWithDeletes).
+        // Row-preserving maintenance versions are skipped (the same
+        // contract the streaming source defaults to). The SQL-only
+        // consumer reads a day's delta of a 100 TB table without ever
+        // importing this library.
+        new MaintenanceProc("changes", Seq(
+          inParam("source", StringType),
+          inParam("dest", StringType),
+          inParam("from_v", IntegerType),
+          inParam("to_v", IntegerType, Some("NULL")),
+          inParam("with_deletes", BooleanType, Some("false")))) {
+          override def call(input: InternalRow) = {
+            val src = tableByName(input.getString(0))
+            require(!input.isNullAt(2), "changes needs from_v")
+            val fromV = input.getInt(2)
+            val toV = if (input.isNullAt(3))
+              src.latestVersion.getOrElse(fromV) else input.getInt(3)
+            val withDel = !input.isNullAt(4) && input.getBoolean(4)
+            val schema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(0)).schema)
+            val feed =
+              if (withDel) src.changesWithDeletes(schema, fromV, toV,
+                skipRewrites = true)
+              else src.changesBetween(schema, fromV, toV,
+                skipRewrites = true)
+            val outV = writeResultTable(input.getString(1), feed)
+            resultScan(StructType(Seq(
+              StructField("dest_version", IntegerType),
+              StructField("from_v", IntegerType),
+              StructField("to_v", IntegerType))),
+              Seq(InternalRow(outV, fromV, toV)))
           }
         }
       case "detail" =>

@@ -26,6 +26,25 @@ class TxLogMorSpec extends AnyFunSuite {
   private def rows(t: TxLogTable): Set[(Long, String)] =
     t.snapshot(schema).collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
+  test("changesWithDeletes survives an in-range compaction folding " +
+      "the tombstones") {
+    val t = fresh()
+    t.commit(Seq((1L, "a"), (2L, "b"), (10L, "x")).toDF("id", "v"),
+      overwrite = true)                                   // v0
+    t.deleteByKeysMor(Seq(10L).toDF("id"))                // v1: tombstone
+    t.commit(Seq((3L, "c")).toDF("id", "v"), overwrite = false) // v2
+    t.compact(schema)                                     // v3: folds v1
+    assert(t.tombstonesOf(t.latestVersion.get).isEmpty,
+      "compaction must fold the tombstone (precondition)")
+    // the feed over (0, 3] must STILL carry the delete event: the
+    // tombstone lives in manifests v1..v2 even though v3 dropped it
+    val feed = t.changesWithDeletes(schema, 0, t.latestVersion.get,
+        skipRewrites = true)
+      .collect().map(r => (r.getString(3), r.getLong(0))).toSet
+    assert(feed == Set(("delete", 10L), ("insert", 3L)),
+      s"folded tombstone lost from the feed: $feed")
+  }
+
   test("MOR delete hides keys without rewriting any data file") {
     val t = fresh()
     t.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
