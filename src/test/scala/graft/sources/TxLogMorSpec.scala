@@ -45,6 +45,57 @@ class TxLogMorSpec extends AnyFunSuite {
       s"folded tombstone lost from the feed: $feed")
   }
 
+  test("CDC feed property: window folds reconstruct the snapshot " +
+      "under random merge/delete/compact mixes") {
+    // THE consistency contract of the change feed: cut history at any
+    // points, apply each window's events in commit order to keyed
+    // state, and the final state equals the table. Ops restricted to
+    // the keyed shapes the feed is DEFINED for (merge upserts re-deliver
+    // rewritten keys with their new values — idempotent under keyed
+    // fold; MOR deletes emit keys-only events; compaction must be
+    // invisible). COW deletes/overwrites are documented reset
+    // boundaries and excluded by design.
+    val rnd = new scala.util.Random(1107L)
+    for (trial <- 1 to 3) {
+      val t = fresh()
+      t.commit(Seq((1L, "seed")).toDF("id", "v"), overwrite = true)
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 =>
+            val rows = (1 to 1 + rnd.nextInt(3))
+              .map(_ => (rnd.nextInt(8).toLong, s"m${rnd.nextInt(100)}"))
+              .distinctBy(_._1).toList
+            t.merge(schema, rows.toDF("id", "v"), Seq("id"))
+          case 2 =>
+            t.deleteByKeysMor(
+              Seq(rnd.nextInt(8).toLong).toDF("id"))
+          case 3 => t.compact(schema, 2)
+        }
+      }
+      // random contiguous windows covering (-1, latest]
+      val latest = t.latestVersion.get
+      val cuts = (-1 +: (1 to 3).map(_ => rnd.nextInt(latest + 1))
+        .sorted :+ latest).distinct
+      var state = Map.empty[Long, String]
+      cuts.sliding(2).foreach {
+        case Seq(a, b) if a < b =>
+          val events = t.changesWithDeletes(schema, a, b,
+              skipRewrites = true)
+            .collect()
+            .sortBy(_.getLong(2)) // _commit_version order
+          events.foreach { r =>
+            if (r.getString(3) == "insert")
+              state += (r.getLong(0) -> r.getString(1))
+            else state -= r.getLong(0)
+          }
+        case _ => ()
+      }
+      assert(state.toSet == rows(t),
+        s"trial $trial: feed fold diverged from snapshot " +
+          s"(cuts $cuts): $state vs ${rows(t)}")
+    }
+  }
+
   test("MOR delete hides keys without rewriting any data file") {
     val t = fresh()
     t.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
