@@ -1679,6 +1679,72 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("sorted-arming property: the plan is Sort-free EXACTLY when " +
+      "every dir is range-disjoint, under random programs") {
+    // the arming rule's two-sided contract, property-style: after a
+    // random mix of ordered appends (disjoint key bands), unordered
+    // appends (overlapping), resorts and compacts, the self merge-join
+    // drops its Sorts IFF rangeOrder accepts every dir — and the rows
+    // are always exactly the model, armed or not (a wrong ordering
+    // would corrupt the join; correctness must never depend on the
+    // plan shape the layout happens to earn).
+    val rnd = new scala.util.Random(2311L)
+    for (trial <- 1 to 2) {
+      spark.sql("DROP TABLE IF EXISTS txcat.ns.sap")
+      spark.sql("CREATE TABLE txcat.ns.sap (k BIGINT, v BIGINT) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+      val t = TxLogTable(spark, s"$warehouse/ns/sap")
+      var model = Map.empty[Long, Long] // k -> count of rows with key k
+      var band = 0L
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => // ordered append of a FRESH key band (disjoint)
+            val lo = band * 1000; band += 1
+            spark.sql(s"INSERT INTO txcat.ns.sap SELECT id, id FROM " +
+              s"range($lo, ${lo + 200}) ORDER BY id")
+            (lo until lo + 200).foreach(k =>
+              model += (k -> (model.getOrElse(k, 0L) + 1)))
+          case 2 => // unordered overlap: re-append an OLD band
+            val lo = rnd.nextInt(math.max(1, band.toInt)) * 1000L
+            spark.sql(s"INSERT INTO txcat.ns.sap SELECT id, id + 1 " +
+              s"FROM range($lo, ${lo + 200}) ORDER BY id")
+            (lo until lo + 200).foreach(k =>
+              model += (k -> (model.getOrElse(k, 0L) + 1)))
+          case 3 =>
+            if (rnd.nextBoolean())
+              spark.sql("CALL txcat.system.resort('ns.sap')")
+            else spark.sql("CALL txcat.system.compact('ns.sap')")
+        }
+        // ground truth from the SAME rule the scan uses (the scan also
+        // requires a non-empty dir set before it arms)
+        val sorts = t.sortColsOf(t.latestVersion.get)
+        val allDisjoint = t.entries(None).nonEmpty && t.entries(None)
+          .groupBy(_.rel.takeWhile(_ != '/')).values.forall { es =>
+            TxLogTable.rangeOrder(
+              es.map(e => e -> TxLogTable.sortKeyRangeOf(e, sorts.head)),
+              singleSortCol = sorts.length == 1).isDefined
+          }
+        val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        try {
+          val j = spark.sql("""SELECT /*+ MERGE(a) */ a.k
+            FROM txcat.ns.sap a JOIN txcat.ns.sap b ON a.k = b.k""")
+          val plan = j.queryExecution.executedPlan.toString
+          assert(!plan.contains("Sort ") == allDisjoint,
+            s"trial $trial: armed=${!plan.contains("Sort ")} but " +
+              s"disjoint=$allDisjoint:\n$plan")
+          // correctness regardless of arming: self-join row count is
+          // sum over keys of count^2
+          val expect = model.values.map(c => c * c).sum
+          assert(j.count() == expect,
+            s"trial $trial: join rows diverged from model")
+        } finally spark.conf.set(
+          "spark.sql.sources.v2.bucketing.enabled", prev)
+      }
+    }
+  }
+
   test("CALL detail: one manifest-only row of the table's physical " +
       "identity") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.dtl")
