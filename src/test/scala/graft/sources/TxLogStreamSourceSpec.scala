@@ -413,6 +413,53 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming property: random append/maintenance programs drain " +
+      "to exactly the table's rows — no replay, no loss") {
+    // the maintenance-skip contract, property-style: whatever mix of
+    // appends, compacts, zorders and (bucketed-table) rebuckets commits
+    // while a stream drains, the sink must end holding EXACTLY the
+    // appended rows — a maintenance replay would duplicate, an
+    // over-eager skip would lose
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 2) {
+      val base = java.nio.file.Files.createTempDirectory(
+        s"txstream-prop$trial")
+      val t = TxLogTable(spark, base.resolve("t").toString)
+      val layout = Seq(TxLogTable.BucketCol)
+      t.create(schema, partitionCols = layout, bucketSpecs = Seq(("id", 4)))
+      var expect = Set.empty[Long]
+      var nextId = 0L
+      def append(): Unit = {
+        val ids = (nextId until nextId + 1 + rnd.nextInt(4)).toList
+        nextId += ids.length
+        t.commit(ids.map(i => (i, s"r$i")).toDF("id", "v"),
+          overwrite = false, partitionCols = layout)
+        expect ++= ids
+      }
+      append() // seed before the stream starts
+      val mem = s"stream_prop_$trial"
+      val q = spark.readStream.format("txlog").schema(schema).load(t.root)
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation", base.resolve("ck").toString)
+        .start()
+      try {
+        (1 to 8).foreach { _ =>
+          rnd.nextInt(5) match {
+            case 0 | 1 | 2 => append()
+            case 3 => if (rnd.nextBoolean()) t.compact(schema)
+                      else t.rebucket(schema, 2 + rnd.nextInt(7))
+            case 4 => q.processAllAvailable() // drain mid-program
+          }
+        }
+        q.processAllAvailable()
+        val got = spark.table(mem).collect().map(_.getLong(0))
+        assert(got.length == expect.size && got.toSet == expect,
+          s"trial $trial: stream drained ${got.length} rows " +
+            s"(${got.toSet.size} distinct) vs ${expect.size} appended")
+      } finally q.stop()
+    }
+  }
+
   test("inferred schema matches the batch connector's") {
     val t = TxLogTable(spark,
       java.nio.file.Files.createTempDirectory("txstream2")
