@@ -1679,6 +1679,37 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("resort re-arms identity-partitioned sorted layouts too") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.rsti")
+    spark.sql("CREATE TABLE txcat.ns.rsti (p INT, k BIGINT, v BIGINT) " +
+      "USING txlog PARTITIONED BY (p) TBLPROPERTIES ('sortCols'='k')")
+    spark.sql("INSERT INTO txcat.ns.rsti SELECT CAST(id % 3 AS INT), " +
+      "id, id * 10 FROM range(300) ORDER BY id")
+    // overlapping backfill de-arms the identity dirs
+    spark.sql("INSERT INTO txcat.ns.rsti SELECT CAST(id % 3 AS INT), " +
+      "id, id * 10 + 1 FROM range(100, 200) ORDER BY id")
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      def wplan: String = spark.sql(
+        """SELECT p, k, sum(v) OVER (PARTITION BY p ORDER BY k) AS run
+           FROM txcat.ns.rsti""").queryExecution.executedPlan.toString
+      assert(wplan.contains("Sort "), "overlap must de-arm")
+      val r = spark.sql("CALL txcat.system.resort('ns.rsti')")
+        .collect().head
+      assert(r.getInt(1) > 0)
+      // the identity-led ordering satisfies the window: no Exchange,
+      // no Sort, and the hive layout survived the rewrite
+      assert(!wplan.contains("Sort ") && !wplan.contains("Exchange"),
+        s"identity-layout resort must re-arm:\n$wplan")
+      val t = TxLogTable(spark, s"$warehouse/ns/rsti")
+      assert(t.entries(None).forall(_.rel.matches("p=\\d+/.*")))
+      assert(spark.sql("SELECT count(*) FROM txcat.ns.rsti")
+        .head.getLong(0) == 400)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("sorted-arming property: the plan is Sort-free EXACTLY when " +
       "every dir is range-disjoint, under random programs") {
     // the arming rule's two-sided contract, property-style: after a
