@@ -64,38 +64,74 @@ object TxLogTable {
     Set("compact", "compact-small", "compact-where", "zorder", "rebucket",
       "resort")
 
-  /** Ascending first-sort-key range order of `items` iff the ranges are
-    * pairwise disjoint — THE arming rule shared by the SPJ scan's
-    * ordering report and [[TxLogTable.resort]]'s damage detection, so
-    * the two can never disagree about what is armed. Each item carries
-    * `(min, max, exact)`; a missing range disarms. Strict maxPrev <
-    * minNext, except a boundary TIE passes for a SINGLE exact integral
-    * sort column (ties adjacent across files still read ascending; with
-    * secondary sort columns a straddling tie could interleave them, and
-    * `:spre:` string encodings are order-preserving but not injective,
-    * so their ties prove nothing).
+  /** Per-file arming facts for [[rangeOrder]]: the first-sort-key range
+    * (`exact` integral footer stats, or the `:spre:` order-preserving
+    * string encoding) plus whether the file may hold NULL sort keys.
+    * The null flag is load-bearing: parquet min/max are computed over
+    * NON-NULL values only, so a file holding `{null, 60..100}` reports
+    * range [60,100] — disjointness alone would arm it mid-stream while
+    * its nulls violate the declared ascending-nulls-first order.
     */
-  def rangeOrder[A](items: Seq[(A, Option[(Long, Long, Boolean)])],
+  final case class SortKeyRange(min: Long, max: Long, exact: Boolean,
+                                mayHaveNulls: Boolean)
+
+  /** Ascending first-sort-key range order of `items` iff concatenating
+    * the internally-sorted files in that order IS an ascending-nulls-
+    * first stream — THE arming rule shared by the SPJ scan's ordering
+    * report and [[TxLogTable.resort]]'s damage detection, so the two
+    * can never disagree about what is armed. A missing range disarms.
+    * Ranges must be pairwise disjoint: strict maxPrev < minNext, except
+    * a boundary TIE passes for a SINGLE exact integral sort column
+    * (ties adjacent across files still read ascending; with secondary
+    * sort columns a straddling tie could interleave them, and `:spre:`
+    * string encodings are order-preserving but not injective, so their
+    * ties prove nothing). NULL sort keys are allowed ONLY in the
+    * range-minimal file: each file is internally ascending-nulls-first,
+    * so the first file's nulls open the stream — nulls in any later
+    * file would surface mid-stream below keys already emitted.
+    */
+  def rangeOrder[A](items: Seq[(A, Option[SortKeyRange])],
                     singleSortCol: Boolean): Option[Seq[A]] = {
     if (items.length <= 1) return Some(items.map(_._1))
     if (items.exists(_._2.isEmpty)) return None
     val ordered = items.flatMap { case (a, r) => r.map(a -> _) }
-      .sortBy(e => (e._2._1, e._2._2))
+      .sortBy(e => (e._2.min, e._2.max))
+    if (ordered.drop(1).exists(_._2.mayHaveNulls)) return None
     val disjoint = ordered.sliding(2).forall {
-      case Seq((_, (_, aMax, aExact)), (_, (bMin, _, bExact))) =>
-        aMax < bMin || (aMax == bMin && singleSortCol && aExact && bExact)
+      case Seq((_, a), (_, b)) =>
+        a.max < b.min ||
+          (a.max == b.min && singleSortCol && a.exact && b.exact)
       case _ => true
     }
     if (disjoint) Some(ordered.map(_._1)) else None
   }
 
-  /** A file's first-sort-key range for the arming rule: exact integral
-    * footer stats, else the `:spre:` order-preserving string encoding.
+  /** A file's first-sort-key arming facts: exact integral footer
+    * stats, else the `:spre:` order-preserving string encoding. The
+    * null flag is conservative — only a RECORDED zero `:nulls:` count
+    * proves the file null-free for `c`. A file whose sort key is
+    * all-null has no min/max at all; when the stats prove that case
+    * (nulls == rows), it gets a synthetic below-everything range so it
+    * can arm as the stream-opening file instead of disarming its dir
+    * forever (otherwise resort could never converge on null-heavy
+    * data).
     */
-  def sortKeyRangeOf(e: FileEntry, c: String)
-      : Option[(Long, Long, Boolean)] =
-    e.stats.get(c).map(r => (r._1, r._2, true))
-      .orElse(e.stats.get(strKey(c)).map(r => (r._1, r._2, false)))
+  def sortKeyRangeOf(e: FileEntry, c: String): Option[SortKeyRange] = {
+    val nulls = e.stats.get(nullsKey(c)).forall(_._1 > 0)
+    e.stats.get(c).map(r => SortKeyRange(r._1, r._2, exact = true, nulls))
+      .orElse(e.stats.get(strKey(c))
+        .map(r => SortKeyRange(r._1, r._2, exact = false, nulls)))
+      .orElse {
+        val allNull = (e.stats.get(nullsKey(c)), e.stats.get(RowsKey)) match {
+          case (Some((n, _)), Some((r, _))) => n == r && r > 0
+          case _ => false
+        }
+        if (allNull)
+          Some(SortKeyRange(Long.MinValue, Long.MinValue,
+            exact = false, mayHaveNulls = true))
+        else None
+      }
+  }
 
   /** KMV sketch size for the `#ndv:` column distinct-count lines: 64
     * minima ≈ ±12% standard error — planner-grade (a broadcast decision

@@ -166,19 +166,18 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
       dirs.size)
 
   // ---- sorted-ordering arming over MULTI-file partition dirs ---------
-  // Per-file range of the FIRST sort column, keyed by the NORMALIZED
-  // absolute path — the same `Path(dataDir/rel)` construction mkIndex
-  // feeds the file index, so the listed statuses map back exactly
-  // (scheme qualification leaves `toUri.getPath` untouched; part-file
-  // NAMES are not unique across a batch's partition dirs, so a name key
-  // would collide). Integral sort keys use the exact footer min/max;
-  // STRING keys the order-preserving `:spre:` prefix encoding.
-  private lazy val sortKeyRangeByPath: Map[String, (Long, Long, Boolean)] =
+  // Per-file arming facts ([[TxLogTable.sortKeyRangeOf]]: first-sort-
+  // column range + may-have-nulls) keyed by the NORMALIZED absolute
+  // path — the same `Path(dataDir/rel)` construction mkIndex feeds the
+  // file index, so the listed statuses map back exactly (scheme
+  // qualification leaves `toUri.getPath` untouched; part-file NAMES are
+  // not unique across a batch's partition dirs, so a name key would
+  // collide).
+  private lazy val sortKeyRangeByPath
+      : Map[String, graft.sources.TxLogTable.SortKeyRange] =
     tbl.sortCols.headOption.map { c =>
       tbl.table.entries(version).flatMap { e =>
-        e.stats.get(c).map(r => (r._1, r._2, true))
-          .orElse(e.stats.get(graft.sources.TxLogTable.strKey(c))
-            .map(r => (r._1, r._2, false)))
+        graft.sources.TxLogTable.sortKeyRangeOf(e, c)
           .map(r => new org.apache.hadoop.fs.Path(s"$dataDir/${e.rel}")
             .toUri.getPath -> r)
       }.toMap

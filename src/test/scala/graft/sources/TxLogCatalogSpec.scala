@@ -1616,6 +1616,71 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("null sort keys arm only in the range-minimal file") {
+    // parquet computes min/max over NON-NULL values only: a file holding
+    // {null, 60..100} reports range [60,100]. Disjointness alone would
+    // then arm {1..50} + {null, 60..100} and the concatenated task emits
+    // the null MID-stream while the scan declares ascending-nulls-first —
+    // a silently wrong window/merge-join. Nulls must disarm any file that
+    // is not the range-minimal one (whose internal nulls-first order
+    // legitimately opens the stream).
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      def joinPlan(t: String): String = spark.sql(
+        s"""SELECT /*+ MERGE(a) */ a.k
+           FROM txcat.ns.$t a JOIN txcat.ns.$t b ON a.k = b.k""")
+        .queryExecution.executedPlan.toString
+
+      // NEGATIVE: nulls arrive in the SECOND (range-maximal) append
+      spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_nul")
+      spark.sql("CREATE TABLE txcat.ns.srt_nul (k BIGINT, v BIGINT) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+      spark.sql("INSERT INTO txcat.ns.srt_nul " +
+        "SELECT id, id * 10 FROM range(1, 51)")
+      spark.sql("INSERT INTO txcat.ns.srt_nul " +
+        "SELECT CASE WHEN id = 59 THEN CAST(NULL AS BIGINT) ELSE id END, " +
+        "id * 10 FROM range(59, 101)")
+      assert(joinPlan("srt_nul").contains("Sort "),
+        "a null sort key in a non-minimal file must disarm:\n" +
+          joinPlan("srt_nul"))
+      // resort heals it: the rewrite range-splits nulls-first, so the
+      // null lands in its dir's range-minimal file and the dir re-arms
+      val r1 = spark.sql("CALL txcat.system.resort('ns.srt_nul')")
+        .collect().head
+      assert(r1.getInt(1) > 0, s"null dir must be detected as damaged: $r1")
+      assert(!joinPlan("srt_nul").contains("Sort "),
+        s"resort must re-arm the null dir:\n${joinPlan("srt_nul")}")
+      val r2 = spark.sql("CALL txcat.system.resort('ns.srt_nul')")
+        .collect().head
+      assert(r2.getInt(1) == 0, s"healed table must converge: $r2")
+      assert(spark.sql("SELECT count(*) FROM txcat.ns.srt_nul " +
+        "WHERE k IS NULL").head.getLong(0) == 1)
+
+      // POSITIVE: nulls in the FIRST (range-minimal) append arm — each
+      // file is internally nulls-first, so the minimal file's nulls
+      // open the concatenated stream in declared order
+      spark.sql("DROP TABLE IF EXISTS txcat.ns.srt_nulok")
+      spark.sql("CREATE TABLE txcat.ns.srt_nulok (k BIGINT, v BIGINT) " +
+        "USING txlog PARTITIONED BY (bucket(4, k)) " +
+        "TBLPROPERTIES ('sortCols'='k')")
+      spark.sql("INSERT INTO txcat.ns.srt_nulok " +
+        "SELECT CASE WHEN id = 0 THEN CAST(NULL AS BIGINT) ELSE id END, " +
+        "id * 10 FROM range(0, 51)")
+      spark.sql("INSERT INTO txcat.ns.srt_nulok " +
+        "SELECT id, id * 10 FROM range(60, 101)")
+      assert(!joinPlan("srt_nulok").contains("Sort "),
+        "nulls confined to the range-minimal file must stay armed:\n" +
+          joinPlan("srt_nulok"))
+      // null join keys never match: 50 + 41 non-null self-join rows
+      assert(spark.sql(
+        """SELECT /*+ MERGE(a) */ a.k FROM txcat.ns.srt_nulok a
+           JOIN txcat.ns.srt_nulok b ON a.k = b.k""").count() == 91)
+    } finally spark.conf.set(
+      "spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("CALL resort re-arms a damaged sorted table by rewriting ONLY " +
       "the overlapping dirs") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.rst")
