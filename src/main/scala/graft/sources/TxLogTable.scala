@@ -1204,6 +1204,42 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           col(physOf(map, f.name)).as(f.name)): _*)
   }
 
+  /** The change feed's read body: ALL of `added`'s files in ONE source
+    * scan, each row tagged with the `_commit_version` of the (rel,
+    * version) pair that contributed its file — a broadcast join of
+    * `input_file_name()` against the tiny rel→version map. The plan has
+    * one scan leaf REGARDLESS of how many versions the range spans;
+    * the per-version alternative (one scan + N-way `unionByName`) grows
+    * driver planning time and codegen size with backlog LENGTH — a
+    * 1,000-version catch-up becomes a 1,000-leaf plan before a single
+    * byte is read. Wire format: `input_file_name()` returns the file's
+    * `java.nio.file.Path.toUri.toString` (`file:///…`, %-encoded), so
+    * the map keys are built with the same call. A rel re-added at a
+    * SECOND version inside the range (restore after an overwrite)
+    * appears twice in the map and its rows correctly emit under both
+    * versions — the broadcast join duplicates where a map lookup could
+    * not.
+    */
+  private def readRelsVersioned(schema: StructType,
+                                added: Seq[(String, Int)],
+                                map: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    val rels = added.map(_._1).distinct
+    val phys = StructType(schema.fields.map(f =>
+      f.copy(name = physOf(map, f.name))))
+    val data = spark.read.option("basePath", dataDir.toString)
+      .schema(phys)
+      .parquet(rels.map(rel => dataDir.resolve(rel).toString): _*)
+      .select(schema.fields.toIndexedSeq.map(f =>
+        col(physOf(map, f.name)).as(f.name)) :+
+        input_file_name().as("_graft_file"): _*)
+    val pairs = added.map { case (rel, v) =>
+      dataDir.resolve(rel).toUri.toString -> v.toLong }
+    val vmap = spark.createDataFrame(pairs)
+      .toDF("_graft_file", "_commit_version")
+    data.join(broadcast(vmap), "_graft_file").drop("_graft_file")
+  }
+
   /** Snapshot read of `version` (default: latest). Absent table or empty
     * manifest → empty DataFrame with the given schema (DDL bootstrap, S5).
     * Merge-on-read tombstones, if any, are applied ([[deleteByKeysMor]]).
@@ -1714,44 +1750,42 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // manifest read per version (op + file list from the same read), not
     // two; on object-store-like backends every extra read is a round trip
     var prevFiles: Option[Set[String]] = None
-    val deltas = (fromV + 1 to toV).filter(present).flatMap { v =>
-      // A missing predecessor manifest means the cursor predates the vacuum
-      // horizon: v's manifest can no longer be diffed, so its carried files
-      // would be misreported as "added in v" and the consumer would
-      // re-receive rows under a wrong _commit_version. Fail loudly — the
-      // consumer must reset from a snapshot, exactly the contract vacuumed
-      // change feeds have in the public Delta CDF design. (v == 0 has no
-      // predecessor by construction: the empty prev set is genuine.)
-      if (v > 0 && !present(v - 1))
-        throw new IllegalStateException(
-          s"changesBetween($fromV, $toV): version ${v - 1} was vacuumed; " +
-            s"the change feed before v${versions.headOption.getOrElse(v)} " +
-            s"is gone — reset from snapshot($v) and resume from there")
-      val lines = manifestLines(v)
-      val files = lines.filterNot(_.startsWith("#"))
-        .map(_.takeWhile(_ != '\t'))
-      val op = lines.collectFirst {
-        case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
-      val prev = prevFiles.getOrElse(
-        if (present(v - 1)) readManifest(v - 1).toSet
-        else Set.empty[String])
-      prevFiles = Some(files.toSet)
-      if (skipRewrites && op.exists(TxLogTable.RewriteOps)) None
-      else {
-        val added = files.filterNot(prev)
-        if (added.isEmpty) None
-        // CDC contract: `schema` is the CURRENT logical schema, so the
-        // latest colmap translates it (physical names never change, so it
-        // covers every version's files)
-        else Some(readRels(schema, added, inheritedColMap)
-          .withColumn("_commit_version", lit(v.toLong)))
+    val added: Seq[(String, Int)] =
+      (fromV + 1 to toV).filter(present).flatMap { v =>
+        // A missing predecessor manifest means the cursor predates the
+        // vacuum horizon: v's manifest can no longer be diffed, so its
+        // carried files would be misreported as "added in v" and the
+        // consumer would re-receive rows under a wrong _commit_version.
+        // Fail loudly — the consumer must reset from a snapshot, exactly
+        // the contract vacuumed change feeds have in the public Delta CDF
+        // design. (v == 0 has no predecessor by construction: the empty
+        // prev set is genuine.)
+        if (v > 0 && !present(v - 1))
+          throw new IllegalStateException(
+            s"changesBetween($fromV, $toV): version ${v - 1} was vacuumed; " +
+              s"the change feed before v${versions.headOption.getOrElse(v)} " +
+              s"is gone — reset from snapshot($v) and resume from there")
+        val lines = manifestLines(v)
+        val files = lines.filterNot(_.startsWith("#"))
+          .map(_.takeWhile(_ != '\t'))
+        val op = lines.collectFirst {
+          case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
+        val prev = prevFiles.getOrElse(
+          if (present(v - 1)) readManifest(v - 1).toSet
+          else Set.empty[String])
+        prevFiles = Some(files.toSet)
+        if (skipRewrites && op.exists(TxLogTable.RewriteOps)) Nil
+        else files.filterNot(prev).map(_ -> v)
       }
-    }
-    deltas.reduceOption(_.unionByName(_)).getOrElse {
+    // CDC contract: `schema` is the CURRENT logical schema, so the latest
+    // colmap translates it (physical names never change, so it covers
+    // every version's files). One scan + broadcast version tagging —
+    // plan width is independent of how many versions the range spans.
+    if (added.isEmpty) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       empty.withColumn("_commit_version", lit(0L)).limit(0)
-    }
+    } else readRelsVersioned(schema, added, inheritedColMap)
   }
 
   /** Bytes of the files ADDED at each version in `(fromV, toV]` —
@@ -1827,15 +1861,32 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       .flatMap(tombstonesOf)
       .filter { case (_, v) => v > fromV && v <= toV }
       .distinct
-    newTombs.map { case (rel, v) =>
-      val keyDf = spark.read.parquet(dataDir.resolve(rel).toString)
-      val cols = schema.fieldNames.toIndexedSeq.map(n =>
-        if (keyDf.columns.contains(n)) col(n)
-        else lit(null).cast(schema(n).dataType).as(n))
-      keyDf.select(cols: _*)
-        .withColumn("_commit_version", lit(v))
-        .withColumn("_change_type", lit("delete"))
-    }.foldLeft(adds)(_.unionByName(_))
+    if (newTombs.isEmpty) return adds
+    // ONE scan over all tombstone files per distinct key-column set
+    // (almost always exactly one — the table's MOR keys at commit time),
+    // versions tagged by the same broadcast input_file_name() map the
+    // insert side uses: plan width stays independent of how many delete
+    // commits the range holds. Grouping by the commit version's recorded
+    // key spec keeps a mid-history key change from mixing two tombstone
+    // schemas into one scan.
+    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    val deletes = newTombs.groupBy { case (_, v) => morKeysOf(v) }
+      .toSeq.map { case (keys, tombs) =>
+        val keyDf = spark.read.parquet(
+          tombs.map { case (rel, _) => dataDir.resolve(rel).toString }: _*)
+          .select(keys.map(col) :+
+            input_file_name().as("_graft_file"): _*)
+        val vmap = spark.createDataFrame(tombs.map { case (rel, v) =>
+          dataDir.resolve(rel).toUri.toString -> v.toLong })
+          .toDF("_graft_file", "_commit_version")
+        val tagged = keyDf.join(broadcast(vmap), "_graft_file")
+        val cols = schema.fieldNames.toIndexedSeq.map(n =>
+          if (keys.contains(n)) col(n)
+          else lit(null).cast(schema(n).dataType).as(n))
+        tagged.select(cols :+ col("_commit_version"): _*)
+          .withColumn("_change_type", lit("delete"))
+      }
+    deletes.foldLeft(adds)(_.unionByName(_))
   }
 
   /** Rewrite the current snapshot into `numFiles` files per partition value

@@ -953,6 +953,53 @@ object ScaleProbe {
         "armed sorted scan (ordering = one whole-dir task); rebucket is " +
         "the sorted layout's skew mitigation")
     }
+
+    // Change-feed catch-up under a LONG version backlog: the same total
+    // byte volume committed as 50 vs 500 versions, then one batch CDC
+    // read over the whole range. Two properties at stake:
+    //  - plan width is INDEPENDENT of backlog length (one scan leaf +
+    //    one broadcast version map — not one scan per version chained
+    //    by union: that alternative plans a 500-leaf tree whose driver
+    //    planning and codegen cost grow with backlog LENGTH), and
+    //  - catch-up wall time scales with BYTES, not version count: the
+    //    500-version read of the same data lands within noise of the
+    //    50-version read.
+    if (what("cdc")) {
+      val results = scala.collection.mutable.Map.empty[Int, (Int, Double)]
+      for (k <- Seq(50, 500)) {
+        val root = java.nio.file.Files.createTempDirectory("cdcprobe")
+          .resolve("t").toString
+        val t = graft.sources.TxLogTable(spark, root)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, v STRING")
+        val total = 1000000L
+        val per = total / k
+        time(s"cdc backlog build x$k") {
+          (0 until k).foreach { i =>
+            t.commit(spark.range(i * per, (i + 1) * per)
+                .selectExpr("id", "cast(id as string) as v"),
+              overwrite = false)
+          }; k.toLong
+        }
+        val top = t.latestVersion.get
+        val feed = t.changesBetween(schema, -1, top)
+        val nLeaves = feed.queryExecution.executedPlan.collectLeaves().length
+        val t0 = System.nanoTime()
+        val n = feed.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(n == total, s"cdc x$k: $n rows, expected $total")
+        require(feed.select("_commit_version").distinct().count() == k,
+          s"cdc x$k: every version must tag its own files")
+        println(f"[probe] cdc catch-up x$k versions: $secs%.1f s, " +
+          s"$nLeaves plan leaves")
+        results(k) = (nLeaves, secs)
+      }
+      val (l50, s50) = results(50); val (l500, s500) = results(500)
+      require(l500 == l50,
+        s"plan leaves grew with backlog: $l50 -> $l500")
+      println(f"[probe] cdc: leaves $l50=$l500 (backlog-independent); " +
+        f"wall ${s500 / s50}%.2fx for 10x the versions at equal bytes")
+    }
     spark.stop()
   }
 }

@@ -141,6 +141,52 @@ class TxLogTableSpec extends AnyFunSuite {
       empty.columns.toSeq == Seq("id", "v", "_commit_version"))
   }
 
+  test("change feed: plan width independent of backlog length; hive " +
+      "escaping survives the version-map join") {
+    val t = fresh()
+    val pSchema = StructType(Seq(StructField("id", LongType),
+      StructField("p", StringType)))
+    // special-char partition values: the version tag rides a broadcast
+    // join on input_file_name()'s %-encoded file URI, built driver-side
+    // with the same Path.toUri encoding — 'a b/N' exercises space AND
+    // slash escaping through hive dir names and the URI layer
+    (0 until 24).foreach { i =>
+      t.commit(Seq((i.toLong, s"a b/${i % 3}")).toDF("id", "p"),
+        overwrite = i == 0, partitionCols = Seq("p"))
+    }
+    val top = t.latestVersion.get
+    def leaves(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collectLeaves().length
+    val wide = t.changesBetween(pSchema, -1, top)
+    val narrow = t.changesBetween(pSchema, top - 2, top)
+    // one data scan + one broadcast version map — NOT one scan per
+    // version chained by union: a 1,000-version catch-up must not plan
+    // a 1,000-leaf tree
+    assert(leaves(wide) == leaves(narrow),
+      s"plan width grew with the range: ${leaves(wide)} vs " +
+        s"${leaves(narrow)}")
+    assert(leaves(wide) <= 3, s"bounded-leaf plan expected: ${leaves(wide)}")
+    assert(wide.count() == 24)
+    assert(wide.select("_commit_version").distinct().count() == top + 1,
+      "every version's files must tag with their own commit version")
+    assert(wide.where("p LIKE 'a b/%'").count() == 24,
+      "escaped partition values must round-trip through the URI join")
+    // CDC delete side: several delete commits, still one tombstone scan
+    t.deleteByKeysMor(Seq(5L).toDF("id"))
+    t.deleteByKeysMor(Seq(6L).toDF("id"))
+    t.deleteByKeysMor(Seq(7L).toDF("id"))
+    val nowV = t.latestVersion.get
+    val cdcWide = t.changesWithDeletes(pSchema, top, nowV)
+    val cdcNarrow = t.changesWithDeletes(pSchema, nowV - 1, nowV)
+    assert(leaves(cdcWide) == leaves(cdcNarrow),
+      "delete-feed plan width must not grow with delete-commit count")
+    val dels = cdcWide.where("_change_type = 'delete'").collect()
+    assert(dels.map(_.getLong(0)).toSet == Set(5L, 6L, 7L))
+    assert(dels.map(r => r.getLong(r.fieldIndex("_commit_version"))).toSet
+      == Set(top + 1L, top + 2L, top + 3L),
+      "each tombstone must carry its own commit version")
+  }
+
   test("change feed across a restore: restored files re-emit as adds") {
     val t = fresh()
     t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)       // v0
