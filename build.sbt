@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container locale is POSIX/C → the JVM's filename charset
+// (sun.jnu.encoding, captured natively at startup — a -D flag is NOT
+// honored) is ASCII and refuses to CREATE non-ASCII paths (hive
+// partition dirs like p=café). ext4 stores raw bytes; forcing the
+// forked JVM's locale to the one UTF-8 locale the image ships fixes
+// the JVM-side charset.
+Test / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
+run / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
 // Pass the forked main's stdout through RAW (no "[info] " logger
 // prefix): Bench prints machine-parseable JSON lines that downstream
 // tooling reads from the process tail, and the sbt log decoration is

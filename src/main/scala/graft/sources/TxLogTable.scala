@@ -5,8 +5,8 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, pmod, xxhash64}
 import org.apache.spark.sql.graft.PredicateRanges
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -1212,33 +1212,61 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * the per-version alternative (one scan + N-way `unionByName`) grows
     * driver planning time and codegen size with backlog LENGTH — a
     * 1,000-version catch-up becomes a 1,000-leaf plan before a single
-    * byte is read. Wire format: `input_file_name()` returns the file's
-    * `java.nio.file.Path.toUri.toString` (`file:///…`, %-encoded), so
-    * the map keys are built with the same call. A rel re-added at a
-    * SECOND version inside the range (restore after an overwrite)
-    * appears twice in the map and its rows correctly emit under both
-    * versions — the broadcast join duplicates where a map lookup could
-    * not.
+    * byte is read. Wire format: the join key is the DECODED absolute
+    * filesystem path on BOTH sides, not the raw URI string —
+    * `input_file_name()` returns the Hadoop `Path.toUri.toString` form,
+    * which %-encodes space but leaves non-ASCII bytes raw
+    * (`…/p=café%20x/…`), while `java.nio.file.Path.toUri` encodes both
+    * (`…/p=caf%C3%A9%20x/…`); joining the raw strings silently drops
+    * every row under a non-ASCII partition dir. Decoding collapses both
+    * encodings to the same bytes: map side is the plain nio path string,
+    * scan side strips `scheme:(//authority)?` and URI-decodes with
+    * codegen'd builtins ([[decodedFileCol]]). A rel re-added at a SECOND
+    * version inside the range (restore after an overwrite) appears twice
+    * in the map and its rows correctly emit under both versions — the
+    * broadcast join duplicates where a map lookup could not.
     */
   private def readRelsVersioned(schema: StructType,
                                 added: Seq[(String, Int)],
                                 map: Map[String, String]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    import org.apache.spark.sql.functions.broadcast
     val rels = added.map(_._1).distinct
     val phys = StructType(schema.fields.map(f =>
       f.copy(name = physOf(map, f.name))))
+    val fcol = fileTagName(schema.fieldNames)
     val data = spark.read.option("basePath", dataDir.toString)
       .schema(phys)
       .parquet(rels.map(rel => dataDir.resolve(rel).toString): _*)
       .select(schema.fields.toIndexedSeq.map(f =>
         col(physOf(map, f.name)).as(f.name)) :+
-        input_file_name().as("_graft_file"): _*)
+        decodedFileCol.as(fcol): _*)
     val pairs = added.map { case (rel, v) =>
-      dataDir.resolve(rel).toUri.toString -> v.toLong }
+      dataDir.resolve(rel).toString -> v.toLong }
     val vmap = spark.createDataFrame(pairs)
-      .toDF("_graft_file", "_commit_version")
-    data.join(broadcast(vmap), "_graft_file").drop("_graft_file")
+      .toDF(fcol, "_commit_version")
+    data.join(broadcast(vmap), fcol).drop(fcol)
   }
+
+  /** `input_file_name()` reduced to the decoded absolute path — the
+    * version-map join key. `scheme:(//authority)?` is stripped first
+    * (pure-ASCII by RFC 3986, so safe on the still-encoded string), raw
+    * `+` is protected as `%2B` because `url_decode` is form-decoding
+    * (`+` → space) while URI encoding leaves literal `+` raw, then one
+    * `url_decode` pass maps `%XX` (UTF-8) to bytes. All three are
+    * codegen'd builtins — no UDF on the CDC hot path.
+    */
+  private def decodedFileCol: Column =
+    expr("url_decode(replace(regexp_replace(input_file_name(), " +
+      "'^[a-zA-Z][a-zA-Z0-9+.\\\\-]*:(//[^/]*)?', ''), '+', '%2B'))")
+
+  /** Helper-column name for the file tag, guaranteed not to collide with
+    * a user column literally named `_graft_file` (which would make the
+    * select ambiguous and break the version-map join).
+    */
+  private def fileTagName(taken: Seq[String]): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) "_graft_file" else s"_graft_file_$i")
+      .find(n => !taken.contains(n) && n != "_commit_version").get
 
   /** Snapshot read of `version` (default: latest). Absent table or empty
     * manifest → empty DataFrame with the given schema (DDL bootstrap, S5).
@@ -1869,17 +1897,21 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // commits the range holds. Grouping by the commit version's recorded
     // key spec keeps a mid-history key change from mixing two tombstone
     // schemas into one scan.
-    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    import org.apache.spark.sql.functions.broadcast
     val deletes = newTombs.groupBy { case (_, v) => morKeysOf(v) }
       .toSeq.map { case (keys, tombs) =>
+        // same decoded-path join key as readRelsVersioned — raw URI
+        // strings diverge between nio (%-encodes non-ASCII) and Hadoop
+        // (leaves it raw) and would drop tombstones under such dirs
+        val fcol = fileTagName(keys)
         val keyDf = spark.read.parquet(
           tombs.map { case (rel, _) => dataDir.resolve(rel).toString }: _*)
           .select(keys.map(col) :+
-            input_file_name().as("_graft_file"): _*)
+            decodedFileCol.as(fcol): _*)
         val vmap = spark.createDataFrame(tombs.map { case (rel, v) =>
-          dataDir.resolve(rel).toUri.toString -> v.toLong })
-          .toDF("_graft_file", "_commit_version")
-        val tagged = keyDf.join(broadcast(vmap), "_graft_file")
+          dataDir.resolve(rel).toString -> v.toLong })
+          .toDF(fcol, "_commit_version")
+        val tagged = keyDf.join(broadcast(vmap), fcol)
         val cols = schema.fieldNames.toIndexedSeq.map(n =>
           if (keys.contains(n)) col(n)
           else lit(null).cast(schema(n).dataType).as(n))

@@ -147,11 +147,13 @@ class TxLogTableSpec extends AnyFunSuite {
     val pSchema = StructType(Seq(StructField("id", LongType),
       StructField("p", StringType)))
     // special-char partition values: the version tag rides a broadcast
-    // join on input_file_name()'s %-encoded file URI, built driver-side
-    // with the same Path.toUri encoding — 'a b/N' exercises space AND
-    // slash escaping through hive dir names and the URI layer
+    // join between input_file_name() and a driver-built path map, keyed
+    // on the DECODED absolute path — 'café b/N' exercises non-ASCII
+    // (where Hadoop's URI form leaves bytes raw but nio %-encodes them,
+    // so raw-URI joins silently drop every row), space, AND slash
+    // escaping through hive dir names and the URI layer
     (0 until 24).foreach { i =>
-      t.commit(Seq((i.toLong, s"a b/${i % 3}")).toDF("id", "p"),
+      t.commit(Seq((i.toLong, s"café b/${i % 3}")).toDF("id", "p"),
         overwrite = i == 0, partitionCols = Seq("p"))
     }
     val top = t.latestVersion.get
@@ -169,7 +171,7 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(wide.count() == 24)
     assert(wide.select("_commit_version").distinct().count() == top + 1,
       "every version's files must tag with their own commit version")
-    assert(wide.where("p LIKE 'a b/%'").count() == 24,
+    assert(wide.where("p LIKE 'café b/%'").count() == 24,
       "escaped partition values must round-trip through the URI join")
     // CDC delete side: several delete commits, still one tombstone scan
     t.deleteByKeysMor(Seq(5L).toDF("id"))
@@ -185,6 +187,19 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(dels.map(r => r.getLong(r.fieldIndex("_commit_version"))).toSet
       == Set(top + 1L, top + 2L, top + 3L),
       "each tombstone must carry its own commit version")
+  }
+
+  test("change feed: user column literally named _graft_file does not " +
+      "collide with the version-tag helper") {
+    val t = fresh()
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("_graft_file", StringType)))
+    t.commit(Seq((1L, "x")).toDF("id", "_graft_file"), overwrite = true)
+    t.commit(Seq((2L, "y")).toDF("id", "_graft_file"), overwrite = false)
+    val feed = t.changesBetween(s, -1, t.latestVersion.get).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((1L, "x", 0L), (2L, "y", 1L)),
+      "the helper column must pick a non-colliding name")
   }
 
   test("change feed across a restore: restored files re-emit as adds") {
