@@ -173,7 +173,26 @@ object Bench {
       else "null"
     println(s"""{"metric":"spread","spread_max":$spreadMax,"harness_heavy":$harnessHeavy,"pass_spread":$sp}""")
     println(s"""{"metric":"detail","queries":$qs,"warmup_sec":${r3(warmupSec)}}""")
-    println(s"""{"metric":"total","value":$total,"value_cal":$totalCal,"calib_stable":$calibStable,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"calib_ref":$CalibRefSec,"unit":"sec","n":${results.size},"spread_max":$spreadMax,"errors":$errs,"sf":"$sfDir"}""")
+    val headline = s"""{"metric":"total","value":$total,"value_cal":$totalCal,"calib_stable":$calibStable,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"calib_ref":$CalibRefSec,"unit":"sec","n":${results.size},"spread_max":$spreadMax,"errors":$errs,"sf":"$sfDir"}"""
+    println(headline)
+    // The driver's tail-capture window truncates the stdout detail line
+    // (every BENCH_r*.json so far opens mid-line and cross-round
+    // comparisons could only use the queries that happened to survive the
+    // cut). Persist the FULL per-query map — plus the same headline and
+    // calibration bracket — to a repo file so per-query timings are
+    // available for all queries every round, regardless of tail size.
+    try {
+      val repoDetail = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      java.nio.file.Files.write(repoDetail,
+        (s"""{"headline":$headline,""" +
+          s""""queries":$qs,"warmup_sec":${r3(warmupSec)},""" +
+          s""""pass_spread":$sp,"harness_heavy":$harnessHeavy}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] detail file write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -52,6 +52,18 @@ object TxLogTable {
     */
   val DefaultVacuumMinAgeMillis: Long = 15L * 60 * 1000
 
+  /** Default manifest retention floor: `vacuum` refuses to delete a
+    * manifest committed within this window, whatever `keep` says. This is
+    * the guard between history GC and every cursor-holding consumer —
+    * time travel, clones, and ABOVE ALL lagging change-feed checkpoints:
+    * a stream that is N hours behind fails PERMANENTLY if vacuum deletes
+    * the manifests its next batch must diff, and its only recovery is a
+    * full re-snapshot (a 100 TB re-read). Seven days matches the public
+    * Delta `deletedFileRetentionDuration` default; pass `retainMillis = 0`
+    * for offline maintenance where no consumer can lag (tests, rebuilds).
+    */
+  val DefaultVacuumRetainMillis: Long = 7L * 24 * 60 * 60 * 1000
+
   /** `#op=` values whose commits preserve the table's logical content —
     * pure layout maintenance (file packing / clustering / bucket
     * evolution). The change feed can skip these wholesale: every row in
@@ -2222,18 +2234,54 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     *    flight looks unreferenced for a moment, and deleting it would let
     *    the racing commit publish a manifest pointing at nothing. Pass 0
     *    only when provably no writer is active (tests, offline maintenance).
+    *
+    * Two FLOORS protect lagging readers (`keep` is a target, not a
+    * license — a manifest behind either floor survives regardless):
+    *  - the TIME floor: a manifest committed within `retainMillis`
+    *    (default 7 days, [[TxLogTable.DefaultVacuumRetainMillis]]) is
+    *    never deleted — the bound a change-feed consumer can rely on
+    *    ("resume within a week or re-snapshot"), and what makes
+    *    `vacuum()` with all-default arguments safe to run on a live
+    *    table. A manifest with no readable commit timestamp is treated
+    *    as young (cannot prove it old ⇒ keep).
+    *  - the CURSOR floor: every registered change-feed cursor
+    *    ([[registerCursor]] — the streaming source maintains one per
+    *    checkpoint automatically) pins all manifests at or after its
+    *    version, however old; a stream lagging past the time floor still
+    *    survives until its cursor is [[releaseCursor released]]. This is
+    *    the Kafka consumer-group retention model: an abandoned cursor
+    *    holds history, and releasing it is an explicit operator act —
+    *    after which the feed's existing fail-loud vacuum-horizon check
+    *    (not silence) is what the consumer hits.
+    *
+    * The reset contract preserved: a consumer whose cursor is live never
+    * loses its window; a consumer that lost its window (released cursor +
+    * floor passed) gets a loud refusal from `changesBetween` and must
+    * re-snapshot — never a silent gap.
     */
   def vacuum(keep: Int = 1,
-             minAgeMillis: Long = TxLogTable.DefaultVacuumMinAgeMillis)
+             minAgeMillis: Long = TxLogTable.DefaultVacuumMinAgeMillis,
+             retainMillis: Long = TxLogTable.DefaultVacuumRetainMillis)
       : (Int, Int) = {
     require(keep >= 1, "vacuum must keep at least the latest version")
+    require(retainMillis >= 0, "retainMillis must be >= 0")
     if (!Files.isDirectory(dataDir)) return (0, 0) // never-written table
     val vs = versions
+    val timeFloor = System.currentTimeMillis() - retainMillis
+    val youngByTime: Set[Int] =
+      if (retainMillis == 0) Set.empty
+      else history().filter(_.commitMillis.forall(_ > timeFloor))
+        .map(_.version).toSet
+    val cursorFloor: Option[Int] =
+      cursors().values.map(_.version).minOption
     val drop = vs.dropRight(keep)
+      .filterNot(youngByTime)
+      .filterNot(v => cursorFloor.exists(v >= _))
+    val survive = vs.filterNot(drop.toSet)
     // tombstone parquet files are referenced too — vacuuming one would
     // silently resurrect its deleted keys
-    val referenced = (vs.takeRight(keep).flatMap(readManifest) ++
-      vs.takeRight(keep).flatMap(tombstonesOf).map(_._1)).toSet
+    val referenced = (survive.flatMap(readManifest) ++
+      survive.flatMap(tombstonesOf).map(_._1)).toSet
     drop.foreach(v => Files.delete(manifestPath(v)))
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val dead = scala.util.Using.resource(Files.walk(dataDir)) { s =>
