@@ -182,8 +182,20 @@ object Bench {
     // calibration bracket — to a repo file so per-query timings are
     // available for all queries every round, regardless of tail size.
     try {
-      val repoDetail = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      // anchor the default to the REPO ROOT (nearest ancestor of the
+      // fork's CWD holding build.sbt), not the raw CWD — a fork whose
+      // working directory differs would otherwise drop the file where
+      // downstream tooling reading the repo never looks
+      val anchor = {
+        val cwd =
+          java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+        Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .getOrElse(cwd)
+      }
+      val repoDetail = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(anchor.resolve("BENCH_DETAIL.json"))
       java.nio.file.Files.write(repoDetail,
         (s"""{"headline":$headline,""" +
           s""""queries":$qs,"warmup_sec":${r3(warmupSec)},""" +

@@ -94,10 +94,12 @@ final case class EtlContext(spark: SparkSession, warehouse: String,
 
   def vacuum(table: String, keep: Int = 1,
              minAgeMillis: Long =
-               graft.sources.TxLogTable.DefaultVacuumMinAgeMillis)
+               graft.sources.TxLogTable.DefaultVacuumMinAgeMillis,
+             retainMillis: Long =
+               graft.sources.TxLogTable.DefaultVacuumRetainMillis)
       : (Int, Int) = {
     require(txLog, s"vacuum($table) requires the txLog backend")
-    tx(table).vacuum(keep, minAgeMillis)
+    tx(table).vacuum(keep, minAgeMillis, retainMillis)
   }
 
   def history(table: String): Seq[graft.sources.TxLogTable.VersionInfo] = {

@@ -359,7 +359,10 @@ object EtlQueries {
       tbl.commit(ev.filter(col("event_id") % 3 === 1), overwrite = false)
       // overwrite orphans v0/v1's files: vacuum may then delete them
       tbl.commit(ev.filter(col("event_id") % 3 =!= 2), overwrite = true)
-      val (manifests, files) = tbl.vacuum(keep = 1, minAgeMillis = 0)
+      // retainMillis = 0 too: the query PROVES GC, and every manifest
+      // here is seconds old — the 7-day default floor would spare all
+      val (manifests, files) =
+        tbl.vacuum(keep = 1, minAgeMillis = 0, retainMillis = 0)
       require(manifests == 2 && files > 0,
         s"vacuum removed nothing: $manifests manifests, $files files")
       require(tbl.versions == Seq(2), s"history not pruned: ${tbl.versions}")
@@ -611,7 +614,8 @@ object EtlQueries {
         .collect()
       require(hist.last.getString(2) == "compact",
         s"history must record the compact op: ${hist.last}")
-      val vac = s.sql("CALL graftcat.system.vacuum('db.region_mnt', 1, 0)")
+      val vac =
+        s.sql("CALL graftcat.system.vacuum('db.region_mnt', 1, 0, 0)")
         .collect()
       require(vac(0).getInt(1) >= 5,
         s"vacuum must collect the pre-compaction files: ${vac(0)}")
@@ -1668,6 +1672,89 @@ object EtlQueries {
         "FROM graftcat.db.cust_ren")
     }),
 
+    // Change feed ACROSS mid-range schema evolution — the carried gap:
+    // evolution was proven for snapshots only, never for the feed. Rows
+    // committed BEFORE a RENAME and an ADD COLUMN must surface under the
+    // CURRENT logical schema (renamed name applied, added column NULL),
+    // with their original _commit_version tags. Correct by the format's
+    // one invariant: physical names are never rebound (addColumn refuses
+    // a physical name still present in old files), so the LATEST colmap
+    // translates every version's files.
+    "cdc_schema_evolution" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_cdc_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_cdc")
+      s.sql("CREATE TABLE graftcat.db.cust_cdc " +
+        "(c_custkey BIGINT, c_name STRING) USING txlog")          // v0
+      s.sql("INSERT INTO graftcat.db.cust_cdc " +
+        "SELECT c_custkey, c_name FROM cust_cdc_src " +
+        "WHERE c_custkey % 3 = 0")                                // v1
+      s.sql("ALTER TABLE graftcat.db.cust_cdc " +
+        "RENAME COLUMN c_name TO cust_name")                      // v2
+      s.sql("INSERT INTO graftcat.db.cust_cdc " +
+        "SELECT c_custkey, c_name FROM cust_cdc_src " +
+        "WHERE c_custkey % 3 = 1")                                // v3
+      s.sql("ALTER TABLE graftcat.db.cust_cdc " +
+        "ADD COLUMN segment STRING")                              // v4
+      s.sql("INSERT INTO graftcat.db.cust_cdc " +
+        "SELECT c_custkey, c_name, c_mktsegment FROM cust_cdc_src " +
+        "WHERE c_custkey % 3 = 2")                                // v5
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/cust_cdc")
+      require(tbl.latestVersion.contains(5),
+        s"expected 6 versions, got ${tbl.versions}")
+      tbl.changesBetween(s.table("graftcat.db.cust_cdc").schema,
+          -1, 5)
+        .select(col("c_custkey"), col("cust_name"), col("segment"),
+          col("_commit_version").as("commit_v"))
+    }),
+
+    // CDC for COPY-ON-WRITE deletes — the feed contract the MOR-only
+    // path couldn't cover: a predicate delete REWRITES the affected
+    // files, and the feed computes its events by content-diffing the
+    // rewritten file set (TxLogTable.cowDiffEvents). Deleted rows
+    // surface as FULL-row 'delete' events; rows the rewrite merely
+    // carried produce NOTHING (a raw file feed would re-deliver the
+    // whole rewritten file as phantom inserts). O(touched files) per
+    // version — at 100 TB the feed reads the delete's blast radius,
+    // never the table.
+    "cdc_cow_delete" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cowdel")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev, overwrite = true)                          // v0
+      tbl.deleteWhere(ev.schema, col("event_id") % 7 === 0)     // v1 COW
+      val feed = tbl.changesWithDeletes(ev.schema, 0, 1)
+      require(feed.filter(col("_change_type") === "insert").isEmpty,
+        "carried rows re-delivered as phantom inserts")
+      feed.select(col("event_id"), col("user_id"), col("value"),
+        col("_commit_version").as("commit_v"),
+        col("_change_type").as("change_type"))
+    }),
+
+    // CDC for COW merge: an UPDATE surfaces as delete(pre-image) +
+    // insert(post-image) under ONE commit version, a fresh key as a
+    // plain insert — the exact-row contract Delta's CDF writes change
+    // files for, here reconstructed from the immutable file diff with
+    // no extra write-path cost.
+    "cdc_cow_merge" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cowmrg")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("sup").toString)
+      tbl.commit(sup, overwrite = true)                         // v0
+      val upd = sup.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+      val fresh = sup.filter(col("s_suppkey") % 5 === 1)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+      tbl.merge(sup.schema, upd.unionByName(fresh),
+        Seq("s_suppkey"))                                       // v1
+      tbl.changesWithDeletes(sup.schema, 0, 1)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("_commit_version").as("commit_v"),
+          col("_change_type").as("change_type"))
+    }),
+
     // Metadata-only COUNT(*) (TxLogTable.metaRowCount): the count comes
     // off the manifest's per-file footer row counts — no file opened, no
     // scan planned (the require proves the manifest answered). The oracle
@@ -2490,6 +2577,35 @@ object EtlQueries {
 
     "schema_evolution_rename" ->
       """SELECT c_custkey, c_name AS cust_name, c_acctbal FROM customer""",
+
+    "cdc_schema_evolution" ->
+      """SELECT c_custkey, c_name AS cust_name,
+           CAST(NULL AS VARCHAR) AS segment, CAST(1 AS BIGINT) AS commit_v
+         FROM customer WHERE c_custkey % 3 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, CAST(NULL AS VARCHAR), CAST(3 AS BIGINT)
+         FROM customer WHERE c_custkey % 3 = 1
+         UNION ALL
+         SELECT c_custkey, c_name, c_mktsegment, CAST(5 AS BIGINT)
+         FROM customer WHERE c_custkey % 3 = 2""",
+
+    "cdc_cow_delete" ->
+      """SELECT event_id, user_id, value,
+           CAST(1 AS BIGINT) AS commit_v, 'delete' AS change_type
+         FROM events WHERE event_id % 7 = 0""",
+
+    "cdc_cow_merge" ->
+      """SELECT s_suppkey, s_name, s_acctbal,
+           CAST(1 AS BIGINT) AS commit_v, 'delete' AS change_type
+         FROM supplier WHERE s_suppkey % 5 = 0
+         UNION ALL
+         SELECT s_suppkey, s_name, s_acctbal + 100.0,
+           CAST(1 AS BIGINT), 'insert'
+         FROM supplier WHERE s_suppkey % 5 = 0
+         UNION ALL
+         SELECT s_suppkey + 1000000, s_name, s_acctbal,
+           CAST(1 AS BIGINT), 'insert'
+         FROM supplier WHERE s_suppkey % 5 = 1""",
 
     "merge_cow_str" ->
       """WITH base AS (SELECT s_suppkey, s_name, s_nationkey, s_acctbal

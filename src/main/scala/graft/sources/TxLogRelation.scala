@@ -183,6 +183,16 @@ final class TxLogSource extends RelationProvider
           case s =>
             val v = s.toInt
             require(v >= 0, s"startingVersion must be >= 0, got $v")
+            // fail at STREAM CREATION, not with a cryptic range require
+            // deep in the first getBatch: a version past the head is a
+            // caller mistake (head+1 is legal — it means "wait for the
+            // next commit", exactly what 'latest' resolves to)
+            val head = TxLogTable(ctx.sparkSession, pathOf(parameters))
+              .latestVersion.getOrElse(-1)
+            require(v <= head + 1,
+              s"startingVersion $v is past the table head (latest " +
+                s"committed version: $head); pass a committed version, " +
+                "or 'latest' to stream only future commits")
             v
         }.orElse(st.map { ts =>
           // the timestamp twin: the first version committed AFTER ts
@@ -200,7 +210,14 @@ final class TxLogSource extends RelationProvider
         val b = v.toLong
         require(b > 0, s"maxBytesPerTrigger must be positive, got $b")
         b
-      })
+      },
+      // vacuum pin per checkpoint, on by default (a stream that holds no
+      // cursor can silently lose its window to a routine vacuum); the
+      // name derives from metadataPath so restarts resume the same pin
+      cursorName =
+        if (opt(parameters, "cursor").exists(v => !v.toBoolean)) None
+        else opt(parameters, "cursorName")
+          .orElse(Some(TxLogStreamSource.cursorNameFor(metadataPath))))
 
   override def createSink(ctx: SQLContext,
                           parameters: Map[String, String],

@@ -61,12 +61,26 @@ import org.apache.spark.sql.types.StructType
   * cursor); honored only on a FRESH stream — a checkpointed offset
   * always wins on restart.
   *
+  * The stream maintains a VACUUM CURSOR per checkpoint automatically
+  * ([[TxLogTable.registerCursor]], named from the engine's metadataPath
+  * hash): registered at stream creation, advanced as each batch is
+  * committed, so a lagging or stopped-but-not-abandoned stream pins the
+  * history it still needs past vacuum's time floor. Decommissioning a
+  * stream for good is `releaseCursor` / `CALL system.release_cursor` —
+  * the explicit act after which vacuum may reclaim its window.
+  * `option("cursorName", n)` overrides the derived name;
+  * `option("cursor", "false")` opts out entirely (an ephemeral consumer
+  * that prefers the loud vacuum-horizon reset over holding history).
+  *
   * `option("readChangeFeed", "true")` switches to the CDC schema: the
   * data columns plus `_commit_version` and `_change_type`
   * ('insert' | 'delete') — [[TxLogTable.changesWithDeletes]] as a
-  * stream, MOR tombstones surfacing as keys-only delete rows. The
-  * keyed-state consumer (counting IVM, replicas) gets deletes pushed
-  * instead of diffing snapshots.
+  * stream. MOR tombstones surface as keys-only delete rows; COW
+  * row-changing commits (delete/merge/replace-where/SQL DML) surface
+  * as a content diff of their rewritten files — full-row deletes plus
+  * the replacement inserts, never a phantom re-insert of carried rows.
+  * The keyed-state consumer (counting IVM, replicas) gets deletes
+  * pushed instead of diffing snapshots, in BOTH delete modes.
   */
 final class TxLogStreamSource(ctx: SQLContext, root: String,
                               val dataSchema: StructType,
@@ -74,11 +88,28 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
                               includeMaintenance: Boolean = false,
                               startingVersion: Option[Int] = None,
                               changeFeed: Boolean = false,
-                              maxBytesPerTrigger: Option[Long] = None)
+                              maxBytesPerTrigger: Option[Long] = None,
+                              cursorName: Option[String] = None)
     extends Source {
 
   private def spark = ctx.sparkSession
   private def table: TxLogTable = TxLogTable(spark, root)
+
+  // The stream's vacuum pin: registered at CREATION (before the first
+  // batch even plans, so a concurrent vacuum cannot reclaim the history
+  // the stream is about to read) and advanced on every committed batch.
+  // Never regress an existing pin — on restart the checkpointed progress
+  // (reflected in the surviving cursor) is ahead of startingVersion.
+  cursorName.foreach { n =>
+    if (!table.cursors().contains(n))
+      table.registerCursor(n, startingVersion.map(_ - 1).getOrElse(-1))
+  }
+
+  // Batch `end` is durably checkpointed: the next batch diffs FROM
+  // manifest `end`, so the pin advances to exactly that version —
+  // history behind it is released for vacuum, the window ahead is held.
+  override def commit(end: StreamOffset): Unit =
+    cursorName.foreach(n => table.registerCursor(n, versionOf(end)))
 
   override val schema: StructType =
     if (changeFeed) TxLogStreamSource.cdcSchema(dataSchema)
@@ -174,6 +205,17 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
 }
 
 object TxLogStreamSource {
+  /** Stable per-checkpoint cursor name: the engine's `metadataPath` is
+    * unique per (checkpoint location, source index) and identical across
+    * restarts of the same query, so hashing it names the stream's vacuum
+    * pin deterministically — two different queries on the same table get
+    * independent cursors, one restarted query resumes its own. */
+  def cursorNameFor(metadataPath: String): String =
+    "ckpt-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(metadataPath.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+
   /** The CDC-mode schema: data columns + the two feed-metadata columns. */
   def cdcSchema(dataSchema: StructType): StructType =
     StructType(dataSchema.fields ++ Seq(

@@ -76,6 +76,20 @@ object TxLogTable {
     Set("compact", "compact-small", "compact-where", "zorder", "rebucket",
       "resort")
 
+  /** COPY-ON-WRITE row-changing ops: versions that REWRITE the affected
+    * files (old file out, replacement file in) rather than appending.
+    * The CDC feed ([[TxLogTable.changesWithDeletes]]) computes these
+    * versions' events by DIFFING the removed vs added file contents —
+    * the raw file feed would mis-report them (every carried row of a
+    * rewritten file would re-arrive as a phantom insert, and the deleted
+    * rows would vanish without a delete event). `overwrite` is
+    * deliberately NOT here: a full re-materialization is a RESET by
+    * contract, and diffing it would be O(table), not O(touched files).
+    */
+  val CowDiffOps: Set[String] =
+    Set("delete", "merge", "replace-where",
+      "row-level-delete", "row-level-update", "row-level-merge")
+
   /** Per-file arming facts for [[rangeOrder]]: the first-sort-key range
     * (`exact` integral footer stats, or the `:spre:` order-preserving
     * string encoding) plus whether the file may hold NULL sort keys.
@@ -445,6 +459,11 @@ object TxLogTable {
   /** One `history()` row: what produced a version, when, and its size. */
   final case class VersionInfo(version: Int, commitMillis: Option[Long],
                                op: Option[String], numFiles: Int)
+
+  /** A registered change-feed cursor: `version` is the last offset its
+    * owner has durably committed, so vacuum must preserve every manifest
+    * at or after it (the next batch diffs FROM that manifest). */
+  final case class Cursor(name: String, version: Int, updatedMillis: Long)
 
   /** What a copy-on-write [[TxLogTable.merge]] did: the committed version,
     * how many files were rewritten (their key stats overlapped the batch's
@@ -1162,9 +1181,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   private def readMaskedEntries(schema: StructType,
                                 es: Seq[TxLogTable.FileEntry],
-                                version: Option[Int]): DataFrame = {
+                                version: Option[Int],
+                                mapOverride: Option[Map[String, String]] =
+                                  None): DataFrame = {
     val v = version.orElse(latestVersion)
-    val cmap = colMapAt(version)
+    // mapOverride: the CDC diff reads OLD versions' files under the
+    // CURRENT logical schema, which only the LATEST colmap can
+    // translate (physical names are never rebound, so it covers every
+    // version); the default remains the version's own map for
+    // version-pinned reads (time travel after later renames)
+    val cmap = mapOverride.getOrElse(colMapAt(version))
     val tombs = v.map(tombstonesOf).getOrElse(Nil)
     val keys = v.map(morKeysOf).getOrElse(Nil)
     if (tombs.isEmpty || keys.isEmpty)
@@ -1783,7 +1809,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * after a rewrite surface exactly their own files.
     */
   def changesBetween(schema: StructType, fromV: Int, toV: Int,
-                     skipRewrites: Boolean = false): DataFrame = {
+                     skipRewrites: Boolean = false): DataFrame =
+    changesBetweenEx(schema, fromV, toV, skipRewrites, Set.empty)
+
+  // the shared walk, with an exclusion set: the CDC feed routes
+  // CowDiffOps versions through the content diff instead of the raw
+  // file feed, but an excluded version still anchors the NEXT
+  // version's diff (its file set feeds prevFiles)
+  private def changesBetweenEx(schema: StructType, fromV: Int, toV: Int,
+                               skipRewrites: Boolean,
+                               excludeVs: Set[Int]): DataFrame = {
     require(fromV <= toV, s"changesBetween($fromV, $toV)")
     val present = versions.toSet
     // carry each version's file set into the next iteration's diff — one
@@ -1814,7 +1849,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           if (present(v - 1)) readManifest(v - 1).toSet
           else Set.empty[String])
         prevFiles = Some(files.toSet)
-        if (skipRewrites && op.exists(TxLogTable.RewriteOps)) Nil
+        if ((skipRewrites && op.exists(TxLogTable.RewriteOps)) ||
+            excludeVs(v)) Nil
         else files.filterNot(prev).map(_ -> v)
       }
     // CDC contract: `schema` is the CURRENT logical schema, so the latest
@@ -1880,14 +1916,37 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * populated from the tombstone, all other schema columns NULL (the
     * tombstone IS keys-only; consumers maintaining keyed state drop the
     * key's rows, the counting-IVM pattern `ivm_refresh_mor` exercises).
-    * COW rewrites still surface as inserts only, as documented on
-    * [[changesBetween]].
+    *
+    * COPY-ON-WRITE row-changing versions ([[TxLogTable.CowDiffOps]]:
+    * delete / merge / replace-where / SQL row-level DML) are computed by
+    * CONTENT DIFF of the rewritten file set instead of the raw file
+    * feed: removed-files rows minus added-files rows are the `'delete'`
+    * events (FULL rows, unlike keys-only MOR tombstones), added minus
+    * removed are the `'insert'` events — so a COW update surfaces as
+    * delete(old)+insert(new) in the same commit, carried rows inside
+    * rewritten files are NOT re-delivered as phantom inserts, and the
+    * keyed-state consumer contract holds across both delete modes.
+    * Cost is O(files the rewrite touched) read once per side plus one
+    * distributed `exceptAll` — proportional to the change, never the
+    * table; a full `overwrite` stays a RESET (diffing one would be
+    * O(table)). Within one version consumers apply deletes before
+    * inserts (a COW update is delete(old)+insert(new) under the same
+    * `_commit_version`). Both diff sides read through their version's
+    * tombstone mask, so delete events are logically exact — see
+    * [[cowDiffEvents]].
     */
   def changesWithDeletes(schema: StructType, fromV: Int,
                          toV: Int,
                          skipRewrites: Boolean = false): DataFrame = {
-    val adds = changesBetween(schema, fromV, toV, skipRewrites)
+    val present = versions.toSet
+    val cowVs = (fromV + 1 to toV).filter(present)
+      .filter(v => v > 0 && present(v - 1) &&
+        opOf(v).exists(TxLogTable.CowDiffOps))
+    val rawAdds = changesBetweenEx(schema, fromV, toV, skipRewrites,
+        cowVs.toSet)
       .withColumn("_change_type", lit("insert"))
+    val adds = cowVs.map(cowDiffEvents(schema, _))
+      .foldLeft(rawAdds)(_.unionByName(_))
     // tombstones are collected from EVERY manifest in the range, not
     // just toV's: a compaction inside the range FOLDS earlier
     // tombstones out of later manifests (their deletes materialize
@@ -1896,7 +1955,6 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // oracle (delete at v2, compact at v4, feed over (1,4]). The
     // tombstone's own commit version tags it; distinct-by-rel dedups
     // the carries between its commit and its fold.
-    val present = versions.toSet
     val newTombs = (fromV + 1 to toV).filter(present)
       .flatMap(tombstonesOf)
       .filter { case (_, v) => v > fromV && v <= toV }
@@ -1931,6 +1989,42 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           .withColumn("_change_type", lit("delete"))
       }
     deletes.foldLeft(adds)(_.unionByName(_))
+  }
+
+  /** insert/delete events of ONE copy-on-write version by CONTENT DIFF
+    * of its rewritten file set: LOGICAL rows of the files the version
+    * dropped, minus logical rows of the files it added, are the deletes
+    * (full rows); the reverse difference is the inserts. `exceptAll`
+    * gives multiset semantics (duplicate rows cancel pairwise) and
+    * null-safe equality, so no key declaration is needed — this works
+    * on key-less tables where MOR tombstones cannot. Both sides read
+    * through their version's tombstone MASK ([[readMaskedEntries]]),
+    * which makes the diff logically EXACT: a row already MOR-deleted
+    * never re-surfaces as a phantom delete when a later rewrite drops
+    * its file — a phantom would kill a key legitimately RE-INSERTED
+    * between the tombstone and the rewrite in any keyed consumer fold.
+    * Reads ONLY the touched files (carried files appear in both
+    * manifests and never enter the diff); translation uses the LATEST
+    * colmap, valid for every version's files because physical names
+    * are never rebound.
+    */
+  private def cowDiffEvents(schema: StructType, v: Int): DataFrame = {
+    val curE = entries(Some(v))
+    val prevE = entries(Some(v - 1))
+    val curRels = curE.map(_.rel).toSet
+    val prevRels = prevE.map(_.rel).toSet
+    val map = inheritedColMap
+    val a = readMaskedEntries(schema,
+      curE.filterNot(e => prevRels(e.rel)), Some(v), Some(map))
+    val r = readMaskedEntries(schema,
+      prevE.filterNot(e => curRels(e.rel)), Some(v - 1), Some(map))
+    val ins = a.exceptAll(r)
+      .withColumn("_commit_version", lit(v.toLong))
+      .withColumn("_change_type", lit("insert"))
+    val del = r.exceptAll(a)
+      .withColumn("_commit_version", lit(v.toLong))
+      .withColumn("_change_type", lit("delete"))
+    ins.unionByName(del)
   }
 
   /** Rewrite the current snapshot into `numFiles` files per partition value
@@ -2220,6 +2314,72 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     commit(packed, overwrite = true, partitionCols = cols, op = "zorder")
   }
 
+  // ---- change-feed cursor registry ----------------------------------
+  // One tiny file per cursor under _log/cursors/ — manifest-adjacent so
+  // clone/backup tooling that copies the log dir carries retention intent
+  // with it. Atomic upsert (temp + ATOMIC_MOVE) so a concurrent vacuum
+  // reads either the old or the new pin, never a torn file.
+
+  private def cursorsDir: Path = logDir.resolve("cursors")
+
+  // cursor names become file names: keep [A-Za-z0-9._-] bytes, percent-
+  // encode everything else (UTF-8, byte-wise) — the same round-trip
+  // discipline the partition dirs needed for non-ASCII (r13 CDC fix).
+  // The NAME itself is stored inside the file, so reads never decode.
+  private def cursorFileName(name: String): String =
+    name.getBytes(UTF_8).map { b =>
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9') || b == '.' || b == '_' || b == '-')
+        b.toChar.toString
+      else f"%%${b & 0xff}%02X"
+    }.mkString + ".cursor"
+
+  /** Registered change-feed cursors by name. A malformed cursor file is
+    * skipped (it cannot pin anything it can no longer describe) — vacuum
+    * stays runnable even if a cursor write was interrupted pre-move. */
+  def cursors(): Map[String, TxLogTable.Cursor] =
+    if (!Files.isDirectory(cursorsDir)) Map.empty
+    else scala.util.Using.resource(Files.list(cursorsDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".cursor") &&
+          Files.isRegularFile(p))
+        .flatMap { p =>
+          val kv = new String(Files.readAllBytes(p), UTF_8)
+            .split("\n").iterator.map(_.split("=", 2))
+            .collect { case Array(k, v) => k -> v }.toMap
+          for {
+            n <- kv.get("name")
+            v <- kv.get("version").flatMap(_.toIntOption)
+          } yield n -> TxLogTable.Cursor(n, v,
+            kv.get("updatedMillis").flatMap(_.toLongOption).getOrElse(0L))
+        }.toMap
+    }
+
+  /** Upsert cursor `name` at `version`: every manifest at or after
+    * `version` survives vacuum until the cursor advances or is
+    * [[releaseCursor released]]. The streaming source maintains one per
+    * checkpoint automatically (registered at stream creation, advanced on
+    * each committed batch); register manually for out-of-band consumers
+    * (a batch-incremental `changesBetween` poller, a replica sync). */
+  def registerCursor(name: String, version: Int): Unit = {
+    require(name.nonEmpty && !name.contains("\n"),
+      "cursor name must be non-empty and newline-free")
+    Files.createDirectories(cursorsDir)
+    val body = s"name=$name\nversion=$version\n" +
+      s"updatedMillis=${System.currentTimeMillis()}\n"
+    val tmp = Files.createTempFile(cursorsDir, "cursor-", ".tmp")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, cursorsDir.resolve(cursorFileName(name)),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop cursor `name`'s vacuum pin — the explicit operator act that
+    * lets history behind an abandoned consumer be reclaimed (the Kafka
+    * consumer-group deletion model). Returns false if no such cursor. */
+  def releaseCursor(name: String): Boolean =
+    Files.deleteIfExists(cursorsDir.resolve(cursorFileName(name)))
+
   /** Garbage-collect history: keep the newest `keep` versions, delete older
     * manifests and every data file no surviving manifest references.
     * Returns (manifests deleted, data files deleted).
@@ -2274,9 +2434,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         .map(_.version).toSet
     val cursorFloor: Option[Int] =
       cursors().values.map(_.version).minOption
-    val drop = vs.dropRight(keep)
+    val candidates = vs.dropRight(keep)
       .filterNot(youngByTime)
       .filterNot(v => cursorFloor.exists(v >= _))
+    // survivors must be a contiguous SUFFIX of history: commitMillis is
+    // not guaranteed monotonic (clock skew, restored manifests), and a
+    // dropped manifest BETWEEN two kept ones would break changesBetween
+    // for windows lying entirely within nominally surviving versions —
+    // so only the prefix below the oldest survivor is actually dropped
+    val minSurvivor = vs.filterNot(candidates.toSet).minOption
+    val drop = minSurvivor.fold(candidates)(ms => candidates.filter(_ < ms))
     val survive = vs.filterNot(drop.toSet)
     // tombstone parquet files are referenced too — vacuuming one would
     // silently resurrect its deleted keys

@@ -333,12 +333,24 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     // one — the pick that matters when the unfiltered side is 100 TB.
     val ndv = version.orElse(tbl.table.latestVersion)
       .map(tbl.table.ndvOf).getOrElse(Map.empty)
+    // the ndv sketch, footer stats and blooms are all recorded by
+    // PHYSICAL column name; Catalyst keys ColumnStats by the LOGICAL
+    // names of readSchema. Translate through the colmap, or stats
+    // silently vanish after a RENAME COLUMN
+    val cmap = version.orElse(tbl.table.latestVersion)
+      .map(tbl.table.colMapOf).getOrElse(Map.empty[String, String])
     val liveEntries = tbl.table.entries(version).filter(e => live(e.rel))
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    ndv.foreach { case (c, est) =>
-      if (readSchema().fieldNames.contains(c)) {
+    readSchema().fields.foreach { f =>
+      val c = cmap.getOrElse(f.name, f.name) // physical name
+      ndv.get(c).foreach { ndvEst =>
+        // the sketch covers the WHOLE table: a partition-/runtime-pruned
+        // scan must not report more distinct values than it has rows
+        // (FilterEstimation divides by ndv — an over-count under-selects)
+        val est =
+          if (rows.isPresent) math.min(ndvEst, rows.getAsLong) else ndvEst
         val nulls = {
           val key = graft.sources.TxLogTable.nullsKey(c)
           val perFile = liveEntries.map(_.stats.get(key).map(_._1))
@@ -362,14 +374,14 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
           case ByteType => Some(java.lang.Byte.valueOf(v.toByte))
           case _ => None
         }
-        val dt = readSchema().fields.find(_.name == c).get.dataType
+        val dt = f.dataType
         val ranges = liveEntries.map(_.stats.get(c))
         val (mn, mx) =
           if (ranges.nonEmpty && ranges.forall(_.isDefined))
             (box(ranges.flatten.map(_._1).min, dt),
               box(ranges.flatten.map(_._2).max, dt))
           else (None, None)
-        colStats.put(Expressions.column(c),
+        colStats.put(Expressions.column(f.name),
           new org.apache.spark.sql.connector.read.colstats
             .ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =

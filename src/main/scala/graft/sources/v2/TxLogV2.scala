@@ -338,21 +338,28 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           }
         }
       case "vacuum" =>
-        // CALL c.system.vacuum('ns.t' [, keep [, min_age_ms]]): drop all
-        // but the last `keep` manifests and delete unreferenced data
-        // files older than min_age_ms (the age guard protects in-flight
-        // writers, exactly like the API default)
+        // CALL c.system.vacuum('ns.t' [, keep [, min_age_ms
+        // [, retain_ms]]]): drop all but the last `keep` manifests and
+        // delete unreferenced data files older than min_age_ms (the age
+        // guard protects in-flight writers, exactly like the API
+        // default). retain_ms is the lagging-reader time floor — a
+        // manifest younger than it survives regardless of `keep`; the
+        // 7-day default makes a bare CALL safe on a live streamed table
         new MaintenanceProc("vacuum", Seq(
           inParam("table", StringType),
           inParam("keep", IntegerType, Some("1")),
           inParam("min_age_ms", LongType,
-            Some(TxLogTable.DefaultVacuumMinAgeMillis.toString)))) {
+            Some(TxLogTable.DefaultVacuumMinAgeMillis.toString)),
+          inParam("retain_ms", LongType,
+            Some(TxLogTable.DefaultVacuumRetainMillis.toString)))) {
           override def call(input: InternalRow) = {
             val t = tableByName(input.getString(0))
             val keep = if (input.isNullAt(1)) 1 else input.getInt(1)
             val age = if (input.isNullAt(2))
               TxLogTable.DefaultVacuumMinAgeMillis else input.getLong(2)
-            val (manifests, files) = t.vacuum(keep, age)
+            val retain = if (input.isNullAt(3))
+              TxLogTable.DefaultVacuumRetainMillis else input.getLong(3)
+            val (manifests, files) = t.vacuum(keep, age, retain)
             resultScan(StructType(Seq(
               StructField("manifests_deleted", IntegerType),
               StructField("files_deleted", IntegerType))),
@@ -406,6 +413,42 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                   if (!tombs && rows.size == es.size) Long.box(rows.sum)
                   else null)
               })
+          }
+        }
+      case "cursors" =>
+        // CALL c.system.cursors('ns.t'): one row per registered change-
+        // feed cursor — which consumers pin history, at which version,
+        // and when they last advanced. The operator's "who is holding my
+        // vacuum back" view (Kafka's consumer-group listing).
+        new MaintenanceProc("cursors", Seq(
+          inParam("table", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            resultScan(StructType(Seq(
+              StructField("name", StringType),
+              StructField("version", IntegerType),
+              StructField("updated_millis", LongType))),
+              t.cursors().values.toSeq.sortBy(_.name).map(c =>
+                InternalRow(UTF8String.fromString(c.name), c.version,
+                  c.updatedMillis)))
+          }
+        }
+      case "release_cursor" =>
+        // CALL c.system.release_cursor('ns.t', 'name'): drop a cursor's
+        // vacuum pin — the explicit decommissioning act for an abandoned
+        // consumer; afterwards its history is reclaimable and a late
+        // resume hits the change feed's loud vacuum-horizon refusal.
+        new MaintenanceProc("release_cursor", Seq(
+          inParam("table", StringType),
+          inParam("name", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "release_cursor needs a name")
+            val released = t.releaseCursor(input.getString(1))
+            resultScan(StructType(Seq(
+              StructField("released", org.apache.spark.sql.types
+                .BooleanType))),
+              Seq(InternalRow(released)))
           }
         }
       case "restore" =>
@@ -822,7 +865,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           s"unknown txlog procedure: system.$other " +
             "(available: compact, vacuum, history, partitions, restore, " +
             "clone, zorder, rebucket, semdedup, dedup_near, bm25, " +
-            "optimize, detail)")
+            "optimize, detail, cursors, release_cursor)")
     }
   }
 

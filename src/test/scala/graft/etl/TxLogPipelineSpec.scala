@@ -115,7 +115,7 @@ class TxLogPipelineSpec extends AnyFunSuite {
     assert(hist.nonEmpty && hist.last.op.contains("compact"))
     assert(hist.forall(_.commitMillis.nonEmpty))
     val (droppedManifests, droppedFiles) =
-      ctx.vacuum("schedule_events", minAgeMillis = 0L)
+      ctx.vacuum("schedule_events", minAgeMillis = 0L, retainMillis = 0L)
     assert(droppedManifests >= 2 && droppedFiles > 0)
     assert(ctx.latestVersion("schedule_events").toSeq ==
       TxLogTable(spark, s"$whTx/schedule_events").versions)

@@ -567,7 +567,7 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(h.map(_.getString(2)).takeRight(1).head == "compact")
     // vacuum with min_age_ms=0 collects the pre-compaction files
     val v = spark.sql(
-      "CALL txcat.system.vacuum('ns.mnt', 1, 0)").collect()
+      "CALL txcat.system.vacuum('ns.mnt', 1, 0, 0)").collect()
     assert(v.length == 1 && v(0).getInt(0) >= 4 && v(0).getInt(1) >= 4,
       v.mkString(","))
     assert(spark.sql("SELECT count(*) FROM txcat.ns.mnt").head.getLong(0)
@@ -1339,7 +1339,7 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT * FROM txcat.ns.rst VERSION AS OF ${good + 2}").count() == 1)
     // a vacuumed target refuses with the surviving-versions message
-    t.vacuum(keep = 1, minAgeMillis = 0)
+    t.vacuum(keep = 1, minAgeMillis = 0, retainMillis = 0)
     val e = intercept[Exception] {
       spark.sql(s"CALL txcat.system.restore('ns.rst', $good)").collect() }
     assert(e.getMessage.contains("vacuumed or never existed"))
@@ -1372,7 +1372,7 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(spark.table("txcat.ns.cl_src").count() == 15)
     // source vacuum after its delete unlinks ITS rewritten names only —
     // the clone still reads every original row through its own links
-    src.vacuum(keep = 1, minAgeMillis = 0)
+    src.vacuum(keep = 1, minAgeMillis = 0, retainMillis = 0)
     assert(spark.table("txcat.ns.cl_dst").count() == 31)
     val e = intercept[Exception] {
       spark.sql("CALL txcat.system.clone('ns.cl_src', 'ns.cl_dst')")
@@ -2326,5 +2326,29 @@ class TxLogCatalogSpec extends AnyFunSuite {
         "CALL txcat.system.dedup_near('ns.dn_src', 'ns.dn_out', 0.5)")
         .collect() }
     assert(e.getMessage.contains("already exists"))
+  }
+
+  test("CALL system.cursors / release_cursor expose the vacuum pins") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.curs")
+    spark.sql("CREATE TABLE txcat.ns.curs (id BIGINT, v STRING) USING txlog")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO txcat.ns.curs VALUES ($i, 'v$i')"))
+    val t = TxLogTable(spark, s"$warehouse/ns/curs")
+    assert(spark.sql("CALL txcat.system.cursors('ns.curs')").count() == 0)
+    t.registerCursor("replica-eu", 1)
+    val rows = spark.sql("CALL txcat.system.cursors('ns.curs')").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "replica-eu" &&
+      rows(0).getInt(1) == 1, rows.mkString(","))
+    // the pin holds against an aggressive SQL vacuum
+    spark.sql("CALL txcat.system.vacuum('ns.curs', 1, 0, 0)").collect()
+    assert(t.versions == Seq(1, 2, 3)) // v0 = CREATE; pin holds 1..
+    val rel = spark.sql(
+      "CALL txcat.system.release_cursor('ns.curs', 'replica-eu')").collect()
+    assert(rel(0).getBoolean(0))
+    val rel2 = spark.sql(
+      "CALL txcat.system.release_cursor('ns.curs', 'replica-eu')").collect()
+    assert(!rel2(0).getBoolean(0)) // idempotent: already gone
+    spark.sql("CALL txcat.system.vacuum('ns.curs', 1, 0, 0)").collect()
+    assert(t.versions == Seq(3))
   }
 }

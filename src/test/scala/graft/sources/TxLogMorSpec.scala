@@ -49,18 +49,20 @@ class TxLogMorSpec extends AnyFunSuite {
       "under random merge/delete/compact mixes") {
     // THE consistency contract of the change feed: cut history at any
     // points, apply each window's events in commit order to keyed
-    // state, and the final state equals the table. Ops restricted to
-    // the keyed shapes the feed is DEFINED for (merge upserts re-deliver
-    // rewritten keys with their new values — idempotent under keyed
-    // fold; MOR deletes emit keys-only events; compaction must be
-    // invisible). COW deletes/overwrites are documented reset
-    // boundaries and excluded by design.
+    // state, and the final state equals the table. The mix covers every
+    // row-changing shape the feed handles: merge (COW content diff —
+    // delete(old)+insert(new), carried rows silent), MOR deletes
+    // (keys-only tombstone events), COW predicate deletes (full-row
+    // diff deletes, no key declaration needed), and compaction (must be
+    // invisible). Only full `overwrite` remains a documented reset
+    // boundary. Within a version deletes apply before inserts — the
+    // consumer contract a COW update's paired events require.
     val rnd = new scala.util.Random(1107L)
     for (trial <- 1 to 3) {
       val t = fresh()
       t.commit(Seq((1L, "seed")).toDF("id", "v"), overwrite = true)
       (1 to 10).foreach { _ =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 | 1 =>
             val rows = (1 to 1 + rnd.nextInt(3))
               .map(_ => (rnd.nextInt(8).toLong, s"m${rnd.nextInt(100)}"))
@@ -70,6 +72,8 @@ class TxLogMorSpec extends AnyFunSuite {
             t.deleteByKeysMor(
               Seq(rnd.nextInt(8).toLong).toDF("id"))
           case 3 => t.compact(schema, 2)
+          case 4 =>
+            t.deleteWhere(schema, col("id") === rnd.nextInt(8).toLong)
         }
       }
       // random contiguous windows covering (-1, latest]
@@ -82,7 +86,10 @@ class TxLogMorSpec extends AnyFunSuite {
           val events = t.changesWithDeletes(schema, a, b,
               skipRewrites = true)
             .collect()
-            .sortBy(_.getLong(2)) // _commit_version order
+            // commit order; within a version deletes first ('delete' <
+            // 'insert' lexically) — a COW update pairs both under one
+            // version and the insert must win
+            .sortBy(r => (r.getLong(2), r.getString(3)))
           events.foreach { r =>
             if (r.getString(3) == "insert")
               state += (r.getLong(0) -> r.getString(1))
@@ -153,7 +160,7 @@ class TxLogMorSpec extends AnyFunSuite {
     t.commit((1L to 4L).map(i => (i, "x")).toDF("id", "v"), overwrite = true)
     t.deleteByKeysMor(Seq(2L).toDF("id"))
     t.commit(Seq((9L, "y")).toDF("id", "v"), overwrite = false)
-    t.vacuum(keep = 1, minAgeMillis = 0)
+    t.vacuum(keep = 1, minAgeMillis = 0, retainMillis = 0)
     assert(rows(t).map(_._1) == Set(1L, 3L, 4L, 9L))
   }
 
@@ -164,5 +171,61 @@ class TxLogMorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       t.deleteByKeysMor(Seq("x").toDF("v"))
     }
+  }
+
+  test("CDC feed diffs COW deletes/merges: full-row deletes, no phantom " +
+      "re-inserts of carried rows") {
+    val t = fresh()
+    t.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      overwrite = true)                                          // v0
+    t.deleteWhere(schema, col("id") <= 3L)                       // v1 COW
+    val feed1 = t.changesWithDeletes(schema, 0, 1).collect()
+    val d1 = feed1.filter(_.getString(3) == "delete")
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d1 == Set((1L, "v1"), (2L, "v2"), (3L, "v3")), s"got $d1")
+    // the rewritten file carries rows 4..10 — they must NOT re-arrive
+    assert(!feed1.exists(_.getString(3) == "insert"),
+      "carried rows of a rewritten file re-delivered as phantom inserts")
+    // COW merge: update one key, insert a new one → paired events under
+    // one version (delete of the pre-image, insert of the post-image)
+    t.merge(schema, Seq((5L, "upd"), (20L, "new")).toDF("id", "v"),
+      Seq("id"))                                                 // v2
+    val feed2 = t.changesWithDeletes(schema, 1, 2).collect()
+    val d2 = feed2.filter(_.getString(3) == "delete")
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val i2 = feed2.filter(_.getString(3) == "insert")
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d2 == Set((5L, "v5")), s"got $d2")
+    assert(i2 == Set((5L, "upd"), (20L, "new")), s"got $i2")
+    assert(feed2.forall(r =>
+      r.getLong(r.fieldIndex("_commit_version")) == 2L))
+  }
+
+  test("COW rewrite emits no phantom delete for a MOR-deleted then " +
+      "re-inserted key") {
+    val t = fresh()
+    t.commit((1L to 8L).map(i => (i, "old")).toDF("id", "v"),
+      overwrite = true)                    // v0: one file holding 1..8
+    t.deleteByKeysMor(Seq(3L).toDF("id")) // v1: tombstone for 3
+    t.commit(Seq((3L, "new")).toDF("id", "v"), overwrite = false) // v2
+    t.deleteWhere(schema, col("id") === 7L) // v3: rewrites v0's file only
+    // the dropped file still physically holds (3,"old"), but it was
+    // MOR-masked at v2 — a raw diff would emit delete(3) and kill the
+    // re-inserted live key in any keyed consumer; the masked diff must
+    // surface ONLY the real delete
+    val d = t.changesWithDeletes(schema, 2, 3).collect()
+      .filter(_.getString(3) == "delete")
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((7L, "old")), s"phantom deletes leaked: $d")
+    // end-to-end: folding the FULL feed reproduces the snapshot
+    var state = Map.empty[Long, String]
+    t.changesWithDeletes(schema, -1, t.latestVersion.get).collect()
+      .sortBy(r => (r.getLong(2), r.getString(3)))
+      .foreach { r =>
+        if (r.getString(3) == "insert")
+          state += (r.getLong(0) -> r.getString(1))
+        else state -= r.getLong(0)
+      }
+    assert(state.toSet == rows(t), s"fold diverged: $state vs ${rows(t)}")
   }
 }

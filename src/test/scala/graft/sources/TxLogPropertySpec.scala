@@ -34,6 +34,8 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case object Compact extends Op
   private case object ZOrder extends Op
   private case class Vacuum(keep: Int) extends Op
+  private case class Pin(back: Int) extends Op   // register change-feed cursor
+  private case object Unpin extends Op           // release it
   private case class Rebucket(n: Int) extends Op
   private case class GridRebucket(n1: Int, n2: Int) extends Op
 
@@ -52,7 +54,9 @@ class TxLogPropertySpec extends AnyFunSuite {
     2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L))).map(Delete),
     1 -> Gen.const(Compact),
     1 -> Gen.const(ZOrder),
-    1 -> Gen.choose(1, 3).map(Vacuum))
+    1 -> Gen.choose(1, 3).map(Vacuum),
+    1 -> Gen.choose(0, 2).map(Pin),
+    1 -> Gen.const(Unpin))
 
   // first op must create the table
   private val programGen: Gen[List[Op]] = for {
@@ -133,7 +137,8 @@ class TxLogPropertySpec extends AnyFunSuite {
             else t.rebucket(schema, n1)
             assert(t.latestVersion.get == v0 + 1,
               s"grid rebucket must bump exactly one version from $v0")
-          case Vacuum(keep) => t.vacuum(keep, minAgeMillis = 0)
+          case Vacuum(keep) =>
+            t.vacuum(keep, minAgeMillis = 0, retainMillis = 0)
           case _ => ()
         }
         // every file sits under ALL the layout's bucket levels, in order
@@ -278,6 +283,7 @@ class TxLogPropertySpec extends AnyFunSuite {
       // model: per committed version, the visible multiset of rows
       var history = Map.empty[Int, List[(Long, String)]]
       var live = List.empty[Int] // surviving (non-vacuumed) versions, asc
+      var pin = Option.empty[Int] // registered cursor's pinned version
       program.foreach { op =>
         op match {
           case Append(rows) =>
@@ -352,8 +358,23 @@ class TxLogPropertySpec extends AnyFunSuite {
             history += v -> live.lastOption.map(history).getOrElse(Nil)
             live :+= v
           case Vacuum(keep) =>
-            t.vacuum(keep, minAgeMillis = 0L)
-            live = live.takeRight(keep)
+            t.vacuum(keep, minAgeMillis = 0L, retainMillis = 0L)
+            // survivors = everything at or above min(keep boundary,
+            // cursor pin) — both floors are "v >= X" shapes on an
+            // ascending list, so the drop is always a prefix
+            val keepFloor = live.takeRight(keep).headOption
+              .getOrElse(Int.MaxValue)
+            val floor = math.min(keepFloor, pin.getOrElse(Int.MaxValue))
+            live = live.filter(_ >= floor)
+          case Pin(back) =>
+            // cursor at `back` versions behind the head: vacuum must
+            // preserve the window a lagging consumer still needs
+            val target = live(math.max(0, live.size - 1 - back))
+            t.registerCursor("prop-cursor", target)
+            pin = Some(target)
+          case Unpin =>
+            t.releaseCursor("prop-cursor")
+            pin = None
         }
         assert(t.versions == live, s"after $op")
         // snapshot + time travel to every surviving version match the model

@@ -506,4 +506,116 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
           s"${pr.numInputRows} rows").mkString("; "))
     } finally q2.stop()
   }
+
+  test("stream maintains a vacuum cursor per checkpoint; survives vacuum") {
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txcur-src")
+        .resolve("t").toString)
+    val dstRoot = java.nio.file.Files.createTempDirectory("txcur-dst")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("txcur-ck").toString
+    src.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    def run(): Unit = {
+      val q = spark.readStream.format("txlog").schema(schema).load(src.root)
+        .writeStream.format("txlog")
+        .option("path", dstRoot)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // the pin registered itself at stream creation, named from the
+    // checkpoint — no consumer-side bookkeeping required
+    val cs = src.cursors()
+    assert(cs.size == 1 && cs.keys.head.startsWith("ckpt-"),
+      s"expected one auto-registered checkpoint cursor, got $cs")
+    src.commit(Seq((3L, "c")).toDF("id", "v"), overwrite = false)
+    run()
+    val pinned = src.cursors().values.head.version
+    // source.commit lags one batch by engine design: the pin is at or
+    // BEHIND the processed offset, never ahead — conservative is safe
+    assert(pinned >= -1 && pinned <= 1, s"cursor at $pinned")
+    // the table moves on while the stream is down; an aggressive vacuum
+    // (keep=1, no time retention) must still spare the pinned window
+    src.commit(Seq((4L, "d")).toDF("id", "v"), overwrite = false)
+    src.commit(Seq((5L, "e")).toDF("id", "v"), overwrite = false)
+    val before = src.versions
+    src.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+    assert(src.versions.head <= math.max(pinned, 0),
+      s"vacuum reclaimed the cursor's window: ${src.versions} vs $pinned")
+    assert(src.versions.last == before.last)
+    // restart from the checkpoint: the feed resumes across the vacuum
+    // without the horizon refusal, exactly once
+    run()
+    val dst = TxLogTable(spark, dstRoot)
+    val got = dst.snapshot(schema).collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L), s"lost/duplicated rows: $got")
+    // decommissioning: release the pin, history becomes reclaimable
+    assert(src.releaseCursor(src.cursors().keys.head))
+    src.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+    assert(src.versions.size == 1)
+  }
+
+  test("option(cursor=false) opts out of the vacuum pin") {
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txnocur-src")
+        .resolve("t").toString)
+    src.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    val q = spark.readStream.format("txlog").schema(schema)
+      .option("cursor", "false").load(src.root)
+      .writeStream.format("memory").queryName("txlog_nocursor")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txnocur-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txlog_nocursor").count() == 1)
+      assert(src.cursors().isEmpty,
+        "an opted-out ephemeral stream must not pin history")
+    } finally q.stop()
+  }
+
+  test("option(cursorName) names the pin explicitly") {
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txnamed-src")
+        .resolve("t").toString)
+    src.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    val q = spark.readStream.format("txlog").schema(schema)
+      .option("cursorName", "replica-eu").load(src.root)
+      .writeStream.format("memory").queryName("txlog_named_cursor")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txnamed-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(src.cursors().keySet == Set("replica-eu"))
+    } finally q.stop()
+  }
+
+  test("stream keeps flowing across a mid-stream rename (pinned schema)") {
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txren-src")
+        .resolve("t").toString)
+    src.create(schema)
+    src.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = false)
+    val q = spark.readStream.format("txlog").schema(schema).load(src.root)
+      .writeStream.format("memory").queryName("txlog_midrename")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txren-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txlog_midrename").count() == 1)
+      // rename mid-stream: the run's schema is PINNED (V1 Source
+      // contract), so rows committed under the new logical name keep
+      // arriving under the old one — physical bytes are unchanged and
+      // the colmap maps both logical names onto the same physical column
+      src.renameColumn("v", "w")
+      src.commit(Seq((2L, "b")).toDF("id", "w"), overwrite = false)
+      q.processAllAvailable()
+      val got = spark.table("txlog_midrename").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b")), s"got $got")
+    } finally q.stop()
+  }
 }

@@ -238,7 +238,8 @@ class TxLogTableSpec extends AnyFunSuite {
     t.commit(Seq((6L, "r6")).toDF("id", "v"), overwrite = false)
     assert(rows(t) == expect + ((6L, "r6")) && t.fileCount() == 2)
     // vacuum: only the latest survives; its files intact, the rest gone
-    val (manifests, files) = t.vacuum(keep = 1, minAgeMillis = 0L)
+    val (manifests, files) =
+      t.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
     assert(manifests == vCompact + 1 && files >= 6)
     assert(t.versions == Seq(vCompact + 1))
     assert(rows(t) == expect + ((6L, "r6")))
@@ -384,7 +385,7 @@ class TxLogTableSpec extends AnyFunSuite {
     val t = fresh()
     (0 until 4).foreach(i =>
       t.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), overwrite = i == 0))
-    t.vacuum(keep = 2, minAgeMillis = 0L) // v2, v3 survive
+    t.vacuum(keep = 2, minAgeMillis = 0L, retainMillis = 0L) // v2, v3 survive
     assert(t.versions == Seq(2, 3))
     // v2's predecessor manifest is gone: its carried files can't be diffed,
     // so any window that would attribute them must fail loudly instead of
@@ -412,13 +413,13 @@ class TxLogTableSpec extends AnyFunSuite {
     Files.write(justPublished, Array[Byte](4, 5, 6))
     // default age guard: young unreferenced files survive (v0's data file
     // is also young here, so only the manifest count moves)
-    val (m1, f1) = t.vacuum(keep = 1)
+    val (m1, f1) = t.vacuum(keep = 1, retainMillis = 0L)
     assert(m1 == 1 && f1 == 0)
     assert(Files.exists(staging.resolve("part-0.parquet")))
     assert(Files.exists(justPublished))
     // age 0 (offline maintenance): unreferenced data is deleted — but the
     // staging scratch of an active writer is still off-limits
-    val (_, f2) = t.vacuum(keep = 1, minAgeMillis = 0L)
+    val (_, f2) = t.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
     assert(f2 >= 2) // v0's file + the just-published orphan
     assert(!Files.exists(justPublished))
     assert(Files.exists(staging.resolve("part-0.parquet")))
@@ -701,5 +702,102 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(t2.snapshot(schema).collect().map(_.getString(1)).toSeq == Seq("b"))
     assert(t.history().map(_.op.get) ==
       Seq("overwrite", "delete", "delete"))
+  }
+
+  test("vacuum default time floor spares young manifests") {
+    val t = fresh()
+    (0 until 3).foreach(i =>
+      t.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), overwrite = i == 0))
+    // every manifest here is seconds old: the 7-day default retention
+    // makes a bare vacuum a no-op on manifests — the property that makes
+    // all-defaults vacuum() safe to run against a live streamed table
+    val (m0, _) = t.vacuum(keep = 1, minAgeMillis = 0L)
+    assert(m0 == 0 && t.versions == Seq(0, 1, 2))
+    // explicit retainMillis = 0 (offline maintenance) reclaims history
+    val (m1, _) = t.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+    assert(m1 == 2 && t.versions == Seq(2))
+  }
+
+  test("cursor registry: upsert, list, release — non-ASCII names round-trip") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    assert(t.cursors().isEmpty)
+    t.registerCursor("страница/feed 1", 3)
+    t.registerCursor("b", 5)
+    t.registerCursor("b", 7) // upsert advances in place
+    val cs = t.cursors()
+    assert(cs.keySet == Set("страница/feed 1", "b"))
+    assert(cs("страница/feed 1").version == 3 && cs("b").version == 7)
+    assert(t.releaseCursor("b") && !t.releaseCursor("b"))
+    assert(t.cursors().keySet == Set("страница/feed 1"))
+    intercept[IllegalArgumentException](t.registerCursor("", 0))
+  }
+
+  test("vacuum cursor floor pins a lagging consumer's window") {
+    val t = fresh()
+    (0 until 4).foreach(i =>
+      t.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), overwrite = i == 0))
+    // a consumer committed through v1: its next batch diffs FROM v1, so
+    // manifests >= 1 must survive however aggressive keep/retain are
+    t.registerCursor("lag", 1)
+    val (m1, _) = t.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+    assert(m1 == 1 && t.versions == Seq(1, 2, 3))
+    // the pinned window still plans: the feed the cursor protects
+    val fed = t.changesBetween(schema, 1, 3).collect()
+      .map(_.getLong(0)).toSet
+    assert(fed == Set(2L, 3L))
+    // releasing the cursor is the explicit reclamation act
+    assert(t.releaseCursor("lag"))
+    val (m2, _) = t.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+    assert(m2 == 2 && t.versions == Seq(3))
+  }
+
+  test("vacuum survivors stay a contiguous suffix under commitMillis skew") {
+    val t = fresh()
+    (0 until 4).foreach(i =>
+      t.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"), overwrite = i == 0))
+    // simulate clock skew: v1 claims an ancient commit time while v0
+    // (and v2, v3) are young — naive per-version time-floor filtering
+    // would delete v1 BETWEEN two kept manifests, breaking changesBetween
+    // for windows entirely inside surviving history
+    val m1 = Paths.get(t.root, "_log", "v00000001.manifest")
+    val skewed = new String(Files.readAllBytes(m1), UTF_8)
+      .split("\n").map { l =>
+        if (l.startsWith("#commitMillis=")) "#commitMillis=1000" else l
+      }.mkString("\n")
+    Files.write(m1, skewed.getBytes(UTF_8))
+    val (dropped, _) = t.vacuum(keep = 1, minAgeMillis = 0L)
+    assert(dropped == 0 && t.versions == Seq(0, 1, 2, 3),
+      "a mid-history manifest must not be vacuumed from under survivors")
+    assert(t.changesBetween(schema, 0, 3).collect().map(_.getLong(0))
+      .toSet == Set(1L, 2L, 3L))
+  }
+
+  test("change feed translates mid-range renames and adds via latest colmap") {
+    val t = fresh()
+    t.create(schema)                                            // v0
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = false) // v1
+    t.renameColumn("v", "w")                                    // v2
+    t.commit(Seq((2L, "b")).toDF("id", "w"), overwrite = false) // v3
+    t.addColumn("x", LongType)                                  // v4
+    t.commit(Seq((3L, "c", 30L)).toDF("id", "w", "x"),
+      overwrite = false)                                        // v5
+    val cur = StructType(Seq(StructField("id", LongType),
+      StructField("w", StringType), StructField("x", LongType)))
+    // pre-rename rows surface under the NEW logical name, pre-add rows
+    // with NULL x, each under its original commit version — the latest
+    // colmap is valid for every version because physical names are never
+    // rebound (addColumn refuses reuse)
+    def feed(fromV: Int) = t.changesBetween(cur, fromV, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    assert(feed(-1) == Set((1L, "a", -1L, 1L), (2L, "b", -1L, 3L),
+      (3L, "c", 30L, 5L)))
+    // a window OPENING between the two ALTERs sees the same translation
+    assert(feed(2) == Set((2L, "b", -1L, 3L), (3L, "c", 30L, 5L)))
+    // the CDC variant rides the same read path
+    val cdc = t.changesWithDeletes(cur, -1, 5).collect()
+      .map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(cdc == Set((1L, "insert"), (2L, "insert"), (3L, "insert")))
   }
 }
