@@ -1732,6 +1732,28 @@ object EtlQueries {
         col("_change_type").as("change_type"))
     }),
 
+    // CDC through RESTORE: a rollback feeds downstream consumers the
+    // EXACT undo events (op=restore is a content-diff version) — here a
+    // bad predicate delete is restored away and the feed re-inserts
+    // precisely the rows the bad commit removed, nothing else. Keyed
+    // replicas roll back with the table instead of hitting a reset or,
+    // worse, silently keeping the bad state.
+    "cdc_restore" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cowrst")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.commit(ev, overwrite = true)                       // v0
+      tbl.deleteWhere(ev.schema, col("event_id") % 5 === 0)  // v1: bad
+      tbl.restore(0)                                         // v2: undo
+      val feed = tbl.changesWithDeletes(ev.schema, 1, 2)
+      require(feed.filter(col("_change_type") === "delete").isEmpty,
+        "restore-undo window must contain no deletes")
+      feed.select(col("event_id"), col("user_id"), col("value"),
+        col("_commit_version").as("commit_v"),
+        col("_change_type").as("change_type"))
+    }),
+
     // CDC for COW merge: an UPDATE surfaces as delete(pre-image) +
     // insert(post-image) under ONE commit version, a fresh key as a
     // plain insert — the exact-row contract Delta's CDF writes change
@@ -2593,6 +2615,11 @@ object EtlQueries {
       """SELECT event_id, user_id, value,
            CAST(1 AS BIGINT) AS commit_v, 'delete' AS change_type
          FROM events WHERE event_id % 7 = 0""",
+
+    "cdc_restore" ->
+      """SELECT event_id, user_id, value,
+           CAST(2 AS BIGINT) AS commit_v, 'insert' AS change_type
+         FROM events WHERE event_id % 5 = 0""",
 
     "cdc_cow_merge" ->
       """SELECT s_suppkey, s_name, s_acctbal,

@@ -82,12 +82,17 @@ object TxLogTable {
     * versions' events by DIFFING the removed vs added file contents —
     * the raw file feed would mis-report them (every carried row of a
     * rewritten file would re-arrive as a phantom insert, and the deleted
-    * rows would vanish without a delete event). `overwrite` is
-    * deliberately NOT here: a full re-materialization is a RESET by
-    * contract, and diffing it would be O(table), not O(touched files).
+    * rows would vanish without a delete event). `restore` is here too:
+    * a rollback's logical delta is exactly the file-set diff against the
+    * version it undoes (usually the blast radius of the bad commit; a
+    * restore reaching past a compaction pays an O(table) diff once —
+    * the price of exact undo events, chosen by the operator who ran the
+    * restore). `overwrite` is deliberately NOT here: a full
+    * re-materialization is a RESET by contract, and diffing one is
+    * O(table) on EVERY overwrite, not once per operator-invoked undo.
     */
   val CowDiffOps: Set[String] =
-    Set("delete", "merge", "replace-where",
+    Set("delete", "merge", "replace-where", "restore",
       "row-level-delete", "row-level-update", "row-level-merge")
 
   /** Per-file arming facts for [[rangeOrder]]: the first-sort-key range
@@ -2481,6 +2486,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * still exist (else the require fires — history was vacuumed past it),
     * and vacuum never deletes data files referenced by a SURVIVING
     * manifest, so every republished line points at a live file.
+    *
+    * CDC consumers see the restore as EXACT undo events
+    * ([[changesWithDeletes]]: `op=restore` is a [[TxLogTable.CowDiffOps]]
+    * content diff) — deletes for the bad commit's rows, inserts for what
+    * they displaced — so keyed downstream state rolls back with the
+    * table instead of diverging at a reset boundary.
     */
   def restore(toVersion: Int, maxAttempts: Int = 10): Int =
     metadataCommit("restore", maxAttempts) { _ =>

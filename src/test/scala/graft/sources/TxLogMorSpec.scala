@@ -46,7 +46,7 @@ class TxLogMorSpec extends AnyFunSuite {
   }
 
   test("CDC feed property: window folds reconstruct the snapshot " +
-      "under random merge/delete/compact mixes") {
+      "under random merge/delete/compact/restore mixes") {
     // THE consistency contract of the change feed: cut history at any
     // points, apply each window's events in commit order to keyed
     // state, and the final state equals the table. The mix covers every
@@ -62,7 +62,7 @@ class TxLogMorSpec extends AnyFunSuite {
       val t = fresh()
       t.commit(Seq((1L, "seed")).toDF("id", "v"), overwrite = true)
       (1 to 10).foreach { _ =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 | 1 =>
             val rows = (1 to 1 + rnd.nextInt(3))
               .map(_ => (rnd.nextInt(8).toLong, s"m${rnd.nextInt(100)}"))
@@ -74,6 +74,9 @@ class TxLogMorSpec extends AnyFunSuite {
           case 3 => t.compact(schema, 2)
           case 4 =>
             t.deleteWhere(schema, col("id") === rnd.nextInt(8).toLong)
+          case 5 => // rollback to any surviving version: exact undo diff
+            val vs = t.versions
+            t.restore(vs(rnd.nextInt(vs.size)))
         }
       }
       // random contiguous windows covering (-1, latest]
@@ -218,6 +221,34 @@ class TxLogMorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(d == Set((7L, "old")), s"phantom deletes leaked: $d")
     // end-to-end: folding the FULL feed reproduces the snapshot
+    var state = Map.empty[Long, String]
+    t.changesWithDeletes(schema, -1, t.latestVersion.get).collect()
+      .sortBy(r => (r.getLong(2), r.getString(3)))
+      .foreach { r =>
+        if (r.getString(3) == "insert")
+          state += (r.getLong(0) -> r.getString(1))
+        else state -= r.getLong(0)
+      }
+    assert(state.toSet == rows(t), s"fold diverged: $state vs ${rows(t)}")
+  }
+
+  test("CDC feed rolls a restore back as exact undo events") {
+    val t = fresh()
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      overwrite = true)                                 // v0
+    t.commit(Seq((3L, "c")).toDF("id", "v"), overwrite = false) // v1
+    t.deleteWhere(schema, col("id") === 1L)             // v2: the bad commit
+    t.restore(1)                                        // v3: undo it
+    val feed = t.changesWithDeletes(schema, 2, 3).collect()
+    val ins = feed.filter(_.getString(3) == "insert")
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val del = feed.filter(_.getString(3) == "delete")
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the undo window re-inserts exactly what the bad delete removed —
+    // carried rows of the un-rewritten file stay silent
+    assert(ins == Set((1L, "a")), s"got $ins")
+    assert(del.isEmpty, s"phantom deletes from the restore: $del")
+    // full-feed fold lands on the restored snapshot
     var state = Map.empty[Long, String]
     t.changesWithDeletes(schema, -1, t.latestVersion.get).collect()
       .sortBy(r => (r.getLong(2), r.getString(3)))
