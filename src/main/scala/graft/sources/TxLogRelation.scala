@@ -217,7 +217,17 @@ final class TxLogSource extends RelationProvider
       cursorName =
         if (opt(parameters, "cursor").exists(v => !v.toBoolean)) None
         else opt(parameters, "cursorName")
-          .orElse(Some(TxLogStreamSource.cursorNameFor(metadataPath))))
+          .orElse(Some(TxLogStreamSource.cursorNameFor(metadataPath))),
+      skipChangeCommits = {
+        val skip =
+          opt(parameters, "skipChangeCommits").exists(_.toBoolean)
+        require(!(skip &&
+          opt(parameters, "ignoreChanges").exists(_.toBoolean)),
+          "skipChangeCommits and ignoreChanges are mutually exclusive")
+        skip
+      },
+      ignoreChanges =
+        opt(parameters, "ignoreChanges").exists(_.toBoolean))
 
   override def createSink(ctx: SQLContext,
                           parameters: Map[String, String],

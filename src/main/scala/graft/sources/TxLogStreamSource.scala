@@ -16,8 +16,15 @@ import org.apache.spark.sql.types.StructType
   *
   * Append-only feed: overwrite commits surface their full new file set
   * (a reset, as on [[TxLogTable.changesBetween]]); MOR delete versions
-  * contribute no rows here — streaming consumers that need deletes read
-  * [[TxLogTable.changesWithDeletes]] batch-incrementally instead.
+  * contribute no rows here. A COW row-changing commit (delete / merge /
+  * replace-where / restore / SQL DML) FAILS the plain stream loudly —
+  * its rewritten files would re-deliver carried rows as phantom inserts
+  * while the deletions vanish, silently corrupting downstream state.
+  * The ways out mirror the public Delta source's contract:
+  * `option("readChangeFeed", "true")` for exact insert/delete events,
+  * `option("skipChangeCommits", "true")` to skip those commits' rows,
+  * or `option("ignoreChanges", "true")` to opt into the re-delivering
+  * raw file feed.
   *
   * The batch delta is re-flagged `isStreaming` via the classic session's
   * `internalCreateDataFrame` — the V1 `Source` contract (the rows are the
@@ -89,7 +96,9 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
                               startingVersion: Option[Int] = None,
                               changeFeed: Boolean = false,
                               maxBytesPerTrigger: Option[Long] = None,
-                              cursorName: Option[String] = None)
+                              cursorName: Option[String] = None,
+                              skipChangeCommits: Boolean = false,
+                              ignoreChanges: Boolean = false)
     extends Source {
 
   private def spark = ctx.sparkSession
@@ -195,9 +204,34 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
               .cast("long"))
           .select(schema.fieldNames.map(
             org.apache.spark.sql.functions.col): _*)
-      else
-        table.changesBetween(dataSchema, fromV, endV, skipRewrites = skip)
+      else {
+        // The plain feed is APPEND-ONLY by contract. A row-changing
+        // rewrite (COW delete/merge/restore) inside the batch would
+        // either re-deliver every carried row of its rewritten files or
+        // silently lose the deletions — both wrong for a consumer that
+        // believes it is reading appends. Fail LOUDLY with the three
+        // ways out (the public Delta source's
+        // ignoreChanges / skipChangeCommits contract) instead of
+        // corrupting downstream state by default.
+        val present = table.versions.toSet
+        val cowVs = (fromV + 1 to endV).filter(present)
+          .filter(v => v > 0 && present(v - 1) &&
+            table.opOf(v).exists(TxLogTable.CowDiffOps))
+        if (cowVs.nonEmpty && !skipChangeCommits && !ignoreChanges)
+          throw new IllegalStateException(
+            s"append-only txlog stream hit row-changing commit(s) " +
+              s"${cowVs.mkString(", ")} at $root " +
+              "(delete/merge/replace/restore rewrite rows in place). " +
+              "Pick a contract: option(\"readChangeFeed\", \"true\") " +
+              "for exact insert/delete events, " +
+              "option(\"skipChangeCommits\", \"true\") to skip these " +
+              "commits' rows, or option(\"ignoreChanges\", \"true\") " +
+              "to accept rewritten files re-delivered as inserts")
+        val excl = if (skipChangeCommits) cowVs.toSet else Set.empty[Int]
+        table.changesBetweenEx(dataSchema, fromV, endV,
+            skipRewrites = skip, excl)
           .drop("_commit_version")
+      }
     org.apache.spark.sql.graft.StreamingShim.asStreaming(spark, delta)
   }
 

@@ -1819,11 +1819,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
 
   // the shared walk, with an exclusion set: the CDC feed routes
   // CowDiffOps versions through the content diff instead of the raw
-  // file feed, but an excluded version still anchors the NEXT
+  // file feed, and the plain stream's skipChangeCommits mode drops
+  // them outright; an excluded version still anchors the NEXT
   // version's diff (its file set feeds prevFiles)
-  private def changesBetweenEx(schema: StructType, fromV: Int, toV: Int,
-                               skipRewrites: Boolean,
-                               excludeVs: Set[Int]): DataFrame = {
+  private[sources] def changesBetweenEx(schema: StructType, fromV: Int,
+                                        toV: Int, skipRewrites: Boolean,
+                                        excludeVs: Set[Int]): DataFrame = {
     require(fromV <= toV, s"changesBetween($fromV, $toV)")
     val present = versions.toSet
     // carry each version's file set into the next iteration's diff — one

@@ -618,4 +618,64 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
       assert(got == Set((1L, "a"), (2L, "b")), s"got $got")
     } finally q.stop()
   }
+
+  test("plain stream fails loudly on a row-changing commit, naming the " +
+      "ways out") {
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txcow-fail")
+        .resolve("t").toString)
+    src.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1), overwrite = true)
+    val q = spark.readStream.format("txlog").schema(schema).load(src.root)
+      .writeStream.format("memory").queryName("txlog_cow_fail")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txcow-fck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txlog_cow_fail").count() == 3)
+      // a COW delete rewrites the file in place: the append-only stream
+      // must refuse rather than re-deliver carried rows / lose deletes
+      src.deleteWhere(schema,
+        org.apache.spark.sql.functions.col("id") === 2L)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("readChangeFeed") &&
+        msg.contains("skipChangeCommits") && msg.contains("ignoreChanges"),
+        s"guidance missing from: $msg")
+    } finally q.stop()
+  }
+
+  test("skipChangeCommits skips row-changing commits; ignoreChanges " +
+      "re-delivers rewritten files") {
+    import org.apache.spark.sql.functions.col
+    def drive(opt: String): Seq[Long] = {
+      val src = TxLogTable(spark,
+        java.nio.file.Files.createTempDirectory(s"txcow-$opt")
+          .resolve("t").toString)
+      src.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .coalesce(1), overwrite = true)
+      val mem = s"txlog_cow_$opt"
+      val q = spark.readStream.format("txlog").schema(schema)
+        .option(opt, "true").load(src.root)
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"txcow-$opt-ck")
+            .toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        src.deleteWhere(schema, col("id") === 2L) // rewrites the file
+        src.commit(Seq((4L, "d")).toDF("id", "v"), overwrite = false)
+        q.processAllAvailable()
+        spark.table(mem).collect().map(_.getLong(0)).toSeq.sorted
+      } finally q.stop()
+    }
+    // skip: the delete commit contributes nothing — downstream keeps the
+    // deleted row (the documented trade of this mode), nothing re-arrives
+    assert(drive("skipChangeCommits") == Seq(1L, 2L, 3L, 4L))
+    // ignore: the rewritten file's carried rows re-arrive as inserts
+    assert(drive("ignoreChanges") == Seq(1L, 1L, 2L, 3L, 3L, 4L))
+  }
 }
