@@ -60,6 +60,45 @@ object ZOrder {
              b: Column, bMin: Long, bMax: Long): Column =
     interleave(gridCell(a, aMin, aMax), gridCell(b, bMin, bMax))
 
+  /** Grid resolution for an N-dimensional curve: the interleaved key
+    * must fit a non-negative Long, so each dimension gets
+    * `min(16, 63/N)` bits — 16²=2 dims keep the classic resolution,
+    * 3 dims get 16 (48 bits), 4 get 15, 6 get 10. Resolution loss is
+    * benign for a CLUSTERING key (cells just get coarser); dimension
+    * count beyond ~4 wastes the curve anyway (locality dilutes
+    * exponentially — the same guidance Delta gives for ZORDER BY).
+    */
+  def bitsFor(n: Int): Int = math.min(Bits, 63 / math.max(1, n))
+
+  /** N-way Morton interleave over `bits` low bits of each column: bit i
+    * of column j lands at position i·N + j. The 2-column [[interleave]]
+    * is the N=2 special case (identical bit layout). Still a fixed
+    * OR-chain of shifts — straight-line long arithmetic under
+    * whole-stage codegen, no shuffle.
+    */
+  def interleaveN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(
+          shiftleft(c.bitwiseAND(lit(1L << i)), i * (n - 1) + j))
+      }
+    }
+  }
+
+  /** The z-value over N dimensions, each scaled to its committed
+    * [min, max] range at [[bitsFor]] resolution. */
+  def zValueN(dims: Seq[(Column, Long, Long)]): Column = {
+    val bits = bitsFor(dims.size)
+    val mask = lit((1L << bits) - 1)
+    interleaveN(dims.map { case (c, mn, mx) =>
+      // gridCell scales to the 16-bit grid; shift down to this curve's
+      // per-dim resolution (drop the low bits, keep the high ones —
+      // cell ORDER is what the curve needs)
+      shiftright(gridCell(c, mn, mx), Bits - bits).bitwiseAND(mask)
+    }, bits)
+  }
+
   /** Order-preserving 7-byte-prefix encoding of a string column into a
     * non-negative Long — the Column twin of
     * `graft.sources.TxLogTable.strEncFloor` (first 7 UTF-8 bytes,

@@ -1732,6 +1732,35 @@ object EtlQueries {
         col("_change_type").as("change_type"))
     }),
 
+    // N-DIMENSIONAL OPTIMIZE ZORDER BY through SQL: three lineitem keys
+    // on one Morton curve (comma-list form of CALL system.zorder, grid
+    // bits scaled to 63/N per dim) — a range scan on the THIRD
+    // dimension still prunes files, which no linear sort can give. The
+    // require proves manifest-stats pruning actually bites before the
+    // relational result is compared.
+    "zorder3_scan" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+        .createOrReplaceTempView("li_z3_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.li_z3")
+      s.sql("CREATE TABLE graftcat.db.li_z3 USING txlog AS " +
+        "SELECT * FROM li_z3_src")
+      s.sql("CALL graftcat.system.zorder('db.li_z3', " +
+        "'l_orderkey,l_partkey,l_suppkey', NULL, 16)")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/li_z3")
+      val mm = s.table("li_z3_src")
+        .agg(min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val lo = mn + (mx - mn) / 3
+      val hi = lo + (mx - mn) / 10
+      require(tbl.candidateFiles("l_suppkey", lo, hi).size <
+        tbl.fileCount(),
+        "third z-order dimension pruned nothing")
+      s.sql("SELECT l_orderkey, l_partkey, l_suppkey, l_quantity " +
+        s"FROM graftcat.db.li_z3 WHERE l_suppkey BETWEEN $lo AND $hi")
+    }),
+
     // CDC through RESTORE: a rollback feeds downstream consumers the
     // EXACT undo events (op=restore is a content-diff version) — here a
     // bad predicate delete is restored away and the feed re-inserts
@@ -2615,6 +2644,16 @@ object EtlQueries {
       """SELECT event_id, user_id, value,
            CAST(1 AS BIGINT) AS commit_v, 'delete' AS change_type
          FROM events WHERE event_id % 7 = 0""",
+
+    "zorder3_scan" ->
+      """WITH mm AS (SELECT min(l_suppkey) AS mn, max(l_suppkey) AS mx
+                     FROM lineitem),
+            b AS (SELECT mn + (mx - mn) // 3 AS lo,
+                         mn + (mx - mn) // 3 + (mx - mn) // 10 AS hi
+                  FROM mm)
+         SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_suppkey >= lo AND l_suppkey <= hi""",
 
     "cdc_restore" ->
       """SELECT event_id, user_id, value,

@@ -2284,7 +2284,22 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * column. Same atomic overwrite-commit publish as `compact`.
     */
   def compactZOrder(schema: StructType, colA: String, colB: String,
-                    numFiles: Int = 8): Int = {
+                    numFiles: Int = 8): Int =
+    compactZOrder(schema, Seq(colA, colB), numFiles)
+
+  /** N-DIMENSIONAL z-order rewrite: one Morton curve over `zCols` (2+
+    * dimensions; each gets `min(16, 63/N)` grid bits —
+    * [[graft.operators.ZOrder.bitsFor]]). The two-column overload above
+    * is the N=2 special case. Beyond ~4 dimensions the curve's locality
+    * dilutes so much that pruning degrades toward random placement —
+    * the same guidance the public OPTIMIZE ZORDER BY docs give; pick
+    * the dimensions actually queried by range.
+    */
+  def compactZOrder(schema: StructType, zCols: Seq[String],
+                    numFiles: Int): Int = {
+    require(zCols.size >= 2,
+      "z-order needs at least two dimensions (one dimension is a plain " +
+        "sort — use sortCols for that layout)")
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"compactZOrder of empty table: $root"))
     require(sortColsOf(v).isEmpty,
@@ -2302,17 +2317,17 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           graft.operators.ZOrder.strEnc(col(c))
         case _ => col(c).cast("long")
       }
-    val (ea, eb) = (gridInput(colA), gridInput(colB))
-    val mm = snap.agg(
-      org.apache.spark.sql.functions.min(ea),
-      org.apache.spark.sql.functions.max(ea),
-      org.apache.spark.sql.functions.min(eb),
-      org.apache.spark.sql.functions.max(eb)).head()
-    if (mm.isNullAt(0) || mm.isNullAt(2)) // empty table: plain compact
-      return compact(schema, numFiles)
-    val z = graft.operators.ZOrder.zValue(
-      ea, mm.getLong(0), mm.getLong(1),
-      eb, mm.getLong(2), mm.getLong(3))
+    val enc = zCols.map(gridInput)
+    // one pass for every dimension's [min, max]
+    val aggs = enc.flatMap(e => Seq(
+      org.apache.spark.sql.functions.min(e),
+      org.apache.spark.sql.functions.max(e)))
+    val mm = snap.agg(aggs.head, aggs.tail: _*).head()
+    if (zCols.indices.exists(i => mm.isNullAt(2 * i)))
+      return compact(schema, numFiles) // an all-null dim / empty table
+    val z = graft.operators.ZOrder.zValueN(
+      enc.zipWithIndex.map { case (e, i) =>
+        (e, mm.getLong(2 * i), mm.getLong(2 * i + 1)) })
     val packed = snap.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

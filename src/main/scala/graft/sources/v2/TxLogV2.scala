@@ -289,7 +289,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.sameElements(Array("system")))
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
-        "bm25", "optimize", "detail", "analyze", "resort", "changes")
+        "bm25", "optimize", "detail", "analyze", "resort", "changes",
+        "cursors", "release_cursor")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -497,22 +498,27 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       case "zorder" =>
         // CALL c.system.zorder('ns.t', 'colA', 'colB' [, files]):
         // OPTIMIZE ZORDER BY — rewrite the snapshot clustered on the
-        // Morton curve of two columns so manifest min/max stats prune
-        // range scans on EITHER dimension (a plain sort serves only its
-        // leading column). The multi-dimensional skipping layout for the
+        // Morton curve so manifest min/max stats prune range scans on
+        // EVERY listed dimension (a plain sort serves only its leading
+        // column). col_a may carry a comma-separated list for 3+
+        // dimensions — 'a,b,c' with col_b NULL — since stored-procedure
+        // signatures are fixed-arity; per-dim grid bits shrink as
+        // min(16, 63/N). The multi-dimensional skipping layout for the
         // 100 TB point-lookup table.
         new MaintenanceProc("zorder", Seq(
           inParam("table", StringType),
           inParam("col_a", StringType),
-          inParam("col_b", StringType),
+          inParam("col_b", StringType, Some("NULL")),
           inParam("files", IntegerType, Some("8")))) {
           override def call(input: InternalRow) = {
             val t = tableByName(input.getString(0))
             val schema = t.tableSchema.getOrElse(
               TxLogV2Table(spark, t.root, input.getString(0)).schema)
             val files = if (input.isNullAt(3)) 8 else input.getInt(3)
-            val v = t.compactZOrder(schema, input.getString(1),
-              input.getString(2), files)
+            val zCols = input.getString(1).split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty) ++
+              (if (input.isNullAt(2)) Nil else Seq(input.getString(2)))
+            val v = t.compactZOrder(schema, zCols, files)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("files_after", IntegerType))),

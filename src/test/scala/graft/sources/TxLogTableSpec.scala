@@ -800,4 +800,31 @@ class TxLogTableSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(4))).toSet
     assert(cdc == Set((1L, "insert"), (2L, "insert"), (3L, "insert")))
   }
+
+  test("3-dimensional z-order prunes range scans on every clustered column") {
+    val t = fresh()
+    val schema3 = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType), StructField("v", StringType)))
+    // a 32x32x32 lattice committed hash-partitioned: every file spans all
+    // three full ranges, so stats prune nothing before the rewrite
+    val rows = (0L until 32768L).map(i =>
+      (i % 32, (i / 32) % 32, i / 1024, s"r$i"))
+    t.commit(rows.toDF("a", "b", "c", "v").repartition(8), overwrite = true)
+    assert(t.candidateFiles("b", 4L, 7L).size == t.fileCount())
+    t.compactZOrder(schema3, Seq("a", "b", "c"), numFiles = 64)
+    assert(t.fileCount() == 64)
+    // each file now covers a small (a, b, c) box: a narrow band on ANY
+    // single dimension excludes most files (a linear sort would serve
+    // only its leading column)
+    Seq("a", "b", "c").foreach { d =>
+      val hit = t.candidateFiles(d, 4L, 7L).size
+      assert(hit < 32, s"dimension $d pruned nothing: $hit of 64 files")
+    }
+    // clustering is layout-only: the data is unchanged
+    val got = t.snapshotRange(schema3, "c", 4L, 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == rows.filter(r => r._3 >= 4 && r._3 <= 7)
+      .map(r => (r._1, r._2, r._3)).toSet)
+  }
 }
