@@ -2439,10 +2439,18 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * loses its window; a consumer that lost its window (released cursor +
     * floor passed) gets a loud refusal from `changesBetween` and must
     * re-snapshot — never a silent gap.
+    *
+    * `dryRun = true` computes and returns the same
+    * (manifests, data files) counts without deleting anything — the
+    * operator's pre-flight before a retention change (Delta's
+    * `VACUUM ... DRY RUN`). One caveat: the dry run's data-file count
+    * assumes the manifests it WOULD drop are gone, exactly matching
+    * what the real run would then delete.
     */
   def vacuum(keep: Int = 1,
              minAgeMillis: Long = TxLogTable.DefaultVacuumMinAgeMillis,
-             retainMillis: Long = TxLogTable.DefaultVacuumRetainMillis)
+             retainMillis: Long = TxLogTable.DefaultVacuumRetainMillis,
+             dryRun: Boolean = false)
       : (Int, Int) = {
     require(keep >= 1, "vacuum must keep at least the latest version")
     require(retainMillis >= 0, "retainMillis must be >= 0")
@@ -2470,7 +2478,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // silently resurrect its deleted keys
     val referenced = (survive.flatMap(readManifest) ++
       survive.flatMap(tombstonesOf).map(_._1)).toSet
-    drop.foreach(v => Files.delete(manifestPath(v)))
+    if (!dryRun) drop.foreach(v => Files.delete(manifestPath(v)))
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val dead = scala.util.Using.resource(Files.walk(dataDir)) { s =>
       s.iterator().asScala
@@ -2484,7 +2492,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         .map(_._1)
         .toSeq
     }
-    dead.foreach(f => Files.delete(dataDir.resolve(f)))
+    if (!dryRun) dead.foreach(f => Files.delete(dataDir.resolve(f)))
     (drop.size, dead.size)
   }
 

@@ -352,7 +352,11 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           inParam("min_age_ms", LongType,
             Some(TxLogTable.DefaultVacuumMinAgeMillis.toString)),
           inParam("retain_ms", LongType,
-            Some(TxLogTable.DefaultVacuumRetainMillis.toString)))) {
+            Some(TxLogTable.DefaultVacuumRetainMillis.toString)),
+          // dry_run => true: report what would be reclaimed, touch
+          // nothing — the pre-flight before a retention change
+          inParam("dry_run", org.apache.spark.sql.types.BooleanType,
+            Some("false")))) {
           override def call(input: InternalRow) = {
             val t = tableByName(input.getString(0))
             val keep = if (input.isNullAt(1)) 1 else input.getInt(1)
@@ -360,7 +364,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               TxLogTable.DefaultVacuumMinAgeMillis else input.getLong(2)
             val retain = if (input.isNullAt(3))
               TxLogTable.DefaultVacuumRetainMillis else input.getLong(3)
-            val (manifests, files) = t.vacuum(keep, age, retain)
+            val dry = !input.isNullAt(4) && input.getBoolean(4)
+            val (manifests, files) = t.vacuum(keep, age, retain, dry)
             resultScan(StructType(Seq(
               StructField("manifests_deleted", IntegerType),
               StructField("files_deleted", IntegerType))),

@@ -2335,6 +2335,11 @@ class TxLogCatalogSpec extends AnyFunSuite {
       s"INSERT INTO txcat.ns.curs VALUES ($i, 'v$i')"))
     val t = TxLogTable(spark, s"$warehouse/ns/curs")
     assert(spark.sql("CALL txcat.system.cursors('ns.curs')").count() == 0)
+    // dry_run pre-flight: reports the reclaim, touches nothing
+    val dry = spark.sql("CALL txcat.system.vacuum('ns.curs', 1, 0, 0, " +
+      "true)").collect()
+    assert(dry(0).getInt(0) == 3 && t.versions == Seq(0, 1, 2, 3),
+      s"dry run moved state: ${dry.mkString(",")} / ${t.versions}")
     t.registerCursor("replica-eu", 1)
     val rows = spark.sql("CALL txcat.system.cursors('ns.curs')").collect()
     assert(rows.length == 1 && rows(0).getString(0) == "replica-eu" &&

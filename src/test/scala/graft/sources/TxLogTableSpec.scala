@@ -827,4 +827,25 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(got == rows.filter(r => r._3 >= 4 && r._3 <= 7)
       .map(r => (r._1, r._2, r._3)).toSet)
   }
+
+  test("vacuum dry run reports exactly what the real run then reclaims") {
+    val t = fresh()
+    (0 until 5).foreach(i =>
+      t.commit(Seq((i.toLong, s"r$i")).toDF("id", "v"),
+        overwrite = i % 2 == 0))
+    val before = t.versions
+    val (dm, df) =
+      t.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L,
+        dryRun = true)
+    // nothing moved
+    assert(t.versions == before && dm == 4 && df > 0,
+      s"dry run: $dm manifests / $df files, versions ${t.versions}")
+    assert(rows(t, Some(before.head)).nonEmpty, "old version still reads")
+    // the real run reclaims exactly the dry run's report
+    val (rm, rf) =
+      t.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+    assert((rm, rf) == (dm, df),
+      s"dry run promised ($dm, $df), real run did ($rm, $rf)")
+    assert(t.versions == Seq(before.last))
+  }
 }
