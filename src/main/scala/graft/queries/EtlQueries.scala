@@ -1732,6 +1732,37 @@ object EtlQueries {
         col("_change_type").as("change_type"))
     }),
 
+    // TYPE WIDENING as a metadata-only commit (ALTER COLUMN ... TYPE):
+    // int->bigint and float->double promote natively in the parquet
+    // readers, so pre-widen files keep their narrow physical type and
+    // promote at read — at 100 TB the alternative is rewriting the
+    // table to change a column type. The require proves no file moved.
+    "schema_widen" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_w_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_w")
+      s.sql("CREATE TABLE graftcat.db.cust_w " +
+        "(c_custkey BIGINT, c_nationkey INT, c_acctbal FLOAT) USING txlog")
+      s.sql("INSERT INTO graftcat.db.cust_w " +
+        "SELECT c_custkey, CAST(c_nationkey AS INT), " +
+        "CAST(c_acctbal AS FLOAT) FROM cust_w_src WHERE c_custkey % 2 = 0")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/cust_w")
+      val before = tbl.fileCount()
+      s.sql("ALTER TABLE graftcat.db.cust_w " +
+        "ALTER COLUMN c_nationkey TYPE BIGINT")
+      s.sql("ALTER TABLE graftcat.db.cust_w " +
+        "ALTER COLUMN c_acctbal TYPE DOUBLE")
+      require(tbl.fileCount() == before,
+        "widening must be metadata-only (no file added/rewritten)")
+      require(tbl.history().last.op.contains("widen-column"),
+        "widen commit missing from history")
+      s.sql("INSERT INTO graftcat.db.cust_w " +
+        "SELECT c_custkey, CAST(c_nationkey AS BIGINT), " +
+        "CAST(c_acctbal AS DOUBLE) FROM cust_w_src WHERE c_custkey % 2 = 1")
+      s.sql("SELECT c_custkey, c_nationkey, c_acctbal " +
+        "FROM graftcat.db.cust_w")
+    }),
+
     // N-DIMENSIONAL OPTIMIZE ZORDER BY through SQL: three lineitem keys
     // on one Morton curve (comma-list form of CALL system.zorder, grid
     // bits scaled to 63/N per dim) — a range scan on the THIRD
@@ -2644,6 +2675,15 @@ object EtlQueries {
       """SELECT event_id, user_id, value,
            CAST(1 AS BIGINT) AS commit_v, 'delete' AS change_type
          FROM events WHERE event_id % 7 = 0""",
+
+    "schema_widen" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS c_acctbal
+         FROM customer WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT c_custkey, CAST(c_nationkey AS BIGINT),
+           CAST(c_acctbal AS DOUBLE)
+         FROM customer WHERE c_custkey % 2 = 1""",
 
     "zorder3_scan" ->
       """WITH mm AS (SELECT min(l_suppkey) AS mn, max(l_suppkey) AS mx

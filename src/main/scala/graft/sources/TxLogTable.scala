@@ -461,6 +461,24 @@ object TxLogTable {
     }
   }
 
+  /** Type promotions the parquet readers perform natively (verified
+    * against both the vectorized and row-based readers): a widened
+    * column reads old narrow files and new wide files under one
+    * declared type with no rewrite. Anything else (string↔numeric,
+    * narrowing, decimal) is refused — a "widening" the reader cannot
+    * promote would silently null or crash old files' reads.
+    */
+  def canWiden(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** One `history()` row: what produced a version, when, and its size. */
   final case class VersionInfo(version: Int, commitMillis: Option[Long],
                                op: Option[String], numFiles: Int)
@@ -1125,6 +1143,44 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Seq(s"#schema=${newSchema.json}") ++ colmapLine(map - name) ++
         droppedLine(droppedPhysOf(b) + physOf(map, name)) ++
         carriedProps(b) ++ dataLines(b)
+    }
+
+  /** WIDEN a column's type as a pure metadata commit — `ALTER TABLE ...
+    * ALTER COLUMN c TYPE bigint`. Safe promotions only
+    * ([[TxLogTable.canWiden]]): byte→short→int→long and float→double,
+    * exactly the set both parquet readers promote natively, so files
+    * written before the change keep their narrower physical type and
+    * promote at read; files written after carry the wide type — no file
+    * is ever rewritten. Bucket keys are refused: bucket ids hash the
+    * TYPED value (`xxhash64(int 5) ≠ xxhash64(long 5)`), so new writes
+    * of a widened key would land in different buckets than the old
+    * files holding equal values, silently breaking co-located joins —
+    * rebucket to a new layout instead. Blooms stay valid across the
+    * change: they hash the canonical STRING rendering, identical for an
+    * integral value at any width. Partition columns are fine too (the
+    * hive dir renders `c=5` identically and parses under the declared
+    * type).
+    */
+  def widenColumn(name: String, to: DataType, maxAttempts: Int = 10): Int =
+    metadataCommit("widenColumn", maxAttempts) { b =>
+      val schema = recordedSchema(b, "widenColumn")
+      val f = schema.fields.find(_.name == name)
+      require(f.isDefined, s"no such column: $name")
+      require(TxLogTable.canWiden(f.get.dataType, to),
+        s"cannot widen ${f.get.dataType.simpleString} to " +
+          s"${to.simpleString}: safe promotions are byte/short/int to a " +
+          "wider integral and float to double")
+      require(!bucketSpecsOf(b).exists(_._1 == name),
+        s"cannot widen bucket key $name (bucket ids hash the typed " +
+          "value; old files' rows would sit in different buckets than " +
+          "new writes — rebucket instead)")
+      require(tombstonesOf(b).isEmpty,
+        "cannot widen with live MOR tombstones: compact first")
+      val newSchema = StructType(schema.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x))
+      metaLines(partitionColsOf(b), "widen-column", bloomColsOf(b)) ++
+        Seq(s"#schema=${newSchema.json}") ++ colmapLine(colMapOf(b)) ++
+        droppedLine(droppedPhysOf(b)) ++ carriedProps(b) ++ dataLines(b)
     }
 
   /** The merge-on-read delete key columns recorded at `v` — fixed at the

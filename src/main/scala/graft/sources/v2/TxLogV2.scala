@@ -216,6 +216,10 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         require(ac.isNullable,
           "txlog: added columns must be nullable (old files fill NULL)")
         t.addColumn(ac.fieldNames.head, ac.dataType)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "txlog: nested column type change unsupported")
+        t.widenColumn(ut.fieldNames.head, ut.newDataType)
       case other =>
         throw new UnsupportedOperationException(
           s"txlog: unsupported table change $other")

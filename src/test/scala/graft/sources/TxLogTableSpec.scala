@@ -848,4 +848,46 @@ class TxLogTableSpec extends AnyFunSuite {
       s"dry run promised ($dm, $df), real run did ($rm, $rf)")
     assert(t.versions == Seq(before.last))
   }
+
+  test("widenColumn: metadata-only promotion; old files promote at read") {
+    val t = fresh()
+    val s0 = StructType(Seq(StructField("id", LongType),
+      StructField("n", IntegerType), StructField("f", FloatType)))
+    t.create(s0)
+    t.commit(Seq((1L, 10, 1.5f)).toDF("id", "n", "f"), overwrite = false)
+    val filesBefore = t.fileCount()
+    t.widenColumn("n", LongType)
+    t.widenColumn("f", DoubleType)
+    assert(t.fileCount() == filesBefore,
+      "widening must not add or rewrite any data file")
+    val s1 = StructType(Seq(StructField("id", LongType),
+      StructField("n", LongType), StructField("f", DoubleType)))
+    // a value only the WIDE type can hold proves new writes carry it
+    t.commit(Seq((2L, 5000000000L, 2.5)).toDF("id", "n", "f"),
+      overwrite = false)
+    val got = t.snapshot(s1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 1.5), (2L, 5000000000L, 2.5)), s"got $got")
+    // the change feed reads pre-widen files under the wide schema too
+    val feed = t.changesBetween(s1, -1, t.latestVersion.get).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(feed == Set((1L, 10L), (2L, 5000000000L)))
+    // refusals: narrowing, cross-family, unknown column
+    intercept[IllegalArgumentException](t.widenColumn("n", IntegerType))
+    intercept[IllegalArgumentException](t.widenColumn("f", LongType))
+    intercept[IllegalArgumentException](t.widenColumn("nope", LongType))
+  }
+
+  test("widenColumn refuses bucket keys (typed hash would split buckets)") {
+    val t = fresh()
+    val s0 = StructType(Seq(StructField("k", IntegerType),
+      StructField("v", StringType)))
+    t.create(s0, partitionCols = Seq(TxLogTable.BucketCol),
+      bucketSpecs = Seq(("k", 4)))
+    t.commit(Seq((1, "a")).toDF("k", "v"), overwrite = false,
+      partitionCols = Seq(TxLogTable.BucketCol))
+    val ex = intercept[IllegalArgumentException](
+      t.widenColumn("k", LongType))
+    assert(ex.getMessage.contains("bucket"))
+  }
 }
