@@ -1732,6 +1732,36 @@ object EtlQueries {
         col("_change_type").as("change_type"))
     }),
 
+    // SCHEMA DRIFT absorption on the WRITE path (mergeSchema — the
+    // autoloader pattern): a drifting upstream adds a column mid-ingest
+    // and the opted-in append EVOLVES the table (metadata commit) then
+    // lands; the same batch without the option dies loudly before any
+    // row is written. At 100 TB, drift handled at the manifest beats a
+    // stalled pipeline or a silently mismatched file.
+    "schema_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-drift")
+      val root = tmp.resolve("t").toString
+      val tbl = graft.sources.TxLogTable(s, root)
+      tbl.create(StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType))))
+      ev.select(col("event_id"), col("user_id"))
+        .filter(col("event_id") % 2 === 0)
+        .write.format("txlog").mode("append").save(root)
+      val drifted = ev.select(col("event_id"), col("user_id"),
+        col("value")).filter(col("event_id") % 2 === 1)
+      // un-opted drift must fail loudly, landing nothing
+      val refused = scala.util.Try(
+        drifted.write.format("txlog").mode("append").save(root)).isFailure
+      require(refused && tbl.tableSchema.get.fieldNames.length == 2,
+        "drifted append landed without mergeSchema")
+      drifted.write.format("txlog").mode("append")
+        .option("mergeSchema", "true").save(root)
+      require(tbl.tableSchema.get.fieldNames.toSeq ==
+        Seq("event_id", "user_id", "value"), "schema did not evolve")
+      tbl.snapshot(tbl.tableSchema.get)
+    }),
+
     // TYPE WIDENING as a metadata-only commit (ALTER COLUMN ... TYPE):
     // int->bigint and float->double promote natively in the parquet
     // readers, so pre-widen files keep their narrow physical type and
@@ -2675,6 +2705,13 @@ object EtlQueries {
       """SELECT event_id, user_id, value,
            CAST(1 AS BIGINT) AS commit_v, 'delete' AS change_type
          FROM events WHERE event_id % 7 = 0""",
+
+    "schema_drift" ->
+      """SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT event_id, user_id, value
+         FROM events WHERE event_id % 2 = 1""",
 
     "schema_widen" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -118,6 +118,9 @@ final class TxLogSource extends RelationProvider
     val parts = parameters.get("partitionBy")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
+    // opt-in schema drift absorption before the write lands
+    if (exists && opt(parameters, "mergeSchema").exists(_.toBoolean))
+      table.evolveSchemaFor(data.schema)
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"txlog table exists: $root")
@@ -238,7 +241,8 @@ final class TxLogSource extends RelationProvider
       s"txlog sink supports Append output mode, got $outputMode " +
         "(route aggregations through foreachBatch + merge)")
     new TxLogStreamSink(ctx, pathOf(parameters), partitionColumns,
-      parameters.get("fenceId"))
+      parameters.get("fenceId"),
+      mergeSchema = opt(parameters, "mergeSchema").exists(_.toBoolean))
   }
 
   override def createRelation(ctx: SQLContext,

@@ -15,7 +15,8 @@ import org.apache.spark.sql.execution.streaming.Sink
   */
 final class TxLogStreamSink(ctx: SQLContext, root: String,
                             partitionCols: Seq[String],
-                            fenceId: Option[String] = None) extends Sink {
+                            fenceId: Option[String] = None,
+                            mergeSchema: Boolean = false) extends Sink {
 
   private def table: TxLogTable = TxLogTable(ctx.sparkSession, root)
 
@@ -63,6 +64,10 @@ final class TxLogStreamSink(ctx: SQLContext, root: String,
     // executor-side; the standard V1 sink pattern).
     val batchDf = org.apache.spark.sql.graft.StreamingShim
       .asBatch(ctx.sparkSession, data)
+    // opt-in drift absorption: a stream whose upstream grows/widens
+    // columns evolves the target instead of dying mid-ingest (idempotent
+    // across epoch replays — an already-aligned schema is a no-op)
+    if (mergeSchema) t.evolveSchemaFor(batchDf.schema)
     // layout: explicit partitionBy wins; otherwise INHERIT the target
     // table's current layout — appends must match it anyway (the commit
     // require), and a bucketed table's hidden `_bkt` level is not a

@@ -1183,6 +1183,43 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         droppedLine(droppedPhysOf(b)) ++ carriedProps(b) ++ dataLines(b)
     }
 
+  /** SCHEMA DRIFT absorption (the `mergeSchema` / autoloader pattern):
+    * align the recorded schema to an incoming batch's — new columns are
+    * ADDED (nullable, old files read NULL), widenable type mismatches
+    * are WIDENED ([[TxLogTable.canWiden]]), a batch column NARROWER
+    * than the table's is accepted as-is (its files promote at read),
+    * and anything else fails loudly before a single row lands. Each
+    * adjustment is one metadata commit through the normal optimistic
+    * path — a drifting 100 TB ingest pays O(changed columns) manifest
+    * writes, never a rewrite. No-op for tables without a recorded
+    * `#schema` (path tables take whatever the writer hands them).
+    * Returns the number of evolution commits made. Writers opt in via
+    * `option("mergeSchema", "true")` — silent evolution on a typo'd
+    * column name is worse than a loud mismatch, so drift absorption is
+    * never the default.
+    */
+  def evolveSchemaFor(incoming: StructType): Int =
+    tableSchema.fold(0) { rec =>
+      var n = 0
+      incoming.fields.foreach { f =>
+        rec.fields.find(_.name == f.name) match {
+          case None =>
+            addColumn(f.name, f.dataType); n += 1
+          case Some(ex) if ex.dataType == f.dataType => ()
+          case Some(ex) if TxLogTable.canWiden(ex.dataType, f.dataType) =>
+            widenColumn(f.name, f.dataType); n += 1
+          case Some(ex) if TxLogTable.canWiden(f.dataType, ex.dataType) =>
+            () // narrower batch: its files promote at read
+          case Some(ex) =>
+            throw new IllegalArgumentException(
+              s"mergeSchema cannot reconcile column ${f.name}: table " +
+                s"has ${ex.dataType.simpleString}, batch has " +
+                s"${f.dataType.simpleString} (not a safe widening)")
+        }
+      }
+      n
+    }
+
   /** The merge-on-read delete key columns recorded at `v` — fixed at the
     * first [[deleteByKeysMor]] and immutable after (Iceberg's
     * equality-delete field-ids restriction, for the same reason: every
@@ -3776,6 +3813,33 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         s"bloomBits must be a power of two in [8192, 1048576]: $bloomBits")
     val effBits =
       if (bloomBits > 0) bloomBits else inheritedBloomBits(latestVersion)
+    // SCHEMA GATE for catalog-created tables (recorded #schema): an
+    // incoming column must exist in the table (hidden bucket columns
+    // derived by staging are exempt) with an equal or NARROWER type
+    // (narrower files promote at read). A drifted batch fails LOUDLY
+    // here, before any row lands — silent acceptance previously wrote
+    // physically-mismatched files the declared schema could not read
+    // back. Writers that WANT drift absorbed pass
+    // option("mergeSchema", "true"), which evolves the schema first.
+    tableSchema.foreach { rec =>
+      df.schema.fields.foreach { f =>
+        if (!TxLogTable.isBucketCol(f.name))
+          rec.fields.find(_.name == f.name) match {
+            case None => throw new IllegalArgumentException(
+              s"append column ${f.name} is not in the table schema " +
+                s"(${rec.fieldNames.mkString(", ")}): use " +
+                "option(\"mergeSchema\", \"true\") to evolve the table, " +
+                "or drop the column")
+            case Some(ex) if ex.dataType == f.dataType ||
+              TxLogTable.canWiden(f.dataType, ex.dataType) => ()
+            case Some(ex) => throw new IllegalArgumentException(
+              s"append column ${f.name} is ${f.dataType.simpleString} " +
+                s"but the table has ${ex.dataType.simpleString}: use " +
+                "option(\"mergeSchema\", \"true\") for a safe widening, " +
+                "or cast the batch")
+          }
+      }
+    }
     // maintenance rewrites re-stage rows that already passed at ingest
     if (!Set("compact", "zorder", "compact-small")(opName))
       validateChecks(df, latestVersion)

@@ -678,4 +678,34 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     // ignore: the rewritten file's carried rows re-arrive as inserts
     assert(drive("ignoreChanges") == Seq(1L, 1L, 2L, 3L, 3L, 4L))
   }
+
+  test("streaming sink with mergeSchema evolves the target mid-stream") {
+    val srcDir = java.nio.file.Files.createTempDirectory("txdrift-src")
+      .toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("txdrift-dst")
+      .resolve("t").toString
+    val dst = TxLogTable(spark, dstRoot)
+    dst.create(StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType))))
+    val wide = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("score", LongType)))
+    // upstream already drifted: it ships a column the target lacks
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(wide).parquet(srcDir)
+      .writeStream.format("txlog")
+      .option("path", dstRoot)
+      .option("mergeSchema", "true")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txdrift-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(dst.tableSchema.get.fieldNames.toSeq ==
+        Seq("id", "v", "score"))
+      val got = dst.snapshot(wide).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((1L, "a", 10L), (2L, "b", 20L)), s"$got")
+    } finally q.stop()
+  }
 }
