@@ -188,6 +188,26 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
     val fromV = start.map(versionOf)
       .orElse(startingVersion.map(_ - 1)).getOrElse(-1)
     val endV = versionOf(end)
+    // A column WIDENED mid-stream makes post-widen files physically
+    // wider than this run's pinned schema — the parquet reader cannot
+    // narrow and would die with an opaque column-convert error deep in
+    // a task. Say what happened and what to do instead. (Rename/add are
+    // fine mid-stream: physical bytes still match the pinned names via
+    // the colmap, added columns are simply not selected.)
+    table.tableSchema.foreach { rec =>
+      dataSchema.fields.foreach { f =>
+        rec.fields.find(_.name == f.name).foreach { cur =>
+          if (cur.dataType != f.dataType &&
+              TxLogTable.canWiden(f.dataType, cur.dataType))
+            throw new IllegalStateException(
+              s"column ${f.name} was widened to " +
+                s"${cur.dataType.simpleString} while this stream is " +
+                s"pinned at ${f.dataType.simpleString}: restart the " +
+                "query — checkpointed offsets carry over, and a restart " +
+                "without an explicit .schema() infers the widened one")
+        }
+      }
+    }
     // recovery re-sync: a restarted query replays its checkpointed range
     // first; subsequent getOffset caps must extend from THAT planned
     // end, not from -1

@@ -734,7 +734,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("bucket_spec", StringType),
               StructField("sort_cols", StringType),
               StructField("bloom_cols", StringType),
-              StructField("ndv", StringType))),
+              StructField("ndv", StringType),
+              StructField("cursors", StringType))),
               Seq(InternalRow(v, sizes.size, exactRows,
                 Long.box(sizes.map(_._2).sum),
                 s(t.partitionColsOf(v).mkString(",")),
@@ -743,7 +744,11 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 s(t.sortColsOf(v).mkString(",")),
                 s(t.bloomColsOf(v).mkString(",")),
                 s(t.ndvOf(v).toSeq.sortBy(_._1)
-                  .map { case (c, n) => s"$c≈$n" }.mkString(", ")))))
+                  .map { case (c, n) => s"$c≈$n" }.mkString(", ")),
+                // who pins vacuum, at which version — the retention
+                // question DESCRIBE DETAIL should answer in one glance
+                s(t.cursors().values.toSeq.sortBy(_.name)
+                  .map(c => s"${c.name}@v${c.version}").mkString(", ")))))
           }
         }
       case "resort" =>

@@ -1861,6 +1861,10 @@ class TxLogCatalogSpec extends AnyFunSuite {
     t.deleteByKeysMor(Seq(1L).toDF("k"))
     assert(spark.sql("CALL txcat.system.detail('ns.dtl')")
       .collect().head.isNullAt(2))
+    // retention pins surface in the same glance
+    t.registerCursor("replica-eu", 1)
+    assert(spark.sql("CALL txcat.system.detail('ns.dtl')")
+      .collect().head.getAs[String]("cursors") == "replica-eu@v1")
   }
 
   test("ndv sketch: folds across appends, survives compact and DDL") {

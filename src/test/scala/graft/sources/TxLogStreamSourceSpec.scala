@@ -708,4 +708,53 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
       assert(got == Set((1L, "a", 10L), (2L, "b", 20L)), s"$got")
     } finally q.stop()
   }
+
+  test("mid-stream type widening fails the pinned stream with guidance") {
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txwiden-src")
+        .resolve("t").toString)
+    val narrow = StructType(Seq(StructField("id", LongType),
+      StructField("n", IntegerType)))
+    src.create(narrow)
+    src.commit(Seq((1L, 7)).toDF("id", "n"), overwrite = false)
+    val ckpt = java.nio.file.Files.createTempDirectory("txwiden-ck")
+      .toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("txwiden-dst")
+      .resolve("t").toString
+    val q = spark.readStream.format("txlog").schema(narrow).load(src.root)
+      .writeStream.format("txlog").option("path", dstRoot)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(TxLogTable(spark, dstRoot).snapshot(narrow).count() == 1)
+      // widen mid-stream: post-widen files are physically LONG, which
+      // the run's pinned INT schema cannot read — the failure must name
+      // the column and the fix, not die in a task with a convert error
+      src.widenColumn("n", LongType)
+      src.commit(Seq((2L, 5000000000L)).toDF("id", "n"),
+        overwrite = false)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("widened") && msg.contains("restart"),
+        s"guidance missing: $msg")
+    } finally q.stop()
+    // the prescribed restart (schema re-inferred = widened) drains the
+    // missed delta from the same checkpoint, exactly once
+    val wide = StructType(Seq(StructField("id", LongType),
+      StructField("n", LongType)))
+    val q2 = spark.readStream.format("txlog").load(src.root)
+      .writeStream.format("txlog").option("path", dstRoot)
+      .option("mergeSchema", "true") // dst must widen too
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got = TxLogTable(spark, dstRoot).snapshot(wide).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 7L), (2L, 5000000000L)),
+        s"restart must drain exactly the missed delta: $got")
+    } finally q2.stop()
+  }
 }
