@@ -121,14 +121,41 @@ final class TxLogSource extends RelationProvider
     // opt-in schema drift absorption before the write lands
     if (exists && opt(parameters, "mergeSchema").exists(_.toBoolean))
       table.evolveSchemaFor(data.schema)
-    mode match {
+    // IDEMPOTENT batch writes (the public Delta txnAppId/txnVersion
+    // contract): a retried job re-runs its write with the same
+    // (application id, application version) and the replay is SKIPPED —
+    // any tagged commit with an equal-or-newer version for this app in
+    // recent history fences it. The batch twin of the streaming sink's
+    // epoch fence; without it an orchestrator retry double-appends.
+    val txn = (opt(parameters, "txnAppId"),
+      opt(parameters, "txnVersion").map(_.toLong))
+    require(txn._1.isDefined == txn._2.isDefined,
+      "txnAppId and txnVersion must be passed together")
+    val fenced = txn match {
+      case (Some(app), Some(ver)) =>
+        require(!app.contains(":"),
+          s"txnAppId must not contain ':': $app")
+        val seen = table.versions.takeRight(TxLogSource.TxnFenceWindow)
+          .flatMap(v => table.opOf(v))
+          .filter(_.startsWith(s"txn:$app:"))
+          .flatMap(_.substring(s"txn:$app:".length).toLongOption)
+        seen.nonEmpty && seen.max >= ver
+      case _ => false
+    }
+    val opTag = txn match {
+      case (Some(app), Some(ver)) => s"txn:$app:$ver"
+      case _ => null
+    }
+    if (!fenced) mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"txlog table exists: $root")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Overwrite =>
-        table.commit(data.toDF(), overwrite = true, partitionCols = parts)
+        table.commit(data.toDF(), overwrite = true, partitionCols = parts,
+          op = opTag)
       case _ => // Append, or first write in any mode
-        table.commit(data.toDF(), overwrite = false, partitionCols = parts)
+        table.commit(data.toDF(), overwrite = false,
+          partitionCols = parts, op = opTag)
     }
     TxLogRelation(ctx, root, None, Some(data.schema))
   }
@@ -259,4 +286,13 @@ final class TxLogSource extends RelationProvider
       parameters.getOrElse("path",
         throw new IllegalArgumentException("txlog: path required")),
       versionOf(parameters), Some(schema))
+}
+
+object TxLogSource {
+  /** How far back the batch txn fence scans — same reasoning as the
+    * streaming sink's window: only commits landed between a job's
+    * publish and its retry can sit between the tag and the head, so a
+    * bounded scan keeps the check O(window) instead of O(all versions).
+    */
+  val TxnFenceWindow = 100
 }

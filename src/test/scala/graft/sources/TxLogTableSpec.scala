@@ -926,4 +926,28 @@ class TxLogTableSpec extends AnyFunSuite {
     }
     assert(t.snapshot(s1).count() == 2, "failed write must land nothing")
   }
+
+  test("idempotent batch writes: txnAppId/txnVersion fence replays") {
+    val t = fresh()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    def put(app: String, ver: Long): Unit =
+      df.write.format("txlog").mode("append")
+        .option("txnAppId", app).option("txnVersion", ver.toString)
+        .save(t.root)
+    put("etl", 1)
+    put("etl", 1) // the orchestrator retry: must be a no-op
+    assert(t.versions.size == 1 && t.snapshot(schema).count() == 1,
+      s"replay double-appended: ${t.versions}")
+    put("etl", 0) // stale version: also fenced (Delta's <= contract)
+    assert(t.versions.size == 1)
+    put("etl", 2) // progress lands
+    put("other", 1) // a different app's v1 is not the same txn
+    assert(t.versions.size == 3 && t.snapshot(schema).count() == 3)
+    // half a txn identity is a caller bug, not a silent plain write
+    intercept[Exception] {
+      df.write.format("txlog").mode("append")
+        .option("txnAppId", "etl").save(t.root)
+    }
+    assert(t.history().map(_.op.get).count(_.startsWith("txn:")) == 3)
+  }
 }
