@@ -14,10 +14,16 @@ import org.apache.spark.sql.types._
   * Batch shape mirrors what a Python `mapInPandas` pipeline would see: one
   * partition = one decode batch.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): [[DecodeStub.decode]] derives deterministic fake
-  * width/height/duration from the bytes so the plumbing — schema, batching,
-  * partitioning, null handling — is real and tested end-to-end.
+  * Decode is REAL for the formats the standard JDK ships: header-pass
+  * dimensions/durations parse genuine PNG/JPEG/GIF/WAV/MP4 wire formats
+  * here, and full PIXEL decode / resize / perceptual hashing lives in
+  * [[ImageCodec]] (`javax.imageio` — part of every JVM, no external
+  * dependency) with PCM sample math in [[AudioCodec]]. Only payloads
+  * outside those formats (e.g. compressed audio, video FRAME decode)
+  * fall back to [[DecodeStub.decode]]'s deterministic hash-derived
+  * stand-in — those genuinely need codec libraries this container
+  * doesn't ship; swap that one branch for a JNI/javacv decoder in
+  * production, the Spark plumbing is unchanged.
   */
 object Multimodal {
 

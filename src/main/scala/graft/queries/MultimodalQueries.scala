@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
-/** Binary-column plumbing, oracle-checked: the metadata path of the
-  * multimodal module (decode itself is stubbed — see
-  * [[graft.multimodal.Multimodal.DecodeStub]] — and covered by unit tests;
-  * what the oracle can check is the schema/pruning-relevant surface: byte
-  * lengths, magic prefixes, kind routing).
+/** Binary-column queries, oracle-checked: the metadata pass (header
+  * parses of genuine PNG/JPEG/GIF/WAV/MP4 wire bytes), REAL pixel work
+  * (`mm_pixel_dedup` decodes actual PNGs via the JDK's imageio and
+  * clusters by perceptual hash) and REAL PCM sample math
+  * (`mm_audio_pcm`). Only video FRAME decode remains a stand-in — see
+  * [[graft.multimodal.Multimodal]].
   */
 object MultimodalQueries {
 
@@ -192,6 +193,59 @@ object MultimodalQueries {
           md5(col("media_bytes")).as("content_hash"))
         .withColumn("canonical_id", min("media_id").over(w))
         .withColumn("is_dup", col("media_id") =!= col("canonical_id"))
+    }),
+
+    // REAL pixel decode end-to-end (javax.imageio — standard JDK, no
+    // external library): each doc renders a genuine PNG of its group's
+    // 8×8 bit pattern at one of THREE sizes, so byte hashes see 120
+    // distinct images while the 64-bit average PERCEPTUAL hash
+    // (ImageCodec.aHash64, computed from decoded pixels) collapses them
+    // to the 40 true patterns — image near-dup as a hash groupBy, never
+    // an all-pairs pixel compare (at 100 TB the shuffle carries 8-byte
+    // hashes, not pixels). The requires prove decode is real: byte
+    // signatures differ where perceptual hashes agree.
+    "mm_pixel_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 400).as[Long]
+      val hashed = ids.mapPartitions(_.map { id =>
+        val grp = id % 40
+        var z = grp + 0x9E3779B97F4A7C15L // splitmix64: mixed bit pattern
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val pattern = z ^ (z >>> 31)
+        val side = 32 + (id % 3).toInt * 16 // 32 / 48 / 64 px renders
+        val png = graft.multimodal.ImageCodec.patternPng(pattern, side)
+        val ah = graft.multimodal.ImageCodec.aHash64(png)
+          .getOrElse(sys.error(s"decode failed for doc $id"))
+        (id, ah, s"$grp/$side")
+      }).toDF("doc_id", "ahash", "byte_key").cache()
+      require(hashed.select("byte_key").distinct().count() == 120,
+        "expected 120 byte-distinct renders (40 patterns x 3 sizes)")
+      require(hashed.select("ahash").distinct().count() == 40,
+        "perceptual hash must collapse sizes: 40 clusters expected")
+      hashed.groupBy(col("ahash"))
+        .agg(min(col("doc_id")).as("cluster_id"),
+          count(lit(1)).as("n_docs"))
+        .select(col("cluster_id"), col("n_docs"))
+    }),
+
+    // REAL PCM sample math (AudioCodec.pcm16Features): each doc carries a
+    // genuine PCM16 WAV of a ±A square wave, and RMS / peak / zero-
+    // crossing rate are computed from the actual samples — the closed
+    // forms (rms = A exactly, zcr = 1.0) let DuckDB recompute them
+    // arithmetically, so the whole sample walk is hash-checked.
+    "mm_audio_pcm" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 400).as[Long]
+      ids.mapPartitions(_.map { id =>
+        val amp = ((id % 5) + 1).toInt * 4000
+        val wav = graft.multimodal.AudioCodec.squareWav(amp, 400)
+        val f = graft.multimodal.AudioCodec.pcm16Features(wav)
+          .getOrElse(sys.error(s"PCM parse failed for doc $id"))
+        (id, f.rms, f.peak, f.zcr)
+      }).toDF("doc_id", "rms", "peak", "zcr")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -254,5 +308,21 @@ object MultimodalQueries {
            md5(text) AS content_hash,
            MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
            doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-         FROM documents""")
+         FROM documents""",
+
+    // perceptual clusters = the 40 pattern groups; cluster id = its
+    // smallest doc, exactly what min-over-ahash yields when the hash
+    // collapses the three render sizes
+    "mm_pixel_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents WHERE doc_id < 400
+         GROUP BY doc_id % 40""",
+
+    "mm_audio_pcm" ->
+      """SELECT doc_id,
+           CAST(((doc_id % 5) + 1) * 4000 AS DOUBLE) AS rms,
+           CAST(((doc_id % 5) + 1) * 4000 AS BIGINT) AS peak,
+           CAST(1.0 AS DOUBLE) AS zcr
+         FROM documents WHERE doc_id < 400""")
 }

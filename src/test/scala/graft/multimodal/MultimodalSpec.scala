@@ -122,4 +122,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(scanSchema.contains("media_id") &&
       !scanSchema.contains("media_bytes"))
   }
+
+  test("ImageCodec: real decode, resize, luma stats, scale-stable aHash") {
+    import graft.multimodal.ImageCodec
+    val pattern = 0x5A5A_F00F_C3C3_0FF0L
+    val png64 = ImageCodec.patternPng(pattern, 64)
+    // decode returns true dimensions and pixels
+    val (w, h, px) = ImageCodec.decode(png64).get
+    assert(w == 64 && h == 64 && px.length == 64 * 64)
+    // luma stats over a half-set bit pattern: mean strictly between the
+    // extremes, nonzero contrast
+    val (mean, std) = ImageCodec.lumaStats(png64).get
+    assert(mean > 0 && mean < 255 && std > 0, s"mean=$mean std=$std")
+    // REAL resize: dims shrink aspect-preserving, content survives
+    val small = ImageCodec.resizePng(png64, 32).get
+    val (sw, sh, _) = ImageCodec.decode(small).get
+    assert(sw == 32 && sh == 32)
+    // the perceptual hash is stable across render sizes AND the resize,
+    // and equals the source pattern's thresholding (piecewise-constant
+    // grid: block averages reproduce exactly)
+    val h64 = ImageCodec.aHash64(png64).get
+    assert(h64 == ImageCodec.aHash64(ImageCodec.patternPng(pattern, 32)).get)
+    assert(h64 == ImageCodec.aHash64(ImageCodec.patternPng(pattern, 48)).get)
+    assert(h64 == ImageCodec.aHash64(small).get)
+    assert(h64 == pattern,
+      f"aHash must recover the grid pattern: got $h64%016x")
+    // a different pattern separates
+    assert(h64 != ImageCodec.aHash64(ImageCodec.patternPng(~pattern, 64)).get)
+    // JPEG round-trips through the same decode path (lossy but decodable)
+    val img = new java.awt.image.BufferedImage(10, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val (jw, jh, _) = ImageCodec.decode(bos.toByteArray).get
+    assert(jw == 10 && jh == 7)
+    // garbage is None, never an exception
+    assert(ImageCodec.decode("not an image at all".getBytes).isEmpty)
+    assert(ImageCodec.decode(null).isEmpty)
+  }
+
+  test("AudioCodec: real PCM16 sample walk — exact closed forms") {
+    import graft.multimodal.AudioCodec
+    val wav = AudioCodec.squareWav(amplitude = 12000, nSamples = 400)
+    val f = AudioCodec.pcm16Features(wav).get
+    assert(f.rms == 12000.0, s"square-wave RMS must be exact: ${f.rms}")
+    assert(f.peak == 12000L && f.zcr == 1.0, s"$f")
+    // the header walk agrees with the sample count: 400 samples @ 8 kHz
+    // = 50 ms through the metadata pass too
+    val meta = graft.multimodal.Multimodal.DecodeStub.decode(
+      graft.multimodal.Multimodal.MediaRow(1L, "audio", wav, 1L, "audio/wav"))
+    assert(meta.ok && meta.duration_ms == 50, s"$meta")
+    // silence: all-zero samples
+    val silent = AudioCodec.squareWav(0, 100)
+    val fs = AudioCodec.pcm16Features(silent).get
+    assert(fs.rms == 0.0 && fs.peak == 0L && fs.zcr == 0.0)
+    // a non-PCM payload is None, never an exception
+    assert(AudioCodec.pcm16Features("RIFFxxxxWAVEjunk".getBytes).isEmpty)
+  }
 }
