@@ -96,10 +96,11 @@ final case class EtlContext(spark: SparkSession, warehouse: String,
              minAgeMillis: Long =
                graft.sources.TxLogTable.DefaultVacuumMinAgeMillis,
              retainMillis: Long =
-               graft.sources.TxLogTable.DefaultVacuumRetainMillis)
+               graft.sources.TxLogTable.DefaultVacuumRetainMillis,
+             dryRun: Boolean = false)
       : (Int, Int) = {
     require(txLog, s"vacuum($table) requires the txLog backend")
-    tx(table).vacuum(keep, minAgeMillis, retainMillis)
+    tx(table).vacuum(keep, minAgeMillis, retainMillis, dryRun)
   }
 
   def history(table: String): Seq[graft.sources.TxLogTable.VersionInfo] = {

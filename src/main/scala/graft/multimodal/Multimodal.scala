@@ -153,6 +153,46 @@ object Multimodal {
     })
   }
 
+  final case class PixelFeatures(media_id: Long, width: Int, height: Int,
+                                 luma_mean: Double, luma_std: Double,
+                                 ahash: Long, ok: Boolean)
+
+  /** REAL pixel-feature extraction ([[ImageCodec]]): decode, luminance
+    * stats, perceptual hash — one iterator pass per partition, pixels
+    * never leave the task. Non-images come back `ok = false` (the
+    * quarantine path of a mixed-media corpus), never an exception. */
+  def pixelFeatures(media: Dataset[MediaRow])
+                   (implicit spark: SparkSession): Dataset[PixelFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      ImageCodec.decode(r.media_bytes) match {
+        case Some((w, h, _)) =>
+          val (m, sd) = ImageCodec.lumaStats(r.media_bytes)
+            .getOrElse((0.0, 0.0))
+          PixelFeatures(r.media_id, w, h, m, sd,
+            ImageCodec.aHash64(r.media_bytes).getOrElse(0L), ok = true)
+        case None =>
+          PixelFeatures(r.media_id, 0, 0, 0.0, 0.0, 0L, ok = false)
+      }
+    })
+  }
+
+  final case class ResizedImage(media_id: Long, png: Array[Byte],
+                                width: Int, height: Int)
+
+  /** REAL resize ([[ImageCodec.resizePng]]): longest side capped at
+    * `maxSide`, bilinear, PNG re-encoded — the thumbnail/normalize stage
+    * of an image-corpus pipeline, executor-side only. Non-images drop. */
+  def resizePixels(media: Dataset[MediaRow], maxSide: Int)
+                  (implicit spark: SparkSession): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      ImageCodec.resizePng(r.media_bytes, maxSide).flatMap(png =>
+        ImageCodec.decode(png).map { case (w, h, _) =>
+          ResizedImage(r.media_id, png, w, h) })
+    })
+  }
+
   /** Synthesize a media table from the `documents` testdata (text bytes as
     * payload) — lets the binary plumbing run against driver-provided data
     * without shipping real media.

@@ -179,4 +179,30 @@ class MultimodalSpec extends AnyFunSuite {
     // a non-PCM payload is None, never an exception
     assert(AudioCodec.pcm16Features("RIFFxxxxWAVEjunk".getBytes).isEmpty)
   }
+
+  test("pixelFeatures / resizePixels: distributed real-pixel pass") {
+    import graft.multimodal.{ImageCodec, Multimodal}
+    implicit val s = spark
+    import spark.implicits._
+    val rows = (0L until 6L).map { i =>
+      val bytes =
+        if (i % 3 == 2) s"not an image $i".getBytes // mixed corpus
+        else ImageCodec.patternPng(0xF0F0_1234_ABCD_5678L ^ i / 3, 64)
+      Multimodal.MediaRow(i, "image", bytes, i, "image/png")
+    }
+    val media = rows.toDS()
+    val feats = Multimodal.pixelFeatures(media).collect()
+      .sortBy(_.media_id)
+    assert(feats.count(_.ok) == 4 && feats.count(!_.ok) == 2)
+    assert(feats.filter(_.ok).forall(f =>
+      f.width == 64 && f.luma_std > 0))
+    // two renders of the same pattern share the perceptual hash
+    assert(feats(0).ahash == feats(1).ahash &&
+      feats(0).ahash != feats(3).ahash)
+    val resized = Multimodal.resizePixels(media, 32).collect()
+    assert(resized.length == 4, "non-images drop from the resize pass")
+    assert(resized.forall(r => r.width == 32 && r.height == 32))
+    // resize preserves the perceptual identity
+    assert(ImageCodec.aHash64(resized.head.png).get == feats(0).ahash)
+  }
 }
