@@ -225,14 +225,18 @@ final class TxLogSource extends RelationProvider
                 "or 'latest' to stream only future commits")
             v
         }.orElse(st.map { ts =>
-          // the timestamp twin: the first version committed AFTER ts
-          // (resolved against commit instants at stream creation; a ts
-          // before all history starts at 0, after all of it acts like
-          // "latest"). Epoch millis or a `java.sql.Timestamp` literal.
+          // the timestamp twin: the first version committed AT-OR-AFTER
+          // ts (the public Delta contract — a commit landing exactly at
+          // ts is included). Resolved against commit instants at stream
+          // creation; a ts before all history starts at 0, past all of
+          // it acts like "latest" (wait for the next commit). Epoch
+          // millis or a `java.sql.Timestamp` literal.
           val t = TxLogTable(ctx.sparkSession, pathOf(parameters))
           val millis = ts.toLongOption.getOrElse(
             java.sql.Timestamp.valueOf(ts).getTime)
-          t.versionAsOf(millis).map(_ + 1).getOrElse(0)
+          t.history().find(_.commitMillis.exists(_ >= millis))
+            .map(_.version)
+            .getOrElse(t.latestVersion.map(_ + 1).getOrElse(0))
         })
       },
       changeFeed = changeFeedOf(parameters),

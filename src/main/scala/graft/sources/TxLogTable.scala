@@ -96,14 +96,14 @@ object TxLogTable {
       "row-level-delete", "row-level-update", "row-level-merge")
 
   /** Per-file arming facts for [[rangeOrder]]: the first-sort-key range
-    * (`exact` integral footer stats, or the `:spre:` order-preserving
+    * (exact integral footer stats, or the `:spre:` order-preserving
     * string encoding) plus whether the file may hold NULL sort keys.
     * The null flag is load-bearing: parquet min/max are computed over
     * NON-NULL values only, so a file holding `{null, 60..100}` reports
     * range [60,100] — disjointness alone would arm it mid-stream while
     * its nulls violate the declared ascending-nulls-first order.
     */
-  final case class SortKeyRange(min: Long, max: Long, exact: Boolean,
+  final case class SortKeyRange(min: Long, max: Long,
                                 mayHaveNulls: Boolean)
 
   /** Ascending first-sort-key range order of `items` iff concatenating
@@ -112,11 +112,15 @@ object TxLogTable {
     * report and [[TxLogTable.resort]]'s damage detection, so the two
     * can never disagree about what is armed. A missing range disarms.
     * Ranges must be pairwise disjoint: strict maxPrev < minNext, except
-    * a boundary TIE passes for a SINGLE exact integral sort column
-    * (ties adjacent across files still read ascending; with secondary
-    * sort columns a straddling tie could interleave them, and `:spre:`
-    * string encodings are order-preserving but not injective, so their
-    * ties prove nothing). NULL sort keys are allowed ONLY in the
+    * a boundary TIE passes for a SINGLE sort column. Tie soundness:
+    * for exact integral stats a tie is a genuine equal boundary value
+    * (equal keys adjacent across files still read ascending); for the
+    * `:spre:` string encoding, [[strEncCeil]] is defined so that
+    * `ceil(maxA) == floor(minB)` PROVES `maxA <= minB` in byte order
+    * (see its scaladoc derivation), so the concatenation is ascending
+    * there too. With secondary sort columns any tie disarms — a key
+    * straddling the boundary could interleave its secondary values.
+    * NULL sort keys are allowed ONLY in the
     * range-minimal file: each file is internally ascending-nulls-first,
     * so the first file's nulls open the stream — nulls in any later
     * file would surface mid-stream below keys already emitted.
@@ -130,8 +134,7 @@ object TxLogTable {
     if (ordered.drop(1).exists(_._2.mayHaveNulls)) return None
     val disjoint = ordered.sliding(2).forall {
       case Seq((_, a), (_, b)) =>
-        a.max < b.min ||
-          (a.max == b.min && singleSortCol && a.exact && b.exact)
+        a.max < b.min || (a.max == b.min && singleSortCol)
       case _ => true
     }
     if (disjoint) Some(ordered.map(_._1)) else None
@@ -149,9 +152,9 @@ object TxLogTable {
     */
   def sortKeyRangeOf(e: FileEntry, c: String): Option[SortKeyRange] = {
     val nulls = e.stats.get(nullsKey(c)).forall(_._1 > 0)
-    e.stats.get(c).map(r => SortKeyRange(r._1, r._2, exact = true, nulls))
+    e.stats.get(c).map(r => SortKeyRange(r._1, r._2, nulls))
       .orElse(e.stats.get(strKey(c))
-        .map(r => SortKeyRange(r._1, r._2, exact = false, nulls)))
+        .map(r => SortKeyRange(r._1, r._2, nulls)))
       .orElse {
         val allNull = (e.stats.get(nullsKey(c)), e.stats.get(RowsKey)) match {
           case (Some((n, _)), Some((r, _))) => n == r && r > 0
@@ -159,7 +162,7 @@ object TxLogTable {
         }
         if (allNull)
           Some(SortKeyRange(Long.MinValue, Long.MinValue,
-            exact = false, mayHaveNulls = true))
+            mayHaveNulls = true))
         else None
       }
   }
@@ -314,10 +317,29 @@ object TxLogTable {
     v
   }
 
+  /** Upper bound twin of [[strEncFloor]], defined so that an encoding
+    * TIE at a file boundary proves value order — the fact
+    * [[rangeOrder]]'s single-column tie pass rests on. Claim: for byte
+    * strings a (a file's footer max) and b (the next file's footer
+    * min), `strEncCeil(a) == strEncFloor(b)` implies `a <= b`:
+    *  - len(a) > 7: ceil = floor(a)+1, so floor(b) > floor(a) — b's
+    *    7-byte prefix sorts strictly above a's, hence b > a.
+    *  - len(a) <= 7, a NUL-free: floor(b)'s first len(a) bytes equal
+    *    a's (all nonzero) and the rest of the 7-byte window is zero,
+    *    so b = a ++ NULs (++ anything past byte 7) — a is a prefix of
+    *    b, hence a <= b.
+    *  - len(a) <= 7, a CONTAINS a NUL byte: zero-padding makes the
+    *    embedding non-injective there ("ab"+NUL and "ab" encode
+    *    equal though "ab"+NUL > "ab"), so this case also bumps to
+    *    floor+1, restoring the strict-prefix argument above.
+    * The bump only WIDENS the bound, so range pruning on it stays
+    * sound; `StrTieSpec` property-checks the claim over random byte
+    * strings including NULs.
+    */
   def strEncCeil(bytes: Array[Byte]): Long = {
     val f = strEncFloor(bytes)
-    if (bytes.length <= 7) f
-    else f + 1 // truncated: every continuation sorts below prefix+1
+    if (bytes.length <= 7 && !bytes.contains(0: Byte)) f
+    else f + 1 // truncation (or NUL padding ambiguity): bound strictly above
   }
 
   def strEncFloor(s: String): Long =

@@ -566,8 +566,14 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               graft.sources.TxLogTable.RebucketTargetBytes
               else input.getLong(4)
             val also =
-              if (input.isNullAt(5)) Nil
-              else {
+              if (input.isNullAt(5)) {
+                // symmetric with the branch below: a key2 with no
+                // buckets2 must fail loudly, not silently drop the
+                // second grid level the caller asked for
+                require(input.isNullAt(6),
+                  "rebucket key2 needs buckets2")
+                Nil
+              } else {
                 require(!input.isNullAt(6),
                   "rebucket buckets2 needs key2")
                 Seq(input.getString(6) -> input.getInt(5))

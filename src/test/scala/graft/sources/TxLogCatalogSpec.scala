@@ -2269,6 +2269,17 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val eAmb = intercept[Exception] {
       spark.sql("CALL txcat.system.rebucket('ns.rb_c', 4)").collect() }
     assert(eAmb.getMessage.contains("name the key"))
+    // second-level args must come as a PAIR, both directions: a key2
+    // with no buckets2 is refused (not silently dropped), as is the
+    // reverse
+    val eK2 = intercept[Exception] {
+      spark.sql("CALL txcat.system.rebucket(`table` => 'ns.rb_c', " +
+        "buckets => 4, key => 'e', key2 => 't')").collect() }
+    assert(eK2.getMessage.contains("key2 needs buckets2"), eK2.getMessage)
+    val eB2 = intercept[Exception] {
+      spark.sql("CALL txcat.system.rebucket(`table` => 'ns.rb_c', " +
+        "buckets => 4, key => 'e', buckets2 => 8)").collect() }
+    assert(eB2.getMessage.contains("buckets2 needs key2"), eB2.getMessage)
     spark.sql("CALL txcat.system.rebucket('ns.rb_c', 4, 'e')")
     // tombstones folded into the rewrite; ONLY e's level bumped
     assert(t.latestVersion.exists(v => t.tombstonesOf(v).isEmpty))

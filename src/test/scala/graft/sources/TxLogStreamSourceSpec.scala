@@ -348,7 +348,7 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
-  test("startingTimestamp resolves to the first version after it") {
+  test("startingTimestamp resolves to the first version at-or-after it") {
     val base = java.nio.file.Files.createTempDirectory("txstream-st")
     val t = TxLogTable(spark, base.resolve("t").toString)
     t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)   // v0
@@ -368,6 +368,21 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
       assert(spark.table(mem).collect().map(_.getLong(0)).toSet ==
         Set(2L))
     } finally q.stop()
+    // AT-OR-AFTER boundary (the public Delta contract): a stream whose
+    // ts equals v1's recorded commit instant exactly still includes v1
+    val v1Millis = t.history().find(_.version == 1)
+      .flatMap(_.commitMillis).get
+    val q2 = spark.readStream.format("txlog").schema(schema)
+      .option("startingTimestamp", v1Millis.toString).load(t.root)
+      .writeStream.format("memory").queryName("st_feed_eq")
+      .option("checkpointLocation", base.resolve("ck_eq").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("st_feed_eq").collect()
+        .map(_.getLong(0)).toSet == Set(2L),
+        "a commit at exactly startingTimestamp must be included")
+    } finally q2.stop()
     // both knobs at once is refused loudly
     intercept[Exception] {
       spark.readStream.format("txlog").schema(schema)
