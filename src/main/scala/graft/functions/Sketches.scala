@@ -111,6 +111,87 @@ object Sketches {
       .where(c.isNotNull && c >= 0)
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Count-min sketch defaults: depth d rows × width w counters. Error
+    * contract: an estimate never UNDER-counts, and over-counts by more
+    * than 2N/w (N = stream length) with probability at most 2^-d —
+    * ~0.8% of N at w=256 and 1/16 failure per item at d=4.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-min sketch of `c` over `df`: `depth`×`width` counters where
+    * row i's bucket for a value is the low 60 bits of
+    * md5(i ++ ":" ++ canonical-string) mod `width`, and the counter is a
+    * plain COUNT. The frequency-family member completing the sketch set
+    * (distinct = HLL/KMV, quantiles = histPow2, membership = manifest
+    * blooms, frequency = this). Why count-min and not Misra-Gries /
+    * SpaceSaving: MG's under-counts depend on ARRIVAL ORDER, so two runs
+    * (or two engines) legitimately disagree — count-min counters are
+    * SUMS, an exact integer function of the multiset, so the sketch
+    * hash-matches the DuckDB oracle bit-for-bit and merges across
+    * partitions/days/tables by adding counters (spec-pinned). Plan
+    * shape: the depth-fold explodes each row into d (row, bucket) pairs,
+    * then ONE partial-aggable groupBy — every partition reduces map-side
+    * to ≤ d×w rows, so the shuffle is ≤ 1024 groups at 100 TB exactly
+    * like [[hllRegisters]]. NULLs contribute nothing. Estimates and
+    * heavy-hitter extraction are [[cmsEstimate]] / [[cmsHeavyHitters]].
+    */
+  def cmSketch(df: DataFrame, c: Column, depth: Int = CmsDepth,
+               width: Int = CmsWidth): DataFrame =
+    df.select(c.cast("string").as("v"))
+      .where(col("v").isNotNull)
+      .select(explode(sequence(lit(0L), lit(depth - 1L))).as("i"), col("v"))
+      .select(col("i"),
+        (conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("v"))), 3, 15), 16, 10).cast(LongType) % width).as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimate from a [[cmSketch]] table — driver-side
+    * over the bounded d×w artifact: min over rows of the counter the
+    * value hashes to (a missing counter is 0). Never below the true
+    * count; above it by at most 2N/w with probability ≥ 1 - 2^-d.
+    */
+  def cmsEstimate(sketch: DataFrame, value: String,
+                  depth: Int = CmsDepth, width: Int = CmsWidth): Long = {
+    val m = sketch.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until depth).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$value".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(h.substring(2, 17), 16) % width
+      m.getOrElse((i.toLong, bucket), 0L)
+    }.min
+  }
+
+  /** Heavy hitters of `c` via a broadcast [[cmSketch]] lookup: each
+    * DISTINCT value (one partial-aggable shuffle) joins the ≤ d×w sketch
+    * broadcast-side, its estimate is the min counter across the d rows,
+    * and only values whose estimate reaches `minCount` survive. The
+    * never-under-count guarantee makes this a NO-FALSE-NEGATIVE filter:
+    * every truly-frequent value is in the output; the (bounded-probability)
+    * over-counts admit only stragglers near the threshold. At 100 TB the
+    * candidate set is the column's distinct values — already the minimum
+    * any exact extraction pass must touch — while the sketch itself was
+    * built in one map-side-reduced pass, so a week-over-week heavy-hitter
+    * report builds one sketch per day and merges by adding counters.
+    */
+  def cmsHeavyHitters(df: DataFrame, c: Column, sketch: DataFrame,
+                      minCount: Long, depth: Int = CmsDepth,
+                      width: Int = CmsWidth): DataFrame = {
+    val vals = df.select(c.cast("string").as("v"))
+      .where(col("v").isNotNull).distinct()
+    val perRow = vals
+      .select(explode(sequence(lit(0L), lit(depth - 1L))).as("i"), col("v"))
+      .select(col("i"), col("v"),
+        (conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("v"))), 3, 15), 16, 10).cast(LongType) % width).as("bucket"))
+    perRow.join(broadcast(sketch), Seq("i", "bucket"), "left")
+      .groupBy("v")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .where(col("est") >= minCount)
+  }
+
   /** Quantile estimate from a [[histPow2]] sketch (driver-side over the
     * bounded histogram): walks the cumulative counts to the q-th row and
     * returns the geometric midpoint of its bucket's [2^(b-1), 2^b) range —

@@ -616,6 +616,29 @@ object CoreQueries {
       graft.functions.Sketches.histPow2(
         t(s, dir, "orders"), col("o_totalprice"))),
 
+    // Count-min frequency sketch (functions.Sketches.cmSketch): 4×256
+    // counters, each a plain COUNT — an exact integer function of the
+    // multiset (unlike Misra-Gries, whose under-counts depend on arrival
+    // order), so the sketch hash-matches the oracle and merges across
+    // partitions/days by ADDING counters. One partial-aggable groupBy:
+    // every partition reduces map-side to ≤1024 rows at any table size.
+    "sk_cms_counts" -> ((s, dir) =>
+      graft.functions.Sketches.cmSketch(
+        t(s, dir, "events"), col("user_id"))),
+
+    // Heavy hitters via broadcast count-min lookup: distinct values join
+    // the ≤1024-row sketch broadcast-side, estimate = min counter over
+    // the 4 rows, threshold filter after. Never-under-count ⇒ no false
+    // negatives; the oracle recomputes the SAME estimate in SQL, so the
+    // check is exact, not approximate-tolerance.
+    "sk_cms_heavy" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.functions.Sketches.cmsHeavyHitters(
+        ev, col("event_type"),
+        graft.functions.Sketches.cmSketch(ev, col("event_type")),
+        minCount = 100L)
+    }),
+
     // W5 — NTILE decile assignment per group (the remaining classic
     // ranking window; deterministic via the orderkey tie-break).
     "w5_ntile" -> ((s, dir) =>
@@ -1116,6 +1139,34 @@ object CoreQueries {
          FROM orders
          WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
          GROUP BY 1""",
+
+    "sk_cms_counts" ->
+      """SELECT i,
+           CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':' ||
+               CAST(user_id AS VARCHAR)), 3, 15) AS BIGINT) % 256 AS bucket,
+           COUNT(*) AS cnt
+         FROM events CROSS JOIN range(4) AS t(i)
+         WHERE user_id IS NOT NULL
+         GROUP BY 1, 2""",
+
+    "sk_cms_heavy" ->
+      """WITH sk AS (
+           SELECT i,
+             CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':' ||
+                 event_type), 3, 15) AS BIGINT) % 256 AS bucket,
+             COUNT(*) AS cnt
+           FROM events CROSS JOIN range(4) AS t(i)
+           WHERE event_type IS NOT NULL
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT i2.i, e.event_type AS v,
+             CAST('0x' || substring(md5(CAST(i2.i AS VARCHAR) || ':' ||
+                 e.event_type), 3, 15) AS BIGINT) % 256 AS bucket
+           FROM events e CROSS JOIN range(4) AS i2(i)
+           WHERE e.event_type IS NOT NULL)
+         SELECT v, MIN(COALESCE(sk.cnt, 0)) AS est
+         FROM cand LEFT JOIN sk USING (i, bucket)
+         GROUP BY v HAVING MIN(COALESCE(sk.cnt, 0)) >= 100""",
 
     "w5_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

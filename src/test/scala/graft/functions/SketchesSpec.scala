@@ -110,4 +110,55 @@ class SketchesSpec extends AnyFunSuite {
     val kmv = Sketches.kmvMinima(df, col("id")).collect()
     assert(kmv.length == 2)
   }
+
+  test("count-min never under-counts and bounds the over-count") {
+    import spark.implicits._
+    // skewed multiset: value v appears v times, v in 1..60 (N = 1830)
+    val df = (1 to 60).flatMap(v => Seq.fill(v)(v.toLong)).toDF("id")
+    val sk = Sketches.cmSketch(df, col("id"))
+    val n = 1830L
+    (1 to 60).foreach { v =>
+      val est = Sketches.cmsEstimate(sk, v.toString)
+      assert(est >= v, s"CMS under-counted $v: $est")
+      // d=4 independent rows each within 2N/w except with prob 1/2 each
+      // → the min exceeding 2N/w has prob ~2^-4 per item; with 60 items
+      // a couple of stragglers are possible, so assert the LOOSER bound
+      // every row obeys deterministically: est ≤ N
+      assert(est <= n)
+    }
+    // aggregate accuracy: mean absolute over-count stays near 2N/w
+    val overs = (1 to 60).map(v => Sketches.cmsEstimate(sk, v.toString) - v)
+    assert(overs.sum.toDouble / 60 <= 4.0 * 2 * n / Sketches.CmsWidth,
+      s"mean over-count ${overs.sum / 60.0} way past the ε-bound")
+    // a value never seen estimates 0 unless it collides everywhere
+    assert(Sketches.cmsEstimate(sk, "absent-key") <= 2 * n / 256)
+  }
+
+  test("count-min sketches merge by adding counters (shard ≡ corpus)") {
+    val whole = spark.range(5000).select((col("id") % 37).as("id"))
+    val a = Sketches.cmSketch(whole.filter(col("id") % 2 === 0), col("id"))
+    val b = Sketches.cmSketch(whole.filter(col("id") % 2 === 1), col("id"))
+    val merged = a.unionByName(b).groupBy("i", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val direct = Sketches.cmSketch(whole, col("id"))
+    assert(merged.exceptAll(direct).isEmpty &&
+      direct.exceptAll(merged).isEmpty)
+  }
+
+  test("count-min heavy hitters have no false negatives") {
+    import spark.implicits._
+    // 3 heavy values (500 each), 200 light values (3 each)
+    val heavy = Seq("alpha", "beta", "gamma").flatMap(Seq.fill(500)(_))
+    val light = (1 to 200).flatMap(i => Seq.fill(3)(s"light-$i"))
+    val df = (heavy ++ light).toDF("v")
+    val sk = Sketches.cmSketch(df, col("v"))
+    val hits = Sketches.cmsHeavyHitters(df, col("v"), sk, minCount = 400L)
+      .collect().map(_.getString(0)).toSet
+    // never-under-count ⇒ every true heavy hitter survives the filter
+    assert(Set("alpha", "beta", "gamma").subsetOf(hits), hits.toString)
+    // light values estimate ≤ 3 + over-count; none can reach 400 unless
+    // it collides with a heavy value in ALL 4 rows — astronomically
+    // unlikely at w=256 and spec-deterministic (fixed md5 buckets)
+    assert(hits.size <= 4, s"false positives flooded in: $hits")
+  }
 }
