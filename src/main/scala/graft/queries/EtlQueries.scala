@@ -582,6 +582,46 @@ object EtlQueries {
         "FROM graftcat.db.cust_merge")
     }),
 
+    // Optimize-write in pure SQL (TBLPROPERTIES('optimizeWrite'='true')):
+    // every INSERT routes through a REBALANCE shuffle before the file
+    // write, so AQE coalesces the incoming plan's fragmentation toward
+    // the advisory partition size — small-file PREVENTION at ingest, the
+    // complement of sql_maintenance's compaction CURE. The requires prove
+    // a deliberately fragmented insert landed as ONE file per partition
+    // value while a property-less control fragments; the returned SELECT
+    // hash-checks that right-sizing never changed a row. At 100 TB this
+    // is what keeps a 200-task hourly ingest into a dated layout from
+    // minting thousands of near-empty files per commit.
+    "sql_optimize_write" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "nation").createOrReplaceTempView("nation_ow_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.nation_ow")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.nation_ow_ctl")
+      s.sql("CREATE TABLE graftcat.db.nation_ow " +
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) USING txlog " +
+        "PARTITIONED BY (n_regionkey) TBLPROPERTIES " +
+        "('optimizeWrite'='true')")
+      s.sql("CREATE TABLE graftcat.db.nation_ow_ctl " +
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) USING txlog " +
+        "PARTITIONED BY (n_regionkey)")
+      // REPARTITION hint fragments the incoming plan — the shape a busy
+      // multi-task ingest job hands the sink
+      val ins = "SELECT /*+ REPARTITION(8) */ n_nationkey, n_name, " +
+        "n_regionkey FROM nation_ow_src"
+      s.sql(s"INSERT INTO graftcat.db.nation_ow $ins")
+      s.sql(s"INSERT INTO graftcat.db.nation_ow_ctl $ins")
+      val owFiles = graft.sources.TxLogTable(s, s"$wh/db/nation_ow")
+        .fileCount()
+      val ctlFiles = graft.sources.TxLogTable(s, s"$wh/db/nation_ow_ctl")
+        .fileCount()
+      require(owFiles == 5, // one per n_regionkey value
+        s"optimizeWrite must land one file per partition value: $owFiles")
+      require(ctlFiles > owFiles,
+        s"control should fragment past $owFiles, got $ctlFiles")
+      s.sql("SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM graftcat.db.nation_ow")
+    }),
+
     // SQL maintenance lifecycle (Spark 4 stored procedures): many small
     // INSERTs fragment the table, `CALL graftcat.system.compact` rewrites
     // the snapshot into one file per partition, `system.history` exposes
@@ -2530,6 +2570,9 @@ object EtlQueries {
 
     "sql_maintenance" ->
       """SELECT r_regionkey, r_name FROM region""",
+
+    "sql_optimize_write" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 
     "sql_restore" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part""",

@@ -683,6 +683,24 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.stripPrefix("#sortCols=").split(",").toSeq.filter(_.nonEmpty) }
       .getOrElse(Nil)
 
+  /** Optimize-write table property (`#optimizeWrite=`, set at CREATE,
+    * carried like the other table properties): when true, every
+    * user-facing data write ([[commit]] append/overwrite,
+    * [[commitDynamic]], the merge/DML rewrites) routes its rows through
+    * a `REBALANCE` shuffle on the partition layout before the file
+    * write, so AQE coalesces trickle partitions and splits skewed ones
+    * toward `spark.sql.adaptive.advisoryPartitionSizeInBytes`. This is
+    * the small-file-prevention half of the maintenance story: without
+    * it, a 200-shuffle-partition job appending into a 100-value hive
+    * layout writes up to 20k near-empty files PER COMMIT at 100 TB, and
+    * compaction forever chases ingest. Maintenance rewrites
+    * (compact/resort/rebucket/zorder) are exempt — they hand-place
+    * their output partitioning (range or salted-hash), which a
+    * rebalance shuffle would destroy.
+    */
+  def optimizeWriteOf(v: Int): Boolean =
+    manifestLines(v).exists(_ == "#optimizeWrite=true")
+
   /** Columns with a maintained distinct-count sketch (`#ndvCols=`, a
     * TABLE property set at CREATE like the bloom columns). For each,
     * every append/overwrite folds the batch's k-minimum-value hashes
@@ -861,6 +879,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         l.startsWith("#bucketSpec=") ||
         l.startsWith("#sortCols=") ||
         l.startsWith("#ndvCols=") || l.startsWith("#ndv:") ||
+        l.startsWith("#optimizeWrite=") ||
         l.startsWith("#droppedPhys="))).getOrElse(Nil)
 
   /** Hash-bucket layout recorded at `v` — ONE `#bucketSpec=<key>:<n>`
@@ -919,7 +938,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
              bloomCols: Seq[String] = Nil,
              bucketSpecs: Seq[(String, Int)] = Nil,
              sortCols: Seq[String] = Nil,
-             ndvCols: Seq[String] = Nil): Int = {
+             ndvCols: Seq[String] = Nil,
+             optimizeWrite: Boolean = false): Int = {
     ndvCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"ndv column $c not in schema")
@@ -980,7 +1000,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         (if (sortCols.nonEmpty)
            Seq(s"#sortCols=${sortCols.mkString(",")}") else Nil) ++
         (if (ndvCols.nonEmpty)
-           Seq(s"#ndvCols=${ndvCols.mkString(",")}") else Nil))
+           Seq(s"#ndvCols=${ndvCols.mkString(",")}") else Nil) ++
+        (if (optimizeWrite) Seq("#optimizeWrite=true") else Nil))
         .mkString("\n").getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW)
     0
@@ -2898,7 +2919,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   // discovery rejects k=v segments at differing roots as conflicting
   // directory structures. A crash mid-move leaves only unreferenced
   // files; the table is untouched.
-  private def stage(df: DataFrame, partitionCols: Seq[String]): Seq[String] = {
+  private def stage(df: DataFrame, partitionCols: Seq[String],
+                    rebalanceOk: Boolean = false): Seq[String] = {
     Files.createDirectories(dataDir)
     Files.createDirectories(logDir)
     val batch = "batch-" + java.util.UUID.randomUUID().toString
@@ -2921,11 +2943,24 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // partitionCols = Nil) that need not carry the sort columns — the
     // ordering contract is about DATA files, which tombstones are not.
     val bucketed = withBucketCol(df, partitionCols)
+    // optimizeWrite: a REBALANCE shuffle on the partition layout before
+    // the file write — AQE coalesces trickle partitions and splits
+    // skewed ones toward advisoryPartitionSizeInBytes, so each hive
+    // value lands in as few target-sized files as its bytes need,
+    // regardless of the incoming plan's partitioning. BEFORE the
+    // within-partition sort (the shuffle would destroy it). Only on
+    // user-facing writes (rebalanceOk): maintenance rewrites hand-place
+    // their range/salted partitioning and must not be reshuffled.
+    val sized =
+      if (rebalanceOk && latestVersion.exists(optimizeWriteOf))
+        (if (partitionCols.isEmpty) bucketed.hint("rebalance")
+         else bucketed.hint("rebalance", partitionCols.map(col): _*))
+      else bucketed
     val sortCols = latestVersion.map(sortColsOf).getOrElse(Nil)
     val ordered =
       if (sortCols.isEmpty || partitionCols.isEmpty ||
-          !sortCols.forall(bucketed.columns.contains)) bucketed
-      else bucketed.sortWithinPartitions(
+          !sortCols.forall(sized.columns.contains)) sized
+      else sized.sortWithinPartitions(
         (partitionCols ++ sortCols).map(col): _*)
     val w = toPhysical(ordered)
       .write.mode("overwrite")
@@ -3035,7 +3070,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     validateChecks(df, latestVersion)
     val stagedSpec = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
     val staged = stageWithStats(df, partCols, inheritedBloomCols,
-      inheritedBloomBits(latestVersion))
+      inheritedBloomBits(latestVersion), rebalanceOk = true)
     publishReplace(staged, replaced, op, maxAttempts, scanBase, scanPred,
       partCols, caller = "commitReplacingDf", stagedSpec = stagedSpec)
   }
@@ -3298,9 +3333,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
 
   private def stageWithStats(df: DataFrame, partitionCols: Seq[String],
                              bloomCols: Seq[String] = Nil,
-                             bloomBits: Int = TxLogTable.Bloom.DefaultM)
+                             bloomBits: Int = TxLogTable.Bloom.DefaultM,
+                             rebalanceOk: Boolean = false)
       : Seq[String] = {
-    val rels = stage(df, partitionCols)
+    val rels = stage(df, partitionCols, rebalanceOk)
     val blooms = bloomStats(rels, bloomCols, bloomBits)
     rels.map(rel => TxLogTable.FileEntry(rel, footerStats(rel),
       blooms.getOrElse(rel, Map.empty)).encoded)
@@ -3324,7 +3360,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     validateChecks(df, latestVersion)
     val stagedSpec = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
     val staged = stageWithStats(df, partitionCols, effBloom,
-      inheritedBloomBits(latestVersion))
+      inheritedBloomBits(latestVersion), rebalanceOk = true)
     // the replaced partitions are exactly the hive dirs this batch wrote
     val replacedDirs = staged.map { f =>
       val p = Paths.get(f.takeWhile(_ != '\t'))
@@ -3523,7 +3559,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         incoming, keys)
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
       val staged = stageWithStats(merged, layout, effBloom,
-        inheritedBloomBits(base))
+        inheritedBloomBits(base), rebalanceOk = true)
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
@@ -3602,7 +3638,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         d.select(schema.fieldNames.toIndexedSeq.map(col): _*)))
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
       val staged = stageWithStats(out, layout, effBloom,
-        inheritedBloomBits(base))
+        inheritedBloomBits(base), rebalanceOk = true)
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
@@ -3866,7 +3902,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     if (!Set("compact", "zorder", "compact-small")(opName))
       validateChecks(df, latestVersion)
     val stagedSpec = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
-    val staged = stageWithStats(df, partitionCols, effBloom, effBits)
+    val staged = stageWithStats(df, partitionCols, effBloom, effBits,
+      rebalanceOk = !Set("compact", "zorder", "compact-small")(opName))
     // batch KMV from the STAGED files (never re-executes the caller's
     // plan), computed once outside the publish retry loop
     val batchKmv = stagedKmv(staged)

@@ -192,8 +192,14 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     // as V2 columnStats (CBO filter selectivity / broadcast sizing)
     val ndvCols = Option(properties.get("ndvCols")).toSeq
       .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    // TBLPROPERTIES('optimizeWrite'='true'): route every user-facing
+    // write through a REBALANCE shuffle so AQE sizes output files toward
+    // the advisory partition size — small-file prevention at ingest
+    val optimizeWrite =
+      Option(properties.get("optimizeWrite")).exists(_.trim.toBoolean)
     TxLogTable(spark, pathOf(ident).toString)
-      .create(schema, partCols, bloomCols, bucketSpecs, sortCols, ndvCols)
+      .create(schema, partCols, bloomCols, bucketSpecs, sortCols, ndvCols,
+        optimizeWrite)
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
   }
 
@@ -1591,7 +1597,17 @@ final class TxLogWriteBuilder(tbl: TxLogV2Table, info: LogicalWriteInfo)
   override def build(): Write = {
     val layout = tbl.table.latestVersion
       .map(tbl.table.partitionColsOf).getOrElse(Nil)
-    if (layout.nonEmpty) v1Write else nativeWrite
+    // optimizeWrite tables take the V1 staging route even unpartitioned:
+    // right-sizing needs to OWN a shuffle (stage()'s REBALANCE hint),
+    // which a DSv2 Write cannot inject for a keyless rebalance —
+    // RequiresDistributionAndOrdering only shuffles for a non-empty
+    // clustering (DistributionAndOrderingUtils skips empty
+    // distributions), so the native path would write the incoming
+    // partitioning as-is, tiny files included. The row-conversion tax
+    // is the price of target-sized files; tables that keep the native
+    // zero-conversion write simply leave optimizeWrite off.
+    val ow = tbl.table.latestVersion.exists(tbl.table.optimizeWriteOf)
+    if (layout.nonEmpty || ow) v1Write else nativeWrite
   }
 
   private def v1Write: Write = new V1Write {

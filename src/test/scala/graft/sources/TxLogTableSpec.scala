@@ -950,4 +950,59 @@ class TxLogTableSpec extends AnyFunSuite {
     }
     assert(t.history().map(_.op.get).count(_.startsWith("txn:")) == 3)
   }
+
+  test("optimizeWrite coalesces fragmented appends; maintenance exempt") {
+    import org.apache.spark.sql.functions.col
+    // control: without the property a fragmented batch writes its
+    // incoming partitioning as-is
+    val plain = fresh()
+    plain.create(schema)
+    plain.commit(Seq.tabulate(64)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8), overwrite = false)
+    assert(plain.fileCount() == 8, s"control wrote ${plain.fileCount()}")
+    // optimizeWrite: the same fragmented batch rebalances to one
+    // target-sized task before the write
+    val t = fresh()
+    t.create(schema, optimizeWrite = true)
+    t.commit(Seq.tabulate(64)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8), overwrite = false)
+    assert(t.fileCount() == 1, s"optimizeWrite wrote ${t.fileCount()}")
+    assert(t.snapshot(schema).count() == 64)
+    // hive-partitioned: rebalance clusters BY THE LAYOUT, so each value
+    // lands in one file instead of up to 8
+    val ps = StructType(Seq(StructField("p", StringType),
+      StructField("id", LongType)))
+    val pt = fresh()
+    pt.create(ps, partitionCols = Seq("p"), optimizeWrite = true)
+    pt.commit(Seq.tabulate(64)(i => (s"p${i % 2}", i.toLong)).toDF("p", "id")
+      .repartition(8), overwrite = false, partitionCols = Seq("p"))
+    assert(pt.fileCount() == 2, s"per-value files: ${pt.fileCount()}")
+    // the property survives later commits (carried table meta) and is
+    // visible on every version since create
+    assert(pt.latestVersion.exists(pt.optimizeWriteOf))
+    // maintenance exemption: compact's explicit file-count contract is
+    // not re-shuffled away (numFiles = 2 stays 2 despite the rebalance
+    // wanting 1 task for this tiny table)
+    val c = fresh()
+    c.create(schema, optimizeWrite = true)
+    (0 until 4).foreach(i =>
+      c.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"), overwrite = false))
+    c.compact(schema, numFiles = 2)
+    assert(c.fileCount() == 2, s"compact numFiles overridden: " +
+      s"${c.fileCount()}")
+    assert(c.snapshot(schema).count() == 4)
+    // merge rewrites flow through the rebalance too: the rewrite of 4
+    // single-row files folds to one output file
+    val m = fresh()
+    m.create(schema, optimizeWrite = true)
+    (0 until 4).foreach(i =>
+      m.commit(Seq((i.toLong, s"v$i")).toDF("id", "v"), overwrite = false))
+    m.merge(schema, Seq((1L, "V1"), (2L, "V2")).toDF("id", "v"),
+      keys = Seq("id"))
+    val live = m.fileCount()
+    assert(live <= 3, s"merge rewrite stayed fragmented: $live files")
+    assert(m.snapshot(schema).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet ==
+      Set((0L, "v0"), (1L, "V1"), (2L, "V2"), (3L, "v3")))
+  }
 }
