@@ -122,6 +122,35 @@ object EtlQueries {
     // so both merges' delete-insert semantics are hash-checked. At 100 TB
     // this is the reference's signature keyed upsert at O(affected files)
     // instead of O(table) when keys don't align with partitions.
+    // Schema evolution THROUGH the keyed merge (Delta's autoMerge analog):
+    // a batch carrying a brand-new column evolves the table in the same
+    // operation that merges its rows — no separate ALTER, the exact shape
+    // of a CDC upsert feed whose producer added a field. Carried and
+    // untouched rows surface the new column as NULL (any post-ALTER
+    // read's contract); the oracle recomputes the evolved state
+    // relationally. The require proves the merge stayed file-targeted
+    // even while evolving — the ALTER is metadata-only, so it must not
+    // degrade the rewrite into a full-table pass.
+    "merge_schema_evolution" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mse")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("nation").toString)
+      tbl.create(n.schema)
+      tbl.commit(n.repartitionByRange(4, col("n_nationkey")),
+        overwrite = false)
+      val upd = n.filter(col("n_nationkey") >= 20)
+        .select(col("n_nationkey"),
+          concat(lit("E-"), col("n_name")).as("n_name"),
+          lit("evolved").as("batch_tag"))
+      val st = tbl.merge(n.schema, upd, Seq("n_nationkey"),
+        mergeSchema = true)
+      require(tbl.tableSchema.exists(_.fieldNames.contains("batch_tag")),
+        "merge(mergeSchema) must evolve the table schema")
+      require(st.carried > 0,
+        s"evolving merge must stay file-targeted: ${st.carried} carried")
+      tbl.snapshot(tbl.tableSchema.get)
+    }),
+
     "merge_cow" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -2512,6 +2541,14 @@ object EtlQueries {
          SELECT event_id, user_id, ts_us, value
          FROM e, b
          WHERE user_id >= lo AND user_id <= hi""",
+
+    "merge_schema_evolution" ->
+      """SELECT n_nationkey,
+           CASE WHEN n_nationkey >= 20 THEN 'E-' || n_name
+                ELSE n_name END AS n_name,
+           CASE WHEN n_nationkey >= 20 THEN 'evolved'
+                ELSE NULL END AS batch_tag
+         FROM nation""",
 
     "merge_cow" ->
       """WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,

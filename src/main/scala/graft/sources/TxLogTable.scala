@@ -3444,8 +3444,27 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * changed) — stale staged files are left unreferenced for `vacuum`.
     */
   def merge(schema: StructType, incoming: DataFrame, keys: Seq[String],
-            maxAttempts: Int = 10): TxLogTable.MergeStats = {
+            maxAttempts: Int = 10,
+            mergeSchema: Boolean = false): TxLogTable.MergeStats = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    if (mergeSchema) {
+      // schema evolution through the keyed merge (Delta's autoMerge
+      // analog on the API path): absorb the batch's new/wider columns
+      // into the table FIRST (same add/widen rules as the write-path
+      // mergeSchema), then merge under the evolved schema with the
+      // batch aligned to it — rewritten and carried rows surface the
+      // added columns as NULL, exactly like any post-ALTER read
+      require(tableSchema.nonEmpty,
+        "merge(mergeSchema = true) needs a recorded table schema " +
+          "(create the table through the catalog or TxLogTable.create)")
+      evolveSchemaFor(incoming.schema)
+      val eff = tableSchema.get
+      val aligned = incoming.select(eff.fields.toIndexedSeq.map { f =>
+        (if (incoming.columns.contains(f.name)) col(f.name)
+         else lit(null)).cast(f.dataType).as(f.name)
+      }: _*)
+      return merge(eff, aligned, keys, maxAttempts)
+    }
     // only the NEW rows need validation — carried rows passed at ingest
     validateChecks(incoming, latestVersion)
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}

@@ -951,6 +951,40 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(t.history().map(_.op.get).count(_.startsWith("txn:")) == 3)
   }
 
+  test("merge(mergeSchema) absorbs new and widened batch columns") {
+    val t = fresh()
+    t.create(schema) // (id long, v string)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = false)
+    // batch carries a NEW column and hits key 2; without the opt-in the
+    // merge fails loudly rather than silently dropping the column
+    val batch = Seq((2L, "B", "fresh"), (3L, "c", "new"))
+      .toDF("id", "v", "tag")
+    intercept[Exception] { t.merge(schema, batch, keys = Seq("id")) }
+    t.merge(schema, batch, keys = Seq("id"), mergeSchema = true)
+    val evolved = t.tableSchema.get
+    assert(evolved.fieldNames.toSeq == Seq("id", "v", "tag"))
+    val got = t.snapshot(evolved).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // untouched row surfaces the added column as NULL, like any
+    // post-ALTER read; merged keys carry the batch's values
+    assert(got == Set((1L, "a", null), (2L, "B", "fresh"),
+      (3L, "c", "new")), s"$got")
+    // widening via merge: an int-typed batch for a long column is
+    // absorbed without an ALTER (narrower promotes at read)
+    val narrow = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(4, "d", "n4")),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("v", StringType), StructField("tag", StringType))))
+    t.merge(evolved, narrow, keys = Seq("id"), mergeSchema = true)
+    assert(t.snapshot(t.tableSchema.get).count() == 4)
+    // a raw table (no recorded schema) refuses the opt-in loudly
+    val raw = fresh()
+    raw.commit(Seq((1L, "x")).toDF("id", "v"), overwrite = true)
+    val e = intercept[Exception] {
+      raw.merge(schema, batch, keys = Seq("id"), mergeSchema = true) }
+    assert(e.getMessage.contains("recorded table schema"))
+  }
+
   test("optimizeWrite coalesces fragmented appends; maintenance exempt") {
     import org.apache.spark.sql.functions.col
     // control: without the property a fragmented batch writes its
