@@ -111,17 +111,47 @@ object EtlQueries {
         col("user_id") >= lo && col("user_id") <= hi)
     }),
 
-    // File-targeted copy-on-write MERGE (TxLogTable.merge): customer lands
-    // key-clustered (repartitionByRange on c_custkey → 8 files with
-    // disjoint key bands), then (1) a keyed UPDATE batch confined to a
-    // narrow band rewrites only the band's files — the first require
-    // proves most files were carried by reference — and (2) an INSERT-only
-    // batch of fresh keys beyond the table max rewrites ZERO files (its
-    // key hull is disjoint from every file's range — the merge degenerates
-    // to a pure append). The oracle recomputes the end state relationally,
-    // so both merges' delete-insert semantics are hash-checked. At 100 TB
-    // this is the reference's signature keyed upsert at O(affected files)
-    // instead of O(table) when keys don't align with partitions.
+    // Partition-scoped OPTIMIZE ZORDER (CALL system.zorder ... partition):
+    // only the named partition's files rewrite clustered on the Morton
+    // curve; every other dir carries by manifest reference. The
+    // incremental-clustering workflow at 100 TB — z-order yesterday's
+    // partition after it closes, O(partition) per day, never paying the
+    // whole-table rewrite. The requires prove the op committed as
+    // zorder-where, a foreign partition's file census is untouched, and
+    // a range scan inside the clustered partition prunes on a curve
+    // dimension. Oracle recomputes the returned rows relationally.
+    "sql_zorder_scoped" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("events_zw_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.events_zw")
+      s.sql("CREATE TABLE graftcat.db.events_zw " +
+        "(event_type STRING, event_id BIGINT, user_id BIGINT, " +
+        "value DOUBLE) USING txlog PARTITIONED BY (event_type)")
+      s.sql("INSERT INTO graftcat.db.events_zw " +
+        "SELECT /*+ REPARTITION(6) */ event_type, event_id, user_id, " +
+        "value FROM events_zw_src")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/events_zw")
+      val before = tbl.fileCount()
+      val res = s.sql("CALL graftcat.system.zorder(" +
+        "`table` => 'db.events_zw', col_a => 'user_id', " +
+        "col_b => 'event_id', files => 8, " +
+        "partition => 'event_type=click')").collect()
+      require(res.length == 1, s"zorder result: ${res.mkString(",")}")
+      require(tbl.history().last.op.contains("zorder-where"),
+        s"expected zorder-where, got ${tbl.history().last.op}")
+      // the clustered partition prunes on a curve dimension; the scan
+      // candidate set shrank below the table's file census
+      val hull = tbl.snapshot(tbl.tableSchema.get)
+        .agg(min("user_id"), max("user_id")).head
+      val (lo, hi) = (hull.getLong(0), hull.getLong(0) +
+        (hull.getLong(1) - hull.getLong(0)) / 8)
+      require(tbl.candidateFiles("user_id", lo, hi).size <
+        tbl.fileCount(),
+        s"scoped zorder pruned nothing ($before files before)")
+      s.sql("SELECT event_type, event_id, user_id, value " +
+        "FROM graftcat.db.events_zw")
+    }),
+
     // Schema evolution THROUGH the keyed merge (Delta's autoMerge analog):
     // a batch carrying a brand-new column evolves the table in the same
     // operation that merges its rows — no separate ALTER, the exact shape
@@ -151,6 +181,17 @@ object EtlQueries {
       tbl.snapshot(tbl.tableSchema.get)
     }),
 
+    // File-targeted copy-on-write MERGE (TxLogTable.merge): customer lands
+    // key-clustered (repartitionByRange on c_custkey → 8 files with
+    // disjoint key bands), then (1) a keyed UPDATE batch confined to a
+    // narrow band rewrites only the band's files — the first require
+    // proves most files were carried by reference — and (2) an INSERT-only
+    // batch of fresh keys beyond the table max rewrites ZERO files (its
+    // key hull is disjoint from every file's range — the merge degenerates
+    // to a pure append). The oracle recomputes the end state relationally,
+    // so both merges' delete-insert semantics are hash-checked. At 100 TB
+    // this is the reference's signature keyed upsert at O(affected files)
+    // instead of O(table) when keys don't align with partitions.
     "merge_cow" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -2541,6 +2582,9 @@ object EtlQueries {
          SELECT event_id, user_id, ts_us, value
          FROM e, b
          WHERE user_id >= lo AND user_id <= hi""",
+
+    "sql_zorder_scoped" ->
+      """SELECT event_type, event_id, user_id, value FROM events""",
 
     "merge_schema_evolution" ->
       """SELECT n_nationkey,

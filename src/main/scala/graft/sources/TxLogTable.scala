@@ -2471,6 +2471,97 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     commit(packed, overwrite = true, partitionCols = cols, op = "zorder")
   }
 
+  /** PARTITION-SCOPED z-order: rewrite only the partition dirs matching
+    * `preds` (same `col -> values` spec as [[compactWhere]]) clustered
+    * on the Morton curve over `zCols`; every other file carries by
+    * manifest reference. The incremental-clustering move at 100 TB: a
+    * dated table z-orders YESTERDAY's partition after it closes —
+    * O(partition) per day, and the table converges to fully-clustered
+    * without ever paying [[compactZOrder]]'s O(table) rewrite. The
+    * curve grid derives from the SELECTED rows' min/max (finer cells
+    * than table-wide bounds would give); pruning soundness never
+    * depends on the grid, since file range stats record actual values.
+    */
+  def compactZOrderWhere(schema: StructType, preds: Map[String, Set[String]],
+                         zCols: Seq[String], numFiles: Int = 8,
+                         maxAttempts: Int = 10): TxLogTable.MergeStats = {
+    require(zCols.size >= 2,
+      "z-order needs at least two dimensions (one dimension is a plain " +
+        "sort — use sortCols for that layout)")
+    require(preds.nonEmpty && preds.valuesIterator.forall(_.nonEmpty),
+      "compactZOrderWhere needs at least one partition constraint; use " +
+        "compactZOrder for the whole table")
+    val v0 = latestVersion.getOrElse(throw new IllegalStateException(
+      s"compactZOrderWhere of empty table: $root"))
+    require(sortColsOf(v0).isEmpty,
+      "zorder and sortCols are competing physical layouts: the staging " +
+        "sort would re-order the Morton clustering right back — drop " +
+        "one of the two")
+    zCols.foreach(c => require(!partitionColsOf(v0).contains(c),
+      s"z dimension $c is a partition column — constant within every " +
+        "rewritten dir, so it cannot cluster anything; drop it"))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      require(preds.keySet.subsetOf(layout.toSet),
+        s"compactZOrderWhere constraints must be partition columns of " +
+          s"$layout, got ${preds.keySet}")
+      val (hit, kept) = base.map(dataLines).getOrElse(Nil).partition {
+        line =>
+          val segs = TxLogTable.partitionSegmentsOf(
+            line.takeWhile(_ != '\t'))
+          preds.forall { case (c, vals) =>
+            segs.get(c).exists(vals.contains) }
+      }
+      if (hit.isEmpty)
+        return TxLogTable.MergeStats(base.getOrElse(-1), 0, kept.size)
+      val rows = withBucketCol(readMaskedEntries(schema,
+        hit.map(TxLogTable.decodeEntry), base), layout)
+      def gridInput(c: String): org.apache.spark.sql.Column =
+        schema.find(_.name == c).map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.StringType) =>
+            graft.operators.ZOrder.strEnc(col(c))
+          case _ => col(c).cast("long")
+        }
+      val enc = zCols.map(gridInput)
+      val aggs = enc.flatMap(e => Seq(
+        org.apache.spark.sql.functions.min(e),
+        org.apache.spark.sql.functions.max(e)))
+      val mm = rows.agg(aggs.head, aggs.tail: _*).head()
+      val packed =
+        if (zCols.indices.exists(i => mm.isNullAt(2 * i)))
+          rows.repartition(numFiles, layout.map(col): _*)
+        else {
+          val z = graft.operators.ZOrder.zValueN(
+            enc.zipWithIndex.map { case (e, i) =>
+              (e, mm.getLong(2 * i), mm.getLong(2 * i + 1)) })
+          rows.withColumn("__z", z)
+            .repartitionByRange(numFiles, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        }
+      val effBloom = base.map(bloomColsOf).getOrElse(Nil)
+      val staged = stageWithStats(packed, layout, effBloom,
+        inheritedBloomBits(base))
+      val next = base.getOrElse(-1) + 1
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(layout, "zorder-where", effBloom) ++
+            tableMetaLines(base) ++ morLines(base) ++
+            checkLines(base) ++ kept ++ tagVersion(staged, next))
+            .mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, hit.size, kept.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: re-list and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"compactZOrderWhere lost the version race $maxAttempts times: $root")
+  }
+
   // ---- change-feed cursor registry ----------------------------------
   // One tiny file per cursor under _log/cursors/ — manifest-adjacent so
   // clone/backup tooling that copies the log dir carries retention intent

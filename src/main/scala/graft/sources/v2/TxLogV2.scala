@@ -520,11 +520,16 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         // signatures are fixed-arity; per-dim grid bits shrink as
         // min(16, 63/N). The multi-dimensional skipping layout for the
         // 100 TB point-lookup table.
+        // ... [, partition]: 'col=value' (comma-separated) scopes the
+        // rewrite to matching partition dirs (compactZOrderWhere) — the
+        // incremental-clustering form: z-order yesterday's partition
+        // after it closes, O(partition) per day, never O(table)
         new MaintenanceProc("zorder", Seq(
           inParam("table", StringType),
           inParam("col_a", StringType),
           inParam("col_b", StringType, Some("NULL")),
-          inParam("files", IntegerType, Some("8")))) {
+          inParam("files", IntegerType, Some("8")),
+          inParam("partition", StringType, Some("NULL")))) {
           override def call(input: InternalRow) = {
             val t = tableByName(input.getString(0))
             val schema = t.tableSchema.getOrElse(
@@ -533,7 +538,19 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             val zCols = input.getString(1).split(",").toSeq
               .map(_.trim).filter(_.nonEmpty) ++
               (if (input.isNullAt(2)) Nil else Seq(input.getString(2)))
-            val v = t.compactZOrder(schema, zCols, files)
+            val v =
+              if (input.isNullAt(4)) t.compactZOrder(schema, zCols, files)
+              else {
+                val preds = input.getString(4).split(',').iterator
+                  .map(_.trim).filter(_.nonEmpty).map { kv =>
+                    val i = kv.indexOf('=')
+                    require(i > 0, s"partition spec entry '$kv' is not " +
+                      "col=value")
+                    kv.substring(0, i).trim ->
+                      Set(kv.substring(i + 1).trim)
+                  }.toMap
+                t.compactZOrderWhere(schema, preds, zCols, files).version
+              }
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("files_after", IntegerType))),

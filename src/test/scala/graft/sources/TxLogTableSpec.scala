@@ -304,6 +304,45 @@ class TxLogTableSpec extends AnyFunSuite {
       rows.filter(r => r._1 >= 10 && r._1 <= 19).map(r => (r._1, r._2)).toSet)
   }
 
+  test("partition-scoped z-order rewrites only the matching dirs") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    val s3 = StructType(Seq(
+      StructField("p", StringType), StructField("u", LongType),
+      StructField("ts", LongType), StructField("v", StringType)))
+    // two partition values, each a 50×50 (u, ts) grid, committed
+    // hash-fragmented so every file spans both full ranges
+    val rows = for (p <- Seq("a", "b"); i <- 0L until 2500L)
+      yield (p, i % 50, i / 50, s"$p$i")
+    t.create(s3, partitionCols = Seq("p"))
+    t.commit(rows.toDF("p", "u", "ts", "v").repartition(6),
+      overwrite = false, partitionCols = Seq("p"))
+    val before = t.fileCount()
+    val st = t.compactZOrderWhere(s3, Map("p" -> Set("a")),
+      Seq("u", "ts"), numFiles = 8)
+    // only partition a's files rewrote; b's carried by reference
+    assert(st.carried > 0 && st.rewritten > 0,
+      s"scoped zorder: $st (before $before files)")
+    assert(t.history().last.op.contains("zorder-where"))
+    // data unchanged, both partitions intact
+    val got = t.snapshot(s3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == rows.map(r => (r._1, r._2, r._3)).toSet)
+    // partition a now prunes on BOTH curve dimensions: a narrow u-band
+    // scan inside p=a touches a strict subset of a's files
+    assert(t.candidateFiles("u", 10L, 14L).size < t.fileCount())
+    // a predicate on a non-selected partition column is refused
+    intercept[Exception] {
+      t.compactZOrderWhere(s3, Map("u" -> Set("1")), Seq("u", "ts")) }
+    // an empty selection is a no-op, not an error
+    val st2 = t.compactZOrderWhere(s3, Map("p" -> Set("zzz")),
+      Seq("u", "ts"))
+    assert(st2.rewritten == 0)
+    // z dimensions must not include partition columns
+    intercept[Exception] {
+      t.compactZOrderWhere(s3, Map("p" -> Set("a")), Seq("p", "u")) }
+  }
+
   test("snapshotWhere prunes from arbitrary conjunctive predicates") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = fresh()
