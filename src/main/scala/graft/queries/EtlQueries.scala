@@ -1447,6 +1447,21 @@ object EtlQueries {
         FROM graftcat.db.ev_chg_out""")
       require(out.filter(col("commit_v") === 4).count() == 0,
         "compact must contribute nothing to the feed")
+      // the TIMESTAMP twin: from_ts at v2's exact commit instant opens
+      // the window AT v2 (at-or-after, the Delta CDF contract) with no
+      // version number ever looked up; proves ts→version resolution
+      // against the same feed
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_chg_out_ts")
+      val v2ts = tbl.history().find(_.version == 2)
+        .flatMap(_.commitMillis).get
+      val rTs = s.sql("CALL graftcat.system.changes(" +
+        "source => 'db.ev_chg', dest => 'db.ev_chg_out_ts', " +
+        s"with_deletes => true, from_ts => '$v2ts')").collect().head
+      require(rTs.getInt(1) == 1 && rTs.getInt(2) == tbl.latestVersion.get,
+        s"from_ts at v2's instant must open (1, latest]: $rTs")
+      require(s.sql("SELECT min(CAST(_commit_version AS BIGINT)) " +
+        "FROM graftcat.db.ev_chg_out_ts").head.getLong(0) == 2L,
+        "the ts-opened feed must start at v2")
       out
     }),
 

@@ -705,18 +705,48 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         // contract the streaming source defaults to). The SQL-only
         // consumer reads a day's delta of a 100 TB table without ever
         // importing this library.
+        // Timestamp twins (from_ts / to_ts — epoch millis or a Timestamp
+        // literal) resolve against commit instants with the same AT-OR-
+        // AFTER / at-or-before contract as the streaming options: the
+        // feed covers every commit landing within [from_ts, to_ts].
+        // "yesterday's delta" without ever looking a version number up.
         new MaintenanceProc("changes", Seq(
           inParam("source", StringType),
           inParam("dest", StringType),
-          inParam("from_v", IntegerType),
+          inParam("from_v", IntegerType, Some("NULL")),
           inParam("to_v", IntegerType, Some("NULL")),
-          inParam("with_deletes", BooleanType, Some("false")))) {
+          inParam("with_deletes", BooleanType, Some("false")),
+          inParam("from_ts", StringType, Some("NULL")),
+          inParam("to_ts", StringType, Some("NULL")))) {
           override def call(input: InternalRow) = {
             val src = tableByName(input.getString(0))
-            require(!input.isNullAt(2), "changes needs from_v")
-            val fromV = input.getInt(2)
-            val toV = if (input.isNullAt(3))
-              src.latestVersion.getOrElse(fromV) else input.getInt(3)
+            require(input.isNullAt(2) != input.isNullAt(5),
+              "changes needs exactly one of from_v / from_ts")
+            require(input.isNullAt(3) || input.isNullAt(6),
+              "to_v and to_ts are mutually exclusive")
+            def millisOf(s: String): Long = s.toLongOption.getOrElse(
+              java.sql.Timestamp.valueOf(s).getTime)
+            lazy val hist = src.history()
+            val fromV =
+              if (!input.isNullAt(2)) input.getInt(2)
+              else {
+                val m = millisOf(input.getString(5))
+                // first commit AT-OR-AFTER from_ts enters the feed;
+                // a ts past all history yields an empty window
+                hist.find(_.commitMillis.exists(_ >= m))
+                  .map(_.version - 1)
+                  .getOrElse(src.latestVersion.getOrElse(0))
+              }
+            val toV =
+              if (!input.isNullAt(3)) input.getInt(3)
+              else if (!input.isNullAt(6)) {
+                val m = millisOf(input.getString(6))
+                // last commit at-or-before to_ts closes the window;
+                // a ts before all history yields an empty window
+                hist.reverse.find(_.commitMillis.exists(_ <= m))
+                  .map(_.version).getOrElse(fromV)
+              }
+              else src.latestVersion.getOrElse(fromV)
             val withDel = !input.isNullAt(4) && input.getBoolean(4)
             val schema = src.tableSchema.getOrElse(
               TxLogV2Table(spark, src.root, input.getString(0)).schema)
@@ -764,7 +794,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("sort_cols", StringType),
               StructField("bloom_cols", StringType),
               StructField("ndv", StringType),
-              StructField("cursors", StringType))),
+              StructField("cursors", StringType),
+              StructField("optimize_write", BooleanType))),
               Seq(InternalRow(v, sizes.size, exactRows,
                 Long.box(sizes.map(_._2).sum),
                 s(t.partitionColsOf(v).mkString(",")),
@@ -777,7 +808,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 // who pins vacuum, at which version — the retention
                 // question DESCRIBE DETAIL should answer in one glance
                 s(t.cursors().values.toSeq.sortBy(_.name)
-                  .map(c => s"${c.name}@v${c.version}").mkString(", ")))))
+                  .map(c => s"${c.name}@v${c.version}").mkString(", ")),
+                t.optimizeWriteOf(v))))
           }
         }
       case "resort" =>
@@ -1389,8 +1421,12 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
     * for hive-partitioned ones.
     */
   override def capabilities(): util.Set[TableCapability] = {
+    // optimizeWrite tables declare the V1 capability even unpartitioned:
+    // build() routes them to the V1 staging write (the rebalance owner),
+    // and Spark picks the V1 exec only for tables that declare it
     val partitioned = asOfVersion.orElse(table.latestVersion)
-      .exists(v => table.partitionColsOf(v).nonEmpty)
+      .exists(v => table.partitionColsOf(v).nonEmpty ||
+        table.optimizeWriteOf(v))
     if (partitioned)
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

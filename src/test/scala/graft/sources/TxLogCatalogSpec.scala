@@ -1865,6 +1865,14 @@ class TxLogCatalogSpec extends AnyFunSuite {
     t.registerCursor("replica-eu", 1)
     assert(spark.sql("CALL txcat.system.detail('ns.dtl')")
       .collect().head.getAs[String]("cursors") == "replica-eu@v1")
+    // the ingest-sizing property too
+    assert(!r.getAs[Boolean]("optimize_write"))
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dtl_ow")
+    spark.sql("CREATE TABLE txcat.ns.dtl_ow (k BIGINT) USING txlog " +
+      "TBLPROPERTIES ('optimizeWrite'='true')")
+    spark.sql("INSERT INTO txcat.ns.dtl_ow SELECT id FROM range(10)")
+    assert(spark.sql("CALL txcat.system.detail('ns.dtl_ow')")
+      .collect().head.getAs[Boolean]("optimize_write"))
   }
 
   test("ndv sketch: folds across appends, survives compact and DDL") {
