@@ -111,6 +111,33 @@ object EtlQueries {
         col("user_id") >= lo && col("user_id") <= hi)
     }),
 
+    // Column DEFAULT values end-to-end (TableCatalogCapability
+    // .SUPPORT_COLUMN_DEFAULT_VALUE): CREATE declares defaults, INSERTs
+    // omitting the column fill CURRENT_DEFAULT, and ALTER ADD COLUMN
+    // DEFAULT is METADATA-ONLY — files written before the column read
+    // back the declared default via EXISTS_DEFAULT instead of NULL
+    // (in-query require pins zero data files touched). At 100 TB the
+    // alternative to that metadata line is rewriting every file to
+    // backfill a constant. Oracle recomputes the defaulted state
+    // relationally.
+    "sql_column_defaults" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "region").createOrReplaceTempView("region_dflt_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.region_dflt")
+      s.sql("CREATE TABLE graftcat.db.region_dflt (r_regionkey INT, " +
+        "r_name STRING, status STRING DEFAULT 'active') USING txlog")
+      s.sql("INSERT INTO graftcat.db.region_dflt (r_regionkey, r_name) " +
+        "SELECT r_regionkey, r_name FROM region_dflt_src")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/region_dflt")
+      val filesBefore = tbl.fileCount()
+      s.sql("ALTER TABLE graftcat.db.region_dflt ADD COLUMN tier STRING " +
+        "DEFAULT 'standard'")
+      require(tbl.fileCount() == filesBefore,
+        "ALTER ADD COLUMN DEFAULT must touch no data file")
+      s.sql("SELECT r_regionkey, r_name, status, tier " +
+        "FROM graftcat.db.region_dflt")
+    }),
+
     // Partition-scoped OPTIMIZE ZORDER (CALL system.zorder ... partition):
     // only the named partition's files rewrite clustered on the Morton
     // curve; every other dir carries by manifest reference. The
@@ -2600,6 +2627,11 @@ object EtlQueries {
 
     "sql_zorder_scoped" ->
       """SELECT event_type, event_id, user_id, value FROM events""",
+
+    "sql_column_defaults" ->
+      """SELECT r_regionkey, r_name, 'active' AS status,
+           'standard' AS tier
+         FROM region""",
 
     "merge_schema_evolution" ->
       """SELECT n_nationkey,

@@ -1137,7 +1137,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * resurrect stale data instead of reading NULL.
     */
   def addColumn(name: String, dataType: DataType,
-                maxAttempts: Int = 10): Int =
+                maxAttempts: Int = 10,
+                metadata: org.apache.spark.sql.types.Metadata =
+                  org.apache.spark.sql.types.Metadata.empty): Int =
     metadataCommit("addColumn", maxAttempts) { b =>
       val schema = recordedSchema(b, "addColumn")
       require(!schema.fieldNames.contains(name),
@@ -1153,8 +1155,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         !droppedPhysOf(b).contains(name),
         s"physical name $name is taken (possibly by a renamed or dropped " +
           "column's old files): pick another name")
+      // metadata carries Spark's default-value keys (CURRENT_DEFAULT /
+      // EXISTS_DEFAULT) when the ALTER declared one — schema.json
+      // round-trips field metadata, so defaults persist like any other
+      // schema fact and flow back out through tableSchema into the
+      // analyzer (INSERT fill-in) and the parquet readers (old-file fill)
       val newSchema = StructType(schema.fields :+
-        StructField(name, dataType, nullable = true))
+        StructField(name, dataType, nullable = true, metadata))
       metaLines(partitionColsOf(b), "add-column", bloomColsOf(b)) ++
         Seq(s"#schema=${newSchema.json}") ++ colmapLine(map) ++
         droppedLine(droppedPhysOf(b)) ++ carriedProps(b) ++ dataLines(b)

@@ -46,6 +46,23 @@ import graft.sources.{TxLogRelation, TxLogTable}
 class TxLogCatalog extends TableCatalog with ProcedureCatalog
     with FunctionCatalog {
 
+  /** Column DEFAULT values, end to end: declaring this capability makes
+    * the analyzer (a) rewrite `CREATE TABLE ... DEFAULT expr` /
+    * `ALTER TABLE ADD COLUMN ... DEFAULT expr` into the standard
+    * field-metadata keys before they reach this catalog, and (b) fill
+    * omitted columns in INSERTs from CURRENT_DEFAULT. The metadata
+    * persists through `#schema=` JSON like any schema fact; files
+    * predating an added-with-default column fill EXISTS_DEFAULT at read
+    * (Spark's parquet readers honor it from the requested schema), so
+    * the ALTER stays metadata-only even with a non-NULL backfill
+    * semantic — the 100 TB alternative is rewriting every file.
+    */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** The catalog's one V2 function: `bucket` — what Spark's
     * storage-partitioned-join planner resolves a reported
     * `bucket(n, key)` transform against (V2ExpressionUtils loads
@@ -220,8 +237,15 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         require(ac.fieldNames.length == 1,
           "txlog: nested column add unsupported")
         require(ac.isNullable,
-          "txlog: added columns must be nullable (old files fill NULL)")
-        t.addColumn(ac.fieldNames.head, ac.dataType)
+          "txlog: added columns must be nullable (old files fill NULL, " +
+            "or the declared DEFAULT)")
+        // a DEFAULT rides as Spark's own field-metadata keys (via the
+        // analyzer's conversion, ColumnDefaultsShim): INSERTs omitting
+        // the column fill CURRENT_DEFAULT, files predating it fill
+        // EXISTS_DEFAULT at read instead of NULL
+        t.addColumn(ac.fieldNames.head, ac.dataType,
+          metadata = org.apache.spark.sql.graft.ColumnDefaultsShim
+            .addColumnMetadata(ac))
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames.length == 1,
           "txlog: nested column type change unsupported")

@@ -1841,6 +1841,41 @@ class TxLogCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("column DEFAULT values: CREATE, INSERT fill-in, metadata-only " +
+      "ALTER backfill") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dflt")
+    spark.sql("CREATE TABLE txcat.ns.dflt (k BIGINT, " +
+      "status STRING DEFAULT 'open', score INT DEFAULT 10) USING txlog")
+    // INSERT omitting defaulted columns: the analyzer fills them in
+    spark.sql("INSERT INTO txcat.ns.dflt (k) VALUES (1)")
+    spark.sql("INSERT INTO txcat.ns.dflt VALUES (2, 'closed', 99)")
+    spark.sql("INSERT INTO txcat.ns.dflt (k, status) VALUES (3, DEFAULT)")
+    val got = spark.sql("SELECT k, status, score FROM txcat.ns.dflt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got == Set((1L, "open", 10), (2L, "closed", 99),
+      (3L, "open", 10)), s"$got")
+    // ALTER ADD COLUMN with DEFAULT stays metadata-only: files written
+    // BEFORE the column read back the default (EXISTS_DEFAULT), not
+    // NULL — no rewrite of existing data
+    val t = TxLogTable(spark, s"$warehouse/ns/dflt")
+    val filesBefore = t.fileCount()
+    spark.sql("ALTER TABLE txcat.ns.dflt ADD COLUMN tier STRING " +
+      "DEFAULT 'bronze'")
+    assert(t.fileCount() == filesBefore, "ALTER must touch no data file")
+    spark.sql("INSERT INTO txcat.ns.dflt (k, tier) VALUES (4, 'gold')")
+    val tiers = spark.sql("SELECT k, tier FROM txcat.ns.dflt")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tiers == Set((1L, "bronze"), (2L, "bronze"), (3L, "bronze"),
+      (4L, "gold")), s"old files must fill the declared default: $tiers")
+    // the default survives the manifest round trip (a fresh table
+    // handle re-reads it from #schema=)
+    val md = TxLogTable(spark, s"$warehouse/ns/dflt").tableSchema.get
+      .fields.find(_.name == "tier").get.metadata
+    assert(md.contains("CURRENT_DEFAULT") && md.contains("EXISTS_DEFAULT"),
+      md.toString)
+  }
+
   test("CALL detail: one manifest-only row of the table's physical " +
       "identity") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.dtl")
