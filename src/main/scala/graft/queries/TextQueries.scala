@@ -688,6 +688,57 @@ object TextQueries {
 
     // MinHash + LSH banding — 16 hashes (md5 keyed by hash index), 4 bands
     // of 4; near-dup candidates = distinct pairs sharing any band key.
+    // INCREMENTAL corpus dedup — the 100 TB ingest shape: the existing
+    // corpus's MinHash band signatures are PERSISTED (a txlog table, ~4
+    // rows/doc), so deduping a fresh crawl batch costs one signature
+    // pass over the BATCH plus a band-key join against the index —
+    // the corpus itself is never re-tokenized, never re-hashed, never
+    // even read. Survivors' bands append to the index in the same
+    // operation (the in-query require pins the index growth), so
+    // tomorrow's batch dedups against today's admissions too. Batch
+    // docs colliding with ANY corpus band are rejected; the oracle
+    // replays both sides' banding relationally.
+    "dd_incremental_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incdd")
+      val idx = graft.sources.TxLogTable(s,
+        tmp.resolve("band_idx").toString)
+      // one-time index build (in production: maintained by every ingest)
+      idx.commit(statelessBands(existing), overwrite = true)
+      val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band_key",
+          org.apache.spark.sql.types.StringType)))
+      val idxBefore = idx.snapshot(bandSchema).count()
+      val freshBands = statelessBands(fresh)
+      val dupIds = freshBands.join(
+        idx.snapshot(bandSchema)
+          .select(col("band").as("b2"), col("band_key").as("k2")),
+        col("band") === col("b2") && col("band_key") === col("k2"),
+        "left_semi").select("doc_id").distinct()
+      val admitted = fresh.join(dupIds, Seq("doc_id"), "left_anti")
+      // close the loop: admitted docs' signatures enter the index so the
+      // NEXT batch dedups against them without recomputation (the test
+      // corpus is near-dup-saturated — typically every batch doc collides
+      // and the append is legitimately empty, so pin EXACT growth)
+      val admittedBands = statelessBands(admitted).cache()
+      idx.commit(admittedBands, overwrite = false)
+      require(idx.snapshot(bandSchema).count() ==
+        idxBefore + admittedBands.count(),
+        "index must grow by exactly the admitted batch's signatures")
+      // the DECISION table — one row per batch doc, hash-checked, so the
+      // reject path is proven too, not just the (possibly empty) admit set
+      fresh.select(col("doc_id")).join(
+          dupIds.withColumn("dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(!col("dup"), lit(true)).as("admitted"))
+    }),
+
     "dd_minhash_lsh" -> ((s, dir) => {
       val bands = minhashBands(t(s, dir, "documents"))
       val a = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
@@ -1343,6 +1394,27 @@ object TextQueries {
             MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
             doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
           FROM fp""",
+
+    "dd_incremental_lsh" ->
+      s"""WITH toks AS (
+            SELECT DISTINCT doc_id, unnest($SqlToks) AS tok FROM documents),
+          hs AS (
+            SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS minh
+            FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+            GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 4 AS band,
+                   md5(string_agg(minh, ',' ORDER BY i)) AS band_key
+            FROM hs GROUP BY 1, 2)
+          SELECT d.doc_id,
+                 d.doc_id NOT IN (
+                   SELECT DISTINCT n.doc_id
+                   FROM bands n JOIN bands o
+                     ON n.band = o.band AND n.band_key = o.band_key
+                   WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0)
+                 AS admitted
+          FROM documents d
+          WHERE d.doc_id % 3 = 0""",
 
     "dd_minhash_lsh" ->
       s"""WITH toks AS (
