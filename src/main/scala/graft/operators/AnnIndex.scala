@@ -94,6 +94,65 @@ object AnnIndex {
     v
   }
 
+  /** INCREMENTAL index refresh — the growth path between full rebuilds:
+    * vectors added to the corpus since the pinned version are routed to
+    * the EXISTING centroids ([[KMeans.assignTo]] — a broadcast argmax,
+    * no training pass), their PQ codes encode against the PERSISTED
+    * codebook, both append to the index tables, and the pin advances to
+    * the current corpus version. Cost is O(new vectors), never
+    * O(corpus): at 100 TB a daily embedding drop refreshes in minutes
+    * while the quarterly full [[build]] re-trains the quantizer. The
+    * standard IVF-append tradeoff applies — the quantizer drifts as the
+    * distribution moves (centroids were trained on the old corpus), so
+    * recall on NEW regions degrades gradually until the next build;
+    * assignments stay exact for the centroids that exist.
+    *
+    * Append-only contract: a corpus with live tombstones (or rewrites
+    * inside the window) refuses loudly — deleted vectors would survive
+    * in the index and surface as phantom neighbors; rebuild instead.
+    *
+    * @return (new pinned version, vectors added)
+    */
+  def refresh(spark: SparkSession, indexRoot: String): (Int, Long) = {
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val meta = loadMeta(spark, indexRoot)
+    val pinned = meta("corpus_version").toInt
+    val corpus = TxLogTable(spark, meta("corpus_root"))
+    val cur = corpus.latestVersion.getOrElse(pinned)
+    if (cur == pinned) return (pinned, 0L)
+    require(corpus.tombstonesOf(cur).isEmpty,
+      s"refresh needs an append-only corpus window: ${meta("corpus_root")}" +
+        " has live tombstones — deleted vectors would survive as phantom" +
+        " neighbors; rebuild the index instead")
+    val schema = DataType.fromJson(meta("corpus_schema"))
+      .asInstanceOf[StructType]
+    val fresh = corpus.changesBetween(schema, pinned, cur)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = TxLogTable(spark, s"$indexRoot/centroids")
+      .snapshot(centroidsSchema)
+    val assigned = KMeans.assignTo(fresh, cents)
+    val op = s"ann-index:corpus_v=$cur:refresh"
+    val added = assigned.count()
+    TxLogTable(spark, s"$indexRoot/assignments").commit(
+      assigned.select(col("vec_id"), col("cluster").cast(IntegerType)),
+      overwrite = false, op = op)
+    val codesT = TxLogTable(spark, s"$indexRoot/codes")
+    if (codesT.latestVersion.nonEmpty) {
+      val cb = TxLogTable(spark, s"$indexRoot/codebook")
+        .snapshot(codebookSchema)
+        .select(col("code"), col("s").as("cs"), col("cv"))
+      codesT.commit(
+        graft.queries.SimQueries.pqCodesPivotWith(fresh, cb),
+        overwrite = false, op = op)
+    }
+    TxLogTable(spark, s"$indexRoot/meta").commit(
+      (meta + ("corpus_version" -> cur.toString)).toSeq
+        .toDF("key", "value"),
+      overwrite = true, op = op)
+    (cur, added)
+  }
+
   private def loadMeta(spark: SparkSession,
                        indexRoot: String): Map[String, String] =
     TxLogTable(spark, s"$indexRoot/meta").snapshot(metaSchema)

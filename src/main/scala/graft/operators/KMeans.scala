@@ -33,26 +33,7 @@ object KMeans {
     var centroids = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
 
-    // Assignment is fully map-side: the k centroids collapse into ONE
-    // broadcast row holding an array of (cluster, cv) structs, and the
-    // argmax is array_max over per-row (cs, -cluster) structs — struct
-    // ordering compares cs first, then -cluster, i.e. lowest-id tie-break.
-    // The previous crossJoin + groupBy(vec_id) form shuffled n×k rows and
-    // carried the 64-dim vector through the aggregation buffer; this one
-    // shuffles NOTHING for assignment — at 100 TB the only per-iteration
-    // shuffle left is the (k × dim)-key centroid update.
-    def assign(cents: DataFrame): DataFrame = {
-      val centsRow = cents
-        .agg(collect_list(struct(col("cluster"), col("cv"))).as("cents"))
-      vecs.crossJoin(broadcast(centsRow))
-        .select(col("vec_id"), col("v"),
-          array_max(transform(col("cents"), c =>
-            struct(cosine(col("v"), c.getField("cv")).as("cs"),
-              (-c.getField("cluster")).as("negc")))).as("best"))
-        .select(col("vec_id"),
-          (-col("best.negc")).cast("int").as("cluster"),
-          col("best.cs").as("cos_sim"), col("v"))
-    }
+    def assign(cents: DataFrame): DataFrame = assignTo(vecs, cents)
 
     var assigned = assign(centroids)
     for (_ <- 2 to iterations) {
@@ -68,5 +49,31 @@ object KMeans {
       assigned = assign(centroids)
     }
     (assigned.select("vec_id", "cluster", "cos_sim"), centroids)
+  }
+
+  /** Route `vecs` (vec_id, v) to a FIXED centroid set (cluster, cv) —
+    * [[fit]]'s per-iteration assignment, exposed for index refresh:
+    * incremental vectors take cells from the trained quantizer without
+    * a single training pass. Fully map-side: the k centroids collapse
+    * into ONE broadcast row holding an array of (cluster, cv) structs,
+    * and the argmax is array_max over per-row (cs, -cluster) structs —
+    * struct ordering compares cs first, then -cluster, i.e. lowest-id
+    * tie-break. The crossJoin + groupBy(vec_id) alternative shuffled
+    * n×k rows and carried the 64-dim vector through the aggregation
+    * buffer; this shuffles NOTHING for assignment.
+    */
+  def assignTo(vecs: DataFrame, cents: DataFrame)
+              (implicit spark: SparkSession): DataFrame = {
+    graft.catalyst.CosineSim.register(spark)
+    val centsRow = cents
+      .agg(collect_list(struct(col("cluster"), col("cv"))).as("cents"))
+    vecs.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("cents"), c =>
+          struct(cosine(col("v"), c.getField("cv")).as("cs"),
+            (-c.getField("cluster")).as("negc")))).as("best"))
+      .select(col("vec_id"),
+        (-col("best.negc")).cast("int").as("cluster"),
+        col("best.cs").as("cos_sim"), col("v"))
   }
 }

@@ -124,23 +124,33 @@ object SimQueries {
     * pass of the PQ pipeline — at 100 TB the 16× shuffle cut is the
     * difference between encoding being scan-bound and exchange-bound.
     */
-  private def pqEncode(emb: DataFrame): DataFrame = {
-    val sv = pqSubVectors(emb)
-    val cb = pqSubVectors(
-        emb.filter(col("vec_id") < PqCodes))
-      .select(col("vec_id").cast(IntegerType).as("code"),
-        col("s").as("cs"), col("sv").as("cv"))
-    sv.join(broadcast(cb), col("s") === col("cs"))
+  // encode against an EXPLICIT codebook (code, cs, cv) — the refresh
+  // path's requirement: new vectors must take codes from the PERSISTED
+  // book, never from a book re-derived over themselves
+  private def pqEncodeWith(emb: DataFrame, cb: DataFrame): DataFrame =
+    pqSubVectors(emb).join(broadcast(cb), col("s") === col("cs"))
       .select(col("vec_id"), col("s"), col("code"),
         l2sq(col("sv"), col("cv")).as("dist"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("dist"), col("code"))).as("m"))
       .select(col("vec_id"), col("s"), col("m.code").as("code"))
-  }
+
+  private def pqEncode(emb: DataFrame): DataFrame =
+    pqEncodeWith(emb, pqSubVectors(emb.filter(col("vec_id") < PqCodes))
+      .select(col("vec_id").cast(IntegerType).as("code"),
+        col("s").as("cs"), col("sv").as("cv")))
 
   /** Codes pivoted wide: (vec_id, c0..c3) — one row per vector. */
   private[graft] def pqCodesPivot(emb: DataFrame): DataFrame =
-    pqEncode(emb).groupBy("vec_id").agg(
+    pqPivot(pqEncode(emb))
+
+  /** [[pqCodesPivot]] against a persisted codebook (code, cs, cv). */
+  private[graft] def pqCodesPivotWith(emb: DataFrame,
+                                      cb: DataFrame): DataFrame =
+    pqPivot(pqEncodeWith(emb, cb))
+
+  private def pqPivot(enc: DataFrame): DataFrame =
+    enc.groupBy("vec_id").agg(
       max(when(col("s") === 0, col("code"))).as("c0"),
       max(when(col("s") === 1, col("code"))).as("c1"),
       max(when(col("s") === 2, col("code"))).as("c2"),
@@ -240,6 +250,45 @@ object SimQueries {
     // search still serves the snapshot it indexed — its results are
     // required identical before and after the append. Oracle = the same
     // 2-iteration trained-IVF recomputation as sim_ivf_kmeans_topk.
+    // INCREMENTAL index refresh — the growth path between full rebuilds:
+    // new corpus vectors route to the EXISTING centroids (broadcast
+    // argmax, no training pass), append to the assignments, and the pin
+    // advances — O(new vectors), never O(corpus). The requires walk the
+    // full lifecycle: fresh search refuses on the stale index, refresh
+    // adds exactly the appended count, and the post-refresh fresh search
+    // SUCCEEDS serving the union corpus. Oracle: train over the original
+    // corpus, serve over original+appended — bit-for-bit the refresh
+    // contract.
+    "sim_ivf_refresh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annrf")
+      val corpusRoot = tmp.resolve("corpus").toString
+      val indexRoot = tmp.resolve("index").toString
+      val corpus = graft.sources.TxLogTable(s, corpusRoot)
+      corpus.commit(emb, overwrite = true)
+      graft.operators.AnnIndex.build(
+        s, corpusRoot, indexRoot, emb.schema, k = 8, iterations = 2,
+        pq = false)
+      corpus.commit(emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        overwrite = false)
+      val threw =
+        try {
+          graft.operators.AnnIndex.searchIvf(s, indexRoot, 0L, 5,
+            requireFresh = true).collect(); false
+        } catch { case _: IllegalArgumentException => true }
+      require(threw, "stale index must refuse before the refresh")
+      val (newPin, added) = graft.operators.AnnIndex.refresh(s, indexRoot)
+      require(added == 4L,
+        s"refresh must add exactly the appended vectors, got $added")
+      require(corpus.latestVersion.contains(newPin),
+        s"refresh must advance the pin to the corpus head: $newPin")
+      // requireFresh now passes — the refreshed index serves the union
+      graft.operators.AnnIndex.searchIvf(s, indexRoot, 0L, 5,
+        requireFresh = true)
+    }),
+
     "sim_ivf_persisted" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding"))
@@ -649,25 +698,39 @@ object SimQueries {
     * trainer (sim_ivf_kmeans_topk) and the persisted index
     * (sim_ivf_persisted), which serve the same pinned corpus.
     */
-  private lazy val ivfTrainedOracle: String = {
+  // `serveAppended = true` is the REFRESH oracle: training (c0→c1) runs
+  // over the ORIGINAL corpus only, but serve-time assignment (x2/a2) and
+  // the final scan run over the original PLUS the appended shifted
+  // copies — exactly what AnnIndex.refresh produces (build's assignments
+  // for the originals, assignTo against the SAME trained centroids for
+  // the appended vectors, one union scan at the advanced pin).
+  private def ivfOracle(serveAppended: Boolean): String = {
 
       def cs(v: String, c: String) =
         s"""${sqlDot(v, c)} /
             (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
-      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+      val serve =
+        if (serveAppended)
+          s"""SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id < 4"""
+        else "SELECT vec_id, embedding FROM embeddings"
+      s"""WITH vecs0 AS (SELECT vec_id, embedding FROM embeddings),
+          vecs AS ($serve),
           q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
           c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv
                  FROM embeddings WHERE vec_id < 8),
           x1 AS (SELECT v.vec_id, c.cluster,
                    ${cs("v.embedding", "c.cv")} AS cs
-                 FROM vecs v CROSS JOIN c0 c),
+                 FROM vecs0 v CROSS JOIN c0 c),
           a1 AS (SELECT vec_id, cluster FROM (
                    SELECT *, row_number() OVER
                      (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
                    FROM x1) WHERE rn = 1),
           pts AS (SELECT a1.cluster, i.i AS pos,
                     CAST(v.embedding[i.i] AS DOUBLE) AS x
-                  FROM a1 JOIN vecs v USING (vec_id)
+                  FROM a1 JOIN vecs0 v USING (vec_id)
                   CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
           m AS (SELECT cluster, pos,
                   CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
@@ -688,6 +751,8 @@ object SimQueries {
           JOIN vecs v USING (vec_id) CROSS JOIN q
           ORDER BY q_cos DESC, v.vec_id LIMIT 5"""
   }
+
+  private lazy val ivfTrainedOracle: String = ivfOracle(false)
 
   /** Trained-IVF + PQ/ADC recomputation — shared by the in-query
     * trainer (ivfpq_topk) and the persisted index (sim_ivfpq_persisted).
@@ -979,6 +1044,7 @@ object SimQueries {
     // identical recomputation: the persisted index serves the SAME pinned
     // corpus the in-query trainer would see, so the oracle is shared
     "sim_ivf_persisted" -> ivfTrainedOracle,
+    "sim_ivf_refresh" -> ivfOracle(serveAppended = true),
 
 
     "sim_ivf_topk" ->
