@@ -111,6 +111,38 @@ object EtlQueries {
         col("user_id") >= lo && col("user_id") <= hi)
     }),
 
+    // ANN index lifecycle in pure SQL (CALL system.ann_build /
+    // ann_refresh): the serving index is built, grown and re-pinned
+    // without leaving SQL — build trains once over the corpus's current
+    // version, the corpus moves on, refresh routes ONLY the new vectors
+    // to the existing centroids (no training pass, O(new)). The requires
+    // pin the build's version, the refresh's exact added count and the
+    // advanced pin; the returned top-5 search serves the union corpus
+    // and hash-matches the train-on-original / serve-on-union oracle.
+    "sql_ann_lifecycle" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .createOrReplaceTempView("emb_ann_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ann_corpus")
+      s.sql("CREATE TABLE graftcat.db.ann_corpus USING txlog AS " +
+        "SELECT vec_id, embedding FROM emb_ann_src")
+      // a pre-existing index root is fine: build overwrites every index
+      // table (a rebuild is just the next version of each)
+      val b = s.sql("CALL graftcat.system.ann_build('db.ann_corpus', " +
+        "'db.ann_idx', 8, 2, false)").collect().head
+      s.sql("INSERT INTO graftcat.db.ann_corpus " +
+        "SELECT vec_id + 1000000, embedding FROM emb_ann_src " +
+        "WHERE vec_id < 4")
+      val r = s.sql("CALL graftcat.system.ann_refresh('db.ann_idx')")
+        .collect().head
+      require(r.getLong(1) == 4L,
+        s"refresh must add exactly the appended vectors: $r")
+      require(r.getInt(0) > b.getInt(0),
+        s"refresh must advance the pin past the build's: $r vs $b")
+      graft.operators.AnnIndex.searchIvf(s, s"$wh/db/ann_idx", 0L, 5,
+        requireFresh = true)
+    }),
+
     // Column DEFAULT values end-to-end (TableCatalogCapability
     // .SUPPORT_COLUMN_DEFAULT_VALUE): CREATE declares defaults, INSERTs
     // omitting the column fill CURRENT_DEFAULT, and ALTER ADD COLUMN
@@ -2627,6 +2659,9 @@ object EtlQueries {
 
     "sql_zorder_scoped" ->
       """SELECT event_type, event_id, user_id, value FROM events""",
+
+    "sql_ann_lifecycle" ->
+      graft.queries.SimQueries.ivfOracle(serveAppended = true),
 
     "sql_column_defaults" ->
       """SELECT r_regionkey, r_name, 'active' AS status,

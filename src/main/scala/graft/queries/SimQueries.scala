@@ -704,7 +704,7 @@ object SimQueries {
   // copies — exactly what AnnIndex.refresh produces (build's assignments
   // for the originals, assignTo against the SAME trained centroids for
   // the appended vectors, one union scan at the advanced pin).
-  private def ivfOracle(serveAppended: Boolean): String = {
+  private[queries] def ivfOracle(serveAppended: Boolean): String = {
 
       def cs(v: String, c: String) =
         s"""${sqlDot(v, c)} /

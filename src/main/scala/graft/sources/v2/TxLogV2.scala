@@ -292,6 +292,15 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     TxLogTable(spark, pathOf(ident).toString)
   }
 
+  // warehouse path for a name that is a DIRECTORY of txlog tables (an
+  // ANN index root), not itself a table — no existence requirement
+  private def pathByName(qualified: String): Path = {
+    val parts = qualified.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"procedure path argument must be 'ns.name', got '$qualified'")
+    pathOf(Identifier.of(parts.init, parts.last))
+  }
+
   // one-row result delivered through a LocalScan (driver-side rows are
   // exactly what a maintenance summary is)
   private def resultScan(schema: StructType,
@@ -324,6 +333,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
+        "ann_build", "ann_refresh",
         "cursors", "release_cursor")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -640,6 +650,57 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("buckets_after", IntegerType),
               StructField("n_files", IntegerType))),
               Seq(InternalRow(v, before, newN, t.fileCount())))
+          }
+        }
+      case "ann_build" =>
+        // CALL c.system.ann_build('ns.corpus', 'ns.idx' [, k [, iters
+        // [, pq]]]): train and persist an ANN index over the corpus's
+        // CURRENT version (graft.operators.AnnIndex.build) — the index
+        // lands as txlog tables under the 'ns.idx' warehouse path
+        // (meta/centroids/assignments[/codes/codebook]). The SQL-first
+        // operator of the 100 TB catalog builds serving indexes without
+        // leaving SQL.
+        new MaintenanceProc("ann_build", Seq(
+          inParam("corpus", StringType),
+          inParam("index", StringType),
+          inParam("k", IntegerType, Some("8")),
+          inParam("iterations", IntegerType, Some("2")),
+          inParam("pq", BooleanType, Some("true")))) {
+          override def call(input: InternalRow) = {
+            val src = tableByName(input.getString(0))
+            val idxRoot = pathByName(input.getString(1)).toString
+            val k = if (input.isNullAt(2)) 8 else input.getInt(2)
+            val it = if (input.isNullAt(3)) 2 else input.getInt(3)
+            val pq = input.isNullAt(4) || input.getBoolean(4)
+            val schema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(0)).schema)
+            require(Seq("vec_id", "embedding").forall(
+              schema.fieldNames.contains),
+              "ann_build corpus needs (vec_id, embedding) columns")
+            val pinned = graft.operators.AnnIndex.build(
+              spark, src.root, idxRoot, schema, k, it, pq)
+            resultScan(StructType(Seq(
+              StructField("pinned_version", IntegerType))),
+              Seq(InternalRow(pinned)))
+          }
+        }
+      case "ann_refresh" =>
+        // CALL c.system.ann_refresh('ns.idx'): advance a persisted index
+        // to its corpus head WITHOUT a training pass — new vectors route
+        // to the existing centroids, PQ codes encode against the
+        // persisted codebook, the pin advances. O(new vectors); the
+        // between-rebuilds growth path (AnnIndex.refresh's contract,
+        // tombstoned corpora refuse loudly).
+        new MaintenanceProc("ann_refresh", Seq(
+          inParam("index", StringType))) {
+          override def call(input: InternalRow) = {
+            val idxRoot = pathByName(input.getString(0)).toString
+            val (v, added) =
+              graft.operators.AnnIndex.refresh(spark, idxRoot)
+            resultScan(StructType(Seq(
+              StructField("pinned_version", IntegerType),
+              StructField("vectors_added", LongType))),
+              Seq(InternalRow(v, added)))
           }
         }
       case "semdedup" =>
@@ -970,7 +1031,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           s"unknown txlog procedure: system.$other " +
             "(available: compact, vacuum, history, partitions, restore, " +
             "clone, zorder, rebucket, semdedup, dedup_near, bm25, " +
-            "optimize, detail, cursors, release_cursor)")
+            "optimize, detail, analyze, resort, changes, ann_build, " +
+            "ann_refresh, cursors, release_cursor)")
     }
   }
 

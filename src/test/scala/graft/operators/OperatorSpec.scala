@@ -116,4 +116,41 @@ class OperatorSpec extends AnyFunSuite {
     // keep-first: every cluster keeps at least its lowest id; dups die
     assert(derived.count(_._2) < 12 && derived(0L))
   }
+
+  test("AnnIndex.refresh: no-op at head, refuses a tombstoned corpus") {
+    implicit val sp = spark
+    val vecs = (0L until 16L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 1.0f + 0.01f * i
+      (i, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann-rf")
+    val corpus = graft.sources.TxLogTable(spark,
+      tmp.resolve("c").toString)
+    corpus.commit(emb, overwrite = true)
+    val idx = tmp.resolve("i").toString
+    AnnIndex.build(spark, corpus.root, idx, emb.schema, k = 4,
+      iterations = 2, pq = true)
+    // at head: a refresh is a clean no-op, pin unchanged
+    assert(AnnIndex.refresh(spark, idx) == (corpus.latestVersion.get, 0L))
+    // PQ codes append on refresh too, against the PERSISTED codebook
+    val before = graft.sources.TxLogTable(spark, s"$idx/codes")
+      .snapshot(AnnIndex.codesSchema).count()
+    corpus.commit(Seq((100L, vecs(1)._2)).toDF("vec_id", "embedding"),
+      overwrite = false)
+    val (_, added) = AnnIndex.refresh(spark, idx)
+    assert(added == 1L)
+    assert(graft.sources.TxLogTable(spark, s"$idx/codes")
+      .snapshot(AnnIndex.codesSchema).count() == before + 1)
+    // an identical copy routes to its twin's cell (same centroids)
+    val a = graft.sources.TxLogTable(spark, s"$idx/assignments")
+      .snapshot(AnnIndex.assignmentsSchema).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a(100L) == a(1L), s"copy must land in its twin's cell: $a")
+    // deletes poison the append-only window: refuse loudly
+    corpus.deleteByKeysMor(Seq(2L).toDF("vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.refresh(spark, idx) }
+    assert(e.getMessage.contains("phantom neighbors"), e.getMessage)
+  }
 }
