@@ -714,7 +714,9 @@ object TextQueries {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("band_key",
           org.apache.spark.sql.types.StringType)))
-      val idxBefore = idx.snapshot(bandSchema).count()
+      // manifest-only row counts: the growth require costs zero jobs
+      // on the index side (footer stats are already in the manifest)
+      val idxBefore = idx.metaRowCount().getOrElse(0L)
       val freshBands = statelessBands(fresh)
       val dupIds = freshBands.join(
         idx.snapshot(bandSchema)
@@ -728,8 +730,8 @@ object TextQueries {
       // and the append is legitimately empty, so pin EXACT growth)
       val admittedBands = statelessBands(admitted).cache()
       idx.commit(admittedBands, overwrite = false)
-      require(idx.snapshot(bandSchema).count() ==
-        idxBefore + admittedBands.count(),
+      require(idx.metaRowCount().contains(
+        idxBefore + admittedBands.count()),
         "index must grow by exactly the admitted batch's signatures")
       // the DECISION table — one row per batch doc, hash-checked, so the
       // reject path is proven too, not just the (possibly empty) admit set
