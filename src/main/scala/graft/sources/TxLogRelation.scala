@@ -34,13 +34,26 @@ final case class TxLogRelation(sqlContext: SQLContext, root: String,
   private def table: TxLogTable = TxLogTable(spark, root)
 
   override val schema: StructType = userSchema.getOrElse {
-    val rels = table.entries(version).map(_.rel)
-    require(rels.nonEmpty,
-      s"txlog table at $root is empty or absent: pass an explicit schema")
-    spark.read
-      .option("basePath", java.nio.file.Paths.get(root, "data").toString)
-      .parquet(rels.map(r =>
-        java.nio.file.Paths.get(root, "data", r).toString): _*).schema
+    // the RECORDED logical schema when the table declares one: after a
+    // type widening the data files physically DISAGREE (pre-widen int
+    // files, post-widen long files) and parquet footer inference
+    // returns whichever file it reads first — nondeterministic, and a
+    // restarted stream that inferred the narrow loser re-pins the very
+    // schema the widening guard tells it to escape. The manifest's
+    // #schema line is the contract; footers are only a fallback for
+    // raw tables that never declared one.
+    version.orElse(table.latestVersion).flatMap(table.schemaOf)
+      .getOrElse {
+        val rels = table.entries(version).map(_.rel)
+        require(rels.nonEmpty,
+          s"txlog table at $root is empty or absent: pass an explicit " +
+            "schema")
+        spark.read
+          .option("basePath",
+            java.nio.file.Paths.get(root, "data").toString)
+          .parquet(rels.map(r =>
+            java.nio.file.Paths.get(root, "data", r).toString): _*).schema
+      }
   }
 
   // conservative Filter → Column translation: anything not understood

@@ -922,6 +922,16 @@ class TxLogTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.widenColumn("n", IntegerType))
     intercept[IllegalArgumentException](t.widenColumn("f", LongType))
     intercept[IllegalArgumentException](t.widenColumn("nope", LongType))
+    // schema INFERENCE after a widen is the recorded wide contract, NOT
+    // a parquet footer lottery: the table now holds int AND long files
+    // for n, and footer-based inference returns whichever file it reads
+    // first — a restarted stream that drew the narrow loser would
+    // re-pin the schema the widening guard tells it to escape (this was
+    // a real 1-in-3 flake before the recorded schema won)
+    val inferred = spark.read.format("txlog").load(t.root).schema
+    assert(inferred("n").dataType == LongType &&
+      inferred("f").dataType == DoubleType,
+      s"inference must follow the recorded schema: $inferred")
   }
 
   test("widenColumn refuses bucket keys (typed hash would split buckets)") {
