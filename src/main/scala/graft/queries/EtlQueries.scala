@@ -1144,6 +1144,96 @@ object EtlQueries {
       } finally s.conf.set(key, prev)
     }),
 
+    // Dynamic FILE pruning — DPP's twin for the join keys a fact is NOT
+    // hive-partitioned on: the fact is BUCKETED by the key, the dim's
+    // runtime IN-set hashes each value to its one hidden _bkt dir, and
+    // the scan reads only the matching dirs (manifest decision — same
+    // candidateFilesWhere machinery as static point lookups). The dim
+    // filter selects 5 of 25 nationkeys regardless of scale factor, so
+    // the 16-bucket fact always skips dirs; the requires prove the DPP
+    // subquery planned AND the file set shrank at runtime. At 100 TB
+    // this is the star join reading 5/16ths of a fact nobody thought to
+    // partition by that key.
+    "sql_file_skip_join" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_dfp_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_dfp")
+      s.sql("CREATE TABLE graftcat.db.cust_dfp (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE, c_nationkey INT) USING txlog " +
+        "PARTITIONED BY (bucket(16, c_nationkey))")
+      s.sql("INSERT INTO graftcat.db.cust_dfp " +
+        "SELECT c_custkey, c_acctbal, c_nationkey FROM cust_dfp_src")
+      s.read.parquet(s"$dir/nation.parquet")
+        .createOrReplaceTempView("nation_dfp")
+      val key =
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "false")
+      graft.sources.v2.TxLogSpjScan.lastRuntimePrune.set((0, 0))
+      try {
+        val out = s.sql("""
+          SELECT c.c_nationkey AS nationkey, count(*) AS n_cust,
+                 CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                   AS DOUBLE) AS bal
+          FROM graftcat.db.cust_dfp c
+          JOIN nation_dfp n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = 2
+          GROUP BY c.c_nationkey""")
+        require(out.queryExecution.executedPlan.toString
+          .toLowerCase.contains("dynamicpruning"),
+          "runtime filter subquery missing from the executed plan")
+        val rows = out.collect()
+        val (before, after) =
+          graft.sources.v2.TxLogSpjScan.lastRuntimePrune.get()
+        require(before > after && after > 0,
+          s"bucket-hash runtime prune must shrink the fact scan: " +
+            s"$before -> $after")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+          out.schema)
+      } finally s.conf.set(key, prev)
+    }),
+
+    // HIDDEN time partitioning (Iceberg's days(ts), re-derived on the
+    // hive layout): the table declares PARTITIONED BY (days(ts)), every
+    // write derives the calendar dir from the instant (zone-free epoch
+    // arithmetic), reads never see the hidden level, and a ts-range
+    // predicate prunes to the matching dirs from the MANIFEST ALONE —
+    // the derived segment bounds decide, no timestamp footer stats
+    // needed. The require proves a 7-of-30-day range reads only those
+    // days' files. At 100 TB: time-clustered ingest with no
+    // user-managed date column, and "read the week, not the month".
+    "sql_hidden_partitioning" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_hp_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_hp")
+      s.sql("CREATE TABLE graftcat.db.ev_hp (event_id BIGINT, " +
+        "ts TIMESTAMP, value DOUBLE) USING txlog " +
+        "PARTITIONED BY (days(ts))")
+      // source ts is epoch-nanos LongType (Tables contract) → micros
+      s.sql("INSERT INTO graftcat.db.ev_hp " +
+        "SELECT event_id, timestamp_micros(CAST(ts DIV 1000 AS BIGINT))," +
+        " value FROM ev_hp_src")
+      val tl = graft.sources.TxLogTable(s, s"$wh/db/ev_hp")
+      val lo = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      val hi = java.time.Instant.parse("2024-01-12T00:00:00Z")
+      import org.apache.spark.sql.functions.lit
+      val all = tl.entries(None).map(_.rel)
+      val hit = tl.candidateFilesWhere(
+        org.apache.spark.sql.functions.col("ts") >= lit(lo) &&
+          org.apache.spark.sql.functions.col("ts") < lit(hi))
+      val okDays = (5 to 11).map(d => f"_tp=2024-01-$d%02d/")
+      require(hit.nonEmpty && hit.size < all.size &&
+        hit.forall(r => okDays.exists(r.startsWith)),
+        s"7-day range must prune to its dirs: ${hit.size} of " +
+          s"${all.size}: $hit")
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        FROM graftcat.db.ev_hp
+        WHERE ts >= timestamp_seconds(1704412800)
+          AND ts < timestamp_seconds(1705017600)""")
+    }),
+
     // Bucketed storage-partitioned join — the HIGH-CARDINALITY twin of
     // sql_spj_join: `PARTITIONED BY (bucket(8, key))` lays both tables
     // out as hidden `_bkt=<pmod(xxhash64(key), 8)>` hive dirs, the scans
@@ -2792,6 +2882,20 @@ object EtlQueries {
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE n.n_regionkey = 2
          GROUP BY c.c_nationkey""",
+
+    "sql_file_skip_join" ->
+      """SELECT c.c_nationkey AS nationkey, count(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_regionkey = 2
+         GROUP BY c.c_nationkey""",
+
+    "sql_hidden_partitioning" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         FROM events
+         WHERE epoch_ns(ts) >= 1704412800000000000
+           AND epoch_ns(ts) < 1705017600000000000""",
 
     "sql_bucket_join" ->
       """SELECT c.c_custkey AS custkey, count(*) AS n_ord,

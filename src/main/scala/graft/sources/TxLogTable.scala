@@ -250,6 +250,86 @@ object TxLogTable {
       (name.startsWith(BucketCol) &&
         name.drop(BucketCol.length).forall(_.isDigit))
 
+  /** Reserved hive-segment name of the first hidden TIME partition
+    * level (`_tp=2024-01-15` dirs) — Iceberg's hidden partitioning
+    * (`days(ts)` & friends) re-derived on the hive layout this format
+    * already has. Like [[BucketCol]]: never part of the logical schema,
+    * derived at every staging write, dropped by every read.
+    */
+  val TimeCol = "_tp"
+
+  /** Hidden hive-dir column name of time level `i`: `_tp`, `_tp1`, ... */
+  def timeColAt(i: Int): String =
+    if (i == 0) TimeCol else s"$TimeCol$i"
+
+  /** Is `name` one of the reserved hidden time-level columns? */
+  def isTimeCol(name: String): Boolean =
+    name == TimeCol ||
+      (name.startsWith(TimeCol) &&
+        name.drop(TimeCol.length).forall(_.isDigit))
+
+  /** Any reserved hidden derived partition level (bucket or time). */
+  def isHiddenCol(name: String): Boolean =
+    isBucketCol(name) || isTimeCol(name)
+
+  /** The granularities a time transform can take. Segment rendering is
+    * Iceberg's lexicographic convention (`2024`, `2024-01`,
+    * `2024-01-15`, `2024-01-15-08`): string order IS time order, so a
+    * time-range slice of dirs is contiguous.
+    */
+  val TimeUnits: Seq[String] = Seq("year", "month", "day", "hour")
+
+  /** Spark's hive sentinel for a NULL partition value. */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Driver-side twin of [[timeSegCol]]: the calendar segment containing
+    * epoch-micros `us`, same floor-division arithmetic, same rendering —
+    * the pruning side and the layout side can never disagree.
+    */
+  def segOfMicros(us: Long, unit: String): String = {
+    val secs = Math.floorDiv(us, 1000000L)
+    val days = Math.floorDiv(secs, 86400L)
+    val d = java.time.LocalDate.ofEpochDay(days)
+    unit match {
+      case "year" => f"${d.getYear}%04d"
+      case "month" => f"${d.getYear}%04d-${d.getMonthValue}%02d"
+      case "day" => d.toString
+      case "hour" =>
+        f"${d.toString}-${Math.floorMod(secs, 86400L) / 3600L}%02d"
+      case other =>
+        throw new IllegalArgumentException(s"unknown time unit $other")
+    }
+  }
+
+  /** The ONE definition of a time-level segment value: the UTC calendar
+    * truncation of the source TIMESTAMP, derived zone-FREE from epoch
+    * arithmetic (`unix_timestamp` of an instant, day = floor-div 86400,
+    * rendered through DateType's zone-free string cast) — NOT
+    * `date_format`, whose session-zone rendering would let two writers
+    * in different zones split one instant across two dirs. Every
+    * staging write derives the hidden dir value from this expression,
+    * so layout and maintenance can never disagree. NULL instants derive
+    * NULL and land in the hive default partition — sound: a temporal
+    * predicate never matches a NULL instant, and the per-file stats
+    * carry the nullness for `IS NULL` scans.
+    */
+  def timeSegCol(key: String, unit: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val e = unix_timestamp(col(key)) // epoch seconds of the instant
+    val days = floor(e.cast("double") / 86400d).cast("int")
+    val dstr = date_add(to_date(lit("1970-01-01")), days).cast("string")
+    unit match {
+      case "year" => substring(dstr, 1, 4)
+      case "month" => substring(dstr, 1, 7)
+      case "day" => dstr
+      case "hour" => concat(dstr, lit("-"),
+        lpad((pmod(e, lit(86400L)) / 3600L).cast("int").cast("string"),
+          2, "0"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown time unit $other")
+    }
+  }
+
   /** The ONE definition of a bucket id: `pmod(xxhash64(key), n)`. Every
     * staging write, every rebucket rewrite, the V2 bucket function and
     * the manifest point-prune all derive from this expression (or its
@@ -877,6 +957,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       l.startsWith("#schema=") || l.startsWith("#colmap=") ||
         l.startsWith("#bloomBits=") ||
         l.startsWith("#bucketSpec=") ||
+        l.startsWith("#timeSpec=") ||
         l.startsWith("#sortCols=") ||
         l.startsWith("#ndvCols=") || l.startsWith("#ndv:") ||
         l.startsWith("#optimizeWrite=") ||
@@ -915,17 +996,48 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         (body.substring(0, cut), body.substring(cut + 1).toInt)
     }
 
-  // derive the hidden bucket columns when this table is bucketed and the
-  // staged frame doesn't already carry them — the ONE chokepoint every
-  // write path (append, merge rewrite, delete rewrite, replaceWhere,
-  // compaction) funnels through keeps the layout automatic
+  /** Hidden-TIME-partitioning layout recorded at `v` — ONE
+    * `#timeSpec=<col>:<unit>` line per time LEVEL, in order: the table
+    * is hive-partitioned on the HIDDEN derived columns
+    * [[TxLogTable.timeColAt]] `= utc-truncation(col)` (Iceberg's
+    * `days(ts)` transform re-derived on the hive layout, exactly like
+    * [[bucketSpecsOf]] re-derives `bucket(n, k)`). The source column
+    * stays a plain TIMESTAMP data column; the calendar segments are
+    * derived at every staging write and dropped by every read. What it
+    * buys at 100 TB: time-clustered ingest with NO user-managed date
+    * column — every file's `ts` min/max spans one calendar unit, so the
+    * ordinary manifest range stats prune a time-range scan to the
+    * matching dirs without any derived-predicate machinery, and
+    * partition-scoped maintenance (compactWhere / zorder-where /
+    * overwrite) targets one day instead of the table.
+    */
+  def timeSpecsOf(v: Int): Seq[(String, String)] =
+    manifestLines(v).collect {
+      case l if l.startsWith("#timeSpec=") =>
+        val body = l.stripPrefix("#timeSpec=")
+        val cut = body.lastIndexOf(':')
+        (body.substring(0, cut), body.substring(cut + 1))
+    }
+
+  // derive the hidden bucket and time columns when this table's layout
+  // declares them and the staged frame doesn't already carry them — the
+  // ONE chokepoint every write path (append, merge rewrite, delete
+  // rewrite, replaceWhere, compaction) funnels through keeps the layout
+  // automatic
   private def withBucketCol(df: DataFrame,
                             partitionCols: Seq[String]): DataFrame = {
     val specs = latestVersion.map(bucketSpecsOf).getOrElse(Nil)
-    specs.zipWithIndex.foldLeft(df) { case (acc, ((key, n), i)) =>
-      val bc = TxLogTable.bucketColAt(i)
-      if (!partitionCols.contains(bc) || acc.columns.contains(bc)) acc
-      else acc.withColumn(bc, TxLogTable.bucketIdCol(key, n))
+    val times = latestVersion.map(timeSpecsOf).getOrElse(Nil)
+    val bucketed = specs.zipWithIndex.foldLeft(df) {
+      case (acc, ((key, n), i)) =>
+        val bc = TxLogTable.bucketColAt(i)
+        if (!partitionCols.contains(bc) || acc.columns.contains(bc)) acc
+        else acc.withColumn(bc, TxLogTable.bucketIdCol(key, n))
+    }
+    times.zipWithIndex.foldLeft(bucketed) { case (acc, ((key, u), i)) =>
+      val tc = TxLogTable.timeColAt(i)
+      if (!partitionCols.contains(tc) || acc.columns.contains(tc)) acc
+      else acc.withColumn(tc, TxLogTable.timeSegCol(key, u))
     }
   }
 
@@ -939,7 +1051,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
              bucketSpecs: Seq[(String, Int)] = Nil,
              sortCols: Seq[String] = Nil,
              ndvCols: Seq[String] = Nil,
-             optimizeWrite: Boolean = false): Int = {
+             optimizeWrite: Boolean = false,
+             timeSpecs: Seq[(String, String)] = Nil): Int = {
     ndvCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"ndv column $c not in schema")
@@ -963,9 +1076,39 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         "sortCols need a partitioned layout (the staging write path is " +
           "what enforces the sort); partition or bucket the table")
     }
-    partitionCols.filterNot(TxLogTable.isBucketCol)
+    partitionCols.filterNot(TxLogTable.isHiddenCol)
       .foreach(c => require(schema.fieldNames.contains(c),
         s"partition column $c not in schema"))
+    if (timeSpecs.nonEmpty) {
+      timeSpecs.foreach { case (k, u) =>
+        require(schema.fieldNames.contains(k),
+          s"time-partition source column $k not in schema")
+        require(schema.fields.find(_.name == k).exists(_.dataType ==
+          org.apache.spark.sql.types.TimestampType),
+          s"time-partition source $k must be TIMESTAMP (a DATE column " +
+            "can identity-partition directly)")
+        require(TxLogTable.wireSafeName(k),
+          s"time-partition source '$k' contains a manifest wire delimiter")
+        require(TxLogTable.TimeUnits.contains(u),
+          s"unknown time unit $u: use ${TxLogTable.TimeUnits}")
+        require(!partitionCols.contains(k),
+          s"time-partition source $k cannot also be an identity " +
+            "partition column")
+      }
+      require(timeSpecs.map(_._1).distinct == timeSpecs.map(_._1),
+        s"one time transform per source column: ${timeSpecs.map(_._1)}")
+      schema.fieldNames.filter(TxLogTable.isTimeCol).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column name $c is reserved for hidden time partitioning"))
+      // the hidden time levels appear among the NON-bucket levels in
+      // spec order (typically outermost: the date ingest layout); the
+      // hidden bucket levels stay innermost regardless
+      require(partitionCols.filter(TxLogTable.isTimeCol) ==
+        timeSpecs.indices.map(TxLogTable.timeColAt),
+        s"a time-partitioned table's hidden cols are " +
+          s"${timeSpecs.indices.map(TxLogTable.timeColAt)} in spec " +
+          s"order, got $partitionCols")
+    }
     if (bucketSpecs.nonEmpty) {
       val keys = bucketSpecs.map(_._1)
       require(keys.distinct == keys,
@@ -997,6 +1140,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       (metaLines(partitionCols, "create", bloomCols) ++
         Seq(s"#schema=${schema.json}") ++
         bucketSpecs.map { case (k, n) => s"#bucketSpec=$k:$n" } ++
+        timeSpecs.map { case (k, u) => s"#timeSpec=$k:$u" } ++
         (if (sortCols.nonEmpty)
            Seq(s"#sortCols=${sortCols.mkString(",")}") else Nil) ++
         (if (ndvCols.nonEmpty)
@@ -1111,6 +1255,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       require(!bucketSpecsOf(b).exists(_._1 == oldName),
         s"cannot rename bucket key $oldName (the bucket spec and every " +
           "file's hive bucket id derive from it)")
+      require(!timeSpecsOf(b).exists(_._1 == oldName),
+        s"cannot rename time-partition source $oldName (the time spec " +
+          "and every file's hidden calendar dir derive from it)")
       require(!sortColsOf(b).contains(oldName),
         s"cannot rename sort column $oldName (every file's physical " +
           "row order derives from it)")
@@ -1182,6 +1329,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         s"cannot drop partition column $name")
       require(!bucketSpecsOf(b).exists(_._1 == name),
         s"cannot drop bucket key $name")
+      require(!timeSpecsOf(b).exists(_._1 == name),
+        s"cannot drop time-partition source $name")
       require(!sortColsOf(b).contains(name),
         s"cannot drop sort column $name")
       require(tombstonesOf(b).isEmpty,
@@ -1224,6 +1373,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         s"cannot widen bucket key $name (bucket ids hash the typed " +
           "value; old files' rows would sit in different buckets than " +
           "new writes — rebucket instead)")
+      require(!timeSpecsOf(b).exists(_._1 == name),
+        s"cannot widen time-partition source $name")
       require(tombstonesOf(b).isEmpty,
         "cannot widen with live MOR tombstones: compact first")
       val newSchema = StructType(schema.fields.map(x =>
@@ -1548,12 +1699,49 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                            points: Map[String, Set[PredicateRanges.Point]] =
                              Map.empty,
                            strRanges: Map[String, PredicateRanges.StrBound] =
-                             Map.empty): Boolean =
+                             Map.empty,
+                           timeSegs: Seq[(String, Option[String],
+                             Option[String])] = Nil): Boolean =
     ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) } &&
       nn.mustBeNull.forall(mayHaveNull(e, _)) &&
       nn.mustBeNonNull.forall(mayHaveNonNull(e, _)) &&
       points.forall { case (c, pts) => mayMatchBloom(e, c, pts) } &&
-      strRanges.forall { case (c, b) => mayOverlapStr(e, c, b) }
+      strRanges.forall { case (c, b) => mayOverlapStr(e, c, b) } &&
+      timeSegs.forall { case (tc, lo, hi) =>
+        e.rel.split('/').iterator
+          .collectFirst { case s if s.startsWith(s"$tc=") =>
+            TxLogTable.unescapePath(s.stripPrefix(s"$tc=")) } match {
+          case None => true // pre-layout file: cannot decide, keep
+          case Some(TxLogTable.HiveDefaultPartition) =>
+            false // all-NULL instants can never satisfy a bound
+          case Some(seg) => lo.forall(seg >= _) && hi.forall(seg <= _)
+        }
+      }
+
+  /** Hidden-time-dir bounds derived from the extracted ranges: for each
+    * time level whose SOURCE column is bounded (physically keyed —
+    * renames refuse time sources, so recorded = physical), floor the
+    * epoch-micros bounds to the unit's calendar segment; the file's
+    * `_tp` dir value must land inside, compared as STRINGS (the
+    * lexicographic segment format makes string order time order). This
+    * is what makes `WHERE ts BETWEEN ...` on a `days(ts)`-partitioned
+    * table a manifest-only dir slice even when the parquet footers
+    * carry no timestamp stats.
+    */
+  private def timeSegBounds(ranges: Map[String, PredicateRanges.Bound],
+                            v: Option[Int])
+      : Seq[(String, Option[String], Option[String])] =
+    v.orElse(latestVersion).map(timeSpecsOf).getOrElse(Nil).zipWithIndex
+      .flatMap { case ((src, unit), i) =>
+        ranges.get(src).flatMap { b =>
+          val lo = if (b.lo == Long.MinValue) None
+            else Some(TxLogTable.segOfMicros(b.lo, unit))
+          val hi = if (b.hi == Long.MaxValue) None
+            else Some(TxLogTable.segOfMicros(b.hi, unit))
+          if (lo.isEmpty && hi.isEmpty) None
+          else Some((TxLogTable.timeColAt(i), lo, hi))
+        }
+      }
 
   /** Files of `version` that MAY contain a row matching `pred` — the
     * manifest-level pruning decision behind [[snapshotWhere]] /
@@ -1572,9 +1760,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val points = physKeyed(map, PredicateRanges.extractPoints(pred))
     val strs = physKeyed(map, PredicateRanges.extractStr(pred))
     val buckets = allowedBuckets(points, version)
+    val tsegs = timeSegBounds(ranges, version)
     entries(version).collect {
       case e if bucketMayMatch(e, buckets) &&
-        mayMatchPred(e, ranges, nn, points, strs) => e.rel
+        mayMatchPred(e, ranges, nn, points, strs, tsegs) => e.rel
     }
   }
 
@@ -1925,8 +2114,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val nn = physNullness(map, PredicateRanges.extractNullness(pred))
     val points = physKeyed(map, PredicateRanges.extractPoints(pred))
     val strs = physKeyed(map, PredicateRanges.extractStr(pred))
+    val tsegs = timeSegBounds(ranges, version)
     val es = entries(version)
-      .filter(mayMatchPred(_, ranges, nn, points, strs))
+      .filter(mayMatchPred(_, ranges, nn, points, strs, tsegs))
     readMaskedEntries(schema, es, version).filter(pred)
   }
 
@@ -3746,7 +3936,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
         .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
-          ranges, nn, points, strs))
+          ranges, nn, points, strs, timeSegBounds(ranges, base)))
       // Reads through the tombstone mask (no resurrection on rewrite).
       val kept = readMaskedEntries(schema,
           affected.map(TxLogTable.decodeEntry), base)
@@ -3998,7 +4188,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // option("mergeSchema", "true"), which evolves the schema first.
     tableSchema.foreach { rec =>
       df.schema.fields.foreach { f =>
-        if (!TxLogTable.isBucketCol(f.name))
+        if (!TxLogTable.isHiddenCol(f.name))
           rec.fields.find(_.name == f.name) match {
             case None => throw new IllegalArgumentException(
               s"append column ${f.name} is not in the table schema " +
@@ -4054,10 +4244,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val bucketsStillFit = expectBkt.nonEmpty &&
         partitionCols.takeRight(expectBkt.length) == expectBkt &&
         partitionCols.count(TxLogTable.isBucketCol) == expectBkt.length
+      val expectTp = base.map(timeSpecsOf).getOrElse(Nil)
+        .indices.map(TxLogTable.timeColAt)
+      val timesStillFit = expectTp.nonEmpty &&
+        partitionCols.filter(TxLogTable.isTimeCol) == expectTp
       val dropLines: String => Boolean = l =>
         (bloomBits > 0 && l.startsWith("#bloomBits=")) ||
           (overwrite && !bucketsStillFit &&
             l.startsWith("#bucketSpec=")) ||
+          (overwrite && !timesStillFit &&
+            l.startsWith("#timeSpec=")) ||
           (overwrite && partitionCols.isEmpty &&
             l.startsWith("#sortCols="))
       // NDV fold: append merges the batch minima into the carried

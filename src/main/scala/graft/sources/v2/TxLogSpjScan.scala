@@ -80,37 +80,92 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
   @volatile private var runtimePruned
       : Option[Map[String, Set[String]]] = None
 
+  // dynamic FILE pruning from runtime join-key sets over NON-partition
+  // columns: the surviving rel set, decided by the manifest machinery
+  // (bucket hashing + per-file Blooms + min/max ranges) when filter()
+  // delivers an IN/= over a column [[filterAttributes]] declared
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+
   private def partCols: Seq[String] =
     version.orElse(tbl.table.latestVersion)
       .map(tbl.table.partitionColsOf).getOrElse(Nil)
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // identity levels accept runtime filters; the hidden bucket levels
-    // are not query attributes (their prune is the hash path, not DPP)
-    partCols.filterNot(graft.sources.TxLogTable.isBucketCol)
-      .map(Expressions.column).toArray
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // identity levels accept runtime filters via their hive segments.
+    // Beyond them, any column with a manifest structure built for point
+    // lookups prunes FILES from a runtime join-key set: a bucket key (a
+    // value hashes to ONE hidden _bkt dir), a Bloom column (per-file
+    // membership), a sort column (range-disjoint files) — dynamic FILE
+    // pruning, the star-join read-less story for the join keys a 100 TB
+    // fact is NOT partitioned on. The hidden bucket LEVELS themselves
+    // are not query attributes and never appear (their prune IS the
+    // hash path on the key column). Those structures record PHYSICAL
+    // names; the query's attributes are logical — translate through the
+    // colmap or a renamed key stops accepting filters.
+    val v = version.orElse(tbl.table.latestVersion)
+    // time-partition SOURCES join the stats path: each hidden calendar
+    // dir's files span one unit, so their min/max ranges prune a
+    // runtime instant-set tightly
+    val phys = (tbl.bucketSpecs.values.map(_._1) ++
+      tbl.timeSpecs.values.map(_._1) ++
+      v.map(tbl.table.bloomColsOf).getOrElse(Nil) ++ tbl.sortCols).toSet
+    val idParts = partCols.filterNot(graft.sources.TxLogTable.isHiddenCol)
+    val cmap = v.map(tbl.table.colMapOf)
+      .getOrElse(Map.empty[String, String])
+    // ONLY columns this scan actually reads: Spark resolves every
+    // reported attribute against the pruned relation output
+    // (V2ExpressionUtils.resolveRefs) and an unresolvable one fails the
+    // whole query's optimization — a column not in the output can never
+    // be a join key anyway
+    val read = readSchema().fieldNames.toSet
+    val dataCols = readSchema().fields.map(_.name)
+      .filter(n => phys(cmap.getOrElse(n, n)))
+      .filterNot(idParts.contains)
+    (idParts.filter(read) ++ dataCols).map(Expressions.column).toArray
+  }
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    val translated = predicates.toSeq.flatMap(TxLogSpjScan.segmentValues)
+    val pcs = partCols.toSet
+    val (segPreds, dataPreds) = predicates.toSeq.partition(p =>
+      TxLogSpjScan.segmentValues(p).exists(kv => pcs(kv._1)))
+    val translated = segPreds.flatMap(TxLogSpjScan.segmentValues)
     if (translated.nonEmpty) {
       val m = translated.groupMapReduce(_._1)(_._2)(_ intersect _)
       runtimePruned = Some(m)
+    }
+    // non-partition runtime keys prune through candidateFilesWhere —
+    // the SAME per-file decision static predicates get (bucket hash,
+    // Bloom probe, range overlap), so scan and runtime never disagree
+    val cols = dataPreds.flatMap(TxLogSpjScan.pointColumn)
+    if (cols.nonEmpty)
+      runtimeKeep = Some(
+        tbl.table.candidateFilesWhere(cols.reduce(_ && _), version).toSet)
+    if (translated.nonEmpty || cols.nonEmpty)
       TxLogSpjScan.lastRuntimePrune.set(
         (baseRels.size, prunedRels.size))
-    }
   }
 
   // runtime-pruned file set: a file survives when every constrained
   // partition column's segment value is in the allowed set (files
-  // missing the segment survive — sound, never wrong rows)
-  private def prunedRels: Seq[String] = runtimePruned match {
-    case None => baseRels
-    case Some(m) => baseRels.filter { r =>
-      val segs = graft.sources.TxLogTable.partitionSegmentsOf(r)
-      m.forall { case (c, vs) => segs.get(c).forall(vs.contains) }
+  // missing the segment survive — sound, never wrong rows) AND the
+  // manifest stats say it may hold a runtime join-key value. Removing
+  // files from a sorted dir keeps it armed: a subsequence of pairwise-
+  // disjoint ranges is still pairwise disjoint, so the concatenation
+  // stays ordered.
+  private def prunedRels: Seq[String] = {
+    val seg = runtimePruned match {
+      case None => baseRels
+      case Some(m) => baseRels.filter { r =>
+        val segs = graft.sources.TxLogTable.partitionSegmentsOf(r)
+        m.forall { case (c, vs) => segs.get(c).forall(vs.contains) }
+      }
+    }
+    runtimeKeep match {
+      case None => seg
+      case Some(keep) => seg.filter(keep)
     }
   }
 
@@ -156,10 +211,12 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       index.partitionSchema.fields.map { f =>
-        tbl.bucketSpecs.get(f.name) match {
-          case Some((k, n)) => Expressions.bucket(n, k)
+        (tbl.bucketSpecs.get(f.name), tbl.timeSpecs.get(f.name)) match {
+          case (Some((k, n)), _) => Expressions.bucket(n, k)
             : org.apache.spark.sql.connector.expressions.Expression
-          case None => Expressions.identity(f.name)
+          case (_, Some((src, u))) => tbl.timeTransform(src, u)
+            : org.apache.spark.sql.connector.expressions.Expression
+          case _ => Expressions.identity(f.name)
             : org.apache.spark.sql.connector.expressions.Expression
         }
       },
@@ -267,7 +324,7 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     // runtime filters (if any arrived) shrink the file set between the
     // plan-time report and execution — re-list over the survivors
     val execDirs =
-      if (runtimePruned.isEmpty) dirs
+      if (runtimePruned.isEmpty && runtimeKeep.isEmpty) dirs
       else mkIndex(prunedRels).listFiles(Nil, Nil)
     val maxSplit = FilePartition.maxSplitBytes(spark, execDirs)
     // SORTED tables never split a file: the reported ordering is a
@@ -434,6 +491,64 @@ object TxLogSpjScan {
     case IntegerType | LongType | ShortType | ByteType | StringType =>
       Option(l.value).map(_.toString)
     case _ => None
+  }
+
+  /** Runtime IN-set cap for the stats path: past this many values the
+    * per-file membership probes cost more than they save, so the
+    * predicate drops and prunes nothing (rows still re-filter above).
+    */
+  private val MaxRuntimePoints = 10000
+
+  /** `col IN (v...)` / `col = v` over one NON-partition column → an
+    * equivalent [[org.apache.spark.sql.Column]] for the manifest pruning
+    * machinery ([[graft.sources.TxLogTable.candidateFilesWhere]]) — the
+    * dynamic-FILE-pruning twin of [[segmentValues]], for join keys the
+    * table is bucketed/Bloomed/sorted on rather than hive-partitioned
+    * on. Integral and string literals only: those are the kinds the
+    * manifest point machinery's coercion rules can probe soundly; any
+    * other type — or a set past [[MaxRuntimePoints]] — yields None and
+    * prunes nothing. String values arrive as catalyst UTF8String and
+    * must re-externalize before they can be literals again.
+    */
+  private[v2] def pointColumn(p: Predicate)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    def colName(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    def scalaVal(l: VLiteral[_]): Option[Any] = l.dataType match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        Option(l.value)
+      case StringType => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    def qcol(n: String) = col("`" + n.replace("`", "``") + "`")
+    p.name match {
+      case "IN" if p.children.length > 1 &&
+          p.children.length - 1 <= MaxRuntimePoints =>
+        for {
+          c <- colName(p.children.head)
+          vals <- {
+            val vs = p.children.tail.toSeq.map {
+              case l: VLiteral[_] => scalaVal(l)
+              case _ => None
+            }
+            // one untranslatable value poisons the whole IN: a partial
+            // set would wrongly prune files holding the dropped value
+            if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+          }
+        } yield qcol(c).isin(vals: _*)
+      case "=" => p.children.toSeq match {
+        case Seq(a, l: VLiteral[_]) =>
+          for (c <- colName(a); v <- scalaVal(l)) yield qcol(c).isin(v)
+        case Seq(l: VLiteral[_], a) =>
+          for (c <- colName(a); v <- scalaVal(l)) yield qcol(c).isin(v)
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   /** `col IN (v...)` / `col = v` over one column → (col, segment values).

@@ -164,10 +164,28 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     // or a bucket GRID for a composite join key); see
     // TxLogTable.bucketSpecsOf
     val (bucketTs, idTs) = partitions.toSeq.partition(_.name == "bucket")
+    // `PARTITIONED BY (years|months|days|hours(ts))` — Iceberg-style
+    // HIDDEN time partitioning: the transform becomes a hidden derived
+    // calendar level (TxLogTable.timeColAt) and the source stays a
+    // plain TIMESTAMP column; see TxLogTable.timeSpecsOf. Non-bucket
+    // levels keep the user's declared order.
+    val timeUnitOf = Map("years" -> "year", "months" -> "month",
+      "days" -> "day", "hours" -> "hour")
+    val timeSpecs = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val idCols = idTs.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"txlog supports identity or bucket partitioning, got $t")
-      t.references.head.fieldNames.mkString(".")
+      if (timeUnitOf.contains(t.name)) {
+        require(t.references.length == 1,
+          s"time transform takes exactly one source column: $t")
+        val src = t.references.head.fieldNames.mkString(".")
+        val tc = TxLogTable.timeColAt(timeSpecs.length)
+        timeSpecs += ((src, timeUnitOf(t.name)))
+        tc
+      } else {
+        require(t.name == "identity" && t.references.length == 1,
+          s"txlog supports identity, bucket, or years/months/days/hours " +
+            s"partitioning, got $t")
+        t.references.head.fieldNames.mkString(".")
+      }
     }
     val bucketSpecs = bucketTs.map { bt =>
       import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
@@ -216,7 +234,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       Option(properties.get("optimizeWrite")).exists(_.trim.toBoolean)
     TxLogTable(spark, pathOf(ident).toString)
       .create(schema, partCols, bloomCols, bucketSpecs, sortCols, ndvCols,
-        optimizeWrite)
+        optimizeWrite, timeSpecs.toSeq)
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
   }
 
@@ -884,7 +902,9 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               Seq(InternalRow(v, sizes.size, exactRows,
                 Long.box(sizes.map(_._2).sum),
                 s(t.partitionColsOf(v).mkString(",")),
-                s(t.bucketSpecsOf(v).map { case (k, n) => s"bucket($n, $k)" }
+                s((t.bucketSpecsOf(v).map { case (k, n) =>
+                    s"bucket($n, $k)" } ++
+                  t.timeSpecsOf(v).map { case (k, u) => s"${u}s($k)" })
                   .mkString(", ")),
                 s(t.sortColsOf(v).mkString(",")),
                 s(t.bloomColsOf(v).mkString(",")),
@@ -1488,14 +1508,32 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       .map { case (kn, i) =>
         graft.sources.TxLogTable.bucketColAt(i) -> kn }.toMap
 
+  // hidden time levels of the version being read, keyed by their hidden
+  // partition column name → (source column, unit)
+  private[v2] def timeSpecs: Map[String, (String, String)] =
+    asOfVersion.orElse(table.latestVersion)
+      .map(table.timeSpecsOf).getOrElse(Nil).zipWithIndex
+      .map { case (ku, i) =>
+        graft.sources.TxLogTable.timeColAt(i) -> ku }.toMap
+
+  private[v2] def timeTransform(src: String, unit: String): Transform =
+    unit match {
+      case "year" => Expressions.years(src)
+      case "month" => Expressions.months(src)
+      case "day" => Expressions.days(src)
+      case "hour" => Expressions.hours(src)
+    }
+
   override def partitioning(): Array[Transform] = {
     val cols = asOfVersion.orElse(table.latestVersion)
       .map(table.partitionColsOf).getOrElse(Nil)
     val specs = bucketSpecs
+    val times = timeSpecs
     cols.map { c =>
-      specs.get(c) match {
-        case Some((k, n)) => Expressions.bucket(n, k): Transform
-        case None => Expressions.identity(c): Transform
+      (specs.get(c), times.get(c)) match {
+        case (Some((k, n)), _) => Expressions.bucket(n, k): Transform
+        case (_, Some((src, u))) => timeTransform(src, u)
+        case _ => Expressions.identity(c): Transform
       }
     }.toArray
   }

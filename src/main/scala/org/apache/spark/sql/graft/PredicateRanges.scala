@@ -313,6 +313,19 @@ object PredicateRanges {
       case v: Long => Some(v)
       case v: Short => Some(v.toLong)
       case v: Byte => Some(v.toLong)
+      // temporal literals bound in the SAME integer domain parquet
+      // footers record them: timestamps as epoch MICROS (INT64), dates
+      // as epoch DAYS (INT32) — the analyzer has already coerced the
+      // comparison, so a temporal literal only ever faces a column of
+      // its own type and the units can never cross
+      case v: java.sql.Timestamp =>
+        Some(Math.floorDiv(v.getTime, 1000L) * 1000000L +
+          v.getNanos / 1000L)
+      case v: java.time.Instant =>
+        Some(Math.multiplyExact(v.getEpochSecond, 1000000L) +
+          v.getNano / 1000L)
+      case v: java.sql.Date => Some(v.toLocalDate.toEpochDay)
+      case v: java.time.LocalDate => Some(v.toEpochDay)
       case _ => None // doubles/strings: no bound, never a rounded one
     }
     case _ => None

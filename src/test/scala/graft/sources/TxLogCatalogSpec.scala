@@ -1164,6 +1164,147 @@ class TxLogCatalogSpec extends AnyFunSuite {
       == 20000L)
   }
 
+  test("runtime file skip: star join on the BUCKET key reads only the " +
+      "matching bucket dirs") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dfpf")
+    spark.sql("CREATE TABLE txcat.ns.dfpf (id BIGINT, k INT) " +
+      "USING txlog PARTITIONED BY (bucket(16, k))")
+    spark.sql("INSERT INTO txcat.ns.dfpf " +
+      "SELECT id, CAST(id % 25 AS INT) FROM range(20000)")
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("dfpdim").toString
+    Seq((3, "x"), (7, "x"), (11, "y")).toDF("k", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dfp_dim")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    graft.sources.v2.TxLogSpjScan.lastRuntimePrune.set((0, 0))
+    val q = spark.sql("""SELECT f.id, d.name FROM txcat.ns.dfpf f
+      JOIN dfp_dim d ON f.k = d.k WHERE d.name = 'x'""")
+    assert(q.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.count() == 1600) // k=3 and k=7: 800 ids each
+    // the scan really skipped files: two key values hash to at most two
+    // of the 16 hidden _bkt dirs — no hive partition on k anywhere
+    val (before, after) =
+      graft.sources.v2.TxLogSpjScan.lastRuntimePrune.get()
+    assert(before > after && after > 0,
+      s"bucket-hash runtime prune must shrink the file set: " +
+        s"$before -> $after")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.dfpf").head.getLong(0)
+      == 20000L)
+  }
+
+  test("hidden time partitioning: days(ts) lays out calendar dirs, " +
+      "reads drop the hidden level, time ranges prune to the dirs") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.hpday")
+    spark.sql("CREATE TABLE txcat.ns.hpday (id BIGINT, ts TIMESTAMP, " +
+      "v DOUBLE) USING txlog PARTITIONED BY (days(ts))")
+    // 96 hourly rows from 2024-01-01T00Z: exactly four calendar days,
+    // plus one NULL instant (the hive default partition)
+    spark.sql("INSERT INTO txcat.ns.hpday " +
+      "SELECT id, timestamp_seconds(1704067200 + id * 3600), " +
+      "CAST(id AS DOUBLE) FROM range(96)")
+    spark.sql("INSERT INTO txcat.ns.hpday VALUES (999, NULL, 9.9)")
+    val t = TxLogTable(spark, s"$warehouse/ns/hpday")
+    val dirs = t.entries(None).map(_.rel.takeWhile(_ != '/')).distinct
+    assert(dirs.sorted == Seq("_tp=2024-01-01", "_tp=2024-01-02",
+      "_tp=2024-01-03", "_tp=2024-01-04",
+      "_tp=__HIVE_DEFAULT_PARTITION__"), dirs.sorted)
+    // the hidden level never surfaces
+    val df = spark.sql("SELECT * FROM txcat.ns.hpday")
+    assert(df.columns.toSeq == Seq("id", "ts", "v"))
+    assert(df.count() == 97)
+    // a one-day range is a manifest-only dir slice — no timestamp
+    // footer stats needed, the derived segment bounds decide
+    import org.apache.spark.sql.functions.{col, lit}
+    val day2 = t.candidateFilesWhere(
+      col("ts") >= lit(java.time.Instant.parse("2024-01-02T00:00:00Z")) &&
+        col("ts") < lit(java.time.Instant.parse("2024-01-03T00:00:00Z")))
+    assert(day2.nonEmpty &&
+      day2.forall(_.startsWith("_tp=2024-01-02/")),
+      s"one-day range must prune to its dir: $day2")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpday WHERE " +
+      "ts >= '2024-01-02' AND ts < '2024-01-03'").head.getLong(0) == 24)
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpday WHERE " +
+      "ts IS NULL").head.getLong(0) == 1)
+    // row-level DML re-derives the hidden layout
+    spark.sql("DELETE FROM txcat.ns.hpday WHERE id % 2 = 1 AND " +
+      "ts < '2024-01-02'")
+    assert(t.entries(None).forall(_.rel.startsWith("_tp=")))
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpday")
+      .head.getLong(0) == 97 - 12)
+    // DESCRIBE DETAIL names the transform
+    val det = spark.sql("CALL txcat.system.detail('ns.hpday')")
+      .collect().head
+    assert(det.getAs[String]("bucket_spec") == "days(ts)")
+    // guards: the source column is load-bearing
+    intercept[Exception](spark.sql(
+      "ALTER TABLE txcat.ns.hpday RENAME COLUMN ts TO ts2"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE txcat.ns.hpday DROP COLUMN ts"))
+  }
+
+  test("hidden time partitioning: zone-free derivation (a non-UTC " +
+      "session writes the same dirs)") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.hpzone")
+    spark.sql("CREATE TABLE txcat.ns.hpzone (id BIGINT, ts TIMESTAMP) " +
+      "USING txlog PARTITIONED BY (hours(ts))")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // 2024-06-01T23:30Z is 2024-06-02 08:30 in Tokyo: a session-zone
+      // date_format would write tomorrow's dir
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      spark.sql("INSERT INTO txcat.ns.hpzone " +
+        "SELECT 1, timestamp_seconds(1717284600)")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    val t = TxLogTable(spark, s"$warehouse/ns/hpzone")
+    val dirs = t.entries(None).map(_.rel.takeWhile(_ != '/')).distinct
+    assert(dirs == Seq("_tp=2024-06-01-23"), dirs)
+  }
+
+  test("runtime file skip: Bloomed non-partition key prunes by " +
+      "manifest stats") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dfps")
+    // partitioned on an UNRELATED column (the hive-partitioned read path
+    // is the V2 scan that accepts runtime filters); the join key k is a
+    // plain data column whose pruning power is all manifest stats
+    spark.sql("CREATE TABLE txcat.ns.dfps (k BIGINT, v STRING, p INT) " +
+      "USING txlog PARTITIONED BY (p) TBLPROPERTIES ('bloomCols'='k')")
+    // three appends with DISJOINT key ranges: the manifest min/max (and
+    // blooms) separate the files even though k is not partitioned
+    Seq(0L, 1000L, 2000L).foreach { base =>
+      spark.sql(s"INSERT INTO txcat.ns.dfps " +
+        s"SELECT id + $base, concat('v', id + $base), " +
+        s"CAST(id % 2 AS INT) FROM range(1000)")
+    }
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("dfpsdim").toString
+    Seq((5L, "x"), (17L, "x"), (2500L, "y")).toDF("k", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dfps_dim")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    graft.sources.v2.TxLogSpjScan.lastRuntimePrune.set((0, 0))
+    val q = spark.sql("""SELECT f.k, f.v FROM txcat.ns.dfps f
+      JOIN dfps_dim d ON f.k = d.k WHERE d.name = 'x'""")
+    assert(q.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 17L))
+    // keys 5 and 17 live in the FIRST append's range only: the ranges
+    // (or blooms) of the other appends' files exclude them
+    val (before, after) =
+      graft.sources.v2.TxLogSpjScan.lastRuntimePrune.get()
+    assert(before > after && after > 0,
+      s"stats runtime prune must shrink the file set: $before -> $after")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.dfps").head.getLong(0)
+      == 3000L)
+  }
+
   test("bucketed point lookup prunes to the key's one bucket dir") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.bk_pt")
     spark.sql("CREATE TABLE txcat.ns.bk_pt (k BIGINT, s STRING, v STRING) " +
