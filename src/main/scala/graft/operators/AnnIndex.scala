@@ -183,18 +183,33 @@ object AnnIndex {
         "rebuild the index")
     val schema = DataType.fromJson(meta("corpus_schema"))
       .asInstanceOf[StructType]
+    // keep every corpus column alongside the doubled vector: FILTERED
+    // search predicates reference corpus attributes (label, lang, ...)
     (corpus.snapshot(schema, Some(pinned))
-      .select(col("vec_id"), asDouble(col("embedding")).as("v")), pinned)
+      .withColumn("v", asDouble(col("embedding"))), pinned)
   }
 
+  /** IVF top-k, optionally FILTERED: `filter` (a predicate over the
+    * corpus's own columns — label, lang, any metadata the corpus row
+    * carries) restricts the CANDIDATES before ranking — pre-filter
+    * semantics, so all `topK` survivors satisfy it (post-filtering a
+    * top-k can return fewer than k). The predicate applies inside the
+    * probed cell only — same recall contract as unfiltered IVF search,
+    * same cost shape: ~1/k of the corpus scanned, then a predicate the
+    * scan can push down.
+    */
   def searchIvf(spark: SparkSession, indexRoot: String, queryVecId: Long,
-                topK: Int, requireFresh: Boolean = false): DataFrame = {
+                topK: Int, requireFresh: Boolean = false,
+                filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     graft.catalyst.CosineSim.register(spark)
     val (emb, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val cents = TxLogTable(spark, s"$indexRoot/centroids")
       .snapshot(centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
       .snapshot(assignmentsSchema)
+    // the query vector is fetched UNfiltered: asking for neighbors of a
+    // row the filter excludes is legitimate
     val q = emb.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"))
     val bestCell = cents.crossJoin(broadcast(q))
@@ -203,7 +218,7 @@ object AnnIndex {
       .limit(1).select(col("cluster").as("best_cluster"))
     assigned.join(broadcast(bestCell),
         col("cluster") === col("best_cluster"))
-      .join(emb, "vec_id")
+      .join(filter.map(emb.filter).getOrElse(emb), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cluster"),
         cosine(col("v"), col("qv")).as("q_cos"))

@@ -367,6 +367,44 @@ object SimQueries {
         .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
     }),
 
+    // FILTERED ANN, exact baseline: top-k under a metadata predicate,
+    // PRE-filter semantics — candidates restrict BEFORE ranking, so all
+    // k survivors satisfy the predicate (post-filtering a top-k list
+    // can starve below k). The filter is an ordinary pushable predicate
+    // on the scan; at 100 TB it rides the same column stats every
+    // filter does. Brute-force twin of sim_ivf_filtered.
+    "sim_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          asDouble(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.filter(col("label") === 3)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // FILTERED ANN through the PERSISTED IVF index: the predicate
+    // applies INSIDE the probed cell (pre-filter — same contract as
+    // sim_filtered_topk, same recall contract as unfiltered IVF). The
+    // index itself is filter-blind: ONE index serves every predicate,
+    // which is what makes filtered vector search operable at 100 TB —
+    // nobody re-indexes per label.
+    "sim_ivf_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annf")
+      val corpusRoot = tmp.resolve("corpus").toString
+      val indexRoot = tmp.resolve("index").toString
+      graft.sources.TxLogTable(s, corpusRoot).commit(emb, overwrite = true)
+      graft.operators.AnnIndex.build(s, corpusRoot, indexRoot, emb.schema,
+        k = 8, iterations = 2, pq = false)
+      graft.operators.AnnIndex.searchIvf(s, indexRoot, queryVecId = 0L,
+        topK = 5, requireFresh = true,
+        filter = Some(col("label") === 3))
+    }),
+
     // Top-k of the same — deterministic order with vec_id tie-break.
     "sim_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -704,7 +742,8 @@ object SimQueries {
   // copies — exactly what AnnIndex.refresh produces (build's assignments
   // for the originals, assignTo against the SAME trained centroids for
   // the appended vectors, one union scan at the advanced pin).
-  private[queries] def ivfOracle(serveAppended: Boolean): String = {
+  private[queries] def ivfOracle(serveAppended: Boolean,
+                                 servePred: String = "TRUE"): String = {
 
       def cs(v: String, c: String) =
         s"""${sqlDot(v, c)} /
@@ -749,6 +788,7 @@ object SimQueries {
           SELECT v.vec_id, a2.cluster, ${cs("v.embedding", "qv")} AS q_cos
           FROM a2 JOIN best ON a2.cluster = best.best_cluster
           JOIN vecs v USING (vec_id) CROSS JOIN q
+          WHERE $servePred
           ORDER BY q_cos DESC, v.vec_id LIMIT 5"""
   }
 
@@ -894,6 +934,20 @@ object SimQueries {
              sqrt(${sqlDot("qv", "qv")})) AS cos_sim
           FROM embeddings CROSS JOIN q
           ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "sim_filtered_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id,
+            ${sqlDot("embedding", "qv")} /
+            (sqrt(${sqlDot("embedding", "embedding")}) *
+             sqrt(${sqlDot("qv", "qv")})) AS cos_sim
+          FROM embeddings CROSS JOIN q
+          WHERE label = 3
+          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "sim_ivf_filtered" -> ivfOracle(serveAppended = false,
+      servePred =
+        "v.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
 
     "sql_ann" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
