@@ -25,6 +25,13 @@ object Verify {
       // NANOS-era events.parquet reads as epoch-nanos longs; timestamp[us]
       // regenerations are normalized to the same type in Tables.apply.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOT pinned to TIMESTAMP_MICROS here (unlike Bench/TestSpark/
+      // tools): this session's parquet RESULT DUMPS feed the driver's
+      // DuckDB hash compare, and INT64-micros timestamps carry
+      // isAdjustedToUTC=true, which DuckDB reads as TIMESTAMPTZ while
+      // the oracle SQL computes naive TIMESTAMP — identical instants,
+      // different types, failed hash. Spark's INT96 default reads back
+      // naive. Timestamp-stats pruning is exercised by the spec suite.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

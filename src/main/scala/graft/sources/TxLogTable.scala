@@ -3500,13 +3500,38 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           val st = c.getStatistics
           if ((tpe == INT64 || tpe == INT32) && st != null &&
               !st.isEmpty && st.hasNonNullValue) {
-            val (mn, mx) = tpe match {
+            val (mn0, mx0) = tpe match {
               case INT64 =>
                 (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
               case _ =>
                 (st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
                  st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
+            }
+            // TIMESTAMP stats normalize to MICROS — the unit the pruning
+            // bounds use (PredicateRanges.litLong). The footer's logical
+            // annotation says which unit the writer used (Spark writes
+            // MICROS under the engine sessions' pinned
+            // outputTimestampType; a foreign writer may use MILLIS or
+            // NANOS): millis multiply exactly, nanos floor the min and
+            // ceil the max so the range only ever WIDENS. INT96 (Spark's
+            // legacy default) carries no stats at all and never reaches
+            // here.
+            val (mn, mx) = c.getPrimitiveType.getLogicalTypeAnnotation match {
+              case ts: org.apache.parquet.schema
+                  .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+                ts.getUnit match {
+                  case TimeUnit.MILLIS =>
+                    (Math.multiplyExact(mn0, 1000L),
+                     Math.multiplyExact(mx0, 1000L))
+                  case TimeUnit.MICROS => (mn0, mx0)
+                  case TimeUnit.NANOS =>
+                    (Math.floorDiv(mn0, 1000L),
+                     -Math.floorDiv(-mx0, 1000L)) // ceilDiv: widen, never shrink
+                  case _ => (mn0, mx0)
+                }
+              case _ => (mn0, mx0)
             }
             val name = c.getPath.toDotString
             if (TxLogTable.statsSafe(name)) {

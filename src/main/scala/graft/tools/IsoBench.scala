@@ -16,6 +16,11 @@ object IsoBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Engine writes pin INT64 TIMESTAMP_MICROS (not Spark's legacy
+      // INT96, which carries NO column statistics): every staged
+      // timestamp column gets real min/max footer stats, so manifest
+      // range pruning works on time predicates without any partitioning.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

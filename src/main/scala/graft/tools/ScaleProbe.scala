@@ -17,6 +17,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Engine writes pin INT64 TIMESTAMP_MICROS (not Spark's legacy
+      // INT96, which carries NO column statistics): every staged
+      // timestamp column gets real min/max footer stats, so manifest
+      // range pruning works on time predicates without any partitioning.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -934,6 +934,38 @@ class TxLogTableSpec extends AnyFunSuite {
       s"inference must follow the recorded schema: $inferred")
   }
 
+  test("timestamp columns carry micros range stats that prune time " +
+      "ranges on an UNPARTITIONED table") {
+    // the engine sessions pin outputTimestampType=TIMESTAMP_MICROS
+    // (INT96, Spark's legacy default, records NO stats) — so every
+    // staged timestamp column gets real min/max footer stats and a
+    // time-range scan prunes files with no partitioning at all
+    val t = fresh()
+    val s0 = StructType(Seq(StructField("id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    t.create(s0)
+    // three appends, one hour apart each, disjoint in time
+    Seq(0L, 3600L, 7200L).foreach { base =>
+      t.commit(spark.sql(
+        s"SELECT id, timestamp_seconds(1704067200 + $base + id) AS ts " +
+          "FROM range(100)"), overwrite = false)
+    }
+    val all = t.entries(None).map(_.rel)
+    import org.apache.spark.sql.functions.{col, lit}
+    val hit = t.candidateFilesWhere(
+      col("ts") >= lit(java.time.Instant.parse("2024-01-01T01:00:00Z")) &&
+        col("ts") < lit(java.time.Instant.parse("2024-01-01T02:00:00Z")))
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"hour-range scan must prune by ts stats: ${hit.size} of " +
+        s"${all.size}")
+    // and the pruned read is still exactly right
+    val n = t.snapshotWhere(s0,
+      col("ts") >= lit(java.time.Instant.parse("2024-01-01T01:00:00Z")) &&
+        col("ts") < lit(java.time.Instant.parse("2024-01-01T02:00:00Z")))
+      .count()
+    assert(n == 100, s"expected the middle append's 100 rows, got $n")
+  }
+
   test("widenColumn refuses bucket keys (typed hash would split buckets)") {
     val t = fresh()
     val s0 = StructType(Seq(StructField("k", IntegerType),
