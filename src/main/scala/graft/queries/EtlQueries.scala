@@ -139,8 +139,18 @@ object EtlQueries {
         s"refresh must add exactly the appended vectors: $r")
       require(r.getInt(0) > b.getInt(0),
         s"refresh must advance the pin past the build's: $r vs $b")
-      graft.operators.AnnIndex.searchIvf(s, s"$wh/db/ann_idx", 0L, 5,
-        requireFresh = true)
+      // FILTERED search through SQL: the predicate (a boolean over the
+      // corpus's own columns) applies inside the probed cell, so every
+      // survivor satisfies it — here, only pre-append vectors
+      val filtered = s.sql("CALL graftcat.system.ann_search(" +
+        "'db.ann_idx', 0, 5, 'vec_id < 1000000', true)").collect()
+      require(filtered.nonEmpty &&
+        filtered.forall(_.getLong(0) < 1000000L),
+        s"predicate search must exclude the appended clones: " +
+          filtered.mkString(","))
+      // the search the oracle replays, through the SQL surface too
+      s.sql("CALL graftcat.system.ann_search('db.ann_idx', 0, 5, " +
+        "NULL, true)")
     }),
 
     // Column DEFAULT values end-to-end (TableCatalogCapability

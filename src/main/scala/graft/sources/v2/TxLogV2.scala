@@ -351,7 +351,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
-        "ann_build", "ann_refresh",
+        "ann_build", "ann_refresh", "ann_search",
         "cursors", "release_cursor")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
@@ -700,6 +700,41 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             resultScan(StructType(Seq(
               StructField("pinned_version", IntegerType))),
               Seq(InternalRow(pinned)))
+          }
+        }
+      case "ann_search" =>
+        // CALL c.system.ann_search('ns.idx', query_vec_id [, k
+        // [, predicate [, require_fresh]]]): IVF top-k through the
+        // persisted index without leaving SQL. The optional predicate —
+        // a SQL boolean over the corpus's own columns — restricts
+        // candidates INSIDE the probed cell (pre-filter: all k
+        // survivors satisfy it). Result is at most k rows, so the
+        // driver-side collect is bounded by the ask, never the corpus.
+        new MaintenanceProc("ann_search", Seq(
+          inParam("index", StringType),
+          inParam("query_vec_id", LongType),
+          inParam("k", IntegerType, Some("5")),
+          inParam("predicate", StringType, Some("NULL")),
+          inParam("require_fresh", BooleanType, Some("false")))) {
+          override def call(input: InternalRow) = {
+            val idxRoot = pathByName(input.getString(0)).toString
+            require(!input.isNullAt(1), "ann_search needs query_vec_id")
+            val qid = input.getLong(1)
+            val k = if (input.isNullAt(2)) 5 else input.getInt(2)
+            require(k > 0, s"ann_search k must be positive, got $k")
+            val pred =
+              if (input.isNullAt(3)) None
+              else Some(org.apache.spark.sql.functions
+                .expr(input.getString(3)))
+            val fresh = !input.isNullAt(4) && input.getBoolean(4)
+            val rows = graft.operators.AnnIndex.searchIvf(spark, idxRoot,
+              qid, k, requireFresh = fresh, filter = pred).collect()
+            resultScan(StructType(Seq(
+              StructField("vec_id", LongType),
+              StructField("cluster", IntegerType),
+              StructField("q_cos", DoubleType))),
+              rows.toSeq.map(r =>
+                InternalRow(r.getLong(0), r.getInt(1), r.getDouble(2))))
           }
         }
       case "ann_refresh" =>
@@ -1052,7 +1087,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             "(available: compact, vacuum, history, partitions, restore, " +
             "clone, zorder, rebucket, semdedup, dedup_near, bm25, " +
             "optimize, detail, analyze, resort, changes, ann_build, " +
-            "ann_refresh, cursors, release_cursor)")
+            "ann_refresh, ann_search, cursors, release_cursor)")
     }
   }
 
