@@ -522,6 +522,17 @@ object TxLogSpjScan {
       case IntegerType | LongType | ShortType | ByteType =>
         Option(l.value)
       case StringType => Option(l.value).map(_.toString)
+      // temporal keys re-externalize (catalyst micros/days → the java
+      // values PredicateRanges' literal walk converts back exactly):
+      // the IN-set's min..max hull prunes via the micros footer stats
+      // and the hidden calendar-dir bounds — the time-partitioned fact
+      // joined on its timestamp reads only the dim's window
+      case TimestampType => Option(l.value).map(v =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(v.asInstanceOf[java.lang.Long]))
+      case DateType => Option(l.value).map(v =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[java.lang.Integer].longValue)))
       case _ => None
     }
     def qcol(n: String) = col("`" + n.replace("`", "``") + "`")

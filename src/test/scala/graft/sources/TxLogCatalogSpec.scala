@@ -1265,6 +1265,111 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(dirs == Seq("_tp=2024-06-01-23"), dirs)
   }
 
+  test("runtime file skip: a TIMESTAMP join key prunes the " +
+      "days(ts)-partitioned fact to the dim's window") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dfpt")
+    spark.sql("CREATE TABLE txcat.ns.dfpt (id BIGINT, ts TIMESTAMP) " +
+      "USING txlog PARTITIONED BY (days(ts))")
+    // ten calendar days, 100 rows each, on exact hour boundaries so the
+    // dim's instants can equality-match
+    spark.sql("INSERT INTO txcat.ns.dfpt " +
+      "SELECT id, timestamp_seconds(1704067200 + (id DIV 100) * 86400 " +
+      "+ (id % 24) * 3600) FROM range(1000)")
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("dfptdim")
+      .toString
+    // two instants inside day 3 (2024-01-04)
+    Seq((java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-04T00:00:00Z")), "x"),
+      (java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-04T05:00:00Z")), "x"))
+      .toDF("ts", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dfpt_dim")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    graft.sources.v2.TxLogSpjScan.lastRuntimePrune.set((0, 0))
+    val q = spark.sql("""SELECT f.id FROM txcat.ns.dfpt f
+      JOIN dfpt_dim d ON f.ts = d.ts WHERE d.name = 'x'""")
+    assert(q.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.count() > 0) // exact count asserted below via the sound twin
+    val (before, after) =
+      graft.sources.v2.TxLogSpjScan.lastRuntimePrune.get()
+    assert(before > after && after > 0,
+      s"timestamp runtime prune must shrink the fact scan: " +
+        s"$before -> $after")
+    // soundness: result identical to the unpruned recompute
+    val expect = spark.sql("""SELECT count(*) FROM txcat.ns.dfpt f
+      WHERE f.ts IN (timestamp'2024-01-04 00:00:00',
+                     timestamp'2024-01-04 05:00:00')""").head.getLong(0)
+    assert(q.count() == expect, s"${q.count()} vs $expect")
+  }
+
+  test("hidden time partitioning composes with buckets: " +
+      "days(ts) outer, bucket(k) innermost — the production fact layout") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.hpbkt")
+    spark.sql("CREATE TABLE txcat.ns.hpbkt (k BIGINT, ts TIMESTAMP, " +
+      "v DOUBLE) USING txlog " +
+      "PARTITIONED BY (days(ts), bucket(4, k))")
+    spark.sql("INSERT INTO txcat.ns.hpbkt " +
+      "SELECT id, timestamp_seconds(1704067200 + (id DIV 50) * 86400), " +
+      "CAST(id AS DOUBLE) FROM range(100)")
+    val t = TxLogTable(spark, s"$warehouse/ns/hpbkt")
+    // calendar level OUTER, hash level INNERMOST
+    assert(t.entries(None).nonEmpty && t.entries(None).forall(e =>
+      e.rel.matches("""_tp=2024-01-0[12]/_bkt=\d/.*""")),
+      t.entries(None).map(_.rel).take(3).mkString(","))
+    // both prunes compose: one day AND one key → one leaf dir's files
+    import org.apache.spark.sql.functions.{col, lit}
+    val hit = t.candidateFilesWhere(
+      col("ts") >= lit(java.time.Instant.parse("2024-01-02T00:00:00Z")) &&
+        col("ts") < lit(java.time.Instant.parse("2024-01-03T00:00:00Z")) &&
+        col("k") === 60L)
+    assert(hit.nonEmpty &&
+      hit.map(r => r.split('/').init.mkString("/")).distinct.size == 1 &&
+      hit.forall(_.startsWith("_tp=2024-01-02/")),
+      s"day+key must prune to one leaf dir: $hit")
+    assert(spark.sql(
+      "SELECT count(*) FROM txcat.ns.hpbkt WHERE k = 60").head.getLong(0)
+      == 1)
+  }
+
+  test("hidden time partitioning: streaming ingest derives the calendar " +
+      "dirs through the same chokepoint") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.hpstream")
+    spark.sql("CREATE TABLE txcat.ns.hpstream (id BIGINT, ts TIMESTAMP) " +
+      "USING txlog PARTITIONED BY (days(ts))")
+    // a txlog source table feeding the stream: two calendar days
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("hpstream-src")
+        .resolve("t").toString)
+    src.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType))))
+    src.commit(spark.sql(
+      "SELECT id, timestamp_seconds(1704067200 + id * 43200) AS ts " +
+        "FROM range(4)"), overwrite = false) // 2024-01-01 ×2, 01-02 ×2
+    val ckpt = java.nio.file.Files.createTempDirectory("hpstream-ck")
+      .toString
+    val q = spark.readStream.format("txlog").load(src.root)
+      .writeStream.format("txlog")
+      .option("path", s"$warehouse/ns/hpstream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val t = TxLogTable(spark, s"$warehouse/ns/hpstream")
+    val dirs = t.entries(None).map(_.rel.takeWhile(_ != '/')).distinct
+    assert(dirs.sorted == Seq("_tp=2024-01-01", "_tp=2024-01-02"),
+      s"streamed rows must land in hidden calendar dirs: $dirs")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpstream")
+      .head.getLong(0) == 4)
+  }
+
   test("runtime file skip: Bloomed non-partition key prunes by " +
       "manifest stats") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.dfps")
@@ -2525,6 +2630,35 @@ class TxLogCatalogSpec extends AnyFunSuite {
         "CALL txcat.system.dedup_near('ns.dn_src', 'ns.dn_out', 0.5)")
         .collect() }
     assert(e.getMessage.contains("already exists"))
+  }
+
+  test("CALL system.ann_search: persisted-index top-k in SQL, with an " +
+      "optional pre-filter predicate") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.annq")
+    // 16 deterministic 4-dim vectors + a metadata column to filter on
+    spark.sql("CREATE TABLE txcat.ns.annq USING txlog AS " +
+      "SELECT id AS vec_id, array(CAST(id % 5 AS FLOAT), " +
+      "CAST(id % 3 AS FLOAT), CAST(1 AS FLOAT), " +
+      "CAST(id % 7 AS FLOAT)) AS embedding, " +
+      "CAST(id % 2 AS INT) AS parity FROM range(16)")
+    spark.sql("CALL txcat.system.ann_build('ns.annq', 'ns.annq_idx', " +
+      "2, 2, false)")
+    val plain = spark.sql(
+      "CALL txcat.system.ann_search('ns.annq_idx', 0, 4)").collect()
+    assert(plain.nonEmpty && plain.length <= 4)
+    assert(plain.map(_.getDouble(2)).toSeq ==
+      plain.map(_.getDouble(2)).sortBy(-_).toSeq,
+      "results must come back best-first")
+    // pre-filter: every survivor satisfies the predicate
+    val odd = spark.sql("CALL txcat.system.ann_search('ns.annq_idx', " +
+      "0, 4, 'parity = 1')").collect()
+    assert(odd.nonEmpty && odd.forall(_.getLong(0) % 2 == 1),
+      s"predicate search must keep only parity=1: ${odd.mkString(",")}")
+    // the filter restricts INSIDE the probed cell: plain minus evens
+    // from the same cell = the filtered set
+    val expect = plain.filter(_.getLong(0) % 2 == 1).map(_.getLong(0))
+    assert(expect.forall(odd.map(_.getLong(0)).contains),
+      "pre-filter must retain every odd hit the plain search found")
   }
 
   test("CALL system.cursors / release_cursor expose the vacuum pins") {
