@@ -3509,32 +3509,37 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                  st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
             }
             // TIMESTAMP stats normalize to MICROS — the unit the pruning
-            // bounds use (PredicateRanges.litLong). The footer's logical
-            // annotation says which unit the writer used (Spark writes
-            // MICROS under the engine sessions' pinned
+            // bounds use (PredicateRanges.litLong) AND the unit Spark's
+            // internal TimestampType carries, so the metadata MIN/MAX
+            // fast path can serve the stored value verbatim. The footer's
+            // logical annotation says which unit the writer used (Spark
+            // writes MICROS under the engine sessions' pinned
             // outputTimestampType; a foreign writer may use MILLIS or
-            // NANOS): millis multiply exactly, nanos floor the min and
-            // ceil the max so the range only ever WIDENS. INT96 (Spark's
-            // legacy default) carries no stats at all and never reaches
-            // here.
-            val (mn, mx) = c.getPrimitiveType.getLogicalTypeAnnotation match {
-              case ts: org.apache.parquet.schema
-                  .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-                ts.getUnit match {
-                  case TimeUnit.MILLIS =>
-                    (Math.multiplyExact(mn0, 1000L),
-                     Math.multiplyExact(mx0, 1000L))
-                  case TimeUnit.MICROS => (mn0, mx0)
-                  case TimeUnit.NANOS =>
-                    (Math.floorDiv(mn0, 1000L),
-                     -Math.floorDiv(-mx0, 1000L)) // ceilDiv: widen, never shrink
-                  case _ => (mn0, mx0)
-                }
-              case _ => (mn0, mx0)
-            }
+            // NANOS): millis multiply exactly; nanos record ONLY when
+            // micro-exact — a widened bound would be sound for pruning
+            // but WRONG as a served MIN/MAX, and one store feeds both.
+            // INT96 (Spark's legacy default) carries no stats at all and
+            // never reaches here.
+            val norm: Option[(Long, Long)] =
+              c.getPrimitiveType.getLogicalTypeAnnotation match {
+                case ts: org.apache.parquet.schema
+                    .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+                  ts.getUnit match {
+                    case TimeUnit.MILLIS =>
+                      Some((Math.multiplyExact(mn0, 1000L),
+                        Math.multiplyExact(mx0, 1000L)))
+                    case TimeUnit.MICROS => Some((mn0, mx0))
+                    case TimeUnit.NANOS
+                        if mn0 % 1000L == 0 && mx0 % 1000L == 0 =>
+                      Some((mn0 / 1000L, mx0 / 1000L))
+                    case _ => None // sub-micro extrema: no entry beats
+                                   // an inexact one
+                  }
+                case _ => Some((mn0, mx0))
+              }
             val name = c.getPath.toDotString
-            if (TxLogTable.statsSafe(name)) {
+            if (TxLogTable.statsSafe(name)) norm.foreach { case (mn, mx) =>
               val next = acc.get(name) match {
                 case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
                 case None => (mn, mx)

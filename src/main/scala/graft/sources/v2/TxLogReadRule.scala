@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, DeleteFromTable, Filter, LocalRelation, LogicalPlan, MergeIntoTable, Project, UpdateTable}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampType}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{col, lit}
@@ -249,11 +249,16 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case ByteType => v.toByte
         case ShortType => v.toShort
         case IntegerType => v.toInt
-        case _ => v
+        case DateType => v.toInt // internal DateType is epoch days
+        case _ => v // LongType, and TimestampType's internal micros
       }
     def extremum(a: AttributeReference, lo: Boolean): Option[Any] =
       a.dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
+        // temporal columns qualify because footerStats records their
+        // extrema EXACTLY in the internal unit (micros/days) — inexact
+        // normalizations are never stored
+        case ByteType | ShortType | IntegerType | LongType |
+             TimestampType | DateType =>
           t.metaMinMaxWhere(a.name, preds, version).map {
             case Some((mn, mx)) =>
               narrowed(if (lo) mn else mx, a.dataType)
@@ -331,7 +336,10 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     lazy val rowCount = t.metaRowCount(version)
     def minMax(a: AttributeReference): Option[(Long, Long)] =
       a.dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
+        // temporal columns qualify: footerStats records their extrema
+        // EXACTLY in the internal unit (micros/days)
+        case ByteType | ShortType | IntegerType | LongType |
+             TimestampType | DateType =>
           t.metaMinMax(a.name, version)
         case _ => None
       }
@@ -340,7 +348,8 @@ case class TxLogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case ByteType => v.toByte
         case ShortType => v.toShort
         case IntegerType => v.toInt
-        case _ => v
+        case DateType => v.toInt // internal DateType is epoch days
+        case _ => v // LongType, and TimestampType's internal micros
       }
     val vals = aggExprs.map {
       case Alias(AggregateExpression(
