@@ -310,9 +310,12 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     // holds exactly one partition tuple (one dir), so those columns are
     // CONSTANT per task and any order over them holds trivially —
     // prepending them lets a merge join (or window) keyed on the
-    // partition column alone consume the ordering. Hidden bucket levels
-    // are not query attributes and never appear.
-    val leading = partCols.filterNot(graft.sources.TxLogTable.isBucketCol)
+    // partition column alone consume the ordering. HIDDEN levels
+    // (bucket ids, time segments) are not query attributes and must
+    // never appear — Spark resolves every reported ordering column
+    // against the relation output and an unresolvable one fails the
+    // whole query.
+    val leading = partCols.filterNot(graft.sources.TxLogTable.isHiddenCol)
       .filterNot(cols.contains)
     (leading ++ cols).map(c =>
       Expressions.sort(Expressions.column(c),

@@ -671,6 +671,30 @@ class TxLogCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("MIN/MAX of TIMESTAMP and DATE columns collapse to the manifest") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.meta_ts")
+    spark.sql("CREATE TABLE txcat.ns.meta_ts (id BIGINT, ts TIMESTAMP, " +
+      "d DATE) USING txlog")
+    spark.sql("INSERT INTO txcat.ns.meta_ts " +
+      "SELECT id, timestamp_seconds(1704067200 + id * 3600), " +
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) FROM range(48)")
+    val df = spark.sql("SELECT min(ts) AS lo, max(ts) AS hi, " +
+      "min(d) AS dlo, max(d) AS dhi FROM txcat.ns.meta_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    // the test sessions write TIMESTAMP_MICROS, so the footer extrema
+    // exist in exactly the internal unit and the aggregate never opens
+    // a file
+    assert(plan.contains("LocalTableScan") &&
+      !plan.contains("FileScan") && !plan.contains("BatchScan"), plan)
+    val r = df.collect().head
+    assert(r.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-01-01T00:00:00Z") &&
+      r.getTimestamp(1).toInstant ==
+        java.time.Instant.parse("2024-01-02T23:00:00Z"), r.toString)
+    assert(r.getDate(2).toString == "2024-01-01" &&
+      r.getDate(3).toString == "2024-02-17", r.toString)
+  }
+
   test("COUNT(*)/MIN/MAX collapse to the manifest; guards keep exactness") {
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS txcat.ns.meta_t")
@@ -1335,6 +1359,61 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM txcat.ns.hpbkt WHERE k = 60").head.getLong(0)
       == 1)
+  }
+
+  test("hidden time partitioning: day-scoped OPTIMIZE compacts one " +
+      "calendar dir, carries the rest") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.hpopt")
+    spark.sql("CREATE TABLE txcat.ns.hpopt (id BIGINT, ts TIMESTAMP) " +
+      "USING txlog PARTITIONED BY (days(ts))")
+    // several small appends per day → fragmented dirs
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO txcat.ns.hpopt " +
+        s"SELECT id + ${i * 100}, timestamp_seconds(1704067200 + " +
+        s"(id % 2) * 86400) FROM range(50)")
+    }
+    val t = TxLogTable(spark, s"$warehouse/ns/hpopt")
+    val day1Before = t.entries(None)
+      .count(_.rel.startsWith("_tp=2024-01-01/"))
+    val day2Before = t.entries(None)
+      .count(_.rel.startsWith("_tp=2024-01-02/"))
+    assert(day1Before >= 3 && day2Before >= 3, "need fragmentation")
+    val day2Files = t.entries(None)
+      .filter(_.rel.startsWith("_tp=2024-01-02/")).map(_.rel).toSet
+    // the hidden level is a partition column like any other: the
+    // partition-scoped compaction proc targets one DAY of the table
+    spark.sql("CALL txcat.system.compact('ns.hpopt', 1, " +
+      "'_tp=2024-01-01')")
+    val after = t.entries(None)
+    assert(after.count(_.rel.startsWith("_tp=2024-01-01/")) == 1,
+      s"day 1 must compact to one file: ${after.map(_.rel)}")
+    // the untouched day's files carried BYTE-IDENTICAL by reference
+    assert(after.filter(_.rel.startsWith("_tp=2024-01-02/"))
+      .map(_.rel).toSet == day2Files,
+      "day 2 must carry by manifest reference")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpopt")
+      .head.getLong(0) == 150)
+  }
+
+  test("hidden time partitioning + sortCols: time-partitioned AND " +
+      "time-sorted scans report an armed ordering") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.hpsort")
+    spark.sql("CREATE TABLE txcat.ns.hpsort (id BIGINT, ts TIMESTAMP) " +
+      "USING txlog PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('sortCols'='id')")
+    spark.sql("INSERT INTO txcat.ns.hpsort " +
+      "SELECT id, timestamp_seconds(1704067200 + (id DIV 50) * 86400) " +
+      "FROM range(100)")
+    // within each day dir the files are internally sorted by id and the
+    // SPJ scan reports the ordering — a window/merge-join keyed on id
+    // inside a day plans with no Sort
+    val df = spark.sql("SELECT id FROM txcat.ns.hpsort")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val ordering = scan.outputOrdering.map(_.sql).mkString(",")
+    assert(ordering.contains("id"),
+      s"sorted time-partitioned scan must report its order: " +
+        s"'$ordering' in\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(_.getLong(0)).toSet == (0L until 100L).toSet)
   }
 
   test("hidden time partitioning: streaming ingest derives the calendar " +

@@ -385,4 +385,86 @@ class TxLogPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("time segments: write expression and prune arithmetic agree on " +
+      "random instants, every unit") {
+    // the hidden-partitioning contract: TxLogTable.timeSegCol (the Spark
+    // expression every staging write derives dirs from) and
+    // TxLogTable.segOfMicros (the driver-side bound the pruner compares
+    // against) must render IDENTICAL segments for the same instant — a
+    // disagreement silently mis-prunes. Random epochs across 1970..2100
+    // plus the edges of each unit, checked for all four units at once.
+    val gen = Gen.chooseNum(0L, 4102444800L) // 1970..2100, seconds
+    val seeds = Seed(20260815L)
+    val epochs = Gen.listOfN(300, gen)
+      .apply(Gen.Parameters.default, seeds).get
+    val edgy = epochs ++ Seq(0L, 86399L, 86400L, 31535999L, 31536000L,
+      951782399L /* 2000-02-29 boundary - 1 */, 951782400L)
+    val df = edgy.toDF("e")
+      .selectExpr("e", "timestamp_seconds(e) AS ts")
+    val derived = TxLogTable.TimeUnits.foldLeft(df) { (acc, u) =>
+      acc.withColumn(s"seg_$u", TxLogTable.timeSegCol("ts", u))
+    }
+    derived.collect().foreach { r =>
+      val us = r.getLong(0) * 1000000L
+      TxLogTable.TimeUnits.foreach { u =>
+        val spark_ = r.getAs[String](s"seg_$u")
+        val driver = TxLogTable.segOfMicros(us, u)
+        assert(spark_ == driver,
+          s"unit $u disagrees at epoch ${r.getLong(0)}: " +
+            s"write=$spark_ prune=$driver")
+      }
+    }
+    // and the segment strings ORDER like the instants do (the property
+    // the lexicographic dir-range prune rests on)
+    TxLogTable.TimeUnits.foreach { u =>
+      val pairs = edgy.sorted.map(e =>
+        e -> TxLogTable.segOfMicros(e * 1000000L, u))
+      pairs.sliding(2).foreach {
+        case Seq((e1, s1), (e2, s2)) =>
+          assert(s1 <= s2,
+            s"unit $u: segment order must follow time order " +
+              s"($e1 -> $s1, $e2 -> $s2)")
+        case _ => ()
+      }
+    }
+  }
+
+  test("time-partitioned pruning soundness: snapshotWhere equals " +
+      "filter-after-scan on random ranges") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = Files.createTempDirectory("txprop-tseg").resolve("t")
+    val t = TxLogTable(spark, root.toString)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampType)))
+    t.create(sch, partitionCols = Seq("_tp"),
+      timeSpecs = Seq(("ts", "day")))
+    // five days of data across three commits, plus NULL instants
+    t.commit(spark.sql("SELECT id, timestamp_seconds(1704067200 + " +
+      "id * 7200) AS ts FROM range(60)"), overwrite = false,
+      partitionCols = Seq("_tp"))
+    t.commit(spark.sql("SELECT id + 100 AS id, " +
+      "timestamp_seconds(1704067200 + 86400 * 2 + id * 7200) AS ts " +
+      "FROM range(36)"), overwrite = false, partitionCols = Seq("_tp"))
+    t.commit(spark.sql("SELECT id + 200 AS id, CAST(NULL AS TIMESTAMP) AS ts " +
+      "FROM range(5)"), overwrite = false, partitionCols = Seq("_tp"))
+    val full = t.snapshot(sch)
+    val seeds = Seed(42L)
+    val boundsGen = Gen.listOfN(40,
+      Gen.chooseNum(1704067200L - 86400, 1704067200L + 86400L * 7))
+    val bounds = boundsGen.apply(Gen.Parameters.default, seeds).get
+    bounds.grouped(2).foreach {
+      case List(a, b) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val pred = col("ts") >= lit(java.time.Instant.ofEpochSecond(lo)) &&
+          col("ts") < lit(java.time.Instant.ofEpochSecond(hi))
+        val pruned = t.snapshotWhere(sch, pred).count()
+        val naive = full.filter(pred).count()
+        assert(pruned == naive,
+          s"range [$lo, $hi) pruned=$pruned naive=$naive")
+      case _ => ()
+    }
+    // IS NULL rides the nullness stats, never the segment bounds
+    assert(t.snapshotWhere(sch, col("ts").isNull).count() == 5)
+  }
 }
