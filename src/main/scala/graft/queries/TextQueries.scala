@@ -372,6 +372,24 @@ object TextQueries {
     // O(tokens / stride) rows. The oracle recomputes every window with
     // list_slice over the same whitespace split, so boundaries, overlap
     // and the short-tail window are all hash-checked.
+    // DETERMINISTIC corpus shuffle with contiguous global positions —
+    // the training-order staple: every document gets a stable index in
+    // a seeded pseudo-random order (sample i of epoch e is the same doc
+    // on every engine, rerun, and resume). The order key is the same
+    // engine-reproducible md5 device as tx_split (seeded, doc_id
+    // tiebreak); the 0..N-1 enumeration runs through
+    // operators.GlobalIndex — a range-partitioned distributed sort +
+    // two-pass per-partition stamping, NEVER row_number() over one
+    // global partition (the non-starter at 100 TB).
+    "tx_shuffle" -> ((s, dir) => {
+      val key = conv(substring(md5(concat(lit("shuffle:7:"),
+        col("doc_id").cast(StringType))), 1, 12), 16, 10)
+        .cast(LongType)
+      graft.operators.GlobalIndex.assign(
+        t(s, dir, "documents").select(col("doc_id"), key.as("k")),
+        sortCols = Seq("k", "doc_id"), indexCol = "idx")
+    }),
+
     "tx_chunk_windows" -> ((s, dir) => {
       val W = 32; val S = 24
       val d = t(s, dir, "documents")
@@ -1200,6 +1218,15 @@ object TextQueries {
                  CAST('0x' || substring(
                    md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)
                    AS BIGINT) % 100 AS b
+               FROM documents)""",
+
+    "tx_shuffle" ->
+      """SELECT doc_id, k,
+           row_number() OVER (ORDER BY k, doc_id) - 1 AS idx
+         FROM (SELECT doc_id,
+                 CAST('0x' || substring(
+                   md5('shuffle:7:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) AS k
                FROM documents)""",
 
     "tx_token_count" ->

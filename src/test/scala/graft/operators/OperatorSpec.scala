@@ -153,4 +153,41 @@ class OperatorSpec extends AnyFunSuite {
       AnnIndex.refresh(spark, idx) }
     assert(e.getMessage.contains("phantom neighbors"), e.getMessage)
   }
+
+  test("GlobalIndex.assign: contiguous 0..N-1 in total order, " +
+      "deterministic, distributed") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // scrambled input across many partitions; key collisions on k force
+    // the doc tiebreak to matter (k = id % 7 collides heavily)
+    val df = spark.range(0, 1000, 1, 13).toDF("id")
+      .withColumn("k", col("id") % 7)
+    val out = GlobalIndex.assign(df, Seq("k", "id"), "idx",
+      numPartitions = 8)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 1000)
+    // contiguity: the index set is exactly 0..999
+    assert(rows.map(_._3).sorted.toSeq == (0L until 1000L))
+    // order: ascending (k, id) enumerates in index order
+    val byIdx = rows.sortBy(_._3)
+    assert(byIdx.map(t => (t._2, t._1)).toSeq ==
+      byIdx.map(t => (t._2, t._1)).sortBy(identity).toSeq,
+      "index order must equal (k, id) order")
+    // determinism: a rerun over a DIFFERENTLY-partitioned equal input
+    // assigns identical indices (bounds move rows between partitions,
+    // never change the global order)
+    val df2 = spark.range(0, 1000, 1, 3).toDF("id")
+      .withColumn("k", col("id") % 7)
+    val again = GlobalIndex.assign(df2, Seq("k", "id"), "idx",
+      numPartitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows.forall(t => again(t._1) == t._3),
+      "same data must stamp the same indices regardless of layout")
+    // guards
+    intercept[IllegalArgumentException](
+      GlobalIndex.assign(df, Nil))
+    intercept[IllegalArgumentException](
+      GlobalIndex.assign(df.withColumn("idx", xxhash64(col("id"))),
+        Seq("id")))
+  }
 }
