@@ -1244,6 +1244,47 @@ object EtlQueries {
           AND ts < timestamp_seconds(1705017600)""")
     }),
 
+    // RETENTION DELETE as a manifest omission: `DELETE WHERE ts < cutoff`
+    // over time-banded commits drops the fully-covered files WITHOUT
+    // READING THEM (PredicateRanges.exactBounds characterizes the
+    // predicate completely; per-file min/max + zero-null stats prove
+    // every row matches) — the require pins "no new files, strictly
+    // fewer files". At 100 TB this is deleting a year of history in
+    // O(manifest), with only boundary-straddling files ever rewritten.
+    // SQL DELETE routes through the same deleteWhere, so the fast path
+    // needs no special API. Oracle recomputes the surviving aggregate.
+    "sql_retention_delete" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_ret_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_ret")
+      s.sql("CREATE TABLE graftcat.db.ev_ret (event_id BIGINT, " +
+        "ts_us BIGINT, value DOUBLE) USING txlog")
+      // three time-banded commits → disjoint ts_us ranges per file set
+      val bandsUs = Seq(
+        (1704067200000000L, 1704931200000000L), // Jan 1-10
+        (1704931200000000L, 1705795200000000L), // Jan 11-20
+        (1705795200000000L, 1706745600000000L)) // Jan 21-30
+      bandsUs.foreach { case (lo, hi) =>
+        s.sql("INSERT INTO graftcat.db.ev_ret " +
+          s"SELECT event_id, ts DIV 1000 AS ts_us, value FROM ev_ret_src " +
+          s"WHERE ts DIV 1000 >= $lo AND ts DIV 1000 < $hi")
+      }
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/ev_ret")
+      val before = tbl.entries(None).map(_.rel).toSet
+      s.sql("DELETE FROM graftcat.db.ev_ret WHERE ts_us < 1704931200000000")
+      val after = tbl.entries(None).map(_.rel).toSet
+      require(after.nonEmpty && after.subsetOf(before) &&
+        after.size < before.size,
+        s"retention delete must drop old files by manifest omission: " +
+          s"${before.size} -> ${after.size} (new files: " +
+          s"${(after -- before).size})")
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(min(ts_us) AS BIGINT) AS first_us,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        FROM graftcat.db.ev_ret""")
+    }),
+
     // Bucketed storage-partitioned join — the HIGH-CARDINALITY twin of
     // sql_spj_join: `PARTITIONED BY (bucket(8, key))` lays both tables
     // out as hidden `_bkt=<pmod(xxhash64(key), 8)>` hive dirs, the scans
@@ -2892,6 +2933,13 @@ object EtlQueries {
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE n.n_regionkey = 2
          GROUP BY c.c_nationkey""",
+
+    "sql_retention_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS first_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         FROM events
+         WHERE epoch_ns(ts) >= 1704931200000000000""",
 
     "sql_file_skip_join" ->
       """SELECT c.c_nationkey AS nationkey, count(*) AS n_cust,

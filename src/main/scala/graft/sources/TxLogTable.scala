@@ -3960,13 +3960,42 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val nn = physNullness(cmap, PredicateRanges.extractNullness(pred))
     val points = physKeyed(cmap, PredicateRanges.extractPoints(pred))
     val strs = physKeyed(cmap, PredicateRanges.extractStr(pred))
+    // RETENTION FAST PATH (pure deletes only): when the predicate is a
+    // complete conjunction of bounds (PredicateRanges.exactBounds — an
+    // EXACT characterization, not the may-match hull), a file whose
+    // recorded min/max sit wholly inside every bound AND whose bounded
+    // columns hold zero NULLs contains ONLY matching rows — it drops
+    // from the manifest WITHOUT BEING READ. `DELETE WHERE ts < cutoff`
+    // over years of a 100 TB table becomes O(manifest): old days vanish
+    // as manifest omissions, only the boundary-straddling files pay a
+    // rewrite. Sound with MOR tombstones (hidden rows are a subset of
+    // the file's rows: dropping loses only already-invisible or
+    // matching rows) and with CDC (cowDiffEvents reads the PREVIOUS
+    // version's removed files, so a dropped file's rows still feed the
+    // change feed as deletes).
+    val exact: Option[Map[String, PredicateRanges.Bound]] =
+      if (extra.isEmpty)
+        PredicateRanges.exactBounds(pred).map(physKeyed(cmap, _))
+          .filter(_.nonEmpty)
+      else None
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
       val layout = base.map(partitionColsOf).getOrElse(Nil)
-      val (affected, carriedLines) = base.map(dataLines).getOrElse(Nil)
+      val (affected0, carriedLines) = base.map(dataLines).getOrElse(Nil)
         .partition(line => mayMatchPred(TxLogTable.decodeEntry(line),
           ranges, nn, points, strs, timeSegBounds(ranges, base)))
+      val (dropped, affected) = exact match {
+        case Some(b) => affected0.partition { line =>
+          val e = TxLogTable.decodeEntry(line)
+          b.forall { case (c, bd) =>
+            e.stats.get(c).exists { case (mn, mx) =>
+              mn >= bd.lo && mx <= bd.hi } &&
+              e.stats.get(TxLogTable.nullsKey(c)).exists(_._1 == 0L)
+          }
+        }
+        case None => (Nil, affected0)
+      }
       // Reads through the tombstone mask (no resurrection on rewrite).
       val kept = readMaskedEntries(schema,
           affected.map(TxLogTable.decodeEntry), base)
@@ -3974,8 +4003,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val out = extra.fold(kept)(d => kept.unionByName(
         d.select(schema.fieldNames.toIndexedSeq.map(col): _*)))
       val effBloom = base.map(bloomColsOf).getOrElse(Nil)
-      val staged = stageWithStats(out, layout, effBloom,
-        inheritedBloomBits(base), rebalanceOk = true)
+      // nothing to restage when every affected file dropped wholesale
+      // and no replacement batch rides along — don't write an empty
+      // part file into the manifest
+      val staged =
+        if (affected.isEmpty && extra.isEmpty) Nil
+        else stageWithStats(out, layout, effBloom,
+          inheritedBloomBits(base), rebalanceOk = true)
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),

@@ -302,6 +302,45 @@ object PredicateRanges {
     */
   def extract(pred: Column): Map[String, Bound] = walk(pred.node)
 
+  /** The predicate as a COMPLETE conjunction of per-column bounds — or
+    * None. [[extract]] returns NECESSARY bounds (sound for may-match
+    * pruning: dropping a conjunct only widens); this is the EXACT
+    * characterization the file-DROP fast path needs for sufficiency: a
+    * non-NULL-valued row matches `pred` iff every bounded column's
+    * value lies in its bound, so a file whose stats sit wholly inside
+    * the bounds (and that holds no NULLs in the bounded columns)
+    * contains ONLY matching rows. Any node outside
+    * {AND, <, <=, >, >=, = against an integral/temporal literal}
+    * yields None — `<=>` stays out (its NULL behavior differs) and so
+    * do OR / IN / NOT / function wrappers.
+    */
+  def exactBounds(pred: Column): Option[Map[String, Bound]] =
+    exactWalk(pred.node)
+
+  private def exactWalk(n: ColumnNode): Option[Map[String, Bound]] =
+    n match {
+      case f: NodeFn => (f.functionName, f.arguments) match {
+        case ("and", Seq(l, r)) =>
+          for (a <- exactWalk(l); b <- exactWalk(r)) yield
+            (a.keySet ++ b.keySet).iterator.map { k =>
+              k -> ((a.get(k), b.get(k)) match {
+                case (Some(x), Some(y)) => x.intersect(y)
+                case (Some(x), None) => x
+                case (None, Some(y)) => y
+                case _ => Bound(Long.MinValue, Long.MaxValue)
+              })
+            }.toMap
+        case (">" | ">=" | "<" | "<=" | "=" | "==", Seq(_, _)) =>
+          // the leaf translations ARE exact when they translate at all:
+          // reuse walk's cmp cases; an empty result means the literal
+          // (or shape) was untranslatable → the whole pred is inexact
+          val m = walk(n)
+          if (m.nonEmpty) Some(m) else None
+        case _ => None
+      }
+      case _ => None
+    }
+
   private def colName(n: ColumnNode): Option[String] = n match {
     case a: NodeAttr => Some(a.nameParts.mkString("."))
     case _ => None

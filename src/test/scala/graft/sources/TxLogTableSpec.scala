@@ -966,6 +966,78 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(n == 100, s"expected the middle append's 100 rows, got $n")
   }
 
+  test("retention delete drops fully-covered files from the manifest " +
+      "without reading them") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = fresh()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    t.create(sch)
+    // three one-hour commits: [00:00,01:00), [01:00,02:00), [02:00,03:00)
+    Seq(0L, 3600L, 7200L).foreach { base =>
+      t.commit(spark.sql(
+        s"SELECT id, timestamp_seconds(1704067200 + $base + id * 36) " +
+          "AS ts FROM range(100)"), overwrite = false)
+    }
+    val before = t.entries(None).map(_.rel)
+    val keepFiles = before.toSet // all current rels
+    // cutoff at the exact 02:00 boundary: the first two hours' files are
+    // FULLY covered (every row matches, zero NULLs) — they must drop
+    // with rewritten == 0; the third hour's files carry by reference
+    val cutoff = java.time.Instant.parse("2024-01-01T02:00:00Z")
+    val st = t.deleteWhere(sch, col("ts") < lit(cutoff))
+    assert(st.rewritten == 0,
+      s"boundary-aligned retention delete must read nothing: $st")
+    val after = t.entries(None).map(_.rel)
+    assert(after.nonEmpty && after.toSet.subsetOf(keepFiles),
+      "survivors must be carried by reference (no new files)")
+    assert(t.snapshot(sch).count() == 100)
+    assert(t.snapshot(sch).agg(org.apache.spark.sql.functions.min("ts"))
+      .head.getTimestamp(0).toInstant
+      .equals(java.time.Instant.parse("2024-01-01T02:00:00Z")))
+    // a STRADDLING cutoff rewrites exactly the boundary file(s): 100
+    // rows at 36 s intervals split across task files; 02:20:10 falls
+    // INSIDE one file's range (not on a task boundary)
+    val cut2 = java.time.Instant.parse("2024-01-01T02:20:10Z")
+    val st2 = t.deleteWhere(sch, col("ts") < lit(cut2))
+    assert(st2.rewritten > 0,
+      s"straddling delete must rewrite the boundary file: $st2")
+    // ids 0..33 have ts < 02:20:10 (36*id < 1210) → 66 survive
+    assert(t.snapshot(sch).count() == 66)
+  }
+
+  test("retention fast path refuses files with NULLs in the bounded " +
+      "column and non-conjunctive predicates") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = fresh()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    t.create(sch)
+    // one old-hour commit CONTAINING a NULL instant: `ts < cutoff` is
+    // not true of the NULL row, so the file must NOT drop wholesale —
+    // it rewrites and the NULL row survives
+    t.commit(spark.sql(
+      "SELECT id, CASE WHEN id = 5 THEN CAST(NULL AS TIMESTAMP) " +
+        "ELSE timestamp_seconds(1704067200 + id) END AS ts " +
+        "FROM range(10)"), overwrite = false)
+    val st = t.deleteWhere(sch,
+      col("ts") < lit(java.time.Instant.parse("2024-01-01T01:00:00Z")))
+    assert(st.rewritten == 1,
+      s"a NULL in the bounded column must force the rewrite: $st")
+    val rows = t.snapshot(sch).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(1),
+      s"only the NULL-instant row survives: ${rows.mkString(",")}")
+    // an OR predicate is not a complete conjunction: no fast path, but
+    // the delete is still exact
+    t.commit(spark.sql(
+      "SELECT id + 100 AS id, timestamp_seconds(1704070800 + id) AS ts " +
+        "FROM range(10)"), overwrite = false)
+    val st2 = t.deleteWhere(sch,
+      col("id") === 100L || col("id") === 101L)
+    assert(st2.rewritten >= 1, s"OR predicate takes the rewrite path: $st2")
+    assert(t.snapshot(sch).count() == 9)
+  }
+
   test("widenColumn refuses bucket keys (typed hash would split buckets)") {
     val t = fresh()
     val s0 = StructType(Seq(StructField("k", IntegerType),
