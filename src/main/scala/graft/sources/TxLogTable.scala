@@ -592,9 +592,14 @@ object TxLogTable {
 
   /** What a copy-on-write [[TxLogTable.merge]] did: the committed version,
     * how many files were rewritten (their key stats overlapped the batch's
-    * key range) and how many were carried untouched by manifest reference.
+    * key range), how many were carried untouched by manifest reference —
+    * and, for deleteWhere/replaceWhere, how many were DROPPED unread
+    * (every row provably matched the predicate: the retention fast path).
+    * `rewritten + carried + dropped` always accounts for every pre-commit
+    * data file.
     */
-  final case class MergeStats(version: Int, rewritten: Int, carried: Int)
+  final case class MergeStats(version: Int, rewritten: Int, carried: Int,
+                              dropped: Int = 0)
 
   // Tolerant stats parse: a malformed `col=min:max` token yields no entry
   // instead of a MatchError — a reader must never fail the whole table over
@@ -3960,24 +3965,24 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val nn = physNullness(cmap, PredicateRanges.extractNullness(pred))
     val points = physKeyed(cmap, PredicateRanges.extractPoints(pred))
     val strs = physKeyed(cmap, PredicateRanges.extractStr(pred))
-    // RETENTION FAST PATH (pure deletes only): when the predicate is a
-    // complete conjunction of bounds (PredicateRanges.exactBounds — an
-    // EXACT characterization, not the may-match hull), a file whose
+    // RETENTION FAST PATH (deletes AND replaceWhere): when the predicate
+    // is a complete conjunction of bounds (PredicateRanges.exactBounds —
+    // an EXACT characterization, not the may-match hull), a file whose
     // recorded min/max sit wholly inside every bound AND whose bounded
     // columns hold zero NULLs contains ONLY matching rows — it drops
-    // from the manifest WITHOUT BEING READ. `DELETE WHERE ts < cutoff`
-    // over years of a 100 TB table becomes O(manifest): old days vanish
-    // as manifest omissions, only the boundary-straddling files pay a
-    // rewrite. Sound with MOR tombstones (hidden rows are a subset of
-    // the file's rows: dropping loses only already-invisible or
-    // matching rows) and with CDC (cowDiffEvents reads the PREVIOUS
-    // version's removed files, so a dropped file's rows still feed the
-    // change feed as deletes).
+    // from the manifest WITHOUT BEING READ (no surviving row could need
+    // re-staging). `DELETE WHERE ts < cutoff` over years of a 100 TB
+    // table becomes O(manifest): old days vanish as manifest omissions,
+    // only the boundary-straddling files pay a rewrite; a replaceWhere
+    // backfill of whole days likewise drops the old days unread and
+    // stages only the replacement batch. Sound with MOR tombstones
+    // (hidden rows are a subset of the file's rows: dropping loses only
+    // already-invisible or matching rows) and with CDC (cowDiffEvents
+    // reads the PREVIOUS version's removed files, so a dropped file's
+    // rows still feed the change feed as deletes).
     val exact: Option[Map[String, PredicateRanges.Bound]] =
-      if (extra.isEmpty)
-        PredicateRanges.exactBounds(pred).map(physKeyed(cmap, _))
-          .filter(_.nonEmpty)
-      else None
+      PredicateRanges.exactBounds(pred).map(physKeyed(cmap, _))
+        .filter(_.nonEmpty)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
@@ -4018,7 +4023,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
-        return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
+        return TxLogTable.MergeStats(next, affected.size, carriedLines.size,
+          dropped.size)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1 // lost the race: re-plan against the new latest

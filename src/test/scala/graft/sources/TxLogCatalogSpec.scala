@@ -1221,6 +1221,41 @@ class TxLogCatalogSpec extends AnyFunSuite {
       == 20000L)
   }
 
+  test("runtime file skip keeps a sorted multi-file dir armed " +
+      "(a subsequence of disjoint ranges is still disjoint)") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.dfsort")
+    spark.sql("CREATE TABLE txcat.ns.dfsort (k BIGINT, v STRING, p INT) " +
+      "USING txlog PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('sortCols'='k', 'bloomCols'='k')")
+    // three single-task appends with disjoint k ranges: one dir (p=0),
+    // three range-disjoint files — the armed multi-file steady state
+    Seq(0L, 1000L, 2000L).foreach { base =>
+      spark.sql(s"INSERT INTO txcat.ns.dfsort " +
+        s"SELECT id + $base, concat('v', id + $base), 0 " +
+        s"FROM range(0, 1000, 1, 1)")
+    }
+    import spark.implicits._
+    val dimPath = java.nio.file.Files.createTempDirectory("dfsortdim")
+      .toString
+    // keys from the FIRST and THIRD ranges: the middle file prunes at
+    // runtime, and the surviving subsequence must stay armed (ordered
+    // concatenation) — a regression here crashes planInputPartitions
+    Seq((5L, "x"), (2500L, "x")).toDF("k", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dfsort_dim")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    graft.sources.v2.TxLogSpjScan.lastRuntimePrune.set((0, 0))
+    val q = spark.sql("""SELECT f.k, f.v FROM txcat.ns.dfsort f
+      JOIN dfsort_dim d ON f.k = d.k WHERE d.name = 'x'""")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 2500L))
+    val (before, after) =
+      graft.sources.v2.TxLogSpjScan.lastRuntimePrune.get()
+    assert(before == 3 && after == 2,
+      s"middle range file must prune: $before -> $after")
+  }
+
   test("hidden time partitioning: days(ts) lays out calendar dirs, " +
       "reads drop the hidden level, time ranges prune to the dirs") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.hpday")

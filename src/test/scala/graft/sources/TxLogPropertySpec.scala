@@ -304,7 +304,7 @@ class TxLogPropertySpec extends AnyFunSuite {
             val base = live.lastOption.map(history).getOrElse(Nil)
             val before = t.fileCount()
             val st = t.merge(schema, rows.toDF("id", "v"), Seq("id"))
-            assert(st.rewritten + st.carried == before,
+            assert(st.rewritten + st.carried + st.dropped == before,
               s"merge file accounting: $st vs $before files")
             val ids = rows.map(_._1).toSet
             history += st.version -> (base.filterNot(r => ids(r._1)) ++ rows)
@@ -316,7 +316,7 @@ class TxLogPropertySpec extends AnyFunSuite {
             val base = live.lastOption.map(history).getOrElse(Nil)
             val before = t.fileCount()
             val st = t.merge(schema, rows.toDF("id", "v"), Seq("v"))
-            assert(st.rewritten + st.carried == before,
+            assert(st.rewritten + st.carried + st.dropped == before,
               s"string merge file accounting: $st vs $before files")
             val vs = rows.map(_._2).toSet
             history += st.version -> (base.filterNot(r => vs(r._2)) ++ rows)
@@ -330,7 +330,7 @@ class TxLogPropertySpec extends AnyFunSuite {
             val st = t.replaceWhere(schema,
               org.apache.spark.sql.functions.col("id").between(lo, hi),
               rows.toDF("id", "v"))
-            assert(st.rewritten + st.carried == before,
+            assert(st.rewritten + st.carried + st.dropped == before,
               s"replaceWhere file accounting: $st vs $before files")
             history += st.version ->
               (base.filterNot(r => r._1 >= lo && r._1 <= hi) ++ rows)
@@ -342,7 +342,7 @@ class TxLogPropertySpec extends AnyFunSuite {
             val before = t.fileCount()
             val st = t.deleteWhere(schema,
               org.apache.spark.sql.functions.col("id").isin(ids: _*))
-            assert(st.rewritten + st.carried == before,
+            assert(st.rewritten + st.carried + st.dropped == before,
               s"delete file accounting: $st vs $before files")
             val dead = ids.toSet
             history += st.version -> base.filterNot(r => dead(r._1))

@@ -986,7 +986,7 @@ class TxLogTableSpec extends AnyFunSuite {
     // with rewritten == 0; the third hour's files carry by reference
     val cutoff = java.time.Instant.parse("2024-01-01T02:00:00Z")
     val st = t.deleteWhere(sch, col("ts") < lit(cutoff))
-    assert(st.rewritten == 0,
+    assert(st.rewritten == 0 && st.dropped > 0,
       s"boundary-aligned retention delete must read nothing: $st")
     val after = t.entries(None).map(_.rel)
     assert(after.nonEmpty && after.toSet.subsetOf(keepFiles),
@@ -1004,6 +1004,38 @@ class TxLogTableSpec extends AnyFunSuite {
       s"straddling delete must rewrite the boundary file: $st2")
     // ids 0..33 have ts < 02:20:10 (36*id < 1210) → 66 survive
     assert(t.snapshot(sch).count() == 66)
+  }
+
+  test("replaceWhere backfill drops the replaced band's files unread") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = fresh()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    t.create(sch)
+    Seq(0L, 3600L, 7200L).foreach { base =>
+      t.commit(spark.sql(
+        s"SELECT id, timestamp_seconds(1704067200 + $base + id * 36) " +
+          "AS ts FROM range(100)"), overwrite = false)
+    }
+    val keep = t.entries(None).map(_.rel)
+      .filterNot(_ => false).toSet
+    // recompute the FIRST TWO HOURS: the replaced band's files are
+    // fully covered by the predicate — they drop without a read, only
+    // the replacement batch stages
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-01T02:00:00Z")
+    val repl = spark.sql(
+      "SELECT id + 1000 AS id, timestamp_seconds(1704067200 + id * 60) " +
+        "AS ts FROM range(50)")
+    val st = t.replaceWhere(sch,
+      col("ts") >= lit(lo) && col("ts") < lit(hi), repl)
+    assert(st.rewritten == 0 && st.dropped > 0,
+      s"band-aligned backfill must read none of the replaced files: $st")
+    val rows = t.snapshot(sch).count()
+    assert(rows == 100 + 50, s"third hour + replacement: $rows")
+    // the untouched hour's files carried by reference
+    assert(t.entries(None).map(_.rel).count(keep) > 0,
+      "the untouched band must carry by reference")
   }
 
   test("retention fast path refuses files with NULLs in the bounded " +
