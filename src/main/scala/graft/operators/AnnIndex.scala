@@ -165,8 +165,14 @@ object AnnIndex {
     * the corpus at scale (cluster id is the partition key of the
     * assignments join).
     */
-  // shared load + staleness gate: (pinned corpus as (vec_id, v), corpus
-  // version) — every search path starts here
+  // shared load + staleness gate: the pinned corpus with its FULL
+  // column set (filtered search predicates reference corpus attributes
+  // — label, lang, any metadata the row carries). Callers apply their
+  // filter against this frame and then immediately project to the
+  // internal (vec_id, v) shape, so corpus columns — including ones
+  // literally named "v", "cluster", "qv", "cs" or "best_cluster" —
+  // never reach the ranking pipeline's joins and cannot collide with
+  // its internal names.
   private def loadPinnedCorpus(spark: SparkSession, indexRoot: String,
                                requireFresh: Boolean)
       : (DataFrame, Int) = {
@@ -183,11 +189,18 @@ object AnnIndex {
         "rebuild the index")
     val schema = DataType.fromJson(meta("corpus_schema"))
       .asInstanceOf[StructType]
-    // keep every corpus column alongside the doubled vector: FILTERED
-    // search predicates reference corpus attributes (label, lang, ...)
-    (corpus.snapshot(schema, Some(pinned))
-      .withColumn("v", asDouble(col("embedding"))), pinned)
+    (corpus.snapshot(schema, Some(pinned)), pinned)
   }
+
+  // the internal two-column ranking shape: the optional pre-filter is
+  // applied while the corpus columns are still present, then projected
+  // away — `as("v")` on a select output cannot collide with any corpus
+  // column name
+  private def rankingShape(corpus: DataFrame,
+                           filter: Option[org.apache.spark.sql.Column])
+      : DataFrame =
+    filter.map(corpus.filter).getOrElse(corpus)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
   /** IVF top-k, optionally FILTERED: `filter` (a predicate over the
     * corpus's own columns — label, lang, any metadata the corpus row
@@ -203,14 +216,16 @@ object AnnIndex {
                 filter: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     graft.catalyst.CosineSim.register(spark)
-    val (emb, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
+    val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
+    val emb = rankingShape(corpus, filter)
     val cents = TxLogTable(spark, s"$indexRoot/centroids")
       .snapshot(centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
       .snapshot(assignmentsSchema)
     // the query vector is fetched UNfiltered: asking for neighbors of a
     // row the filter excludes is legitimate
-    val q = emb.filter(col("vec_id") === queryVecId)
+    val q = rankingShape(corpus, None)
+      .filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"))
     val bestCell = cents.crossJoin(broadcast(q))
       .select(col("cluster"), cosine(col("cv"), col("qv")).as("cs"))
@@ -218,7 +233,7 @@ object AnnIndex {
       .limit(1).select(col("cluster").as("best_cluster"))
     assigned.join(broadcast(bestCell),
         col("cluster") === col("best_cluster"))
-      .join(filter.map(emb.filter).getOrElse(emb), "vec_id")
+      .join(emb, "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cluster"),
         cosine(col("v"), col("qv")).as("q_cos"))
@@ -238,7 +253,8 @@ object AnnIndex {
                   topK: Int, requireFresh: Boolean = false): DataFrame = {
     graft.catalyst.CosineSim.register(spark)
     graft.catalyst.L2Sq.register(spark)
-    val (emb, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
+    val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
+    val emb = rankingShape(corpus, None)
     val cents = TxLogTable(spark, s"$indexRoot/centroids")
       .snapshot(centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")

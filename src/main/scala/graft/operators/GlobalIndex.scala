@@ -36,9 +36,13 @@ object GlobalIndex {
     require(!df.columns.contains(indexCol),
       s"index column $indexCol already exists")
     val spark = df.sparkSession
+    // shuffle.partitions may be non-numeric on AQE-managed platforms
+    // ("auto"): fall back to the input's own partitioning rather than
+    // failing the stamp
     val n =
       if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      else spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+        .getOrElse(df.rdd.getNumPartitions)
     val cols = sortCols.map(col)
     val ranged = df.repartitionByRange(n, cols: _*)
       .sortWithinPartitions(cols: _*)

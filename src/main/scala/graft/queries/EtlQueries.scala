@@ -1285,6 +1285,78 @@ object EtlQueries {
         FROM graftcat.db.ev_ret""")
     }),
 
+    // POSITIONAL DELETE (deletion-vector style): a non-key-predicate
+    // DELETE commits an O(matched rows) position mask — the requires pin
+    // the headline guarantee (the data-file SET is bit-identical before
+    // and after; MergeStats.rewritten == 0) and that metadata COUNT(*)
+    // stays EXACT under the live mask (subtraction, where MOR tombstones
+    // must decline). At 100 TB this is the trickle-correction path: a
+    // point DELETE on non-key columns costs positions, not the COW
+    // rewrite of every file the predicate touches. Oracle recomputes the
+    // survivors relationally.
+    "delete_dv" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dvdel")
+        .resolve("t").toString
+      val tbl = graft.sources.TxLogTable(s, root)
+      val src = t(s, dir, "orders").select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderstatus")
+      tbl.commit(src, overwrite = true)
+      val before = tbl.entries(None).map(_.rel).toSet
+      val st = tbl.deleteWherePos(src.schema,
+        col("o_totalprice") > 150000 && col("o_orderstatus") === "F")
+      require(st.rewritten == 0,
+        s"positional delete must rewrite zero files: ${st.rewritten}")
+      require(tbl.entries(None).map(_.rel).toSet == before,
+        "positional delete must leave the data-file set bit-identical")
+      require(tbl.history().last.op.contains("delete-dv"),
+        "commit must go through the delete-dv op")
+      val snap = tbl.snapshot(src.schema)
+      val metaN = tbl.metaRowCount(None)
+      require(metaN.isDefined && metaN.contains(snap.count()),
+        s"metadata COUNT(*) must stay exact under the mask: $metaN")
+      snap.groupBy("o_orderstatus")
+        .agg(count("*").as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+    }),
+
+    // POSITIONAL UPDATE in pure SQL (CALL system.update_pos +
+    // delete_pos): matched rows are masked where they sit and re-staged
+    // once with the assignments applied — `files_rewritten = 0` comes
+    // back from the procedure itself, and the require proves every
+    // pre-update data file is still referenced (only NEW files joined
+    // the manifest). The catalog SELECT reads through the mask. Oracle
+    // replays update-then-delete relationally.
+    "sql_update_dv" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "customer").createOrReplaceTempView("cust_dv_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.cust_dv")
+      s.sql("CREATE TABLE graftcat.db.cust_dv USING txlog AS " +
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+        "FROM cust_dv_src")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/cust_dv")
+      val before = tbl.entries(None).map(_.rel).toSet
+      val upd = s.sql(
+        "CALL graftcat.system.update_pos('db.cust_dv', " +
+          "'c_mktsegment = ''BUILDING'' AND c_acctbal < 0', " +
+          "'c_acctbal = c_acctbal + 1000; " +
+          "c_name = concat(''N-'', c_name)')").head()
+      require(upd.getInt(2) == 0,
+        s"update_pos must rewrite zero files: ${upd.getInt(2)}")
+      require(upd.getLong(1) > 0, "update_pos must touch rows at sf0.01")
+      val after = tbl.entries(None).map(_.rel).toSet
+      require(before.subsetOf(after) && after.size > before.size,
+        "every pre-update file must survive; only new files may join")
+      require(tbl.history().last.op.contains("update-dv"),
+        "commit must go through the update-dv op")
+      val del = s.sql(
+        "CALL graftcat.system.delete_pos('db.cust_dv', " +
+          "'c_acctbal > 9000 AND c_mktsegment = ''MACHINERY''')").head()
+      require(del.getInt(2) == 0, "delete_pos must rewrite zero files")
+      s.sql("SELECT c_custkey, c_name, c_acctbal, c_mktsegment " +
+        "FROM graftcat.db.cust_dv")
+    }),
+
     // Bucketed storage-partitioned join — the HIGH-CARDINALITY twin of
     // sql_spj_join: `PARTITIONED BY (bucket(8, key))` lays both tables
     // out as hidden `_bkt=<pmod(xxhash64(key), 8)>` hive dirs, the scans
@@ -2940,6 +3012,27 @@ object EtlQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
          FROM events
          WHERE epoch_ns(ts) >= 1704931200000000000""",
+
+    "delete_dv" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders
+         WHERE NOT (o_totalprice > 150000 AND o_orderstatus = 'F')
+         GROUP BY o_orderstatus""",
+
+    "sql_update_dv" ->
+      """WITH upd AS (
+           SELECT c_custkey,
+             CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+                  THEN concat('N-', c_name) ELSE c_name END AS c_name,
+             CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+                  THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+           FROM customer)
+         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+         FROM upd
+         WHERE NOT (c_acctbal > 9000 AND c_mktsegment = 'MACHINERY')""",
 
     "sql_file_skip_join" ->
       """SELECT c.c_nationkey AS nationkey, count(*) AS n_cust,

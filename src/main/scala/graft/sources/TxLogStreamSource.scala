@@ -234,9 +234,15 @@ final class TxLogStreamSource(ctx: SQLContext, root: String,
         // ignoreChanges / skipChangeCommits contract) instead of
         // corrupting downstream state by default.
         val present = table.versions.toSet
+        // delete-dv / update-dv change rows without rewriting files
+        // (positional masks) — same append-contract violation, same
+        // three ways out (skipping one delivers the update's new rows
+        // but never the masked deletions, exactly ignoreChanges'
+        // documented re-delivery shape)
         val cowVs = (fromV + 1 to endV).filter(present)
           .filter(v => v > 0 && present(v - 1) &&
-            table.opOf(v).exists(TxLogTable.CowDiffOps))
+            (table.opOf(v).exists(TxLogTable.CowDiffOps) ||
+              table.opOf(v).exists(Set("delete-dv", "update-dv"))))
         if (cowVs.nonEmpty && !skipChangeCommits && !ignoreChanges)
           throw new IllegalStateException(
             s"append-only txlog stream hit row-changing commit(s) " +

@@ -64,6 +64,20 @@ object TxLogTable {
     */
   val DefaultVacuumRetainMillis: Long = 7L * 24 * 60 * 60 * 1000
 
+  /** Cap on a table's TOTAL live positional-delete mask rows — the
+    * read-side anti-join broadcasts the mask union, so it must stay
+    * driver/broadcast-sized (≈ tens of MB at the cap, the same order as
+    * the MOR tombstone cap). A delete that would cross it is refused
+    * with "compact first" (compaction folds every mask) — the COW path
+    * handles bulk deletes. Conf-overridable:
+    * `spark.graft.sql.maxDvMaskRows`.
+    */
+  val MaxDvMaskRows: Long = 4L << 20
+
+  def maxDvMaskRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.sql.maxDvMaskRows")
+      .map(_.toLong).getOrElse(MaxDvMaskRows)
+
   /** `#op=` values whose commits preserve the table's logical content —
     * pure layout maintenance (file packing / clustering / bucket
     * evolution). The change feed can skip these wholesale: every row in
@@ -589,6 +603,40 @@ object TxLogTable {
     * owner has durably committed, so vacuum must preserve every manifest
     * at or after it (the next batch diffs FROM that manifest). */
   final case class Cursor(name: String, version: Int, updatedMillis: Long)
+
+  /** A positional-delete (deletion-vector) manifest entry: `dvRel` is a
+    * parquet under data/ holding `(file STRING, pos LONG)` rows — the
+    * row positions (parquet `_metadata.row_index`) masked OUT of data
+    * file `file`; `n` is the exact number of positions this entry masks
+    * in that file (what keeps metadata COUNT(*) exact under live DVs);
+    * `v` is the commit that wrote it. One DV parquet typically serves
+    * many target files of one DELETE/UPDATE — the manifest carries one
+    * `#dv=` line PER TARGET so a later rewrite of one target drops
+    * exactly its mask share.
+    *
+    * Wire format: `#dv=<dvRel>;v=<v>;n=<n>;file=<targetRel>` — the
+    * target rel comes LAST because hive partition segments can contain
+    * arbitrary escaped bytes; `dvRel` is always an unpartitioned staged
+    * path (`batch-<uuid>/part-*.parquet`, no `;`).
+    */
+  final case class DvEntry(dvRel: String, v: Int, n: Long, file: String)
+
+  def decodeDvLine(line: String): Option[DvEntry] = {
+    if (!line.startsWith("#dv=")) return None
+    val body = line.stripPrefix("#dv=")
+    val c1 = body.indexOf(";v=")
+    val c2 = if (c1 < 0) -1 else body.indexOf(";n=", c1)
+    val c3 = if (c2 < 0) -1 else body.indexOf(";file=", c2)
+    if (c3 < 0) None
+    else scala.util.Try(DvEntry(
+      body.substring(0, c1),
+      body.substring(c1 + 3, c2).toInt,
+      body.substring(c2 + 3, c3).toLong,
+      body.substring(c3 + 6))).toOption
+  }
+
+  def encodeDvLine(d: DvEntry): String =
+    s"#dv=${d.dvRel};v=${d.v};n=${d.n};file=${d.file}"
 
   /** What a copy-on-write [[TxLogTable.merge]] did: the committed version,
     * how many files were rewritten (their key stats overlapped the batch's
@@ -1233,7 +1281,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       l.startsWith("#bloomBits=") || l.startsWith("#bucketSpec=") ||
         l.startsWith("#sortCols=") ||
         l.startsWith("#ndvCols=") || l.startsWith("#ndv:")) ++
-      morLines(Some(b)) ++ checkLines(Some(b))
+      morLines(Some(b)) ++ dvLines(b) ++ checkLines(Some(b))
 
   /** RENAME COLUMN as a pure metadata commit (column mapping): the logical
     * schema gets the new name, the colmap routes it to the unchanged
@@ -1454,6 +1502,33 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   private def tombLines(v: Int): Seq[String] =
     manifestLines(v).filter(_.startsWith("#tomb="))
 
+  /** Positional-delete (deletion-vector) entries visible at `v` — one per
+    * (DV parquet, target data file) pair. See [[TxLogTable.DvEntry]].
+    */
+  def dvsOf(v: Int): Seq[TxLogTable.DvEntry] =
+    manifestLines(v).flatMap(TxLogTable.decodeDvLine)
+
+  private def dvLines(v: Int): Seq[String] =
+    manifestLines(v).filter(_.startsWith("#dv="))
+
+  /** DV lines to carry into a commit whose surviving data lines are
+    * `carriedDataLines`: an entry rides along only while its TARGET file
+    * is still referenced — a rewrite/drop of the target materialized (or
+    * discarded) the masked rows, so its mask share must not linger (it
+    * would silently undercount [[metaRowCount]]'s subtraction). Append
+    * paths pass ALL previous data lines, so every entry carries.
+    */
+  private def dvCarryLines(base: Option[Int],
+                           carriedDataLines: Seq[String]): Seq[String] = {
+    val lines = base.map(dvLines).getOrElse(Nil)
+    if (lines.isEmpty) Nil
+    else {
+      val kept = carriedDataLines.map(_.takeWhile(_ != '\t')).toSet
+      lines.filter(l =>
+        TxLogTable.decodeDvLine(l).exists(d => kept(d.file)))
+    }
+  }
+
   /** rel → version that added the file, for the snapshot at `version`
     * (0 = the file predates `:v` tagging — oldest, every tombstone
     * applies). These are the sequence numbers the MOR mask orders
@@ -1487,7 +1562,31 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                                 es: Seq[TxLogTable.FileEntry],
                                 version: Option[Int],
                                 mapOverride: Option[Map[String, String]] =
-                                  None): DataFrame = {
+                                  None): DataFrame =
+    readMaskedPos(schema, es, version, mapOverride, withPos = false)._1
+
+  /** The full masked read — MOR tombstones AND positional-delete (DV)
+    * masks — with optional `(decoded file path, row position)`
+    * passthrough columns. Returns (frame, fileCol, posCol); the extra
+    * columns are present only when `withPos = true` (the DV WRITER's
+    * read: it needs each surviving row's position to stage new masks).
+    *
+    * DV masking is one broadcast LEFT ANTI join of the scan's
+    * `(file, _metadata.row_index)` against the union of live DV
+    * parquets. No sequence logic is needed — a DV entry names its
+    * target file, rels are batch-UUID-unique and never reused, and a DV
+    * row whose target is not being read matches nothing (which is also
+    * why a stale entry, should one ever survive a carry, is harmless to
+    * reads). With no live DVs and `withPos = false` this is exactly
+    * [[readRels]] — zero overhead on the common path.
+    */
+  private def readMaskedPos(schema: StructType,
+                            es: Seq[TxLogTable.FileEntry],
+                            version: Option[Int],
+                            mapOverride: Option[Map[String, String]],
+                            withPos: Boolean)
+      : (DataFrame, String, String) = {
+    import org.apache.spark.sql.functions.{broadcast, concat}
     val v = version.orElse(latestVersion)
     // mapOverride: the CDC diff reads OLD versions' files under the
     // CURRENT logical schema, which only the LATEST colmap can
@@ -1497,24 +1596,55 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val cmap = mapOverride.getOrElse(colMapAt(version))
     val tombs = v.map(tombstonesOf).getOrElse(Nil)
     val keys = v.map(morKeysOf).getOrElse(Nil)
-    if (tombs.isEmpty || keys.isEmpty)
-      readRels(schema, es.map(_.rel), cmap)
-    else {
-      import org.apache.spark.sql.functions.broadcast
-      val tombUnion = tombs.map { case (rel, tv) =>
-        spark.read.parquet(dataDir.resolve(rel).toString)
-          .withColumn("_tomb_v", lit(tv))
-      }.reduce(_.unionByName(_))
-      val data = es.groupBy(addedVOf).toSeq.map { case (av, group) =>
-        readRels(schema, group.map(_.rel), cmap)
-          .withColumn("_added_v", lit(av))
-      }.reduceOption(_.unionByName(_))
-        .getOrElse(readRels(schema, Nil, cmap)
-          .withColumn("_added_v", lit(0)))
-      val cond = keys.map(k => data(k) === tombUnion(k)).reduce(_ && _) &&
-        tombUnion("_tomb_v") >= data("_added_v")
-      data.join(broadcast(tombUnion), cond, "left_anti").drop("_added_v")
+    val dvs = v.map(dvsOf).getOrElse(Nil)
+    val taken = schema.fieldNames.toSeq
+    val fcol = fileTagName(taken)
+    val pcol = fileTagName(taken :+ fcol) + "_pos"
+    val needPos = withPos || dvs.nonEmpty
+    def readPlain(rels: Seq[String]): DataFrame =
+      if (!needPos) readRels(schema, rels, cmap)
+      else if (rels.isEmpty)
+        readRels(schema, Nil, cmap)
+          .withColumn(fcol,
+            lit(null).cast(org.apache.spark.sql.types.StringType))
+          .withColumn(pcol,
+            lit(null).cast(org.apache.spark.sql.types.LongType))
+      else {
+        val phys = StructType(schema.fields.map(f =>
+          f.copy(name = physOf(cmap, f.name))))
+        spark.read.option("basePath", dataDir.toString)
+          .schema(phys)
+          .parquet(rels.map(rel => dataDir.resolve(rel).toString): _*)
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(physOf(cmap, f.name)).as(f.name)) :+
+            decodedFileCol.as(fcol) :+
+            col("_metadata.row_index").as(pcol): _*)
+      }
+    lazy val dvMask = spark.read.parquet(dvs.map(_.dvRel).distinct
+        .map(r => dataDir.resolve(r).toString): _*)
+      .select(concat(lit(dataDir.toString + "/"), col("file")).as(fcol),
+        col("pos").as(pcol))
+    def masked(rels: Seq[String]): DataFrame = {
+      val d = readPlain(rels)
+      if (dvs.isEmpty || rels.isEmpty) d
+      else d.join(broadcast(dvMask), Seq(fcol, pcol), "left_anti")
     }
+    val out =
+      if (tombs.isEmpty || keys.isEmpty) masked(es.map(_.rel))
+      else {
+        val tombUnion = tombs.map { case (rel, tv) =>
+          spark.read.parquet(dataDir.resolve(rel).toString)
+            .withColumn("_tomb_v", lit(tv))
+        }.reduce(_.unionByName(_))
+        val data = es.groupBy(addedVOf).toSeq.map { case (av, group) =>
+          masked(group.map(_.rel)).withColumn("_added_v", lit(av))
+        }.reduceOption(_.unionByName(_))
+          .getOrElse(readPlain(Nil).withColumn("_added_v", lit(0)))
+        val cond = keys.map(k => data(k) === tombUnion(k)).reduce(_ && _) &&
+          tombUnion("_tomb_v") >= data("_added_v")
+        data.join(broadcast(tombUnion), cond, "left_anti").drop("_added_v")
+      }
+    (if (needPos && !withPos) out.drop(fcol, pcol) else out, fcol, pcol)
   }
 
   /** Scan of an explicit relative-path file list under data/, empty-with-
@@ -1978,7 +2108,18 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       return None
     val es = entries(version)
     val counts = es.flatMap(_.stats.get(TxLogTable.RowsKey).map(_._1))
-    if (counts.size == es.size) Some(counts.sum) else None
+    if (counts.size != es.size) None
+    else {
+      // positional deletes keep the count EXACT: each live DV entry
+      // records precisely how many positions it masks in its (still
+      // referenced) target file, and masks are disjoint by construction
+      // — subtract instead of declining (unlike tombstones, whose key
+      // match count is unknowable without a scan)
+      val live = es.map(_.rel).toSet
+      val dvSub = version.orElse(latestVersion).map(dvsOf).getOrElse(Nil)
+        .filter(d => live(d.file)).map(_.n).sum
+      Some(counts.sum - dvSub)
+    }
   }
 
   /** COUNT(*) under a PARTITION-ONLY predicate, answered from manifest
@@ -2000,7 +2141,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                         version: Option[Int] = None): Option[Long] =
     entriesWhere(preds, version).flatMap { es =>
       val counts = es.flatMap(_.stats.get(TxLogTable.RowsKey).map(_._1))
-      if (counts.size == es.size) Some(counts.sum) else None
+      if (counts.size != es.size) None
+      else {
+        // DV masks subtract exactly, scoped to the SELECTED files (a
+        // partition value is constant per file, so a selected target's
+        // masked rows all belonged to the selection)
+        val sel = es.map(_.rel).toSet
+        val dvSub = version.orElse(latestVersion).map(dvsOf)
+          .getOrElse(Nil).filter(d => sel(d.file)).map(_.n).sum
+        Some(counts.sum - dvSub)
+      }
     }
 
   /** MIN/MAX of an integral column over the partition-filtered file
@@ -2019,7 +2169,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       : Option[Option[(Long, Long)]] = {
     val v = version.orElse(latestVersion).getOrElse(return None)
     entriesWhere(preds, Some(v)).flatMap { es =>
-      if (es.isEmpty) Some(None)
+      // a position-masked row in any SELECTED file could be the extremum
+      if (dvsOf(v).exists(d => es.exists(_.rel == d.file))) None
+      else if (es.isEmpty) Some(None)
       else {
         val c = physOf(colMapAt(Some(v)), column)
         val isPart = partitionColsOf(v).contains(c)
@@ -2079,8 +2231,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   def metaMinMax(column: String,
                  version: Option[Int] = None): Option[(Long, Long)] = {
-    // a tombstoned row could be the extremum: manifest cannot answer
-    if (version.orElse(latestVersion).exists(tombstonesOf(_).nonEmpty))
+    // a tombstoned or position-masked row could be the extremum: the
+    // manifest cannot answer (counts subtract exactly; extrema cannot)
+    if (version.orElse(latestVersion).exists(v =>
+        tombstonesOf(v).nonEmpty || dvsOf(v).nonEmpty))
       return None
     val es = entries(version)
     val st = es.flatMap(_.stats.get(physOf(colMapAt(version), column)))
@@ -2299,11 +2453,59 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     // oracle (delete at v2, compact at v4, feed over (1,4]). The
     // tombstone's own commit version tags it; distinct-by-rel dedups
     // the carries between its commit and its fold.
+    // positional-delete (DV) events: entries COMMITTED inside the range
+    // emit their masked rows as exact delete events. Collected from
+    // EVERY manifest in the range for the same reason as tombstones
+    // below (a rewrite inside the range folds an entry out of later
+    // manifests; its commit-version manifest still carries it, and that
+    // manifest's survival keeps both the DV parquet and the target file
+    // vacuum-protected). One scan of the distinct target files + a
+    // broadcast (file, pos, version) mask — an INNER join, sound to tag
+    // versions because masks are disjoint: a position is masked by at
+    // most one commit.
+    val newDvs = (fromV + 1 to toV).filter(present)
+      .flatMap(dvsOf)
+      .filter(d => d.v > fromV && d.v <= toV)
+      .distinct
+    val withDv =
+      if (newDvs.isEmpty) adds
+      else {
+        import org.apache.spark.sql.functions.{broadcast, concat}
+        val map = inheritedColMap
+        val taken = schema.fieldNames.toSeq
+        val fcol = fileTagName(taken)
+        val pcol = fileTagName(taken :+ fcol) + "_pos"
+        val dcol = fileTagName(taken ++ Seq(fcol, pcol))
+        val phys = StructType(schema.fields.map(f =>
+          f.copy(name = physOf(map, f.name))))
+        val targets = spark.read.option("basePath", dataDir.toString)
+          .schema(phys)
+          .parquet(newDvs.map(_.file).distinct
+            .map(r => dataDir.resolve(r).toString): _*)
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(physOf(map, f.name)).as(f.name)) :+
+            decodedFileCol.as(fcol) :+
+            col("_metadata.row_index").as(pcol): _*)
+        val dvRelToV = newDvs.map(d => d.dvRel -> d.v).distinct
+        val mask = spark.read.parquet(dvRelToV.map(_._1).distinct
+            .map(r => dataDir.resolve(r).toString): _*)
+          .select(
+            concat(lit(dataDir.toString + "/"), col("file")).as(fcol),
+            col("pos").as(pcol), decodedFileCol.as(dcol))
+        val vmap = spark.createDataFrame(dvRelToV.map { case (rel, v) =>
+            dataDir.resolve(rel).toString -> v.toLong })
+          .toDF(dcol, "_commit_version")
+        val tagged = mask.join(broadcast(vmap), dcol).drop(dcol)
+        val dvDeletes = targets.join(broadcast(tagged), Seq(fcol, pcol))
+          .drop(fcol, pcol)
+          .withColumn("_change_type", lit("delete"))
+        adds.unionByName(dvDeletes)
+      }
     val newTombs = (fromV + 1 to toV).filter(present)
       .flatMap(tombstonesOf)
       .filter { case (_, v) => v > fromV && v <= toV }
       .distinct
-    if (newTombs.isEmpty) return adds
+    if (newTombs.isEmpty) return withDv
     // ONE scan over all tombstone files per distinct key-column set
     // (almost always exactly one — the table's MOR keys at commit time),
     // versions tagged by the same broadcast input_file_name() map the
@@ -2332,7 +2534,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         tagged.select(cols :+ col("_commit_version"): _*)
           .withColumn("_change_type", lit("delete"))
       }
-    deletes.foldLeft(adds)(_.unionByName(_))
+    deletes.foldLeft(withDv)(_.unionByName(_))
   }
 
   /** insert/delete events of ONE copy-on-write version by CONTENT DIFF
@@ -2452,6 +2654,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Files.write(manifestPath(next),
           (metaLines(layout, "compact-small", effBloom) ++
             tableMetaLines(base) ++ morLines(base) ++
+            dvCarryLines(base, large) ++
             checkLines(base) ++ large ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -2522,6 +2725,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Files.write(manifestPath(next),
           (metaLines(layout, "compact-where", effBloom) ++
             tableMetaLines(base) ++ morLines(base) ++
+            dvCarryLines(base, kept) ++
             checkLines(base) ++ kept ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -2600,6 +2804,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Files.write(manifestPath(next),
           (metaLines(layout, "resort", effBloom) ++
             tableMetaLines(base) ++ morLines(base) ++
+            dvCarryLines(base, kept) ++
             checkLines(base) ++ kept ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -2751,6 +2956,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         Files.write(manifestPath(next),
           (metaLines(layout, "zorder-where", effBloom) ++
             tableMetaLines(base) ++ morLines(base) ++
+            dvCarryLines(base, kept) ++
             checkLines(base) ++ kept ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -2903,10 +3109,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val minSurvivor = vs.filterNot(candidates.toSet).minOption
     val drop = minSurvivor.fold(candidates)(ms => candidates.filter(_ < ms))
     val survive = vs.filterNot(drop.toSet)
-    // tombstone parquet files are referenced too — vacuuming one would
-    // silently resurrect its deleted keys
+    // tombstone and deletion-vector parquets are referenced too —
+    // vacuuming one would silently resurrect its deleted rows
     val referenced = (survive.flatMap(readManifest) ++
-      survive.flatMap(tombstonesOf).map(_._1)).toSet
+      survive.flatMap(tombstonesOf).map(_._1) ++
+      survive.flatMap(dvsOf).map(_.dvRel)).toSet
     if (!dryRun) drop.foreach(v => Files.delete(manifestPath(v)))
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val dead = scala.util.Using.resource(Files.walk(dataDir)) { s =>
@@ -3178,7 +3385,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val destData = dest.resolve("data")
     Files.createDirectories(dest.resolve("_log"))
     Files.createDirectories(destData)
-    val rels = entries(Some(b)).map(_.rel) ++ tombstonesOf(b).map(_._1)
+    val rels = entries(Some(b)).map(_.rel) ++ tombstonesOf(b).map(_._1) ++
+      dvsOf(b).map(_.dvRel).distinct
     rels.foreach { rel =>
       val dst = destData.resolve(rel)
       Option(dst.getParent).foreach(Files.createDirectories(_))
@@ -3520,11 +3728,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             // logical annotation says which unit the writer used (Spark
             // writes MICROS under the engine sessions' pinned
             // outputTimestampType; a foreign writer may use MILLIS or
-            // NANOS): millis multiply exactly; nanos record ONLY when
-            // micro-exact — a widened bound would be sound for pruning
-            // but WRONG as a served MIN/MAX, and one store feeds both.
-            // INT96 (Spark's legacy default) carries no stats at all and
-            // never reaches here.
+            // NANOS): millis multiply exactly, with overflow degrading
+            // to "no entry" (never an exception failing the commit);
+            // NANOS records NOTHING — under the sessions' pinned
+            // nanosAsLong=true such a column reads as LongType in the
+            // NANOS domain, so a micros-normalized entry would bound
+            // the wrong unit by 1000×, and there is no reader-domain
+            // decision to key an exact entry off. INT96 (Spark's legacy
+            // default) carries no stats at all and never reaches here.
             val norm: Option[(Long, Long)] =
               c.getPrimitiveType.getLogicalTypeAnnotation match {
                 case ts: org.apache.parquet.schema
@@ -3532,14 +3743,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                   import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
                   ts.getUnit match {
                     case TimeUnit.MILLIS =>
-                      Some((Math.multiplyExact(mn0, 1000L),
-                        Math.multiplyExact(mx0, 1000L)))
+                      scala.util.Try((Math.multiplyExact(mn0, 1000L),
+                        Math.multiplyExact(mx0, 1000L))).toOption
                     case TimeUnit.MICROS => Some((mn0, mx0))
-                    case TimeUnit.NANOS
-                        if mn0 % 1000L == 0 && mx0 % 1000L == 0 =>
-                      Some((mn0 / 1000L, mx0 / 1000L))
-                    case _ => None // sub-micro extrema: no entry beats
-                                   // an inexact one
+                    case _ => None // NANOS / future units: no entry
                   }
                 case _ => Some((mn0, mx0))
               }
@@ -3713,7 +3920,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             // must still enter or the sketch goes stale-LOW
             metaWithNdv(base, ndvFoldLines(base, dynKmv,
               reset = false)) ++
-            morLines(base) ++ checkLines(base) ++ carried ++
+            morLines(base) ++ dvCarryLines(base, carried) ++
+            checkLines(base) ++ carried ++
             tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -3911,7 +4119,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             // would go stale-LOW (idempotent re-add for rewritten rows)
             metaWithNdv(base, ndvFoldLines(base, stagedKmv(staged),
               reset = false)) ++
-            morLines(base) ++
+            morLines(base) ++ dvCarryLines(base, carriedLines) ++
             checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -4019,7 +4227,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       try {
         Files.write(manifestPath(next),
           (metaLines(layout, opName, effBloom) ++ tableMetaLines(base) ++
-            morLines(base) ++
+            morLines(base) ++ dvCarryLines(base, carriedLines) ++
             checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
             .mkString("\n").getBytes(UTF_8),
           StandardOpenOption.CREATE_NEW)
@@ -4113,6 +4321,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           Seq(s"#morKeys=${keys.mkString(",")}") ++
           base.map(tombLines).getOrElse(Nil) ++
           staged.map(rel => s"#tomb=$rel;v=$next") ++
+          base.map(dvLines).getOrElse(Nil) ++
           checkLines(base) ++
           base.map(dataLines).getOrElse(Nil)
       try {
@@ -4127,6 +4336,153 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
     throw new IllegalStateException(
       s"deleteByKeysMor lost the version race $maxAttempts times: $root")
+  }
+
+  /** Positional DELETE (deletion-vector style — Iceberg v2 position
+    * deletes / Delta deletion vectors): rows matching `pred` are masked
+    * by `(file, row position)` instead of rewriting the files that hold
+    * them. The commit is O(matched rows): one small DV parquet plus one
+    * `#dv=` manifest line per touched file — NO data file is rewritten,
+    * where [[deleteWhere]]'s copy-on-write rewrites every affected file
+    * whole. This is the arbitrary-predicate complement to
+    * [[deleteByKeysMor]] (key-equality only): at 100 TB a trickle of
+    * point corrections (`DELETE WHERE id = x AND reason = y` on non-key
+    * columns) costs positions, not files.
+    *
+    * Contract matrix, same as MOR tombstones: reads apply the mask
+    * ([[readMaskedPos]]); compaction/resort/rebucket materialize it for
+    * the files they rewrite and [[dvCarryLines]] keeps it for the rest;
+    * vacuum protects DV parquets referenced by surviving manifests;
+    * time travel sees each version's own mask; CDC emits the masked
+    * rows as exact delete events ([[changesWithDeletes]]); metadata
+    * COUNT(*) stays exact (counts subtract — see [[metaRowCount]]);
+    * metadata MIN/MAX declines. Masks are DISJOINT by construction —
+    * positions are computed through every live mask, so an
+    * already-masked row never re-masks (what keeps both the count
+    * subtraction and the CDC events exact).
+    *
+    * Returns [[TxLogTable.MergeStats]] with `rewritten = 0` always —
+    * the zero-rewrite guarantee callers can assert. A predicate
+    * matching no rows is a no-op (no version committed).
+    */
+  def deleteWherePos(schema: StructType, pred: org.apache.spark.sql.Column,
+                     maxAttempts: Int = 10): TxLogTable.MergeStats =
+    posMask(schema, pred, None, "delete-dv", maxAttempts)
+
+  /** Positional UPDATE: rows matching `pred` are masked where they sit
+    * (same DV commit as [[deleteWherePos]]) and re-written ONCE with
+    * `set` applied, as new data files holding ONLY the touched rows —
+    * O(matched rows) write amplification, vs [[cowRewrite]]'s O(affected
+    * files). `set` maps column name → replacement expression (evaluated
+    * against the row's old values, so `col("x") + 1` increments).
+    * CHECK constraints validate the updated rows before publish; CDC
+    * sees exact delete+insert pairs (the mask's rows and the new files'
+    * rows under one `_commit_version`).
+    */
+  def updateWherePos(schema: StructType, pred: org.apache.spark.sql.Column,
+                     set: Seq[(String, org.apache.spark.sql.Column)],
+                     maxAttempts: Int = 10): TxLogTable.MergeStats = {
+    require(set.nonEmpty, "updateWherePos needs at least one assignment")
+    set.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"updateWherePos column $c is not in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
+    posMask(schema, pred, Some(set), "update-dv", maxAttempts)
+  }
+
+  private def posMask(schema: StructType,
+                      pred: org.apache.spark.sql.Column,
+                      set: Option[Seq[(String, org.apache.spark.sql.Column)]],
+                      opName: String,
+                      maxAttempts: Int): TxLogTable.MergeStats = {
+    import org.apache.spark.sql.functions.{coalesce, substring}
+    val cmap = inheritedColMap
+    val ranges = physKeyed(cmap, PredicateRanges.extract(pred))
+    val nn = physNullness(cmap, PredicateRanges.extractNullness(pred))
+    val points = physKeyed(cmap, PredicateRanges.extractPoints(pred))
+    val strs = physKeyed(cmap, PredicateRanges.extractStr(pred))
+    val prefixLen = dataDir.toString.length + 1 // abs path → rel
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val lines = base.map(dataLines).getOrElse(Nil)
+      // manifest pruning bounds the scan exactly as for the COW path
+      val affected = lines.filter(line =>
+        mayMatchPred(TxLogTable.decodeEntry(line), ranges, nn, points,
+          strs, timeSegBounds(ranges, base)))
+      if (affected.isEmpty) // provably nothing matches: clean no-op
+        return TxLogTable.MergeStats(base.getOrElse(-1), 0, lines.size)
+      // matched rows' positions, read through EVERY live mask (prior
+      // DVs and tombstones) so masks stay disjoint
+      val (rows, fcol, pcol) = readMaskedPos(schema,
+        affected.map(TxLogTable.decodeEntry), base, None, withPos = true)
+      val hit = rows.filter(coalesce(pred, lit(false)))
+      // ONE small DV parquet per commit (a target's positions must not
+      // span DV files — the manifest carries one line per target):
+      // 2 columns, O(matched rows), the same order of memory the read
+      // side broadcasts anyway
+      val stagedDv = stage(hit.select(
+          substring(col(fcol), prefixLen + 1, Int.MaxValue).as("file"),
+          col(pcol).as("pos"))
+        .coalesce(1), Nil)
+      val counts: Seq[(String, Long)] =
+        if (stagedDv.isEmpty) Nil
+        else spark.read.parquet(
+            stagedDv.map(r => dataDir.resolve(r).toString): _*)
+          .groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      if (counts.isEmpty) // predicate matched no surviving row: no-op
+        return TxLogTable.MergeStats(base.getOrElse(-1), 0, lines.size)
+      // keep the table's TOTAL live mask broadcast-sized: beyond the cap
+      // the read-side anti-join and the maintenance paths should not
+      // carry it — compact (materializes every mask) or use the COW path
+      val cap = TxLogTable.maxDvMaskRows(spark)
+      val liveTotal = base.map(dvsOf).getOrElse(Nil).map(_.n).sum
+      require(liveTotal + counts.map(_._2).sum <= cap,
+        s"$opName would push the live positional-delete mask past " +
+          s"$cap rows: compact the table first (folds every mask), or " +
+          "use the copy-on-write path (deleteWhere/merge)")
+      val dvRel = stagedDv.head
+      // update: the touched rows re-staged once with assignments applied
+      val stagedData: Seq[String] = set match {
+        case Some(assigns) =>
+          val updated = hit.drop(fcol, pcol).select(
+            schema.fieldNames.toIndexedSeq.map(n =>
+              assigns.collectFirst { case (c, e) if c == n => e.as(n) }
+                .getOrElse(col(n))): _*)
+          validateChecks(updated, base)
+          stageWithStats(updated, layout,
+            base.map(bloomColsOf).getOrElse(Nil),
+            inheritedBloomBits(base), rebalanceOk = true)
+        case None => Nil
+      }
+      val next = base.getOrElse(-1) + 1
+      val newDvLines = counts.map { case (rel, n) =>
+        TxLogTable.encodeDvLine(TxLogTable.DvEntry(dvRel, next, n, rel)) }
+      val ndv = set match { // new values can appear only via assignments
+        case Some(_) =>
+          metaWithNdv(base, ndvFoldLines(base, stagedKmv(stagedData),
+            reset = false))
+        case None => tableMetaLines(base)
+      }
+      try {
+        Files.write(manifestPath(next),
+          (metaLines(layout, opName, base.map(bloomColsOf).getOrElse(Nil)) ++
+            ndv ++ morLines(base) ++ dvCarryLines(base, lines) ++
+            newDvLines ++ checkLines(base) ++ lines ++
+            tagVersion(stagedData, next))
+            .mkString("\n").getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, 0, lines.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: recompute against the new base
+      }
+    }
+    throw new IllegalStateException(
+      s"$opName lost the version race $maxAttempts times: $root")
   }
 
   // tombstone + MOR-key lines carried by every non-overwrite commit (an
@@ -4178,7 +4534,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         tableMetaLines(base) ++
           metaLines(layout, "add-check",
           base.map(bloomColsOf).getOrElse(Nil)) ++
-          morLines(base) ++ checkLines(base) ++
+          morLines(base) ++
+          base.map(b => dvLines(b)).getOrElse(Nil) ++
+          checkLines(base) ++
           Seq(s"#check:$name=$expr") ++
           base.map(dataLines).getOrElse(Nil)
       try {
@@ -4298,7 +4656,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val carried =
         if (overwrite) Nil else base.map(dataLines).getOrElse(Nil)
       // tombstones die with an overwrite; CHECK constraints survive it
-      val props = (if (overwrite) Nil else morLines(base)) ++
+      val props = (if (overwrite) Nil
+        else morLines(base) ++ base.map(dvLines).getOrElse(Nil)) ++
         checkLines(base)
       val next = base.getOrElse(-1) + 1
       // A layout-CHANGING overwrite must not carry layout-bound specs

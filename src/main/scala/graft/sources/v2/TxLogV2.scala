@@ -352,7 +352,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
         "ann_build", "ann_refresh", "ann_search",
-        "cursors", "release_cursor")
+        "cursors", "release_cursor", "delete_pos", "update_pos")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -434,6 +434,76 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               Seq(InternalRow(manifests, files)))
           }
         }
+      case "delete_pos" =>
+        // CALL c.system.delete_pos('ns.t', '<predicate>'): positional
+        // (deletion-vector) DELETE — matched rows are masked by (file,
+        // position), the commit is O(matched rows) and rewrites ZERO
+        // data files (the `files_rewritten` output is the proof). The
+        // non-key-predicate complement of the MOR tombstone path; COW
+        // `DELETE FROM` remains the bulk path.
+        new MaintenanceProc("delete_pos", Seq(
+          inParam("table", StringType),
+          inParam("predicate", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "delete_pos needs a predicate")
+            val schema = t.tableSchema.getOrElse(
+              TxLogV2Table(spark, t.root, input.getString(0)).schema)
+            val v0 = t.latestVersion.getOrElse(-1)
+            val st = t.deleteWherePos(schema,
+              org.apache.spark.sql.functions.expr(input.getString(1)))
+            val masked = // a no-op (nothing matched) commits no version
+              if (st.version <= v0) 0L
+              else t.dvsOf(st.version).filter(_.v == st.version)
+                .map(_.n).sum
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("rows_deleted", LongType),
+              StructField("files_rewritten", IntegerType))),
+              Seq(InternalRow(st.version, masked, st.rewritten)))
+          }
+        }
+      case "update_pos" =>
+        // CALL c.system.update_pos('ns.t', '<predicate>', '<set>'):
+        // positional UPDATE — matched rows are masked where they sit
+        // and re-staged ONCE with the assignments applied (new files
+        // hold ONLY the touched rows). `set` is ';'-separated
+        // `col = <expr>` pairs, each expr a SQL expression over the
+        // row's old values (`x = x + 1` increments). ';' separates
+        // because exprs legitimately contain commas; '=' splits at the
+        // first occurrence (column names are wire-safe).
+        new MaintenanceProc("update_pos", Seq(
+          inParam("table", StringType),
+          inParam("predicate", StringType),
+          inParam("set", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1) && !input.isNullAt(2),
+              "update_pos needs a predicate and a set clause")
+            val schema = t.tableSchema.getOrElse(
+              TxLogV2Table(spark, t.root, input.getString(0)).schema)
+            val assigns = input.getString(2).split(';').iterator
+              .map(_.trim).filter(_.nonEmpty).map { kv =>
+                val i = kv.indexOf('=')
+                require(i > 0, s"set entry '$kv' is not col = expr")
+                kv.substring(0, i).trim ->
+                  org.apache.spark.sql.functions.expr(kv.substring(i + 1))
+              }.toSeq
+            val v0 = t.latestVersion.getOrElse(-1)
+            val st = t.updateWherePos(schema,
+              org.apache.spark.sql.functions.expr(input.getString(1)),
+              assigns)
+            val masked = // a no-op (nothing matched) commits no version
+              if (st.version <= v0) 0L
+              else t.dvsOf(st.version).filter(_.v == st.version)
+                .map(_.n).sum
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("rows_updated", LongType),
+              StructField("files_rewritten", IntegerType))),
+              Seq(InternalRow(st.version, masked, st.rewritten)))
+          }
+        }
       case "history" =>
         // CALL c.system.history('ns.t'): one row per surviving version
         new MaintenanceProc("history", Seq(
@@ -465,6 +535,11 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             val v = t.latestVersion
             val parts = v.map(t.partitionColsOf).getOrElse(Nil)
             val tombs = v.exists(t.tombstonesOf(_).nonEmpty)
+            // positional-delete masks are per target FILE with exact
+            // counts, so per-partition rows stay exact by subtraction
+            // (tombstones cannot: their match count needs a scan)
+            val dvByFile = v.map(t.dvsOf).getOrElse(Nil)
+              .groupMapReduce(_.file)(_.n)(_ + _)
             val groups = t.entries(None).groupBy { e =>
               val segs = TxLogTable.partitionSegmentsOf(e.rel)
               parts.flatMap(c => segs.get(c).map(v => s"$c=$v"))
@@ -477,8 +552,11 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               groups.toSeq.sortBy(_._1).map { case (p, es) =>
                 val rows = es.flatMap(
                   _.stats.get(TxLogTable.RowsKey).map(_._1))
+                val dvSub = es.map(e =>
+                  dvByFile.getOrElse(e.rel, 0L)).sum
                 InternalRow(UTF8String.fromString(p), es.size,
-                  if (!tombs && rows.size == es.size) Long.box(rows.sum)
+                  if (!tombs && rows.size == es.size)
+                    Long.box(rows.sum - dvSub)
                   else null)
               })
           }
@@ -914,13 +992,10 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             val t = tableByName(input.getString(0))
             val v = t.latestVersion.get
             val sizes = t.fileSizes(Some(v))
-            val rows = t.entries(Some(v))
-              .map(_.stats.get(TxLogTable.RowsKey).map(_._1))
+            // metaRowCount handles every exactness case (pre-stats
+            // files, tombstones decline, DV masks subtract exactly)
             val exactRows =
-              if (rows.nonEmpty && rows.forall(_.isDefined) &&
-                  t.tombstonesOf(v).isEmpty)
-                Long.box(rows.flatten.sum)
-              else null // unknown: pre-stats files or masked rows
+              t.metaRowCount(Some(v)).map(Long.box).orNull
             def s(str: String) = UTF8String.fromString(str)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
@@ -1274,6 +1349,15 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
           }
           override def pushedFilters(): Array[Filter] = pushed
           override def build(): Scan = {
+            // Live positional-delete masks: the group scan is raw
+            // parquet and would resurrect masked rows into the rewrite.
+            // Unlike the (bounded, key-shaped) MOR tombstone mask there
+            // is no per-row key to check — masking needs file positions
+            // the delegate reader does not expose — so the statement
+            // asks for a compaction, which folds every mask away.
+            require(t.latestVersion.forall(t.dvsOf(_).isEmpty),
+              "SQL row-level DML on a table with live positional-delete " +
+                "masks (deletion vectors): compact the table first")
             val pred = pushed.toSeq
               .flatMap(f => graft.sources.v2.TxLogV2Table.loosePredicate(f))
               .reduceOption(_ && _)
@@ -1612,7 +1696,8 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
       org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) && {
       val v = asOfVersion.orElse(table.latestVersion)
       v.exists(ver => table.partitionColsOf(ver).nonEmpty &&
-        table.tombstonesOf(ver).isEmpty && table.colMapOf(ver).isEmpty)
+        table.tombstonesOf(ver).isEmpty && table.dvsOf(ver).isEmpty &&
+        table.colMapOf(ver).isEmpty)
     }
 
   /** The (possibly time-traveled) snapshot as a DataFrame — what

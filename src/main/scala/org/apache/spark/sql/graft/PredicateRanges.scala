@@ -330,12 +330,25 @@ object PredicateRanges {
                 case _ => Bound(Long.MinValue, Long.MaxValue)
               })
             }.toMap
-        case (">" | ">=" | "<" | "<=" | "=" | "==", Seq(_, _)) =>
+        case (op @ (">" | ">=" | "<" | "<=" | "=" | "=="), Seq(a, b)) =>
           // the leaf translations ARE exact when they translate at all:
           // reuse walk's cmp cases; an empty result means the literal
-          // (or shape) was untranslatable → the whole pred is inexact
+          // (or shape) was untranslatable → the whole pred is inexact.
+          // EXCEPT a strict comparison whose literal sits at the Long
+          // saturation boundary: incr/decr clamp there, so walk's bound
+          // is wider than the (empty) truth — sound for may-match, but a
+          // lie to the file-DROP path. Decline; the rewrite path handles
+          // it.
+          val clamped = (op == ">" || op == "<") && {
+            val fwd = for (_ <- colName(a); v <- litLong(b)) yield v
+            val rev = for (_ <- colName(b); v <- litLong(a)) yield v
+            fwd.exists(v => if (op == ">") v == Long.MaxValue
+                            else v == Long.MinValue) ||
+            rev.exists(v => if (op == ">") v == Long.MinValue
+                            else v == Long.MaxValue)
+          }
           val m = walk(n)
-          if (m.nonEmpty) Some(m) else None
+          if (m.nonEmpty && !clamped) Some(m) else None
         case _ => None
       }
       case _ => None
@@ -357,12 +370,15 @@ object PredicateRanges {
       // as epoch DAYS (INT32) — the analyzer has already coerced the
       // comparison, so a temporal literal only ever faces a column of
       // its own type and the units can never cross
+      // overflow (timestamps past ~year 294k, Instant.MAX) degrades to
+      // "no bound" — never an exception, never a silently wrapped bound
       case v: java.sql.Timestamp =>
-        Some(Math.floorDiv(v.getTime, 1000L) * 1000000L +
-          v.getNanos / 1000L)
+        scala.util.Try(Math.addExact(Math.multiplyExact(
+          Math.floorDiv(v.getTime, 1000L), 1000000L),
+          v.getNanos / 1000L)).toOption
       case v: java.time.Instant =>
-        Some(Math.multiplyExact(v.getEpochSecond, 1000000L) +
-          v.getNano / 1000L)
+        scala.util.Try(Math.addExact(Math.multiplyExact(
+          v.getEpochSecond, 1000000L), v.getNano / 1000L)).toOption
       case v: java.sql.Date => Some(v.toLocalDate.toEpochDay)
       case v: java.time.LocalDate => Some(v.toEpochDay)
       case _ => None // doubles/strings: no bound, never a rounded one

@@ -190,4 +190,37 @@ class OperatorSpec extends AnyFunSuite {
       GlobalIndex.assign(df.withColumn("idx", xxhash64(col("id"))),
         Seq("id")))
   }
+
+  test("AnnIndex.searchIvf: corpus columns named after search internals " +
+      "(v, cluster, qv) neither collide nor get clobbered") {
+    implicit val sp = spark
+    import org.apache.spark.sql.functions.col
+    // corpus carries metadata columns whose names mirror the ranking
+    // pipeline's internals: "v" (the doubled-vector name), "cluster" and
+    // "qv" (join-side names). A filter on corpus "v" must test THIS
+    // column, not the doubled embedding (the round-14 regression).
+    val vecs = (0L until 16L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 1.0f + 0.01f * i
+      (i, v.toSeq, i.toDouble - 8.0, s"c$i", s"q$i")
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "v", "cluster", "qv")
+    val tmp = java.nio.file.Files.createTempDirectory("ann-col")
+    val corpus = graft.sources.TxLogTable(spark, tmp.resolve("c").toString)
+    corpus.commit(emb, overwrite = true)
+    val idx = tmp.resolve("i").toString
+    AnnIndex.build(spark, corpus.root, idx, emb.schema, k = 4,
+      iterations = 2, pq = true)
+    // unfiltered search: no AnalysisException from ambiguous joins
+    val un = AnnIndex.searchIvf(spark, idx, 0L, 5).collect()
+    assert(un.nonEmpty && un.head.getLong(0) == 0L)
+    // filter on the corpus's OWN "v" column: only vec_ids >= 8 qualify
+    // (v = id - 8 >= 0). If the doubled embedding clobbered it, the
+    // predicate would test an array and fail or return wrong rows.
+    val f = AnnIndex.searchIvf(spark, idx, 0L, 16,
+        filter = Some(col("v") >= 0.0)).collect()
+    assert(f.nonEmpty && f.forall(_.getLong(0) >= 8L),
+      s"filter must apply to the corpus column v: ${f.mkString(",")}")
+    // PQ path with the same corpus: internals stay collision-free
+    assert(AnnIndex.searchIvfPq(spark, idx, 0L, 3).collect().nonEmpty)
+  }
 }

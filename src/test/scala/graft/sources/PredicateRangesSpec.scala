@@ -193,4 +193,30 @@ class PredicateRangesSpec extends AnyFunSuite {
     import graft.sources.TxLogTable.strEncFloor
     assert(strEncFloor(bmp) < strEncFloor(supp))
   }
+
+  test("exactBounds declines strict comparisons at the Long saturation " +
+      "boundary; overflowing temporal literals contribute no bound") {
+    // col < Long.MinValue matches NOTHING, but decr clamps — the
+    // may-match hull (MinValue, MinValue) is sound for pruning yet a lie
+    // to the file-DROP path, which must therefore decline
+    assert(PredicateRanges.exactBounds(col("a") < Long.MinValue).isEmpty)
+    assert(PredicateRanges.exactBounds(col("a") > Long.MaxValue).isEmpty)
+    assert(PredicateRanges.exactBounds(lit(Long.MaxValue) < col("a")).isEmpty)
+    assert(PredicateRanges.exactBounds(lit(Long.MinValue) > col("a")).isEmpty)
+    // non-boundary strict comparisons still characterize exactly
+    assert(PredicateRanges.exactBounds(col("a") < 5L) ==
+      Some(Map("a" -> Bound(Long.MinValue, 4L))))
+    // the may-match hull keeps its (sound, wide) clamped bound
+    assert(PredicateRanges.extract(col("a") < Long.MinValue) ==
+      Map("a" -> Bound(Long.MinValue, Long.MinValue)))
+    // Instant.MAX micros overflow: no bound, no exception
+    assert(PredicateRanges.extract(
+      col("ts") < lit(java.time.Instant.MAX)).isEmpty)
+    assert(PredicateRanges.exactBounds(
+      col("ts") < lit(java.time.Instant.MAX)).isEmpty)
+    // a representable instant still bounds (micros domain)
+    val i = java.time.Instant.ofEpochSecond(10L, 2000L)
+    assert(PredicateRanges.extract(col("ts") <= lit(i)) ==
+      Map("ts" -> Bound(Long.MinValue, 10000002L)))
+  }
 }
