@@ -721,6 +721,44 @@ object EtlQueries {
         "FROM graftcat.db.cust_merge")
     }),
 
+    // MERGE ... WHEN NOT MATCHED BY SOURCE (the r14 VERDICT's #2): the
+    // most common warehouse-sync clause after matched/not-matched —
+    // target rows ABSENT from the source soft-close (UPDATE) or drop
+    // (DELETE) in the SAME atomic merge that refreshes matches and
+    // inserts arrivals. Runs through the group-based row-level rewrite;
+    // with an NMBS clause every target row is a candidate by semantics,
+    // so the operation scan correctly reads all groups (the clause is
+    // WHY full-outer sync exists). Oracle recomputes the post-merge
+    // state relationally: matched → refreshed, absent-from-source →
+    // closed, arrivals → inserted.
+    "sql_merge_not_matched_by_source" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "supplier").createOrReplaceTempView("supp_nmbs_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.supp_nmbs")
+      // target = suppliers of nations 0..11, all live
+      s.sql("CREATE TABLE graftcat.db.supp_nmbs USING txlog AS " +
+        "SELECT s_suppkey, s_name, s_acctbal, " +
+        "CAST(1 AS INT) AS live FROM supp_nmbs_src " +
+        "WHERE s_nationkey < 12")
+      // source = current feed: nations 6..17 with refreshed balances
+      s.sql("""
+        MERGE INTO graftcat.db.supp_nmbs t
+        USING (SELECT s_suppkey, s_name, s_acctbal + 500 AS s_acctbal
+               FROM supp_nmbs_src WHERE s_nationkey >= 6
+                 AND s_nationkey < 18) s
+        ON t.s_suppkey = s.s_suppkey
+        WHEN MATCHED THEN UPDATE SET t.s_acctbal = s.s_acctbal
+        WHEN NOT MATCHED THEN
+          INSERT (s_suppkey, s_name, s_acctbal, live)
+          VALUES (s.s_suppkey, s.s_name, s.s_acctbal, 1)
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.live = 0""")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/supp_nmbs")
+      require(tbl.history().last.op.contains("row-level-merge"),
+        "NMBS merge must commit through the row-level op")
+      s.sql("SELECT s_suppkey, s_name, s_acctbal, live " +
+        "FROM graftcat.db.supp_nmbs")
+    }),
+
     // Optimize-write in pure SQL (TBLPROPERTIES('optimizeWrite'='true')):
     // every INSERT routes through a REBALANCE shuffle before the file
     // write, so AQE coalesces the incoming plan's fragmentation toward
@@ -1283,6 +1321,63 @@ object EtlQueries {
                CAST(min(ts_us) AS BIGINT) AS first_us,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         FROM graftcat.db.ev_ret""")
+    }),
+
+    // PARTITION SPEC EVOLUTION (the r14 VERDICT's #3): a `days(ts)`
+    // table becomes `hours(ts)` via CALL system.set_time_unit — a
+    // METADATA-ONLY commit (the require pins the data-file set
+    // untouched). Old files keep day dirs, new ingests land hourly,
+    // and range pruning stays EXACT across the mixed layout because
+    // each dir value records its own unit by shape and bounds render
+    // per file. The requires prove both prune shapes (an hour range
+    // over new files hits one hour dir; a sub-day range over old files
+    // keeps exactly the covering day); the returned aggregate straddles
+    // the layout boundary. At 100 TB this is granularity migration
+    // without the O(table) rewrite Iceberg's spec evolution exists to
+    // avoid.
+    "sql_partition_evolution" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_evo_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_evo")
+      s.sql("CREATE TABLE graftcat.db.ev_evo (event_id BIGINT, " +
+        "ts TIMESTAMP, value DOUBLE) USING txlog " +
+        "PARTITIONED BY (days(ts))")
+      // first half of January lands under the DAY spec
+      s.sql("INSERT INTO graftcat.db.ev_evo " +
+        "SELECT event_id, timestamp_micros(CAST(ts DIV 1000 AS BIGINT))," +
+        " value FROM ev_evo_src WHERE ts DIV 1000 < 1704931200000000")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/ev_evo")
+      val before = tbl.entries(None).map(_.rel).toSet
+      val res = s.sql("CALL graftcat.system.set_time_unit(" +
+        "'db.ev_evo', 'ts', 'hour')").head()
+      require(res.getBoolean(1), "old day dirs must report mixed")
+      require(tbl.entries(None).map(_.rel).toSet == before,
+        "spec evolution must be metadata-only")
+      // the rest lands HOURLY under the evolved spec
+      s.sql("INSERT INTO graftcat.db.ev_evo " +
+        "SELECT event_id, timestamp_micros(CAST(ts DIV 1000 AS BIGINT))," +
+        " value FROM ev_evo_src WHERE ts DIV 1000 >= 1704931200000000")
+      import org.apache.spark.sql.functions.lit
+      val hr = tbl.candidateFilesWhere(
+        col("ts") >= lit(java.time.Instant.parse("2024-01-12T05:00:00Z"))
+          && col("ts") <
+          lit(java.time.Instant.parse("2024-01-12T06:00:00Z")))
+      require(hr.nonEmpty && hr.forall(_.startsWith("_tp=2024-01-12-05/")),
+        s"hour range must prune to its hour dir: $hr")
+      val sub = tbl.candidateFilesWhere(
+        col("ts") >= lit(java.time.Instant.parse("2024-01-05T02:00:00Z"))
+          && col("ts") <
+          lit(java.time.Instant.parse("2024-01-05T04:00:00Z")))
+      require(sub.nonEmpty &&
+        sub.forall(_.startsWith("_tp=2024-01-05/")),
+        s"sub-day range must keep exactly the covering day: $sub")
+      // the returned aggregate straddles the day/hour layout boundary
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        FROM graftcat.db.ev_evo
+        WHERE ts >= timestamp_seconds(1704672000)
+          AND ts < timestamp_seconds(1705190400)""")
     }),
 
     // POSITIONAL DELETE (deletion-vector style): a non-key-predicate
@@ -2944,6 +3039,15 @@ object EtlQueries {
                 ELSE c_acctbal END AS c_acctbal
          FROM customer""",
 
+    "sql_merge_not_matched_by_source" ->
+      """SELECT s_suppkey, s_name,
+           CASE WHEN s_nationkey >= 6 AND s_nationkey < 18
+                THEN s_acctbal + 500 ELSE s_acctbal END AS s_acctbal,
+           CAST(CASE WHEN s_nationkey < 6 THEN 0 ELSE 1 END
+             AS INTEGER) AS live
+         FROM supplier
+         WHERE s_nationkey < 18""",
+
     "sql_maintenance" ->
       """SELECT r_regionkey, r_name FROM region""",
 
@@ -3012,6 +3116,13 @@ object EtlQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
          FROM events
          WHERE epoch_ns(ts) >= 1704931200000000000""",
+
+    "sql_partition_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         FROM events
+         WHERE epoch_ns(ts) >= 1704672000000000000
+           AND epoch_ns(ts) < 1705190400000000000""",
 
     "delete_dv" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

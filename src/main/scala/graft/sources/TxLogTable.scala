@@ -296,6 +296,23 @@ object TxLogTable {
   /** Spark's hive sentinel for a NULL partition value. */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** The time unit a stored `_tp` segment was RENDERED at, recovered
+    * from its shape (the lexicographic formats have distinct lengths:
+    * `2024` / `2024-01` / `2024-01-15` / `2024-01-15-08`). This is what
+    * makes hidden-partition SPEC EVOLUTION (`days(ts)` → `hours(ts)`)
+    * a metadata-only change: old files keep their old-unit dirs, and
+    * pruning renders each predicate bound at the FILE's own unit before
+    * comparing — exact at any mixture. None (caller keeps the file —
+    * conservative) for a shape no unit produces.
+    */
+  def unitOfSeg(seg: String): Option[String] = seg.length match {
+    case 4 => Some("year")
+    case 7 => Some("month")
+    case 10 => Some("day")
+    case 13 => Some("hour")
+    case _ => None
+  }
+
   /** Driver-side twin of [[timeSegCol]]: the calendar segment containing
     * epoch-micros `us`, same floor-division arithmetic, same rendering —
     * the pruning side and the layout side can never disagree.
@@ -1474,6 +1491,70 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       n
     }
 
+  /** HIDDEN-PARTITION SPEC EVOLUTION: change a time transform's
+    * granularity (`days(ts)` → `hours(ts)`, or coarsen back) as a
+    * METADATA-ONLY commit — the Iceberg partition-evolution contract.
+    * No data file moves: files written before keep their old-unit dirs,
+    * files written after land in new-unit dirs, and pruning stays EXACT
+    * across the mixture because each file's dir value records its own
+    * unit by shape ([[TxLogTable.unitOfSeg]]) and predicate bounds are
+    * rendered per file at that unit ([[mayMatchPred]]). At 100 TB this
+    * is what lets an aging `days(ts)` table go hourly the day traffic
+    * demands it, without the O(table) rewrite; a later full compaction
+    * converges the layout to the new unit (and re-arms the SPJ report,
+    * which declines while units are mixed).
+    */
+  def alterTimeUnit(source: String, newUnit: String,
+                    maxAttempts: Int = 10): Int = {
+    require(TxLogTable.TimeUnits.contains(newUnit),
+      s"unknown time unit $newUnit (one of " +
+        s"${TxLogTable.TimeUnits.mkString(", ")})")
+    metadataCommit("set-time-unit", maxAttempts) { b =>
+      val specs = timeSpecsOf(b)
+      require(specs.exists(_._1 == source),
+        s"no time transform on column $source " +
+          s"(transforms: ${specs.map(s => s"${s._2}s(${s._1})")
+            .mkString(", ")})")
+      metaLines(partitionColsOf(b), "set-time-unit") ++
+        manifestLines(b).filterNot(l =>
+          l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
+            l.startsWith("#partitionCols="))
+          .map { l =>
+            if (!l.startsWith("#timeSpec=")) l
+            else {
+              val body = l.stripPrefix("#timeSpec=")
+              val cut = body.lastIndexOf(':')
+              if (cut > 0 && body.substring(0, cut) == source)
+                s"#timeSpec=$source:$newUnit"
+              else l
+            }
+          }
+    }
+  }
+
+  /** Does `v`'s layout hold time-dir values rendered at a unit OTHER
+    * than the current spec's — the transient state after
+    * [[alterTimeUnit]], before a full compaction converges the layout?
+    * While true, the SPJ scan must not report the time transform (a
+    * key-grouped partitioning would group same-instant rows under
+    * different dir values); pruning needs no such guard — it is
+    * per-file-unit exact.
+    */
+  def timeUnitsMixed(v: Int): Boolean = {
+    val specs = timeSpecsOf(v)
+    specs.nonEmpty && {
+      val expect = specs.zipWithIndex.map { case ((_, u), i) =>
+        TxLogTable.timeColAt(i) -> u }.toMap
+      entries(Some(v)).exists { e =>
+        TxLogTable.partitionSegmentsOf(e.rel).exists { case (c, seg) =>
+          expect.get(c).exists(u =>
+            seg != TxLogTable.HiveDefaultPartition &&
+              !TxLogTable.unitOfSeg(seg).contains(u))
+        }
+      }
+    }
+  }
+
   /** The merge-on-read delete key columns recorded at `v` — fixed at the
     * first [[deleteByKeysMor]] and immutable after (Iceberg's
     * equality-delete field-ids restriction, for the same reason: every
@@ -1835,8 +1916,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                              Map.empty,
                            strRanges: Map[String, PredicateRanges.StrBound] =
                              Map.empty,
-                           timeSegs: Seq[(String, Option[String],
-                             Option[String])] = Nil): Boolean =
+                           timeSegs: Seq[(String, Option[Long],
+                             Option[Long])] = Nil): Boolean =
     ranges.forall { case (c, b) => mayOverlap(e, c, b.lo, b.hi) } &&
       nn.mustBeNull.forall(mayHaveNull(e, _)) &&
       nn.mustBeNonNull.forall(mayHaveNonNull(e, _)) &&
@@ -1849,7 +1930,17 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           case None => true // pre-layout file: cannot decide, keep
           case Some(TxLogTable.HiveDefaultPartition) =>
             false // all-NULL instants can never satisfy a bound
-          case Some(seg) => lo.forall(seg >= _) && hi.forall(seg <= _)
+          case Some(seg) =>
+            // bounds are epoch micros; render each at the FILE's own
+            // recorded unit (spec evolution leaves old-unit dirs in
+            // place) — same-unit segments totally order, so the floor
+            // compare is exact at any granularity mixture
+            TxLogTable.unitOfSeg(seg) match {
+              case None => true // unknown shape: keep (conservative)
+              case Some(u) =>
+                lo.forall(seg >= TxLogTable.segOfMicros(_, u)) &&
+                  hi.forall(seg <= TxLogTable.segOfMicros(_, u))
+            }
         }
       }
 
@@ -1865,14 +1956,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     */
   private def timeSegBounds(ranges: Map[String, PredicateRanges.Bound],
                             v: Option[Int])
-      : Seq[(String, Option[String], Option[String])] =
+      : Seq[(String, Option[Long], Option[Long])] =
     v.orElse(latestVersion).map(timeSpecsOf).getOrElse(Nil).zipWithIndex
-      .flatMap { case ((src, unit), i) =>
+      .flatMap { case ((src, _), i) =>
         ranges.get(src).flatMap { b =>
-          val lo = if (b.lo == Long.MinValue) None
-            else Some(TxLogTable.segOfMicros(b.lo, unit))
-          val hi = if (b.hi == Long.MaxValue) None
-            else Some(TxLogTable.segOfMicros(b.hi, unit))
+          // carried as raw epoch micros: the consumer (mayMatchPred)
+          // renders per FILE, at the unit the file's dir was written
+          // at — the spec-evolution contract
+          val lo = if (b.lo == Long.MinValue) None else Some(b.lo)
+          val hi = if (b.hi == Long.MaxValue) None else Some(b.hi)
           if (lo.isEmpty && hi.isEmpty) None
           else Some((TxLogTable.timeColAt(i), lo, hi))
         }

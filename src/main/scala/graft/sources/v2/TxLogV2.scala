@@ -352,7 +352,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
         "ann_build", "ann_refresh", "ann_search",
-        "cursors", "release_cursor", "delete_pos", "update_pos")
+        "cursors", "release_cursor", "delete_pos", "update_pos",
+        "set_time_unit")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -502,6 +503,30 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("rows_updated", LongType),
               StructField("files_rewritten", IntegerType))),
               Seq(InternalRow(st.version, masked, st.rewritten)))
+          }
+        }
+      case "set_time_unit" =>
+        // CALL c.system.set_time_unit('ns.t', 'ts', 'hour'): hidden-
+        // partition SPEC EVOLUTION — change a time transform's
+        // granularity as a metadata-only commit. Old files keep their
+        // old-unit dirs (pruning is per-file-unit exact); a later full
+        // compaction converges the layout. `mixed_layout` reports
+        // whether the table currently holds both units.
+        new MaintenanceProc("set_time_unit", Seq(
+          inParam("table", StringType),
+          inParam("source", StringType),
+          inParam("unit", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1) && !input.isNullAt(2),
+              "set_time_unit needs a source column and a unit")
+            val v = t.alterTimeUnit(input.getString(1),
+              input.getString(2))
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("mixed_layout",
+                org.apache.spark.sql.types.BooleanType))),
+              Seq(InternalRow(v, t.timeUnitsMixed(v))))
           }
         }
       case "history" =>
@@ -1695,9 +1720,13 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
     spark.sessionState.conf.getConf(
       org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) && {
       val v = asOfVersion.orElse(table.latestVersion)
+      // timeUnitsMixed: after a spec evolution (days→hours) and before
+      // the converging compaction, the SPJ report would key-group
+      // same-instant rows under different dir values — decline; the
+      // splice path (with per-file-unit pruning) serves instead
       v.exists(ver => table.partitionColsOf(ver).nonEmpty &&
         table.tombstonesOf(ver).isEmpty && table.dvsOf(ver).isEmpty &&
-        table.colMapOf(ver).isEmpty)
+        table.colMapOf(ver).isEmpty && !table.timeUnitsMixed(ver))
     }
 
   /** The (possibly time-traveled) snapshot as a DataFrame — what

@@ -137,6 +137,49 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("m10", "m11"))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: update and delete clauses " +
+      "through the group rewrite") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.nmbs")
+    spark.sql("CREATE TABLE txcat.ns.nmbs USING txlog AS " +
+      "SELECT id, concat('v', id) AS v, CAST(1 AS INT) AS live " +
+      "FROM range(10)")
+    // the warehouse-sync shape: source holds the CURRENT key set [3, 8);
+    // matched rows refresh, unmatched-target rows soft-close (live = 0)
+    spark.sql("""
+      MERGE INTO txcat.ns.nmbs t
+      USING (SELECT id, concat('s', id) AS v FROM range(3, 8)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v, live) VALUES (s.id, s.v, 1)
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.live = 0""")
+    val rows = spark.sql(
+      "SELECT id, v, live FROM txcat.ns.nmbs ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == (0L to 9L).map(i =>
+      if (i >= 3 && i < 8) (i, s"s$i", 1) else (i, s"v$i", 0)),
+      s"got $rows")
+    val t = TxLogTable(spark, s"$warehouse/ns/nmbs")
+    assert(t.history().last.op.contains("row-level-merge"))
+    // the hard-delete variant: rows absent from source are removed
+    spark.sql("""
+      MERGE INTO txcat.ns.nmbs t
+      USING (SELECT id FROM range(3, 8)) s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT id FROM txcat.ns.nmbs ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == (3L to 7L),
+      "NOT MATCHED BY SOURCE DELETE must remove exactly the absent keys")
+    // conditional clause: only close a subset of the absent rows
+    spark.sql("""
+      MERGE INTO txcat.ns.nmbs t
+      USING (SELECT id FROM range(3, 6)) s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id = 7 THEN DELETE""")
+    assert(spark.sql("SELECT id FROM txcat.ns.nmbs ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == (3L to 6L),
+      "conditional NOT MATCHED BY SOURCE must delete only id=7")
+  }
+
   test("group replace detects a conflicting concurrent rewrite") {
     import org.apache.spark.sql.functions.lit
     val root = java.nio.file.Files.createTempDirectory("txconf")
@@ -1322,6 +1365,74 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val t = TxLogTable(spark, s"$warehouse/ns/hpzone")
     val dirs = t.entries(None).map(_.rel.takeWhile(_ != '/')).distinct
     assert(dirs == Seq("_tp=2024-06-01-23"), dirs)
+  }
+
+  test("partition spec evolution: days(ts) -> hours(ts) is metadata-" +
+      "only, old files keep day dirs, pruning stays exact across the " +
+      "mixed layout, compaction converges") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.hpevo")
+    spark.sql("CREATE TABLE txcat.ns.hpevo (id BIGINT, ts TIMESTAMP, " +
+      "v DOUBLE) USING txlog PARTITIONED BY (days(ts))")
+    // two days of hourly rows under the DAY spec
+    spark.sql("INSERT INTO txcat.ns.hpevo " +
+      "SELECT id, timestamp_seconds(1704067200 + id * 3600), " +
+      "CAST(id AS DOUBLE) FROM range(48)")
+    val t = TxLogTable(spark, s"$warehouse/ns/hpevo")
+    val dayFiles = t.entries(None).map(_.rel).toSet
+    assert(dayFiles.forall(_.startsWith("_tp=2024-01-0")))
+    // EVOLVE to hours — metadata-only: the data-file set is untouched
+    val res = spark.sql(
+      "CALL txcat.system.set_time_unit('ns.hpevo', 'ts', 'hour')")
+      .collect().head
+    assert(res.getBoolean(1),
+      "day dirs under the hour spec: layout reports mixed immediately")
+    assert(t.entries(None).map(_.rel).toSet == dayFiles,
+      "spec evolution must not touch data files")
+    // a post-evolution ingest lands in HOUR dirs; layout is now mixed
+    spark.sql("INSERT INTO txcat.ns.hpevo " +
+      "SELECT 100 + id, timestamp_seconds(1704240000 + id * 3600), " +
+      "CAST(id AS DOUBLE) FROM range(3)") // 2024-01-03T00..02Z
+    val newDirs = t.entries(None).map(_.rel.takeWhile(_ != '/'))
+      .filterNot(d => dayFiles.exists(_.startsWith(d + "/"))).distinct
+    assert(newDirs.sorted == Seq("_tp=2024-01-03-00",
+      "_tp=2024-01-03-01", "_tp=2024-01-03-02"), newDirs.sorted)
+    assert(t.timeUnitsMixed(t.latestVersion.get))
+    import org.apache.spark.sql.functions.{col, lit}
+    // sub-day range over the OLD day files: per-file-unit rendering
+    // keeps the whole covering day as a candidate (no false prune)
+    val sub = t.candidateFilesWhere(
+      col("ts") >= lit(java.time.Instant.parse("2024-01-01T02:00:00Z")) &&
+        col("ts") < lit(java.time.Instant.parse("2024-01-01T05:00:00Z")))
+    assert(sub.nonEmpty && sub.forall(_.startsWith("_tp=2024-01-01/")),
+      s"sub-day range must keep exactly the covering day: $sub")
+    // hour range over the NEW files prunes to the hour dir
+    val hr = t.candidateFilesWhere(
+      col("ts") >= lit(java.time.Instant.parse("2024-01-03T01:00:00Z")) &&
+        col("ts") < lit(java.time.Instant.parse("2024-01-03T02:00:00Z")))
+    assert(hr.nonEmpty && hr.forall(_.startsWith("_tp=2024-01-03-01/")),
+      s"hour range must prune to its hour dir: $hr")
+    // cross-boundary COUNTs are exact across the mixture
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpevo WHERE " +
+      "ts >= '2024-01-02' AND ts < '2024-01-03 02:00:00'")
+      .head.getLong(0) == 26)
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpevo")
+      .head.getLong(0) == 51)
+    // compaction converges the whole layout to the NEW unit
+    t.compact(spark.table("txcat.ns.hpevo").schema)
+    assert(!t.timeUnitsMixed(t.latestVersion.get),
+      "compaction must converge the layout")
+    assert(t.entries(None).forall(_.rel.matches("""_tp=\d{4}-\d{2}-\d{2}-\d{2}/.*""")),
+      s"all dirs hourly after compaction: ${t.entries(None).map(_.rel)}")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpevo")
+      .head.getLong(0) == 51)
+    // coarsening back is the same metadata commit
+    t.alterTimeUnit("ts", "day")
+    assert(t.timeUnitsMixed(t.latestVersion.get),
+      "hour dirs under a day spec: mixed again")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.hpevo WHERE " +
+      "ts >= '2024-01-01' AND ts < '2024-01-02'").head.getLong(0) == 24)
+    // guard: unknown source refuses
+    intercept[Exception](t.alterTimeUnit("nope", "day"))
   }
 
   test("runtime file skip: a TIMESTAMP join key prunes the " +
