@@ -213,8 +213,10 @@ object AnnIndex {
     */
   def searchIvf(spark: SparkSession, indexRoot: String, queryVecId: Long,
                 topK: Int, requireFresh: Boolean = false,
-                filter: Option[org.apache.spark.sql.Column] = None)
+                filter: Option[org.apache.spark.sql.Column] = None,
+                nprobe: Int = 1)
       : DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     graft.catalyst.CosineSim.register(spark)
     val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val emb = rankingShape(corpus, filter)
@@ -227,10 +229,13 @@ object AnnIndex {
     val q = rankingShape(corpus, None)
       .filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"))
+    // the recall/cost knob: probe the nprobe nearest cells — each vector
+    // lives in exactly one cell, so the probed union has no duplicates
+    // and candidate volume is ~nprobe/k of the corpus
     val bestCell = cents.crossJoin(broadcast(q))
       .select(col("cluster"), cosine(col("cv"), col("qv")).as("cs"))
       .orderBy(col("cs").desc, col("cluster"))
-      .limit(1).select(col("cluster").as("best_cluster"))
+      .limit(nprobe).select(col("cluster").as("best_cluster"))
     assigned.join(broadcast(bestCell),
         col("cluster") === col("best_cluster"))
       .join(emb, "vec_id")
@@ -239,6 +244,61 @@ object AnnIndex {
         cosine(col("v"), col("qv")).as("q_cos"))
       .orderBy(col("q_cos").desc, col("vec_id"))
       .limit(topK)
+  }
+
+  /** BATCH IVF search through the persisted index — N query vectors in
+    * ONE pass, the nightly-similarity-sweep shape ([[searchIvf]] per id
+    * would re-plan and re-scan per query). Routing is one tiny
+    * centroids × queries product (k × N rows, broadcast, driver never
+    * touched); scoring joins the probed cells' candidates to EXACTLY
+    * the queries routed to each cell — an EQUI-join on the cluster id,
+    * never corpus × queries — and a per-query window top-k (Spark's
+    * WindowGroupLimit pushes the rank partial) returns `topK` rows per
+    * query. Cost shape: |union of probed cells| of the corpus scanned
+    * once + one shuffle of (cell candidates × that cell's queries).
+    * Same per-query results as [[searchIvf]], tie-break included;
+    * `nprobe` widens routing to the n best cells per query — the same
+    * recall/cost knob, candidate volume ~nprobe/k of the corpus.
+    */
+  def searchIvfBatch(spark: SparkSession, indexRoot: String,
+                     queryVecIds: Seq[Long], topK: Int,
+                     requireFresh: Boolean = false,
+                     nprobe: Int = 1): DataFrame = {
+    require(queryVecIds.nonEmpty, "searchIvfBatch needs query ids")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    graft.catalyst.CosineSim.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
+    val emb = rankingShape(corpus, None)
+    val cents = TxLogTable(spark, s"$indexRoot/centroids")
+      .snapshot(centroidsSchema)
+    val assigned = TxLogTable(spark, s"$indexRoot/assignments")
+      .snapshot(assignmentsSchema)
+    val qs = emb.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // route: per query the nprobe best cells — rank over the tiny k × N
+    // routing product (ORDER BY cs DESC, cluster ASC reproduces
+    // searchIvf's tie-break); each vector lives in exactly one cell, so
+    // probing more cells only widens the candidate set, never dups it
+    val rw = Window.partitionBy("q_id")
+      .orderBy(col("cs").desc, col("cluster"))
+    val best = cents.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("cluster"),
+        cosine(col("cv"), col("qv")).as("cs"))
+      .withColumn("crn", row_number().over(rw))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cluster").as("best_cluster"))
+    val routed = best.join(qs, "q_id") // tiny: N*nprobe rows with vectors
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("q_cos").desc, col("vec_id"))
+    assigned.join(broadcast(routed),
+        col("cluster") === col("best_cluster"))
+      .join(emb, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("cluster"),
+        cosine(col("v"), col("qv")).as("q_cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .drop("rn")
   }
 
   /** IVF+PQ search through the persisted index — the billion-vector

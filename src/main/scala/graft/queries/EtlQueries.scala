@@ -1323,6 +1323,54 @@ object EtlQueries {
         FROM graftcat.db.ev_ret""")
     }),
 
+    // TIMESTAMP-typed retention fast path (the r14 VERDICT's #7):
+    // sql_retention_delete pins a BIGINT epoch column because the
+    // Verify session writes INT96 timestamps by default (no stats);
+    // here the engine-staged files pin TIMESTAMP_MICROS around the
+    // inserts, so a real `DELETE WHERE ts < TIMESTAMP'...'` drops the
+    // fully-covered files UNREAD off the round-14 micros footer stats
+    // (litLong renders the Instant in the same micros domain). The
+    // require pins the manifest-omission shape; the INT96 no-stats
+    // fallback is spec'd (TxLogTableSpec). Oracle recomputes survivors.
+    "sql_retention_delete_ts" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_rts_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_rts")
+      s.sql("CREATE TABLE graftcat.db.ev_rts (event_id BIGINT, " +
+        "ts TIMESTAMP, value DOUBLE) USING txlog")
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.get(key)
+      try {
+        s.conf.set(key, "TIMESTAMP_MICROS")
+        // three time-banded commits → disjoint ts ranges per file set
+        Seq((1704067200000000L, 1704931200000000L),
+            (1704931200000000L, 1705795200000000L),
+            (1705795200000000L, 1706745600000000L)).foreach {
+          case (lo, hi) =>
+            s.sql("INSERT INTO graftcat.db.ev_rts " +
+              "SELECT event_id, " +
+              "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)), value " +
+              s"FROM ev_rts_src WHERE ts DIV 1000 >= $lo " +
+              s"AND ts DIV 1000 < $hi")
+        }
+      } finally s.conf.set(key, prev)
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/ev_rts")
+      val before = tbl.entries(None).map(_.rel).toSet
+      s.sql("DELETE FROM graftcat.db.ev_rts " +
+        "WHERE ts < TIMESTAMP'2024-01-11 00:00:00'")
+      val after = tbl.entries(None).map(_.rel).toSet
+      require(after.nonEmpty && after.subsetOf(before) &&
+        after.size < before.size,
+        "TIMESTAMP retention delete must drop old files by manifest " +
+          s"omission: ${before.size} -> ${after.size} " +
+          s"(new: ${(after -- before).size})")
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(min(unix_micros(ts)) AS BIGINT) AS first_us,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        FROM graftcat.db.ev_rts""")
+    }),
+
     // PARTITION SPEC EVOLUTION (the r14 VERDICT's #3): a `days(ts)`
     // table becomes `hours(ts)` via CALL system.set_time_unit — a
     // METADATA-ONLY commit (the require pins the data-file set
@@ -2469,6 +2517,51 @@ object EtlQueries {
       s.table(mem)
     }),
 
+    // Additive streaming schema evolution (the r14 VERDICT's #6): a NEW
+    // nullable column appearing mid-stream must not kill the running
+    // query — it keeps its pinned projection and keeps consuming (only
+    // WIDENING is fail-loud, Delta's contract too). A consumer that
+    // wants the new column starts with the evolved schema and reads
+    // pre-add files with the column as NULL — the parquet reader fills
+    // missing declared columns, so no file is rewritten for the
+    // evolution. The oracle reconstructs exactly that: even ids
+    // (committed pre-add) carry NULL, odd ids carry their value.
+    "stream_schema_add" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sadd")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("events").toString)
+      tbl.create(ev.schema)
+      tbl.commit(ev.filter(col("event_id") % 2 === 0), overwrite = false)
+      val mem = "schema_add_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("txlog").schema(ev.schema).load(tbl.root)
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable() // batch 1 under the pre-add schema
+        tbl.addColumn("tag", StringType) // ADDITIVE evolution, no restart
+        tbl.commit(ev.filter(col("event_id") % 2 === 1)
+          .withColumn("tag", lit("n")), overwrite = false)
+        q.processAllAvailable() // the running stream keeps consuming
+        require(q.exception.isEmpty,
+          s"additive evolution must not fail the stream: ${q.exception}")
+      } finally q.stop()
+      require(s.table(mem).count() == ev.count(),
+        "the pinned stream must deliver both halves")
+      // the evolved consumer: fresh stream with the post-add schema —
+      // pre-add files' rows flow with tag NULL, no file rewritten
+      val evolved = tbl.tableSchema.get
+      val mem2 = "schema_add2_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q2 = s.readStream.format("txlog").schema(evolved).load(tbl.root)
+        .writeStream.format("memory").queryName(mem2)
+        .option("checkpointLocation", tmp.resolve("ckpt2").toString)
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      s.table(mem2)
+    }),
+
     // Maintenance-commit skip on the change feed, driver-oracle-gated:
     // compact AND zorder run MID-STREAM between two real appends. Both
     // rewrite every file of the table without changing a row; a feed that
@@ -3124,6 +3217,14 @@ object EtlQueries {
          WHERE epoch_ns(ts) >= 1704672000000000000
            AND epoch_ns(ts) < 1705190400000000000""",
 
+    "sql_retention_delete_ts" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS first_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         FROM events
+         WHERE epoch_ns(ts) >= 1704931200000000000
+           AND epoch_ns(ts) < 1706745600000000000""",
+
     "delete_dv" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -3447,6 +3548,11 @@ object EtlQueries {
 
     "stream_dedup" ->
       """SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+         FROM events""",
+
+    "stream_schema_add" ->
+      """SELECT event_id, value,
+           CASE WHEN event_id % 2 = 1 THEN 'n' ELSE NULL END AS tag
          FROM events""",
 
     "inc_agg_refresh" ->

@@ -359,6 +359,99 @@ object SimQueries {
 
     // Brute-force cosine against one query vector (vec_id 0) — the exact
     // baseline every ANN variant is measured against.
+    // Batch ANN through the persisted index (the r14 VERDICT's #5):
+    // sim_topk_batch is brute-force N×corpus by design; this routes N
+    // queries through ONE persisted-IVF pass — probed-cells union
+    // scanned once, scoring an EQUI-join on the cell id (the in-query
+    // require proves no corpus × queries nested loop: every join in
+    // the scoring plan is hash/broadcast-hash on a key). Per-query
+    // results equal searchIvf's, pinned by an in-query compare on one
+    // of the queries. Oracle recomputes the trained cells + per-query
+    // routing + per-query top-k relationally.
+    "sim_ivf_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annb")
+      val corpusRoot = tmp.resolve("corpus").toString
+      val indexRoot = tmp.resolve("index").toString
+      graft.sources.TxLogTable(s, corpusRoot).commit(emb, overwrite = true)
+      graft.operators.AnnIndex.build(
+        s, corpusRoot, indexRoot, emb.schema, k = 8, iterations = 2,
+        pq = false)
+      val out = graft.operators.AnnIndex.searchIvfBatch(
+        s, indexRoot, queryVecIds = Seq(0L, 1L, 2L, 3L), topK = 5)
+      // batch ≡ per-query: query 2's slice equals the single search
+      val single = graft.operators.AnnIndex.searchIvf(s, indexRoot, 2L, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val slice = out.filter(col("q_id") === 2L)
+        .orderBy(col("q_cos").desc, col("vec_id"))
+        .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      require(slice == single,
+        s"batch slice must equal the single search: $slice vs $single")
+      // the equivalence holds through the nprobe knob too
+      val single2 = graft.operators.AnnIndex.searchIvf(s, indexRoot, 3L, 5,
+          nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val slice2 = graft.operators.AnnIndex.searchIvfBatch(
+          s, indexRoot, queryVecIds = Seq(0L, 3L), topK = 5, nprobe = 2)
+        .filter(col("q_id") === 3L)
+        .orderBy(col("q_cos").desc, col("vec_id"))
+        .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      require(slice2 == single2,
+        s"nprobe=2 batch slice must equal the single search: " +
+          s"$slice2 vs $single2")
+      // scoring never nests corpus × queries: the only loop-join in the
+      // plan is the k × N routing product (tiny, broadcast)
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct"),
+        s"batch ANN must not cartesian:\n$plan")
+      out
+    }),
+
+    // Multi-probe through the PERSISTED index (nprobe — the recall/cost
+    // knob production IVF serves with; the in-query quantizer has had
+    // it since sim_ivf_topk_nprobe2): routing widens to the nprobe best
+    // cells,
+    // candidates stay ~nprobe/k of the corpus, results only improve.
+    // Two in-query exactness requires pin the knob's contract: at every
+    // rank the nprobe=2 top-5 scores >= the nprobe=1 top-5 (the probed
+    // candidate set only grows, so recall is rank-wise monotone), and
+    // nprobe=k (all cells probed) EQUALS the brute-force top-5 — at
+    // full probe IVF is exact by construction.
+    "sim_ivf_nprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annnp")
+      val corpusRoot = tmp.resolve("corpus").toString
+      val indexRoot = tmp.resolve("index").toString
+      graft.sources.TxLogTable(s, corpusRoot).commit(emb, overwrite = true)
+      graft.operators.AnnIndex.build(
+        s, corpusRoot, indexRoot, emb.schema, k = 8, iterations = 2,
+        pq = false)
+      def scores(np: Int): Seq[Double] =
+        graft.operators.AnnIndex.searchIvf(s, indexRoot, 0L, 5,
+            nprobe = np)
+          .orderBy(col("q_cos").desc).collect().map(_.getDouble(2)).toSeq
+      require(scores(1).zip(scores(2))
+          .forall { case (a, b) => b >= a - 1e-12 },
+        "nprobe=2 must dominate nprobe=1 rank-wise")
+      val full = graft.operators.AnnIndex.searchIvf(s, indexRoot, 0L, 5,
+          nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val brute = emb
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0L)
+          .select(asDouble(col("embedding")).as("qv"))))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.cosine(col("v"), col("qv"))
+            .as("q_cos"))
+        .orderBy(col("q_cos").desc, col("vec_id")).limit(5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      require(full == brute,
+        s"nprobe=k must equal brute force: $full vs $brute")
+      graft.operators.AnnIndex.searchIvf(s, indexRoot, 0L, 5, nprobe = 2)
+    }),
+
     "sim_cosine_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -743,7 +836,8 @@ object SimQueries {
   // for the originals, assignTo against the SAME trained centroids for
   // the appended vectors, one union scan at the advanced pin).
   private[queries] def ivfOracle(serveAppended: Boolean,
-                                 servePred: String = "TRUE"): String = {
+                                 servePred: String = "TRUE",
+                                 nprobe: Int = 1): String = {
 
       def cs(v: String, c: String) =
         s"""${sqlDot(v, c)} /
@@ -784,7 +878,8 @@ object SimQueries {
                      (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
                    FROM x2) WHERE rn = 1),
           best AS (SELECT cluster AS best_cluster FROM c1 CROSS JOIN q
-                   ORDER BY ${cs("c1.cv", "qv")} DESC, cluster LIMIT 1)
+                   ORDER BY ${cs("c1.cv", "qv")} DESC, cluster
+                   LIMIT $nprobe)
           SELECT v.vec_id, a2.cluster, ${cs("v.embedding", "qv")} AS q_cos
           FROM a2 JOIN best ON a2.cluster = best.best_cluster
           JOIN vecs v USING (vec_id) CROSS JOIN q
@@ -793,6 +888,60 @@ object SimQueries {
   }
 
   private lazy val ivfTrainedOracle: String = ivfOracle(false)
+
+  /** Batch twin of [[ivfTrainedOracle]]: the same trained cells
+    * (identical CTE chain), then PER-QUERY routing and a per-query
+    * window top-k instead of the single query's ORDER BY ... LIMIT.
+    */
+  private lazy val ivfBatchOracle: String = {
+    def cs(v: String, c: String) =
+      s"""${sqlDot(v, c)} /
+          (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
+    s"""WITH vecs0 AS (SELECT vec_id, embedding FROM embeddings),
+        vecs AS (SELECT vec_id, embedding FROM embeddings),
+        qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 4),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv
+               FROM embeddings WHERE vec_id < 8),
+        x1 AS (SELECT v.vec_id, c.cluster,
+                 ${cs("v.embedding", "c.cv")} AS cs
+               FROM vecs0 v CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cluster FROM (
+                 SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                 FROM x1) WHERE rn = 1),
+        pts AS (SELECT a1.cluster, i.i AS pos,
+                  CAST(v.embedding[i.i] AS DOUBLE) AS x
+                FROM a1 JOIN vecs0 v USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
+        m AS (SELECT cluster, pos,
+                CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
+                  CAST(COUNT(*) * 1048576 AS DOUBLE) AS m
+              FROM pts GROUP BY 1, 2),
+        c1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+        x2 AS (SELECT v.vec_id, c.cluster,
+                 ${cs("v.embedding", "c.cv")} AS cs
+               FROM vecs v CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cluster FROM (
+                 SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                 FROM x2) WHERE rn = 1),
+        best AS (SELECT q_id, cluster AS best_cluster FROM (
+                   SELECT qs.q_id, c1.cluster,
+                     row_number() OVER (PARTITION BY qs.q_id
+                       ORDER BY ${cs("c1.cv", "qs.qv")} DESC, c1.cluster)
+                       AS rn
+                   FROM c1 CROSS JOIN qs) WHERE rn = 1),
+        scored AS (SELECT b.q_id, a2.vec_id, a2.cluster,
+                     ${cs("v.embedding", "qs.qv")} AS q_cos
+                   FROM a2 JOIN best b ON a2.cluster = b.best_cluster
+                   JOIN qs ON qs.q_id = b.q_id
+                   JOIN vecs v USING (vec_id))
+        SELECT q_id, vec_id, cluster, q_cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY q_cos DESC, vec_id) AS rn
+          FROM scored) WHERE rn <= 5"""
+  }
 
   /** Trained-IVF + PQ/ADC recomputation — shared by the in-query
     * trainer (ivfpq_topk) and the persisted index (sim_ivfpq_persisted).
@@ -1098,6 +1247,8 @@ object SimQueries {
     // identical recomputation: the persisted index serves the SAME pinned
     // corpus the in-query trainer would see, so the oracle is shared
     "sim_ivf_persisted" -> ivfTrainedOracle,
+    "sim_ivf_batch" -> ivfBatchOracle,
+    "sim_ivf_nprobe" -> ivfOracle(serveAppended = false, nprobe = 2),
     "sim_ivf_refresh" -> ivfOracle(serveAppended = true),
 
 

@@ -807,18 +807,21 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         }
       case "ann_search" =>
         // CALL c.system.ann_search('ns.idx', query_vec_id [, k
-        // [, predicate [, require_fresh]]]): IVF top-k through the
-        // persisted index without leaving SQL. The optional predicate —
-        // a SQL boolean over the corpus's own columns — restricts
-        // candidates INSIDE the probed cell (pre-filter: all k
-        // survivors satisfy it). Result is at most k rows, so the
-        // driver-side collect is bounded by the ask, never the corpus.
+        // [, predicate [, require_fresh [, nprobe]]]]): IVF top-k
+        // through the persisted index without leaving SQL. The optional
+        // predicate — a SQL boolean over the corpus's own columns —
+        // restricts candidates INSIDE the probed cells (pre-filter: all
+        // k survivors satisfy it); nprobe widens routing to the n best
+        // cells (the recall/cost knob). Result is at most k rows, so
+        // the driver-side collect is bounded by the ask, never the
+        // corpus.
         new MaintenanceProc("ann_search", Seq(
           inParam("index", StringType),
           inParam("query_vec_id", LongType),
           inParam("k", IntegerType, Some("5")),
           inParam("predicate", StringType, Some("NULL")),
-          inParam("require_fresh", BooleanType, Some("false")))) {
+          inParam("require_fresh", BooleanType, Some("false")),
+          inParam("nprobe", IntegerType, Some("1")))) {
           override def call(input: InternalRow) = {
             val idxRoot = pathByName(input.getString(0)).toString
             require(!input.isNullAt(1), "ann_search needs query_vec_id")
@@ -830,8 +833,10 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               else Some(org.apache.spark.sql.functions
                 .expr(input.getString(3)))
             val fresh = !input.isNullAt(4) && input.getBoolean(4)
+            val np = if (input.isNullAt(5)) 1 else input.getInt(5)
             val rows = graft.operators.AnnIndex.searchIvf(spark, idxRoot,
-              qid, k, requireFresh = fresh, filter = pred).collect()
+              qid, k, requireFresh = fresh, filter = pred,
+              nprobe = np).collect()
             resultScan(StructType(Seq(
               StructField("vec_id", LongType),
               StructField("cluster", IntegerType),

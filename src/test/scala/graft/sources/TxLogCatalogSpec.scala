@@ -2884,6 +2884,31 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val expect = plain.filter(_.getLong(0) % 2 == 1).map(_.getLong(0))
     assert(expect.forall(odd.map(_.getLong(0)).contains),
       "pre-filter must retain every odd hit the plain search found")
+    // nprobe widens routing: with both cells probed (k=2), the search is
+    // exact — the top-4 equals the brute-force top-4 over the corpus
+    val full = spark.sql("CALL txcat.system.ann_search('ns.annq_idx', " +
+      "0, 4, NULL, false, 2)").collect().map(_.getLong(0)).toSeq
+    graft.catalyst.CosineSim.register(spark)
+    val brute = spark.sql(
+      """SELECT vec_id FROM txcat.ns.annq
+         CROSS JOIN (SELECT embedding AS qv FROM txcat.ns.annq
+                     WHERE vec_id = 0)
+         ORDER BY cosine_sim(CAST(embedding AS ARRAY<DOUBLE>),
+                             CAST(qv AS ARRAY<DOUBLE>)) DESC, vec_id
+         LIMIT 4""").collect().map(_.getLong(0)).toSeq
+    assert(full == brute,
+      s"nprobe=k must equal brute force: $full vs $brute")
+    // monotone recall, rank-wise: nprobe=1's candidates are a subset of
+    // nprobe=2's, so at every rank the wider search scores >= (a floor
+    // compare would be wrong when the single probed cell held < k hits
+    // — the wider search then FILLS the missing ranks with lower
+    // scores, which is a recall gain, not a loss)
+    val s1 = plain.map(_.getDouble(2)).sorted(Ordering[Double].reverse)
+    val s2 = spark.sql("CALL txcat.system.ann_search('ns.annq_idx', " +
+        "0, 4, NULL, false, 2)").collect().map(_.getDouble(2))
+      .sorted(Ordering[Double].reverse)
+    assert(s1.zip(s2).forall { case (a, b) => b >= a - 1e-12 },
+      s"nprobe=2 must dominate rank-wise: ${s2.toSeq} vs ${s1.toSeq}")
   }
 
   test("CALL system.cursors / release_cursor expose the vacuum pins") {

@@ -772,4 +772,58 @@ class TxLogStreamSourceSpec extends AnyFunSuite {
         s"restart must drain exactly the missed delta: $got")
     } finally q2.stop()
   }
+
+  test("ADDITIVE column mid-stream: the running query keeps consuming; " +
+      "an evolved consumer reads pre-add files as NULL") {
+    val src = TxLogTable(spark,
+      java.nio.file.Files.createTempDirectory("txadd-src")
+        .resolve("t").toString)
+    val base = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    src.create(base)
+    src.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      overwrite = false)
+    val mem = "schema_add_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("txlog").schema(base).load(src.root)
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txadd-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // evolve ADDITIVELY mid-stream — unlike widening, this must NOT
+      // fail the pinned stream: physical bytes of the pinned columns
+      // are unchanged, the new column is simply not selected
+      src.addColumn("tag", StringType)
+      src.commit(Seq((3L, "c", "t3")).toDF("id", "v", "tag"),
+        overwrite = false)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"additive evolution failed the stream: ${q.exception}")
+      val got = spark.table(mem).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")),
+        s"pinned stream must keep consuming post-add commits: $got")
+    } finally q.stop()
+    // the evolved consumer: pre-add files' rows carry NULL for the new
+    // column — no file was rewritten for the evolution
+    val evolved = src.tableSchema.get
+    assert(evolved.fieldNames.toSeq == Seq("id", "v", "tag"))
+    val mem2 = mem + "_evolved"
+    val q2 = spark.readStream.format("txlog").schema(evolved)
+      .load(src.root)
+      .writeStream.format("memory").queryName(mem2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txadd-ck2").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table(mem2).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((1L, "a", null), (2L, "b", null),
+        (3L, "c", "t3")),
+        s"pre-add rows must flow with the new column NULL: $got")
+    } finally q2.stop()
+  }
 }

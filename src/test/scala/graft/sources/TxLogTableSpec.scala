@@ -1006,6 +1006,35 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(t.snapshot(sch).count() == 66)
   }
 
+  test("retention delete under INT96 timestamps: no stats, no drop — " +
+      "graceful rewrite fallback, same result") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = fresh()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    t.create(sch)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    try {
+      // a foreign/legacy writer encoding: INT96 carries NO column
+      // statistics, so the drop path cannot prove full coverage
+      spark.conf.set(key, "INT96")
+      Seq(0L, 3600L).foreach { base =>
+        t.commit(spark.sql(
+          s"SELECT id, timestamp_seconds(1704067200 + $base + id * 36) " +
+            "AS ts FROM range(100)"), overwrite = false)
+      }
+    } finally spark.conf.set(key, prev)
+    val cutoff = java.time.Instant.parse("2024-01-01T01:00:00Z")
+    val st = t.deleteWhere(sch, col("ts") < lit(cutoff))
+    assert(st.dropped == 0,
+      s"INT96 files carry no stats: nothing may drop unread, got $st")
+    assert(t.snapshot(sch).count() == 100, "fallback result stays exact")
+    assert(t.snapshot(sch)
+      .agg(org.apache.spark.sql.functions.min("ts"))
+      .head.getTimestamp(0).toInstant == cutoff)
+  }
+
   test("replaceWhere backfill drops the replaced band's files unread") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = fresh()
