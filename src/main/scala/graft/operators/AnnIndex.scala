@@ -301,6 +301,73 @@ object AnnIndex {
       .drop("rn")
   }
 
+  /** Batch twin of [[searchIvfPq]] — N queries ranked on the persisted
+    * 4-byte codes in ONE pass. The ADC lookup tables gain a query key
+    * (16 × N rows per subspace — still broadcast), candidates join
+    * their own query's table on (code, q_id), and a per-query window
+    * top-k closes. Full vectors are touched only to fetch the N query
+    * vectors; candidate volume is the probed-cells union, exactly as
+    * in the single search.
+    */
+  def searchIvfPqBatch(spark: SparkSession, indexRoot: String,
+                       queryVecIds: Seq[Long], topK: Int,
+                       requireFresh: Boolean = false,
+                       nprobe: Int = 1): DataFrame = {
+    require(queryVecIds.nonEmpty, "searchIvfPqBatch needs query ids")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    graft.catalyst.CosineSim.register(spark)
+    graft.catalyst.L2Sq.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
+    val emb = rankingShape(corpus, None)
+    val cents = TxLogTable(spark, s"$indexRoot/centroids")
+      .snapshot(centroidsSchema)
+    val assigned = TxLogTable(spark, s"$indexRoot/assignments")
+      .snapshot(assignmentsSchema)
+    val codes = TxLogTable(spark, s"$indexRoot/codes")
+      .snapshot(codesSchema)
+    val codebook = TxLogTable(spark, s"$indexRoot/codebook")
+      .snapshot(codebookSchema)
+    val qs = emb.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rw = Window.partitionBy("q_id")
+      .orderBy(col("cs").desc, col("cluster"))
+    val best = cents.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("cluster"),
+        cosine(col("cv"), col("qv")).as("cs"))
+      .withColumn("crn", row_number().over(rw))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cluster").as("best_cluster"))
+    // per-query ADC tables from the persisted codebook — same fold and
+    // join order as the single search, so per-query results are
+    // bit-identical to searchIvfPq
+    val qSub = graft.queries.SimQueries.pqSubVectors(
+        emb.filter(col("vec_id").isin(queryVecIds: _*)))
+      .select(col("vec_id").as("dq_id"), col("s").as("qs"), col("sv"))
+    val dt = codebook.join(broadcast(qSub), col("s") === col("qs"))
+      .select(col("dq_id"), col("s"), col("code"),
+        graft.catalyst.L2Sq.l2sq(col("cv"), col("sv")).as("qd"))
+    val dts = (0 until graft.queries.SimQueries.PqM).map(si =>
+      dt.filter(col("s") === si)
+        .select(col("dq_id").as(s"q$si"), col("code").as(s"code$si"),
+          col("qd").as(s"d$si")))
+    val cand = assigned.join(broadcast(best),
+        col("cluster") === col("best_cluster"))
+      .join(codes, "vec_id")
+    val joined = dts.zipWithIndex.foldLeft(cand) { case (df, (d, si)) =>
+      df.join(broadcast(d),
+        col("q_id") === col(s"q$si") && col(s"c$si") === col(s"code$si"))
+    }.withColumn("adc_dist",
+      col("d0") + col("d1") + col("d2") + col("d3"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist"), col("vec_id"))
+    joined.select(col("q_id"), col("vec_id"), col("cluster"),
+        col("adc_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .drop("rn")
+  }
+
   /** IVF+PQ search through the persisted index — the billion-vector
     * serving shape with NOTHING trained at query time: the coarse
     * quantizer routes via persisted centroids, ranking runs on the

@@ -408,6 +408,37 @@ object SimQueries {
       out
     }),
 
+    // Batch IVF+PQ through the persisted index: N queries ranked on the
+    // persisted 4-byte codes in ONE pass — the ADC lookup tables gain a
+    // query key (16 × N rows per subspace, still broadcast), candidates
+    // join their own query's table on (code, q_id), per-query window
+    // top-k closes. The in-query require pins batch ≡ single (same
+    // codes, same ADC fold, same tie-break); the oracle recomputes the
+    // trained cells + codes + per-query routing + per-query ADC sums.
+    "sim_ivfpq_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annpqb")
+      val corpusRoot = tmp.resolve("corpus").toString
+      val indexRoot = tmp.resolve("index").toString
+      graft.sources.TxLogTable(s, corpusRoot).commit(emb, overwrite = true)
+      graft.operators.AnnIndex.build(
+        s, corpusRoot, indexRoot, emb.schema, k = 8, iterations = 2)
+      val out = graft.operators.AnnIndex.searchIvfPqBatch(
+        s, indexRoot, queryVecIds = Seq(0L, 1L, 2L, 3L), topK = 5)
+      val single = graft.operators.AnnIndex.searchIvfPq(s, indexRoot, 1L, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val slice = out.filter(col("q_id") === 1L)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      require(slice == single,
+        s"PQ batch slice must equal the single search: $slice vs $single")
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct"),
+        s"batch ADC must not cartesian:\n$plan")
+      out
+    }),
+
     // Multi-probe through the PERSISTED index (nprobe — the recall/cost
     // knob production IVF serves with; the in-query quantizer has had
     // it since sim_ivf_topk_nprobe2): routing widens to the nprobe best
@@ -997,6 +1028,73 @@ object SimQueries {
           ORDER BY adc_dist, a2.vec_id LIMIT 5"""
   }
 
+  /** Batch twin of [[ivfPqOracle]]: same trained cells and codes CTEs
+    * (query-independent), then PER-QUERY routing, per-query ADC tables
+    * (dt gains q_id) and a per-query window top-k.
+    */
+  private lazy val ivfPqBatchOracle: String = {
+      def cs(v: String, c: String) =
+        s"""${sqlDot(v, c)} /
+            (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
+      val dtSub = (0 until PqM).map(si =>
+        s"""SELECT $si AS s, qs.q_id, cb.code,
+              ${sqlSubL2("cb.cv", "qs.qv", si)} AS qd
+            FROM cb CROSS JOIN qs""").mkString("\n          UNION ALL\n")
+      s"""WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+          qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 4),
+          k0 AS (SELECT CAST(vec_id AS INT) AS cluster, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+          x1 AS (SELECT v.vec_id, c.cluster,
+                   ${cs("v.embedding", "c.cv")} AS cs
+                 FROM vecs v CROSS JOIN k0 c),
+          a1 AS (SELECT vec_id, cluster FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                   FROM x1) WHERE rn = 1),
+          pts AS (SELECT a1.cluster, i.i AS pos,
+                    CAST(v.embedding[i.i] AS DOUBLE) AS x
+                  FROM a1 JOIN vecs v USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
+          m AS (SELECT cluster, pos,
+                  CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
+                    CAST(COUNT(*) * 1048576 AS DOUBLE) AS m
+                FROM pts GROUP BY 1, 2),
+          k1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+          x2 AS (SELECT v.vec_id, c.cluster,
+                   ${cs("v.embedding", "c.cv")} AS cs
+                 FROM vecs v CROSS JOIN k1 c),
+          a2 AS (SELECT vec_id, cluster FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                   FROM x2) WHERE rn = 1),
+          best AS (SELECT q_id, cluster AS best_cluster FROM (
+                     SELECT qs.q_id, k1.cluster,
+                       row_number() OVER (PARTITION BY qs.q_id
+                         ORDER BY ${cs("k1.cv", "qs.qv")} DESC, k1.cluster)
+                         AS rn
+                     FROM k1 CROSS JOIN qs) WHERE rn = 1),
+          $SqlPqCodes,
+          dt AS ($dtSub),
+          scored AS (
+            SELECT b.q_id, a2.vec_id, a2.cluster,
+              (d0.qd + d1.qd + d2.qd + d3.qd) AS adc_dist
+            FROM a2 JOIN best b ON a2.cluster = b.best_cluster
+            JOIN codes c ON c.vec_id = a2.vec_id
+            JOIN (SELECT q_id, code, qd FROM dt WHERE s = 0) d0
+              ON c.c0 = d0.code AND d0.q_id = b.q_id
+            JOIN (SELECT q_id, code, qd FROM dt WHERE s = 1) d1
+              ON c.c1 = d1.code AND d1.q_id = b.q_id
+            JOIN (SELECT q_id, code, qd FROM dt WHERE s = 2) d2
+              ON c.c2 = d2.code AND d2.q_id = b.q_id
+            JOIN (SELECT q_id, code, qd FROM dt WHERE s = 3) d3
+              ON c.c3 = d3.code AND d3.q_id = b.q_id)
+          SELECT q_id, vec_id, cluster, adc_dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY adc_dist, vec_id) AS rn
+            FROM scored) WHERE rn <= 5"""
+  }
+
   val oracle: Map[String, String] = Map(
 
     "pq_codes" ->
@@ -1026,6 +1124,7 @@ object SimQueries {
     // identical recomputation: the persisted codes/codebook/centroids
     // serve the same pinned corpus the in-query trainer sees
     "sim_ivfpq_persisted" -> ivfPqOracle,
+    "sim_ivfpq_batch" -> ivfPqBatchOracle,
 
     "sim_rerank_topk" -> {
       val dtSub = (0 until PqM).map(si =>

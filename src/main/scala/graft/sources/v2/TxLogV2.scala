@@ -121,15 +121,121 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       TxLogTable(spark, pathOf(ident).toString).latestVersion.isDefined
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      return metaTableFor(ident).getOrElse(
+        throw new NoSuchTableException(ident))
+    }
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
+  }
+
+  /** Iceberg-style SELECT-able METADATA TABLES: `cat.db.t.files`,
+    * `cat.db.t.history`, `cat.db.t.partitions` resolve as relations —
+    * the identifier's namespace tail names the data table, its name the
+    * metadata view. Unlike the `CALL system.history/partitions` procs
+    * (one-shot summaries), these compose: join `t.files` against a
+    * debt threshold, filter `t.history` by op, aggregate `t.partitions`
+    * — plain SQL over the manifest. Rows come from the manifest the
+    * driver already holds (O(files) strings — the same driver-side data
+    * every commit plans against, never the table's rows), served
+    * through a LocalScan like the proc results.
+    */
+  private def metaTableFor(ident: Identifier,
+                           asOf: Option[Int] = None): Option[Table] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+    import org.apache.spark.unsafe.types.UTF8String
+    if (ident.namespace().length < 1) return None
+    val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+    if (!tableExists(parent)) return None
+    def t = TxLogTable(spark, pathOf(parent).toString)
+    asOf.foreach(v => require(
+      TxLogTable(spark, pathOf(parent).toString).versions.contains(v),
+      s"version $v of ${parent.toString} does not exist (or was vacuumed)"))
+    def utf(s: String) = UTF8String.fromString(s)
+    def partOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val fields: Option[(StructType, () => Seq[InternalRow])] =
+      ident.name match {
+        case "history" => Some((StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("commit_millis", LongType),
+            StructField("op", StringType),
+            StructField("num_files", IntegerType))),
+          () => t.history()
+            .filter(h => asOf.forall(h.version <= _))
+            .map(h => InternalRow(h.version,
+            h.commitMillis.map(Long.box).orNull, utf(h.op.getOrElse("")),
+            h.numFiles))))
+        case "files" => Some((StructType(Seq(
+            StructField("file", StringType),
+            StructField("partition", StringType),
+            StructField("rows", LongType),
+            StructField("bytes", LongType),
+            StructField("dv_masked", LongType))),
+          () => {
+            val tbl = t
+            val v = asOf.orElse(tbl.latestVersion)
+            val sizes = tbl.fileSizes(v).toMap
+            val masked = v.map(tbl.dvsOf).getOrElse(Nil)
+              .groupBy(_.file).view.mapValues(_.map(_.n).sum).toMap
+            tbl.entries(v).map { e =>
+              InternalRow(utf(e.rel), utf(partOf(e.rel)),
+                e.stats.get(TxLogTable.RowsKey).map(r => Long.box(r._1))
+                  .orNull,
+                sizes.getOrElse(e.rel, 0L),
+                masked.getOrElse(e.rel, 0L))
+            }
+          }))
+        case "partitions" => Some((StructType(Seq(
+            StructField("partition", StringType),
+            StructField("num_files", LongType),
+            StructField("rows", LongType))),
+          () => {
+            val tbl = t
+            tbl.entries(asOf.orElse(tbl.latestVersion))
+              .groupBy(e => partOf(e.rel)).toSeq.sortBy(_._1)
+              .map { case (p, es) =>
+                val counts = es.flatMap(_.stats.get(TxLogTable.RowsKey)
+                  .map(_._1))
+                InternalRow(utf(p), es.size.toLong,
+                  // NULL when any file lacks a recorded count — a
+                  // wrong number is worse than an absent one
+                  if (counts.size == es.size) Long.box(counts.sum)
+                  else null)
+              }
+          }))
+        case _ => None
+      }
+    fields.map { case (sch, mkRows) =>
+      new Table with SupportsRead {
+        override def name(): String = ident.toString
+        override def schema(): StructType = sch
+        override def capabilities(): util.Set[TableCapability] =
+          util.EnumSet.of(TableCapability.BATCH_READ)
+        override def newScanBuilder(opts: CaseInsensitiveStringMap)
+            : ScanBuilder = () =>
+          new org.apache.spark.sql.connector.read.LocalScan {
+            override def readSchema(): StructType = sch
+            override def rows(): Array[InternalRow] = mkRows().toArray
+          }
+      }
+    }
   }
 
   /** `SELECT ... FROM t VERSION AS OF <n>` — SQL time travel straight to a
     * manifest version (the format's native coordinate).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // `SELECT ... FROM t.files VERSION AS OF n` — metadata tables are
+      // versioned relations too: files/partitions serve the manifest AT
+      // n, history truncates at n
+      val mv = scala.util.Try(version.toInt).toOption
+      return mv.flatMap(v => metaTableFor(ident, Some(v))).getOrElse(
+        throw new NoSuchTableException(ident))
+    }
     val v = scala.util.Try(version.toInt).getOrElse(
       throw new IllegalArgumentException(
         s"txlog versions are integers, got '$version'"))

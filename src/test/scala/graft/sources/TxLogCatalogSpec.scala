@@ -2911,6 +2911,49 @@ class TxLogCatalogSpec extends AnyFunSuite {
       s"nprobe=2 must dominate rank-wise: ${s2.toSeq} vs ${s1.toSeq}")
   }
 
+  test("metadata tables: cat.db.t.files / history / partitions resolve " +
+      "as composable relations") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.mtab")
+    spark.sql("CREATE TABLE txcat.ns.mtab (id BIGINT, part STRING) " +
+      "USING txlog PARTITIONED BY (part)")
+    spark.sql("INSERT INTO txcat.ns.mtab SELECT id, CASE WHEN id % 2 = 0 " +
+      "THEN 'a' ELSE 'b' END FROM range(10)")
+    spark.sql("INSERT INTO txcat.ns.mtab VALUES (100, 'a')")
+    val h = spark.sql("SELECT version, op, num_files " +
+      "FROM txcat.ns.mtab.history ORDER BY version").collect()
+    assert(h.length == 3 && h.map(_.getInt(0)).toSeq == Seq(0, 1, 2),
+      h.mkString(","))
+    // partitions: per-partition row counts straight from the manifest
+    val p = spark.sql("SELECT partition, rows FROM " +
+      "txcat.ns.mtab.partitions ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(p == Seq(("part=a", 6L), ("part=b", 5L)), p.toString)
+    // files COMPOSES: aggregating it reproduces partitions
+    val f = spark.sql("SELECT partition, sum(rows) FROM " +
+      "txcat.ns.mtab.files GROUP BY partition ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(f == p, s"$f != $p")
+    assert(spark.sql("SELECT min(bytes) FROM txcat.ns.mtab.files")
+      .head.getLong(0) > 0, "bytes come from the filesystem listing")
+    // dv_masked surfaces positional-delete masks per file
+    spark.sql("CALL txcat.system.delete_pos('ns.mtab', 'id = 2')")
+    assert(spark.sql("SELECT sum(dv_masked) FROM txcat.ns.mtab.files")
+      .head.getLong(0) == 1L)
+    // metadata tables are versioned relations: files AT version 1
+    // predates the second insert and the positional delete
+    val v1 = spark.sql("SELECT sum(rows), sum(dv_masked) FROM " +
+      "txcat.ns.mtab.files VERSION AS OF 1").head
+    assert(v1.getLong(0) == 10L && v1.getLong(1) == 0L,
+      s"files AS OF 1 must serve the old manifest: $v1")
+    assert(spark.sql("SELECT count(*) FROM " +
+      "txcat.ns.mtab.history VERSION AS OF 1").head.getLong(0) == 2L,
+      "history AS OF 1 truncates at version 1")
+    // a metadata name under a NON-table parent still errors cleanly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM txcat.ns.nosuch.files").collect() }
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
   test("CALL system.cursors / release_cursor expose the vacuum pins") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.curs")
     spark.sql("CREATE TABLE txcat.ns.curs (id BIGINT, v STRING) USING txlog")

@@ -31,6 +31,8 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case class MergeStr(rows: List[(Long, String)]) extends Op
   private case class Replace(rows: List[(Long, String)]) extends Op
   private case class Delete(ids: List[Long]) extends Op
+  private case class DeletePos(ids: List[Long]) extends Op  // DV mask
+  private case class UpdatePos(ids: List[Long]) extends Op  // DV update
   private case object Compact extends Op
   private case object ZOrder extends Op
   private case class Vacuum(keep: Int) extends Op
@@ -52,6 +54,10 @@ class TxLogPropertySpec extends AnyFunSuite {
     2 -> rowsGen.map(MergeStr),
     2 -> rowsGen.map(Replace),
     2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L))).map(Delete),
+    2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L)))
+      .map(DeletePos),
+    2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L)))
+      .map(UpdatePos),
     1 -> Gen.const(Compact),
     1 -> Gen.const(ZOrder),
     1 -> Gen.choose(1, 3).map(Vacuum),
@@ -284,6 +290,7 @@ class TxLogPropertySpec extends AnyFunSuite {
       var history = Map.empty[Int, List[(Long, String)]]
       var live = List.empty[Int] // surviving (non-vacuumed) versions, asc
       var pin = Option.empty[Int] // registered cursor's pinned version
+      var resets = Set.empty[Int] // overwrite versions: CDC resets there
       program.foreach { op =>
         op match {
           case Append(rows) =>
@@ -297,7 +304,7 @@ class TxLogPropertySpec extends AnyFunSuite {
             // bloom-pruned merge path
             val v = t.commit(rows.toDF("id", "v"), overwrite = true,
               bloomCols = Seq("v"))
-            history += v -> rows; live :+= v
+            history += v -> rows; live :+= v; resets += v
           case Merge(rows) =>
             // delete-insert by key: current rows with a batch id replaced,
             // every batch row (including in-batch id duplicates) inserted
@@ -347,6 +354,43 @@ class TxLogPropertySpec extends AnyFunSuite {
             val dead = ids.toSet
             history += st.version -> base.filterNot(r => dead(r._1))
             live :+= st.version
+          case DeletePos(ids) =>
+            // positional (deletion-vector) DELETE composed with
+            // everything else: zero data files rewritten ALWAYS, masked
+            // rows invisible to snapshot, time travel, and every later
+            // op's read path (merge/compact materialize, never
+            // resurrect). A predicate matching no surviving row is a
+            // clean no-op — no version committed.
+            val base = live.lastOption.map(history).getOrElse(Nil)
+            val dead = ids.toSet
+            val st = t.deleteWherePos(schema,
+              org.apache.spark.sql.functions.col("id").isin(ids: _*))
+            assert(st.rewritten == 0,
+              s"DV delete must never rewrite data files: $st")
+            if (base.exists(r => dead(r._1))) {
+              history += st.version -> base.filterNot(r => dead(r._1))
+              live :+= st.version
+            } else assert(live.lastOption.contains(st.version) ||
+              (live.isEmpty && st.version == -1),
+              s"no-match DV delete must not commit: $st vs $live")
+          case UpdatePos(ids) =>
+            // positional UPDATE: matched rows masked in place and
+            // re-written once with v = 'u' — O(matched rows), zero
+            // whole-file rewrites; the model replaces them in place
+            val base = live.lastOption.map(history).getOrElse(Nil)
+            val hit = ids.toSet
+            val st = t.updateWherePos(schema,
+              org.apache.spark.sql.functions.col("id").isin(ids: _*),
+              Seq("v" -> org.apache.spark.sql.functions.lit("u")))
+            assert(st.rewritten == 0,
+              s"DV update must never rewrite data files: $st")
+            if (base.exists(r => hit(r._1))) {
+              history += st.version -> base.map(r =>
+                if (hit(r._1)) (r._1, "u") else r)
+              live :+= st.version
+            } else assert(live.lastOption.contains(st.version) ||
+              (live.isEmpty && st.version == -1),
+              s"no-match DV update must not commit: $st vs $live")
           case Compact =>
             val v = t.compact(schema, numFiles = 1)
             history += v -> live.lastOption.map(history).getOrElse(Nil)
@@ -381,6 +425,39 @@ class TxLogPropertySpec extends AnyFunSuite {
         live.foreach { v =>
           assert(snapRows(t, Some(v)) == history(v).sorted,
             s"version $v after $op")
+        }
+      }
+      // CDC REPLAY invariant over the whole surviving range: folding the
+      // change feed version-by-version (deletes before inserts — a COW
+      // or DV update is delete(old)+insert(new) in one commit; an
+      // overwrite RESETS to its inserts; maintenance rewrites are
+      // skipped and change nothing) reproduces the model at EVERY step.
+      // This ties the entire DML matrix to the feed consumers actually
+      // read — a delete event lost to compaction folding, a phantom
+      // insert from a carried row, or an inexact DV event diverges here.
+      if (live.size > 1) {
+        var state = history(live.head).sorted
+        live.sliding(2).foreach {
+          case List(a, b) =>
+            val ev = t.changesWithDeletes(schema, a, b,
+                skipRewrites = true).collect()
+              .map(r => (r.getLong(0), r.getString(1),
+                r.getString(r.fieldIndex("_change_type"))))
+            val ins = ev.filter(_._3 == "insert").map(e => (e._1, e._2))
+            val dels = ev.filter(_._3 == "delete").map(e => (e._1, e._2))
+            state =
+              if (resets(b)) ins.toList.sorted
+              else {
+                val deleted = scala.collection.mutable.ListBuffer(
+                  dels.toSeq: _*)
+                (state.filterNot { r =>
+                  val i = deleted.indexOf(r)
+                  if (i >= 0) { deleted.remove(i); true } else false
+                } ++ ins).sorted
+              }
+            assert(state == history(b).sorted,
+              s"CDC replay diverged at version $b (of $live)")
+          case _ => ()
         }
       }
     }
