@@ -1359,6 +1359,39 @@ object EtlQueries {
         FROM graftcat.db.ev_meta.partitions""")
     }),
 
+    // TAGS — immutable named refs over versions (Iceberg's TAG concept;
+    // Delta has none): `CALL system.tag` pins "what training-run-X
+    // read" by NAME, `VERSION AS OF 'name'` reads it back, vacuum
+    // floors at the oldest tag so the named snapshot stays readable,
+    // and reclaiming it is an explicit drop_tag. The in-query requires
+    // walk that whole lifecycle — tag at v1, two more commits, a
+    // keep=1 vacuum that must stop at the tag — and the returned frame
+    // is the TAGGED snapshot read by name after the vacuum, which the
+    // oracle recomputes as the first slice of the source.
+    "sql_tags" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_tag_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_tag")
+      s.sql("CREATE TABLE graftcat.db.ev_tag (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_tag SELECT event_id, user_id, " +
+        "value FROM ev_tag_src WHERE event_id % 2 = 0")
+      val tv = s.sql("CALL graftcat.system.tag('db.ev_tag', 'baseline')")
+        .head
+      require(tv.getString(0) == "baseline" && tv.getInt(1) == 1,
+        s"tag must pin the insert version: $tv")
+      s.sql("INSERT INTO graftcat.db.ev_tag SELECT event_id, user_id, " +
+        "value FROM ev_tag_src WHERE event_id % 2 = 1")
+      s.sql("UPDATE graftcat.db.ev_tag SET value = 0 " +
+        "WHERE event_id % 100 = 7")
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/ev_tag")
+      s.sql("CALL graftcat.system.vacuum('db.ev_tag', 1, 0, 0)").collect()
+      require(tbl.versions.head == 1,
+        s"keep=1 vacuum must floor at the tagged v1: ${tbl.versions}")
+      s.sql("SELECT event_id, user_id, value FROM graftcat.db.ev_tag " +
+        "VERSION AS OF 'baseline'")
+    }),
+
     // TIMESTAMP-typed retention fast path (the r14 VERDICT's #7):
     // sql_retention_delete pins a BIGINT epoch column because the
     // Verify session writes INT96 timestamps by default (no stats);
@@ -1437,10 +1470,16 @@ object EtlQueries {
       require(res.getBoolean(1), "old day dirs must report mixed")
       require(tbl.entries(None).map(_.rel).toSet == before,
         "spec evolution must be metadata-only")
-      // the rest lands HOURLY under the evolved spec
+      // three more days land HOURLY under the evolved spec (72 hour
+      // dirs — enough to exercise the mixed layout and both prune
+      // shapes; the month's full hourly grid would spend the bench's
+      // time on ~450 dir creations, pure fs overhead at this SF). The
+      // band's upper edge matches the oracle window, so the straddling
+      // aggregate below is unaffected.
       s.sql("INSERT INTO graftcat.db.ev_evo " +
         "SELECT event_id, timestamp_micros(CAST(ts DIV 1000 AS BIGINT))," +
-        " value FROM ev_evo_src WHERE ts DIV 1000 >= 1704931200000000")
+        " value FROM ev_evo_src WHERE ts DIV 1000 >= 1704931200000000" +
+        " AND ts DIV 1000 < 1705190400000000")
       import org.apache.spark.sql.functions.lit
       val hr = tbl.candidateFilesWhere(
         col("ts") >= lit(java.time.Instant.parse("2024-01-12T05:00:00Z"))
@@ -3341,6 +3380,10 @@ object EtlQueries {
     "sql_meta_tables" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY event_type""",
+
+    "sql_tags" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_id % 2 = 0""",
 
     "sql_retention_delete_ts" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,

@@ -3128,6 +3128,75 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   def releaseCursor(name: String): Boolean =
     Files.deleteIfExists(cursorsDir.resolve(cursorFileName(name)))
 
+  private def tagsDir: Path = logDir.resolve("tags")
+
+  /** Named refs over versions — Iceberg's TAG concept: an IMMUTABLE
+    * name for a snapshot ("training-run-2024-06", "audited-q3"), read
+    * via `VERSION AS OF 'name'` or `snapshot(schema, versionOfTag(n))`,
+    * protected from vacuum for as long as it exists. Immutable means
+    * create-once: re-pointing a name silently changes what a consumer
+    * reproduces, so moving a tag is drop + re-create, both explicit.
+    *
+    * Retention: this format keeps contiguous version SUFFIXES (vacuum
+    * drops prefixes only — the changesBetween invariant), so a tag
+    * pins the floor at its version: everything at-or-after survives.
+    * Iceberg pins individual snapshots; the suffix model is this
+    * format's analog, and it additionally keeps the tag's CDC window
+    * alive.
+    */
+  def tags(): Map[String, Int] =
+    if (!Files.isDirectory(tagsDir)) Map.empty
+    else scala.util.Using.resource(Files.list(tagsDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".tag") && Files.isRegularFile(p))
+        .flatMap { p =>
+          val kv = new String(Files.readAllBytes(p), UTF_8)
+            .split("\n").iterator.map(_.split("=", 2))
+            .collect { case Array(k, v) => k -> v }.toMap
+          for {
+            n <- kv.get("name")
+            v <- kv.get("version").flatMap(_.toIntOption)
+          } yield n -> v
+        }.toMap
+    }
+
+  /** Create tag `name` at `version` (default: latest). Refuses an
+    * existing name (immutability), a vacuumed/absent version, and a
+    * bare-integer name (`VERSION AS OF '3'` must stay a version).
+    * Returns the tagged version. Concurrent same-name creates race on
+    * an atomic no-replace move — exactly one wins.
+    */
+  def tag(name: String, version: Option[Int] = None): Int = {
+    require(name.nonEmpty && !name.contains("\n"),
+      "tag name must be non-empty and newline-free")
+    require(name.toIntOption.isEmpty,
+      s"tag name '$name' would be ambiguous with a version number")
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"cannot tag an empty table: $root"))
+    require(versions.contains(v),
+      s"cannot tag version $v of $root: not a surviving version " +
+        s"(have ${versions.mkString(",")})")
+    require(!tags().contains(name),
+      s"tag '$name' already exists on $root — tags are immutable refs; " +
+        "drop_tag first to re-point")
+    Files.createDirectories(tagsDir)
+    val body = s"name=$name\nversion=$v\n" +
+      s"createdMillis=${System.currentTimeMillis()}\n"
+    val tmp = Files.createTempFile(tagsDir, "tag-", ".tmp")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, tagsDir.resolve(cursorFileName(name)
+        .stripSuffix(".cursor") + ".tag"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Drop tag `name` — releases its retention pin. False if absent. */
+  def dropTag(name: String): Boolean =
+    Files.deleteIfExists(tagsDir.resolve(cursorFileName(name)
+      .stripSuffix(".cursor") + ".tag"))
+
+  def versionOfTag(name: String): Option[Int] = tags().get(name)
+
   /** Garbage-collect history: keep the newest `keep` versions, delete older
     * manifests and every data file no surviving manifest references.
     * Returns (manifests deleted, data files deleted).
@@ -3190,9 +3259,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         .map(_.version).toSet
     val cursorFloor: Option[Int] =
       cursors().values.map(_.version).minOption
+    // tags pin like cursors: the oldest tagged version floors the drop
+    // (a tagged snapshot a consumer can still name must stay readable)
+    val tagFloor: Option[Int] = tags().values.minOption
     val candidates = vs.dropRight(keep)
       .filterNot(youngByTime)
       .filterNot(v => cursorFloor.exists(v >= _))
+      .filterNot(v => tagFloor.exists(v >= _))
     // survivors must be a contiguous SUFFIX of history: commitMillis is
     // not guaranteed monotonic (clock skew, restored manifests), and a
     // dropped manifest BETWEEN two kept ones would break changesBetween

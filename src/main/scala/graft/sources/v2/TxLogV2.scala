@@ -188,6 +188,17 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 masked.getOrElse(e.rel, 0L))
             }
           }))
+        case "tags" => Some((StructType(Seq(
+            StructField("name", StringType),
+            StructField("version", IntegerType))),
+          () => t.tags().toSeq.sortBy(_._1).map { case (n, v) =>
+            InternalRow(utf(n), v) }))
+        case "cursors" => Some((StructType(Seq(
+            StructField("name", StringType),
+            StructField("version", IntegerType),
+            StructField("updated_millis", LongType))),
+          () => t.cursors().values.toSeq.sortBy(_.name).map(c =>
+            InternalRow(utf(c.name), c.version, c.updatedMillis))))
         case "partitions" => Some((StructType(Seq(
             StructField("partition", StringType),
             StructField("num_files", LongType),
@@ -224,26 +235,41 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     }
   }
 
-  /** `SELECT ... FROM t VERSION AS OF <n>` — SQL time travel straight to a
-    * manifest version (the format's native coordinate).
+  /** `SELECT ... FROM t VERSION AS OF <n | 'tag'>` — SQL time travel to
+    * a manifest version (the format's native coordinate) or a named TAG
+    * (the immutable ref `TxLogTable.tag` created — "what did
+    * training-run-X read" stays answerable by name).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) {
-      // `SELECT ... FROM t.files VERSION AS OF n` — metadata tables are
-      // versioned relations too: files/partitions serve the manifest AT
-      // n, history truncates at n
+      // `SELECT ... FROM t.files VERSION AS OF <n | 'tag'>` — metadata
+      // tables are versioned relations too: files/partitions serve the
+      // manifest AT the coordinate, history truncates there
       val mv = scala.util.Try(version.toInt).toOption
+        .orElse(metaParentTagVersion(ident, version))
       return mv.flatMap(v => metaTableFor(ident, Some(v))).getOrElse(
         throw new NoSuchTableException(ident))
     }
-    val v = scala.util.Try(version.toInt).getOrElse(
-      throw new IllegalArgumentException(
-        s"txlog versions are integers, got '$version'"))
     val t = TxLogTable(spark, pathOf(ident).toString)
+    val v = scala.util.Try(version.toInt).toOption
+      .orElse(t.versionOfTag(version)).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$version' is neither a version number nor a tag of " +
+            s"${ident.toString} (tags: ${t.tags().keys.mkString(",")})"))
     require(t.versions.contains(v),
       s"version $v of ${ident.toString} does not exist (or was vacuumed); " +
         s"surviving versions: ${t.versions.mkString(",")}")
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString, Some(v))
+  }
+
+  // tag resolution for a METADATA table's AS OF: the tag lives on the
+  // parent data table the metadata ident wraps
+  private def metaParentTagVersion(ident: Identifier,
+                                   tag: String): Option[Int] = {
+    if (ident.namespace().length < 1) return None
+    val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+    if (!tableExists(parent)) return None
+    TxLogTable(spark, pathOf(parent).toString).versionOfTag(tag)
   }
 
   /** `SELECT ... FROM t TIMESTAMP AS OF <ts>` — Spark hands micros since
@@ -459,7 +485,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
         "ann_build", "ann_refresh", "ann_search",
         "cursors", "release_cursor", "delete_pos", "update_pos",
-        "set_time_unit")
+        "set_time_unit", "tag", "drop_tag", "tags")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -726,6 +752,56 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("released", org.apache.spark.sql.types
                 .BooleanType))),
               Seq(InternalRow(released)))
+          }
+        }
+      case "tag" =>
+        // CALL c.system.tag('ns.t', 'name' [, version]): create an
+        // IMMUTABLE named ref at `version` (default: latest) — read it
+        // back with `VERSION AS OF 'name'`; vacuum keeps the floor at
+        // the oldest tag. Re-pointing is drop_tag + tag, both explicit.
+        new MaintenanceProc("tag", Seq(
+          inParam("table", StringType),
+          inParam("name", StringType),
+          inParam("version", IntegerType, Some("NULL")))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "tag needs a name")
+            val v = t.tag(input.getString(1),
+              if (input.isNullAt(2)) None else Some(input.getInt(2)))
+            resultScan(StructType(Seq(
+              StructField("name", StringType),
+              StructField("version", IntegerType))),
+              Seq(InternalRow(UTF8String.fromString(input.getString(1)),
+                v)))
+          }
+        }
+      case "drop_tag" =>
+        // CALL c.system.drop_tag('ns.t', 'name'): release the ref and
+        // its retention pin — the tagged history becomes reclaimable.
+        new MaintenanceProc("drop_tag", Seq(
+          inParam("table", StringType),
+          inParam("name", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "drop_tag needs a name")
+            resultScan(StructType(Seq(
+              StructField("dropped", org.apache.spark.sql.types
+                .BooleanType))),
+              Seq(InternalRow(t.dropTag(input.getString(1)))))
+          }
+        }
+      case "tags" =>
+        // CALL c.system.tags('ns.t'): the named refs and their pinned
+        // versions — "which snapshots can still be named".
+        new MaintenanceProc("tags", Seq(
+          inParam("table", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            resultScan(StructType(Seq(
+              StructField("name", StringType),
+              StructField("version", IntegerType))),
+              t.tags().toSeq.sortBy(_._1).map { case (n, v) =>
+                InternalRow(UTF8String.fromString(n), v) })
           }
         }
       case "restore" =>
@@ -1298,7 +1374,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             "(available: compact, vacuum, history, partitions, restore, " +
             "clone, zorder, rebucket, semdedup, dedup_near, bm25, " +
             "optimize, detail, analyze, resort, changes, ann_build, " +
-            "ann_refresh, ann_search, cursors, release_cursor)")
+            "ann_refresh, ann_search, cursors, release_cursor, " +
+            "delete_pos, update_pos, set_time_unit, tag, drop_tag, tags)")
     }
   }
 

@@ -2954,6 +2954,57 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
+  test("tags: immutable named refs — AS OF by name, vacuum pin, " +
+      "explicit drop to reclaim") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.tagt")
+    spark.sql("CREATE TABLE txcat.ns.tagt (id BIGINT, v STRING) " +
+      "USING txlog")
+    spark.sql("INSERT INTO txcat.ns.tagt VALUES (1, 'a'), (2, 'b')")
+    val tagged = spark.sql(
+      "CALL txcat.system.tag('ns.tagt', 'audited')").head
+    assert(tagged.getString(0) == "audited" && tagged.getInt(1) == 1)
+    spark.sql("INSERT INTO txcat.ns.tagt VALUES (3, 'c')")
+    spark.sql("INSERT INTO txcat.ns.tagt VALUES (4, 'd')")
+    // by-name time travel reads the tagged snapshot, not the head
+    val atTag = spark.sql("SELECT id FROM txcat.ns.tagt " +
+      "VERSION AS OF 'audited'").collect().map(_.getLong(0)).toSet
+    assert(atTag == Set(1L, 2L), s"AS OF 'audited' read $atTag")
+    // metadata tables resolve the same ref through the parent
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.tagt.history " +
+      "VERSION AS OF 'audited'").head.getLong(0) == 2L)
+    // immutable: same name refuses; integer names refuse (ambiguous)
+    val dup = intercept[Exception] { spark.sql(
+      "CALL txcat.system.tag('ns.tagt', 'audited')").collect() }
+    assert(dup.getMessage.contains("immutable"))
+    val num = intercept[Exception] { spark.sql(
+      "CALL txcat.system.tag('ns.tagt', '7')").collect() }
+    assert(num.getMessage.contains("ambiguous"))
+    // the tag floors vacuum: keep=1 would drop v0..v2, but 'audited'
+    // pins v1 — only v0 is reclaimable
+    val t = TxLogTable(spark, s"$warehouse/ns/tagt")
+    spark.sql("CALL txcat.system.vacuum('ns.tagt', 1, 0, 0)").collect()
+    assert(t.versions == Seq(1, 2, 3),
+      s"tag must floor the vacuum at v1: ${t.versions}")
+    assert(spark.sql("SELECT count(*) FROM txcat.ns.tagt " +
+      "VERSION AS OF 'audited'").head.getLong(0) == 2L,
+      "the tagged snapshot stays readable after vacuum")
+    // an unknown name is a loud error listing the live tags
+    val bad = intercept[Exception] { spark.sql(
+      "SELECT * FROM txcat.ns.tagt VERSION AS OF 'nope'").collect() }
+    assert(bad.getMessage.contains("neither a version number nor a tag"))
+    // the refs are ALSO a metadata table (joins against history work)
+    val ref = spark.sql("SELECT h.op FROM txcat.ns.tagt.tags g " +
+      "JOIN txcat.ns.tagt.history h ON g.version = h.version " +
+      "WHERE g.name = 'audited'").collect()
+    assert(ref.length == 1, s"tags metadata table must join: ${ref.toSeq}")
+    // drop releases the pin; the next vacuum reclaims to keep=1
+    assert(spark.sql("CALL txcat.system.drop_tag('ns.tagt', 'audited')")
+      .head.getBoolean(0))
+    assert(spark.sql("CALL txcat.system.tags('ns.tagt')").count() == 0)
+    spark.sql("CALL txcat.system.vacuum('ns.tagt', 1, 0, 0)").collect()
+    assert(t.versions == Seq(3), s"post-drop vacuum: ${t.versions}")
+  }
+
   test("CALL system.cursors / release_cursor expose the vacuum pins") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.curs")
     spark.sql("CREATE TABLE txcat.ns.curs (id BIGINT, v STRING) USING txlog")

@@ -38,6 +38,8 @@ class TxLogPropertySpec extends AnyFunSuite {
   private case class Vacuum(keep: Int) extends Op
   private case class Pin(back: Int) extends Op   // register change-feed cursor
   private case object Unpin extends Op           // release it
+  private case class TagAt(back: Int) extends Op // immutable named ref
+  private case object DropTag extends Op         // release the ref
   private case class Rebucket(n: Int) extends Op
   private case class GridRebucket(n1: Int, n2: Int) extends Op
 
@@ -62,7 +64,9 @@ class TxLogPropertySpec extends AnyFunSuite {
     1 -> Gen.const(ZOrder),
     1 -> Gen.choose(1, 3).map(Vacuum),
     1 -> Gen.choose(0, 2).map(Pin),
-    1 -> Gen.const(Unpin))
+    1 -> Gen.const(Unpin),
+    1 -> Gen.choose(0, 2).map(TagAt),
+    1 -> Gen.const(DropTag))
 
   // first op must create the table
   private val programGen: Gen[List[Op]] = for {
@@ -290,6 +294,7 @@ class TxLogPropertySpec extends AnyFunSuite {
       var history = Map.empty[Int, List[(Long, String)]]
       var live = List.empty[Int] // surviving (non-vacuumed) versions, asc
       var pin = Option.empty[Int] // registered cursor's pinned version
+      var tagPin = Option.empty[Int] // live tag's pinned version
       var resets = Set.empty[Int] // overwrite versions: CDC resets there
       program.foreach { op =>
         op match {
@@ -404,11 +409,13 @@ class TxLogPropertySpec extends AnyFunSuite {
           case Vacuum(keep) =>
             t.vacuum(keep, minAgeMillis = 0L, retainMillis = 0L)
             // survivors = everything at or above min(keep boundary,
-            // cursor pin) — both floors are "v >= X" shapes on an
-            // ascending list, so the drop is always a prefix
+            // cursor pin, tag pin) — all floors are "v >= X" shapes on
+            // an ascending list, so the drop is always a prefix
             val keepFloor = live.takeRight(keep).headOption
               .getOrElse(Int.MaxValue)
-            val floor = math.min(keepFloor, pin.getOrElse(Int.MaxValue))
+            val floor = math.min(
+              math.min(keepFloor, pin.getOrElse(Int.MaxValue)),
+              tagPin.getOrElse(Int.MaxValue))
             live = live.filter(_ >= floor)
           case Pin(back) =>
             // cursor at `back` versions behind the head: vacuum must
@@ -419,6 +426,18 @@ class TxLogPropertySpec extends AnyFunSuite {
           case Unpin =>
             t.releaseCursor("prop-cursor")
             pin = None
+          case TagAt(back) =>
+            // an immutable named ref: only ONE live fuzz tag at a time
+            // (re-tagging the same name must refuse — pinned by spec);
+            // the tag floors vacuum exactly like a cursor pin
+            if (tagPin.isEmpty) {
+              val target = live(math.max(0, live.size - 1 - back))
+              t.tag("prop-tag", Some(target))
+              tagPin = Some(target)
+            }
+          case DropTag =>
+            t.dropTag("prop-tag")
+            tagPin = None
         }
         assert(t.versions == live, s"after $op")
         // snapshot + time travel to every surviving version match the model
