@@ -482,6 +482,181 @@ class TxLogPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("schema-evolution interleavings: add/rename/drop/widen compose " +
+      "with DML against an evolving-width model") {
+    // the column-mapping contract under RANDOM compositions: a rename is
+    // pure metadata (old files keep physical names, the map re-binds),
+    // an add reads as NULL from pre-add files, a drop projects away but
+    // never frees bytes, a widen promotes at read — and EVERY DML op
+    // (append under the current schema, keyed merge, positional delete,
+    // compact) must keep agreeing with a model that evolves its row
+    // width alongside. This is where mapping bugs live: a merge that
+    // rewrites files AFTER a rename mixes old-physical and new-physical
+    // files in one table; a compact materializes the map; a DV mask
+    // must survive all of it.
+    import org.apache.spark.sql.Row
+    sealed trait SOp
+    case class SAppend(n: Int) extends SOp
+    case class SMerge(n: Int) extends SOp
+    case class SDeletePos(ids: List[Long]) extends SOp
+    case object SAdd extends SOp
+    case object SRename extends SOp
+    case object SDrop extends SOp
+    case object SWiden extends SOp
+    case object SCompact extends SOp
+    val sOpGen: Gen[SOp] = Gen.frequency(
+      4 -> Gen.choose(1, 3).map(SAppend),
+      3 -> Gen.choose(1, 3).map(SMerge),
+      2 -> Gen.resize(3, Gen.nonEmptyListOf(Gen.choose(1L, 6L)))
+        .map(SDeletePos),
+      2 -> Gen.const(SAdd),
+      2 -> Gen.const(SRename),
+      1 -> Gen.const(SDrop),
+      1 -> Gen.const(SWiden),
+      1 -> Gen.const(SCompact))
+    val programGenS: Gen[List[SOp]] =
+      Gen.resize(10, Gen.listOf(sOpGen))
+
+    forAllSeeded(programGenS, n = 5) { program =>
+      val t = TxLogTable(spark,
+        Files.createTempDirectory("txpropS").resolve("t").toString)
+      var sch = StructType(Seq(
+        StructField("id", LongType),
+        StructField("a", StringType),
+        StructField("w", IntegerType)))
+      t.create(sch)
+      var widened = false
+      var addSeq = 0
+      var valSeq = 0
+      // model rows keyed by LOGICAL column name; numeric values held
+      // canonically as Long (the widen makes Int vs Long a read detail)
+      var model = List.empty[Map[String, Any]]
+      // (version, schema-at-version, rows-at-version) for time travel
+      var hist = List.empty[(Int, StructType, List[Map[String, Any]])]
+      def canon(v: Any): Any = v match {
+        case i: Int => i.toLong
+        case x => x
+      }
+      def freshRows(n: Int): List[Map[String, Any]] =
+        (1 to n).toList.map { _ =>
+          valSeq += 1
+          sch.fields.map { f =>
+            f.name -> (f.dataType match {
+              case LongType if f.name == "id" => (valSeq % 5 + 1).toLong
+              case LongType => valSeq.toLong
+              case IntegerType => valSeq
+              case StringType =>
+                if (valSeq % 4 == 0) null else s"s$valSeq"
+              case dt => fail(s"unexpected type $dt")
+            })
+          }.toMap
+        }
+      def toDf(rows: List[Map[String, Any]]) = {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          rows.map(r => Row.fromSeq(
+            sch.fields.toSeq.map(f => r(f.name)))).asJava,
+          sch)
+      }
+      program.foreach { op =>
+        op match {
+          case SAppend(n) =>
+            val rows = freshRows(n)
+            t.commit(toDf(rows), overwrite = false)
+            model = model ++ rows
+          case SMerge(n) =>
+            val rows = freshRows(n)
+            t.merge(sch, toDf(rows), Seq("id"))
+            val ids = rows.map(_("id")).toSet
+            model = model.filterNot(r => ids(r("id"))) ++ rows
+          case SDeletePos(ids) =>
+            val dead = ids.toSet
+            val st = t.deleteWherePos(sch,
+              org.apache.spark.sql.functions.col("id").isin(ids: _*))
+            assert(st.rewritten == 0, s"DV delete rewrote: $st")
+            model = model.filterNot(r =>
+              dead(r("id").asInstanceOf[Long]))
+          case SAdd =>
+            addSeq += 1
+            val name = s"c$addSeq"
+            t.addColumn(name, StringType)
+            sch = StructType(sch.fields :+
+              StructField(name, StringType))
+            model = model.map(_ + (name -> null))
+          case SRename =>
+            // rename a random non-id, non-w column (w stays for widen)
+            sch.fields.map(_.name)
+              .find(n => n != "id" && n != "w") match {
+              case Some(old) =>
+                val nu = old + "r"
+                t.renameColumn(old, nu)
+                sch = StructType(sch.fields.map(f =>
+                  if (f.name == old) f.copy(name = nu) else f))
+                model = model.map(r => r - old + (nu -> r(old)))
+              case None => ()
+            }
+          case SDrop =>
+            // keep at least one renameable column alive
+            val cands = sch.fields.map(_.name)
+              .filter(n => n != "id" && n != "w")
+            if (cands.length > 1) {
+              val victim = cands.last
+              t.dropColumn(victim)
+              sch = StructType(sch.fields.filterNot(_.name == victim))
+              model = model.map(_ - victim)
+            }
+          case SWiden =>
+            if (!widened) {
+              t.widenColumn("w", LongType)
+              sch = StructType(sch.fields.map(f =>
+                if (f.name == "w") f.copy(dataType = LongType) else f))
+              widened = true
+            }
+          case SCompact =>
+            if (t.latestVersion.nonEmpty) t.compact(sch, numFiles = 1)
+        }
+        // recorded schema tracks the evolution exactly
+        assert(t.tableSchema.map(_.fieldNames.toSeq)
+          .contains(sch.fieldNames.toSeq),
+          s"recorded schema diverged after $op: ${t.tableSchema}")
+        t.latestVersion.foreach { v =>
+          if (!hist.headOption.exists(_._1 == v))
+            hist ::= (v, sch, model)
+        }
+        // snapshot under the CURRENT schema equals the evolving model
+        val got = t.snapshot(sch).collect().toList.map(r =>
+          sch.fieldNames.map(n =>
+            n -> canon(r.get(r.fieldIndex(n)))).toMap)
+        def key(m: Map[String, Any]) =
+          sch.fieldNames.map(n => String.valueOf(m(n))).mkString("|")
+        assert(got.sortBy(key) ==
+          model.map(m => m.map { case (k, v) => k -> canon(v) })
+            .sortBy(key),
+          s"model divergence after $op (schema ${sch.fieldNames.toSeq})")
+      }
+      // TIME TRAVEL ACROSS THE EVOLUTION: every version replays under
+      // its own RECORDED schema with its own rows — a v written three
+      // renames and a drop ago must read back exactly as it was,
+      // through whatever colmap history accumulated after it (the
+      // reproducibility contract a pinned training run depends on)
+      hist.foreach { case (v, vs, rows) =>
+        assert(t.schemaOf(v).map(_.fieldNames.toSeq)
+          .contains(vs.fieldNames.toSeq),
+          s"version $v lost its recorded schema")
+        val got = t.snapshot(vs, Some(v)).collect().toList.map(r =>
+          vs.fieldNames.map(n =>
+            n -> canon(r.get(r.fieldIndex(n)))).toMap)
+        def key(m: Map[String, Any]) =
+          vs.fieldNames.map(n => String.valueOf(m(n))).mkString("|")
+        assert(got.sortBy(key) ==
+          rows.map(m => m.map { case (k, x) => k -> canon(x) })
+            .sortBy(key),
+          s"time travel to v$v diverged under schema " +
+            vs.fieldNames.toSeq)
+      }
+    }
+  }
+
   test("time segments: write expression and prune arithmetic agree on " +
       "random instants, every unit") {
     // the hidden-partitioning contract: TxLogTable.timeSegCol (the Spark
