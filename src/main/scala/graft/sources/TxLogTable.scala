@@ -4032,9 +4032,22 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                              rebalanceOk: Boolean = false)
       : Seq[String] = {
     val rels = stage(df, partitionCols, rebalanceOk)
-    val blooms = bloomStats(rels, bloomCols, bloomBits)
-    rels.map(rel => TxLogTable.FileEntry(rel, footerStats(rel),
-      blooms.getOrElse(rel, Map.empty)).encoded)
+    val withStats = rels.map(rel => rel -> footerStats(rel))
+    // ZERO-ROW files never enter the manifest: Spark's writer creates a
+    // task's output file eagerly, so an empty partition (a collapsed
+    // range boundary, a skewed bucket with nothing in it) stages a
+    // 0-row parquet — which carries no column stats and no bloom, so
+    // every conservative pruning test would call it "may match" FOREVER
+    // (a string-keyed merge rewrote one such file on every batch).
+    // Empty files are pure manifest overhead at 100 TB; drop them here,
+    // the one chokepoint every staging write passes through.
+    val (empty, live) = withStats.partition(
+      _._2.get(TxLogTable.RowsKey).exists(_._1 == 0L))
+    empty.foreach { case (rel, _) =>
+      scala.util.Try(Files.delete(dataDir.resolve(rel))) }
+    val blooms = bloomStats(live.map(_._1), bloomCols, bloomBits)
+    live.map { case (rel, st) => TxLogTable.FileEntry(rel, st,
+      blooms.getOrElse(rel, Map.empty)).encoded }
   }
 
   /** Dynamic-partition-overwrite commit: replace exactly the partitions

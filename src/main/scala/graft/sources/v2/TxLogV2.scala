@@ -276,7 +276,21 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     * epoch; resolve to the latest version committed at or before it.
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // `FROM t.files TIMESTAMP AS OF ts` — same resolution as the data
+      // table's, then the metadata view pins to the resolved version
+      if (ident.namespace().length >= 1) {
+        val parent = Identifier.of(ident.namespace.init,
+          ident.namespace.last)
+        if (tableExists(parent)) {
+          val mt = TxLogTable(spark, pathOf(parent).toString)
+            .versionAsOf(timestampMicros / 1000L)
+            .flatMap(v => metaTableFor(ident, Some(v)))
+          if (mt.isDefined) return mt.get
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val t = TxLogTable(spark, pathOf(ident).toString)
     val v = t.versionAsOf(timestampMicros / 1000L).getOrElse(
       throw new IllegalArgumentException(

@@ -2948,6 +2948,10 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM " +
       "txcat.ns.mtab.history VERSION AS OF 1").head.getLong(0) == 2L,
       "history AS OF 1 truncates at version 1")
+    // TIMESTAMP AS OF resolves through the parent like the data table
+    assert(spark.sql("SELECT sum(rows) FROM txcat.ns.mtab.files " +
+      "TIMESTAMP AS OF current_timestamp()").head.getLong(0) == 11L,
+      "files TIMESTAMP AS OF now must serve the head manifest")
     // a metadata name under a NON-table parent still errors cleanly
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM txcat.ns.nosuch.files").collect() }

@@ -1006,6 +1006,37 @@ class TxLogTableSpec extends AnyFunSuite {
     assert(t.snapshot(sch).count() == 66)
   }
 
+  test("zero-row staged files never enter the manifest") {
+    // an empty write partition (collapsed range boundary, empty bucket)
+    // stages a 0-row parquet with no stats and no bloom — every
+    // conservative pruning test calls such a file "may match" forever,
+    // so a string-keyed merge would rewrite it on every batch. The
+    // staging chokepoint must drop them.
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    t.create(sch)
+    // 3 rows forced through 8 partitions: ≥5 tasks write nothing
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(8, col("id")), overwrite = false)
+    val es = t.entries(None)
+    assert(es.nonEmpty && es.size <= 3,
+      s"empty partitions must not stage files: ${es.map(_.rel)}")
+    assert(es.forall(_.stats.get(TxLogTable.RowsKey).exists(_._1 > 0)),
+      s"every manifest entry carries rows > 0: ${es.map(_.stats)}")
+    assert(t.snapshot(sch).count() == 3)
+    // no orphaned 0-row parquet stays on disk either
+    import scala.jdk.CollectionConverters._
+    val onDisk = scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(t.root, "data"))) {
+      s => s.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet"))
+    }
+    assert(onDisk == es.size,
+      s"staged-then-dropped files must be deleted: $onDisk vs ${es.size}")
+  }
+
   test("retention delete under INT96 timestamps: no stats, no drop — " +
       "graceful rewrite fallback, same result") {
     import org.apache.spark.sql.functions.{col, lit}
