@@ -499,7 +499,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
         "ann_build", "ann_refresh", "ann_search",
         "cursors", "release_cursor", "delete_pos", "update_pos",
-        "set_time_unit", "tag", "drop_tag", "tags")
+        "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1041,6 +1041,44 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 InternalRow(r.getLong(0), r.getInt(1), r.getDouble(2))))
           }
         }
+      case "ann_search_batch" =>
+        // CALL c.system.ann_search_batch('ns.idx', array(id, ...)
+        // [, k [, nprobe [, require_fresh]]]): N queries through ONE
+        // persisted-index pass (AnnIndex.searchIvfBatch — routing is
+        // the broadcast k × N centroid product, scoring an equi-join
+        // on the probed cell, per-query window top-k). At most k rows
+        // PER QUERY cross the driver — bounded by the ask, never the
+        // corpus; the nightly-similarity-sweep shape without leaving
+        // SQL.
+        new MaintenanceProc("ann_search_batch", Seq(
+          inParam("index", StringType),
+          inParam("query_vec_ids",
+            org.apache.spark.sql.types.ArrayType(LongType)),
+          inParam("k", IntegerType, Some("5")),
+          inParam("nprobe", IntegerType, Some("1")),
+          inParam("require_fresh", BooleanType, Some("false")))) {
+          override def call(input: InternalRow) = {
+            val idxRoot = pathByName(input.getString(0)).toString
+            require(!input.isNullAt(1),
+              "ann_search_batch needs query_vec_ids")
+            val qids = input.getArray(1).toLongArray().toSeq
+            require(qids.nonEmpty, "ann_search_batch needs query ids")
+            val k = if (input.isNullAt(2)) 5 else input.getInt(2)
+            require(k > 0, s"ann_search_batch k must be positive, got $k")
+            val np = if (input.isNullAt(3)) 1 else input.getInt(3)
+            val fresh = !input.isNullAt(4) && input.getBoolean(4)
+            val rows = graft.operators.AnnIndex.searchIvfBatch(
+              spark, idxRoot, qids, k, requireFresh = fresh,
+              nprobe = np).collect()
+            resultScan(StructType(Seq(
+              StructField("q_id", LongType),
+              StructField("vec_id", LongType),
+              StructField("cluster", IntegerType),
+              StructField("q_cos", DoubleType))),
+              rows.toSeq.map(r => InternalRow(r.getLong(0), r.getLong(1),
+                r.getInt(2), r.getDouble(3))))
+          }
+        }
       case "ann_refresh" =>
         // CALL c.system.ann_refresh('ns.idx'): advance a persisted index
         // to its corpus head WITHOUT a training pass — new vectors route
@@ -1389,7 +1427,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             "clone, zorder, rebucket, semdedup, dedup_near, bm25, " +
             "optimize, detail, analyze, resort, changes, ann_build, " +
             "ann_refresh, ann_search, cursors, release_cursor, " +
-            "delete_pos, update_pos, set_time_unit, tag, drop_tag, tags)")
+            "delete_pos, update_pos, set_time_unit, tag, drop_tag, " +
+            "tags, ann_search_batch)")
     }
   }
 

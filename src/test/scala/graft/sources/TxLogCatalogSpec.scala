@@ -2909,6 +2909,21 @@ class TxLogCatalogSpec extends AnyFunSuite {
       .sorted(Ordering[Double].reverse)
     assert(s1.zip(s2).forall { case (a, b) => b >= a - 1e-12 },
       s"nprobe=2 must dominate rank-wise: ${s2.toSeq} vs ${s1.toSeq}")
+    // the batch proc serves each query exactly as the single proc does
+    val batch = spark.sql("CALL txcat.system.ann_search_batch(" +
+      "'ns.annq_idx', array(0L, 5L), 4, 2)").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1))
+      .toMap
+    assert(batch.keySet == Set(0L, 5L), s"batch keys: ${batch.keySet}")
+    Seq(0L, 5L).foreach { q =>
+      val single = spark.sql("CALL txcat.system.ann_search(" +
+        s"'ns.annq_idx', $q, 4, NULL, false, 2)").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(batch(q).toSeq == single,
+        s"batch slice for q=$q must equal the single proc: " +
+          s"${batch(q).toSeq} vs $single")
+    }
   }
 
   test("metadata tables: cat.db.t.files / history / partitions resolve " +
