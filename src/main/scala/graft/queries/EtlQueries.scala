@@ -1392,6 +1392,97 @@ object EtlQueries {
         "VERSION AS OF 'baseline'")
     }),
 
+    // WRITABLE BRANCHES + WRITE-AUDIT-PUBLISH (the r15 VERDICT's #2):
+    // fork 'audit' off the seeded table, route a candidate load AND a
+    // quality DELETE through the branch identifier
+    // (`ns.t.branch_audit` — full DSv2 read/write relation over the
+    // branch log, shared data dir), require main is unchanged while the
+    // audit runs and that the audit gate passes ON the branch, then
+    // `CALL system.publish` fast-forwards the branch head onto main as
+    // ONE atomic commit (op=publish, delta-encoded against main's
+    // head). Returned frame = main AFTER publish; the oracle recomputes
+    // the WAP outcome from the raw source. At 100 TB this is staging
+    // without a second copy: the branch shares every data file with
+    // main and the publish is one manifest PUT.
+    "sql_branches" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_br_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_br")
+      s.sql("CREATE TABLE graftcat.db.ev_br (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_br SELECT event_id, user_id, " +
+        "value FROM ev_br_src WHERE event_id % 3 = 0")
+      val br = s.sql("CALL graftcat.system.branch('db.ev_br', 'audit')")
+        .head
+      require(br.getString(0) == "audit" && br.getInt(1) == 1,
+        s"branch must fork at the insert version: $br")
+      s.sql("INSERT INTO graftcat.db.ev_br.branch_audit " +
+        "SELECT event_id, user_id, value FROM ev_br_src " +
+        "WHERE event_id % 3 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_br.branch_audit WHERE value < 10")
+      val mainN = s.sql("SELECT count(*) FROM graftcat.db.ev_br")
+        .head.getLong(0)
+      val srcN = s.sql("SELECT count(*) FROM ev_br_src " +
+        "WHERE event_id % 3 = 0").head.getLong(0)
+      require(mainN == srcN,
+        s"branch writes must stay invisible on main: $mainN != $srcN")
+      val bad = s.sql("SELECT count(*) FROM " +
+        "graftcat.db.ev_br.branch_audit WHERE value < 10").head.getLong(0)
+      require(bad == 0, s"the audit runs against the BRANCH state: $bad")
+      s.sql("CALL graftcat.system.publish('db.ev_br', 'audit')").collect()
+      s.sql("CALL graftcat.system.drop_branch('db.ev_br', 'audit')")
+        .collect()
+      s.sql("SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv " +
+        "FROM graftcat.db.ev_br GROUP BY user_id")
+    }),
+
+    // O(DELTA) COMMIT METADATA (the r15 VERDICT's #1) through SQL: a
+    // trickle of 12 INSERTs plus a DELETE publishes as `#delta=`
+    // manifests (adds/removes only), with a self-contained CHECKPOINT
+    // landing when the chain reaches the interval — the requires pin
+    // that most commits ARE deltas, that a mid-history checkpoint
+    // exists, and that the newest delta's bytes undercut the newest
+    // checkpoint's (commit cost scales with the commit, not the
+    // table). Time travel to a mid-chain version must answer exactly
+    // (resolution folds the chain). Returned frame = final state;
+    // oracle recomputes it from the raw source.
+    "sql_log_checkpoint" -> ((s, dir) => {
+      val wh = ensureCatalog(s)
+      t(s, dir, "nation").createOrReplaceTempView("nat_ck_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.nat_ck")
+      s.sql("CREATE TABLE graftcat.db.nat_ck (k BIGINT, name STRING, " +
+        "rk BIGINT) USING txlog")
+      (0 until 12).foreach { i =>
+        s.sql("INSERT INTO graftcat.db.nat_ck SELECT n_nationkey, " +
+          s"n_name, n_regionkey FROM nat_ck_src WHERE n_nationkey % 12 = $i")
+      }
+      s.sql("DELETE FROM graftcat.db.nat_ck WHERE rk = 0")
+      val raw = (v: Int) => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$wh/db/nat_ck/_log",
+          f"v$v%08d.manifest")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val isDelta = (v: Int) =>
+        raw(v).linesIterator.exists(_.startsWith("#delta="))
+      val tbl = graft.sources.TxLogTable(s, s"$wh/db/nat_ck")
+      val vs = tbl.versions
+      val deltas = vs.filter(v => v > 0 && isDelta(v))
+      val checkpoints = vs.filter(v => v > 0 && !isDelta(v))
+      require(deltas.size >= 8,
+        s"trickle DML must publish deltas, got ${deltas.size} of $vs")
+      require(checkpoints.nonEmpty,
+        s"the chain must checkpoint within the interval: $vs")
+      require(raw(deltas.max).length < raw(checkpoints.max).length,
+        "a delta's commit bytes must undercut a checkpoint's")
+      val mid = s.sql("SELECT count(*) FROM graftcat.db.nat_ck " +
+        "VERSION AS OF 6").head.getLong(0)
+      val midExp = s.sql("SELECT count(*) FROM nat_ck_src " +
+        "WHERE n_nationkey % 12 < 6").head.getLong(0)
+      require(mid == midExp,
+        s"mid-chain time travel must fold the delta chain: $mid != $midExp")
+      s.sql("SELECT k, name, rk FROM graftcat.db.nat_ck")
+    }),
+
     // TIMESTAMP-typed retention fast path (the r14 VERDICT's #7):
     // sql_retention_delete pins a BIGINT epoch column because the
     // Verify session writes INT96 timestamps by default (no stats);
@@ -3384,6 +3475,18 @@ object EtlQueries {
     "sql_tags" ->
       """SELECT event_id, user_id, value FROM events
          WHERE event_id % 2 = 0""",
+
+    "sql_branches" ->
+      """WITH wap AS (
+           SELECT event_id, user_id, value FROM events
+           WHERE event_id % 3 IN (0, 1))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         FROM wap WHERE value >= 10 GROUP BY user_id""",
+
+    "sql_log_checkpoint" ->
+      """SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk
+         FROM nation WHERE n_regionkey <> 0""",
 
     "sql_retention_delete_ts" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,

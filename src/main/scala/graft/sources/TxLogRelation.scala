@@ -50,9 +50,11 @@ final case class TxLogRelation(sqlContext: SQLContext, root: String,
             "schema")
         spark.read
           .option("basePath",
-            java.nio.file.Paths.get(root, "data").toString)
+            java.nio.file.Paths.get(
+              TxLogTable.pathOfRoot(root), "data").toString)
           .parquet(rels.map(r =>
-            java.nio.file.Paths.get(root, "data", r).toString): _*).schema
+            java.nio.file.Paths.get(
+              TxLogTable.pathOfRoot(root), "data", r).toString): _*).schema
       }
   }
 

@@ -24,19 +24,28 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *  - a writer crash after staging data but before publishing the manifest
   *    leaves only unreferenced files — the table is untouched;
   *  - appends are O(delta) in DATA: new files land, nothing is rewritten.
-  *    The manifest WRITE is O(table file count) — each version is a
-  *    complete self-contained file list (which is what makes restore,
-  *    clone, and every snapshot read a single manifest fetch). Quantified
-  *    at the design target: 100 TB at the 1 GB compaction target is
-  *    ~100k files × ~120 B/line ≈ 12 MB per commit — one object-store
-  *    PUT, paid per COMMIT (not per row, not per reader). If a
-  *    deployment's file count outgrows that (small-file ingest without
-  *    compaction discipline), the format's unknown-meta-key tolerance
-  *    leaves an evolution path: an `#include=<manifest>` splice line
-  *    (Delta's checkpoint-plus-delta shape) old readers would have to
-  *    reject loudly via a `#minReader=` version gate — not taken here
-  *    because self-contained manifests keep every recovery path
-  *    (restore/clone/time travel) one fetch;
+  *    The manifest WRITE is O(delta) in METADATA too (the Delta
+  *    checkpoint-plus-delta shape): a commit whose file-set change is
+  *    small against its base is published as a DELTA manifest —
+  *    `#delta=<base>` + `#rm=<rel>` removals + added data lines — and a
+  *    complete self-contained manifest (a CHECKPOINT) is written whenever
+  *    the delta chain reaches [[TxLogTable.DefaultLogCheckpointInterval]]
+  *    links or the delta encoding would not actually be smaller (so a
+  *    whole-table compaction or overwrite checkpoints for free). The
+  *    trade quantified at the design target: 100 TB at the 1 GB
+  *    compaction target is ~100k files × ~120 B/line ≈ 12 MB per
+  *    SELF-CONTAINED manifest; a trickle-DML or streaming-ingest commit
+  *    under the old always-full scheme paid those 12 MB per commit
+  *    forever, growing with table size — the delta commit pays bytes
+  *    proportional to the files it actually adds/removes plus the table
+  *    metadata block. Readers resolve a delta by folding its chain down
+  *    to the nearest checkpoint (≤ interval fetches, each cached
+  *    process-wide — manifests are write-once so a (size, mtime) stamp
+  *    is a sound cache identity). Delta manifests carry
+  *    `#minReader=2`: a reader that predates delta resolution must
+  *    REFUSE them loudly (silently ignoring unknown `#` keys here would
+  *    read a near-empty table), which is exactly what the
+  *    [[TxLogTable.SupportedReaderVersion]] gate enforces;
   *  - old versions stay readable (time travel) until vacuumed.
   *
   * Concurrency is optimistic: the manifest is claimed with an atomic
@@ -63,6 +72,92 @@ object TxLogTable {
     * for offline maintenance where no consumer can lag (tests, rebuilds).
     */
   val DefaultVacuumRetainMillis: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Highest manifest layout this reader understands. 1 = self-contained
+    * manifests only; 2 adds delta manifests (`#delta=`/`#rm=`). A manifest
+    * declaring `#minReader=N` with N above this is REFUSED loudly — the
+    * one meta key exempt from the ignore-unknown-keys rule, because a
+    * reader that skipped the delta machinery would resolve a delta
+    * manifest to just its added files and silently serve a near-empty
+    * table.
+    */
+  val SupportedReaderVersion: Int = 2
+
+  /** Reader version stamped into every DELTA manifest (`#minReader=2`).
+    * Checkpoints (self-contained manifests) stay version-1 readable.
+    */
+  val DeltaReaderVersion: Int = 2
+
+  /** Checkpoint cadence: a commit whose delta CHAIN (hops to the nearest
+    * self-contained manifest) would reach this length writes a full
+    * manifest instead. Bounds read-side resolution to ≤ interval manifest
+    * fetches (each cached) and bounds how far vacuum's chain floor can
+    * lower the drop cut. Conf-overridable:
+    * `spark.graft.sql.logCheckpointInterval` (≤ 1 disables deltas —
+    * every commit self-contained, the pre-delta behavior).
+    */
+  val DefaultLogCheckpointInterval: Int = 10
+
+  // the rel path of an encoded data line (everything before the stats tab)
+  private[sources] def relOf(line: String): String = line.takeWhile(_ != '\t')
+
+  /** Root-string marker addressing a branch: `<path>@@branch=<name>`.
+    * See the constructor note — the branch rides the root string through
+    * every layer that already threads roots around.
+    */
+  val BranchSep: String = "@@branch="
+
+  /** Root string addressing branch `name` of the table at `path`. */
+  def branchRoot(path: String, name: String): String =
+    path + BranchSep + name
+
+  /** Filesystem path component of a (possibly branch-encoded) root —
+    * what layers that build `<root>/data` paths directly must use.
+    */
+  def pathOfRoot(root: String): String = root.indexOf(BranchSep) match {
+    case -1 => root
+    case i => root.substring(0, i)
+  }
+
+  // branch names become directory names and ride inside root strings —
+  // keep them to a safe alphabet, and never shadow a version number
+  private[sources] def validBranchName(name: String): Boolean =
+    name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' ||
+      c == '-' || c == '.') && name.toIntOption.isEmpty && name != "main"
+
+  // meta keys that ARE the delta encoding — stripped by resolution so a
+  // resolved line list is indistinguishable from a self-contained manifest
+  // (restore/clone republish resolved lists verbatim)
+  private[sources] def isDeltaMachinery(l: String): Boolean =
+    l.startsWith("#delta=") || l.startsWith("#rm=") ||
+      l.startsWith("#chain=") || l.startsWith("#minReader=")
+
+  /** Process-wide resolved-manifest cache. Sound because manifests are
+    * write-once: published with CREATE_NEW, never modified in place, only
+    * ever DELETED (vacuum) — so (absolute path, size, mtime) identifies
+    * content; a test recreating a table at a reused tmp path misses on
+    * the stamp and re-reads. Bounded LRU: resolved line lists are small
+    * (≈ file count × 120 B) and 512 versions cover any live working set.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, ((Long, Long), Seq[String])](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ((Long, Long), Seq[String])])
+          : Boolean = size() > 512
+    }
+
+  private[sources] def cachedManifest(key: String, stamp: (Long, Long))
+                                     (load: => Seq[String]): Seq[String] =
+    manifestCache.synchronized {
+      Option(manifestCache.get(key)).collect {
+        case (s, lines) if s == stamp => lines }
+    }.getOrElse {
+      val lines = load
+      manifestCache.synchronized {
+        manifestCache.put(key, (stamp, lines)); () }
+      lines
+    }
 
   /** Cap on a table's TOTAL live positional-delete mask rows — the
     * read-side anti-join broadcasts the mask union, so it must stay
@@ -706,8 +801,25 @@ object TxLogTable {
 
 final case class TxLogTable(spark: SparkSession, root: String) {
 
-  private val logDir: Path = Paths.get(root, "_log")
-  private val dataDir: Path = Paths.get(root, "data")
+  // A root of the form `<path>@@branch=<name>` addresses the table's
+  // BRANCH log: same data directory (zero-copy, like a clone without the
+  // links), own manifest sequence under `_log/branches/<name>`. Encoding
+  // the branch in the ROOT STRING is what makes the entire stack —
+  // DSv2 catalog table, read rule splice, SPJ scan, relation fallback,
+  // streaming, every DML path — branch-capable with no plumbing: each
+  // layer already threads `root` through to this one constructor.
+  private val (basePath: String, branch: Option[String]) =
+    root.indexOf(TxLogTable.BranchSep) match {
+      case -1 => (root, None)
+      case i => (root.substring(0, i),
+        Some(root.substring(i + TxLogTable.BranchSep.length)))
+    }
+
+  private val logDir: Path = branch match {
+    case Some(b) => Paths.get(basePath, "_log", "branches", b)
+    case None => Paths.get(basePath, "_log")
+  }
+  private val dataDir: Path = Paths.get(basePath, "data")
 
   private def manifestPath(v: Int): Path = logDir.resolve(f"v$v%08d.manifest")
 
@@ -728,9 +840,132 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   // (`#partitionCols=a,b`, `#commitMillis=...`, `#op=...` — unknown keys
   // are ignored by readers, so the format is forward-extensible), the rest
   // are data-file paths relative to data/, each optionally stats-tagged.
-  private def manifestLines(v: Int): Seq[String] =
+  // A DELTA manifest (`#delta=<base>`, `#minReader=2`) additionally
+  // carries `#rm=<rel>` removals; its data lines are ADDITIONS against
+  // the resolved base. META lines are always complete per manifest (only
+  // the file LIST is delta'd) so every `#key=` reader below works on any
+  // layout unchanged.
+  private def rawManifestLines(v: Int): Seq[String] =
     new String(Files.readAllBytes(manifestPath(v)), UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Resolved manifest lines of `v`: delta chains folded down to the
+    * nearest checkpoint, delta-machinery keys stripped — callers see the
+    * exact line list a self-contained manifest would hold. Cached
+    * process-wide (manifests are write-once), so resolving a chain costs
+    * one file read per UNCACHED link, and scanning history oldest-first
+    * is O(versions) reads total.
+    */
+  private def manifestLines(v: Int): Seq[String] = {
+    val p = manifestPath(v)
+    // stamp BEFORE the read: write-once files make a pre-read stamp only
+    // conservatively stale (a mismatch re-reads, never serves wrong lines)
+    val stamp = (Files.size(p),
+      Files.getLastModifiedTime(p).toMillis)
+    TxLogTable.cachedManifest(p.toAbsolutePath.toString, stamp) {
+      resolveLines(rawManifestLines(v))
+    }
+  }
+
+  private def resolveLines(raw: Seq[String]): Seq[String] = {
+    raw.collectFirst { case l if l.startsWith("#minReader=") =>
+        l.stripPrefix("#minReader=").toInt }
+      .filter(_ > TxLogTable.SupportedReaderVersion)
+      .foreach { n =>
+        throw new IllegalStateException(
+          s"table $root requires manifest reader version $n; this " +
+            s"reader supports ${TxLogTable.SupportedReaderVersion} — " +
+            "upgrade before reading (refusing beats silently dropping " +
+            "the lines this reader cannot interpret)")
+      }
+    raw.collectFirst { case l if l.startsWith("#delta=") =>
+        l.stripPrefix("#delta=").toInt } match {
+      case None => raw
+      case Some(b) =>
+        val baseData = manifestLines(b).filterNot(_.startsWith("#"))
+        val removed = raw.collect { case l if l.startsWith("#rm=") =>
+          l.stripPrefix("#rm=") }.toSet
+        val added = raw.filterNot(_.startsWith("#"))
+        val addedRels = added.iterator.map(TxLogTable.relOf).toSet
+        val meta = raw.filter(l =>
+          l.startsWith("#") && !TxLogTable.isDeltaMachinery(l))
+        // an added rel REPLACES a base line of the same rel (stats may
+        // have been re-derived); base order then adds, so resolution is
+        // deterministic per version
+        meta ++ baseData.filterNot { l =>
+          val r = TxLogTable.relOf(l); removed(r) || addedRels(r)
+        } ++ added
+    }
+  }
+
+  // delta-chain length recorded at `v` (0 = checkpoint/self-contained)
+  private def chainLenOf(v: Int): Int =
+    rawManifestLines(v).collectFirst {
+      case l if l.startsWith("#chain=") => l.stripPrefix("#chain=").toInt
+    }.getOrElse(0)
+
+  // the nearest self-contained manifest at or below `v` — what `v`'s
+  // resolution chain bottoms out on (vacuum must keep it alive with `v`)
+  private def checkpointFloor(v: Int): Int =
+    rawManifestLines(v).collectFirst {
+      case l if l.startsWith("#delta=") => l.stripPrefix("#delta=").toInt
+    } match {
+      case Some(b) => checkpointFloor(b)
+      case None => v
+    }
+
+  // Rewrite `v` in place as its resolved, self-contained form — the
+  // vacuum pre-step that lets the drop cut ignore delta chains. The move
+  // is atomic and the content logically identical, so this is the one
+  // sanctioned exception to write-once manifests; the resolved-lines
+  // cache keys on (size, mtime) and re-reads the new encoding.
+  private def materializeManifest(v: Int): Unit = {
+    val resolved = manifestLines(v)
+    val tmp = Files.createTempFile(logDir, "vacuum-cp-", ".tmp")
+    Files.write(tmp, resolved.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, manifestPath(v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def checkpointInterval: Int =
+    spark.conf.getOption("spark.graft.sql.logCheckpointInterval")
+      .map(_.toInt).getOrElse(TxLogTable.DefaultLogCheckpointInterval)
+
+  /** Encode the commit at `next` whose FULL intended line list is `lines`:
+    * a delta manifest against `next - 1` when the chain stays under the
+    * checkpoint interval AND the delta bytes actually undercut the full
+    * encoding (a whole-table rewrite naturally fails that test and
+    * checkpoints for free); the self-contained list otherwise. Callers
+    * keep assembling complete manifests — this single chokepoint owns the
+    * wire layout, so every commit path (DML, compaction, schema
+    * evolution, streaming sink) gets O(delta) metadata without knowing
+    * deltas exist.
+    */
+  private def encodeManifest(next: Int, lines: Seq[String]): Array[Byte] = {
+    val full = lines.mkString("\n").getBytes(UTF_8)
+    val interval = checkpointInterval
+    if (next == 0 || interval <= 1) return full
+    val base = next - 1
+    val (baseChain, baseData) =
+      try (chainLenOf(base),
+        manifestLines(base).filterNot(_.startsWith("#")))
+      catch { case scala.util.control.NonFatal(_) => return full }
+    if (baseChain + 1 >= interval) return full
+    val (meta, data) = lines.partition(_.startsWith("#"))
+    val baseByRel = baseData.map(l => TxLogTable.relOf(l) -> l).toMap
+    val newRels = data.iterator.map(TxLogTable.relOf).toSet
+    val removes = baseData.map(TxLogTable.relOf).filterNot(newRels)
+    // adds = lines absent from the base OR present with different bytes
+    // (re-derived stats / retagged version) — resolution replaces by rel
+    val adds = data.filterNot(l =>
+      baseByRel.get(TxLogTable.relOf(l)).contains(l))
+    val delta = (meta ++
+      Seq(s"#minReader=${TxLogTable.DeltaReaderVersion}",
+        s"#delta=$base", s"#chain=${baseChain + 1}") ++
+      removes.map("#rm=" + _) ++ adds).mkString("\n").getBytes(UTF_8)
+    if (delta.length < full.length) delta else full
+  }
 
   /** Commit history, oldest first — the DESCRIBE HISTORY surface: which
     * operation produced each surviving version and when. Reads each
@@ -1123,6 +1358,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
              ndvCols: Seq[String] = Nil,
              optimizeWrite: Boolean = false,
              timeSpecs: Seq[(String, String)] = Nil): Int = {
+    require(branch.isEmpty,
+      "create targets MAIN — branches FORK an existing table " +
+        "(createBranch), they are never created bare")
     ndvCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"ndv column $c not in schema")
@@ -1269,7 +1507,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val lines = build(b)
       try {
         Files.write(manifestPath(b + 1),
-          lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+          encodeManifest(b + 1, lines), StandardOpenOption.CREATE_NEW)
         return b + 1
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => attempt += 1
@@ -2744,11 +2982,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "compact-small", effBloom) ++
+          encodeManifest(next, (metaLines(layout, "compact-small", effBloom) ++
             tableMetaLines(base) ++ morLines(base) ++
             dvCarryLines(base, large) ++
-            checkLines(base) ++ large ++ tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
+            checkLines(base) ++ large ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, small.size, large.size)
       } catch {
@@ -2815,11 +3052,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "compact-where", effBloom) ++
+          encodeManifest(next, (metaLines(layout, "compact-where", effBloom) ++
             tableMetaLines(base) ++ morLines(base) ++
             dvCarryLines(base, kept) ++
-            checkLines(base) ++ kept ++ tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
+            checkLines(base) ++ kept ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, hit.size, kept.size)
       } catch {
@@ -2894,11 +3130,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = b + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "resort", effBloom) ++
+          encodeManifest(next, (metaLines(layout, "resort", effBloom) ++
             tableMetaLines(base) ++ morLines(base) ++
             dvCarryLines(base, kept) ++
-            checkLines(base) ++ kept ++ tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
+            checkLines(base) ++ kept ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, hit.size, kept.size)
       } catch {
@@ -3046,11 +3281,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "zorder-where", effBloom) ++
+          encodeManifest(next, (metaLines(layout, "zorder-where", effBloom) ++
             tableMetaLines(base) ++ morLines(base) ++
             dvCarryLines(base, kept) ++
-            checkLines(base) ++ kept ++ tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
+            checkLines(base) ++ kept ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, hit.size, kept.size)
       } catch {
@@ -3197,6 +3431,131 @@ final case class TxLogTable(spark: SparkSession, root: String) {
 
   def versionOfTag(name: String): Option[Int] = tags().get(name)
 
+  // ---- Branches: write-audit-publish on the tags foundation ----------
+  //
+  // A BRANCH is a writable ref (Iceberg branches / Nessie / Delta WAP):
+  // fork the current snapshot by name, run any write path against the
+  // branch handle — appends, DML, compaction, schema evolution all work,
+  // because a branch IS a TxLogTable whose log lives under
+  // `_log/branches/<name>` while the data directory is shared — audit
+  // the result in isolation (main readers never see branch commits),
+  // then FAST-FORWARD publish: the branch head's resolved content is
+  // committed onto main as one atomic version (a delta manifest when
+  // small — the usual case, since the branch forked from main). The
+  // publish REFUSES if main moved since the fork (the Iceberg
+  // fast-forward ancestor requirement): rebase = re-branch and replay.
+
+  private def branchesDir: Path =
+    Paths.get(basePath, "_log", "branches")
+
+  /** Names of this table's live branches. */
+  def branches(): Seq[String] =
+    if (!Files.isDirectory(branchesDir)) Nil
+    else scala.util.Using.resource(Files.list(branchesDir)) { s =>
+      s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(n => Files.isRegularFile(
+          branchesDir.resolve(n).resolve(f"v${0}%08d.manifest")))
+        .toSeq.sorted
+    }
+
+  /** The handle every branch operation runs through: a [[TxLogTable]]
+    * addressing the branch log (shared data dir). All read and write
+    * paths work on it unchanged; [[vacuum]] alone refuses (it walks the
+    * SHARED data dir and must see every log — run it on main).
+    */
+  def branchTable(name: String): TxLogTable = {
+    require(branches().contains(name),
+      s"no branch '$name' on $basePath (have: ${branches().mkString(",")})")
+    TxLogTable(spark, TxLogTable.branchRoot(basePath, name))
+  }
+
+  /** Fork branch `name` from `version` (default: current head). The
+    * branch's v0 is a SELF-CONTAINED manifest holding the fork point's
+    * resolved content — zero data copied, and the branch never depends
+    * on main's manifests (main vacuum stays free to drop history the
+    * branch forked across). Returns the fork version. Concurrent
+    * same-name creates race on the v0 CREATE_NEW — exactly one wins.
+    */
+  def createBranch(name: String, version: Option[Int] = None): Int = {
+    require(branch.isEmpty, "branches fork from MAIN (no nested branches)")
+    require(TxLogTable.validBranchName(name),
+      s"invalid branch name '$name' (letters/digits/._- only, not a " +
+        "number, not 'main')")
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(
+        s"cannot branch an empty table: $root"))
+    require(versions.contains(v),
+      s"cannot branch at version $v of $root: not a surviving version " +
+        s"(have ${versions.mkString(",")})")
+    require(!branches().contains(name),
+      s"branch '$name' already exists on $root — drop_branch first")
+    val dir = branchesDir.resolve(name)
+    Files.createDirectories(dir)
+    val lines = metaLines(partitionColsOf(v), "branch") ++
+      Seq(s"#forkedFrom=$v") ++
+      manifestLines(v).filterNot(l =>
+        l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
+          l.startsWith("#partitionCols="))
+    Files.write(dir.resolve(f"v${0}%08d.manifest"),
+      lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+    v
+  }
+
+  /** The MAIN version a branch handle forked from (None on main). */
+  def forkedFrom: Option[Int] =
+    branch.flatMap(_ => manifestLines(0).collectFirst {
+      case l if l.startsWith("#forkedFrom=") =>
+        l.stripPrefix("#forkedFrom=").toInt })
+
+  /** Fast-forward publish: commit branch `name`'s head content onto main
+    * as one new version (`op=publish`). Requires main unmoved since the
+    * fork — a moved main means the branch no longer descends from the
+    * head, and silently merging would drop main's interim commits; the
+    * refusal names the rebase path. The published manifest delta-encodes
+    * against main's head, so publishing N branch commits costs O(their
+    * combined file delta), not O(table). The branch stays (audit trail);
+    * drop it explicitly when done.
+    */
+  def publishBranch(name: String, maxAttempts: Int = 10): Int = {
+    require(branch.isEmpty, "publish runs on the MAIN handle")
+    val bt = branchTable(name)
+    val head = bt.latestVersion.getOrElse(throw new IllegalStateException(
+      s"branch '$name' has no readable head: $root"))
+    val fork = bt.forkedFrom.getOrElse(throw new IllegalStateException(
+      s"branch '$name' records no fork point — not a forked branch"))
+    metadataCommit(s"publish branch '$name'", maxAttempts) { b =>
+      if (b != fork)
+        throw new java.util.ConcurrentModificationException(
+          s"fast-forward publish of '$name' requires main unmoved since " +
+            s"the fork (forked at v$fork, main is at v$b): re-branch " +
+            "from the new head, replay the work, and publish that")
+      metaLines(bt.partitionColsOf(head), "publish") ++
+        bt.manifestLines(head).filterNot(l =>
+          l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
+            l.startsWith("#partitionCols=") ||
+            l.startsWith("#forkedFrom="))
+    }
+  }
+
+  /** Drop branch `name`: delete its manifest log (data files it alone
+    * referenced become unreferenced — main [[vacuum]] reclaims them).
+    * False if no such branch.
+    */
+  def dropBranch(name: String): Boolean = {
+    require(branch.isEmpty, "drop_branch runs on the MAIN handle")
+    val dir = branchesDir.resolve(name)
+    if (!Files.isDirectory(dir)) false
+    else {
+      scala.util.Using.resource(Files.walk(dir)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete(_))
+      }
+      true
+    }
+  }
+
   /** Garbage-collect history: keep the newest `keep` versions, delete older
     * manifests and every data file no surviving manifest references.
     * Returns (manifests deleted, data files deleted).
@@ -3248,6 +3607,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
              retainMillis: Long = TxLogTable.DefaultVacuumRetainMillis,
              dryRun: Boolean = false)
       : (Int, Int) = {
+    require(branch.isEmpty,
+      "vacuum runs on the MAIN handle: branches share the data " +
+        "directory, and a branch-scoped walk would reclaim files other " +
+        "logs still reference")
     require(keep >= 1, "vacuum must keep at least the latest version")
     require(retainMillis >= 0, "retainMillis must be >= 0")
     if (!Files.isDirectory(dataDir)) return (0, 0) // never-written table
@@ -3275,11 +3638,36 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     val drop = minSurvivor.fold(candidates)(ms => candidates.filter(_ < ms))
     val survive = vs.filterNot(drop.toSet)
     // tombstone and deletion-vector parquets are referenced too —
-    // vacuuming one would silently resurrect its deleted rows
+    // vacuuming one would silently resurrect its deleted rows. BRANCH
+    // logs share the data directory: every live branch version's files
+    // (data, tombstones, DVs) are references exactly like main's — a
+    // branch head is a vacuum floor by construction, not by courtesy.
+    val branchRefs = branches().flatMap { bn =>
+      val bt = branchTable(bn)
+      bt.versions.flatMap { bv =>
+        bt.readManifest(bv) ++ bt.tombstonesOf(bv).map(_._1) ++
+          bt.dvsOf(bv).map(_.dvRel)
+      }
+    }
     val referenced = (survive.flatMap(readManifest) ++
       survive.flatMap(tombstonesOf).map(_._1) ++
-      survive.flatMap(dvsOf).map(_.dvRel)).toSet
-    if (!dryRun) drop.foreach(v => Files.delete(manifestPath(v)))
+      survive.flatMap(dvsOf).map(_.dvRel) ++ branchRefs).toSet
+    if (!dryRun) {
+      // CHECKPOINT-ON-VACUUM: the oldest survivor may be a delta manifest
+      // whose resolution chain runs through links about to drop —
+      // materialize it first (atomic tmp+move of its EQUIVALENT
+      // self-contained form; content is identical by construction, so a
+      // concurrent reader sees either encoding of the same version).
+      // Survivors ABOVE it chain to each other (deltas always target
+      // v-1, a contiguous-suffix invariant), so one materialization
+      // closes the whole retained suffix, and vacuum reclaims exactly
+      // the prefix it always did — delta chains never extend retention.
+      minSurvivor.foreach { ms =>
+        if (drop.nonEmpty && checkpointFloor(ms) < ms)
+          materializeManifest(ms)
+      }
+      drop.foreach(v => Files.delete(manifestPath(v)))
+    }
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val dead = scala.util.Using.resource(Files.walk(dataDir)) { s =>
       s.iterator().asScala
@@ -3450,7 +3838,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         checkLines(base) ++ tagVersion(staged, next)
       try {
         Files.write(manifestPath(next),
-          lines.mkString("\n").getBytes(UTF_8),
+          encodeManifest(next, lines),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {
@@ -3514,7 +3902,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = b + 1
       try {
         Files.write(manifestPath(next),
-          lines.mkString("\n").getBytes(UTF_8),
+          encodeManifest(next, lines),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {
@@ -3808,15 +4196,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val mor = if (replaced.isDefined) morLines(base) else Nil
       try {
         Files.write(manifestPath(next),
-          (metaLines(partitionCols, op, effBloom) ++
+          encodeManifest(next, (metaLines(partitionCols, op, effBloom) ++
             // SQL DML (UPDATE SET / MERGE INTO insert) can introduce
             // values the sketch never saw — fold the staged rows
             // (idempotent for the rewritten ones); a whole-table
             // replace (replaced = None) resets like any overwrite
             metaWithNdv(base, ndvFoldLines(base, batchKmv,
               reset = replaced.isEmpty)) ++
-            mor ++ checkLines(base) ++ carried ++ tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
+            mor ++ checkLines(base) ++ carried ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {
@@ -4092,7 +4479,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(partitionCols, "dynamic-overwrite", effBloom) ++
+          encodeManifest(next, (metaLines(partitionCols, "dynamic-overwrite", effBloom) ++
             // replaced partitions' vanished values leave the fold
             // stale-high (conservative); the new partitions' values
             // must still enter or the sketch goes stale-LOW
@@ -4100,8 +4487,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
               reset = false)) ++
             morLines(base) ++ dvCarryLines(base, carried) ++
             checkLines(base) ++ carried ++
-            tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
+            tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {
@@ -4291,15 +4677,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, "merge", effBloom) ++
+          encodeManifest(next, (metaLines(layout, "merge", effBloom) ++
             // fold the staged (rewritten + new) rows' minima: a merge
             // INSERTS new key values, and without the fold the sketch
             // would go stale-LOW (idempotent re-add for rewritten rows)
             metaWithNdv(base, ndvFoldLines(base, stagedKmv(staged),
               reset = false)) ++
             morLines(base) ++ dvCarryLines(base, carriedLines) ++
-            checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
+            checkLines(base) ++ carriedLines ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, affected.size, carriedLines.size)
       } catch {
@@ -4404,10 +4789,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val next = base.getOrElse(-1) + 1
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, opName, effBloom) ++ tableMetaLines(base) ++
+          encodeManifest(next, (metaLines(layout, opName, effBloom) ++ tableMetaLines(base) ++
             morLines(base) ++ dvCarryLines(base, carriedLines) ++
-            checkLines(base) ++ carriedLines ++ tagVersion(staged, next))
-            .mkString("\n").getBytes(UTF_8),
+            checkLines(base) ++ carriedLines ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, affected.size, carriedLines.size,
           dropped.size)
@@ -4504,7 +4888,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           base.map(dataLines).getOrElse(Nil)
       try {
         Files.write(manifestPath(next),
-          lines.mkString("\n").getBytes(UTF_8),
+          encodeManifest(next, lines),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {
@@ -4647,11 +5031,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       }
       try {
         Files.write(manifestPath(next),
-          (metaLines(layout, opName, base.map(bloomColsOf).getOrElse(Nil)) ++
+          encodeManifest(next, (metaLines(layout, opName, base.map(bloomColsOf).getOrElse(Nil)) ++
             ndv ++ morLines(base) ++ dvCarryLines(base, lines) ++
             newDvLines ++ checkLines(base) ++ lines ++
-            tagVersion(stagedData, next))
-            .mkString("\n").getBytes(UTF_8),
+            tagVersion(stagedData, next))),
           StandardOpenOption.CREATE_NEW)
         return TxLogTable.MergeStats(next, 0, lines.size)
       } catch {
@@ -4719,7 +5102,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           base.map(dataLines).getOrElse(Nil)
       try {
         Files.write(manifestPath(next),
-          lines.mkString("\n").getBytes(UTF_8),
+          encodeManifest(next, lines),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {
@@ -4871,12 +5254,11 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         // An explicit bloomBits replaces the carried table property; the
         // carried line serves inheritance otherwise.
         Files.write(manifestPath(next),
-          (metaLines(partitionCols, opName, effBloom) ++
+          encodeManifest(next, (metaLines(partitionCols, opName, effBloom) ++
             (if (bloomBits > 0) Seq(s"#bloomBits=$bloomBits") else Nil) ++
             metaWithNdv(base, ndvLines).filterNot(dropLines) ++
             props ++
-            carried ++ tagVersion(staged, next)).mkString("\n")
-            .getBytes(UTF_8),
+            carried ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return next
       } catch {

@@ -169,7 +169,8 @@ final class TxLogSpjScan(spark: SparkSession, tbl: TxLogV2Table,
     }
   }
 
-  private val dataDir = java.nio.file.Paths.get(tbl.root, "data").toString
+  private val dataDir = java.nio.file.Paths.get(
+    graft.sources.TxLogTable.pathOfRoot(tbl.root), "data").toString
 
   // basePath discovery re-types the `k=v` hive segments of the pruned
   // leaves against the declared schema — one partition directory per

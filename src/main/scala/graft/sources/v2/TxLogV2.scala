@@ -122,10 +122,29 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) {
-      return metaTableFor(ident).getOrElse(
+      return branchTableFor(ident).orElse(metaTableFor(ident)).getOrElse(
         throw new NoSuchTableException(ident))
     }
     TxLogV2Table(spark, pathOf(ident).toString, ident.toString)
+  }
+
+  /** Branch identifiers: `cat.db.t.branch_<name>` resolves to branch
+    * `<name>` of table `db.t` (the Iceberg `t.branch_audit` surface) —
+    * a full read/write relation, so `INSERT INTO t.branch_x`,
+    * `UPDATE/DELETE/MERGE` on it, and audit SELECTs all run against the
+    * branch log while main stays untouched until `CALL system.publish`.
+    */
+  private def branchTableFor(ident: Identifier): Option[Table] = {
+    if (ident.namespace().length < 1 ||
+      !ident.name.startsWith("branch_")) return None
+    val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+    if (!tableExists(parent)) return None
+    val name = ident.name.stripPrefix("branch_")
+    val t = TxLogTable(spark, pathOf(parent).toString)
+    if (!t.branches().contains(name)) return None
+    Some(TxLogV2Table(spark,
+      TxLogTable.branchRoot(pathOf(parent).toString, name),
+      ident.toString))
   }
 
   /** Iceberg-style SELECT-able METADATA TABLES: `cat.db.t.files`,
@@ -499,7 +518,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
         "ann_build", "ann_refresh", "ann_search",
         "cursors", "release_cursor", "delete_pos", "update_pos",
-        "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch")
+        "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch",
+        "branch", "publish", "drop_branch", "branches")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -816,6 +836,79 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("version", IntegerType))),
               t.tags().toSeq.sortBy(_._1).map { case (n, v) =>
                 InternalRow(UTF8String.fromString(n), v) })
+          }
+        }
+      case "branch" =>
+        // CALL c.system.branch('ns.t', 'name' [, version]): fork a
+        // WRITABLE branch at `version` (default: head) — write-audit-
+        // publish. Every write path targets it via the
+        // `ns.t.branch_<name>` identifier; main readers never see branch
+        // commits until CALL system.publish fast-forwards them.
+        new MaintenanceProc("branch", Seq(
+          inParam("table", StringType),
+          inParam("name", StringType),
+          inParam("version", IntegerType, Some("NULL")))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "branch needs a name")
+            val fork = t.createBranch(input.getString(1),
+              if (input.isNullAt(2)) None else Some(input.getInt(2)))
+            resultScan(StructType(Seq(
+              StructField("name", StringType),
+              StructField("forked_from", IntegerType))),
+              Seq(InternalRow(UTF8String.fromString(input.getString(1)),
+                fork)))
+          }
+        }
+      case "publish" =>
+        // CALL c.system.publish('ns.t', 'name'): fast-forward the branch
+        // head onto main as ONE atomic version (op=publish, delta-encoded
+        // against main's head). Refuses if main moved since the fork —
+        // re-branch and replay, never a silent merge.
+        new MaintenanceProc("publish", Seq(
+          inParam("table", StringType),
+          inParam("name", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "publish needs a branch name")
+            val v = t.publishBranch(input.getString(1))
+            resultScan(StructType(Seq(
+              StructField("published_version", IntegerType))),
+              Seq(InternalRow(v)))
+          }
+        }
+      case "drop_branch" =>
+        // CALL c.system.drop_branch('ns.t', 'name'): delete the branch
+        // log; files only it referenced become vacuum-reclaimable.
+        new MaintenanceProc("drop_branch", Seq(
+          inParam("table", StringType),
+          inParam("name", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            require(!input.isNullAt(1), "drop_branch needs a name")
+            resultScan(StructType(Seq(
+              StructField("dropped", org.apache.spark.sql.types
+                .BooleanType))),
+              Seq(InternalRow(t.dropBranch(input.getString(1)))))
+          }
+        }
+      case "branches" =>
+        // CALL c.system.branches('ns.t'): live branches, their heads,
+        // and fork points — "what work is in flight against this table".
+        new MaintenanceProc("branches", Seq(
+          inParam("table", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            resultScan(StructType(Seq(
+              StructField("name", StringType),
+              StructField("head", IntegerType),
+              StructField("forked_from", IntegerType))),
+              t.branches().map { n =>
+                val bt = t.branchTable(n)
+                InternalRow(UTF8String.fromString(n),
+                  bt.latestVersion.getOrElse(-1),
+                  bt.forkedFrom.getOrElse(-1))
+              })
           }
         }
       case "restore" =>
@@ -1637,7 +1730,8 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
             val cmap = t.latestVersion.map(t.colMapOf).getOrElse(Map.empty)
             val physFull = StructType(schema.fields.map(f =>
               f.copy(name = cmap.getOrElse(f.name, f.name))))
-            val dataDir = java.nio.file.Paths.get(root, "data").toString
+            val dataDir = java.nio.file.Paths.get(
+              graft.sources.TxLogTable.pathOfRoot(root), "data").toString
             val paths = rels.toSeq.sorted.map(r =>
               new org.apache.hadoop.fs.Path(s"$dataDir/$r"))
             val index = new org.apache.spark.sql.execution.datasources
@@ -1739,7 +1833,8 @@ final case class TxLogV2Table(spark: SparkSession, root: String,
         new WriteBuilder {
           override def build(): Write =
             new org.apache.spark.sql.connector.write.Write {
-              private val scratch = java.nio.file.Paths.get(root, "data",
+              private val scratch = java.nio.file.Paths.get(
+                graft.sources.TxLogTable.pathOfRoot(root), "data",
                 "rowlevel-" + java.util.UUID.randomUUID() + ".staging")
               // Data files always carry PHYSICAL column names (the
               // table-wide column-mapping contract): the delegate writer
@@ -2192,7 +2287,8 @@ final class TxLogWriteBuilder(tbl: TxLogV2Table, info: LogicalWriteInfo)
   }
 
   private def nativeWrite: Write = new Write {
-    private val scratch = java.nio.file.Paths.get(tbl.root, "data",
+    private val scratch = java.nio.file.Paths.get(
+      graft.sources.TxLogTable.pathOfRoot(tbl.root), "data",
       "insert-" + java.util.UUID.randomUUID() + ".staging")
     // data files carry PHYSICAL column names; rows are positional, so
     // re-naming the writer's schema is the whole translation (same

@@ -35,8 +35,56 @@ object ScaleProbe {
     }
     val what = if (args.isEmpty)
                  Set("dedup", "txlog", "stream", "skip", "merge", "bloom",
-                   "harvest", "mergestr", "semdedup", "metacount")
+                   "harvest", "mergestr", "semdedup", "metacount",
+                   "manifest")
                else args.toSet
+
+    // O(delta) COMMIT METADATA (the r15 VERDICT's #1): the bytes a
+    // single-file append PUTs must stay ~flat as the table grows 10× in
+    // file count, while the self-contained CHECKPOINT grows linearly
+    // with it — i.e. the per-commit cost scales with the commit, not
+    // the table. Method: grow to ~100 files, vacuum (materializes the
+    // survivor → a clean checkpoint to measure), single-file append,
+    // record both sizes; repeat at ~1000 files; assert the ratios.
+    if (what("manifest")) {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("maniprobe")
+        .resolve("t").toString
+      val t = graft.sources.TxLogTable(spark, dir)
+      def mpath(v: Int) = java.nio.file.Paths.get(dir, "_log",
+        f"v$v%08d.manifest")
+      def grow(files: Int): Unit =
+        while (t.fileCount(None) < files)
+          t.commit((0 until 250).map(i => (i.toLong, "x")).toDF("id", "v")
+            .repartition(25), overwrite = false)
+      t.commit(Seq((0L, "seed")).toDF("id", "v"), overwrite = true)
+      val measured = Seq(100, 1000).map { files =>
+        grow(files)
+        t.vacuum(keep = 1, minAgeMillis = 0, retainMillis = 0)
+        val cp = t.latestVersion.get
+        val cpBytes = java.nio.file.Files.size(mpath(cp))
+        val av = t.commit(Seq((-1L, "probe")).toDF("id", "v"),
+          overwrite = false)
+        val apBytes = java.nio.file.Files.size(mpath(av))
+        val delta = new String(java.nio.file.Files.readAllBytes(mpath(av)),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.exists(_.startsWith("#delta="))
+        println(s"[probe] manifest: files=${t.fileCount(None)} " +
+          s"checkpoint=$cpBytes B, single-append commit=$apBytes B " +
+          s"(delta=$delta)")
+        require(delta, "a single-file append on a big table must delta")
+        (t.fileCount(None), cpBytes, apBytes)
+      }
+      val (f0, cp0, ap0) = measured.head
+      val (f1, cp1, ap1) = measured.last
+      println(f"[probe] manifest: ${f1.toDouble / f0}%.1fx files -> " +
+        f"checkpoint ${cp1.toDouble / cp0}%.1fx, " +
+        f"append commit ${ap1.toDouble / ap0}%.2fx")
+      require(cp1 > cp0 * 5,
+        s"checkpoint must grow with file count: $cp0 -> $cp1")
+      require(ap1 < ap0 * 2,
+        s"append commit bytes must stay ~flat (O(delta)): $ap0 -> $ap1")
+    }
 
     // SQL row-level DML under LIVE MOR tombstones, under table growth:
     // k key-banded appends, a MOR delete leaving tombstones live, then a
