@@ -114,6 +114,32 @@ class TxLogBranchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming change feed runs against a branch — main commits " +
+    "invisible, branch commits exactly-once") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    t.createBranch("feed")
+    val bt = t.branchTable("feed")
+    // the branch root IS a stream source root: the change feed reads the
+    // branch log (initial snapshot = fork content) with zero plumbing
+    val q = spark.readStream.format("txlog").schema(schema).load(bt.root)
+      .writeStream.format("memory").queryName("branch_feed")
+      .option("checkpointLocation",
+        Files.createTempDirectory("txbr-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("branch_feed").collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+      bt.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)
+      t.commit(Seq((9L, "z")).toDF("id", "v"), overwrite = false) // main
+      q.processAllAvailable()
+      val got = spark.table("branch_feed").collect().map(_.getLong(0))
+      assert(got.toSet == Set(1L, 2L) && got.length == 2,
+        "the feed sees branch commits exactly once and never main's")
+    } finally q.stop()
+  }
+
   test("branch name and lifecycle validation") {
     val t = fresh()
     t.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)

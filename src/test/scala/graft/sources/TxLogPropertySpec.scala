@@ -287,7 +287,24 @@ class TxLogPropertySpec extends AnyFunSuite {
   }
 
   test("random op interleavings agree with the in-memory model") {
-    forAllSeeded(programGen, n = 6) { program =>
+    runInterleavings(n = 6)
+  }
+
+  // The SAME model under aggressive delta-manifest checkpointing:
+  // interval=3 makes every program churn through delta chains AND
+  // checkpoint boundaries constantly, so time travel, vacuum floors,
+  // restore, merge file accounting, and the CDC replay fold are all
+  // exercised against resolved (not self-contained) manifests — the
+  // composition evidence for the round-16 log format.
+  test("random op interleavings under aggressive delta-manifest " +
+    "checkpointing (interval=3)") {
+    spark.conf.set("spark.graft.sql.logCheckpointInterval", "3")
+    try runInterleavings(n = 4)
+    finally spark.conf.unset("spark.graft.sql.logCheckpointInterval")
+  }
+
+  private def runInterleavings(n: Int): Unit = {
+    forAllSeeded(programGen, n = n) { program =>
       val t = TxLogTable(spark,
         Files.createTempDirectory("txprop").resolve("t").toString)
       // model: per committed version, the visible multiset of rows
