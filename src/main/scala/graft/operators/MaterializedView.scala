@@ -1,0 +1,379 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.TxLogTable
+
+/** Persisted, incrementally-maintained MATERIALIZED VIEWS over tx-log
+  * tables — the production form of the `ivm_refresh*` consumption pattern
+  * ([[IncrementalAgg]]): the view is itself a tx-log table, its refresh is
+  * ONE transactional commit, and the refresh cost is O(changed groups),
+  * never O(source) and never O(view).
+  *
+  * The reference pipeline rebuilds derived tables wholesale each run
+  * (logic.py:447-476 recomputes the occupancy rollup from scratch); at
+  * 100 TB of events with an hourly append cadence a rebuild touches a
+  * year's files to absorb an hour's. This module maintains the standard
+  * additive-view shape — GROUP BY keys with COUNT(*) and SUM(measure)s —
+  * by the counting algorithm over the engine's exact CDC feed
+  * ([[TxLogTable.changesWithDeletes]]): inserts increment, full-row
+  * deletes decrement, a group leaves the view when its count reaches 0.
+  * AVG is `sum/count` at read; non-additive state (distinct sets, exact
+  * quantiles) stays a recompute or a sketch by design.
+  *
+  * Scale anatomy of one refresh:
+  *  - the feed reads ONLY the files the walked versions added/diffed,
+  *    projected to the view's columns (group keys + summed measures —
+  *    parquet column pruning does the rest);
+  *  - the delta aggregate is map-side partial, shuffling at most
+  *    |changed groups| rows;
+  *  - the write is [[TxLogTable.upsertPos]]: one small DV parquet masking
+  *    the changed groups' current rows plus the replacement rows — the
+  *    view's other billion groups are untouched manifest references;
+  *  - progress (`#mvsrc=<source version>`) rides the SAME manifest write,
+  *    so a refresh is exactly-once by the commit protocol itself: a crash
+  *    before the manifest leaves only unreferenced staged files (vacuum
+  *    food), a crash after is a completed refresh. A racing duplicate
+  *    refresh re-masks the winner's identical rows — idempotent content.
+  *
+  * Sums accumulate in DECIMAL(38,6), so fold ≡ recompute is bit-exact
+  * (the engine's doubles-shuffle-order rule) — the `sql_mv_incremental`
+  * oracle hash-checks exactly that, and MvPropertySpec fuzzes it under
+  * random DML programs.
+  *
+  * Fold-safety triage per walked source version:
+  *  - appends and DV commits feed exact events; copy-on-write row DML
+  *    ([[TxLogTable.CowDiffOps]]) is content-diffed by the feed; layout
+  *    rewrites are skipped (`skipRewrites`);
+  *  - keys-only MOR deletes fold as GROUP DROPS at their exact position
+  *    in the version sequence (a later re-insert of the key survives),
+  *    provided the tombstone keys are a subset of the view's group
+  *    columns — the drop then provably empties whole groups;
+  *  - anything else that REMOVED files (overwrite, publish, a vacuumed
+  *    predecessor) is a RESET: refresh falls back to a full recompute,
+  *    still one atomic commit. Unknown ops that only ADD files fold as
+  *    plain inserts — future-proof by construction.
+  *
+  * Source vacuum safety: every MV registers a change-feed cursor
+  * (`mv:<name>`) on the SOURCE at its consumed version — the same floor
+  * streaming checkpoints use — so the feed window can never be vacuumed
+  * away underneath a lagging view.
+  */
+object MaterializedView {
+
+  /** Per-group row count every MV carries: the counting-algorithm state (a
+    * group leaves the view exactly when it reaches 0) and the COUNT(*)
+    * face of the view. */
+  val CountCol = "mv_count"
+
+  /** Sum accumulator type — exact decimal arithmetic makes the incremental
+    * fold bit-equal to a recompute regardless of delta order. */
+  val SumType: DecimalType = DecimalType(38, 6)
+
+  /** A view definition: `sums` maps output column → summed source column;
+    * `projDdl` pins the projected source schema (names AND types) at
+    * create time — a later rename/widen of a projected source column is a
+    * loud refresh refusal, not silent drift. */
+  final case class MvDef(name: String, source: String,
+                         groupCols: Seq[String],
+                         sums: Seq[(String, String)],
+                         projDdl: String) {
+    def projSchema: StructType = StructType.fromDDL(projDdl)
+    def cursorName: String = s"mv:$name"
+    def mvSchema: StructType = {
+      val proj = projSchema
+      StructType(
+        groupCols.map(g => proj.fields.find(_.name == g).get) ++
+          sums.map { case (out, _) => StructField(out, SumType) } :+
+          StructField(CountCol, LongType, nullable = false))
+    }
+  }
+
+  /** `mode` ∈ noop | incremental | full; `groupsChanged` is -1 for a full
+    * recompute (counting it would cost a job for a log line). */
+  final case class RefreshStats(mode: String, fromVersion: Int,
+                                toVersion: Int, groupsChanged: Long,
+                                mvVersion: Int)
+
+  private val MvOps = Set("create", "mv-create", "mv-refresh",
+    "mv-refresh-full")
+
+  // source ops whose versions the incremental fold consumes EXACTLY:
+  // appends feed raw adds, CowDiffOps are content-diffed, DV commits emit
+  // masked rows, RewriteOps are skipped wholesale, delete-mor is
+  // segmented into group drops by refresh() itself
+  private val FoldableOps: Set[String] =
+    Set("append", "delete-dv", "update-dv", "upsert-dv", "delete-mor",
+      "mv-create", "mv-refresh") ++
+      TxLogTable.CowDiffOps ++ TxLogTable.RewriteOps
+
+  private def defPath(mvRoot: String) =
+    Paths.get(mvRoot, "_log", "mv.def")
+
+  private def encodeDef(d: MvDef): String =
+    (Seq(s"name=${d.name}", s"source=${d.source}",
+      s"groupCols=${d.groupCols.mkString(",")}") ++
+      d.sums.map { case (out, src) => s"sum=$out:$src" } :+
+      s"proj=${d.projDdl}").mkString("\n") + "\n"
+
+  private def decodeDef(s: String): MvDef = {
+    val kvs = s.linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"malformed mv.def line: $l")
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toSeq
+    def one(k: String): String = kvs.collectFirst {
+      case (`k`, v) => v }.getOrElse(
+      throw new IllegalStateException(s"mv.def missing '$k'"))
+    MvDef(one("name"), one("source"),
+      one("groupCols").split(',').toSeq.filter(_.nonEmpty),
+      kvs.collect { case ("sum", v) =>
+        val i = v.indexOf(':')
+        require(i > 0, s"malformed mv.def sum: $v")
+        v.substring(0, i) -> v.substring(i + 1)
+      },
+      one("proj"))
+  }
+
+  /** The masked reads under a snapshot or feed need the table's MOR
+    * tombstone KEY columns for the mask join, whether or not the view's
+    * projection carries them: extend the projection with the missing keys
+    * (typed from the tombstone parquet footer) across the versions `vs`
+    * the read will touch. Extra columns are ignored by the fold's
+    * aggregates and dropped before a snapshot aggregate.
+    */
+  private def extProj(src: TxLogTable, proj: StructType,
+                      vs: Seq[Int]): StructType =
+    vs.find(v => src.tombstonesOf(v).nonEmpty) match {
+      case None => proj
+      case Some(v) =>
+        val missing = src.morKeysOf(v).filterNot(proj.fieldNames.contains)
+        if (missing.isEmpty) proj
+        else {
+          val ks = src.tombstoneKeySchema(v).get
+          StructType(proj.fields ++ missing.map(m =>
+            ks.fields.find(_.name == m).getOrElse(
+              throw new IllegalStateException(
+                s"tombstone key $m is missing from the tombstone file"))))
+        }
+    }
+
+  private def aggregate(rows: DataFrame, d: MvDef): DataFrame = {
+    val aggs = d.sums.map { case (out, src) =>
+      sum(col(src).cast(SumType)).as(out) } :+ count(lit(1)).as(CountCol)
+    rows.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Create the view at `mvRoot` over `source`'s CURRENT snapshot and
+    * record the consumed source version — one initial aggregate, one
+    * commit, one source cursor. `sums` = (output column, summed source
+    * column) pairs; the view's schema is groupCols ++ sums ++ mv_count.
+    */
+  def create(spark: SparkSession, mvRoot: String, name: String,
+             source: TxLogTable, srcSchema: StructType,
+             groupCols: Seq[String], sums: Seq[(String, String)]): Int = {
+    require(groupCols.nonEmpty, "an MV needs at least one group column")
+    require(sums.nonEmpty, "an MV needs at least one summed measure")
+    require(!mvRoot.contains(TxLogTable.BranchSep),
+      "an MV root is a plain table path, not a branch handle")
+    val outNames = groupCols ++ sums.map(_._1) :+ CountCol
+    require(outNames.distinct == outNames,
+      s"MV output columns collide: ${outNames.mkString(", ")}")
+    (groupCols ++ sums.map(_._2) ++ sums.map(_._1)).foreach(c =>
+      require(!c.exists(",:=\n".contains(_)),
+        s"MV column '$c' contains an mv.def wire delimiter"))
+    require(!name.exists(",:=\n".contains(_)) && name.nonEmpty,
+      s"MV name '$name' must be non-empty and delimiter-free")
+    (groupCols ++ sums.map(_._2)).foreach(c =>
+      require(srcSchema.fieldNames.contains(c),
+        s"MV column $c is not in the source schema"))
+    val head = source.latestVersion.getOrElse(
+      throw new IllegalArgumentException(
+        "MV source table has no committed version yet"))
+    val proj = StructType(srcSchema.fields.filter(f =>
+      groupCols.contains(f.name) || sums.exists(_._2 == f.name)))
+    val d = MvDef(name, source.root, groupCols, sums, proj.toDDL)
+    val mv = TxLogTable(spark, mvRoot)
+    require(mv.latestVersion.isEmpty,
+      s"MV destination already exists: $mvRoot")
+    mv.create(d.mvSchema)
+    Files.write(defPath(mvRoot), encodeDef(d).getBytes(UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    val v = mv.commit(
+      aggregate(source.snapshot(extProj(source, proj, Seq(head)),
+        Some(head)), d),
+      overwrite = false, op = "mv-create",
+      extraMeta = Seq(s"#mvsrc=$head"))
+    source.registerCursor(d.cursorName, head)
+    v
+  }
+
+  /** The definition recorded at create time; loud when `mvRoot` is not a
+    * materialized view. */
+  def definition(spark: SparkSession, mvRoot: String): MvDef = {
+    val p = defPath(mvRoot)
+    require(Files.exists(p),
+      s"$mvRoot is not a materialized view (no _log/mv.def)")
+    decodeDef(new String(Files.readAllBytes(p), UTF_8))
+  }
+
+  /** Source version the view last absorbed — the newest `#mvsrc=` in the
+    * MV's own log (progress and data are one commit, so this never lies).
+    */
+  def lastSourceVersion(mv: TxLogTable): Int =
+    mv.versions.reverse.iterator
+      .flatMap(v => mv.metaOf(v, "mvsrc").flatMap(_.toIntOption))
+      .nextOption()
+      .getOrElse(throw new IllegalStateException(
+        s"MV at ${mv.root} has no recorded #mvsrc — not engine-maintained"))
+
+  /** One refresh: fold the source's change feed over
+    * `(last consumed, head]` into the view — or recompute when the range
+    * crosses a reset (or `full = true`). No-op when already current.
+    */
+  def refresh(spark: SparkSession, mvRoot: String,
+              full: Boolean = false): RefreshStats = {
+    val d = definition(spark, mvRoot)
+    val mv = TxLogTable(spark, mvRoot)
+    val src = TxLogTable(spark, d.source)
+    // the MV is engine-maintained: raw DML on it diverges from the
+    // definition silently, so a refresh of a tampered view refuses
+    mv.latestVersion.foreach { h =>
+      val hop = mv.opOf(h)
+      require(hop.exists(o => MvOps(o) || TxLogTable.RewriteOps(o)),
+        s"MV head op ${hop.getOrElse("?")} is not engine-maintained: " +
+          "drop and recreate the view")
+    }
+    val last = lastSourceVersion(mv)
+    val head = src.latestVersion.getOrElse(-1)
+    require(head >= last,
+      s"source at v$head is BEHIND the view's consumed v$last — was the " +
+        "source recreated in place? drop and recreate the view")
+    if (head == last)
+      return RefreshStats("noop", last, head, 0,
+        mv.latestVersion.getOrElse(-1))
+    // pinned projection must still match the source (rename/widen of a
+    // projected column is a definition change, not a refresh)
+    val proj = d.projSchema
+    src.tableSchema.foreach { rec =>
+      proj.fields.foreach { f =>
+        val cur = rec.fields.find(_.name == f.name)
+        require(cur.nonEmpty,
+          s"MV source column ${f.name} no longer exists " +
+            "(renamed or dropped): drop and recreate the view")
+        require(cur.get.dataType == f.dataType,
+          s"MV source column ${f.name} changed type " +
+            s"${f.dataType.simpleString} → " +
+            s"${cur.get.dataType.simpleString}: drop and recreate the view")
+      }
+    }
+    val present = src.versions.toSet
+    val range = ((last + 1) to head).filter(present)
+    val opAt = range.map(v => v -> src.opOf(v).getOrElse("append")).toMap
+    val morVs = range.filter(v => opAt(v) == "delete-mor")
+    val morFoldable = morVs.forall { v =>
+      val mk = src.morKeysOf(v)
+      mk.nonEmpty && mk.forall(d.groupCols.contains)
+    }
+    val needFull = full || !morFoldable || range.exists { v =>
+      !(FoldableOps(opAt(v)) || !src.removedFilesAt(v))
+    }
+    if (needFull) {
+      val state = aggregate(
+        src.snapshot(extProj(src, proj, Seq(head)), Some(head)), d)
+      val mvv = mv.commit(state, overwrite = true, op = "mv-refresh-full",
+        extraMeta = Seq(s"#mvsrc=$head"))
+      src.registerCursor(d.cursorName, head)
+      return RefreshStats("full", last, head, -1L, mvv)
+    }
+    // ---- incremental fold ------------------------------------------
+    // segments: maximal non-MOR runs fold as one order-free counting
+    // delta; each MOR version is a group-drop step at its exact position
+    // (a re-insert after the drop survives — the sequence-aware contract)
+    sealed trait Step
+    final case class Fold(fromV: Int, toV: Int) extends Step // (fromV,toV]
+    final case class Drop(v: Int) extends Step
+    val steps = Seq.newBuilder[Step]
+    var anchor = last
+    range.foreach { v =>
+      if (opAt(v) == "delete-mor") {
+        if (v - 1 > anchor) steps += Fold(anchor, v - 1)
+        steps += Drop(v)
+        anchor = v
+      }
+    }
+    if (head > anchor) steps += Fold(anchor, head)
+    val groupKeyCols = d.groupCols.map(col)
+    // the content diffs inside the feed read through each version's own
+    // tombstone mask: extend the projection across every version the
+    // walk touches (including the anchor `last`, the first diff's base)
+    val feedProj = extProj(src, proj, (last to head).filter(present))
+    def deltaOf(f: Fold): DataFrame = {
+      val feed = src.changesWithDeletes(feedProj, f.fromV, f.toV,
+        skipRewrites = true)
+      val del = col("_change_type") === "delete"
+      val aggs = d.sums.map { case (out, s0) =>
+        val v = col(s0).cast(SumType)
+        sum(when(del, -v).otherwise(v)).as(out)
+      } :+ sum(when(del, lit(-1L)).otherwise(lit(1L))).as(CountCol)
+      feed.groupBy(groupKeyCols: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    // checkpoint each delta: it is changed-groups-sized, reused for the
+    // affected-key set AND the state fold, and keeps the final upsert
+    // plan shallow however many versions the range spans
+    val stepFrames: Seq[(Step, DataFrame)] = steps.result().map {
+      case f: Fold => (f, deltaOf(f).localCheckpoint())
+      case dr: Drop => (dr, src.tombstoneFrameOf(dr.v).getOrElse(
+        throw new IllegalStateException(
+          s"delete-mor v${dr.v} committed no tombstone")).localCheckpoint())
+    }
+    val mvSnap = mv.snapshot(d.mvSchema, None)
+    def nullSafe(l: DataFrame, r: DataFrame, cols: Seq[String]) =
+      cols.map(c => l(c) <=> r(c)).reduce(_ && _)
+    // affected groups: every key a fold touched, plus every CURRENT view
+    // group a MOR drop matches (groups a drop hits mid-range after being
+    // created mid-range are already in an earlier fold's keys)
+    val keyFrames = stepFrames.map {
+      case (_: Fold, df) => df.select(groupKeyCols: _*)
+      case (dr: Drop, tf) =>
+        mvSnap.join(broadcast(tf),
+          nullSafe(mvSnap, tf, src.morKeysOf(dr.v)), "left_semi")
+          .select(groupKeyCols: _*)
+    }
+    val kAll = keyFrames.reduce(_.unionByName(_)).distinct()
+      .localCheckpoint()
+    if (kAll.isEmpty) // walked versions touched nothing the view sees
+      return RefreshStats("noop", last, head, 0,
+        mv.latestVersion.getOrElse(-1))
+    val measureCols = d.sums.map(_._1) :+ CountCol
+    val shape = (d.groupCols ++ measureCols).map(col)
+    def plus(state: DataFrame, delta: DataFrame): DataFrame = {
+      val u = state.select(shape: _*).unionByName(delta.select(shape: _*))
+      val aggs = measureCols.map(m => sum(col(m)).as(m))
+      u.groupBy(groupKeyCols: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val state0 = mvSnap.join(kAll, nullSafe(mvSnap, kAll, d.groupCols),
+      "left_semi")
+    val finalState = stepFrames.foldLeft(state0) {
+      case (st, (_: Fold, delta)) => plus(st, delta)
+      case (st, (dr: Drop, tf)) =>
+        st.join(broadcast(tf), nullSafe(st, tf, src.morKeysOf(dr.v)),
+          "left_anti")
+    }
+    val newRows = finalState.filter(col(CountCol) > 0)
+      .select(d.mvSchema.fieldNames.toIndexedSeq.map(col): _*)
+      .localCheckpoint()
+    val zeros = kAll.join(newRows, nullSafe(kAll, newRows, d.groupCols),
+      "left_anti")
+    val stats = mv.upsertPos(d.mvSchema, newRows, d.groupCols,
+      dropKeys = Some(zeros), op = "mv-refresh",
+      extraMeta = Seq(s"#mvsrc=$head"))
+    src.registerCursor(d.cursorName, head)
+    RefreshStats("incremental", last, head, kAll.count(), stats.version)
+  }
+}

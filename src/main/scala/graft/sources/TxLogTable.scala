@@ -5046,6 +5046,210 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       s"$opName lost the version race $maxAttempts times: $root")
   }
 
+  /** Atomic keyed MOR UPSERT through positional deletes: every CURRENT row
+    * whose `keyCols` tuple appears in `newRows` (or `dropKeys`) is masked
+    * where it sits, and `newRows` land as new data files — ONE manifest
+    * write, so a reader sees the old groups or their replacements, never a
+    * gap and never both. This is the O(changed rows) keyed write shape
+    * [[merge]]'s copy-on-write cannot give: merge rewrites every FILE
+    * holding a matched key (hash-spread keys touch most of a table's
+    * files), here the commit is one small DV parquet plus the replacement
+    * rows. Same maintenance contract as [[deleteWherePos]]: the live mask
+    * accrues until compact/optimize folds it, and `maxDvMaskRows` refuses
+    * growth past broadcast size; CDC sees exact delete+insert pairs under
+    * one `_commit_version`.
+    *
+    * `dropKeys` (exactly the `keyCols` columns) removes groups with NO
+    * replacement rows — the materialized-view refresh's zero-count groups
+    * ([[graft.operators.MaterializedView]], the primary caller).
+    * `extraMeta` lines ride the commit's manifest (unknown `#`-keys are
+    * ignored by every reader); the MV refresh records its consumed source
+    * version this way, which is what makes a refresh exactly-once: the
+    * data change and the progress record are one atomic manifest create.
+    *
+    * Key matching is NULL-SAFE (`<=>`): a NULL-keyed group is a real group
+    * to a groupBy consumer, and a null-unsafe join would strand its old
+    * rows unmasked. Manifest min/max pruning bounds the position scan only
+    * when no key value is NULL (parquet stats are null-blind); the bounds
+    * come from one aggregate over the (changed-groups-sized) key frame.
+    *
+    * Retries stage inside the loop — a lost version race recomputes
+    * positions against the new base, so a racing refresh that already
+    * upserted the same keys is simply re-masked (idempotent content).
+    */
+  def upsertPos(schema: StructType, newRows: DataFrame, keyCols: Seq[String],
+                dropKeys: Option[DataFrame] = None,
+                op: String = "upsert-dv",
+                extraMeta: Seq[String] = Nil,
+                maxAttempts: Int = 10): TxLogTable.MergeStats = {
+    import org.apache.spark.sql.functions.{broadcast, count, count_if,
+      max => fmax, min => fmin, substring}
+    require(keyCols.nonEmpty, "upsertPos needs at least one key column")
+    keyCols.foreach { k =>
+      require(!inheritedColMap.contains(k),
+        s"upsert key $k is a renamed column: compact before keyed upserts")
+      require(schema.fieldNames.contains(k),
+        s"upsert key $k is not in the schema")
+    }
+    require(newRows.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"newRows columns (${newRows.columns.mkString(",")}) must match " +
+        s"the schema (${schema.fieldNames.mkString(",")})")
+    dropKeys.foreach(d =>
+      require(d.columns.sorted.sameElements(keyCols.sorted),
+        s"dropKeys columns (${d.columns.mkString(",")}) must be exactly " +
+          s"the key columns (${keyCols.mkString(",")})"))
+    extraMeta.foreach(l => require(l.startsWith("#") && !l.contains('\n'),
+      s"extraMeta must be #-prefixed single lines: $l"))
+    tableSchema.foreach { rec =>
+      schema.fields.foreach(f => require(
+        rec.fields.exists(e => e.name == f.name && e.dataType == f.dataType),
+        s"upsertPos column ${f.name}:${f.dataType.simpleString} does not " +
+          s"match the table schema (${rec.fields.map(e =>
+            s"${e.name}:${e.dataType.simpleString}").mkString(", ")})"))
+    }
+    val aligned = newRows.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    // reused by the bounds aggregate and the mask join of every retry
+    // attempt: checkpoint so the caller's plan (an MV fold) runs once
+    val keyFrame = dropKeys
+      .fold(aligned.select(keyCols.map(col): _*))(d =>
+        aligned.select(keyCols.map(col): _*)
+          .unionByName(d.select(keyCols.map(col): _*)))
+      .distinct().localCheckpoint()
+    val bAggs = keyCols.flatMap(k => Seq(fmin(col(k)).as(s"__mn_$k"),
+      fmax(col(k)).as(s"__mx_$k"),
+      count_if(col(k).isNull).as(s"__nl_$k"))) :+ count(lit(1)).as("__n")
+    val bRow = keyFrame.agg(bAggs.head, bAggs.tail: _*).head()
+    if (bRow.getAs[Long]("__n") == 0L) // no keys at all: clean no-op
+      return TxLogTable.MergeStats(latestVersion.getOrElse(-1), 0,
+        fileCount())
+    val anyNull = keyCols.exists(k => bRow.getAs[Long](s"__nl_$k") > 0L)
+    val prunePred: Option[Column] =
+      if (anyNull) None
+      else Some(keyCols.map(k =>
+        col(k) >= lit(bRow.getAs[Any](s"__mn_$k")) &&
+          col(k) <= lit(bRow.getAs[Any](s"__mx_$k"))).reduce(_ && _))
+    val prefixLen = dataDir.toString.length + 1 // abs path → rel
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion
+      val layout = base.map(partitionColsOf).getOrElse(Nil)
+      val lines = base.map(dataLines).getOrElse(Nil)
+      val cmap = inheritedColMap
+      val affected = prunePred match {
+        case Some(p) =>
+          val ranges = physKeyed(cmap, PredicateRanges.extract(p))
+          val nn = physNullness(cmap, PredicateRanges.extractNullness(p))
+          val points = physKeyed(cmap, PredicateRanges.extractPoints(p))
+          val strs = physKeyed(cmap, PredicateRanges.extractStr(p))
+          lines.filter(line => mayMatchPred(TxLogTable.decodeEntry(line),
+            ranges, nn, points, strs, timeSegBounds(ranges, base)))
+        case None => lines
+      }
+      // matched keys' current rows, read through EVERY live mask (prior
+      // DVs and tombstones) so masks stay disjoint
+      val stagedDv: Seq[String] =
+        if (affected.isEmpty) Nil
+        else {
+          val (rows, fcol, pcol) = readMaskedPos(schema,
+            affected.map(TxLogTable.decodeEntry), base, None,
+            withPos = true)
+          val cond = keyCols.map(k => rows(k) <=> keyFrame(k))
+            .reduce(_ && _)
+          val hit = rows.join(broadcast(keyFrame), cond, "left_semi")
+          stage(hit.select(
+            substring(col(fcol), prefixLen + 1, Int.MaxValue).as("file"),
+            col(pcol).as("pos")).coalesce(1), Nil)
+        }
+      val counts: Seq[(String, Long)] =
+        if (stagedDv.isEmpty) Nil
+        else spark.read.parquet(
+            stagedDv.map(r => dataDir.resolve(r).toString): _*)
+          .groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      if (counts.nonEmpty) {
+        val cap = TxLogTable.maxDvMaskRows(spark)
+        val liveTotal = base.map(dvsOf).getOrElse(Nil).map(_.n).sum
+        require(liveTotal + counts.map(_._2).sum <= cap,
+          s"$op would push the live positional-delete mask past $cap " +
+            "rows: compact the table first (folds every mask), or use " +
+            "the copy-on-write merge")
+      }
+      validateChecks(aligned, base)
+      val stagedData = stageWithStats(aligned, layout,
+        base.map(bloomColsOf).getOrElse(Nil), inheritedBloomBits(base),
+        rebalanceOk = true)
+      if (counts.isEmpty && stagedData.isEmpty) // nothing to mask or add
+        return TxLogTable.MergeStats(base.getOrElse(-1), 0, lines.size)
+      val next = base.getOrElse(-1) + 1
+      val newDvLines = counts.map { case (rel, n) =>
+        TxLogTable.encodeDvLine(
+          TxLogTable.DvEntry(stagedDv.head, next, n, rel)) }
+      try {
+        Files.write(manifestPath(next),
+          encodeManifest(next, (metaLines(layout, op,
+              base.map(bloomColsOf).getOrElse(Nil)) ++
+            metaWithNdv(base, ndvFoldLines(base, stagedKmv(stagedData),
+              reset = false)) ++
+            morLines(base) ++ dvCarryLines(base, lines) ++ newDvLines ++
+            checkLines(base) ++ extraMeta ++ lines ++
+            tagVersion(stagedData, next))),
+          StandardOpenOption.CREATE_NEW)
+        return TxLogTable.MergeStats(next, 0, lines.size)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1 // lost the race: recompute against the new base
+      }
+    }
+    throw new IllegalStateException(
+      s"$op lost the version race $maxAttempts times: $root")
+  }
+
+  /** The `#key=` meta value recorded at `v`, if any — the generic accessor
+    * for per-commit annotations (the MV refresh's `#mvsrc=` progress
+    * record). One manifest read; unknown keys cost nothing to writers
+    * because every reader ignores them.
+    */
+  def metaOf(v: Int, key: String): Option[String] =
+    manifestLines(v).collectFirst {
+      case l if l.startsWith(s"#$key=") => l.stripPrefix(s"#$key=") }
+
+  /** The tombstone KEY rows committed AT `v` itself (carried older
+    * tombstones excluded) — a MOR delete's exact key set, for consumers
+    * that fold keyed deletes (the MV refresh's group drops). None when
+    * `v` committed no new tombstone.
+    */
+  def tombstoneFrameOf(v: Int): Option[DataFrame] = {
+    val rels = tombstonesOf(v).collect { case (rel, tv) if tv == v => rel }
+    if (rels.isEmpty) None
+    else Some(spark.read.parquet(
+      rels.map(r => dataDir.resolve(r).toString): _*))
+  }
+
+  /** Schema of the live tombstone key files at `v` (None when none live)
+    * — a consumer projecting a MASKED snapshot must include these columns
+    * for the mask join, whatever its own projection needs; this is where
+    * it learns their types (one parquet footer read).
+    */
+  def tombstoneKeySchema(v: Int): Option[StructType] =
+    tombstonesOf(v).headOption.map { case (rel, _) =>
+      spark.read.parquet(dataDir.resolve(rel).toString).schema }
+
+  /** TRUE when version `v` REMOVED data files relative to its predecessor
+    * — the conservative "this commit may have dropped rows invisibly to
+    * the raw file feed" test incremental consumers use to decide between
+    * a delta fold and a recompute: an op that only ADDED files is always
+    * safe to fold as plain inserts, whatever its name; overwrite /
+    * publish-style resets are not. A vacuumed predecessor answers TRUE
+    * (cannot prove it safe ⇒ recompute).
+    */
+  def removedFilesAt(v: Int): Boolean =
+    if (v <= 0) false
+    else if (!versions.contains(v - 1)) true
+    else {
+      val cur = readManifest(v).toSet
+      readManifest(v - 1).exists(!cur(_))
+    }
+
   // tombstone + MOR-key lines carried by every non-overwrite commit (an
   // overwrite resets the file set, so deletes-by-key die with it)
   private def morLines(base: Option[Int]): Seq[String] =
@@ -5150,9 +5354,14 @@ final case class TxLogTable(spark: SparkSession, root: String) {
              partitionCols: Seq[String] = Nil,
              op: String = null,
              bloomCols: Seq[String] = Nil,
-             bloomBits: Int = 0): Int = {
+             bloomBits: Int = 0,
+             extraMeta: Seq[String] = Nil): Int = {
     val opName =
       Option(op).getOrElse(if (overwrite) "overwrite" else "append")
+    // per-commit annotation lines (see upsertPos): never carried forward,
+    // ignored by every reader that does not ask for them via metaOf
+    extraMeta.foreach(l => require(l.startsWith("#") && !l.contains('\n'),
+      s"extraMeta must be #-prefixed single lines: $l"))
     // bloom columns are a physical-name table property (filters are
     // harvested from staged files): translate CALLER-supplied logical
     // names only — the inherited list is already physical, and pushing it
@@ -5257,7 +5466,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           encodeManifest(next, (metaLines(partitionCols, opName, effBloom) ++
             (if (bloomBits > 0) Seq(s"#bloomBits=$bloomBits") else Nil) ++
             metaWithNdv(base, ndvLines).filterNot(dropLines) ++
-            props ++
+            props ++ extraMeta ++
             carried ++ tagVersion(staged, next))),
           StandardOpenOption.CREATE_NEW)
         return next

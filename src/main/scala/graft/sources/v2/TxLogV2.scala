@@ -519,7 +519,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "ann_build", "ann_refresh", "ann_search",
         "cursors", "release_cursor", "delete_pos", "update_pos",
         "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch",
-        "branch", "publish", "drop_branch", "branches")
+        "branch", "publish", "drop_branch", "branches",
+        "create_mv", "refresh_mv", "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1466,6 +1467,100 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("carried", IntegerType))),
               Seq(InternalRow(stats.version, stats.rewritten,
                 stats.carried)))
+          }
+        }
+      case "create_mv" =>
+        // CALL c.system.create_mv('ns.mv', 'ns.src', 'k1,k2',
+        // 'total:value[,out2:src2]'): persist an incrementally-
+        // maintained materialized view (GROUP BY group_cols with
+        // COUNT(*) AS mv_count and SUM(src) AS out per spec) as a
+        // catalog table. The view registers a change-feed cursor on the
+        // source so vacuum can never drop its un-consumed window; see
+        // graft.operators.MaterializedView for the refresh contract.
+        new MaintenanceProc("create_mv", Seq(
+          inParam("view", StringType),
+          inParam("source", StringType),
+          inParam("group_cols", StringType),
+          inParam("sums", StringType))) {
+          override def call(input: InternalRow) = {
+            val qname = input.getString(0)
+            val parts = qname.split('.')
+            require(parts.length >= 2 && parts.forall(_.nonEmpty),
+              s"create_mv view must be 'ns.table', got '$qname'")
+            val vident = Identifier.of(parts.init, parts.last)
+            require(!tableExists(vident),
+              s"MV destination already exists: $qname")
+            val src = tableByName(input.getString(1))
+            val srcSchema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(1)).schema)
+            val groups = input.getString(2).split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val sums = input.getString(3).split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty).map { t =>
+                val i = t.indexOf(':')
+                require(i > 0, s"sum spec must be 'out:src', got '$t'")
+                t.substring(0, i) -> t.substring(i + 1)
+              }
+            val v = graft.operators.MaterializedView.create(spark,
+              pathOf(vident).toString, qname, src, srcSchema, groups,
+              sums)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("source_version", IntegerType))),
+              Seq(InternalRow(v, src.latestVersion.getOrElse(-1))))
+          }
+        }
+      case "refresh_mv" =>
+        // CALL c.system.refresh_mv('ns.mv' [, full]): one transactional
+        // refresh — O(changed groups) incremental fold of the source's
+        // change feed, or a full recompute when the range crosses a
+        // reset (or full => true). No-op when already current; progress
+        // (#mvsrc) and data ride one atomic commit (exactly-once).
+        new MaintenanceProc("refresh_mv", Seq(
+          inParam("view", StringType),
+          inParam("full", org.apache.spark.sql.types.BooleanType,
+            Some("false")))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val full = !input.isNullAt(1) && input.getBoolean(1)
+            val st = graft.operators.MaterializedView.refresh(spark,
+              t.root, full)
+            resultScan(StructType(Seq(
+              StructField("mode", StringType),
+              StructField("from_version", IntegerType),
+              StructField("to_version", IntegerType),
+              StructField("groups_changed", LongType),
+              StructField("mv_version", IntegerType))),
+              Seq(InternalRow(UTF8String.fromString(st.mode),
+                st.fromVersion, st.toVersion, st.groupsChanged,
+                st.mvVersion)))
+          }
+        }
+      case "remove_orphans" =>
+        // CALL c.system.remove_orphans('ns.t' [, min_age_ms
+        // [, dry_run]]): delete data-dir files no reachable version
+        // references — crashed writers' leftovers — WITHOUT touching
+        // history (vacuum with keep = ALL versions). Same writer guards
+        // as vacuum: `.staging` scratch dirs are skipped and only files
+        // older than min_age_ms go (a just-staged file whose manifest
+        // publish is in flight must survive). The orphan sweep is the
+        // maintenance companion Iceberg ships as remove_orphan_files.
+        new MaintenanceProc("remove_orphans", Seq(
+          inParam("table", StringType),
+          inParam("min_age_ms", LongType,
+            Some(TxLogTable.DefaultVacuumMinAgeMillis.toString)),
+          inParam("dry_run", org.apache.spark.sql.types.BooleanType,
+            Some("false")))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val age = if (input.isNullAt(1))
+              TxLogTable.DefaultVacuumMinAgeMillis else input.getLong(1)
+            val dry = !input.isNullAt(2) && input.getBoolean(2)
+            val (_, files) = t.vacuum(keep = Int.MaxValue,
+              minAgeMillis = age, retainMillis = 0L, dryRun = dry)
+            resultScan(StructType(Seq(
+              StructField("files_deleted", IntegerType))),
+              Seq(InternalRow(files)))
           }
         }
       case "bm25" =>

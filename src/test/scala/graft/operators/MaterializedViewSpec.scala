@@ -1,0 +1,219 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.TxLogTable
+
+/** Persisted incremental materialized views: create/refresh lifecycle,
+  * counting-fold exactness against a recompute under every DML shape the
+  * feed can carry, MOR group-drop sequencing, zero-group removal, reset
+  * fallback, exactly-once progress, and the source-side vacuum cursor.
+  */
+class MaterializedViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("cat", StringType),
+    StructField("v", DoubleType)))
+
+  private def fresh(): (TxLogTable, String) = {
+    val dir = Files.createTempDirectory("mv")
+    (TxLogTable(spark, dir.resolve("src").toString),
+      dir.resolve("mv").toString)
+  }
+
+  private def df(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("k", "cat", "v")
+
+  private def mvRows(mvRoot: String): Set[(Option[Long], Long, Double)] = {
+    val d = MaterializedView.definition(spark, mvRoot)
+    TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getAs[Long](MaterializedView.CountCol),
+        Option(r.getAs[java.math.BigDecimal]("total"))
+          .map(_.doubleValue()).getOrElse(Double.NaN))
+    }.toSet
+  }
+
+  private def recompute(src: TxLogTable): Set[(Option[Long], Long, Double)] =
+    src.snapshot(schema).groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 6))).as("total"))
+      .collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getAs[Long]("n"),
+          Option(r.getAs[java.math.BigDecimal]("total"))
+            .map(_.doubleValue()).getOrElse(Double.NaN))
+      }.toSet
+
+  test("create + incremental refresh across append, COW delete, DV " +
+    "update — fold equals recompute, refresh is O(changed groups)") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (1L, "a", 2.0), (2L, "b", 5.0)),
+      overwrite = true)
+    MaterializedView.create(spark, mvRoot, "per_k", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    assert(mvRows(mvRoot) === recompute(src))
+    src.commit(df((2L, "b", 7.0), (3L, "c", 9.0)), overwrite = false)
+    src.deleteWhere(schema, col("v") === 1.0) // COW: exact events
+    src.updateWherePos(schema, col("k") === 3L,
+      Seq("v" -> (col("v") + 1.0)))          // DV: exact delete+insert
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental", st)
+    assert(st.groupsChanged === 3, st) // k = 1, 2, 3 all touched
+    assert(mvRows(mvRoot) === recompute(src))
+    assert(mvRows(mvRoot) === Set(
+      (Some(1L), 1L, 2.0), (Some(2L), 2L, 12.0), (Some(3L), 1L, 10.0)))
+  }
+
+  test("groups reaching zero leave the view; NULL group keys maintained") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (2L, "b", 2.0)), overwrite = true)
+    src.commit(Seq((Option.empty[Long], "n", 4.0)).toDF("k", "cat", "v"),
+      overwrite = false)
+    MaterializedView.create(spark, mvRoot, "zk", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    src.deleteWhere(schema, col("k") === 1L)                 // empties k=1
+    src.commit(Seq((Option.empty[Long], "n", 6.0)).toDF("k", "cat", "v"),
+      overwrite = false)                                     // grows NULL
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental", st)
+    assert(mvRows(mvRoot) === recompute(src))
+    assert(mvRows(mvRoot) === Set(
+      (Some(2L), 1L, 2.0), (None, 2L, 10.0)))
+  }
+
+  test("MOR delete folds as a group drop at its exact position: " +
+    "re-insert after the drop survives") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (2L, "b", 2.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "mor", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    src.commit(df((1L, "a", 10.0)), overwrite = false)  // pre-drop insert
+    src.deleteByKeysMor(Seq(1L).toDF("k"))              // drop group k=1
+    src.commit(df((1L, "a", 100.0)), overwrite = false) // re-insert
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental", st)
+    assert(mvRows(mvRoot) === recompute(src))
+    assert(mvRows(mvRoot) === Set(
+      (Some(1L), 1L, 100.0), (Some(2L), 1L, 2.0)))
+  }
+
+  test("MOR keys outside the group columns fall back to a full " +
+    "recompute — still correct, one commit") {
+    val dir = Files.createTempDirectory("mv")
+    val src = TxLogTable(spark, dir.resolve("src").toString)
+    val mvRoot = dir.resolve("mv").toString
+    src.commit(df((1L, "a", 1.0), (2L, "b", 2.0)), overwrite = true)
+    // group by cat, but MOR-delete by k: tombstone keys ⊄ group cols
+    MaterializedView.create(spark, mvRoot, "bycat", src, schema,
+      Seq("cat"), Seq("total" -> "v"))
+    src.deleteByKeysMor(Seq(1L).toDF("k"))
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "full", st)
+    val d = MaterializedView.definition(spark, mvRoot)
+    val got = TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+      .map(r => (r.getString(0), r.getAs[Long](MaterializedView.CountCol)))
+      .toSet
+    assert(got === Set(("b", 1L)))
+  }
+
+  test("overwrite on the source is a reset: refresh recomputes") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "ow", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    src.commit(df((7L, "z", 7.0)), overwrite = true) // reset
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "full", st)
+    assert(mvRows(mvRoot) === Set((Some(7L), 1L, 7.0)))
+  }
+
+  test("refresh is a no-op when current; progress and data are one " +
+    "commit (#mvsrc rides the refresh manifest)") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "np", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    val n0 = MaterializedView.refresh(spark, mvRoot)
+    assert(n0.mode === "noop")
+    val mv = TxLogTable(spark, mvRoot)
+    val before = mv.latestVersion.get
+    src.commit(df((1L, "a", 3.0)), overwrite = false)
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental")
+    val h = mv.latestVersion.get
+    assert(h === before + 1)
+    assert(mv.opOf(h).contains("mv-refresh"))
+    assert(mv.metaOf(h, "mvsrc").flatMap(_.toIntOption)
+      .contains(src.latestVersion.get))
+    // a second refresh sees the recorded progress and does nothing
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+  }
+
+  test("raw DML on the view is detected and refused at refresh") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "tamper", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    val d = MaterializedView.definition(spark, mvRoot)
+    TxLogTable(spark, mvRoot).commit(
+      Seq((9L, new java.math.BigDecimal("9.000000"), 1L))
+        .toDF("k", "total", MaterializedView.CountCol)
+        .select(col("k"), col("total").cast(DecimalType(38, 6)),
+          col(MaterializedView.CountCol)),
+      overwrite = false)
+    src.commit(df((2L, "b", 2.0)), overwrite = false)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, mvRoot)
+    }
+    assert(e.getMessage.contains("not engine-maintained"), e.getMessage)
+    assert(d.groupCols === Seq("k"))
+  }
+
+  test("the view pins the source feed window: a cursor named mv:<name> " +
+    "floors source vacuum at the consumed version") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "pin", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    assert(src.cursors().get("mv:pin").map(_.version)
+      .contains(src.latestVersion.get))
+    src.commit(df((2L, "b", 2.0)), overwrite = false)
+    src.commit(df((3L, "c", 3.0)), overwrite = false)
+    // an aggressive vacuum cannot drop the un-consumed window
+    src.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+    assert(src.versions.min <= MaterializedView.lastSourceVersion(
+      TxLogTable(spark, mvRoot)))
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental", st)
+    assert(mvRows(mvRoot) === recompute(src))
+    // after the refresh the cursor advanced; vacuum may now proceed
+    assert(src.cursors()("mv:pin").version === src.latestVersion.get)
+  }
+
+  test("refresh writes zero rewrites — the changed groups arrive as a " +
+    "DV mask plus replacement rows, other groups stay carried") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L to 50L).map(i => (i, "a", i.toDouble)): _*),
+      overwrite = true)
+    MaterializedView.create(spark, mvRoot, "dv", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    val mv = TxLogTable(spark, mvRoot)
+    val filesBefore = mv.fileCount()
+    src.commit(df((1L, "a", 100.0)), overwrite = false) // touch ONE group
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental" && st.groupsChanged === 1, st)
+    // all pre-refresh files carried by reference, one DV + one new file
+    assert(mv.fileCount() === filesBefore + 1)
+    assert(mv.opOf(mv.latestVersion.get).contains("mv-refresh"))
+    assert(mvRows(mvRoot) === recompute(src))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.TxLogTable
+
+/** Model-based property test for materialized-view maintenance: a random
+  * interleaving of source DML — appends, overwrites (resets), COW deletes,
+  * DV deletes/updates, keys-only MOR drops, compactions — with refreshes
+  * at random positions must leave the view equal to a from-scratch
+  * recompute after EVERY refresh. The hand-written MaterializedViewSpec
+  * pins each mechanism's contract; this covers their compositions
+  * (MOR-drop-then-reinsert-then-refresh, overwrite-mid-window,
+  * compaction-inside-the-fold-range, multi-version windows, ...).
+  */
+class MvPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType)))
+
+  private sealed trait Op
+  private case class Append(rows: List[(Long, Double)]) extends Op
+  private case class Overwrite(rows: List[(Long, Double)]) extends Op
+  private case class DeleteCow(ks: List[Long]) extends Op
+  private case class DeletePos(ks: List[Long]) extends Op
+  private case class UpdatePos(ks: List[Long]) extends Op
+  private case class MorDrop(ks: List[Long]) extends Op
+  private case object Compact extends Op
+  private case object Refresh extends Op
+
+  private val rowsGen: Gen[List[(Long, Double)]] =
+    Gen.resize(3, Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 5L)
+      v <- Gen.oneOf(1.5, 2.25, 3.0, 10.0)
+    } yield (k, v)))
+
+  private val ksGen: Gen[List[Long]] =
+    Gen.resize(2, Gen.nonEmptyListOf(Gen.choose(1L, 6L)))
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    4 -> rowsGen.map(Append),
+    1 -> rowsGen.map(Overwrite),
+    2 -> ksGen.map(DeleteCow),
+    2 -> ksGen.map(DeletePos),
+    2 -> ksGen.map(UpdatePos),
+    2 -> ksGen.map(MorDrop),
+    1 -> Gen.const(Compact),
+    3 -> Gen.const(Refresh))
+
+  private val programGen: Gen[List[Op]] = for {
+    head <- rowsGen.map(Overwrite)
+    tail <- Gen.resize(10, Gen.listOf(opGen))
+  } yield (head :: tail) :+ Refresh
+
+  private def forAllSeeded[A](g: Gen[A], n: Int)(body: (A, Long) => Unit)
+      : Unit =
+    (1 to n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default.withSize(10),
+        Seed(4200L + i)), 4200L + i)
+    }
+
+  private def state(src: TxLogTable): Set[(Long, Long, BigDecimal)] =
+    src.snapshot(schema).groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 6))).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getAs[java.math.BigDecimal]("t")))).toSet
+
+  private def mvState(spark0: org.apache.spark.sql.SparkSession,
+                      mvRoot: String): Set[(Long, Long, BigDecimal)] = {
+    val d = MaterializedView.definition(spark0, mvRoot)
+    TxLogTable(spark0, mvRoot).snapshot(d.mvSchema).collect()
+      .map(r => (r.getLong(0), r.getAs[Long](MaterializedView.CountCol),
+        BigDecimal(r.getAs[java.math.BigDecimal]("total")))).toSet
+  }
+
+  test("random DML programs with interleaved refreshes: the view equals " +
+    "a recompute after every refresh") {
+    forAllSeeded(programGen, 12) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvprop")
+      val src = TxLogTable(spark, dir.resolve("src").toString)
+      val mvRoot = dir.resolve("mv").toString
+      var created = false
+      program.zipWithIndex.foreach { case (op, step) =>
+        def ctx = s"seed=$seed step=$step op=$op program=$program"
+        op match {
+          case Append(rows) =>
+            src.commit(rows.toDF("k", "v"), overwrite = false)
+          case Overwrite(rows) =>
+            src.commit(rows.toDF("k", "v"), overwrite = true)
+          case DeleteCow(ks) =>
+            src.deleteWhere(schema, col("k").isin(ks: _*))
+          case DeletePos(ks) =>
+            src.deleteWherePos(schema, col("k").isin(ks: _*))
+          case UpdatePos(ks) =>
+            src.updateWherePos(schema, col("k").isin(ks: _*),
+              Seq("v" -> (col("v") + 0.5)))
+          case MorDrop(ks) =>
+            src.deleteByKeysMor(ks.toDF("k").distinct())
+          case Compact =>
+            if (src.latestVersion.nonEmpty) src.compact(schema)
+          case Refresh =>
+            if (!created) {
+              MaterializedView.create(spark, mvRoot, s"p$seed", src,
+                schema, Seq("k"), Seq("total" -> "v"))
+              created = true
+            } else {
+              MaterializedView.refresh(spark, mvRoot)
+            }
+            assert(mvState(spark, mvRoot) === state(src), ctx)
+        }
+      }
+    }
+  }
+}

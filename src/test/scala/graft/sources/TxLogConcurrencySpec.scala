@@ -25,6 +25,7 @@ import graft.TestSpark
   * | tag 'x'             | tag 'x'              | one wins (atomic ref) |
   * | branch 'x'          | branch 'x'           | one wins (CREATE_NEW) |
   * | branch publish      | main commit          | refuse (fork moved)   |
+  * | MV refresh          | MV refresh           | idempotent (re-mask)  |
   */
 class TxLogConcurrencySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -191,5 +192,44 @@ class TxLogConcurrencySpec extends AnyFunSuite {
     val e = intercept[java.util.ConcurrentModificationException](
       t.publishBranch("wap"))
     assert(e.getMessage.contains("requires main unmoved"))
+  }
+
+  test("MV refresh || MV refresh of the same window: both land, content " +
+    "idempotent — the loser re-masks the winner's identical rows") {
+    import java.util.concurrent.{CyclicBarrier, Executors}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val dir = Files.createTempDirectory("txconc-mv")
+    val sschema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    val src = TxLogTable(spark, dir.resolve("src").toString)
+    src.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), overwrite = true)
+    val mvRoot = dir.resolve("mv").toString
+    graft.operators.MaterializedView.create(spark, mvRoot, "conc", src,
+      sschema, Seq("k"), Seq("total" -> "v"))
+    src.commit(Seq((1L, 10.0), (3L, 3.0)).toDF("k", "v"),
+      overwrite = false)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new CyclicBarrier(2)
+    try {
+      val both = Await.result(Future.sequence(Seq.fill(2)(Future {
+        gate.await()
+        graft.operators.MaterializedView.refresh(spark, mvRoot)
+      })), 180.seconds)
+      // at least one folded the window; a second racer either folded the
+      // same window (idempotent re-mask) or saw the progress and nooped
+      assert(both.exists(_.mode == "incremental"), both.toString)
+      val d = graft.operators.MaterializedView.definition(spark, mvRoot)
+      val got = TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[Long](graft.operators.MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+      assert(got === Set((1L, 2L, 11.0), (2L, 1L, 2.0), (3L, 1L, 3.0)))
+      // and a later refresh agrees the view is current
+      assert(graft.operators.MaterializedView.refresh(spark, mvRoot)
+        .mode === "noop")
+    } finally pool.shutdown()
   }
 }
