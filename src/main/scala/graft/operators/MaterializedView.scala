@@ -82,7 +82,8 @@ object MaterializedView {
   final case class MvDef(name: String, source: String,
                          groupCols: Seq[String],
                          sums: Seq[(String, String)],
-                         projDdl: String) {
+                         projDdl: String,
+                         filterExpr: Option[String] = None) {
     def projSchema: StructType = StructType.fromDDL(projDdl)
     def cursorName: String = s"mv:$name"
     def mvSchema: StructType = {
@@ -118,7 +119,8 @@ object MaterializedView {
   private def encodeDef(d: MvDef): String =
     (Seq(s"name=${d.name}", s"source=${d.source}",
       s"groupCols=${d.groupCols.mkString(",")}") ++
-      d.sums.map { case (out, src) => s"sum=$out:$src" } :+
+      d.sums.map { case (out, src) => s"sum=$out:$src" } ++
+      d.filterExpr.map(f => s"filter=$f") :+
       s"proj=${d.projDdl}").mkString("\n") + "\n"
 
   private def decodeDef(s: String): MvDef = {
@@ -137,7 +139,8 @@ object MaterializedView {
         require(i > 0, s"malformed mv.def sum: $v")
         v.substring(0, i) -> v.substring(i + 1)
       },
-      one("proj"))
+      one("proj"),
+      kvs.collectFirst { case ("filter", v) => v })
   }
 
   /** The masked reads under a snapshot or feed need the table's MOR
@@ -163,10 +166,14 @@ object MaterializedView {
         }
     }
 
+  private def filtered(rows: DataFrame, d: MvDef): DataFrame =
+    d.filterExpr.fold(rows)(f => rows.filter(expr(f)))
+
   private def aggregate(rows: DataFrame, d: MvDef): DataFrame = {
     val aggs = d.sums.map { case (out, src) =>
       sum(col(src).cast(SumType)).as(out) } :+ count(lit(1)).as(CountCol)
-    rows.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    filtered(rows, d).groupBy(d.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Create the view at `mvRoot` over `source`'s CURRENT snapshot and
@@ -176,7 +183,8 @@ object MaterializedView {
     */
   def create(spark: SparkSession, mvRoot: String, name: String,
              source: TxLogTable, srcSchema: StructType,
-             groupCols: Seq[String], sums: Seq[(String, String)]): Int = {
+             groupCols: Seq[String], sums: Seq[(String, String)],
+             filterExpr: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "an MV needs at least one group column")
     require(sums.nonEmpty, "an MV needs at least one summed measure")
     require(!mvRoot.contains(TxLogTable.BranchSep),
@@ -195,9 +203,26 @@ object MaterializedView {
     val head = source.latestVersion.getOrElse(
       throw new IllegalArgumentException(
         "MV source table has no committed version yet"))
+    // a filtered view (WHERE before aggregation — the common production
+    // shape) folds exactly: the filter is row-local, so it commutes with
+    // the change feed; its referenced columns join the pinned projection
+    val filterRefs: Seq[String] = filterExpr.toSeq.flatMap { f =>
+      require(!f.contains('\n'), "MV filter must be a single line")
+      val refs = spark.sessionState.sqlParser.parseExpression(f).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          require(a.nameParts.length == 1,
+            s"MV filter must use simple column names, got ${a.name}")
+          a.nameParts.head
+      }.distinct
+      refs.foreach(c => require(srcSchema.fieldNames.contains(c),
+        s"MV filter references $c, not a source column"))
+      refs
+    }
     val proj = StructType(srcSchema.fields.filter(f =>
-      groupCols.contains(f.name) || sums.exists(_._2 == f.name)))
-    val d = MvDef(name, source.root, groupCols, sums, proj.toDDL)
+      groupCols.contains(f.name) || sums.exists(_._2 == f.name) ||
+        filterRefs.contains(f.name)))
+    val d = MvDef(name, source.root, groupCols, sums, proj.toDDL,
+      filterExpr)
     val mv = TxLogTable(spark, mvRoot)
     require(mv.latestVersion.isEmpty,
       s"MV destination already exists: $mvRoot")
@@ -314,8 +339,8 @@ object MaterializedView {
     // walk touches (including the anchor `last`, the first diff's base)
     val feedProj = extProj(src, proj, (last to head).filter(present))
     def deltaOf(f: Fold): DataFrame = {
-      val feed = src.changesWithDeletes(feedProj, f.fromV, f.toV,
-        skipRewrites = true)
+      val feed = filtered(src.changesWithDeletes(feedProj, f.fromV,
+        f.toV, skipRewrites = true), d)
       val del = col("_change_type") === "delete"
       val aggs = d.sums.map { case (out, s0) =>
         val v = col(s0).cast(SumType)

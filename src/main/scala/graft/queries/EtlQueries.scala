@@ -1532,6 +1532,41 @@ object EtlQueries {
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_user")
     }),
 
+    // FILTERED MV (WHERE before aggregation — the common production
+    // view shape): the filter is row-local so it commutes with the
+    // change feed, and the incremental fold stays exact under DML that
+    // moves rows across the filter boundary (the DELETE here removes
+    // both matching and non-matching rows). CALL system.mv_status
+    // reports the maintenance position; the oracle recomputes the
+    // filtered rollup from the raw source.
+    "sql_mv_filtered" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_mvf_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_clicks")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_mvf")
+      s.sql("CREATE TABLE graftcat.db.ev_mvf (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_mvf SELECT event_id, user_id, " +
+        "event_type, value FROM ev_mvf_src WHERE event_id % 2 = 0")
+      s.sql("CALL graftcat.system.create_mv('db.mv_clicks', " +
+        "'db.ev_mvf', 'user_id', 'total:value', " +
+        "'event_type = ''click'' AND value > 1')").collect()
+      s.sql("INSERT INTO graftcat.db.ev_mvf SELECT event_id, user_id, " +
+        "event_type, value FROM ev_mvf_src WHERE event_id % 2 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_mvf WHERE value > 400")
+      val r = s.sql("CALL graftcat.system.refresh_mv('db.mv_clicks')")
+        .head
+      require(r.getString(0) == "incremental",
+        s"the filtered view must fold incrementally: $r")
+      val st = s.sql("CALL graftcat.system.mv_status('db.mv_clicks')")
+        .head
+      require(st.getInt(3) == 0, s"mv_status must report current: $st")
+      require(st.getString(6).contains("click"),
+        s"mv_status must report the filter: $st")
+      s.sql("SELECT user_id, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_clicks")
+    }),
+
     // MV refresh over a feed WITH keys-only MOR deletes: the drop folds
     // as a GROUP DROP at its exact position in the version sequence
     // (tombstone key = the view's group column), so the re-insert batch
@@ -3619,6 +3654,14 @@ object EtlQueries {
            SELECT user_id, value FROM events
            WHERE (event_id % 4 IN (0, 1) AND value >= 5)
               OR event_id % 4 = 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM src GROUP BY user_id""",
+
+    "sql_mv_filtered" ->
+      """WITH src AS (
+           SELECT user_id, value FROM events
+           WHERE value <= 400 AND event_type = 'click' AND value > 1)
          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM src GROUP BY user_id""",

@@ -520,7 +520,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "cursors", "release_cursor", "delete_pos", "update_pos",
         "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch",
         "branch", "publish", "drop_branch", "branches",
-        "create_mv", "refresh_mv", "remove_orphans")
+        "create_mv", "refresh_mv", "mv_status", "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1481,7 +1481,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           inParam("view", StringType),
           inParam("source", StringType),
           inParam("group_cols", StringType),
-          inParam("sums", StringType))) {
+          inParam("sums", StringType),
+          inParam("filter", StringType, Some("NULL")))) {
           override def call(input: InternalRow) = {
             val qname = input.getString(0)
             val parts = qname.split('.')
@@ -1501,9 +1502,11 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 require(i > 0, s"sum spec must be 'out:src', got '$t'")
                 t.substring(0, i) -> t.substring(i + 1)
               }
+            val filt = if (input.isNullAt(4)) None
+              else Some(input.getString(4))
             val v = graft.operators.MaterializedView.create(spark,
               pathOf(vident).toString, qname, src, srcSchema, groups,
-              sums)
+              sums, filt)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("source_version", IntegerType))),
@@ -1534,6 +1537,36 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               Seq(InternalRow(UTF8String.fromString(st.mode),
                 st.fromVersion, st.toVersion, st.groupsChanged,
                 st.mvVersion)))
+          }
+        }
+      case "mv_status" =>
+        // CALL c.system.mv_status('ns.mv'): the view's maintenance
+        // position — consumed source version vs source head, how many
+        // versions behind, and the definition — without touching data.
+        new MaintenanceProc("mv_status", Seq(
+          inParam("view", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val d = graft.operators.MaterializedView.definition(spark,
+              t.root)
+            val src = TxLogTable(spark, d.source)
+            val last = graft.operators.MaterializedView
+              .lastSourceVersion(t)
+            val head = src.latestVersion.getOrElse(-1)
+            resultScan(StructType(Seq(
+              StructField("name", StringType),
+              StructField("consumed_version", IntegerType),
+              StructField("source_head", IntegerType),
+              StructField("behind", IntegerType),
+              StructField("group_cols", StringType),
+              StructField("sums", StringType),
+              StructField("filter", StringType))),
+              Seq(InternalRow(UTF8String.fromString(d.name), last, head,
+                math.max(0, head - last),
+                UTF8String.fromString(d.groupCols.mkString(",")),
+                UTF8String.fromString(d.sums.map { case (o, c) =>
+                  s"$o:$c" }.mkString(",")),
+                d.filterExpr.map(UTF8String.fromString).orNull)))
           }
         }
       case "remove_orphans" =>

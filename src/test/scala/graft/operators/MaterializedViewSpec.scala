@@ -199,6 +199,25 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(src.cursors()("mv:pin").version === src.latestVersion.get)
   }
 
+  test("filtered view: the WHERE commutes with the feed, and its columns " +
+    "join the pinned projection even when outside group/sum cols") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0)),
+      overwrite = true)
+    MaterializedView.create(spark, mvRoot, "filt", src, schema,
+      Seq("k"), Seq("total" -> "v"), filterExpr = Some("cat = 'a'"))
+    assert(mvRows(mvRoot) === Set(
+      (Some(1L), 1L, 1.0), (Some(2L), 1L, 3.0)))
+    src.commit(df((1L, "a", 10.0), (1L, "b", 20.0)), overwrite = false)
+    src.deleteWhere(schema, col("v") === 3.0) // empties k=2 under filter
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental", st)
+    assert(mvRows(mvRoot) === Set((Some(1L), 2L, 11.0)))
+    val d = MaterializedView.definition(spark, mvRoot)
+    assert(d.filterExpr === Some("cat = 'a'"))
+    assert(d.projSchema.fieldNames.contains("cat"))
+  }
+
   test("refresh writes zero rewrites — the changed groups arrive as a " +
     "DV mask plus replacement rows, other groups stay carried") {
     val (src, mvRoot) = fresh()
