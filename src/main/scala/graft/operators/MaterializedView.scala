@@ -83,13 +83,20 @@ object MaterializedView {
                          groupCols: Seq[String],
                          sums: Seq[(String, String)],
                          projDdl: String,
-                         filterExpr: Option[String] = None) {
+                         filterExpr: Option[String] = None,
+                         dim: Option[String] = None,
+                         dimJoin: Seq[(String, String)] = Nil,
+                         dimProjDdl: Option[String] = None) {
     def projSchema: StructType = StructType.fromDDL(projDdl)
+    def dimProjSchema: Option[StructType] =
+      dimProjDdl.map(StructType.fromDDL)
     def cursorName: String = s"mv:$name"
+    def dimCursorName: String = s"mv:$name#dim"
     def mvSchema: StructType = {
-      val proj = projSchema
+      val fields = projSchema.fields ++
+        dimProjSchema.map(_.fields).getOrElse(Array.empty[StructField])
       StructType(
-        groupCols.map(g => proj.fields.find(_.name == g).get) ++
+        groupCols.map(g => fields.find(_.name == g).get) ++
           sums.map { case (out, _) => StructField(out, SumType) } :+
           StructField(CountCol, LongType, nullable = false))
     }
@@ -120,7 +127,12 @@ object MaterializedView {
     (Seq(s"name=${d.name}", s"source=${d.source}",
       s"groupCols=${d.groupCols.mkString(",")}") ++
       d.sums.map { case (out, src) => s"sum=$out:$src" } ++
-      d.filterExpr.map(f => s"filter=$f") :+
+      d.filterExpr.map(f => s"filter=$f") ++
+      d.dim.map(r => s"dim=$r") ++
+      (if (d.dimJoin.isEmpty) Nil
+       else Seq("dimJoin=" +
+         d.dimJoin.map { case (a, b) => s"$a:$b" }.mkString(","))) ++
+      d.dimProjDdl.map(x => s"dimProj=$x") :+
       s"proj=${d.projDdl}").mkString("\n") + "\n"
 
   private def decodeDef(s: String): MvDef = {
@@ -140,7 +152,15 @@ object MaterializedView {
         v.substring(0, i) -> v.substring(i + 1)
       },
       one("proj"),
-      kvs.collectFirst { case ("filter", v) => v })
+      kvs.collectFirst { case ("filter", v) => v },
+      kvs.collectFirst { case ("dim", v) => v },
+      kvs.collectFirst { case ("dimJoin", v) =>
+        v.split(',').toSeq.filter(_.nonEmpty).map { t =>
+          val i = t.indexOf(':')
+          require(i > 0, s"malformed mv.def dimJoin: $t")
+          t.substring(0, i) -> t.substring(i + 1)
+        } }.getOrElse(Nil),
+      kvs.collectFirst { case ("dimProj", v) => v })
   }
 
   /** The masked reads under a snapshot or feed need the table's MOR
@@ -169,10 +189,43 @@ object MaterializedView {
   private def filtered(rows: DataFrame, d: MvDef): DataFrame =
     d.filterExpr.fold(rows)(f => rows.filter(expr(f)))
 
-  private def aggregate(rows: DataFrame, d: MvDef): DataFrame = {
+  /** Enrich (broadcast inner join against the version-pinned dimension,
+    * when the view has one) then filter — the row-local prefix both the
+    * initial aggregate and every feed fold run before grouping. Inner
+    * join: a fact row with no dim match contributes nothing, and its
+    * later delete event joins nothing either — symmetric, so the fold
+    * stays exact. The dim side is required unique on its join keys
+    * (checked at create and at every full refresh; incremental refreshes
+    * pin the dim version, so the check cannot rot between them).
+    */
+  private def prepared(rows: DataFrame, d: MvDef,
+                       dimSnap: Option[DataFrame]): DataFrame = {
+    val joined = (d.dim, dimSnap) match {
+      case (Some(_), Some(ds)) =>
+        val cond = d.dimJoin.map { case (f, k) => rows(f) === ds(k) }
+          .reduce(_ && _)
+        rows.join(broadcast(ds), cond, "inner")
+      case (None, None) => rows
+      case _ => throw new IllegalStateException(
+        "dim snapshot must be supplied exactly when the view has a dim")
+    }
+    filtered(joined, d)
+  }
+
+  private def checkDimUnique(dimSnap: DataFrame, keys: Seq[String]): Unit = {
+    val dup = dimSnap.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"dim join keys ${keys.mkString(",")} are not unique in the " +
+        s"dimension (e.g. ${dup.headOption.getOrElse("")}) — a fact row " +
+        "must enrich to at most one dim row")
+  }
+
+  private def aggregate(prepped: DataFrame, d: MvDef): DataFrame = {
     val aggs = d.sums.map { case (out, src) =>
       sum(col(src).cast(SumType)).as(out) } :+ count(lit(1)).as(CountCol)
-    filtered(rows, d).groupBy(d.groupCols.map(col): _*)
+    prepped.groupBy(d.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -184,7 +237,35 @@ object MaterializedView {
   def create(spark: SparkSession, mvRoot: String, name: String,
              source: TxLogTable, srcSchema: StructType,
              groupCols: Seq[String], sums: Seq[(String, String)],
-             filterExpr: Option[String] = None): Int = {
+             filterExpr: Option[String] = None): Int =
+    createImpl(spark, mvRoot, name, source, srcSchema, None, groupCols,
+      sums, filterExpr)
+
+  /** Create a STAR-SCHEMA view: `fact JOIN dim ON joinOn` (inner,
+    * broadcast — the dim must be unique on its join keys) grouped and
+    * summed; group/sum/filter columns may come from EITHER side, resolved
+    * by name (projected names must be disjoint). The dim is PINNED at its
+    * create-time version: fact deltas fold incrementally against the
+    * pinned dim snapshot, and a dim change makes the next refresh a full
+    * recompute (which re-pins) — the slowly-changing-dimension cadence a
+    * star rollup actually has. Both tables get vacuum cursors.
+    */
+  def createJoined(spark: SparkSession, mvRoot: String, name: String,
+                   fact: TxLogTable, factSchema: StructType,
+                   dim: TxLogTable, dimSchema: StructType,
+                   joinOn: Seq[(String, String)],
+                   groupCols: Seq[String], sums: Seq[(String, String)],
+                   filterExpr: Option[String] = None): Int =
+    createImpl(spark, mvRoot, name, fact, factSchema,
+      Some((dim, dimSchema, joinOn)), groupCols, sums, filterExpr)
+
+  private def createImpl(spark: SparkSession, mvRoot: String, name: String,
+                         source: TxLogTable, srcSchema: StructType,
+                         dimSpec: Option[(TxLogTable, StructType,
+                           Seq[(String, String)])],
+                         groupCols: Seq[String],
+                         sums: Seq[(String, String)],
+                         filterExpr: Option[String]): Int = {
     require(groupCols.nonEmpty, "an MV needs at least one group column")
     require(sums.nonEmpty, "an MV needs at least one summed measure")
     require(!mvRoot.contains(TxLogTable.BranchSep),
@@ -197,32 +278,64 @@ object MaterializedView {
         s"MV column '$c' contains an mv.def wire delimiter"))
     require(!name.exists(",:=\n".contains(_)) && name.nonEmpty,
       s"MV name '$name' must be non-empty and delimiter-free")
-    (groupCols ++ sums.map(_._2)).foreach(c =>
-      require(srcSchema.fieldNames.contains(c),
-        s"MV column $c is not in the source schema"))
-    val head = source.latestVersion.getOrElse(
-      throw new IllegalArgumentException(
-        "MV source table has no committed version yet"))
+    val dimSchema = dimSpec.map(_._2)
+    // every referenced column must live on exactly one side
+    def checkRef(c: String): Unit = {
+      val inF = srcSchema.fieldNames.contains(c)
+      val inD = dimSchema.exists(_.fieldNames.contains(c))
+      require(inF || inD,
+        s"MV column $c is in neither the fact nor the dim schema")
+      require(!(inF && inD),
+        s"MV column $c is ambiguous — present on both sides")
+    }
     // a filtered view (WHERE before aggregation — the common production
     // shape) folds exactly: the filter is row-local, so it commutes with
     // the change feed; its referenced columns join the pinned projection
     val filterRefs: Seq[String] = filterExpr.toSeq.flatMap { f =>
       require(!f.contains('\n'), "MV filter must be a single line")
-      val refs = spark.sessionState.sqlParser.parseExpression(f).collect {
+      spark.sessionState.sqlParser.parseExpression(f).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           require(a.nameParts.length == 1,
             s"MV filter must use simple column names, got ${a.name}")
           a.nameParts.head
       }.distinct
-      refs.foreach(c => require(srcSchema.fieldNames.contains(c),
-        s"MV filter references $c, not a source column"))
-      refs
     }
+    val referenced = (groupCols ++ sums.map(_._2) ++ filterRefs).distinct
+    referenced.foreach(checkRef)
+    dimSpec.foreach { case (_, ds, joinOn) =>
+      require(joinOn.nonEmpty, "a joined view needs at least one join key")
+      joinOn.foreach { case (f, k) =>
+        require(srcSchema.fieldNames.contains(f),
+          s"join key $f is not a fact column")
+        require(ds.fieldNames.contains(k),
+          s"join key $k is not a dim column")
+        require(!Seq(f, k).exists(_.exists(",:=\n".contains(_))),
+          s"join key '$f:$k' contains an mv.def wire delimiter")
+      }
+    }
+    val head = source.latestVersion.getOrElse(
+      throw new IllegalArgumentException(
+        "MV source table has no committed version yet"))
     val proj = StructType(srcSchema.fields.filter(f =>
-      groupCols.contains(f.name) || sums.exists(_._2 == f.name) ||
-        filterRefs.contains(f.name)))
+      referenced.contains(f.name) ||
+        dimSpec.exists(_._3.exists(_._1 == f.name))))
+    val dimProj = dimSpec.map { case (_, ds, joinOn) =>
+      StructType(ds.fields.filter(f => referenced.contains(f.name) ||
+        joinOn.exists(_._2 == f.name))) }
+    dimProj.foreach { dp =>
+      val both = proj.fieldNames.toSet intersect dp.fieldNames.toSet
+      require(both.isEmpty,
+        s"fact and dim projections share names ${both.mkString(",")} — " +
+          "rename one side (the join output must be unambiguous)")
+    }
+    val dimHead = dimSpec.map(_._1.latestVersion.getOrElse(
+      throw new IllegalArgumentException(
+        "MV dim table has no committed version yet")))
     val d = MvDef(name, source.root, groupCols, sums, proj.toDDL,
-      filterExpr)
+      filterExpr, dimSpec.map(_._1.root),
+      dimSpec.map(_._3).getOrElse(Nil), dimProj.map(_.toDDL))
+    val dimSnap = dimSpec.map(x => x._1.snapshot(dimProj.get, dimHead))
+    dimSnap.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
     val mv = TxLogTable(spark, mvRoot)
     require(mv.latestVersion.isEmpty,
       s"MV destination already exists: $mvRoot")
@@ -230,11 +343,12 @@ object MaterializedView {
     Files.write(defPath(mvRoot), encodeDef(d).getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW)
     val v = mv.commit(
-      aggregate(source.snapshot(extProj(source, proj, Seq(head)),
-        Some(head)), d),
+      aggregate(prepared(source.snapshot(extProj(source, proj, Seq(head)),
+        Some(head)), d, dimSnap), d),
       overwrite = false, op = "mv-create",
-      extraMeta = Seq(s"#mvsrc=$head"))
+      extraMeta = Seq(s"#mvsrc=$head") ++ dimHead.map(x => s"#mvdim=$x"))
     source.registerCursor(d.cursorName, head)
+    dimSpec.foreach(x => x._1.registerCursor(d.dimCursorName, dimHead.get))
     v
   }
 
@@ -257,9 +371,19 @@ object MaterializedView {
       .getOrElse(throw new IllegalStateException(
         s"MV at ${mv.root} has no recorded #mvsrc — not engine-maintained"))
 
+  /** Dim version the view last pinned (joined views only) — the newest
+    * `#mvdim=` in the MV's own log. */
+  def lastDimVersion(mv: TxLogTable): Int =
+    mv.versions.reverse.iterator
+      .flatMap(v => mv.metaOf(v, "mvdim").flatMap(_.toIntOption))
+      .nextOption()
+      .getOrElse(throw new IllegalStateException(
+        s"MV at ${mv.root} has no recorded #mvdim — not a joined view"))
+
   /** One refresh: fold the source's change feed over
     * `(last consumed, head]` into the view — or recompute when the range
-    * crosses a reset (or `full = true`). No-op when already current.
+    * crosses a reset, the pinned dimension moved, or `full = true`.
+    * No-op when already current.
     */
   def refresh(spark: SparkSession, mvRoot: String,
               full: Boolean = false): RefreshStats = {
@@ -279,7 +403,11 @@ object MaterializedView {
     require(head >= last,
       s"source at v$head is BEHIND the view's consumed v$last — was the " +
         "source recreated in place? drop and recreate the view")
-    if (head == last)
+    val dimT = d.dim.map(TxLogTable(spark, _))
+    val lastDim = dimT.map(_ => lastDimVersion(mv))
+    val dimHead = dimT.map(_.latestVersion.getOrElse(-1))
+    val dimMoved = lastDim.zip(dimHead).exists { case (a, b) => a != b }
+    if (head == last && !dimMoved)
       return RefreshStats("noop", last, head, 0,
         mv.latestVersion.getOrElse(-1))
     // pinned projection must still match the source (rename/widen of a
@@ -297,23 +425,46 @@ object MaterializedView {
             s"${cur.get.dataType.simpleString}: drop and recreate the view")
       }
     }
+    dimT.foreach { dt =>
+      dt.tableSchema.foreach { rec =>
+        d.dimProjSchema.get.fields.foreach { f =>
+          val cur = rec.fields.find(_.name == f.name)
+          require(cur.exists(_.dataType == f.dataType),
+            s"MV dim column ${f.name} was renamed, dropped or retyped: " +
+              "drop and recreate the view")
+        }
+      }
+    }
     val present = src.versions.toSet
     val range = ((last + 1) to head).filter(present)
     val opAt = range.map(v => v -> src.opOf(v).getOrElse("append")).toMap
     val morVs = range.filter(v => opAt(v) == "delete-mor")
+    // fold a keys-only MOR drop only when its keys are group columns AND
+    // provably FACT-side columns (in the fact projection): a joined view
+    // whose dim happens to expose a same-named group column must not
+    // anti-join the tombstone against the dim attribute
     val morFoldable = morVs.forall { v =>
       val mk = src.morKeysOf(v)
-      mk.nonEmpty && mk.forall(d.groupCols.contains)
+      mk.nonEmpty && mk.forall(k => d.groupCols.contains(k) &&
+        proj.fieldNames.contains(k))
     }
-    val needFull = full || !morFoldable || range.exists { v =>
+    val needFull = full || dimMoved || !morFoldable || range.exists { v =>
       !(FoldableOps(opAt(v)) || !src.removedFilesAt(v))
     }
     if (needFull) {
-      val state = aggregate(
-        src.snapshot(extProj(src, proj, Seq(head)), Some(head)), d)
+      // a recompute re-pins the dim at ITS current head (the
+      // slowly-changing-dimension cadence: fact deltas fold between dim
+      // changes, a dim change costs one recompute)
+      val dimSnap = dimT.map(_.snapshot(d.dimProjSchema.get, dimHead))
+      dimSnap.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
+      val state = aggregate(prepared(
+        src.snapshot(extProj(src, proj, Seq(head)), Some(head)), d,
+        dimSnap), d)
       val mvv = mv.commit(state, overwrite = true, op = "mv-refresh-full",
-        extraMeta = Seq(s"#mvsrc=$head"))
+        extraMeta = Seq(s"#mvsrc=$head") ++
+          dimHead.map(x => s"#mvdim=$x"))
       src.registerCursor(d.cursorName, head)
+      dimT.foreach(_.registerCursor(d.dimCursorName, dimHead.get))
       return RefreshStats("full", last, head, -1L, mvv)
     }
     // ---- incremental fold ------------------------------------------
@@ -338,9 +489,13 @@ object MaterializedView {
     // tombstone mask: extend the projection across every version the
     // walk touches (including the anchor `last`, the first diff's base)
     val feedProj = extProj(src, proj, (last to head).filter(present))
+    // joined views fold fact deltas against the PINNED dim snapshot —
+    // unchanged since the last pin by the dimMoved gate above, so the
+    // enrichment each delta gets is exactly what the recompute would give
+    val dimSnap = dimT.map(_.snapshot(d.dimProjSchema.get, lastDim))
     def deltaOf(f: Fold): DataFrame = {
-      val feed = filtered(src.changesWithDeletes(feedProj, f.fromV,
-        f.toV, skipRewrites = true), d)
+      val feed = prepared(src.changesWithDeletes(feedProj, f.fromV,
+        f.toV, skipRewrites = true), d, dimSnap)
       val del = col("_change_type") === "delete"
       val aggs = d.sums.map { case (out, s0) =>
         val v = col(s0).cast(SumType)
@@ -397,7 +552,8 @@ object MaterializedView {
       "left_anti")
     val stats = mv.upsertPos(d.mvSchema, newRows, d.groupCols,
       dropKeys = Some(zeros), op = "mv-refresh",
-      extraMeta = Seq(s"#mvsrc=$head"))
+      extraMeta = Seq(s"#mvsrc=$head") ++
+        lastDim.map(x => s"#mvdim=$x"))
     src.registerCursor(d.cursorName, head)
     RefreshStats("incremental", last, head, kAll.count(), stats.version)
   }

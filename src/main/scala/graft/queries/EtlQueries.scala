@@ -1567,6 +1567,55 @@ object EtlQueries {
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_clicks")
     }),
 
+    // STAR-SCHEMA MV (CALL system.create_mv_joined): the view is
+    // fact ⋈ dim (inner, broadcast, dim unique on its key) grouped by a
+    // DIM attribute — fact DML folds incrementally against the PINNED
+    // dim snapshot (r1, r2 incremental), a dim UPDATE makes the next
+    // refresh exactly one full recompute that re-pins (r3 full), and
+    // fact deltas fold again under the new pin (r4 incremental). The
+    // oracle recomputes the final rollup with the updated dim from the
+    // raw source — the slowly-changing-dimension cadence a production
+    // star rollup actually has, hash-checked end-to-end.
+    "sql_mv_joined" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_mvj_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_seg")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_mvj")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.dim_users")
+      s.sql("CREATE TABLE graftcat.db.ev_mvj (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("CREATE TABLE graftcat.db.dim_users (uid BIGINT, " +
+        "segment BIGINT) USING txlog")
+      s.sql("INSERT INTO graftcat.db.dim_users SELECT DISTINCT " +
+        "user_id, user_id % 5 FROM ev_mvj_src")
+      s.sql("INSERT INTO graftcat.db.ev_mvj SELECT event_id, user_id, " +
+        "value FROM ev_mvj_src WHERE event_id % 3 = 0")
+      s.sql("CALL graftcat.system.create_mv_joined('db.mv_seg', " +
+        "'db.ev_mvj', 'db.dim_users', 'user_id:uid', 'segment', " +
+        "'total:value')").collect()
+      s.sql("INSERT INTO graftcat.db.ev_mvj SELECT event_id, user_id, " +
+        "value FROM ev_mvj_src WHERE event_id % 3 = 1")
+      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
+      require(r1.getString(0) == "incremental",
+        s"fact-only DML must fold: $r1")
+      s.sql("DELETE FROM graftcat.db.ev_mvj WHERE value < 5")
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
+      require(r2.getString(0) == "incremental",
+        s"fact-only DELETE must fold: $r2")
+      s.sql("UPDATE graftcat.db.dim_users SET segment = 99 " +
+        "WHERE uid % 5 = 0")
+      val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
+      require(r3.getString(0) == "full",
+        s"a dim change must recompute and re-pin: $r3")
+      s.sql("INSERT INTO graftcat.db.ev_mvj SELECT event_id, user_id, " +
+        "value FROM ev_mvj_src WHERE event_id % 3 = 2")
+      val r4 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
+      require(r4.getString(0) == "incremental",
+        s"fact deltas must fold under the new pin: $r4")
+      s.sql("SELECT segment, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_seg")
+    }),
+
     // MV refresh over a feed WITH keys-only MOR deletes: the drop folds
     // as a GROUP DROP at its exact position in the version sequence
     // (tombstone key = the view's group column), so the re-insert batch
@@ -3657,6 +3706,21 @@ object EtlQueries {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM src GROUP BY user_id""",
+
+    "sql_mv_joined" ->
+      """WITH f AS (
+           SELECT user_id, value FROM events
+           WHERE (event_id % 3 IN (0, 1) AND value >= 5)
+              OR event_id % 3 = 2),
+         d AS (
+           SELECT DISTINCT user_id AS uid,
+             CASE WHEN user_id % 5 = 0 THEN 99 ELSE user_id % 5 END
+               AS segment
+           FROM events)
+         SELECT d.segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM f JOIN d ON f.user_id = d.uid
+         GROUP BY d.segment""",
 
     "sql_mv_filtered" ->
       """WITH src AS (

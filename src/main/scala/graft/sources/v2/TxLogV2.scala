@@ -520,7 +520,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "cursors", "release_cursor", "delete_pos", "update_pos",
         "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch",
         "branch", "publish", "drop_branch", "branches",
-        "create_mv", "refresh_mv", "mv_status", "remove_orphans")
+        "create_mv", "create_mv_joined", "refresh_mv", "mv_status",
+        "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1511,6 +1512,58 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("version", IntegerType),
               StructField("source_version", IntegerType))),
               Seq(InternalRow(v, src.latestVersion.getOrElse(-1))))
+          }
+        }
+      case "create_mv_joined" =>
+        // CALL c.system.create_mv_joined('ns.mv', 'ns.fact', 'ns.dim',
+        // 'fk:dk[,fk2:dk2]', 'group_cols', 'out:src[,..]' [, filter]):
+        // a STAR-SCHEMA view — fact JOIN dim (inner, broadcast; dim
+        // unique on its keys) grouped and summed, group/sum/filter
+        // columns from either side. The dim is PINNED: fact deltas fold
+        // incrementally against the pinned snapshot, a dim change makes
+        // the next refresh one full recompute that re-pins.
+        new MaintenanceProc("create_mv_joined", Seq(
+          inParam("view", StringType),
+          inParam("fact", StringType),
+          inParam("dim", StringType),
+          inParam("join_on", StringType),
+          inParam("group_cols", StringType),
+          inParam("sums", StringType),
+          inParam("filter", StringType, Some("NULL")))) {
+          override def call(input: InternalRow) = {
+            val qname = input.getString(0)
+            val parts = qname.split('.')
+            require(parts.length >= 2 && parts.forall(_.nonEmpty),
+              s"create_mv_joined view must be 'ns.table', got '$qname'")
+            val vident = Identifier.of(parts.init, parts.last)
+            require(!tableExists(vident),
+              s"MV destination already exists: $qname")
+            val fact = tableByName(input.getString(1))
+            val dim = tableByName(input.getString(2))
+            val factSchema = fact.tableSchema.getOrElse(
+              TxLogV2Table(spark, fact.root, input.getString(1)).schema)
+            val dimSchema = dim.tableSchema.getOrElse(
+              TxLogV2Table(spark, dim.root, input.getString(2)).schema)
+            def pairs(sv: String, what: String): Seq[(String, String)] =
+              sv.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { t =>
+                val i = t.indexOf(':')
+                require(i > 0, s"$what must be 'a:b', got '$t'")
+                t.substring(0, i) -> t.substring(i + 1)
+              }
+            val groups = input.getString(4).split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val filt = if (input.isNullAt(6)) None
+              else Some(input.getString(6))
+            val v = graft.operators.MaterializedView.createJoined(spark,
+              pathOf(vident).toString, qname, fact, factSchema, dim,
+              dimSchema, pairs(input.getString(3), "join_on"), groups,
+              pairs(input.getString(5), "sums"), filt)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("fact_version", IntegerType),
+              StructField("dim_version", IntegerType))),
+              Seq(InternalRow(v, fact.latestVersion.getOrElse(-1),
+                dim.latestVersion.getOrElse(-1))))
           }
         }
       case "refresh_mv" =>

@@ -218,6 +218,65 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(d.projSchema.fieldNames.contains("cat"))
   }
 
+  test("star-schema view: fact deltas fold against the PINNED dim; a dim " +
+    "change makes the next refresh a full recompute that re-pins") {
+    val dir = Files.createTempDirectory("mvj")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L, "x", 1.0), (2L, "x", 2.0)), overwrite = true)
+    dim.commit(Seq((1L, "gold"), (2L, "iron"), (3L, "gold"))
+      .toDF("uid", "seg"), overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "star", fact, schema,
+      dim, dimSchema, Seq("k" -> "uid"), Seq("seg"), Seq("total" -> "v"))
+    def seg(): Set[(String, Long, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    }
+    assert(seg() === Set(("gold", 1L, 1.0), ("iron", 1L, 2.0)))
+    // fact-only DML folds incrementally against the pinned dim
+    fact.commit(df((3L, "x", 10.0), (4L, "x", 99.0)), overwrite = false)
+    fact.deleteWhere(schema, col("k") === 2L)
+    val r1 = MaterializedView.refresh(spark, mvRoot)
+    assert(r1.mode === "incremental", r1)
+    // k=4 has no dim row: contributes nothing (inner join)
+    assert(seg() === Set(("gold", 2L, 11.0)))
+    // dim change → next refresh recomputes and re-pins
+    dim.deleteWhere(dimSchema, col("uid") === 3L)
+    dim.commit(Seq((3L, "iron")).toDF("uid", "seg"), overwrite = false)
+    val r2 = MaterializedView.refresh(spark, mvRoot)
+    assert(r2.mode === "full", r2)
+    assert(seg() === Set(("gold", 1L, 1.0), ("iron", 1L, 10.0)))
+    // and fact deltas fold again under the new pin
+    fact.commit(df((1L, "x", 5.0)), overwrite = false)
+    val r3 = MaterializedView.refresh(spark, mvRoot)
+    assert(r3.mode === "incremental", r3)
+    assert(seg() === Set(("gold", 2L, 6.0), ("iron", 1L, 10.0)))
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+  }
+
+  test("star-schema view refuses a non-unique dim at create") {
+    val dir = Files.createTempDirectory("mvj2")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L, "x", 1.0)), overwrite = true)
+    dim.commit(Seq((1L, "gold"), (1L, "iron")).toDF("uid", "seg"),
+      overwrite = true)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.createJoined(spark, dir.resolve("mv").toString,
+        "dup", fact, schema, dim, dimSchema, Seq("k" -> "uid"),
+        Seq("seg"), Seq("total" -> "v"))
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+  }
+
   test("refresh writes zero rewrites — the changed groups arrive as a " +
     "DV mask plus replacement rows, other groups stay carried") {
     val (src, mvRoot) = fresh()
