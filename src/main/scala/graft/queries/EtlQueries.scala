@@ -1567,6 +1567,43 @@ object EtlQueries {
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_clicks")
     }),
 
+    // U9 — ATOMIC KEYED DV-UPSERT (TxLogTable.upsertPos, the
+    // materialized-view write path as a first-class DML op): one commit
+    // masks every current row of the touched keys where it sits (one
+    // small DV parquet) and appends the replacements — updates, fresh
+    // inserts, and keyed deletes (dropKeys) together, ZERO data files
+    // rewritten (the require pins MergeStats.rewritten == 0). This is
+    // the O(changed rows) keyed upsert merge's copy-on-write cannot
+    // give when keys hash-spread across every file. Oracle recomputes
+    // the final state from the raw source.
+    "u9_upsert_pos" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+      val k = col("c_custkey")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-u9")
+      val tbl = graft.sources.TxLogTable(s, tmp.resolve("c").toString)
+      tbl.commit(c, overwrite = true)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType)))
+      val newRows = c.filter(k % 7 === 0).select(k,
+          concat(lit("U9-"), col("c_name")).as("c_name"),
+          (col("c_acctbal") + 10).as("c_acctbal"))
+        .unionByName(c.filter(k % 11 === 0).select(
+          (k + 900000).as("c_custkey"), lit("F").as("c_name"),
+          lit(1.5).as("c_acctbal")))
+      val drops = c.filter(k % 13 === 0).select("c_custkey").distinct()
+      val filesBefore = tbl.fileCount()
+      val st = tbl.upsertPos(schema, newRows, Seq("c_custkey"),
+        dropKeys = Some(drops))
+      require(st.rewritten == 0,
+        s"upsertPos must not rewrite data files: $st")
+      require(tbl.fileCount() > filesBefore,
+        "replacement rows must land as NEW files, old ones carried")
+      tbl.snapshot(schema)
+    }),
+
     // STAR-SCHEMA MV (CALL system.create_mv_joined): the view is
     // fact ⋈ dim (inner, broadcast, dim unique on its key) grouped by a
     // DIM attribute — fact DML folds incrementally against the PINNED
@@ -3706,6 +3743,24 @@ object EtlQueries {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM src GROUP BY user_id""",
+
+    "u9_upsert_pos" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_acctbal FROM customer),
+         kept AS (
+           SELECT c_custkey, c_name, c_acctbal FROM base
+           WHERE c_custkey % 7 <> 0 AND c_custkey % 13 <> 0),
+         upd AS (
+           SELECT c_custkey, 'U9-' || c_name AS c_name,
+             c_acctbal + 10 AS c_acctbal
+           FROM base WHERE c_custkey % 7 = 0),
+         fresh AS (
+           SELECT c_custkey + 900000 AS c_custkey, 'F' AS c_name,
+             1.5 AS c_acctbal
+           FROM base WHERE c_custkey % 11 = 0)
+         SELECT * FROM kept
+         UNION ALL SELECT * FROM upd
+         UNION ALL SELECT * FROM fresh""",
 
     "sql_mv_joined" ->
       """WITH f AS (
