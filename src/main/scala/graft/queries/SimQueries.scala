@@ -546,6 +546,35 @@ object SimQueries {
             cosine(col("v"), col("qv")).as("cos_sim"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= topK).drop("rn")
+      // SQ8 brute arm — the compression point between exact float32 and
+      // 4-subspace PQ: per-dimension 8-bit codes (4× payload cut),
+      // asymmetric serving. Distortion is per-element rounding noise,
+      // not a subspace-centroid snap, so recall must be near-exact —
+      // quantified here against the same ground truth as the PQ arms
+      // (whose raw ADC the r15 matrix measured at ~0.23).
+      val sq8Stats = embd.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .orderBy("i").collect()
+      val mns = sq8Stats.map(_.getDouble(1))
+      val mxs = sq8Stats.map(_.getDouble(2))
+      val mnA = array(mns.toIndexedSeq.map(lit): _*)
+      val spanA = array(mns.indices.map(i => lit(mxs(i) - mns(i))): _*)
+      val dqCol = transform(col("v"), (x, i) => {
+        val mn = element_at(mnA, i + 1)
+        val span = element_at(spanA, i + 1)
+        when(span === 0d, mn).otherwise(
+          mn + floor((x - mn) / span * 255d + 0.5d) * span / 255d)
+      })
+      val sq8Df = embd.select(col("vec_id"), dqCol.as("dv"))
+        .crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("dv"), col("qv")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topK).drop("rn")
+      val sq8R = recall(sq8Df)
+      System.err.println(f"[recall] sq8 brute recall@$topK=$sq8R%.4f")
+      require(sq8R >= 0.9,
+        s"SQ8 quantization must stay near-exact (recall >= 0.9): $sq8R")
       val matrix = for {
         (variant, fn) <- Seq[(String, Int => org.apache.spark.sql.DataFrame)](
           "ivf" -> (np => graft.operators.AnnIndex.searchIvfBatch(
@@ -654,6 +683,50 @@ object SimQueries {
         FROM e CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id
         LIMIT 10""")
+    }),
+
+    // SCALAR-QUANTIZED (SQ8) ranking — the compression point BETWEEN
+    // exact float32 and 4-subspace PQ that the sim_recall_matrix exposed
+    // as coarse (raw-ADC recall ~0.23): per-DIMENSION trained linear
+    // bounds (FAISS ScalarQuantizer QT_8bit shape) code each element
+    // into 8 bits — a 4× ranking-payload cut (64 B vs 256 B per vector)
+    // with near-exact recall, because SQ distortion is per-element
+    // rounding noise, not a 16-dim-subspace centroid snap. Serving is
+    // ASYMMETRIC: dequantized corpus against the raw query (ADC style).
+    // The in-query require pins the self-match surviving quantization on
+    // top; the oracle recomputes bounds, codes, dequantization, and the
+    // left-fold cosine in DuckDB — the whole SQ path is hash-checked,
+    // not just sampled. At 100 TB the bounds are one order-free
+    // min/max aggregate (two 64-double arrays broadcast as literals)
+    // and the rank is the same one broadcast + one scan as exact
+    // cosine, on a quarter of the bytes.
+    "sim_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val stats = emb.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .orderBy("i").collect()
+      val mns = stats.map(_.getDouble(1))
+      val mxs = stats.map(_.getDouble(2))
+      val mnA = array(mns.toIndexedSeq.map(lit): _*)
+      val spanA = array(mns.indices.map(i => lit(mxs(i) - mns(i))): _*)
+      // code = floor((x-mn)/span*255 + 0.5) ∈ [0,255]; dequantize in the
+      // same expression (asymmetric serving never materializes floats)
+      val dq = transform(col("v"), (x, i) => {
+        val mn = element_at(mnA, i + 1)
+        val span = element_at(spanA, i + 1)
+        when(span === 0d, mn).otherwise(
+          mn + floor((x - mn) / span * 255d + 0.5d) * span / 255d)
+      })
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val ranked = emb.select(col("vec_id"), dq.as("dv"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("dv"), col("qv")).as("sq8_sim"))
+        .orderBy(col("sq8_sim").desc, col("vec_id"))
+        .limit(10)
+      require(ranked.head().getLong(0) == 0L,
+        "SQ8 distortion must keep the self-match ranked first")
+      ranked
     }),
 
     // Batch ANN — top-k neighbors for EACH of several query vectors at
@@ -1295,6 +1368,29 @@ object SimQueries {
              sqrt(${sqlDot("qv", "qv")})) AS cos_sim
           FROM embeddings CROSS JOIN q
           ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "sim_sq8_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dims AS (SELECT i, min(v[i]) AS mn,
+             max(v[i]) - min(v[i]) AS span
+           FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i) d
+           GROUP BY i),
+         b AS (SELECT list(mn ORDER BY i) AS mns,
+             list(span ORDER BY i) AS spans FROM dims),
+         dq AS (SELECT e.vec_id, list_transform(generate_series(1, $Dim),
+             i -> CASE WHEN b.spans[i] = 0 THEN b.mns[i]
+                  ELSE b.mns[i] + floor((e.v[i] - b.mns[i]) / b.spans[i]
+                       * 255 + 0.5) * b.spans[i] / 255 END) AS dv
+           FROM e, b),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         SELECT d.vec_id,
+           ${sqlDot("d.dv", "q.qv")} /
+           (sqrt(${sqlDot("d.dv", "d.dv")}) *
+            sqrt(${sqlDot("q.qv", "q.qv")})) AS sq8_sim
+         FROM dq d CROSS JOIN q
+         ORDER BY sq8_sim DESC, vec_id LIMIT 10""",
 
     "sim_filtered_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

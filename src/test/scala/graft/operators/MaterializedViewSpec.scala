@@ -260,6 +260,39 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
   }
 
+  test("views compose: an MV over an MV folds incrementally — the " +
+    "upstream refresh's DV-upsert feeds exact delete+insert events") {
+    val dir = Files.createTempDirectory("mvchain")
+    val src = TxLogTable(spark, dir.resolve("src").toString)
+    val mv1Root = dir.resolve("mv1").toString
+    val mv2Root = dir.resolve("mv2").toString
+    src.commit(df((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 4.0)),
+      overwrite = true)
+    // mv1: per (k, cat); mv2: per k over mv1's totals
+    MaterializedView.create(spark, mv1Root, "lvl1", src, schema,
+      Seq("k", "cat"), Seq("total" -> "v"))
+    val d1 = MaterializedView.definition(spark, mv1Root)
+    MaterializedView.create(spark, mv2Root, "lvl2",
+      TxLogTable(spark, mv1Root), d1.mvSchema,
+      Seq("k"), Seq("t2" -> "total"))
+    def lvl2(): Set[(Long, Long, Double)] = {
+      val d2 = MaterializedView.definition(spark, mv2Root)
+      TxLogTable(spark, mv2Root).snapshot(d2.mvSchema).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("t2").doubleValue())).toSet
+    }
+    assert(lvl2() === Set((1L, 2L, 3.0), (2L, 1L, 4.0)))
+    src.commit(df((1L, "a", 10.0), (3L, "c", 7.0)), overwrite = false)
+    src.deleteWhere(schema, col("v") === 4.0) // empties k=2 everywhere
+    val r1 = MaterializedView.refresh(spark, mv1Root)
+    assert(r1.mode === "incremental", r1)
+    val r2 = MaterializedView.refresh(spark, mv2Root)
+    assert(r2.mode === "incremental",
+      s"an upstream DV-upsert must fold downstream: $r2")
+    assert(lvl2() === Set((1L, 2L, 13.0), (3L, 1L, 7.0)))
+  }
+
   test("star-schema view refuses a non-unique dim at create") {
     val dir = Files.createTempDirectory("mvj2")
     val fact = TxLogTable(spark, dir.resolve("fact").toString)
