@@ -729,6 +729,33 @@ object SimQueries {
       ranked
     }),
 
+    // SQ8 through the PERSISTED index (AnnIndex build/searchIvfSq8):
+    // bounds and 8-bit codes are index artifacts like the PQ codebook —
+    // trained once on the pinned corpus, loaded by every search, encoded
+    // incrementally on refresh. Serving ranks the dequantized codes
+    // (4× less ranking I/O than float32) inside the probed cells. The
+    // hash-check: at FULL probe the candidate set is the whole corpus,
+    // so the persisted-code ranking must equal the in-query sim_sq8_topk
+    // bit-for-bit — same oracle SQL. The nprobe=1 require pins the real
+    // serving shape (self-match in its own cell).
+    "sim_sq8_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annsq")
+      val corpusRoot = tmp.resolve("corpus").toString
+      val indexRoot = tmp.resolve("index").toString
+      graft.sources.TxLogTable(s, corpusRoot).commit(emb, overwrite = true)
+      graft.operators.AnnIndex.build(s, corpusRoot, indexRoot, emb.schema,
+        k = 8, iterations = 2, pq = false, sq8 = true)
+      val one = graft.operators.AnnIndex.searchIvfSq8(s, indexRoot,
+        queryVecId = 0L, topK = 10, requireFresh = true, nprobe = 1)
+      require(one.head().getLong(0) == 0L,
+        "single-probe SQ8 serving must surface the self-match")
+      graft.operators.AnnIndex.searchIvfSq8(s, indexRoot,
+          queryVecId = 0L, topK = 10, nprobe = 8)
+        .select(col("vec_id"), col("sq8_sim"))
+    }),
+
     // Batch ANN — top-k neighbors for EACH of several query vectors at
     // once, the realistic serving shape (a query batch, not one probe).
     // Scale: q queries broadcast as one small build side, n×q cosines
@@ -1368,6 +1395,29 @@ object SimQueries {
              sqrt(${sqlDot("qv", "qv")})) AS cos_sim
           FROM embeddings CROSS JOIN q
           ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "sim_sq8_persisted" ->
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dims AS (SELECT i, min(v[i]) AS mn,
+             max(v[i]) - min(v[i]) AS span
+           FROM e, (SELECT unnest(generate_series(1, $Dim)) AS i) d
+           GROUP BY i),
+         b AS (SELECT list(mn ORDER BY i) AS mns,
+             list(span ORDER BY i) AS spans FROM dims),
+         dq AS (SELECT e.vec_id, list_transform(generate_series(1, $Dim),
+             i -> CASE WHEN b.spans[i] = 0 THEN b.mns[i]
+                  ELSE b.mns[i] + floor((e.v[i] - b.mns[i]) / b.spans[i]
+                       * 255 + 0.5) * b.spans[i] / 255 END) AS dv
+           FROM e, b),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         SELECT d.vec_id,
+           ${sqlDot("d.dv", "q.qv")} /
+           (sqrt(${sqlDot("d.dv", "d.dv")}) *
+            sqrt(${sqlDot("q.qv", "q.qv")})) AS sq8_sim
+         FROM dq d CROSS JOIN q
+         ORDER BY sq8_sim DESC, vec_id LIMIT 10""",
 
     "sim_sq8_topk" ->
       s"""WITH e AS (SELECT vec_id,

@@ -154,6 +154,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("phantom neighbors"), e.getMessage)
   }
 
+  test("AnnIndex SQ8: refresh encodes new vectors against the PERSISTED " +
+    "bounds (clamped); search serves them; twin codes are identical") {
+    implicit val sp = spark
+    val vecs = (0L until 16L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 1.0f + 0.01f * i
+      (i, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann-sq8")
+    val corpus = graft.sources.TxLogTable(spark, tmp.resolve("c").toString)
+    corpus.commit(emb, overwrite = true)
+    val idx = tmp.resolve("i").toString
+    AnnIndex.build(spark, corpus.root, idx, emb.schema, k = 4,
+      iterations = 2, pq = false, sq8 = true)
+    val codesOf = () => graft.sources.TxLogTable(spark, s"$idx/sq8codes")
+      .snapshot(AnnIndex.sq8CodesSchema).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val before = codesOf()
+    assert(before.size == 16)
+    // an exact twin of vec 1, plus one OUTSIDE the pinned bounds
+    // (value 9.0 >> trained max ~1.15): codes must clamp, not overflow
+    corpus.commit(Seq(
+        (100L, vecs(1)._2),
+        (101L, Seq(9.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      overwrite = false)
+    val (_, added) = AnnIndex.refresh(spark, idx)
+    assert(added == 2L)
+    val after = codesOf()
+    assert(after(100L) == before(1L),
+      "a twin vector must encode to identical codes under the same bounds")
+    assert(after(101L).max == 127.toByte,
+      s"an out-of-bounds value must clamp to the top code: ${after(101L)}")
+    // the refreshed index serves the new twin tied at cosine 1.0 with
+    // the collinear family (1, 5, 9, 13 share its direction — cosine is
+    // scale-invariant, so all five tie and vec_id breaks the order)
+    val got = AnnIndex.searchIvfSq8(spark, idx, queryVecId = 1L,
+      topK = 5, requireFresh = true, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L, 9L, 13L, 100L),
+      s"the refreshed twin must tie into the collinear family: $got")
+  }
+
   test("GlobalIndex.assign: contiguous 0..N-1 in total order, " +
       "deterministic, distributed") {
     import org.apache.spark.sql.functions.{col, xxhash64}
