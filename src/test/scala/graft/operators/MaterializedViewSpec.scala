@@ -293,6 +293,47 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(lvl2() === Set((1L, 2L, 13.0), (3L, 1L, 7.0)))
   }
 
+  test("streaming ingest composes with MV maintenance: refresh folds " +
+    "the stream sink's keyed-merge commits, and WAP publish on the " +
+    "source is a reset the refresh absorbs as one recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (2L, "b", 2.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "strm", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    val input = MemoryStream[(Long, String, Double)]
+    val ckpt = Files.createTempDirectory("mv-strm-ckpt").toString
+    val q = graft.streaming.StreamOps.upsertIntoTxLog(
+      input.toDF().toDF("k", "cat", "v"), src, Seq("k"), ckpt)
+    try {
+      input.addData((1L, "a", 10.0), (3L, "c", 3.0)) // update + insert
+      q.processAllAvailable()
+      val r1 = MaterializedView.refresh(spark, mvRoot)
+      assert(r1.mode === "incremental",
+        s"the sink's keyed merge is COW — exact events: $r1")
+      assert(mvRows(mvRoot) === recompute(src))
+      assert(mvRows(mvRoot) === Set(
+        (Some(1L), 1L, 10.0), (Some(2L), 1L, 2.0), (Some(3L), 1L, 3.0)))
+      input.addData((2L, "b", 20.0))
+      q.processAllAvailable()
+      assert(MaterializedView.refresh(spark, mvRoot).mode === "incremental")
+      assert(mvRows(mvRoot) === recompute(src))
+    } finally q.stop()
+    // write-audit-publish on the source: the publish commit replaces
+    // main's file set, which the triage sees as a reset → one recompute
+    src.createBranch("audit")
+    src.branchTable("audit").deleteWhere(schema, col("v") >= 20.0)
+    src.publishBranch("audit")
+    val r3 = MaterializedView.refresh(spark, mvRoot)
+    assert(r3.mode === "full",
+      s"a publish rewrites main's file set — must recompute: $r3")
+    assert(mvRows(mvRoot) === recompute(src))
+    // the audited delete (v >= 20 — key 2's streamed update) published
+    assert(mvRows(mvRoot) === Set(
+      (Some(1L), 1L, 10.0), (Some(3L), 1L, 3.0)))
+  }
+
   test("star-schema view refuses a non-unique dim at create") {
     val dir = Files.createTempDirectory("mvj2")
     val fact = TxLogTable(spark, dir.resolve("fact").toString)

@@ -84,6 +84,70 @@ class MvPropertySpec extends AnyFunSuite {
         BigDecimal(r.getAs[java.math.BigDecimal]("total")))).toSet
   }
 
+  test("star-schema fuzz: random fact DML + mid-program dim churn — the " +
+    "joined view equals a join recompute after every refresh (fact MOR " +
+    "drops exercise the full-recompute fallback: group col is dim-side)") {
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    forAllSeeded(programGen, 8) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvjprop")
+      val fact = TxLogTable(spark, dir.resolve("fact").toString)
+      val dim = TxLogTable(spark, dir.resolve("dim").toString)
+      val mvRoot = dir.resolve("mv").toString
+      dim.commit((1L to 6L).map(i => (i, s"s${i % 3}"))
+        .toDF("uid", "seg"), overwrite = true)
+      var created = false
+      def joinState(): Set[(String, Long, BigDecimal)] =
+        fact.snapshot(schema).join(dim.snapshot(dimSchema),
+            col("k") === col("uid"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(38, 6))).as("t"))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            BigDecimal(r.getAs[java.math.BigDecimal]("t")))).toSet
+      def mvJState(): Set[(String, Long, BigDecimal)] = {
+        val d = MaterializedView.definition(spark, mvRoot)
+        TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+          .map(r => (r.getString(0),
+            r.getAs[Long](MaterializedView.CountCol),
+            BigDecimal(r.getAs[java.math.BigDecimal]("total")))).toSet
+      }
+      program.zipWithIndex.foreach { case (op, step) =>
+        def ctx = s"seed=$seed step=$step op=$op program=$program"
+        if (step == program.length / 2) // dim churn mid-program
+          dim.updateWherePos(dimSchema, col("uid") === 2L,
+            Seq("seg" -> concat(col("seg"), lit("x"))))
+        op match {
+          case Append(rows) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = false)
+          case Overwrite(rows) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = true)
+          case DeleteCow(ks) =>
+            fact.deleteWhere(schema, col("k").isin(ks: _*))
+          case DeletePos(ks) =>
+            fact.deleteWherePos(schema, col("k").isin(ks: _*))
+          case UpdatePos(ks) =>
+            fact.updateWherePos(schema, col("k").isin(ks: _*),
+              Seq("v" -> (col("v") + 0.5)))
+          case MorDrop(ks) =>
+            fact.deleteByKeysMor(ks.toDF("k").distinct())
+          case Compact =>
+            if (fact.latestVersion.nonEmpty) fact.compact(schema)
+          case Refresh =>
+            if (!created) {
+              MaterializedView.createJoined(spark, mvRoot, s"j$seed",
+                fact, schema, dim, dimSchema, Seq("k" -> "uid"),
+                Seq("seg"), Seq("total" -> "v"))
+              created = true
+            } else {
+              MaterializedView.refresh(spark, mvRoot)
+            }
+            assert(mvJState() === joinState(), ctx)
+        }
+      }
+    }
+  }
+
   test("random DML programs with interleaved refreshes: the view equals " +
     "a recompute after every refresh") {
     forAllSeeded(programGen, 12) { (program, seed) =>
