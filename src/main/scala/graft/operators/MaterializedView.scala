@@ -86,7 +86,9 @@ object MaterializedView {
                          filterExpr: Option[String] = None,
                          dim: Option[String] = None,
                          dimJoin: Seq[(String, String)] = Nil,
-                         dimProjDdl: Option[String] = None) {
+                         dimProjDdl: Option[String] = None,
+                         mins: Seq[(String, String)] = Nil,
+                         maxs: Seq[(String, String)] = Nil) {
     def projSchema: StructType = StructType.fromDDL(projDdl)
     def dimProjSchema: Option[StructType] =
       dimProjDdl.map(StructType.fromDDL)
@@ -95,9 +97,13 @@ object MaterializedView {
     def mvSchema: StructType = {
       val fields = projSchema.fields ++
         dimProjSchema.map(_.fields).getOrElse(Array.empty[StructField])
+      def typed(src: String): org.apache.spark.sql.types.DataType =
+        fields.find(_.name == src).get.dataType
       StructType(
         groupCols.map(g => fields.find(_.name == g).get) ++
-          sums.map { case (out, _) => StructField(out, SumType) } :+
+          sums.map { case (out, _) => StructField(out, SumType) } ++
+          mins.map { case (out, src) => StructField(out, typed(src)) } ++
+          maxs.map { case (out, src) => StructField(out, typed(src)) } :+
           StructField(CountCol, LongType, nullable = false))
     }
   }
@@ -127,6 +133,8 @@ object MaterializedView {
     (Seq(s"name=${d.name}", s"source=${d.source}",
       s"groupCols=${d.groupCols.mkString(",")}") ++
       d.sums.map { case (out, src) => s"sum=$out:$src" } ++
+      d.mins.map { case (out, src) => s"min=$out:$src" } ++
+      d.maxs.map { case (out, src) => s"max=$out:$src" } ++
       d.filterExpr.map(f => s"filter=$f") ++
       d.dim.map(r => s"dim=$r") ++
       (if (d.dimJoin.isEmpty) Nil
@@ -160,7 +168,11 @@ object MaterializedView {
           require(i > 0, s"malformed mv.def dimJoin: $t")
           t.substring(0, i) -> t.substring(i + 1)
         } }.getOrElse(Nil),
-      kvs.collectFirst { case ("dimProj", v) => v })
+      kvs.collectFirst { case ("dimProj", v) => v },
+      kvs.collect { case ("min", v) =>
+        val i = v.indexOf(':'); v.substring(0, i) -> v.substring(i + 1) },
+      kvs.collect { case ("max", v) =>
+        val i = v.indexOf(':'); v.substring(0, i) -> v.substring(i + 1) })
   }
 
   /** The masked reads under a snapshot or feed need the table's MOR
@@ -224,7 +236,10 @@ object MaterializedView {
 
   private def aggregate(prepped: DataFrame, d: MvDef): DataFrame = {
     val aggs = d.sums.map { case (out, src) =>
-      sum(col(src).cast(SumType)).as(out) } :+ count(lit(1)).as(CountCol)
+        sum(col(src).cast(SumType)).as(out) } ++
+      d.mins.map { case (out, src) => min(col(src)).as(out) } ++
+      d.maxs.map { case (out, src) => max(col(src)).as(out) } :+
+      count(lit(1)).as(CountCol)
     prepped.groupBy(d.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -237,9 +252,11 @@ object MaterializedView {
   def create(spark: SparkSession, mvRoot: String, name: String,
              source: TxLogTable, srcSchema: StructType,
              groupCols: Seq[String], sums: Seq[(String, String)],
-             filterExpr: Option[String] = None): Int =
+             filterExpr: Option[String] = None,
+             mins: Seq[(String, String)] = Nil,
+             maxs: Seq[(String, String)] = Nil): Int =
     createImpl(spark, mvRoot, name, source, srcSchema, None, groupCols,
-      sums, filterExpr)
+      sums, filterExpr, mins, maxs)
 
   /** Create a STAR-SCHEMA view: `fact JOIN dim ON joinOn` (inner,
     * broadcast — the dim must be unique on its join keys) grouped and
@@ -255,9 +272,12 @@ object MaterializedView {
                    dim: TxLogTable, dimSchema: StructType,
                    joinOn: Seq[(String, String)],
                    groupCols: Seq[String], sums: Seq[(String, String)],
-                   filterExpr: Option[String] = None): Int =
+                   filterExpr: Option[String] = None,
+                   mins: Seq[(String, String)] = Nil,
+                   maxs: Seq[(String, String)] = Nil): Int =
     createImpl(spark, mvRoot, name, fact, factSchema,
-      Some((dim, dimSchema, joinOn)), groupCols, sums, filterExpr)
+      Some((dim, dimSchema, joinOn)), groupCols, sums, filterExpr,
+      mins, maxs)
 
   private def createImpl(spark: SparkSession, mvRoot: String, name: String,
                          source: TxLogTable, srcSchema: StructType,
@@ -265,15 +285,19 @@ object MaterializedView {
                            Seq[(String, String)])],
                          groupCols: Seq[String],
                          sums: Seq[(String, String)],
-                         filterExpr: Option[String]): Int = {
+                         filterExpr: Option[String],
+                         mins: Seq[(String, String)],
+                         maxs: Seq[(String, String)]): Int = {
     require(groupCols.nonEmpty, "an MV needs at least one group column")
-    require(sums.nonEmpty, "an MV needs at least one summed measure")
+    require(sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
+      "an MV needs at least one measure (sum/min/max)")
     require(!mvRoot.contains(TxLogTable.BranchSep),
       "an MV root is a plain table path, not a branch handle")
-    val outNames = groupCols ++ sums.map(_._1) :+ CountCol
+    val measures = sums ++ mins ++ maxs
+    val outNames = groupCols ++ measures.map(_._1) :+ CountCol
     require(outNames.distinct == outNames,
       s"MV output columns collide: ${outNames.mkString(", ")}")
-    (groupCols ++ sums.map(_._2) ++ sums.map(_._1)).foreach(c =>
+    (groupCols ++ measures.map(_._2) ++ measures.map(_._1)).foreach(c =>
       require(!c.exists(",:=\n".contains(_)),
         s"MV column '$c' contains an mv.def wire delimiter"))
     require(!name.exists(",:=\n".contains(_)) && name.nonEmpty,
@@ -300,7 +324,8 @@ object MaterializedView {
           a.nameParts.head
       }.distinct
     }
-    val referenced = (groupCols ++ sums.map(_._2) ++ filterRefs).distinct
+    val referenced = (groupCols ++ measures.map(_._2) ++ filterRefs)
+      .distinct
     referenced.foreach(checkRef)
     dimSpec.foreach { case (_, ds, joinOn) =>
       require(joinOn.nonEmpty, "a joined view needs at least one join key")
@@ -333,7 +358,8 @@ object MaterializedView {
         "MV dim table has no committed version yet")))
     val d = MvDef(name, source.root, groupCols, sums, proj.toDDL,
       filterExpr, dimSpec.map(_._1.root),
-      dimSpec.map(_._3).getOrElse(Nil), dimProj.map(_.toDDL))
+      dimSpec.map(_._3).getOrElse(Nil), dimProj.map(_.toDDL),
+      mins, maxs)
     val dimSnap = dimSpec.map(x => x._1.snapshot(dimProj.get, dimHead))
     dimSnap.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
     val mv = TxLogTable(spark, mvRoot)
@@ -448,9 +474,19 @@ object MaterializedView {
       mk.nonEmpty && mk.forall(k => d.groupCols.contains(k) &&
         proj.fieldNames.contains(k))
     }
-    val needFull = full || dimMoved || !morFoldable || range.exists { v =>
-      !(FoldableOps(opAt(v)) || !src.removedFilesAt(v))
-    }
+    // MIN/MAX measures fold only over APPEND-ONLY windows: a delete
+    // cannot decrement an extremum (the departing row may BE it), so any
+    // row-changing version in the range costs one recompute — the honest
+    // contract monitoring rollups actually need (their sources append)
+    val rowChanging: Set[String] = TxLogTable.CowDiffOps ++
+      Set("delete-mor", "delete-dv", "update-dv", "upsert-dv",
+        "mv-refresh")
+    val minMaxBlocked = (d.mins.nonEmpty || d.maxs.nonEmpty) &&
+      range.exists(v => rowChanging(opAt(v)))
+    val needFull = full || dimMoved || !morFoldable || minMaxBlocked ||
+      range.exists { v =>
+        !(FoldableOps(opAt(v)) || !src.removedFilesAt(v))
+      }
     if (needFull) {
       // a recompute re-pins the dim at ITS current head (the
       // slowly-changing-dimension cadence: fact deltas fold between dim
@@ -498,9 +534,14 @@ object MaterializedView {
         f.toV, skipRewrites = true), d, dimSnap)
       val del = col("_change_type") === "delete"
       val aggs = d.sums.map { case (out, s0) =>
-        val v = col(s0).cast(SumType)
-        sum(when(del, -v).otherwise(v)).as(out)
-      } :+ sum(when(del, lit(-1L)).otherwise(lit(1L))).as(CountCol)
+          val v = col(s0).cast(SumType)
+          sum(when(del, -v).otherwise(v)).as(out)
+        } ++
+        // reachable only on append-only windows (minMaxBlocked gate):
+        // every event is an insert, so the window extremum is exact
+        d.mins.map { case (out, s0) => min(col(s0)).as(out) } ++
+        d.maxs.map { case (out, s0) => max(col(s0)).as(out) } :+
+        sum(when(del, lit(-1L)).otherwise(lit(1L))).as(CountCol)
       feed.groupBy(groupKeyCols: _*).agg(aggs.head, aggs.tail: _*)
     }
     // checkpoint each delta: it is changed-groups-sized, reused for the
@@ -530,11 +571,19 @@ object MaterializedView {
     if (kAll.isEmpty) // walked versions touched nothing the view sees
       return RefreshStats("noop", last, head, 0,
         mv.latestVersion.getOrElse(-1))
-    val measureCols = d.sums.map(_._1) :+ CountCol
+    val measureCols =
+      (d.sums.map(_._1) ++ d.mins.map(_._1) ++ d.maxs.map(_._1)) :+
+        CountCol
     val shape = (d.groupCols ++ measureCols).map(col)
+    val mergeOf: Map[String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] =
+      (d.sums.map(_._1 -> (sum(_: org.apache.spark.sql.Column))) ++
+        d.mins.map(_._1 -> (min(_: org.apache.spark.sql.Column))) ++
+        d.maxs.map(_._1 -> (max(_: org.apache.spark.sql.Column))) :+
+        (CountCol -> (sum(_: org.apache.spark.sql.Column)))).toMap
     def plus(state: DataFrame, delta: DataFrame): DataFrame = {
       val u = state.select(shape: _*).unionByName(delta.select(shape: _*))
-      val aggs = measureCols.map(m => sum(col(m)).as(m))
+      val aggs = measureCols.map(m => mergeOf(m)(col(m)).as(m))
       u.groupBy(groupKeyCols: _*).agg(aggs.head, aggs.tail: _*)
     }
     val state0 = mvSnap.join(kAll, nullSafe(mvSnap, kAll, d.groupCols),

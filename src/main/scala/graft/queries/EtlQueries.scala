@@ -1604,6 +1604,42 @@ object EtlQueries {
       tbl.snapshot(schema)
     }),
 
+    // MV WITH MIN/MAX MEASURES ('out:min|max:src' in the CALL spec):
+    // extrema fold incrementally over APPEND-ONLY windows (an insert
+    // can only extend them); a row-changing version can remove the
+    // extremum itself, so the refresh pays exactly one recompute there
+    // — the honest contract (r2 pinned "full"), then appends fold again
+    // (r1, r3 pinned "incremental"). The oracle recomputes count, sum,
+    // min and max per group from the raw source.
+    "sql_mv_minmax" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_mm_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_mm")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_mm")
+      s.sql("CREATE TABLE graftcat.db.ev_mm (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_mm SELECT event_id, user_id, " +
+        "value FROM ev_mm_src WHERE event_id % 3 = 0")
+      s.sql("CALL graftcat.system.create_mv('db.mv_mm', 'db.ev_mm', " +
+        "'user_id', 'total:value,lo:min:value,hi:max:value')").collect()
+      s.sql("INSERT INTO graftcat.db.ev_mm SELECT event_id, user_id, " +
+        "value FROM ev_mm_src WHERE event_id % 3 = 1")
+      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
+      require(r1.getString(0) == "incremental",
+        s"an append-only window must fold under min/max: $r1")
+      s.sql("DELETE FROM graftcat.db.ev_mm WHERE value > 450")
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
+      require(r2.getString(0) == "full",
+        s"a delete can remove the extremum — must recompute: $r2")
+      s.sql("INSERT INTO graftcat.db.ev_mm SELECT event_id, user_id, " +
+        "value FROM ev_mm_src WHERE event_id % 3 = 2")
+      val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
+      require(r3.getString(0) == "incremental",
+        s"appends fold again after the recompute: $r3")
+      s.sql("SELECT user_id, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total, lo, hi FROM graftcat.db.mv_mm")
+    }),
+
     // STAR-SCHEMA MV (CALL system.create_mv_joined): the view is
     // fact ⋈ dim (inner, broadcast, dim unique on its key) grouped by a
     // DIM attribute — fact DML folds incrementally against the PINNED
@@ -3761,6 +3797,16 @@ object EtlQueries {
          SELECT * FROM kept
          UNION ALL SELECT * FROM upd
          UNION ALL SELECT * FROM fresh""",
+
+    "sql_mv_minmax" ->
+      """WITH src AS (
+           SELECT user_id, value FROM events
+           WHERE (event_id % 3 IN (0, 1) AND value <= 450)
+              OR event_id % 3 = 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           min(value) AS lo, max(value) AS hi
+         FROM src GROUP BY user_id""",
 
     "sql_mv_joined" ->
       """WITH f AS (

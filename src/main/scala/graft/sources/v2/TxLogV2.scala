@@ -475,6 +475,24 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     TxLogTable(spark, pathOf(ident).toString)
   }
 
+  // MV measure spec: 'out:src' (sum) or 'out:min:src' / 'out:max:src' —
+  // returns (sums, mins, maxs)
+  private def parseAggSpec(sv: String): (Seq[(String, String)],
+      Seq[(String, String)], Seq[(String, String)]) = {
+    val items = sv.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map {
+      t => t.split(':') match {
+        case Array(out, src) => ("sum", out, src)
+        case Array(out, agg, src)
+            if Set("sum", "min", "max")(agg) => (agg, out, src)
+        case _ => throw new IllegalArgumentException(
+          s"measure spec must be 'out:src' or 'out:min|max:src': '$t'")
+      }
+    }
+    (items.collect { case ("sum", o, c) => o -> c },
+      items.collect { case ("min", o, c) => o -> c },
+      items.collect { case ("max", o, c) => o -> c })
+  }
+
   // warehouse path for a name that is a DIRECTORY of txlog tables (an
   // ANN index root), not itself a table — no existence requirement
   private def pathByName(qualified: String): Path = {
@@ -1497,17 +1515,12 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               TxLogV2Table(spark, src.root, input.getString(1)).schema)
             val groups = input.getString(2).split(',').toSeq
               .map(_.trim).filter(_.nonEmpty)
-            val sums = input.getString(3).split(',').toSeq
-              .map(_.trim).filter(_.nonEmpty).map { t =>
-                val i = t.indexOf(':')
-                require(i > 0, s"sum spec must be 'out:src', got '$t'")
-                t.substring(0, i) -> t.substring(i + 1)
-              }
+            val (sums, mins, maxs) = parseAggSpec(input.getString(3))
             val filt = if (input.isNullAt(4)) None
               else Some(input.getString(4))
             val v = graft.operators.MaterializedView.create(spark,
               pathOf(vident).toString, qname, src, srcSchema, groups,
-              sums, filt)
+              sums, filt, mins, maxs)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("source_version", IntegerType))),
@@ -1554,10 +1567,11 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               .map(_.trim).filter(_.nonEmpty)
             val filt = if (input.isNullAt(6)) None
               else Some(input.getString(6))
+            val (sums, mins, maxs) = parseAggSpec(input.getString(5))
             val v = graft.operators.MaterializedView.createJoined(spark,
               pathOf(vident).toString, qname, fact, factSchema, dim,
               dimSchema, pairs(input.getString(3), "join_on"), groups,
-              pairs(input.getString(5), "sums"), filt)
+              sums, filt, mins, maxs)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("fact_version", IntegerType),
@@ -1617,8 +1631,11 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               Seq(InternalRow(UTF8String.fromString(d.name), last, head,
                 math.max(0, head - last),
                 UTF8String.fromString(d.groupCols.mkString(",")),
-                UTF8String.fromString(d.sums.map { case (o, c) =>
-                  s"$o:$c" }.mkString(",")),
+                UTF8String.fromString(
+                  (d.sums.map { case (o, c) => s"$o:$c" } ++
+                    d.mins.map { case (o, c) => s"$o:min:$c" } ++
+                    d.maxs.map { case (o, c) => s"$o:max:$c" })
+                    .mkString(",")),
                 d.filterExpr.map(UTF8String.fromString).orNull)))
           }
         }

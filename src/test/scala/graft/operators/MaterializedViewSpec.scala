@@ -293,6 +293,42 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(lvl2() === Set((1L, 2L, 13.0), (3L, 1L, 7.0)))
   }
 
+  test("MIN/MAX measures fold over append-only windows; any row-changing " +
+    "version in the range costs exactly one recompute — and stays exact") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 5.0), (2L, "b", 2.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "mm", src, schema,
+      Seq("k"), Seq("total" -> "v"),
+      mins = Seq("lo" -> "v"), maxs = Seq("hi" -> "v"))
+    val d = MaterializedView.definition(spark, mvRoot)
+    def rows(): Set[(Long, Double, Double, Double, Long)] =
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[java.math.BigDecimal]("total").doubleValue(),
+          r.getDouble(2), r.getDouble(3),
+          r.getAs[Long](MaterializedView.CountCol))).toSet
+    assert(rows() === Set((1L, 5.0, 5.0, 5.0, 1L), (2L, 2.0, 2.0, 2.0, 1L)))
+    // append-only window: extrema fold incrementally
+    src.commit(df((1L, "a", 1.0), (1L, "a", 9.0)), overwrite = false)
+    val r1 = MaterializedView.refresh(spark, mvRoot)
+    assert(r1.mode === "incremental", r1)
+    assert(rows() === Set(
+      (1L, 15.0, 1.0, 9.0, 3L), (2L, 2.0, 2.0, 2.0, 1L)))
+    // a delete may remove the extremum itself: one recompute, exact
+    src.deleteWhere(schema, col("v") === 9.0)
+    val r2 = MaterializedView.refresh(spark, mvRoot)
+    assert(r2.mode === "full",
+      s"a row-changing version under min/max must recompute: $r2")
+    assert(rows() === Set(
+      (1L, 6.0, 1.0, 5.0, 2L), (2L, 2.0, 2.0, 2.0, 1L)))
+    // and appends fold again after the recompute
+    src.commit(df((2L, "b", 0.5)), overwrite = false)
+    val r3 = MaterializedView.refresh(spark, mvRoot)
+    assert(r3.mode === "incremental", r3)
+    assert(rows() === Set(
+      (1L, 6.0, 1.0, 5.0, 2L), (2L, 2.5, 0.5, 2.0, 2L)))
+  }
+
   test("streaming ingest composes with MV maintenance: refresh folds " +
     "the stream sink's keyed-merge commits, and WAP publish on the " +
     "source is a reset the refresh absorbs as one recompute") {
