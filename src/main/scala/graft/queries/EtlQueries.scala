@@ -131,7 +131,7 @@ object EtlQueries {
       // a pre-existing index root is fine: build overwrites every index
       // table (a rebuild is just the next version of each)
       val b = s.sql("CALL graftcat.system.ann_build('db.ann_corpus', " +
-        "'db.ann_idx', 8, 2, false)").collect().head
+        "'db.ann_idx', 8, 2, false, true)").collect().head
       s.sql("INSERT INTO graftcat.db.ann_corpus " +
         "SELECT vec_id + 1000000, embedding FROM emb_ann_src " +
         "WHERE vec_id < 4")
@@ -150,6 +150,13 @@ object EtlQueries {
         filtered.forall(_.getLong(0) < 1000000L),
         s"predicate search must exclude the appended clones: " +
           filtered.mkString(","))
+      // SQ8 variant through SQL: ranks the persisted 8-bit codes (the
+      // refresh encoded the appended clones against the pinned bounds);
+      // the self-match and its identical clone tie at 1.0, vec_id first
+      val sq = s.sql("CALL graftcat.system.ann_search('db.ann_idx', " +
+        "0, 5, NULL, true, 1, 'sq8')").collect()
+      require(sq.nonEmpty && sq.head.getLong(0) == 0L,
+        s"sq8 serving must surface the self-match: ${sq.mkString(",")}")
       // the search the oracle replays, through the SQL surface too
       s.sql("CALL graftcat.system.ann_search('db.ann_idx', 0, 5, " +
         "NULL, true)")

@@ -1095,20 +1095,22 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           inParam("index", StringType),
           inParam("k", IntegerType, Some("8")),
           inParam("iterations", IntegerType, Some("2")),
-          inParam("pq", BooleanType, Some("true")))) {
+          inParam("pq", BooleanType, Some("true")),
+          inParam("sq8", BooleanType, Some("false")))) {
           override def call(input: InternalRow) = {
             val src = tableByName(input.getString(0))
             val idxRoot = pathByName(input.getString(1)).toString
             val k = if (input.isNullAt(2)) 8 else input.getInt(2)
             val it = if (input.isNullAt(3)) 2 else input.getInt(3)
             val pq = input.isNullAt(4) || input.getBoolean(4)
+            val sq8 = !input.isNullAt(5) && input.getBoolean(5)
             val schema = src.tableSchema.getOrElse(
               TxLogV2Table(spark, src.root, input.getString(0)).schema)
             require(Seq("vec_id", "embedding").forall(
               schema.fieldNames.contains),
               "ann_build corpus needs (vec_id, embedding) columns")
             val pinned = graft.operators.AnnIndex.build(
-              spark, src.root, idxRoot, schema, k, it, pq)
+              spark, src.root, idxRoot, schema, k, it, pq, sq8)
             resultScan(StructType(Seq(
               StructField("pinned_version", IntegerType))),
               Seq(InternalRow(pinned)))
@@ -1124,13 +1126,19 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         // cells (the recall/cost knob). Result is at most k rows, so
         // the driver-side collect is bounded by the ask, never the
         // corpus.
+        // variant => 'sq8' ranks the persisted 8-bit codes instead of the
+        // full vectors (4x less ranking I/O, near-exact recall; the
+        // index must have been built with sq8 artifacts). The sq8 path
+        // serves unfiltered — its ranking payload carries no corpus
+        // attributes; use the exact variant for predicate search.
         new MaintenanceProc("ann_search", Seq(
           inParam("index", StringType),
           inParam("query_vec_id", LongType),
           inParam("k", IntegerType, Some("5")),
           inParam("predicate", StringType, Some("NULL")),
           inParam("require_fresh", BooleanType, Some("false")),
-          inParam("nprobe", IntegerType, Some("1")))) {
+          inParam("nprobe", IntegerType, Some("1")),
+          inParam("variant", StringType, Some("'exact'")))) {
           override def call(input: InternalRow) = {
             val idxRoot = pathByName(input.getString(0)).toString
             require(!input.isNullAt(1), "ann_search needs query_vec_id")
@@ -1143,9 +1151,21 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 .expr(input.getString(3)))
             val fresh = !input.isNullAt(4) && input.getBoolean(4)
             val np = if (input.isNullAt(5)) 1 else input.getInt(5)
-            val rows = graft.operators.AnnIndex.searchIvf(spark, idxRoot,
-              qid, k, requireFresh = fresh, filter = pred,
-              nprobe = np).collect()
+            val variant =
+              if (input.isNullAt(6)) "exact" else input.getString(6)
+            val rows = variant match {
+              case "exact" => graft.operators.AnnIndex.searchIvf(spark,
+                idxRoot, qid, k, requireFresh = fresh, filter = pred,
+                nprobe = np).collect()
+              case "sq8" =>
+                require(pred.isEmpty,
+                  "ann_search variant 'sq8' serves unfiltered — use " +
+                    "the exact variant for predicate search")
+                graft.operators.AnnIndex.searchIvfSq8(spark, idxRoot,
+                  qid, k, requireFresh = fresh, nprobe = np).collect()
+              case other => throw new IllegalArgumentException(
+                s"ann_search variant must be 'exact' or 'sq8': $other")
+            }
             resultScan(StructType(Seq(
               StructField("vec_id", LongType),
               StructField("cluster", IntegerType),
