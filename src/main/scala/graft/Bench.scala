@@ -168,6 +168,10 @@ object Bench {
     // seconds measure construction cost: keep them out of cross-round
     // operator-performance comparisons (round-5 verdict, "wrong" #5).
     val harnessHeavy = Seq("vacuum_scan", "check_constraint",
+      "sql_mv_incremental", "sql_mv_filtered", "sql_mv_joined",
+      "sql_mv_minmax", "mv_mor_groups", "u9_upsert_pos",
+      "sql_remove_orphans", "sim_sq8_persisted", "sim_recall_matrix",
+      "sql_ann_lifecycle", "sql_log_checkpoint", "sql_branches",
       "stream_txlog_feed", "stream_txlog_pipe", "stream_maintenance_skip",
       "stream_cdc_feed", "ivm_refresh",
       "ivm_refresh_mor", "inc_agg_refresh", "sim_ivf_persisted",
