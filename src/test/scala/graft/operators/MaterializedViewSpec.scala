@@ -370,6 +370,30 @@ class MaterializedViewSpec extends AnyFunSuite {
       (Some(1L), 1L, 10.0), (Some(3L), 1L, 3.0)))
   }
 
+  test("maintainMv: a streaming query keeps the view current — each " +
+    "micro-batch triggers one exactly-once refresh") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (2L, "b", 2.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "cont", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    val ckpt = Files.createTempDirectory("mv-maint-ckpt").toString
+    val q = graft.streaming.StreamOps.maintainMv(spark, mvRoot, ckpt)
+    try {
+      src.commit(df((1L, "a", 10.0), (3L, "c", 3.0)), overwrite = false)
+      q.processAllAvailable()
+      assert(mvRows(mvRoot) === recompute(src))
+      assert(mvRows(mvRoot) === Set((Some(1L), 2L, 11.0),
+        (Some(2L), 1L, 2.0), (Some(3L), 1L, 3.0)))
+      src.deleteWhere(schema, col("v") === 2.0) // COW delete folds too
+      q.processAllAvailable()
+      assert(mvRows(mvRoot) === recompute(src))
+      assert(mvRows(mvRoot) === Set((Some(1L), 2L, 11.0),
+        (Some(3L), 1L, 3.0)))
+    } finally q.stop()
+    // the maintained view is already current: a manual refresh noops
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+  }
+
   test("star-schema view refuses a non-unique dim at create") {
     val dir = Files.createTempDirectory("mvj2")
     val fact = TxLogTable(spark, dir.resolve("fact").toString)
