@@ -1570,6 +1570,12 @@ object EtlQueries {
       require(st.getInt(3) == 0, s"mv_status must report current: $st")
       require(st.getString(6).contains("click"),
         s"mv_status must report the filter: $st")
+      // the namespace-wide listing (CALL system.mvs) finds the view and
+      // agrees it is current
+      val ls = s.sql("CALL graftcat.system.mvs('db')").collect()
+      require(ls.exists(r => r.getString(0) == "db.mv_clicks" &&
+          r.getInt(4) == 0),
+        s"mvs must list the current view: ${ls.mkString(",")}")
       s.sql("SELECT user_id, mv_count AS n, " +
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_clicks")
     }),

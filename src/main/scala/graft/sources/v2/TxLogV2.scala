@@ -539,7 +539,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch",
         "branch", "publish", "drop_branch", "branches",
         "create_mv", "create_mv_joined", "refresh_mv", "mv_status",
-        "remove_orphans")
+        "mvs", "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1657,6 +1657,42 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                     d.maxs.map { case (o, c) => s"$o:max:$c" })
                     .mkString(",")),
                 d.filterExpr.map(UTF8String.fromString).orNull)))
+          }
+        }
+      case "mvs" =>
+        // CALL c.system.mvs('ns'): every materialized view in the
+        // namespace with its maintenance position — the fleet dashboard
+        // (which views exist, what they watch, how far behind). One
+        // directory listing + one manifest-meta read per view; no data
+        // touched.
+        new MaintenanceProc("mvs", Seq(
+          inParam("namespace", StringType))) {
+          override def call(input: InternalRow) = {
+            val ns = input.getString(0).split('.').filter(_.nonEmpty)
+            val rows = listTables(ns).toSeq.flatMap { ident =>
+              val root = pathOf(ident).toString
+              if (!java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(root, "_log", "mv.def"))) Nil
+              else {
+                val d = graft.operators.MaterializedView
+                  .definition(spark, root)
+                val src = TxLogTable(spark, d.source)
+                val last = graft.operators.MaterializedView
+                  .lastSourceVersion(TxLogTable(spark, root))
+                val head = src.latestVersion.getOrElse(-1)
+                Seq(InternalRow(
+                  UTF8String.fromString(
+                    (ns :+ ident.name).mkString(".")),
+                  UTF8String.fromString(d.name), last, head,
+                  math.max(0, head - last)))
+              }
+            }
+            resultScan(StructType(Seq(
+              StructField("table", StringType),
+              StructField("name", StringType),
+              StructField("consumed_version", IntegerType),
+              StructField("source_head", IntegerType),
+              StructField("behind", IntegerType))), rows)
           }
         }
       case "remove_orphans" =>
