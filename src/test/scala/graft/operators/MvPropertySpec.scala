@@ -35,6 +35,7 @@ class MvPropertySpec extends AnyFunSuite {
   private case class UpdatePos(ks: List[Long]) extends Op
   private case class MorDrop(ks: List[Long]) extends Op
   private case object Compact extends Op
+  private case object Vac extends Op
   private case object Refresh extends Op
 
   private val rowsGen: Gen[List[(Long, Double)]] =
@@ -54,6 +55,7 @@ class MvPropertySpec extends AnyFunSuite {
     2 -> ksGen.map(UpdatePos),
     2 -> ksGen.map(MorDrop),
     1 -> Gen.const(Compact),
+    1 -> Gen.const(Vac),
     3 -> Gen.const(Refresh))
 
   private val programGen: Gen[List[Op]] = for {
@@ -133,6 +135,8 @@ class MvPropertySpec extends AnyFunSuite {
             fact.deleteByKeysMor(ks.toDF("k").distinct())
           case Compact =>
             if (fact.latestVersion.nonEmpty) fact.compact(schema)
+          case Vac =>
+            fact.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
           case Refresh =>
             if (!created) {
               MaterializedView.createJoined(spark, mvRoot, s"j$seed",
@@ -173,6 +177,11 @@ class MvPropertySpec extends AnyFunSuite {
             src.deleteByKeysMor(ks.toDF("k").distinct())
           case Compact =>
             if (src.latestVersion.nonEmpty) src.compact(schema)
+          case Vac =>
+            // an aggressive vacuum: the view's cursor (once it exists)
+            // floors the drop, so the un-consumed window must survive
+            // and the next refresh stay exact
+            src.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
           case Refresh =>
             if (!created) {
               MaterializedView.create(spark, mvRoot, s"p$seed", src,
