@@ -63,6 +63,13 @@ import graft.sources.TxLogTable
   * (`mv:<name>`) on the SOURCE at its consumed version — the same floor
   * streaming checkpoints use — so the feed window can never be vacuumed
   * away underneath a lagging view.
+  *
+  * View maintenance: refreshes accrue positional-delete masks on the
+  * view until `compact`/`optimize` folds them (the standard DV
+  * tradeoff; past `maxDvMaskRows` a refresh refuses with that exact
+  * instruction). Layout rewrites are expressly NOT tampering — the
+  * engine-maintained head check admits [[TxLogTable.RewriteOps]], so
+  * `CALL system.compact/optimize/vacuum` on a view are routine.
   */
 object MaterializedView {
 

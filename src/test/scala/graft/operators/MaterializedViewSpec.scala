@@ -158,6 +158,33 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
   }
 
+  test("view maintenance: compacting the MV folds its accrued DV masks " +
+    "and refresh continues exactly — RewriteOps are not tampering") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (2L, "b", 2.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "cpt", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    val mv = TxLogTable(spark, mvRoot)
+    val d = MaterializedView.definition(spark, mvRoot)
+    // several refreshes accrue DV masks on the view
+    (1 to 3).foreach { i =>
+      src.commit(df((1L, "a", i.toDouble)), overwrite = false)
+      assert(MaterializedView.refresh(spark, mvRoot).mode ===
+        "incremental")
+    }
+    assert(mv.dvsOf(mv.latestVersion.get).nonEmpty,
+      "refreshes must have accrued a positional mask")
+    // the standard maintenance: compact folds every mask; the refresh
+    // guard allows RewriteOps at head (maintenance is not tampering)
+    mv.compact(d.mvSchema)
+    assert(mv.dvsOf(mv.latestVersion.get).isEmpty,
+      "compact must fold the masks")
+    src.commit(df((2L, "b", 9.0)), overwrite = false)
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental", st)
+    assert(mvRows(mvRoot) === recompute(src))
+  }
+
   test("raw DML on the view is detected and refused at refresh") {
     val (src, mvRoot) = fresh()
     src.commit(df((1L, "a", 1.0)), overwrite = true)
