@@ -177,9 +177,15 @@ object MaterializedView {
         } }.getOrElse(Nil),
       kvs.collectFirst { case ("dimProj", v) => v },
       kvs.collect { case ("min", v) =>
-        val i = v.indexOf(':'); v.substring(0, i) -> v.substring(i + 1) },
+        val i = v.indexOf(':')
+        require(i > 0, s"malformed mv.def min: $v")
+        v.substring(0, i) -> v.substring(i + 1)
+      },
       kvs.collect { case ("max", v) =>
-        val i = v.indexOf(':'); v.substring(0, i) -> v.substring(i + 1) })
+        val i = v.indexOf(':')
+        require(i > 0, s"malformed mv.def max: $v")
+        v.substring(0, i) -> v.substring(i + 1)
+      })
   }
 
   /** The masked reads under a snapshot or feed need the table's MOR
@@ -398,7 +404,14 @@ object MaterializedView {
     * MV's own log (progress and data are one commit, so this never lies).
     */
   def lastSourceVersion(mv: TxLogTable): Int =
-    mv.versions.reverse.iterator
+    lastSourceVersionAt(mv, Int.MaxValue)
+
+  /** [[lastSourceVersion]] as of MV version `upTo` — the refresh fold
+    * pins the MV head once and reads progress AT that head, so a
+    * concurrent refresh committing mid-fold cannot desynchronize the
+    * (base state, consumed version) pair the fold is anchored on. */
+  private[graft] def lastSourceVersionAt(mv: TxLogTable, upTo: Int): Int =
+    mv.versions.reverse.iterator.filter(_ <= upTo)
       .flatMap(v => mv.metaOf(v, "mvsrc").flatMap(_.toIntOption))
       .nextOption()
       .getOrElse(throw new IllegalStateException(
@@ -407,42 +420,76 @@ object MaterializedView {
   /** Dim version the view last pinned (joined views only) — the newest
     * `#mvdim=` in the MV's own log. */
   def lastDimVersion(mv: TxLogTable): Int =
-    mv.versions.reverse.iterator
+    lastDimVersionAt(mv, Int.MaxValue)
+
+  private[graft] def lastDimVersionAt(mv: TxLogTable, upTo: Int): Int =
+    mv.versions.reverse.iterator.filter(_ <= upTo)
       .flatMap(v => mv.metaOf(v, "mvdim").flatMap(_.toIntOption))
       .nextOption()
       .getOrElse(throw new IllegalStateException(
         s"MV at ${mv.root} has no recorded #mvdim — not a joined view"))
 
+  /** Test seam for the refresh race: invoked once per incremental
+    * attempt after the fold is anchored (head + consumed version pinned)
+    * and before the commit — a test injects a competing refresh here to
+    * prove the loser detects the moved head and retries instead of
+    * double-folding. Production value is a no-op. */
+  private[graft] var betweenFoldAndCommitHook: () => Unit = () => ()
+
   /** One refresh: fold the source's change feed over
     * `(last consumed, head]` into the view — or recompute when the range
     * crosses a reset, the pinned dimension moved, or `full = true`.
     * No-op when already current.
+    *
+    * Concurrency: the fold is anchored on ONE pinned MV version — base
+    * state, consumed source version and pinned dim version are all read
+    * AT that version — and the commit refuses if the view's head moved
+    * off it (a racing refresh/compact won). The loser retries from
+    * scratch against the winner's state, so the same source window can
+    * never be folded twice onto already-folded state.
     */
   def refresh(spark: SparkSession, mvRoot: String,
               full: Boolean = false): RefreshStats = {
+    var attempt = 0
+    while (attempt < 5) {
+      try return refreshOnce(spark, mvRoot, full)
+      catch { case _: TxLogTable.ConcurrentHeadMoved => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"MV refresh lost the head race 5 times: $mvRoot — a competing " +
+        "maintainer is refreshing this view continuously")
+  }
+
+  private def refreshOnce(spark: SparkSession, mvRoot: String,
+                          full: Boolean): RefreshStats = {
     val d = definition(spark, mvRoot)
     val mv = TxLogTable(spark, mvRoot)
     val src = TxLogTable(spark, d.source)
+    // THE pin: every read of the view below (head-op check, consumed
+    // version, dim pin, base snapshot) is at this version, and the
+    // commit is conditional on the head still being it
+    val mvHead = mv.latestVersion.getOrElse(
+      throw new IllegalStateException(
+        s"MV at $mvRoot has no committed version — not a created view"))
     // the MV is engine-maintained: raw DML on it diverges from the
     // definition silently, so a refresh of a tampered view refuses
-    mv.latestVersion.foreach { h =>
-      val hop = mv.opOf(h)
+    locally {
+      val hop = mv.opOf(mvHead)
       require(hop.exists(o => MvOps(o) || TxLogTable.RewriteOps(o)),
         s"MV head op ${hop.getOrElse("?")} is not engine-maintained: " +
           "drop and recreate the view")
     }
-    val last = lastSourceVersion(mv)
+    val last = lastSourceVersionAt(mv, mvHead)
     val head = src.latestVersion.getOrElse(-1)
     require(head >= last,
       s"source at v$head is BEHIND the view's consumed v$last — was the " +
         "source recreated in place? drop and recreate the view")
     val dimT = d.dim.map(TxLogTable(spark, _))
-    val lastDim = dimT.map(_ => lastDimVersion(mv))
+    val lastDim = dimT.map(_ => lastDimVersionAt(mv, mvHead))
     val dimHead = dimT.map(_.latestVersion.getOrElse(-1))
     val dimMoved = lastDim.zip(dimHead).exists { case (a, b) => a != b }
     if (head == last && !dimMoved)
-      return RefreshStats("noop", last, head, 0,
-        mv.latestVersion.getOrElse(-1))
+      return RefreshStats("noop", last, head, 0, mvHead)
     // pinned projection must still match the source (rename/widen of a
     // projected column is a definition change, not a refresh)
     val proj = d.projSchema
@@ -560,7 +607,7 @@ object MaterializedView {
         throw new IllegalStateException(
           s"delete-mor v${dr.v} committed no tombstone")).localCheckpoint())
     }
-    val mvSnap = mv.snapshot(d.mvSchema, None)
+    val mvSnap = mv.snapshot(d.mvSchema, Some(mvHead))
     def nullSafe(l: DataFrame, r: DataFrame, cols: Seq[String]) =
       cols.map(c => l(c) <=> r(c)).reduce(_ && _)
     // affected groups: every key a fold touched, plus every CURRENT view
@@ -576,8 +623,7 @@ object MaterializedView {
     val kAll = keyFrames.reduce(_.unionByName(_)).distinct()
       .localCheckpoint()
     if (kAll.isEmpty) // walked versions touched nothing the view sees
-      return RefreshStats("noop", last, head, 0,
-        mv.latestVersion.getOrElse(-1))
+      return RefreshStats("noop", last, head, 0, mvHead)
     val measureCols =
       (d.sums.map(_._1) ++ d.mins.map(_._1) ++ d.maxs.map(_._1)) :+
         CountCol
@@ -606,11 +652,17 @@ object MaterializedView {
       .localCheckpoint()
     val zeros = kAll.join(newRows, nullSafe(kAll, newRows, d.groupCols),
       "left_anti")
+    betweenFoldAndCommitHook()
     val stats = mv.upsertPos(d.mvSchema, newRows, d.groupCols,
       dropKeys = Some(zeros), op = "mv-refresh",
       extraMeta = Seq(s"#mvsrc=$head") ++
-        lastDim.map(x => s"#mvdim=$x"))
-    src.registerCursor(d.cursorName, head)
+        lastDim.map(x => s"#mvdim=$x"),
+      expectHead = Some(mvHead))
+    // the vacuum floor advances ONLY when the refresh actually committed
+    // a new #mvsrc: an all-cancelling window (every affected group
+    // created and fully deleted inside it) no-ops the upsert, and the
+    // cursor must then keep guarding the still-unconsumed feed window
+    if (stats.version > mvHead) src.registerCursor(d.cursorName, head)
     RefreshStats("incremental", last, head, kAll.count(), stats.version)
   }
 }

@@ -761,6 +761,16 @@ object TxLogTable {
   final case class MergeStats(version: Int, rewritten: Int, carried: Int,
                               dropped: Int = 0)
 
+  /** Thrown by a head-conditional commit ([[TxLogTable.upsertPos]] with
+    * `expectHead`) when the table's head moved off the version the
+    * caller's read state was anchored on — the signal a stateful
+    * read-fold-write consumer (the MV refresh) uses to retry its WHOLE
+    * fold against the winner's state instead of committing a delta
+    * computed from a stale base (lost-update/double-fold prevention).
+    */
+  final class ConcurrentHeadMoved(msg: String)
+    extends IllegalStateException(msg)
+
   // Tolerant stats parse: a malformed `col=min:max` token yields no entry
   // instead of a MatchError — a reader must never fail the whole table over
   // one unparseable stats token (missing stats merely mean "cannot prune").
@@ -5081,7 +5091,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
                 dropKeys: Option[DataFrame] = None,
                 op: String = "upsert-dv",
                 extraMeta: Seq[String] = Nil,
-                maxAttempts: Int = 10): TxLogTable.MergeStats = {
+                maxAttempts: Int = 10,
+                expectHead: Option[Int] = None): TxLogTable.MergeStats = {
     import org.apache.spark.sql.functions.{broadcast, count, count_if,
       max => fmax, min => fmin, substring}
     require(keyCols.nonEmpty, "upsertPos needs at least one key column")
@@ -5132,6 +5143,17 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
+      // head-conditional commit: the caller's newRows/dropKeys were
+      // computed from state AT expectHead — any other head means a
+      // concurrent commit won and this delta is stale, so refuse here
+      // (before staging) rather than land a lost update
+      expectHead.foreach { eh =>
+        if (!base.contains(eh))
+          throw new TxLogTable.ConcurrentHeadMoved(
+            s"$op expected head v$eh but found " +
+              s"v${base.getOrElse(-1)}: a concurrent commit moved the " +
+              s"head — recompute the delta against the new state: $root")
+      }
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val lines = base.map(dataLines).getOrElse(Nil)
       val cmap = inheritedColMap

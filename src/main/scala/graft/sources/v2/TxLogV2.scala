@@ -1674,17 +1674,24 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               if (!java.nio.file.Files.exists(
                   java.nio.file.Paths.get(root, "_log", "mv.def"))) Nil
               else {
-                val d = graft.operators.MaterializedView
-                  .definition(spark, root)
-                val src = TxLogTable(spark, d.source)
-                val last = graft.operators.MaterializedView
-                  .lastSourceVersion(TxLogTable(spark, root))
-                val head = src.latestVersion.getOrElse(-1)
-                Seq(InternalRow(
-                  UTF8String.fromString(
-                    (ns :+ ident.name).mkString(".")),
-                  UTF8String.fromString(d.name), last, head,
-                  math.max(0, head - last)))
+                // one broken view (vacuumed-away #mvsrc, half-created
+                // mv.def, missing source) must not take down the fleet
+                // dashboard: flag it with consumed_version = -1 instead
+                scala.util.Try {
+                  val d = graft.operators.MaterializedView
+                    .definition(spark, root)
+                  val src = TxLogTable(spark, d.source)
+                  val last = graft.operators.MaterializedView
+                    .lastSourceVersion(TxLogTable(spark, root))
+                  val head = src.latestVersion.getOrElse(-1)
+                  InternalRow(
+                    UTF8String.fromString(
+                      (ns :+ ident.name).mkString(".")),
+                    UTF8String.fromString(d.name), last, head,
+                    math.max(0, head - last))
+                }.getOrElse(InternalRow(
+                  UTF8String.fromString((ns :+ ident.name).mkString(".")),
+                  UTF8String.fromString(ident.name), -1, -1, 0)) :: Nil
               }
             }
             resultScan(StructType(Seq(

@@ -3052,4 +3052,33 @@ class TxLogCatalogSpec extends AnyFunSuite {
     spark.sql("CALL txcat.system.vacuum('ns.curs', 1, 0, 0)").collect()
     assert(t.versions == Seq(3))
   }
+
+  test("CALL system.mvs survives one broken view: the row is flagged " +
+    "with consumed_version = -1 instead of failing the whole listing") {
+    spark.sql("DROP TABLE IF EXISTS txcat.mvls.src_t")
+    spark.sql("DROP TABLE IF EXISTS txcat.mvls.good_mv")
+    spark.sql("DROP TABLE IF EXISTS txcat.mvls.broken")
+    spark.sql(
+      "CREATE TABLE txcat.mvls.src_t (k BIGINT, v DOUBLE) USING txlog")
+    spark.sql("INSERT INTO txcat.mvls.src_t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("CALL txcat.system.create_mv('mvls.good_mv', " +
+      "'mvls.src_t', 'k', 'total:v')").collect()
+    // a half-created view: mv.def exists but the table never committed
+    // an #mvsrc (simulates a crash between mv.def write and the first
+    // commit, or a history vacuumed down past every refresh)
+    spark.sql(
+      "CREATE TABLE txcat.mvls.broken (k BIGINT, n BIGINT) USING txlog")
+    val broken = java.nio.file.Paths.get(s"$warehouse/mvls/broken")
+    java.nio.file.Files.write(broken.resolve("_log").resolve("mv.def"),
+      ("name=broken\nsource=" + s"$warehouse/mvls/src_t" +
+        "\ngroupCols=k\nsum=n:v\nproj=k BIGINT,v DOUBLE\n")
+        .getBytes("UTF-8"))
+    val rows = spark.sql("CALL txcat.system.mvs('mvls')").collect()
+    val byTable = rows.map(r => r.getString(0) ->
+      (r.getString(1), r.getInt(2))).toMap
+    assert(byTable("mvls.good_mv")._1.endsWith("good_mv") &&
+      byTable("mvls.good_mv")._2 >= 0, rows.mkString(","))
+    assert(byTable("mvls.broken")._2 == -1,
+      s"broken view must be flagged, not fatal: ${rows.mkString(",")}")
+  }
 }
