@@ -85,7 +85,17 @@ object MaterializedView {
   /** A view definition: `sums` maps output column → summed source column;
     * `projDdl` pins the projected source schema (names AND types) at
     * create time — a later rename/widen of a projected source column is a
-    * loud refresh refusal, not silent drift. */
+    * loud refresh refusal, not silent drift.
+    *
+    * `derives` are ROW-LOCAL computed columns `(name, typeDdl, sqlExpr)`
+    * applied after the dim join and before the filter: each is a pure
+    * function of one row, so it commutes with the change feed and the
+    * incremental-fold proof carries unchanged. They serve two ends:
+    * computed group keys (`date_trunc` rollups — the most common
+    * production MV shape) and SKETCH state (an HLL register view groups
+    * by a derived hash bucket with a derived rank measure; a power-of-2
+    * histogram view groups by a derived bit-length bucket). The type is
+    * resolved once at create time and pinned in mv.def. */
   final case class MvDef(name: String, source: String,
                          groupCols: Seq[String],
                          sums: Seq[(String, String)],
@@ -95,7 +105,8 @@ object MaterializedView {
                          dimJoin: Seq[(String, String)] = Nil,
                          dimProjDdl: Option[String] = None,
                          mins: Seq[(String, String)] = Nil,
-                         maxs: Seq[(String, String)] = Nil) {
+                         maxs: Seq[(String, String)] = Nil,
+                         derives: Seq[(String, String, String)] = Nil) {
     def projSchema: StructType = StructType.fromDDL(projDdl)
     def dimProjSchema: Option[StructType] =
       dimProjDdl.map(StructType.fromDDL)
@@ -103,7 +114,10 @@ object MaterializedView {
     def dimCursorName: String = s"mv:$name#dim"
     def mvSchema: StructType = {
       val fields = projSchema.fields ++
-        dimProjSchema.map(_.fields).getOrElse(Array.empty[StructField])
+        dimProjSchema.map(_.fields).getOrElse(Array.empty[StructField]) ++
+        derives.map { case (n, t, _) =>
+          StructField(n, org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseDataType(t)) }
       def typed(src: String): org.apache.spark.sql.types.DataType =
         fields.find(_.name == src).get.dataType
       StructType(
@@ -142,6 +156,7 @@ object MaterializedView {
       d.sums.map { case (out, src) => s"sum=$out:$src" } ++
       d.mins.map { case (out, src) => s"min=$out:$src" } ++
       d.maxs.map { case (out, src) => s"max=$out:$src" } ++
+      d.derives.map { case (n, t, e) => s"derive=$n:$t:$e" } ++
       d.filterExpr.map(f => s"filter=$f") ++
       d.dim.map(r => s"dim=$r") ++
       (if (d.dimJoin.isEmpty) Nil
@@ -185,6 +200,15 @@ object MaterializedView {
         val i = v.indexOf(':')
         require(i > 0, s"malformed mv.def max: $v")
         v.substring(0, i) -> v.substring(i + 1)
+      },
+      kvs.collect { case ("derive", v) =>
+        // name:typeDdl:expr — name and type are ':'-free by the create
+        // validation; the expr may contain anything single-line
+        val i = v.indexOf(':')
+        require(i > 0, s"malformed mv.def derive: $v")
+        val j = v.indexOf(':', i + 1)
+        require(j > i + 1, s"malformed mv.def derive: $v")
+        (v.substring(0, i), v.substring(i + 1, j), v.substring(j + 1))
       })
   }
 
@@ -234,7 +258,16 @@ object MaterializedView {
       case _ => throw new IllegalStateException(
         "dim snapshot must be supplied exactly when the view has a dim")
     }
-    filtered(joined, d)
+    // row-local derived columns (after the join so they may combine both
+    // sides, before the filter so the filter may reference them); the
+    // pinned type is re-asserted so a function whose result type drifted
+    // across an engine upgrade fails loudly instead of folding mixed types
+    val derived = d.derives.foldLeft(joined) { case (acc, (n, t, e)) =>
+      acc.withColumn(n, expr(e).cast(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(t)))
+    }
+    filtered(derived, d)
   }
 
   private def checkDimUnique(dimSnap: DataFrame, keys: Seq[String]): Unit = {
@@ -267,9 +300,10 @@ object MaterializedView {
              groupCols: Seq[String], sums: Seq[(String, String)],
              filterExpr: Option[String] = None,
              mins: Seq[(String, String)] = Nil,
-             maxs: Seq[(String, String)] = Nil): Int =
+             maxs: Seq[(String, String)] = Nil,
+             derives: Seq[(String, String)] = Nil): Int =
     createImpl(spark, mvRoot, name, source, srcSchema, None, groupCols,
-      sums, filterExpr, mins, maxs)
+      sums, filterExpr, mins, maxs, derives)
 
   /** Create a STAR-SCHEMA view: `fact JOIN dim ON joinOn` (inner,
     * broadcast — the dim must be unique on its join keys) grouped and
@@ -287,10 +321,11 @@ object MaterializedView {
                    groupCols: Seq[String], sums: Seq[(String, String)],
                    filterExpr: Option[String] = None,
                    mins: Seq[(String, String)] = Nil,
-                   maxs: Seq[(String, String)] = Nil): Int =
+                   maxs: Seq[(String, String)] = Nil,
+                   derives: Seq[(String, String)] = Nil): Int =
     createImpl(spark, mvRoot, name, fact, factSchema,
       Some((dim, dimSchema, joinOn)), groupCols, sums, filterExpr,
-      mins, maxs)
+      mins, maxs, derives)
 
   private def createImpl(spark: SparkSession, mvRoot: String, name: String,
                          source: TxLogTable, srcSchema: StructType,
@@ -300,10 +335,11 @@ object MaterializedView {
                          sums: Seq[(String, String)],
                          filterExpr: Option[String],
                          mins: Seq[(String, String)],
-                         maxs: Seq[(String, String)]): Int = {
+                         maxs: Seq[(String, String)],
+                         derives: Seq[(String, String)] = Nil): Int = {
     require(groupCols.nonEmpty, "an MV needs at least one group column")
-    require(sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
-      "an MV needs at least one measure (sum/min/max)")
+    // count-only views (GROUP BY keys with just mv_count — the histogram
+    // shape) are legitimate: mv_count is itself the measure
     require(!mvRoot.contains(TxLogTable.BranchSep),
       "an MV root is a plain table path, not a branch handle")
     val measures = sums ++ mins ++ maxs
@@ -316,8 +352,27 @@ object MaterializedView {
     require(!name.exists(",:=\n".contains(_)) && name.nonEmpty,
       s"MV name '$name' must be non-empty and delimiter-free")
     val dimSchema = dimSpec.map(_._2)
-    // every referenced column must live on exactly one side
-    def checkRef(c: String): Unit = {
+    val deriveNames = derives.map(_._1)
+    require(deriveNames.distinct == deriveNames,
+      s"MV derive names collide: ${deriveNames.mkString(", ")}")
+    derives.foreach { case (n, e) =>
+      require(n.nonEmpty && !n.exists(",:=\n".contains(_)),
+        s"MV derive name '$n' must be non-empty and delimiter-free")
+      require(!e.contains('\n'), s"MV derive '$n' must be a single line")
+      require(!srcSchema.fieldNames.contains(n) &&
+        !dimSchema.exists(_.fieldNames.contains(n)),
+        s"MV derive '$n' shadows a source column")
+    }
+    def refsOf(e: String, what: String): Seq[String] =
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          require(a.nameParts.length == 1,
+            s"MV $what must use simple column names, got ${a.name}")
+          a.nameParts.head
+      }.distinct
+    // every referenced SOURCE column must live on exactly one side;
+    // group/measure/filter references may also resolve to a derive
+    def checkRef(c: String): Unit = if (!deriveNames.contains(c)) {
       val inF = srcSchema.fieldNames.contains(c)
       val inD = dimSchema.exists(_.fieldNames.contains(c))
       require(inF || inD,
@@ -330,16 +385,22 @@ object MaterializedView {
     // the change feed; its referenced columns join the pinned projection
     val filterRefs: Seq[String] = filterExpr.toSeq.flatMap { f =>
       require(!f.contains('\n'), "MV filter must be a single line")
-      spark.sessionState.sqlParser.parseExpression(f).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          require(a.nameParts.length == 1,
-            s"MV filter must use simple column names, got ${a.name}")
-          a.nameParts.head
-      }.distinct
+      refsOf(f, "filter")
     }
-    val referenced = (groupCols ++ measures.map(_._2) ++ filterRefs)
-      .distinct
-    referenced.foreach(checkRef)
+    // a derive reads RAW columns only (no chaining — keeps the def's
+    // dependency order trivial); its refs join the pinned projection
+    val deriveRefs: Seq[String] = derives.flatMap { case (n, e) =>
+      val rs = refsOf(e, s"derive $n")
+      rs.foreach(r => require(!deriveNames.contains(r),
+        s"MV derive '$n' references derive '$r' — derives read source " +
+          "columns only"))
+      rs
+    }.distinct
+    val referenced =
+      (groupCols ++ measures.map(_._2) ++ filterRefs ++ deriveRefs)
+        .distinct.filterNot(deriveNames.contains)
+    (groupCols ++ measures.map(_._2)).foreach(checkRef)
+    (filterRefs ++ deriveRefs).foreach(checkRef)
     dimSpec.foreach { case (_, ds, joinOn) =>
       require(joinOn.nonEmpty, "a joined view needs at least one join key")
       joinOn.foreach { case (f, k) =>
@@ -369,10 +430,26 @@ object MaterializedView {
     val dimHead = dimSpec.map(_._1.latestVersion.getOrElse(
       throw new IllegalArgumentException(
         "MV dim table has no committed version yet")))
+    // resolve and PIN each derive's result type now: the mv.def records
+    // name:type:expr, so every later fold re-asserts the create-time type
+    val derivesTyped: Seq[(String, String, String)] = if (derives.isEmpty)
+      Nil
+    else {
+      val base = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(proj.fields ++
+          dimProj.map(_.fields).getOrElse(Array.empty[StructField])))
+      derives.map { case (n, e) =>
+        val t = base.select(expr(e).as(n)).schema.head.dataType
+        require(!t.sql.contains(':'),
+          s"MV derive '$n' has a type with a wire delimiter: ${t.sql}")
+        (n, t.sql, e)
+      }
+    }
     val d = MvDef(name, source.root, groupCols, sums, proj.toDDL,
       filterExpr, dimSpec.map(_._1.root),
       dimSpec.map(_._3).getOrElse(Nil), dimProj.map(_.toDDL),
-      mins, maxs)
+      mins, maxs, derivesTyped)
     val dimSnap = dimSpec.map(x => x._1.snapshot(dimProj.get, dimHead))
     dimSnap.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
     val mv = TxLogTable(spark, mvRoot)
@@ -664,5 +741,139 @@ object MaterializedView {
     // cursor must then keep guarding the still-unconsumed feed window
     if (stats.version > mvHead) src.registerCursor(d.cursorName, head)
     RefreshStats("incremental", last, head, kAll.count(), stats.version)
+  }
+
+  // ---- sketch views: COUNT(DISTINCT) and quantile measures -----------
+  // Built ENTIRELY on the derive machinery above — the sketch state is
+  // ordinary group rows, so the counting fold, the O(changed groups)
+  // upsert, exactly-once #mvsrc and the vacuum cursors all apply
+  // verbatim. The sketches are the engine's deterministic md5 family
+  // (graft.functions.Sketches): exact integer functions of the value
+  // multiset, reproducible bit-for-bit by a SQL oracle.
+
+  /** The canonical derive exprs of an HLL distinct view over source
+    * column `c`: bucket = first md5 byte (256 cells), rank = leading
+    * zeros + 1 of the next 60 hash bits ([[graft.functions.Sketches
+    * .hllRegisters]], same integer math). */
+  private def hllExprs(c: String): (String, String) = {
+    val h = s"md5(CAST(`$c` AS STRING))"
+    val v = s"CAST(conv(substring($h, 3, 15), 16, 10) AS BIGINT)"
+    (s"CAST(conv(substring($h, 1, 2), 16, 10) AS BIGINT)",
+      s"CASE WHEN $v = 0 THEN CAST(61 AS BIGINT) " +
+        s"ELSE CAST(61 - length(bin($v)) AS BIGINT) END")
+  }
+
+  /** Create an APPROX-DISTINCT view: per `groupCols` group, the HLL
+    * register table of `distinctCol` — stored as rows
+    * `(groupCols…, <out>_bucket, <out> = max rank, mv_count)`, ≤ 256
+    * register rows per logical group. Registers are INSERT-ADDITIVE
+    * (new values only raise max ranks), so appends fold incrementally;
+    * any row-deleting source window costs one full recompute — the
+    * honest sketch contract (a departed value cannot lower a register).
+    * Read the per-group estimates with [[distinctEstimates]].
+    */
+  def createDistinct(spark: SparkSession, mvRoot: String, name: String,
+                     source: TxLogTable, srcSchema: StructType,
+                     groupCols: Seq[String], out: (String, String),
+                     filterExpr: Option[String] = None): Int = {
+    val (outCol, srcCol) = out
+    val bucket = s"${outCol}_bucket"
+    val (bExpr, rExpr) = hllExprs(srcCol)
+    val rankDerive = s"${outCol}_rank"
+    val filt = (filterExpr.map(f => s"($f)").toSeq :+
+      s"`$srcCol` IS NOT NULL").mkString(" AND ")
+    createImpl(spark, mvRoot, name, source, srcSchema, None,
+      groupCols :+ bucket, Nil, Some(filt), Nil,
+      maxs = Seq(outCol -> rankDerive),
+      derives = Seq(bucket -> bExpr, rankDerive -> rExpr))
+  }
+
+  /** Create a POWER-OF-2 HISTOGRAM view: per `groupCols` group, bucket =
+    * bit length of floor(`histCol`) with exact row counts — rows
+    * `(groupCols…, <bucketOut>, mv_count)`, ~64 buckets per group.
+    * Counts are FULLY additive (a delete decrements its bucket, a bucket
+    * leaves the view at 0), so the view folds incrementally under EVERY
+    * DML shape — this is an exact integer function of the multiset, not
+    * an approximation; only the derived quantile read is ±1 power of 2.
+    * Read quantiles with [[histQuantiles]].
+    */
+  def createHist(spark: SparkSession, mvRoot: String, name: String,
+                 source: TxLogTable, srcSchema: StructType,
+                 groupCols: Seq[String], out: (String, String),
+                 filterExpr: Option[String] = None): Int = {
+    val (outCol, srcCol) = out
+    val filt = (filterExpr.map(f => s"($f)").toSeq :+
+      s"`$srcCol` IS NOT NULL AND `$srcCol` >= 0").mkString(" AND ")
+    createImpl(spark, mvRoot, name, source, srcSchema, None,
+      groupCols :+ outCol, Nil, Some(filt), Nil, Nil,
+      derives = Seq(outCol ->
+        s"CAST(length(bin(CAST(floor(`$srcCol`) AS BIGINT))) AS BIGINT)"))
+  }
+
+  // the derived bucket key and the plain (non-derived) group keys of a
+  // sketch view, from its recorded definition
+  private def sketchKeys(d: MvDef): (String, Seq[String]) = {
+    val dn = d.derives.map(_._1).toSet
+    val bucket = d.groupCols.filter(dn.contains) match {
+      case Seq(b) => b
+      case other => throw new IllegalStateException(
+        s"${d.name} is not a sketch view (derived group keys: $other)")
+    }
+    (bucket, d.groupCols.filterNot(_ == bucket))
+  }
+
+  /** Per-group distinct-count estimates of a [[createDistinct]] view —
+    * a DISTRIBUTED aggregate over the register rows (≤256 per group, so
+    * the shuffle is |groups|-sized): the standard HLL estimator with
+    * the small-range linear-counting correction, matching
+    * [[graft.functions.Sketches.hllEstimate]] bucket-for-bucket.
+    */
+  def distinctEstimates(spark: SparkSession, mvRoot: String): DataFrame = {
+    val d = definition(spark, mvRoot)
+    val (bucket, keys) = sketchKeys(d)
+    require(d.maxs.nonEmpty, s"${d.name} is not a distinct view")
+    val rank = d.maxs.head._1
+    val m = graft.functions.Sketches.HllBuckets
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val snap = TxLogTable(spark, mvRoot).snapshot(d.mvSchema)
+    val agg = snap.groupBy(keys.map(col): _*)
+      .agg(count(col(bucket)).as("__nb"),
+        sum(pow(lit(2.0), -col(rank).cast("double"))).as("__s"))
+    val sumT = col("__s") + (lit(m.toDouble) - col("__nb")) // absent = 2^0
+    val raw = lit(alpha * m * m) / sumT
+    val zeros = lit(m.toDouble) - col("__nb")
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+    agg.select(keys.map(col) :+ est.as("distinct_est"): _*)
+  }
+
+  /** Per-group `q`-quantile estimates of a [[createHist]] view — a
+    * window walk over each group's ~64 bucket rows: the first bucket
+    * whose cumulative count reaches ceil(q·total), read at its bucket
+    * range's geometric midpoint (within 2× by construction, matching
+    * [[graft.functions.Sketches.histQuantile]]).
+    */
+  def histQuantiles(spark: SparkSession, mvRoot: String,
+                    q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile $q")
+    val d = definition(spark, mvRoot)
+    val (bucket, keys) = sketchKeys(d)
+    val snap = TxLogTable(spark, mvRoot).snapshot(d.mvSchema)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(bucket))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val cum = sum(col(CountCol)).over(wOrd)
+    val tot = sum(col(CountCol)).over(wAll)
+    val target = greatest(ceil(lit(q) * tot), lit(1L))
+    val hit = snap.select(keys.map(col) ++ Seq(col(bucket),
+      cum.as("__cum"), target.as("__t")): _*)
+      .where(col("__cum") >= col("__t"))
+      .groupBy(keys.map(col): _*).agg(min(col(bucket)).as("__b"))
+    val lo = when(col("__b") <= 1, lit(0.0))
+      .otherwise(pow(lit(2.0), col("__b").cast("double") - 1))
+    val hi = pow(lit(2.0), col("__b").cast("double"))
+    hit.select(keys.map(col) :+
+      ((lo + hi) / 2).as(s"q${(q * 100).round}_est"): _*)
   }
 }

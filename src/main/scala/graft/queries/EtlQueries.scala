@@ -1653,6 +1653,99 @@ object EtlQueries {
         "CAST(total AS DOUBLE) AS total, lo, hi FROM graftcat.db.mv_mm")
     }),
 
+    // APPROX-COUNT(DISTINCT) MV (CALL system.create_mv_distinct): the
+    // view IS the per-group HLL register table — (group, md5 bucket,
+    // max rank) rows built on the generic row-local-derive machinery,
+    // so the O(changed groups) fold, exactly-once #mvsrc and vacuum
+    // cursors apply verbatim. Registers are insert-additive: appends
+    // fold incrementally (r1, r3), a deleting window pays exactly one
+    // recompute because a departed value cannot lower a register (r2
+    // pinned "full" — the honest sketch contract). The oracle rebuilds
+    // the registers from the raw source with the same deterministic
+    // integer math (md5 → bucket/rank), so sketch-fold ≡ recompute is
+    // hash-checked bit-for-bit; the float estimate (CALL
+    // system.mv_distinct) stays off the hashed path by design.
+    "sql_mv_distinct" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_dst_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_dst")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_dst")
+      s.sql("CREATE TABLE graftcat.db.ev_dst (event_id BIGINT, " +
+        "grp BIGINT, val BIGINT) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_dst SELECT event_id, " +
+        "user_id % 8, event_id FROM ev_dst_src WHERE event_id % 3 = 0")
+      s.sql("CALL graftcat.system.create_mv_distinct('db.mv_dst', " +
+        "'db.ev_dst', 'grp', 'uids:val')").collect()
+      s.sql("INSERT INTO graftcat.db.ev_dst SELECT event_id, " +
+        "user_id % 8, event_id FROM ev_dst_src WHERE event_id % 3 = 1")
+      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head
+      require(r1.getString(0) == "incremental",
+        s"appends must fold into HLL registers: $r1")
+      s.sql("DELETE FROM graftcat.db.ev_dst WHERE val % 7 = 0")
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head
+      require(r2.getString(0) == "full",
+        s"a deleting window cannot lower a register — must recompute: $r2")
+      s.sql("INSERT INTO graftcat.db.ev_dst SELECT event_id, " +
+        "user_id % 8, event_id FROM ev_dst_src WHERE event_id % 3 = 2")
+      val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head
+      require(r3.getString(0) == "incremental",
+        s"appends fold again after the recompute: $r3")
+      // the estimate read face: within HLL tolerance of the exact count
+      val est = s.sql("CALL graftcat.system.mv_distinct('db.mv_dst')")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exact = s.sql("SELECT grp, count(DISTINCT val) " +
+        "FROM graftcat.db.ev_dst GROUP BY grp").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.foreach { case (g, n) =>
+        require(math.abs(est(g) - n) / math.max(n, 1L) < 0.25,
+          s"grp=$g exact=$n est=${est(g)} — estimator off tolerance")
+      }
+      s.sql("SELECT grp, uids_bucket AS bucket, uids AS r, " +
+        "mv_count AS n FROM graftcat.db.mv_dst")
+    }),
+
+    // POWER-OF-2 HISTOGRAM MV (CALL system.create_mv_hist): bucket =
+    // bit length of floor(value) with EXACT counts — fully additive
+    // state, so unlike the register view this folds incrementally
+    // under deletes too (r2 pinned "incremental": the departed row
+    // just decrements its bucket, a bucket leaves the view at 0). The
+    // histogram is an exact integer function of the multiset — the
+    // oracle recomputes it directly and the hash check is exact; only
+    // the quantile read (CALL system.mv_quantile) is ±1 power of 2.
+    "sql_mv_hist" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_h_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_h")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_h")
+      s.sql("CREATE TABLE graftcat.db.ev_h (event_id BIGINT, " +
+        "grp BIGINT, val DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_h SELECT event_id, " +
+        "user_id % 8, value FROM ev_h_src WHERE event_id % 2 = 0")
+      s.sql("CALL graftcat.system.create_mv_hist('db.mv_h', " +
+        "'db.ev_h', 'grp', 'vb:val')").collect()
+      s.sql("INSERT INTO graftcat.db.ev_h SELECT event_id, " +
+        "user_id % 8, value FROM ev_h_src WHERE event_id % 2 = 1")
+      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_h')").head
+      require(r1.getString(0) == "incremental",
+        s"appends must fold into bucket counts: $r1")
+      s.sql("DELETE FROM graftcat.db.ev_h WHERE val > 300")
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_h')").head
+      require(r2.getString(0) == "incremental",
+        s"histogram counts are fully additive — deletes must fold: $r2")
+      // quantile read face: within one power of 2 of the exact median
+      val q = s.sql(
+        "CALL graftcat.system.mv_quantile('db.mv_h', 0.5)").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exactQ = s.sql("SELECT grp, percentile(val, 0.5) FROM " +
+        "graftcat.db.ev_h WHERE val >= 0 GROUP BY grp").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      exactQ.foreach { case (g, m) =>
+        require(q(g) >= m / 2 - 1 && q(g) <= m * 2 + 1,
+          s"grp=$g exact=$m est=${q(g)} — outside the 2x contract")
+      }
+      s.sql("SELECT grp, vb, mv_count AS n FROM graftcat.db.mv_h")
+    }),
+
     // STAR-SCHEMA MV (CALL system.create_mv_joined): the view is
     // fact ⋈ dim (inner, broadcast, dim unique on its key) grouped by a
     // DIM attribute — fact DML folds incrementally against the PINNED
@@ -3820,6 +3913,33 @@ object EtlQueries {
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
            min(value) AS lo, max(value) AS hi
          FROM src GROUP BY user_id""",
+
+    "sql_mv_distinct" ->
+      """WITH src AS (
+           SELECT user_id % 8 AS grp, event_id AS val FROM events
+           WHERE (event_id % 3 IN (0, 1) AND event_id % 7 <> 0)
+              OR event_id % 3 = 2),
+         h AS (
+           SELECT grp, md5(CAST(val AS VARCHAR)) AS h FROM src
+           WHERE val IS NOT NULL),
+         b AS (
+           SELECT grp, CAST('0x' || substring(h, 1, 2) AS BIGINT)
+               AS bucket,
+             CAST('0x' || substring(h, 3, 15) AS BIGINT) AS v
+           FROM h)
+         SELECT grp, bucket,
+           MAX(CASE WHEN v = 0 THEN CAST(61 AS BIGINT)
+                    ELSE 61 - length(bin(v)) END) AS r,
+           CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY grp, bucket""",
+
+    "sql_mv_hist" ->
+      """SELECT user_id % 8 AS grp,
+           length(bin(CAST(floor(value) AS BIGINT))) AS vb,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events
+         WHERE value IS NOT NULL AND value >= 0 AND value <= 300
+         GROUP BY 1, 2""",
 
     "sql_mv_joined" ->
       """WITH f AS (

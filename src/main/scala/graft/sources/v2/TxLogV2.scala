@@ -513,6 +513,15 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         override def rows(): Array[InternalRow] = rs.toArray
       }).iterator()
 
+  // a CALL result carrying a (bounded, dashboard-sized) DataFrame
+  private def dfScan(df: org.apache.spark.sql.DataFrame): java.util
+      .Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(df.schema)
+    resultScan(df.schema,
+      df.collect().toSeq.map(r => conv(r).asInstanceOf[InternalRow]))
+  }
+
   private abstract class MaintenanceProc(procName: String,
                                          params: Seq[ProcedureParameter])
       extends UnboundProcedure with BoundProcedure {
@@ -539,7 +548,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch",
         "branch", "publish", "drop_branch", "branches",
         "create_mv", "create_mv_joined", "refresh_mv", "mv_status",
-        "mvs", "remove_orphans")
+        "mvs", "remove_orphans", "create_mv_distinct", "create_mv_hist",
+        "mv_distinct", "mv_quantile")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1521,7 +1531,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           inParam("source", StringType),
           inParam("group_cols", StringType),
           inParam("sums", StringType),
-          inParam("filter", StringType, Some("NULL")))) {
+          inParam("filter", StringType, Some("NULL")),
+          inParam("derives", StringType, Some("NULL")))) {
           override def call(input: InternalRow) = {
             val qname = input.getString(0)
             val parts = qname.split('.')
@@ -1538,9 +1549,19 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             val (sums, mins, maxs) = parseAggSpec(input.getString(3))
             val filt = if (input.isNullAt(4)) None
               else Some(input.getString(4))
+            // 'name:expr[;name2:expr2]' — row-local computed columns
+            // (date_trunc rollup keys and the like); ';'-separated so
+            // the exprs may contain commas
+            val derives = if (input.isNullAt(5)) Nil
+              else input.getString(5).split(';').toSeq.map(_.trim)
+                .filter(_.nonEmpty).map { t =>
+                  val i = t.indexOf(':')
+                  require(i > 0, s"derive spec must be name:expr, got $t")
+                  t.substring(0, i).trim -> t.substring(i + 1).trim
+                }
             val v = graft.operators.MaterializedView.create(spark,
               pathOf(vident).toString, qname, src, srcSchema, groups,
-              sums, filt, mins, maxs)
+              sums, filt, mins, maxs, derives)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("source_version", IntegerType))),
@@ -1701,6 +1722,108 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("source_head", IntegerType),
               StructField("behind", IntegerType))), rows)
           }
+        }
+      case "create_mv_distinct" =>
+        // CALL c.system.create_mv_distinct('ns.mv', 'ns.src', 'k1,k2',
+        // 'out:src' [, filter]): an APPROX-COUNT(DISTINCT) view — the
+        // per-group HLL register table of src, maintained by the same
+        // incremental fold as every MV (appends fold, deleting windows
+        // recompute: the honest sketch contract). Read estimates with
+        // CALL system.mv_distinct.
+        new MaintenanceProc("create_mv_distinct", Seq(
+          inParam("view", StringType),
+          inParam("source", StringType),
+          inParam("group_cols", StringType),
+          inParam("measure", StringType),
+          inParam("filter", StringType, Some("NULL")))) {
+          override def call(input: InternalRow) = {
+            val qname = input.getString(0)
+            val parts = qname.split('.')
+            require(parts.length >= 2 && parts.forall(_.nonEmpty),
+              s"create_mv_distinct view must be 'ns.table', got '$qname'")
+            val vident = Identifier.of(parts.init, parts.last)
+            require(!tableExists(vident),
+              s"MV destination already exists: $qname")
+            val src = tableByName(input.getString(1))
+            val srcSchema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(1)).schema)
+            val groups = input.getString(2).split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val m = input.getString(3)
+            val i = m.indexOf(':')
+            require(i > 0, s"measure must be out:src, got $m")
+            val filt = if (input.isNullAt(4)) None
+              else Some(input.getString(4))
+            val v = graft.operators.MaterializedView.createDistinct(
+              spark, pathOf(vident).toString, qname, src, srcSchema,
+              groups, m.substring(0, i).trim -> m.substring(i + 1).trim,
+              filt)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("source_version", IntegerType))),
+              Seq(InternalRow(v, src.latestVersion.getOrElse(-1))))
+          }
+        }
+      case "create_mv_hist" =>
+        // CALL c.system.create_mv_hist('ns.mv', 'ns.src', 'k1,k2',
+        // 'out:src' [, filter]): a power-of-2 HISTOGRAM view (bucket =
+        // bit length of floor(src), exact counts) — fully additive, so
+        // it folds incrementally under every DML shape. Read quantile
+        // estimates with CALL system.mv_quantile.
+        new MaintenanceProc("create_mv_hist", Seq(
+          inParam("view", StringType),
+          inParam("source", StringType),
+          inParam("group_cols", StringType),
+          inParam("measure", StringType),
+          inParam("filter", StringType, Some("NULL")))) {
+          override def call(input: InternalRow) = {
+            val qname = input.getString(0)
+            val parts = qname.split('.')
+            require(parts.length >= 2 && parts.forall(_.nonEmpty),
+              s"create_mv_hist view must be 'ns.table', got '$qname'")
+            val vident = Identifier.of(parts.init, parts.last)
+            require(!tableExists(vident),
+              s"MV destination already exists: $qname")
+            val src = tableByName(input.getString(1))
+            val srcSchema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(1)).schema)
+            val groups = input.getString(2).split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val m = input.getString(3)
+            val i = m.indexOf(':')
+            require(i > 0, s"measure must be out:src, got $m")
+            val filt = if (input.isNullAt(4)) None
+              else Some(input.getString(4))
+            val v = graft.operators.MaterializedView.createHist(
+              spark, pathOf(vident).toString, qname, src, srcSchema,
+              groups, m.substring(0, i).trim -> m.substring(i + 1).trim,
+              filt)
+            resultScan(StructType(Seq(
+              StructField("version", IntegerType),
+              StructField("source_version", IntegerType))),
+              Seq(InternalRow(v, src.latestVersion.getOrElse(-1))))
+          }
+        }
+      case "mv_distinct" =>
+        // CALL c.system.mv_distinct('ns.mv'): per-group distinct-count
+        // estimates from a create_mv_distinct view's registers — a
+        // |groups|-sized aggregate over the ≤256 register rows each.
+        new MaintenanceProc("mv_distinct", Seq(
+          inParam("view", StringType))) {
+          override def call(input: InternalRow) =
+            dfScan(graft.operators.MaterializedView.distinctEstimates(
+              spark, tableByName(input.getString(0)).root))
+        }
+      case "mv_quantile" =>
+        // CALL c.system.mv_quantile('ns.mv', q): per-group quantile
+        // estimates (±1 power of 2) from a create_mv_hist view.
+        new MaintenanceProc("mv_quantile", Seq(
+          inParam("view", StringType),
+          inParam("q", DoubleType))) {
+          override def call(input: InternalRow) =
+            dfScan(graft.operators.MaterializedView.histQuantiles(
+              spark, tableByName(input.getString(0)).root,
+              input.getDouble(1)))
         }
       case "remove_orphans" =>
         // CALL c.system.remove_orphans('ns.t' [, min_age_ms

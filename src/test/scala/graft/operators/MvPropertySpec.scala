@@ -195,4 +195,89 @@ class MvPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- sketch-view fuzz: fold ≡ recompute for HLL registers and ----
+  // ---- pow2 histogram buckets under the same random DML programs ----
+
+  private def hllRecompute(src: TxLogTable): Set[(Long, Long, Long, Long)] = {
+    val h = md5(col("v").cast("string"))
+    val hv = conv(substring(h, 3, 15), 16, 10).cast(LongType)
+    val rank = when(hv === 0, lit(61L))
+      .otherwise(lit(61L) - length(bin(hv)).cast(LongType))
+    src.snapshot(schema).where(col("v").isNotNull)
+      .select(col("k"),
+        conv(substring(h, 1, 2), 16, 10).cast(LongType).as("b"),
+        rank.as("r"))
+      .groupBy("k", "b").agg(max("r").as("mr"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+  }
+
+  private def histRecompute(src: TxLogTable): Set[(Long, Long, Long)] =
+    src.snapshot(schema).where(col("v").isNotNull && col("v") >= 0)
+      .select(col("k"),
+        length(bin(floor(col("v")).cast(LongType))).cast(LongType)
+          .as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  private def sketchStates(mvRoot: String)
+      : (Set[(Long, Long, Long, Long)], Set[(Long, Long, Long)]) = {
+    val dd = MaterializedView.definition(spark, mvRoot + "-dst")
+    val hd = MaterializedView.definition(spark, mvRoot + "-hist")
+    (TxLogTable(spark, mvRoot + "-dst").snapshot(dd.mvSchema).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long](MaterializedView.CountCol))).toSet,
+      TxLogTable(spark, mvRoot + "-hist").snapshot(hd.mvSchema).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long](MaterializedView.CountCol))).toSet)
+  }
+
+  test("sketch-view fuzz: HLL register and pow2-histogram views equal " +
+    "their recomputes after every refresh of a random DML program " +
+    "(registers go full on deleting windows, histograms always fold)") {
+    forAllSeeded(programGen, 8) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvskprop")
+      val src = TxLogTable(spark, dir.resolve("src").toString)
+      val mvRoot = dir.resolve("mv").toString
+      var created = false
+      program.zipWithIndex.foreach { case (op, step) =>
+        def ctx = s"seed=$seed step=$step op=$op program=$program"
+        op match {
+          case Append(rows) =>
+            src.commit(rows.toDF("k", "v"), overwrite = false)
+          case Overwrite(rows) =>
+            src.commit(rows.toDF("k", "v"), overwrite = true)
+          case DeleteCow(ks) =>
+            src.deleteWhere(schema, col("k").isin(ks: _*))
+          case DeletePos(ks) =>
+            src.deleteWherePos(schema, col("k").isin(ks: _*))
+          case UpdatePos(ks) =>
+            src.updateWherePos(schema, col("k").isin(ks: _*),
+              Seq("v" -> (col("v") + 0.5)))
+          case MorDrop(ks) =>
+            src.deleteByKeysMor(ks.toDF("k").distinct())
+          case Compact =>
+            if (src.latestVersion.nonEmpty) src.compact(schema)
+          case Vac =>
+            src.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+          case Refresh =>
+            if (!created) {
+              MaterializedView.createDistinct(spark, mvRoot + "-dst",
+                s"d$seed", src, schema, Seq("k"), "users" -> "v")
+              MaterializedView.createHist(spark, mvRoot + "-hist",
+                s"h$seed", src, schema, Seq("k"), "vb" -> "v")
+              created = true
+            } else {
+              MaterializedView.refresh(spark, mvRoot + "-dst")
+              MaterializedView.refresh(spark, mvRoot + "-hist")
+            }
+            val (gotHll, gotHist) = sketchStates(mvRoot)
+            assert(gotHll === hllRecompute(src), ctx)
+            assert(gotHist === histRecompute(src), ctx)
+        }
+      }
+    }
+  }
 }
