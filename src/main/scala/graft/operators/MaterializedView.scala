@@ -65,9 +65,12 @@ import graft.sources.TxLogTable
   * away underneath a lagging view.
   *
   * View maintenance: refreshes accrue positional-delete masks on the
-  * view until `compact`/`optimize` folds them (the standard DV
-  * tradeoff; past `maxDvMaskRows` a refresh refuses with that exact
-  * instruction). Layout rewrites are expressly NOT tampering — the
+  * view until they are folded (the standard DV tradeoff). A refresh
+  * that would cross `maxDvMaskRows` folds them ITSELF — one compact
+  * commit, then the fold re-anchors on the compacted head — so
+  * streaming-cadence views self-maintain; with
+  * `spark.graft.mv.autoCompact=false` it refuses with the compact
+  * instruction instead. Layout rewrites are expressly NOT tampering — the
   * engine-maintained head check admits [[TxLogTable.RewriteOps]], so
   * `CALL system.compact/optimize/vacuum` on a view are routine.
   */
@@ -729,6 +732,23 @@ object MaterializedView {
       .localCheckpoint()
     val zeros = kAll.join(newRows, nullSafe(kAll, newRows, d.groupCols),
       "left_anti")
+    val groupsChanged = kAll.count()
+    // DV maintenance happens ON the refresh path: when this refresh's
+    // mask (≤ one current row per affected group, plus what already
+    // accrued) would cross the cap, fold the view's masks NOW — one
+    // ordinary compact commit, same transactional guarantees — and
+    // re-anchor the whole fold on the compacted head via the retry
+    // loop. A streaming-cadence view therefore never pages an operator;
+    // conf-off (spark.graft.mv.autoCompact=false) keeps the loud
+    // refusal from upsertPos itself.
+    if (TxLogTable.mvAutoCompact(spark) &&
+        mv.dvsOf(mvHead).map(_.n).sum + groupsChanged >
+          TxLogTable.maxDvMaskRows(spark)) {
+      mv.compact(d.mvSchema)
+      throw new TxLogTable.ConcurrentHeadMoved(
+        s"auto-compacted MV $mvRoot to fold its delete masks — " +
+          "re-anchoring the refresh on the compacted head")
+    }
     betweenFoldAndCommitHook()
     val stats = mv.upsertPos(d.mvSchema, newRows, d.groupCols,
       dropKeys = Some(zeros), op = "mv-refresh",
@@ -740,7 +760,7 @@ object MaterializedView {
     // created and fully deleted inside it) no-ops the upsert, and the
     // cursor must then keep guarding the still-unconsumed feed window
     if (stats.version > mvHead) src.registerCursor(d.cursorName, head)
-    RefreshStats("incremental", last, head, kAll.count(), stats.version)
+    RefreshStats("incremental", last, head, groupsChanged, stats.version)
   }
 
   // ---- sketch views: COUNT(DISTINCT) and quantile measures -----------

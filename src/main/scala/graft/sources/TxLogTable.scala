@@ -173,6 +173,17 @@ object TxLogTable {
     spark.conf.getOption("spark.graft.sql.maxDvMaskRows")
       .map(_.toLong).getOrElse(MaxDvMaskRows)
 
+  /** When TRUE (the default) an MV refresh that would push the view's
+    * positional-delete mask past [[maxDvMaskRows]] folds the masks
+    * itself — one ordinary compact commit on the view, then the refresh
+    * re-anchors and proceeds — instead of refusing with a "compact the
+    * table first" pager. Streaming-cadence views thus self-maintain;
+    * conf-off restores the refusal for operators who schedule their own
+    * maintenance windows. */
+  def mvAutoCompact(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.mv.autoCompact")
+      .forall(_.toBoolean)
+
   /** `#op=` values whose commits preserve the table's logical content —
     * pure layout maintenance (file packing / clustering / bucket
     * evolution). The change feed can skip these wholesale: every row in

@@ -128,6 +128,53 @@ class MvConcurrencySpec extends AnyFunSuite {
     assert(mvRows(mvRoot) === recompute(src))
   }
 
+  test("streaming-cadence refreshes past the DV cap self-compact: no " +
+    "operator intervention, fold stays exact, a compact commit appears") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (2L, "b", 2.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "auto", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    spark.conf.set("spark.graft.sql.maxDvMaskRows", "3")
+    try {
+      // each refresh masks the 2 touched groups' current rows: the
+      // accrued mask crosses the cap mid-loop and must fold in-refresh
+      (1 to 6).foreach { i =>
+        src.commit(df((1L, "a", i.toDouble), (2L, "b", i.toDouble)),
+          overwrite = false)
+        val st = MaterializedView.refresh(spark, mvRoot)
+        assert(st.mode === "incremental", st)
+      }
+      assert(mvRows(mvRoot) === recompute(src))
+      val mv = TxLogTable(spark, mvRoot)
+      assert(mv.versions.exists(v =>
+          mv.opOf(v).exists(TxLogTable.RewriteOps.contains)),
+        s"auto-compact must have committed a rewrite: " +
+          mv.versions.map(v => mv.opOf(v).getOrElse("?")).mkString(","))
+    } finally spark.conf.unset("spark.graft.sql.maxDvMaskRows")
+  }
+
+  test("with autoCompact off the cap is the loud refusal it always was") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, "a", 1.0), (2L, "b", 2.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "man", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    spark.conf.set("spark.graft.sql.maxDvMaskRows", "3")
+    spark.conf.set("spark.graft.mv.autoCompact", "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        (1 to 6).foreach { i =>
+          src.commit(df((1L, "a", i.toDouble), (2L, "b", i.toDouble)),
+            overwrite = false)
+          MaterializedView.refresh(spark, mvRoot)
+        }
+      }
+      assert(e.getMessage.contains("compact"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.sql.maxDvMaskRows")
+      spark.conf.unset("spark.graft.mv.autoCompact")
+    }
+  }
+
   test("malformed mv.def min/max lines fail with the malformed " +
     "diagnostic, not a raw string-index error") {
     for (field <- Seq("min", "max")) {

@@ -196,6 +196,61 @@ class MvPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("auto-compact fuzz: random DML programs under a 2-row DV cap — " +
+    "every refresh self-folds its masks and stays equal to a recompute") {
+    spark.conf.set("spark.graft.sql.maxDvMaskRows", "2")
+    try {
+      forAllSeeded(programGen, 6) { (program, seed) =>
+        val dir = Files.createTempDirectory("mvacprop")
+        val src = TxLogTable(spark, dir.resolve("src").toString)
+        val mvRoot = dir.resolve("mv").toString
+        var created = false
+        program.zipWithIndex.foreach { case (op, step) =>
+          def ctx = s"seed=$seed step=$step op=$op program=$program"
+          op match {
+            case Append(rows) =>
+              src.commit(rows.toDF("k", "v"), overwrite = false)
+            case Overwrite(rows) =>
+              src.commit(rows.toDF("k", "v"), overwrite = true)
+            case DeleteCow(ks) =>
+              src.deleteWhere(schema, col("k").isin(ks: _*))
+            case DeletePos(ks) =>
+              // the tiny cap applies to the SOURCE DML too: fall back
+              // to COW when the mask will not fit (cap semantics are
+              // not under test on the source side)
+              try src.deleteWherePos(schema, col("k").isin(ks: _*))
+              catch { case e: IllegalArgumentException
+                  if e.getMessage.contains("mask") =>
+                src.deleteWhere(schema, col("k").isin(ks: _*))
+              }
+            case UpdatePos(ks) =>
+              try src.updateWherePos(schema, col("k").isin(ks: _*),
+                Seq("v" -> (col("v") + 0.5)))
+              catch { case e: IllegalArgumentException
+                  if e.getMessage.contains("mask") =>
+                src.compact(schema)
+              }
+            case MorDrop(ks) =>
+              src.deleteByKeysMor(ks.toDF("k").distinct())
+            case Compact =>
+              if (src.latestVersion.nonEmpty) src.compact(schema)
+            case Vac =>
+              src.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+            case Refresh =>
+              if (!created) {
+                MaterializedView.create(spark, mvRoot, s"a$seed", src,
+                  schema, Seq("k"), Seq("total" -> "v"))
+                created = true
+              } else {
+                MaterializedView.refresh(spark, mvRoot)
+              }
+              assert(mvState(spark, mvRoot) === state(src), ctx)
+          }
+        }
+      }
+    } finally spark.conf.unset("spark.graft.sql.maxDvMaskRows")
+  }
+
   // ---- sketch-view fuzz: fold ≡ recompute for HLL registers and ----
   // ---- pow2 histogram buckets under the same random DML programs ----
 
