@@ -102,6 +102,76 @@ object AnnIndex {
     val emb = corpus.snapshot(corpusSchema, Some(v))
     val (assigned, cents) = KMeans.fit(emb, k, iterations)
     val op = s"ann-index:corpus_v=$v"
+    persistArtifacts(spark, indexRoot, emb, assigned, cents, op, pq, sq8,
+      Seq("corpus_root" -> corpusRoot, "corpus_version" -> v.toString,
+        "corpus_schema" -> corpusSchema.json, "k" -> k.toString,
+        "iterations" -> iterations.toString))
+    v
+  }
+
+  /** AUTO-SIZED build — the 100 TB shape of [[build]], which takes a
+    * caller-chosen k and trains on the whole corpus (fine at oracle SF,
+    * a full-corpus k-means shuffle at a billion vectors):
+    *
+    *  - k is derived from the corpus so CELL SIZE (not cell count) is
+    *    the invariant: k = ⌈rows / targetCell⌉ ([[SemDedup.kFor]] — the
+    *    same rule SemDedup already scales by), so a 10× corpus gets ~10×
+    *    cells at ~constant probe cost;
+    *  - the quantizer trains on a BOUNDED deterministic sample (every
+    *    stride-th vec_id, stride = ⌈rows / trainSample⌉): k-means cost is
+    *    O(sample × k × iters) regardless of corpus size. Centroids from
+    *    a uniform sample converge to the same cells (standard coreset
+    *    argument); the full corpus then takes ONE [[KMeans.assignTo]]
+    *    pass — a map-side broadcast argmax, no training shuffle;
+    *  - rows comes from manifest stats when exact ([[TxLogTable
+    *    .metaRowCount]]), falling back to one count().
+    *
+    * @return (pinned corpus version, derived k)
+    */
+  def buildAuto(spark: SparkSession, corpusRoot: String, indexRoot: String,
+                corpusSchema: StructType, iterations: Int,
+                targetCell: Long = 4096L, trainSample: Long = 1L << 18,
+                pq: Boolean = true, sq8: Boolean = false): (Int, Int) = {
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    require(targetCell > 0 && trainSample > 0,
+      s"targetCell/trainSample must be positive: $targetCell/$trainSample")
+    val corpus = TxLogTable(spark, corpusRoot)
+    val v = corpus.latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty corpus at $corpusRoot"))
+    val emb = corpus.snapshot(corpusSchema, Some(v))
+    val rows = corpus.metaRowCount(Some(v)).getOrElse(emb.count())
+    val k = SemDedup.kFor(rows, targetCell)
+    require(trainSample >= k,
+      s"trainSample=$trainSample < derived k=$k — the sample cannot " +
+        "seed every cell; raise trainSample or targetCell")
+    val stride = math.max(1L, (rows + trainSample - 1) / trainSample)
+    val vecs = emb.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val train = if (stride == 1L) vecs
+      else vecs.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    val (_, cents) = KMeans.fit(
+      train.select(col("vec_id"), col("v").as("embedding")), k,
+      iterations, seedSmallestK = true)
+    // one routing pass over the full corpus: broadcast argmax, the only
+    // corpus-sized job in the build besides the optional code encodes
+    val assigned = KMeans.assignTo(vecs, cents)
+    val op = s"ann-index:corpus_v=$v:auto"
+    persistArtifacts(spark, indexRoot, emb, assigned, cents, op, pq, sq8,
+      Seq("corpus_root" -> corpusRoot, "corpus_version" -> v.toString,
+        "corpus_schema" -> corpusSchema.json, "k" -> k.toString,
+        "iterations" -> iterations.toString,
+        "target_cell" -> targetCell.toString,
+        "train_stride" -> stride.toString))
+    (v, k)
+  }
+
+  private def persistArtifacts(spark: SparkSession, indexRoot: String,
+                               emb: DataFrame, assigned: DataFrame,
+                               cents: DataFrame, op: String,
+                               pq: Boolean, sq8: Boolean,
+                               meta: Seq[(String, String)]): Unit = {
+    import spark.implicits._
     TxLogTable(spark, s"$indexRoot/centroids").commit(
       cents.select(col("cluster").cast(IntegerType), col("cv")),
       overwrite = true, op = op)
@@ -143,13 +213,7 @@ object AnnIndex {
         overwrite = true, op = op)
     }
     TxLogTable(spark, s"$indexRoot/meta").commit(
-      Seq("corpus_root" -> corpusRoot,
-        "corpus_version" -> v.toString,
-        "corpus_schema" -> corpusSchema.json,
-        "k" -> k.toString,
-        "iterations" -> iterations.toString).toDF("key", "value"),
-      overwrite = true, op = op)
-    v
+      meta.toDF("key", "value"), overwrite = true, op = op)
   }
 
   /** INCREMENTAL index refresh — the growth path between full rebuilds:

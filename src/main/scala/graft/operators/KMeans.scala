@@ -25,13 +25,29 @@ import graft.functions.VectorFunctions._
   */
 object KMeans {
 
-  /** @return (assignments: vec_id, cluster, cos_sim; centroids: cluster, v) */
-  def fit(emb: DataFrame, k: Int, iterations: Int)
+  /** @return (assignments: vec_id, cluster, cos_sim; centroids: cluster, v)
+    *
+    * Seeding: by default the initial centroids are the vectors with
+    * `vec_id < k` (the original contract, replayed verbatim by the SQL
+    * oracles). `seedSmallestK = true` seeds from the k SMALLEST vec_ids
+    * PRESENT instead (a TakeOrdered of k rows) — required when `emb` is
+    * a sampled training frame whose ids are strided and `vec_id < k`
+    * would select almost nothing. Both seedings are deterministic.
+    */
+  def fit(emb: DataFrame, k: Int, iterations: Int,
+          seedSmallestK: Boolean = false)
          (implicit spark: SparkSession): (DataFrame, DataFrame) = {
     graft.catalyst.CosineSim.register(spark)
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    var centroids = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    var centroids =
+      if (seedSmallestK)
+        vecs.orderBy(col("vec_id")).limit(k)
+          .select((row_number().over(org.apache.spark.sql.expressions
+              .Window.orderBy(col("vec_id"))) - 1).cast("int")
+            .as("cluster"), col("v").as("cv"))
+      else
+        vecs.filter(col("vec_id") < k)
+          .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
 
     def assign(cents: DataFrame): DataFrame = assignTo(vecs, cents)
 

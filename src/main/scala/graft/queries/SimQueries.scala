@@ -321,6 +321,38 @@ object SimQueries {
       pinnedSearch
     }),
 
+    // AUTO-SIZED persisted IVF (AnnIndex.buildAuto): k derives from the
+    // corpus so CELL SIZE, not cell count, is the scale invariant
+    // (k = ceil(rows / targetCell) — the same rule SemDedup scales by),
+    // and the quantizer trains on a bounded deterministic stride-sample
+    // (every stride-th vec_id), so training cost is O(sample × k) at
+    // any corpus size; the full corpus then takes exactly ONE
+    // broadcast-argmax routing pass. The requires pin the derived k
+    // and the recorded stride (> 1: the sampled path actually ran);
+    // the oracle replays sampled training + full routing in SQL.
+    "sim_ivf_autok" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annauto")
+      val corpusRoot = tmp.resolve("corpus").toString
+      val indexRoot = tmp.resolve("index").toString
+      graft.sources.TxLogTable(s, corpusRoot).commit(emb,
+        overwrite = true)
+      val (_, k) = graft.operators.AnnIndex.buildAuto(
+        s, corpusRoot, indexRoot, emb.schema, iterations = 2,
+        targetCell = 64L, trainSample = 256L, pq = false)
+      val rows = emb.count()
+      require(k == ((rows + 63) / 64).toInt,
+        s"auto-k must track corpus size: k=$k rows=$rows")
+      val meta = graft.sources.TxLogTable(s, s"$indexRoot/meta")
+        .snapshot(graft.operators.AnnIndex.metaSchema).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      require(meta("train_stride").toLong > 1,
+        s"the strided training sample must be in effect: $meta")
+      graft.operators.AnnIndex.searchIvf(s, indexRoot, 0L, 5,
+        requireFresh = true)
+    }),
+
     // Persisted IVF+PQ (the full billion-vector serving path, nothing
     // trained at query time): ONE build persists centroids, assignments,
     // the 64×-compressed 4-byte codes AND the codebook; the search loads
@@ -1118,6 +1150,62 @@ object SimQueries {
 
   private lazy val ivfTrainedOracle: String = ivfOracle(false)
 
+  /** SQL replay of [[graft.operators.AnnIndex.buildAuto]] + searchIvf:
+    * k and stride derive from the corpus count (targetCell 64, sample
+    * 256), seeds are the k smallest SAMPLED vec_ids renumbered by rank,
+    * one mean update runs over the SAMPLE only, and the full corpus is
+    * routed once against the trained cells — the exact sampled-training
+    * contract, deterministic end to end.
+    */
+  private lazy val ivfAutoOracle: String = {
+    def cs(v: String, c: String) =
+      s"""${sqlDot(v, c)} /
+          (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"""
+    s"""WITH params AS (
+          SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS k,
+                 CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS stride
+          FROM embeddings),
+        vecs AS (SELECT vec_id, embedding FROM embeddings),
+        train AS (SELECT vec_id, embedding FROM embeddings, params
+                  WHERE vec_id % stride = 0),
+        ranked AS (SELECT vec_id, embedding,
+                     row_number() OVER (ORDER BY vec_id) AS rn
+                   FROM train),
+        c0 AS (SELECT CAST(rn - 1 AS INT) AS cluster, embedding AS cv
+               FROM ranked, params WHERE rn <= k),
+        x1 AS (SELECT t.vec_id, c.cluster,
+                 ${cs("t.embedding", "c.cv")} AS cs
+               FROM train t CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, cluster FROM (
+                 SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                 FROM x1) WHERE rn = 1),
+        pts AS (SELECT a1.cluster, i.i AS pos,
+                  CAST(t.embedding[i.i] AS DOUBLE) AS x
+                FROM a1 JOIN train t USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) i),
+        m AS (SELECT cluster, pos,
+                CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS DOUBLE) /
+                  CAST(COUNT(*) * 1048576 AS DOUBLE) AS m
+              FROM pts GROUP BY 1, 2),
+        c1 AS (SELECT cluster, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        x2 AS (SELECT v.vec_id, c.cluster,
+                 ${cs("v.embedding", "c.cv")} AS cs
+               FROM vecs v CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cluster FROM (
+                 SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+                 FROM x2) WHERE rn = 1),
+        best AS (SELECT cluster AS best_cluster FROM c1 CROSS JOIN q
+                 ORDER BY ${cs("c1.cv", "qv")} DESC, cluster
+                 LIMIT 1)
+        SELECT v.vec_id, a2.cluster, ${cs("v.embedding", "qv")} AS q_cos
+        FROM a2 JOIN best ON a2.cluster = best.best_cluster
+        JOIN vecs v USING (vec_id) CROSS JOIN q
+        ORDER BY q_cos DESC, v.vec_id LIMIT 5"""
+  }
+
   /** Batch twin of [[ivfTrainedOracle]]: the same trained cells
     * (identical CTE chain), then PER-QUERY routing and a per-query
     * window top-k instead of the single query's ORDER BY ... LIMIT.
@@ -1605,6 +1693,7 @@ object SimQueries {
     // identical recomputation: the persisted index serves the SAME pinned
     // corpus the in-query trainer would see, so the oracle is shared
     "sim_ivf_persisted" -> ivfTrainedOracle,
+    "sim_ivf_autok" -> ivfAutoOracle,
     "sim_ivf_batch" -> ivfBatchOracle,
     "sim_ivf_nprobe" -> ivfOracle(serveAppended = false, nprobe = 2),
     "sim_ivf_refresh" -> ivfOracle(serveAppended = true),

@@ -1104,6 +1104,68 @@ object ScaleProbe {
       println(f"[probe] cdc: leaves $l50=$l500 (backlog-independent); " +
         f"wall ${s500 / s50}%.2fx for 10x the versions at equal bytes")
     }
+
+    // ANN AUTO-BUILD TRAINS ON THE SAMPLE, NOT THE CORPUS (r17): grow
+    // the vector corpus 10× and the k-means TRAINING INPUT must stay
+    // pinned at ~trainSample rows (the stride widens instead), while k
+    // scales with the corpus (cell size is the invariant) — that input
+    // bound is the asserted claim. The full-corpus trainer runs at the
+    // same derived k for comparison: at probe SF (20k vectors) both are
+    // job-overhead-bound so wall-clock is informational; the structural
+    // difference is the trainer's per-iteration input (253 rows vs
+    // 20 000 — 79×), which is what a billion-vector corpus amplifies.
+    if (what("annauto")) {
+      val embBase = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      def corpusOf(k: Int): DataFrame = (0 until k).map(i =>
+        embBase.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_.unionByName(_))
+      val results = scala.collection.mutable.Map.empty[Int, (Long, Double)]
+      for (k <- Seq(1, 10)) {
+        val dir = java.nio.file.Files.createTempDirectory(s"annauto$k")
+        val corpusRoot = dir.resolve("corpus").toString
+        val c = graft.sources.TxLogTable(spark, corpusRoot)
+        val emb = corpusOf(k)
+        c.commit(emb, overwrite = true)
+        val rows = emb.count()
+        val stride = math.max(1L, (rows + 255L) / 256L)
+        val trainRows = emb
+          .filter(pmod(col("vec_id"), lit(stride)) === 0).count()
+        val t0 = System.nanoTime()
+        val (_, autoK) = graft.operators.AnnIndex.buildAuto(spark,
+          corpusRoot, dir.resolve("index").toString, emb.schema,
+          iterations = 2, targetCell = 250L, trainSample = 256L,
+          pq = false)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] annauto x$k: $rows rows -> k=$autoK, " +
+          f"train=$trainRows rows (stride $stride), build $secs%.1f s")
+        results(k) = (trainRows, secs)
+      }
+      val (tr1, _) = results(1); val (tr10, s10) = results(10)
+      // ceil-division stride overshoots by at most rows/stride² extra
+      // sampled ids — the bound is the SAMPLE, never the corpus
+      require(tr1 <= 260 && tr10 <= 260,
+        s"training input must stay sample-bounded: $tr1 -> $tr10")
+      // the old full-corpus trainer at the same derived k, 10× corpus
+      locally {
+        val dir = java.nio.file.Files.createTempDirectory("annfull10")
+        val corpusRoot = dir.resolve("corpus").toString
+        val emb = corpusOf(10)
+        graft.sources.TxLogTable(spark, corpusRoot)
+          .commit(emb, overwrite = true)
+        val rows = emb.count()
+        val kFull = ((rows + 249L) / 250L).toInt
+        val t0 = System.nanoTime()
+        graft.operators.AnnIndex.build(spark, corpusRoot,
+          dir.resolve("index").toString, emb.schema, k = kFull,
+          iterations = 2, pq = false)
+        val sFull = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] annauto: full-corpus trainer x10 $sFull%.1f s " +
+          f"(input $rows rows/iter) vs sampled $s10%.1f s " +
+          f"(input ${results(10)._1} rows/iter)")
+      }
+    }
     spark.stop()
   }
 }

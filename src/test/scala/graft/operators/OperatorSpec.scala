@@ -154,6 +154,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("phantom neighbors"), e.getMessage)
   }
 
+  test("AnnIndex.buildAuto: k derives from corpus size, the quantizer " +
+    "trains on a strided sample, search serves through the result") {
+    implicit val sp = spark
+    val vecs = (0L until 64L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 1.0f + 0.01f * i
+      (i, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann-auto")
+    val corpus = graft.sources.TxLogTable(spark, tmp.resolve("c").toString)
+    corpus.commit(emb, overwrite = true)
+    val idx = tmp.resolve("i").toString
+    val (pinned, k) = AnnIndex.buildAuto(spark, corpus.root, idx,
+      emb.schema, iterations = 2, targetCell = 16L, trainSample = 32L,
+      pq = false)
+    assert(pinned == corpus.latestVersion.get)
+    assert(k == 4, s"k must be ceil(64/16): $k") // SemDedup.kFor rule
+    val meta = graft.sources.TxLogTable(spark, s"$idx/meta")
+      .snapshot(AnnIndex.metaSchema).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(meta("k") == "4" && meta("train_stride") == "2" &&
+      meta("target_cell") == "16", meta.toString)
+    // every corpus vector was routed (assignTo runs over ALL, not the
+    // sample), and a served search finds the query itself first
+    assert(graft.sources.TxLogTable(spark, s"$idx/assignments")
+      .snapshot(AnnIndex.assignmentsSchema).count() == 64L)
+    // all direction-1 vectors tie at cosine 1.0 (same axis, magnitude
+    // cancels); the query is in the tied top set and ids break the tie
+    val top = AnnIndex.searchIvf(spark, idx, queryVecId = 5L, topK = 3,
+      requireFresh = true).collect()
+    assert(top.map(_.getLong(0)).contains(5L) &&
+      top.forall(r => r.getLong(0) % 4 == 1),
+      s"neighbors must come from the query's direction: " +
+        top.mkString(","))
+    // a sample too small to seed every cell is a loud refusal
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.buildAuto(spark, corpus.root,
+        tmp.resolve("i2").toString, emb.schema, iterations = 2,
+        targetCell = 2L, trainSample = 8L)
+    }
+    assert(e.getMessage.contains("cannot seed every cell"), e.getMessage)
+  }
+
   test("AnnIndex SQ8: refresh encodes new vectors against the PERSISTED " +
     "bounds (clamped); search serves them; twin codes are identical") {
     implicit val sp = spark
