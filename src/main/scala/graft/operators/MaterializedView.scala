@@ -141,6 +141,11 @@ object MaterializedView {
   private val MvOps = Set("create", "mv-create", "mv-refresh",
     "mv-refresh-full")
 
+  // a fork of an engine-maintained view is engine-maintained, and so is
+  // a publish whose content came off such a branch (the WAP gate in
+  // [[publishWap]] requires the branch view current before publishing)
+  private val BranchOps = Set("branch", "publish")
+
   // source ops whose versions the incremental fold consumes EXACTLY:
   // appends feed raw adds, CowDiffOps are content-diffed, DV commits emit
   // masked rows, RewriteOps are skipped wholesale, delete-mor is
@@ -150,8 +155,10 @@ object MaterializedView {
       "mv-create", "mv-refresh") ++
       TxLogTable.CowDiffOps ++ TxLogTable.RewriteOps
 
+  // the definition is BRANCH-INVARIANT: branches of a view share the
+  // main table's mv.def (a fork cannot change what the view computes)
   private def defPath(mvRoot: String) =
-    Paths.get(mvRoot, "_log", "mv.def")
+    Paths.get(TxLogTable.pathOfRoot(mvRoot), "_log", "mv.def")
 
   private def encodeDef(d: MvDef): String =
     (Seq(s"name=${d.name}", s"source=${d.source}",
@@ -544,7 +551,20 @@ object MaterializedView {
                           full: Boolean): RefreshStats = {
     val d = definition(spark, mvRoot)
     val mv = TxLogTable(spark, mvRoot)
-    val src = TxLogTable(spark, d.source)
+    // a BRANCH of a view refreshes against the SAME-NAME branch of its
+    // source — the write-audit-publish pairing [[branchMv]] forks; a
+    // main view refreshes against the recorded source as always
+    val src = mv.branchName match {
+      case None => TxLogTable(spark, d.source)
+      case Some(b) =>
+        require(!d.source.contains(TxLogTable.BranchSep),
+          "a view over a branch source cannot itself be branched")
+        val fact = TxLogTable(spark, d.source)
+        require(fact.branches().contains(b),
+          s"view branch '$b' has no matching source branch on " +
+            s"${d.source} — fork the pair with branchMv")
+        fact.branchTable(b)
+    }
     // THE pin: every read of the view below (head-op check, consumed
     // version, dim pin, base snapshot) is at this version, and the
     // commit is conditional on the head still being it
@@ -555,7 +575,8 @@ object MaterializedView {
     // definition silently, so a refresh of a tampered view refuses
     locally {
       val hop = mv.opOf(mvHead)
-      require(hop.exists(o => MvOps(o) || TxLogTable.RewriteOps(o)),
+      require(hop.exists(o => MvOps(o) || TxLogTable.RewriteOps(o) ||
+          BranchOps(o)),
         s"MV head op ${hop.getOrElse("?")} is not engine-maintained: " +
           "drop and recreate the view")
     }
@@ -761,6 +782,79 @@ object MaterializedView {
     // cursor must then keep guarding the still-unconsumed feed window
     if (stats.version > mvHead) src.registerCursor(d.cursorName, head)
     RefreshStats("incremental", last, head, groupsChanged, stats.version)
+  }
+
+  // ---- branch-aware views: write-audit-publish for DERIVED tables ----
+
+  /** Fork a CONSISTENT (source, view) branch pair named `name`: the fact
+    * forks at its head F, the view — required current (consumed == F, so
+    * the pair states correspond) — forks at its head with its recorded
+    * consumed version renumbered into the branch's own sequence (the
+    * fact branch starts at v0 = the fork point). Audit-cadence writes
+    * then land on `source@@branch=name`, [[refresh]] of the view's
+    * branch handle folds THAT branch, and [[publishWap]] promotes both.
+    * Joined views are not forkable (the pinned dim would need a third
+    * coordinated fork — recreate on the branch instead).
+    *
+    * @return (fact fork version, view fork version on main numbering)
+    */
+  def branchMv(spark: SparkSession, mvRoot: String,
+               name: String): (Int, Int) = {
+    val d = definition(spark, mvRoot)
+    require(d.dim.isEmpty,
+      "branching a joined view is not supported (the pinned dim would " +
+        "need a third coordinated fork)")
+    require(!d.source.contains(TxLogTable.BranchSep),
+      "branchMv needs a main-handle source")
+    val mv = TxLogTable(spark, mvRoot)
+    require(mv.branchName.isEmpty, "branchMv runs on the MAIN view handle")
+    val fact = TxLogTable(spark, d.source)
+    val fHead = fact.latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty source: ${d.source}"))
+    val consumed = lastSourceVersion(mv)
+    require(consumed == fHead,
+      s"view consumed v$consumed but the source is at v$fHead: refresh " +
+        "the view before forking the pair (the forks must correspond)")
+    val forkF = fact.createBranch(name)
+    val forkV =
+      try mv.createBranch(name, rewrite = lines =>
+        // the fork manifest's consumed version translates to the fact
+        // BRANCH's numbering, whose fork point is v0 by construction
+        lines.filterNot(_.startsWith("#mvsrc=")) :+ "#mvsrc=0")
+      catch { case e: Throwable => fact.dropBranch(name); throw e }
+    (forkF, forkV)
+  }
+
+  /** Write-audit-publish for the derived pair: publish branch `name` of
+    * the source, then of the view — gated on the branch view having
+    * absorbed the branch source's head (the audit precondition: you
+    * audit exactly what will land). The published view commit records,
+    * as consumed, the MAIN version the fact publish just created, so
+    * main bookkeeping is seamless (a post-publish refresh is a noop).
+    *
+    * Publish order is fact-then-view, and the window between them is
+    * SAFE: if the view publish loses (main view moved mid-audit), the
+    * main view is merely behind a published append window — the next
+    * ordinary refresh folds it; nothing double-counts.
+    *
+    * @return (published fact version, published view version)
+    */
+  def publishWap(spark: SparkSession, mvRoot: String,
+                 name: String): (Int, Int) = {
+    val d = definition(spark, mvRoot)
+    val mv = TxLogTable(spark, mvRoot)
+    require(mv.branchName.isEmpty,
+      "publishWap runs on the MAIN view handle")
+    val fact = TxLogTable(spark, d.source)
+    val bf = fact.branchTable(name)
+    val bv = mv.branchTable(name)
+    require(lastSourceVersion(bv) == bf.latestVersion.getOrElse(-1),
+      s"branch view '$name' has not absorbed the branch source head — " +
+        "refresh the view on the branch (and audit it) before publishing")
+    val fPub = fact.publishBranch(name)
+    val vPub = mv.publishBranch(name, rewrite = lines =>
+      lines.filterNot(_.startsWith("#mvsrc=")) :+ s"#mvsrc=$fPub")
+    (fPub, vPub)
   }
 
   // ---- sketch views: COUNT(DISTINCT) and quantile measures -----------

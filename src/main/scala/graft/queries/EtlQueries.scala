@@ -1746,6 +1746,56 @@ object EtlQueries {
       s.sql("SELECT grp, vb, mv_count AS n FROM graftcat.db.mv_h")
     }),
 
+    // WRITE-AUDIT-PUBLISH FOR DERIVED TABLES (CALL system.mv_branch /
+    // mv_publish — the composition of branches and incremental MVs):
+    // mv_branch forks a CONSISTENT (source, view) pair; audit-cadence
+    // INSERTs land on the source's branch; refresh_mv on the view's
+    // branch_<name> handle folds THAT branch while main stays frozen
+    // (both requires pin it); mv_publish promotes fact then view with
+    // the consumed version rewritten to the fact's just-published MAIN
+    // version — so the post-publish refresh is pinned "noop" and
+    // ordinary maintenance continues seamlessly. The oracle recomputes
+    // the final rollup (base + audited batch) from the raw source.
+    "sql_mv_wap" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_w_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_w")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_w")
+      s.sql("CREATE TABLE graftcat.db.ev_w (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_w SELECT event_id, user_id, " +
+        "value FROM ev_w_src WHERE event_id % 2 = 0")
+      s.sql("CALL graftcat.system.create_mv('db.mv_w', 'db.ev_w', " +
+        "'user_id', 'total:value')").collect()
+      s.sql("CALL graftcat.system.mv_branch('db.mv_w', 'audit')")
+        .collect()
+      s.sql("INSERT INTO graftcat.db.ev_w.branch_audit SELECT " +
+        "event_id, user_id, value FROM ev_w_src WHERE event_id % 2 = 1")
+      val r1 = s.sql(
+        "CALL graftcat.system.refresh_mv('db.mv_w.branch_audit')").head
+      require(r1.getString(0) == "incremental",
+        s"the view's branch must fold the source's branch: $r1")
+      // the audit window: branch rollup absorbed the batch, main froze
+      val bn = s.sql("SELECT count(*) FROM graftcat.db.mv_w.branch_audit")
+        .head.getLong(0)
+      val mn = s.sql("SELECT count(*) FROM graftcat.db.mv_w")
+        .head.getLong(0)
+      val bTotal = s.sql("SELECT CAST(SUM(CAST(total AS DOUBLE)) AS " +
+        "DOUBLE) FROM graftcat.db.mv_w.branch_audit").head.getDouble(0)
+      val mTotal = s.sql("SELECT CAST(SUM(CAST(total AS DOUBLE)) AS " +
+        "DOUBLE) FROM graftcat.db.mv_w").head.getDouble(0)
+      require(bn >= mn && bTotal > mTotal,
+        s"main must stay frozen through the audit: " +
+          s"branch($bn, $bTotal) main($mn, $mTotal)")
+      s.sql("CALL graftcat.system.mv_publish('db.mv_w', 'audit')")
+        .collect()
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_w')").head
+      require(r2.getString(0) == "noop",
+        s"post-publish bookkeeping must be seamless: $r2")
+      s.sql("SELECT user_id, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_w")
+    }),
+
     // STAR-SCHEMA MV (CALL system.create_mv_joined): the view is
     // fact ⋈ dim (inner, broadcast, dim unique on its key) grouped by a
     // DIM attribute — fact DML folds incrementally against the PINNED
@@ -3932,6 +3982,11 @@ object EtlQueries {
                     ELSE 61 - length(bin(v)) END) AS r,
            CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY grp, bucket""",
+
+    "sql_mv_wap" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM events GROUP BY user_id""",
 
     "sql_mv_hist" ->
       """SELECT user_id % 8 AS grp,

@@ -829,6 +829,9 @@ final case class TxLogTable(spark: SparkSession, root: String) {
   // DSv2 catalog table, read rule splice, SPJ scan, relation fallback,
   // streaming, every DML path — branch-capable with no plumbing: each
   // layer already threads `root` through to this one constructor.
+  /** The branch this handle addresses (None = main). */
+  def branchName: Option[String] = branch
+
   private val (basePath: String, branch: Option[String]) =
     root.indexOf(TxLogTable.BranchSep) match {
       case -1 => (root, None)
@@ -3499,7 +3502,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * branch forked across). Returns the fork version. Concurrent
     * same-name creates race on the v0 CREATE_NEW — exactly one wins.
     */
-  def createBranch(name: String, version: Option[Int] = None): Int = {
+  def createBranch(name: String, version: Option[Int] = None,
+                   rewrite: Seq[String] => Seq[String] = identity): Int = {
     require(branch.isEmpty, "branches fork from MAIN (no nested branches)")
     require(TxLogTable.validBranchName(name),
       s"invalid branch name '$name' (letters/digits/._- only, not a " +
@@ -3514,11 +3518,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       s"branch '$name' already exists on $root — drop_branch first")
     val dir = branchesDir.resolve(name)
     Files.createDirectories(dir)
+    // `rewrite` lets a coordinated fork adjust carried meta lines (the
+    // MV pair-fork renumbers #mvsrc into the source branch's sequence)
     val lines = metaLines(partitionColsOf(v), "branch") ++
       Seq(s"#forkedFrom=$v") ++
-      manifestLines(v).filterNot(l =>
+      rewrite(manifestLines(v).filterNot(l =>
         l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
-          l.startsWith("#partitionCols="))
+          l.startsWith("#partitionCols=")))
     Files.write(dir.resolve(f"v${0}%08d.manifest"),
       lines.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
     v
@@ -3539,7 +3545,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * combined file delta), not O(table). The branch stays (audit trail);
     * drop it explicitly when done.
     */
-  def publishBranch(name: String, maxAttempts: Int = 10): Int = {
+  def publishBranch(name: String, maxAttempts: Int = 10,
+                    rewrite: Seq[String] => Seq[String] = identity): Int = {
     require(branch.isEmpty, "publish runs on the MAIN handle")
     val bt = branchTable(name)
     val head = bt.latestVersion.getOrElse(throw new IllegalStateException(
@@ -3553,10 +3560,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
             s"the fork (forked at v$fork, main is at v$b): re-branch " +
             "from the new head, replay the work, and publish that")
       metaLines(bt.partitionColsOf(head), "publish") ++
-        bt.manifestLines(head).filterNot(l =>
+        rewrite(bt.manifestLines(head).filterNot(l =>
           l.startsWith("#op=") || l.startsWith("#commitMillis=") ||
             l.startsWith("#partitionCols=") ||
-            l.startsWith("#forkedFrom="))
+            l.startsWith("#forkedFrom=")))
     }
   }
 

@@ -471,8 +471,21 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       s"procedure table argument must be 'ns.table', got '$qualified'")
     val ident = Identifier.of(parts.init, parts.last)
-    require(tableExists(ident), s"no such txlog table: $qualified")
-    TxLogTable(spark, pathOf(ident).toString)
+    if (tableExists(ident))
+      return TxLogTable(spark, pathOf(ident).toString)
+    // 'ns.t.branch_<name>' — the same branch-handle surface the
+    // relation resolver exposes, so procedures (refresh_mv, compact,
+    // …) address a branch exactly like SELECT/DML do
+    if (ident.name.startsWith("branch_") && ident.namespace().nonEmpty) {
+      val parent = Identifier.of(ident.namespace.init,
+        ident.namespace.last)
+      val bn = ident.name.stripPrefix("branch_")
+      if (tableExists(parent)) {
+        val t = TxLogTable(spark, pathOf(parent).toString)
+        if (t.branches().contains(bn)) return t.branchTable(bn)
+      }
+    }
+    throw new IllegalArgumentException(s"no such txlog table: $qualified")
   }
 
   // MV measure spec: 'out:src' (sum) or 'out:min:src' / 'out:max:src' —
@@ -549,7 +562,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "branch", "publish", "drop_branch", "branches",
         "create_mv", "create_mv_joined", "refresh_mv", "mv_status",
         "mvs", "remove_orphans", "create_mv_distinct", "create_mv_hist",
-        "mv_distinct", "mv_quantile")
+        "mv_distinct", "mv_quantile", "mv_branch", "mv_publish")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1802,6 +1815,43 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("version", IntegerType),
               StructField("source_version", IntegerType))),
               Seq(InternalRow(v, src.latestVersion.getOrElse(-1))))
+          }
+        }
+      case "mv_branch" =>
+        // CALL c.system.mv_branch('ns.mv', 'name'): fork a CONSISTENT
+        // (source, view) branch pair for write-audit-publish on derived
+        // tables — audit writes go to source.branch_<name>, CALL
+        // refresh_mv('ns.mv.branch_<name>') folds them on the branch,
+        // CALL mv_publish promotes both. The view must be current.
+        new MaintenanceProc("mv_branch", Seq(
+          inParam("view", StringType),
+          inParam("name", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val (f, v) = graft.operators.MaterializedView.branchMv(
+              spark, t.root, input.getString(1))
+            resultScan(StructType(Seq(
+              StructField("source_fork_version", IntegerType),
+              StructField("view_fork_version", IntegerType))),
+              Seq(InternalRow(f, v)))
+          }
+        }
+      case "mv_publish" =>
+        // CALL c.system.mv_publish('ns.mv', 'name'): publish the audited
+        // branch pair — fact first, then the view with its consumed
+        // version rewritten to the fact's just-published MAIN version.
+        // Gated on the branch view having absorbed the branch fact head.
+        new MaintenanceProc("mv_publish", Seq(
+          inParam("view", StringType),
+          inParam("name", StringType))) {
+          override def call(input: InternalRow) = {
+            val t = tableByName(input.getString(0))
+            val (f, v) = graft.operators.MaterializedView.publishWap(
+              spark, t.root, input.getString(1))
+            resultScan(StructType(Seq(
+              StructField("source_version", IntegerType),
+              StructField("view_version", IntegerType))),
+              Seq(InternalRow(f, v)))
           }
         }
       case "mv_distinct" =>

@@ -1,0 +1,140 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.TxLogTable
+
+/** Write-audit-publish for DERIVED tables: [[MaterializedView.branchMv]]
+  * forks a consistent (source, view) branch pair, the view's branch
+  * handle refreshes against the source's same-name branch, main stays
+  * untouched through the audit, and [[MaterializedView.publishWap]]
+  * promotes both with seamless consumed-version bookkeeping (a
+  * post-publish main refresh is a noop).
+  */
+class MvBranchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", DoubleType)))
+
+  private def fresh(): (TxLogTable, String) = {
+    val dir = Files.createTempDirectory("mvbr")
+    (TxLogTable(spark, dir.resolve("src").toString),
+      dir.resolve("mv").toString)
+  }
+
+  private def df(rows: (Long, Double)*): DataFrame = rows.toDF("k", "v")
+
+  private def rowsOf(root: String): Set[(Long, Long, Double)] = {
+    val d = MaterializedView.definition(spark, root)
+    TxLogTable(spark, root).snapshot(d.mvSchema).collect()
+      .map(r => (r.getLong(0), r.getAs[Long](MaterializedView.CountCol),
+        r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+  }
+
+  private def recompute(t: TxLogTable): Set[(Long, Long, Double)] =
+    t.snapshot(schema).groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 6))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal]("t").doubleValue())).toSet
+
+  test("fork pair, write + refresh on the branch (main untouched), " +
+    "publish both: main view matches, post-publish refresh noops") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, 1.0), (2L, 2.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "wap", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    val mainBefore = rowsOf(mvRoot)
+    val (forkF, _) = MaterializedView.branchMv(spark, mvRoot, "audit")
+    assert(forkF == src.latestVersion.get)
+    // audit-cadence writes land on the SOURCE branch only
+    val bSrc = src.branchTable("audit")
+    bSrc.commit(df((1L, 10.0), (3L, 3.0)), overwrite = false)
+    val bHandle = TxLogTable.branchRoot(mvRoot, "audit")
+    val st = MaterializedView.refresh(spark, bHandle)
+    assert(st.mode === "incremental", st)
+    // the branch view folded the branch; main saw NOTHING
+    assert(rowsOf(bHandle) === recompute(bSrc))
+    assert(rowsOf(bHandle) === Set((1L, 2L, 11.0), (2L, 1L, 2.0),
+      (3L, 1L, 3.0)))
+    assert(rowsOf(mvRoot) === mainBefore)
+    assert(recompute(src) !== recompute(bSrc))
+    // publish the audited pair: fact then view, bookkeeping rewritten
+    val (fPub, vPub) = MaterializedView.publishWap(spark, mvRoot, "audit")
+    assert(TxLogTable(spark, mvRoot).latestVersion.contains(vPub))
+    assert(src.latestVersion.contains(fPub))
+    assert(rowsOf(mvRoot) === recompute(src))
+    assert(rowsOf(mvRoot) === Set((1L, 2L, 11.0), (2L, 1L, 2.0),
+      (3L, 1L, 3.0)))
+    // consumed version points at the published MAIN fact version
+    assert(MaterializedView.lastSourceVersion(
+      TxLogTable(spark, mvRoot)) === fPub)
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+    // and ordinary maintenance continues on main after the publish
+    src.commit(df((2L, 5.0)), overwrite = false)
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "incremental")
+    assert(rowsOf(mvRoot) === recompute(src))
+  }
+
+  test("publish gate: an unrefreshed branch view refuses to publish " +
+    "(you audit exactly what will land)") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "gate", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    MaterializedView.branchMv(spark, mvRoot, "a")
+    src.branchTable("a").commit(df((2L, 2.0)), overwrite = false)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.publishWap(spark, mvRoot, "a")
+    }
+    assert(e.getMessage.contains("refresh the view on the branch"), e)
+  }
+
+  test("branchMv refuses a stale view (the forks must correspond), and " +
+    "a branch refresh refuses when no matching source branch exists") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "st", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    src.commit(df((2L, 2.0)), overwrite = false) // view now behind
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.branchMv(spark, mvRoot, "b")
+    }
+    assert(e.getMessage.contains("refresh the view before forking"), e)
+    MaterializedView.refresh(spark, mvRoot)
+    // a view branch without its source twin is a loud refusal
+    TxLogTable(spark, mvRoot).createBranch("solo")
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark,
+        TxLogTable.branchRoot(mvRoot, "solo"))
+    }
+    assert(e2.getMessage.contains("no matching source branch"), e2)
+  }
+
+  test("mid-audit main refresh keeps fast-forward honesty: the view " +
+    "publish refuses, and the self-heal path is an ordinary refresh") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "ff", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    MaterializedView.branchMv(spark, mvRoot, "a")
+    src.branchTable("a").commit(df((3L, 3.0)), overwrite = false)
+    MaterializedView.refresh(spark, TxLogTable.branchRoot(mvRoot, "a"))
+    // main moves underneath the audit: the pair no longer fast-forwards
+    src.commit(df((9L, 9.0)), overwrite = false)
+    MaterializedView.refresh(spark, mvRoot)
+    intercept[java.util.ConcurrentModificationException] {
+      MaterializedView.publishWap(spark, mvRoot, "a")
+    }
+    // main is still exact on its own history
+    assert(rowsOf(mvRoot) === recompute(src))
+  }
+}
