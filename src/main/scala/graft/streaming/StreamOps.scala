@@ -251,6 +251,14 @@ object StreamOps {
     * At 100 TB this is the "view that is never more than one trigger
     * behind" deployment: hourly ProcessingTime for rollup freshness,
     * AvailableNow for catch-up-and-stop backfills.
+    *
+    * STAR-SCHEMA views: the trigger stream is the UNION of the fact's
+    * and the pinned dimension's feeds, so a dim update fires a batch
+    * like any fact commit — the refresh's own triage then decides the
+    * cadence (fact deltas fold against the pinned dim; a moved dim
+    * costs exactly one full recompute that re-pins). The re-pin
+    * decision thus lives in the refresh, the stream merely guarantees
+    * it is never more than one trigger late.
     */
   def maintainMv(spark: SparkSession, mvRoot: String,
                  checkpointDir: String,
@@ -262,13 +270,15 @@ object StreamOps {
     // refuse the plain append feed, but the batch CONTENT is discarded
     // here — the refresh folds those versions exactly through its own
     // CDC triage, the stream only paces past them
-    spark.readStream.format("txlog")
-      .option("skipChangeCommits", "true")
-      .load(d.source)
-      // trigger-only: the constant-false filter folds the batch's scan
-      // to an empty relation while the source's offsets still advance —
-      // the refresh inside foreachBatch is what actually reads the log
-      .filter(lit(false))
+    def tick(root: String): DataFrame =
+      spark.readStream.format("txlog")
+        .option("skipChangeCommits", "true")
+        .load(root)
+        // trigger-only: the constant-false filter folds the batch's scan
+        // to an empty relation while the source's offsets still advance —
+        // the refresh inside foreachBatch is what actually reads the log
+        .select(lit(1).as("tick")).filter(lit(false))
+    d.dim.foldLeft(tick(d.source))((s, dimRoot) => s.union(tick(dimRoot)))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

@@ -421,6 +421,52 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
   }
 
+  test("maintainMv on a star view: fact appends fold under the pinned " +
+    "dim, a mid-stream dim update triggers the re-pin recompute — all " +
+    "paced by the stream, no manual refresh") {
+    val dir = Files.createTempDirectory("mvj-maint")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L, "x", 1.0), (2L, "x", 2.0)), overwrite = true)
+    dim.commit(Seq((1L, "a"), (2L, "b")).toDF("uid", "seg"),
+      overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "starm", fact, schema,
+      dim, dimSchema, Seq("k" -> "uid"), Seq("seg"),
+      Seq("total" -> "v"))
+    val mv = TxLogTable(spark, mvRoot)
+    val d = MaterializedView.definition(spark, mvRoot)
+    def viewRows: Set[(String, Long, Double)] =
+      mv.snapshot(d.mvSchema).collect().map(r => (r.getString(0),
+        r.getAs[Long](MaterializedView.CountCol),
+        r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    val ckpt = Files.createTempDirectory("mvj-maint-ckpt").toString
+    val q = graft.streaming.StreamOps.maintainMv(spark, mvRoot, ckpt)
+    try {
+      // a fact append folds incrementally against the pinned dim
+      fact.commit(df((1L, "x", 10.0)), overwrite = false)
+      q.processAllAvailable()
+      assert(viewRows === Set(("a", 2L, 11.0), ("b", 1L, 2.0)))
+      assert(mv.opOf(mv.latestVersion.get).contains("mv-refresh"))
+      // mid-stream DIM update: the dim feed fires the batch, the
+      // refresh detects the moved pin and recomputes (re-pinning)
+      dim.updateWherePos(dimSchema, col("uid") === 2L,
+        Seq("seg" -> lit("a")))
+      q.processAllAvailable()
+      assert(viewRows === Set(("a", 3L, 13.0)))
+      assert(mv.opOf(mv.latestVersion.get).contains("mv-refresh-full"),
+        "a dim move must re-pin via one full recompute")
+      // and fact deltas fold again under the NEW pin
+      fact.commit(df((2L, "x", 5.0)), overwrite = false)
+      q.processAllAvailable()
+      assert(viewRows === Set(("a", 4L, 18.0)))
+      assert(mv.opOf(mv.latestVersion.get).contains("mv-refresh"))
+    } finally q.stop()
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+  }
+
   test("star-schema view refuses a non-unique dim at create") {
     val dir = Files.createTempDirectory("mvj2")
     val fact = TxLogTable(spark, dir.resolve("fact").toString)
