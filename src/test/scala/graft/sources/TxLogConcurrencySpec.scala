@@ -20,6 +20,8 @@ import graft.TestSpark
   * | row-level DML       | compact of its files | refuse (write-write)  |
   * | row-level DML       | overlapping append   | refuse (write-skew)   |
   * | row-level DML       | disjoint append      | serialize (carried)   |
+  * | row-level DML       | file-disjoint DML    | BOTH land (commute)   |
+  * | row-level DML       | overlapping DML      | refuse (write-write)  |
   * | staged write        | vacuum               | survive (minAge)      |
   * | staged write        | rebucket             | refuse (spec changed) |
   * | tag 'x'             | tag 'x'              | one wins (atomic ref) |
@@ -99,6 +101,63 @@ class TxLogConcurrencySpec extends AnyFunSuite {
         scanBase = Some(scanV), scanPred = Some(col("id") < 10L))
     }
     assert(e.getMessage.contains("may match this operation's condition"))
+  }
+
+  test("DML || file-disjoint DML: BOTH land — provably disjoint " +
+    "rewrites commute (the 100 TB shape: per-partition backfills)") {
+    val t = fresh()
+    // two id bands -> two files whose footer stats are disjoint
+    t.commit((0L until 40L).map(i => (i, s"v$i")).toDF("id", "v"),
+      overwrite = true)
+    t.commit((1000L until 1040L).map(i => (i, s"v$i")).toDF("id", "v"),
+      overwrite = false)
+    val scanV = t.latestVersion.get
+    val predA = col("id") < 100L
+    val predB = col("id") >= 1000L
+    val relsA = t.candidateFilesWhere(predA).toSet
+    val relsB = t.candidateFilesWhere(predB).toSet
+    assert(relsA.intersect(relsB).isEmpty, "bands must be file-disjoint")
+    // writer B scans, then writer A scans; B publishes FIRST
+    val vB = t.commitReplacingDf(
+      (1000L until 1040L).map(i => (i, "updB")).toDF("id", "v"),
+      replaced = Some(relsB), op = "row-level-update",
+      scanBase = Some(scanV), scanPred = Some(predB))
+    assert(vB == scanV + 1)
+    // A's publish: its read files are untouched, and B's new files are
+    // stats-disjoint from A's condition -> no write-write, no skew
+    val vA = t.commitReplacingDf(
+      (0L until 40L).map(i => (i, "updA")).toDF("id", "v"),
+      replaced = Some(relsA), op = "row-level-update",
+      scanBase = Some(scanV), scanPred = Some(predA))
+    assert(vA == vB + 1, "the disjoint loser must land, not refuse")
+    assert(rows(t) ==
+      ((0L until 40L).map(i => (i, "updA")) ++
+        (1000L until 1040L).map(i => (i, "updB"))).toSet,
+      "both updates visible - a serial history in either order")
+  }
+
+  test("DML || overlapping DML: refuse, write-write — the loser's read " +
+    "files were rewritten") {
+    val t = fresh()
+    t.commit((0L until 40L).map(i => (i, s"v$i")).toDF("id", "v"),
+      overwrite = true)
+    val scanV = t.latestVersion.get
+    val pred = col("id") < 100L
+    val rels = t.candidateFilesWhere(pred).toSet
+    // a concurrent DML on the SAME band lands first (rewrites the files)
+    t.commitReplacingDf(
+      (0L until 40L).map(i => (i, "win")).toDF("id", "v"),
+      replaced = Some(rels), op = "row-level-update",
+      scanBase = Some(scanV), scanPred = Some(pred))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.commitReplacingDf(
+        (0L until 40L).map(i => (i, "lose")).toDF("id", "v"),
+        replaced = Some(rels), op = "row-level-update",
+        scanBase = Some(scanV), scanPred = Some(pred))
+    }
+    assert(e.getMessage.contains("rewritten by a concurrent commit"))
+    assert(rows(t) == (0L until 40L).map(i => (i, "win")).toSet,
+      "the winner's update survives untouched")
   }
 
   test("DML || stats-disjoint append: serialize — the late file carries") {
