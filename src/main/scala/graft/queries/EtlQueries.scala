@@ -1746,6 +1746,39 @@ object EtlQueries {
       s.sql("SELECT grp, vb, mv_count AS n FROM graftcat.db.mv_h")
     }),
 
+    // DERIVED-GROUP-KEY MV ('derives' in CALL create_mv — the generic
+    // row-local computed-column machinery the sketch views build on,
+    // exercised here in its most common production shape: a DAILY
+    // rollup grouped by a day bucket computed from the raw timestamp).
+    // A derive is a pure function of one row, so it commutes with the
+    // change feed and both refreshes fold incrementally — including
+    // the one absorbing a DELETE. Oracle recomputes the rollup with
+    // the same day arithmetic from the raw source.
+    "sql_mv_rollup" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_r_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_day")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_r")
+      s.sql("CREATE TABLE graftcat.db.ev_r (event_id BIGINT, " +
+        "ts BIGINT, value DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_r SELECT event_id, ts, " +
+        "value FROM ev_r_src WHERE event_id % 2 = 0")
+      s.sql("CALL graftcat.system.create_mv('db.mv_day', 'db.ev_r', " +
+        "'day', 'total:value', NULL, " +
+        "'day:CAST(ts DIV 86400000000000 AS BIGINT)')").collect()
+      s.sql("INSERT INTO graftcat.db.ev_r SELECT event_id, ts, " +
+        "value FROM ev_r_src WHERE event_id % 2 = 1")
+      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_day')").head
+      require(r1.getString(0) == "incremental",
+        s"a derived group key folds like any other: $r1")
+      s.sql("DELETE FROM graftcat.db.ev_r WHERE value < 2")
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_day')").head
+      require(r2.getString(0) == "incremental",
+        s"deletes fold under a derived key too: $r2")
+      s.sql("SELECT day, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_day")
+    }),
+
     // WRITE-AUDIT-PUBLISH FOR DERIVED TABLES (CALL system.mv_branch /
     // mv_publish — the composition of branches and incremental MVs):
     // mv_branch forks a CONSISTENT (source, view) pair; audit-cadence
@@ -3982,6 +4015,12 @@ object EtlQueries {
                     ELSE 61 - length(bin(v)) END) AS r,
            CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY grp, bucket""",
+
+    "sql_mv_rollup" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM events WHERE value >= 2 GROUP BY 1""",
 
     "sql_mv_wap" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
