@@ -556,7 +556,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       Array("compact", "vacuum", "history", "partitions", "restore",
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
-        "ann_build", "ann_refresh", "ann_search",
+        "ann_build", "ann_refresh", "ann_search", "ann_build_auto",
         "cursors", "release_cursor", "delete_pos", "update_pos",
         "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch",
         "branch", "publish", "drop_branch", "branches",
@@ -1139,6 +1139,42 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               Seq(InternalRow(pinned)))
           }
         }
+      case "ann_build_auto" =>
+        // CALL c.system.ann_build_auto('ns.corpus', 'ns.idx'
+        // [, target_cell [, train_sample [, iters [, pq [, sq8]]]]]):
+        // the auto-sized build (graft.operators.AnnIndex.buildAuto) —
+        // k derives from the corpus so cell SIZE is the invariant, and
+        // the quantizer trains on a bounded deterministic sample, so
+        // training cost is O(sample × k) at any corpus size.
+        new MaintenanceProc("ann_build_auto", Seq(
+          inParam("corpus", StringType),
+          inParam("index", StringType),
+          inParam("target_cell", LongType, Some("4096")),
+          inParam("train_sample", LongType, Some("262144")),
+          inParam("iterations", IntegerType, Some("2")),
+          inParam("pq", BooleanType, Some("true")),
+          inParam("sq8", BooleanType, Some("false")))) {
+          override def call(input: InternalRow) = {
+            val src = tableByName(input.getString(0))
+            val idxRoot = pathByName(input.getString(1)).toString
+            val tc = if (input.isNullAt(2)) 4096L else input.getLong(2)
+            val ts = if (input.isNullAt(3)) 262144L else input.getLong(3)
+            val it = if (input.isNullAt(4)) 2 else input.getInt(4)
+            val pq = input.isNullAt(5) || input.getBoolean(5)
+            val sq8 = !input.isNullAt(6) && input.getBoolean(6)
+            val schema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(0)).schema)
+            require(Seq("vec_id", "embedding").forall(
+              schema.fieldNames.contains),
+              "ann_build_auto corpus needs (vec_id, embedding) columns")
+            val (pinned, k) = graft.operators.AnnIndex.buildAuto(
+              spark, src.root, idxRoot, schema, it, tc, ts, pq, sq8)
+            resultScan(StructType(Seq(
+              StructField("pinned_version", IntegerType),
+              StructField("k", IntegerType))),
+              Seq(InternalRow(pinned, k)))
+          }
+        }
       case "ann_search" =>
         // CALL c.system.ann_search('ns.idx', query_vec_id [, k
         // [, predicate [, require_fresh [, nprobe]]]]): IVF top-k
@@ -1681,7 +1717,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("behind", IntegerType),
               StructField("group_cols", StringType),
               StructField("sums", StringType),
-              StructField("filter", StringType))),
+              StructField("filter", StringType),
+              StructField("derives", StringType))),
               Seq(InternalRow(UTF8String.fromString(d.name), last, head,
                 math.max(0, head - last),
                 UTF8String.fromString(d.groupCols.mkString(",")),
@@ -1690,7 +1727,10 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                     d.mins.map { case (o, c) => s"$o:min:$c" } ++
                     d.maxs.map { case (o, c) => s"$o:max:$c" })
                     .mkString(",")),
-                d.filterExpr.map(UTF8String.fromString).orNull)))
+                d.filterExpr.map(UTF8String.fromString).orNull,
+                if (d.derives.isEmpty) null
+                else UTF8String.fromString(d.derives
+                  .map { case (n, _, e) => s"$n:$e" }.mkString(";")))))
           }
         }
       case "mvs" =>

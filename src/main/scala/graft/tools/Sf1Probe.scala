@@ -63,6 +63,18 @@ object Sf1Probe {
       val s1 = best(out)
       println(f"| $q | $s01%.2f | $s1%.2f | ${s1 / s01}%.1fx |")
     }
+    // context for the dedup ratio: the replication makes every doc a
+    // 10-way near-dup family, so the VERIFY stage's candidate pairs
+    // grow quadratically in duplication density — report the actual
+    // pair counts so wall-clock can be judged against real work
+    for ((label, dir) <- Seq("sf0.1" -> src, "sf1" -> out)) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.queries.TextQueries.statelessBands(docs)
+        .groupBy("band", "band_key").agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * (col("n") - 1)).cast("long") / 2)
+          .cast("long")).head.getLong(0)
+      println(s"[probe] $label LSH candidate pairs: $pairs")
+    }
     spark.stop()
   }
 }

@@ -2857,6 +2857,24 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("CALL system.ann_build_auto: k derives from the corpus, the " +
+      "sampled trainer runs, and the index serves through ann_search") {
+    spark.sql("DROP TABLE IF EXISTS txcat.ns.anna")
+    spark.sql("CREATE TABLE txcat.ns.anna USING txlog AS " +
+      "SELECT id AS vec_id, array(CAST(id % 5 AS FLOAT), " +
+      "CAST(id % 3 AS FLOAT), CAST(1 AS FLOAT), " +
+      "CAST(id % 7 AS FLOAT)) AS embedding FROM range(64)")
+    val b = spark.sql("CALL txcat.system.ann_build_auto('ns.anna', " +
+      "'ns.anna_idx', 16, 32, 2, false)").collect()
+    assert(b.length == 1 && b(0).getInt(1) == 4, // ceil(64/16)
+      s"auto-k must track the corpus: ${b.mkString(",")}")
+    val top = spark.sql(
+      "CALL txcat.system.ann_search('ns.anna_idx', 3, 4)").collect()
+    assert(top.nonEmpty && top.length <= 4)
+    assert(top.map(_.getDouble(2)).toSeq ==
+      top.map(_.getDouble(2)).sortBy(-_).toSeq)
+  }
+
   test("CALL system.ann_search: persisted-index top-k in SQL, with an " +
       "optional pre-filter predicate") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.annq")
