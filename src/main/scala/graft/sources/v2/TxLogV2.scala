@@ -562,7 +562,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "branch", "publish", "drop_branch", "branches",
         "create_mv", "create_mv_joined", "refresh_mv", "mv_status",
         "mvs", "remove_orphans", "create_mv_distinct", "create_mv_hist",
-        "mv_distinct", "mv_quantile", "mv_branch", "mv_publish")
+        "mv_distinct", "mv_quantile", "mv_branch", "mv_publish",
+        "refresh_all")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1855,6 +1856,46 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("version", IntegerType),
               StructField("source_version", IntegerType))),
               Seq(InternalRow(v, src.latestVersion.getOrElse(-1))))
+          }
+        }
+      case "refresh_all" =>
+        // CALL c.system.refresh_all('ns'): one maintenance sweep over
+        // every materialized view in the namespace — each stale view
+        // gets one transactional refresh (the per-view cost contract is
+        // refresh_mv's: O(changed groups)); current views no-op; a
+        // broken view is reported as mode='error' without stopping the
+        // fleet. The cron body of a 100-view deployment.
+        new MaintenanceProc("refresh_all", Seq(
+          inParam("namespace", StringType))) {
+          override def call(input: InternalRow) = {
+            val ns = input.getString(0).split('.').filter(_.nonEmpty)
+            val rows = listTables(ns).toSeq.flatMap { ident =>
+              val root = pathOf(ident).toString
+              if (!java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(root, "_log", "mv.def"))) Nil
+              else {
+                val qn = (ns :+ ident.name).mkString(".")
+                (scala.util.Try {
+                  val st = graft.operators.MaterializedView
+                    .refresh(spark, root)
+                  InternalRow(UTF8String.fromString(qn),
+                    UTF8String.fromString(st.mode), st.fromVersion,
+                    st.toVersion, st.groupsChanged, st.mvVersion)
+                }.recover { case e =>
+                  InternalRow(UTF8String.fromString(qn),
+                    UTF8String.fromString(
+                      s"error: ${e.getMessage.take(120)}"),
+                    -1, -1, -1L, -1)
+                }).toOption.toSeq
+              }
+            }
+            resultScan(StructType(Seq(
+              StructField("table", StringType),
+              StructField("mode", StringType),
+              StructField("from_version", IntegerType),
+              StructField("to_version", IntegerType),
+              StructField("groups_changed", LongType),
+              StructField("view_version", IntegerType))), rows)
           }
         }
       case "mv_branch" =>

@@ -2857,6 +2857,40 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("CALL system.refresh_all: one sweep refreshes every stale view " +
+      "in the namespace; broken views are reported, not fatal") {
+    for (t <- Seq("src_t", "v_a", "v_b", "bad_v"))
+      spark.sql(s"DROP TABLE IF EXISTS txcat.mvra.$t")
+    spark.sql(
+      "CREATE TABLE txcat.mvra.src_t (k BIGINT, v DOUBLE) USING txlog")
+    spark.sql("INSERT INTO txcat.mvra.src_t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("CALL txcat.system.create_mv('mvra.v_a', 'mvra.src_t', " +
+      "'k', 'ta:v')").collect()
+    spark.sql("CALL txcat.system.create_mv('mvra.v_b', 'mvra.src_t', " +
+      "'k', 'tb:v')").collect()
+    spark.sql("INSERT INTO txcat.mvra.src_t VALUES (3, 3.0)")
+    // a half-created view in the same namespace must not stop the sweep
+    spark.sql(
+      "CREATE TABLE txcat.mvra.bad_v (k BIGINT, n BIGINT) USING txlog")
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$warehouse/mvra/bad_v/_log/mv.def"),
+      "name=bad\nsource=/none\ngroupCols=k\nsum=n:v\nproj=k BIGINT\n"
+        .getBytes("UTF-8"))
+    val rows = spark.sql("CALL txcat.system.refresh_all('mvra')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("mvra.v_a") == "incremental" &&
+      rows("mvra.v_b") == "incremental", rows.toString)
+    assert(rows("mvra.bad_v").startsWith("error"), rows.toString)
+    // second sweep: everything current
+    val again = spark.sql("CALL txcat.system.refresh_all('mvra')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again("mvra.v_a") == "noop" && again("mvra.v_b") == "noop",
+      again.toString)
+    val n = spark.sql("SELECT CAST(SUM(CAST(ta AS DOUBLE)) AS DOUBLE) " +
+      "FROM txcat.mvra.v_a").head.getDouble(0)
+    assert(n == 6.0, s"refreshed view must hold the full rollup: $n")
+  }
+
   test("CALL system.ann_build_auto: k derives from the corpus, the " +
       "sampled trainer runs, and the index serves through ann_search") {
     spark.sql("DROP TABLE IF EXISTS txcat.ns.anna")
