@@ -537,6 +537,54 @@ object AnnIndex {
       .limit(topK)
   }
 
+  /** Batch twin of [[searchIvfSq8]] — N queries ranked on the persisted
+    * 8-bit codes in ONE pass: the same per-query routing as
+    * [[searchIvfBatch]], candidates join their cells' queries on the
+    * cluster id, ranking dequantizes against the two bounds literals
+    * (no broadcast table), and a per-query window top-k closes. The
+    * batch serving shape at the recall/IO point the matrix measured
+    * best (sq8 0.99 recall@10 at 4× less ranking I/O).
+    */
+  def searchIvfSq8Batch(spark: SparkSession, indexRoot: String,
+                        queryVecIds: Seq[Long], topK: Int,
+                        requireFresh: Boolean = false,
+                        nprobe: Int = 1): DataFrame = {
+    require(queryVecIds.nonEmpty, "searchIvfSq8Batch needs query ids")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    graft.catalyst.CosineSim.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
+    val emb = rankingShape(corpus, None)
+    val cents = TxLogTable(spark, s"$indexRoot/centroids")
+      .snapshot(centroidsSchema)
+    val assigned = TxLogTable(spark, s"$indexRoot/assignments")
+      .snapshot(assignmentsSchema)
+    val codes = TxLogTable(spark, s"$indexRoot/sq8codes")
+      .snapshot(sq8CodesSchema)
+    val (mnA, spanA) = sq8BoundArrays(spark, indexRoot)
+    val qs = emb.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rw = Window.partitionBy("q_id")
+      .orderBy(col("cs").desc, col("cluster"))
+    val best = cents.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("cluster"),
+        cosine(col("cv"), col("qv")).as("cs"))
+      .withColumn("crn", row_number().over(rw))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("cluster").as("best_cluster"))
+    val routed = best.join(qs, "q_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sq8_sim").desc, col("vec_id"))
+    assigned.join(broadcast(routed),
+        col("cluster") === col("best_cluster"))
+      .join(codes, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("cluster"),
+        cosine(sq8DecodeCol(mnA, spanA), col("qv")).as("sq8_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .drop("rn")
+  }
+
   /** IVF+PQ search through the persisted index — the billion-vector
     * serving shape with NOTHING trained at query time: the coarse
     * quantizer routes via persisted centroids, ranking runs on the

@@ -1249,7 +1249,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             org.apache.spark.sql.types.ArrayType(LongType)),
           inParam("k", IntegerType, Some("5")),
           inParam("nprobe", IntegerType, Some("1")),
-          inParam("require_fresh", BooleanType, Some("false")))) {
+          inParam("require_fresh", BooleanType, Some("false")),
+          inParam("variant", StringType, Some("'exact'")))) {
           override def call(input: InternalRow) = {
             val idxRoot = pathByName(input.getString(0)).toString
             require(!input.isNullAt(1),
@@ -1260,14 +1261,26 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             require(k > 0, s"ann_search_batch k must be positive, got $k")
             val np = if (input.isNullAt(3)) 1 else input.getInt(3)
             val fresh = !input.isNullAt(4) && input.getBoolean(4)
-            val rows = graft.operators.AnnIndex.searchIvfBatch(
-              spark, idxRoot, qids, k, requireFresh = fresh,
-              nprobe = np).collect()
+            val variant = if (input.isNullAt(5)) "exact"
+              else input.getString(5)
+            // 'sq8' ranks the persisted 8-bit codes (4× less ranking
+            // I/O, near-exact recall — the index needs sq8 artifacts)
+            val (df, scoreCol) = variant match {
+              case "exact" => (graft.operators.AnnIndex.searchIvfBatch(
+                spark, idxRoot, qids, k, requireFresh = fresh,
+                nprobe = np), "q_cos")
+              case "sq8" => (graft.operators.AnnIndex.searchIvfSq8Batch(
+                spark, idxRoot, qids, k, requireFresh = fresh,
+                nprobe = np), "sq8_sim")
+              case other => throw new IllegalArgumentException(
+                s"ann_search_batch variant must be exact|sq8, got $other")
+            }
+            val rows = df.collect()
             resultScan(StructType(Seq(
               StructField("q_id", LongType),
               StructField("vec_id", LongType),
               StructField("cluster", IntegerType),
-              StructField("q_cos", DoubleType))),
+              StructField(scoreCol, DoubleType))),
               rows.toSeq.map(r => InternalRow(r.getLong(0), r.getLong(1),
                 r.getInt(2), r.getDouble(3))))
           }

@@ -290,6 +290,43 @@ object StreamOps {
       .start()
   }
 
+  /** CONTINUOUS ANN-index maintenance — [[maintainMv]]'s twin for the
+    * serving index: a trigger-only stream over the index's CORPUS whose
+    * every micro-batch runs one [[graft.operators.AnnIndex.refresh]]
+    * (new vectors route to the existing centroids, codes encode against
+    * the persisted codebook/bounds, the pin advances — O(new vectors)).
+    * The serving index is never more than one trigger behind the
+    * embedding drop. A corpus that takes row DELETES kills the query
+    * LOUDLY (refresh's phantom-neighbor refusal): deletions invalidate
+    * an append-maintained index, rebuild instead — a silent pace-past
+    * would serve deleted vectors as neighbors.
+    */
+  def maintainAnn(spark: SparkSession, indexRoot: String,
+                  checkpointDir: String,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger
+                      .ProcessingTime(0L)): StreamingQuery = {
+    val corpusRoot = graft.sources.TxLogTable(spark, s"$indexRoot/meta")
+      .snapshot(graft.operators.AnnIndex.metaSchema)
+      .collect().collectFirst {
+        case r if r.getString(0) == "corpus_root" => r.getString(1)
+      }.getOrElse(throw new IllegalStateException(
+        s"$indexRoot is not a persisted ANN index (no corpus_root meta)"))
+    spark.readStream.format("txlog")
+      .option("skipChangeCommits", "true")
+      .load(corpusRoot)
+      .select(lit(1).as("tick")).filter(lit(false))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.operators.AnnIndex.refresh(spark, indexRoot)
+        ()
+      }
+      .start()
+  }
+
   /** Convenience: run any of the above on a parquet directory as a stream
     * and drain it into an in-memory table (test/driver harness).
     */

@@ -154,6 +154,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("phantom neighbors"), e.getMessage)
   }
 
+  test("searchIvfSq8Batch equals per-id searchIvfSq8, and maintainAnn " +
+    "keeps the index at the corpus head from the stream") {
+    implicit val sp = spark
+    val vecs = (0L until 32L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 1.0f + 0.01f * i
+      v(((i + 1) % 4).toInt) = 0.05f * (i % 3)
+      (i, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann-sq8b")
+    val corpus = graft.sources.TxLogTable(spark, tmp.resolve("c").toString)
+    corpus.commit(emb, overwrite = true)
+    val idx = tmp.resolve("i").toString
+    AnnIndex.build(spark, corpus.root, idx, emb.schema, k = 4,
+      iterations = 2, pq = false, sq8 = true)
+    val qids = Seq(0L, 3L, 7L)
+    val batch = AnnIndex.searchIvfSq8Batch(spark, idx, qids, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    qids.foreach { q =>
+      val single = AnnIndex.searchIvfSq8(spark, idx, q, topK = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(q) === single, s"q=$q batch != single")
+    }
+    // continuous maintenance: an embedding drop advances the pin
+    val ckpt = java.nio.file.Files.createTempDirectory("ann-maint").toString
+    val q = graft.streaming.StreamOps.maintainAnn(spark, idx, ckpt)
+    try {
+      corpus.commit(Seq((100L, vecs(5)._2)).toDF("vec_id", "embedding"),
+        overwrite = false)
+      q.processAllAvailable()
+      val a = graft.sources.TxLogTable(spark, s"$idx/assignments")
+        .snapshot(AnnIndex.assignmentsSchema).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(a.contains(100L) && a(100L) == a(5L),
+        s"the streamed vector must route to its twin's cell: $a")
+      // the pin advanced with the refresh: a fresh search serves
+      assert(AnnIndex.searchIvfSq8(spark, idx, 100L, 3,
+        requireFresh = true).count() == 3)
+    } finally q.stop()
+  }
+
   test("AnnIndex.buildAuto: k derives from corpus size, the quantizer " +
     "trains on a strided sample, search serves through the result") {
     implicit val sp = spark
