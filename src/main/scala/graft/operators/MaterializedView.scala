@@ -924,6 +924,52 @@ object MaterializedView {
         s"CAST(length(bin(CAST(floor(`$srcCol`) AS BIGINT))) AS BIGINT)"))
   }
 
+  /** EXACT incremental COUNT(DISTINCT) — the composition the sketch
+    * views deliberately do not attempt: an INNER view grouped by
+    * `(groupCols, distinctCol)` carrying only the count (fully additive,
+    * so it folds under EVERY DML shape — a (group, value) pair leaves it
+    * exactly when its last row does), and an OUTER view over the inner
+    * grouped by `groupCols` whose `mv_count` counts the inner's current
+    * rows — i.e. the group's distinct values, exactly. The inner's
+    * DV-upsert refreshes feed the outer exact delete+insert events (the
+    * proven views-compose path), so BOTH levels stay incremental under
+    * appends AND deletes; cost per refresh is O(changed (group, value)
+    * pairs) then O(changed groups).
+    *
+    * Use this when exactness matters and per-group value cardinality is
+    * storage-acceptable (the inner holds one row per live (group,
+    * value)); use [[createDistinct]] (HLL registers, ≤256 rows per
+    * group) when it is not. Inner lands at `<mvRoot>_keys`.
+    *
+    * @return (inner create version, outer create version)
+    */
+  def createDistinctExact(spark: SparkSession, mvRoot: String,
+                          name: String, source: TxLogTable,
+                          srcSchema: StructType, groupCols: Seq[String],
+                          distinctCol: String,
+                          filterExpr: Option[String] = None): (Int, Int) = {
+    val keysRoot = mvRoot + "_keys"
+    val filt = (filterExpr.map(f => s"($f)").toSeq :+
+      s"`$distinctCol` IS NOT NULL").mkString(" AND ")
+    val v1 = createImpl(spark, keysRoot, s"$name.keys", source, srcSchema,
+      None, groupCols :+ distinctCol, Nil, Some(filt), Nil, Nil)
+    val innerDef = definition(spark, keysRoot)
+    val v2 = createImpl(spark, mvRoot, name,
+      TxLogTable(spark, keysRoot), innerDef.mvSchema, None, groupCols,
+      Nil, None, Nil, Nil)
+    (v1, v2)
+  }
+
+  /** Refresh an exact-distinct pair in dependency order (inner first, so
+    * the outer's window sees the inner's fresh commits). Each level is
+    * its own transactional refresh with the usual contracts. */
+  def refreshDistinctExact(spark: SparkSession, mvRoot: String,
+                           full: Boolean = false)
+      : (RefreshStats, RefreshStats) = {
+    val outer = definition(spark, mvRoot)
+    (refresh(spark, outer.source, full), refresh(spark, mvRoot, full))
+  }
+
   // the derived bucket key and the plain (non-derived) group keys of a
   // sketch view, from its recorded definition
   private def sketchKeys(d: MvDef): (String, Seq[String]) = {

@@ -1746,6 +1746,47 @@ object EtlQueries {
       s.sql("SELECT grp, vb, mv_count AS n FROM graftcat.db.mv_h")
     }),
 
+    // EXACT INCREMENTAL COUNT(DISTINCT) (CALL
+    // system.create_mv_distinct_exact — the two-level composition that
+    // closes the distinct carve-out exactly where the HLL view closes
+    // it approximately): an inner view keyed by (grp, u) carrying only
+    // the count and an outer view counting the inner's rows. Both
+    // levels are fully additive, so — unlike the register view, whose
+    // deleting windows force a recompute — EVERY refresh here is
+    // pinned "incremental", including the two absorbing a DELETE. The
+    // oracle recomputes COUNT(DISTINCT) from the raw source; the hash
+    // check is exact.
+    "sql_mv_distinct_exact" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_de_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_de")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_de_keys")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_de")
+      s.sql("CREATE TABLE graftcat.db.ev_de (event_id BIGINT, " +
+        "grp BIGINT, u BIGINT) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_de SELECT event_id, " +
+        "user_id % 8, user_id % 100 FROM ev_de_src " +
+        "WHERE event_id % 3 = 0")
+      s.sql("CALL graftcat.system.create_mv_distinct_exact(" +
+        "'db.mv_de', 'db.ev_de', 'grp', 'u')").collect()
+      s.sql("INSERT INTO graftcat.db.ev_de SELECT event_id, " +
+        "user_id % 8, user_id % 100 FROM ev_de_src " +
+        "WHERE event_id % 3 IN (1, 2)")
+      val r1k = s.sql(
+        "CALL graftcat.system.refresh_mv('db.mv_de_keys')").head
+      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_de')").head
+      require(r1k.getString(0) == "incremental" &&
+        r1.getString(0) == "incremental", s"append fold: $r1k / $r1")
+      s.sql("DELETE FROM graftcat.db.ev_de WHERE u % 5 = 0")
+      val r2k = s.sql(
+        "CALL graftcat.system.refresh_mv('db.mv_de_keys')").head
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_de')").head
+      require(r2k.getString(0) == "incremental" &&
+        r2.getString(0) == "incremental",
+        s"exact distinct folds deletes too: $r2k / $r2")
+      s.sql("SELECT grp, mv_count AS uniques FROM graftcat.db.mv_de")
+    }),
+
     // DERIVED-GROUP-KEY MV ('derives' in CALL create_mv — the generic
     // row-local computed-column machinery the sketch views build on,
     // exercised here in its most common production shape: a DAILY
@@ -4015,6 +4056,13 @@ object EtlQueries {
                     ELSE 61 - length(bin(v)) END) AS r,
            CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY grp, bucket""",
+
+    "sql_mv_distinct_exact" ->
+      """WITH src AS (
+           SELECT user_id % 8 AS grp, user_id % 100 AS u FROM events
+           WHERE (user_id % 100) % 5 <> 0)
+         SELECT grp, CAST(COUNT(DISTINCT u) AS BIGINT) AS uniques
+         FROM src GROUP BY grp""",
 
     "sql_mv_rollup" ->
       """SELECT epoch_ns(ts) // 86400000000000 AS day,

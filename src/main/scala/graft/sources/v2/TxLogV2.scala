@@ -563,7 +563,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "create_mv", "create_mv_joined", "refresh_mv", "mv_status",
         "mvs", "remove_orphans", "create_mv_distinct", "create_mv_hist",
         "mv_distinct", "mv_quantile", "mv_branch", "mv_publish",
-        "refresh_all")
+        "refresh_all", "create_mv_distinct_exact")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -1877,30 +1877,57 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         // gets one transactional refresh (the per-view cost contract is
         // refresh_mv's: O(changed groups)); current views no-op; a
         // broken view is reported as mode='error' without stopping the
-        // fleet. The cron body of a 100-view deployment.
+        // fleet. Views are refreshed in DEPENDENCY ORDER (a view whose
+        // source is itself a view in the sweep runs after it — the
+        // exact-distinct pairs and any MV-over-MV chain come out fully
+        // current in ONE sweep). The cron body of a 100-view deployment.
         new MaintenanceProc("refresh_all", Seq(
           inParam("namespace", StringType))) {
           override def call(input: InternalRow) = {
             val ns = input.getString(0).split('.').filter(_.nonEmpty)
-            val rows = listTables(ns).toSeq.flatMap { ident =>
-              val root = pathOf(ident).toString
-              if (!java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(root, "_log", "mv.def"))) Nil
-              else {
-                val qn = (ns :+ ident.name).mkString(".")
-                (scala.util.Try {
-                  val st = graft.operators.MaterializedView
-                    .refresh(spark, root)
-                  InternalRow(UTF8String.fromString(qn),
-                    UTF8String.fromString(st.mode), st.fromVersion,
-                    st.toVersion, st.groupsChanged, st.mvVersion)
-                }.recover { case e =>
-                  InternalRow(UTF8String.fromString(qn),
-                    UTF8String.fromString(
-                      s"error: ${e.getMessage.take(120)}"),
-                    -1, -1, -1L, -1)
-                }).toOption.toSeq
+            val views: Seq[(String, String, Option[String])] =
+              listTables(ns).toSeq.flatMap { ident =>
+                val root = pathOf(ident).toString
+                if (!java.nio.file.Files.exists(
+                    java.nio.file.Paths.get(root, "_log", "mv.def"))) Nil
+                else {
+                  val qn = (ns :+ ident.name).mkString(".")
+                  val src = scala.util.Try(graft.operators
+                    .MaterializedView.definition(spark, root).source)
+                    .toOption
+                  Seq((qn, root, src))
+                }
               }
+            // Kahn order on the view→view source edges; anything left
+            // (a cycle can only mean corrupted defs) appends unordered
+            // and will surface as error rows rather than be dropped
+            val byRoot = views.map(v => v._2 -> v).toMap
+            val ordered = scala.collection.mutable.ArrayBuffer
+              .empty[(String, String, Option[String])]
+            var remaining = views
+            var progressed = true
+            while (remaining.nonEmpty && progressed) {
+              val (ready, blocked) = remaining.partition(v =>
+                !v._3.exists(s => byRoot.contains(s) &&
+                  !ordered.exists(_._2 == s)))
+              progressed = ready.nonEmpty
+              ordered ++= ready
+              remaining = blocked
+            }
+            ordered ++= remaining
+            val rows = ordered.toSeq.map { case (qn, root, _) =>
+              scala.util.Try {
+                val st = graft.operators.MaterializedView
+                  .refresh(spark, root)
+                InternalRow(UTF8String.fromString(qn),
+                  UTF8String.fromString(st.mode), st.fromVersion,
+                  st.toVersion, st.groupsChanged, st.mvVersion)
+              }.recover { case e =>
+                InternalRow(UTF8String.fromString(qn),
+                  UTF8String.fromString(
+                    s"error: ${e.getMessage.take(120)}"),
+                  -1, -1, -1L, -1)
+              }.get
             }
             resultScan(StructType(Seq(
               StructField("table", StringType),
@@ -1909,6 +1936,47 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("to_version", IntegerType),
               StructField("groups_changed", LongType),
               StructField("view_version", IntegerType))), rows)
+          }
+        }
+      case "create_mv_distinct_exact" =>
+        // CALL c.system.create_mv_distinct_exact('ns.mv', 'ns.src',
+        // 'k1,k2', 'u' [, filter]): EXACT incremental COUNT(DISTINCT u)
+        // — two composed views (inner keyed by (groups, u) count-only at
+        // '<mv>_keys'; outer counts the inner's rows), both fully
+        // additive, so distinct counts stay exact AND incremental under
+        // every DML shape including deletes. Refresh inner-then-outer
+        // (refresh_all orders the pair automatically). Read the count as
+        // the outer view's mv_count.
+        new MaintenanceProc("create_mv_distinct_exact", Seq(
+          inParam("view", StringType),
+          inParam("source", StringType),
+          inParam("group_cols", StringType),
+          inParam("distinct_col", StringType),
+          inParam("filter", StringType, Some("NULL")))) {
+          override def call(input: InternalRow) = {
+            val qname = input.getString(0)
+            val parts = qname.split('.')
+            require(parts.length >= 2 && parts.forall(_.nonEmpty),
+              s"create_mv_distinct_exact view must be 'ns.table', " +
+                s"got '$qname'")
+            val vident = Identifier.of(parts.init, parts.last)
+            require(!tableExists(vident),
+              s"MV destination already exists: $qname")
+            val src = tableByName(input.getString(1))
+            val srcSchema = src.tableSchema.getOrElse(
+              TxLogV2Table(spark, src.root, input.getString(1)).schema)
+            val groups = input.getString(2).split(',').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val filt = if (input.isNullAt(4)) None
+              else Some(input.getString(4))
+            val (v1, v2) = graft.operators.MaterializedView
+              .createDistinctExact(spark, pathOf(vident).toString, qname,
+                src, srcSchema, groups, input.getString(3).trim, filt)
+            resultScan(StructType(Seq(
+              StructField("keys_version", IntegerType),
+              StructField("view_version", IntegerType),
+              StructField("source_version", IntegerType))),
+              Seq(InternalRow(v1, v2, src.latestVersion.getOrElse(-1))))
           }
         }
       case "mv_branch" =>

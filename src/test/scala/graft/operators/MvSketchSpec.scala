@@ -140,6 +140,46 @@ class MvSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("exact distinct via two-level composition: incremental under " +
+    "append AND delete, equal to COUNT(DISTINCT) at every refresh") {
+    val (src, mvRoot) = fresh("dex")
+    src.commit(df((1 to 200).map(i =>
+      (i % 3L, (i % 40).toLong, 1.0)): _*), overwrite = true)
+    MaterializedView.createDistinctExact(spark, mvRoot, "dex", src,
+      schema, Seq("k"), "u")
+    def got(): Map[Long, Long] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[Long](MaterializedView.CountCol)).toMap
+    }
+    def exact(): Map[Long, Long] =
+      src.snapshot(schema).where(col("u").isNotNull).groupBy("k")
+        .agg(countDistinct(col("u")).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got() === exact())
+    // append: new values raise counts, existing values don't
+    src.commit(df((201 to 260).map(i =>
+      (i % 3L, (i % 55).toLong, 1.0)): _*), overwrite = false)
+    val (i1, o1) = MaterializedView.refreshDistinctExact(spark, mvRoot)
+    assert(i1.mode === "incremental" && o1.mode === "incremental",
+      s"$i1 / $o1")
+    assert(got() === exact())
+    // DELETE: the sketch view must recompute here; the exact pair FOLDS
+    src.deleteWherePos(schema, col("u") >= 30L)
+    val (i2, o2) = MaterializedView.refreshDistinctExact(spark, mvRoot)
+    assert(i2.mode === "incremental" && o2.mode === "incremental",
+      s"exact distinct must stay incremental under deletes: $i2 / $o2")
+    assert(got() === exact())
+    // a value fully departing one group but not another is the classic
+    // distinct-maintenance trap: covered because the inner's (k, u)
+    // count reaches 0 only where the LAST row left
+    src.deleteWherePos(schema, col("k") === 1L && col("u") === 5L)
+    val (_, o3) = MaterializedView.refreshDistinctExact(spark, mvRoot)
+    assert(o3.mode === "incremental")
+    assert(got() === exact())
+  }
+
   test("generic derived group key: a bucket rollup folds like any view") {
     val (src, mvRoot) = fresh("roll")
     src.commit(df((1 to 100).map(i =>

@@ -2889,6 +2889,22 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val n = spark.sql("SELECT CAST(SUM(CAST(ta AS DOUBLE)) AS DOUBLE) " +
       "FROM txcat.mvra.v_a").head.getDouble(0)
     assert(n == 6.0, s"refreshed view must hold the full rollup: $n")
+    // DEPENDENCY ORDER: a view over v_a named to sort FIRST — an
+    // alphabetical sweep would refresh it before its source and leave
+    // it one cycle stale; the topological sweep lands both in one pass
+    spark.sql("DROP TABLE IF EXISTS txcat.mvra.a_chain")
+    spark.sql("CALL txcat.system.create_mv('mvra.a_chain', " +
+      "'mvra.v_a', 'k', 'tc:ta')").collect()
+    spark.sql("INSERT INTO txcat.mvra.src_t VALUES (4, 10.0)")
+    val sweep = spark.sql("CALL txcat.system.refresh_all('mvra')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sweep("mvra.v_a") == "incremental" &&
+      sweep("mvra.a_chain") == "incremental",
+      s"one sweep must land the whole chain: $sweep")
+    val chain = spark.sql("SELECT CAST(SUM(CAST(tc AS DOUBLE)) AS " +
+      "DOUBLE) FROM txcat.mvra.a_chain").head.getDouble(0)
+    assert(chain == 16.0,
+      s"the downstream view must reflect this sweep's data: $chain")
   }
 
   test("CALL system.ann_build_auto: k derives from the corpus, the " +
