@@ -1746,6 +1746,35 @@ object EtlQueries {
       s.sql("SELECT grp, vb, mv_count AS n FROM graftcat.db.mv_h")
     }),
 
+    // VARIANCE/STDDEV MV — no new machinery, pure composition: the
+    // derive computes val*val row-locally, two SUM measures accumulate
+    // first and second moments in exact decimals, and variance =
+    // s2/n - (s/n)^2 is a read-time expression. Incremental under
+    // appends AND deletes (sums are fully additive). The oracle
+    // recomputes both moments with the same decimal casts.
+    "sql_mv_variance" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_v_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_var")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_v")
+      s.sql("CREATE TABLE graftcat.db.ev_v (event_id BIGINT, " +
+        "grp BIGINT, val DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_v SELECT event_id, " +
+        "user_id % 8, value FROM ev_v_src WHERE event_id % 2 = 0")
+      s.sql("CALL graftcat.system.create_mv('db.mv_var', 'db.ev_v', " +
+        "'grp', 's:val,s2:val2', NULL, 'val2:val * val')").collect()
+      s.sql("INSERT INTO graftcat.db.ev_v SELECT event_id, " +
+        "user_id % 8, value FROM ev_v_src WHERE event_id % 2 = 1")
+      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_var')").head
+      require(r1.getString(0) == "incremental", s"$r1")
+      s.sql("DELETE FROM graftcat.db.ev_v WHERE val > 450")
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_var')").head
+      require(r2.getString(0) == "incremental",
+        s"moment sums fold under deletes: $r2")
+      s.sql("SELECT grp, mv_count AS n, CAST(s AS DOUBLE) AS s, " +
+        "CAST(s2 AS DOUBLE) AS s2 FROM graftcat.db.mv_var")
+    }),
+
     // EXACT INCREMENTAL COUNT(DISTINCT) (CALL
     // system.create_mv_distinct_exact — the two-level composition that
     // closes the distinct carve-out exactly where the HLL view closes
@@ -4056,6 +4085,15 @@ object EtlQueries {
                     ELSE 61 - length(bin(v)) END) AS r,
            CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY grp, bucket""",
+
+    "sql_mv_variance" ->
+      """WITH src AS (
+           SELECT user_id % 8 AS grp, value AS val FROM events
+           WHERE value <= 450)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(val * val AS DECIMAL(38,6))) AS DOUBLE) AS s2
+         FROM src GROUP BY grp""",
 
     "sql_mv_distinct_exact" ->
       """WITH src AS (

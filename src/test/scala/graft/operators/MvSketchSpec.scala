@@ -207,6 +207,49 @@ class MvSketchSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("derives compose with joined views and with filters that read " +
+    "them: a cross-side derived key folds incrementally") {
+    val dir = Files.createTempDirectory("mvsk-jd")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("w", LongType)))
+    fact.commit((1 to 60).map(i => (i.toLong, i % 6L, i.toDouble))
+      .toDF("k", "u", "v"), overwrite = true)
+    dim.commit((0L to 5L).map(i => (i, i % 2L)).toDF("uid", "w"),
+      overwrite = true)
+    // derived key combines BOTH sides; the filter reads the derive
+    MaterializedView.createJoined(spark, mvRoot, "jd", fact, schema,
+      dim, dimSchema, Seq("u" -> "uid"), Seq("bucket"),
+      Seq("total" -> "v"), filterExpr = Some("bucket >= 0"),
+      derives = Seq("bucket" -> "CAST(k DIV 10 AS BIGINT) + w"))
+    def got(): Set[(Long, Double, Long)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[java.math.BigDecimal]("total").doubleValue(),
+          r.getAs[Long](MaterializedView.CountCol))).toSet
+    }
+    def want(): Set[(Long, Double, Long)] =
+      fact.snapshot(schema).join(dim.snapshot(dimSchema),
+          col("u") === col("uid"))
+        .select(((col("k") / 10).cast(LongType) + col("w")).as("bucket"),
+          col("v"))
+        .groupBy("bucket")
+        .agg(sum(col("v").cast(DecimalType(38, 6))).as("t"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0),
+          r.getAs[java.math.BigDecimal]("t").doubleValue(),
+          r.getLong(2))).toSet
+    assert(got() === want())
+    fact.commit((61 to 90).map(i => (i.toLong, i % 6L, i.toDouble))
+      .toDF("k", "u", "v"), overwrite = false)
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental", st)
+    assert(got() === want())
+  }
+
   test("derive validation: shadowing, chaining and delimiter names are " +
     "loud create-time refusals") {
     val (src, mvRoot) = fresh("val")
