@@ -171,6 +171,7 @@ object Bench {
       "sql_mv_incremental", "sql_mv_filtered", "sql_mv_joined",
       "sql_mv_minmax", "sql_mv_distinct", "sql_mv_hist", "sql_mv_wap",
       "sql_mv_rollup", "sql_mv_distinct_exact", "sql_mv_variance",
+      "sim_ivf_autok",
       "mv_mor_groups", "u9_upsert_pos",
       "sql_remove_orphans", "sim_sq8_persisted", "sim_recall_matrix",
       "sql_ann_lifecycle", "sql_log_checkpoint", "sql_branches",
