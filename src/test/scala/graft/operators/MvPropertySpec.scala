@@ -196,6 +196,43 @@ class MvPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WAP fuzz: random branch write/refresh programs — main frozen " +
+    "through the audit, publish lands a main equal to the recompute, " +
+    "post-publish refresh noops") {
+    val progGen = Gen.resize(8, Gen.listOf(Gen.frequency(
+      3 -> rowsGen.map(Append), 2 -> Gen.const(Refresh))))
+    forAllSeeded(progGen, 6) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvwapprop")
+      val src = TxLogTable(spark, dir.resolve("src").toString)
+      val mvRoot = dir.resolve("mv").toString
+      src.commit(List((1L, 1.5), (2L, 3.0)).toDF("k", "v"),
+        overwrite = true)
+      MaterializedView.create(spark, mvRoot, s"w$seed", src,
+        schema, Seq("k"), Seq("total" -> "v"))
+      MaterializedView.branchMv(spark, mvRoot, "a")
+      val bSrc = src.branchTable("a")
+      val bHandle = graft.sources.TxLogTable.branchRoot(mvRoot, "a")
+      val mainBefore = mvState(spark, mvRoot)
+      program.foreach {
+        case Append(rows) =>
+          bSrc.commit(rows.toDF("k", "v"), overwrite = false)
+        case Refresh =>
+          MaterializedView.refresh(spark, bHandle)
+          assert(mvState(spark, bHandle) ===
+            state(bSrc), s"seed=$seed on-branch fold diverged")
+        case _ => ()
+      }
+      assert(mvState(spark, mvRoot) === mainBefore,
+        s"seed=$seed main moved during the audit")
+      MaterializedView.refresh(spark, bHandle) // audit gate: current
+      MaterializedView.publishWap(spark, mvRoot, "a")
+      assert(mvState(spark, mvRoot) === state(src),
+        s"seed=$seed published main != recompute")
+      assert(MaterializedView.refresh(spark, mvRoot).mode === "noop",
+        s"seed=$seed post-publish bookkeeping not seamless")
+    }
+  }
+
   test("auto-compact fuzz: random DML programs under a 2-row DV cap — " +
     "every refresh self-folds its masks and stays equal to a recompute") {
     spark.conf.set("spark.graft.sql.maxDvMaskRows", "2")
