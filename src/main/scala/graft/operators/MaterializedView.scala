@@ -290,6 +290,21 @@ object MaterializedView {
         "must enrich to at most one dim row")
   }
 
+  /** Range-cluster a full view state by its group keys before a create /
+    * full-refresh commit: every base file then covers a TIGHT, disjoint
+    * key range, so [[TxLogTable.upsertPos]]'s manifest prune narrows the
+    * mask join to the files the touched groups actually live in — the
+    * refresh's READ side stays O(touched files), not O(view), at a
+    * billion groups. A hash-partitioned aggregate output would spread
+    * every file across the full key range and defeat that prune
+    * structurally. Incremental replacement files are changed-groups-
+    * sized and fold back into the clustered base at compact.
+    */
+  private def clustered(state: DataFrame, d: MvDef): DataFrame = {
+    val keys = d.groupCols.map(col)
+    state.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+  }
+
   private def aggregate(prepped: DataFrame, d: MvDef): DataFrame = {
     val aggs = d.sums.map { case (out, src) =>
         sum(col(src).cast(SumType)).as(out) } ++
@@ -469,8 +484,9 @@ object MaterializedView {
     Files.write(defPath(mvRoot), encodeDef(d).getBytes(UTF_8),
       StandardOpenOption.CREATE_NEW)
     val v = mv.commit(
-      aggregate(prepared(source.snapshot(extProj(source, proj, Seq(head)),
-        Some(head)), d, dimSnap), d),
+      clustered(aggregate(prepared(
+        source.snapshot(extProj(source, proj, Seq(head)),
+          Some(head)), d, dimSnap), d), d),
       overwrite = false, op = "mv-create",
       extraMeta = Seq(s"#mvsrc=$head") ++ dimHead.map(x => s"#mvdim=$x"))
     source.registerCursor(d.cursorName, head)
@@ -648,9 +664,9 @@ object MaterializedView {
       // changes, a dim change costs one recompute)
       val dimSnap = dimT.map(_.snapshot(d.dimProjSchema.get, dimHead))
       dimSnap.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
-      val state = aggregate(prepared(
+      val state = clustered(aggregate(prepared(
         src.snapshot(extProj(src, proj, Seq(head)), Some(head)), d,
-        dimSnap), d)
+        dimSnap), d), d)
       val mvv = mv.commit(state, overwrite = true, op = "mv-refresh-full",
         extraMeta = Seq(s"#mvsrc=$head") ++
           dimHead.map(x => s"#mvdim=$x"))
