@@ -831,7 +831,10 @@ object MaterializedView {
     require(consumed == fHead,
       s"view consumed v$consumed but the source is at v$fHead: refresh " +
         "the view before forking the pair (the forks must correspond)")
-    val forkF = fact.createBranch(name)
+    // fork PINNED at the checked head: a source commit racing this call
+    // must not slide the fork forward, or the view fork's '#mvsrc=0'
+    // would claim rows its state never absorbed (silent undercount)
+    val forkF = fact.createBranch(name, Some(fHead))
     val forkV =
       try mv.createBranch(name, rewrite = lines =>
         // the fork manifest's consumed version translates to the fact
@@ -852,6 +855,11 @@ object MaterializedView {
     * SAFE: if the view publish loses (main view moved mid-audit), the
     * main view is merely behind a published append window — the next
     * ordinary refresh folds it; nothing double-counts.
+    *
+    * The audit branch itself must be QUIESCED when publishing: a writer
+    * still committing to `source@@branch=name` races the gate check —
+    * its rows would publish unaudited (the same contract Iceberg's WAP
+    * has; the branch is the audit room, stop writing before you sign).
     *
     * @return (published fact version, published view version)
     */
