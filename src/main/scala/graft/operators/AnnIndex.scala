@@ -105,7 +105,8 @@ object AnnIndex {
     persistArtifacts(spark, indexRoot, emb, assigned, cents, op, pq, sq8,
       Seq("corpus_root" -> corpusRoot, "corpus_version" -> v.toString,
         "corpus_schema" -> corpusSchema.json, "k" -> k.toString,
-        "iterations" -> iterations.toString))
+        "iterations" -> iterations.toString,
+        "routed_since_train" -> "0"))
     v
   }
 
@@ -162,7 +163,8 @@ object AnnIndex {
         "corpus_schema" -> corpusSchema.json, "k" -> k.toString,
         "iterations" -> iterations.toString,
         "target_cell" -> targetCell.toString,
-        "train_stride" -> stride.toString))
+        "train_stride" -> stride.toString,
+        "routed_since_train" -> "0"))
     (v, k)
   }
 
@@ -275,11 +277,108 @@ object AnnIndex {
         fresh.select(col("vec_id"), sq8EncodeCol(mnA, spanA).as("codes")),
         overwrite = false, op = op)
     }
+    // the staleness ledger rides the pin advance: every routed-without-
+    // retraining vector is accounted, so [[status]] can report drift
+    // without scanning anything
+    val routed = meta.getOrElse("routed_since_train", "0").toLong + added
     TxLogTable(spark, s"$indexRoot/meta").commit(
-      (meta + ("corpus_version" -> cur.toString)).toSeq
+      (meta + ("corpus_version" -> cur.toString) +
+        ("routed_since_train" -> routed.toString)).toSeq
         .toDF("key", "value"),
       overwrite = true, op = op)
     (cur, added)
+  }
+
+  /** Index health at a glance — the drift signals the refresh-without-
+    * retrain growth path accumulates silently: `routedFrac` (fraction of
+    * the indexed vectors routed to FROZEN centroids since the last
+    * training pass — the recall-decay proxy: routed vectors land in
+    * cells trained on an older distribution) and `imbalance` (max cell
+    * size / mean — a quantizer whose cells no longer fit the data
+    * concentrates vectors in few cells, degrading both recall and probe
+    * cost). Everything comes from the meta ledger and one
+    * |cells|-sized aggregate over assignments — O(index), never
+    * O(corpus). */
+  final case class AnnStatus(corpusRoot: String, pinnedVersion: Int,
+                             corpusVersion: Int, totalVectors: Long,
+                             routedSinceTrain: Long, routedFrac: Double,
+                             cells: Long, meanCell: Double, maxCell: Long,
+                             imbalance: Double)
+
+  def status(spark: SparkSession, indexRoot: String): AnnStatus = {
+    val meta = loadMeta(spark, indexRoot)
+    val pinned = meta("corpus_version").toInt
+    val corpus = TxLogTable(spark, meta("corpus_root"))
+    val cur = corpus.latestVersion.getOrElse(pinned)
+    val sizes = TxLogTable(spark, s"$indexRoot/assignments")
+      .snapshot(assignmentsSchema)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cells"), sum("n").as("total"),
+        max("n").as("mx")).head()
+    val cells = sizes.getLong(0)
+    val total = if (sizes.isNullAt(1)) 0L else sizes.getLong(1)
+    val mx = if (sizes.isNullAt(2)) 0L else sizes.getLong(2)
+    val routed = meta.getOrElse("routed_since_train", "0").toLong
+    val mean = total.toDouble / math.max(1L, cells)
+    AnnStatus(meta("corpus_root"), pinned, cur, total, routed,
+      routed.toDouble / math.max(1L, total), cells, mean, mx,
+      if (mean > 0) mx / mean else 0.0)
+  }
+
+  /** [[refresh]] with a RETRAIN THRESHOLD — the guard that keeps the
+    * cheap growth path from decaying recall forever: when absorbing the
+    * pending corpus window would push `routedFrac` past `maxRoutedFrac`,
+    * the refresh routes into a full retrain instead — [[buildAuto]] when
+    * the index was auto-built (its recorded targetCell re-derives k for
+    * the GROWN corpus), else [[build]] with the recorded k — resetting
+    * the drift ledger. Below the threshold it is exactly [[refresh]].
+    * Retrain also absorbs windows routing cannot (tombstones): a
+    * from-scratch build has no phantom-neighbor hazard.
+    *
+    * @return (pinned version, vectors absorbed, action ∈
+    *         noop | routed | retrained)
+    */
+  def refreshAuto(spark: SparkSession, indexRoot: String,
+                  maxRoutedFrac: Double = 0.5): (Int, Long, String) = {
+    require(maxRoutedFrac > 0 && maxRoutedFrac <= 1,
+      s"maxRoutedFrac must be in (0, 1], got $maxRoutedFrac")
+    val meta = loadMeta(spark, indexRoot)
+    val pinned = meta("corpus_version").toInt
+    val corpus = TxLogTable(spark, meta("corpus_root"))
+    val cur = corpus.latestVersion.getOrElse(pinned)
+    if (cur == pinned) return (pinned, 0L, "noop")
+    val schema = DataType.fromJson(meta("corpus_schema"))
+      .asInstanceOf[StructType]
+    val routed = meta.getOrElse("routed_since_train", "0").toLong
+    val asgT = TxLogTable(spark, s"$indexRoot/assignments")
+    val total = asgT.metaRowCount(None).getOrElse(
+      asgT.snapshot(assignmentsSchema).count())
+    val windowDeletes = corpus.tombstonesOf(cur).nonEmpty
+    val pending =
+      if (windowDeletes) 0L // routing refuses anyway — retrain below
+      else corpus.changesBetween(schema, pinned, cur)
+        .select(col("vec_id")).count()
+    val frac = (routed + pending).toDouble /
+      math.max(1L, total + pending)
+    if (!windowDeletes && frac <= maxRoutedFrac) {
+      val (v, added) = refresh(spark, indexRoot)
+      (v, added, "routed")
+    } else {
+      val iterations = meta.getOrElse("iterations", "4").toInt
+      val pq = TxLogTable(spark, s"$indexRoot/codes")
+        .latestVersion.nonEmpty
+      val sq8 = TxLogTable(spark, s"$indexRoot/sq8codes")
+        .latestVersion.nonEmpty
+      val v = meta.get("target_cell") match {
+        case Some(tc) =>
+          buildAuto(spark, meta("corpus_root"), indexRoot, schema,
+            iterations, tc.toLong, pq = pq, sq8 = sq8)._1
+        case None =>
+          build(spark, meta("corpus_root"), indexRoot, schema,
+            meta("k").toInt, iterations, pq = pq, sq8 = sq8)
+      }
+      (v, routed + pending, "retrained")
+    }
   }
 
   private def loadMeta(spark: SparkSession,

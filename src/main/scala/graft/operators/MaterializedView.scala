@@ -335,9 +335,12 @@ object MaterializedView {
     * summed; group/sum/filter columns may come from EITHER side, resolved
     * by name (projected names must be disjoint). The dim is PINNED at its
     * create-time version: fact deltas fold incrementally against the
-    * pinned dim snapshot, and a dim change makes the next refresh a full
-    * recompute (which re-pins) — the slowly-changing-dimension cadence a
-    * star rollup actually has. Both tables get vacuum cursors.
+    * pinned dim snapshot, and a dim change folds as a DIM DELTA (changed
+    * join keys → affected fact rows → a signed re-enrichment of exactly
+    * those groups, which re-pins) — O(dim delta + affected rows), never
+    * O(view); an unreplayable dim window, MIN/MAX measures, or a
+    * changed-key set past the broadcast cap fall back to one full
+    * recompute. Both tables get vacuum cursors.
     */
   def createJoined(spark: SparkSession, mvRoot: String, name: String,
                    fact: TxLogTable, factSchema: StructType,
@@ -540,9 +543,10 @@ object MaterializedView {
   private[graft] var betweenFoldAndCommitHook: () => Unit = () => ()
 
   /** One refresh: fold the source's change feed over
-    * `(last consumed, head]` into the view — or recompute when the range
-    * crosses a reset, the pinned dimension moved, or `full = true`.
-    * No-op when already current.
+    * `(last consumed, head]` into the view — plus, when the pinned
+    * dimension moved, a dim-delta fold of the changed dim keys' groups —
+    * or recompute when the range crosses a reset, the dim window is not
+    * exactly replayable, or `full = true`. No-op when already current.
     *
     * Concurrency: the fold is anchored on ONE pinned MV version — base
     * state, consumed source version and pinned dim version are all read
@@ -654,26 +658,47 @@ object MaterializedView {
         "mv-refresh")
     val minMaxBlocked = (d.mins.nonEmpty || d.maxs.nonEmpty) &&
       range.exists(v => rowChanging(opAt(v)))
-    val needFull = full || dimMoved || !morFoldable || minMaxBlocked ||
+    // a moved dim folds as a DIM DELTA (changed dim join keys → affected
+    // fact rows → a signed counting delta over exactly those groups)
+    // when the dim's own window is exactly replayable by its change
+    // feed: full-row events throughout, or a keys-only MOR drop whose
+    // tombstone names the join keys (the K extraction reads only
+    // those). MIN/MAX measures block it — a departed or re-enriched
+    // row may BE the extremum (the fact side's contract, same reason).
+    val dimDeltaFoldable = dimMoved && d.mins.isEmpty && d.maxs.isEmpty &&
+      dimHead.get >= lastDim.get && {
+        val dt = dimT.get
+        val presentD = dt.versions.toSet
+        ((lastDim.get + 1) to dimHead.get).filter(presentD).forall { v =>
+          val op = dt.opOf(v).getOrElse("append")
+          if (op == "delete-mor")
+            d.dimJoin.map(_._2).forall(dt.morKeysOf(v).contains)
+          else FoldableOps(op) || !dt.removedFilesAt(v)
+        }
+      }
+    val needFull = full || (dimMoved && !dimDeltaFoldable) ||
+      !morFoldable || minMaxBlocked ||
       range.exists { v =>
         !(FoldableOps(opAt(v)) || !src.removedFilesAt(v))
       }
-    if (needFull) {
-      // a recompute re-pins the dim at ITS current head (the
-      // slowly-changing-dimension cadence: fact deltas fold between dim
-      // changes, a dim change costs one recompute)
-      val dimSnap = dimT.map(_.snapshot(d.dimProjSchema.get, dimHead))
-      dimSnap.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
+    // a recompute re-pins the dim at ITS current head (the
+    // slowly-changing-dimension cadence: fact deltas fold between dim
+    // changes; a dim change folds as a delta when foldable, else — or
+    // past the changed-key broadcast cap — costs this one recompute)
+    def fullRecompute(): RefreshStats = {
+      val dimSnapFull = dimT.map(_.snapshot(d.dimProjSchema.get, dimHead))
+      dimSnapFull.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
       val state = clustered(aggregate(prepared(
         src.snapshot(extProj(src, proj, Seq(head)), Some(head)), d,
-        dimSnap), d), d)
+        dimSnapFull), d), d)
       val mvv = mv.commit(state, overwrite = true, op = "mv-refresh-full",
         extraMeta = Seq(s"#mvsrc=$head") ++
           dimHead.map(x => s"#mvdim=$x"))
       src.registerCursor(d.cursorName, head)
       dimT.foreach(_.registerCursor(d.dimCursorName, dimHead.get))
-      return RefreshStats("full", last, head, -1L, mvv)
+      RefreshStats("full", last, head, -1L, mvv)
     }
+    if (needFull) return fullRecompute()
     // ---- incremental fold ------------------------------------------
     // segments: maximal non-MOR runs fold as one order-free counting
     // delta; each MOR version is a group-drop step at its exact position
@@ -724,6 +749,68 @@ object MaterializedView {
         throw new IllegalStateException(
           s"delete-mor v${dr.v} committed no tombstone")).localCheckpoint())
     }
+    // ---- dim delta: changed dim keys → affected groups ---------------
+    // The dim window's exact change events name the changed join keys K
+    // (O(dim delta) read, broadcast-capped); the fact rows K enriches
+    // are ONE broadcast semi-join against the fact snapshot at `head`;
+    // each such row's OLD enrichment (pinned old dim, sign −1) and NEW
+    // enrichment (dim head, sign +1) aggregate into a changed-groups-
+    // sized signed counting delta: view(fact@head, oldDim) + Δ =
+    // view(fact@head, newDim), bit-exact, one pass over the affected
+    // fact rows, the view's other groups untouched. Group keys drawn
+    // FROM the dim migrate correctly — the old group decrements (to 0
+    // when emptied, leaving the view), the new group grows — because
+    // this is just the counting algorithm's ordinary arithmetic.
+    val dimDelta: Option[DataFrame] =
+      if (!dimMoved) None
+      else {
+        val dt = dimT.get
+        val dProj = d.dimProjSchema.get
+        val dimKeys = d.dimJoin.map(_._2)
+        val presentD = dt.versions.toSet
+        val feedProjD = extProj(dt, dProj,
+          (lastDim.get to dimHead.get).filter(presentD))
+        val kDim = dt.changesWithDeletes(feedProjD, lastDim.get,
+            dimHead.get, skipRewrites = true)
+          .select(dimKeys.map(col): _*)
+          .na.drop("any", dimKeys).distinct().localCheckpoint()
+        if (kDim.count() > TxLogTable.maxDimDeltaKeys(spark))
+          return fullRecompute()
+        val dimNew = dt.snapshot(dProj, dimHead)
+        def keysIn(side: DataFrame): DataFrame = side.join(broadcast(kDim),
+          dimKeys.map(k => side(k) === kDim(k)).reduce(_ && _),
+          "left_semi")
+        val newSide = keysIn(dimNew).localCheckpoint()
+        // new duplicates can only arrive via changed keys — the rest of
+        // the dim was checked unique at its last pin
+        checkDimUnique(newSide, dimKeys)
+        val sign = "__graft_dim_sign"
+        val signedDim = keysIn(dimSnap.get).withColumn(sign, lit(-1L))
+          .unionByName(newSide.withColumn(sign, lit(1L)))
+        val factSnap = src.snapshot(extProj(src, proj, Seq(head)),
+          Some(head))
+        val affFacts = factSnap.join(broadcast(kDim),
+          d.dimJoin.map { case (f, k) => factSnap(f) === kDim(k) }
+            .reduce(_ && _), "left_semi")
+        val joined = affFacts.join(broadcast(signedDim),
+          d.dimJoin.map { case (f, k) => affFacts(f) === signedDim(k) }
+            .reduce(_ && _), "inner")
+        val derived = d.derives.foldLeft(joined) { case (acc, (n, t, e)) =>
+          acc.withColumn(n, expr(e).cast(
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(t)))
+        }
+        val rows = filtered(derived, d)
+        val sgn = col(sign)
+        // reachable only with mins/maxs empty (dimDeltaFoldable gate),
+        // so the delta's shape is exactly sums ++ mv_count
+        val aggs = d.sums.map { case (out, s0) =>
+            val v = col(s0).cast(SumType)
+            sum(when(sgn < 0, -v).otherwise(v)).as(out)
+          } :+ sum(sgn).as(CountCol)
+        Some(rows.groupBy(groupKeyCols: _*)
+          .agg(aggs.head, aggs.tail: _*).localCheckpoint())
+      }
     val mvSnap = mv.snapshot(d.mvSchema, Some(mvHead))
     def nullSafe(l: DataFrame, r: DataFrame, cols: Seq[String]) =
       cols.map(c => l(c) <=> r(c)).reduce(_ && _)
@@ -736,7 +823,7 @@ object MaterializedView {
         mvSnap.join(broadcast(tf),
           nullSafe(mvSnap, tf, src.morKeysOf(dr.v)), "left_semi")
           .select(groupKeyCols: _*)
-    }
+    } ++ dimDelta.map(_.select(groupKeyCols: _*)).toSeq
     val kAll = keyFrames.reduce(_.unionByName(_)).distinct()
       .localCheckpoint()
     if (kAll.isEmpty) // walked versions touched nothing the view sees
@@ -758,12 +845,16 @@ object MaterializedView {
     }
     val state0 = mvSnap.join(kAll, nullSafe(mvSnap, kAll, d.groupCols),
       "left_semi")
-    val finalState = stepFrames.foldLeft(state0) {
+    val foldedState = stepFrames.foldLeft(state0) {
       case (st, (_: Fold, delta)) => plus(st, delta)
       case (st, (dr: Drop, tf)) =>
         st.join(broadcast(tf), nullSafe(st, tf, src.morKeysOf(dr.v)),
           "left_anti")
     }
+    // the dim correction applies to the END state (fact steps first
+    // brought it to view(fact@head, oldDim)) — the SCD cadence: the
+    // refresh observes the dim at its head, exactly as a recompute would
+    val finalState = dimDelta.fold(foldedState)(dd => plus(foldedState, dd))
     val newRows = finalState.filter(col(CountCol) > 0)
       .select(d.mvSchema.fieldNames.toIndexedSeq.map(col): _*)
       .localCheckpoint()
@@ -790,13 +881,18 @@ object MaterializedView {
     val stats = mv.upsertPos(d.mvSchema, newRows, d.groupCols,
       dropKeys = Some(zeros), op = "mv-refresh",
       extraMeta = Seq(s"#mvsrc=$head") ++
-        lastDim.map(x => s"#mvdim=$x"),
+        (if (dimDelta.isDefined) dimHead else lastDim)
+          .map(x => s"#mvdim=$x"),
       expectHead = Some(mvHead))
     // the vacuum floor advances ONLY when the refresh actually committed
     // a new #mvsrc: an all-cancelling window (every affected group
     // created and fully deleted inside it) no-ops the upsert, and the
     // cursor must then keep guarding the still-unconsumed feed window
-    if (stats.version > mvHead) src.registerCursor(d.cursorName, head)
+    if (stats.version > mvHead) {
+      src.registerCursor(d.cursorName, head)
+      if (dimDelta.isDefined)
+        dimT.foreach(_.registerCursor(d.dimCursorName, dimHead.get))
+    }
     RefreshStats("incremental", last, head, groupsChanged, stats.version)
   }
 
@@ -856,10 +952,13 @@ object MaterializedView {
     * main view is merely behind a published append window — the next
     * ordinary refresh folds it; nothing double-counts.
     *
-    * The audit branch itself must be QUIESCED when publishing: a writer
-    * still committing to `source@@branch=name` races the gate check —
-    * its rows would publish unaudited (the same contract Iceberg's WAP
-    * has; the branch is the audit room, stop writing before you sign).
+    * The audit gate is ENFORCED, not a convention: both branch heads are
+    * pinned at the gate check and each publish is head-conditional on
+    * them ([[TxLogTable.publishBranch]] `expectHead`) — a writer racing
+    * a commit onto either branch between audit and publish gets a loud
+    * [[TxLogTable.ConcurrentHeadMoved]] refusal (re-audit, republish)
+    * instead of shipping unaudited rows. Iceberg's WAP leaves this as a
+    * process contract; the engine's commit protocol closes it.
     *
     * @return (published fact version, published view version)
     */
@@ -872,14 +971,28 @@ object MaterializedView {
     val fact = TxLogTable(spark, d.source)
     val bf = fact.branchTable(name)
     val bv = mv.branchTable(name)
-    require(lastSourceVersion(bv) == bf.latestVersion.getOrElse(-1),
+    // THE audited pair: every check below reads AT these heads, and both
+    // publishes are conditional on the branches still being at them
+    val bfHead = bf.latestVersion.getOrElse(-1)
+    val bvHead = bv.latestVersion.getOrElse(
+      throw new IllegalStateException(
+        s"branch view '$name' has no committed version"))
+    require(lastSourceVersionAt(bv, bvHead) == bfHead,
       s"branch view '$name' has not absorbed the branch source head — " +
         "refresh the view on the branch (and audit it) before publishing")
-    val fPub = fact.publishBranch(name)
+    betweenAuditAndPublishHook()
+    val fPub = fact.publishBranch(name, expectHead = Some(bfHead))
     val vPub = mv.publishBranch(name, rewrite = lines =>
-      lines.filterNot(_.startsWith("#mvsrc=")) :+ s"#mvsrc=$fPub")
+      lines.filterNot(_.startsWith("#mvsrc=")) :+ s"#mvsrc=$fPub",
+      expectHead = Some(bvHead))
     (fPub, vPub)
   }
+
+  /** Test seam for the WAP publish race: invoked after the audit gate
+    * pinned both branch heads and before the fact publish — a test
+    * injects a branch commit here to prove the publish refuses loudly
+    * instead of shipping unaudited rows. Production value is a no-op. */
+  private[graft] var betweenAuditAndPublishHook: () => Unit = () => ()
 
   // ---- sketch views: COUNT(DISTINCT) and quantile measures -----------
   // Built ENTIRELY on the derive machinery above — the sketch state is

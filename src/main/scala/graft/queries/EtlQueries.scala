@@ -1902,12 +1902,13 @@ object EtlQueries {
     // STAR-SCHEMA MV (CALL system.create_mv_joined): the view is
     // fact ⋈ dim (inner, broadcast, dim unique on its key) grouped by a
     // DIM attribute — fact DML folds incrementally against the PINNED
-    // dim snapshot (r1, r2 incremental), a dim UPDATE makes the next
-    // refresh exactly one full recompute that re-pins (r3 full), and
-    // fact deltas fold again under the new pin (r4 incremental). The
-    // oracle recomputes the final rollup with the updated dim from the
-    // raw source — the slowly-changing-dimension cadence a production
-    // star rollup actually has, hash-checked end-to-end.
+    // dim snapshot (r1, r2 incremental), a dim UPDATE folds as a DIM
+    // DELTA that re-pins (r3 incremental — changed dim keys → affected
+    // groups only, never O(view)), and fact deltas fold again under the
+    // new pin (r4 incremental). The oracle recomputes the final rollup
+    // with the updated dim from the raw source — the slowly-changing-
+    // dimension cadence a production star rollup actually has,
+    // hash-checked end-to-end.
     "sql_mv_joined" -> ((s, dir) => {
       ensureCatalog(s)
       t(s, dir, "events").createOrReplaceTempView("ev_mvj_src")
@@ -1937,8 +1938,8 @@ object EtlQueries {
       s.sql("UPDATE graftcat.db.dim_users SET segment = 99 " +
         "WHERE uid % 5 = 0")
       val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
-      require(r3.getString(0) == "full",
-        s"a dim change must recompute and re-pin: $r3")
+      require(r3.getString(0) == "incremental",
+        s"a dim change must fold as a dim delta and re-pin: $r3")
       s.sql("INSERT INTO graftcat.db.ev_mvj SELECT event_id, user_id, " +
         "value FROM ev_mvj_src WHERE event_id % 3 = 2")
       val r4 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
@@ -1946,6 +1947,62 @@ object EtlQueries {
         s"fact deltas must fold under the new pin: $r4")
       s.sql("SELECT segment, mv_count AS n, " +
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_seg")
+    }),
+
+    // DIM-DELTA fold, every dim DML shape: a joined MV grouped by a dim
+    // attribute absorbs dim UPDATE (group migration: old segment
+    // decrements, new grows), dim DELETE (enrichment departs — groups
+    // shrink, emptied ones leave the view), dim INSERT (previously
+    // unenriched fact rows join in), and a MIXED window (fact insert +
+    // dim update before one refresh) — ALL with mode=incremental: the
+    // refresh reads O(dim delta) events, semi-joins the changed keys'
+    // fact rows, and re-enriches exactly those groups (±signed counting
+    // delta), never recomputing the view. The oracle replays the whole
+    // program's net dim state against the raw source and hash-checks
+    // the final rollup.
+    "sql_mv_joined_dimfold" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_dimf_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_dimf")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_dimf")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.dim_segf")
+      s.sql("CREATE TABLE graftcat.db.ev_dimf (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("CREATE TABLE graftcat.db.dim_segf (uid BIGINT, " +
+        "segment BIGINT) USING txlog")
+      s.sql("INSERT INTO graftcat.db.dim_segf SELECT DISTINCT " +
+        "user_id, user_id % 5 FROM ev_dimf_src WHERE user_id % 7 <> 0")
+      s.sql("INSERT INTO graftcat.db.ev_dimf SELECT event_id, user_id, " +
+        "value FROM ev_dimf_src WHERE event_id % 3 = 0")
+      s.sql("CALL graftcat.system.create_mv_joined('db.mv_dimf', " +
+        "'db.ev_dimf', 'db.dim_segf', 'user_id:uid', 'segment', " +
+        "'total:value')").collect()
+      def refreshInc(tag: String): Unit = {
+        val r = s.sql("CALL graftcat.system.refresh_mv('db.mv_dimf')")
+          .head
+        require(r.getString(0) == "incremental",
+          s"$tag must fold as a dim delta, not recompute: $r")
+      }
+      // UPDATE: group keys drawn from the dim MIGRATE (2 → 102)
+      s.sql("UPDATE graftcat.db.dim_segf SET segment = segment + 100 " +
+        "WHERE uid % 5 = 2")
+      refreshInc("dim UPDATE (group migration)")
+      // DELETE: enrichment departs — affected groups shrink
+      s.sql("DELETE FROM graftcat.db.dim_segf WHERE uid % 11 = 3")
+      refreshInc("dim DELETE")
+      // INSERT: fact rows that never enriched join in now
+      s.sql("INSERT INTO graftcat.db.dim_segf SELECT DISTINCT " +
+        "user_id, 77 FROM ev_dimf_src WHERE user_id % 7 = 0")
+      refreshInc("dim INSERT")
+      // MIXED window: fact delta + dim delta before ONE refresh —
+      // the fact fold (old pin) composes with the dim correction
+      s.sql("INSERT INTO graftcat.db.ev_dimf SELECT event_id, user_id, " +
+        "value FROM ev_dimf_src WHERE event_id % 3 = 1")
+      s.sql("UPDATE graftcat.db.dim_segf SET segment = 55 " +
+        "WHERE uid % 13 = 4")
+      refreshInc("mixed fact+dim window")
+      s.sql("SELECT segment, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_dimf")
     }),
 
     // MV refresh over a feed WITH keys-only MOR deletes: the drop folds
@@ -4131,6 +4188,26 @@ object EtlQueries {
              CASE WHEN user_id % 5 = 0 THEN 99 ELSE user_id % 5 END
                AS segment
            FROM events)
+         SELECT d.segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM f JOIN d ON f.user_id = d.uid
+         GROUP BY d.segment""",
+
+    // the net dim state after the program's four DML steps, replayed in
+    // application order: %13=4 update last, the %7=0 rows inserted at 77,
+    // the %5=2 migration to 102, the %11=3 rows (non-%7=0) deleted
+    "sql_mv_joined_dimfold" ->
+      """WITH du AS (SELECT DISTINCT user_id AS uid FROM events),
+         d AS (
+           SELECT uid,
+             CASE WHEN uid % 13 = 4 THEN 55
+                  WHEN uid % 7 = 0 THEN 77
+                  WHEN uid % 5 = 2 THEN 102
+                  ELSE uid % 5 END AS segment
+           FROM du
+           WHERE uid % 7 = 0 OR uid % 11 <> 3),
+         f AS (
+           SELECT user_id, value FROM events WHERE event_id % 3 IN (0, 1))
          SELECT d.segment, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM f JOIN d ON f.user_id = d.uid

@@ -184,6 +184,19 @@ object TxLogTable {
     spark.conf.getOption("spark.graft.mv.autoCompact")
       .forall(_.toBoolean)
 
+  /** Cap on the CHANGED-DIM-KEY set a joined-MV refresh will fold as a
+    * dim delta (the key set is broadcast against the fact side to find
+    * affected rows, so it must stay broadcast-sized). A dim window whose
+    * changed keys exceed it falls back to a full recompute — at that
+    * churn the "affected" groups approach the whole view anyway, and the
+    * one-pass recompute is the cheaper plan. Conf-overridable:
+    * `spark.graft.mv.maxDimDeltaKeys`. */
+  val MaxDimDeltaKeys: Long = 1L << 20
+
+  def maxDimDeltaKeys(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.mv.maxDimDeltaKeys")
+      .map(_.toLong).getOrElse(MaxDimDeltaKeys)
+
   /** `#op=` values whose commits preserve the table's logical content —
     * pure layout maintenance (file packing / clustering / bucket
     * evolution). The change feed can skip these wholesale: every row in
@@ -3546,11 +3559,22 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * drop it explicitly when done.
     */
   def publishBranch(name: String, maxAttempts: Int = 10,
-                    rewrite: Seq[String] => Seq[String] = identity): Int = {
+                    rewrite: Seq[String] => Seq[String] = identity,
+                    expectHead: Option[Int] = None): Int = {
     require(branch.isEmpty, "publish runs on the MAIN handle")
     val bt = branchTable(name)
-    val head = bt.latestVersion.getOrElse(throw new IllegalStateException(
-      s"branch '$name' has no readable head: $root"))
+    // `expectHead` makes the publish HEAD-CONDITIONAL on the branch (the
+    // write-audit-publish gate): the published content is pinned at the
+    // version the caller audited, and a branch commit racing past it is a
+    // loud [[TxLogTable.ConcurrentHeadMoved]] refusal instead of silently
+    // shipping unaudited rows. Without it the branch's current head
+    // publishes (the plain fast-forward).
+    val head = expectHead.getOrElse(
+      bt.latestVersion.getOrElse(throw new IllegalStateException(
+        s"branch '$name' has no readable head: $root")))
+    require(bt.versions.contains(head),
+      s"branch '$name' has no version $head to publish " +
+        s"(have ${bt.versions.mkString(",")})")
     val fork = bt.forkedFrom.getOrElse(throw new IllegalStateException(
       s"branch '$name' records no fork point — not a forked branch"))
     metadataCommit(s"publish branch '$name'", maxAttempts) { b =>
@@ -3559,6 +3583,13 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           s"fast-forward publish of '$name' requires main unmoved since " +
             s"the fork (forked at v$fork, main is at v$b): re-branch " +
             "from the new head, replay the work, and publish that")
+      expectHead.foreach { eh =>
+        val cur = bt.latestVersion.getOrElse(-1)
+        if (cur != eh) throw new TxLogTable.ConcurrentHeadMoved(
+          s"branch '$name' moved to v$cur past the audited v$eh — a " +
+            "writer committed after the audit gate; re-audit the branch " +
+            "and publish again")
+      }
       metaLines(bt.partitionColsOf(head), "publish") ++
         rewrite(bt.manifestLines(head).filterNot(l =>
           l.startsWith("#op=") || l.startsWith("#commitMillis=") ||

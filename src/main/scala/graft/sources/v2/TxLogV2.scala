@@ -557,6 +557,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         "clone", "zorder", "rebucket", "semdedup", "dedup_near",
         "bm25", "optimize", "detail", "analyze", "resort", "changes",
         "ann_build", "ann_refresh", "ann_search", "ann_build_auto",
+        "ann_status",
         "cursors", "release_cursor", "delete_pos", "update_pos",
         "set_time_unit", "tag", "drop_tag", "tags", "ann_search_batch",
         "branch", "publish", "drop_branch", "branches",
@@ -1286,22 +1287,65 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           }
         }
       case "ann_refresh" =>
-        // CALL c.system.ann_refresh('ns.idx'): advance a persisted index
-        // to its corpus head WITHOUT a training pass — new vectors route
-        // to the existing centroids, PQ codes encode against the
-        // persisted codebook, the pin advances. O(new vectors); the
-        // between-rebuilds growth path (AnnIndex.refresh's contract,
-        // tombstoned corpora refuse loudly).
+        // CALL c.system.ann_refresh('ns.idx' [, max_routed_frac]):
+        // advance a persisted index to its corpus head WITHOUT a
+        // training pass — new vectors route to the existing centroids,
+        // PQ codes encode against the persisted codebook, the pin
+        // advances. O(new vectors); the between-rebuilds growth path
+        // (AnnIndex.refresh's contract, tombstoned corpora refuse
+        // loudly). A positive max_routed_frac arms the STALENESS GUARD
+        // (AnnIndex.refreshAuto): when absorbing the window would push
+        // the routed-since-train fraction past it, the refresh retrains
+        // instead — recall decay from frozen centroids is bounded by
+        // policy, not operator vigilance. action ∈ noop|routed|retrained.
         new MaintenanceProc("ann_refresh", Seq(
+          inParam("index", StringType),
+          inParam("max_routed_frac", DoubleType, Some("0.0")))) {
+          override def call(input: InternalRow) = {
+            val idxRoot = pathByName(input.getString(0)).toString
+            val frac = if (input.isNullAt(1)) 0.0 else input.getDouble(1)
+            val (v, added, action) =
+              if (frac > 0)
+                graft.operators.AnnIndex.refreshAuto(spark, idxRoot, frac)
+              else {
+                val (v0, a0) =
+                  graft.operators.AnnIndex.refresh(spark, idxRoot)
+                (v0, a0, if (a0 == 0) "noop" else "routed")
+              }
+            resultScan(StructType(Seq(
+              StructField("pinned_version", IntegerType),
+              StructField("vectors_added", LongType),
+              StructField("action", StringType))),
+              Seq(InternalRow(v, added,
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(action))))
+          }
+        }
+      case "ann_status" =>
+        // CALL c.system.ann_status('ns.idx'): the index's drift ledger —
+        // routed-since-train fraction (recall-decay proxy: vectors
+        // routed to centroids trained on an older distribution) and
+        // cell-size imbalance (a quantizer that stopped fitting the
+        // data concentrates mass in few cells). O(index) — one meta
+        // read + one |cells|-sized aggregate; never scans the corpus.
+        new MaintenanceProc("ann_status", Seq(
           inParam("index", StringType))) {
           override def call(input: InternalRow) = {
             val idxRoot = pathByName(input.getString(0)).toString
-            val (v, added) =
-              graft.operators.AnnIndex.refresh(spark, idxRoot)
+            val st = graft.operators.AnnIndex.status(spark, idxRoot)
             resultScan(StructType(Seq(
               StructField("pinned_version", IntegerType),
-              StructField("vectors_added", LongType))),
-              Seq(InternalRow(v, added)))
+              StructField("corpus_version", IntegerType),
+              StructField("total_vectors", LongType),
+              StructField("routed_since_train", LongType),
+              StructField("routed_frac", DoubleType),
+              StructField("cells", LongType),
+              StructField("mean_cell", DoubleType),
+              StructField("max_cell", LongType),
+              StructField("imbalance", DoubleType))),
+              Seq(InternalRow(st.pinnedVersion, st.corpusVersion,
+                st.totalVectors, st.routedSinceTrain, st.routedFrac,
+                st.cells, st.meanCell, st.maxCell, st.imbalance)))
           }
         }
       case "semdedup" =>
@@ -2115,9 +2159,9 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             "(available: compact, vacuum, history, partitions, restore, " +
             "clone, zorder, rebucket, semdedup, dedup_near, bm25, " +
             "optimize, detail, analyze, resort, changes, ann_build, " +
-            "ann_refresh, ann_search, cursors, release_cursor, " +
-            "delete_pos, update_pos, set_time_unit, tag, drop_tag, " +
-            "tags, ann_search_batch)")
+            "ann_refresh, ann_search, ann_status, cursors, " +
+            "release_cursor, delete_pos, update_pos, set_time_unit, " +
+            "tag, drop_tag, tags, ann_search_batch)")
     }
   }
 

@@ -246,7 +246,7 @@ class MaterializedViewSpec extends AnyFunSuite {
   }
 
   test("star-schema view: fact deltas fold against the PINNED dim; a dim " +
-    "change makes the next refresh a full recompute that re-pins") {
+    "change folds as a dim delta that re-pins — never O(view)") {
     val dir = Files.createTempDirectory("mvj")
     val fact = TxLogTable(spark, dir.resolve("fact").toString)
     val dim = TxLogTable(spark, dir.resolve("dim").toString)
@@ -273,12 +273,15 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(r1.mode === "incremental", r1)
     // k=4 has no dim row: contributes nothing (inner join)
     assert(seg() === Set(("gold", 2L, 11.0)))
-    // dim change → next refresh recomputes and re-pins
+    // dim change → the next refresh folds it as a DIM DELTA (changed
+    // keys → affected groups only) and re-pins the dim head
     dim.deleteWhere(dimSchema, col("uid") === 3L)
     dim.commit(Seq((3L, "iron")).toDF("uid", "seg"), overwrite = false)
     val r2 = MaterializedView.refresh(spark, mvRoot)
-    assert(r2.mode === "full", r2)
+    assert(r2.mode === "incremental", r2)
     assert(seg() === Set(("gold", 1L, 1.0), ("iron", 1L, 10.0)))
+    assert(MaterializedView.lastDimVersion(TxLogTable(spark, mvRoot)) ===
+      dim.latestVersion.get, "the dim-delta fold must re-pin the dim")
     // and fact deltas fold again under the new pin
     fact.commit(df((1L, "x", 5.0)), overwrite = false)
     val r3 = MaterializedView.refresh(spark, mvRoot)
@@ -422,8 +425,8 @@ class MaterializedViewSpec extends AnyFunSuite {
   }
 
   test("maintainMv on a star view: fact appends fold under the pinned " +
-    "dim, a mid-stream dim update triggers the re-pin recompute — all " +
-    "paced by the stream, no manual refresh") {
+    "dim, a mid-stream dim update folds as a dim delta that re-pins — " +
+    "all paced by the stream, no manual refresh") {
     val dir = Files.createTempDirectory("mvj-maint")
     val fact = TxLogTable(spark, dir.resolve("fact").toString)
     val dim = TxLogTable(spark, dir.resolve("dim").toString)
@@ -451,13 +454,16 @@ class MaterializedViewSpec extends AnyFunSuite {
       assert(viewRows === Set(("a", 2L, 11.0), ("b", 1L, 2.0)))
       assert(mv.opOf(mv.latestVersion.get).contains("mv-refresh"))
       // mid-stream DIM update: the dim feed fires the batch, the
-      // refresh detects the moved pin and recomputes (re-pinning)
+      // refresh folds the changed key's groups as a dim delta and
+      // re-pins — the view is never recomputed wholesale
       dim.updateWherePos(dimSchema, col("uid") === 2L,
         Seq("seg" -> lit("a")))
       q.processAllAvailable()
       assert(viewRows === Set(("a", 3L, 13.0)))
-      assert(mv.opOf(mv.latestVersion.get).contains("mv-refresh-full"),
-        "a dim move must re-pin via one full recompute")
+      assert(mv.opOf(mv.latestVersion.get).contains("mv-refresh"),
+        "a dim move must fold as an incremental dim delta")
+      assert(MaterializedView.lastDimVersion(mv) ===
+        dim.latestVersion.get, "the dim-delta fold must re-pin the dim")
       // and fact deltas fold again under the NEW pin
       fact.commit(df((2L, "x", 5.0)), overwrite = false)
       q.processAllAvailable()

@@ -119,6 +119,68 @@ class MvBranchSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no matching source branch"), e2)
   }
 
+  test("publish is head-conditional on the audited branch: a writer " +
+    "racing a branch fact commit between audit and publish gets a loud " +
+    "refusal — unaudited rows never ship") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "race", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    MaterializedView.branchMv(spark, mvRoot, "a")
+    val bSrc = src.branchTable("a")
+    bSrc.commit(df((2L, 2.0)), overwrite = false)
+    MaterializedView.refresh(spark, TxLogTable.branchRoot(mvRoot, "a"))
+    val mainBefore = rowsOf(mvRoot)
+    val mainFactV = src.latestVersion.get
+    MaterializedView.betweenAuditAndPublishHook = () =>
+      bSrc.commit(df((666L, 6.66)), overwrite = false) // UNAUDITED
+    try {
+      val e = intercept[TxLogTable.ConcurrentHeadMoved] {
+        MaterializedView.publishWap(spark, mvRoot, "a")
+      }
+      assert(e.getMessage.contains("past the audited"), e)
+    } finally MaterializedView.betweenAuditAndPublishHook = () => ()
+    // NOTHING published: main fact and main view are untouched
+    assert(src.latestVersion.contains(mainFactV))
+    assert(rowsOf(mvRoot) === mainBefore)
+    assert(!rowsOf(mvRoot).exists(_._1 == 666L))
+    // re-audit (refresh absorbs the racer's row) and publish cleanly
+    MaterializedView.refresh(spark, TxLogTable.branchRoot(mvRoot, "a"))
+    MaterializedView.publishWap(spark, mvRoot, "a")
+    assert(rowsOf(mvRoot) === recompute(src))
+    assert(rowsOf(mvRoot).exists(_._1 == 666L))
+  }
+
+  test("view-side head race: the fact publishes, the racing view head " +
+    "refuses, and the documented safe window self-heals by an ordinary " +
+    "main refresh") {
+    val (src, mvRoot) = fresh()
+    src.commit(df((1L, 1.0)), overwrite = true)
+    MaterializedView.create(spark, mvRoot, "race2", src, schema,
+      Seq("k"), Seq("total" -> "v"))
+    MaterializedView.branchMv(spark, mvRoot, "a")
+    val bSrc = src.branchTable("a")
+    bSrc.commit(df((2L, 2.0)), overwrite = false)
+    val bHandle = TxLogTable.branchRoot(mvRoot, "a")
+    MaterializedView.refresh(spark, bHandle)
+    val d = MaterializedView.definition(spark, mvRoot)
+    val mainFactBefore = src.latestVersion.get
+    // the racer moves ONLY the branch view's head (content-preserving
+    // compact — any commit counts against the audited pin)
+    MaterializedView.betweenAuditAndPublishHook = () =>
+      TxLogTable(spark, mvRoot).branchTable("a").compact(d.mvSchema)
+    try {
+      intercept[TxLogTable.ConcurrentHeadMoved] {
+        MaterializedView.publishWap(spark, mvRoot, "a")
+      }
+    } finally MaterializedView.betweenAuditAndPublishHook = () => ()
+    // the fact publish LANDED (fact-then-view order); the main view is
+    // merely behind a published window — one ordinary refresh heals it
+    assert(src.latestVersion.get > mainFactBefore)
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "incremental")
+    assert(rowsOf(mvRoot) === recompute(src))
+  }
+
   test("mid-audit main refresh keeps fast-forward honesty: the view " +
     "publish refuses, and the self-heal path is an ordinary refresh") {
     val (src, mvRoot) = fresh()

@@ -58,6 +58,16 @@ class MvPropertySpec extends AnyFunSuite {
     1 -> Gen.const(Vac),
     3 -> Gen.const(Refresh))
 
+  private val opGenNoRefresh: Gen[Op] = Gen.frequency(
+    4 -> rowsGen.map(Append),
+    1 -> rowsGen.map(Overwrite),
+    2 -> ksGen.map(DeleteCow),
+    2 -> ksGen.map(DeletePos),
+    2 -> ksGen.map(UpdatePos),
+    2 -> ksGen.map(MorDrop),
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(Vac))
+
   private val programGen: Gen[List[Op]] = for {
     head <- rowsGen.map(Overwrite)
     tail <- Gen.resize(10, Gen.listOf(opGen))
@@ -150,6 +160,113 @@ class MvPropertySpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("dim-delta fuzz: random interleavings of fact DML with dim " +
+    "insert/update/delete/MOR-drop — the joined view equals a join " +
+    "recompute after every refresh, and dim-moved windows fold " +
+    "incrementally (never O(view)) whenever the dim window is replayable") {
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    sealed trait DOp
+    case class DimUpd(ks: List[Long]) extends DOp
+    case class DimDel(ks: List[Long]) extends DOp
+    case class DimIns(ks: List[Long]) extends DOp
+    case class DimMor(ks: List[Long]) extends DOp
+    case class FactOp(op: Op) extends DOp
+    case object DRefresh extends DOp
+    val dimKsGen = Gen.resize(2, Gen.nonEmptyListOf(Gen.choose(1L, 8L)))
+    val dopGen: Gen[DOp] = Gen.frequency(
+      5 -> opGenNoRefresh.map(FactOp),
+      2 -> dimKsGen.map(DimUpd),
+      1 -> dimKsGen.map(DimDel),
+      2 -> dimKsGen.map(DimIns),
+      1 -> dimKsGen.map(DimMor),
+      4 -> Gen.const(DRefresh))
+    val dProgGen: Gen[List[DOp]] = for {
+      tail <- Gen.resize(12, Gen.listOf(dopGen))
+    } yield (FactOp(Overwrite(List((1L, 1.5), (2L, 3.0)))) :: tail) :+
+      DRefresh
+    var dimFolds = 0
+    forAllSeeded(dProgGen, 10) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvdimfold")
+      val fact = TxLogTable(spark, dir.resolve("fact").toString)
+      val dim = TxLogTable(spark, dir.resolve("dim").toString)
+      val mvRoot = dir.resolve("mv").toString
+      dim.commit((1L to 6L).map(i => (i, s"s${i % 3}"))
+        .toDF("uid", "seg"), overwrite = true)
+      var created = false
+      def joinState(): Set[(String, Long, BigDecimal)] =
+        fact.snapshot(schema).join(dim.snapshot(dimSchema),
+            col("k") === col("uid"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(38, 6))).as("t"))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            BigDecimal(r.getAs[java.math.BigDecimal]("t")))).toSet
+      def mvJState(): Set[(String, Long, BigDecimal)] = {
+        val d = MaterializedView.definition(spark, mvRoot)
+        TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+          .map(r => (r.getString(0),
+            r.getAs[Long](MaterializedView.CountCol),
+            BigDecimal(r.getAs[java.math.BigDecimal]("total")))).toSet
+      }
+      program.zipWithIndex.foreach { case (dop, step) =>
+        def ctx = s"seed=$seed step=$step op=$dop program=$program"
+        dop match {
+          case FactOp(Append(rows)) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = false)
+          case FactOp(Overwrite(rows)) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = true)
+          case FactOp(DeleteCow(ks)) =>
+            fact.deleteWhere(schema, col("k").isin(ks: _*))
+          case FactOp(DeletePos(ks)) =>
+            fact.deleteWherePos(schema, col("k").isin(ks: _*))
+          case FactOp(UpdatePos(ks)) =>
+            fact.updateWherePos(schema, col("k").isin(ks: _*),
+              Seq("v" -> (col("v") + 0.5)))
+          case FactOp(MorDrop(ks)) =>
+            fact.deleteByKeysMor(ks.toDF("k").distinct())
+          case FactOp(Compact) =>
+            if (fact.latestVersion.nonEmpty) fact.compact(schema)
+          case FactOp(Vac) =>
+            fact.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+            dim.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+          case FactOp(Refresh) => () // unreachable (opGenNoRefresh)
+          case DimUpd(ks) =>
+            dim.updateWherePos(dimSchema, col("uid").isin(ks: _*),
+              Seq("seg" -> concat(col("seg"), lit("x"))))
+          case DimDel(ks) =>
+            dim.deleteWherePos(dimSchema, col("uid").isin(ks: _*))
+          case DimIns(ks) =>
+            // insert-if-absent keeps the dim unique on uid
+            val present = dim.snapshot(dimSchema).select("uid")
+              .collect().map(_.getLong(0)).toSet
+            val fresh = ks.distinct.filterNot(present)
+            if (fresh.nonEmpty)
+              dim.commit(fresh.map(i => (i, s"n${i % 4}"))
+                .toDF("uid", "seg"), overwrite = false)
+          case DimMor(ks) =>
+            dim.deleteByKeysMor(ks.toDF("uid").distinct())
+          case DRefresh =>
+            if (!created) {
+              MaterializedView.createJoined(spark, mvRoot, s"df$seed",
+                fact, schema, dim, dimSchema, Seq("k" -> "uid"),
+                Seq("seg"), Seq("total" -> "v"))
+              created = true
+            } else {
+              val dimBefore = MaterializedView.lastDimVersion(
+                TxLogTable(spark, mvRoot))
+              val st = MaterializedView.refresh(spark, mvRoot)
+              if (st.mode == "incremental" &&
+                  dim.latestVersion.exists(_ != dimBefore)) dimFolds += 1
+            }
+            assert(mvJState() === joinState(), ctx)
+        }
+      }
+    }
+    assert(dimFolds > 0, "the corpus never exercised the dim-delta " +
+      "incremental path — weaken the full-recompute fallbacks?")
   }
 
   test("random DML programs with interleaved refreshes: the view equals " +
