@@ -169,13 +169,14 @@ object Bench {
     // operator-performance comparisons (round-5 verdict, "wrong" #5).
     val harnessHeavy = Seq("vacuum_scan", "check_constraint",
       "sql_mv_incremental", "sql_mv_filtered", "sql_mv_joined",
-      "sql_mv_joined_dimfold",
+      "sql_mv_joined_dimfold", "sql_mv_chain",
       "sql_mv_minmax", "sql_mv_distinct", "sql_mv_hist", "sql_mv_wap",
       "sql_mv_rollup", "sql_mv_distinct_exact", "sql_mv_variance",
       "sim_ivf_autok",
       "mv_mor_groups", "u9_upsert_pos",
       "sql_remove_orphans", "sim_sq8_persisted", "sim_recall_matrix",
-      "sql_ann_lifecycle", "sql_log_checkpoint", "sql_branches",
+      "sql_ann_lifecycle", "sql_ann_status", "sql_log_checkpoint",
+      "sql_branches",
       "stream_txlog_feed", "stream_txlog_pipe", "stream_maintenance_skip",
       "stream_cdc_feed", "ivm_refresh",
       "ivm_refresh_mor", "inc_agg_refresh", "sim_ivf_persisted",

@@ -162,6 +162,53 @@ object EtlQueries {
         "NULL, true)")
     }),
 
+    // ANN STALENESS GUARD (CALL system.ann_status / ann_refresh with a
+    // retrain threshold): the routed-since-train ledger rides every
+    // refresh, ann_status reports the recall-decay proxies (routed
+    // fraction, cell imbalance) from O(index) reads, and a refresh that
+    // would cross max_routed_frac RETRAINS through buildAuto instead of
+    // routing to frozen centroids — drift is bounded by policy. The
+    // requires pin the action sequence (routed below the threshold,
+    // retrained above, ledger reset after); the returned status row is
+    // pure corpus arithmetic the oracle recomputes.
+    "sql_ann_status" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .createOrReplaceTempView("emb_st_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ann_st_corpus")
+      s.sql("CREATE TABLE graftcat.db.ann_st_corpus USING txlog AS " +
+        "SELECT vec_id, embedding FROM emb_st_src")
+      s.sql("CALL graftcat.system.ann_build_auto('db.ann_st_corpus', " +
+        "'db.ann_st_idx', 64, 262144, 2, false, false)").collect()
+      val st0 = s.sql("CALL graftcat.system.ann_status('db.ann_st_idx')")
+        .head
+      require(st0.getLong(3) == 0L && st0.getDouble(4) == 0.0,
+        s"a fresh build must start with a zero drift ledger: $st0")
+      // a small append stays UNDER the threshold: routed, ledger grows
+      s.sql("INSERT INTO graftcat.db.ann_st_corpus SELECT " +
+        "vec_id + 1000000, embedding FROM emb_st_src WHERE vec_id < 30")
+      val r1 = s.sql("CALL graftcat.system.ann_refresh(" +
+        "'db.ann_st_idx', 0.4)").head
+      require(r1.getString(2) == "routed" && r1.getLong(1) == 30L,
+        s"a small window must route, not retrain: $r1")
+      val st1 = s.sql("CALL graftcat.system.ann_status('db.ann_st_idx')")
+        .head
+      require(st1.getLong(3) == 30L && st1.getDouble(4) > 0.0,
+        s"the ledger must account the routed window: $st1")
+      // DOUBLING the corpus would push routed_frac past 0.4: the guard
+      // reroutes the refresh into a full buildAuto retrain (k re-derived
+      // for the grown corpus), resetting the ledger
+      s.sql("INSERT INTO graftcat.db.ann_st_corpus SELECT " +
+        "vec_id + 2000000, embedding FROM emb_st_src")
+      val r2 = s.sql("CALL graftcat.system.ann_refresh(" +
+        "'db.ann_st_idx', 0.4)").head
+      require(r2.getString(2) == "retrained",
+        s"crossing the threshold must retrain: $r2")
+      s.sql("CALL graftcat.system.ann_status('db.ann_st_idx')")
+        .selectExpr("total_vectors", "routed_since_train", "routed_frac",
+          "(pinned_version = corpus_version) AS current")
+    }),
+
     // Column DEFAULT values end-to-end (TableCatalogCapability
     // .SUPPORT_COLUMN_DEFAULT_VALUE): CREATE declares defaults, INSERTs
     // omitting the column fill CURRENT_DEFAULT, and ALTER ADD COLUMN
@@ -2003,6 +2050,57 @@ object EtlQueries {
       refreshInc("mixed fact+dim window")
       s.sql("SELECT segment, mv_count AS n, " +
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_dimf")
+    }),
+
+    // MV-OVER-MV CHAINS as first-class sources: a 3-level rollup chain
+    // (per-user → per-decile → per-tercile) built entirely through CALL
+    // create_mv with a VIEW as the source — the view's refresh commits
+    // (DV-upsert) feed the downstream level exact delete+insert events,
+    // so every level folds incrementally under appends AND deletes. ONE
+    // refresh_all sweep brings the whole chain current in Kahn
+    // dependency order (base delta → L1 → L2 → L3, each O(changed
+    // groups)); the oracle recomputes the 3-level cascade from the raw
+    // source and hash-checks the top.
+    "sql_mv_chain" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_chain_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mvc3")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mvc2")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mvc1")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_chain")
+      s.sql("CREATE TABLE graftcat.db.ev_chain (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_chain SELECT event_id, " +
+        "user_id, value FROM ev_chain_src WHERE event_id % 4 = 0")
+      s.sql("CALL graftcat.system.create_mv('db.mvc1', 'db.ev_chain', " +
+        "'user_id', 't1:value')").collect()
+      s.sql("CALL graftcat.system.create_mv('db.mvc2', 'db.mvc1', " +
+        "'g2', 't2:t1', NULL, 'g2:user_id % 10')").collect()
+      s.sql("CALL graftcat.system.create_mv('db.mvc3', 'db.mvc2', " +
+        "'g3', 't3:t2', NULL, 'g3:g2 % 3')").collect()
+      def sweep(tag: String): Unit = {
+        val modes = s.sql("CALL graftcat.system.refresh_all('db')")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        Seq("db.mvc1", "db.mvc2", "db.mvc3").foreach { v =>
+          require(modes.get(v).contains("incremental"),
+            s"$tag: $v must fold incrementally in the sweep, got " +
+              s"${modes.get(v)} (all: $modes)")
+        }
+      }
+      s.sql("INSERT INTO graftcat.db.ev_chain SELECT event_id, " +
+        "user_id, value FROM ev_chain_src WHERE event_id % 4 IN (1, 2)")
+      sweep("append window")
+      s.sql("DELETE FROM graftcat.db.ev_chain WHERE value < 3")
+      sweep("delete window")
+      // current chain: a second sweep is all-noop for the chain
+      val again = s.sql("CALL graftcat.system.refresh_all('db')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      Seq("db.mvc1", "db.mvc2", "db.mvc3").foreach { v =>
+        require(again.get(v).contains("noop"),
+          s"post-sweep chain must be current: $v → ${again.get(v)}")
+      }
+      s.sql("SELECT g3, mv_count AS n, CAST(t3 AS DOUBLE) AS t3 " +
+        "FROM graftcat.db.mvc3")
     }),
 
     // MV refresh over a feed WITH keys-only MOR deletes: the drop folds
@@ -4212,6 +4310,32 @@ object EtlQueries {
            CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM f JOIN d ON f.user_id = d.uid
          GROUP BY d.segment""",
+
+    // the 3-level cascade over the surviving base rows (event_id%4 in
+    // 0..2 inserted, value<3 deleted; NULL value survives a < delete)
+    "sql_mv_chain" ->
+      """WITH base AS (
+           SELECT user_id, value FROM events
+           WHERE event_id % 4 IN (0, 1, 2)
+             AND (value >= 3 OR value IS NULL)),
+         l1 AS (
+           SELECT user_id, SUM(CAST(value AS DECIMAL(38,6))) AS t1
+           FROM base GROUP BY user_id),
+         l2 AS (
+           SELECT user_id % 10 AS g2, SUM(t1) AS t2
+           FROM l1 GROUP BY 1)
+         SELECT g2 % 3 AS g3, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(t2) AS DOUBLE) AS t3
+         FROM l2 GROUP BY 1""",
+
+    // corpus arithmetic: 500-at-sf0.01 originals + 30 clones + a full
+    // second copy; ledger reset to 0 by the retrain, pin current
+    "sql_ann_status" ->
+      """SELECT CAST(2 * (SELECT count(*) FROM embeddings) + 30
+             AS BIGINT) AS total_vectors,
+           CAST(0 AS BIGINT) AS routed_since_train,
+           CAST(0.0 AS DOUBLE) AS routed_frac,
+           TRUE AS current""",
 
     "sql_mv_filtered" ->
       """WITH src AS (

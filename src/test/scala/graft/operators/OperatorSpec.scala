@@ -154,6 +154,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("phantom neighbors"), e.getMessage)
   }
 
+  test("AnnIndex.status + refreshAuto: the drift ledger accounts routed " +
+    "windows, the threshold reroutes into a retrain (ledger reset), and " +
+    "a tombstoned window retrains instead of refusing") {
+    implicit val sp = spark
+    val vecs = (0L until 20L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 1.0f + 0.01f * i
+      (i, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann-st")
+    val corpus = graft.sources.TxLogTable(spark, tmp.resolve("c").toString)
+    corpus.commit(emb, overwrite = true)
+    val idx = tmp.resolve("i").toString
+    AnnIndex.buildAuto(spark, corpus.root, idx, emb.schema,
+      iterations = 2, targetCell = 8L, pq = false)
+    val st0 = AnnIndex.status(spark, idx)
+    assert(st0.routedSinceTrain == 0L && st0.totalVectors == 20L &&
+      st0.pinnedVersion == st0.corpusVersion, st0)
+    // 2 new vectors: 2/22 < 0.4 → routed; ledger accounts them
+    corpus.commit(Seq((100L, vecs(1)._2), (101L, vecs(2)._2))
+      .toDF("vec_id", "embedding"), overwrite = false)
+    val (v1, n1, a1) = AnnIndex.refreshAuto(spark, idx, 0.4)
+    assert(a1 == "routed" && n1 == 2L &&
+      v1 == corpus.latestVersion.get, (v1, n1, a1))
+    val st1 = AnnIndex.status(spark, idx)
+    assert(st1.routedSinceTrain == 2L && st1.totalVectors == 22L &&
+      st1.routedFrac > 0.0, st1)
+    // doubling the corpus crosses 0.4 → retrained, ledger reset, k
+    // re-derived for the grown corpus through the recorded targetCell
+    corpus.commit(vecs.map { case (i, v) => (i + 1000L, v) }
+      .toDF("vec_id", "embedding"), overwrite = false)
+    val (v2, _, a2) = AnnIndex.refreshAuto(spark, idx, 0.4)
+    assert(a2 == "retrained" && v2 == corpus.latestVersion.get, (v2, a2))
+    val st2 = AnnIndex.status(spark, idx)
+    assert(st2.routedSinceTrain == 0L && st2.totalVectors == 42L &&
+      st2.routedFrac == 0.0 &&
+      st2.pinnedVersion == st2.corpusVersion, st2)
+    // a deleting window cannot route (phantom neighbors) — refreshAuto
+    // absorbs it as a from-scratch retrain instead of paging
+    corpus.deleteByKeysMor(Seq(3L).toDF("vec_id"))
+    val (v3, _, a3) = AnnIndex.refreshAuto(spark, idx, 0.99)
+    assert(a3 == "retrained" && v3 == corpus.latestVersion.get, (v3, a3))
+    assert(AnnIndex.status(spark, idx).totalVectors == 41L)
+  }
+
   test("searchIvfSq8Batch equals per-id searchIvfSq8, and maintainAnn " +
     "keeps the index at the corpus head from the stream") {
     implicit val sp = spark
