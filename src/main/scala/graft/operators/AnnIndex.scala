@@ -346,23 +346,28 @@ object AnnIndex {
     val pinned = meta("corpus_version").toInt
     val corpus = TxLogTable(spark, meta("corpus_root"))
     val cur = corpus.latestVersion.getOrElse(pinned)
-    if (cur == pinned) return (pinned, 0L, "noop")
     val schema = DataType.fromJson(meta("corpus_schema"))
       .asInstanceOf[StructType]
     val routed = meta.getOrElse("routed_since_train", "0").toLong
     val asgT = TxLogTable(spark, s"$indexRoot/assignments")
     val total = asgT.metaRowCount(None).getOrElse(
       asgT.snapshot(assignmentsSchema).count())
-    val windowDeletes = corpus.tombstonesOf(cur).nonEmpty
+    val windowDeletes = cur != pinned && corpus.tombstonesOf(cur).nonEmpty
     val pending =
-      if (windowDeletes) 0L // routing refuses anyway — retrain below
+      if (cur == pinned || windowDeletes) 0L // deletes: retrain below
       else corpus.changesBetween(schema, pinned, cur)
         .select(col("vec_id")).count()
     val frac = (routed + pending).toDouble /
       math.max(1L, total + pending)
-    if (!windowDeletes && frac <= maxRoutedFrac) {
-      val (v, added) = refresh(spark, indexRoot)
-      (v, added, "routed")
+    // the threshold applies to the LEDGER, not just the pending window:
+    // an already-current index whose routed fraction sits past it still
+    // retrains — drift does not expire by being absorbed
+    if (frac <= maxRoutedFrac && !windowDeletes) {
+      if (cur == pinned) (pinned, 0L, "noop")
+      else {
+        val (v, added) = refresh(spark, indexRoot)
+        (v, added, "routed")
+      }
     } else {
       val iterations = meta.getOrElse("iterations", "4").toInt
       val pq = TxLogTable(spark, s"$indexRoot/codes")

@@ -82,6 +82,52 @@ object Sf1Probe {
           .cast("long")).head.getLong(0)
       println(s"[probe] $label LSH candidate pairs: $pairs")
     }
+    // ---- NATURAL-DUPLICATION arm: 10× docs at ~constant dup density --
+    // The plain replication above inflates duplication density
+    // quadratically (every doc becomes a 10-way near-dup family), which
+    // makes the dedup queries' wall look super-linear when the real
+    // driver is their output. This arm perturbs each copy with a
+    // per-copy LETTER ROTATION (a bijection: near-dup structure WITHIN a
+    // copy is preserved exactly, cross-copy shingle overlap is
+    // destroyed), so the corpus grows 10× while duplication density
+    // stays ~flat — the honest linearity measurement for the dedup path.
+    val natOut = "/tmp/graft-sf1nat"
+    if (!Files.exists(Paths.get(natOut, "_done"))) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      (0 until reps).map { i =>
+        val rot = alpha.drop(i) + alpha.take(i)
+        val shifted = base.withColumn("doc_id",
+          col("doc_id") + lit(i * 100000000L))
+        if (i == 0) shifted
+        else shifted.withColumn("text", translate(col("text"),
+          alpha + alpha.toUpperCase, rot + rot.toUpperCase))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$natOut/documents.parquet")
+      Files.createFile(Paths.get(natOut, "_done"))
+    }
+    println("| dedup query | sf0.1 s | sf1-nat s | wall | sf0.1 rows " +
+      "| sf1-nat rows | rows ratio |")
+    println("|---|---|---|---|---|---|---|")
+    for (q <- Seq("dd_dedup_near_exact", "dd_minhash_lsh")) {
+      def best(dir: String): (Double, Long) = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.minBy(_._1)
+      val (s01, n01) = best(src)
+      val (s1, n1) = best(natOut)
+      println(f"| $q | $s01%.2f | $s1%.2f | ${s1 / s01}%.1fx " +
+        f"| $n01 | $n1 | ${n1.toDouble / math.max(n01, 1)}%.1fx |")
+    }
+    for ((label, dir) <- Seq("sf0.1" -> src, "sf1-nat" -> natOut)) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.queries.TextQueries.statelessBands(docs)
+        .groupBy("band", "band_key").agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * (col("n") - 1)).cast("long") / 2)
+          .cast("long")).head.getLong(0)
+      println(s"[probe] $label LSH candidate pairs: $pairs")
+    }
     spark.stop()
   }
 }
