@@ -350,6 +350,120 @@ class MvPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("composed fuzz: branch forks + WAP publishes + vacuum with " +
+    "cursor/tag floors + tag pins interleaved with main/branch DML and " +
+    "refreshes — fold == recompute on both handles, tagged snapshots " +
+    "stay readable and exact, abandoned audits drop cleanly") {
+    sealed trait COp
+    case class MAppend(rows: List[(Long, Double)]) extends COp
+    case class MDelete(ks: List[Long]) extends COp
+    case class BAppend(rows: List[(Long, Double)]) extends COp
+    case object MRefresh extends COp
+    case object BRefresh extends COp
+    case object Fork extends COp
+    case object Publish extends COp
+    case object VacAll extends COp
+    case object TagNow extends COp
+    val copGen: Gen[COp] = Gen.frequency(
+      4 -> rowsGen.map(MAppend),
+      2 -> ksGen.map(MDelete),
+      3 -> rowsGen.map(BAppend),
+      3 -> Gen.const(MRefresh),
+      3 -> Gen.const(BRefresh),
+      2 -> Gen.const(Fork),
+      2 -> Gen.const(Publish),
+      2 -> Gen.const(VacAll),
+      2 -> Gen.const(TagNow))
+    val progGen = Gen.resize(14, Gen.listOf(copGen))
+    var forks = 0
+    var publishes = 0
+    forAllSeeded(progGen, 8) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvcomp")
+      val src = TxLogTable(spark, dir.resolve("src").toString)
+      val mvRoot = dir.resolve("mv").toString
+      src.commit(List((1L, 1.5), (2L, 3.0)).toDF("k", "v"),
+        overwrite = true)
+      MaterializedView.create(spark, mvRoot, s"c$seed", src, schema,
+        Seq("k"), Seq("total" -> "v"))
+      val mv = TxLogTable(spark, mvRoot)
+      var branch = false
+      var tagN = 0
+      var tagged = Map.empty[String, Set[(Long, Long, BigDecimal)]]
+      def bSrc = src.branchTable("a")
+      def bHandle = TxLogTable.branchRoot(mvRoot, "a")
+      def stateAt(v: Int): Set[(Long, Long, BigDecimal)] =
+        src.snapshot(schema, Some(v)).groupBy("k")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(38, 6))).as("t"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            BigDecimal(r.getAs[java.math.BigDecimal]("t")))).toSet
+      program.zipWithIndex.foreach { case (op, step) =>
+        def ctx = s"seed=$seed step=$step op=$op program=$program"
+        op match {
+          case MAppend(rows) =>
+            src.commit(rows.toDF("k", "v"), overwrite = false)
+          case MDelete(ks) =>
+            src.deleteWherePos(schema, col("k").isin(ks: _*))
+          case BAppend(rows) => if (branch)
+            bSrc.commit(rows.toDF("k", "v"), overwrite = false)
+          case MRefresh =>
+            MaterializedView.refresh(spark, mvRoot)
+            assert(mvState(spark, mvRoot) === state(src), ctx)
+          case BRefresh => if (branch) {
+            MaterializedView.refresh(spark, bHandle)
+            assert(mvState(spark, bHandle) === state(bSrc), ctx)
+          }
+          case Fork => if (!branch) {
+            MaterializedView.refresh(spark, mvRoot) // forks correspond
+            MaterializedView.branchMv(spark, mvRoot, "a")
+            branch = true; forks += 1
+          }
+          case Publish => if (branch) {
+            MaterializedView.refresh(spark, bHandle) // audit gate
+            try {
+              MaterializedView.publishWap(spark, mvRoot, "a")
+              publishes += 1
+              assert(mvState(spark, mvRoot) === state(src), ctx)
+              assert(MaterializedView.refresh(spark, mvRoot)
+                .mode === "noop", ctx)
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+              // main moved since the fork — fast-forward honesty: the
+              // audit is abandoned; a fact-published/view-refused split
+              // self-heals through the next MRefresh's recompute check
+            }
+            src.dropBranch("a"); mv.dropBranch("a")
+            branch = false
+          }
+          case VacAll =>
+            src.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+            mv.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+          case TagNow =>
+            tagN += 1
+            val name = s"t$tagN"
+            src.tag(name)
+            tagged += name -> state(src)
+        }
+      }
+      // every tag still names a READABLE, EXACT snapshot: the tag floor
+      // held through every aggressive vacuum the program ran
+      tagged.foreach { case (name, want) =>
+        val v = src.versionOfTag(name).getOrElse(
+          fail(s"seed=$seed tag $name vanished"))
+        assert(src.versions.contains(v),
+          s"seed=$seed tag $name points at a vacuumed version")
+        assert(stateAt(v) === want,
+          s"seed=$seed tagged snapshot $name diverged")
+      }
+      // and the main view still converges after everything
+      MaterializedView.refresh(spark, mvRoot)
+      assert(mvState(spark, mvRoot) === state(src), s"seed=$seed final")
+    }
+    assert(forks > 0 && publishes > 0,
+      s"the corpus never exercised fork/publish (forks=$forks, " +
+        s"publishes=$publishes) — rebalance the generator")
+  }
+
   test("auto-compact fuzz: random DML programs under a 2-row DV cap — " +
     "every refresh self-folds its masks and stays equal to a recompute") {
     spark.conf.set("spark.graft.sql.maxDvMaskRows", "2")
