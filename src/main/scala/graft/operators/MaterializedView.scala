@@ -155,6 +155,11 @@ object MaterializedView {
       "mv-create", "mv-refresh") ++
       TxLogTable.CowDiffOps ++ TxLogTable.RewriteOps
 
+  // changed-key sets at or under this size push into the fact scan as
+  // an IN predicate (driver-enumerable, stats-prunable); larger sets
+  // stay a broadcast semi-join over the full scan
+  private val MaxDimDeltaPushdownPoints = 1024L
+
   // the definition is BRANCH-INVARIANT: branches of a view share the
   // main table's mv.def (a fork cannot change what the view computes)
   private def defPath(mvRoot: String) =
@@ -774,7 +779,8 @@ object MaterializedView {
             dimHead.get, skipRewrites = true)
           .select(dimKeys.map(col): _*)
           .na.drop("any", dimKeys).distinct().localCheckpoint()
-        if (kDim.count() > TxLogTable.maxDimDeltaKeys(spark))
+        val kRows = kDim.count()
+        if (kRows > TxLogTable.maxDimDeltaKeys(spark))
           return fullRecompute()
         val dimNew = dt.snapshot(dProj, dimHead)
         def keysIn(side: DataFrame): DataFrame = side.join(broadcast(kDim),
@@ -787,10 +793,23 @@ object MaterializedView {
         val sign = "__graft_dim_sign"
         val signedDim = keysIn(dimSnap.get).withColumn(sign, lit(-1L))
           .unionByName(newSide.withColumn(sign, lit(1L)))
-        val factSnap = src.snapshot(extProj(src, proj, Seq(head)),
-          Some(head))
-        val affFacts = factSnap.join(broadcast(kDim),
-          d.dimJoin.map { case (f, k) => factSnap(f) === kDim(k) }
+        // the fact READ side: a point-enumerable changed-key set pushes
+        // into the scan as an IN predicate on the (first) fact join key,
+        // so manifest stats skip every file holding none of the touched
+        // keys — on a fact clustered/bucketed by its FK the read is
+        // O(touched files), not O(fact). Larger sets (or the pushdown's
+        // leftover superset on multi-key joins) refine through the
+        // broadcast semi-join below, which is exact either way.
+        val factBase =
+          if (kRows <= MaxDimDeltaPushdownPoints) {
+            val fk = d.dimJoin.head._1
+            val pts = kDim.select(col(d.dimJoin.head._2)).collect()
+              .map(_.get(0)).toSeq
+            src.snapshotWhere(extProj(src, proj, Seq(head)),
+              col(fk).isInCollection(pts), Some(head))
+          } else src.snapshot(extProj(src, proj, Seq(head)), Some(head))
+        val affFacts = factBase.join(broadcast(kDim),
+          d.dimJoin.map { case (f, k) => factBase(f) === kDim(k) }
             .reduce(_ && _), "left_semi")
         val joined = affFacts.join(broadcast(signedDim),
           d.dimJoin.map { case (f, k) => affFacts(f) === signedDim(k) }
