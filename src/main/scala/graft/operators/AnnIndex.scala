@@ -218,22 +218,42 @@ object AnnIndex {
       meta.toDF("key", "value"), overwrite = true, op = op)
   }
 
-  /** INCREMENTAL index refresh — the growth path between full rebuilds:
-    * vectors added to the corpus since the pinned version are routed to
-    * the EXISTING centroids ([[KMeans.assignTo]] — a broadcast argmax,
-    * no training pass), their PQ codes encode against the PERSISTED
-    * codebook, both append to the index tables, and the pin advances to
-    * the current corpus version. Cost is O(new vectors), never
-    * O(corpus): at 100 TB a daily embedding drop refreshes in minutes
-    * while the quarterly full [[build]] re-trains the quantizer. The
-    * standard IVF-append tradeoff applies — the quantizer drifts as the
-    * distribution moves (centroids were trained on the old corpus), so
-    * recall on NEW regions degrades gradually until the next build;
-    * assignments stay exact for the centroids that exist.
+  // corpus window ops the refresh can replay EXACTLY through the change
+  // feed: appends and adds-only ops feed raw inserts, DV commits emit
+  // their masked rows as deletes, COW row-DML is content-diffed,
+  // layout rewrites are skipped wholesale, MV refreshes are DV-upserts
+  private val ReplayableOps: Set[String] =
+    Set("append", "delete-dv", "update-dv", "upsert-dv", "delete-mor",
+      "mv-create", "mv-refresh") ++
+      TxLogTable.CowDiffOps ++ TxLogTable.RewriteOps
+
+  /** INCREMENTAL index refresh — the maintenance path between full
+    * rebuilds, now covering the FULL DML matrix:
     *
-    * Append-only contract: a corpus with live tombstones (or rewrites
-    * inside the window) refuses loudly — deleted vectors would survive
-    * in the index and surface as phantom neighbors; rebuild instead.
+    *  - vectors ADDED since the pinned version route to the EXISTING
+    *    centroids ([[KMeans.assignTo]] — a broadcast argmax, no training
+    *    pass) and their PQ/SQ8 codes encode against the PERSISTED
+    *    codebook/bounds;
+    *  - vectors DELETED (DV, COW, vec_id-keyed MOR) are MASKED OUT of
+    *    assignments and code tables by one keyed MOR tombstone per
+    *    table — O(deleted), and it closes the phantom-neighbor hole the
+    *    code-ranked searches (PQ/SQ8 never re-join the corpus snapshot)
+    *    would otherwise have;
+    *  - UPDATEs (delete+insert of one vec_id in the window) mask the old
+    *    entry and re-route the new embedding — the net event per vec_id
+    *    decides (latest commit wins; the insert of an update-dv beats
+    *    its same-version delete).
+    *
+    * Cost is O(window events), never O(corpus): at 100 TB a daily
+    * embedding drop — including its GDPR trickle of deletes — refreshes
+    * in minutes, while [[buildAuto]] re-trains the quantizer on the
+    * [[refreshAuto]] threshold's cadence. The standard IVF-append
+    * tradeoff stands: frozen centroids drift as the distribution moves
+    * (measured in tools/AnnDriftProbe).
+    *
+    * A window the feed cannot replay exactly (an overwrite/publish, or a
+    * MOR drop not keyed by vec_id) refuses loudly with "rebuild the
+    * index" — [[refreshAuto]] turns that refusal into a retrain.
     *
     * @return (new pinned version, vectors added)
     */
@@ -245,18 +265,53 @@ object AnnIndex {
     val corpus = TxLogTable(spark, meta("corpus_root"))
     val cur = corpus.latestVersion.getOrElse(pinned)
     if (cur == pinned) return (pinned, 0L)
-    require(corpus.tombstonesOf(cur).isEmpty,
-      s"refresh needs an append-only corpus window: ${meta("corpus_root")}" +
-        " has live tombstones — deleted vectors would survive as phantom" +
-        " neighbors; rebuild the index instead")
+    val present = corpus.versions.toSet
+    val range = ((pinned + 1) to cur).filter(present)
+    val opAt = range.map(v =>
+      v -> corpus.opOf(v).getOrElse("append")).toMap
+    range.foreach { v =>
+      val op = opAt(v)
+      val ok =
+        if (op == "delete-mor") corpus.morKeysOf(v) == Seq("vec_id")
+        else ReplayableOps(op) || !corpus.removedFilesAt(v)
+      require(ok, s"refresh cannot replay corpus v$v (op=$op) exactly: " +
+        "deleted vectors would survive as phantom neighbors; rebuild " +
+        "the index instead")
+    }
     val schema = DataType.fromJson(meta("corpus_schema"))
       .asInstanceOf[StructType]
-    val fresh = corpus.changesBetween(schema, pinned, cur)
+    // net event per vec_id across the window: latest commit wins, and
+    // an update-dv's insert beats its same-version delete ("insert" >
+    // "delete" lexically)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("_commit_version").desc, col("_change_type").desc)
+    val net = corpus.changesWithDeletes(schema, pinned, cur,
+        skipRewrites = true)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh = net.filter(col("_change_type") === "insert")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val op = s"ann-index:corpus_v=$cur:refresh"
+    // departed-or-replaced entries mask out FIRST (one vec_id-keyed MOR
+    // tombstone per index table, sequence-aware: the re-routed rows
+    // appended below survive it) — only when the window actually
+    // changed rows; a pure-append window skips the tombstone commits
+    val valueChanging: Set[String] = TxLogTable.CowDiffOps ++
+      Set("delete-dv", "update-dv", "upsert-dv", "delete-mor",
+        "mv-refresh")
+    if (range.exists(v => valueChanging(opAt(v)))) {
+      val changedIds = net.select(col("vec_id")).localCheckpoint()
+      Seq("assignments", "codes", "sq8codes").foreach { nm =>
+        val t = TxLogTable(spark, s"$indexRoot/$nm")
+        if (t.latestVersion.nonEmpty) t.deleteByKeysMor(changedIds)
+      }
+    }
     val cents = TxLogTable(spark, s"$indexRoot/centroids")
       .snapshot(centroidsSchema)
     val assigned = KMeans.assignTo(fresh, cents)
-    val op = s"ann-index:corpus_v=$cur:refresh"
     val added = assigned.count()
     TxLogTable(spark, s"$indexRoot/assignments").commit(
       assigned.select(col("vec_id"), col("cluster").cast(IntegerType)),
@@ -331,8 +386,10 @@ object AnnIndex {
     * the refresh routes into a full retrain instead — [[buildAuto]] when
     * the index was auto-built (its recorded targetCell re-derives k for
     * the GROWN corpus), else [[build]] with the recorded k — resetting
-    * the drift ledger. Below the threshold it is exactly [[refresh]].
-    * Retrain also absorbs windows routing cannot (tombstones): a
+    * the drift ledger. Below the threshold it is exactly [[refresh]]
+    * (which absorbs adds, deletes AND updates incrementally). Retrain
+    * also absorbs the windows the change feed cannot replay exactly
+    * (an overwrite/publish, a MOR drop not keyed by vec_id): a
     * from-scratch build has no phantom-neighbor hazard.
     *
     * @return (pinned version, vectors absorbed, action ∈
@@ -352,23 +409,13 @@ object AnnIndex {
     val asgT = TxLogTable(spark, s"$indexRoot/assignments")
     val total = asgT.metaRowCount(None).getOrElse(
       asgT.snapshot(assignmentsSchema).count())
-    val windowDeletes = cur != pinned && corpus.tombstonesOf(cur).nonEmpty
     val pending =
-      if (cur == pinned || windowDeletes) 0L // deletes: retrain below
+      if (cur == pinned) 0L
       else corpus.changesBetween(schema, pinned, cur)
         .select(col("vec_id")).count()
     val frac = (routed + pending).toDouble /
       math.max(1L, total + pending)
-    // the threshold applies to the LEDGER, not just the pending window:
-    // an already-current index whose routed fraction sits past it still
-    // retrains — drift does not expire by being absorbed
-    if (frac <= maxRoutedFrac && !windowDeletes) {
-      if (cur == pinned) (pinned, 0L, "noop")
-      else {
-        val (v, added) = refresh(spark, indexRoot)
-        (v, added, "routed")
-      }
-    } else {
+    def retrain(): (Int, Long, String) = {
       val iterations = meta.getOrElse("iterations", "4").toInt
       val pq = TxLogTable(spark, s"$indexRoot/codes")
         .latestVersion.nonEmpty
@@ -384,6 +431,23 @@ object AnnIndex {
       }
       (v, routed + pending, "retrained")
     }
+    // the threshold applies to the LEDGER, not just the pending window:
+    // an already-current index whose routed fraction sits past it still
+    // retrains — drift does not expire by being absorbed
+    if (frac <= maxRoutedFrac) {
+      if (cur == pinned) (pinned, 0L, "noop")
+      else
+        try {
+          val (v, added) = refresh(spark, indexRoot)
+          (v, added, "routed")
+        } catch {
+          // a window the feed cannot replay exactly (overwrite/publish,
+          // non-vec_id MOR keys) — the from-scratch build absorbs it
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("rebuild the index") => retrain()
+        }
+    } else retrain()
   }
 
   private def loadMeta(spark: SparkSession,

@@ -204,6 +204,16 @@ object EtlQueries {
         "'db.ann_st_idx', 0.4)").head
       require(r2.getString(2) == "retrained",
         s"crossing the threshold must retrain: $r2")
+      // DELETES absorb incrementally: the departed ids mask out of the
+      // index tables (no retrain, no phantom neighbors), the live total
+      // drops, and the drift ledger is untouched — the GDPR trickle at
+      // 100 TB costs O(deleted), not O(corpus)
+      s.sql("DELETE FROM graftcat.db.ann_st_corpus " +
+        "WHERE vec_id >= 2000000 AND vec_id < 2000010")
+      val r3 = s.sql("CALL graftcat.system.ann_refresh(" +
+        "'db.ann_st_idx', 0.4)").head
+      require(r3.getString(2) == "routed" && r3.getLong(1) == 0L,
+        s"a deleting window must absorb by masking, not retrain: $r3")
       s.sql("CALL graftcat.system.ann_status('db.ann_st_idx')")
         .selectExpr("total_vectors", "routed_since_train", "routed_frac",
           "(pinned_version = corpus_version) AS current")
@@ -4329,9 +4339,10 @@ object EtlQueries {
          FROM l2 GROUP BY 1""",
 
     // corpus arithmetic: 500-at-sf0.01 originals + 30 clones + a full
-    // second copy; ledger reset to 0 by the retrain, pin current
+    // second copy, minus the 10 deleted ids; ledger reset to 0 by the
+    // retrain and untouched by the masked delete, pin current
     "sql_ann_status" ->
-      """SELECT CAST(2 * (SELECT count(*) FROM embeddings) + 30
+      """SELECT CAST(2 * (SELECT count(*) FROM embeddings) + 20
              AS BIGINT) AS total_vectors,
            CAST(0 AS BIGINT) AS routed_since_train,
            CAST(0.0 AS DOUBLE) AS routed_frac,

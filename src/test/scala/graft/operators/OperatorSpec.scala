@@ -147,11 +147,36 @@ class OperatorSpec extends AnyFunSuite {
       .snapshot(AnnIndex.assignmentsSchema).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a(100L) == a(1L), s"copy must land in its twin's cell: $a")
-    // deletes poison the append-only window: refuse loudly
+    // a vec_id-keyed MOR delete ABSORBS incrementally: the departed id
+    // masks out of assignments AND the code tables (the phantom-neighbor
+    // hole PQ/SQ8 ranking would otherwise keep), pin advances
     corpus.deleteByKeysMor(Seq(2L).toDF("vec_id"))
+    val (v2, added2) = AnnIndex.refresh(spark, idx)
+    assert(v2 == corpus.latestVersion.get && added2 == 0L, (v2, added2))
+    val after = graft.sources.TxLogTable(spark, s"$idx/assignments")
+      .snapshot(AnnIndex.assignmentsSchema).collect().map(_.getLong(0))
+    assert(!after.contains(2L), "deleted vec must leave assignments")
+    assert(!graft.sources.TxLogTable(spark, s"$idx/codes")
+      .snapshot(AnnIndex.codesSchema).collect().map(_.getLong(0))
+      .contains(2L), "deleted vec must leave the PQ codes")
+    // a DV UPDATE re-routes the new embedding under the same id
+    corpus.updateWherePos(emb.schema, col("vec_id") === 3L,
+      Seq("embedding" -> typedLit(vecs(8)._2)))
+    val (v3, added3) = AnnIndex.refresh(spark, idx)
+    assert(v3 == corpus.latestVersion.get && added3 == 1L, (v3, added3))
+    val rows3 = graft.sources.TxLogTable(spark, s"$idx/assignments")
+      .snapshot(AnnIndex.assignmentsSchema).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(rows3.count(_._1 == 3L) == 1,
+      s"an update must not duplicate the id: ${rows3.toSeq}")
+    val a3 = rows3.toMap
+    assert(a3(3L) == a3(8L), s"updated vec must route to its new cell: $a3")
+    // an overwrite is NOT exactly replayable: refuse with the rebuild
+    // instruction (refreshAuto turns this into a retrain)
+    corpus.commit(emb, overwrite = true)
     val e = intercept[IllegalArgumentException] {
       AnnIndex.refresh(spark, idx) }
-    assert(e.getMessage.contains("phantom neighbors"), e.getMessage)
+    assert(e.getMessage.contains("rebuild the index"), e.getMessage)
   }
 
   test("AnnIndex.status + refreshAuto: the drift ledger accounts routed " +
@@ -191,12 +216,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(st2.routedSinceTrain == 0L && st2.totalVectors == 42L &&
       st2.routedFrac == 0.0 &&
       st2.pinnedVersion == st2.corpusVersion, st2)
-    // a deleting window cannot route (phantom neighbors) — refreshAuto
-    // absorbs it as a from-scratch retrain instead of paging
+    // a deleting window ROUTES (refresh absorbs deletes incrementally);
+    // the live total drops and the drift ledger is untouched by it
     corpus.deleteByKeysMor(Seq(3L).toDF("vec_id"))
     val (v3, _, a3) = AnnIndex.refreshAuto(spark, idx, 0.99)
-    assert(a3 == "retrained" && v3 == corpus.latestVersion.get, (v3, a3))
+    assert(a3 == "routed" && v3 == corpus.latestVersion.get, (v3, a3))
     assert(AnnIndex.status(spark, idx).totalVectors == 41L)
+    // an overwrite window is unreplayable — refreshAuto absorbs the
+    // refusal as a from-scratch retrain instead of paging
+    corpus.commit(vecs.map { case (i, v) => (i + 5000L, v) }
+      .toDF("vec_id", "embedding"), overwrite = true)
+    val (v4, _, a4) = AnnIndex.refreshAuto(spark, idx, 0.99)
+    assert(a4 == "retrained" && v4 == corpus.latestVersion.get, (v4, a4))
+    assert(AnnIndex.status(spark, idx).totalVectors == 20L)
   }
 
   test("searchIvfSq8Batch equals per-id searchIvfSq8, and maintainAnn " +
