@@ -2113,6 +2113,61 @@ object EtlQueries {
         "FROM graftcat.db.mvc3")
     }),
 
+    // STAR OVER A CHAIN: a joined MV whose DIM is itself an MV — the
+    // engine's two maintenance paths compose. The dim view (per-user
+    // profile rollup) refreshes from base DML; its mv-refresh commit is
+    // a DV-upsert whose exact delete+insert events then drive the
+    // DOWNSTREAM star view's DIM-DELTA fold: changed user profiles →
+    // affected segments only, mode=incremental at every level, never
+    // O(view). One refresh_all sweep orders base→dim-view→star. The
+    // oracle recomputes the cascade (profile rollup, re-segmentation,
+    // star join) from the raw source.
+    "sql_mv_star_mvdim" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_smd_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.star_smd")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.prof_smd")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_smd")
+      s.sql("CREATE TABLE graftcat.db.ev_smd (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("INSERT INTO graftcat.db.ev_smd SELECT event_id, user_id, " +
+        "value FROM ev_smd_src WHERE event_id % 3 = 0")
+      // the DIM VIEW: per-user profile, keyed by a derived 'uid' so the
+      // star's fact/dim projections stay name-disjoint
+      s.sql("CALL graftcat.system.create_mv('db.prof_smd', " +
+        "'db.ev_smd', 'uid', 'spend:value', NULL, 'uid:user_id')")
+        .collect()
+      // the STAR over it: each fact row enriches with its user's
+      // ACTIVITY SEGMENT — a derive over the dim view's own mv_count
+      // (power-of-2 bucket of the user's event count); base DML moves
+      // users between segments, exercising group migration end-to-end
+      s.sql("CALL graftcat.system.create_mv_joined('db.star_smd', " +
+        "'db.ev_smd', 'db.prof_smd', 'user_id:uid', 'seg', " +
+        "'total:value', NULL, " +
+        "'seg:CAST(length(bin(mv_count)) AS BIGINT)')").collect()
+      def sweep(tag: String, want: String): Unit = {
+        val modes = s.sql("CALL graftcat.system.refresh_all('db')")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        Seq("db.prof_smd", "db.star_smd").foreach { v =>
+          require(modes.get(v).contains(want),
+            s"$tag: $v must be $want in the sweep, got ${modes.get(v)} " +
+              s"(all: $modes)")
+        }
+      }
+      // base DML drives BOTH folds in ONE sweep: the dim view refreshes
+      // first (Kahn orders source AND dim edges), its DV-upsert commit
+      // feeds the star exact profile changes, and the star's refresh
+      // composes the fact fold with the dim-delta fold in one commit
+      s.sql("INSERT INTO graftcat.db.ev_smd SELECT event_id, user_id, " +
+        "value FROM ev_smd_src WHERE event_id % 3 = 1")
+      sweep("append window", "incremental")
+      s.sql("DELETE FROM graftcat.db.ev_smd WHERE value < 4")
+      sweep("delete window", "incremental")
+      sweep("current chain", "noop")
+      s.sql("SELECT seg, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total FROM graftcat.db.star_smd")
+    }),
+
     // MV refresh over a feed WITH keys-only MOR deletes: the drop folds
     // as a GROUP DROP at its exact position in the version sequence
     // (tombstone key = the view's group column), so the re-insert batch
@@ -4320,6 +4375,24 @@ object EtlQueries {
            CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM f JOIN d ON f.user_id = d.uid
          GROUP BY d.segment""",
+
+    // the star-over-chain cascade: per-user profile over the surviving
+    // base rows, activity segment = bit length of the user's count,
+    // star rollup joins each base row to its user's segment
+    "sql_mv_star_mvdim" ->
+      """WITH base AS (
+           SELECT user_id, value FROM events
+           WHERE event_id % 3 IN (0, 1)
+             AND (value >= 4 OR value IS NULL)),
+         prof AS (
+           SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n
+           FROM base GROUP BY 1),
+         seg AS (
+           SELECT uid, CAST(length(bin(n)) AS BIGINT) AS seg FROM prof)
+         SELECT s.seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(b.value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM base b JOIN seg s ON b.user_id = s.uid
+         GROUP BY s.seg""",
 
     // the 3-level cascade over the surviving base rows (event_id%4 in
     // 0..2 inserted, value<3 deleted; NULL value survives a < delete)

@@ -1677,12 +1677,15 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         }
       case "create_mv_joined" =>
         // CALL c.system.create_mv_joined('ns.mv', 'ns.fact', 'ns.dim',
-        // 'fk:dk[,fk2:dk2]', 'group_cols', 'out:src[,..]' [, filter]):
-        // a STAR-SCHEMA view — fact JOIN dim (inner, broadcast; dim
-        // unique on its keys) grouped and summed, group/sum/filter
-        // columns from either side. The dim is PINNED: fact deltas fold
-        // incrementally against the pinned snapshot, a dim change makes
-        // the next refresh one full recompute that re-pins.
+        // 'fk:dk[,fk2:dk2]', 'group_cols', 'out:src[,..]' [, filter
+        // [, derives]]): a STAR-SCHEMA view — fact JOIN dim (inner,
+        // broadcast; dim unique on its keys) grouped and summed,
+        // group/sum/filter columns from either side; 'derives'
+        // (name:expr, ';'-separated) are row-local computed columns
+        // that may combine both sides. The dim is PINNED: fact deltas
+        // fold incrementally against the pinned snapshot, and a dim
+        // change folds as a DIM DELTA (changed keys → affected groups)
+        // that re-pins — never O(view).
         new MaintenanceProc("create_mv_joined", Seq(
           inParam("view", StringType),
           inParam("fact", StringType),
@@ -1690,7 +1693,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           inParam("join_on", StringType),
           inParam("group_cols", StringType),
           inParam("sums", StringType),
-          inParam("filter", StringType, Some("NULL")))) {
+          inParam("filter", StringType, Some("NULL")),
+          inParam("derives", StringType, Some("NULL")))) {
           override def call(input: InternalRow) = {
             val qname = input.getString(0)
             val parts = qname.split('.')
@@ -1715,11 +1719,18 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               .map(_.trim).filter(_.nonEmpty)
             val filt = if (input.isNullAt(6)) None
               else Some(input.getString(6))
+            val derives = if (input.isNullAt(7)) Nil
+              else input.getString(7).split(';').toSeq.map(_.trim)
+                .filter(_.nonEmpty).map { t =>
+                  val i = t.indexOf(':')
+                  require(i > 0, s"derive spec must be name:expr, got $t")
+                  t.substring(0, i).trim -> t.substring(i + 1).trim
+                }
             val (sums, mins, maxs) = parseAggSpec(input.getString(5))
             val v = graft.operators.MaterializedView.createJoined(spark,
               pathOf(vident).toString, qname, fact, factSchema, dim,
               dimSchema, pairs(input.getString(3), "join_on"), groups,
-              sums, filt, mins, maxs)
+              sums, filt, mins, maxs, derives)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("fact_version", IntegerType),
@@ -1929,25 +1940,31 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           inParam("namespace", StringType))) {
           override def call(input: InternalRow) = {
             val ns = input.getString(0).split('.').filter(_.nonEmpty)
-            val views: Seq[(String, String, Option[String])] =
+            val views: Seq[(String, String, Seq[String])] =
               listTables(ns).toSeq.flatMap { ident =>
                 val root = pathOf(ident).toString
                 if (!java.nio.file.Files.exists(
                     java.nio.file.Paths.get(root, "_log", "mv.def"))) Nil
                 else {
                   val qn = (ns :+ ident.name).mkString(".")
-                  val src = scala.util.Try(graft.operators
-                    .MaterializedView.definition(spark, root).source)
-                    .toOption
-                  Seq((qn, root, src))
+                  // a view depends on its SOURCE and (star views) its
+                  // DIM — both must refresh first when they are views
+                  // themselves, or the sweep would fold against a
+                  // stale upstream and need a second pass
+                  val deps = scala.util.Try {
+                    val d = graft.operators.MaterializedView
+                      .definition(spark, root)
+                    d.source +: d.dim.toSeq
+                  }.getOrElse(Nil)
+                  Seq((qn, root, deps))
                 }
               }
-            // Kahn order on the view→view source edges; anything left
-            // (a cycle can only mean corrupted defs) appends unordered
-            // and will surface as error rows rather than be dropped
+            // Kahn order on the view→view source/dim edges; anything
+            // left (a cycle can only mean corrupted defs) appends
+            // unordered and will surface as error rows, not be dropped
             val byRoot = views.map(v => v._2 -> v).toMap
             val ordered = scala.collection.mutable.ArrayBuffer
-              .empty[(String, String, Option[String])]
+              .empty[(String, String, Seq[String])]
             var remaining = views
             var progressed = true
             while (remaining.nonEmpty && progressed) {
