@@ -1824,7 +1824,10 @@ object EtlQueries {
         "user_id % 8, value FROM ev_v_src WHERE event_id % 2 = 1")
       val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_var')").head
       require(r1.getString(0) == "incremental", s"$r1")
-      s.sql("DELETE FROM graftcat.db.ev_v WHERE val > 450")
+      // 250 keeps the delete NON-EMPTY at every SF (sf0.001's max value
+      // is ~327): a zero-match delete window correctly noops the
+      // refresh, which is not what this row is pinning
+      s.sql("DELETE FROM graftcat.db.ev_v WHERE val > 250")
       val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_var')").head
       require(r2.getString(0) == "incremental",
         s"moment sums fold under deletes: $r2")
@@ -4309,7 +4312,7 @@ object EtlQueries {
     "sql_mv_variance" ->
       """WITH src AS (
            SELECT user_id % 8 AS grp, value AS val FROM events
-           WHERE value <= 450)
+           WHERE value <= 250)
          SELECT grp, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS s,
            CAST(SUM(CAST(val * val AS DECIMAL(38,6))) AS DOUBLE) AS s2
