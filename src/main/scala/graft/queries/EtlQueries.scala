@@ -2171,6 +2171,67 @@ object EtlQueries {
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.star_smd")
     }),
 
+    // SNOWFLAKE BY COMPOSITION: a TWO-dimension star needs no N-dim
+    // API — chain star views. star1 = fact ⋈ dim_users grouped by
+    // (user segment, event_type); star2 = star1 ⋈ dim_types grouped by
+    // (segment, type class), summing star1's sums. Each level folds its
+    // OWN dim-delta (dim_users churn → star1's groups; dim_types churn
+    // → star2's), and star1's refresh commits feed star2's fact fold —
+    // so the whole snowflake absorbs base DML + churn on BOTH
+    // dimensions in ONE refresh_all sweep, every level incremental.
+    // The oracle replays the full cascade with the final dim states.
+    "sql_mv_snowflake" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_sfk_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.star2_sfk")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.star1_sfk")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.dim_t_sfk")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.dim_u_sfk")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_sfk")
+      s.sql("CREATE TABLE graftcat.db.ev_sfk (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE) USING txlog")
+      s.sql("CREATE TABLE graftcat.db.dim_u_sfk (uid BIGINT, " +
+        "useg BIGINT) USING txlog")
+      s.sql("CREATE TABLE graftcat.db.dim_t_sfk (tkey STRING, " +
+        "tclass STRING) USING txlog")
+      s.sql("INSERT INTO graftcat.db.dim_u_sfk SELECT DISTINCT " +
+        "user_id, user_id % 5 FROM ev_sfk_src")
+      s.sql("INSERT INTO graftcat.db.dim_t_sfk SELECT DISTINCT " +
+        "event_type, CASE WHEN event_type IN ('click', 'view') " +
+        "THEN 'engage' ELSE 'convert' END FROM ev_sfk_src")
+      s.sql("INSERT INTO graftcat.db.ev_sfk SELECT event_id, user_id, " +
+        "event_type, value FROM ev_sfk_src WHERE event_id % 3 = 0")
+      s.sql("CALL graftcat.system.create_mv_joined('db.star1_sfk', " +
+        "'db.ev_sfk', 'db.dim_u_sfk', 'user_id:uid', " +
+        "'useg,event_type', 'total:value')").collect()
+      s.sql("CALL graftcat.system.create_mv_joined('db.star2_sfk', " +
+        "'db.star1_sfk', 'db.dim_t_sfk', 'event_type:tkey', " +
+        "'useg,tclass', 'total2:total')").collect()
+      def sweep(tag: String, want: String): Unit = {
+        val modes = s.sql("CALL graftcat.system.refresh_all('db')")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        Seq("db.star1_sfk", "db.star2_sfk").foreach { v =>
+          require(modes.get(v).contains(want),
+            s"$tag: $v must be $want, got ${modes.get(v)} (all: $modes)")
+        }
+      }
+      // one window carrying base DML AND churn on BOTH dimensions:
+      // star1 folds the fact delta + dim_u's delta; star2 folds star1's
+      // refresh commit + dim_t's delta — all in one ordered sweep
+      s.sql("INSERT INTO graftcat.db.ev_sfk SELECT event_id, user_id, " +
+        "event_type, value FROM ev_sfk_src WHERE event_id % 3 = 1")
+      s.sql("UPDATE graftcat.db.dim_u_sfk SET useg = 99 " +
+        "WHERE uid % 5 = 2")
+      s.sql("UPDATE graftcat.db.dim_t_sfk SET tclass = 'hot' " +
+        "WHERE tkey = 'click'")
+      sweep("base + both dims window", "incremental")
+      s.sql("DELETE FROM graftcat.db.ev_sfk WHERE value < 2")
+      sweep("delete window", "incremental")
+      sweep("current snowflake", "noop")
+      s.sql("SELECT useg, tclass, mv_count AS n, " +
+        "CAST(total2 AS DOUBLE) AS total FROM graftcat.db.star2_sfk")
+    }),
+
     // MV refresh over a feed WITH keys-only MOR deletes: the drop folds
     // as a GROUP DROP at its exact position in the version sequence
     // (tombstone key = the view's group column), so the re-insert batch
@@ -4378,6 +4439,35 @@ object EtlQueries {
            CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM f JOIN d ON f.user_id = d.uid
          GROUP BY d.segment""",
+
+    // the snowflake cascade with the FINAL dim states: users %5=2
+    // re-segmented to 99, 'click' re-classed to 'hot'; base rows are
+    // event_id%3 in (0,1) minus value<2 deletes
+    "sql_mv_snowflake" ->
+      """WITH base AS (
+           SELECT user_id, event_type, value FROM events
+           WHERE event_id % 3 IN (0, 1)
+             AND (value >= 2 OR value IS NULL)),
+         du AS (
+           SELECT DISTINCT user_id AS uid,
+             CASE WHEN user_id % 5 = 2 THEN 99 ELSE user_id % 5 END
+               AS useg
+           FROM events),
+         dt AS (
+           SELECT DISTINCT event_type AS tkey,
+             CASE WHEN event_type = 'click' THEN 'hot'
+                  WHEN event_type = 'view' THEN 'engage'
+                  ELSE 'convert' END AS tclass
+           FROM events),
+         star1 AS (
+           SELECT du.useg, b.event_type,
+             SUM(CAST(b.value AS DECIMAL(38,6))) AS total
+           FROM base b JOIN du ON b.user_id = du.uid
+           GROUP BY du.useg, b.event_type)
+         SELECT s.useg, dt.tclass, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(s.total) AS DOUBLE) AS total
+         FROM star1 s JOIN dt ON s.event_type = dt.tkey
+         GROUP BY s.useg, dt.tclass""",
 
     // the star-over-chain cascade: per-user profile over the surviving
     // base rows, activity segment = bit length of the user's count,
