@@ -257,7 +257,8 @@ object AnnIndex {
     *
     * @return (new pinned version, vectors added)
     */
-  def refresh(spark: SparkSession, indexRoot: String): (Int, Long) = {
+  def refresh(spark: SparkSession, indexRoot: String,
+              maxMaskFiles: Int = 16): (Int, Long) = {
     implicit val sp: SparkSession = spark
     import spark.implicits._
     val meta = loadMeta(spark, indexRoot)
@@ -304,9 +305,17 @@ object AnnIndex {
         "mv-refresh")
     if (range.exists(v => valueChanging(opAt(v)))) {
       val changedIds = net.select(col("vec_id")).localCheckpoint()
-      Seq("assignments", "codes", "sq8codes").foreach { nm =>
+      Seq("assignments" -> assignmentsSchema, "codes" -> codesSchema,
+        "sq8codes" -> sq8CodesSchema).foreach { case (nm, sch) =>
         val t = TxLogTable(spark, s"$indexRoot/$nm")
-        if (t.latestVersion.nonEmpty) t.deleteByKeysMor(changedIds)
+        if (t.latestVersion.nonEmpty) {
+          t.deleteByKeysMor(changedIds)
+          // mask hygiene: every live tombstone is an anti-join each
+          // index read pays — past the threshold, fold them with one
+          // compact (the masked rows materialize away)
+          if (t.tombstonesOf(t.latestVersion.get).size > maxMaskFiles)
+            t.compact(sch)
+        }
       }
     }
     val cents = TxLogTable(spark, s"$indexRoot/centroids")

@@ -1768,7 +1768,8 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
       case "mv_status" =>
         // CALL c.system.mv_status('ns.mv'): the view's maintenance
         // position — consumed source version vs source head, how many
-        // versions behind, and the definition — without touching data.
+        // versions behind, the definition, and (star views) the pinned
+        // dim version vs the dim head — without touching data.
         new MaintenanceProc("mv_status", Seq(
           inParam("view", StringType))) {
           override def call(input: InternalRow) = {
@@ -1779,6 +1780,10 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             val last = graft.operators.MaterializedView
               .lastSourceVersion(t)
             val head = src.latestVersion.getOrElse(-1)
+            val dimT = d.dim.map(TxLogTable(spark, _))
+            val dimPinned = dimT.map(_ =>
+              graft.operators.MaterializedView.lastDimVersion(t))
+            val dimHead = dimT.map(_.latestVersion.getOrElse(-1))
             resultScan(StructType(Seq(
               StructField("name", StringType),
               StructField("consumed_version", IntegerType),
@@ -1787,7 +1792,11 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
               StructField("group_cols", StringType),
               StructField("sums", StringType),
               StructField("filter", StringType),
-              StructField("derives", StringType))),
+              StructField("derives", StringType),
+              StructField("dim", StringType),
+              StructField("dim_pinned", IntegerType),
+              StructField("dim_head", IntegerType),
+              StructField("dim_behind", IntegerType))),
               Seq(InternalRow(UTF8String.fromString(d.name), last, head,
                 math.max(0, head - last),
                 UTF8String.fromString(d.groupCols.mkString(",")),
@@ -1799,7 +1808,13 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 d.filterExpr.map(UTF8String.fromString).orNull,
                 if (d.derives.isEmpty) null
                 else UTF8String.fromString(d.derives
-                  .map { case (n, _, e) => s"$n:$e" }.mkString(";")))))
+                  .map { case (n, _, e) => s"$n:$e" }.mkString(";")),
+                d.dim.map(UTF8String.fromString).orNull,
+                dimPinned.map(Integer.valueOf).orNull,
+                dimHead.map(Integer.valueOf).orNull,
+                dimPinned.zip(dimHead)
+                  .map { case (p, h) => Integer.valueOf(
+                    math.max(0, h - p)) }.orNull)))
           }
         }
       case "mvs" =>

@@ -171,6 +171,17 @@ class OperatorSpec extends AnyFunSuite {
       s"an update must not duplicate the id: ${rows3.toSeq}")
     val a3 = rows3.toMap
     assert(a3(3L) == a3(8L), s"updated vec must route to its new cell: $a3")
+    // mask hygiene: a refresh whose tombstones cross the threshold
+    // folds the index tables' masks with one compact — the masked rows
+    // materialize away and the id set stays exact
+    corpus.deleteByKeysMor(Seq(5L).toDF("vec_id"))
+    AnnIndex.refresh(spark, idx, maxMaskFiles = 0)
+    val asgT = graft.sources.TxLogTable(spark, s"$idx/assignments")
+    assert(asgT.tombstonesOf(asgT.latestVersion.get).isEmpty,
+      "masks past the threshold must fold")
+    val ids = asgT.snapshot(AnnIndex.assignmentsSchema).collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids.contains(5L) && !ids.contains(2L) && ids.contains(3L))
     // an overwrite is NOT exactly replayable: refuse with the rebuild
     // instruction (refreshAuto turns this into a retrain)
     corpus.commit(emb, overwrite = true)
