@@ -170,7 +170,7 @@ object Bench {
     val harnessHeavy = Seq("vacuum_scan", "check_constraint",
       "sql_mv_incremental", "sql_mv_filtered", "sql_mv_joined",
       "sql_mv_joined_dimfold", "sql_mv_chain", "sql_mv_star_mvdim",
-      "sql_mv_snowflake",
+      "sql_mv_snowflake", "sql_mv_wap_joined",
       "sql_mv_minmax", "sql_mv_distinct", "sql_mv_hist", "sql_mv_wap",
       "sql_mv_rollup", "sql_mv_distinct_exact", "sql_mv_variance",
       "sim_ivf_autok",

@@ -610,7 +610,19 @@ object MaterializedView {
     require(head >= last,
       s"source at v$head is BEHIND the view's consumed v$last — was the " +
         "source recreated in place? drop and recreate the view")
-    val dimT = d.dim.map(TxLogTable(spark, _))
+    // a BRANCH of a star view reads the SAME-NAME branch of its dim —
+    // the triple [[branchMv]] forks; main views read the recorded dim
+    val dimT = d.dim.map { droot =>
+      mv.branchName match {
+        case None => TxLogTable(spark, droot)
+        case Some(b) =>
+          val dt = TxLogTable(spark, droot)
+          require(dt.branches().contains(b),
+            s"view branch '$b' has no matching dim branch on $droot — " +
+              "fork the triple with branchMv")
+          dt.branchTable(b)
+      }
+    }
     val lastDim = dimT.map(_ => lastDimVersionAt(mv, mvHead))
     val dimHead = dimT.map(_.latestVersion.getOrElse(-1))
     val dimMoved = lastDim.zip(dimHead).exists { case (a, b) => a != b }
@@ -917,26 +929,27 @@ object MaterializedView {
 
   // ---- branch-aware views: write-audit-publish for DERIVED tables ----
 
-  /** Fork a CONSISTENT (source, view) branch pair named `name`: the fact
-    * forks at its head F, the view — required current (consumed == F, so
-    * the pair states correspond) — forks at its head with its recorded
-    * consumed version renumbered into the branch's own sequence (the
-    * fact branch starts at v0 = the fork point). Audit-cadence writes
-    * then land on `source@@branch=name`, [[refresh]] of the view's
-    * branch handle folds THAT branch, and [[publishWap]] promotes both.
-    * Joined views are not forkable (the pinned dim would need a third
-    * coordinated fork — recreate on the branch instead).
+  /** Fork a CONSISTENT branch across the view and EVERYTHING it reads —
+    * the (source, view) pair, or for a star view the (fact, dim, view)
+    * TRIPLE — named `name`: the fact forks at its head F, the dim (when
+    * the view has one) at its head D, and the view — required current
+    * (consumed == F and pinned dim == D, so the states correspond) —
+    * forks at its head with its recorded consumed/pinned versions
+    * renumbered into each branch's own sequence (every branch starts at
+    * v0 = its fork point). Audit-cadence writes then land on
+    * `source@@branch=name` (and `dim@@branch=name`), [[refresh]] of the
+    * view's branch handle folds THOSE branches — including dim deltas
+    * on the branch — and [[publishWap]] promotes all of them.
     *
     * @return (fact fork version, view fork version on main numbering)
     */
   def branchMv(spark: SparkSession, mvRoot: String,
                name: String): (Int, Int) = {
     val d = definition(spark, mvRoot)
-    require(d.dim.isEmpty,
-      "branching a joined view is not supported (the pinned dim would " +
-        "need a third coordinated fork)")
     require(!d.source.contains(TxLogTable.BranchSep),
       "branchMv needs a main-handle source")
+    d.dim.foreach(r => require(!r.contains(TxLogTable.BranchSep),
+      "branchMv needs a main-handle dim"))
     val mv = TxLogTable(spark, mvRoot)
     require(mv.branchName.isEmpty, "branchMv runs on the MAIN view handle")
     val fact = TxLogTable(spark, d.source)
@@ -946,30 +959,45 @@ object MaterializedView {
     require(consumed == fHead,
       s"view consumed v$consumed but the source is at v$fHead: refresh " +
         "the view before forking the pair (the forks must correspond)")
-    // fork PINNED at the checked head: a source commit racing this call
-    // must not slide the fork forward, or the view fork's '#mvsrc=0'
-    // would claim rows its state never absorbed (silent undercount)
+    val dimT = d.dim.map(TxLogTable(spark, _))
+    val dHead = dimT.map(_.latestVersion.getOrElse(
+      throw new IllegalStateException(s"empty dim: ${d.dim.get}")))
+    dimT.foreach { _ =>
+      val pinned = lastDimVersion(mv)
+      require(pinned == dHead.get,
+        s"view pinned dim v$pinned but the dim is at v${dHead.get}: " +
+          "refresh the view before forking (the forks must correspond)")
+    }
+    // forks PINNED at the checked heads: a commit racing this call must
+    // not slide any fork forward, or the view fork's '#mvsrc=0'/
+    // '#mvdim=0' would claim state it never absorbed (silent undercount)
     val forkF = fact.createBranch(name, Some(fHead))
+    try dimT.foreach(_.createBranch(name, Some(dHead.get)))
+    catch { case e: Throwable => fact.dropBranch(name); throw e }
     val forkV =
       try mv.createBranch(name, rewrite = lines =>
-        // the fork manifest's consumed version translates to the fact
-        // BRANCH's numbering, whose fork point is v0 by construction
-        lines.filterNot(_.startsWith("#mvsrc=")) :+ "#mvsrc=0")
-      catch { case e: Throwable => fact.dropBranch(name); throw e }
+        // the fork manifest's consumed/pinned versions translate to the
+        // fact/dim BRANCHES' numbering, whose fork points are v0
+        lines.filterNot(l => l.startsWith("#mvsrc=") ||
+            l.startsWith("#mvdim=")) ++
+          Seq("#mvsrc=0") ++ dimT.map(_ => "#mvdim=0"))
+      catch { case e: Throwable =>
+        fact.dropBranch(name); dimT.foreach(_.dropBranch(name)); throw e }
     (forkF, forkV)
   }
 
-  /** Write-audit-publish for the derived pair: publish branch `name` of
-    * the source, then of the view — gated on the branch view having
-    * absorbed the branch source's head (the audit precondition: you
-    * audit exactly what will land). The published view commit records,
-    * as consumed, the MAIN version the fact publish just created, so
-    * main bookkeeping is seamless (a post-publish refresh is a noop).
+  /** Write-audit-publish for the derived set: publish branch `name` of
+    * the source, the dim (star views), then the view — gated on the
+    * branch view having absorbed the branch source's AND branch dim's
+    * heads (the audit precondition: you audit exactly what will land).
+    * The published view commit records, as consumed/pinned, the MAIN
+    * versions the fact/dim publishes just created, so main bookkeeping
+    * is seamless (a post-publish refresh is a noop).
     *
-    * Publish order is fact-then-view, and the window between them is
-    * SAFE: if the view publish loses (main view moved mid-audit), the
-    * main view is merely behind a published append window — the next
-    * ordinary refresh folds it; nothing double-counts.
+    * Publish order is fact → dim → view, and every inter-publish window
+    * is SAFE: if a later publish loses (main moved mid-audit), main is
+    * merely behind already-published windows — the next ordinary
+    * refresh folds them (dim deltas included); nothing double-counts.
     *
     * The audit gate is ENFORCED, not a convention: both branch heads are
     * pinned at the gate check and each publish is head-conditional on
@@ -990,19 +1018,35 @@ object MaterializedView {
     val fact = TxLogTable(spark, d.source)
     val bf = fact.branchTable(name)
     val bv = mv.branchTable(name)
-    // THE audited pair: every check below reads AT these heads, and both
-    // publishes are conditional on the branches still being at them
+    val dimT = d.dim.map(TxLogTable(spark, _))
+    val bd = dimT.map(_.branchTable(name))
+    // THE audited set: every check below reads AT these heads, and every
+    // publish is conditional on its branch still being at them
     val bfHead = bf.latestVersion.getOrElse(-1)
+    val bdHead = bd.map(_.latestVersion.getOrElse(-1))
     val bvHead = bv.latestVersion.getOrElse(
       throw new IllegalStateException(
         s"branch view '$name' has no committed version"))
     require(lastSourceVersionAt(bv, bvHead) == bfHead,
       s"branch view '$name' has not absorbed the branch source head — " +
         "refresh the view on the branch (and audit it) before publishing")
+    bd.foreach { _ =>
+      require(lastDimVersionAt(bv, bvHead) == bdHead.get,
+        s"branch view '$name' has not absorbed the branch dim head — " +
+          "refresh the view on the branch (and audit it) before " +
+          "publishing")
+    }
     betweenAuditAndPublishHook()
+    // fact → dim → view; every inter-publish window is SAFE: a refusal
+    // downstream leaves main merely behind already-published windows,
+    // and the next ordinary refresh folds them (dim deltas included)
     val fPub = fact.publishBranch(name, expectHead = Some(bfHead))
+    val dPub = dimT.zip(bdHead).map { case (dt, dh) =>
+      dt.publishBranch(name, expectHead = Some(dh)) }
     val vPub = mv.publishBranch(name, rewrite = lines =>
-      lines.filterNot(_.startsWith("#mvsrc=")) :+ s"#mvsrc=$fPub",
+      lines.filterNot(l => l.startsWith("#mvsrc=") ||
+          l.startsWith("#mvdim=")) ++
+        Seq(s"#mvsrc=$fPub") ++ dPub.map(x => s"#mvdim=$x"),
       expectHead = Some(bvHead))
     (fPub, vPub)
   }

@@ -2171,6 +2171,53 @@ object EtlQueries {
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.star_smd")
     }),
 
+    // JOINED-VIEW WAP through SQL (CALL system.mv_branch / mv_publish
+    // on a star view): the fork is the (fact, dim, view) TRIPLE; audit
+    // writes land on BOTH branch sides (fact inserts + a dim UPDATE
+    // that migrates groups), the branch refresh folds them — dim delta
+    // included — while main stays frozen, and ONE publish promotes all
+    // three with seamless bookkeeping (post-publish refresh noops).
+    // The oracle recomputes the published star from the raw source.
+    "sql_mv_wap_joined" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_wj_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_wj")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.dim_wj")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_wj")
+      s.sql("CREATE TABLE graftcat.db.ev_wj (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("CREATE TABLE graftcat.db.dim_wj (uid BIGINT, " +
+        "segment BIGINT) USING txlog")
+      s.sql("INSERT INTO graftcat.db.dim_wj SELECT DISTINCT user_id, " +
+        "user_id % 4 FROM ev_wj_src")
+      s.sql("INSERT INTO graftcat.db.ev_wj SELECT event_id, user_id, " +
+        "value FROM ev_wj_src WHERE event_id % 2 = 0")
+      s.sql("CALL graftcat.system.create_mv_joined('db.mv_wj', " +
+        "'db.ev_wj', 'db.dim_wj', 'user_id:uid', 'segment', " +
+        "'total:value')").collect()
+      s.sql("CALL graftcat.system.mv_branch('db.mv_wj', 'audit')")
+        .collect()
+      // audit writes on BOTH branch sides; main handles stay frozen
+      s.sql("INSERT INTO graftcat.db.ev_wj.branch_audit SELECT " +
+        "event_id, user_id, value FROM ev_wj_src WHERE event_id % 2 = 1")
+      s.sql("UPDATE graftcat.db.dim_wj.branch_audit SET segment = 77 " +
+        "WHERE uid % 4 = 1")
+      val r1 = s.sql(
+        "CALL graftcat.system.refresh_mv('db.mv_wj.branch_audit')").head
+      require(r1.getString(0) == "incremental",
+        s"branch fact delta + branch dim delta must fold: $r1")
+      val mainSeg = s.sql("SELECT count(*) FROM graftcat.db.mv_wj " +
+        "WHERE segment = 77").head.getLong(0)
+      require(mainSeg == 0L, "main must stay frozen through the audit")
+      s.sql("CALL graftcat.system.mv_publish('db.mv_wj', 'audit')")
+        .collect()
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_wj')").head
+      require(r2.getString(0) == "noop",
+        s"post-publish bookkeeping must be seamless: $r2")
+      s.sql("SELECT segment, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_wj")
+    }),
+
     // SNOWFLAKE BY COMPOSITION: a TWO-dimension star needs no N-dim
     // API — chain star views. star1 = fact ⋈ dim_users grouped by
     // (user segment, event_type); star2 = star1 ⋈ dim_types grouped by
@@ -4438,6 +4485,18 @@ object EtlQueries {
          SELECT d.segment, CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM f JOIN d ON f.user_id = d.uid
+         GROUP BY d.segment""",
+
+    // the published star: all events, dim with %4=1 re-segmented to 77
+    "sql_mv_wap_joined" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id AS uid,
+             CASE WHEN user_id % 4 = 1 THEN 77 ELSE user_id % 4 END
+               AS segment
+           FROM events)
+         SELECT d.segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM events e JOIN d ON e.user_id = d.uid
          GROUP BY d.segment""",
 
     // the snowflake cascade with the FINAL dim states: users %5=2

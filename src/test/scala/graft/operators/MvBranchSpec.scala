@@ -119,6 +119,71 @@ class MvBranchSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no matching source branch"), e2)
   }
 
+  test("joined-view WAP: branchMv forks the (fact, dim, view) TRIPLE, " +
+    "branch DML on BOTH sides folds on the branch (dim deltas " +
+    "included) with main frozen, and publish promotes all three with " +
+    "seamless bookkeeping") {
+    val dir = Files.createTempDirectory("mvbrj")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L, 1.0), (2L, 2.0)), overwrite = true)
+    dim.commit(Seq((1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("uid", "seg"), overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "wapj", fact, schema,
+      dim, dimSchema, Seq("k" -> "uid"), Seq("seg"), Seq("total" -> "v"))
+    def segOf(root: String): Set[(String, Long, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, root).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    }
+    def recomputeJ(f: TxLogTable, dm: TxLogTable)
+        : Set[(String, Long, Double)] =
+      f.snapshot(schema).join(dm.snapshot(dimSchema),
+          col("k") === col("uid"))
+        .groupBy("seg").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(38, 6))).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getAs[java.math.BigDecimal]("t").doubleValue())).toSet
+    val mainBefore = segOf(mvRoot)
+    MaterializedView.branchMv(spark, mvRoot, "a")
+    assert(dim.branches().contains("a"), "the dim must fork too")
+    val bFact = fact.branchTable("a")
+    val bDim = dim.branchTable("a")
+    val bHandle = TxLogTable.branchRoot(mvRoot, "a")
+    // audit-cadence writes on BOTH branch sides
+    bFact.commit(df((3L, 30.0)), overwrite = false)
+    bDim.updateWherePos(dimSchema, col("uid") === 2L,
+      Seq("seg" -> lit("a"))) // group migration ON THE BRANCH
+    val st = MaterializedView.refresh(spark, bHandle)
+    assert(st.mode === "incremental",
+      s"branch fact delta + branch dim delta must fold: $st")
+    assert(segOf(bHandle) === recomputeJ(bFact, bDim))
+    assert(segOf(bHandle) === Set(("a", 3L, 33.0)))
+    // main saw NOTHING: fact, dim and view all frozen
+    assert(segOf(mvRoot) === mainBefore)
+    assert(recomputeJ(fact, dim) === mainBefore)
+    // publish the audited TRIPLE; bookkeeping lands on main numbering
+    val (fPub, vPub) = MaterializedView.publishWap(spark, mvRoot, "a")
+    assert(src_eq(fact, fPub) && TxLogTable(spark, mvRoot)
+      .latestVersion.contains(vPub))
+    assert(segOf(mvRoot) === recomputeJ(fact, dim))
+    assert(segOf(mvRoot) === Set(("a", 3L, 33.0)))
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+    // ordinary maintenance continues: dim churn on MAIN now dim-folds
+    dim.updateWherePos(dimSchema, col("uid") === 1L,
+      Seq("seg" -> lit("z")))
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "incremental")
+    assert(segOf(mvRoot) === recomputeJ(fact, dim))
+  }
+
+  private def src_eq(t: TxLogTable, v: Int): Boolean =
+    t.latestVersion.contains(v)
+
   test("publish is head-conditional on the audited branch: a writer " +
     "racing a branch fact commit between audit and publish gets a loud " +
     "refusal — unaudited rows never ship") {
