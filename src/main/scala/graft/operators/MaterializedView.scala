@@ -857,8 +857,23 @@ object MaterializedView {
     } ++ dimDelta.map(_.select(groupKeyCols: _*)).toSeq
     val kAll = keyFrames.reduce(_.unionByName(_)).distinct()
       .localCheckpoint()
-    if (kAll.isEmpty) // walked versions touched nothing the view sees
-      return RefreshStats("noop", last, head, 0, mvHead)
+    if (kAll.isEmpty) {
+      // the walked window touched nothing the view sees (events outside
+      // the filter, dim churn on keys no fact row joins): the fold just
+      // PROVED the content unchanged, so record the consumption with one
+      // empty commit — progress meta and vacuum floors advance (and a
+      // later [[branchMv]] sees corresponding states), zero rows touched,
+      // and the next refresh never re-walks this window
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), d.mvSchema)
+      val mvv = mv.commit(empty, overwrite = false, op = "mv-refresh",
+        extraMeta = Seq(s"#mvsrc=$head") ++
+          (if (dimMoved) dimHead else lastDim).map(x => s"#mvdim=$x"))
+      src.registerCursor(d.cursorName, head)
+      if (dimMoved)
+        dimT.foreach(_.registerCursor(d.dimCursorName, dimHead.get))
+      return RefreshStats("incremental", last, head, 0, mvv)
+    }
     val measureCols =
       (d.sums.map(_._1) ++ d.mins.map(_._1) ++ d.maxs.map(_._1)) :+
         CountCol
