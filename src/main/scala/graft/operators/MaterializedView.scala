@@ -666,14 +666,19 @@ object MaterializedView {
       mk.nonEmpty && mk.forall(k => d.groupCols.contains(k) &&
         proj.fieldNames.contains(k))
     }
-    // MIN/MAX measures fold only over APPEND-ONLY windows: a delete
-    // cannot decrement an extremum (the departing row may BE it), so any
-    // row-changing version in the range costs one recompute — the honest
-    // contract monitoring rollups actually need (their sources append)
+    // ops that can REMOVE or REPLACE rows — what flips a MIN/MAX window
+    // from the pure fold to the group-targeted partial recompute below
     val rowChanging: Set[String] = TxLogTable.CowDiffOps ++
       Set("delete-mor", "delete-dv", "update-dv", "upsert-dv",
         "mv-refresh")
-    val minMaxBlocked = (d.mins.nonEmpty || d.maxs.nonEmpty) &&
+    // MIN/MAX measures cannot FOLD under deletes (the departing row may
+    // BE the extremum) — but they no longer force a FULL recompute: a
+    // row-changing window routes to the GROUP-TARGETED partial recompute
+    // in the incremental section (re-aggregate exactly the affected
+    // groups from the snapshot at head — O(affected) write, never
+    // O(view)). Dim churn on a MIN/MAX view stays a full recompute (the
+    // dimDeltaFoldable gate requires mins/maxs empty).
+    val minMaxTargeted = (d.mins.nonEmpty || d.maxs.nonEmpty) &&
       range.exists(v => rowChanging(opAt(v)))
     // a moved dim folds as a DIM DELTA (changed dim join keys → affected
     // fact rows → a signed counting delta over exactly those groups)
@@ -694,7 +699,7 @@ object MaterializedView {
         }
       }
     val needFull = full || (dimMoved && !dimDeltaFoldable) ||
-      !morFoldable || minMaxBlocked ||
+      !morFoldable ||
       range.exists { v =>
         !(FoldableOps(opAt(v)) || !src.removedFilesAt(v))
       }
@@ -750,8 +755,9 @@ object MaterializedView {
           val v = col(s0).cast(SumType)
           sum(when(del, -v).otherwise(v)).as(out)
         } ++
-        // reachable only on append-only windows (minMaxBlocked gate):
-        // every event is an insert, so the window extremum is exact
+        // FOLDED only on append-only windows (every event is an insert,
+        // so the window extremum is exact); on row-changing windows the
+        // targeted-recompute branch consumes this delta's KEYS only
         d.mins.map { case (out, s0) => min(col(s0)).as(out) } ++
         d.maxs.map { case (out, s0) => max(col(s0)).as(out) } :+
         sum(when(del, lit(-1L)).otherwise(lit(1L))).as(CountCol)
@@ -889,18 +895,35 @@ object MaterializedView {
       val aggs = measureCols.map(m => mergeOf(m)(col(m)).as(m))
       u.groupBy(groupKeyCols: _*).agg(aggs.head, aggs.tail: _*)
     }
-    val state0 = mvSnap.join(kAll, nullSafe(mvSnap, kAll, d.groupCols),
-      "left_semi")
-    val foldedState = stepFrames.foldLeft(state0) {
-      case (st, (_: Fold, delta)) => plus(st, delta)
-      case (st, (dr: Drop, tf)) =>
-        st.join(broadcast(tf), nullSafe(st, tf, src.morKeysOf(dr.v)),
-          "left_anti")
+    val finalState = if (minMaxTargeted) {
+      // GROUP-TARGETED PARTIAL RECOMPUTE: the non-distributive measures
+      // cannot fold through a deleting window, so the affected groups —
+      // exactly the key set the fold machinery just derived — are
+      // re-aggregated from the snapshot at head. Sequence semantics
+      // (MOR drops, mid-window re-inserts) are materialized by the
+      // snapshot itself, the write stays O(affected groups), and the
+      // view's other groups remain untouched manifest references.
+      // Reachable only with the dim unmoved (dim churn on a MIN/MAX
+      // view recomputes in full), so the old pin enriches correctly.
+      val prepped = prepared(src.snapshot(extProj(src, proj, Seq(head)),
+        Some(head)), d, dimSnap)
+      aggregate(prepped.join(kAll,
+        nullSafe(prepped, kAll, d.groupCols), "left_semi"), d)
+    } else {
+      val state0 = mvSnap.join(kAll, nullSafe(mvSnap, kAll, d.groupCols),
+        "left_semi")
+      val foldedState = stepFrames.foldLeft(state0) {
+        case (st, (_: Fold, delta)) => plus(st, delta)
+        case (st, (dr: Drop, tf)) =>
+          st.join(broadcast(tf), nullSafe(st, tf, src.morKeysOf(dr.v)),
+            "left_anti")
+      }
+      // the dim correction applies to the END state (fact steps first
+      // brought it to view(fact@head, oldDim)) — the SCD cadence: the
+      // refresh observes the dim at its head, exactly as a recompute
+      // would
+      dimDelta.fold(foldedState)(dd => plus(foldedState, dd))
     }
-    // the dim correction applies to the END state (fact steps first
-    // brought it to view(fact@head, oldDim)) — the SCD cadence: the
-    // refresh observes the dim at its head, exactly as a recompute would
-    val finalState = dimDelta.fold(foldedState)(dd => plus(foldedState, dd))
     val newRows = finalState.filter(col(CountCol) > 0)
       .select(d.mvSchema.fieldNames.toIndexedSeq.map(col): _*)
       .localCheckpoint()

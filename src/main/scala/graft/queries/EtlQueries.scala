@@ -1677,9 +1677,10 @@ object EtlQueries {
     // MV WITH MIN/MAX MEASURES ('out:min|max:src' in the CALL spec):
     // extrema fold incrementally over APPEND-ONLY windows (an insert
     // can only extend them); a row-changing version can remove the
-    // extremum itself, so the refresh pays exactly one recompute there
-    // — the honest contract (r2 pinned "full"), then appends fold again
-    // (r1, r3 pinned "incremental"). The oracle recomputes count, sum,
+    // extremum itself, so such a window routes to a GROUP-TARGETED
+    // partial recompute — re-aggregate exactly the affected groups
+    // from the snapshot, O(affected) write, never O(view) (all three
+    // refreshes pin "incremental"). The oracle recomputes count, sum,
     // min and max per group from the raw source.
     "sql_mv_minmax" -> ((s, dir) => {
       ensureCatalog(s)
@@ -1699,13 +1700,15 @@ object EtlQueries {
         s"an append-only window must fold under min/max: $r1")
       s.sql("DELETE FROM graftcat.db.ev_mm WHERE value > 450")
       val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
-      require(r2.getString(0) == "full",
-        s"a delete can remove the extremum — must recompute: $r2")
+      require(r2.getString(0) == "incremental",
+        s"a delete can remove the extremum — the refresh re-aggregates " +
+          s"EXACTLY the affected groups (targeted partial recompute, " +
+          s"never O(view)): $r2")
       s.sql("INSERT INTO graftcat.db.ev_mm SELECT event_id, user_id, " +
         "value FROM ev_mm_src WHERE event_id % 3 = 2")
       val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
       require(r3.getString(0) == "incremental",
-        s"appends fold again after the recompute: $r3")
+        s"appends fold again after the targeted window: $r3")
       s.sql("SELECT user_id, mv_count AS n, " +
         "CAST(total AS DOUBLE) AS total, lo, hi FROM graftcat.db.mv_mm")
     }),
@@ -1715,9 +1718,11 @@ object EtlQueries {
     // max rank) rows built on the generic row-local-derive machinery,
     // so the O(changed groups) fold, exactly-once #mvsrc and vacuum
     // cursors apply verbatim. Registers are insert-additive: appends
-    // fold incrementally (r1, r3), a deleting window pays exactly one
-    // recompute because a departed value cannot lower a register (r2
-    // pinned "full" — the honest sketch contract). The oracle rebuilds
+    // fold incrementally (r1, r3); a deleting window cannot LOWER a
+    // register by folding, so it routes to the group-targeted partial
+    // recompute — exactly the affected (group, bucket) registers
+    // re-aggregate from the snapshot (r2 pinned "incremental", still
+    // exact, never O(view)). The oracle rebuilds
     // the registers from the raw source with the same deterministic
     // integer math (md5 → bucket/rank), so sketch-fold ≡ recompute is
     // hash-checked bit-for-bit; the float estimate (CALL
@@ -1740,8 +1745,9 @@ object EtlQueries {
         s"appends must fold into HLL registers: $r1")
       s.sql("DELETE FROM graftcat.db.ev_dst WHERE val % 7 = 0")
       val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head
-      require(r2.getString(0) == "full",
-        s"a deleting window cannot lower a register — must recompute: $r2")
+      require(r2.getString(0) == "incremental",
+        s"a deleting window re-aggregates exactly the affected " +
+          s"registers (targeted partial recompute): $r2")
       s.sql("INSERT INTO graftcat.db.ev_dst SELECT event_id, " +
         "user_id % 8, event_id FROM ev_dst_src WHERE event_id % 3 = 2")
       val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head

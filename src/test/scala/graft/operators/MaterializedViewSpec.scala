@@ -323,8 +323,9 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(lvl2() === Set((1L, 2L, 13.0), (3L, 1L, 7.0)))
   }
 
-  test("MIN/MAX measures fold over append-only windows; any row-changing " +
-    "version in the range costs exactly one recompute — and stays exact") {
+  test("MIN/MAX measures fold over append-only windows; a row-changing " +
+    "version triggers a GROUP-TARGETED partial recompute — only the " +
+    "affected groups re-aggregate, untouched groups keep their rows") {
     val (src, mvRoot) = fresh()
     src.commit(df((1L, "a", 5.0), (2L, "b", 2.0)), overwrite = true)
     MaterializedView.create(spark, mvRoot, "mm", src, schema,
@@ -344,19 +345,31 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(r1.mode === "incremental", r1)
     assert(rows() === Set(
       (1L, 15.0, 1.0, 9.0, 3L), (2L, 2.0, 2.0, 2.0, 1L)))
-    // a delete may remove the extremum itself: one recompute, exact
+    // a delete may remove the extremum itself: the refresh stays
+    // incremental — the affected group (k=1) re-aggregates from the
+    // snapshot, exact; group 2 is untouched
     src.deleteWhere(schema, col("v") === 9.0)
     val r2 = MaterializedView.refresh(spark, mvRoot)
-    assert(r2.mode === "full",
-      s"a row-changing version under min/max must recompute: $r2")
+    assert(r2.mode === "incremental",
+      s"a deleting window under min/max must target-recompute: $r2")
+    assert(r2.groupsChanged === 1L,
+      s"only the extremum's group is affected: $r2")
     assert(rows() === Set(
       (1L, 6.0, 1.0, 5.0, 2L), (2L, 2.0, 2.0, 2.0, 1L)))
-    // and appends fold again after the recompute
+    // a targeted window may also EMPTY a group (count 0 → leaves) and
+    // drop-then-reinsert keys (snapshot semantics carry the sequence)
+    src.deleteWherePos(schema, col("k") === 2L)
+    src.commit(df((2L, "b", 7.0)), overwrite = false)
+    val r2b = MaterializedView.refresh(spark, mvRoot)
+    assert(r2b.mode === "incremental", r2b)
+    assert(rows() === Set(
+      (1L, 6.0, 1.0, 5.0, 2L), (2L, 7.0, 7.0, 7.0, 1L)))
+    // and appends fold again after the targeted window
     src.commit(df((2L, "b", 0.5)), overwrite = false)
     val r3 = MaterializedView.refresh(spark, mvRoot)
     assert(r3.mode === "incremental", r3)
     assert(rows() === Set(
-      (1L, 6.0, 1.0, 5.0, 2L), (2L, 2.5, 0.5, 2.0, 2L)))
+      (1L, 6.0, 1.0, 5.0, 2L), (2L, 7.5, 0.5, 7.0, 2L)))
   }
 
   test("streaming ingest composes with MV maintenance: refresh folds " +

@@ -464,6 +464,75 @@ class MvPropertySpec extends AnyFunSuite {
         s"publishes=$publishes) — rebalance the generator")
   }
 
+  test("min/max fuzz: random DML programs — the extrema view equals a " +
+    "recompute after every refresh; deleting windows stay incremental " +
+    "via the group-targeted partial recompute") {
+    var targeted = 0
+    forAllSeeded(programGen, 10) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvmmprop")
+      val src = TxLogTable(spark, dir.resolve("src").toString)
+      val mvRoot = dir.resolve("mv").toString
+      var created = false
+      var sawRowChange = false
+      def mmRecompute(): Set[(Long, Long, BigDecimal, Double, Double)] =
+        src.snapshot(schema).groupBy("k")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(38, 6))).as("t"),
+            min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            BigDecimal(r.getAs[java.math.BigDecimal]("t")),
+            r.getDouble(3), r.getDouble(4))).toSet
+      def mmView(): Set[(Long, Long, BigDecimal, Double, Double)] = {
+        val d = MaterializedView.definition(spark, mvRoot)
+        TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+          .map(r => (r.getLong(0),
+            r.getAs[Long](MaterializedView.CountCol),
+            BigDecimal(r.getAs[java.math.BigDecimal]("total")),
+            r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toSet
+      }
+      program.zipWithIndex.foreach { case (op, step) =>
+        def ctx = s"seed=$seed step=$step op=$op program=$program"
+        op match {
+          case Append(rows) =>
+            src.commit(rows.toDF("k", "v"), overwrite = false)
+          case Overwrite(rows) =>
+            src.commit(rows.toDF("k", "v"), overwrite = true)
+          case DeleteCow(ks) =>
+            src.deleteWhere(schema, col("k").isin(ks: _*))
+            sawRowChange = true
+          case DeletePos(ks) =>
+            src.deleteWherePos(schema, col("k").isin(ks: _*))
+            sawRowChange = true
+          case UpdatePos(ks) =>
+            src.updateWherePos(schema, col("k").isin(ks: _*),
+              Seq("v" -> (col("v") + 0.5)))
+            sawRowChange = true
+          case MorDrop(ks) =>
+            src.deleteByKeysMor(ks.toDF("k").distinct())
+            sawRowChange = true
+          case Compact =>
+            if (src.latestVersion.nonEmpty) src.compact(schema)
+          case Vac =>
+            src.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+          case Refresh =>
+            if (!created) {
+              MaterializedView.create(spark, mvRoot, s"mm$seed", src,
+                schema, Seq("k"), Seq("total" -> "v"),
+                mins = Seq("lo" -> "v"), maxs = Seq("hi" -> "v"))
+              created = true
+            } else {
+              val st = MaterializedView.refresh(spark, mvRoot)
+              if (st.mode == "incremental" && sawRowChange) targeted += 1
+            }
+            sawRowChange = false
+            assert(mmView() === mmRecompute(), ctx)
+        }
+      }
+    }
+    assert(targeted > 0, "the corpus never exercised the targeted " +
+      "partial-recompute path — rebalance the generator")
+  }
+
   test("joined-triple WAP fuzz: random fact/dim DML on main and branch " +
     "with refreshes, publishes and vacuums — both handles equal their " +
     "join recomputes after every refresh, main frozen through audits, " +

@@ -56,7 +56,8 @@ class MvSketchSpec extends AnyFunSuite {
   }
 
   test("distinct view: registers fold across appends (incremental), " +
-    "equal the exact recompute, and a deleting window goes full") {
+    "equal the exact recompute, and a deleting window target-recomputes " +
+    "only the affected registers — still exact, still incremental") {
     val (src, mvRoot) = fresh("hll")
     val r = new scala.util.Random(7)
     src.commit(df((1 to 300).map(i =>
@@ -76,10 +77,11 @@ class MvSketchSpec extends AnyFunSuite {
       x.getLong(1), x.getLong(2),
       x.getAs[Long](MaterializedView.CountCol))).toSet
     assert(got1 === registersRecompute(src))
-    // a deleting window cannot fold a max register: one full recompute
+    // a deleting window cannot FOLD a max register — the refresh
+    // re-aggregates exactly the affected (group, bucket) registers
     src.deleteWherePos(schema, col("u") >= 100L)
     val st2 = MaterializedView.refresh(spark, mvRoot)
-    assert(st2.mode === "full", st2)
+    assert(st2.mode === "incremental", st2)
     assert(viewRows(mvRoot).collect().map(x => (x.getLong(0),
       x.getLong(1), x.getLong(2),
       x.getAs[Long](MaterializedView.CountCol))).toSet
