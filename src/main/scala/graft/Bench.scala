@@ -169,7 +169,8 @@ object Bench {
     // operator-performance comparisons (round-5 verdict, "wrong" #5).
     val harnessHeavy = Seq("vacuum_scan", "check_constraint",
       "sql_mv_incremental", "sql_mv_filtered", "sql_mv_joined",
-      "sql_mv_joined_dimfold", "sql_mv_chain", "sql_mv_star_mvdim",
+      "sql_mv_joined_dimfold", "sql_mv_minmax_dimfold", "sql_mv_star_2dim",
+      "sql_mv_chain", "sql_mv_star_mvdim",
       "sql_mv_snowflake", "sql_mv_wap_joined",
       "sql_mv_minmax", "sql_mv_distinct", "sql_mv_hist", "sql_mv_wap",
       "sql_mv_rollup", "sql_mv_distinct_exact", "sql_mv_variance",

@@ -384,10 +384,23 @@ object AnnIndex {
     val mx = if (sizes.isNullAt(2)) 0L else sizes.getLong(2)
     val routed = meta.getOrElse("routed_since_train", "0").toLong
     val mean = total.toDouble / math.max(1L, cells)
+    // routedFrac is a CONSERVATIVE UPPER BOUND on frozen-centroid
+    // exposure: the ledger only grows while deletes shrink the masked
+    // total, so after routed vectors are themselves deleted the ratio
+    // overstates drift — clamp at 1.0 (= "everything serving was routed
+    // since training", the worst case) rather than report a >1 fraction
     AnnStatus(meta("corpus_root"), pinned, cur, total, routed,
-      routed.toDouble / math.max(1L, total), cells, mean, mx,
-      if (mean > 0) mx / mean else 0.0)
+      math.min(1.0, routed.toDouble / math.max(1L, total)), cells, mean,
+      mx, if (mean > 0) mx / mean else 0.0)
   }
+
+  /** Conf-resolved default retrain threshold for the staleness guard —
+    * `spark.graft.ann.maxRoutedFrac` (default 0.5, ≤ 0 disables): the
+    * policy [[refreshAuto]], `CALL ann_refresh` and the streaming
+    * maintainer apply when the caller does not name one explicitly. */
+  def confMaxRoutedFrac(spark: SparkSession): Double =
+    spark.conf.getOption("spark.graft.ann.maxRoutedFrac")
+      .map(_.toDouble).getOrElse(0.5)
 
   /** [[refresh]] with a RETRAIN THRESHOLD — the guard that keeps the
     * cheap growth path from decaying recall forever: when absorbing the
@@ -418,12 +431,27 @@ object AnnIndex {
     val asgT = TxLogTable(spark, s"$indexRoot/assignments")
     val total = asgT.metaRowCount(None).getOrElse(
       asgT.snapshot(assignmentsSchema).count())
+    // pending = rows that would actually ROUTE: the net-insert events of
+    // the window, read through the content diff with rewrites skipped —
+    // the raw added-files feed would count every row of a COW-rewritten
+    // file as an insert, inflating the frac and triggering a spurious
+    // O(corpus) retrain for a window refresh() absorbs in O(events). A
+    // window the diff cannot replay exactly estimates conservatively
+    // from the raw feed (refresh() would refuse it too — retrain is the
+    // correct absorption either way).
     val pending =
       if (cur == pinned) 0L
-      else corpus.changesBetween(schema, pinned, cur)
+      else try corpus.changesWithDeletes(schema, pinned, cur,
+          skipRewrites = true)
+        .filter(col("_change_type") === "insert")
         .select(col("vec_id")).count()
-    val frac = (routed + pending).toDouble /
-      math.max(1L, total + pending)
+      catch {
+        case _: IllegalArgumentException | _: IllegalStateException =>
+          corpus.changesBetween(schema, pinned, cur)
+            .select(col("vec_id")).count()
+      }
+    val frac = math.min(1.0, (routed + pending).toDouble /
+      math.max(1L, total + pending))
     def retrain(): (Int, Long, String) = {
       val iterations = meta.getOrElse("iterations", "4").toInt
       val pq = TxLogTable(spark, s"$indexRoot/codes")

@@ -99,25 +99,31 @@ object MaterializedView {
     * by a derived hash bucket with a derived rank measure; a power-of-2
     * histogram view groups by a derived bit-length bucket). The type is
     * resolved once at create time and pinned in mv.def. */
+  /** One dimension of a star view: the dim table's root, the
+    * (fact column, dim column) equi-join pairs, and the pinned dim-side
+    * projection DDL. A view may carry any number of these (N-dim star);
+    * each gets its own version pin, vacuum cursor and delta gate. */
+  final case class MvDim(root: String, join: Seq[(String, String)],
+                         projDdl: String) {
+    def projSchema: StructType = StructType.fromDDL(projDdl)
+  }
+
   final case class MvDef(name: String, source: String,
                          groupCols: Seq[String],
                          sums: Seq[(String, String)],
                          projDdl: String,
                          filterExpr: Option[String] = None,
-                         dim: Option[String] = None,
-                         dimJoin: Seq[(String, String)] = Nil,
-                         dimProjDdl: Option[String] = None,
+                         dims: Seq[MvDim] = Nil,
                          mins: Seq[(String, String)] = Nil,
                          maxs: Seq[(String, String)] = Nil,
                          derives: Seq[(String, String, String)] = Nil) {
     def projSchema: StructType = StructType.fromDDL(projDdl)
-    def dimProjSchema: Option[StructType] =
-      dimProjDdl.map(StructType.fromDDL)
     def cursorName: String = s"mv:$name"
-    def dimCursorName: String = s"mv:$name#dim"
+    def dimCursorName(i: Int): String =
+      if (i == 0) s"mv:$name#dim" else s"mv:$name#dim$i"
     def mvSchema: StructType = {
       val fields = projSchema.fields ++
-        dimProjSchema.map(_.fields).getOrElse(Array.empty[StructField]) ++
+        dims.flatMap(_.projSchema.fields) ++
         derives.map { case (n, t, _) =>
           StructField(n, org.apache.spark.sql.catalyst.parser
             .CatalystSqlParser.parseDataType(t)) }
@@ -173,11 +179,14 @@ object MaterializedView {
       d.maxs.map { case (out, src) => s"max=$out:$src" } ++
       d.derives.map { case (n, t, e) => s"derive=$n:$t:$e" } ++
       d.filterExpr.map(f => s"filter=$f") ++
-      d.dim.map(r => s"dim=$r") ++
-      (if (d.dimJoin.isEmpty) Nil
-       else Seq("dimJoin=" +
-         d.dimJoin.map { case (a, b) => s"$a:$b" }.mkString(","))) ++
-      d.dimProjDdl.map(x => s"dimProj=$x") :+
+      // one (dim, dimJoin, dimProj) line TRIPLET per dimension, in
+      // order — the decode zips the three repeated keys positionally
+      d.dims.flatMap { dm =>
+        Seq(s"dim=${dm.root}",
+          "dimJoin=" +
+            dm.join.map { case (a, b) => s"$a:$b" }.mkString(","),
+          s"dimProj=${dm.projDdl}")
+      } :+
       s"proj=${d.projDdl}").mkString("\n") + "\n"
 
   private def decodeDef(s: String): MvDef = {
@@ -189,6 +198,18 @@ object MaterializedView {
     def one(k: String): String = kvs.collectFirst {
       case (`k`, v) => v }.getOrElse(
       throw new IllegalStateException(s"mv.def missing '$k'"))
+    val dimRoots = kvs.collect { case ("dim", v) => v }
+    val dimJoins = kvs.collect { case ("dimJoin", v) =>
+      v.split(',').toSeq.filter(_.nonEmpty).map { t =>
+        val i = t.indexOf(':')
+        require(i > 0, s"malformed mv.def dimJoin: $t")
+        t.substring(0, i) -> t.substring(i + 1)
+      } }
+    val dimProjs = kvs.collect { case ("dimProj", v) => v }
+    require(dimRoots.length == dimJoins.length &&
+      dimRoots.length == dimProjs.length,
+      s"mv.def dim/dimJoin/dimProj counts differ: ${dimRoots.length}/" +
+        s"${dimJoins.length}/${dimProjs.length}")
     MvDef(one("name"), one("source"),
       one("groupCols").split(',').toSeq.filter(_.nonEmpty),
       kvs.collect { case ("sum", v) =>
@@ -198,14 +219,8 @@ object MaterializedView {
       },
       one("proj"),
       kvs.collectFirst { case ("filter", v) => v },
-      kvs.collectFirst { case ("dim", v) => v },
-      kvs.collectFirst { case ("dimJoin", v) =>
-        v.split(',').toSeq.filter(_.nonEmpty).map { t =>
-          val i = t.indexOf(':')
-          require(i > 0, s"malformed mv.def dimJoin: $t")
-          t.substring(0, i) -> t.substring(i + 1)
-        } }.getOrElse(Nil),
-      kvs.collectFirst { case ("dimProj", v) => v },
+      dimRoots.lazyZip(dimJoins).lazyZip(dimProjs)
+        .map { (r, j, p) => MvDim(r, j, p) },
       kvs.collect { case ("min", v) =>
         val i = v.indexOf(':')
         require(i > 0, s"malformed mv.def min: $v")
@@ -253,25 +268,24 @@ object MaterializedView {
   private def filtered(rows: DataFrame, d: MvDef): DataFrame =
     d.filterExpr.fold(rows)(f => rows.filter(expr(f)))
 
-  /** Enrich (broadcast inner join against the version-pinned dimension,
-    * when the view has one) then filter — the row-local prefix both the
-    * initial aggregate and every feed fold run before grouping. Inner
-    * join: a fact row with no dim match contributes nothing, and its
-    * later delete event joins nothing either — symmetric, so the fold
-    * stays exact. The dim side is required unique on its join keys
+  /** Enrich (broadcast inner joins against the version-pinned
+    * dimensions, in definition order) then filter — the row-local prefix
+    * both the initial aggregate and every feed fold run before grouping.
+    * Inner joins: a fact row with no dim match contributes nothing, and
+    * its later delete event joins nothing either — symmetric, so the
+    * fold stays exact. Each dim side is required unique on its join keys
     * (checked at create and at every full refresh; incremental refreshes
-    * pin the dim version, so the check cannot rot between them).
+    * pin the dim versions, so the check cannot rot between them).
     */
   private def prepared(rows: DataFrame, d: MvDef,
-                       dimSnap: Option[DataFrame]): DataFrame = {
-    val joined = (d.dim, dimSnap) match {
-      case (Some(_), Some(ds)) =>
-        val cond = d.dimJoin.map { case (f, k) => rows(f) === ds(k) }
+                       dimSnaps: Seq[DataFrame]): DataFrame = {
+    require(dimSnaps.length == d.dims.length,
+      "dim snapshots must be supplied exactly one per view dimension")
+    val joined = d.dims.zip(dimSnaps).foldLeft(rows) {
+      case (acc, (dm, ds)) =>
+        val cond = dm.join.map { case (f, k) => acc(f) === ds(k) }
           .reduce(_ && _)
-        rows.join(broadcast(ds), cond, "inner")
-      case (None, None) => rows
-      case _ => throw new IllegalStateException(
-        "dim snapshot must be supplied exactly when the view has a dim")
+        acc.join(broadcast(ds), cond, "inner")
     }
     // row-local derived columns (after the join so they may combine both
     // sides, before the filter so the filter may reference them); the
@@ -332,7 +346,7 @@ object MaterializedView {
              mins: Seq[(String, String)] = Nil,
              maxs: Seq[(String, String)] = Nil,
              derives: Seq[(String, String)] = Nil): Int =
-    createImpl(spark, mvRoot, name, source, srcSchema, None, groupCols,
+    createImpl(spark, mvRoot, name, source, srcSchema, Nil, groupCols,
       sums, filterExpr, mins, maxs, derives)
 
   /** Create a STAR-SCHEMA view: `fact JOIN dim ON joinOn` (inner,
@@ -343,9 +357,12 @@ object MaterializedView {
     * pinned dim snapshot, and a dim change folds as a DIM DELTA (changed
     * join keys → affected fact rows → a signed re-enrichment of exactly
     * those groups, which re-pins) — O(dim delta + affected rows), never
-    * O(view); an unreplayable dim window, MIN/MAX measures, or a
-    * changed-key set past the broadcast cap fall back to one full
-    * recompute. Both tables get vacuum cursors.
+    * O(view). MIN/MAX measures block the signed fold but not the key
+    * derivation: their affected groups route through the GROUP-TARGETED
+    * partial recompute from (fact@head ⋈ dim@head) — still
+    * mode=incremental, write-side O(affected groups). An unreplayable
+    * dim window or a changed-key set past the broadcast cap fall back
+    * to one full recompute. Both tables get vacuum cursors.
     */
   def createJoined(spark: SparkSession, mvRoot: String, name: String,
                    fact: TxLogTable, factSchema: StructType,
@@ -356,13 +373,37 @@ object MaterializedView {
                    mins: Seq[(String, String)] = Nil,
                    maxs: Seq[(String, String)] = Nil,
                    derives: Seq[(String, String)] = Nil): Int =
-    createImpl(spark, mvRoot, name, fact, factSchema,
-      Some((dim, dimSchema, joinOn)), groupCols, sums, filterExpr,
+    createStar(spark, mvRoot, name, fact, factSchema,
+      Seq((dim, dimSchema, joinOn)), groupCols, sums, filterExpr,
       mins, maxs, derives)
+
+  /** [[createJoined]] for an N-DIMENSIONAL star: ONE view handle over
+    * `fact JOIN dim1 JOIN dim2 …` (each inner, broadcast, unique on its
+    * join keys). Every dim carries its own version pin, vacuum cursor
+    * and delta gate, so DML on the fact and on ANY subset of the dims
+    * absorbs in one [[refresh]] — fact deltas fold against the pinned
+    * dims, each moved dim folds as its own signed correction (applied
+    * in dim order: correction i sees dims before it at their new heads,
+    * dims after it still pinned — the telescoping sum is exactly the
+    * recompute), and MIN/MAX views route each moved dim's affected
+    * groups through the group-targeted recompute. No chained
+    * star-over-star views, one stored state, one refresh hop.
+    */
+  def createStar(spark: SparkSession, mvRoot: String, name: String,
+                 fact: TxLogTable, factSchema: StructType,
+                 dims: Seq[(TxLogTable, StructType,
+                   Seq[(String, String)])],
+                 groupCols: Seq[String], sums: Seq[(String, String)],
+                 filterExpr: Option[String] = None,
+                 mins: Seq[(String, String)] = Nil,
+                 maxs: Seq[(String, String)] = Nil,
+                 derives: Seq[(String, String)] = Nil): Int =
+    createImpl(spark, mvRoot, name, fact, factSchema,
+      dims, groupCols, sums, filterExpr, mins, maxs, derives)
 
   private def createImpl(spark: SparkSession, mvRoot: String, name: String,
                          source: TxLogTable, srcSchema: StructType,
-                         dimSpec: Option[(TxLogTable, StructType,
+                         dimSpecs: Seq[(TxLogTable, StructType,
                            Seq[(String, String)])],
                          groupCols: Seq[String],
                          sums: Seq[(String, String)],
@@ -384,7 +425,7 @@ object MaterializedView {
         s"MV column '$c' contains an mv.def wire delimiter"))
     require(!name.exists(",:=\n".contains(_)) && name.nonEmpty,
       s"MV name '$name' must be non-empty and delimiter-free")
-    val dimSchema = dimSpec.map(_._2)
+    val dimSchemas = dimSpecs.map(_._2)
     val deriveNames = derives.map(_._1)
     require(deriveNames.distinct == deriveNames,
       s"MV derive names collide: ${deriveNames.mkString(", ")}")
@@ -393,7 +434,7 @@ object MaterializedView {
         s"MV derive name '$n' must be non-empty and delimiter-free")
       require(!e.contains('\n'), s"MV derive '$n' must be a single line")
       require(!srcSchema.fieldNames.contains(n) &&
-        !dimSchema.exists(_.fieldNames.contains(n)),
+        !dimSchemas.exists(_.fieldNames.contains(n)),
         s"MV derive '$n' shadows a source column")
     }
     def refsOf(e: String, what: String): Seq[String] =
@@ -406,12 +447,12 @@ object MaterializedView {
     // every referenced SOURCE column must live on exactly one side;
     // group/measure/filter references may also resolve to a derive
     def checkRef(c: String): Unit = if (!deriveNames.contains(c)) {
-      val inF = srcSchema.fieldNames.contains(c)
-      val inD = dimSchema.exists(_.fieldNames.contains(c))
-      require(inF || inD,
-        s"MV column $c is in neither the fact nor the dim schema")
-      require(!(inF && inD),
-        s"MV column $c is ambiguous — present on both sides")
+      val sides = (if (srcSchema.fieldNames.contains(c)) 1 else 0) +
+        dimSchemas.count(_.fieldNames.contains(c))
+      require(sides > 0,
+        s"MV column $c is in neither the fact nor any dim schema")
+      require(sides == 1,
+        s"MV column $c is ambiguous — present on multiple sides")
     }
     // a filtered view (WHERE before aggregation — the common production
     // shape) folds exactly: the filter is row-local, so it commutes with
@@ -434,7 +475,7 @@ object MaterializedView {
         .distinct.filterNot(deriveNames.contains)
     (groupCols ++ measures.map(_._2)).foreach(checkRef)
     (filterRefs ++ deriveRefs).foreach(checkRef)
-    dimSpec.foreach { case (_, ds, joinOn) =>
+    dimSpecs.foreach { case (_, ds, joinOn) =>
       require(joinOn.nonEmpty, "a joined view needs at least one join key")
       joinOn.foreach { case (f, k) =>
         require(srcSchema.fieldNames.contains(f),
@@ -450,17 +491,18 @@ object MaterializedView {
         "MV source table has no committed version yet"))
     val proj = StructType(srcSchema.fields.filter(f =>
       referenced.contains(f.name) ||
-        dimSpec.exists(_._3.exists(_._1 == f.name))))
-    val dimProj = dimSpec.map { case (_, ds, joinOn) =>
+        dimSpecs.exists(_._3.exists(_._1 == f.name))))
+    val dimProjs = dimSpecs.map { case (_, ds, joinOn) =>
       StructType(ds.fields.filter(f => referenced.contains(f.name) ||
         joinOn.exists(_._2 == f.name))) }
-    dimProj.foreach { dp =>
-      val both = proj.fieldNames.toSet intersect dp.fieldNames.toSet
-      require(both.isEmpty,
-        s"fact and dim projections share names ${both.mkString(",")} — " +
+    locally {
+      val all = proj.fieldNames.toSeq ++ dimProjs.flatMap(_.fieldNames)
+      val dup = all.diff(all.distinct).distinct
+      require(dup.isEmpty,
+        s"fact and dim projections share names ${dup.mkString(",")} — " +
           "rename one side (the join output must be unambiguous)")
     }
-    val dimHead = dimSpec.map(_._1.latestVersion.getOrElse(
+    val dimHeads = dimSpecs.map(_._1.latestVersion.getOrElse(
       throw new IllegalArgumentException(
         "MV dim table has no committed version yet")))
     // resolve and PIN each derive's result type now: the mv.def records
@@ -470,8 +512,7 @@ object MaterializedView {
     else {
       val base = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(proj.fields ++
-          dimProj.map(_.fields).getOrElse(Array.empty[StructField])))
+        StructType(proj.fields ++ dimProjs.flatMap(_.fields)))
       derives.map { case (n, e) =>
         val t = base.select(expr(e).as(n)).schema.head.dataType
         require(!t.sql.contains(':'),
@@ -480,11 +521,14 @@ object MaterializedView {
       }
     }
     val d = MvDef(name, source.root, groupCols, sums, proj.toDDL,
-      filterExpr, dimSpec.map(_._1.root),
-      dimSpec.map(_._3).getOrElse(Nil), dimProj.map(_.toDDL),
+      filterExpr,
+      dimSpecs.zip(dimProjs).map { case ((dt, _, joinOn), dp) =>
+        MvDim(dt.root, joinOn, dp.toDDL) },
       mins, maxs, derivesTyped)
-    val dimSnap = dimSpec.map(x => x._1.snapshot(dimProj.get, dimHead))
-    dimSnap.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
+    val dimSnaps = dimSpecs.zip(dimProjs).zip(dimHeads).map {
+      case (((dt, _, _), dp), dh) => dt.snapshot(dp, Some(dh)) }
+    d.dims.zip(dimSnaps).foreach { case (dm, ds) =>
+      checkDimUnique(ds, dm.join.map(_._2)) }
     val mv = TxLogTable(spark, mvRoot)
     require(mv.latestVersion.isEmpty,
       s"MV destination already exists: $mvRoot")
@@ -494,11 +538,15 @@ object MaterializedView {
     val v = mv.commit(
       clustered(aggregate(prepared(
         source.snapshot(extProj(source, proj, Seq(head)),
-          Some(head)), d, dimSnap), d), d),
+          Some(head)), d, dimSnaps), d), d),
       overwrite = false, op = "mv-create",
-      extraMeta = Seq(s"#mvsrc=$head") ++ dimHead.map(x => s"#mvdim=$x"))
+      extraMeta = Seq(s"#mvsrc=$head") ++
+        dimHeads.zipWithIndex.map { case (x, i) =>
+          s"#${dimMetaKey(i)}=$x" })
     source.registerCursor(d.cursorName, head)
-    dimSpec.foreach(x => x._1.registerCursor(d.dimCursorName, dimHead.get))
+    dimSpecs.zip(dimHeads).zipWithIndex.foreach {
+      case (((dt, _, _), dh), i) =>
+        dt.registerCursor(d.dimCursorName(i), dh) }
     v
   }
 
@@ -528,17 +576,25 @@ object MaterializedView {
       .getOrElse(throw new IllegalStateException(
         s"MV at ${mv.root} has no recorded #mvsrc — not engine-maintained"))
 
-  /** Dim version the view last pinned (joined views only) — the newest
-    * `#mvdim=` in the MV's own log. */
-  def lastDimVersion(mv: TxLogTable): Int =
-    lastDimVersionAt(mv, Int.MaxValue)
+  /** Progress-meta key for dim `i`: the first dim keeps the historical
+    * bare `mvdim` (existing views stay readable); later dims suffix
+    * their index. */
+  private def dimMetaKey(i: Int): String =
+    if (i == 0) "mvdim" else s"mvdim$i"
 
-  private[graft] def lastDimVersionAt(mv: TxLogTable, upTo: Int): Int =
+  /** Dim version the view last pinned (joined views only) — the newest
+    * `#mvdim=` (dim `i`: `#mvdim<i>=`) in the MV's own log. */
+  def lastDimVersion(mv: TxLogTable, i: Int = 0): Int =
+    lastDimVersionAt(mv, Int.MaxValue, i)
+
+  private[graft] def lastDimVersionAt(mv: TxLogTable, upTo: Int,
+                                      i: Int = 0): Int =
     mv.versions.reverse.iterator.filter(_ <= upTo)
-      .flatMap(v => mv.metaOf(v, "mvdim").flatMap(_.toIntOption))
+      .flatMap(v => mv.metaOf(v, dimMetaKey(i)).flatMap(_.toIntOption))
       .nextOption()
       .getOrElse(throw new IllegalStateException(
-        s"MV at ${mv.root} has no recorded #mvdim — not a joined view"))
+        s"MV at ${mv.root} has no recorded #${dimMetaKey(i)} — not a " +
+          "joined view"))
 
   /** Test seam for the refresh race: invoked once per incremental
     * attempt after the fold is anchored (head + consumed version pinned)
@@ -610,22 +666,23 @@ object MaterializedView {
     require(head >= last,
       s"source at v$head is BEHIND the view's consumed v$last — was the " +
         "source recreated in place? drop and recreate the view")
-    // a BRANCH of a star view reads the SAME-NAME branch of its dim —
-    // the triple [[branchMv]] forks; main views read the recorded dim
-    val dimT = d.dim.map { droot =>
+    // a BRANCH of a star view reads the SAME-NAME branch of its dims —
+    // the tuple [[branchMv]] forks; main views read the recorded dims
+    val dimTs: Seq[TxLogTable] = d.dims.map { dm =>
       mv.branchName match {
-        case None => TxLogTable(spark, droot)
+        case None => TxLogTable(spark, dm.root)
         case Some(b) =>
-          val dt = TxLogTable(spark, droot)
+          val dt = TxLogTable(spark, dm.root)
           require(dt.branches().contains(b),
-            s"view branch '$b' has no matching dim branch on $droot — " +
-              "fork the triple with branchMv")
+            s"view branch '$b' has no matching dim branch on " +
+              s"${dm.root} — fork the tuple with branchMv")
           dt.branchTable(b)
       }
     }
-    val lastDim = dimT.map(_ => lastDimVersionAt(mv, mvHead))
-    val dimHead = dimT.map(_.latestVersion.getOrElse(-1))
-    val dimMoved = lastDim.zip(dimHead).exists { case (a, b) => a != b }
+    val lastDims = d.dims.indices.map(i => lastDimVersionAt(mv, mvHead, i))
+    val dimHeads = dimTs.map(_.latestVersion.getOrElse(-1))
+    val movedIdx = d.dims.indices.filter(i => lastDims(i) != dimHeads(i))
+    val dimMoved = movedIdx.nonEmpty
     if (head == last && !dimMoved)
       return RefreshStats("noop", last, head, 0, mvHead)
     // pinned projection must still match the source (rename/widen of a
@@ -643,9 +700,9 @@ object MaterializedView {
             s"${cur.get.dataType.simpleString}: drop and recreate the view")
       }
     }
-    dimT.foreach { dt =>
+    dimTs.zip(d.dims).foreach { case (dt, dm) =>
       dt.tableSchema.foreach { rec =>
-        d.dimProjSchema.get.fields.foreach { f =>
+        dm.projSchema.fields.foreach { f =>
           val cur = rec.fields.find(_.name == f.name)
           require(cur.exists(_.dataType == f.dataType),
             s"MV dim column ${f.name} was renamed, dropped or retyped: " +
@@ -671,53 +728,71 @@ object MaterializedView {
     val rowChanging: Set[String] = TxLogTable.CowDiffOps ++
       Set("delete-mor", "delete-dv", "update-dv", "upsert-dv",
         "mv-refresh")
-    // MIN/MAX measures cannot FOLD under deletes (the departing row may
-    // BE the extremum) — but they no longer force a FULL recompute: a
-    // row-changing window routes to the GROUP-TARGETED partial recompute
-    // in the incremental section (re-aggregate exactly the affected
-    // groups from the snapshot at head — O(affected) write, never
-    // O(view)). Dim churn on a MIN/MAX view stays a full recompute (the
-    // dimDeltaFoldable gate requires mins/maxs empty).
-    val minMaxTargeted = (d.mins.nonEmpty || d.maxs.nonEmpty) &&
-      range.exists(v => rowChanging(opAt(v)))
-    // a moved dim folds as a DIM DELTA (changed dim join keys → affected
-    // fact rows → a signed counting delta over exactly those groups)
-    // when the dim's own window is exactly replayable by its change
-    // feed: full-row events throughout, or a keys-only MOR drop whose
-    // tombstone names the join keys (the K extraction reads only
-    // those). MIN/MAX measures block it — a departed or re-enriched
-    // row may BE the extremum (the fact side's contract, same reason).
-    val dimDeltaFoldable = dimMoved && d.mins.isEmpty && d.maxs.isEmpty &&
-      dimHead.get >= lastDim.get && {
-        val dt = dimT.get
+    // a moved dim's window is exactly replayable by its change feed when
+    // it is full-row events throughout, or a keys-only MOR drop whose
+    // tombstone names the join keys (the K extraction reads only those).
+    // Replayability is what BOTH dim paths below need: the signed delta
+    // fold (sums-only views) and the dim-targeted recompute (MIN/MAX
+    // views) each start from the exact changed-join-key set K. Each dim
+    // gates independently; ONE unreplayable moved dim costs the
+    // recompute (which re-pins all of them).
+    def windowReplayable(i: Int): Boolean =
+      dimHeads(i) >= lastDims(i) && {
+        val dt = dimTs(i)
         val presentD = dt.versions.toSet
-        ((lastDim.get + 1) to dimHead.get).filter(presentD).forall { v =>
+        ((lastDims(i) + 1) to dimHeads(i)).filter(presentD).forall { v =>
           val op = dt.opOf(v).getOrElse("append")
           if (op == "delete-mor")
-            d.dimJoin.map(_._2).forall(dt.morKeysOf(v).contains)
+            d.dims(i).join.map(_._2).forall(dt.morKeysOf(v).contains)
           else FoldableOps(op) || !dt.removedFilesAt(v)
         }
       }
-    val needFull = full || (dimMoved && !dimDeltaFoldable) ||
+    val dimWindowReplayable = dimMoved && movedIdx.forall(windowReplayable)
+    // a moved dim folds as a DIM DELTA (changed dim join keys → affected
+    // fact rows → a signed counting delta over exactly those groups).
+    // MIN/MAX measures block the SIGNED fold — a departed or re-enriched
+    // row may BE the extremum (the fact side's contract, same reason) —
+    // but not the key derivation: K still names exactly the affected
+    // groups, so a MIN/MAX view under dim churn routes those groups to
+    // the GROUP-TARGETED recompute from (fact@head ⋈ dim@head) instead
+    // of paying a full recompute.
+    val dimDeltaFoldable = dimWindowReplayable &&
+      d.mins.isEmpty && d.maxs.isEmpty
+    val dimTargeted = dimWindowReplayable &&
+      (d.mins.nonEmpty || d.maxs.nonEmpty)
+    // MIN/MAX measures cannot FOLD under deletes (the departing row may
+    // BE the extremum) — but they no longer force a FULL recompute: a
+    // row-changing fact window, or dim churn (above), routes to the
+    // GROUP-TARGETED partial recompute in the incremental section
+    // (re-aggregate exactly the affected groups from the snapshot at
+    // head — O(affected) write, never O(view)).
+    val minMaxTargeted = ((d.mins.nonEmpty || d.maxs.nonEmpty) &&
+      range.exists(v => rowChanging(opAt(v)))) || dimTargeted
+    val needFull = full ||
+      (dimMoved && !dimDeltaFoldable && !dimTargeted) ||
       !morFoldable ||
       range.exists { v =>
         !(FoldableOps(opAt(v)) || !src.removedFilesAt(v))
       }
-    // a recompute re-pins the dim at ITS current head (the
+    // a recompute re-pins every dim at ITS current head (the
     // slowly-changing-dimension cadence: fact deltas fold between dim
     // changes; a dim change folds as a delta when foldable, else — or
     // past the changed-key broadcast cap — costs this one recompute)
     def fullRecompute(): RefreshStats = {
-      val dimSnapFull = dimT.map(_.snapshot(d.dimProjSchema.get, dimHead))
-      dimSnapFull.foreach(ds => checkDimUnique(ds, d.dimJoin.map(_._2)))
+      val dimSnapsFull = dimTs.zip(d.dims).zip(dimHeads).map {
+        case ((dt, dm), dh) => dt.snapshot(dm.projSchema, Some(dh)) }
+      d.dims.zip(dimSnapsFull).foreach { case (dm, ds) =>
+        checkDimUnique(ds, dm.join.map(_._2)) }
       val state = clustered(aggregate(prepared(
         src.snapshot(extProj(src, proj, Seq(head)), Some(head)), d,
-        dimSnapFull), d), d)
+        dimSnapsFull), d), d)
       val mvv = mv.commit(state, overwrite = true, op = "mv-refresh-full",
         extraMeta = Seq(s"#mvsrc=$head") ++
-          dimHead.map(x => s"#mvdim=$x"))
+          dimHeads.zipWithIndex.map { case (x, i) =>
+            s"#${dimMetaKey(i)}=$x" })
       src.registerCursor(d.cursorName, head)
-      dimT.foreach(_.registerCursor(d.dimCursorName, dimHead.get))
+      dimTs.zip(dimHeads).zipWithIndex.foreach { case ((dt, dh), i) =>
+        dt.registerCursor(d.dimCursorName(i), dh) }
       RefreshStats("full", last, head, -1L, mvv)
     }
     if (needFull) return fullRecompute()
@@ -743,13 +818,19 @@ object MaterializedView {
     // tombstone mask: extend the projection across every version the
     // walk touches (including the anchor `last`, the first diff's base)
     val feedProj = extProj(src, proj, (last to head).filter(present))
-    // joined views fold fact deltas against the PINNED dim snapshot —
-    // unchanged since the last pin by the dimMoved gate above, so the
-    // enrichment each delta gets is exactly what the recompute would give
-    val dimSnap = dimT.map(_.snapshot(d.dimProjSchema.get, lastDim))
+    // joined views fold fact deltas against the PINNED dim snapshots —
+    // each unchanged since its last pin by the per-dim moved gate, so
+    // the enrichment each delta gets is exactly what the recompute would
+    // give; `dimSnapsNew` is the all-at-head state (moved dims at their
+    // heads, unmoved pins ARE their heads) the corrections target
+    val dimSnapsOld: Seq[DataFrame] = d.dims.indices.map(i =>
+      dimTs(i).snapshot(d.dims(i).projSchema, Some(lastDims(i))))
+    val dimSnapsNew: Seq[DataFrame] = d.dims.indices.map(i =>
+      if (dimHeads(i) == lastDims(i)) dimSnapsOld(i)
+      else dimTs(i).snapshot(d.dims(i).projSchema, Some(dimHeads(i))))
     def deltaOf(f: Fold): DataFrame = {
       val feed = prepared(src.changesWithDeletes(feedProj, f.fromV,
-        f.toV, skipRewrites = true), d, dimSnap)
+        f.toV, skipRewrites = true), d, dimSnapsOld)
       val del = col("_change_type") === "delete"
       val aggs = d.sums.map { case (out, s0) =>
           val v = col(s0).cast(SumType)
@@ -784,54 +865,87 @@ object MaterializedView {
     // FROM the dim migrate correctly — the old group decrements (to 0
     // when emptied, leaving the view), the new group grows — because
     // this is just the counting algorithm's ordinary arithmetic.
-    val dimDelta: Option[DataFrame] =
-      if (!dimMoved) None
-      else {
-        val dt = dimT.get
-        val dProj = d.dimProjSchema.get
-        val dimKeys = d.dimJoin.map(_._2)
-        val presentD = dt.versions.toSet
-        val feedProjD = extProj(dt, dProj,
-          (lastDim.get to dimHead.get).filter(presentD))
-        val kDim = dt.changesWithDeletes(feedProjD, lastDim.get,
-            dimHead.get, skipRewrites = true)
-          .select(dimKeys.map(col): _*)
-          .na.drop("any", dimKeys).distinct().localCheckpoint()
-        val kRows = kDim.count()
-        if (kRows > TxLogTable.maxDimDeltaKeys(spark))
-          return fullRecompute()
-        val dimNew = dt.snapshot(dProj, dimHead)
-        def keysIn(side: DataFrame): DataFrame = side.join(broadcast(kDim),
-          dimKeys.map(k => side(k) === kDim(k)).reduce(_ && _),
-          "left_semi")
-        val newSide = keysIn(dimNew).localCheckpoint()
-        // new duplicates can only arrive via changed keys — the rest of
-        // the dim was checked unique at its last pin
-        checkDimUnique(newSide, dimKeys)
+    // PER-DIM, in definition order — the TELESCOPING sum: correction i
+    // transitions dim i old→new over fact@head with dims BEFORE it
+    // already at their new heads and dims AFTER it still at their old
+    // pins, so the summed corrections take view(fact@head, all-old) to
+    // view(fact@head, all-new) bit-exactly, each correction touching
+    // only its own affected groups. dimDeltas: the signed counting
+    // deltas (sums-only views); dimKeyFrames: the affected-GROUP-key
+    // frames (MIN/MAX views — those groups are re-aggregated by the
+    // targeted recompute below, so only all-old/all-new keys matter).
+    val dimDeltasB = Seq.newBuilder[DataFrame]
+    val dimKeyFramesB = Seq.newBuilder[DataFrame]
+    for (i <- movedIdx) {
+      val dt = dimTs(i)
+      val dm = d.dims(i)
+      val dProj = dm.projSchema
+      val dimKeys = dm.join.map(_._2)
+      val presentD = dt.versions.toSet
+      val feedProjD = extProj(dt, dProj,
+        (lastDims(i) to dimHeads(i)).filter(presentD))
+      val kDim = dt.changesWithDeletes(feedProjD, lastDims(i),
+          dimHeads(i), skipRewrites = true)
+        .select(dimKeys.map(col): _*)
+        .na.drop("any", dimKeys).distinct().localCheckpoint()
+      val kRows = kDim.count()
+      if (kRows > TxLogTable.maxDimDeltaKeys(spark))
+        return fullRecompute()
+      def keysIn(side: DataFrame): DataFrame = side.join(broadcast(kDim),
+        dimKeys.map(k => side(k) === kDim(k)).reduce(_ && _),
+        "left_semi")
+      val newSide = keysIn(dimSnapsNew(i)).localCheckpoint()
+      // new duplicates can only arrive via changed keys — the rest of
+      // the dim was checked unique at its last pin
+      checkDimUnique(newSide, dimKeys)
+      // the fact READ side: a point-enumerable changed-key set pushes
+      // into the scan as an IN predicate on the (first) fact join key,
+      // so manifest stats skip every file holding none of the touched
+      // keys — on a fact clustered/bucketed by its FK the read is
+      // O(touched files), not O(fact). Larger sets (or the pushdown's
+      // leftover superset on multi-key joins) refine through the
+      // broadcast semi-join below, which is exact either way.
+      val factBase =
+        if (kRows <= MaxDimDeltaPushdownPoints) {
+          val fk = dm.join.head._1
+          val pts = kDim.select(col(dm.join.head._2)).collect()
+            .map(_.get(0)).toSeq
+          src.snapshotWhere(extProj(src, proj, Seq(head)),
+            col(fk).isInCollection(pts), Some(head))
+        } else src.snapshot(extProj(src, proj, Seq(head)), Some(head))
+      val affFacts = factBase.join(broadcast(kDim),
+        dm.join.map { case (f, k) => factBase(f) === kDim(k) }
+          .reduce(_ && _), "left_semi")
+      if (dimTargeted) {
+        // MIN/MAX view: the signed fold is blocked, but the affected
+        // fact rows' groups under the ALL-OLD and ALL-NEW enrichments
+        // (old groups that shrink or empty, new groups that grow,
+        // filter transitions included) name every group this dim's
+        // churn can touch. The targeted recompute re-aggregates exactly
+        // those from the head snapshots; emptied groups drop via
+        // `zeros`.
+        val oldKeys = prepared(affFacts, d, dimSnapsOld)
+          .select(groupKeyCols: _*)
+        val newKeys = prepared(affFacts, d, dimSnapsNew)
+          .select(groupKeyCols: _*)
+        dimKeyFramesB += oldKeys.unionByName(newKeys).distinct()
+          .localCheckpoint()
+      } else {
         val sign = "__graft_dim_sign"
-        val signedDim = keysIn(dimSnap.get).withColumn(sign, lit(-1L))
+        val signedDim = keysIn(dimSnapsOld(i)).withColumn(sign, lit(-1L))
           .unionByName(newSide.withColumn(sign, lit(1L)))
-        // the fact READ side: a point-enumerable changed-key set pushes
-        // into the scan as an IN predicate on the (first) fact join key,
-        // so manifest stats skip every file holding none of the touched
-        // keys — on a fact clustered/bucketed by its FK the read is
-        // O(touched files), not O(fact). Larger sets (or the pushdown's
-        // leftover superset on multi-key joins) refine through the
-        // broadcast semi-join below, which is exact either way.
-        val factBase =
-          if (kRows <= MaxDimDeltaPushdownPoints) {
-            val fk = d.dimJoin.head._1
-            val pts = kDim.select(col(d.dimJoin.head._2)).collect()
-              .map(_.get(0)).toSeq
-            src.snapshotWhere(extProj(src, proj, Seq(head)),
-              col(fk).isInCollection(pts), Some(head))
-          } else src.snapshot(extProj(src, proj, Seq(head)), Some(head))
-        val affFacts = factBase.join(broadcast(kDim),
-          d.dimJoin.map { case (f, k) => factBase(f) === kDim(k) }
-            .reduce(_ && _), "left_semi")
-        val joined = affFacts.join(broadcast(signedDim),
-          d.dimJoin.map { case (f, k) => affFacts(f) === signedDim(k) }
+        var joined = affFacts.join(broadcast(signedDim),
+          dm.join.map { case (f, k) => affFacts(f) === signedDim(k) }
             .reduce(_ && _), "inner")
+        // the other dims enrich at the telescoping versions: before i →
+        // new head, after i → old pin (each inner, both signs see the
+        // same other-dim state, so non-i enrichment cancels exactly)
+        d.dims.indices.filterNot(_ == i).foreach { j =>
+          val ds = if (j < i) dimSnapsNew(j) else dimSnapsOld(j)
+          val cond = d.dims(j).join.map { case (f, k) =>
+            joined(f) === ds(k) }.reduce(_ && _)
+          joined = joined.join(broadcast(ds), cond, "inner")
+        }
         val derived = d.derives.foldLeft(joined) { case (acc, (n, t, e)) =>
           acc.withColumn(n, expr(e).cast(
             org.apache.spark.sql.catalyst.parser.CatalystSqlParser
@@ -839,15 +953,18 @@ object MaterializedView {
         }
         val rows = filtered(derived, d)
         val sgn = col(sign)
-        // reachable only with mins/maxs empty (dimDeltaFoldable gate),
-        // so the delta's shape is exactly sums ++ mv_count
+        // mins/maxs empty here (dimDeltaFoldable gate), so the
+        // delta's shape is exactly sums ++ mv_count
         val aggs = d.sums.map { case (out, s0) =>
             val v = col(s0).cast(SumType)
             sum(when(sgn < 0, -v).otherwise(v)).as(out)
           } :+ sum(sgn).as(CountCol)
-        Some(rows.groupBy(groupKeyCols: _*)
-          .agg(aggs.head, aggs.tail: _*).localCheckpoint())
+        dimDeltasB += rows.groupBy(groupKeyCols: _*)
+          .agg(aggs.head, aggs.tail: _*).localCheckpoint()
       }
+    }
+    val dimDeltas: Seq[DataFrame] = dimDeltasB.result()
+    val dimTargetKeys: Seq[DataFrame] = dimKeyFramesB.result()
     val mvSnap = mv.snapshot(d.mvSchema, Some(mvHead))
     def nullSafe(l: DataFrame, r: DataFrame, cols: Seq[String]) =
       cols.map(c => l(c) <=> r(c)).reduce(_ && _)
@@ -860,7 +977,7 @@ object MaterializedView {
         mvSnap.join(broadcast(tf),
           nullSafe(mvSnap, tf, src.morKeysOf(dr.v)), "left_semi")
           .select(groupKeyCols: _*)
-    } ++ dimDelta.map(_.select(groupKeyCols: _*)).toSeq
+    } ++ dimDeltas.map(_.select(groupKeyCols: _*)) ++ dimTargetKeys
     val kAll = keyFrames.reduce(_.unionByName(_)).distinct()
       .localCheckpoint()
     if (kAll.isEmpty) {
@@ -872,12 +989,20 @@ object MaterializedView {
       // and the next refresh never re-walks this window
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), d.mvSchema)
+      // HEAD-CONDITIONAL like upsertPos below: a racer committing between
+      // this refresh's mvHead pin and here would make this empty commit's
+      // #mvsrc/#mvdim REGRESS the consumed pointer (lastSourceVersionAt
+      // reads the newest), and the next refresh would re-fold the racer's
+      // already-absorbed window — refuse and re-anchor instead
       val mvv = mv.commit(empty, overwrite = false, op = "mv-refresh",
         extraMeta = Seq(s"#mvsrc=$head") ++
-          (if (dimMoved) dimHead else lastDim).map(x => s"#mvdim=$x"))
+          d.dims.indices.map(i => s"#${dimMetaKey(i)}=" +
+            (if (dimMoved) dimHeads(i) else lastDims(i))),
+        expectHead = Some(mvHead))
       src.registerCursor(d.cursorName, head)
       if (dimMoved)
-        dimT.foreach(_.registerCursor(d.dimCursorName, dimHead.get))
+        dimTs.zip(dimHeads).zipWithIndex.foreach { case ((dt, dh), i) =>
+          dt.registerCursor(d.dimCursorName(i), dh) }
       return RefreshStats("incremental", last, head, 0, mvv)
     }
     val measureCols =
@@ -903,10 +1028,11 @@ object MaterializedView {
       // (MOR drops, mid-window re-inserts) are materialized by the
       // snapshot itself, the write stays O(affected groups), and the
       // view's other groups remain untouched manifest references.
-      // Reachable only with the dim unmoved (dim churn on a MIN/MAX
-      // view recomputes in full), so the old pin enriches correctly.
+      // When dims moved (dimTargeted), enrichment comes from the dims
+      // at THEIR heads — the recompute semantics the consumed #mvdim
+      // pins record; unmoved snapshots are that same state already.
       val prepped = prepared(src.snapshot(extProj(src, proj, Seq(head)),
-        Some(head)), d, dimSnap)
+        Some(head)), d, if (dimTargeted) dimSnapsNew else dimSnapsOld)
       aggregate(prepped.join(kAll,
         nullSafe(prepped, kAll, d.groupCols), "left_semi"), d)
     } else {
@@ -918,11 +1044,11 @@ object MaterializedView {
           st.join(broadcast(tf), nullSafe(st, tf, src.morKeysOf(dr.v)),
             "left_anti")
       }
-      // the dim correction applies to the END state (fact steps first
-      // brought it to view(fact@head, oldDim)) — the SCD cadence: the
-      // refresh observes the dim at its head, exactly as a recompute
-      // would
-      dimDelta.fold(foldedState)(dd => plus(foldedState, dd))
+      // the dim corrections apply to the END state (fact steps first
+      // brought it to view(fact@head, all-old)) in dim order — the SCD
+      // cadence: the refresh observes every dim at its head, exactly as
+      // a recompute would
+      dimDeltas.foldLeft(foldedState)((st, dd) => plus(st, dd))
     }
     val newRows = finalState.filter(col(CountCol) > 0)
       .select(d.mvSchema.fieldNames.toIndexedSeq.map(col): _*)
@@ -947,11 +1073,12 @@ object MaterializedView {
           "re-anchoring the refresh on the compacted head")
     }
     betweenFoldAndCommitHook()
+    val dimConsumed = dimDeltas.nonEmpty || dimTargetKeys.nonEmpty
     val stats = mv.upsertPos(d.mvSchema, newRows, d.groupCols,
       dropKeys = Some(zeros), op = "mv-refresh",
       extraMeta = Seq(s"#mvsrc=$head") ++
-        (if (dimDelta.isDefined) dimHead else lastDim)
-          .map(x => s"#mvdim=$x"),
+        d.dims.indices.map(i => s"#${dimMetaKey(i)}=" +
+          (if (dimConsumed) dimHeads(i) else lastDims(i))),
       expectHead = Some(mvHead))
     // the vacuum floor advances ONLY when the refresh actually committed
     // a new #mvsrc: an all-cancelling window (every affected group
@@ -959,8 +1086,9 @@ object MaterializedView {
     // cursor must then keep guarding the still-unconsumed feed window
     if (stats.version > mvHead) {
       src.registerCursor(d.cursorName, head)
-      if (dimDelta.isDefined)
-        dimT.foreach(_.registerCursor(d.dimCursorName, dimHead.get))
+      if (dimConsumed)
+        dimTs.zip(dimHeads).zipWithIndex.foreach { case ((dt, dh), i) =>
+          dt.registerCursor(d.dimCursorName(i), dh) }
     }
     RefreshStats("incremental", last, head, groupsChanged, stats.version)
   }
@@ -986,8 +1114,9 @@ object MaterializedView {
     val d = definition(spark, mvRoot)
     require(!d.source.contains(TxLogTable.BranchSep),
       "branchMv needs a main-handle source")
-    d.dim.foreach(r => require(!r.contains(TxLogTable.BranchSep),
-      "branchMv needs a main-handle dim"))
+    d.dims.foreach(dm => require(
+      !dm.root.contains(TxLogTable.BranchSep),
+      "branchMv needs main-handle dims"))
     val mv = TxLogTable(spark, mvRoot)
     require(mv.branchName.isEmpty, "branchMv runs on the MAIN view handle")
     val fact = TxLogTable(spark, d.source)
@@ -997,30 +1126,40 @@ object MaterializedView {
     require(consumed == fHead,
       s"view consumed v$consumed but the source is at v$fHead: refresh " +
         "the view before forking the pair (the forks must correspond)")
-    val dimT = d.dim.map(TxLogTable(spark, _))
-    val dHead = dimT.map(_.latestVersion.getOrElse(
-      throw new IllegalStateException(s"empty dim: ${d.dim.get}")))
-    dimT.foreach { _ =>
-      val pinned = lastDimVersion(mv)
-      require(pinned == dHead.get,
-        s"view pinned dim v$pinned but the dim is at v${dHead.get}: " +
-          "refresh the view before forking (the forks must correspond)")
+    val dimTs = d.dims.map(dm => TxLogTable(spark, dm.root))
+    val dHeads = dimTs.zip(d.dims).map { case (dt, dm) =>
+      dt.latestVersion.getOrElse(throw new IllegalStateException(
+        s"empty dim: ${dm.root}")) }
+    d.dims.indices.foreach { i =>
+      val pinned = lastDimVersion(mv, i)
+      require(pinned == dHeads(i),
+        s"view pinned dim ${d.dims(i).root} v$pinned but the dim is at " +
+          s"v${dHeads(i)}: refresh the view before forking (the forks " +
+          "must correspond)")
     }
     // forks PINNED at the checked heads: a commit racing this call must
     // not slide any fork forward, or the view fork's '#mvsrc=0'/
-    // '#mvdim=0' would claim state it never absorbed (silent undercount)
+    // '#mvdim*=0' would claim state it never absorbed (silent undercount)
     val forkF = fact.createBranch(name, Some(fHead))
-    try dimT.foreach(_.createBranch(name, Some(dHead.get)))
-    catch { case e: Throwable => fact.dropBranch(name); throw e }
+    val forked = scala.collection.mutable.ArrayBuffer.empty[TxLogTable]
+    def unwind(e: Throwable): Nothing = {
+      forked.reverseIterator.foreach(_.dropBranch(name))
+      fact.dropBranch(name)
+      throw e
+    }
+    dimTs.zip(dHeads).foreach { case (dt, dh) =>
+      try { dt.createBranch(name, Some(dh)); forked += dt }
+      catch { case e: Throwable => unwind(e) }
+    }
     val forkV =
       try mv.createBranch(name, rewrite = lines =>
         // the fork manifest's consumed/pinned versions translate to the
         // fact/dim BRANCHES' numbering, whose fork points are v0
         lines.filterNot(l => l.startsWith("#mvsrc=") ||
-            l.startsWith("#mvdim=")) ++
-          Seq("#mvsrc=0") ++ dimT.map(_ => "#mvdim=0"))
-      catch { case e: Throwable =>
-        fact.dropBranch(name); dimT.foreach(_.dropBranch(name)); throw e }
+            l.startsWith("#mvdim")) ++
+          Seq("#mvsrc=0") ++
+          d.dims.indices.map(i => s"#${dimMetaKey(i)}=0"))
+      catch { case e: Throwable => unwind(e) }
     (forkF, forkV)
   }
 
@@ -1056,35 +1195,36 @@ object MaterializedView {
     val fact = TxLogTable(spark, d.source)
     val bf = fact.branchTable(name)
     val bv = mv.branchTable(name)
-    val dimT = d.dim.map(TxLogTable(spark, _))
-    val bd = dimT.map(_.branchTable(name))
+    val dimTs = d.dims.map(dm => TxLogTable(spark, dm.root))
+    val bds = dimTs.map(_.branchTable(name))
     // THE audited set: every check below reads AT these heads, and every
     // publish is conditional on its branch still being at them
     val bfHead = bf.latestVersion.getOrElse(-1)
-    val bdHead = bd.map(_.latestVersion.getOrElse(-1))
+    val bdHeads = bds.map(_.latestVersion.getOrElse(-1))
     val bvHead = bv.latestVersion.getOrElse(
       throw new IllegalStateException(
         s"branch view '$name' has no committed version"))
     require(lastSourceVersionAt(bv, bvHead) == bfHead,
       s"branch view '$name' has not absorbed the branch source head — " +
         "refresh the view on the branch (and audit it) before publishing")
-    bd.foreach { _ =>
-      require(lastDimVersionAt(bv, bvHead) == bdHead.get,
-        s"branch view '$name' has not absorbed the branch dim head — " +
-          "refresh the view on the branch (and audit it) before " +
-          "publishing")
+    d.dims.indices.foreach { i =>
+      require(lastDimVersionAt(bv, bvHead, i) == bdHeads(i),
+        s"branch view '$name' has not absorbed the branch head of dim " +
+          s"${d.dims(i).root} — refresh the view on the branch (and " +
+          "audit it) before publishing")
     }
     betweenAuditAndPublishHook()
-    // fact → dim → view; every inter-publish window is SAFE: a refusal
+    // fact → dims → view; every inter-publish window is SAFE: a refusal
     // downstream leaves main merely behind already-published windows,
     // and the next ordinary refresh folds them (dim deltas included)
     val fPub = fact.publishBranch(name, expectHead = Some(bfHead))
-    val dPub = dimT.zip(bdHead).map { case (dt, dh) =>
+    val dPubs = dimTs.zip(bdHeads).map { case (dt, dh) =>
       dt.publishBranch(name, expectHead = Some(dh)) }
     val vPub = mv.publishBranch(name, rewrite = lines =>
       lines.filterNot(l => l.startsWith("#mvsrc=") ||
-          l.startsWith("#mvdim=")) ++
-        Seq(s"#mvsrc=$fPub") ++ dPub.map(x => s"#mvdim=$x"),
+          l.startsWith("#mvdim")) ++
+        Seq(s"#mvsrc=$fPub") ++
+        dPubs.zipWithIndex.map { case (x, i) => s"#${dimMetaKey(i)}=$x" },
       expectHead = Some(bvHead))
     (fPub, vPub)
   }
@@ -1134,7 +1274,7 @@ object MaterializedView {
     val rankDerive = s"${outCol}_rank"
     val filt = (filterExpr.map(f => s"($f)").toSeq :+
       s"`$srcCol` IS NOT NULL").mkString(" AND ")
-    createImpl(spark, mvRoot, name, source, srcSchema, None,
+    createImpl(spark, mvRoot, name, source, srcSchema, Nil,
       groupCols :+ bucket, Nil, Some(filt), Nil,
       maxs = Seq(outCol -> rankDerive),
       derives = Seq(bucket -> bExpr, rankDerive -> rExpr))
@@ -1156,7 +1296,7 @@ object MaterializedView {
     val (outCol, srcCol) = out
     val filt = (filterExpr.map(f => s"($f)").toSeq :+
       s"`$srcCol` IS NOT NULL AND `$srcCol` >= 0").mkString(" AND ")
-    createImpl(spark, mvRoot, name, source, srcSchema, None,
+    createImpl(spark, mvRoot, name, source, srcSchema, Nil,
       groupCols :+ outCol, Nil, Some(filt), Nil, Nil,
       derives = Seq(outCol ->
         s"CAST(length(bin(CAST(floor(`$srcCol`) AS BIGINT))) AS BIGINT)"))
@@ -1190,10 +1330,10 @@ object MaterializedView {
     val filt = (filterExpr.map(f => s"($f)").toSeq :+
       s"`$distinctCol` IS NOT NULL").mkString(" AND ")
     val v1 = createImpl(spark, keysRoot, s"$name.keys", source, srcSchema,
-      None, groupCols :+ distinctCol, Nil, Some(filt), Nil, Nil)
+      Nil, groupCols :+ distinctCol, Nil, Some(filt), Nil, Nil)
     val innerDef = definition(spark, keysRoot)
     val v2 = createImpl(spark, mvRoot, name,
-      TxLogTable(spark, keysRoot), innerDef.mvSchema, None, groupCols,
+      TxLogTable(spark, keysRoot), innerDef.mvSchema, Nil, groupCols,
       Nil, None, Nil, Nil)
     (v1, v2)
   }

@@ -2071,6 +2071,132 @@ object EtlQueries {
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_dimf")
     }),
 
+    // DIM CHURN ON A MIN/MAX STAR VIEW — the round-19 composition: the
+    // dim-delta machinery derives the exact affected-group set from the
+    // changed join keys (old enrichment ∪ new enrichment), and those
+    // groups route through the GROUP-TARGETED partial recompute from
+    // (fact@head ⋈ dim@head) — mode stays "incremental" on every dim
+    // update/delete/insert window and on a mixed fact-DML + dim-churn
+    // window, never O(view), where r18 still paid a full recompute.
+    // The oracle replays the dim program's net state and recomputes
+    // count/sum/min/max from the raw source.
+    "sql_mv_minmax_dimfold" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_mmd_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_mmd")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_mmd")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.dim_segmd")
+      s.sql("CREATE TABLE graftcat.db.ev_mmd (event_id BIGINT, " +
+        "user_id BIGINT, value DOUBLE) USING txlog")
+      s.sql("CREATE TABLE graftcat.db.dim_segmd (uid BIGINT, " +
+        "segment BIGINT) USING txlog")
+      s.sql("INSERT INTO graftcat.db.dim_segmd SELECT DISTINCT " +
+        "user_id, user_id % 5 FROM ev_mmd_src WHERE user_id % 7 <> 0")
+      s.sql("INSERT INTO graftcat.db.ev_mmd SELECT event_id, user_id, " +
+        "value FROM ev_mmd_src WHERE event_id % 3 = 0")
+      s.sql("CALL graftcat.system.create_mv_joined('db.mv_mmd', " +
+        "'db.ev_mmd', 'db.dim_segmd', 'user_id:uid', 'segment', " +
+        "'total:value,lo:min:value,hi:max:value')").collect()
+      def refreshInc(tag: String): Unit = {
+        val r = s.sql("CALL graftcat.system.refresh_mv('db.mv_mmd')")
+          .head
+        require(r.getString(0) == "incremental",
+          s"$tag on a MIN/MAX star view must route to the dim-targeted " +
+            s"group recompute, not a full recompute: $r")
+      }
+      // UPDATE: group keys drawn from the dim MIGRATE (2 → 102) — the
+      // extrema travel with their rows to the new group
+      s.sql("UPDATE graftcat.db.dim_segmd SET segment = segment + 100 " +
+        "WHERE uid % 5 = 2")
+      refreshInc("dim UPDATE (group migration)")
+      // DELETE: the departing enrichment may hold a group's extremum —
+      // exactly why the signed fold is blocked and the targeted
+      // recompute is the right route
+      s.sql("DELETE FROM graftcat.db.dim_segmd WHERE uid % 11 = 3")
+      refreshInc("dim DELETE")
+      // INSERT: fact rows that never enriched join in now
+      s.sql("INSERT INTO graftcat.db.dim_segmd SELECT DISTINCT " +
+        "user_id, 77 FROM ev_mmd_src WHERE user_id % 7 = 0")
+      refreshInc("dim INSERT")
+      // MIXED window: fact append + fact DELETE (row-changing) + dim
+      // churn before ONE refresh — both targeted-key sources union
+      s.sql("INSERT INTO graftcat.db.ev_mmd SELECT event_id, user_id, " +
+        "value FROM ev_mmd_src WHERE event_id % 3 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_mmd WHERE value < 3")
+      s.sql("UPDATE graftcat.db.dim_segmd SET segment = 55 " +
+        "WHERE uid % 13 = 4")
+      refreshInc("mixed fact DML + dim churn window")
+      s.sql("SELECT segment, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total, lo, hi FROM graftcat.db.mv_mmd")
+    }),
+
+    // N-DIMENSIONAL STAR MV in ONE view handle (round-19): TWO dims,
+    // each with its own version pin, vacuum cursor and delta gate —
+    // created by ONE create_mv_joined with ';'-separated dims. DML on
+    // the fact and on BOTH dims absorbs all-incremental in one
+    // refresh_mv: fact deltas fold against the pinned snapshots, each
+    // moved dim folds as its own signed correction applied in dim order
+    // (correction i sees dims before it at their new heads — the
+    // telescoping sum is exactly the recompute). No star-over-star
+    // chain, no second stored view, one refresh hop. The oracle
+    // recomputes the 2-dim join from the raw source with both dims'
+    // net states.
+    "sql_mv_star_2dim" -> ((s, dir) => {
+      ensureCatalog(s)
+      t(s, dir, "events").createOrReplaceTempView("ev_s2_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.mv_s2")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.ev_s2")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.dim_us2")
+      s.sql("DROP TABLE IF EXISTS graftcat.db.dim_ts2")
+      s.sql("CREATE TABLE graftcat.db.ev_s2 (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE) USING txlog")
+      s.sql("CREATE TABLE graftcat.db.dim_us2 (uid BIGINT, " +
+        "seg BIGINT) USING txlog")
+      s.sql("CREATE TABLE graftcat.db.dim_ts2 (tkey STRING, " +
+        "tclass STRING) USING txlog")
+      s.sql("INSERT INTO graftcat.db.dim_us2 SELECT DISTINCT " +
+        "user_id, user_id % 5 FROM ev_s2_src")
+      s.sql("INSERT INTO graftcat.db.dim_ts2 SELECT DISTINCT " +
+        "event_type, event_type || '_c' FROM ev_s2_src")
+      s.sql("INSERT INTO graftcat.db.ev_s2 SELECT event_id, user_id, " +
+        "event_type, value FROM ev_s2_src WHERE event_id % 3 = 0")
+      s.sql("CALL graftcat.system.create_mv_joined('db.mv_s2', " +
+        "'db.ev_s2', 'db.dim_us2;db.dim_ts2', " +
+        "'user_id:uid;event_type:tkey', 'seg,tclass', " +
+        "'total:value')").collect()
+      def refreshInc(tag: String): Unit = {
+        val r = s.sql("CALL graftcat.system.refresh_mv('db.mv_s2')").head
+        require(r.getString(0) == "incremental",
+          s"$tag on the 2-dim star must fold incrementally: $r")
+      }
+      // fact-only window: folds against BOTH pinned dims
+      s.sql("INSERT INTO graftcat.db.ev_s2 SELECT event_id, user_id, " +
+        "event_type, value FROM ev_s2_src WHERE event_id % 3 = 1")
+      refreshInc("fact append")
+      // dim 0 churn alone: user segments migrate (2 → 102)
+      s.sql("UPDATE graftcat.db.dim_us2 SET seg = seg + 100 " +
+        "WHERE uid % 5 = 2")
+      refreshInc("dim0 UPDATE")
+      // dim 1 churn alone: event-type reclass
+      s.sql("UPDATE graftcat.db.dim_ts2 SET tclass = 'hot' " +
+        "WHERE tkey = 'click'")
+      refreshInc("dim1 UPDATE")
+      // the N-dim window: fact delta + BOTH dims churn before ONE
+      // refresh — the per-dim corrections telescope
+      s.sql("INSERT INTO graftcat.db.ev_s2 SELECT event_id, user_id, " +
+        "event_type, value FROM ev_s2_src WHERE event_id % 3 = 2")
+      s.sql("DELETE FROM graftcat.db.dim_us2 WHERE uid % 11 = 3")
+      s.sql("UPDATE graftcat.db.dim_ts2 SET tclass = 'cold' " +
+        "WHERE tkey = 'view'")
+      refreshInc("mixed fact + both-dims window")
+      val again = s.sql("CALL graftcat.system.refresh_mv('db.mv_s2')")
+        .head
+      require(again.getString(0) == "noop",
+        s"a current 2-dim star must noop: $again")
+      s.sql("SELECT seg, tclass, mv_count AS n, " +
+        "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_s2")
+    }),
+
     // MV-OVER-MV CHAINS as first-class sources: a 3-level rollup chain
     // (per-user → per-decile → per-tercile) built entirely through CALL
     // create_mv with a VIEW as the source — the view's refresh commits
@@ -4492,6 +4618,51 @@ object EtlQueries {
            CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
          FROM f JOIN d ON f.user_id = d.uid
          GROUP BY d.segment""",
+
+    // same dim program as joined_dimfold; fact is %3 in (0,1) minus the
+    // value<3 deletes (NULL values survive a < predicate)
+    "sql_mv_minmax_dimfold" ->
+      """WITH du AS (SELECT DISTINCT user_id AS uid FROM events),
+         d AS (
+           SELECT uid,
+             CASE WHEN uid % 13 = 4 THEN 55
+                  WHEN uid % 7 = 0 THEN 77
+                  WHEN uid % 5 = 2 THEN 102
+                  ELSE uid % 5 END AS segment
+           FROM du
+           WHERE uid % 7 = 0 OR uid % 11 <> 3),
+         f AS (
+           SELECT user_id, value FROM events
+           WHERE event_id % 3 IN (0, 1)
+             AND (value >= 3 OR value IS NULL))
+         SELECT d.segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           min(f.value) AS lo, max(f.value) AS hi
+         FROM f JOIN d ON f.user_id = d.uid
+         GROUP BY d.segment""",
+
+    // both dims' NET states: users %5=2 → 102 then %11=3 deleted;
+    // 'click' → 'hot', 'view' → 'cold', the rest at their initial
+    // '<type>_c' class; the fact is all three append windows
+    "sql_mv_star_2dim" ->
+      """WITH du AS (
+           SELECT uid,
+             CASE WHEN uid % 5 = 2 THEN 102 ELSE uid % 5 END AS seg
+           FROM (SELECT DISTINCT user_id AS uid FROM events)
+           WHERE uid % 11 <> 3),
+         dt AS (
+           SELECT tkey,
+             CASE WHEN tkey = 'click' THEN 'hot'
+                  WHEN tkey = 'view' THEN 'cold'
+                  ELSE tkey || '_c' END AS tclass
+           FROM (SELECT DISTINCT event_type AS tkey FROM events)),
+         f AS (SELECT user_id, event_type, value FROM events)
+         SELECT du.seg, dt.tclass, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(f.value AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM f
+         JOIN du ON f.user_id = du.uid
+         JOIN dt ON f.event_type = dt.tkey
+         GROUP BY du.seg, dt.tclass""",
 
     // the published star: all events, dim with %4=1 re-segmented to 77
     "sql_mv_wap_joined" ->

@@ -5419,6 +5419,10 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     * `bloomBits` > 0 sizes the filters (power of two, 2^13..2^20 bits) and
     * is likewise recorded and inherited — size for ~10 bits per distinct
     * value per file (the 8192-bit default saturates near ~850 values).
+    * `expectHead` makes the commit HEAD-CONDITIONAL: the write refuses
+    * with [[TxLogTable.ConcurrentHeadMoved]] when the table's head is no
+    * longer that version — for callers whose batch (or whose decision to
+    * commit at all) was derived from state AT that head.
     */
   def commit(df: DataFrame, overwrite: Boolean,
              maxAttempts: Int = 10,
@@ -5426,7 +5430,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
              op: String = null,
              bloomCols: Seq[String] = Nil,
              bloomBits: Int = 0,
-             extraMeta: Seq[String] = Nil): Int = {
+             extraMeta: Seq[String] = Nil,
+             expectHead: Option[Int] = None): Int = {
     val opName =
       Option(op).getOrElse(if (overwrite) "overwrite" else "append")
     // per-commit annotation lines (see upsertPos): never carried forward,
@@ -5486,6 +5491,17 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion
+      // head-conditional commit (see upsertPos): a caller that derived
+      // this batch — or the decision that an EMPTY batch is the right
+      // consumption record — from state at expectHead must not land it
+      // over a head someone else moved
+      expectHead.foreach { eh =>
+        if (!base.contains(eh))
+          throw new TxLogTable.ConcurrentHeadMoved(
+            s"$opName expected head v$eh but found " +
+              s"v${base.getOrElse(-1)}: a concurrent commit moved the " +
+              s"head — recompute the batch against the new state: $root")
+      }
       requireSpecUnchanged(stagedSpec, base, "commit")
       if (!overwrite) base.foreach { b =>
         val cur = partitionColsOf(b)

@@ -1293,17 +1293,25 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
         // PQ codes encode against the persisted codebook, the pin
         // advances. O(new vectors); the between-rebuilds growth path
         // (AnnIndex.refresh's contract, tombstoned corpora refuse
-        // loudly). A positive max_routed_frac arms the STALENESS GUARD
-        // (AnnIndex.refreshAuto): when absorbing the window would push
-        // the routed-since-train fraction past it, the refresh retrains
-        // instead — recall decay from frozen centroids is bounded by
-        // policy, not operator vigilance. action ∈ noop|routed|retrained.
+        // loudly). The STALENESS GUARD (AnnIndex.refreshAuto) is ON BY
+        // DEFAULT at the conf policy spark.graft.ann.maxRoutedFrac
+        // (0.5): when absorbing the window would push the
+        // routed-since-train fraction past the threshold, the refresh
+        // retrains instead — recall decay from frozen centroids is
+        // bounded by policy, not operator vigilance. An explicit
+        // max_routed_frac overrides; ≤ 0 disables the guard.
+        // action ∈ noop|routed|retrained.
         new MaintenanceProc("ann_refresh", Seq(
           inParam("index", StringType),
-          inParam("max_routed_frac", DoubleType, Some("0.0")))) {
+          inParam("max_routed_frac", DoubleType, Some("NULL")))) {
           override def call(input: InternalRow) = {
             val idxRoot = pathByName(input.getString(0)).toString
-            val frac = if (input.isNullAt(1)) 0.0 else input.getDouble(1)
+            // omitted → the conf-resolved policy default (0.5): the
+            // guard is ON unless the caller explicitly passes ≤ 0
+            val frac =
+              if (input.isNullAt(1))
+                graft.operators.AnnIndex.confMaxRoutedFrac(spark)
+              else input.getDouble(1)
             val (v, added, action) =
               if (frac > 0)
                 graft.operators.AnnIndex.refreshAuto(spark, idxRoot, frac)
@@ -1676,16 +1684,20 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
           }
         }
       case "create_mv_joined" =>
-        // CALL c.system.create_mv_joined('ns.mv', 'ns.fact', 'ns.dim',
-        // 'fk:dk[,fk2:dk2]', 'group_cols', 'out:src[,..]' [, filter
-        // [, derives]]): a STAR-SCHEMA view — fact JOIN dim (inner,
-        // broadcast; dim unique on its keys) grouped and summed,
-        // group/sum/filter columns from either side; 'derives'
-        // (name:expr, ';'-separated) are row-local computed columns
-        // that may combine both sides. The dim is PINNED: fact deltas
-        // fold incrementally against the pinned snapshot, and a dim
-        // change folds as a DIM DELTA (changed keys → affected groups)
-        // that re-pins — never O(view).
+        // CALL c.system.create_mv_joined('ns.mv', 'ns.fact',
+        // 'ns.dim[;ns.dim2…]', 'fk:dk[,fk2:dk2][;fk:dk…]', 'group_cols',
+        // 'out:src[,..]' [, filter [, derives]]): a STAR-SCHEMA view —
+        // fact JOIN dim1 [JOIN dim2 …] (each inner, broadcast; each dim
+        // unique on its keys) grouped and summed, group/sum/filter
+        // columns from any side; 'derives' (name:expr, ';'-separated)
+        // are row-local computed columns that may
+        // combine all sides. An N-DIM star lists its dims
+        // ';'-separated, join_on aligning positionally (','-separated
+        // keys within a dim). Every dim is PINNED independently: fact
+        // deltas fold against the pinned snapshots, and each dim
+        // change folds as its own DIM DELTA (changed keys → affected
+        // groups, telescoped across dims) that re-pins — never
+        // O(view).
         new MaintenanceProc("create_mv_joined", Seq(
           inParam("view", StringType),
           inParam("fact", StringType),
@@ -1704,17 +1716,27 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             require(!tableExists(vident),
               s"MV destination already exists: $qname")
             val fact = tableByName(input.getString(1))
-            val dim = tableByName(input.getString(2))
             val factSchema = fact.tableSchema.getOrElse(
               TxLogV2Table(spark, fact.root, input.getString(1)).schema)
-            val dimSchema = dim.tableSchema.getOrElse(
-              TxLogV2Table(spark, dim.root, input.getString(2)).schema)
+            val dimNames = input.getString(2).split(';').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val joinSegs = input.getString(3).split(';').toSeq
+              .map(_.trim).filter(_.nonEmpty)
+            require(dimNames.nonEmpty && joinSegs.length == dimNames.length,
+              s"join_on must carry one ';'-segment per dim: " +
+                s"${dimNames.length} dims, ${joinSegs.length} segments")
             def pairs(sv: String, what: String): Seq[(String, String)] =
               sv.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { t =>
                 val i = t.indexOf(':')
                 require(i > 0, s"$what must be 'a:b', got '$t'")
                 t.substring(0, i) -> t.substring(i + 1)
               }
+            val dimSpecs = dimNames.zip(joinSegs).map { case (dn, js) =>
+              val dim = tableByName(dn)
+              val dimSchema = dim.tableSchema.getOrElse(
+                TxLogV2Table(spark, dim.root, dn).schema)
+              (dim, dimSchema, pairs(js, "join_on"))
+            }
             val groups = input.getString(4).split(',').toSeq
               .map(_.trim).filter(_.nonEmpty)
             val filt = if (input.isNullAt(6)) None
@@ -1727,16 +1749,15 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                   t.substring(0, i).trim -> t.substring(i + 1).trim
                 }
             val (sums, mins, maxs) = parseAggSpec(input.getString(5))
-            val v = graft.operators.MaterializedView.createJoined(spark,
-              pathOf(vident).toString, qname, fact, factSchema, dim,
-              dimSchema, pairs(input.getString(3), "join_on"), groups,
-              sums, filt, mins, maxs, derives)
+            val v = graft.operators.MaterializedView.createStar(spark,
+              pathOf(vident).toString, qname, fact, factSchema,
+              dimSpecs, groups, sums, filt, mins, maxs, derives)
             resultScan(StructType(Seq(
               StructField("version", IntegerType),
               StructField("fact_version", IntegerType),
               StructField("dim_version", IntegerType))),
               Seq(InternalRow(v, fact.latestVersion.getOrElse(-1),
-                dim.latestVersion.getOrElse(-1))))
+                dimSpecs.head._1.latestVersion.getOrElse(-1))))
           }
         }
       case "refresh_mv" =>
@@ -1780,10 +1801,15 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
             val last = graft.operators.MaterializedView
               .lastSourceVersion(t)
             val head = src.latestVersion.getOrElse(-1)
-            val dimT = d.dim.map(TxLogTable(spark, _))
-            val dimPinned = dimT.map(_ =>
-              graft.operators.MaterializedView.lastDimVersion(t))
-            val dimHead = dimT.map(_.latestVersion.getOrElse(-1))
+            val dimTs = d.dims.map(dm => TxLogTable(spark, dm.root))
+            val dimPinneds = d.dims.indices.map(i =>
+              graft.operators.MaterializedView.lastDimVersion(t, i))
+            val dimHeads = dimTs.map(_.latestVersion.getOrElse(-1))
+            // the N-dim star reports one ';'-joined cell per column:
+            // roots, pins, heads; dim_behind is the WORST lag (the
+            // number a maintenance scheduler acts on)
+            val dimPinned = dimPinneds.headOption
+            val dimHead = dimHeads.headOption
             resultScan(StructType(Seq(
               StructField("name", StringType),
               StructField("consumed_version", IntegerType),
@@ -1809,12 +1835,14 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                 if (d.derives.isEmpty) null
                 else UTF8String.fromString(d.derives
                   .map { case (n, _, e) => s"$n:$e" }.mkString(";")),
-                d.dim.map(UTF8String.fromString).orNull,
+                (if (d.dims.isEmpty) null
+                 else UTF8String.fromString(
+                   d.dims.map(_.root).mkString(";"))),
                 dimPinned.map(Integer.valueOf).orNull,
                 dimHead.map(Integer.valueOf).orNull,
-                dimPinned.zip(dimHead)
-                  .map { case (p, h) => Integer.valueOf(
-                    math.max(0, h - p)) }.orNull)))
+                (if (d.dims.isEmpty) null
+                 else Integer.valueOf(dimPinneds.zip(dimHeads)
+                   .map { case (p, h) => math.max(0, h - p) }.max)))))
           }
         }
       case "mvs" =>
@@ -1969,7 +1997,7 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog
                   val deps = scala.util.Try {
                     val d = graft.operators.MaterializedView
                       .definition(spark, root)
-                    d.source +: d.dim.toSeq
+                    d.source +: d.dims.map(_.root)
                   }.getOrElse(Nil)
                   Seq((qn, root, deps))
                 }

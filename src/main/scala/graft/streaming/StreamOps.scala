@@ -278,7 +278,8 @@ object StreamOps {
         // to an empty relation while the source's offsets still advance —
         // the refresh inside foreachBatch is what actually reads the log
         .select(lit(1).as("tick")).filter(lit(false))
-    d.dim.foldLeft(tick(d.source))((s, dimRoot) => s.union(tick(dimRoot)))
+    d.dims.map(_.root)
+      .foldLeft(tick(d.source))((s, dimRoot) => s.union(tick(dimRoot)))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -292,20 +293,29 @@ object StreamOps {
 
   /** CONTINUOUS ANN-index maintenance — [[maintainMv]]'s twin for the
     * serving index: a trigger-only stream over the index's CORPUS whose
-    * every micro-batch runs one [[graft.operators.AnnIndex.refresh]]
-    * (new vectors route to the existing centroids, codes encode against
-    * the persisted codebook/bounds, the pin advances — O(new vectors)).
-    * The serving index is never more than one trigger behind the
-    * embedding drop. A corpus that takes row DELETES kills the query
-    * LOUDLY (refresh's phantom-neighbor refusal): deletions invalidate
-    * an append-maintained index, rebuild instead — a silent pace-past
-    * would serve deleted vectors as neighbors.
+    * every micro-batch runs one guarded
+    * [[graft.operators.AnnIndex.refreshAuto]] (new vectors route to the
+    * existing centroids, codes encode against the persisted
+    * codebook/bounds, the pin advances — O(new vectors)), and when the
+    * accumulated routed-since-train fraction would cross
+    * `maxRoutedFrac` the batch RETRAINS instead — continuous ingest is
+    * exactly where frozen-centroid drift accumulates fastest, so the
+    * recall floor is bounded by policy, not operator vigilance.
+    * `maxRoutedFrac` defaults from `spark.graft.ann.maxRoutedFrac`
+    * (0.5); an explicit value ≤ 0 disables the guard (plain
+    * [[graft.operators.AnnIndex.refresh]], which still absorbs deletes
+    * by masking and refuses non-replayable windows loudly).
     */
   def maintainAnn(spark: SparkSession, indexRoot: String,
                   checkpointDir: String,
                   trigger: org.apache.spark.sql.streaming.Trigger =
                     org.apache.spark.sql.streaming.Trigger
-                      .ProcessingTime(0L)): StreamingQuery = {
+                      .ProcessingTime(0L),
+                  maxRoutedFrac: Double = Double.NaN): StreamingQuery = {
+    val frac =
+      if (maxRoutedFrac.isNaN)
+        graft.operators.AnnIndex.confMaxRoutedFrac(spark)
+      else maxRoutedFrac
     val corpusRoot = graft.sources.TxLogTable(spark, s"$indexRoot/meta")
       .snapshot(graft.operators.AnnIndex.metaSchema)
       .collect().collectFirst {
@@ -321,7 +331,9 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        graft.operators.AnnIndex.refresh(spark, indexRoot)
+        if (frac > 0)
+          graft.operators.AnnIndex.refreshAuto(spark, indexRoot, frac)
+        else graft.operators.AnnIndex.refresh(spark, indexRoot)
         ()
       }
       .start()

@@ -290,6 +290,77 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
   }
 
+  test("N-dim star view: ONE handle, two dims — fact deltas fold " +
+    "against both pins, each moved dim folds as its own telescoped " +
+    "correction, and a window moving BOTH dims plus fact DML stays " +
+    "incremental") {
+    val dir = Files.createTempDirectory("mvstar2")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dimU = TxLogTable(spark, dir.resolve("dimu").toString)
+    val dimC = TxLogTable(spark, dir.resolve("dimc").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val duSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    val dcSchema = StructType(Seq(
+      StructField("ckey", StringType), StructField("cls", StringType)))
+    fact.commit(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 4.0)),
+      overwrite = true)
+    dimU.commit(Seq((1L, "gold"), (2L, "iron"), (3L, "gold"))
+      .toDF("uid", "seg"), overwrite = true)
+    dimC.commit(Seq(("a", "hot"), ("b", "cold")).toDF("ckey", "cls"),
+      overwrite = true)
+    MaterializedView.createStar(spark, mvRoot, "star2", fact, schema,
+      Seq((dimU, duSchema, Seq("k" -> "uid")),
+        (dimC, dcSchema, Seq("cat" -> "ckey"))),
+      Seq("seg", "cls"), Seq("total" -> "v"))
+    def st(): Set[(String, String, Long, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    }
+    assert(st() === Set(("gold", "hot", 2L, 5.0),
+      ("iron", "cold", 1L, 2.0)))
+    // fact-only window folds against BOTH pinned dims
+    fact.commit(df((2L, "a", 10.0)), overwrite = false)
+    val r1 = MaterializedView.refresh(spark, mvRoot)
+    assert(r1.mode === "incremental", r1)
+    assert(st() === Set(("gold", "hot", 2L, 5.0),
+      ("iron", "hot", 1L, 10.0), ("iron", "cold", 1L, 2.0)))
+    // dim 0 alone: uid=3 migrates gold → iron
+    dimU.updateWherePos(duSchema, col("uid") === 3L,
+      Seq("seg" -> lit("iron")))
+    val r2 = MaterializedView.refresh(spark, mvRoot)
+    assert(r2.mode === "incremental", r2)
+    assert(st() === Set(("gold", "hot", 1L, 1.0),
+      ("iron", "hot", 2L, 14.0), ("iron", "cold", 1L, 2.0)))
+    // dim 1 alone: class 'a' reclasses hot → warm
+    dimC.updateWherePos(dcSchema, col("ckey") === "a",
+      Seq("cls" -> lit("warm")))
+    val r3 = MaterializedView.refresh(spark, mvRoot)
+    assert(r3.mode === "incremental", r3)
+    assert(st() === Set(("gold", "warm", 1L, 1.0),
+      ("iron", "warm", 2L, 14.0), ("iron", "cold", 1L, 2.0)))
+    // ONE window: fact append + dim0 delete + dim1 update — the
+    // telescoped corrections absorb all of it incrementally
+    fact.commit(df((1L, "b", 3.0)), overwrite = false)
+    dimU.deleteWherePos(duSchema, col("uid") === 2L)
+    dimC.updateWherePos(dcSchema, col("ckey") === "b",
+      Seq("cls" -> lit("mild")))
+    val r4 = MaterializedView.refresh(spark, mvRoot)
+    assert(r4.mode === "incremental", r4)
+    assert(st() === Set(("gold", "warm", 1L, 1.0),
+      ("iron", "warm", 1L, 4.0), ("gold", "mild", 1L, 3.0)))
+    // both pins re-advanced; a current star noops
+    val mvT = TxLogTable(spark, mvRoot)
+    assert(MaterializedView.lastDimVersion(mvT, 0) ===
+      dimU.latestVersion.get)
+    assert(MaterializedView.lastDimVersion(mvT, 1) ===
+      dimC.latestVersion.get)
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+  }
+
   test("views compose: an MV over an MV folds incrementally — the " +
     "upstream refresh's DV-upsert feeds exact delete+insert events") {
     val dir = Files.createTempDirectory("mvchain")

@@ -533,6 +533,112 @@ class MvPropertySpec extends AnyFunSuite {
       "partial-recompute path — rebalance the generator")
   }
 
+  test("min/max star fuzz: dim churn interleaved with fact DML on an " +
+    "extrema view — fold equals a join recompute after every refresh, " +
+    "and replayable dim windows route to the dim-targeted group " +
+    "recompute (mode=incremental, never O(view))") {
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    sealed trait DOp
+    case class DimUpd(ks: List[Long]) extends DOp
+    case class DimDel(ks: List[Long]) extends DOp
+    case class DimIns(ks: List[Long]) extends DOp
+    case class FactOp(op: Op) extends DOp
+    case object DRefresh extends DOp
+    val dimKsGen = Gen.resize(2, Gen.nonEmptyListOf(Gen.choose(1L, 8L)))
+    val dopGen: Gen[DOp] = Gen.frequency(
+      5 -> opGenNoRefresh.map(FactOp),
+      2 -> dimKsGen.map(DimUpd),
+      1 -> dimKsGen.map(DimDel),
+      2 -> dimKsGen.map(DimIns),
+      4 -> Gen.const(DRefresh))
+    val dProgGen: Gen[List[DOp]] = for {
+      tail <- Gen.resize(12, Gen.listOf(dopGen))
+    } yield (FactOp(Overwrite(List((1L, 1.5), (2L, 3.0)))) :: tail) :+
+      DRefresh
+    var dimTargeted = 0
+    forAllSeeded(dProgGen, 10) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvmmdim")
+      val fact = TxLogTable(spark, dir.resolve("fact").toString)
+      val dim = TxLogTable(spark, dir.resolve("dim").toString)
+      val mvRoot = dir.resolve("mv").toString
+      dim.commit((1L to 6L).map(i => (i, s"s${i % 3}"))
+        .toDF("uid", "seg"), overwrite = true)
+      var created = false
+      def joinState(): Set[(String, Long, BigDecimal, Double, Double)] =
+        fact.snapshot(schema).join(dim.snapshot(dimSchema),
+            col("k") === col("uid"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(38, 6))).as("t"),
+            min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            BigDecimal(r.getAs[java.math.BigDecimal]("t")),
+            r.getDouble(3), r.getDouble(4))).toSet
+      def mvJState(): Set[(String, Long, BigDecimal, Double, Double)] = {
+        val d = MaterializedView.definition(spark, mvRoot)
+        TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+          .map(r => (r.getString(0),
+            r.getAs[Long](MaterializedView.CountCol),
+            BigDecimal(r.getAs[java.math.BigDecimal]("total")),
+            r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toSet
+      }
+      program.zipWithIndex.foreach { case (dop, step) =>
+        def ctx = s"seed=$seed step=$step op=$dop program=$program"
+        dop match {
+          case FactOp(Append(rows)) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = false)
+          case FactOp(Overwrite(rows)) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = true)
+          case FactOp(DeleteCow(ks)) =>
+            fact.deleteWhere(schema, col("k").isin(ks: _*))
+          case FactOp(DeletePos(ks)) =>
+            fact.deleteWherePos(schema, col("k").isin(ks: _*))
+          case FactOp(UpdatePos(ks)) =>
+            fact.updateWherePos(schema, col("k").isin(ks: _*),
+              Seq("v" -> (col("v") + 0.5)))
+          case FactOp(MorDrop(ks)) =>
+            fact.deleteByKeysMor(ks.toDF("k").distinct())
+          case FactOp(Compact) =>
+            if (fact.latestVersion.nonEmpty) fact.compact(schema)
+          case FactOp(Vac) =>
+            fact.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+            dim.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+          case FactOp(Refresh) => () // unreachable (opGenNoRefresh)
+          case DimUpd(ks) =>
+            dim.updateWherePos(dimSchema, col("uid").isin(ks: _*),
+              Seq("seg" -> concat(col("seg"), lit("x"))))
+          case DimDel(ks) =>
+            dim.deleteWherePos(dimSchema, col("uid").isin(ks: _*))
+          case DimIns(ks) =>
+            val present = dim.snapshot(dimSchema).select("uid")
+              .collect().map(_.getLong(0)).toSet
+            val fresh = ks.distinct.filterNot(present)
+            if (fresh.nonEmpty)
+              dim.commit(fresh.map(i => (i, s"n${i % 4}"))
+                .toDF("uid", "seg"), overwrite = false)
+          case DRefresh =>
+            if (!created) {
+              MaterializedView.createJoined(spark, mvRoot, s"mmd$seed",
+                fact, schema, dim, dimSchema, Seq("k" -> "uid"),
+                Seq("seg"), Seq("total" -> "v"),
+                mins = Seq("lo" -> "v"), maxs = Seq("hi" -> "v"))
+              created = true
+            } else {
+              val dimBefore = MaterializedView.lastDimVersion(
+                TxLogTable(spark, mvRoot))
+              val st = MaterializedView.refresh(spark, mvRoot)
+              if (st.mode == "incremental" &&
+                  dim.latestVersion.exists(_ != dimBefore)) dimTargeted += 1
+            }
+            assert(mvJState() === joinState(), ctx)
+        }
+      }
+    }
+    assert(dimTargeted > 0, "the corpus never exercised the dim-targeted " +
+      "MIN/MAX recompute path — weaken the full-recompute fallbacks?")
+  }
+
   test("joined-triple WAP fuzz: random fact/dim DML on main and branch " +
     "with refreshes, publishes and vacuums — both handles equal their " +
     "join recomputes after every refresh, main frozen through audits, " +

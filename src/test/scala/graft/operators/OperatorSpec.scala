@@ -284,6 +284,43 @@ class OperatorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainAnn applies the staleness guard: a drifted batch " +
+    "retrains MID-STREAM and resets the ledger") {
+    implicit val sp = spark
+    val vecs = (0L until 20L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 1.0f + 0.01f * i
+      (i, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann-guard")
+    val corpus = graft.sources.TxLogTable(spark, tmp.resolve("c").toString)
+    corpus.commit(emb, overwrite = true)
+    val idx = tmp.resolve("i").toString
+    AnnIndex.buildAuto(spark, corpus.root, idx, emb.schema,
+      iterations = 2, targetCell = 8L, pq = false)
+    val ckpt = java.nio.file.Files.createTempDirectory("ann-gm").toString
+    val q = graft.streaming.StreamOps.maintainAnn(spark, idx, ckpt,
+      maxRoutedFrac = 0.3)
+    try {
+      // small drop: 2/22 < 0.3 → the batch ROUTES, ledger accounts it
+      corpus.commit(Seq((100L, vecs(1)._2), (101L, vecs(2)._2))
+        .toDF("vec_id", "embedding"), overwrite = false)
+      q.processAllAvailable()
+      val st1 = AnnIndex.status(spark, idx)
+      assert(st1.routedSinceTrain == 2L &&
+        st1.pinnedVersion == st1.corpusVersion, st1)
+      // doubling drop: (2+20)/(22+20) > 0.3 → the BATCH retrains —
+      // continuous ingest is bounded by policy with no operator call
+      corpus.commit(vecs.map { case (i, v) => (i + 1000L, v) }
+        .toDF("vec_id", "embedding"), overwrite = false)
+      q.processAllAvailable()
+      val st2 = AnnIndex.status(spark, idx)
+      assert(st2.routedSinceTrain == 0L && st2.totalVectors == 42L &&
+        st2.pinnedVersion == st2.corpusVersion,
+        s"the drifted batch must retrain mid-stream: $st2")
+    } finally q.stop()
+  }
+
   test("AnnIndex.buildAuto: k derives from corpus size, the quantizer " +
     "trains on a strided sample, search serves through the result") {
     implicit val sp = spark
