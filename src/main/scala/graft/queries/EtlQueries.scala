@@ -1693,22 +1693,21 @@ object EtlQueries {
         "value FROM ev_mm_src WHERE event_id % 3 = 0")
       s.sql("CALL graftcat.system.create_mv('db.mv_mm', 'db.ev_mm', " +
         "'user_id', 'total:value,lo:min:value,hi:max:value')").collect()
+      // ONE batched window: append + a delete that can remove the
+      // extremum — the row-changing window routes to the targeted
+      // partial recompute (re-aggregate EXACTLY the affected groups,
+      // never O(view)), still mode=incremental
       s.sql("INSERT INTO graftcat.db.ev_mm SELECT event_id, user_id, " +
         "value FROM ev_mm_src WHERE event_id % 3 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_mm WHERE value > 450")
       val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
       require(r1.getString(0) == "incremental",
-        s"an append-only window must fold under min/max: $r1")
-      s.sql("DELETE FROM graftcat.db.ev_mm WHERE value > 450")
-      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
-      require(r2.getString(0) == "incremental",
-        s"a delete can remove the extremum — the refresh re-aggregates " +
-          s"EXACTLY the affected groups (targeted partial recompute, " +
-          s"never O(view)): $r2")
+        s"a deleting window must route to the targeted recompute: $r1")
       s.sql("INSERT INTO graftcat.db.ev_mm SELECT event_id, user_id, " +
         "value FROM ev_mm_src WHERE event_id % 3 = 2")
-      val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
-      require(r3.getString(0) == "incremental",
-        s"appends fold again after the targeted window: $r3")
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_mm')").head
+      require(r2.getString(0) == "incremental",
+        s"an append-only window folds the extrema directly: $r2")
       s.sql("SELECT user_id, mv_count AS n, " +
         "CAST(total AS DOUBLE) AS total, lo, hi FROM graftcat.db.mv_mm")
     }),
@@ -1738,21 +1737,21 @@ object EtlQueries {
         "user_id % 8, event_id FROM ev_dst_src WHERE event_id % 3 = 0")
       s.sql("CALL graftcat.system.create_mv_distinct('db.mv_dst', " +
         "'db.ev_dst', 'grp', 'uids:val')").collect()
+      // ONE batched window: appends + a deleting version — a delete
+      // cannot LOWER a register by folding, so the window routes to the
+      // targeted partial recompute of exactly the affected registers
       s.sql("INSERT INTO graftcat.db.ev_dst SELECT event_id, " +
         "user_id % 8, event_id FROM ev_dst_src WHERE event_id % 3 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_dst WHERE val % 7 = 0")
       val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head
       require(r1.getString(0) == "incremental",
-        s"appends must fold into HLL registers: $r1")
-      s.sql("DELETE FROM graftcat.db.ev_dst WHERE val % 7 = 0")
-      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head
-      require(r2.getString(0) == "incremental",
         s"a deleting window re-aggregates exactly the affected " +
-          s"registers (targeted partial recompute): $r2")
+          s"registers (targeted partial recompute): $r1")
       s.sql("INSERT INTO graftcat.db.ev_dst SELECT event_id, " +
         "user_id % 8, event_id FROM ev_dst_src WHERE event_id % 3 = 2")
-      val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head
-      require(r3.getString(0) == "incremental",
-        s"appends fold again after the recompute: $r3")
+      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_dst')").head
+      require(r2.getString(0) == "incremental",
+        s"appends fold into the registers after the recompute: $r2")
       // the estimate read face: within HLL tolerance of the exact count
       val est = s.sql("CALL graftcat.system.mv_distinct('db.mv_dst')")
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -1786,15 +1785,14 @@ object EtlQueries {
         "user_id % 8, value FROM ev_h_src WHERE event_id % 2 = 0")
       s.sql("CALL graftcat.system.create_mv_hist('db.mv_h', " +
         "'db.ev_h', 'grp', 'vb:val')").collect()
+      // ONE batched window: appends + deletes — bucket counts are
+      // fully additive, so the mixed window folds in one refresh
       s.sql("INSERT INTO graftcat.db.ev_h SELECT event_id, " +
         "user_id % 8, value FROM ev_h_src WHERE event_id % 2 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_h WHERE val > 300")
       val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_h')").head
       require(r1.getString(0) == "incremental",
-        s"appends must fold into bucket counts: $r1")
-      s.sql("DELETE FROM graftcat.db.ev_h WHERE val > 300")
-      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_h')").head
-      require(r2.getString(0) == "incremental",
-        s"histogram counts are fully additive — deletes must fold: $r2")
+        s"appends and deletes must fold into bucket counts: $r1")
       // quantile read face: within one power of 2 of the exact median
       val q = s.sql(
         "CALL graftcat.system.mv_quantile('db.mv_h', 0.5)").collect()
@@ -1826,17 +1824,15 @@ object EtlQueries {
         "user_id % 8, value FROM ev_v_src WHERE event_id % 2 = 0")
       s.sql("CALL graftcat.system.create_mv('db.mv_var', 'db.ev_v', " +
         "'grp', 's:val,s2:val2', NULL, 'val2:val * val')").collect()
+      // ONE batched window (append + delete; 250 keeps the delete
+      // NON-EMPTY at every SF — sf0.001's max value is ~327, and a
+      // zero-match delete would make the mode pin vacuous)
       s.sql("INSERT INTO graftcat.db.ev_v SELECT event_id, " +
         "user_id % 8, value FROM ev_v_src WHERE event_id % 2 = 1")
-      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_var')").head
-      require(r1.getString(0) == "incremental", s"$r1")
-      // 250 keeps the delete NON-EMPTY at every SF (sf0.001's max value
-      // is ~327): a zero-match delete window correctly noops the
-      // refresh, which is not what this row is pinning
       s.sql("DELETE FROM graftcat.db.ev_v WHERE val > 250")
-      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_var')").head
-      require(r2.getString(0) == "incremental",
-        s"moment sums fold under deletes: $r2")
+      val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_var')").head
+      require(r1.getString(0) == "incremental",
+        s"moment sums fold under appends and deletes: $r1")
       s.sql("SELECT grp, mv_count AS n, CAST(s AS DOUBLE) AS s, " +
         "CAST(s2 AS DOUBLE) AS s2 FROM graftcat.db.mv_var")
     }),
@@ -1864,21 +1860,18 @@ object EtlQueries {
         "WHERE event_id % 3 = 0")
       s.sql("CALL graftcat.system.create_mv_distinct_exact(" +
         "'db.mv_de', 'db.ev_de', 'grp', 'u')").collect()
+      // ONE batched window: appends + a DELETE — both levels are fully
+      // additive, so the mixed window folds incrementally at each level
       s.sql("INSERT INTO graftcat.db.ev_de SELECT event_id, " +
         "user_id % 8, user_id % 100 FROM ev_de_src " +
         "WHERE event_id % 3 IN (1, 2)")
+      s.sql("DELETE FROM graftcat.db.ev_de WHERE u % 5 = 0")
       val r1k = s.sql(
         "CALL graftcat.system.refresh_mv('db.mv_de_keys')").head
       val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_de')").head
       require(r1k.getString(0) == "incremental" &&
-        r1.getString(0) == "incremental", s"append fold: $r1k / $r1")
-      s.sql("DELETE FROM graftcat.db.ev_de WHERE u % 5 = 0")
-      val r2k = s.sql(
-        "CALL graftcat.system.refresh_mv('db.mv_de_keys')").head
-      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_de')").head
-      require(r2k.getString(0) == "incremental" &&
-        r2.getString(0) == "incremental",
-        s"exact distinct folds deletes too: $r2k / $r2")
+        r1.getString(0) == "incremental",
+        s"exact distinct folds appends and deletes: $r1k / $r1")
       s.sql("SELECT grp, mv_count AS uniques FROM graftcat.db.mv_de")
     }),
 
@@ -1902,15 +1895,13 @@ object EtlQueries {
       s.sql("CALL graftcat.system.create_mv('db.mv_day', 'db.ev_r', " +
         "'day', 'total:value', NULL, " +
         "'day:CAST(ts DIV 86400000000000 AS BIGINT)')").collect()
+      // ONE batched window: append + delete under the derived key
       s.sql("INSERT INTO graftcat.db.ev_r SELECT event_id, ts, " +
         "value FROM ev_r_src WHERE event_id % 2 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_r WHERE value < 2")
       val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_day')").head
       require(r1.getString(0) == "incremental",
-        s"a derived group key folds like any other: $r1")
-      s.sql("DELETE FROM graftcat.db.ev_r WHERE value < 2")
-      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_day')").head
-      require(r2.getString(0) == "incremental",
-        s"deletes fold under a derived key too: $r2")
+        s"appends and deletes fold under a derived group key: $r1")
       s.sql("SELECT day, mv_count AS n, " +
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_day")
     }),
@@ -1992,15 +1983,13 @@ object EtlQueries {
       s.sql("CALL graftcat.system.create_mv_joined('db.mv_seg', " +
         "'db.ev_mvj', 'db.dim_users', 'user_id:uid', 'segment', " +
         "'total:value')").collect()
+      // ONE batched fact window (append + delete) against the pin
       s.sql("INSERT INTO graftcat.db.ev_mvj SELECT event_id, user_id, " +
         "value FROM ev_mvj_src WHERE event_id % 3 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_mvj WHERE value < 5")
       val r1 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
       require(r1.getString(0) == "incremental",
         s"fact-only DML must fold: $r1")
-      s.sql("DELETE FROM graftcat.db.ev_mvj WHERE value < 5")
-      val r2 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
-      require(r2.getString(0) == "incremental",
-        s"fact-only DELETE must fold: $r2")
       s.sql("UPDATE graftcat.db.dim_users SET segment = 99 " +
         "WHERE uid % 5 = 0")
       val r3 = s.sql("CALL graftcat.system.refresh_mv('db.mv_seg')").head
@@ -2049,17 +2038,17 @@ object EtlQueries {
         require(r.getString(0) == "incremental",
           s"$tag must fold as a dim delta, not recompute: $r")
       }
-      // UPDATE: group keys drawn from the dim MIGRATE (2 → 102)
+      // ONE batched dim window carrying every DML shape: UPDATE (group
+      // keys drawn from the dim MIGRATE, 2 → 102), DELETE (enrichment
+      // departs — affected groups shrink, emptied ones leave), INSERT
+      // (fact rows that never enriched join in) — the K extraction
+      // reads the whole window's net change events in one pass
       s.sql("UPDATE graftcat.db.dim_segf SET segment = segment + 100 " +
         "WHERE uid % 5 = 2")
-      refreshInc("dim UPDATE (group migration)")
-      // DELETE: enrichment departs — affected groups shrink
       s.sql("DELETE FROM graftcat.db.dim_segf WHERE uid % 11 = 3")
-      refreshInc("dim DELETE")
-      // INSERT: fact rows that never enriched join in now
       s.sql("INSERT INTO graftcat.db.dim_segf SELECT DISTINCT " +
         "user_id, 77 FROM ev_dimf_src WHERE user_id % 7 = 0")
-      refreshInc("dim INSERT")
+      refreshInc("dim UPDATE+DELETE+INSERT window")
       // MIXED window: fact delta + dim delta before ONE refresh —
       // the fact fold (old pin) composes with the dim correction
       s.sql("INSERT INTO graftcat.db.ev_dimf SELECT event_id, user_id, " +
@@ -2232,11 +2221,12 @@ object EtlQueries {
               s"${modes.get(v)} (all: $modes)")
         }
       }
+      // ONE batched base window (appends + a delete): every level of
+      // the chain folds the mixed feed incrementally in one sweep
       s.sql("INSERT INTO graftcat.db.ev_chain SELECT event_id, " +
         "user_id, value FROM ev_chain_src WHERE event_id % 4 IN (1, 2)")
-      sweep("append window")
       s.sql("DELETE FROM graftcat.db.ev_chain WHERE value < 3")
-      sweep("delete window")
+      sweep("append+delete window")
       // current chain: a second sweep is all-noop for the chain
       val again = s.sql("CALL graftcat.system.refresh_all('db')")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -2295,9 +2285,8 @@ object EtlQueries {
       // composes the fact fold with the dim-delta fold in one commit
       s.sql("INSERT INTO graftcat.db.ev_smd SELECT event_id, user_id, " +
         "value FROM ev_smd_src WHERE event_id % 3 = 1")
-      sweep("append window", "incremental")
       s.sql("DELETE FROM graftcat.db.ev_smd WHERE value < 4")
-      sweep("delete window", "incremental")
+      sweep("append+delete window", "incremental")
       sweep("current chain", "noop")
       s.sql("SELECT seg, mv_count AS n, " +
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.star_smd")
@@ -2399,13 +2388,12 @@ object EtlQueries {
       // refresh commit + dim_t's delta — all in one ordered sweep
       s.sql("INSERT INTO graftcat.db.ev_sfk SELECT event_id, user_id, " +
         "event_type, value FROM ev_sfk_src WHERE event_id % 3 = 1")
+      s.sql("DELETE FROM graftcat.db.ev_sfk WHERE value < 2")
       s.sql("UPDATE graftcat.db.dim_u_sfk SET useg = 99 " +
         "WHERE uid % 5 = 2")
       s.sql("UPDATE graftcat.db.dim_t_sfk SET tclass = 'hot' " +
         "WHERE tkey = 'click'")
-      sweep("base + both dims window", "incremental")
-      s.sql("DELETE FROM graftcat.db.ev_sfk WHERE value < 2")
-      sweep("delete window", "incremental")
+      sweep("base appends+delete + both dims window", "incremental")
       sweep("current snowflake", "noop")
       s.sql("SELECT useg, tclass, mv_count AS n, " +
         "CAST(total2 AS DOUBLE) AS total FROM graftcat.db.star2_sfk")
