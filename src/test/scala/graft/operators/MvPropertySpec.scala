@@ -765,6 +765,149 @@ class MvPropertySpec extends AnyFunSuite {
       "the corpus never exercised a triple publish — rebalance")
   }
 
+  test("min/max triple WAP fuzz: an EXTREMA star under fact DML + dim " +
+    "churn + branch forks/publishes/vacuums — every refresh equals a " +
+    "join recompute, with the dim-targeted and row-changing windows " +
+    "routed through the group-targeted recompute on both handles") {
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    sealed trait TOp
+    case class FMain(rows: List[(Long, Double)]) extends TOp
+    case class FBranch(rows: List[(Long, Double)]) extends TOp
+    case class FDelMain(ks: List[Long]) extends TOp
+    case class FDelBranch(ks: List[Long]) extends TOp
+    case class DMain(ks: List[Long]) extends TOp
+    case class DBranch(ks: List[Long]) extends TOp
+    case class DDelMain(ks: List[Long]) extends TOp
+    case object RMain extends TOp
+    case object RBranch extends TOp
+    case object TFork extends TOp
+    case object TPublish extends TOp
+    case object TVac extends TOp
+    val topGen: Gen[TOp] = Gen.frequency(
+      4 -> rowsGen.map(FMain),
+      3 -> rowsGen.map(FBranch),
+      2 -> ksGen.map(FDelMain),
+      2 -> ksGen.map(FDelBranch),
+      2 -> ksGen.map(DMain),
+      2 -> ksGen.map(DBranch),
+      1 -> ksGen.map(DDelMain),
+      3 -> Gen.const(RMain),
+      3 -> Gen.const(RBranch),
+      2 -> Gen.const(TFork),
+      2 -> Gen.const(TPublish),
+      1 -> Gen.const(TVac))
+    val progGen = Gen.resize(14, Gen.listOf(topGen)).map(_ ++ List(
+      TPublish, TFork, FBranch(List((7L, 7.5))), DBranch(List(7L)),
+      FDelBranch(List(2L)), RBranch, TPublish))
+    var dimTargeted = 0
+    forAllSeeded(progGen, 6) { (program, seed) =>
+      val dir = Files.createTempDirectory("mvtriplemm")
+      val fact = TxLogTable(spark, dir.resolve("fact").toString)
+      val dim = TxLogTable(spark, dir.resolve("dim").toString)
+      val mvRoot = dir.resolve("mv").toString
+      fact.commit(List((1L, 1.5), (2L, 3.0)).toDF("k", "v"),
+        overwrite = true)
+      dim.commit((1L to 8L).map(i => (i, s"s${i % 3}"))
+        .toDF("uid", "seg"), overwrite = true)
+      MaterializedView.createJoined(spark, mvRoot, s"tm$seed", fact,
+        schema, dim, dimSchema, Seq("k" -> "uid"), Seq("seg"),
+        Seq("total" -> "v"),
+        mins = Seq("lo" -> "v"), maxs = Seq("hi" -> "v"))
+      val mv = TxLogTable(spark, mvRoot)
+      var branch = false
+      def bHandle = TxLogTable.branchRoot(mvRoot, "a")
+      def stateOf(f: TxLogTable, dm: TxLogTable)
+          : Set[(String, Long, BigDecimal, Double, Double)] =
+        f.snapshot(schema).join(dm.snapshot(dimSchema),
+            col("k") === col("uid"))
+          .groupBy("seg").agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(38, 6))).as("t"),
+            min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            BigDecimal(r.getAs[java.math.BigDecimal]("t")),
+            r.getDouble(3), r.getDouble(4))).toSet
+      def viewOf(root: String)
+          : Set[(String, Long, BigDecimal, Double, Double)] = {
+        val d = MaterializedView.definition(spark, mvRoot)
+        TxLogTable(spark, root).snapshot(d.mvSchema).collect()
+          .map(r => (r.getString(0),
+            r.getAs[Long](MaterializedView.CountCol),
+            BigDecimal(r.getAs[java.math.BigDecimal]("total")),
+            r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toSet
+      }
+      def refreshCounting(root: String, dimT: TxLogTable): Unit = {
+        val dimBefore = MaterializedView.lastDimVersion(
+          TxLogTable(spark, root))
+        val st = MaterializedView.refresh(spark, root)
+        if (st.mode == "incremental" &&
+            dimT.latestVersion.exists(_ != dimBefore)) dimTargeted += 1
+      }
+      program.zipWithIndex.foreach { case (op, step) =>
+        def ctx = s"seed=$seed step=$step op=$op program=$program"
+        op match {
+          case FMain(rows) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = false)
+          case FBranch(rows) => if (branch)
+            fact.branchTable("a").commit(rows.toDF("k", "v"),
+              overwrite = false)
+          case FDelMain(ks) =>
+            fact.deleteWherePos(schema, col("k").isin(ks: _*))
+          case FDelBranch(ks) => if (branch)
+            fact.branchTable("a").deleteWherePos(schema,
+              col("k").isin(ks: _*))
+          case DMain(ks) =>
+            dim.updateWherePos(dimSchema, col("uid").isin(ks: _*),
+              Seq("seg" -> concat(col("seg"), lit("m"))))
+          case DBranch(ks) => if (branch)
+            dim.branchTable("a").updateWherePos(dimSchema,
+              col("uid").isin(ks: _*),
+              Seq("seg" -> concat(col("seg"), lit("b"))))
+          case DDelMain(ks) =>
+            dim.deleteWherePos(dimSchema, col("uid").isin(ks: _*))
+          case RMain =>
+            refreshCounting(mvRoot, dim)
+            assert(viewOf(mvRoot) === stateOf(fact, dim), ctx)
+          case RBranch => if (branch) {
+            refreshCounting(bHandle, dim.branchTable("a"))
+            assert(viewOf(bHandle) === stateOf(fact.branchTable("a"),
+              dim.branchTable("a")), ctx)
+          }
+          case TFork => if (!branch) {
+            MaterializedView.refresh(spark, mvRoot) // forks correspond
+            MaterializedView.branchMv(spark, mvRoot, "a")
+            branch = true
+          }
+          case TPublish => if (branch) {
+            MaterializedView.refresh(spark, bHandle) // audit gate
+            val mainView = viewOf(mvRoot)
+            try {
+              MaterializedView.publishWap(spark, mvRoot, "a")
+              assert(viewOf(mvRoot) === stateOf(fact, dim), ctx)
+              assert(MaterializedView.refresh(spark, mvRoot)
+                .mode === "noop", ctx)
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                assert(viewOf(mvRoot) === mainView, ctx)
+                MaterializedView.refresh(spark, mvRoot)
+                assert(viewOf(mvRoot) === stateOf(fact, dim), ctx)
+            }
+            fact.dropBranch("a"); dim.dropBranch("a"); mv.dropBranch("a")
+            branch = false
+          }
+          case TVac =>
+            fact.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+            dim.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+            mv.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+        }
+      }
+      MaterializedView.refresh(spark, mvRoot)
+      assert(viewOf(mvRoot) === stateOf(fact, dim), s"seed=$seed final")
+    }
+    assert(dimTargeted > 0, "the corpus never routed a dim-moved " +
+      "window through the targeted MIN/MAX recompute — rebalance")
+  }
+
   test("auto-compact fuzz: random DML programs under a 2-row DV cap — " +
     "every refresh self-folds its masks and stays equal to a recompute") {
     spark.conf.set("spark.graft.sql.maxDvMaskRows", "2")
