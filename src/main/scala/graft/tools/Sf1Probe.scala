@@ -128,6 +128,129 @@ object Sf1Probe {
           .cast("long")).head.getLong(0)
       println(s"[probe] $label LSH candidate pairs: $pairs")
     }
+
+    // ---- DIM-DELTA arm: 10× fact, FIXED-size dim delta ---------------
+    // The r18 claim: a dim window folds in O(dim delta + affected fact
+    // rows), with a ≤1024-key IN set pushed into an FK-clustered fact
+    // scan so the read is O(touched files). 10× the fact with the SAME
+    // 64-key dim delta should hold refresh wall ~flat, not 10×.
+    locally {
+      import org.apache.spark.sql.types._
+      val evs = spark.read.parquet(s"$src/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          col("value").cast(DoubleType).as("value"))
+      val dimRows = evs.select(col("user_id").as("uid")).distinct()
+        .withColumn("seg", pmod(col("uid"), lit(13L)))
+      val fSchema = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val dSchema = StructType(Seq(StructField("uid", LongType),
+        StructField("seg", LongType)))
+      println("| fact rows | dim delta keys | refresh s | mode |")
+      println("|---|---|---|---|")
+      for (mult <- Seq(1, 10)) {
+        val base = Paths.get(s"/tmp/graft-sf1-dimarm-$mult")
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        val fact = graft.sources.TxLogTable(spark,
+          base.resolve("fact").toString)
+        val dim = graft.sources.TxLogTable(spark,
+          base.resolve("dim").toString)
+        val f = (0 until mult).map(i => evs
+            .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+          .reduce(_.unionByName(_))
+          // FK-clustered: the IN-pushdown's manifest prune is the claim
+          .repartitionByRange(32, col("user_id"))
+          .sortWithinPartitions("user_id")
+        fact.commit(f, overwrite = true)
+        dim.commit(dimRows, overwrite = true)
+        val mvRoot = base.resolve("mv").toString
+        graft.operators.MaterializedView.createJoined(spark, mvRoot,
+          s"dimarm$mult", fact, fSchema, dim, dSchema,
+          Seq("user_id" -> "uid"), Seq("seg"), Seq("total" -> "value"))
+        dim.updateWherePos(dSchema, pmod(col("uid"), lit(1000L)) === 7L,
+          Seq("seg" -> (col("seg") + 100L)))
+        val kchg = dimRows.filter(pmod(col("uid"), lit(1000L)) === 7L)
+          .count()
+        val t0 = System.nanoTime()
+        val st = graft.operators.MaterializedView.refresh(spark, mvRoot)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"| ${fact.metaRowCount(None).getOrElse(-1L)} | $kchg " +
+          f"| $sec%.2f | ${st.mode} |")
+      }
+    }
+
+    // ---- TARGETED-RECOMPUTE arm: 10× groups, FIXED affected set ------
+    // The r18 claim: a deleting window on a MIN/MAX view re-aggregates
+    // exactly the affected groups — write O(affected), never O(view).
+    // 10× the group count with the SAME affected-group set should hold
+    // groupsChanged flat and wall sublinear (the read still scans the
+    // snapshot once; the write side is the claim).
+    locally {
+      import org.apache.spark.sql.types._
+      val fSchema = StructType(Seq(StructField("k", LongType),
+        StructField("v", DoubleType)))
+      println("| groups | affected | refresh s | mode |")
+      println("|---|---|---|---|")
+      for (mult <- Seq(1, 10)) {
+        val groups = 100000L * mult
+        val base = Paths.get(s"/tmp/graft-sf1-mmarm-$mult")
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        val srcT = graft.sources.TxLogTable(spark,
+          base.resolve("src").toString)
+        srcT.commit(spark.range(groups * 4)
+          .select(pmod(col("id"), lit(groups)).as("k"),
+            (col("id") % 1000).cast(DoubleType).as("v"))
+          .repartitionByRange(32, col("k")).sortWithinPartitions("k"),
+          overwrite = true)
+        val mvRoot = base.resolve("mv").toString
+        graft.operators.MaterializedView.create(spark, mvRoot,
+          s"mmarm$mult", srcT, fSchema, Seq("k"), Seq("total" -> "v"),
+          mins = Seq("lo" -> "v"), maxs = Seq("hi" -> "v"))
+        // delete rows of exactly 64 groups — the affected set is FIXED
+        // across the decade
+        srcT.deleteWherePos(fSchema, col("k") < 64L)
+        val t0 = System.nanoTime()
+        val st = graft.operators.MaterializedView.refresh(spark, mvRoot)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"| $groups | ${st.groupsChanged} | $sec%.2f " +
+          f"| ${st.mode} |")
+      }
+    }
+
+    // ---- RETRAIN-COST arm: 10× corpus, bounded-sample training -------
+    // The r18/r19 claim: refreshAuto's retrain routes through buildAuto,
+    // whose k-means trains on a BOUNDED sample (train_stride grows with
+    // the corpus) — so the training row count stays ~flat across the
+    // decade and the retrain cost is dominated by the single assignment
+    // pass, not the quadratic fit.
+    locally {
+      println("| vectors | trained sample | stride | build s |")
+      println("|---|---|---|---|")
+      for (mult <- Seq(1, 10)) {
+        val emb = spark.read.parquet(s"$src/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val corpus = (0 until mult).map(i => emb
+            .withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+          .reduce(_.unionByName(_))
+        val base = Paths.get(s"/tmp/graft-sf1-annarm-$mult")
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        val ct = graft.sources.TxLogTable(spark,
+          base.resolve("c").toString)
+        ct.commit(corpus, overwrite = true)
+        val idx = base.resolve("i").toString
+        val t0 = System.nanoTime()
+        graft.operators.AnnIndex.buildAuto(spark, ct.root, idx,
+          corpus.schema, iterations = 2, targetCell = 256L,
+          trainSample = 65536L, pq = false)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val meta = graft.sources.TxLogTable(spark, s"$idx/meta")
+          .snapshot(graft.operators.AnnIndex.metaSchema).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val n = ct.metaRowCount(None).getOrElse(-1L)
+        val stride = meta.getOrElse("train_stride", "1").toLong
+        println(f"| $n | ${n / math.max(1L, stride)} | $stride " +
+          f"| $sec%.2f |")
+      }
+    }
     spark.stop()
   }
 }
