@@ -181,6 +181,64 @@ class MvBranchSpec extends AnyFunSuite {
     assert(segOf(mvRoot) === recomputeJ(fact, dim))
   }
 
+  test("2-dim star WAP: branchMv forks the (fact, dim, dim, view) " +
+    "4-TUPLE, audit writes land on all branch sides, one publish " +
+    "promotes them with per-dim bookkeeping") {
+    val dir = Files.createTempDirectory("mvbr2d")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dimU = TxLogTable(spark, dir.resolve("dimu").toString)
+    val dimC = TxLogTable(spark, dir.resolve("dimc").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val duSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    val dcSchema = StructType(Seq(
+      StructField("ckey", StringType), StructField("cls", StringType)))
+    val fSchema = StructType(Seq(
+      StructField("k", LongType), StructField("cat", StringType),
+      StructField("v", DoubleType)))
+    fact.commit(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "cat", "v"),
+      overwrite = true)
+    dimU.commit(Seq((1L, "gold"), (2L, "iron")).toDF("uid", "seg"),
+      overwrite = true)
+    dimC.commit(Seq(("a", "hot"), ("b", "cold")).toDF("ckey", "cls"),
+      overwrite = true)
+    MaterializedView.createStar(spark, mvRoot, "wap2d", fact, fSchema,
+      Seq((dimU, duSchema, Seq("k" -> "uid")),
+        (dimC, dcSchema, Seq("cat" -> "ckey"))),
+      Seq("seg", "cls"), Seq("total" -> "v"))
+    def stOf(root: String): Set[(String, String, Long, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, root).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    }
+    val mainBefore = stOf(mvRoot)
+    MaterializedView.branchMv(spark, mvRoot, "a")
+    assert(dimU.branches().contains("a") && dimC.branches().contains("a"),
+      "BOTH dims must fork")
+    val bHandle = TxLogTable.branchRoot(mvRoot, "a")
+    // audit writes on all three branch sides
+    fact.branchTable("a").commit(Seq((2L, "a", 10.0))
+      .toDF("k", "cat", "v"), overwrite = false)
+    dimU.branchTable("a").updateWherePos(duSchema, col("uid") === 1L,
+      Seq("seg" -> lit("iron")))
+    dimC.branchTable("a").updateWherePos(dcSchema, col("ckey") === "b",
+      Seq("cls" -> lit("mild")))
+    val st = MaterializedView.refresh(spark, bHandle)
+    assert(st.mode === "incremental",
+      s"branch fact delta + BOTH branch dim deltas must fold: $st")
+    assert(stOf(bHandle) === Set(("iron", "hot", 2L, 11.0),
+      ("iron", "mild", 1L, 2.0)))
+    assert(stOf(mvRoot) === mainBefore, "main frozen through the audit")
+    val (_, vPub) = MaterializedView.publishWap(spark, mvRoot, "a")
+    assert(TxLogTable(spark, mvRoot).latestVersion.contains(vPub))
+    assert(stOf(mvRoot) === Set(("iron", "hot", 2L, 11.0),
+      ("iron", "mild", 1L, 2.0)))
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop",
+      "post-publish bookkeeping must be seamless for BOTH dim pins")
+  }
+
   private def src_eq(t: TxLogTable, v: Int): Boolean =
     t.latestVersion.contains(v)
 
