@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -240,6 +241,21 @@ class OperatorSpec extends AnyFunSuite {
     val (v4, _, a4) = AnnIndex.refreshAuto(spark, idx, 0.99)
     assert(a4 == "retrained" && v4 == corpus.latestVersion.get, (v4, a4))
     assert(AnnIndex.status(spark, idx).totalVectors == 20L)
+    // a SMALL COW delete inside a large corpus file must not inflate
+    // the pending estimate (the raw added-files feed would count every
+    // row of the rewritten file as an insert and trigger a spurious
+    // O(corpus) retrain): pending reads the NET insert events, so this
+    // window routes
+    val schemaC = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    corpus.deleteWhere(schemaC, col("vec_id") === 5003L)
+    val (v5, n5, a5) = AnnIndex.refreshAuto(spark, idx, 0.3)
+    assert(a5 == "routed" && n5 == 0L &&
+      v5 == corpus.latestVersion.get,
+      s"a COW-rewritten deleting window must route, not retrain: " +
+        s"($v5, $n5, $a5)")
+    assert(AnnIndex.status(spark, idx).totalVectors == 19L)
   }
 
   test("searchIvfSq8Batch equals per-id searchIvfSq8, and maintainAnn " +
