@@ -533,6 +533,143 @@ class MvPropertySpec extends AnyFunSuite {
       "partial-recompute path — rebalance the generator")
   }
 
+  test("2-dim star fuzz: independent churn on BOTH dims interleaved " +
+    "with fact DML — the telescoped per-dim corrections leave the view " +
+    "equal to a 2-join recompute after every refresh, windows moving " +
+    "both dims staying incremental") {
+    val duSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    val dcSchema = StructType(Seq(
+      StructField("uid2", LongType), StructField("cls", StringType)))
+    sealed trait DOp
+    case class D1Upd(ks: List[Long]) extends DOp
+    case class D1Del(ks: List[Long]) extends DOp
+    case class D1Ins(ks: List[Long]) extends DOp
+    case class D2Upd(ks: List[Long]) extends DOp
+    case class D2Del(ks: List[Long]) extends DOp
+    case class D2Ins(ks: List[Long]) extends DOp
+    case class FactOp(op: Op) extends DOp
+    case object DRefresh extends DOp
+    val dimKsGen = Gen.resize(2, Gen.nonEmptyListOf(Gen.choose(1L, 8L)))
+    val dopGen: Gen[DOp] = Gen.frequency(
+      4 -> opGenNoRefresh.map(FactOp),
+      2 -> dimKsGen.map(D1Upd),
+      1 -> dimKsGen.map(D1Del),
+      1 -> dimKsGen.map(D1Ins),
+      2 -> dimKsGen.map(D2Upd),
+      1 -> dimKsGen.map(D2Del),
+      1 -> dimKsGen.map(D2Ins),
+      4 -> Gen.const(DRefresh))
+    // the deterministic tail guarantees each seed one BOTH-dims-moved
+    // window (inserts of never-used keys always commit): the random
+    // body's dims often shrink until late DML matches nothing, which
+    // would leave the both-moved coverage to chance
+    val dProgGen: Gen[List[DOp]] = for {
+      tail <- Gen.resize(14, Gen.listOf(dopGen))
+    } yield (FactOp(Overwrite(List((1L, 1.5), (2L, 3.0)))) :: tail) ++
+      List(DRefresh, FactOp(Append(List((7L, 2.5)))), D1Ins(List(42L)),
+        D2Ins(List(42L)), DRefresh)
+    var bothMovedInc = 0
+    forAllSeeded(dProgGen, 10) { (program, seed) =>
+      val dir = Files.createTempDirectory("mv2dim")
+      val fact = TxLogTable(spark, dir.resolve("fact").toString)
+      val dimU = TxLogTable(spark, dir.resolve("dimu").toString)
+      val dimC = TxLogTable(spark, dir.resolve("dimc").toString)
+      val mvRoot = dir.resolve("mv").toString
+      dimU.commit((1L to 6L).map(i => (i, s"s${i % 3}"))
+        .toDF("uid", "seg"), overwrite = true)
+      dimC.commit((1L to 6L).map(i => (i, s"c${i % 2}"))
+        .toDF("uid2", "cls"), overwrite = true)
+      var created = false
+      def joinState(): Set[(String, String, Long, BigDecimal)] =
+        fact.snapshot(schema)
+          .join(dimU.snapshot(duSchema), col("k") === col("uid"))
+          .join(dimC.snapshot(dcSchema), col("k") === col("uid2"))
+          .groupBy("seg", "cls")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(38, 6))).as("t"))
+          .collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(2),
+            BigDecimal(r.getAs[java.math.BigDecimal]("t")))).toSet
+      def mvJState(): Set[(String, String, Long, BigDecimal)] = {
+        val d = MaterializedView.definition(spark, mvRoot)
+        TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+          .map(r => (r.getString(0), r.getString(1),
+            r.getAs[Long](MaterializedView.CountCol),
+            BigDecimal(r.getAs[java.math.BigDecimal]("total")))).toSet
+      }
+      def insIfAbsent(dt: TxLogTable, sch: StructType, key: String,
+                      ks: List[Long], mk: Long => (Long, String)): Unit = {
+        val present = dt.snapshot(sch).select(key)
+          .collect().map(_.getLong(0)).toSet
+        val freshKs = ks.distinct.filterNot(present)
+        if (freshKs.nonEmpty)
+          dt.commit(freshKs.map(mk).toDF(sch.fieldNames.toIndexedSeq: _*),
+            overwrite = false)
+      }
+      program.zipWithIndex.foreach { case (dop, step) =>
+        def ctx = s"seed=$seed step=$step op=$dop program=$program"
+        dop match {
+          case FactOp(Append(rows)) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = false)
+          case FactOp(Overwrite(rows)) =>
+            fact.commit(rows.toDF("k", "v"), overwrite = true)
+          case FactOp(DeleteCow(ks)) =>
+            fact.deleteWhere(schema, col("k").isin(ks: _*))
+          case FactOp(DeletePos(ks)) =>
+            fact.deleteWherePos(schema, col("k").isin(ks: _*))
+          case FactOp(UpdatePos(ks)) =>
+            fact.updateWherePos(schema, col("k").isin(ks: _*),
+              Seq("v" -> (col("v") + 0.5)))
+          case FactOp(MorDrop(ks)) =>
+            fact.deleteByKeysMor(ks.toDF("k").distinct())
+          case FactOp(Compact) =>
+            if (fact.latestVersion.nonEmpty) fact.compact(schema)
+          case FactOp(Vac) =>
+            fact.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+            dimU.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+            dimC.vacuum(keep = 1, minAgeMillis = 0L, retainMillis = 0L)
+          case FactOp(Refresh) => () // unreachable (opGenNoRefresh)
+          case D1Upd(ks) =>
+            dimU.updateWherePos(duSchema, col("uid").isin(ks: _*),
+              Seq("seg" -> concat(col("seg"), lit("x"))))
+          case D1Del(ks) =>
+            dimU.deleteWherePos(duSchema, col("uid").isin(ks: _*))
+          case D1Ins(ks) =>
+            insIfAbsent(dimU, duSchema, "uid", ks, i => (i, s"n${i % 4}"))
+          case D2Upd(ks) =>
+            dimC.updateWherePos(dcSchema, col("uid2").isin(ks: _*),
+              Seq("cls" -> concat(col("cls"), lit("y"))))
+          case D2Del(ks) =>
+            dimC.deleteWherePos(dcSchema, col("uid2").isin(ks: _*))
+          case D2Ins(ks) =>
+            insIfAbsent(dimC, dcSchema, "uid2", ks, i => (i, s"m${i % 3}"))
+          case DRefresh =>
+            if (!created) {
+              MaterializedView.createStar(spark, mvRoot, s"s2$seed",
+                fact, schema,
+                Seq((dimU, duSchema, Seq("k" -> "uid")),
+                  (dimC, dcSchema, Seq("k" -> "uid2"))),
+                Seq("seg", "cls"), Seq("total" -> "v"))
+              created = true
+            } else {
+              val mvT = TxLogTable(spark, mvRoot)
+              val d1Before = MaterializedView.lastDimVersion(mvT, 0)
+              val d2Before = MaterializedView.lastDimVersion(mvT, 1)
+              val st = MaterializedView.refresh(spark, mvRoot)
+              if (st.mode == "incremental" &&
+                  dimU.latestVersion.exists(_ != d1Before) &&
+                  dimC.latestVersion.exists(_ != d2Before))
+                bothMovedInc += 1
+            }
+            assert(mvJState() === joinState(), ctx)
+        }
+      }
+    }
+    assert(bothMovedInc > 0, "the corpus never folded a window with " +
+      "BOTH dims moved incrementally — weaken the fallbacks?")
+  }
+
   test("min/max star fuzz: dim churn interleaved with fact DML on an " +
     "extrema view — fold equals a join recompute after every refresh, " +
     "and replayable dim windows route to the dim-targeted group " +
