@@ -361,6 +361,59 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
   }
 
+  test("N-dim star with MIN/MAX measures: churn on both dims routes " +
+    "through the dim-targeted group recompute — incremental, equal to " +
+    "a 2-join recompute") {
+    val dir = Files.createTempDirectory("mvstar2mm")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dimU = TxLogTable(spark, dir.resolve("dimu").toString)
+    val dimC = TxLogTable(spark, dir.resolve("dimc").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val duSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    val dcSchema = StructType(Seq(
+      StructField("ckey", StringType), StructField("cls", StringType)))
+    fact.commit(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 4.0),
+      (2L, "a", 8.0)), overwrite = true)
+    dimU.commit(Seq((1L, "gold"), (2L, "iron"), (3L, "gold"))
+      .toDF("uid", "seg"), overwrite = true)
+    dimC.commit(Seq(("a", "hot"), ("b", "cold")).toDF("ckey", "cls"),
+      overwrite = true)
+    MaterializedView.createStar(spark, mvRoot, "star2mm", fact, schema,
+      Seq((dimU, duSchema, Seq("k" -> "uid")),
+        (dimC, dcSchema, Seq("cat" -> "ckey"))),
+      Seq("seg", "cls"), Seq("total" -> "v"),
+      mins = Seq("lo" -> "v"), maxs = Seq("hi" -> "v"))
+    def recomputeMm(): Set[(String, String, Long, Double, Double)] =
+      fact.snapshot(schema)
+        .join(dimU.snapshot(duSchema), col("k") === col("uid"))
+        .join(dimC.snapshot(dcSchema), col("cat") === col("ckey"))
+        .groupBy("seg", "cls").agg(count(lit(1)).as("n"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    def viewMm(): Set[(String, String, Long, Double, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toSet
+    }
+    assert(viewMm() === recomputeMm())
+    // ONE window: both dims churn (a migration that moves the group
+    // extremum, and a reclass) + a fact delete removing an extremum
+    dimU.updateWherePos(duSchema, col("uid") === 2L,
+      Seq("seg" -> lit("gold")))
+    dimC.updateWherePos(dcSchema, col("ckey") === "a",
+      Seq("cls" -> lit("warm")))
+    fact.deleteWherePos(schema, col("v") === 8.0)
+    val st = MaterializedView.refresh(spark, mvRoot)
+    assert(st.mode === "incremental",
+      s"dim churn on a MIN/MAX star must stay incremental: $st")
+    assert(viewMm() === recomputeMm())
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+  }
+
   test("views compose: an MV over an MV folds incrementally — the " +
     "upstream refresh's DV-upsert feeds exact delete+insert events") {
     val dir = Files.createTempDirectory("mvchain")
