@@ -268,14 +268,18 @@ object MaterializedView {
   private def filtered(rows: DataFrame, d: MvDef): DataFrame =
     d.filterExpr.fold(rows)(f => rows.filter(expr(f)))
 
-  /** Enrich (broadcast inner joins against the version-pinned
-    * dimensions, in definition order) then filter — the row-local prefix
+  /** Enrich (inner joins against the version-pinned dimensions, in
+    * definition order) then filter — the row-local prefix
     * both the initial aggregate and every feed fold run before grouping.
     * Inner joins: a fact row with no dim match contributes nothing, and
     * its later delete event joins nothing either — symmetric, so the
     * fold stays exact. Each dim side is required unique on its join keys
     * (checked at create and at every full refresh; incremental refreshes
     * pin the dim versions, so the check cannot rot between them).
+    * Dim frames arrive from [[dimSnapHinted]], which attaches the
+    * broadcast hint only while the dim is provably broadcast-sized —
+    * small dims keep the guaranteed map-side star plan, a huge dim
+    * enriches through an ordinary shuffle join.
     */
   private def prepared(rows: DataFrame, d: MvDef,
                        dimSnaps: Seq[DataFrame]): DataFrame = {
@@ -285,7 +289,7 @@ object MaterializedView {
       case (acc, (dm, ds)) =>
         val cond = dm.join.map { case (f, k) => acc(f) === ds(k) }
           .reduce(_ && _)
-        acc.join(broadcast(ds), cond, "inner")
+        acc.join(ds, cond, "inner")
     }
     // row-local derived columns (after the join so they may combine both
     // sides, before the filter so the filter may reference them); the
@@ -297,6 +301,26 @@ object MaterializedView {
           .parseDataType(t)))
     }
     filtered(derived, d)
+  }
+
+  /** A dim snapshot for enrichment joins, broadcast-hinted only while
+    * the dim's EXACT manifest row count is known (no live MOR
+    * tombstones) and under `spark.graft.mv.maxBroadcastDimRows`. Under
+    * the cap this pins the classic star plan — the dim builds map-side,
+    * the fact never shuffles for the join. Past it (or count unknown)
+    * the hint is simply absent and Catalyst/AQE plan the enrichment
+    * like any large join, shuffling on the FK — a billion-row dim is
+    * then merely a bigger join, never a forced driver-OOM broadcast.
+    * The decision costs one O(manifest) metadata read per pinned
+    * version; correctness is identical either way.
+    */
+  private def dimSnapHinted(spark: SparkSession, dt: TxLogTable,
+                            projSchema: StructType, v: Int): DataFrame = {
+    val snap = dt.snapshot(projSchema, Some(v))
+    if (dt.metaRowCount(Some(v))
+          .exists(_ <= TxLogTable.maxBroadcastDimRows(spark)))
+      broadcast(snap)
+    else snap
   }
 
   private def checkDimUnique(dimSnap: DataFrame, keys: Seq[String]): Unit = {
@@ -526,7 +550,7 @@ object MaterializedView {
         MvDim(dt.root, joinOn, dp.toDDL) },
       mins, maxs, derivesTyped)
     val dimSnaps = dimSpecs.zip(dimProjs).zip(dimHeads).map {
-      case (((dt, _, _), dp), dh) => dt.snapshot(dp, Some(dh)) }
+      case (((dt, _, _), dp), dh) => dimSnapHinted(spark, dt, dp, dh) }
     d.dims.zip(dimSnaps).foreach { case (dm, ds) =>
       checkDimUnique(ds, dm.join.map(_._2)) }
     val mv = TxLogTable(spark, mvRoot)
@@ -776,11 +800,13 @@ object MaterializedView {
       }
     // a recompute re-pins every dim at ITS current head (the
     // slowly-changing-dimension cadence: fact deltas fold between dim
-    // changes; a dim change folds as a delta when foldable, else — or
-    // past the changed-key broadcast cap — costs this one recompute)
+    // changes; a dim change folds as a delta when foldable — broadcast
+    // under the changed-key cap, shuffle-joined past it — and only an
+    // unreplayable window or a churn covering most of the dim costs
+    // this one recompute)
     def fullRecompute(): RefreshStats = {
       val dimSnapsFull = dimTs.zip(d.dims).zip(dimHeads).map {
-        case ((dt, dm), dh) => dt.snapshot(dm.projSchema, Some(dh)) }
+        case ((dt, dm), dh) => dimSnapHinted(spark, dt, dm.projSchema, dh) }
       d.dims.zip(dimSnapsFull).foreach { case (dm, ds) =>
         checkDimUnique(ds, dm.join.map(_._2)) }
       val state = clustered(aggregate(prepared(
@@ -824,10 +850,11 @@ object MaterializedView {
     // give; `dimSnapsNew` is the all-at-head state (moved dims at their
     // heads, unmoved pins ARE their heads) the corrections target
     val dimSnapsOld: Seq[DataFrame] = d.dims.indices.map(i =>
-      dimTs(i).snapshot(d.dims(i).projSchema, Some(lastDims(i))))
+      dimSnapHinted(spark, dimTs(i), d.dims(i).projSchema, lastDims(i)))
     val dimSnapsNew: Seq[DataFrame] = d.dims.indices.map(i =>
       if (dimHeads(i) == lastDims(i)) dimSnapsOld(i)
-      else dimTs(i).snapshot(d.dims(i).projSchema, Some(dimHeads(i))))
+      else dimSnapHinted(spark, dimTs(i), d.dims(i).projSchema,
+        dimHeads(i)))
     def deltaOf(f: Fold): DataFrame = {
       val feed = prepared(src.changesWithDeletes(feedProj, f.fromV,
         f.toV, skipRewrites = true), d, dimSnapsOld)
@@ -889,9 +916,22 @@ object MaterializedView {
         .select(dimKeys.map(col): _*)
         .na.drop("any", dimKeys).distinct().localCheckpoint()
       val kRows = kDim.count()
-      if (kRows > TxLogTable.maxDimDeltaKeys(spark))
+      // past the broadcast cap the SAME signed arithmetic folds through
+      // shuffle joins — cost stays O(delta + affected fact rows), and the
+      // untouched groups stay manifest references either way. Only a
+      // churn covering most of the dim recomputes: there the affected
+      // groups approach the whole view AND the fold pays the old/new
+      // enrichment twice, so the one-pass recompute is genuinely the
+      // cheaper plan. The dim size is the manifest's exact O(manifest)
+      // row count; unknown (live tombstones) keeps the conservative
+      // recompute fallback of the capped path.
+      val kBcast = kRows <= TxLogTable.maxDimDeltaKeys(spark)
+      if (!kBcast && !dt.metaRowCount(Some(dimHeads(i)))
+            .exists(kRows * 2 <= _))
         return fullRecompute()
-      def keysIn(side: DataFrame): DataFrame = side.join(broadcast(kDim),
+      def kHint(df: DataFrame): DataFrame =
+        if (kBcast) broadcast(df) else df
+      def keysIn(side: DataFrame): DataFrame = side.join(kHint(kDim),
         dimKeys.map(k => side(k) === kDim(k)).reduce(_ && _),
         "left_semi")
       val newSide = keysIn(dimSnapsNew(i)).localCheckpoint()
@@ -913,7 +953,7 @@ object MaterializedView {
           src.snapshotWhere(extProj(src, proj, Seq(head)),
             col(fk).isInCollection(pts), Some(head))
         } else src.snapshot(extProj(src, proj, Seq(head)), Some(head))
-      val affFacts = factBase.join(broadcast(kDim),
+      val affFacts = factBase.join(kHint(kDim),
         dm.join.map { case (f, k) => factBase(f) === kDim(k) }
           .reduce(_ && _), "left_semi")
       if (dimTargeted) {
@@ -934,17 +974,18 @@ object MaterializedView {
         val sign = "__graft_dim_sign"
         val signedDim = keysIn(dimSnapsOld(i)).withColumn(sign, lit(-1L))
           .unionByName(newSide.withColumn(sign, lit(1L)))
-        var joined = affFacts.join(broadcast(signedDim),
+        var joined = affFacts.join(kHint(signedDim),
           dm.join.map { case (f, k) => affFacts(f) === signedDim(k) }
             .reduce(_ && _), "inner")
         // the other dims enrich at the telescoping versions: before i →
         // new head, after i → old pin (each inner, both signs see the
-        // same other-dim state, so non-i enrichment cancels exactly)
+        // same other-dim state, so non-i enrichment cancels exactly);
+        // the snapshots carry their own size-aware broadcast hint
         d.dims.indices.filterNot(_ == i).foreach { j =>
           val ds = if (j < i) dimSnapsNew(j) else dimSnapsOld(j)
           val cond = d.dims(j).join.map { case (f, k) =>
             joined(f) === ds(k) }.reduce(_ && _)
-          joined = joined.join(broadcast(ds), cond, "inner")
+          joined = joined.join(ds, cond, "inner")
         }
         val derived = d.derives.foldLeft(joined) { case (acc, (n, t, e)) =>
           acc.withColumn(n, expr(e).cast(

@@ -185,17 +185,34 @@ object TxLogTable {
       .forall(_.toBoolean)
 
   /** Cap on the CHANGED-DIM-KEY set a joined-MV refresh will fold as a
-    * dim delta (the key set is broadcast against the fact side to find
-    * affected rows, so it must stay broadcast-sized). A dim window whose
-    * changed keys exceed it falls back to a full recompute — at that
-    * churn the "affected" groups approach the whole view anyway, and the
-    * one-pass recompute is the cheaper plan. Conf-overridable:
+    * BROADCAST dim delta (the key set rides the build side of the
+    * affected-fact semi-join, so the hint must stay broadcast-sized). A
+    * dim window whose changed keys exceed it folds the SAME signed
+    * arithmetic through shuffle joins instead — still O(delta +
+    * affected) — and only a churn covering most of the dim (where the
+    * affected groups approach the whole view anyway) falls back to the
+    * one-pass full recompute. Conf-overridable:
     * `spark.graft.mv.maxDimDeltaKeys`. */
   val MaxDimDeltaKeys: Long = 1L << 20
 
   def maxDimDeltaKeys(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.mv.maxDimDeltaKeys")
       .map(_.toLong).getOrElse(MaxDimDeltaKeys)
+
+  /** Cap on a dimension snapshot's MANIFEST row count under which MV
+    * enrichment joins carry an explicit broadcast hint (the classic
+    * star contract: the dim pins map-side enrichment and the fact never
+    * shuffles for the join). A dim past the cap — or one whose exact
+    * count the manifest cannot answer (live MOR tombstones) — simply
+    * loses the hint: Catalyst/AQE then plan the enrichment like any
+    * large join (shuffle on the FK), correct at any dim size instead of
+    * a driver OOM at a forced billion-row broadcast. Conf-overridable:
+    * `spark.graft.mv.maxBroadcastDimRows`. */
+  val MaxBroadcastDimRows: Long = 4L << 20
+
+  def maxBroadcastDimRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.mv.maxBroadcastDimRows")
+      .map(_.toLong).getOrElse(MaxBroadcastDimRows)
 
   /** `#op=` values whose commits preserve the table's logical content —
     * pure layout maintenance (file packing / clustering / bucket

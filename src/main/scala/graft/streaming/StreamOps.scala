@@ -253,10 +253,11 @@ object StreamOps {
     * AvailableNow for catch-up-and-stop backfills.
     *
     * STAR-SCHEMA views: the trigger stream is the UNION of the fact's
-    * and the pinned dimension's feeds, so a dim update fires a batch
+    * and every pinned dimension's feed, so a dim update fires a batch
     * like any fact commit — the refresh's own triage then decides the
-    * cadence (fact deltas fold against the pinned dim; a moved dim
-    * costs exactly one full recompute that re-pins). The re-pin
+    * cadence (fact deltas fold against the pinned dims; a moved dim
+    * folds as a signed dim delta that re-pins, falling back to a full
+    * recompute only past the replayability gates). The fold/recompute
     * decision thus lives in the refresh, the stream merely guarantees
     * it is never more than one trigger late.
     */

@@ -671,6 +671,152 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not unique"), e.getMessage)
   }
 
+  test("dim delta past the broadcast cap folds through SHUFFLE joins — " +
+    "still incremental, still equal to a recompute; only a churn " +
+    "covering most of the dim pays the full recompute") {
+    val dir = Files.createTempDirectory("mvj-shuf")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L to 24L).map(i => (i % 12, "x", i.toDouble)): _*),
+      overwrite = true)
+    dim.commit((0L to 11L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("uid", "seg"), overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "shufstar", fact, schema,
+      dim, dimSchema, Seq("k" -> "uid"), Seq("seg"), Seq("total" -> "v"))
+    def seg(): Set[(String, Long, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    }
+    def expect(): Set[(String, Long, Double)] =
+      fact.snapshot(schema).join(dim.snapshot(dimSchema),
+          col("k") === col("uid"), "inner")
+        .groupBy("seg").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(38, 6))).as("t"))
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("t").doubleValue())).toSet
+    spark.conf.set("spark.graft.mv.maxDimDeltaKeys", "2")
+    try {
+      // 4 changed keys > cap 2, but 4*2 ≤ 12 dim rows: the SAME signed
+      // arithmetic folds through shuffle joins — mode stays incremental
+      dim.updateWherePos(dimSchema, col("uid").isin(1L, 3L, 5L, 7L),
+        Seq("seg" -> lit("prime")))
+      val r1 = MaterializedView.refresh(spark, mvRoot)
+      assert(r1.mode === "incremental", r1)
+      assert(seg() === expect())
+      assert(MaterializedView.lastDimVersion(TxLogTable(spark, mvRoot)) ===
+        dim.latestVersion.get, "the shuffle fold must re-pin the dim")
+      // churn covering MOST of the dim (8 of 12 keys > half): the
+      // affected groups approach the whole view — recompute is cheaper
+      dim.updateWherePos(dimSchema, col("uid") < 8L,
+        Seq("seg" -> lit("bulk")))
+      val r2 = MaterializedView.refresh(spark, mvRoot)
+      assert(r2.mode === "full", r2)
+      assert(seg() === expect())
+    } finally spark.conf.unset("spark.graft.mv.maxDimDeltaKeys")
+  }
+
+  test("MIN/MAX star under an over-cap dim delta: the affected-group " +
+    "derivation runs through shuffle joins and routes to the " +
+    "dim-targeted recompute — incremental, equal to a recompute") {
+    val dir = Files.createTempDirectory("mvj-shufmm")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L to 24L).map(i => (i % 12, "x", i.toDouble)): _*),
+      overwrite = true)
+    dim.commit((0L to 11L).map(i => (i, if (i % 3 == 0) "tri" else "rest"))
+      .toDF("uid", "seg"), overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "shufmm", fact, schema,
+      dim, dimSchema, Seq("k" -> "uid"), Seq("seg"), Seq("total" -> "v"),
+      mins = Seq("vmin" -> "v"), maxs = Seq("vmax" -> "v"))
+    def stateOf(): Set[(String, Long, Double, Double, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue(),
+          r.getAs[Double]("vmin"), r.getAs[Double]("vmax"))).toSet
+    }
+    def expect(): Set[(String, Long, Double, Double, Double)] =
+      fact.snapshot(schema).join(dim.snapshot(dimSchema),
+          col("k") === col("uid"), "inner")
+        .groupBy("seg").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(38, 6))).as("t"),
+          min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("t").doubleValue(),
+          r.getAs[Double]("mn"), r.getAs[Double]("mx"))).toSet
+    spark.conf.set("spark.graft.mv.maxDimDeltaKeys", "2")
+    try {
+      // 4 changed keys (> cap, ≤ half the dim) migrate groups — extrema
+      // must be re-derived for both sides of each migration
+      dim.updateWherePos(dimSchema, col("uid").isin(0L, 3L, 6L, 9L),
+        Seq("seg" -> lit("moved")))
+      val r1 = MaterializedView.refresh(spark, mvRoot)
+      assert(r1.mode === "incremental", r1)
+      assert(stateOf() === expect())
+      assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+    } finally spark.conf.unset("spark.graft.mv.maxDimDeltaKeys")
+  }
+
+  test("a dim past maxBroadcastDimRows loses the broadcast hint: " +
+    "create, fact folds, and dim-delta folds all stay correct through " +
+    "shuffle enrichment") {
+    val dir = Files.createTempDirectory("mvj-bigdim")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L to 40L).map(i => (i % 20, "x", i.toDouble)): _*),
+      overwrite = true)
+    dim.commit((0L to 19L).map(i => (i, "s" + (i % 4)))
+      .toDF("uid", "seg"), overwrite = true)
+    def expect(): Set[(String, Long, Double)] =
+      fact.snapshot(schema).join(dim.snapshot(dimSchema),
+          col("k") === col("uid"), "inner")
+        .groupBy("seg").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(38, 6))).as("t"))
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("t").doubleValue())).toSet
+    // every enrichment join in create/refresh/dim-delta now plans
+    // WITHOUT the forced broadcast hint (dim has 20 rows > cap 10)
+    spark.conf.set("spark.graft.mv.maxBroadcastDimRows", "10")
+    try {
+      MaterializedView.createJoined(spark, mvRoot, "bigdim", fact, schema,
+        dim, dimSchema, Seq("k" -> "uid"), Seq("seg"), Seq("total" -> "v"))
+      def seg(): Set[(String, Long, Double)] = {
+        val d = MaterializedView.definition(spark, mvRoot)
+        TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+          .map(r => (r.getString(0),
+            r.getAs[Long](MaterializedView.CountCol),
+            r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+      }
+      assert(seg() === expect())
+      // fact delta folds (enrichment un-hinted)
+      fact.commit(df((5L, "x", 100.0)), overwrite = false)
+      fact.deleteWhere(schema, col("v") === 1.0)
+      val r1 = MaterializedView.refresh(spark, mvRoot)
+      assert(r1.mode === "incremental", r1)
+      assert(seg() === expect())
+      // dim delta folds (changed keys ≤ delta cap, dim itself un-hinted)
+      dim.updateWherePos(dimSchema, col("uid") === 5L,
+        Seq("seg" -> lit("s9")))
+      val r2 = MaterializedView.refresh(spark, mvRoot)
+      assert(r2.mode === "incremental", r2)
+      assert(seg() === expect())
+      assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+    } finally spark.conf.unset("spark.graft.mv.maxBroadcastDimRows")
+  }
+
   test("refresh writes zero rewrites — the changed groups arrive as a " +
     "DV mask plus replacement rows, other groups stay carried") {
     val (src, mvRoot) = fresh()
