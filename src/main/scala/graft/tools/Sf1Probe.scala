@@ -190,6 +190,61 @@ object Sf1Probe {
       }
     }
 
+    // ---- SHUFFLE-FOLD arm: over-cap dim delta, 10× fact --------------
+    // The r19 claim: a changed-key set past spark.graft.mv.maxDimDeltaKeys
+    // no longer pays a full recompute — the same signed arithmetic folds
+    // through SHUFFLE joins, O(delta + affected). With the cap forced to
+    // 1 the whole delta takes the shuffle path; 10× the fact with the
+    // SAME fixed delta should hold refresh wall ~flat and the mode
+    // incremental (vs the r18 behavior: mode=full, wall O(view)).
+    locally {
+      import org.apache.spark.sql.types._
+      val evs = spark.read.parquet(s"$src/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          col("value").cast(DoubleType).as("value"))
+      val dimRows = evs.select(col("user_id").as("uid")).distinct()
+        .withColumn("seg", pmod(col("uid"), lit(13L)))
+      val fSchema = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val dSchema = StructType(Seq(StructField("uid", LongType),
+        StructField("seg", LongType)))
+      println("| fact rows | dim delta keys | shuffle-fold s | mode |")
+      println("|---|---|---|---|")
+      spark.conf.set("spark.graft.mv.maxDimDeltaKeys", "1")
+      try for (mult <- Seq(1, 10)) {
+        val base = Paths.get(s"/tmp/graft-sf1-shufarm-$mult")
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        val fact = graft.sources.TxLogTable(spark,
+          base.resolve("fact").toString)
+        val dim = graft.sources.TxLogTable(spark,
+          base.resolve("dim").toString)
+        val f = (0 until mult).map(i => evs
+            .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+          .reduce(_.unionByName(_))
+          .repartitionByRange(32, col("user_id"))
+          .sortWithinPartitions("user_id")
+        fact.commit(f, overwrite = true)
+        dim.commit(dimRows, overwrite = true)
+        val mvRoot = base.resolve("mv").toString
+        graft.operators.MaterializedView.createJoined(spark, mvRoot,
+          s"shufarm$mult", fact, fSchema, dim, dSchema,
+          Seq("user_id" -> "uid"), Seq("seg"), Seq("total" -> "value"))
+        // untimed warmup window (codegen/JIT), then the measured window
+        dim.updateWherePos(dSchema, pmod(col("uid"), lit(97L)) === 5L,
+          Seq("seg" -> (col("seg") + 1000L)))
+        graft.operators.MaterializedView.refresh(spark, mvRoot)
+        dim.updateWherePos(dSchema, pmod(col("uid"), lit(30L)) === 7L,
+          Seq("seg" -> (col("seg") + 100L)))
+        val kchg = dimRows.filter(pmod(col("uid"), lit(30L)) === 7L)
+          .count()
+        val t0 = System.nanoTime()
+        val st = graft.operators.MaterializedView.refresh(spark, mvRoot)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"| ${fact.metaRowCount(None).getOrElse(-1L)} | $kchg " +
+          f"| $sec%.2f | ${st.mode} |")
+      } finally spark.conf.unset("spark.graft.mv.maxDimDeltaKeys")
+    }
+
     // ---- TARGETED-RECOMPUTE arm: 10× groups, FIXED affected set ------
     // The r18 claim: a deleting window on a MIN/MAX view re-aggregates
     // exactly the affected groups — write O(affected), never O(view).
