@@ -2056,6 +2056,17 @@ object EtlQueries {
       s.sql("UPDATE graftcat.db.dim_segf SET segment = 55 " +
         "WHERE uid % 13 = 4")
       refreshInc("mixed fact+dim window")
+      // OVER-CAP window: force the changed-key set past the broadcast
+      // cap — the same signed arithmetic must route through the
+      // SHUFFLE-join path and stay incremental (the r18 cliff paid a
+      // full recompute here); churn is ~1/17 of the dim, far under the
+      // covers-most-of-the-dim crossover that legitimately recomputes
+      s.sql("SET spark.graft.mv.maxDimDeltaKeys=2")
+      try {
+        s.sql("UPDATE graftcat.db.dim_segf SET segment = segment + 200 " +
+          "WHERE uid % 17 = 6")
+        refreshInc("over-cap dim window (shuffle fold)")
+      } finally s.sql("RESET spark.graft.mv.maxDimDeltaKeys")
       s.sql("SELECT segment, mv_count AS n, " +
         "CAST(total AS DOUBLE) AS total FROM graftcat.db.mv_dimf")
     }),
@@ -4594,10 +4605,11 @@ object EtlQueries {
       """WITH du AS (SELECT DISTINCT user_id AS uid FROM events),
          d AS (
            SELECT uid,
-             CASE WHEN uid % 13 = 4 THEN 55
+             (CASE WHEN uid % 13 = 4 THEN 55
                   WHEN uid % 7 = 0 THEN 77
                   WHEN uid % 5 = 2 THEN 102
-                  ELSE uid % 5 END AS segment
+                  ELSE uid % 5 END) +
+             (CASE WHEN uid % 17 = 6 THEN 200 ELSE 0 END) AS segment
            FROM du
            WHERE uid % 7 = 0 OR uid % 11 <> 3),
          f AS (
@@ -4607,8 +4619,9 @@ object EtlQueries {
          FROM f JOIN d ON f.user_id = d.uid
          GROUP BY d.segment""",
 
-    // same dim program as joined_dimfold; fact is %3 in (0,1) minus the
-    // value<3 deletes (NULL values survive a < predicate)
+    // same dim program as joined_dimfold MINUS its over-cap %17 window;
+    // fact is %3 in (0,1) minus the value<3 deletes (NULL values
+    // survive a < predicate)
     "sql_mv_minmax_dimfold" ->
       """WITH du AS (SELECT DISTINCT user_id AS uid FROM events),
          d AS (
