@@ -188,7 +188,15 @@ class MvPropertySpec extends AnyFunSuite {
     } yield (FactOp(Overwrite(List((1L, 1.5), (2L, 3.0)))) :: tail) :+
       DRefresh
     var dimFolds = 0
+    var shuffleFolds = 0
     forAllSeeded(dProgGen, 10) { (program, seed) =>
+      // odd seeds force EVERY dim delta past the broadcast cap, so the
+      // SHUFFLE-join fold faces the same random adversary as the capped
+      // path (a delta past the covers-most-of-the-dim crossover still
+      // recomputes — the equality assert holds on both routes)
+      val overCap = seed % 2 == 1
+      if (overCap) spark.conf.set("spark.graft.mv.maxDimDeltaKeys", "1")
+      else spark.conf.unset("spark.graft.mv.maxDimDeltaKeys")
       val dir = Files.createTempDirectory("mvdimfold")
       val fact = TxLogTable(spark, dir.resolve("fact").toString)
       val dim = TxLogTable(spark, dir.resolve("dim").toString)
@@ -259,14 +267,21 @@ class MvPropertySpec extends AnyFunSuite {
                 TxLogTable(spark, mvRoot))
               val st = MaterializedView.refresh(spark, mvRoot)
               if (st.mode == "incremental" &&
-                  dim.latestVersion.exists(_ != dimBefore)) dimFolds += 1
+                  dim.latestVersion.exists(_ != dimBefore)) {
+                dimFolds += 1
+                if (overCap) shuffleFolds += 1
+              }
             }
             assert(mvJState() === joinState(), ctx)
         }
       }
     }
+    spark.conf.unset("spark.graft.mv.maxDimDeltaKeys")
     assert(dimFolds > 0, "the corpus never exercised the dim-delta " +
       "incremental path — weaken the full-recompute fallbacks?")
+    assert(shuffleFolds > 0, "no over-cap window folded through the " +
+      "shuffle path — the forced-cap seeds never hit an incremental " +
+      "dim move?")
   }
 
   test("random DML programs with interleaved refreshes: the view equals " +
