@@ -115,6 +115,13 @@ object ImageCodec {
     * same block averages ⇒ [[aHash64]] recovers `pattern`'s thresholding
     * regardless of size — the property the image-dedup oracle pins. */
   def patternPng(pattern: Long, side: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(patternRaster(pattern, side), "png", bos)
+    bos.toByteArray
+  }
+
+  private def patternRaster(pattern: Long,
+                            side: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(side, side,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -128,8 +135,30 @@ object ImageCodec {
       }
       y += 1
     }
+    img
+  }
+
+  /** [[patternPng]]'s JPEG twin at an explicit compression quality — a
+    * REAL (lossy) baseline JPEG via the JDK writer. Different qualities
+    * or sizes give byte-distinct encodes, while the block-constant
+    * raster keeps [[aHash64]] of the DECODED pixels identical (DCT
+    * ringing perturbs cell edges, never a cell's average past the
+    * black/white mean) — the property the MJPEG frame-dedup oracle
+    * pins. */
+  def patternJpeg(pattern: Long, side: Int, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(patternRaster(pattern, side), null,
+          null), p)
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 }

@@ -9,9 +9,11 @@ import graft.sources.Tables
 /** Binary-column queries, oracle-checked: the metadata pass (header
   * parses of genuine PNG/JPEG/GIF/WAV/MP4 wire bytes), REAL pixel work
   * (`mm_pixel_dedup` decodes actual PNGs via the JDK's imageio and
-  * clusters by perceptual hash) and REAL PCM sample math
-  * (`mm_audio_pcm`). Only video FRAME decode remains a stand-in — see
-  * [[graft.multimodal.Multimodal]].
+  * clusters by perceptual hash; `mm_mjpeg_frames` demuxes and decodes
+  * MOTION-JPEG video frames the same way) and REAL PCM sample math
+  * (`mm_audio_pcm`). Inter-frame video codecs (H.264-class) remain the
+  * one documented out — no JVM codec exists; their container metadata
+  * walk is `mm_video_meta`.
   */
 object MultimodalQueries {
 
@@ -230,6 +232,56 @@ object MultimodalQueries {
         .select(col("cluster_id"), col("n_docs"))
     }),
 
+    // REAL video FRAME pixel decode end-to-end: MOTION JPEG is the one
+    // video codec family the standard JVM ships (a stream of baseline
+    // JPEGs — the demux is the marker walk real MJPEG tools do, the
+    // per-frame decode is javax.imageio). Each doc < 300 synthesizes a
+    // stream of 2 + doc_id%3 frames all rendering its group's 8×8
+    // pattern but at DIFFERENT JPEG qualities and render sizes —
+    // byte-distinct lossy encodes whose DECODED perceptual hashes
+    // agree — then demuxes, decodes every frame, and clusters streams
+    // by decoded content: video near-dup as a hash groupBy over real
+    // pixels, never an all-pairs frame compare. The in-query requires
+    // prove the decode is real (exact frame counts back out of the
+    // demux; per-stream hash unanimity across qualities); the oracle
+    // replays the closed-form cluster structure. Inter-frame codecs
+    // (H.264-class) need a native library: documented out — their
+    // container metadata walk is mm_video_meta.
+    "mm_mjpeg_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 300).as[Long]
+      val perStream = ids.mapPartitions(_.map { id =>
+        val grp = id % 24
+        var z = grp + 0x9E3779B97F4A7C15L // splitmix64: mixed bit pattern
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val pattern = z ^ (z >>> 31)
+        val n = 2 + (id % 3).toInt
+        val qualities = Array(0.65f, 0.8f, 0.92f, 0.72f)
+        val sides = Array(48, 64, 56, 48)
+        val stream = (0 until n).map(f => graft.multimodal.ImageCodec
+          .patternJpeg(pattern, sides(f), qualities(f)))
+          .reduce(_ ++ _)
+        val frames = graft.multimodal.VideoCodec.mjpegFrames(stream)
+        require(frames.length == n,
+          s"demux recovered ${frames.length} of $n frames for doc $id")
+        val hashes = frames.map(fb => graft.multimodal.ImageCodec
+          .aHash64(fb)
+          .getOrElse(sys.error(s"frame decode failed for doc $id")))
+        require(hashes.distinct.length == 1,
+          s"quality/size must not move the perceptual hash: doc $id")
+        (id, n.toLong, hashes.head)
+      }).toDF("media_id", "n_frames", "ahash").cache()
+      require(perStream.select("ahash").distinct().count() == 24,
+        "decoded-content clusters must be the 24 pattern groups")
+      perStream.groupBy(col("ahash"))
+        .agg(min(col("media_id")).as("cluster_id"),
+          count(lit(1)).as("n_streams"),
+          sum(col("n_frames")).as("n_frames"))
+        .select(col("cluster_id"), col("n_streams"), col("n_frames"))
+    }),
+
     // REAL PCM sample math (AudioCodec.pcm16Features): each doc carries a
     // genuine PCM16 WAV of a ±A square wave, and RMS / peak / zero-
     // crossing rate are computed from the actual samples — the closed
@@ -318,6 +370,16 @@ object MultimodalQueries {
            CAST(count(*) AS BIGINT) AS n_docs
          FROM documents WHERE doc_id < 400
          GROUP BY doc_id % 40""",
+
+    // decoded-content clusters = the 24 pattern groups; frame counts are
+    // the closed form the synth used — what the hash groupBy yields when
+    // the perceptual hash collapses qualities and sizes
+    "mm_mjpeg_frames" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_streams,
+           CAST(SUM(2 + doc_id % 3) AS BIGINT) AS n_frames
+         FROM documents WHERE doc_id < 300
+         GROUP BY doc_id % 24""",
 
     "mm_audio_pcm" ->
       """SELECT doc_id,

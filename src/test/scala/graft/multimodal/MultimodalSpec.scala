@@ -161,6 +161,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.decode(null).isEmpty)
   }
 
+  test("VideoCodec: MJPEG demux walks real JPEG structure — exact frame " +
+    "recovery, resync over garbage, truncation dropped, decoded hashes " +
+    "stable across quality") {
+    import graft.multimodal.{ImageCodec, VideoCodec}
+    val pattern = 0x5A5A_F00F_C3C3_0FF0L
+    val f1 = ImageCodec.patternJpeg(pattern, 48, 0.65f)
+    val f2 = ImageCodec.patternJpeg(pattern, 64, 0.92f)
+    val f3 = ImageCodec.patternJpeg(~pattern, 56, 0.8f)
+    // quality and size move the bytes but not the decoded hash
+    assert(!java.util.Arrays.equals(f1, f2))
+    assert(ImageCodec.aHash64(f1).get == pattern)
+    assert(ImageCodec.aHash64(f2).get == pattern)
+    assert(ImageCodec.aHash64(f3).get == ~pattern)
+    // clean concatenated stream: exact frame boundaries back out
+    val frames = VideoCodec.mjpegFrames(f1 ++ f2 ++ f3)
+    assert(frames.length == 3)
+    assert(java.util.Arrays.equals(frames(0), f1))
+    assert(java.util.Arrays.equals(frames(1), f2))
+    assert(java.util.Arrays.equals(frames(2), f3))
+    // inter-frame garbage (including a stray 0xFF) resyncs to SOI
+    val junk = Array[Byte](0x00, -1 /* 0xFF */, 0x17, 0x42)
+    val dirty = VideoCodec.mjpegFrames(junk ++ f1 ++ junk ++ f2 ++ junk)
+    assert(dirty.length == 2)
+    assert(java.util.Arrays.equals(dirty(0), f1))
+    assert(java.util.Arrays.equals(dirty(1), f2))
+    // a truncated trailing frame is dropped, the complete ones survive
+    val cut = VideoCodec.mjpegFrames(f1 ++ f2.dropRight(40))
+    assert(cut.length == 1 && java.util.Arrays.equals(cut.head, f1))
+    // hostile inputs: empty / null / not-JPEG never throw
+    assert(VideoCodec.mjpegFrames(Array.emptyByteArray).isEmpty)
+    assert(VideoCodec.mjpegFrames(null).isEmpty)
+    assert(VideoCodec.mjpegFrames("ffd8 nowhere".getBytes).isEmpty)
+    // every demuxed frame decodes through the ordinary image path
+    frames.foreach(fb => assert(ImageCodec.decode(fb).nonEmpty))
+  }
+
   test("AudioCodec: real PCM16 sample walk — exact closed forms") {
     import graft.multimodal.AudioCodec
     val wav = AudioCodec.squareWav(amplitude = 12000, nSamples = 400)
