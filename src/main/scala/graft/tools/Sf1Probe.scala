@@ -245,6 +245,73 @@ object Sf1Probe {
       } finally spark.conf.unset("spark.graft.mv.maxDimDeltaKeys")
     }
 
+    // ---- 2-DIM STAR arm: both dims churn, 10× fact, ONE refresh ------
+    // The r19 claim: with N dims the per-dim signed corrections
+    // TELESCOPE — one refresh absorbs fixed-size deltas on BOTH dims in
+    // O(sum of deltas + affected fact rows). 10× the fact with the SAME
+    // two deltas should hold the refresh wall ~flat and the mode
+    // incremental.
+    locally {
+      import org.apache.spark.sql.types._
+      val evs = spark.read.parquet(s"$src/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          (col("event_id") % 40).as("cat_id"),
+          col("value").cast(DoubleType).as("value"))
+      val dimU = evs.select(col("user_id").as("uid")).distinct()
+        .withColumn("seg", pmod(col("uid"), lit(13L)))
+      val dimC = evs.select(col("cat_id").as("cid")).distinct()
+        .withColumn("cls", pmod(col("cid"), lit(7L)))
+      val fSchema = StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("cat_id", LongType),
+        StructField("value", DoubleType)))
+      val duSchema = StructType(Seq(StructField("uid", LongType),
+        StructField("seg", LongType)))
+      val dcSchema = StructType(Seq(StructField("cid", LongType),
+        StructField("cls", LongType)))
+      println("| fact rows | dim0+dim1 delta keys | refresh s | mode |")
+      println("|---|---|---|---|")
+      for (mult <- Seq(1, 10)) {
+        val base = Paths.get(s"/tmp/graft-sf1-star2arm-$mult")
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        val fact = graft.sources.TxLogTable(spark,
+          base.resolve("fact").toString)
+        val du = graft.sources.TxLogTable(spark,
+          base.resolve("dimu").toString)
+        val dc = graft.sources.TxLogTable(spark,
+          base.resolve("dimc").toString)
+        val f = (0 until mult).map(i => evs
+            .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+          .reduce(_.unionByName(_))
+          .repartitionByRange(32, col("user_id"))
+          .sortWithinPartitions("user_id")
+        fact.commit(f, overwrite = true)
+        du.commit(dimU, overwrite = true)
+        dc.commit(dimC, overwrite = true)
+        val mvRoot = base.resolve("mv").toString
+        graft.operators.MaterializedView.createStar(spark, mvRoot,
+          s"star2arm$mult", fact, fSchema,
+          Seq((du, duSchema, Seq("user_id" -> "uid")),
+            (dc, dcSchema, Seq("cat_id" -> "cid"))),
+          Seq("seg", "cls"), Seq("total" -> "value"))
+        // untimed warmup window (codegen/JIT on the correction path)
+        du.updateWherePos(duSchema, pmod(col("uid"), lit(97L)) === 5L,
+          Seq("seg" -> (col("seg") + 1000L)))
+        graft.operators.MaterializedView.refresh(spark, mvRoot)
+        // measured: FIXED deltas on BOTH dims, one refresh
+        du.updateWherePos(duSchema, pmod(col("uid"), lit(30L)) === 7L,
+          Seq("seg" -> (col("seg") + 100L)))
+        dc.updateWherePos(dcSchema, pmod(col("cid"), lit(8L)) === 3L,
+          Seq("cls" -> (col("cls") + 50L)))
+        val kchg = dimU.filter(pmod(col("uid"), lit(30L)) === 7L).count() +
+          dimC.filter(pmod(col("cid"), lit(8L)) === 3L).count()
+        val t0 = System.nanoTime()
+        val st = graft.operators.MaterializedView.refresh(spark, mvRoot)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"| ${fact.metaRowCount(None).getOrElse(-1L)} | $kchg " +
+          f"| $sec%.2f | ${st.mode} |")
+      }
+    }
+
     // ---- TARGETED-RECOMPUTE arm: 10× groups, FIXED affected set ------
     // The r18 claim: a deleting window on a MIN/MAX view re-aggregates
     // exactly the affected groups — write O(affected), never O(view).
