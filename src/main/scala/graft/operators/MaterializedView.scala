@@ -317,10 +317,61 @@ object MaterializedView {
   private def dimSnapHinted(spark: SparkSession, dt: TxLogTable,
                             projSchema: StructType, v: Int): DataFrame = {
     val snap = dt.snapshot(projSchema, Some(v))
-    if (dt.metaRowCount(Some(v))
-          .exists(_ <= TxLogTable.maxBroadcastDimRows(spark)))
+    val n = dt.metaRowCount(Some(v))
+    if (n.exists(_ <= TxLogTable.maxLocalDimRows(spark))) {
+      // collect ONCE and pin the snapshot as a driver-local relation: a
+      // refresh runs many actions, and each action's BroadcastExchange
+      // would otherwise re-scan and re-collect these same rows to the
+      // driver again (plus re-analyze the whole snapshot subtree). The
+      // bytes on the driver are what a single broadcast build already
+      // holds; the LocalRelation leaf just stops paying it per action.
+      broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(snap.collect(): _*), snap.schema))
+    } else if (n.exists(_ <= TxLogTable.maxBroadcastDimRows(spark)))
       broadcast(snap)
     else snap
+  }
+
+  /** Join-key types whose DRIVER equality (boxed `equals` on collected
+    * Row values) coincides with SQL `===`: atomic, non-floating, non-
+    * binary. Doubles are excluded (-0.0 vs 0.0 disagree), binary is
+    * excluded (array reference equality) — key sets touching those stay
+    * on the distributed join path.
+    */
+  private def sqlEqualsSafe(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+
+  /** The rows of `df` when it is already a driver-local relation
+    * (the under-cap dim snapshot from [[dimSnapHinted]], possibly under
+    * its broadcast hint) AND every `keys` column has driver-safe
+    * equality — collect() on such a frame short-circuits to the
+    * in-memory rows with no Spark job. Returns the rows plus the key
+    * field indices; None routes the caller to the distributed path.
+    */
+  private def localKeyedRows(df: DataFrame, keys: Seq[String])
+      : Option[(Seq[org.apache.spark.sql.Row], Seq[Int])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation,
+      ResolvedHint}
+    val isLocal = df.queryExecution.analyzed match {
+      case _: LocalRelation => true
+      case ResolvedHint(_: LocalRelation, _) => true
+      case _ => false
+    }
+    val schema = df.schema
+    if (isLocal && keys.forall(k => schema.fields.find(_.name == k)
+          .exists(f => sqlEqualsSafe(f.dataType))))
+      Some((df.collect().toIndexedSeq, keys.map(schema.fieldIndex)))
+    else None
   }
 
   private def checkDimUnique(dimSnap: DataFrame, keys: Seq[String]): Unit = {
@@ -873,12 +924,18 @@ object MaterializedView {
     }
     // checkpoint each delta: it is changed-groups-sized, reused for the
     // affected-key set AND the state fold, and keeps the final upsert
-    // plan shallow however many versions the range spans
+    // plan shallow however many versions the range spans. LAZY: each
+    // action in local mode carries a large fixed cost (planning + AQE
+    // stage jobs), so the materialization rides the first consuming
+    // action (the kAll count below computes every delta in full) instead
+    // of paying one eager job per frame; Spark's local-checkpoint
+    // machinery back-fills any partition a partial first action skipped.
     val stepFrames: Seq[(Step, DataFrame)] = steps.result().map {
-      case f: Fold => (f, deltaOf(f).localCheckpoint())
+      case f: Fold => (f, deltaOf(f).localCheckpoint(false))
       case dr: Drop => (dr, src.tombstoneFrameOf(dr.v).getOrElse(
         throw new IllegalStateException(
-          s"delete-mor v${dr.v} committed no tombstone")).localCheckpoint())
+          s"delete-mor v${dr.v} committed no tombstone"))
+        .localCheckpoint(false))
     }
     // ---- dim delta: changed dim keys → affected groups ---------------
     // The dim window's exact change events name the changed join keys K
@@ -911,11 +968,29 @@ object MaterializedView {
       val presentD = dt.versions.toSet
       val feedProjD = extProj(dt, dProj,
         (lastDims(i) to dimHeads(i)).filter(presentD))
-      val kDim = dt.changesWithDeletes(feedProjD, lastDims(i),
+      val kPlan = dt.changesWithDeletes(feedProjD, lastDims(i),
           dimHeads(i), skipRewrites = true)
         .select(dimKeys.map(col): _*)
-        .na.drop("any", dimKeys).distinct().localCheckpoint()
-      val kRows = kDim.count()
+        .na.drop("any", dimKeys).distinct()
+      // small changed-key sets (the common dim-churn window) collect in
+      // ONE bounded take and live as a driver-local relation: the key
+      // frame is reused by three joins plus the IN-pushdown enumeration
+      // below, each of which would otherwise re-run the change-feed
+      // subtree or rebuild the same broadcast; past the pushdown cap
+      // the distributed checkpoint+count path is unchanged
+      val probe = kPlan.take(MaxDimDeltaPushdownPoints.toInt + 1)
+      val kIsLocal = probe.length <= MaxDimDeltaPushdownPoints
+      val (kDim, kRows) =
+        if (kIsLocal)
+          (spark.createDataFrame(
+            java.util.Arrays.asList(probe.toIndexedSeq: _*), kPlan.schema),
+            probe.length.toLong)
+        else {
+          // lazy checkpoint + count: one action materializes the frame
+          // AND returns the exact cardinality the cap decisions need
+          val ck = kPlan.localCheckpoint(false)
+          (ck, ck.count())
+        }
       // past the broadcast cap the SAME signed arithmetic folds through
       // shuffle joins — cost stays O(delta + affected fact rows), and the
       // untouched groups stay manifest references either way. Only a
@@ -934,10 +1009,32 @@ object MaterializedView {
       def keysIn(side: DataFrame): DataFrame = side.join(kHint(kDim),
         dimKeys.map(k => side(k) === kDim(k)).reduce(_ && _),
         "left_semi")
-      val newSide = keysIn(dimSnapsNew(i)).localCheckpoint()
       // new duplicates can only arrive via changed keys — the rest of
-      // the dim was checked unique at its last pin
-      checkDimUnique(newSide, dimKeys)
+      // the dim was checked unique at its last pin. When BOTH the new
+      // dim snapshot and the changed-key set are already driver-local
+      // (the common small-churn window) the semi-join and the
+      // uniqueness probe run as plain driver code — zero Spark actions
+      // — with SQL-equal key semantics guaranteed by the atomic-type
+      // gate; any other shape keeps the distributed probe.
+      val newSide = localKeyedRows(dimSnapsNew(i), dimKeys) match {
+        case Some((dimRows, dIdx)) if kIsLocal =>
+          val kset = probe.iterator
+            .map(r => dimKeys.indices.map(r.get(_)).toIndexedSeq).toSet
+          val hit = dimRows.filter(r =>
+            kset.contains(dIdx.map(r.get(_)).toIndexedSeq))
+          val dup = hit.groupBy(r => dIdx.map(r.get(_)).toIndexedSeq)
+            .find(_._2.sizeIs > 1)
+          require(dup.isEmpty,
+            s"dim join keys ${dimKeys.mkString(",")} are not unique in " +
+              s"the dimension (e.g. ${dup.map(_._2.head).getOrElse("")})" +
+              " — a fact row must enrich to at most one dim row")
+          spark.createDataFrame(
+            java.util.Arrays.asList(hit: _*), dimSnapsNew(i).schema)
+        case _ =>
+          val ns = keysIn(dimSnapsNew(i)).localCheckpoint(false)
+          checkDimUnique(ns, dimKeys)
+          ns
+      }
       // the fact READ side: a point-enumerable changed-key set pushes
       // into the scan as an IN predicate on the (first) fact join key,
       // so manifest stats skip every file holding none of the touched
@@ -969,7 +1066,7 @@ object MaterializedView {
         val newKeys = prepared(affFacts, d, dimSnapsNew)
           .select(groupKeyCols: _*)
         dimKeyFramesB += oldKeys.unionByName(newKeys).distinct()
-          .localCheckpoint()
+          .localCheckpoint(false)
       } else {
         val sign = "__graft_dim_sign"
         val signedDim = keysIn(dimSnapsOld(i)).withColumn(sign, lit(-1L))
@@ -1001,7 +1098,7 @@ object MaterializedView {
             sum(when(sgn < 0, -v).otherwise(v)).as(out)
           } :+ sum(sgn).as(CountCol)
         dimDeltasB += rows.groupBy(groupKeyCols: _*)
-          .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+          .agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
       }
     }
     val dimDeltas: Seq[DataFrame] = dimDeltasB.result()
@@ -1020,8 +1117,12 @@ object MaterializedView {
           .select(groupKeyCols: _*)
     } ++ dimDeltas.map(_.select(groupKeyCols: _*)) ++ dimTargetKeys
     val kAll = keyFrames.reduce(_.unionByName(_)).distinct()
-      .localCheckpoint()
-    if (kAll.isEmpty) {
+      .localCheckpoint(false)
+    // one count serves both the empty-window gate here and the
+    // groupsChanged stat below (was an isEmpty probe + a count — two
+    // jobs over the same checkpointed frame)
+    val groupsChanged = kAll.count()
+    if (groupsChanged == 0) {
       // the walked window touched nothing the view sees (events outside
       // the filter, dim churn on keys no fact row joins): the fold just
       // PROVED the content unchanged, so record the consumption with one
@@ -1093,10 +1194,9 @@ object MaterializedView {
     }
     val newRows = finalState.filter(col(CountCol) > 0)
       .select(d.mvSchema.fieldNames.toIndexedSeq.map(col): _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val zeros = kAll.join(newRows, nullSafe(kAll, newRows, d.groupCols),
       "left_anti")
-    val groupsChanged = kAll.count()
     // DV maintenance happens ON the refresh path: when this refresh's
     // mask (≤ one current row per affected group, plus what already
     // accrued) would cross the cap, fold the view's masks NOW — one

@@ -214,6 +214,24 @@ object TxLogTable {
     spark.conf.getOption("spark.graft.mv.maxBroadcastDimRows")
       .map(_.toLong).getOrElse(MaxBroadcastDimRows)
 
+  /** Cap under which a pinned dim snapshot is COLLECTED ONCE per
+    * refresh into a driver-local relation instead of being re-read and
+    * re-broadcast by every action the refresh runs. A refresh is many
+    * actions (delta checkpoints, key counts, uniqueness probes, the
+    * commit stage), and EACH action's BroadcastExchange collects the
+    * same dim rows to the driver again — one bounded collect up front
+    * is the same driver bytes paid once instead of N times, and every
+    * downstream plan gets a LocalRelation leaf (no scan subtree to
+    * re-analyze, no broadcast-build job). Deliberately far below the
+    * broadcast cap: between the two caps the per-action broadcast hint
+    * still applies; past both it is an ordinary shuffle join.
+    * Conf-overridable: `spark.graft.mv.maxLocalDimRows`. */
+  val MaxLocalDimRows: Long = 1L << 18
+
+  def maxLocalDimRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.mv.maxLocalDimRows")
+      .map(_.toLong).getOrElse(MaxLocalDimRows)
+
   /** `#op=` values whose commits preserve the table's logical content —
     * pure layout maintenance (file packing / clustering / bucket
     * evolution). The change feed can skip these wholesale: every row in
@@ -5191,7 +5209,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       .fold(aligned.select(keyCols.map(col): _*))(d =>
         aligned.select(keyCols.map(col): _*)
           .unionByName(d.select(keyCols.map(col): _*)))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val bAggs = keyCols.flatMap(k => Seq(fmin(col(k)).as(s"__mn_$k"),
       fmax(col(k)).as(s"__mx_$k"),
       count_if(col(k).isNull).as(s"__nl_$k"))) :+ count(lit(1)).as("__n")
@@ -5235,8 +5253,8 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       }
       // matched keys' current rows, read through EVERY live mask (prior
       // DVs and tombstones) so masks stay disjoint
-      val stagedDv: Seq[String] =
-        if (affected.isEmpty) Nil
+      val (stagedDv: Seq[String], counts: Seq[(String, Long)]) =
+        if (affected.isEmpty) (Nil, Nil)
         else {
           val (rows, fcol, pcol) = readMaskedPos(schema,
             affected.map(TxLogTable.decodeEntry), base, None,
@@ -5244,24 +5262,31 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           val cond = keyCols.map(k => rows(k) <=> keyFrame(k))
             .reduce(_ && _)
           val hit = rows.join(broadcast(keyFrame), cond, "left_semi")
-          stage(hit.select(
-            substring(col(fcol), prefixLen + 1, Int.MaxValue).as("file"),
-            col(pcol).as("pos")).coalesce(1), Nil)
+            .select(
+              substring(col(fcol), prefixLen + 1, Int.MaxValue).as("file"),
+              col(pcol).as("pos"))
+          // ONE cap-bounded collect replaces the old stage-write +
+          // read-back-count pass (two actions): the mask is ≤
+          // maxDvMaskRows in every successful commit — enforced below
+          // exactly as before — so the driver pull is bounded; the dv
+          // file is then staged from the local rows (a 1-task write) and
+          // the per-file counts are plain driver math.
+          val maskRows = hit.collect()
+          if (maskRows.isEmpty) (Nil, Nil)
+          else {
+            val cap = TxLogTable.maxDvMaskRows(spark)
+            val liveTotal = base.map(dvsOf).getOrElse(Nil).map(_.n).sum
+            require(liveTotal + maskRows.length <= cap,
+              s"$op would push the live positional-delete mask past $cap " +
+                "rows: compact the table first (folds every mask), or use " +
+                "the copy-on-write merge")
+            val staged = stage(spark.createDataFrame(
+              java.util.Arrays.asList(maskRows: _*), hit.schema)
+              .coalesce(1), Nil)
+            (staged, maskRows.groupBy(_.getString(0)).view
+              .mapValues(_.length.toLong).toSeq.sortBy(_._1))
+          }
         }
-      val counts: Seq[(String, Long)] =
-        if (stagedDv.isEmpty) Nil
-        else spark.read.parquet(
-            stagedDv.map(r => dataDir.resolve(r).toString): _*)
-          .groupBy("file").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toSeq
-      if (counts.nonEmpty) {
-        val cap = TxLogTable.maxDvMaskRows(spark)
-        val liveTotal = base.map(dvsOf).getOrElse(Nil).map(_.n).sum
-        require(liveTotal + counts.map(_._2).sum <= cap,
-          s"$op would push the live positional-delete mask past $cap " +
-            "rows: compact the table first (folds every mask), or use " +
-            "the copy-on-write merge")
-      }
       validateChecks(aligned, base)
       val stagedData = stageWithStats(aligned, layout,
         base.map(bloomColsOf).getOrElse(Nil), inheritedBloomBits(base),
