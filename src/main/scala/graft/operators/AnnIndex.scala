@@ -77,10 +77,51 @@ object AnnIndex {
       mn + (c.cast(DoubleType) + 128d) * span / 255d
     })
 
+  /** Cap under which a persisted index SIDE TABLE (centroids, codebook,
+    * meta, sq8 bounds) pins as a driver-local relation via
+    * [[TxLogTable.localPinnedSnapshot]]. These frames ride the build
+    * side of every search/refresh broadcast, and a serving loop
+    * (status probes, recall sweeps, batch searches) re-reads the same
+    * immutable version per call — the stamped memo turns each re-read
+    * into a driver map hit and each broadcast build into a no-job
+    * LocalRelation collect. Vector-row sized (centroid rows carry the
+    * full embedding), far under the dim-snapshot cap.
+    * Conf-overridable: `spark.graft.ann.maxLocalIdxRows`. */
+  val MaxLocalIdxRows: Long = 1L << 14
+
+  private def maxLocalIdxRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ann.maxLocalIdxRows")
+      .map(_.toLong).getOrElse(MaxLocalIdxRows)
+
+  // a small index side table as a LocalRelation when its exact size is
+  // known and under the cap; the ordinary distributed snapshot
+  // otherwise — identical rows either way
+  private def sideTable(spark: SparkSession, root: String,
+                        schema: StructType): DataFrame = {
+    val t = TxLogTable(spark, root)
+    t.latestVersion
+      .flatMap(v =>
+        t.localPinnedSnapshot(schema, v, maxLocalIdxRows(spark)))
+      .getOrElse(t.snapshot(schema))
+  }
+
+  // pin a provably tiny DERIVED frame (a query batch, an ADC lookup
+  // table) as a driver-local relation: ONE job collects it, and every
+  // downstream broadcast build then serves the in-memory rows instead
+  // of re-executing the frame's subtree once per exchange (each
+  // broadcast of a distributed frame is its own collect job). Values
+  // only MOVE to the driver — every comparison, cosine and ADC distance
+  // stays a Spark expression, so results are bit-identical.
+  private def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   private def sq8BoundArrays(spark: SparkSession, indexRoot: String)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val rows = TxLogTable(spark, s"$indexRoot/sq8bounds")
-      .snapshot(sq8BoundsSchema).orderBy("i").collect()
+    // driver-side sort of the pinned rows — same (i asc, i non-null)
+    // order the old orderBy("i") job produced, no job
+    val rows = sideTable(spark, s"$indexRoot/sq8bounds", sq8BoundsSchema)
+      .collect().sortBy(_.getInt(0))
     (array(rows.toIndexedSeq.map(r => lit(r.getDouble(1))): _*),
       array(rows.toIndexedSeq.map(r => lit(r.getDouble(2))): _*))
   }
@@ -292,9 +333,13 @@ object AnnIndex {
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    // LAZY checkpoints (here and below): the materialization rides the
+    // first consuming action (assignTo's count / the first tombstone
+    // commit) instead of paying a dedicated eager job per frame — the
+    // same action-collapse the MV refresh's deltas use
     val fresh = net.filter(col("_change_type") === "insert")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val op = s"ann-index:corpus_v=$cur:refresh"
     // departed-or-replaced entries mask out FIRST (one vec_id-keyed MOR
     // tombstone per index table, sequence-aware: the re-routed rows
@@ -304,7 +349,7 @@ object AnnIndex {
       Set("delete-dv", "update-dv", "upsert-dv", "delete-mor",
         "mv-refresh")
     if (range.exists(v => valueChanging(opAt(v)))) {
-      val changedIds = net.select(col("vec_id")).localCheckpoint()
+      val changedIds = net.select(col("vec_id")).localCheckpoint(false)
       Seq("assignments" -> assignmentsSchema, "codes" -> codesSchema,
         "sq8codes" -> sq8CodesSchema).foreach { case (nm, sch) =>
         val t = TxLogTable(spark, s"$indexRoot/$nm")
@@ -318,8 +363,8 @@ object AnnIndex {
         }
       }
     }
-    val cents = TxLogTable(spark, s"$indexRoot/centroids")
-      .snapshot(centroidsSchema)
+    val cents = sideTable(spark, s"$indexRoot/centroids",
+      centroidsSchema)
     val assigned = KMeans.assignTo(fresh, cents)
     val added = assigned.count()
     TxLogTable(spark, s"$indexRoot/assignments").commit(
@@ -327,8 +372,8 @@ object AnnIndex {
       overwrite = false, op = op)
     val codesT = TxLogTable(spark, s"$indexRoot/codes")
     if (codesT.latestVersion.nonEmpty) {
-      val cb = TxLogTable(spark, s"$indexRoot/codebook")
-        .snapshot(codebookSchema)
+      val cb = sideTable(spark, s"$indexRoot/codebook",
+        codebookSchema)
         .select(col("code"), col("s").as("cs"), col("cv"))
       codesT.commit(
         graft.queries.SimQueries.pqCodesPivotWith(fresh, cb),
@@ -489,7 +534,7 @@ object AnnIndex {
 
   private def loadMeta(spark: SparkSession,
                        indexRoot: String): Map[String, String] =
-    TxLogTable(spark, s"$indexRoot/meta").snapshot(metaSchema)
+    sideTable(spark, s"$indexRoot/meta", metaSchema)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** IVF search THROUGH the persisted index: centroids and routing come
@@ -554,8 +599,8 @@ object AnnIndex {
     graft.catalyst.CosineSim.register(spark)
     val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val emb = rankingShape(corpus, filter)
-    val cents = TxLogTable(spark, s"$indexRoot/centroids")
-      .snapshot(centroidsSchema)
+    val cents = sideTable(spark, s"$indexRoot/centroids",
+      centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
       .snapshot(assignmentsSchema)
     // the query vector is fetched UNfiltered: asking for neighbors of a
@@ -604,12 +649,15 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val emb = rankingShape(corpus, None)
-    val cents = TxLogTable(spark, s"$indexRoot/centroids")
-      .snapshot(centroidsSchema)
+    val cents = sideTable(spark, s"$indexRoot/centroids",
+      centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
       .snapshot(assignmentsSchema)
-    val qs = emb.filter(col("vec_id").isin(queryVecIds: _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // ONE job fetches the N query vectors; the local frame then feeds
+    // the routing product and the routed broadcast without re-scanning
+    // the corpus per exchange
+    val qs = localized(emb.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
     // route: per query the nprobe best cells — rank over the tiny k × N
     // routing product (ORDER BY cs DESC, cluster ASC reproduces
     // searchIvf's tie-break); each vector lives in exactly one cell, so
@@ -654,16 +702,19 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val emb = rankingShape(corpus, None)
-    val cents = TxLogTable(spark, s"$indexRoot/centroids")
-      .snapshot(centroidsSchema)
+    val cents = sideTable(spark, s"$indexRoot/centroids",
+      centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
       .snapshot(assignmentsSchema)
     val codes = TxLogTable(spark, s"$indexRoot/codes")
       .snapshot(codesSchema)
-    val codebook = TxLogTable(spark, s"$indexRoot/codebook")
-      .snapshot(codebookSchema)
-    val qs = emb.filter(col("vec_id").isin(queryVecIds: _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val codebook = sideTable(spark, s"$indexRoot/codebook",
+      codebookSchema)
+    // ONE job fetches the N query vectors; routing, the subvector
+    // derivation and the ADC fold below all reuse the local frame
+    // instead of re-scanning the corpus per exchange
+    val qs = localized(emb.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
     val rw = Window.partitionBy("q_id")
       .orderBy(col("cs").desc, col("cluster"))
     val best = cents.crossJoin(broadcast(qs))
@@ -674,13 +725,19 @@ object AnnIndex {
       .select(col("q_id"), col("cluster").as("best_cluster"))
     // per-query ADC tables from the persisted codebook — same fold and
     // join order as the single search, so per-query results are
-    // bit-identical to searchIvfPq
+    // bit-identical to searchIvfPq. The (vec_id, v) input to the
+    // subvector split is the SAME local query frame renamed back.
     val qSub = graft.queries.SimQueries.pqSubVectors(
-        emb.filter(col("vec_id").isin(queryVecIds: _*)))
+        qs.select(col("q_id").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("dq_id"), col("s").as("qs"), col("sv"))
-    val dt = codebook.join(broadcast(qSub), col("s") === col("qs"))
-      .select(col("dq_id"), col("s"), col("code"),
-        graft.catalyst.L2Sq.l2sq(col("cv"), col("sv")).as("qd"))
+    // the ADC table is 16 codes × 4 subspaces × N queries — localize it
+    // once so the four per-subspace broadcast builds below fold to
+    // in-memory LocalRelations (zero jobs) instead of each re-running
+    // the codebook⋈queries join
+    val dt = localized(
+      codebook.join(broadcast(qSub), col("s") === col("qs"))
+        .select(col("dq_id"), col("s"), col("code"),
+          graft.catalyst.L2Sq.l2sq(col("cv"), col("sv")).as("qd")))
     val dts = (0 until graft.queries.SimQueries.PqM).map(si =>
       dt.filter(col("s") === si)
         .select(col("dq_id").as(s"q$si"), col("code").as(s"code$si"),
@@ -719,8 +776,8 @@ object AnnIndex {
     graft.catalyst.CosineSim.register(spark)
     val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val emb = rankingShape(corpus, None)
-    val cents = TxLogTable(spark, s"$indexRoot/centroids")
-      .snapshot(centroidsSchema)
+    val cents = sideTable(spark, s"$indexRoot/centroids",
+      centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
       .snapshot(assignmentsSchema)
     val codes = TxLogTable(spark, s"$indexRoot/sq8codes")
@@ -760,15 +817,16 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val emb = rankingShape(corpus, None)
-    val cents = TxLogTable(spark, s"$indexRoot/centroids")
-      .snapshot(centroidsSchema)
+    val cents = sideTable(spark, s"$indexRoot/centroids",
+      centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
       .snapshot(assignmentsSchema)
     val codes = TxLogTable(spark, s"$indexRoot/sq8codes")
       .snapshot(sq8CodesSchema)
     val (mnA, spanA) = sq8BoundArrays(spark, indexRoot)
-    val qs = emb.filter(col("vec_id").isin(queryVecIds: _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // ONE job fetches the N query vectors (see searchIvfBatch)
+    val qs = localized(emb.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
     val rw = Window.partitionBy("q_id")
       .orderBy(col("cs").desc, col("cluster"))
     val best = cents.crossJoin(broadcast(qs))
@@ -804,14 +862,14 @@ object AnnIndex {
     graft.catalyst.L2Sq.register(spark)
     val (corpus, _) = loadPinnedCorpus(spark, indexRoot, requireFresh)
     val emb = rankingShape(corpus, None)
-    val cents = TxLogTable(spark, s"$indexRoot/centroids")
-      .snapshot(centroidsSchema)
+    val cents = sideTable(spark, s"$indexRoot/centroids",
+      centroidsSchema)
     val assigned = TxLogTable(spark, s"$indexRoot/assignments")
       .snapshot(assignmentsSchema)
     val codes = TxLogTable(spark, s"$indexRoot/codes")
       .snapshot(codesSchema)
-    val codebook = TxLogTable(spark, s"$indexRoot/codebook")
-      .snapshot(codebookSchema)
+    val codebook = sideTable(spark, s"$indexRoot/codebook",
+      codebookSchema)
     val q = emb.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"))
     val bestCell = cents.crossJoin(broadcast(q))
@@ -824,9 +882,13 @@ object AnnIndex {
     val qSub = graft.queries.SimQueries.pqSubVectors(
         emb.filter(col("vec_id") === queryVecId))
       .select(col("s").as("qs"), col("sv").as("qv"))
-    val dt = codebook.join(broadcast(qSub), col("s") === col("qs"))
-      .select(col("s"), col("code"),
-        graft.catalyst.L2Sq.l2sq(col("cv"), col("qv")).as("qd"))
+    // localize the 64-row ADC table once: the four per-subspace
+    // broadcast builds fold to LocalRelations (zero jobs) instead of
+    // each re-running codebook⋈query (see searchIvfPqBatch)
+    val dt = localized(
+      codebook.join(broadcast(qSub), col("s") === col("qs"))
+        .select(col("s"), col("code"),
+          graft.catalyst.L2Sq.l2sq(col("cv"), col("qv")).as("qd")))
     val dts = (0 until graft.queries.SimQueries.PqM).map(si =>
       dt.filter(col("s") === si)
         .select(col("code").as(s"code$si"), col("qd").as(s"d$si")))

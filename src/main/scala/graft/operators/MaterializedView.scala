@@ -315,22 +315,26 @@ object MaterializedView {
     * version; correctness is identical either way.
     */
   private def dimSnapHinted(spark: SparkSession, dt: TxLogTable,
-                            projSchema: StructType, v: Int): DataFrame = {
-    val snap = dt.snapshot(projSchema, Some(v))
-    val n = dt.metaRowCount(Some(v))
-    if (n.exists(_ <= TxLogTable.maxLocalDimRows(spark))) {
-      // collect ONCE and pin the snapshot as a driver-local relation: a
-      // refresh runs many actions, and each action's BroadcastExchange
-      // would otherwise re-scan and re-collect these same rows to the
-      // driver again (plus re-analyze the whole snapshot subtree). The
-      // bytes on the driver are what a single broadcast build already
-      // holds; the LocalRelation leaf just stops paying it per action.
-      broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(snap.collect(): _*), snap.schema))
-    } else if (n.exists(_ <= TxLogTable.maxBroadcastDimRows(spark)))
-      broadcast(snap)
-    else snap
-  }
+                            projSchema: StructType, v: Int): DataFrame =
+    // collect ONCE and pin the snapshot as a driver-local relation: a
+    // refresh runs many actions, and each action's BroadcastExchange
+    // would otherwise re-scan and re-collect these same rows to the
+    // driver again (plus re-analyze the whole snapshot subtree). The
+    // bytes on the driver are what a single broadcast build already
+    // holds; the LocalRelation leaf stops paying it per action, and the
+    // process-wide stamped memo behind localPinnedSnapshot stops a
+    // refresh LOOP from re-collecting the same immutable version once
+    // per refresh.
+    dt.localPinnedSnapshot(projSchema, v,
+        TxLogTable.maxLocalDimRows(spark)) match {
+      case Some(local) => broadcast(local)
+      case None =>
+        val snap = dt.snapshot(projSchema, Some(v))
+        if (dt.metaRowCount(Some(v))
+            .exists(_ <= TxLogTable.maxBroadcastDimRows(spark)))
+          broadcast(snap)
+        else snap
+    }
 
   /** Join-key types whose DRIVER equality (boxed `equals` on collected
     * Row values) coincides with SQL `===`: atomic, non-floating, non-

@@ -159,6 +159,34 @@ object TxLogTable {
       lines
     }
 
+  /** Process-wide memo of driver-collected SMALL version snapshots —
+    * the row store behind [[TxLogTable.localPinnedSnapshot]]. Keyed by
+    * the version's write-once manifest stamp plus the projection, so
+    * equal keys imply identical rows (same soundness argument as the
+    * manifest cache above; a same-path recreation misses on the stamp).
+    * Bounded LRU: every entry is caller-capped (≤ the caller's local
+    * cap, itself ≤ maxLocalDimRows), and 16 entries cover any live
+    * refresh/search loop's working set.
+    */
+  private val localSnapCache = new java.util.LinkedHashMap[
+      ((String, Long, Long), Seq[String]),
+      Array[org.apache.spark.sql.Row]](32, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[((String, Long, Long), Seq[String]),
+          Array[org.apache.spark.sql.Row]]): Boolean = size() > 16
+  }
+
+  private[sources] def cachedLocalRows(
+      key: ((String, Long, Long), Seq[String]))
+      (load: => Array[org.apache.spark.sql.Row])
+      : Array[org.apache.spark.sql.Row] =
+    localSnapCache.synchronized(Option(localSnapCache.get(key)))
+      .getOrElse {
+        val rows = load
+        localSnapCache.synchronized { localSnapCache.put(key, rows); () }
+        rows
+      }
+
   /** Cap on a table's TOTAL live positional-delete mask rows — the
     * read-side anti-join broadcasts the mask union, so it must stay
     * driver/broadcast-sized (≈ tens of MB at the cap, the same order as
@@ -907,6 +935,41 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
 
   def latestVersion: Option[Int] = versions.lastOption
+
+  /** Write-once identity stamp of `v`'s manifest (absolute path, size,
+    * mtime) — a process-wide memo key for version-pinned derived state:
+    * manifests are write-once and data files immutable once published,
+    * so equal stamps imply identical version content (the same guard
+    * the manifest-line cache uses; a same-path recreation changes the
+    * stamp and misses the memo).
+    */
+  def manifestStamp(v: Int): (String, Long, Long) = {
+    val p = manifestPath(v).toAbsolutePath
+    (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** The projected snapshot at `v` pinned as a DRIVER-LOCAL relation
+    * when the version's EXACT manifest row count is known (no live
+    * masks to subtract conservatively) and ≤ `cap`. The rows are
+    * collected once per (manifest stamp, projection) PROCESS-WIDE and
+    * served as a LocalRelation leaf: every consuming action's broadcast
+    * build then runs from in-memory rows (no scan job, no snapshot
+    * subtree to re-analyze), and a loop that re-pins the same immutable
+    * version (an MV refresh harness, an ANN search sweep) stops paying
+    * one collect per iteration. None when the count is unknown or over
+    * the cap — callers keep their distributed plan, correctness
+    * identical either way.
+    */
+  def localPinnedSnapshot(schema: StructType, v: Int,
+                          cap: Long): Option[DataFrame] =
+    metaRowCount(Some(v)).filter(_ <= cap).map { _ =>
+      val snap = snapshot(schema, Some(v))
+      val key = (manifestStamp(v),
+        schema.fields.toSeq.map(f => s"${f.name}:${f.dataType.sql}"))
+      val rows = TxLogTable.cachedLocalRows(key)(snap.collect())
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), snap.schema)
+    }
 
   // Manifest format: lines starting with '#' are metadata
   // (`#partitionCols=a,b`, `#commitMillis=...`, `#op=...` — unknown keys
@@ -5047,6 +5110,29 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     posMask(schema, pred, Some(set), "update-dv", maxAttempts)
   }
 
+  /** Collect a DV mask frame to the driver with the pull BOUNDED by the
+    * mask-cap headroom. When the affected files' manifest row counts
+    * prove the mask cannot exceed the headroom, the plain one-job
+    * collect runs (no extra actions); otherwise an executeTake probe
+    * pulls at most headroom+1 rows, so an over-cap DML fails with the
+    * clean "compact first" refusal WITHOUT materializing an unbounded
+    * mask on the driver. take() returns the complete row set whenever
+    * fewer than n rows exist, so an under-cap commit is unchanged.
+    */
+  private def boundedMaskCollect(hit: DataFrame,
+                                 affected: Seq[TxLogTable.FileEntry],
+                                 headroom: Long)
+      : Array[org.apache.spark.sql.Row] = {
+    val upper = affected.iterator
+      .map(_.stats.get(TxLogTable.RowsKey).map(_._1))
+      .foldLeft(Option(0L)) {
+        case (Some(acc), Some(n)) => Some(acc + n)
+        case _ => None // any file without row stats: bound unknown
+      }
+    if (upper.exists(_ <= headroom)) hit.collect()
+    else hit.take(math.min(headroom + 1, Int.MaxValue.toLong).toInt)
+  }
+
   private def posMask(schema: StructType,
                       pred: org.apache.spark.sql.Column,
                       set: Option[Seq[(String, org.apache.spark.sql.Column)]],
@@ -5065,41 +5151,49 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val lines = base.map(dataLines).getOrElse(Nil)
       // manifest pruning bounds the scan exactly as for the COW path
-      val affected = lines.filter(line =>
-        mayMatchPred(TxLogTable.decodeEntry(line), ranges, nn, points,
-          strs, timeSegBounds(ranges, base)))
+      val affEntries = lines.map(TxLogTable.decodeEntry)
+      val affected = affEntries.filter(e =>
+        mayMatchPred(e, ranges, nn, points, strs,
+          timeSegBounds(ranges, base)))
       if (affected.isEmpty) // provably nothing matches: clean no-op
         return TxLogTable.MergeStats(base.getOrElse(-1), 0, lines.size)
       // matched rows' positions, read through EVERY live mask (prior
       // DVs and tombstones) so masks stay disjoint
       val (rows, fcol, pcol) = readMaskedPos(schema,
-        affected.map(TxLogTable.decodeEntry), base, None, withPos = true)
+        affected, base, None, withPos = true)
       val hit = rows.filter(coalesce(pred, lit(false)))
-      // ONE small DV parquet per commit (a target's positions must not
-      // span DV files — the manifest carries one line per target):
-      // 2 columns, O(matched rows), the same order of memory the read
-      // side broadcasts anyway
-      val stagedDv = stage(hit.select(
-          substring(col(fcol), prefixLen + 1, Int.MaxValue).as("file"),
-          col(pcol).as("pos"))
-        .coalesce(1), Nil)
-      val counts: Seq[(String, Long)] =
-        if (stagedDv.isEmpty) Nil
-        else spark.read.parquet(
-            stagedDv.map(r => dataDir.resolve(r).toString): _*)
-          .groupBy("file").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toSeq
-      if (counts.isEmpty) // predicate matched no surviving row: no-op
+      val maskFrame = hit.select(
+        substring(col(fcol), prefixLen + 1, Int.MaxValue).as("file"),
+        col(pcol).as("pos"))
+      // ONE headroom-bounded collect replaces the old stage-write +
+      // read-back-count pass (two actions plus a disk round-trip): the
+      // per-file counts become plain driver math and the small DV
+      // parquet is staged from the local rows as a 1-task write. The
+      // mask must stay broadcast-sized anyway (the read-side anti-join
+      // carries it), so the driver pull is the same order of memory the
+      // table already holds per read — and the pull itself is bounded
+      // BEFORE the cap check, so an over-cap bulk delete fails with the
+      // clean refusal below instead of materializing an unbounded mask.
+      val cap = TxLogTable.maxDvMaskRows(spark)
+      val liveTotal = base.map(dvsOf).getOrElse(Nil).map(_.n).sum
+      val maskRows = boundedMaskCollect(maskFrame, affected,
+        math.max(0L, cap - liveTotal))
+      if (maskRows.isEmpty) // predicate matched no surviving row: no-op
         return TxLogTable.MergeStats(base.getOrElse(-1), 0, lines.size)
       // keep the table's TOTAL live mask broadcast-sized: beyond the cap
       // the read-side anti-join and the maintenance paths should not
       // carry it — compact (materializes every mask) or use the COW path
-      val cap = TxLogTable.maxDvMaskRows(spark)
-      val liveTotal = base.map(dvsOf).getOrElse(Nil).map(_.n).sum
-      require(liveTotal + counts.map(_._2).sum <= cap,
+      require(liveTotal + maskRows.length <= cap,
         s"$opName would push the live positional-delete mask past " +
           s"$cap rows: compact the table first (folds every mask), or " +
           "use the copy-on-write path (deleteWhere/merge)")
+      // ONE small DV parquet per commit (a target's positions must not
+      // span DV files — the manifest carries one line per target)
+      val stagedDv = stage(spark.createDataFrame(
+        java.util.Arrays.asList(maskRows: _*), maskFrame.schema)
+        .coalesce(1), Nil)
+      val counts: Seq[(String, Long)] = maskRows.groupBy(_.getString(0))
+        .view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
       val dvRel = stagedDv.head
       // update: the touched rows re-staged once with assignments applied
       val stagedData: Seq[String] = set match {
@@ -5204,7 +5298,12 @@ final case class TxLogTable(spark: SparkSession, root: String) {
     }
     val aligned = newRows.select(schema.fieldNames.toIndexedSeq.map(col): _*)
     // reused by the bounds aggregate and the mask join of every retry
-    // attempt: checkpoint so the caller's plan (an MV fold) runs once
+    // attempt: checkpoint so the caller's plan (an MV fold) runs once.
+    // (Measured alternative, r21: pinning small key sets as a driver-
+    // local relation via an executeTake probe ADDED 2-4 jobs per commit
+    // — the incremental take scans partitions in scale-up rounds and
+    // keyFrame feeds only ONE downstream broadcast, so there is nothing
+    // to amortize. Reverted.)
     val keyFrame = dropKeys
       .fold(aligned.select(keyCols.map(col): _*))(d =>
         aligned.select(keyCols.map(col): _*)
@@ -5241,15 +5340,16 @@ final case class TxLogTable(spark: SparkSession, root: String) {
       val layout = base.map(partitionColsOf).getOrElse(Nil)
       val lines = base.map(dataLines).getOrElse(Nil)
       val cmap = inheritedColMap
+      val allEntries = lines.map(TxLogTable.decodeEntry)
       val affected = prunePred match {
         case Some(p) =>
           val ranges = physKeyed(cmap, PredicateRanges.extract(p))
           val nn = physNullness(cmap, PredicateRanges.extractNullness(p))
           val points = physKeyed(cmap, PredicateRanges.extractPoints(p))
           val strs = physKeyed(cmap, PredicateRanges.extractStr(p))
-          lines.filter(line => mayMatchPred(TxLogTable.decodeEntry(line),
+          allEntries.filter(e => mayMatchPred(e,
             ranges, nn, points, strs, timeSegBounds(ranges, base)))
-        case None => lines
+        case None => allEntries
       }
       // matched keys' current rows, read through EVERY live mask (prior
       // DVs and tombstones) so masks stay disjoint
@@ -5257,8 +5357,7 @@ final case class TxLogTable(spark: SparkSession, root: String) {
         if (affected.isEmpty) (Nil, Nil)
         else {
           val (rows, fcol, pcol) = readMaskedPos(schema,
-            affected.map(TxLogTable.decodeEntry), base, None,
-            withPos = true)
+            affected, base, None, withPos = true)
           val cond = keyCols.map(k => rows(k) <=> keyFrame(k))
             .reduce(_ && _)
           val hit = rows.join(broadcast(keyFrame), cond, "left_semi")
@@ -5270,12 +5369,15 @@ final case class TxLogTable(spark: SparkSession, root: String) {
           // maxDvMaskRows in every successful commit — enforced below
           // exactly as before — so the driver pull is bounded; the dv
           // file is then staged from the local rows (a 1-task write) and
-          // the per-file counts are plain driver math.
-          val maskRows = hit.collect()
+          // the per-file counts are plain driver math. The pull itself
+          // is headroom-bounded, so an OVER-cap upsert fails with the
+          // clean refusal below instead of collecting an unbounded mask.
+          val cap = TxLogTable.maxDvMaskRows(spark)
+          val liveTotal = base.map(dvsOf).getOrElse(Nil).map(_.n).sum
+          val maskRows = boundedMaskCollect(hit, affected,
+            math.max(0L, cap - liveTotal))
           if (maskRows.isEmpty) (Nil, Nil)
           else {
-            val cap = TxLogTable.maxDvMaskRows(spark)
-            val liveTotal = base.map(dvsOf).getOrElse(Nil).map(_.n).sum
             require(liveTotal + maskRows.length <= cap,
               s"$op would push the live positional-delete mask past $cap " +
                 "rows: compact the table first (folds every mask), or use " +

@@ -817,6 +817,106 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.mv.maxBroadcastDimRows")
   }
 
+  test("driver-local dim-churn path: a duplicate dim key inside a small " +
+    "churn window trips the uniqueness require") {
+    val dir = Files.createTempDirectory("mvdup")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L, "x", 1.0), (2L, "x", 2.0)), overwrite = true)
+    dim.commit(Seq((1L, "gold"), (2L, "iron")).toDF("uid", "seg"),
+      overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "dup", fact, schema,
+      dim, dimSchema, Seq("k" -> "uid"), Seq("seg"), Seq("total" -> "v"))
+    // churn window appends a SECOND row for uid=1: both the key set and
+    // the dim snapshot are tiny (driver-local path), and the refresh
+    // must refuse — a fact row would enrich to two dim rows
+    dim.commit(Seq((1L, "dupe")).toDF("uid", "seg"), overwrite = false)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, mvRoot) }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+  }
+
+  test("driver-local dim-churn gate: a Double-keyed dim routes the probe " +
+    "distributed (sqlEqualsSafe excludes floats) — duplicates still trip, " +
+    "clean churn still folds exactly") {
+    val dir = Files.createTempDirectory("mvdbl")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val factSchema = StructType(Seq(
+      StructField("fk", DoubleType), StructField("v", DoubleType)))
+    val dimSchema = StructType(Seq(
+      StructField("dk", DoubleType), StructField("seg", StringType)))
+    fact.commit(Seq((1.0, 10.0), (2.0, 20.0)).toDF("fk", "v"),
+      overwrite = true)
+    dim.commit(Seq((1.0, "gold"), (2.0, "iron")).toDF("dk", "seg"),
+      overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "dbl", fact, factSchema,
+      dim, dimSchema, Seq("fk" -> "dk"), Seq("seg"), Seq("total" -> "v"))
+    def seg(): Set[(String, Long, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    }
+    assert(seg() === Set(("gold", 1L, 10.0), ("iron", 1L, 20.0)))
+    // clean Double-keyed churn: the distributed probe passes and the
+    // fold matches the recompute semantics
+    dim.updateWherePos(dimSchema, col("dk") === 2.0,
+      Seq("seg" -> lit("gold")))
+    val r = MaterializedView.refresh(spark, mvRoot)
+    assert(r.mode === "incremental", r)
+    assert(seg() === Set(("gold", 2L, 30.0)))
+    // duplicate Double key in the churn window: the DISTRIBUTED probe
+    // must trip the same uniqueness require the local path enforces
+    dim.commit(Seq((1.0, "dupe")).toDF("dk", "seg"), overwrite = false)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, mvRoot) }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+  }
+
+  test("driver-local dim-churn path: a null-keyed dim row is excluded on " +
+    "both paths — no fact row enriches to it, the refresh stays clean") {
+    val dir = Files.createTempDirectory("mvnull")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L, "x", 1.0), (2L, "x", 2.0)), overwrite = true)
+    dim.commit(Seq((1L, "gold"), (2L, "iron")).toDF("uid", "seg"),
+      overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "nullk", fact, schema,
+      dim, dimSchema, Seq("k" -> "uid"), Seq("seg"), Seq("total" -> "v"))
+    def seg(): Set[(String, Long, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    }
+    assert(seg() === Set(("gold", 1L, 1.0), ("iron", 1L, 2.0)))
+    // churn window adds a NULL-keyed dim row (and a real migration):
+    // the null key must drop out of the changed-key set on the local
+    // path exactly as the null-rejecting === semi-join would drop it
+    dim.commit(spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, "ghost"),
+        org.apache.spark.sql.Row(2L, "gold")),
+      dimSchema), overwrite = false)
+    // uid=2 now has TWO rows (iron@v0, gold@v1) — dedupe by masking the
+    // old row first so the dim stays key-unique
+    dim.deleteWherePos(dimSchema, col("uid") === 2L && col("seg") === "iron")
+    val r = MaterializedView.refresh(spark, mvRoot)
+    assert(r.mode === "incremental", r)
+    assert(seg() === Set(("gold", 2L, 3.0)),
+      "the null-keyed dim row must enrich nothing")
+  }
+
   test("refresh writes zero rewrites — the changed groups arrive as a " +
     "DV mask plus replacement rows, other groups stay carried") {
     val (src, mvRoot) = fresh()

@@ -224,6 +224,34 @@ class TxLogDvSpec extends AnyFunSuite {
     assert(rows(t).size == 10)
   }
 
+  test("mask collect is headroom-bounded: under-cap delete through the " +
+      "take probe is complete; over-cap refuses without a full pull") {
+    val t = fresh(); seed(t) // 10 rows in 2 files: manifest upper bound 10
+    spark.conf.set("spark.graft.sql.maxDvMaskRows", "5")
+    try {
+      // headroom 5 < upper bound 10 routes boundedMaskCollect to the
+      // take(headroom+1) probe; 2 matches ≤ headroom must commit the
+      // COMPLETE mask (take returns every row when fewer than n exist)
+      val st = t.deleteWherePos(schema, col("x") < 2L)
+      assert(st.rewritten == 0)
+      assert(rows(t).map(_._1) == (2L until 10L).toSet)
+      assert(t.metaRowCount(None).contains(8L))
+      // 6 more matches would land the live mask at 8 > cap 5: the probe
+      // pulls at most headroom+1 rows and the commit refuses cleanly
+      val e = intercept[IllegalArgumentException] {
+        t.deleteWherePos(schema, col("x") < 8L) }
+      assert(e.getMessage.contains("compact the table first"), e.getMessage)
+      assert(rows(t).map(_._1) == (2L until 10L).toSet,
+        "refused delete must not change the table")
+      // the keyed MOR upsert path shares the bound: over-cap refuses too
+      val e2 = intercept[IllegalArgumentException] {
+        t.upsertPos(schema, (0L until 10L).map(i => (i, "z", i * 10))
+          .toDF("id", "cat", "x"), Seq("id")) }
+      assert(e2.getMessage.contains("compact the table first"),
+        e2.getMessage)
+    } finally spark.conf.unset("spark.graft.sql.maxDvMaskRows")
+  }
+
   test("column mapping: positional delete and read compose with a " +
       "renamed column") {
     val t = fresh()
