@@ -981,7 +981,11 @@ object MaterializedView {
       // frame is reused by three joins plus the IN-pushdown enumeration
       // below, each of which would otherwise re-run the change-feed
       // subtree or rebuild the same broadcast; past the pushdown cap
-      // the distributed checkpoint+count path is unchanged
+      // the distributed checkpoint+count path is unchanged.
+      // (Measured alternative, r21: lazy checkpoint + count + collect
+      // ADDED 2-8 jobs per MV query — AQE coalesces the distinct's
+      // output to one partition, so the take probe is already a single
+      // job. Kept.)
       val probe = kPlan.take(MaxDimDeltaPushdownPoints.toInt + 1)
       val kIsLocal = probe.length <= MaxDimDeltaPushdownPoints
       val (kDim, kRows) =
