@@ -164,17 +164,15 @@ object TxLogTable {
     * the version's write-once manifest stamp plus the projection, so
     * equal keys imply identical rows (same soundness argument as the
     * manifest cache above; a same-path recreation misses on the stamp).
-    * Bounded LRU: every entry is caller-capped (≤ the caller's local
-    * cap, itself ≤ maxLocalDimRows), and 16 entries cover any live
-    * refresh/search loop's working set.
+    * Bounded LRU on BOTH axes: at most 16 entries AND at most
+    * [[LocalSnapCacheMaxRows]] total retained rows (each entry is
+    * additionally caller-capped) — eviction is by driver heap, not
+    * just entry count, so 16 wide near-cap dims cannot pin gigabytes.
     */
+  private val LocalSnapCacheMaxRows: Long = 1L << 19
   private val localSnapCache = new java.util.LinkedHashMap[
       ((String, Long, Long), Seq[String]),
-      Array[org.apache.spark.sql.Row]](32, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[((String, Long, Long), Seq[String]),
-          Array[org.apache.spark.sql.Row]]): Boolean = size() > 16
-  }
+      Array[org.apache.spark.sql.Row]](32, 0.75f, true)
 
   private[sources] def cachedLocalRows(
       key: ((String, Long, Long), Seq[String]))
@@ -183,7 +181,24 @@ object TxLogTable {
     localSnapCache.synchronized(Option(localSnapCache.get(key)))
       .getOrElse {
         val rows = load
-        localSnapCache.synchronized { localSnapCache.put(key, rows); () }
+        localSnapCache.synchronized {
+          localSnapCache.put(key, rows)
+          // evict LRU-first until both bounds hold (the newest entry
+          // always stays — a single over-bound snapshot just won't be
+          // joined by siblings)
+          var totalRows = 0L
+          localSnapCache.values.forEach(v => totalRows += v.length)
+          val it = localSnapCache.entrySet().iterator()
+          while ((localSnapCache.size() > 16 ||
+              totalRows > LocalSnapCacheMaxRows) &&
+              localSnapCache.size() > 1 && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != key) {
+              totalRows -= e.getValue.length
+              it.remove()
+            }
+          }
+        }
         rows
       }
 
