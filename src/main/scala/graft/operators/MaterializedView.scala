@@ -144,6 +144,17 @@ object MaterializedView {
                                 toVersion: Int, groupsChanged: Long,
                                 mvVersion: Int)
 
+  /** Overlap the refresh's independent frame materializations
+    * (optimization guide §2.6): each lazy `localCheckpoint` / `take`
+    * probe below runs its own AQE stage-materialization train of
+    * sub-second jobs; the trains share no data across fold steps /
+    * dims, so running them back-to-back would leave the cluster idle
+    * during each train's tail and pay every per-action fixed cost
+    * serially. Order-preserving, lowest-index failure rethrown — see
+    * [[graft.util.Overlap]]. */
+  private def inParallel[A](thunks: Seq[() => A]): Seq[A] =
+    graft.util.Overlap.inParallel(thunks)
+
   private val MvOps = Set("create", "mv-create", "mv-refresh",
     "mv-refresh-full")
 
@@ -378,15 +389,33 @@ object MaterializedView {
     else None
   }
 
-  private def checkDimUnique(dimSnap: DataFrame, keys: Seq[String]): Unit = {
-    val dup = dimSnap.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .limit(1).collect()
-    require(dup.isEmpty,
-      s"dim join keys ${keys.mkString(",")} are not unique in the " +
-        s"dimension (e.g. ${dup.headOption.getOrElse("")}) — a fact row " +
-        "must enrich to at most one dim row")
-  }
+  private def checkDimUnique(dimSnap: DataFrame, keys: Seq[String]): Unit =
+    localKeyedRows(dimSnap, keys) match {
+      case Some((rows, idx)) =>
+        // the snapshot is already a driver-local relation (the pinned
+        // small-dim case): probe uniqueness over the in-memory rows —
+        // a distributed groupBy here would cost a full Spark action per
+        // dim per create/recompute. NULL keys group as one key exactly
+        // like SQL GROUP BY (tuple equality: null == null), so two
+        // null-keyed rows refuse on both paths.
+        val dup = rows.iterator.map(r => idx.map(r.get).toIndexedSeq)
+          .foldLeft(Map.empty[IndexedSeq[Any], Long]) { (m, k) =>
+            m.updated(k, m.getOrElse(k, 0L) + 1L) }
+          .find(_._2 > 1)
+        require(dup.isEmpty,
+          s"dim join keys ${keys.mkString(",")} are not unique in the " +
+            s"dimension (e.g. ${dup.map { case (k, n) =>
+              (k :+ n).mkString("[", ",", "]") }.getOrElse("")}) — a " +
+            "fact row must enrich to at most one dim row")
+      case None =>
+        val dup = dimSnap.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"dim join keys ${keys.mkString(",")} are not unique in the " +
+            s"dimension (e.g. ${dup.headOption.getOrElse("")}) — a fact " +
+            "row must enrich to at most one dim row")
+    }
 
   /** Range-cluster a full view state by its group keys before a create /
     * full-refresh commit: every base file then covers a TIGHT, disjoint
@@ -860,10 +889,16 @@ object MaterializedView {
     // unreplayable window or a churn covering most of the dim costs
     // this one recompute)
     def fullRecompute(): RefreshStats = {
-      val dimSnapsFull = dimTs.zip(d.dims).zip(dimHeads).map {
-        case ((dt, dm), dh) => dimSnapHinted(spark, dt, dm.projSchema, dh) }
-      d.dims.zip(dimSnapsFull).foreach { case (dm, ds) =>
-        checkDimUnique(ds, dm.join.map(_._2)) }
+      // per-dim pin + uniqueness probe are independent across dims:
+      // overlap them (guide §2.6), keeping definition order in results
+      val dimSnapsFull = inParallel(
+        dimTs.zip(d.dims).zip(dimHeads).map {
+          case ((dt, dm), dh) => () => {
+            val ds = dimSnapHinted(spark, dt, dm.projSchema, dh)
+            checkDimUnique(ds, dm.join.map(_._2))
+            ds
+          }
+        })
       val state = clustered(aggregate(prepared(
         src.snapshot(extProj(src, proj, Seq(head)), Some(head)), d,
         dimSnapsFull), d), d)
@@ -904,12 +939,21 @@ object MaterializedView {
     // the enrichment each delta gets is exactly what the recompute would
     // give; `dimSnapsNew` is the all-at-head state (moved dims at their
     // heads, unmoved pins ARE their heads) the corrections target
-    val dimSnapsOld: Seq[DataFrame] = d.dims.indices.map(i =>
-      dimSnapHinted(spark, dimTs(i), d.dims(i).projSchema, lastDims(i)))
-    val dimSnapsNew: Seq[DataFrame] = d.dims.indices.map(i =>
-      if (dimHeads(i) == lastDims(i)) dimSnapsOld(i)
-      else dimSnapHinted(spark, dimTs(i), d.dims(i).projSchema,
-        dimHeads(i)))
+    // pinned per-dim, old and new in one thunk (a dim's two pins share
+    // the memo's table locks); ACROSS dims the pins are independent
+    // collects, overlapped on the fold pool (guide §2.6)
+    val dimSnapPairs: Seq[(DataFrame, DataFrame)] =
+      inParallel(d.dims.indices.map(i => () => {
+        val old = dimSnapHinted(spark, dimTs(i), d.dims(i).projSchema,
+          lastDims(i))
+        val nw =
+          if (dimHeads(i) == lastDims(i)) old
+          else dimSnapHinted(spark, dimTs(i), d.dims(i).projSchema,
+            dimHeads(i))
+        (old, nw)
+      }))
+    val dimSnapsOld: Seq[DataFrame] = dimSnapPairs.map(_._1)
+    val dimSnapsNew: Seq[DataFrame] = dimSnapPairs.map(_._2)
     def deltaOf(f: Fold): DataFrame = {
       val feed = prepared(src.changesWithDeletes(feedProj, f.fromV,
         f.toV, skipRewrites = true), d, dimSnapsOld)
@@ -928,13 +972,14 @@ object MaterializedView {
     }
     // checkpoint each delta: it is changed-groups-sized, reused for the
     // affected-key set AND the state fold, and keeps the final upsert
-    // plan shallow however many versions the range spans. LAZY: each
-    // action in local mode carries a large fixed cost (planning + AQE
-    // stage jobs), so the materialization rides the first consuming
-    // action (the kAll count below computes every delta in full) instead
-    // of paying one eager job per frame; Spark's local-checkpoint
-    // machinery back-fills any partition a partial first action skipped.
-    val stepFrames: Seq[(Step, DataFrame)] = steps.result().map {
+    // plan shallow however many versions the range spans. LAZY: the
+    // checkpoint call still runs the plan's AQE stage trains eagerly,
+    // but the final stage rides the first consuming action (the kAll
+    // count below) instead of paying a dedicated job per frame; Spark's
+    // local-checkpoint machinery back-fills any partition a partial
+    // first action skipped. Step frames materialize on the parallel
+    // wave below, overlapped with the dim corrections.
+    def stepFrameOf(step: Step): (Step, DataFrame) = step match {
       case f: Fold => (f, deltaOf(f).localCheckpoint(false))
       case dr: Drop => (dr, src.tombstoneFrameOf(dr.v).getOrElse(
         throw new IllegalStateException(
@@ -962,9 +1007,11 @@ object MaterializedView {
     // deltas (sums-only views); dimKeyFrames: the affected-GROUP-key
     // frames (MIN/MAX views — those groups are re-aggregated by the
     // targeted recompute below, so only all-old/all-new keys matter).
-    val dimDeltasB = Seq.newBuilder[DataFrame]
-    val dimKeyFramesB = Seq.newBuilder[DataFrame]
-    for (i <- movedIdx) {
+    sealed trait DimOut
+    case class DimDelta(df: DataFrame) extends DimOut
+    case class DimTargetKeys(df: DataFrame) extends DimOut
+    case object DimNeedsFull extends DimOut
+    def dimOutcome(i: Int): DimOut = {
       val dt = dimTs(i)
       val dm = d.dims(i)
       val dProj = dm.projSchema
@@ -976,9 +1023,49 @@ object MaterializedView {
           dimHeads(i), skipRewrites = true)
         .select(dimKeys.map(col): _*)
         .na.drop("any", dimKeys).distinct()
-      // small changed-key sets (the common dim-churn window) collect in
-      // ONE bounded take and live as a driver-local relation: the key
-      // frame is reused by three joins plus the IN-pushdown enumeration
+      // DRIVER-SIDE K (zero Spark jobs): when BOTH of this dim's pins —
+      // the consumed version and the head — are already driver-local
+      // relations (the common small-dim window; dimSnapHinted collected
+      // them once via the process-wide memo) AND every projected column
+      // has driver-safe equality, the changed-key set is the SNAPSHOT
+      // DIFF of the two local row sets: keys whose full projected row
+      // multisets differ between the pins. This replaces the
+      // change-feed take probe — a ~4-job AQE train per moved dim per
+      // refresh — with plain driver code over rows already in memory.
+      // Exactness: diffK ⊆ feed-K (content that differs between the
+      // pins implies change events — skipped rewrites are content-
+      // preserving by contract), and the keys the diff drops are
+      // exactly the feed's CONTENT-IDENTICAL rewrites, whose signed
+      // corrections are zero (old and new enrichment coincide) — the
+      // folded view content is bit-identical, only the redundant
+      // identical-row re-upserts (and the unexposed groupsChanged
+      // stat) shrink. The all-atomic gate makes boxed equality exact;
+      // a richer-typed dim keeps the probe below.
+      val localDiffK: Option[IndexedSeq[org.apache.spark.sql.Row]] =
+        if (!dProj.fields.forall(f => sqlEqualsSafe(f.dataType))) None
+        else for {
+          (oldRows, oIdx) <- localKeyedRows(dimSnapsOld(i), dimKeys)
+          (newRows, nIdx) <- localKeyedRows(dimSnapsNew(i), dimKeys)
+        } yield {
+          // per non-null key: multiset of full projected rows (the
+          // feed's na.drop excludes null keys the same way)
+          def byKey(rows: Seq[org.apache.spark.sql.Row], idx: Seq[Int])
+              : Map[IndexedSeq[Any], Map[Seq[Any], Int]] =
+            rows.iterator.filter(r => !idx.exists(r.isNullAt))
+              .map(r => idx.map(r.get).toIndexedSeq -> r.toSeq).toSeq
+              .groupBy(_._1).map { case (k, rs) =>
+                k -> rs.map(_._2).groupBy(identity)
+                  .map { case (row, dup) => (row, dup.size) } }
+          val o = byKey(oldRows, oIdx)
+          val nw = byKey(newRows, nIdx)
+          (o.keySet ++ nw.keySet).iterator
+            .filter(k => o.get(k) != nw.get(k))
+            .map(k => org.apache.spark.sql.Row.fromSeq(k))
+            .toIndexedSeq
+        }
+      // without the local diff, small changed-key sets collect in ONE
+      // bounded take and live as a driver-local relation: the key frame
+      // is reused by three joins plus the IN-pushdown enumeration
       // below, each of which would otherwise re-run the change-feed
       // subtree or rebuild the same broadcast; past the pushdown cap
       // the distributed checkpoint+count path is unchanged.
@@ -986,19 +1073,26 @@ object MaterializedView {
       // ADDED 2-8 jobs per MV query — AQE coalesces the distinct's
       // output to one partition, so the take probe is already a single
       // job. Kept.)
-      val probe = kPlan.take(MaxDimDeltaPushdownPoints.toInt + 1)
-      val kIsLocal = probe.length <= MaxDimDeltaPushdownPoints
-      val (kDim, kRows) =
-        if (kIsLocal)
+      val (kDim, kRows, kLocalRows) = localDiffK match {
+        case Some(ks) =>
           (spark.createDataFrame(
-            java.util.Arrays.asList(probe.toIndexedSeq: _*), kPlan.schema),
-            probe.length.toLong)
-        else {
-          // lazy checkpoint + count: one action materializes the frame
-          // AND returns the exact cardinality the cap decisions need
-          val ck = kPlan.localCheckpoint(false)
-          (ck, ck.count())
-        }
+            java.util.Arrays.asList(ks: _*), kPlan.schema),
+            ks.length.toLong, Some(ks: Seq[org.apache.spark.sql.Row]))
+        case None =>
+          val probe = kPlan.take(MaxDimDeltaPushdownPoints.toInt + 1)
+          if (probe.length <= MaxDimDeltaPushdownPoints)
+            (spark.createDataFrame(
+              java.util.Arrays.asList(probe.toIndexedSeq: _*),
+              kPlan.schema), probe.length.toLong,
+              Some(probe.toSeq))
+          else {
+            // lazy checkpoint + count: one action materializes the
+            // frame AND returns the exact cardinality the caps need
+            val ck = kPlan.localCheckpoint(false)
+            (ck, ck.count(), None)
+          }
+      }
+      val kIsLocal = kLocalRows.isDefined
       // past the broadcast cap the SAME signed arithmetic folds through
       // shuffle joins — cost stays O(delta + affected fact rows), and the
       // untouched groups stay manifest references either way. Only a
@@ -1011,7 +1105,7 @@ object MaterializedView {
       val kBcast = kRows <= TxLogTable.maxDimDeltaKeys(spark)
       if (!kBcast && !dt.metaRowCount(Some(dimHeads(i)))
             .exists(kRows * 2 <= _))
-        return fullRecompute()
+        return DimNeedsFull
       def kHint(df: DataFrame): DataFrame =
         if (kBcast) broadcast(df) else df
       def keysIn(side: DataFrame): DataFrame = side.join(kHint(kDim),
@@ -1026,7 +1120,7 @@ object MaterializedView {
       // gate; any other shape keeps the distributed probe.
       val newSide = localKeyedRows(dimSnapsNew(i), dimKeys) match {
         case Some((dimRows, dIdx)) if kIsLocal =>
-          val kset = probe.iterator
+          val kset = kLocalRows.get.iterator
             .map(r => dimKeys.indices.map(r.get(_)).toIndexedSeq).toSet
           val hit = dimRows.filter(r =>
             kset.contains(dIdx.map(r.get(_)).toIndexedSeq))
@@ -1073,8 +1167,8 @@ object MaterializedView {
           .select(groupKeyCols: _*)
         val newKeys = prepared(affFacts, d, dimSnapsNew)
           .select(groupKeyCols: _*)
-        dimKeyFramesB += oldKeys.unionByName(newKeys).distinct()
-          .localCheckpoint(false)
+        DimTargetKeys(oldKeys.unionByName(newKeys).distinct()
+          .localCheckpoint(false))
       } else {
         val sign = "__graft_dim_sign"
         val signedDim = keysIn(dimSnapsOld(i)).withColumn(sign, lit(-1L))
@@ -1105,12 +1199,30 @@ object MaterializedView {
             val v = col(s0).cast(SumType)
             sum(when(sgn < 0, -v).otherwise(v)).as(out)
           } :+ sum(sgn).as(CountCol)
-        dimDeltasB += rows.groupBy(groupKeyCols: _*)
-          .agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
+        DimDelta(rows.groupBy(groupKeyCols: _*)
+          .agg(aggs.head, aggs.tail: _*).localCheckpoint(false))
       }
     }
-    val dimDeltas: Seq[DataFrame] = dimDeltasB.result()
-    val dimTargetKeys: Seq[DataFrame] = dimKeyFramesB.result()
+    // ONE parallel wave materializes every independent frame of this
+    // refresh — the fold-step checkpoints and each moved dim's probe +
+    // correction — so their AQE stage trains overlap instead of running
+    // back-to-back (guide §2.6). Order is preserved (fold steps first,
+    // dims in definition order) and the lowest-index failure propagates,
+    // matching the old sequential walk; a dim voting "needs full" only
+    // wastes its siblings' fold work on the rare recompute path.
+    val wave: Seq[Either[(Step, DataFrame), DimOut]] = inParallel(
+      steps.result().map(st => () =>
+        Left(stepFrameOf(st)): Either[(Step, DataFrame), DimOut]) ++
+      movedIdx.map(i => () =>
+        Right(dimOutcome(i)): Either[(Step, DataFrame), DimOut]))
+    val stepFrames: Seq[(Step, DataFrame)] = wave.collect {
+      case Left(x) => x }
+    val dimOuts: Seq[DimOut] = wave.collect { case Right(x) => x }
+    if (dimOuts.contains(DimNeedsFull)) return fullRecompute()
+    val dimDeltas: Seq[DataFrame] = dimOuts.collect {
+      case DimDelta(df) => df }
+    val dimTargetKeys: Seq[DataFrame] = dimOuts.collect {
+      case DimTargetKeys(df) => df }
     val mvSnap = mv.snapshot(d.mvSchema, Some(mvHead))
     def nullSafe(l: DataFrame, r: DataFrame, cols: Seq[String]) =
       cols.map(c => l(c) <=> r(c)).reduce(_ && _)

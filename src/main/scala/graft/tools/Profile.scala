@@ -15,7 +15,11 @@ import scala.collection.mutable
 object Profile {
   final case class JobRec(id: Int, desc: String, start: Long,
                           var end: Long = 0L,
-                          var tasks: Int = 0, var stages: Int = 0)
+                          var tasks: Int = 0, var stages: Int = 0,
+                          execId: Long = -1L)
+
+  final case class ExecRec(id: Long, desc: String, start: Long,
+                           var end: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     println(s"[profile] pid=${java.lang.ProcessHandle.current().pid()}")
@@ -35,6 +39,7 @@ object Profile {
       .agg("m" -> "max").collect()
 
     val jobs = mutable.ArrayBuffer.empty[JobRec]
+    val execs = mutable.ArrayBuffer.empty[ExecRec]
     val stageTasks = mutable.Map.empty[Int, Int]   // stageId -> numTasks
     val stageJob = mutable.Map.empty[Int, Int]     // stageId -> jobId
     val listener = new SparkListener {
@@ -42,8 +47,26 @@ object Profile {
         val names = e.stageInfos.map(_.name).distinct
         val desc = names.find(!_.startsWith("$anonfun"))
           .orElse(names.headOption).getOrElse("?")
-        jobs += JobRec(e.jobId, desc, e.time, stages = e.stageIds.size)
+        val eid = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .map(_.toLong).getOrElse(-1L)
+        jobs += JobRec(e.jobId, desc, e.time, stages = e.stageIds.size,
+          execId = eid)
         e.stageIds.foreach(sid => stageJob(sid) = e.jobId)
+      }
+      // attribute jobs (incl. AQE stage-future sub-jobs, which share the
+      // parent's execution id) to the SQL statement that ran them
+      override def onOtherEvent(
+          e: SparkListenerEvent): Unit = synchronized {
+        e match {
+          case s: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            execs += ExecRec(s.executionId, s.description, s.time)
+          case s: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionEnd =>
+            execs.find(_.id == s.executionId).foreach(_.end = s.time)
+          case _ =>
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
         jobs.find(_.id == e.jobId).foreach(_.end = e.time)
@@ -61,7 +84,7 @@ object Profile {
     for (q <- args) {
       // warm pass (footers, codegen) — NOT profiled
       graft.SparkEntry.queries(q)(spark, dir).count()
-      jobs.clear(); stageTasks.clear(); stageJob.clear()
+      jobs.clear(); execs.clear(); stageTasks.clear(); stageJob.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir).count()
@@ -88,6 +111,18 @@ object Profile {
       }.toSeq.sortBy(-_._3)
       byDesc.take(30).foreach { case (d, n, ms, tk) =>
         println(f"  ${ms / 1e3}%7.2fs n=$n%-4d tasks=$tk%-6d ${d.take(120)}")
+      }
+      // per-SQL-execution attribution: wall, jobs (incl. AQE sub-jobs)
+      val byExec = execs.filter(_.end > 0).sortBy(x => -(x.end - x.start))
+      println(f"  -- executions: ${byExec.size} " +
+        f"(execWall=${byExec.map(x => x.end - x.start).sum / 1e3}%.2fs)")
+      byExec.take(25).foreach { x =>
+        val js = done.filter(_.execId == x.id)
+        val jt = js.map(j => j.end - j.start).sum
+        val oneLine = x.desc.replaceAll("\\s+", " ").take(110)
+        println(f"  ${(x.end - x.start) / 1e3}%7.2fs jobs=${js.size}%-4d " +
+          f"jobTime=${jt / 1e3}%5.2fs tasks=${js.map(_.tasks).sum}%-5d " +
+          s"$oneLine")
       }
     }
     spark.stop()

@@ -917,6 +917,52 @@ class MaterializedViewSpec extends AnyFunSuite {
       "the null-keyed dim row must enrich nothing")
   }
 
+  test("driver-local dim-churn snapshot diff: a content-identical dim " +
+    "rewrite folds to a zero correction; a mixed window corrects only " +
+    "the real change — content equals the recompute throughout") {
+    val dir = Files.createTempDirectory("mvdiffk")
+    val fact = TxLogTable(spark, dir.resolve("fact").toString)
+    val dim = TxLogTable(spark, dir.resolve("dim").toString)
+    val mvRoot = dir.resolve("mv").toString
+    val dimSchema = StructType(Seq(
+      StructField("uid", LongType), StructField("seg", StringType)))
+    fact.commit(df((1L, "x", 1.0), (2L, "x", 2.0), (2L, "x", 3.0)),
+      overwrite = true)
+    dim.commit(Seq((1L, "gold"), (2L, "iron")).toDF("uid", "seg"),
+      overwrite = true)
+    MaterializedView.createJoined(spark, mvRoot, "diffk", fact, schema,
+      dim, dimSchema, Seq("k" -> "uid"), Seq("seg"), Seq("total" -> "v"))
+    def seg(): Set[(String, Long, Double)] = {
+      val d = MaterializedView.definition(spark, mvRoot)
+      TxLogTable(spark, mvRoot).snapshot(d.mvSchema).collect()
+        .map(r => (r.getString(0),
+          r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[java.math.BigDecimal]("total").doubleValue())).toSet
+    }
+    assert(seg() === Set(("gold", 1L, 1.0), ("iron", 2L, 5.0)))
+    // rewrite uid=1 to the SAME content: the change feed emits
+    // delete+insert events for the key, but the local snapshot diff
+    // proves the enrichment unchanged — the window is consumed with a
+    // ZERO correction (empty commit), group 'gold' untouched
+    dim.updateWherePos(dimSchema, col("uid") === 1L,
+      Seq("seg" -> lit("gold")))
+    val r1 = MaterializedView.refresh(spark, mvRoot)
+    assert(r1.mode === "incremental", r1)
+    assert(r1.groupsChanged === 0L,
+      s"an identical rewrite must correct nothing: $r1")
+    assert(seg() === Set(("gold", 1L, 1.0), ("iron", 2L, 5.0)))
+    // mixed window: one identical rewrite + one real migration — only
+    // the real change corrects, and the fold matches the recompute
+    dim.updateWherePos(dimSchema, col("uid") === 1L,
+      Seq("seg" -> lit("gold")))
+    dim.updateWherePos(dimSchema, col("uid") === 2L,
+      Seq("seg" -> lit("gold")))
+    val r2 = MaterializedView.refresh(spark, mvRoot)
+    assert(r2.mode === "incremental", r2)
+    assert(seg() === Set(("gold", 3L, 6.0)))
+    assert(MaterializedView.refresh(spark, mvRoot).mode === "noop")
+  }
+
   test("refresh writes zero rewrites — the changed groups arrive as a " +
     "DV mask plus replacement rows, other groups stay carried") {
     val (src, mvRoot) = fresh()
